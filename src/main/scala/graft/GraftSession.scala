@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration. Used by
+  * Verify / Bench / tests so behavior is identical everywhere.
+  *
+  *  - shuffle.partitions sized to cores (local[32]), not the 200 default;
+  *  - AQE on: runtime coalescing + skew-join handling is part of the
+  *    100 TB design (SURVEY.md §4);
+  *  - ANSI off: the engine uses wrap-around 64-bit arithmetic in its
+  *    sketch hashes (minhash permutations, simhash, rolling hash) —
+  *    Java overflow semantics are intended and deterministic there, and
+  *    the reference's MySQL surface is non-ANSI anyway;
+  *  - nanosAsLong: the `events` fixture carries TIMESTAMP(NANOS), which
+  *    Spark's parquet reader otherwise rejects; [[Tables.load]] converts
+  *    the long back to a proper TimestampType column.
+  */
+object GraftSession {
+  def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,580 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.operators.{CdcBatch, DebeziumEnvelope, Relational}
+import graft.operators.dedup.{Dedup, MinHashDedup, SimHashDedup}
+import graft.operators.sim.SimilaritySearch
+import graft.operators.text.TextAnalysis
+import graft.operators.multimodal.Multimodal
+import graft.functions.{GtidSetAgg, TypeConversions}
+import graft.sources.ChunkPlanner
+
+/** Driver contract — one query per implemented operator from SURVEY.md §2
+  * (names prefixed with the inventory id) plus the beyond-parity
+  * LLM-pipeline operators (SURVEY.md §8). Each query has a DuckDB oracle
+  * in [[SparkEntry.oracleSql]] unless the operator hinges on functions
+  * DuckDB lacks (xxhash64-based sketches) — those are covered by
+  * ScalaTest oracles instead and run rows-only here.
+  *
+  * Every query ends in a total-order sort on its output key so the
+  * result is deterministic row-for-row against the oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** event_type → CDC op mapping used by all change-log queries: the
+    * `events` fixture plays the binlog (`error`=delete, `signup`=insert,
+    * rest=update).
+    */
+  private def asChangeLog(events: DataFrame): DataFrame =
+    events.withColumn("op",
+      when(col("event_type") === "error", "d")
+        .when(col("event_type") === "signup", "i")
+        .otherwise("u"))
+
+  private val opCaseSql =
+    "CASE WHEN event_type = 'error' THEN 'd' WHEN event_type = 'signup' THEN 'i' ELSE 'u' END"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Exercises
+    * scan → broadcast join → decimal-exact aggregation.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("total_price")
+      )
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- aggregation / join / window / set-op spine (SURVEY §2.4-2.6:
+    // absent in the reference, free in Spark; present here because the
+    // engine is a superset and the bench exercises them at scale) -----
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(22, 4)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q2_join_enrich" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(22, 4)))
+            .cast("double").as("revenue")
+        )
+        .orderBy(col("c_mktsegment"), col("n_name"))
+    }),
+
+    "q3_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    "q4_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      val rows = Seq(
+        ("intersect", cn.intersect(sn).count()),
+        ("except", cn.except(sn).count()),
+        ("union", cn.union(sn).distinct().count())
+      )
+      import s.implicits._
+      rows.toDF("tag", "n").orderBy(col("tag"))
+    }),
+
+    // ----- S: sources / scans -----
+
+    "s3_keyset_chunks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ChunkPlanner.chunkedRead(s, li, Seq("l_orderkey", "l_linenumber"), 8)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "s2_tx_assembly" -> ((s, dir) => {
+      CdcBatch.assembleTx(t(s, dir, "events"), "user_id", "ts", "event_id", 43200000L)
+        .select(col("user_id"), col("tx_index"), col("tx_first_seq"), col("tx_last_seq"),
+          col("n_events"), unix_millis(col("tx_start")).as("tx_start_ms"),
+          unix_millis(col("tx_end")).as("tx_end_ms"))
+        .orderBy(col("user_id"), col("tx_index"))
+    }),
+
+    // ----- F: filters / projections / mappings -----
+
+    "f1_row_filter" -> ((s, dir) => {
+      Relational.whereFilter(t(s, dir, "orders"),
+          "o_totalprice > 150000.0 AND upper(o_orderstatus) <> 'P' AND char_length(o_orderpriority) >= 5")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f2_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("pow(o_custkey, 2)").as("f_pow"),
+        expr("sqrt(o_totalprice)").as("f_sqrt"),
+        expr("replace(o_orderpriority, '-', '_')").as("f_replace"),
+        expr("upper(o_orderstatus)").as("f_upper"),
+        expr("lower(o_orderpriority)").as("f_lower"),
+        expr("char_length(o_orderpriority)").as("f_charlen"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("f_unixms")
+      ).orderBy(col("o_orderkey"))
+    }),
+
+    "f3_route_filter" -> ((s, dir) => {
+      val spec = ReplicationSpec(
+        doDb = Seq(
+          SchemaSpec("", schemaRegex = Some("^src(\\d)$")),
+          SchemaSpec("src12")),
+        ignoreDb = Seq(IgnoreSpec("src3")))
+      t(s, dir, "documents")
+        .filter(Relational.routeFilter(spec, col("source"), col("lang")))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "f4_op_filter" -> ((s, dir) => {
+      Relational.opFilter(asChangeLog(t(s, dir, "events")), Set("d"))
+        .select(col("event_id"), col("user_id"), col("op"))
+        .orderBy(col("event_id"))
+    }),
+
+    "f6_column_map" -> ((s, dir) => {
+      Relational.columnMap(t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_acctbal"), Seq("id", "name", "balance"))
+        .orderBy(col("id"))
+    }),
+
+    "f7_rename_regex" -> ((s, dir) => {
+      Relational.renameColumns(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source").as("db"), col("lang").as("table")),
+          "^src(\\d+)$", "source_$1", "^(.*)$", "t_$1")
+        .orderBy(col("doc_id"))
+    }),
+
+    "f10_idempotence" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ledger = ev.filter(col("event_id") % 7 === 0).select(col("event_id"))
+      Relational.idempotenceFilter(ev, ledger, "event_id")
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ----- C: type-conversion matrix -----
+
+    "c_type_matrix" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        TypeConversions.datetimeToMillis(col("o_orderdate")).as("dt_millis"),
+        TypeConversions.dateToEpochDays(col("o_orderdate")).as("epoch_days"),
+        TypeConversions.timestampToIso(col("o_orderdate")).as("iso_ts"),
+        TypeConversions.enumLabel(pmod(col("o_orderkey"), lit(3)) + 1, Seq("A", "B", "C")).as("enum_label"),
+        TypeConversions.setLabels(pmod(col("o_orderkey"), lit(8)), Seq("r", "w", "x")).as("set_csv"),
+        TypeConversions.unsignedWiden(col("o_custkey") - 700, "tinyint").as("u8_widen"),
+        TypeConversions.decimalToDebezium(col("o_totalprice"), 12, 2).as("dec_b64"),
+        TypeConversions.binaryToBase64(col("o_orderstatus").cast(BinaryType)).as("bin_b64")
+      ).orderBy(col("o_orderkey"))
+    }),
+
+    // ----- A: aggregates -----
+
+    "a2_checksum" -> ((s, dir) => {
+      CdcBatch.checksum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey", "l_linenumber")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "a5_gtid_set" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(GtidSetAgg.column(col("event_id")).as("gtid_set"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ----- K/O: sink & streaming semantics, batch form -----
+
+    "k2_cdc_apply" -> ((s, dir) => {
+      CdcBatch.applyChangeLog(asChangeLog(t(s, dir, "events")), "user_id", "event_id", "op")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "o1_size_batches" -> ((s, dir) => {
+      CdcBatch.sizeBatches(
+          t(s, dir, "events").withColumn("n_bytes", length(col("props"))),
+          "user_id", "event_id", "n_bytes", 2048L)
+        .select(col("event_id"), col("user_id"), col("batch_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "o2_merge_inserts" -> ((s, dir) => {
+      CdcBatch.mergeConsecutiveInserts(
+          asChangeLog(t(s, dir, "events")).withColumn("table_id", pmod(col("user_id"), lit(5))),
+          "table_id", "event_id", "op")
+        .select(col("table_id"), col("op"), col("first_seq"), col("last_seq"), col("n_rows"))
+        .orderBy(col("table_id"), col("first_seq"))
+    }),
+
+    "o4_writeset" -> ((s, dir) => {
+      CdcBatch.writesetDependencies(t(s, dir, "events"), "user_id", "event_id")
+        .select(col("event_id"), col("user_id"), col("last_committed"))
+        .orderBy(col("event_id"))
+    }),
+
+    "k6_debezium" -> ((s, dir) => {
+      val cdc = asChangeLog(t(s, dir, "events")).select(
+        lit("shop").as("db"),
+        lit("events").as("table"),
+        col("op"),
+        lit(null).cast("struct<event_id:bigint>").as("before"),
+        struct(col("event_id"), col("user_id"), col("event_type")).as("after"),
+        unix_millis(col("ts")).as("tsMillis"),
+        lit("server-1").as("originServerId"),
+        col("event_id").as("seq"),
+        col("user_id")
+      )
+      DebeziumEnvelope.encode(cdc, Seq("user_id"), "graft")
+        .withColumn("seq", get_json_object(col("value"), "$.source.pos"))
+        .orderBy(col("seq").cast("long"))
+        .drop("seq")
+    }),
+
+    // ----- beyond-parity: dedup family (SURVEY §8) -----
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+    "dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      // no DuckDB oracle (xxhash64 sketch) — accuracy asserted in
+      // MinHashDedupSpec against brute-force Jaccard
+      MinHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 64, numBands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      // no DuckDB oracle — SimHashDedupSpec verifies against Hamming
+      // distance of brute-force fingerprints
+      SimHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "emb_cosine_pairs" -> ((s, dir) => {
+      SimilaritySearch.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ----- beyond-parity: similarity search -----
+
+    "sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      // ANN path: recall < 1 by construction → rows-only; recall vs
+      // brute force asserted in SimilaritySearchSpec
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 8, tables = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ----- beyond-parity: text analysis -----
+
+    "text_profile" -> ((s, dir) => {
+      TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_rolling_hash" -> ((s, dir) => {
+      // xxhash64-based → rows-only; determinism asserted in TextAnalysisSpec
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ----- beyond-parity: multimodal plumbing -----
+
+    "mm_features" -> ((s, dir) => {
+      // synthetic binary payloads (deterministic); decode is a marked
+      // STUB (no codec libs in-container) — plumbing is real
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.synthesize(s, 200), dim = 8)
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_join_enrich" ->
+      """SELECT c_mktsegment, n_name, COUNT(*) AS n_lines,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_window_topn" ->
+      """SELECT o_custkey, CAST(row_number() OVER w AS INT) AS rank, o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
+
+    "q4_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT 'except' AS tag, (SELECT COUNT(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)) AS n
+        |UNION ALL
+        |SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn))
+        |UNION ALL
+        |SELECT 'union', (SELECT COUNT(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn))
+        |ORDER BY tag""".stripMargin,
+
+    "s3_keyset_chunks" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "s2_tx_assembly" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) > 43200000
+        |         THEN 1 ELSE 0 END AS new_tx
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(new_tx) OVER (PARTITION BY user_id ORDER BY event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tx_index
+        |  FROM flagged)
+        |SELECT user_id, CAST(tx_index AS BIGINT) AS tx_index, MIN(event_id) AS tx_first_seq,
+        |  MAX(event_id) AS tx_last_seq, COUNT(*) AS n_events,
+        |  MIN(epoch_ms(ts)) AS tx_start_ms, MAX(epoch_ms(ts)) AS tx_end_ms
+        |FROM grp GROUP BY user_id, tx_index ORDER BY user_id, tx_index""".stripMargin,
+
+    "f1_row_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 AND upper(o_orderstatus) <> 'P' AND length(o_orderpriority) >= 5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f2_scalar_funcs" ->
+      """SELECT o_orderkey, pow(o_custkey, 2) AS f_pow, sqrt(o_totalprice) AS f_sqrt,
+        |replace(o_orderpriority, '-', '_') AS f_replace, upper(o_orderstatus) AS f_upper,
+        |lower(o_orderpriority) AS f_lower, CAST(length(o_orderpriority) AS INT) AS f_charlen,
+        |epoch_ms(o_orderdate) AS f_unixms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f3_route_filter" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE lower(source) NOT IN ('mysql','sys','information_schema','performance_schema')
+        |  AND (regexp_matches(source, '^src(\d)$') OR source = 'src12')
+        |  AND source <> 'src3'
+        |ORDER BY doc_id""".stripMargin,
+
+    "f4_op_filter" ->
+      s"""SELECT event_id, user_id, $opCaseSql AS op FROM events
+         |WHERE $opCaseSql <> 'd' ORDER BY event_id""".stripMargin,
+
+    "f6_column_map" ->
+      "SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance FROM customer ORDER BY id",
+
+    "f7_rename_regex" ->
+      """SELECT doc_id, regexp_replace(source, '^src(\d+)$', 'source_\1') AS db,
+        |regexp_replace(lang, '^(.*)$', 't_\1') AS "table"
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f10_idempotence" ->
+      "SELECT event_id, user_id FROM events WHERE event_id % 7 <> 0 ORDER BY event_id",
+
+    "c_type_matrix" ->
+      """SELECT o_orderkey,
+        |epoch_ms(o_orderdate) AS dt_millis,
+        |CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS epoch_days,
+        |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+        |list_extract(['A','B','C'], CAST(o_orderkey % 3 + 1 AS INT)) AS enum_label,
+        |concat_ws(',',
+        |  CASE WHEN (o_orderkey % 8) & 1 <> 0 THEN 'r' END,
+        |  CASE WHEN (o_orderkey % 8) & 2 <> 0 THEN 'w' END,
+        |  CASE WHEN (o_orderkey % 8) & 4 <> 0 THEN 'x' END) AS set_csv,
+        |CAST((o_custkey - 700) & 255 AS SMALLINT) AS u8_widen,
+        |to_base64(unhex(lpad(to_hex(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)), 16, '0'))) AS dec_b64,
+        |to_base64(encode(o_orderstatus)) AS bin_b64
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "a2_checksum" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |CAST(SUM(l_orderkey * 31 + l_linenumber * 7) AS BIGINT) AS checksum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a5_gtid_set" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_id FROM events),
+        |g AS (SELECT user_id, event_id,
+        |  event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS grp FROM d),
+        |i AS (SELECT user_id, MIN(event_id) AS lo, MAX(event_id) AS hi FROM g GROUP BY user_id, grp)
+        |SELECT user_id, string_agg(
+        |  CASE WHEN lo = hi THEN CAST(lo AS VARCHAR) ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR) END,
+        |  ':' ORDER BY lo) AS gtid_set
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "k2_cdc_apply" ->
+      s"""WITH c AS (SELECT user_id, event_id, event_type, value, $opCaseSql AS op FROM events)
+         |SELECT user_id, event_id, event_type, value FROM c
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1 AND op <> 'd'
+         |ORDER BY user_id""".stripMargin,
+
+    "o1_size_batches" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  SUM(length(props)) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |FROM events)
+        |SELECT event_id, user_id, CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS batch_id
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    "o2_merge_inserts" ->
+      s"""WITH c AS (SELECT user_id % 5 AS table_id, event_id, $opCaseSql AS op FROM events),
+         |f AS (SELECT table_id, event_id, op,
+         |  CASE WHEN op <> coalesce(lag(op) OVER (PARTITION BY table_id ORDER BY event_id), '__none')
+         |       THEN 1 ELSE 0 END AS brk FROM c),
+         |g AS (SELECT table_id, event_id, op,
+         |  SUM(brk) OVER (PARTITION BY table_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM f)
+         |SELECT table_id, op, MIN(event_id) AS first_seq, MAX(event_id) AS last_seq, COUNT(*) AS n_rows
+         |FROM g GROUP BY table_id, run, op ORDER BY table_id, first_seq""".stripMargin,
+
+    "o4_writeset" ->
+      """SELECT event_id, user_id,
+        |coalesce(lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id), -1) AS last_committed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "k6_debezium" ->
+      s"""WITH c AS (SELECT event_id, user_id, event_type, ts, $opCaseSql AS op FROM events)
+         |SELECT '{"user_id":' || user_id || '}' AS key,
+         |'{"after":{"event_id":' || event_id || ',"user_id":' || user_id ||
+         |',"event_type":"' || event_type || '"},"source":{"name":"graft","db":"shop","table":"events","server_id":"server-1","pos":' ||
+         |event_id || '},"op":"' || op || '","ts_ms":' || epoch_ms(ts) || '}' AS value,
+         |'graft.shop.events' AS topic
+         |FROM c ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
+        |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings),
+        |scored AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos
+        |  FROM q, c WHERE corpus_id <> query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_profile" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
+        |sc AS (SELECT doc_id, text, norm, words,
+        |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |  len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(words, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(words, t -> t IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |  len(list_filter(words, t -> t IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |FROM w),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
+        |FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subwords,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  round(punct, 6) AS punct_ratio,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
+        |  md5(norm) AS fingerprint
+        |FROM m ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,191 @@
+package graft.ddl
+
+import graft.model.{ReplicationSpec, SchemaSpec}
+
+/** F4/F5/F8 + K5 — DDL classification and rewrite (SURVEY.md §2.3).
+  *
+  * The reference parses DDL with the TiDB MySQL parser, mutates
+  * schema/table identifiers across 14 statement kinds, and restores SQL
+  * text (`driver/mysql/binlog/binlog_reader.go:847-957` loadMapping);
+  * classification feeds the SqlFilter (`:110-178`) and the skip rules
+  * (`:1228-1265`). No MySQL-dialect parser ships with Spark, so this is
+  * a driver-side tokenizing rewriter covering the statement surface the
+  * reference handles; it runs once per DDL (control path, not data
+  * path), so throughput is irrelevant — fidelity is what matters.
+  */
+object DdlRewriter {
+
+  sealed trait DdlKind
+  case object CreateSchema extends DdlKind
+  case object DropSchema   extends DdlKind
+  case object CreateTable  extends DdlKind
+  case object DropTable    extends DdlKind
+  case object AlterTable   extends DdlKind
+  case object RenameTable  extends DdlKind
+  case object Truncate     extends DdlKind
+  case object CreateIndex  extends DdlKind
+  case object DropIndex    extends DdlKind
+  case object OtherDdl     extends DdlKind
+  case object SkippedStmt  extends DdlKind // trigger/event/view/grant etc.
+
+  private val skipPatterns: Seq[String] = Seq(
+    // reference always-skip regexes (`binlog_reader.go:1228-1265`)
+    "(?is)^\\s*create\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view|function|procedure)\\b.*",
+    "(?is)^\\s*(alter|drop)\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view|function|procedure)\\b.*",
+    "(?is)^\\s*(grant|revoke|flush)\\b.*",
+    "(?is)^\\s*(create|alter|drop|rename)\\s+user\\b.*",
+    "(?is)^\\s*set\\s+password\\b.*"
+  )
+
+  def classify(sql: String): DdlKind = {
+    val s = sql.trim
+    if (skipPatterns.exists(s.matches)) return SkippedStmt
+    val lower = s.toLowerCase
+    if (lower.startsWith("create database") || lower.startsWith("create schema")) CreateSchema
+    else if (lower.startsWith("drop database") || lower.startsWith("drop schema")) DropSchema
+    else if (lower.startsWith("create table")) CreateTable
+    else if (lower.startsWith("drop table")) DropTable
+    else if (lower.startsWith("alter table")) AlterTable
+    else if (lower.startsWith("rename table")) RenameTable
+    else if (lower.startsWith("truncate")) Truncate
+    else if (lower.startsWith("create index") || lower.startsWith("create unique index")) CreateIndex
+    else if (lower.startsWith("drop index")) DropIndex
+    else OtherDdl
+  }
+
+  /** ALTER sub-kind classification for the SqlFilter's five ALTER gates
+    * (reference `binlog_reader.go:110-178`).
+    */
+  def alterKind(sql: String): Option[String] = {
+    val lower = sql.trim.toLowerCase
+    if (!lower.startsWith("alter table")) None
+    else if (lower.matches("(?s).*\\badd\\s+(column|\\().*")) Some("AddColumn")
+    else if (lower.matches("(?s).*\\bdrop\\s+column\\b.*")) Some("DropColumn")
+    else if (lower.matches("(?s).*\\b(modify|change)\\s+column\\b.*")) Some("ModifyColumn")
+    else if (lower.matches("(?s).*\\brename\\b.*")) Some("Rename")
+    else Some("Other")
+  }
+
+  /** Identifier-aware schema/table rename in DDL text: rewrites
+    * `schema`.`table`, schema.table, and the bare table after the
+    * statement verb. Backtick-quoted and unquoted forms are both
+    * handled; strings and comments are left alone by tokenizing on
+    * quotes first.
+    */
+  def rewrite(sql: String, renameSchema: Map[String, String],
+              renameTable: Map[(String, String), (String, String)],
+              defaultSchema: String = ""): String = {
+    // split into string-literal / backtick / code segments; rewrite only code
+    val segments = tokenize(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < segments.length) {
+      segments(i) match {
+        case Code(c) =>
+          // qualified `a`.`b` may span segments (backtick ident + dot); handle
+          // via a joined regex pass over the reconstructed statement below
+          out.append(c)
+        case Backtick(b) => out.append('`').append(b).append('`')
+        case Str(q, sIn) => out.append(q).append(sIn).append(q)
+      }
+      i += 1
+    }
+    rewriteIdents(out.toString(), renameSchema, renameTable, defaultSchema)
+  }
+
+  private sealed trait Seg
+  private case class Code(s: String) extends Seg
+  private case class Backtick(s: String) extends Seg
+  private case class Str(quote: Char, s: String) extends Seg
+
+  private def tokenize(sql: String): Vector[Seg] = {
+    val out = Vector.newBuilder[Seg]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '`' =>
+          if (cur.nonEmpty) { out += Code(cur.toString); cur.clear() }
+          val end = sql.indexOf('`', i + 1)
+          val stop = if (end < 0) sql.length else end
+          out += Backtick(sql.substring(i + 1, stop)); i = stop + 1
+        case q @ ('\'' | '"') =>
+          if (cur.nonEmpty) { out += Code(cur.toString); cur.clear() }
+          var j = i + 1
+          while (j < sql.length && (sql.charAt(j) != q || (j + 1 < sql.length && sql.charAt(j + 1) == q && { j += 1; true }))) j += 1
+          out += Str(q, sql.substring(i + 1, math.min(j, sql.length))); i = j + 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    if (cur.nonEmpty) out += Code(cur.toString)
+    out.result()
+  }
+
+  private def ident(s: String) = s.replace("`", "")
+
+  private def rewriteIdents(sql: String, renameSchema: Map[String, String],
+                            renameTable: Map[(String, String), (String, String)],
+                            defaultSchema: String): String = {
+    // qualified schema.table (optionally backticked either side)
+    val qualified = "(`?)([A-Za-z0-9_$]+)\\1\\.(`?)([A-Za-z0-9_$]+)\\3".r
+    qualified.replaceAllIn(sql, m => {
+      val (sch, tbl) = (m.group(2), m.group(4))
+      val (ns, nt) = renameTable.getOrElse((sch, tbl),
+        (renameSchema.getOrElse(sch, sch), tbl))
+      java.util.regex.Matcher.quoteReplacement(s"`$ns`.`$nt`")
+    })
+  }
+
+  /** Column-map pruning of CREATE TABLE text (reference
+    * `driver/mysql/base/utils.go:737-750`): keep only mapped columns.
+    * Operates on the column-def list between the outer parens.
+    */
+  def pruneCreateTableColumns(sql: String, keep: Seq[String]): String = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return sql
+    val head = sql.substring(0, open + 1)
+    val tail = sql.substring(close)
+    val body = sql.substring(open + 1, close)
+    // split on top-level commas
+    val parts = splitTopLevel(body)
+    val keepSet = keep.map(_.toLowerCase).toSet
+    val kept = parts.filter { p =>
+      val t = p.trim
+      val firstTok = ident(t.split("[\\s(]")(0)).toLowerCase
+      val isConstraint = Set("primary", "unique", "key", "index", "constraint", "foreign", "check").contains(firstTok)
+      if (isConstraint) true else keepSet.contains(firstTok)
+    }
+    head + kept.mkString(",") + tail
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  /** Routing decision for a DDL statement against the replication spec
+    * (reference skipQueryDDL, `binlog_reader.go:1200-1226`).
+    */
+  def shouldApply(sql: String, schema: String, table: String, spec: ReplicationSpec): Boolean = {
+    classify(sql) != SkippedStmt && {
+      val sysOk = !graft.operators.Relational.systemSchemas.contains(schema.toLowerCase)
+      val included = spec.doDb.isEmpty || spec.doDb.exists { s: SchemaSpec =>
+        val sOk = s.schemaRegex.map(schema.matches).getOrElse(s.schema == schema)
+        sOk && (s.tables.isEmpty || table.isEmpty || s.tables.exists(t =>
+          t.name == table || (t.name.startsWith("^") && table.matches(t.name))))
+      }
+      val excluded = spec.ignoreDb.exists(ig =>
+        ig.schema == schema && (ig.tables.isEmpty || ig.tables.contains(table)))
+      sysOk && included && !excluded
+    }
+  }
+}

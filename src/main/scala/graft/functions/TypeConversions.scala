@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** C1-C12 — the sink type-conversion matrix (SURVEY.md §2.7): the scalar
+  * coercions the reference applies when encoding rows for its Kafka
+  * (Debezium envelope, `driver/kafka/kafka2.go:339-485`,
+  * `kafka3.go:1072-1218`) and MySQL sinks
+  * (`driver/mysql/mysqlconfig/types.go:93-134`).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so it
+  * stays inside whole-stage codegen — no UDFs in the hot encode path.
+  */
+object TypeConversions {
+
+  /** C1 — decimal → Debezium wire form: unscaled big-int two's-complement
+    * bytes, base64 (reference `kafka2.go:339-381` DecimalValueFromStringValue).
+    */
+  def decimalToDebezium(c: Column, precision: Int, scale: Int): Column = {
+    // unscaled value = decimal shifted by scale — all-decimal arithmetic so
+    // the shift is exact (no double rounding), then big-endian bytes
+    val unscaled = (c.cast(DecimalType(precision, scale)) * lit(math.pow(10, scale).toLong))
+      .cast(DecimalType(precision + scale, 0)).cast("long")
+    base64(unhex(lpad(hex(unscaled), 16, "0")))
+  }
+
+  /** C2 — MySQL TIME "±HH:MM:SS.ffffff" → signed microseconds int64
+    * (reference `kafka2.go:383-455` TimeValue). Spark has no TIME type;
+    * parse the lexical form.
+    */
+  def timeToMicros(c: Column): Column = {
+    val sign = when(c.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val s = regexp_replace(c, "^-", "")
+    val hh = split(s, ":").getItem(0).cast("long")
+    val mm = split(s, ":").getItem(1).cast("long")
+    val rest = split(s, ":").getItem(2)
+    val ss = split(rest, "\\.").getItem(0).cast("long")
+    val frac = lpad(coalesce(split(rest, "\\.").getItem(1), lit("0")), 6, "0")
+      .substr(1, 6).cast("long")
+    sign * (((hh * 3600 + mm * 60 + ss) * 1000000L) + frac)
+  }
+
+  /** C3 — DATETIME → epoch millis in the session timezone (reference
+    * `kafka2.go:456-473` DateTimeValue).
+    */
+  def datetimeToMillis(c: Column): Column = unix_millis(c.cast(TimestampType))
+
+  /** C4 — DATE → epoch days (reference `kafka2.go:474-480` DateValue). */
+  def dateToEpochDays(c: Column): Column = datediff(c.cast(DateType), lit("1970-01-01"))
+
+  /** C5 — TIMESTAMP → UTC ISO-8601 string (reference `kafka2.go:481-485`). */
+  def timestampToIso(c: Column): Column =
+    date_format(c.cast(TimestampType), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** C6a — ENUM ordinal → label (reference parses labels out of the
+    * `enum(...)` DDL text and indexes 1-based, `kafka3.go:1110-1119`).
+    */
+  def enumLabel(ordinal: Column, labels: Seq[String]): Column =
+    element_at(array(labels.map(lit): _*), ordinal.cast("int"))
+
+  /** C6b — SET bitmask → CSV of labels (reference `kafka3.go:1176-1191`).
+    * concat_ws drops NULLs, so unset bits vanish — no UDF needed.
+    */
+  def setLabels(mask: Column, labels: Seq[String]): Column = {
+    val parts = labels.zipWithIndex.map { case (label, i) =>
+      when(mask.bitwiseAND(lit(1L << i)) =!= 0, lit(label))
+    }
+    concat_ws(",", parts: _*)
+  }
+
+  /** C7 — BINARY(n) zero-padded base64; VARBINARY/BLOB plain base64
+    * (reference `kafka3.go:1094-1150`).
+    */
+  def binaryToBase64(c: Column, padTo: Option[Int] = None): Column = padTo match {
+    case Some(n) => base64(rpad(c.cast(BinaryType), n, Array[Byte](0)))
+    case None    => base64(c.cast(BinaryType))
+  }
+
+  /** C8 — unsigned widening: an unsigned source column re-read as the
+    * next wider signed type (reference `mysqlconfig/types.go:115-134`,
+    * incl. the mediumint `& 0x00FFFFFF` mask).
+    */
+  def unsignedWiden(c: Column, sourceType: String): Column = sourceType.toLowerCase match {
+    case "tinyint"   => c.cast("int").bitwiseAND(lit(0xff)).cast("smallint")
+    case "smallint"  => c.cast("long").bitwiseAND(lit(0xffffL)).cast("int")
+    case "mediumint" => c.cast("long").bitwiseAND(lit(0xffffffL)).cast("int")
+    case "int"       => c.cast("long").bitwiseAND(lit(0xffffffffL))
+    case "bigint"    => c.cast("decimal(20,0)") // full u64 range needs decimal
+    case other       => throw new IllegalArgumentException(s"not an unsigned int type: $other")
+  }
+
+  /** C9 — charset transcode to UTF-8 (reference `types.go:93-112`):
+    * Spark's decode/encode pair over the source charset.
+    */
+  def transcodeToUtf8(c: Column, sourceCharset: String): Column =
+    decode(c.cast(BinaryType), sourceCharset)
+
+  /** C10 — MySQL 8.0 → 5.7 collation downgrade in DDL text (reference
+    * `base/utils.go:181-201`): pure string rewrite.
+    */
+  private val collationDowngrades = Seq(
+    "utf8mb4_0900_ai_ci" -> "utf8mb4_general_ci",
+    "utf8mb4_0900_as_cs" -> "utf8mb4_bin",
+    "utf8mb4_0900_bin"   -> "utf8mb4_bin"
+  )
+  def downgradeCollations(ddl: String): String =
+    collationDowngrades.foldLeft(ddl) { case (s, (from, to)) => s.replaceAll("(?i)" + from, to) }
+
+  /** C5/C6 composite used by the Debezium envelope writer (K6). */
+  def debeziumTs(c: Column): Column = unix_millis(c.cast(TimestampType))
+}

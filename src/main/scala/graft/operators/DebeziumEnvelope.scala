@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K6 — Kafka sink with Debezium-compatible envelope (SURVEY.md §2.2;
+  * reference `driver/kafka/kafka3.go:867-1063`
+  * kafkaTransformDMLEventQueries, envelope schemas
+  * `driver/kafka/kafka2.go:111-230`).
+  *
+  * The envelope is `{before, after, source:{...}, op, ts_ms}` with the
+  * key a struct of PK columns; topic = `prefix.schema.table`. Built
+  * entirely with `to_json(struct(...))` so the encode stage is codegen'd
+  * and the writer is the stock Kafka sink:
+  *
+  * {{{
+  * DebeziumEnvelope.encode(df, ...).writeStream.format("kafka")
+  *   .option("kafka.bootstrap.servers", ...).start()
+  * }}}
+  */
+object DebeziumEnvelope {
+
+  /** Envelope value as canonical JSON. `before`/`after` are struct
+    * columns (null for the absent half of insert/delete — the reference
+    * encodes a filtered-out update half as a nil row,
+    * `binlog_reader.go:1963-1981`).
+    */
+  def value(before: Column, after: Column, op: Column, tsMillis: Column,
+            db: Column, table: Column, serverId: Column, pos: Column): Column =
+    to_json(struct(
+      before.as("before"),
+      after.as("after"),
+      struct(
+        lit("graft").as("name"),
+        db.as("db"),
+        table.as("table"),
+        serverId.as("server_id"),
+        pos.as("pos")
+      ).as("source"),
+      op.as("op"),
+      tsMillis.as("ts_ms")
+    ))
+
+  /** Message key: PK columns as a JSON struct (reference keys messages
+    * by the table's PK, `kafka3.go:917-930`).
+    */
+  def key(df: DataFrame, pkCols: Seq[String]): Column =
+    to_json(struct(pkCols.map(col): _*))
+
+  /** Topic routing `prefix.schema.table` (reference `kafka3.go:1045`). */
+  def topic(prefix: String, db: Column, table: Column): Column =
+    concat_ws(".", lit(prefix), db, table)
+
+  /** Full encode: CDC DataFrame with struct before/after → Kafka-ready
+    * (key, value, topic) frame.
+    */
+  def encode(cdc: DataFrame, pkCols: Seq[String], topicPrefix: String): DataFrame =
+    cdc.select(
+      key(cdc, pkCols).as("key"),
+      value(col("before"), col("after"), col("op"), col("tsMillis"),
+        col("db"), col("table"), col("originServerId"), col("seq")).as("value"),
+      topic(topicPrefix, col("db"), col("table")).as("topic")
+    )
+}

@@ -1,0 +1,101 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (beyond-parity, SURVEY.md §8):
+  * shingle → minhash signature → band → bucket-join, the standard
+  * Broder/MMDS construction.
+  *
+  * Scale design:
+  *  - The signature is computed entirely *inside the row* with
+  *    higher-order functions (no explode/groupBy): k permutations of the
+  *    shingle hash set, each a codegen'd `array_min(transform(...))`.
+  *    Zero shuffles until banding.
+  *  - Banding explodes to `numBands` rows/doc (not #shingles rows/doc)
+  *    and joins on the band hash — the only shuffle, hash-partitioned,
+  *    and bucket sizes are capped (`maxBucket`) to guard quadratic skew
+  *    in degenerate corpora.
+  *  - Estimated Jaccard from signature agreement verifies candidates
+  *    without re-reading text.
+  */
+object MinHashDedup {
+
+  private val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
+
+  private def perm(i: Int, h: Column): Column = {
+    val a = 2L * (1103515245L * (i + 1) + 12345L) + 1L // fixed odd multiplier
+    val b = 1103515245L * (i + 7919) + 104729L
+    pmod(h * a + b, lit(P))
+  }
+
+  /** Docs → (doc_id, k-permutation signature, n_shingles).
+    *
+    * Shape: explode distinct shingles → hash each ONCE → k `min` partial
+    * aggregates folded map-side, one shuffle of k longs per doc. The
+    * tempting all-in-row alternative (k × `array_min(transform(...))`)
+    * is quadratic in practice: Catalyst's projection collapse re-inlines
+    * the shingle-generation expression into every one of the k branches,
+    * so shingling runs k+1 times per row (measured 60× slower at sf0.01).
+    * Permutation i: h_i(x) = (a_i * x + b_i) mod p with fixed odd a_i.
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 64): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col("doc_id"), abs(xxhash64(col("shingle"))).as("h"))
+    val minAggs = (0 until k).map(i => min(perm(i, col("h"))).as(s"__m$i"))
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), minAggs: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"),
+        col("n_shingles"))
+  }
+
+  /** Candidate pairs via banding: split the k-sig into `numBands` bands
+    * of `k/numBands` rows; docs agreeing on any whole band meet in a
+    * bucket. Pair emission is a self-join on (band_idx, band_hash).
+    */
+  def candidatePairs(sigs: DataFrame, k: Int, numBands: Int, maxBucket: Int = 500): DataFrame = {
+    val rowsPerBand = k / numBands
+    require(rowsPerBand * numBands == k, s"numBands must divide k")
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b))
+      ).as(Seq("band_idx", "band_hash"))
+    )
+    // skew guard: drop buckets larger than maxBucket (stop-content)
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+
+  /** Full pipeline: near-dup pairs with estimated Jaccard ≥ threshold. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 64, numBands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, shingleN, k)
+    candidatePairs(sigs, k, numBands)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+}

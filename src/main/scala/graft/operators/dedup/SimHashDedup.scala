@@ -1,0 +1,72 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting (Charikar; beyond-parity,
+  * SURVEY.md §8): 64-bit fingerprint where bit b is the sign of the sum
+  * over tokens of ±1 votes from bit b of each token's hash. Near-dup
+  * pairs = fingerprints within small Hamming distance.
+  *
+  * Scale design: the fingerprint is computed in-row (one `aggregate`
+  * over the token array maintaining a 64-wide vote vector — no shuffle).
+  * Candidate generation uses the standard block trick: split 64 bits
+  * into `blocks` chunks; pairs within Hamming distance d must agree on
+  * at least one chunk when blocks > d, so an equi-join per block replaces
+  * the O(n²) comparison. `bit_count(a XOR b)` verifies exactly.
+  */
+object SimHashDedup {
+
+  /** 64-bit simhash of a token array, as a long column. */
+  def simhash(tokens: Column): Column = {
+    val hashed = transform(tokens, t => xxhash64(t))
+    // votes[b] = sum of (bit b set ? 1 : -1) over token hashes
+    val votes = aggregate(
+      hashed,
+      array_repeat(lit(0), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (v, b) => v + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    )
+    // fingerprint = sum over b of (votes[b] > 0) << b
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Docs → (doc_id, fingerprint). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      simhash(split(Dedup.normText(col(textCol)), " ")).as("fingerprint")
+    )
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist via the block join.
+    * With `blocks` 16-bit chunks (blocks=4), any pair with ≤3 differing
+    * bits shares a chunk — pigeonhole guarantees recall for
+    * maxDist < blocks.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+    val fps = fingerprints(docs, idCol, textCol)
+    val bits = 64 / blocks
+    val chunked = fps.select(
+      col("doc_id"), col("fingerprint"),
+      posexplode(
+        array((0 until blocks).map(b =>
+          shiftrightunsigned(col("fingerprint"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
+      ).as(Seq("block_idx", "block_val"))
+    )
+    val a = chunked.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("id_a"), col("fingerprint").as("fp_a"))
+    val b = chunked.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("id_b"), col("fingerprint").as("fp_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

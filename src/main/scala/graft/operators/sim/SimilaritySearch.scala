@@ -1,0 +1,112 @@
+package graft.operators.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (beyond-parity, SURVEY.md §8).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the corpus, rank per query. The right plan when
+  *    |queries| is small: the corpus is scanned once, no shuffle of the
+  *    corpus, broadcast hash join keeps everything map-side until the
+  *    final per-query top-k (a tiny shuffle of k·|queries| rows).
+  *  - [[lshTopK]] / [[lshPairs]]: random-hyperplane LSH bucketing — the
+  *    scale path. Vectors only compare within matching buckets
+  *    (multi-probe over `tables` independent bucketings for recall), so
+  *    the join is equi-key and hash-partitioned instead of a cross join.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query vector. `queries` must be
+    * small (it is broadcast). Excludes self-matches by id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** ANN top-k: candidates from `tables` independent LSH bucketings
+    * (different bit offsets), exact cosine re-rank within candidates.
+    * Recall < 1 by construction; raise `tables` / lower `nBits` to trade
+    * compute for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, nBits: Int = 12, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucketAt(col(vec), nBits, dim, t).as("b"))): _*)
+      df.select(col(id), col(vec), explode(buckets).as("tb"))
+        .select(col(id), col(vec), col("tb.t").as("lsh_t"), col("tb.b").as("lsh_b"))
+    }
+    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")), "corpus_id", "cvec")
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec")
+    val cands = c.join(q, Seq("lsh_t", "lsh_b"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Near-dup embedding pairs above a cosine threshold, LSH-bucketed. */
+  def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, dim: Int, nBits: Int = 8, tables: Int = 4): DataFrame = {
+    val withBuckets = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucketAt(col(vecCol), nBits, dim, t).as("b"))): _*)).as("tb"))
+      .select(col("vid"), col("vec"), col("tb.t").as("lsh_t"), col("tb.b").as("lsh_b"))
+    val a = withBuckets.select(col("lsh_t"), col("lsh_b"), col("vid").as("id_a"), col("vec").as("vec_a"))
+    val b = withBuckets.select(col("lsh_t"), col("lsh_b"), col("vid").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("lsh_t", "lsh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact cosine pairs above threshold — O(n²); for oracle checks and
+    * small corpora only.
+    */
+  def bruteForcePairs(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH bucket with a per-table plane offset (table t uses planes
+    * starting at bit t*nBits) so the `tables` bucketings are independent.
+    */
+  private def lshBucketAt(v: org.apache.spark.sql.Column, nBits: Int, dim: Int, table: Int): org.apache.spark.sql.Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val bits = (0 until nBits).map { b0 =>
+      val b = table * nBits + b0
+      val proj = aggregate(
+        zip_with(vd,
+          transform(sequence(lit(b * dim + 1), lit(b * dim + dim)), i => sin(i.cast("double"))),
+          (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b0)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (beyond-parity, SURVEY.md
+  * §8): language ID, quality scoring, token counting, fingerprinting.
+  * Everything is a codegen'd Column expression over the text — per-row,
+  * shuffle-free, so it composes with any scan at full scan speed.
+  * Formulas are kept ANSI-SQL-expressible so DuckDB oracles reproduce
+  * them bit-for-bit.
+  */
+object TextAnalysis {
+
+  def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
+    * punctuation, the common `\w+|[^\w\s]` pre-tokenizer regex.
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  // --- language ID: stopword-profile heuristic ------------------------
+  // counts of high-frequency function words per language over the
+  // normalized token stream; argmax wins, ties broken by fixed order.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /** Per-language stopword hit count. */
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(c)
+    profiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+    }
+  }
+
+  /** Predicted language: argmax of stopword hits (first profile in
+    * declaration order wins ties), "und" when no profile matches.
+    */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und")) { case (els, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  // --- quality scoring -------------------------------------------------
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") /
+        length(c).cast("double"))
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val en = profiles.head._2
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => en.map(w => t === lit(w)).reduce(_ || _))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  def meanWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length signal (saturating at 500
+    * chars), low punctuation, healthy mean word length. Deliberately a
+    * pure arithmetic formula — auditable and oracle-checkable.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punct = punctRatio(c)
+    val mwl = meanWordLen(c)
+    val mwlScore = when(mwl >= 3 && mwl <= 10, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 + mwlScore * 0.3, 6)
+  }
+
+  /** Document fingerprint: digest of the normalized text — the cheap
+    * exact-dup key (md5 matches DuckDB's md5 for oracle checks).
+    */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Rolling polynomial hash (Rabin-Karp style) over the token stream:
+    * h = Σ token_hash(i) * B^(n-1-i) mod P — order-sensitive, unlike the
+    * md5 fingerprint, so reordered content gets a different print.
+    * Computed in-row with `aggregate`.
+    */
+  def rollingHash(c: Column): Column = {
+    val B = 1000003L
+    val P = 2305843009213693951L // 2^61-1
+    aggregate(tokens(c), lit(0L), (acc, t) => pmod(acc * B + abs(xxhash64(t)), lit(P)))
+  }
+
+  /** One-call enrichment used by the `text_profile` query. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      length(t).as("n_chars_m"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(meanWordLen(t), 6).as("mean_word_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint")
+    )
+  }
+}

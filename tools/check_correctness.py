@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle results (columns sorted by name, values
+hashed). Usage: check_correctness.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            results[name] = {"check": "rows_only", "rows": len(got), "ok": len(got) > 0}
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = {"check": "oracle_error", "ok": False, "err": str(e)[:200]}
+            continue
+        g, e = canon(got.copy()), canon(exp.copy())
+        ok_schema = list(g.columns) == list(e.columns)
+        ok_rows = len(g) == len(e)
+        ok_vals = False
+        if ok_schema and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as ex:
+                results[name] = {"check": "oracle", "ok": False,
+                                 "detail": str(ex).split("\n")[0][:200],
+                                 "rows": len(g), "exp_rows": len(e)}
+                continue
+        results[name] = {"check": "oracle", "ok": ok_schema and ok_rows and ok_vals,
+                         "rows": len(g), "exp_rows": len(e),
+                         "schema_ok": ok_schema, "got_cols": list(g.columns), "exp_cols": list(e.columns)}
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    for name, r in sorted(results.items()):
+        flag = "OK " if r["ok"] else "FAIL"
+        extra = "" if r["ok"] else " " + json.dumps({k: v for k, v in r.items() if k != "ok"})[:300]
+        print(f"{flag} {name} ({r.get('check')}, rows={r.get('rows')}){extra}")
+    print(f"\n{n_ok}/{len(results)} pass")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
