@@ -506,13 +506,13 @@ object SparkEntry {
          |FROM c ORDER BY event_id""".stripMargin,
 
     "dedup_exact" ->
-      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_ngram" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
@@ -547,7 +547,7 @@ object SparkEntry {
 
     "text_profile" ->
       """WITH base AS (SELECT doc_id, text,
-        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, text, norm, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,

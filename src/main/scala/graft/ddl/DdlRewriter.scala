@@ -75,22 +75,24 @@ object DdlRewriter {
   def rewrite(sql: String, renameSchema: Map[String, String],
               renameTable: Map[(String, String), (String, String)],
               defaultSchema: String = ""): String = {
-    // split into string-literal / backtick / code segments; rewrite only code
+    // split into string-literal / backtick / code segments; string
+    // literals are swapped for \u0001<i>\u0001 placeholders so the
+    // identifier regex can safely run over the reassembled statement
+    // (qualified `a`.`b` spans backtick+code segments), then restored.
     val segments = tokenize(sql)
-    val out = new StringBuilder
-    var i = 0
-    while (i < segments.length) {
-      segments(i) match {
-        case Code(c) =>
-          // qualified `a`.`b` may span segments (backtick ident + dot); handle
-          // via a joined regex pass over the reconstructed statement below
-          out.append(c)
-        case Backtick(b) => out.append('`').append(b).append('`')
-        case Str(q, sIn) => out.append(q).append(sIn).append(q)
-      }
-      i += 1
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = new StringBuilder
+    segments.foreach {
+      case Code(c)     => masked.append(c)
+      case Backtick(b) => masked.append('`').append(b).append('`')
+      case Str(q, sIn) =>
+        masked.append('\u0001').append(literals.length).append('\u0001')
+        literals += s"$q$sIn$q"
     }
-    rewriteIdents(out.toString(), renameSchema, renameTable, defaultSchema)
+    val rewritten = rewriteIdents(masked.toString(), renameSchema, renameTable, defaultSchema)
+    literals.zipWithIndex.foldLeft(rewritten) { case (s, (lit, i)) =>
+      s.replace(s"\u0001$i\u0001", lit)
+    }
   }
 
   private sealed trait Seg

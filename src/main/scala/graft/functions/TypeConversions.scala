@@ -37,7 +37,8 @@ object TypeConversions {
     val mm = split(s, ":").getItem(1).cast("long")
     val rest = split(s, ":").getItem(2)
     val ss = split(rest, "\\.").getItem(0).cast("long")
-    val frac = lpad(coalesce(split(rest, "\\.").getItem(1), lit("0")), 6, "0")
+    // fraction digits are left-aligned: ".5" = 500000 µs → right-pad to 6
+    val frac = rpad(coalesce(split(rest, "\\.").getItem(1), lit("0")), 6, "0")
       .substr(1, 6).cast("long")
     sign * (((hh * 3600 + mm * 60 + ss) * 1000000L) + frac)
   }
@@ -87,7 +88,10 @@ object TypeConversions {
     case "smallint"  => c.cast("long").bitwiseAND(lit(0xffffL)).cast("int")
     case "mediumint" => c.cast("long").bitwiseAND(lit(0xffffffL)).cast("int")
     case "int"       => c.cast("long").bitwiseAND(lit(0xffffffffL))
-    case "bigint"    => c.cast("decimal(20,0)") // full u64 range needs decimal
+    case "bigint"    => // full u64 range needs decimal: reinterpret two's complement
+      val asDec = c.cast("long").cast(DecimalType(20, 0))
+      when(c.cast("long") < 0, asDec + lit(new java.math.BigDecimal("18446744073709551616")))
+        .otherwise(asDec)
     case other       => throw new IllegalArgumentException(s"not an unsigned int type: $other")
   }
 

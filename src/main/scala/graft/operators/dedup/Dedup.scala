@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Normalized text used by every textual dedup: lowercase, collapse
-    * whitespace. Kept trivially SQL-expressible so DuckDB oracles can
-    * reproduce it exactly.
+    * whitespace, then trim (collapse-first so trailing tabs/newlines
+    * reduce to a trimmable space — `trim` alone only strips ' ').
+    * Kept trivially SQL-expressible so DuckDB oracles reproduce it.
     */
-  def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Exact dedup: hash-groupBy on normalized content, keep the smallest
     * id per group. One shuffle on md5(text); map-side partial min keeps
@@ -27,16 +28,18 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of the normalized text, distinct per doc. */
+  /** Word n-gram shingles of the normalized text, distinct per doc.
+    * Guard the short-text case explicitly: `sequence(1, 0)` would count
+    * DOWN and hit index 0.
+    */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(normText(textCol), " ")
-    array_distinct(
-      filter(
+    when(size(words) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
         transform(
-          sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+          sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)
-        ),
-        s => s.isNotNull && length(s) > 0
+        )
       )
     )
   }

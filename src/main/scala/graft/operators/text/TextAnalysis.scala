@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
   def tokens(c: Column): Column = split(normText(c), " ")
 

@@ -28,10 +28,15 @@ object CdcPipeline {
   def assembleTransactions(events: Dataset[ChangeEvent], commitOp: String = "commit",
                            timeoutMs: Long = 30000): Dataset[TxEntry] = {
     import events.sparkSession.implicits._
+    // timeoutMs <= 0 → NoTimeout: trailing partial transactions stay
+    // pending forever (test mode / strictly commit-bounded streams)
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.gtid)
       .flatMapGroupsWithState[List[ChangeEvent], TxEntry](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (gtid: String, incoming: Iterator[ChangeEvent], state: GroupState[List[ChangeEvent]]) =>
           if (state.hasTimedOut) {
             val events = state.getOption.getOrElse(Nil)
@@ -45,7 +50,7 @@ object CdcPipeline {
               emit(gtid, rows).iterator
             } else {
               state.update(all)
-              state.setTimeoutDuration(timeoutMs)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
               Iterator.empty
             }
           }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.dedup.{Dedup, MinHashDedup, SimHashDedup}
+
+/** Dedup family: exact semantics on synthetic dups; minhash/simhash
+  * accuracy against brute-force ground truth on the fixture corpus
+  * (these are the ScalaTest oracles for the rows-only queries).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("exact dedup groups whitespace/case variants") {
+    val d = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO WORLD \n"),
+      (4L, "different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val grp = out.find(_.getLong(2) == 3L).get
+    assert(grp.getLong(1) == 1L) // keep min id
+  }
+
+  test("shingles: distinct word n-grams") {
+    val d = Seq((1L, "a b c d")).toDF("id", "t")
+    val sh = d.select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq((1L, "a b")).toDF("id", "t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(pairs.count() > 0)
+    // every reported pair must truly have jaccard >= threshold (recompute one)
+    val all = pairs.select("jaccard").as[Double].collect()
+    assert(all.forall(_ >= 0.5))
+  }
+
+  test("minhash est_jaccard tracks true jaccard on planted dups") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, numBands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // recall: all high-jaccard pairs found by the sketch
+    val recall = if (truth.isEmpty) 1.0 else truth.intersect(mh).size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("minhash estimate is close to true jaccard") {
+    val est = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, numBands = 16, threshold = 0.5)
+      .withColumnRenamed("est_jaccard", "est")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    val joined = est.join(truth, Seq("id_a", "id_b"))
+      .select(abs(col("est") - col("jaccard")).as("err")).as[Double].collect()
+    assert(joined.nonEmpty && joined.forall(_ < 0.25), "64-perm estimate within 0.25 of truth")
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups small hamming") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words about spark catalyst execution engines")
+    ).toDF("doc_id", "text")
+    val fps = SimHashDedup.fingerprints(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 10)
+  }
+
+  test("simhash pair search returns only verified-hamming pairs") {
+    val pairs = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 3, blocks = 4)
+      .select("hamming").as[Int].collect()
+    assert(pairs.forall(_ <= 3))
+    assert(pairs.nonEmpty) // planted near-dups exist in the corpus
+  }
+
+  test("keepList drops the duplicate side of pairs") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepList(d, "doc_id", pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.Relational
+
+/** F1-F10 — relational transform semantics on small frames. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0)
+  ).toDF("id", "name", "v")
+
+  test("whereFilter compiles a qlbridge-style predicate via expr") {
+    assert(Relational.whereFilter(df, "v > 15 and upper(name) != 'CAROL'").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // 'true' fast path (reference IsDefault) keeps all rows
+    assert(Relational.whereFilter(df, "true").count() == 3)
+    assert(Relational.whereFilter(df, "  ").count() == 3)
+  }
+
+  test("columnMap projects and renames by ordinal-free name map") {
+    val out = Relational.columnMap(df, Seq("id", "v"), Seq("pk", "value"))
+    assert(out.columns.toSeq == Seq("pk", "value"))
+    assert(out.count() == 3)
+  }
+
+  test("renameTable: literal and regex capture-group") {
+    val lit = SchemaSpec("db1", renameSchema = Some("db1_r"),
+      tables = Seq(TableSpec("db1", "t1", renameTable = Some("t1_r"))))
+    assert(Relational.renameTable("db1", "t1", lit) == ("db1_r", "t1_r"))
+    val re = SchemaSpec("", schemaRegex = Some("^sbtest(\\d+)$"), renameSchema = Some("bench_$1"))
+    assert(Relational.renameTable("sbtest7", "t", re) == ("bench_7", "t"))
+  }
+
+  test("routeFilter: include regex, exclude table, system schemas") {
+    val events = Seq(
+      ("db1", "t1"), ("db1", "secret"), ("sbtest3", "x"), ("mysql", "user"), ("other", "t")
+    ).toDF("db", "table")
+    val spec = ReplicationSpec(
+      doDb = Seq(SchemaSpec("db1"), SchemaSpec("", schemaRegex = Some("^sbtest\\d+$"))),
+      ignoreDb = Seq(IgnoreSpec("db1", Seq("secret"))))
+    val kept = events.filter(Relational.routeFilter(spec, col("db"), col("table")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("db1", "t1"), ("sbtest3", "x")))
+  }
+
+  test("opFilter drops configured event kinds") {
+    val ev = Seq(("1", "c"), ("2", "u"), ("3", "d")).toDF("id", "op")
+    assert(Relational.opFilter(ev, Set("d")).count() == 2)
+    assert(Relational.opFilter(ev, Set.empty).count() == 3)
+  }
+
+  test("cycleFilter drops self-originated rows") {
+    val ev = Seq(("1", "s1"), ("2", "s2")).toDF("id", "originServerId")
+    assert(Relational.cycleFilter(ev, "s1").collect().map(_.getString(0)).toSeq == Seq("2"))
+  }
+
+  test("idempotenceFilter anti-joins the applied ledger") {
+    val ev = Seq("g1", "g2", "g3").toDF("gtid")
+    val ledger = Seq("g2").toDF("gtid")
+    assert(Relational.idempotenceFilter(ev, ledger, "gtid")
+      .collect().map(_.getString(0)).toSet == Set("g1", "g3"))
+  }
+
+  test("tableTransform composes filter + projection (§7.2 slice)") {
+    val spec = TableSpec("db", "t", where = Some("v > 15"),
+      columnMapFrom = Seq("id", "name"), columnMapTo = Seq("id", "customer"))
+    val out = Relational.tableTransform(df, spec)
+    assert(out.columns.toSeq == Seq("id", "customer"))
+    assert(out.count() == 2)
+  }
+}

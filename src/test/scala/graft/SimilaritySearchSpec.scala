@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.sim.SimilaritySearch
+import graft.functions.VectorFunctions
+
+/** ANN / similarity: brute force against a Scala-computed ground truth;
+  * LSH recall against brute force (the ScalaTest oracle for the
+  * rows-only sim_lsh_topk query).
+  */
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def groundTruthTopK(k: Int, nQueries: Int): Map[Long, Seq[Long]] = {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until nQueries.toLong).map { q =>
+      val qv = vecs(q)
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      q -> top
+    }.toMap
+  }
+
+  test("vector functions: cosine of identical vectors is 1") {
+    val d = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = d.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+    val l2 = d.select(VectorFunctions.l2(col("a"), col("b"))).as[Double].head()
+    assert(l2 == 0.0)
+  }
+
+  test("bruteForceTopK matches Scala-computed ground truth") {
+    val truth = groundTruthTopK(5, 5)
+    val got = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(got == truth)
+  }
+
+  test("lshTopK recall vs brute force is reasonable") {
+    val truth = groundTruthTopK(5, 10)
+    val ann = SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 6, tables = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val recalls = truth.map { case (q, top) =>
+      top.count(ann.getOrElse(q, Set.empty).contains).toDouble / top.size
+    }
+    val mean = recalls.sum / recalls.size
+    // random embeddings are a worst case for LSH; just require signal
+    assert(mean > 0.2, s"mean recall $mean")
+  }
+
+  test("bruteForcePairs returns symmetric-free thresholded pairs") {
+    val pairs = SimilaritySearch.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.4 })
+  }
+
+  test("lshPairs is a subset of brute-force pairs at the same threshold") {
+    val bf = SimilaritySearch.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilaritySearch.lshPairs(emb, "vec_id", "embedding", 0.4, dim = 64, nBits = 8, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(bf))
+  }
+}

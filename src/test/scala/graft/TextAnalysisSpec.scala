@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("t").select(c.as("r")).as[T].head()
+
+  test("tokenCount: whitespace tokens, empty text is 0") {
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "a  b\tc\nd") == 4)
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "   ") == 0)
+  }
+
+  test("subwordCount: BPE-ish pre-tokenizer pieces") {
+    assert(one[Int](TextAnalysis.subwordCount(col("t")), "hello, world42!") == 5)
+    // hello , world 42 !
+  }
+
+  test("langId picks the dominant stopword profile") {
+    assert(one[String](TextAnalysis.langId(col("t")), "the cat and the dog is in the house") == "en")
+    assert(one[String](TextAnalysis.langId(col("t")), "der hund und die katze ist nicht da") == "de")
+    assert(one[String](TextAnalysis.langId(col("t")), "le chat est dans la maison et il dort") == "fr")
+    assert(one[String](TextAnalysis.langId(col("t")), "el perro y la casa es una maravilla") == "es")
+    assert(one[String](TextAnalysis.langId(col("t")), "xyzzy qwerty asdf") == "und")
+  }
+
+  test("quality score is bounded [0,1] and favors clean prose") {
+    val clean = one[Double](TextAnalysis.qualityScore(col("t")),
+      "a perfectly reasonable sentence with normal words repeated " * 10)
+    val junk = one[Double](TextAnalysis.qualityScore(col("t")), "!!! ??? ... ;;; :::")
+    assert(clean > junk)
+    assert(clean <= 1.0 && junk >= 0.0)
+  }
+
+  test("fingerprint ignores whitespace/case; rollingHash is order-sensitive") {
+    val fp1 = one[String](TextAnalysis.fingerprint(col("t")), "Hello   World")
+    val fp2 = one[String](TextAnalysis.fingerprint(col("t")), "hello world")
+    assert(fp1 == fp2)
+    val rh1 = one[Long](TextAnalysis.rollingHash(col("t")), "a b c")
+    val rh2 = one[Long](TextAnalysis.rollingHash(col("t")), "c b a")
+    val rh1b = one[Long](TextAnalysis.rollingHash(col("t")), "a b c")
+    assert(rh1 == rh1b && rh1 != rh2)
+  }
+
+  test("profile runs over the fixture corpus with sane ranges") {
+    val p = TextAnalysis.profile(Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val rows = p.select("n_tokens", "punct_ratio", "quality").as[(Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, pr, q) => n > 0 && pr >= 0 && pr <= 1 && q >= 0 && q <= 1 })
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TypeConversions
+
+/** C1-C12 — golden conversions mirroring the reference's Kafka/Debezium
+  * encoders (`driver/kafka/kafka2_test.go:8`, kafka3 tests).
+  */
+class TypeConversionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, v: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(v).toDF("v").select(c.as("r")).as[T].head()
+
+  test("C2: TIME string → signed microseconds") {
+    assert(one[Long](TypeConversions.timeToMicros(col("v")), "01:02:03") == 3723000000L)
+    assert(one[Long](TypeConversions.timeToMicros(col("v")), "-01:02:03.5") == -3723500000L)
+    assert(one[Long](TypeConversions.timeToMicros(col("v")), "00:00:00.000001") == 1L)
+    assert(one[Long](TypeConversions.timeToMicros(col("v")), "838:59:59") == 3020399000000L)
+  }
+
+  test("C3/C4/C5: datetime/date/timestamp conversions") {
+    assert(one[Long](TypeConversions.datetimeToMillis(col("v")), "2020-01-01 01:02:03") == 1577840523000L)
+    assert(one[Int](TypeConversions.dateToEpochDays(col("v")), "1970-01-02") == 1)
+    assert(one[String](TypeConversions.timestampToIso(col("v")), "2020-06-05 10:20:30") == "2020-06-05T10:20:30Z")
+  }
+
+  test("C6: enum ordinal → label; set bitmask → csv") {
+    val d = Seq((2, 5L)).toDF("e", "m")
+    val out = d.select(
+      TypeConversions.enumLabel(col("e"), Seq("red", "green", "blue")).as("en"),
+      TypeConversions.setLabels(col("m"), Seq("r", "w", "x")).as("s"))
+      .as[(String, String)].head()
+    assert(out == ("green", "r,x")) // 5 = 0b101
+  }
+
+  test("C7: binary base64 with zero padding") {
+    val d = Seq("AB").toDF("v")
+    val plain = d.select(TypeConversions.binaryToBase64(col("v")).as("r")).as[String].head()
+    assert(plain == java.util.Base64.getEncoder.encodeToString("AB".getBytes))
+    val padded = d.select(TypeConversions.binaryToBase64(col("v"), Some(4)).as("r")).as[String].head()
+    assert(padded == java.util.Base64.getEncoder.encodeToString(Array[Byte]('A', 'B', 0, 0)))
+  }
+
+  test("C8: unsigned widening incl. mediumint mask") {
+    val d = Seq((-1, -1L)).toDF("i", "l")
+    assert(d.select(TypeConversions.unsignedWiden(col("i"), "tinyint")).as[Short].head() == 255)
+    assert(d.select(TypeConversions.unsignedWiden(col("i"), "smallint")).as[Int].head() == 65535)
+    assert(d.select(TypeConversions.unsignedWiden(col("i"), "mediumint")).as[Int].head() == 0xFFFFFF)
+    assert(d.select(TypeConversions.unsignedWiden(col("i"), "int")).as[Long].head() == 0xFFFFFFFFL)
+    assert(d.select(TypeConversions.unsignedWiden(col("l"), "bigint").cast("string")).as[String].head()
+      == "18446744073709551615")
+  }
+
+  test("C1: decimal → Debezium unscaled base64") {
+    // 123.45 scale 2 → unscaled 12345 = 0x3039 → 8-byte BE
+    val d = Seq(123.45).toDF("v")
+    val got = d.select(TypeConversions.decimalToDebezium(col("v"), 12, 2).as("r")).as[String].head()
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0, 0, 0, 0, 0, 0, 0x30, 0x39))
+    assert(got == expected)
+  }
+}
