@@ -281,7 +281,10 @@ object SparkEntry {
     }),
 
     "dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+      // df cap 50: stop-shingles (shared by >50 docs) are dropped before
+      // the pair join — without it a low-entropy corpus goes quadratic
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3,
+          threshold = 0.5, maxShingleDf = 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -331,7 +334,7 @@ object SparkEntry {
 
     "text_rolling_hash" -> ((s, dir) => {
       // xxhash64-based → rows-only; determinism asserted in TextAnalysisSpec
-      t(s, dir, "documents")
+      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
     }),
@@ -516,7 +519,7 @@ object SparkEntry {
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
-        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard

@@ -23,7 +23,7 @@ object Dedup {
     * text) so shuffle rows are fixed-width.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    graft.operators.Partitioning.ensureMinParallelism(docs)
       .select(col(idCol), md5(normText(col(textCol))).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -54,19 +54,26 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 1000): DataFrame = {
-    val withShingles = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("n_shingles", size(col("sh")))
-    val exploded = withShingles
-      .select(col("doc_id"), col("n_shingles"), explode(col("sh")).as("shingle"))
-    val filtered = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+    import org.apache.spark.sql.expressions.Window
+    // shingles are computed exactly ONCE (explode's child) — referencing
+    // the array from several projections would re-inline the whole
+    // shingling expression per reference (projection collapse); the
+    // per-doc size and per-shingle df both come from windows over the
+    // exploded rows instead. Strings are dropped for an 8-byte hash
+    // before any shuffle (collision odds at 64 bits are negligible next
+    // to the sketch's own error).
+    val exploded = graft.operators.Partitioning
+      .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val annotated = exploded
+      .withColumn("n_shingles", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
-    val a = filtered.select(col("doc_id").as("id_a"), col("n_shingles").as("na"), col("shingle"))
-    val b = filtered.select(col("doc_id").as("id_b"), col("n_shingles").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val a = annotated.select(col("doc_id").as("id_a"), col("n_shingles").as("na"), col("sh"))
+    val b = annotated.select(col("doc_id").as("id_b"), col("n_shingles").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))

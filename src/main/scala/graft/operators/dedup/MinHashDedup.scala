@@ -41,8 +41,9 @@ object MinHashDedup {
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 64): DataFrame = {
-    val hashed = docs
-      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
+    val hashed = graft.operators.Partitioning
+      .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
       .select(col("doc_id"), abs(xxhash64(col("shingle"))).as("h"))
     val minAggs = (0 until k).map(i => min(perm(i, col("h"))).as(s"__m$i"))
     hashed

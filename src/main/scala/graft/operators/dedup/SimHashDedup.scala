@@ -37,10 +37,12 @@ object SimHashDedup {
 
   /** Docs → (doc_id, fingerprint). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      simhash(split(Dedup.normText(col(textCol)), " ")).as("fingerprint")
-    )
+    graft.operators.Partitioning
+      .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(
+        col("doc_id"),
+        simhash(split(Dedup.normText(col(textCol)), " ")).as("fingerprint")
+      )
 
   /** Near-dup pairs with Hamming distance ≤ maxDist via the block join.
     * With `blocks` 16-bit chunks (blocks=4), any pair with ≤3 differing

@@ -109,7 +109,7 @@ object TextAnalysis {
   /** One-call enrichment used by the `text_profile` query. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    docs.select(
+    graft.operators.Partitioning.ensureMinParallelism(docs).select(
       col(idCol),
       tokenCount(t).as("n_tokens"),
       subwordCount(t).as("n_subwords"),
