@@ -64,7 +64,9 @@ object SparkEntry {
     // engine is a superset and the bench exercises them at scale) -----
 
     "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      // fixtures are single-row-group files (1 scan task); widen before the
+      // CPU-heavy decimal agg — no-op when the scan is already parallel
+      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
@@ -77,7 +79,7 @@ object SparkEntry {
     }),
 
     "q2_join_enrich" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "lineitem"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")

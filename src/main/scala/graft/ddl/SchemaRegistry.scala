@@ -1,0 +1,176 @@
+package graft.ddl
+
+import org.apache.spark.sql.types._
+
+/** §1.2 + K5 — the MySQL→Spark type matrix and the dynamic schema
+  * registry.
+  *
+  * The reference tracks per-table column lists and replays DDL ASTs so
+  * schemas stay current without re-querying the source (sqle inspector,
+  * `driver/mysql/sqle/inspector/`; invalidation points
+  * `binlog_reader.go:1406-1447`, `applier_incr.go:631-650`). Spark
+  * plans are schema-static, so the registry owns the authoritative
+  * `StructType` per (db, table); a DDL event updates it and signals a
+  * re-plan (restart the affected streaming query with the new schema).
+  */
+object TypeMapper {
+
+  /** The 25-type MySQL column matrix (reference
+    * `driver/mysql/mysqlconfig/types.go:24-57`) → Spark types, with
+    * unsigned widening to the next size (`types.go:115-134`).
+    */
+  def mysqlToSpark(typeText: String): DataType = {
+    val t = typeText.trim.toLowerCase
+    val unsigned = t.contains("unsigned")
+    val base = t.takeWhile(c => c.isLetter)
+    def precScale: (Int, Int) = {
+      val m = "\\((\\d+)\\s*(?:,\\s*(\\d+))?\\)".r.findFirstMatchIn(t)
+      m.map(mm => (mm.group(1).toInt, Option(mm.group(2)).map(_.toInt).getOrElse(0)))
+        .getOrElse((10, 0))
+    }
+    base match {
+      case "tinyint" =>
+        if (t.startsWith("tinyint(1)")) BooleanType // MySQL bool convention
+        else if (unsigned) ShortType else ByteType
+      case "smallint"  => if (unsigned) IntegerType else ShortType
+      case "mediumint" => IntegerType
+      case "int" | "integer" => if (unsigned) LongType else IntegerType
+      case "bigint"    => if (unsigned) DecimalType(20, 0) else LongType
+      case "float"     => FloatType
+      case "double" | "real" => DoubleType
+      case "decimal" | "numeric" => val (p, s) = precScale; DecimalType(p, s)
+      case "bit"       => if (t.startsWith("bit(1)")) BooleanType else BinaryType
+      case "boolean" | "bool" => BooleanType
+      case "date"      => DateType
+      case "datetime" | "timestamp" => TimestampType
+      case "time"      => DayTimeIntervalType() // no TIME type in Spark
+      case "year"      => IntegerType
+      case "char" | "varchar" | "text" | "tinytext" | "mediumtext" | "longtext" => StringType
+      case "enum" | "set" | "json" => StringType
+      case "binary" | "varbinary" | "blob" | "tinyblob" | "mediumblob" | "longblob" => BinaryType
+      case other => StringType // unknown → lossless text
+    }
+  }
+
+  /** Labels out of `enum('a','b')` / `set('x','y')` DDL type text
+    * (reference parses them for the Debezium C6 conversion,
+    * `kafka3.go:1110-1119,1176-1191`).
+    */
+  def enumSetLabels(typeText: String): Seq[String] =
+    "'((?:[^']|'')*)'".r.findAllMatchIn(typeText).map(_.group(1).replace("''", "'")).toSeq
+}
+
+/** Mutable per-job schema registry; thread-safe for the driver-side
+  * control path (DDL is serialized by the batch barrier — K5).
+  */
+class SchemaRegistry {
+  private val schemas = scala.collection.concurrent.TrieMap.empty[(String, String), StructType]
+
+  def get(db: String, table: String): Option[StructType] = schemas.get((db, table))
+  def put(db: String, table: String, schema: StructType): Unit = schemas((db, table)) = schema
+  def drop(db: String, table: String): Unit = schemas.remove((db, table))
+  def tables: Seq[(String, String)] = schemas.keys.toSeq
+
+  /** Apply a DDL statement to the registry. Returns true when the
+    * change affects a tracked (or new) table schema — the signal to
+    * re-plan dependent queries (reference invalidates prepared
+    * statements and re-reads table meta at the same points).
+    */
+  def applyDdl(db: String, sql: String): Boolean = {
+    import DdlRewriter._
+    classify(sql) match {
+      case CreateTable =>
+        parseCreateTable(db, sql).exists { case ((d, t), st) => put(d, t, st); true }
+      case DropTable =>
+        tableOf(db, sql).exists { case (d, t) => drop(d, t); true }
+      case Truncate => false // rows change, schema does not
+      case AlterTable =>
+        tableOf(db, sql).exists { case (d, t) =>
+          get(d, t) match {
+            case Some(cur) => alter(cur, sql).exists { st => put(d, t, st); true }
+            case None => false
+          }
+        }
+      case DropSchema =>
+        val victims = schemas.keys.filter(_._1 == schemaOf(db, sql)).toSeq
+        victims.foreach { case (d, t) => drop(d, t) }
+        victims.nonEmpty
+      case _ => false
+    }
+  }
+
+  private def schemaOf(db: String, sql: String): String = {
+    val m = "(?i)(?:database|schema)\\s+(?:if\\s+(?:not\\s+)?exists\\s+)?`?([A-Za-z0-9_$]+)`?".r
+      .findFirstMatchIn(sql)
+    m.map(_.group(1)).getOrElse(db)
+  }
+
+  private def tableOf(db: String, sql: String): Option[(String, String)] = {
+    val m = "(?i)table\\s+(?:if\\s+(?:not\\s+)?exists\\s+)?(?:`?([A-Za-z0-9_$]+)`?\\.)?`?([A-Za-z0-9_$]+)`?".r
+      .findFirstMatchIn(sql)
+    m.map(mm => (Option(mm.group(1)).getOrElse(db), mm.group(2)))
+  }
+
+  /** CREATE TABLE column defs → StructType via [[TypeMapper]]. */
+  def parseCreateTable(db: String, sql: String): Option[((String, String), StructType)] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return None
+    tableOf(db, sql).map { case (d, t) =>
+      val body = sql.substring(open + 1, close)
+      val fields = splitTopLevel(body).flatMap { part =>
+        val tr = part.trim
+        val tok = tr.split("[\\s(]")(0).replace("`", "")
+        val isConstraint = Set("primary", "unique", "key", "index", "constraint", "foreign", "check")
+          .contains(tok.toLowerCase)
+        if (isConstraint || tok.isEmpty) None
+        else {
+          // parts are top-level-comma split already, so the remainder IS
+          // the full type text (inner commas like DECIMAL(10,2) intact)
+          val typeText = tr.substring(tr.indexOf(tok) + tok.length).trim
+          val nullable = !typeText.toLowerCase.contains("not null")
+          Some(StructField(tok, TypeMapper.mysqlToSpark(typeText), nullable))
+        }
+      }
+      ((d, t), StructType(fields))
+    }
+  }
+
+  private def alter(cur: StructType, sql: String): Option[StructType] = {
+    val lower = sql.toLowerCase
+    val addCol = "(?i)add\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?\\s+([^,]+)".r
+    val dropCol = "(?i)drop\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?".r
+    val modCol = "(?i)(?:modify|change)\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?\\s+(?:`?([A-Za-z0-9_$]+)`?\\s+)?([^,]+)".r
+    if (lower.contains("add")) {
+      addCol.findFirstMatchIn(sql).map { m =>
+        StructType(cur.fields :+ StructField(m.group(1), TypeMapper.mysqlToSpark(m.group(2)), nullable = true))
+      }
+    } else if (lower.contains("drop")) {
+      dropCol.findFirstMatchIn(sql).map { m =>
+        StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(m.group(1))))
+      }
+    } else if (lower.contains("modify") || lower.contains("change")) {
+      modCol.findFirstMatchIn(sql).map { m =>
+        val oldName = m.group(1)
+        val newName = Option(m.group(2)).getOrElse(oldName)
+        val newType = TypeMapper.mysqlToSpark(m.group(3))
+        StructType(cur.fields.map(f =>
+          if (f.name.equalsIgnoreCase(oldName)) StructField(newName, newType, f.nullable) else f))
+      }
+    } else None
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur.append('\'')
+      case '(' if !inQuote => depth += 1; cur.append('(')
+      case ')' if !inQuote => depth -= 1; cur.append(')')
+      case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+}

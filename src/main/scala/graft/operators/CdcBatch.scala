@@ -120,6 +120,23 @@ object CdcBatch {
       .drop("__run")
   }
 
+  /** O3 — big-transaction split (reference `binlog_reader.go:2030-2044`:
+    * entries over `DumpEntryLimit` split into parts carrying `Index` /
+    * `Final` so the applier can stage and commit atomically). Batch
+    * form: per-tx running byte total → part index; `is_final` marks the
+    * last part. One shuffle on the tx id.
+    */
+  def splitBigTx(events: DataFrame, txCol: String, seqCol: String, sizeCol: String, limitBytes: Long): DataFrame = {
+    val w = Window.partitionBy(col(txCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(txCol))
+    events
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("part_index", floor((col("__cum") - lit(1)) / lit(limitBytes)).cast("int"))
+      .withColumn("is_final", col("part_index") === max(col("part_index")).over(wAll))
+      .drop("__cum")
+  }
+
   /** A2 — table checksum for chunk verification (reference `CHECKSUM
     * TABLE` per chunk, `dumper.go:168-180`). A commutative integer
     * polynomial over key columns: exact, order-insensitive, distributes

@@ -56,6 +56,20 @@ class CdcBatchSpec extends SparkSpec {
     assert(out == Set(("t1", "i", 1L, 2L), ("t1", "u", 3L, 1L), ("t1", "i", 4L, 1L), ("t2", "i", 5L, 1L)))
   }
 
+  test("splitBigTx: parts carry index and final marker") {
+    val ev = Seq(
+      ("tx1", 1L, 40L), ("tx1", 2L, 40L), ("tx1", 3L, 40L), // 120 bytes, limit 64 → parts 0,1,1
+      ("tx2", 4L, 10L)
+    ).toDF("gtid", "seq", "bytes")
+    val bySeq = CdcBatch.splitBigTx(ev, "gtid", "seq", "bytes", 64L)
+      .select("seq", "part_index", "is_final").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(bySeq(1L) == ((0, false)))
+    assert(bySeq(2L) == ((1, true)))
+    assert(bySeq(3L) == ((1, true)))
+    assert(bySeq(4L) == ((0, true)))
+  }
+
   test("checksum is order-insensitive and distributes") {
     val a = CdcBatch.checksum(log, Seq("op"), "seq", "seq").orderBy("op").collect()
     val b = CdcBatch.checksum(log.orderBy(rand(42)), Seq("op"), "seq", "seq").orderBy("op").collect()

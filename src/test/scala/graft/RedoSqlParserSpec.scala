@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.RedoSqlParser
+import graft.model.Op
+
+/** S7/S8 golden tests mirroring the reference's LogMiner parsing suite
+  * (`driver/oracle/extractor/log_miner_test.go:141-656`,
+  * `sql_parse_test.go:7`): redo SQL → expected row maps.
+  */
+class RedoSqlParserSpec extends AnyFunSuite {
+
+  test("insert with quoted idents and mixed literals") {
+    val p = RedoSqlParser.parse(
+      """insert into "SCOTT"."EMP"("ID","NAME","SAL","HIRED") values (1,'O''Brien',1234.5,TO_DATE('2021-03-04 10:00:00', 'YYYY-MM-DD HH24:MI:SS'))""").get
+    assert(p.schema == "SCOTT" && p.table == "EMP" && p.op == Op.Insert)
+    assert(p.after == Map("ID" -> "1", "NAME" -> "O'Brien", "SAL" -> "1234.5",
+      "HIRED" -> "2021-03-04 10:00:00"))
+    assert(p.before.isEmpty)
+  }
+
+  test("update: where conjuncts become before image, set merges into after") {
+    val p = RedoSqlParser.parse(
+      """update "S"."T" set "NAME" = 'new', "N" = 2 where "ID" = 7 and "NAME" = 'old' and "N" = 1""").get
+    assert(p.op == Op.Update)
+    assert(p.before == Map("ID" -> "7", "NAME" -> "old", "N" -> "1"))
+    assert(p.after == Map("ID" -> "7", "NAME" -> "new", "N" -> "2"))
+  }
+
+  test("delete with IS NULL conjunct") {
+    val p = RedoSqlParser.parse(
+      """delete from "S"."T" where "ID" = 3 and "NOTE" IS NULL""").get
+    assert(p.op == Op.Delete)
+    assert(p.before("ID") == "3")
+    assert(p.before.contains("NOTE") && p.before("NOTE") == null)
+    assert(p.after.isEmpty)
+  }
+
+  test("value converters: hextoraw, empty lobs, null, timestamps") {
+    val p = RedoSqlParser.parse(
+      """insert into "S"."T"("B","C","X","TS") values (HEXTORAW('DEADBEEF'),EMPTY_CLOB(),NULL,TO_TIMESTAMP('2020-01-01 00:00:00.123'))""").get
+    assert(p.after("B") == "deadbeef")
+    assert(p.after("C") == "")
+    assert(p.after("X") == null)
+    assert(p.after("TS") == "2020-01-01 00:00:00.123")
+  }
+
+  test("unquoted identifiers and schemaless table") {
+    val p = RedoSqlParser.parse("insert into T1(ID) values (9)").get
+    assert(p.schema == "" && p.table == "T1" && p.after("ID") == "9")
+  }
+
+  test("non-DML returns None") {
+    assert(RedoSqlParser.parse("commit").isEmpty)
+    assert(RedoSqlParser.parse("alter table t add c int").isEmpty)
+  }
+
+  test("toChangeEvents orders by SCN and tags xid") {
+    val evs = RedoSqlParser.toChangeEvents(Iterator(
+      (100L, "x1", """insert into "S"."T"("ID") values (1)"""),
+      (101L, "x1", "commit"),
+      (102L, "x2", """delete from "S"."T" where "ID" = 1""")
+    ), "oracle-1").toSeq
+    assert(evs.map(_.seq) == Seq(100L, 102L))
+    assert(evs.map(_.op) == Seq("c", "d"))
+    assert(evs.head.gtid == "x1")
+  }
+
+  test("S9 snapshot chunks produce rownum-windowed AS OF SCN queries") {
+    val chunks = RedoSqlParser.snapshotChunks("S", "T", 12345L, totalRows = 10, chunk = 4)
+    assert(chunks.size == 3)
+    assert(chunks.head.contains("AS OF SCN 12345"))
+    assert(chunks.head.contains("ROWNUM <= 4") && chunks.head.contains("rn > 0"))
+    assert(chunks.last.contains("ROWNUM <= 12") && chunks.last.contains("rn > 8"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.ddl.{SchemaRegistry, TypeMapper}
+
+/** §1.2 type matrix + K5 dynamic-schema tracking. */
+class SchemaRegistrySpec extends AnyFunSuite {
+
+  test("MySQL type matrix maps the 25 column types") {
+    import TypeMapper.mysqlToSpark
+    assert(mysqlToSpark("TINYINT(1)") == BooleanType)
+    assert(mysqlToSpark("tinyint") == ByteType)
+    assert(mysqlToSpark("tinyint unsigned") == ShortType)
+    assert(mysqlToSpark("smallint") == ShortType)
+    assert(mysqlToSpark("smallint unsigned") == IntegerType)
+    assert(mysqlToSpark("mediumint") == IntegerType)
+    assert(mysqlToSpark("int") == IntegerType)
+    assert(mysqlToSpark("int unsigned") == LongType)
+    assert(mysqlToSpark("bigint") == LongType)
+    assert(mysqlToSpark("bigint unsigned") == DecimalType(20, 0))
+    assert(mysqlToSpark("float") == FloatType)
+    assert(mysqlToSpark("double") == DoubleType)
+    assert(mysqlToSpark("decimal(12,2)") == DecimalType(12, 2))
+    assert(mysqlToSpark("bit(1)") == BooleanType)
+    assert(mysqlToSpark("bit(8)") == BinaryType)
+    assert(mysqlToSpark("date") == DateType)
+    assert(mysqlToSpark("datetime(6)") == TimestampType)
+    assert(mysqlToSpark("timestamp") == TimestampType)
+    assert(mysqlToSpark("time") == DayTimeIntervalType())
+    assert(mysqlToSpark("year") == IntegerType)
+    assert(mysqlToSpark("varchar(64)") == StringType)
+    assert(mysqlToSpark("text") == StringType)
+    assert(mysqlToSpark("json") == StringType)
+    assert(mysqlToSpark("enum('a','b')") == StringType)
+    assert(mysqlToSpark("varbinary(16)") == BinaryType)
+    assert(mysqlToSpark("blob") == BinaryType)
+  }
+
+  test("enum/set label extraction for C6 conversions") {
+    assert(TypeMapper.enumSetLabels("enum('red','green','bl''ue')") == Seq("red", "green", "bl'ue"))
+    assert(TypeMapper.enumSetLabels("set('r','w','x')") == Seq("r", "w", "x"))
+  }
+
+  test("create/alter/drop lifecycle updates tracked schemas") {
+    val r = new SchemaRegistry
+    assert(r.applyDdl("db1",
+      "CREATE TABLE db1.t1 (id INT NOT NULL, name VARCHAR(64), bal DECIMAL(10,2), PRIMARY KEY (id))"))
+    val st = r.get("db1", "t1").get
+    assert(st.fieldNames.toSeq == Seq("id", "name", "bal"))
+    assert(st("id").dataType == IntegerType && !st("id").nullable)
+    assert(st("bal").dataType == DecimalType(10, 2))
+
+    assert(r.applyDdl("db1", "ALTER TABLE t1 ADD COLUMN created DATETIME"))
+    assert(r.get("db1", "t1").get.fieldNames.contains("created"))
+
+    assert(r.applyDdl("db1", "ALTER TABLE t1 MODIFY COLUMN name TEXT"))
+    assert(r.get("db1", "t1").get("name").dataType == StringType)
+
+    assert(r.applyDdl("db1", "ALTER TABLE t1 DROP COLUMN bal"))
+    assert(!r.get("db1", "t1").get.fieldNames.contains("bal"))
+
+    assert(r.applyDdl("db1", "DROP TABLE db1.t1"))
+    assert(r.get("db1", "t1").isEmpty)
+  }
+
+  test("drop schema removes all tables under it") {
+    val r = new SchemaRegistry
+    r.applyDdl("db2", "CREATE TABLE db2.a (id INT)")
+    r.applyDdl("db2", "CREATE TABLE db2.b (id INT)")
+    r.applyDdl("other", "CREATE TABLE other.c (id INT)")
+    assert(r.applyDdl("db2", "DROP DATABASE db2"))
+    assert(r.tables.toSet == Set(("other", "c")))
+  }
+
+  test("unknown DDL kinds leave the registry untouched") {
+    val r = new SchemaRegistry
+    assert(!r.applyDdl("db", "TRUNCATE TABLE t"))
+    assert(!r.applyDdl("db", "GRANT ALL ON *.* TO x"))
+  }
+}
