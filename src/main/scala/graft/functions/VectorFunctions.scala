@@ -23,6 +23,13 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native-Expression cosine ([[graft.plans.CosineSimilarity]], fused
+    * codegen loop, bit-identical to [[cosine]]). Requires the
+    * `graft_cosine` function registered — [[graft.GraftSession]] does —
+    * fall back to [[cosine]] in vanilla sessions.
+    */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),

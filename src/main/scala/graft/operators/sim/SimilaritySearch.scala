@@ -29,7 +29,7 @@ object SimilaritySearch {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored
@@ -56,7 +56,7 @@ object SimilaritySearch {
     val cands = c.join(q, Seq("lsh_t", "lsh_b"))
       .filter(col("corpus_id") =!= col("query_id"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     cands.withColumn("rank", row_number().over(w))
@@ -76,7 +76,7 @@ object SimilaritySearch {
     a.join(b, Seq("lsh_t", "lsh_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -88,7 +88,7 @@ object SimilaritySearch {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

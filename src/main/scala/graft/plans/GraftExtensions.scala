@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SURVEY.md §7.3): registers graft's native
+  * Catalyst expressions into the session's function registry so they
+  * are usable from both the Column API (`call_function("graft_cosine",
+  * ...)`) and SQL text. Installed by [[graft.GraftSession]]; also
+  * loadable via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(a, b) takes two array arguments")
+        CosineSimilarity(children.head, children(1))
+      }
+    ))
+  }
+}
