@@ -51,6 +51,34 @@ object DebeziumEnvelope {
   def topic(prefix: String, db: Column, table: Column): Column =
     concat_ws(".", lit(prefix), db, table)
 
+  /** Debezium `schema` block for a row struct (reference envelope
+    * schema templates, `driver/kafka/kafka2.go:111-230`): field-type
+    * descriptors for the before/after payload. Static per table
+    * version — generate once from the schema registry and prepend to
+    * the envelope (or publish on the schema-change topic).
+    */
+  def schemaJson(st: org.apache.spark.sql.types.StructType, name: String): String = {
+    import org.apache.spark.sql.types._
+    def dbzType(dt: DataType): String = dt match {
+      case BooleanType => "boolean"
+      case ByteType => "int8"
+      case ShortType => "int16"
+      case IntegerType => "int32"
+      case LongType => "int64"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case _: DecimalType => "bytes" // unscaled big-int bytes (C1)
+      case BinaryType => "bytes"
+      case DateType => "int32"      // epoch days (C4)
+      case TimestampType => "int64" // epoch millis (C3)
+      case _ => "string"
+    }
+    val fields = st.fields.map { f =>
+      s"""{"type":"${dbzType(f.dataType)}","optional":${f.nullable},"field":"${f.name}"}"""
+    }.mkString(",")
+    s"""{"type":"struct","fields":[$fields],"optional":true,"name":"$name"}"""
+  }
+
   /** Full encode: CDC DataFrame with struct before/after → Kafka-ready
     * (key, value, topic) frame.
     */

@@ -57,6 +57,8 @@ object MinHashDedup {
   /** Candidate pairs via banding: split the k-sig into `numBands` bands
     * of `k/numBands` rows; docs agreeing on any whole band meet in a
     * bucket. Pair emission is a self-join on (band_idx, band_hash).
+    * Band hashes are variadic `xxhash64(band_idx, m_i..m_j)` straight
+    * off the signature values — no per-band string building.
     */
   def candidatePairs(sigs: DataFrame, k: Int, numBands: Int, maxBucket: Int = 500): DataFrame = {
     val rowsPerBand = k / numBands
@@ -64,9 +66,10 @@ object MinHashDedup {
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b))
+        array((0 until numBands).map { b =>
+          xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1))): _*)
+        }: _*)
       ).as(Seq("band_idx", "band_hash"))
     )
     // skew guard: drop buckets larger than maxBucket (stop-content)

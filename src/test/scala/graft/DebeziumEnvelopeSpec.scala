@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.DebeziumEnvelope
+import graft.streaming.LagMetrics
+
+/** K6 envelope + O7 lag metrics. */
+class DebeziumEnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("envelope value carries after/source/op/ts_ms; null before omitted") {
+    val cdc = Seq((1L, 100L)).toDF("id", "ev")
+      .select(
+        lit("db").as("db"), lit("t").as("table"), lit("c").as("op"),
+        lit(null).cast("struct<id:bigint>").as("before"),
+        struct(col("id")).as("after"),
+        lit(123L).as("tsMillis"), lit("s1").as("originServerId"),
+        col("ev").as("seq"), col("id"))
+    val out = DebeziumEnvelope.encode(cdc, Seq("id"), "pfx").as[(String, String, String)].head()
+    assert(out._1 == """{"id":1}""")
+    assert(out._2 ==
+      """{"after":{"id":1},"source":{"name":"graft","db":"db","table":"t","server_id":"s1","pos":100},"op":"c","ts_ms":123}""")
+    assert(out._3 == "pfx.db.t")
+  }
+
+  test("schema block maps Spark types to Debezium field types") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("bal", DecimalType(10, 2)),
+      StructField("born", DateType),
+      StructField("seen", TimestampType)))
+    val js = DebeziumEnvelope.schemaJson(st, "db.t.Value")
+    assert(js.contains("""{"type":"int64","optional":false,"field":"id"}"""))
+    assert(js.contains("""{"type":"string","optional":true,"field":"name"}"""))
+    assert(js.contains("""{"type":"bytes","optional":true,"field":"bal"}"""))
+    assert(js.contains("""{"type":"int32","optional":true,"field":"born"}"""))
+    assert(js.contains("""{"type":"int64","optional":true,"field":"seen"}"""))
+    assert(js.contains(""""name":"db.t.Value""""))
+  }
+
+  test("lag metric: delay vs newest event ts, None when batch empty") {
+    val batch = Seq("2024-01-01 00:00:00", "2024-01-01 00:10:00").toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val newest = batch.agg(max(unix_millis(col("ts").cast("timestamp")))).first().getLong(0)
+    val lag = LagMetrics.delayOf(batch, "ts", newest + 5000L)
+    assert(lag.contains(5000L))
+    val empty = batch.filter(lit(false))
+    assert(LagMetrics.delayOf(empty, "ts", 1L).isEmpty)
+  }
+}
