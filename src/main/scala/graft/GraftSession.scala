@@ -31,6 +31,13 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CollationAwareUTF8String's static init builds ICU case-mapping
+    // tries (~8 s), and the first non-ASCII lower()/upper() stage pays
+    // it with all tasks serialized on the class-init monitor (observed:
+    // 31/32 threads blocked). Force the init here, once per JVM, off the
+    // query path. local mode shares the JVM; on a cluster each executor
+    // pays it once at startup — noise against any real stage.
+    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
     spark
   }
 }
