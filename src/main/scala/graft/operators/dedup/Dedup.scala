@@ -28,21 +28,14 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of the normalized text, distinct per doc.
-    * Guard the short-text case explicitly: `sequence(1, 0)` would count
-    * DOWN and hit index 0.
+  /** Word n-gram shingles of the normalized text, distinct per doc —
+    * the native one-pass [[graft.plans.WordShingles]] expression
+    * (registered by GraftSession). The HOF formulation it replaces was
+    * quadratic: interpreted lambdas re-evaluated the duplicated
+    * `split(regexp_replace(...))` subtree per element.
     */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = split(normText(textCol), " ")
-    when(size(words) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)
-        )
-      )
-    )
-  }
+  def shingles(textCol: Column, n: Int): Column =
+    call_function("graft_shingles", textCol, lit(n))
 
   /** N-gram Jaccard near-dup pairs. Candidates = docs sharing at least
     * one shingle (explode + self-join on the shingle hash = one
@@ -54,28 +47,27 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // shingles are computed exactly ONCE (explode's child) — referencing
-    // the array from several projections would re-inline the whole
-    // shingling expression per reference (projection collapse); the
-    // per-doc size and per-shingle df both come from windows over the
-    // exploded rows instead. Strings are dropped for an 8-byte hash
-    // before any shuffle (collision odds at 64 bits are negligible next
-    // to the sketch's own error).
+    // Strings are dropped for an 8-byte hash before the shuffle
+    // (collision odds at 64 bits are negligible next to the sketch's
+    // own error). Per-doc shingle counts ride along each exploded row
+    // (size() of the already-built array — the shingling itself runs
+    // once; Catalyst's CollapseProject keeps multiply-referenced
+    // non-cheap aliases materialized). Two shuffles total: bucket by
+    // shingle, then count per pair — the earlier shape spent two
+    // window sorts and a self-join on the same answer.
     val exploded = graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val annotated = exploded
-      .withColumn("n_shingles", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-    val a = annotated.select(col("doc_id").as("id_a"), col("n_shingles").as("na"), col("sh"))
-    val b = annotated.select(col("doc_id").as("id_b"), col("n_shingles").as("nb"), col("sh"))
-    a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .select(col("doc_id"), shingles(col(textCol), n).as("sh_arr"))
+      .select(col("doc_id"), size(col("sh_arr")).as("n_shingles"),
+        explode(col("sh_arr")).as("shingle"))
+      .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh"))
+    val buckets = exploded
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n_shingles"))).as("members"))
+      .filter(size(col("members")).between(2, maxShingleDf))
+    MinHashDedup.explodePairs(buckets, "members")
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))

@@ -54,17 +54,34 @@ object MinHashDedup {
         col("n_shingles"))
   }
 
+  /** Ordered intra-bucket pairs via two chained `explode`s (both fully
+    * codegen'd — the lambda/slice alternative runs interpreted) with an
+    * `id_a < id_b` filter. Emits m² rows per bucket before the filter;
+    * buckets are capped upstream so the quadratic stays bounded.
+    */
+  private[dedup] def explodePairs(buckets: DataFrame, memberCol: String): DataFrame =
+    buckets
+      .select(explode(col(memberCol)).as("a"), col(memberCol))
+      .select(col("a"), explode(col(memberCol)).as("b"))
+      .filter(col("a") < col("b"))
+
   /** Candidate pairs via banding: split the k-sig into `numBands` bands
     * of `k/numBands` rows; docs agreeing on any whole band meet in a
-    * bucket. Pair emission is a self-join on (band_idx, band_hash).
-    * Band hashes are variadic `xxhash64(band_idx, m_i..m_j)` straight
-    * off the signature values — no per-band string building.
+    * bucket. Band hashes are variadic `xxhash64(band_idx, m_i..m_j)`
+    * straight off the signature values — no per-band string building.
+    *
+    * Buckets carry ONLY doc ids (8 bytes/member through the shuffle —
+    * signatures are joined back afterwards, when the pair list is
+    * already deduped and small). `maxBucket` caps bucket size, the
+    * stop-content skew guard. The earlier window + self-join shape cost
+    * two extra shuffles, a per-bucket sort, and shipped every signature
+    * through the banding exchange.
     */
   def candidatePairs(sigs: DataFrame, k: Int, numBands: Int, maxBucket: Int = 500): DataFrame = {
     val rowsPerBand = k / numBands
     require(rowsPerBand * numBands == k, s"numBands must divide k")
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(
         array((0 until numBands).map { b =>
           xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
@@ -72,19 +89,17 @@ object MinHashDedup {
         }: _*)
       ).as(Seq("band_idx", "band_hash"))
     )
-    // skew guard: drop buckets larger than maxBucket (stop-content)
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = explodePairs(buckets, "members")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
   }
 
   /** Estimated Jaccard = fraction of agreeing signature positions. */

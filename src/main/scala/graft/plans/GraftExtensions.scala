@@ -20,5 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingles(text, n) takes a string and an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_shingles: n must be an int literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }
+    ))
   }
 }
