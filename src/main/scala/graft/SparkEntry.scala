@@ -197,6 +197,46 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "f8_ddl_rewrite" -> ((s, dir) => {
+      // F8 + C10 — DDL classify + identifier rewrite + collation
+      // downgrade. Statements synthesized deterministically from nation;
+      // skipped kinds (trigger) get no rewrite, like the reference's
+      // skip rules (`binlog_reader.go:1228-1265`).
+      import graft.ddl.DdlRewriter
+      val classifyUdf = udf((sql: String) => DdlRewriter.classify(sql).toString)
+      val rewriteUdf = udf((sql: String) =>
+        TypeConversions.downgradeCollations(
+          DdlRewriter.rewrite(sql, Map("src" -> "dst"), Map.empty)))
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey"),
+        lower(regexp_replace(col("n_name"), "[^A-Za-z]", "_")).as("tname"))
+      val stmts = base.select(col("n_nationkey"),
+        when(pmod(col("n_nationkey"), lit(5)) === 0,
+          concat(lit("CREATE TABLE `src`.`t_"), col("tname"),
+            lit("` (id INT PRIMARY KEY, name VARCHAR(20) COLLATE utf8mb4_0900_ai_ci)")))
+        .when(pmod(col("n_nationkey"), lit(5)) === 1,
+          concat(lit("ALTER TABLE src.t_"), col("tname"), lit(" ADD COLUMN extra INT")))
+        .when(pmod(col("n_nationkey"), lit(5)) === 2,
+          concat(lit("DROP TABLE `src`.`t_"), col("tname"), lit("`")))
+        .when(pmod(col("n_nationkey"), lit(5)) === 3,
+          concat(lit("TRUNCATE TABLE src.t_"), col("tname")))
+        .otherwise(
+          concat(lit("CREATE TRIGGER trg_"), col("tname"), lit(" BEFORE INSERT ON src.t_"),
+            col("tname"), lit(" FOR EACH ROW SET @x = 1")))
+        .as("stmt"))
+      stmts.select(col("n_nationkey"), classifyUdf(col("stmt")).as("kind"),
+          when(classifyUdf(col("stmt")) =!= "SkippedStmt", rewriteUdf(col("stmt"))).as("rewritten"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "f9_cycle_filter" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("originServerId",
+        concat(lit("server-"), pmod(col("user_id"), lit(3))))
+      Relational.cycleFilter(ev, "server-1")
+        .select(col("event_id"), col("user_id"), col("originServerId"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----- C: type-conversion matrix -----
 
     "c_type_matrix" -> ((s, dir) => {
@@ -214,6 +254,27 @@ object SparkEntry {
     }),
 
     // ----- A: aggregates -----
+
+    "a1_row_counts" -> ((s, dir) => {
+      // A1 — per-table row counts (reference CountTableRows,
+      // `extractor.go:859-878`): one count per fixture table.
+      Tables.all.map { n =>
+        t(s, dir, n).select(lit(n).as("table_name"))
+          .groupBy(col("table_name")).agg(count(lit(1)).as("n_rows"))
+      }.reduce(_ unionAll _).orderBy(col("table_name"))
+    }),
+
+    "a3_lag" -> ((s, dir) => {
+      // A3 — replication delay metric (reference TimestampContext,
+      // `extractor.go:930-968`): per-key lag vs the stream head; the
+      // global max plays "now" so the result is deterministic.
+      val ev = t(s, dir, "events")
+      val global = ev.agg(max(unix_millis(col("ts"))).as("now_ms"))
+      ev.groupBy(col("user_id")).agg(max(unix_millis(col("ts"))).as("last_ms"))
+        .crossJoin(broadcast(global))
+        .select(col("user_id"), (col("now_ms") - col("last_ms")).as("lag_ms"))
+        .orderBy(col("user_id"))
+    }),
 
     "a2_checksum" -> ((s, dir) => {
       CdcBatch.checksum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey", "l_linenumber")
@@ -255,6 +316,84 @@ object SparkEntry {
       CdcBatch.writesetDependencies(t(s, dir, "events"), "user_id", "event_id")
         .select(col("event_id"), col("user_id"), col("last_committed"))
         .orderBy(col("event_id"))
+    }),
+
+    "o3_bigtx_split" -> ((s, dir) => {
+      CdcBatch.splitBigTx(
+          t(s, dir, "events").withColumn("n_bytes", length(col("props"))),
+          "user_id", "event_id", "n_bytes", 4096L)
+        .select(col("event_id"), col("user_id"), col("part_index"), col("is_final"))
+        .orderBy(col("event_id"))
+    }),
+
+    "o11_stop_at_gtid" -> ((s, dir) => {
+      // O11 — bounded stream: drop events beyond the target GTID set
+      // (reference `binlog_reader.go:1824-1846`). The parsed interval
+      // set compiles to a codegen'd disjunction of BETWEENs — pushes
+      // down to the scan, no UDF.
+      val target = graft.functions.IntervalSet.parse("1-4999:6001-7000")
+      val keep = target.intervals
+        .map { case (lo, hi) => col("event_id").between(lo, hi) }
+        .reduce(_ || _)
+      t(s, dir, "events").filter(keep)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "s8_redo_parse" -> ((s, dir) => {
+      // S8 — Oracle LogMiner redo SQL → rows: redo statements are
+      // synthesized from orders (insert/update/delete by key mod 3),
+      // then parsed back distributed (one parser call per event, inside
+      // the executors — reference parseDMLSQL `log_miner.go:918-1073`).
+      import s.implicits._
+      import graft.sources.RedoSqlParser
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast("string").as("p"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d"))
+      val sqls = o.select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          concat(lit("insert into \"SHOP\".\"ORDERS\"(\"K\",\"C\",\"P\",\"D\") values ("),
+            col("o_orderkey"), lit(","), col("o_custkey"), lit(",'"), col("p"),
+            lit("',TO_DATE('"), col("d"), lit("','YYYY-MM-DD HH24:MI:SS'))")))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1,
+          concat(lit("update \"SHOP\".\"ORDERS\" set \"P\" = '"), col("p"),
+            lit("' where \"K\" = "), col("o_orderkey"), lit(" and \"C\" = "), col("o_custkey")))
+        .otherwise(
+          concat(lit("delete from \"SHOP\".\"ORDERS\" where \"K\" = "), col("o_orderkey"),
+            lit(" and \"D\" = TO_DATE('"), col("d"), lit("','YYYY-MM-DD HH24:MI:SS')")))
+        .as("redo"))
+      sqls.select(col("o_orderkey"), col("redo")).as[(Long, String)]
+        .map { case (k, sql) =>
+          val p = RedoSqlParser.parse(sql).get
+          (k, p.schema, p.table, p.op,
+            p.after.get("P").orElse(p.before.get("P")).orNull,
+            p.after.get("K").orElse(p.before.get("K")).orNull,
+            p.after.get("D").orElse(p.before.get("D")).orNull)
+        }
+        .toDF("o_orderkey", "schema_name", "table_name", "op", "p_val", "k_val", "d_val")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "k_sql_builder" -> ((s, dir) => {
+      // K1-K4/K7 — golden SQL text of the sink statement builder
+      // (reference builder_test.go style), parameterized by the actual
+      // fixture schema.
+      import s.implicits._
+      import graft.sinks.SqlBuilder
+      val cols = t(s, dir, "customer").schema.fieldNames.toSeq
+      val td = SqlBuilder.TableDef("shop", "customer", cols, Seq("c_custkey"))
+      val tdNoPk = td.copy(pkColumns = Nil)
+      Seq(
+        ("delete_nopk", SqlBuilder.delete(tdNoPk)),
+        ("delete_pk", SqlBuilder.delete(td)),
+        ("ledger_insert", SqlBuilder.ledgerInsert("shop")),
+        ("prologue", SqlBuilder.fullLoadPrologue("shop", createSchemaIfNotExists = true).mkString("; ")),
+        ("replace_1", SqlBuilder.replaceInto(td, 1)),
+        ("replace_4", SqlBuilder.replaceInto(td, 4)),
+        ("update_pk", SqlBuilder.update(td))
+      ).toDF("stmt_kind", "sql").orderBy(col("stmt_kind"))
     }),
 
     "k6_debezium" -> ((s, dir) => {
@@ -455,6 +594,76 @@ object SparkEntry {
         |to_base64(unhex(lpad(to_hex(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)), 16, '0'))) AS dec_b64,
         |to_base64(encode(o_orderstatus)) AS bin_b64
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f8_ddl_rewrite" ->
+      """WITH base AS (SELECT n_nationkey, lower(regexp_replace(n_name, '[^A-Za-z]', '_', 'g')) AS tname FROM nation)
+        |SELECT n_nationkey,
+        |  CASE n_nationkey % 5 WHEN 0 THEN 'CreateTable' WHEN 1 THEN 'AlterTable'
+        |    WHEN 2 THEN 'DropTable' WHEN 3 THEN 'Truncate' ELSE 'SkippedStmt' END AS kind,
+        |  CASE n_nationkey % 5
+        |    WHEN 0 THEN 'CREATE TABLE `dst`.`t_' || tname || '` (id INT PRIMARY KEY, name VARCHAR(20) COLLATE utf8mb4_general_ci)'
+        |    WHEN 1 THEN 'ALTER TABLE `dst`.`t_' || tname || '` ADD COLUMN extra INT'
+        |    WHEN 2 THEN 'DROP TABLE `dst`.`t_' || tname || '`'
+        |    WHEN 3 THEN 'TRUNCATE TABLE `dst`.`t_' || tname || '`'
+        |    ELSE NULL END AS rewritten
+        |FROM base ORDER BY n_nationkey""".stripMargin,
+
+    "f9_cycle_filter" ->
+      """SELECT event_id, user_id, 'server-' || (user_id % 3) AS originServerId
+        |FROM events WHERE 'server-' || (user_id % 3) <> 'server-1'
+        |ORDER BY event_id""".stripMargin,
+
+    "a1_row_counts" ->
+      """SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'region', COUNT(*) FROM region
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |ORDER BY table_name""".stripMargin,
+
+    "a3_lag" ->
+      """WITH g AS (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events)
+        |SELECT user_id, now_ms - MAX(epoch_ms(ts)) AS lag_ms
+        |FROM events, g GROUP BY user_id, now_ms ORDER BY user_id""".stripMargin,
+
+    "o3_bigtx_split" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |  SUM(length(props)) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |FROM events),
+        |p AS (SELECT event_id, user_id, CAST(FLOOR((cum - 1) / 4096.0) AS INT) AS part_index FROM c)
+        |SELECT event_id, user_id, part_index,
+        |  part_index = MAX(part_index) OVER (PARTITION BY user_id) AS is_final
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "o11_stop_at_gtid" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE event_id BETWEEN 1 AND 4999 OR event_id BETWEEN 6001 AND 7000
+        |ORDER BY event_id""".stripMargin,
+
+    "s8_redo_parse" ->
+      """SELECT o_orderkey, 'SHOP' AS schema_name, 'ORDERS' AS table_name,
+        |  CASE o_orderkey % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+        |  CASE WHEN o_orderkey % 3 IN (0, 1) THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS p_val,
+        |  CAST(o_orderkey AS VARCHAR) AS k_val,
+        |  CASE WHEN o_orderkey % 3 <> 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS d_val
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k_sql_builder" ->
+      """SELECT * FROM (VALUES
+        |  ('delete_nopk', 'DELETE FROM `shop`.`customer` WHERE (`c_custkey` = ? OR (`c_custkey` IS NULL AND ? IS NULL)) AND (`c_name` = ? OR (`c_name` IS NULL AND ? IS NULL)) AND (`c_nationkey` = ? OR (`c_nationkey` IS NULL AND ? IS NULL)) AND (`c_acctbal` = ? OR (`c_acctbal` IS NULL AND ? IS NULL)) AND (`c_mktsegment` = ? OR (`c_mktsegment` IS NULL AND ? IS NULL)) LIMIT 1'),
+        |  ('delete_pk', 'DELETE FROM `shop`.`customer` WHERE (`c_custkey` = ? OR (`c_custkey` IS NULL AND ? IS NULL)) LIMIT 1'),
+        |  ('ledger_insert', 'INSERT INTO `shop`.`gtid_executed` (job_id, source_uuid, gtid, gtid_set) VALUES (?, ?, ?, ?)'),
+        |  ('prologue', 'SET FOREIGN_KEY_CHECKS = 0; SET UNIQUE_CHECKS = 0; CREATE SCHEMA IF NOT EXISTS `shop`'),
+        |  ('replace_1', 'REPLACE INTO `shop`.`customer` (`c_custkey`, `c_name`, `c_nationkey`, `c_acctbal`, `c_mktsegment`) VALUES (?, ?, ?, ?, ?)'),
+        |  ('replace_4', 'REPLACE INTO `shop`.`customer` (`c_custkey`, `c_name`, `c_nationkey`, `c_acctbal`, `c_mktsegment`) VALUES (?, ?, ?, ?, ?), (?, ?, ?, ?, ?), (?, ?, ?, ?, ?), (?, ?, ?, ?, ?)'),
+        |  ('update_pk', 'UPDATE `shop`.`customer` SET `c_custkey` = ?, `c_name` = ?, `c_nationkey` = ?, `c_acctbal` = ?, `c_mktsegment` = ? WHERE (`c_custkey` = ? OR (`c_custkey` IS NULL AND ? IS NULL)) LIMIT 1')
+        |) AS t(stmt_kind, sql) ORDER BY stmt_kind""".stripMargin,
 
     "a2_checksum" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
