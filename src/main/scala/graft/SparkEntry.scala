@@ -242,6 +242,10 @@ object SparkEntry {
     "c_type_matrix" -> ((s, dir) => {
       t(s, dir, "orders").select(
         col("o_orderkey"),
+        TypeConversions.timeToMicros(
+          concat(when(pmod(col("o_orderkey"), lit(2)) === 0, "-").otherwise(""),
+            date_format(col("o_orderdate"), "HH:mm:ss"),
+            lit("."), pmod(col("o_orderkey"), lit(10)))).as("time_us"),
         TypeConversions.datetimeToMillis(col("o_orderdate")).as("dt_millis"),
         TypeConversions.dateToEpochDays(col("o_orderdate")).as("epoch_days"),
         TypeConversions.timestampToIso(col("o_orderdate")).as("iso_ts"),
@@ -315,6 +319,32 @@ object SparkEntry {
     "o4_writeset" -> ((s, dir) => {
       CdcBatch.writesetDependencies(t(s, dir, "events"), "user_id", "event_id")
         .select(col("event_id"), col("user_id"), col("last_committed"))
+        .orderBy(col("event_id"))
+    }),
+
+    "o9_windowed_agg" -> ((s, dir) => {
+      // O9 — event-time tumbling window, batch form of the streaming
+      // operator (same code path; watermark is a no-op in batch).
+      graft.streaming.WindowedStats.windowedCounts(
+          t(s, dir, "events").withColumn("v", col("value").cast(DecimalType(18, 4))),
+          "ts", "user_id", "v", "1 hour")
+        .select(col("user_id"), unix_millis(col("win_start")).as("ws_ms"),
+          unix_millis(col("win_end")).as("we_ms"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("ws_ms"))
+    }),
+
+    "o5_mts_schedule" -> ((s, dir) => {
+      // O5 — MTS parallel apply, batch form (reference MtsManager
+      // `applier_mts.go:30-155`): rows route to a worker by key and
+      // commit in seq order within it — the partition-scheduling
+      // equivalence the production sink uses (JdbcUpsertSink step 1).
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events")
+        .withColumn("worker", pmod(col("user_id"), lit(4)))
+        .withColumn("commit_pos", row_number().over(
+          Window.partitionBy(col("worker")).orderBy(col("event_id"))))
+        .select(col("event_id"), col("user_id"), col("worker"), col("commit_pos"))
         .orderBy(col("event_id"))
     }),
 
@@ -582,6 +612,9 @@ object SparkEntry {
 
     "c_type_matrix" ->
       """SELECT o_orderkey,
+        |(CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END) *
+        |  ((hour(o_orderdate)*3600 + minute(o_orderdate)*60 + CAST(floor(second(o_orderdate)) AS BIGINT))*1000000
+        |   + (o_orderkey % 10)*100000) AS time_us,
         |epoch_ms(o_orderdate) AS dt_millis,
         |CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS epoch_days,
         |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
@@ -630,6 +663,19 @@ object SparkEntry {
       """WITH g AS (SELECT MAX(epoch_ms(ts)) AS now_ms FROM events)
         |SELECT user_id, now_ms - MAX(epoch_ms(ts)) AS lag_ms
         |FROM events, g GROUP BY user_id, now_ms ORDER BY user_id""".stripMargin,
+
+    "o9_windowed_agg" ->
+      """SELECT user_id,
+        |epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ws_ms,
+        |epoch_ms(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS we_ms,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY user_id, ws_ms""".stripMargin,
+
+    "o5_mts_schedule" ->
+      """SELECT event_id, user_id, user_id % 4 AS worker,
+        |CAST(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS INT) AS commit_pos
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "o3_bigtx_split" ->
       """WITH c AS (SELECT event_id, user_id,
