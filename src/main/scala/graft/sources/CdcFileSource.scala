@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 — the CDC stream source as a first-class DataSource-v2
+  * `MicroBatchStream` (SURVEY.md §2.1: reference
+  * `driver/mysql/binlog/binlog_reader.go:282-414` connect /
+  * `959-1036` DataStreamEvents loop; offsets there are GTID sets, here
+  * a monotone sequence number — same contract: resumable, exclusive
+  * start, inclusive end).
+  *
+  * The transport is a directory of immutable segment files
+  * `<firstSeq>-<lastSeq>.jsonl`, one JSON change event per line — the
+  * file-system stand-in for a binlog/relay stream (the container has no
+  * MySQL; the reference's relay-to-disk mode, `binlog_reader.go:291-386`,
+  * is exactly this shape). Each micro-batch:
+  *
+  *  - `latestOffset` = max lastSeq over segment files (cheap name scan,
+  *    no file reads — the segment naming carries the index);
+  *  - `planInputPartitions(start, end)` = one partition per overlapping
+  *    segment, so reads scale with segment count, not stream length;
+  *  - readers parse lines and emit rows with `start < seq <= end` —
+  *    replays after failure re-read only uncommitted ranges
+  *    (exactly-once with a checkpointed offset log + idempotent sink).
+  *
+  * `maxOffsetsPerTrigger` backpressure (reference memory gate,
+  * `binlog_reader.go:259-260`) comes via `SupportsAdmissionControl`.
+  */
+object CdcFileSource {
+  val schema: StructType = StructType(Seq(
+    StructField("db", StringType),
+    StructField("table", StringType),
+    StructField("op", StringType),
+    StructField("key", StringType),
+    StructField("before", StringType), // JSON object or null — schema-on-read
+    StructField("after", StringType),
+    StructField("ts_ms", LongType),
+    StructField("gtid", StringType),
+    StructField("seq", LongType),
+    StructField("last_committed", LongType),
+    StructField("origin_server_id", StringType)
+  ))
+
+  private[sources] val segmentName = "(\\d+)-(\\d+)\\.jsonl".r
+
+  private[sources] def listSegments(path: String): Seq[(Long, Long, String)] = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    files.toSeq.flatMap { f =>
+      f.getName match {
+        case segmentName(lo, hi) => Some((lo.toLong, hi.toLong, f.getAbsolutePath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Writes one segment file atomically (tmp + rename) — the producer
+    * side used by tests and by [[graft.JobRunner]] replay staging.
+    */
+  def writeSegment(path: String, events: Seq[String], firstSeq: Long, lastSeq: Long): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val tmp = java.io.File.createTempFile("seg", ".tmp", dir)
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try events.foreach(w.println) finally w.close()
+    val target = new java.io.File(dir, s"$firstSeq-$lastSeq.jsonl")
+    if (!tmp.renameTo(target)) throw new java.io.IOException(s"rename to $target failed")
+  }
+}
+
+class CdcFileSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdcFileSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val maxRows = Option(properties.get("maxOffsetsPerTrigger")).map(_.toLong)
+    new CdcFileTable(properties.get("path"), maxRows)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class CdcFileTable(path: String, maxRowsPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead {
+  require(path != null, "graft CDC source requires .option(\"path\", dir)")
+  override def name(): String = s"graft-cdc($path)"
+  override def schema(): StructType = CdcFileSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new CdcFileScan(path, maxRowsPerTrigger)
+    }
+}
+
+class CdcFileScan(path: String, maxRowsPerTrigger: Option[Long] = None) extends Scan {
+  override def readSchema(): StructType = CdcFileSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, maxRowsPerTrigger)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      CdcFileSource.listSegments(path)
+        .map { case (_, _, f) => CdcInputPartition(f, Long.MinValue, Long.MaxValue) }
+        .toArray[InputPartition]
+    override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
+  }
+}
+
+case class CdcOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class CdcMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = CdcOffset(-1L)
+
+  // Trigger.AvailableNow: pin the stream end at start-of-query so the
+  // bounded run drains exactly what existed, in rate-limited batches.
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(scanLatest)
+
+  private def scanLatest: Long = {
+    val segs = CdcFileSource.listSegments(path)
+    if (segs.isEmpty) -1L else segs.map(_._2).max
+  }
+
+  override def latestOffset(): Offset =
+    CdcOffset(availableNowCap.getOrElse(scanLatest))
+
+  /** Rate limiting: admit at most `maxOffsetsPerTrigger` sequence
+    * numbers per batch (reference backpressure `binlog_reader.go:959-998`).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val hi = latestOffset().asInstanceOf[CdcOffset].seq
+    val lo = start.asInstanceOf[CdcOffset].seq
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        CdcOffset(math.min(hi, lo + r.maxRows()))
+      case _ => CdcOffset(hi)
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[CdcOffset].seq
+    val hi = end.asInstanceOf[CdcOffset].seq
+    CdcFileSource.listSegments(path)
+      .filter { case (fLo, fHi, _) => fHi > lo && fLo <= hi }
+      .map { case (_, _, f) => CdcInputPartition(f, lo, hi) }
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // segments are immutable; GC is external
+  override def stop(): Unit = ()
+}
+
+case class CdcInputPartition(file: String, startExclusive: Long, endInclusive: Long)
+  extends InputPartition
+
+class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    new CdcPartitionReader(p.file, p.startExclusive, p.endInclusive)
+  }
+}
+
+class CdcPartitionReader(file: String, startExclusive: Long, endInclusive: Long)
+  extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  private val it = lines.getLines()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    row = null
+    while (row == null && it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        val n = mapper.readTree(line)
+        val seq = n.get("seq").asLong()
+        if (seq > startExclusive && seq <= endInclusive) row = toRow(n)
+      }
+    }
+    row != null
+  }
+
+  private def str(n: JsonNode, f: String): UTF8String = {
+    val v = n.get(f)
+    if (v == null || v.isNull) null
+    else UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+  }
+
+  private def toRow(n: JsonNode): InternalRow =
+    InternalRow(
+      str(n, "db"), str(n, "table"), str(n, "op"), str(n, "key"),
+      str(n, "before"), str(n, "after"),
+      if (n.has("ts_ms")) n.get("ts_ms").asLong() else 0L,
+      str(n, "gtid"),
+      n.get("seq").asLong(),
+      if (n.has("last_committed")) n.get("last_committed").asLong() else -1L,
+      str(n, "origin_server_id"))
+
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}
