@@ -496,6 +496,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_topk" -> ((s, dir) => {
+      // IVF cluster-then-probe ANN: recall < 1 by construction → rows-
+      // only; recall + exactness-at-full-probe asserted in
+      // SimilaritySearchSpec
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 16, nProbe = 4, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ----- beyond-parity: text analysis -----
 
     "text_profile" -> ((s, dir) => {

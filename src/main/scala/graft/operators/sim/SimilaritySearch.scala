@@ -93,6 +93,70 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the cluster-then-probe scale path.
+    *
+    * Centroids: deterministic seed (the `nLists` lowest-id vectors)
+    * refined by `iters` Lloyd rounds run as DataFrame aggregations;
+    * only the (nLists × dim) centroid matrix ever reaches the driver —
+    * the corpus itself is touched map-side only. Index: each vector
+    * joins the inverted list of its nearest centroid (argmax over the
+    * broadcast centroid matrix, codegen'd — no shuffle). Query: probe
+    * the `nProbe` nearest lists, exact cosine re-rank inside them. The
+    * candidate join is equi-key on the list id, so work scales with
+    * probed-list sizes, not the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Column
+    val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+
+    def centroidLit(cs: Array[Array[Double]]): Column =
+      array(cs.map(cv => array(cv.map(lit): _*)): _*)
+
+    /** (cosine, idx) structs against every centroid — argmax/top-probe
+      * both read off this array.
+      */
+    def scoredLists(vec: Column, cs: Array[Array[Double]]): Column =
+      sort_array(array(cs.indices.map(i =>
+        struct(cosineNative(vec, array(cs(i).map(lit): _*)).as("cos"),
+          lit(i).as("cid"))): _*), asc = false)
+
+    def nearest(vec: Column, cs: Array[Array[Double]]): Column =
+      scoredLists(vec, cs).getItem(0).getField("cid")
+
+    // deterministic seed + Lloyd refinement (mean of assigned vectors)
+    var centroids = c0.orderBy(col("corpus_id")).limit(nLists)
+      .select(col("cvec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = c0.select(nearest(col("cvec"), centroids).as("cid"),
+        posexplode(col("cvec")).as(Seq("pos", "x")))
+      val means = assigned.groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCid = means.groupBy(_._1)
+      centroids = centroids.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(ms) => ms.sortBy(_._2).map(_._3).toArray
+          case None     => centroids(cid) // empty list keeps its centroid
+        }
+      }.toArray
+    }
+
+    val indexed = c0.withColumn("cid", nearest(col("cvec"), centroids))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("probe", explode(slice(
+        transform(scoredLists(col("qvec"), centroids), s => s.getField("cid")), 1, nProbe)))
+    val cands = indexed.join(probes.withColumnRenamed("probe", "cid"), Seq("cid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH bucket with a per-table plane offset (table t uses planes
     * starting at bit t*nBits) so the `tables` bucketings are independent.
     */

@@ -46,6 +46,25 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("ivfTopK recall vs brute force is reasonable; probing all lists is exact") {
+    import org.apache.spark.sql.functions.col
+    val truth = groundTruthTopK(5, 10)
+    val ann = SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 3, iters = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = truth.map { case (q, top) =>
+      top.count(ann.getOrElse(q, Set.empty)).toDouble / top.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.4, s"mean recall $mean")
+    // probing every list = exact search
+    val full = SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 8, iters = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    truth.foreach { case (q, top) => assert(top.toSet == full(q), s"query $q") }
+  }
+
   test("lshTopK recall vs brute force is reasonable") {
     val truth = groundTruthTopK(5, 10)
     val ann = SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
