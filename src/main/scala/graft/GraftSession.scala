@@ -27,6 +27,14 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate duplicates the generator expression
+      // into a pre-Generate filter (size(e)>0 && isnotnull(e)). Every
+      // Generate in this engine explodes a freshly computed expensive
+      // array (shingles, band hashes), so the inferred filter re-runs
+      // the hot expression per row for no pruning benefit — Generate
+      // with outer=false already skips null/empty arrays.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
