@@ -106,19 +106,23 @@ object TextAnalysis {
     aggregate(tokens(c), lit(0L), (acc, t) => pmod(acc * B + abs(xxhash64(t)), lit(P)))
   }
 
-  /** One-call enrichment used by the `text_profile` query. */
+  /** One-call enrichment used by the `text_profile` query — the native
+    * one-pass [[graft.plans.TextProfile]] expression (the composable
+    * Column formulas above re-run the tokenize subtree once per output
+    * column; they remain available for à-la-carte use).
+    */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val p = call_function("graft_text_profile", col(textCol))
     graft.operators.Partitioning.ensureMinParallelism(docs).select(
       col(idCol),
-      tokenCount(t).as("n_tokens"),
-      subwordCount(t).as("n_subwords"),
-      length(t).as("n_chars_m"),
-      round(punctRatio(t), 6).as("punct_ratio"),
-      round(meanWordLen(t), 6).as("mean_word_len"),
-      qualityScore(t).as("quality"),
-      langId(t).as("lang_pred"),
-      fingerprint(t).as("fingerprint")
+      p.getField("n_tokens").as("n_tokens"),
+      p.getField("n_subwords").as("n_subwords"),
+      p.getField("n_chars_m").as("n_chars_m"),
+      p.getField("punct_ratio").as("punct_ratio"),
+      p.getField("mean_word_len").as("mean_word_len"),
+      p.getField("quality").as("quality"),
+      p.getField("lang_pred").as("lang_pred"),
+      p.getField("fingerprint").as("fingerprint")
     )
   }
 }

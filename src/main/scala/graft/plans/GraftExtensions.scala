@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_text_profile"),
+      new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_text_profile(text) takes one string argument")
+        TextProfile(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => {

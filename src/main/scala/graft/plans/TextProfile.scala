@@ -1,0 +1,150 @@
+package graft.plans
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text profiling (SURVEY.md §8: language ID, quality score,
+  * token counts, fingerprint) — the fused form of
+  * [[graft.operators.text.TextAnalysis]]'s Column formulas, which
+  * re-evaluate the tokenize subtree once per referencing output column
+  * (projection collapse re-inlines it, and HOF lambdas run
+  * interpreted). Semantics are bit-identical to the composable forms —
+  * the DuckDB oracle for `text_profile` covers both.
+  */
+object TextProfileUtil {
+
+  private val subwordRe = Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+  private val punctSet = ".,;:!?'\"()[]{}-".toSet
+  private val profiles: Array[(String, Set[String])] = Array(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Set("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  private def round6(x: Double): Double =
+    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  /** `lower(trim(regexp_replace(text, "\s+", " ")))` with Spark's exact
+    * semantics: whitespace-run collapse, space-only trim, ICU lowercase.
+    */
+  private def normalize(raw: String): String = {
+    val collapsed = raw.replaceAll("\\s+", " ")
+    var lo = 0
+    var hi = collapsed.length
+    while (lo < hi && collapsed.charAt(lo) == ' ') lo += 1
+    while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1
+    UTF8String.fromString(collapsed.substring(lo, hi)).toLowerCase.toString
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val raw = text.toString
+    val norm = normalize(raw)
+    val words = norm.split(" ", -1) // split("") == [""], like Spark's split
+
+    // n_tokens: 0 for space-trim-empty raw text (TextAnalysis.tokenCount)
+    val rawTrimEmpty = {
+      var lo = 0; var hi = raw.length
+      while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+      while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+      lo == hi
+    }
+    val nTokens = if (rawTrimEmpty) 0 else words.length
+
+    val lowerRaw = text.toLowerCase.toString
+    val m = subwordRe.matcher(lowerRaw)
+    var nSubwords = 0
+    while (m.find()) nSubwords += 1
+
+    val nChars = text.numChars()
+    var punct = 0
+    raw.foreach(ch => if (punctSet.contains(ch)) punct += 1)
+    val punctRatio = if (nChars == 0) 0.0 else punct.toDouble / nChars.toDouble
+
+    var sumLen = 0L
+    words.foreach(w => sumLen += w.codePointCount(0, w.length))
+    val meanWordLen = if (words.length == 0) 0.0 else sumLen.toDouble / words.length
+
+    val lenScore = math.min(nChars.toDouble / 500.0, 1.0)
+    val mwlScore = if (meanWordLen >= 3 && meanWordLen <= 10) 1.0 else 0.5
+    val quality = round6(
+      lenScore * 0.4 + (1.0 - math.min(punctRatio * 5.0, 1.0)) * 0.3 + mwlScore * 0.3)
+
+    var best = 0
+    var lang = "und"
+    profiles.foreach { case (l, set) =>
+      var score = 0
+      words.foreach(w => if (set.contains(w)) score += 1)
+      if (score > best) { best = score; lang = l } // first profile wins ties
+    }
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new StringBuilder(32)
+    digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
+
+    new GenericInternalRow(Array[Any](
+      nTokens, nSubwords, nChars,
+      round6(punctRatio), round6(meanWordLen), quality,
+      UTF8String.fromString(lang), UTF8String.fromString(hex.toString)))
+  }
+
+  /** Plans expand the struct into one column per field, and projection
+    * collapse may re-inline this expression once per field — a
+    * thread-local memo of the last (input, result) keeps the cost at one
+    * pass per row regardless of plan shape (the expression is pure).
+    */
+  private val memo = new ThreadLocal[(UTF8String, InternalRow)]
+
+  def computeMemo(text: UTF8String): InternalRow = {
+    val last = memo.get()
+    if (last != null && last._1.equals(text)) last._2
+    else {
+      val r = compute(text)
+      memo.set((text.clone(), r))
+      r
+    }
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("n_chars_m", IntegerType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("fingerprint", StringType, nullable = false)
+  ))
+}
+
+/** Native Catalyst expression: full text profile as one struct. */
+case class TextProfile(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_text_profile needs a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = TextProfileUtil.schema
+
+  override def prettyName: String = "graft_text_profile"
+
+  override def nullSafeEval(t: Any): Any =
+    TextProfileUtil.computeMemo(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextProfileUtil.computeMemo($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
