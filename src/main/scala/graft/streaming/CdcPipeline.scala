@@ -70,7 +70,8 @@ object CdcPipeline {
     * (reference GTID ledger, `applier_gtid_executed.go`).
     */
   def run(events: DataFrame, spec: ReplicationSpec, sink: UpsertSink,
-          checkpointDir: String, triggerMs: Long = 1000): StreamingQuery = {
+          checkpointDir: String, triggerMs: Long = 1000,
+          ddlHandler: Option[DdlBarrierEvent => Unit] = None): StreamingQuery = {
     val routed = events
       .filter(graft.operators.Relational.routeFilter(spec, col("db"), col("table")))
       .transform(df => graft.operators.Relational.opFilter(df, spec.skipOps))
@@ -81,12 +82,48 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        sink.applyBatch(batch, epochId)
+        applyWithDdlBarriers(batch, epochId, sink, ddlHandler)
         ()
       }
       .start()
   }
+
+  /** K5 — DDL as a serial barrier (reference `applier_incr.go:610-674` +
+    * MTS `WaitForAllCommitted`, `applier_mts.go:227-234`): rows before a
+    * DDL's seq are applied and committed first, the DDL runs alone on
+    * the driver (schema registry update / sink DDL execution /
+    * statement-cache invalidation — whatever the handler does), then
+    * later rows. DDL events are control-plane rare, so collecting them
+    * to the driver is the right plan; DML segments stay distributed.
+    */
+  def applyWithDdlBarriers(batch: DataFrame, epochId: Long,
+      sink: UpsertSink, ddlHandler: Option[DdlBarrierEvent => Unit]): Unit = {
+    val hasDdl = ddlHandler.isDefined &&
+      batch.columns.contains("op") && !batch.filter(col("op") === Op.Ddl).isEmpty
+    if (!hasDdl) { sink.applyBatch(batch, epochId); return }
+    val handler = ddlHandler.get
+    val ddls = batch.filter(col("op") === Op.Ddl)
+      .select(col("db"), col("table"), col("after"), col("seq"))
+      .orderBy(col("seq")).collect()
+    val dml = batch.filter(col("op") =!= Op.Ddl)
+    var lo = Long.MinValue
+    ddls.foreach { d =>
+      val seq = d.getLong(3)
+      val segment = dml.filter(col("seq") > lo && col("seq") < seq)
+      if (!segment.isEmpty) sink.applyBatch(segment, epochId)
+      handler(DdlBarrierEvent(d.getString(0), d.getString(1),
+        Option(d.getString(2)).getOrElse(""), seq))
+      lo = seq
+    }
+    val tail = dml.filter(col("seq") > lo)
+    if (!tail.isEmpty) sink.applyBatch(tail, epochId)
+  }
 }
+
+/** A DDL event at a batch barrier: the statement text travels in the
+  * CDC envelope's `after` field (Debezium's schema-change shape).
+  */
+case class DdlBarrierEvent(db: String, table: String, sql: String, seq: Long)
 
 /** Idempotent upsert sink — the Spark-native form of the reference's
   * applier (SURVEY.md §2.2 K2-K4, K7; §2.8 O4/O5).

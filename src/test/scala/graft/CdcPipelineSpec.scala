@@ -90,4 +90,44 @@ class CdcPipelineSpec extends SparkSpec {
       assert(keys == Set("a"))
     } finally q.stop()
   }
+
+  test("K5: DDL events act as serial barriers between DML segments") {
+    import spark.implicits._
+    import graft.streaming.{CdcPipeline, DdlBarrierEvent, UpsertSink}
+    // one batch: rows 1,2 | DDL@3 | row 4 | DDL@5 | row 6
+    val batch = Seq(
+      ("shop", "t", "c", "k1", null.asInstanceOf[String], 1L),
+      ("shop", "t", "c", "k2", null.asInstanceOf[String], 2L),
+      ("shop", "t", "ddl", "", "ALTER TABLE shop.t ADD COLUMN x INT", 3L),
+      ("shop", "t", "c", "k3", null.asInstanceOf[String], 4L),
+      ("shop", "t", "ddl", "", "ALTER TABLE shop.t DROP COLUMN x", 5L),
+      ("shop", "t", "c", "k4", null.asInstanceOf[String], 6L)
+    ).toDF("db", "table", "op", "key", "after", "seq")
+
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val recordingSink = new UpsertSink {
+      override def applyBatch(b: org.apache.spark.sql.DataFrame, e: Long): Unit = {
+        val seqs = b.select("seq").collect().map(_.getLong(0)).sorted.mkString(",")
+        log.synchronized { log += s"dml[$seqs]" }
+      }
+    }
+    val handler = (d: DdlBarrierEvent) => { log.synchronized { log += s"ddl@${d.seq}:${d.sql.take(20)}" }; () }
+    CdcPipeline.applyWithDdlBarriers(batch, 0L, recordingSink, Some(handler))
+    assert(log.toList == List(
+      "dml[1,2]", "ddl@3:ALTER TABLE shop.t A", "dml[4]",
+      "ddl@5:ALTER TABLE shop.t D", "dml[6]"), log.toList.toString)
+  }
+
+  test("K5: no DDL in batch -> single sink call, handler untouched") {
+    import spark.implicits._
+    import graft.streaming.{CdcPipeline, DdlBarrierEvent, UpsertSink}
+    val batch = Seq(("shop", "t", "c", "k1", null.asInstanceOf[String], 1L))
+      .toDF("db", "table", "op", "key", "after", "seq")
+    var calls = 0
+    val sink = new UpsertSink {
+      override def applyBatch(b: org.apache.spark.sql.DataFrame, e: Long): Unit = calls += 1
+    }
+    CdcPipeline.applyWithDdlBarriers(batch, 0L, sink, Some((_: DdlBarrierEvent) => fail("no DDL expected")))
+    assert(calls == 1)
+  }
 }
