@@ -84,13 +84,14 @@ class CdcFileSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val maxRows = Option(properties.get("maxOffsetsPerTrigger")).map(_.toLong)
-    new CdcFileTable(properties.get("path"), maxRows)
+    val startSeq = Option(properties.get("startSeq")).map(_.toLong).getOrElse(-1L)
+    new CdcFileTable(properties.get("path"), maxRows, startSeq)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class CdcFileTable(path: String, maxRowsPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead {
+class CdcFileTable(path: String, maxRowsPerTrigger: Option[Long] = None,
+    startSeq: Long = -1L) extends Table with SupportsRead {
   require(path != null, "graft CDC source requires .option(\"path\", dir)")
   override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcFileSource.schema
@@ -98,14 +99,15 @@ class CdcFileTable(path: String, maxRowsPerTrigger: Option[Long] = None)
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new CdcFileScan(path, maxRowsPerTrigger)
+      override def build(): Scan = new CdcFileScan(path, maxRowsPerTrigger, startSeq)
     }
 }
 
-class CdcFileScan(path: String, maxRowsPerTrigger: Option[Long] = None) extends Scan {
+class CdcFileScan(path: String, maxRowsPerTrigger: Option[Long] = None,
+    startSeq: Long = -1L) extends Scan {
   override def readSchema(): StructType = CdcFileSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, maxRowsPerTrigger)
+    new CdcMicroBatchStream(path, maxRowsPerTrigger, startSeq)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       CdcFileSource.listSegments(path)
@@ -119,9 +121,16 @@ case class CdcOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class CdcMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long] = None)
+class CdcMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long] = None,
+    startSeq: Long = -1L)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  override def initialOffset(): Offset = CdcOffset(-1L)
+  /** S5 — the snapshot->stream handoff: a fresh query (no checkpoint)
+    * starts at the recorded snapshot watermark instead of the epoch
+    * (reference `extractor.go:301-316`: binlog reader starts at the
+    * snapshot coordinates). Checkpointed restarts ignore this and
+    * resume from the offset log.
+    */
+  override def initialOffset(): Offset = CdcOffset(startSeq)
 
   // Trigger.AvailableNow: pin the stream end at start-of-query so the
   // bounded run drains exactly what existed, in rate-limited batches.

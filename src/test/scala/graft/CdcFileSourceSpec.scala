@@ -94,4 +94,30 @@ class CdcFileSourceSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(state == Map("k1" -> 1L, "k2" -> 5L)) // k3 deleted, other.t routed out
   }
+
+  test("S5: snapshot -> stream handoff starts at the recorded watermark") {
+    import graft.model.TableSpec
+    val work = java.nio.file.Files.createTempDirectory("graft-s5").toString
+    val streamDir = s"$work/stream"
+    // the change stream contains history BEFORE the snapshot point too
+    CdcFileSource.writeSegment(streamDir, (1L to 8L).map(s => ev(s)), 1, 8)
+
+    // 1. consistent snapshot of a source table, recording the watermark
+    val runner = new JobRunner(spark, graft.model.ReplicationSpec())
+    val src = Tables.load(spark, sf, "orders").limit(100)
+      .withColumn("seq", org.apache.spark.sql.functions.lit(5L)) // snapshot taken at seq 5
+    val snap = runner.snapshot(src, TableSpec("shop", "orders"), Seq("o_orderkey"), 4,
+      s"$work/snap", seqCol = Some("seq"))
+    assert(snap.watermark == 5L)
+
+    // 2. incremental phase starts at the watermark: only seq 6-8 flow
+    val q = spark.readStream.format(fmt).option("path", streamDir)
+      .option("startSeq", snap.watermark.toString).load()
+      .writeStream.format("memory").queryName("handoff").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val seqs = spark.table("handoff").select("seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.sameElements(Array(6L, 7L, 8L)), seqs.mkString(","))
+    } finally q.stop()
+  }
 }
