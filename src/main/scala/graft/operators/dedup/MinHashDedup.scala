@@ -23,7 +23,11 @@ object MinHashDedup {
 
   private val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
 
-  private def perm(i: Int, h: Column): Column = {
+  /** Declarative permutation — retained as the independent reference
+    * formulation that DedupSpec checks [[graft.functions.MinHashSigAgg]]
+    * against bit-for-bit.
+    */
+  private[graft] def perm(i: Int, h: Column): Column = {
     val a = 2L * (1103515245L * (i + 1) + 12345L) + 1L // fixed odd multiplier
     val b = 1103515245L * (i + 7919) + 104729L
     pmod(h * a + b, lit(P))
@@ -31,12 +35,15 @@ object MinHashDedup {
 
   /** Docs → (doc_id, k-permutation signature, n_shingles).
     *
-    * Shape: explode distinct shingles → hash each ONCE → k `min` partial
-    * aggregates folded map-side, one shuffle of k longs per doc. The
-    * tempting all-in-row alternative (k × `array_min(transform(...))`)
-    * is quadratic in practice: Catalyst's projection collapse re-inlines
-    * the shingle-generation expression into every one of the k branches,
-    * so shingling runs k+1 times per row (measured 60× slower at sf0.01).
+    * Shape: explode distinct shingles → hash each ONCE → fold through
+    * the single imperative [[graft.functions.MinHashSigAgg]] (map-side
+    * partial fold, one shuffle of k longs per doc). The earlier k
+    * separate `min(pmod(...))` aggregate columns produced the same
+    * values but cost k buffers and a multi-second Janino compile of
+    * the k-wide generated aggregate per cold query; the all-in-row
+    * alternative (k × `array_min(transform(...))`) is quadratic —
+    * projection collapse re-inlines shingling into every branch
+    * (measured 60× slower at sf0.01).
     * Permutation i: h_i(x) = (a_i * x + b_i) mod p with fixed odd a_i.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
@@ -45,13 +52,11 @@ object MinHashDedup {
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
       .select(col("doc_id"), abs(xxhash64(col("shingle"))).as("h"))
-    val minAggs = (0 until k).map(i => min(perm(i, col("h"))).as(s"__m$i"))
     hashed
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), minAggs: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"),
-        col("n_shingles"))
+      .agg(count(lit(1)).as("n_shingles"),
+        graft.functions.MinHashSigAgg.column(col("h"), k).as("sig"))
+      .select(col("doc_id"), col("sig"), col("n_shingles"))
   }
 
   /** Ordered intra-bucket pairs via two chained `explode`s (both fully

@@ -21,6 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigAgg].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhash_sig(h, k) takes a long column and an int literal")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_minhash_sig: k must be an int literal, got $other")
+        }
+        graft.functions.MinHashSigAgg(children.head, k)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_text_profile"),
       new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
       (children: Seq[Expression]) => {

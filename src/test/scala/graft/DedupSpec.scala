@@ -86,4 +86,22 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.keepList(d, "doc_id", pairs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("MinHashSigAgg matches the declarative k-min formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val k = 16
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val hashed = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), abs(xxhash64(col("s"))).as("h"))
+      .cache()
+    val viaAgg = hashed.groupBy("doc_id")
+      .agg(graft.functions.MinHashSigAgg.column(col("h"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val minCols = (0 until k).map(i => min(MinHashDedup.perm(i, col("h"))).as(s"m$i"))
+    val viaMins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_)).toList).toMap
+    hashed.unpersist()
+    assert(viaAgg == viaMins)
+  }
 }
