@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Partitioning helpers shared by CPU-heavy operators.
   *
@@ -15,5 +16,25 @@ object Partitioning {
   def ensureMinParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Salted two-level aggregation for skewed grouping keys (SURVEY.md
+    * §4: "skewed keys → salting or AQE skew-join"). A key holding a
+    * large fraction of a 100 TB table turns `groupBy(key)` into one
+    * straggler task; salting splits it into `nSalts` sub-groups
+    * aggregated in parallel, then folds the partials.
+    *
+    * The caller provides the aggregate in two pieces — per-salt partial
+    * and final fold — because only the caller knows the decomposition
+    * (sum→sum, count→sum, min→min, ...). Plain aggregates that Spark
+    * already map-side-combines don't need this; use it when the
+    * per-group state is heavy (collect_list buckets, sketch buffers).
+    */
+  def saltedAggregate(df: DataFrame, keyCol: String, nSalts: Int)(
+      partial: (org.apache.spark.sql.RelationalGroupedDataset) => DataFrame,
+      fold: (org.apache.spark.sql.RelationalGroupedDataset) => DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts)))
+    val partials = partial(salted.groupBy(col(keyCol), col("__salt")))
+    fold(partials.groupBy(col(keyCol)))
   }
 }
