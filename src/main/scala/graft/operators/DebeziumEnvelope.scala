@@ -89,4 +89,27 @@ object DebeziumEnvelope {
         col("db"), col("table"), col("originServerId"), col("seq")).as("value"),
       topic(topicPrefix, col("db"), col("table")).as("topic")
     )
+
+  /** Decode a Debezium envelope stream (e.g. `spark.readStream
+    * .format("kafka")`'s `value`) back into the engine's CDC frame —
+    * the consumer side of S1's "Kafka+Debezium topic read" deployment
+    * (SURVEY §2.1). `before`/`after` stay RAW JSON text
+    * (`get_json_object` returns the object's source text), i.e.
+    * schema-on-read like [[graft.sources.CdcFileSource]] — the payload
+    * schema can drift mid-stream without breaking the plan (SURVEY §7.4
+    * hard part 3).
+    */
+  def decode(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    raw.select(
+      get_json_object(v, "$.source.db").as("db"),
+      get_json_object(v, "$.source.table").as("table"),
+      get_json_object(v, "$.op").as("op"),
+      get_json_object(v, "$.before").as("before"),
+      get_json_object(v, "$.after").as("after"),
+      get_json_object(v, "$.ts_ms").cast("long").as("ts_ms"),
+      get_json_object(v, "$.source.server_id").as("origin_server_id"),
+      get_json_object(v, "$.source.pos").cast("long").as("seq")
+    )
+  }
 }

@@ -49,4 +49,21 @@ class DebeziumEnvelopeSpec extends SparkSpec {
     val empty = batch.filter(lit(false))
     assert(LagMetrics.delayOf(empty, "ts", 1L).isEmpty)
   }
+
+  test("decode(encode(x)) round-trips the envelope") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cdc = Seq(
+      ("shop", "t", "c", 42L, "srv-1", 7L, "k1", "v1"),
+      ("shop", "t", "d", 43L, "srv-2", 8L, "k2", null.asInstanceOf[String])
+    ).toDF("db", "table", "op", "tsMillis", "originServerId", "seq", "pk", "payload")
+      .withColumn("before", when(col("op") === "d", struct(col("pk"), col("payload"))))
+      .withColumn("after", when(col("op") =!= "d", struct(col("pk"), col("payload"))))
+    val encoded = DebeziumEnvelope.encode(cdc, Seq("pk"), "graft")
+    val decoded = DebeziumEnvelope.decode(encoded)
+      .select("db", "table", "op", "ts_ms", "origin_server_id", "seq", "after")
+      .as[(String, String, String, Long, String, Long, String)].collect().sortBy(_._6)
+    assert(decoded(0) == (("shop", "t", "c", 42L, "srv-1", 7L, """{"pk":"k1","payload":"v1"}""")))
+    assert(decoded(1)._3 == "d" && decoded(1)._7 == null) // delete: after absent
+  }
 }
