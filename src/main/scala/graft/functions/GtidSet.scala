@@ -87,5 +87,15 @@ object GtidSetAgg extends Aggregator[Long, IntervalSet, String] {
   def outputEncoder: Encoder[String] = Encoders.STRING
 
   import org.apache.spark.sql.{Column, functions => F}
-  def column(gno: Column): Column = F.udaf(this).apply(gno)
+
+  /** The production path: [[GtidSetImpAgg]] (buffer stays a JVM object;
+    * the udaf/Aggregator form re-encodes it per row). Registered as
+    * `graft_gtid_set` by GraftExtensions.
+    */
+  def column(gno: Column): Column = F.call_function("graft_gtid_set", gno)
+
+  /** Encoder-based reference form — GtidSetSpec checks the imperative
+    * aggregate against it on random inputs.
+    */
+  def columnViaEncoder(gno: Column): Column = F.udaf(this).apply(gno)
 }

@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_gtid_set"),
+      new ExpressionInfo(classOf[graft.functions.GtidSetImpAgg].getName, "graft_gtid_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_gtid_set(gno) takes one long column")
+        graft.functions.GtidSetImpAgg(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigAgg].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => {

@@ -51,4 +51,23 @@ class GtidSetSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("a" -> "1-4", "b" -> "7-8"))
   }
+
+  test("GtidSetImpAgg matches the encoder-based Aggregator on random GNO streams") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map(_ => (rnd.nextInt(20).toLong, (rnd.nextInt(400) + 1).toLong))
+    val df = rows.toDF("sid", "gno").repartition(8)
+    val imp = df.groupBy("sid").agg(GtidSetAgg.column(col("gno")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val ref = df.groupBy("sid").agg(GtidSetAgg.columnViaEncoder(col("gno")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(imp == ref)
+    // dense run collapses to one interval
+    val dense = (1L to 1000L).map(g => (1L, g)).toDF("sid", "gno")
+    val one = dense.groupBy("sid").agg(GtidSetAgg.column(col("gno")).as("s"))
+      .as[(Long, String)].collect().head._2
+    assert(one == "1-1000")
+  }
 }
