@@ -459,6 +459,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // transitive dedup clusters over the ngram near-dup pair graph
+      // (min-label propagation to fixpoint; oracle = recursive CTE)
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 50)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("node"))
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       // no DuckDB oracle (xxhash64 sketch) — accuracy asserted in
       // MinHashDedupSpec against brute-force Jaccard
@@ -791,6 +800,25 @@ object SparkEntry {
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT id_a, id_b FROM p WHERE common / (na + nb - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+        |)
+        |SELECT node, MIN(label) AS cluster FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     "emb_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

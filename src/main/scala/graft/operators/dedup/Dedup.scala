@@ -85,4 +85,41 @@ object Dedup {
     val drop = pairs.select(col("id_b").as("drop_id")).distinct()
     docs.join(drop, col(idCol) === col("drop_id"), "left_anti")
   }
+
+  /** Full transitive dedup clusters: min-label propagation over the
+    * near-dup pair graph until fixpoint (bounded by `maxIters` —
+    * iterations needed = graph diameter, and near-dup graphs are
+    * shallow). Each iteration is one hash join + aggregate;
+    * `localCheckpoint` truncates the growing lineage so iteration N
+    * doesn't replan/replay iterations 1..N-1 — the standard iterative-
+    * algorithm discipline on Spark. Output: (node, cluster) where
+    * cluster = min doc id reachable through pairs.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val nbr = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_cluster"))
+      val updated = labels.join(nbr, labels("node") === nbr("src"), "left")
+        .select(labels("node"),
+          least(labels("cluster"), coalesce(col("nbr_cluster"), labels("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val noChange = updated.as("u")
+        .join(labels.withColumnRenamed("cluster", "old").as("l"), "node")
+        .filter(col("cluster") =!= col("old"))
+        .isEmpty
+      labels = updated
+      converged = noChange
+      i += 1
+    }
+    labels
+  }
 }

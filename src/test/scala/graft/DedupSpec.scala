@@ -104,4 +104,16 @@ class DedupSpec extends SparkSpec {
     hashed.unpersist()
     assert(viaAgg == viaMins)
   }
+
+  test("connectedComponents: transitive closure over a chain and a cycle") {
+    import spark.implicits._
+    // chain 1-2-3-4, cycle 10-11-12-10, singleton pair 20-21
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(10L,11L),(11L,12L),(12L,10L),(20L,21L))
+      .toDF("id_a","id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L)==1L && cc(2L)==1L && cc(3L)==1L && cc(4L)==1L)
+    assert(cc(10L)==10L && cc(11L)==10L && cc(12L)==10L)
+    assert(cc(20L)==20L && cc(21L)==20L)
+  }
 }
