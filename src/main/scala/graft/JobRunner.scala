@@ -80,7 +80,7 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
       .agg(max_by(col(opCol), col(seqCol)).as("last_op"))
       .filter(col("last_op") === "d").select(col(keyCol))
     snapshotState.join(touched, Seq(keyCol), "left_anti")
-      .unionByName(finalState.select(snapshotState.columns.map(col): _*), allowMissingColumns = true)
+      .unionByName(finalState.select(snapshotState.columns.toIndexedSeq.map(col): _*), allowMissingColumns = true)
       .join(deleted, Seq(keyCol), "left_anti")
   }
 }

@@ -110,15 +110,12 @@ object SimilaritySearch {
     import org.apache.spark.sql.Column
     val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
 
-    def centroidLit(cs: Array[Array[Double]]): Column =
-      array(cs.map(cv => array(cv.map(lit): _*)): _*)
-
     /** (cosine, idx) structs against every centroid — argmax/top-probe
       * both read off this array.
       */
     def scoredLists(vec: Column, cs: Array[Array[Double]]): Column =
       sort_array(array(cs.indices.map(i =>
-        struct(cosineNative(vec, array(cs(i).map(lit): _*)).as("cos"),
+        struct(cosineNative(vec, array(cs(i).toIndexedSeq.map(lit): _*)).as("cos"),
           lit(i).as("cid"))): _*), asc = false)
 
     def nearest(vec: Column, cs: Array[Array[Double]]): Column =
