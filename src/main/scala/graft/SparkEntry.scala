@@ -370,6 +370,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "s9_snapshot_chunks" -> ((s, dir) => {
+      // S9 — Oracle AS-OF-SCN snapshot chunk planning: the rownum-window
+      // JDBC dbtable subqueries, one per partition (golden text
+      // parameterized by the live row count).
+      import s.implicits._
+      import graft.sources.RedoSqlParser
+      val total = t(s, dir, "orders").count()
+      RedoSqlParser.snapshotChunks("SHOP", "ORDERS", 12345L, total, 5000)
+        .zipWithIndex.map { case (sql, i) => (i, sql) }
+        .toDF("chunk_idx", "chunk_sql")
+        .orderBy(col("chunk_idx"))
+    }),
+
     "s8_redo_parse" -> ((s, dir) => {
       // S8 — Oracle LogMiner redo SQL → rows: redo statements are
       // synthesized from orders (insert/update/delete by key mod 3),
@@ -710,6 +723,14 @@ object SparkEntry {
       """SELECT event_id, user_id FROM events
         |WHERE event_id BETWEEN 1 AND 4999 OR event_id BETWEEN 6001 AND 7000
         |ORDER BY event_id""".stripMargin,
+
+    "s9_snapshot_chunks" ->
+      """WITH n AS (SELECT COUNT(*) AS total FROM orders),
+        |i AS (SELECT unnest(range(CAST(ceil(total / 5000.0) AS INT))) AS idx FROM n)
+        |SELECT CAST(idx AS INT) AS chunk_idx,
+        |'(SELECT * FROM (SELECT t.*, ROWNUM rn FROM "SHOP"."ORDERS" AS OF SCN 12345 t WHERE ROWNUM <= '
+        |  || ((idx + 1) * 5000) || ') WHERE rn > ' || (idx * 5000) || ')' AS chunk_sql
+        |FROM i ORDER BY chunk_idx""".stripMargin,
 
     "s8_redo_parse" ->
       """SELECT o_orderkey, 'SHOP' AS schema_name, 'ORDERS' AS table_name,

@@ -85,13 +85,14 @@ class CdcFileSource extends TableProvider {
                         properties: JMap[String, String]): Table = {
     val maxRows = Option(properties.get("maxOffsetsPerTrigger")).map(_.toLong)
     val startSeq = Option(properties.get("startSeq")).map(_.toLong).getOrElse(-1L)
-    new CdcFileTable(properties.get("path"), maxRows, startSeq)
+    val permissive = "permissive".equalsIgnoreCase(properties.getOrDefault("mode", "failfast"))
+    new CdcFileTable(properties.get("path"), maxRows, startSeq, permissive)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
 
 class CdcFileTable(path: String, maxRowsPerTrigger: Option[Long] = None,
-    startSeq: Long = -1L) extends Table with SupportsRead {
+    startSeq: Long = -1L, permissive: Boolean = false) extends Table with SupportsRead {
   require(path != null, "graft CDC source requires .option(\"path\", dir)")
   override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcFileSource.schema
@@ -99,19 +100,19 @@ class CdcFileTable(path: String, maxRowsPerTrigger: Option[Long] = None,
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new CdcFileScan(path, maxRowsPerTrigger, startSeq)
+      override def build(): Scan = new CdcFileScan(path, maxRowsPerTrigger, startSeq, permissive)
     }
 }
 
 class CdcFileScan(path: String, maxRowsPerTrigger: Option[Long] = None,
-    startSeq: Long = -1L) extends Scan {
+    startSeq: Long = -1L, permissive: Boolean = false) extends Scan {
   override def readSchema(): StructType = CdcFileSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, maxRowsPerTrigger, startSeq)
+    new CdcMicroBatchStream(path, maxRowsPerTrigger, startSeq, permissive)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       CdcFileSource.listSegments(path)
-        .map { case (_, _, f) => CdcInputPartition(f, Long.MinValue, Long.MaxValue) }
+        .map { case (_, _, f) => CdcInputPartition(f, Long.MinValue, Long.MaxValue, permissive) }
         .toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
   }
@@ -122,7 +123,7 @@ case class CdcOffset(seq: Long) extends Offset {
 }
 
 class CdcMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long] = None,
-    startSeq: Long = -1L)
+    startSeq: Long = -1L, permissive: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   /** S5 — the snapshot->stream handoff: a fresh query (no checkpoint)
     * starts at the recorded snapshot watermark instead of the epoch
@@ -167,7 +168,7 @@ class CdcMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long] = None,
     val hi = end.asInstanceOf[CdcOffset].seq
     CdcFileSource.listSegments(path)
       .filter { case (fLo, fHi, _) => fHi > lo && fLo <= hi }
-      .map { case (_, _, f) => CdcInputPartition(f, lo, hi) }
+      .map { case (_, _, f) => CdcInputPartition(f, lo, hi, permissive) }
       .toArray[InputPartition]
   }
 
@@ -177,18 +178,23 @@ class CdcMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long] = None,
   override def stop(): Unit = ()
 }
 
-case class CdcInputPartition(file: String, startExclusive: Long, endInclusive: Long)
-  extends InputPartition
+case class CdcInputPartition(file: String, startExclusive: Long, endInclusive: Long,
+    permissive: Boolean = false) extends InputPartition
 
 class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
-    new CdcPartitionReader(p.file, p.startExclusive, p.endInclusive)
+    new CdcPartitionReader(p.file, p.startExclusive, p.endInclusive, p.permissive)
   }
 }
 
-class CdcPartitionReader(file: String, startExclusive: Long, endInclusive: Long)
-  extends PartitionReader[InternalRow] {
+/** `permissive` skips malformed lines instead of failing the task —
+  * the reference logs-and-continues on unparseable redo SQL
+  * (`log_miner.go` parse error paths); fail-fast is the default so
+  * corruption is loud unless the operator opts in.
+  */
+class CdcPartitionReader(file: String, startExclusive: Long, endInclusive: Long,
+    permissive: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val lines = scala.io.Source.fromFile(file, "UTF-8")
@@ -200,9 +206,13 @@ class CdcPartitionReader(file: String, startExclusive: Long, endInclusive: Long)
     while (row == null && it.hasNext) {
       val line = it.next()
       if (line.nonEmpty) {
-        val n = mapper.readTree(line)
-        val seq = n.get("seq").asLong()
-        if (seq > startExclusive && seq <= endInclusive) row = toRow(n)
+        try {
+          val n = mapper.readTree(line)
+          val seq = n.get("seq").asLong()
+          if (seq > startExclusive && seq <= endInclusive) row = toRow(n)
+        } catch {
+          case e: Exception if permissive => () // skip malformed line
+        }
       }
     }
     row != null

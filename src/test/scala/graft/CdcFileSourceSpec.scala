@@ -120,4 +120,13 @@ class CdcFileSourceSpec extends SparkSpec {
       assert(seqs.sameElements(Array(6L, 7L, 8L)), seqs.mkString(","))
     } finally q.stop()
   }
+
+  test("permissive mode skips malformed lines; failfast raises") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-perm").toString
+    CdcFileSource.writeSegment(dir, Seq(ev(1), "{not json", ev(2), """{"no_seq":true}"""), 1, 2)
+    val ok = spark.read.format(fmt).option("path", dir).option("mode", "permissive").load()
+    assert(ok.count() == 2)
+    val strict = spark.read.format(fmt).option("path", dir).load()
+    intercept[org.apache.spark.SparkException] { strict.count() }
+  }
 }

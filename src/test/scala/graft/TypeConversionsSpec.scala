@@ -60,4 +60,14 @@ class TypeConversionsSpec extends SparkSpec {
       Array[Byte](0, 0, 0, 0, 0, 0, 0x30, 0x39))
     assert(got == expected)
   }
+
+  test("C9: latin1 bytes transcode to UTF-8 strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val latin1 = "café señor".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val df = Seq(Tuple1(latin1)).toDF("raw")
+    val out = df.select(TypeConversions.transcodeToUtf8(col("raw"), "ISO-8859-1").as("s"))
+      .as[String].head()
+    assert(out == "café señor")
+  }
 }
