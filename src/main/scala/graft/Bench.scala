@@ -28,6 +28,12 @@ object Bench {
         .withColumn("rn", row_number().over(Window.partitionBy(col("id") % 7).orderBy(col("id"))))
         .groupBy(col("rn")).agg(count(lit(1)), min(md5(regexp_replace(col("s"), "\\s+", " "))))
         .write.format("noop").mode("overwrite").save()
+      // decimal hash-agg + range-partitioned sort operator classes
+      spark.range(100)
+        .groupBy(col("id") % 5)
+        .agg(sum(col("id").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("d"))
+        .orderBy(col("d"))
+        .write.format("noop").mode("overwrite").save()
     }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
