@@ -13,11 +13,21 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong` it reads as a nanos long —
     * convert back to TimestampType (µs, truncating) so downstream
     * event-time code is uniform.
+    *
+    * Loads are memoized per (session, dir, table): a pathless
+    * `spark.read.parquet` runs a footer/schema-inference job every
+    * call (~0.5 s), which a catalog would do once — reuse the resolved
+    * DataFrame exactly as a catalog table reuses its schema. The
+    * fixtures are immutable, so the memo cannot go stale.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, sfDir, name), { _ =>
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 }
