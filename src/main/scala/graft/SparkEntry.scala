@@ -542,6 +542,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "stats_profile" -> ((s, dir) => {
+      // column-level profiling in one scan (training-data quality
+      // surface): row/null/distinct counts + min/max per column
+      graft.operators.TableStats.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column_name"))
+    }),
+
     // ----- beyond-parity: multimodal plumbing -----
 
     "mm_features" -> ((s, dir) => {
@@ -863,6 +871,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "stats_profile" ->
+      """SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_val, CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |  COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority), CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |ORDER BY column_name""".stripMargin,
 
     "text_profile" ->
       """WITH base AS (SELECT doc_id, text,

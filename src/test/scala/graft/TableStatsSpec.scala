@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableStats
+import graft.sinks.PartitionedWriter
+
+class TableStatsSpec extends SparkSpec {
+
+  test("profile computes per-column stats in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(10)), (2L, "b", None), (3L, "a", Some(30))
+    ).toDF("id", "tag", "v")
+    val p = TableStats.profile(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(p("tag") == ((3L, 0L, 2L, "a", "b")))
+    assert(p("v") == ((3L, 1L, 2L, "10", "30")))
+  }
+
+  test("profile plan has exactly one scan of the input") {
+    val df = Tables.load(spark, sf, "orders")
+    val plan = TableStats.profile(df, Seq("o_orderkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan.take(500))
+  }
+
+  test("partitioned writer: one file per partition value, round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
+    val docs = Tables.load(spark, sf, "documents")
+    PartitionedWriter.write(docs, out, Seq("lang"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val dir = new java.io.File(s"$out/lang=$l")
+      assert(dir.isDirectory, s"missing partition dir for $l")
+      val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"expected 1 file for lang=$l, got $files")
+    }
+  }
+
+  test("partitioned writer bounds file size on a hot partition") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-part2").toString + "/t"
+    val hot = spark.range(10000).select(lit("x").as("k"), col("id")).repartition(8)
+    PartitionedWriter.write(hot, out, Seq("k"), maxRecordsPerFile = 3000)
+    val files = new java.io.File(s"$out/k=x").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 4, s"got $files files")
+    assert(spark.read.parquet(out).count() == 10000)
+  }
+}
