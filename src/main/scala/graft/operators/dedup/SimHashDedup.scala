@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object SimHashDedup {
 
-  /** 64-bit simhash of a token array, as a long column. */
-  def simhash(tokens: Column): Column = {
+  /** 64-bit simhash of a token array — the native one-pass
+    * [[graft.plans.SimHash64]] expression (registered by GraftSession).
+    */
+  def simhash(tokens: Column): Column =
+    call_function("graft_simhash64", tokens)
+
+  /** Composable HOF reference formulation — retained so DedupSpec can
+    * assert the native expression matches it bit-for-bit.
+    */
+  private[graft] def simhashViaHof(tokens: Column): Column = {
     val hashed = transform(tokens, t => xxhash64(t))
     // votes[b] = sum of (bit b set ? 1 : -1) over token hashes
     val votes = aggregate(
@@ -50,7 +58,7 @@ object SimHashDedup {
     * maxDist < blocks.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+                   maxDist: Int = 3, blocks: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val fps = fingerprints(docs, idCol, textCol)
     val bits = 64 / blocks
     val chunked = fps.select(
@@ -60,15 +68,16 @@ object SimHashDedup {
           shiftrightunsigned(col("fingerprint"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
       ).as(Seq("block_idx", "block_val"))
     )
-    val a = chunked.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("id_a"), col("fingerprint").as("fp_a"))
-    val b = chunked.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("id_b"), col("fingerprint").as("fp_b"))
-    a.join(b, Seq("block_idx", "block_val"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+    // one groupBy shuffle (capped buckets — stop-content guard), pairs
+    // emitted via chained codegen'd explodes, like the other dedup ops
+    val buckets = chunked
+      .groupBy(col("block_idx"), col("block_val"))
+      .agg(collect_list(struct(col("doc_id"), col("fingerprint"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    MinHashDedup.explodePairs(buckets, "members")
+      .withColumn("hamming", bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))))
       .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 }

@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash64(tokens) takes one array<string> argument")
+        SimHash64(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_gtid_set"),
       new ExpressionInfo(classOf[graft.functions.GtidSetImpAgg].getName, "graft_gtid_set"),
       (children: Seq[Expression]) => {

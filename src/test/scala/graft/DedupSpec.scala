@@ -116,4 +116,14 @@ class DedupSpec extends SparkSpec {
     assert(cc(10L)==10L && cc(11L)==10L && cc(12L)==10L)
     assert(cc(20L)==20L && cc(21L)==20L)
   }
+
+  test("native SimHash64 matches the HOF reference formulation bit-for-bit") {
+    import spark.implicits._
+    val both = Tables.load(spark, sf, "documents").limit(200)
+      .select(col("doc_id"),
+        SimHashDedup.simhash(split(Dedup.normText(col("text")), " ")).as("native"),
+        SimHashDedup.simhashViaHof(split(Dedup.normText(col("text")), " ")).as("ref"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.forall { case (_, n, r) => n == r })
+  }
 }
