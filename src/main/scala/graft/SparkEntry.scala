@@ -501,6 +501,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "emb_lsh_pairs" -> ((s, dir) => {
+      // LSH-bucketed near-dup embedding pairs — the scale path for
+      // emb_cosine_pairs; recall < 1 by construction → rows-only
+      // (SimilaritySearchSpec asserts precision = 1 vs brute force)
+      SimilaritySearch.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, nBits = 8, tables = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ----- beyond-parity: similarity search -----
 
     "sim_topk" -> ((s, dir) => {
