@@ -551,6 +551,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_curate" -> ((s, dir) => {
+      // flagship composition: profile gate -> exact dedup -> near-dup
+      // clustering -> representatives; every stage oracle-expressible
+      graft.operators.TrainingDataPipeline.curate(
+          t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, jaccardThreshold = 0.5, maxShingleDf = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     "stats_profile" -> ((s, dir) => {
       // column-level profiling in one scan (training-data quality
       // surface): row/null/distinct counts + min/max per column
@@ -880,6 +889,54 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
+        |sc AS (SELECT doc_id, text, norm, words,
+        |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |  len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(words, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(words, t -> t IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |  len(list_filter(words, t -> t IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |FROM w),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
+        |FROM sc),
+        |prof AS (SELECT doc_id, words,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
+        |  md5(norm) AS fingerprint
+        |FROM m),
+        |gated AS (SELECT * FROM prof WHERE quality >= 0.5 AND lang_pred <> 'und'),
+        |uniq AS (SELECT * FROM gated QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)),
+        |s2 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM uniq),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s2 WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT id_a, id_b FROM p WHERE common / (na + nb - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node
+        |),
+        |cc AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+        |drops AS (SELECT node FROM cc WHERE node <> cluster)
+        |SELECT u.doc_id, u.lang_pred, u.quality FROM uniq u
+        |LEFT JOIN drops d ON u.doc_id = d.node WHERE d.node IS NULL
+        |ORDER BY u.doc_id""".stripMargin,
 
     "stats_profile" ->
       """SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,

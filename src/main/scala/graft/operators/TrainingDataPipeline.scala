@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.dedup.Dedup
+import graft.operators.text.TextAnalysis
+
+/** The end-to-end training-data curation flow (SURVEY.md §8), composed
+  * from the engine's verified operators:
+  *
+  *   1. profile + quality/language gate (one-pass TextProfile);
+  *   2. exact dedup on the normalized-content fingerprint
+  *      (min-id representative per hash — one shuffle);
+  *   3. near-dup pair detection among survivors (n-gram Jaccard,
+  *      capped-bucket candidate generation);
+  *   4. transitive clustering (min-label propagation);
+  *   5. keep one representative per cluster (the min id).
+  *
+  * Everything stays declarative, so Catalyst pipelines the gate into
+  * the scan and the whole flow is ~4 key-partitioned shuffles plus the
+  * clustering iterations.
+  */
+object TrainingDataPipeline {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
+             shingleN: Int = 3, maxShingleDf: Int = 1000): DataFrame = {
+    // 1. profile gate
+    val prof = TextAnalysis.profile(docs, idCol, textCol)
+      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    val gated = docs.select(col(idCol), col(textCol))
+      .join(prof.select(col(idCol), col("quality"), col("lang_pred"), col("fingerprint")), idCol)
+
+    // 2. exact dedup: min id per content fingerprint
+    val uniq = gated
+      .withColumn("__keep", min(col(idCol)).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+
+    // 3.+4. near-dup clusters among exact-unique survivors
+    val pairs = Dedup.ngramJaccardPairs(uniq, idCol, textCol,
+      n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+    val dropIds = Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("__drop"))
+
+    // 5. keep cluster representatives (and everything unpaired)
+    uniq.join(dropIds, uniq(idCol) === dropIds("__drop"), "left_anti")
+      .select(col(idCol), col("lang_pred"), col("quality"))
+  }
+}
