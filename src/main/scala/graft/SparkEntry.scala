@@ -439,6 +439,18 @@ object SparkEntry {
       ).toDF("stmt_kind", "sql").orderBy(col("stmt_kind"))
     }),
 
+    "o4_writeset_multi" -> ((s, dir) => {
+      // full O4: dependency = max predecessor across BOTH key
+      // dimensions; FK-parent rows ('error' here) are serial barriers
+      CdcBatch.writesetDependenciesMulti(
+          t(s, dir, "events")
+            .withColumn("k2", pmod(floor(col("value")).cast("long"), lit(7)))
+            .withColumn("is_fk_parent", col("event_type") === "error"),
+          Seq("user_id", "k2"), "event_id", barrierCol = Some("is_fk_parent"))
+        .select(col("event_id"), col("user_id"), col("k2"), col("last_committed"))
+        .orderBy(col("event_id"))
+    }),
+
     "k6_debezium" -> ((s, dir) => {
       val cdc = asChangeLog(t(s, dir, "events")).select(
         lit("shop").as("db"),
@@ -816,6 +828,17 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM f)
          |SELECT table_id, op, MIN(event_id) AS first_seq, MAX(event_id) AS last_seq, COUNT(*) AS n_rows
          |FROM g GROUP BY table_id, run, op ORDER BY table_id, first_seq""".stripMargin,
+
+    "o4_writeset_multi" ->
+      """WITH c AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(value) AS BIGINT) % 7 AS k2 FROM events)
+        |SELECT event_id, user_id, k2,
+        |  CASE WHEN event_type = 'error' THEN event_id - 1
+        |       ELSE greatest(
+        |         coalesce(lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id), -1),
+        |         coalesce(lag(event_id) OVER (PARTITION BY k2 ORDER BY event_id), -1))
+        |  END AS last_committed
+        |FROM c ORDER BY event_id""".stripMargin,
 
     "o4_writeset" ->
       """SELECT event_id, user_id,

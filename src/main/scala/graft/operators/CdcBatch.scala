@@ -51,6 +51,26 @@ object CdcBatch {
     )
   }
 
+  /** O4, full form: a transaction's writeset spans SEVERAL unique keys
+    * (the reference hashes every unique key of every row, HashTx
+    * `applier_mts.go:159-259`) — the dependency is the max predecessor
+    * over ALL of them; FK-parent rows and no-PK tables veto parallelism
+    * entirely (`last_committed = seq - 1`, a serial barrier —
+    * `applier_mts.go:227-234`). One window shuffle per key dimension.
+    */
+  def writesetDependenciesMulti(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+                                barrierCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val lags = keyCols.map { k =>
+      coalesce(
+        lag(col(seqCol), 1).over(Window.partitionBy(col(k)).orderBy(col(seqCol))),
+        lit(0L) - 1L)
+    }
+    val dep = if (lags.size == 1) lags.head else greatest(lags: _*)
+    changes.withColumn("last_committed",
+      barrierCol.map(b => when(col(b), col(seqCol) - 1).otherwise(dep)).getOrElse(dep))
+  }
+
   /** S2 — transaction assembly, batch form: group a totally-ordered event
     * stream into transaction-like sessions per key, splitting when the
     * time gap exceeds `gapMillis` (the reference closes a `DataEntry` on
