@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.dedup.{Dedup, SimHashDedup}
+import graft.operators.text.TextAnalysis
+
+/** Null / empty / whitespace-only text through every native text
+  * expression — the "filtered half of an update is a nil row" class of
+  * edge (SURVEY §7.4 hard part 4) applied to the §8 operators.
+  */
+class TextEdgeCasesSpec extends SparkSpec {
+
+  private def edgeDocs = {
+    import spark.implicits._
+    Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   \t\n "), (4L, "one"),
+      (5L, "the quick brown fox")).toDF("doc_id", "text")
+  }
+
+  test("shingles: null -> null, short/empty -> empty array") {
+    import spark.implicits._
+    val out = edgeDocs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(out(1L).isEmpty)              // null in -> null out
+    assert(out(2L).contains(Seq()))      // empty text -> no shingles
+    assert(out(3L).contains(Seq()))      // whitespace-only -> no shingles
+    assert(out(4L).contains(Seq()))      // fewer words than n
+    assert(out(5L).exists(_.nonEmpty))
+  }
+
+  test("text profile handles null/empty/whitespace without failing") {
+    val out = TextAnalysis.profile(edgeDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+    assert(out(2L).getInt(1) == 0)  // n_tokens 0 for empty
+    assert(out(5L).getInt(1) == 4)
+    assert(out(5L).getString(7) == "en")
+  }
+
+  test("simhash fingerprints null/empty docs without failing; dedup pipelines run") {
+    val fps = SimHashDedup.fingerprints(edgeDocs, "doc_id", "text").collect()
+    assert(fps.length == 5)
+    // full pipelines must not throw on edge rows
+    assert(Dedup.exact(edgeDocs, "doc_id", "text").count() >= 3)
+    Dedup.ngramJaccardPairs(edgeDocs, "doc_id", "text", 3, 0.5).count()
+    graft.operators.dedup.MinHashDedup.nearDupPairs(edgeDocs, "doc_id", "text").count()
+  }
+}
