@@ -20,7 +20,10 @@ object Relational {
     * expression surface, so `expr` compiles it into codegen'd predicates
     * and pushes it into the scan (`dumper.go:150` equivalent for free).
     * The reference's `IsDefault` fast path for `"true"` is Catalyst
-    * constant folding.
+    * constant folding. F2: the reference's registered scalar functions
+    * (pow, sqrt, replace, upper/lower/ucase/lcase, char_length,
+    * unix_timestamp, now, uuid — `tabletypes.go:15-27`) are all Spark
+    * built-ins, usable directly in the predicate.
     */
   def whereFilter(df: DataFrame, where: String): DataFrame =
     if (where == null || where.trim.isEmpty || where.trim == "true") df
@@ -41,6 +44,9 @@ object Relational {
   /** F7 — literal or regex capture-group rename of a (schema, table)
     * pair, reference `binlog_reader.go:1449-1565` / `reg.ExpandString`.
     * Go's `$1` templates map to Java's `$1` replacement syntax directly.
+    * With `routeFilter` this is S6 table discovery: catalog names flow
+    * through include/exclude lists and regex expansion
+    * (reference inspectTables, `extractor.go:383-565`).
     */
   def renameTable(schema: String, table: String, spec: SchemaSpec): (String, String) = {
     val outSchema = spec.schemaRegex match {
@@ -102,8 +108,10 @@ object Relational {
   def opFilter(df: DataFrame, skipOps: Set[String], opCol: String = "op"): DataFrame =
     if (skipOps.isEmpty) df else df.filter(!col(opCol).isin(skipOps.toSeq: _*))
 
-  /** F9 — cycle prevention for bidirectional sync: drop rows whose origin
-    * server is the sink itself (reference `applier_incr.go:290-313`).
+  /** F9/O10 — cycle prevention for bidirectional sync: drop rows whose
+    * origin server id is the sink itself (reference
+    * `applier_incr.go:290-313`); two symmetric pipelines each running
+    * this filter = O10 two-way sync, see TwoWaySyncSpec.
     */
   def cycleFilter(df: DataFrame, selfServerId: String, originCol: String = "originServerId"): DataFrame =
     df.filter(col(originCol) =!= selfServerId)

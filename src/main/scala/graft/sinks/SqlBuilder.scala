@@ -74,6 +74,12 @@ object SqlBuilder {
     s"UPDATE ${t.fqn} SET $sets WHERE $where LIMIT 1"
   }
 
+  /** C11 — the reference escapes string literals into SQL text
+    * (`builder.go:41-73`); prepared-statement placeholders make literal
+    * escaping moot here — values never enter SQL text.
+    */
+  // (no escaping function by design)
+
   /** Null-safe equality for WHERE: `(c = ? OR (c IS NULL AND ? IS NULL))`
     * — the reference emits `IS NULL` variants per row value
     * (`builder.go:107-112`); the parameter-doubled form keeps one cached

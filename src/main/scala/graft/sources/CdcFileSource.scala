@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** S1 — the CDC stream source as a first-class DataSource-v2
+/** S1/S10/A4 — the CDC stream source as a first-class DataSource-v2
   * `MicroBatchStream` (SURVEY.md §2.1: reference
   * `driver/mysql/binlog/binlog_reader.go:282-414` connect /
   * `959-1036` DataStreamEvents loop; offsets there are GTID sets, here
