@@ -41,25 +41,40 @@ object ChunkPlanner {
     case other     => String.valueOf(other)
   }
 
-  /** Discover `numChunks` keyset boundaries for a composite unique key.
-    * Distributed: ntile over the key ordering (one shuffle of the key
-    * columns only — column pruning keeps the scan narrow), then the max
-    * key of each tile. Equivalent to the reference chunk walk's sequence
-    * of per-chunk `max(uk)` values but computed in one pass instead of N
-    * round-trips.
+  /** Discover `numChunks - 1` keyset boundaries for a composite unique
+    * key, by deterministic hash sampling — the RangePartitioner pattern:
+    * only ~`sampleTarget` sampled key tuples reach the driver, sorted
+    * there, quantiles become the boundaries. (The tempting alternative —
+    * `ntile` over a global `Window.orderBy` — funnels EVERY row through
+    * one partition: a straggler at any real scale.) Boundary placement
+    * only affects chunk balance, never coverage: any increasing boundary
+    * sequence yields a loss-free, dup-free partition of the key space
+    * (the contract `s3_keyset_chunks` verifies).
     */
-  def boundaries(df: DataFrame, keyCols: Seq[String], numChunks: Int): Seq[Seq[Any]] = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(keyCols.map(col): _*)
-    val tiles = df
-      .select(keyCols.map(col): _*)
-      .withColumn("__tile", ntile(numChunks).over(w))
-      .groupBy(col("__tile"))
-      .agg(max(struct(keyCols.map(col): _*)).as("__max"))
-      .orderBy(col("__tile"))
-      .select("__max.*")
+  def boundaries(df: DataFrame, keyCols: Seq[String], numChunks: Int,
+                 sampleTarget: Int = 100000): Seq[Seq[Any]] = {
+    val keys = df.select(keyCols.map(col): _*)
+    val n = keys.count()
+    if (n == 0 || numChunks <= 1) return Nil
+    val m = math.max(1L, n / sampleTarget)
+    val sampled = keys
+      .filter(pmod(xxhash64(keyCols.map(col): _*), lit(m)) === 0)
       .collect()
-    tiles.toSeq.map(r => keyCols.indices.map(r.get))
+      .map(r => keyCols.indices.map(r.get))
+    val ord = new Ordering[Seq[Any]] {
+      def compare(a: Seq[Any], b: Seq[Any]): Int = {
+        a.zip(b).foreach { case (x, y) =>
+          val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c
+        }
+        0
+      }
+    }
+    val sorted = sampled.sorted(ord)
+    if (sorted.isEmpty) return Nil
+    (1 until numChunks)
+      .map(i => sorted(((i.toLong * sorted.length) / numChunks).toInt.min(sorted.length - 1)))
+      .distinct
   }
 
   /** Full predicate set: N non-overlapping keyset ranges covering the
@@ -74,7 +89,7 @@ object ChunkPlanner {
     val mids = bs.sliding(2).collect { case Seq(lo, hi) =>
       s"${greaterThan(keyCols, lo)} AND ${lessOrEqual(keyCols, hi)}"
     }.toSeq
-    // last boundary is the table max: the final open range catches late inserts
+    // final open range above the last boundary (also catches late inserts)
     val last = greaterThan(keyCols, bs.last)
     (first +: mids) :+ last
   }
