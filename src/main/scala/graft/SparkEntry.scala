@@ -240,7 +240,9 @@ object SparkEntry {
     // ----- C: type-conversion matrix -----
 
     "c_type_matrix" -> ((s, dir) => {
-      t(s, dir, "orders").select(
+      // CPU-bound per-row projection: widen the single-row-group scan so
+      // all cores participate (same pattern as q1_agg / text_profile).
+      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "orders")).select(
         col("o_orderkey"),
         TypeConversions.timeToMicros(
           concat(when(pmod(col("o_orderkey"), lit(2)) === 0, "-").otherwise(""),

@@ -31,15 +31,21 @@ object TypeConversions {
     * parse the lexical form.
     */
   def timeToMicros(c: Column): Column = {
+    // Every subtree here is a cheap non-regex string op (ltrim /
+    // substring_index): regexes and split-array construction were the
+    // dominant per-row cost when this ran once per splittable component.
     val sign = when(c.startsWith("-"), lit(-1L)).otherwise(lit(1L))
-    val s = regexp_replace(c, "^-", "")
-    val hh = split(s, ":").getItem(0).cast("long")
-    val mm = split(s, ":").getItem(1).cast("long")
-    val rest = split(s, ":").getItem(2)
-    val ss = split(rest, "\\.").getItem(0).cast("long")
-    // fraction digits are left-aligned: ".5" = 500000 µs → right-pad to 6
-    val frac = rpad(coalesce(split(rest, "\\.").getItem(1), lit("0")), 6, "0")
-      .substr(1, 6).cast("long")
+    val s = ltrim(c, "-")
+    val hh = substring_index(s, ":", 1).cast("long")
+    val mm = substring_index(substring_index(s, ":", 2), ":", -1).cast("long")
+    val secFrac = substring_index(s, ":", -1) // "SS" or "SS.ffffff"
+    val ss = substring_index(secFrac, ".", 1).cast("long")
+    // fraction digits are left-aligned: ".5" = 500000 µs → right-pad to 6.
+    // substring_index(x, ".", -1) on a dot-less string returns the whole
+    // string, so gate on contains(".").
+    val frac = when(secFrac.contains("."),
+      rpad(substring_index(secFrac, ".", -1), 6, "0").substr(1, 6).cast("long"))
+      .otherwise(lit(0L))
     sign * (((hh * 3600 + mm * 60 + ss) * 1000000L) + frac)
   }
 

@@ -33,7 +33,13 @@ object Partitioning {
   def saltedAggregate(df: DataFrame, keyCol: String, nSalts: Int)(
       partial: (org.apache.spark.sql.RelationalGroupedDataset) => DataFrame,
       fold: (org.apache.spark.sql.RelationalGroupedDataset) => DataFrame): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts)))
+    // Deterministic salt from row content: monotonically_increasing_id()
+    // changes across task retries after a shuffle (partial-stage
+    // recomputation with a nondeterministic grouping key silently drops /
+    // duplicates rows — a known Spark wrong-result class). Content-hash
+    // salt re-derives identically on retry; collisions only cost balance.
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)))
     val partials = partial(salted.groupBy(col(keyCol), col("__salt")))
     fold(partials.groupBy(col(keyCol)))
   }
