@@ -61,9 +61,13 @@ object Dedup {
       .select(col("doc_id"), size(col("sh_arr")).as("n_shingles"),
         explode(col("sh_arr")).as("shingle"))
       .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh"))
+    // Capped collect: a stop-shingle's bucket buffer is bounded at
+    // maxShingleDf+1 members instead of growing with its document
+    // frequency before the size filter drops it (hot-key OOM guard).
     val buckets = exploded
       .groupBy(col("sh"))
-      .agg(collect_list(struct(col("doc_id"), col("n_shingles"))).as("members"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("n_shingles")), maxShingleDf).as("members"))
       .filter(size(col("members")).between(2, maxShingleDf))
     MinHashDedup.explodePairs(buckets, "members")
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -108,10 +112,19 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbr = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_cluster"))
-      val updated = labels.join(nbr, labels("node") === nbr("src"), "left")
+      val viaEdges = labels.join(nbr, labels("node") === nbr("src"), "left")
         .select(labels("node"),
           least(labels("cluster"), coalesce(col("nbr_cluster"), labels("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      // Pointer jumping: also adopt the label OF my current label (labels
+      // join labels). Plain edge propagation needs diameter iterations; the
+      // compression step makes label depth halve each round — O(log d)
+      // convergence, so maxIters=20 covers diameters up to ~2^20.
+      val viaLabels = viaEdges.as("x")
+        .join(viaEdges.select(col("node").as("ln"), col("cluster").as("lc")).as("y"),
+          col("x.cluster") === col("y.ln"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.cluster"), coalesce(col("lc"), col("x.cluster"))).as("cluster"))
+      val updated = viaLabels.localCheckpoint(true)
       val noChange = updated.as("u")
         .join(labels.withColumnRenamed("cluster", "old").as("l"), "node")
         .filter(col("cluster") =!= col("old"))
@@ -120,6 +133,12 @@ object Dedup {
       converged = noChange
       i += 1
     }
+    // A silent exit with unconverged labels would split clusters and let
+    // near-duplicates survive curate() with no signal — fail instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component label depth still shrinking); raise maxIters")
     labels
   }
 }

@@ -94,9 +94,12 @@ object MinHashDedup {
         }: _*)
       ).as(Seq("band_idx", "band_hash"))
     )
+    // Capped collect (not collect_list-then-filter): a hot band shared by
+    // millions of docs would otherwise build one unbounded, unspillable
+    // aggregation buffer before the size filter could drop it.
     val buckets = banded
       .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("members"))
+      .agg(graft.functions.BoundedCollectList.column(col("doc_id"), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     val pairs = explodePairs(buckets, "members")
       .select(col("a").as("id_a"), col("b").as("id_b"))

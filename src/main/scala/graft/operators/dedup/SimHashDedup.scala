@@ -72,7 +72,8 @@ object SimHashDedup {
     // emitted via chained codegen'd explodes, like the other dedup ops
     val buckets = chunked
       .groupBy(col("block_idx"), col("block_val"))
-      .agg(collect_list(struct(col("doc_id"), col("fingerprint"))).as("members"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("fingerprint")), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     MinHashDedup.explodePairs(buckets, "members")
       .withColumn("hamming", bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))))

@@ -49,6 +49,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_collect_capped"),
+      new ExpressionInfo(classOf[graft.functions.BoundedCollectList].getName, "graft_collect_capped"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_collect_capped(c, limit) takes a column and an int literal")
+        val limit = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_collect_capped: limit must be an int literal, got $other")
+        }
+        graft.functions.BoundedCollectList(children.head, limit)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_text_profile"),
       new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
       (children: Seq[Expression]) => {
