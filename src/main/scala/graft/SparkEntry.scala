@@ -437,8 +437,24 @@ object SparkEntry {
         ("prologue", SqlBuilder.fullLoadPrologue("shop", createSchemaIfNotExists = true).mkString("; ")),
         ("replace_1", SqlBuilder.replaceInto(td, 1)),
         ("replace_4", SqlBuilder.replaceInto(td, 4)),
+        // greedy bulk-tier decomposition the sink applies batches with
+        ("tier_plan_141", SqlBuilder.tierPlan(141).map { case (t, c) => s"${t}x$c" }.mkString(",")),
+        ("tier_plan_300", SqlBuilder.tierPlan(300).map { case (t, c) => s"${t}x$c" }.mkString(",")),
         ("update_pk", SqlBuilder.update(td))
       ).toDF("stmt_kind", "sql").orderBy(col("stmt_kind"))
+    }),
+
+    "k7_ledger_compact" -> ((s, dir) => {
+      // K7 — ledger compaction fold (reference
+      // `applier_gtid_executed.go:248-291`): per-tx ledger rows collapse
+      // to one interval-set row per (job, source_uuid). events plays the
+      // ledger: gtid = event_id, source uuid derived from user_id.
+      val ledger = t(s, dir, "events").select(
+        lit("job1").as("job_id"),
+        concat(lit("uuid-"), pmod(col("user_id"), lit(5))).as("source_uuid"),
+        col("event_id").as("gtid"))
+      graft.sinks.LedgerCompactor.compactDf(ledger)
+        .orderBy(col("source_uuid"))
     }),
 
     "o4_writeset_multi" -> ((s, dir) => {
@@ -788,8 +804,29 @@ object SparkEntry {
         |  ('prologue', 'SET FOREIGN_KEY_CHECKS = 0; SET UNIQUE_CHECKS = 0; CREATE SCHEMA IF NOT EXISTS `shop`'),
         |  ('replace_1', 'REPLACE INTO `shop`.`customer` (`c_custkey`, `c_name`, `c_nationkey`, `c_acctbal`, `c_mktsegment`) VALUES (?, ?, ?, ?, ?)'),
         |  ('replace_4', 'REPLACE INTO `shop`.`customer` (`c_custkey`, `c_name`, `c_nationkey`, `c_acctbal`, `c_mktsegment`) VALUES (?, ?, ?, ?, ?), (?, ?, ?, ?, ?), (?, ?, ?, ?, ?), (?, ?, ?, ?, ?)'),
+        |  ('tier_plan_141', '128x1,8x1,4x1,1x1'),
+        |  ('tier_plan_300', '128x2,8x5,4x1'),
         |  ('update_pk', 'UPDATE `shop`.`customer` SET `c_custkey` = ?, `c_name` = ?, `c_nationkey` = ?, `c_acctbal` = ?, `c_mktsegment` = ? WHERE (`c_custkey` = ? OR (`c_custkey` IS NULL AND ? IS NULL)) LIMIT 1')
         |) AS t(stmt_kind, sql) ORDER BY stmt_kind""".stripMargin,
+
+    "k7_ledger_compact" ->
+      """WITH l AS (SELECT 'job1' AS job_id,
+        |    'uuid-' || CAST(user_id % 5 AS VARCHAR) AS source_uuid,
+        |    event_id AS gtid FROM events),
+        |d AS (SELECT DISTINCT job_id, source_uuid, gtid FROM l),
+        |g AS (SELECT job_id, source_uuid, gtid,
+        |  gtid - row_number() OVER (PARTITION BY job_id, source_uuid ORDER BY gtid) AS grp FROM d),
+        |i AS (SELECT job_id, source_uuid, MIN(gtid) AS lo, MAX(gtid) AS hi
+        |  FROM g GROUP BY job_id, source_uuid, grp),
+        |sets AS (SELECT job_id, source_uuid, string_agg(
+        |    CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+        |         ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR) END,
+        |    ':' ORDER BY lo) AS gtid_set
+        |  FROM i GROUP BY job_id, source_uuid),
+        |counts AS (SELECT job_id, source_uuid, COUNT(*) AS n_txs FROM l GROUP BY job_id, source_uuid)
+        |SELECT s.job_id, s.source_uuid, CAST(0 AS BIGINT) AS gtid, s.gtid_set, c.n_txs
+        |FROM sets s JOIN counts c USING (job_id, source_uuid)
+        |ORDER BY source_uuid""".stripMargin,
 
     "a2_checksum" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,

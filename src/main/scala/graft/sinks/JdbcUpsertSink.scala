@@ -36,7 +36,8 @@ class JdbcUpsertSink(
     seqCol: String = "seq",
     opCol: String = "op",
     gtidCol: String = "gtid",
-    numPartitions: Int = 4
+    numPartitions: Int = 4,
+    compactThreshold: Int = 2048
 ) extends UpsertSink {
 
   override def applyBatch(batch: DataFrame, epochId: Long): Unit = {
@@ -64,31 +65,75 @@ class JdbcUpsertSink(
         val cache = new StatementCache(conn)
         try {
           var appliedGtids = Set.empty[String]
-          rows.foreach { r =>
-            val op = r.getAs[String](oc)
-            op match {
-              case "d" =>
-                val st = cache.get("delete", SqlBuilder.delete(tableDef))
+          // Bulk application (reference `applier_incr.go:694-730` +
+          // `driver.go:161-167`): buffer consecutive same-op runs and
+          // flush them as multi-row statements via SqlBuilder.tierPlan
+          // (128/8/4/1 rows per REPLACE) and addBatch/executeBatch for
+          // deletes — one network round trip per statement batch instead
+          // of one per row. Op-switch flushes the other run first, so
+          // per-key ordering (rows arrive seq-sorted) is preserved.
+          val replaceRun = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val deleteRun = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val whereCols = if (tableDef.hasPk) tableDef.pkColumns else tableDef.columns
+
+          def flushReplaces(): Unit = if (replaceRun.nonEmpty) {
+            var off = 0
+            SqlBuilder.tierPlan(replaceRun.length).foreach { case (tier, count) =>
+              val st = cache.get(tableDef.fqn, "replace", tier,
+                SqlBuilder.replaceInto(tableDef, tier))
+              var n = 0
+              while (n < count) {
                 var i = 1
-                val whereCols = if (tableDef.hasPk) tableDef.pkColumns else tableDef.columns
-                whereCols.foreach { c =>
-                  val v = r.getAs[AnyRef](c)
-                  st.setObject(i, v); st.setObject(i + 1, v); i += 2
+                var k = 0
+                while (k < tier) {
+                  val r = replaceRun(off + k)
+                  tableDef.columns.foreach { c => st.setObject(i, r.getAs[AnyRef](c)); i += 1 }
+                  k += 1
                 }
-                st.executeUpdate()
+                st.addBatch()
+                off += tier
+                n += 1
+              }
+              st.executeBatch()
+            }
+            replaceRun.clear()
+          }
+
+          def flushDeletes(): Unit = if (deleteRun.nonEmpty) {
+            val st = cache.get(tableDef.fqn, "delete", 1, SqlBuilder.delete(tableDef))
+            deleteRun.foreach { r =>
+              var i = 1
+              whereCols.foreach { c =>
+                val v = r.getAs[AnyRef](c)
+                st.setObject(i, v); st.setObject(i + 1, v); i += 2
+              }
+              st.addBatch()
+            }
+            st.executeBatch()
+            deleteRun.clear()
+          }
+
+          rows.foreach { r =>
+            r.getAs[String](oc) match {
+              case "d" =>
+                flushReplaces()
+                deleteRun += r
+                if (deleteRun.length >= SqlBuilder.bulkTiers.head) flushDeletes()
               case _ => // c/u/r → replace
-                val st = cache.get("replace", SqlBuilder.replaceInto(tableDef, 1))
-                tableDef.columns.zipWithIndex.foreach { case (c, i) =>
-                  st.setObject(i + 1, r.getAs[AnyRef](c))
-                }
-                st.executeUpdate()
+                flushDeletes()
+                replaceRun += r
+                // at the top tier, flush eagerly: bounds the run buffer and
+                // emits exactly one full 128-row statement
+                if (replaceRun.length >= SqlBuilder.bulkTiers.head) flushReplaces()
             }
             val g = if (r.schema.fieldNames.contains(gc)) r.getAs[String](gc) else null
             if (g != null) appliedGtids += g
           }
+          flushReplaces()
+          flushDeletes()
           // ledger rows in the same tx (exactly-once: row+marker atomic)
           if (appliedGtids.nonEmpty) {
-            val st = cache.get("ledger", SqlBuilder.ledgerInsert(lSchema))
+            val st = cache.get(lSchema, "ledger", 1, SqlBuilder.ledgerInsert(lSchema))
             appliedGtids.foreach { g =>
               st.setString(1, job); st.setString(2, "graft")
               st.setLong(3, math.abs(g.hashCode).toLong); st.setString(4, g)
@@ -104,15 +149,28 @@ class JdbcUpsertSink(
         }
       }
     }
+
+    // K7 — periodic ledger compaction (reference
+    // `applier_gtid_executed.go:248-291`): after the batch commits,
+    // collapse any source UUID whose per-tx rows exceeded the threshold
+    // into one interval-set row. Driver-side, O(threshold) rows per sid.
+    if (compactThreshold > 0) {
+      val c = connect()
+      try LedgerCompactor.compact(c, ledgerSchema, jobId, compactThreshold)
+      finally c.close()
+    }
   }
 }
 
-/** Executor-local prepared-statement cache keyed by (kind) — reference
-  * caches per (table, kind, worker) (`driver/common/binlog.go:150-190`).
+/** Executor-local prepared-statement cache keyed by (table, kind, tier)
+  * — the reference's per-worker cache keys on the statement shape the
+  * same way (`driver/common/binlog.go:150-190`). Keying on kind alone
+  * would hand a 4-row REPLACE to a caller expecting the 128-row shape
+  * the moment one sink instance serves more than one table or tier.
   */
 class StatementCache(conn: Connection) {
-  private val cache = scala.collection.mutable.Map.empty[String, PreparedStatement]
-  def get(key: String, sql: => String): PreparedStatement =
-    cache.getOrElseUpdate(key, conn.prepareStatement(sql))
+  private val cache = scala.collection.mutable.Map.empty[(String, String, Int), PreparedStatement]
+  def get(table: String, kind: String, tier: Int, sql: => String): PreparedStatement =
+    cache.getOrElseUpdate((table, kind, tier), conn.prepareStatement(sql))
   def close(): Unit = cache.values.foreach(st => try st.close() catch { case _: Throwable => () })
 }

@@ -1,0 +1,167 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement, ResultSet, Statement}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import graft.sinks.{JdbcUpsertSink, SqlBuilder}
+
+/** Asserts the sink's bulk-tier statement shape against a recording
+  * in-JVM JDBC connection (no DB in this container): a mixed batch must
+  * apply as multi-row REPLACE statements following
+  * `SqlBuilder.tierPlan` (reference golden style,
+  * `driver/mysql/sql/builder_test.go:113`) and batched deletes — never
+  * one round trip per row.
+  */
+object JdbcRecorder {
+  /** (kind, paramGroupsInSql, rowsInBatch) per executeBatch/executeUpdate. */
+  final case class Exec(sql: String, batchSize: Int)
+  val events = new ConcurrentLinkedQueue[Exec]()
+  def clear(): Unit = events.clear()
+
+  private def defaultFor(t: Class[_]): AnyRef = t match {
+    case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+    case java.lang.Integer.TYPE => Integer.valueOf(1)
+    case java.lang.Long.TYPE    => java.lang.Long.valueOf(1L)
+    case java.lang.Void.TYPE    => null
+    case _                      => null
+  }
+
+  private def resultSet(rows: Seq[Seq[AnyRef]]): ResultSet = {
+    var idx = -1
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[ResultSet]),
+      new InvocationHandler {
+        override def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "next" => idx += 1; java.lang.Boolean.valueOf(idx < rows.length)
+          case "getLong" =>
+            rows(idx)(args(0).asInstanceOf[Integer] - 1) match {
+              case null => java.lang.Long.valueOf(0L)
+              case v: java.lang.Long => v
+              case v => java.lang.Long.valueOf(v.toString.toLong)
+            }
+          case "getString" =>
+            rows(idx)(args(0).asInstanceOf[Integer] - 1) match {
+              case null => null
+              case v => v.toString
+            }
+          case _ => defaultFor(m.getReturnType)
+        }
+      }).asInstanceOf[ResultSet]
+  }
+
+  private def prepared(sql: String, query: String => Seq[Seq[AnyRef]]): PreparedStatement = {
+    var batched = 0
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        override def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "addBatch" => batched += 1; null
+          case "executeBatch" =>
+            events.add(Exec(sql, batched)); val n = batched; batched = 0
+            Array.fill(n)(1)
+          case "executeUpdate" => events.add(Exec(sql, 1)); Integer.valueOf(1)
+          case "executeQuery" => resultSet(query(sql))
+          case other => defaultFor(m.getReturnType)
+        }
+      }).asInstanceOf[PreparedStatement]
+  }
+
+  def connection(query: String => Seq[Seq[AnyRef]] = _ => Nil): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        override def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => prepared(args(0).asInstanceOf[String], query)
+          case "createStatement" =>
+            Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Statement]),
+              new InvocationHandler {
+                override def invoke(p: Any, mm: Method, a: Array[AnyRef]): AnyRef =
+                  defaultFor(mm.getReturnType)
+              }).asInstanceOf[Statement]
+          case _ => defaultFor(m.getReturnType)
+        }
+      }).asInstanceOf[Connection]
+}
+
+class JdbcUpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val td = SqlBuilder.TableDef("db", "t", Seq("key", "v"), Seq("key"))
+
+  /** rows-per-statement a REPLACE sql was built for = value groups. */
+  private def tierOf(sql: String): Int = sql.count(_ == '(') - 1
+
+  test("mixed 141-row batch applies as tierPlan-shaped multi-row statements") {
+    JdbcRecorder.clear()
+    // 141 replaces, then 5 deletes, then 3 replaces — seq keeps order
+    val rows =
+      (1 to 141).map(i => (i.toLong, i.toLong, i.toLong, "u", s"uuid:$i")) ++
+      (142 to 146).map(i => (i.toLong, i.toLong, i.toLong, "d", s"uuid:$i")) ++
+      (147 to 149).map(i => (i.toLong, i.toLong, i.toLong, "u", s"uuid:$i"))
+    val batch = rows.toDF("key", "v", "seq", "op", "gtid")
+
+    val sink = new JdbcUpsertSink(() => JdbcRecorder.connection(), td,
+      "job1", "ledger", numPartitions = 1)
+    sink.applyBatch(batch, 0L)
+
+    val evs = JdbcRecorder.events.toArray(Array.empty[JdbcRecorder.Exec]).toSeq
+    val replaces = evs.filter(_.sql.startsWith("REPLACE"))
+    val deletes = evs.filter(_.sql.startsWith("DELETE"))
+    val ledger = evs.filter(_.sql.contains("gtid_executed"))
+
+    // 141 = 128 + 8 + 4 + 1, then the trailing 3 as three 1-row batched
+    assert(replaces.map(e => (tierOf(e.sql), e.batchSize)) ==
+      Seq((128, 1), (8, 1), (4, 1), (1, 1), (1, 3)),
+      s"got: ${replaces.map(e => (tierOf(e.sql), e.batchSize))}")
+    // every replace row lands exactly once
+    assert(replaces.map(e => tierOf(e.sql) * e.batchSize).sum == 144)
+    // deletes batch as one executeBatch of 5, not 5 round trips
+    assert(deletes.map(_.batchSize) == Seq(5))
+    // ledger insert rides the same tx as one batch of all 149 gtids
+    assert(ledger.map(_.batchSize) == Seq(149))
+  }
+
+  test("a replace run longer than the top tier flushes eagerly at 128") {
+    JdbcRecorder.clear()
+    val rows = (1 to 300).map(i => (i.toLong, i.toLong, i.toLong, "u", s"u:$i"))
+    val batch = rows.toDF("key", "v", "seq", "op", "gtid")
+    new JdbcUpsertSink(() => JdbcRecorder.connection(), td,
+      "job1", "ledger", numPartitions = 1).applyBatch(batch, 0L)
+    val replaces = JdbcRecorder.events.toArray(Array.empty[JdbcRecorder.Exec]).toSeq
+      .filter(_.sql.startsWith("REPLACE"))
+    // 300 = 128 + 128 + 44(=40+4); eager flush emits each 128 as its own
+    // single-statement batch, remainder 44 -> 8x5 + 4x1
+    assert(replaces.map(e => (tierOf(e.sql), e.batchSize)) ==
+      Seq((128, 1), (128, 1), (8, 5), (4, 1)))
+    assert(replaces.map(e => tierOf(e.sql) * e.batchSize).sum == 300)
+  }
+
+  test("ledger compaction folds per-tx rows and prior interval rows into one set") {
+    import graft.sinks.LedgerCompactor
+    val folded = LedgerCompactor.foldRows(Seq(
+      ("sid-a", 5L, null), ("sid-a", 1L, null), ("sid-a", 2L, null),
+      ("sid-a", 0L, "7-9:100"), ("sid-a", 3L, null),
+      ("sid-b", 10L, null)))
+    assert(folded == Map("sid-a" -> "1-3:5:7-9:100", "sid-b" -> "10"))
+    assert(LedgerCompactor.parse("1-3:5:7-9").render == "1-3:5:7-9")
+  }
+
+  test("compact() rewrites only sids over threshold: delete then single insert in one tx") {
+    JdbcRecorder.clear()
+    import graft.sinks.LedgerCompactor
+    val canned: String => Seq[Seq[AnyRef]] = {
+      case sql if sql.startsWith("SELECT source_uuid, COUNT(*)") =>
+        Seq(Seq("sid-hot", java.lang.Long.valueOf(3L)), Seq("sid-cold", java.lang.Long.valueOf(1L)))
+      case sql if sql.startsWith("SELECT gtid, gtid_set") =>
+        Seq(Seq(java.lang.Long.valueOf(4L), null),
+          Seq(java.lang.Long.valueOf(5L), null),
+          Seq(java.lang.Long.valueOf(9L), null))
+      case _ => Nil
+    }
+    val n = LedgerCompactor.compact(JdbcRecorder.connection(canned), "led", "job1", threshold = 2)
+    assert(n == 1)
+    val evs = JdbcRecorder.events.toArray(Array.empty[JdbcRecorder.Exec]).toSeq
+    assert(evs.map(_.sql) == Seq(
+      LedgerCompactor.deleteAllSql("led"),
+      graft.sinks.SqlBuilder.ledgerInsert("led")))
+  }
+}
