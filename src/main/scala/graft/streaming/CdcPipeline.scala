@@ -101,22 +101,28 @@ object CdcPipeline {
     val hasDdl = ddlHandler.isDefined &&
       batch.columns.contains("op") && !batch.filter(col("op") === Op.Ddl).isEmpty
     if (!hasDdl) { sink.applyBatch(batch, epochId); return }
-    val handler = ddlHandler.get
-    val ddls = batch.filter(col("op") === Op.Ddl)
-      .select(col("db"), col("table"), col("after"), col("seq"))
-      .orderBy(col("seq")).collect()
-    val dml = batch.filter(col("op") =!= Op.Ddl)
-    var lo = Long.MinValue
-    ddls.foreach { d =>
-      val seq = d.getLong(3)
-      val segment = dml.filter(col("seq") > lo && col("seq") < seq)
-      if (!segment.isEmpty) sink.applyBatch(segment, epochId)
-      handler(DdlBarrierEvent(d.getString(0), d.getString(1),
-        Option(d.getString(2)).getOrElse(""), seq))
-      lo = seq
-    }
-    val tail = dml.filter(col("seq") > lo)
-    if (!tail.isEmpty) sink.applyBatch(tail, epochId)
+    // Each DDL boundary issues segment filter + isEmpty probes; without a
+    // persist every one re-executes the batch's source plan (re-reads are
+    // only accidentally cheap because the test source is immutable files).
+    val cached = batch.persist()
+    try {
+      val handler = ddlHandler.get
+      val ddls = cached.filter(col("op") === Op.Ddl)
+        .select(col("db"), col("table"), col("after"), col("seq"))
+        .orderBy(col("seq")).collect()
+      val dml = cached.filter(col("op") =!= Op.Ddl)
+      var lo = Long.MinValue
+      ddls.foreach { d =>
+        val seq = d.getLong(3)
+        val segment = dml.filter(col("seq") > lo && col("seq") < seq)
+        if (!segment.isEmpty) sink.applyBatch(segment, epochId)
+        handler(DdlBarrierEvent(d.getString(0), d.getString(1),
+          Option(d.getString(2)).getOrElse(""), seq))
+        lo = seq
+      }
+      val tail = dml.filter(col("seq") > lo)
+      if (!tail.isEmpty) sink.applyBatch(tail, epochId)
+    } finally cached.unpersist()
   }
 }
 

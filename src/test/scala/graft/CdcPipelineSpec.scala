@@ -118,6 +118,29 @@ class CdcPipelineSpec extends SparkSpec {
       "ddl@5:ALTER TABLE shop.t D", "dml[6]"), log.toList.toString)
   }
 
+  test("K5: batch source is computed once across all DDL segments (persisted)") {
+    import spark.implicits._
+    import graft.streaming.{CdcPipeline, DdlBarrierEvent, UpsertSink}
+    val evals = spark.sparkContext.longAccumulator("sourceEvals")
+    val batch = Seq(
+      ("shop", "t", "c", "k1", null.asInstanceOf[String], 1L),
+      ("shop", "t", "ddl", "", "ALTER TABLE shop.t ADD COLUMN x INT", 2L),
+      ("shop", "t", "c", "k2", null.asInstanceOf[String], 3L),
+      ("shop", "t", "ddl", "", "ALTER TABLE shop.t DROP COLUMN x", 4L),
+      ("shop", "t", "c", "k3", null.asInstanceOf[String], 5L)
+    ).toDS().map { r => evals.add(1); r }
+      .toDF("db", "table", "op", "key", "after", "seq")
+    val sink = new UpsertSink {
+      override def applyBatch(b: org.apache.spark.sql.DataFrame, e: Long): Unit = b.count()
+    }
+    CdcPipeline.applyWithDdlBarriers(batch, 0L, sink, Some((_: DdlBarrierEvent) => ()))
+    // 2 DDL boundaries -> 3 segments, each with a probe + apply action, plus the
+    // hasDdl probe and the ddl collect: without the persist the 5-row source
+    // would be re-evaluated ~8x (>=40 adds). Persisted, each row computes once
+    // for the cache fill plus once for the pre-persist hasDdl probe.
+    assert(evals.value <= 10L, s"source evaluated ${evals.value} row-times; batch not cached")
+  }
+
   test("K5: no DDL in batch -> single sink call, handler untouched") {
     import spark.implicits._
     import graft.streaming.{CdcPipeline, DdlBarrierEvent, UpsertSink}
