@@ -421,6 +421,29 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s7_txcache" -> ((s, dir) => {
+      // S7 — LogMiner tx cache: redo records synthesized from events
+      // (20-record transactions; every 4th rolls back; position 15 is a
+      // partial-rollback record cancelling its row's earlier changes),
+      // then reduced to committed records via key-partitioned joins
+      // (reference LogMinerTxCache, `log_miner.go:394-500`).
+      import graft.sources.LogMinerTxCache
+      val txn = expr("event_id div 20")
+      val p = pmod(col("event_id"), lit(20))
+      val redo = t(s, dir, "events").select(
+        col("event_id").as("scn"),
+        concat(lit("x"), txn).as("xid"),
+        when(p === 19, when(pmod(txn, lit(4)) === 0, "rollback").otherwise("commit"))
+          .otherwise(when(pmod(p, lit(3)) === 0, "c")
+            .when(pmod(p, lit(3)) === 1, "u").otherwise("d")).as("op"),
+        concat(lit("R"), pmod(p, lit(5))).as("row_id"),
+        lit("").as("redo_sql"),
+        when(p === 15, 1).otherwise(0).as("rollback"))
+      LogMinerTxCache.committedRecords(redo)
+        .select(col("scn"), col("xid"), col("op"), col("row_id"), col("end_scn"))
+        .orderBy(col("scn"))
+    }),
+
     "k_sql_builder" -> ((s, dir) => {
       // K1-K4/K7 — golden SQL text of the sink statement builder
       // (reference builder_test.go style), parameterized by the actual
@@ -795,6 +818,29 @@ object SparkEntry {
         |  CAST(o_orderkey AS VARCHAR) AS k_val,
         |  CASE WHEN o_orderkey % 3 <> 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS d_val
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s7_txcache" ->
+      """WITH redo AS (
+        |  SELECT event_id AS scn,
+        |    'x' || CAST(event_id // 20 AS VARCHAR) AS xid,
+        |    CASE WHEN event_id % 20 = 19 THEN
+        |      CASE WHEN (event_id // 20) % 4 = 0 THEN 'rollback' ELSE 'commit' END
+        |    ELSE CASE (event_id % 20) % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END END AS op,
+        |    'R' || CAST((event_id % 20) % 5 AS VARCHAR) AS row_id,
+        |    CASE WHEN event_id % 20 = 15 THEN 1 ELSE 0 END AS rb
+        |  FROM events),
+        |rbmax AS (SELECT xid, row_id, MAX(scn) AS rb_scn FROM redo
+        |  WHERE op NOT IN ('commit','rollback') AND rb = 1 GROUP BY xid, row_id),
+        |commits AS (SELECT xid, MIN(scn) AS end_scn FROM redo WHERE op = 'commit' GROUP BY xid),
+        |rollbacks AS (SELECT DISTINCT xid FROM redo WHERE op = 'rollback')
+        |SELECT r.scn, r.xid, r.op, r.row_id, c.end_scn
+        |FROM redo r
+        |LEFT JOIN rbmax b ON r.xid = b.xid AND r.row_id = b.row_id
+        |JOIN commits c ON r.xid = c.xid
+        |WHERE r.op NOT IN ('commit','rollback') AND r.rb = 0
+        |  AND (b.rb_scn IS NULL OR r.scn > b.rb_scn)
+        |  AND r.xid NOT IN (SELECT xid FROM rollbacks)
+        |ORDER BY scn""".stripMargin,
 
     "k_sql_builder" ->
       """SELECT * FROM (VALUES
