@@ -510,6 +510,63 @@ object SparkEntry {
         .drop("seq")
     }),
 
+    "s6_discovery" -> ((s, dir) => {
+      // S6 — full catalog-driven discovery stage (reference inspectTables,
+      // `extractor.go:383-565`): documents' (source, lang) pairs play the
+      // information_schema catalog; the spec routes + regex-renames with
+      // $1 capture groups into the concrete replication plan.
+      val catalog = t(s, dir, "documents")
+        .select(col("source").as("db"), col("lang").as("table")).distinct()
+      val spec = ReplicationSpec(
+        doDb = Seq(
+          SchemaSpec("", schemaRegex = Some("^src(\\d)$"), renameSchema = Some("shard_$1"),
+            tables = Seq(TableSpec("", "^(.*)$", renameTable = Some("t_$1")))),
+          SchemaSpec("src12")),
+        ignoreDb = Seq(IgnoreSpec("src3")))
+      Relational.discoverTables(catalog, spec)
+        .orderBy(col("db"), col("table"))
+    }),
+
+    "k6_schema_topic" -> ((s, dir) => {
+      // K6 — schema-change topic: the non-skipped DDL of f8_ddl_rewrite,
+      // published as Debezium schema-change envelopes (reference
+      // `kafka3.go:684-865`, envelope `kafka2.go:111-230`).
+      import graft.ddl.DdlRewriter
+      val classifyUdf = udf((sql: String) => DdlRewriter.classify(sql).toString)
+      val rewriteUdf = udf((sql: String) =>
+        TypeConversions.downgradeCollations(
+          DdlRewriter.rewrite(sql, Map("src" -> "dst"), Map.empty)))
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey"),
+        lower(regexp_replace(col("n_name"), "[^A-Za-z]", "_")).as("tname"))
+      val stmts = base.select(col("n_nationkey"),
+        when(pmod(col("n_nationkey"), lit(5)) === 0,
+          concat(lit("CREATE TABLE `src`.`t_"), col("tname"),
+            lit("` (id INT PRIMARY KEY, name VARCHAR(20) COLLATE utf8mb4_0900_ai_ci)")))
+        .when(pmod(col("n_nationkey"), lit(5)) === 1,
+          concat(lit("ALTER TABLE src.t_"), col("tname"), lit(" ADD COLUMN extra INT")))
+        .when(pmod(col("n_nationkey"), lit(5)) === 2,
+          concat(lit("DROP TABLE `src`.`t_"), col("tname"), lit("`")))
+        .when(pmod(col("n_nationkey"), lit(5)) === 3,
+          concat(lit("TRUNCATE TABLE src.t_"), col("tname")))
+        .otherwise(
+          concat(lit("CREATE TRIGGER trg_"), col("tname"), lit(" BEFORE INSERT ON src.t_"),
+            col("tname"), lit(" FOR EACH ROW SET @x = 1")))
+        .as("stmt"))
+      val ddl = stmts
+        .filter(classifyUdf(col("stmt")) =!= "SkippedStmt")
+        .select(
+          lit("dst").as("db"),
+          rewriteUdf(col("stmt")).as("ddl"),
+          (col("n_nationkey") * 1000L).as("tsMillis"),
+          lit("server-1").as("originServerId"),
+          col("n_nationkey").cast("long").as("seq"))
+      DebeziumEnvelope.schemaChange(ddl, "graft")
+        .withColumn("pos", get_json_object(col("value"), "$.source.pos").cast("long"))
+        .orderBy(col("pos"))
+        .drop("pos")
+    }),
+
     // ----- beyond-parity: dedup family (SURVEY §8) -----
 
     "dedup_exact" -> ((s, dir) => {
@@ -598,7 +655,8 @@ object SparkEntry {
     }),
 
     "text_rolling_hash" -> ((s, dir) => {
-      // xxhash64-based → rows-only; determinism asserted in TextAnalysisSpec
+      // md5-derived token hashes, exact 64-bit fold → full DuckDB oracle
+      // (list_reduce); order-sensitivity asserted in TextAnalysisSpec
       graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
@@ -625,11 +683,11 @@ object SparkEntry {
 
     "mm_features" -> ((s, dir) => {
       // synthetic binary payloads (deterministic); decode is a marked
-      // STUB (no codec libs in-container) — plumbing is real
-      import s.implicits._
+      // STUB (no codec libs in-container) — plumbing is real. The
+      // stub-independent columns (true payload sha256, byte count) are
+      // DuckDB-oracled; the stub features stay in MultimodalSpec.
       Multimodal.extractFeatures(Multimodal.synthesize(s, 200), dim = 8)
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"))
         .orderBy(col("media_id"))
     })
   )
@@ -939,6 +997,36 @@ object SparkEntry {
          |'graft.shop.events' AS topic
          |FROM c ORDER BY event_id""".stripMargin,
 
+    "s6_discovery" ->
+      """WITH cat AS (SELECT DISTINCT source AS db, lang AS "table" FROM documents),
+        |r AS (SELECT * FROM cat
+        |  WHERE lower(db) NOT IN ('mysql','sys','information_schema','performance_schema')
+        |    AND (regexp_matches(db, '^src(\d)$') OR db = 'src12')
+        |    AND db <> 'src3')
+        |SELECT db, "table",
+        |  CASE WHEN regexp_matches(db, '^src(\d)$')
+        |       THEN regexp_replace(db, '^src(\d)$', 'shard_\1') ELSE db END AS out_db,
+        |  CASE WHEN regexp_matches(db, '^src(\d)$')
+        |       THEN regexp_replace("table", '^(.*)$', 't_\1') ELSE "table" END AS out_table
+        |FROM r ORDER BY db, "table"""".stripMargin,
+
+    "k6_schema_topic" ->
+      """WITH base AS (SELECT n_nationkey,
+        |  lower(regexp_replace(n_name, '[^A-Za-z]', '_', 'g')) AS tname FROM nation
+        |  WHERE n_nationkey % 5 <> 4),
+        |d AS (SELECT n_nationkey,
+        |  CASE n_nationkey % 5
+        |    WHEN 0 THEN 'CREATE TABLE `dst`.`t_' || tname || '` (id INT PRIMARY KEY, name VARCHAR(20) COLLATE utf8mb4_general_ci)'
+        |    WHEN 1 THEN 'ALTER TABLE `dst`.`t_' || tname || '` ADD COLUMN extra INT'
+        |    WHEN 2 THEN 'DROP TABLE `dst`.`t_' || tname || '`'
+        |    ELSE 'TRUNCATE TABLE `dst`.`t_' || tname || '`' END AS ddl
+        |FROM base)
+        |SELECT '{"databaseName":"dst"}' AS key,
+        |  '{"source":{"name":"graft","db":"dst","server_id":"server-1","pos":' || n_nationkey ||
+        |  '},"databaseName":"dst","ddl":"' || ddl || '","ts_ms":' || (n_nationkey * 1000) || '}' AS value,
+        |  'graft' AS topic
+        |FROM d ORDER BY n_nationkey""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1089,6 +1177,26 @@ object SparkEntry {
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
         |  md5(norm) AS fingerprint
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+        |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 200)),
+        |p AS (SELECT id,
+        |  array_to_string(list_transform(range(0, 512 + id % 512),
+        |    j -> chr(CAST((id * 31 + j) % 95 + 32 AS INT))), '') AS s
+        |  FROM ids)
+        |SELECT id AS media_id,
+        |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(s) AS BIGINT) AS n_bytes, sha256(s) AS sha
+        |FROM p ORDER BY media_id""".stripMargin
   )
 }

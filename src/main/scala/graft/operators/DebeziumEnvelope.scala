@@ -79,6 +79,34 @@ object DebeziumEnvelope {
     s"""{"type":"struct","fields":[$fields],"optional":true,"name":"$name"}"""
   }
 
+  /** K6 — schema-change topic: DDL events publish a Debezium-style
+    * schema-change envelope `{source, databaseName, ddl, ts_ms}` keyed by
+    * database name onto the server-level topic (reference emits DDL to
+    * the schema-change topic on the full-copy path, `kafka3.go:684-865`;
+    * envelope shape `kafka2.go:111-230`). Runs alongside [[encode]]: the
+    * data topic gets rows, this gets the DDL that reshapes them, so a
+    * consumer can replay both in `ts_ms` order.
+    */
+  def schemaChange(ddl: DataFrame, topicPrefix: String,
+                   dbCol: String = "db", ddlCol: String = "ddl",
+                   tsCol: String = "tsMillis", serverCol: String = "originServerId",
+                   posCol: String = "seq"): DataFrame =
+    ddl.select(
+      to_json(struct(col(dbCol).as("databaseName"))).as("key"),
+      to_json(struct(
+        struct(
+          lit("graft").as("name"),
+          col(dbCol).as("db"),
+          col(serverCol).as("server_id"),
+          col(posCol).as("pos")
+        ).as("source"),
+        col(dbCol).as("databaseName"),
+        col(ddlCol).as("ddl"),
+        col(tsCol).as("ts_ms")
+      )).as("value"),
+      lit(topicPrefix).as("topic")
+    )
+
   /** Full encode: CDC DataFrame with struct before/after → Kafka-ready
     * (key, value, topic) frame.
     */

@@ -102,6 +102,57 @@ object Relational {
     notSystem && included && !excluded
   }
 
+  /** S6 — catalog-driven table discovery: the full driver-side stage the
+    * reference runs at job start (inspectTables, `extractor.go:383-565`):
+    * walk the source catalog (`SHOW DATABASES/TABLES` ≅ an
+    * `information_schema` DataFrame with `db`/`table` columns), apply the
+    * do/ignore route matrix, then expand regex specs with `$1`
+    * capture-group renames into the concrete replication plan list.
+    *
+    * First matching `doDb` entry wins (reference walks `ReplicateDoDb` in
+    * order); within it, the first matching table spec's rename applies.
+    * Pure Column logic — evaluates as one codegen'd projection over the
+    * catalog frame, so a 100k-table estate is still a single small job,
+    * and the same expression can re-run per micro-batch for DDL-created
+    * tables (`binlog_reader.go:1449-1565` dynamic path).
+    */
+  def discoverTables(catalog: DataFrame, spec: ReplicationSpec): DataFrame = {
+    val db = col("db"); val tbl = col("table")
+    def schemaCond(s: SchemaSpec): Column = s.schemaRegex match {
+      case Some(re) => db.rlike(re)
+      case None     => db === s.schema
+    }
+    def tableCond(s: SchemaSpec): Column =
+      if (s.tables.isEmpty) lit(true)
+      else s.tables.map { t =>
+        if (t.name.startsWith("^")) tbl.rlike(t.name) else tbl === t.name
+      }.reduce(_ || _)
+    def outDbFor(s: SchemaSpec): Column = s.schemaRegex match {
+      case Some(re) => regexp_replace(db, re, s.renameSchema.getOrElse("$0"))
+      case None     => s.renameSchema.map(lit(_): Column).getOrElse(db)
+    }
+    def outTableFor(s: SchemaSpec): Column =
+      s.tables.foldRight(tbl: Column) { (t, els) =>
+        val cond = if (t.name.startsWith("^")) tbl.rlike(t.name) else tbl === t.name
+        val renamed = t.renameTable match {
+          case Some(tmpl) if t.name.startsWith("^") => regexp_replace(tbl, t.name, tmpl)
+          case Some(tmpl)                           => lit(tmpl): Column
+          case None                                 => tbl
+        }
+        when(cond, renamed).otherwise(els)
+      }
+    val routed = catalog.filter(routeFilter(spec, db, tbl))
+    val (outDb, outTable) =
+      if (spec.doDb.isEmpty) (db, tbl)
+      else spec.doDb.foldRight((db, tbl)) { case (s, (elsDb, elsTbl)) =>
+        val cond = schemaCond(s) && tableCond(s)
+        (when(cond, outDbFor(s)).otherwise(elsDb),
+         when(cond, outTableFor(s)).otherwise(elsTbl))
+      }
+    routed.select(db.as("db"), tbl.as("table"),
+      outDb.as("out_db"), outTable.as("out_table"))
+  }
+
   /** F4 — event-kind filter (reference SqlFilter,
     * `binlog_reader.go:110-178`, DML side `1866-1873`): drop ops by kind.
     */

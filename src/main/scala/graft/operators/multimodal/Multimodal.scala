@@ -109,14 +109,19 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic media table from any numeric id column —
-    * test/bench scaffolding for the binary-column plumbing.
+    * test/bench scaffolding for the binary-column plumbing. Payload bytes
+    * are generated in the printable-ASCII range (`% 95 + 32`) so the
+    * DuckDB oracle — whose sha256 only accepts VARCHAR — can rebuild the
+    * exact byte stream with `chr()` and hash-match the true payload
+    * digest; the column stays `BinaryType` end-to-end, so the plumbing
+    * under test is unchanged.
     */
   def synthesize(spark: SparkSession, n: Int, kindCycle: Seq[String] = Seq("image", "audio", "video")): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val id = i
       val kind = kindCycle((id % kindCycle.length).toInt)
-      val payload = Array.tabulate[Byte](512 + (id % 512).toInt)(j => ((id * 31 + j) % 251).toByte)
+      val payload = Array.tabulate[Byte](512 + (id % 512).toInt)(j => ((id * 31 + j) % 95 + 32).toByte)
       MediaRow(id, kind, payload, s"application/x-$kind", 64, 64, 4000 + (id % 2000))
     }
   }

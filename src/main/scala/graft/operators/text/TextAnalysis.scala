@@ -99,11 +99,17 @@ object TextAnalysis {
     * h = Σ token_hash(i) * B^(n-1-i) mod P — order-sensitive, unlike the
     * md5 fingerprint, so reordered content gets a different print.
     * Computed in-row with `aggregate`.
+    *
+    * The per-token hash is the first 60 bits of md5 (via `conv`) rather
+    * than xxhash64, and P is 2^31-1, so the whole fold is exact in plain
+    * 64-bit arithmetic on any ANSI SQL engine (acc*B + tok < 2^63) — the
+    * DuckDB oracle reproduces it bit-for-bit with a `list_reduce`.
     */
   def rollingHash(c: Column): Column = {
     val B = 1000003L
-    val P = 2305843009213693951L // 2^61-1
-    aggregate(tokens(c), lit(0L), (acc, t) => pmod(acc * B + abs(xxhash64(t)), lit(P)))
+    val P = 2147483647L // 2^31-1: keeps acc*B + 60-bit token hash under 2^63
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(acc * B + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(P)))
   }
 
   /** One-call enrichment used by the `text_profile` query — the native

@@ -50,6 +50,23 @@ class DebeziumEnvelopeSpec extends SparkSpec {
     assert(LagMetrics.delayOf(empty, "ts", 1L).isEmpty)
   }
 
+  test("schemaChange publishes DDL envelopes keyed by database (K6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ddl = Seq(("shop", "ALTER TABLE `shop`.`t` ADD COLUMN x INT", 5000L, "server-1", 5L))
+      .toDF("db", "ddl", "tsMillis", "originServerId", "seq")
+    val out = DebeziumEnvelope.schemaChange(ddl, "graft").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("key") == """{"databaseName":"shop"}""")
+    assert(r.getAs[String]("topic") == "graft")
+    val v = r.getAs[String]("value")
+    assert(v.contains(""""databaseName":"shop""""))
+    assert(v.contains(""""ddl":"ALTER TABLE `shop`.`t` ADD COLUMN x INT""""))
+    assert(v.contains(""""ts_ms":5000"""))
+    assert(v.contains(""""pos":5"""))
+  }
+
   test("decode(encode(x)) round-trips the envelope") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -63,6 +63,35 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("g1", "g3"))
   }
 
+  test("discoverTables: regex expansion, $1 renames, first-match wins (S6)") {
+    val catalog = Seq(
+      ("src1", "users"), ("src2", "orders"), ("src3", "x"), ("src12", "y"),
+      ("mysql", "user"), ("wiki", "pages")
+    ).toDF("db", "table")
+    val spec = ReplicationSpec(
+      doDb = Seq(
+        // regex spec first: matches src1/src2 (single digit), renames both levels
+        SchemaSpec("", schemaRegex = Some("^src(\\d)$"), renameSchema = Some("shard_$1"),
+          tables = Seq(TableSpec("", "^(.*)$", renameTable = Some("t_$1")))),
+        // exact spec later: would also match src2 — must NOT win over the regex spec
+        SchemaSpec("src2", renameSchema = Some("never")),
+        SchemaSpec("src12")),
+      ignoreDb = Seq(IgnoreSpec("src3")))
+    val got = Relational.discoverTables(catalog, spec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("src1", "users", "shard_1", "t_users"),
+      ("src2", "orders", "shard_2", "t_orders"),
+      ("src12", "y", "src12", "y")))
+  }
+
+  test("discoverTables: empty doDb passes all non-system tables unrenamed") {
+    val catalog = Seq(("a", "t"), ("sys", "x")).toDF("db", "table")
+    val got = Relational.discoverTables(catalog, ReplicationSpec())
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("a", "a", "t")))
+  }
+
   test("tableTransform composes filter + projection (§7.2 slice)") {
     val spec = TableSpec("db", "t", where = Some("v > 15"),
       columnMapFrom = Seq("id", "name"), columnMapTo = Seq("id", "customer"))
