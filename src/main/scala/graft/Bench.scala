@@ -35,8 +35,11 @@ object Bench {
         .orderBy(col("d"))
         .write.format("noop").mode("overwrite").save()
     }
-    // best-of-2 per query: steady-state execution time, insulated from
-    // transient host load / page-cache cold starts on the first pass
+    // best-of-3 per query, passes interleaved round-robin: back-to-back
+    // repeats share any transient host-load spike, so a spike inflates
+    // BOTH samples of one query while the rest of the suite is fine.
+    // Running full passes instead gives each query three samples spread
+    // across the whole run — min() then reflects steady-state execution.
     def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -47,9 +50,8 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = headline.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
-    }
+    val passes = (1 to 3).map(_ => headline.map(n => n -> timeOnce(n)).toMap)
+    val results = headline.map { name => name -> passes.map(_(name)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model._
-import graft.operators.{CdcBatch, DebeziumEnvelope, Relational}
+import graft.operators.{CdcBatch, Contamination, DebeziumEnvelope, Relational, Sampling, SeqPacking}
 import graft.operators.dedup.{Dedup, MinHashDedup, SimHashDedup}
 import graft.operators.sim.SimilaritySearch
 import graft.operators.text.TextAnalysis
 import graft.operators.multimodal.Multimodal
-import graft.functions.{GtidSetAgg, TypeConversions}
+import graft.functions.{GtidSetAgg, TypeConversions, VectorFunctions}
 import graft.sources.ChunkPlanner
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
@@ -689,6 +689,68 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.synthesize(s, 200), dim = 8)
         .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"))
         .orderBy(col("media_id"))
+    }),
+
+    // ----- beyond-parity: training-set assembly -----
+
+    "pack_sequences" -> ((s, dir) => {
+      // greedy token-budget packing per shard (source = shard key)
+      SeqPacking.pack(t(s, dir, "documents"), "doc_id", "text", "source", 512)
+        .toDF().orderBy(col("shard"), col("doc_id"))
+    }),
+
+    "pack_stats" -> ((s, dir) => {
+      SeqPacking.packStats(
+          SeqPacking.pack(t(s, dir, "documents"), "doc_id", "text", "source", 512).toDF(), 512)
+        .orderBy(col("shard"), col("window_idx"))
+    }),
+
+    "sample_split" -> ((s, dir) => {
+      Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+
+    "sample_mixture" -> ((s, dir) => {
+      Sampling.sampleMixture(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
+    "sample_shuffle" -> ((s, dir) => {
+      // the output IS the assertion: rows in deterministic-shuffle order
+      Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    }),
+
+    "contamination" -> ((s, dir) => {
+      // eval = every 10th doc, train = the rest; which train docs leak
+      // an eval doc's n-grams
+      val docs = t(s, dir, "documents")
+      Contamination.evalOverlap(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", n = 3, minOverlap = 0.1, maxShingleDf = 1000)
+        .orderBy(col("eval_id"), col("train_id"))
+    }),
+
+    // ----- beyond-parity: embedding utilities -----
+
+    "emb_l2norm" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(VectorFunctions.l2Normalize(col("embedding"))).as(Seq("idx", "nv")))
+        .select(col("vec_id"), col("idx"), round(col("nv"), 6).as("nval"))
+        .orderBy(col("vec_id"), col("idx"))
+    }),
+
+    "emb_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorFunctions.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"), col("qs.scale").as("sc"), posexplode(col("qs.q")).as(Seq("idx", "qv")))
+        .select(col("vec_id"), round(col("sc"), 6).as("scale"),
+          col("idx"), col("qv").cast("int").as("qval"))
+        .orderBy(col("vec_id"), col("idx"))
     })
   )
 
@@ -1187,6 +1249,102 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source AS shard, doc_id AS id,
+        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT) END, 512) AS ntok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, id, ntok, rn, CAST(ntok AS BIGINT) AS acc, CAST(0 AS BIGINT) AS win
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.id, t.ntok, t.rn,
+        |    CASE WHEN p.acc + t.ntok > 512 THEN CAST(t.ntok AS BIGINT) ELSE p.acc + t.ntok END,
+        |    CASE WHEN p.acc + t.ntok > 512 THEN p.win + 1 ELSE p.win END
+        |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, id AS doc_id, ntok AS n_tokens, win AS window_idx
+        |FROM p ORDER BY shard, doc_id""".stripMargin,
+
+    "pack_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source AS shard, doc_id AS id,
+        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT) END, 512) AS ntok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, id, ntok, rn, CAST(ntok AS BIGINT) AS acc, CAST(0 AS BIGINT) AS win
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.id, t.ntok, t.rn,
+        |    CASE WHEN p.acc + t.ntok > 512 THEN CAST(t.ntok AS BIGINT) ELSE p.acc + t.ntok END,
+        |    CASE WHEN p.acc + t.ntok > 512 THEN p.win + 1 ELSE p.win END
+        |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, win AS window_idx, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS window_tokens,
+        |  round(CAST(SUM(ntok) AS DOUBLE) / 512, 6) AS fill_ratio
+        |FROM p GROUP BY shard, win ORDER BY shard, window_idx""".stripMargin,
+
+    "sample_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |  WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_shuffle" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000, doc_id""".stripMargin,
+
+    "contamination" ->
+      """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  doc_id % 10 = 0 AS is_eval FROM documents),
+        |w AS (SELECT doc_id, is_eval, string_split(norm, ' ') AS words FROM base),
+        |s2 AS (SELECT doc_id, is_eval, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, is_eval, len(sh) AS n, unnest(sh) AS shingle FROM s2 WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |p AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id, ev.n AS n_eval, COUNT(*) AS common
+        |      FROM f ev JOIN f tr USING (shingle) WHERE ev.is_eval AND NOT tr.is_eval GROUP BY 1, 2, 3)
+        |SELECT eval_id, train_id, common, round(common / CAST(n_eval AS DOUBLE), 6) AS overlap_frac
+        |FROM p WHERE round(common / CAST(n_eval AS DOUBLE), 6) >= 0.1
+        |ORDER BY eval_id, train_id""".stripMargin,
+
+    "emb_l2norm" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(u.i - 1 AS INT) AS idx,
+        |  round(CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(embedding[u.i] AS DOUBLE) / nrm END, 6) AS nval
+        |FROM n, LATERAL (SELECT unnest(generate_series(1, len(n.embedding))) AS i) u
+        |ORDER BY vec_id, idx""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |  CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS sc FROM m)
+        |SELECT vec_id, round(sc, 6) AS scale, CAST(u.i - 1 AS INT) AS idx,
+        |  CAST(greatest(-127.0, least(127.0,
+        |    sign(CAST(embedding[u.i] AS DOUBLE)) * floor(abs(CAST(embedding[u.i] AS DOUBLE)) * sc + 0.5))) AS INT) AS qval
+        |FROM s, LATERAL (SELECT unnest(generate_series(1, len(s.embedding))) AS i) u
+        |ORDER BY vec_id, idx""".stripMargin,
 
     "mm_features" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 200)),

@@ -30,6 +30,19 @@ object VectorFunctions {
     */
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Native L2-normalize to `array<double>` ([[graft.plans.L2Normalize]]
+    * — fused two-pass loop, zero vector → zeros). Registered by
+    * GraftSession as `graft_l2norm`.
+    */
+  def l2Normalize(v: Column): Column = call_function("graft_l2norm", v)
+
+  /** Native symmetric int8 quantization to `struct(scale, q)`
+    * ([[graft.plans.QuantizeInt8]]): `scale = 127/max|x|`,
+    * `q_i = clamp(round_half_away(x_i*scale), ±127)`. Registered by
+    * GraftSession as `graft_quantize_i8`.
+    */
+  def quantizeInt8(v: Column): Column = call_function("graft_quantize_i8", v)
+
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),

@@ -69,6 +69,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_l2norm(v) takes one array<float|double> argument")
+        L2Normalize(children.head)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_quantize_i8(v) takes one array<float|double> argument")
+        QuantizeInt8(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(10000).toDF("id")
+
+  test("assignSplit: proportions near weights, assignment deterministic") {
+    val split = Sampling.assignSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 8000L) < 300, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val ${counts("val")}")
+    // same spec -> identical assignment
+    val again = Sampling.assignSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("assignSplit: weights normalize (8/1/1 == 0.8/0.1/0.1)") {
+    val a = Sampling.assignSplit(ids, "id", Seq("x" -> 8.0, "y" -> 1.0, "z" -> 1.0))
+    val b = Sampling.assignSplit(ids, "id", Seq("x" -> 0.8, "y" -> 0.1, "z" -> 0.1))
+    assert(a.exceptAll(b).isEmpty)
+  }
+
+  test("salt decorrelates assignments") {
+    val a = Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
+    val b = Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "v2")
+    val differing = a.withColumnRenamed("split", "s1")
+      .join(b.withColumnRenamed("split", "s2"), "id")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(differing > 2000, s"salted split too correlated: $differing")
+  }
+
+  test("sampleFraction keeps ~fraction, subset-stable under fraction growth") {
+    val f25 = Sampling.sampleFraction(ids, "id", 0.25)
+    val f50 = Sampling.sampleFraction(ids, "id", 0.50)
+    assert(math.abs(f25.count() - 2500L) < 200)
+    // bucket < 2500 implies bucket < 5000: smaller sample nests in larger
+    assert(f25.exceptAll(f50).isEmpty)
+  }
+
+  test("sampleMixture: per-stratum fractions, unlisted strata dropped") {
+    val strat = ids.withColumn("src", concat(lit("s"), pmod(col("id"), lit(4))))
+    val kept = Sampling.sampleMixture(strat, "id", "src", Map("s0" -> 1.0, "s1" -> 0.5))
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("s0", "s1"), s"unlisted strata leaked: $counts")
+    assert(counts("s0") == 2500L)
+    assert(math.abs(counts("s1") - 1250L) < 150)
+  }
+
+  test("deterministicShuffle: stable order, decorrelated from id order") {
+    val s1 = Sampling.deterministicShuffle(ids, "id").collect().map(_.getLong(0))
+    val s2 = Sampling.deterministicShuffle(ids, "id").collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "shuffle not reproducible")
+    assert(s1.toSet == (0L until 10000L).toSet, "rows lost")
+    // Spearman-ish check: the shuffled position of ids 0..99 should not
+    // be concentrated at the front
+    val posOfFirst100 = s1.zipWithIndex.filter(_._1 < 100).map(_._2.toLong)
+    assert(posOfFirst100.max > 5000, "order still correlated with id")
+  }
+}
