@@ -14,7 +14,8 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q2_join_enrich", "q3_window_topn", "k2_cdc_apply",
       "s2_tx_assembly", "a5_gtid_set", "dedup_exact", "dedup_minhash",
-      "dedup_ngram", "sim_topk", "text_profile", "c_type_matrix"
+      "dedup_ngram", "sim_topk", "text_profile", "c_type_matrix",
+      "pack_sequences", "contamination", "emb_quantize"
     )
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm FS/codec paths
     // warm the JVM's query-shaped one-time costs (codegen classloading,

@@ -691,6 +691,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_frames" -> ((s, dir) => {
+      // video frame sampling: fat binary rows explode to per-frame
+      // slices via flatMap (no output row inherits the full payload);
+      // the slice bytes are deterministic, so DuckDB rebuilds and
+      // sha-matches every frame payload end-to-end
+      Multimodal.sampleFrames(Multimodal.synthesize(s, 200), everyMs = 1000L)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          length(col("payload")).as("n_bytes"), sha2(col("payload"), 256).as("sha"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ----- beyond-parity: training-set assembly -----
 
     "pack_sequences" -> ((s, dir) => {
@@ -1249,6 +1261,19 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 200) WHERE range % 3 = 2),
+        |m AS (SELECT id, 512 + id % 512 AS len, 4000 + id % 2000 AS dur FROM ids),
+        |fr AS (SELECT id, CAST(u.i AS INT) AS frame_idx, u.i * 1000 AS ts_ms, len, dur
+        |       FROM m, LATERAL (SELECT unnest(generate_series(0, CAST(greatest(1, dur // 1000) AS INT) - 1)) AS i) u),
+        |st AS (SELECT id, frame_idx, ts_ms,
+        |       CAST(floor((ts_ms / CAST(dur AS DOUBLE)) * len) AS INT) AS strt, len FROM fr),
+        |p AS (SELECT id, frame_idx, ts_ms,
+        |      array_to_string(list_transform(range(strt, len), j -> chr(CAST((id * 31 + j) % 95 + 32 AS INT))), '') AS s
+        |      FROM st)
+        |SELECT id AS media_id, frame_idx, ts_ms, CAST(length(s) AS INT) AS n_bytes, sha256(s) AS sha
+        |FROM p ORDER BY media_id, frame_idx""".stripMargin,
 
     "pack_sequences" ->
       """WITH RECURSIVE t AS (

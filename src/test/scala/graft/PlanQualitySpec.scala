@@ -70,4 +70,43 @@ class PlanQualitySpec extends SparkSpec {
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
   }
+
+  test("sampling ops are shuffle-free per-row filters/projections") {
+    for (q <- Seq("sample_split", "sample_mixture")) {
+      val p = plan(q)
+      // the only exchange allowed is the final total-order sort's range
+      // partitioning; the assignment itself must not shuffle
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      val rangeEx = p.linesIterator.count(_.contains("rangepartitioning"))
+      assert(exchanges == rangeEx, s"$q shuffles beyond the output sort:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q uses a UDF")
+    }
+  }
+
+  test("sequence packing shuffles exactly once (hash by shard) before the sort") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange (by shard), got $hashEx:\n$p")
+  }
+
+  test("contamination plan is bucket-joined: no cartesian, capped collect present") {
+    val df = SparkEntry.queries("contamination")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must not cross-join:\n$p")
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_collect_capped"),
+      "hot-bucket cap missing from contamination plan")
+  }
+
+  test("native vector expressions evaluate once inside the scan stage") {
+    val opt = SparkEntry.queries("emb_l2norm")(spark, sf).queryExecution.optimizedPlan.toString
+    assert("graft_l2norm".r.findAllIn(opt).length == 1,
+      s"l2norm must be evaluated exactly once per row:\n$opt")
+    // quantize struct is referenced twice (scale + q) — Catalyst may
+    // duplicate it, but never more than the two field reads
+    val optQ = SparkEntry.queries("emb_quantize")(spark, sf).queryExecution.optimizedPlan.toString
+    assert("graft_quantize_i8".r.findAllIn(optQ).length <= 2,
+      s"quantize re-evaluated more than its field reads:\n$optQ")
+  }
 }
