@@ -691,6 +691,17 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // batched resize through the stub codec (truncate-to-w*h):
+      // payload bytes deterministic -> DuckDB sha-matches every resized
+      // payload, proving the mapPartitions batch plumbing end-to-end
+      Multimodal.resizeAll(Multimodal.synthesize(s, 200), 16, 16)
+        .toDF()
+        .select(col("media_id"), col("kind"), length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_frames" -> ((s, dir) => {
       // video frame sampling: fat binary rows explode to per-frame
       // slices via flatMap (no output row inherits the full payload);
@@ -1261,6 +1272,16 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 200)),
+        |p AS (SELECT id, array_to_string(list_transform(range(0, least(512 + id % 512, 256)),
+        |  j -> chr(CAST((id * 31 + j) % 95 + 32 AS INT))), '') AS s FROM ids)
+        |SELECT id AS media_id,
+        |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(s) AS INT) AS n_bytes, sha256(s) AS sha,
+        |  16 AS width, 16 AS height
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 200) WHERE range % 3 = 2),

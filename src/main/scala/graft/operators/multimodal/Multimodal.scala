@@ -90,6 +90,19 @@ object Multimodal {
     }
   }
 
+  /** Batched resize: one codec instance per task, rows streamed through
+    * `mapPartitions` (the `mapInPandas` batch shape, like
+    * [[extractFeatures]]). Metadata is rewritten alongside the payload
+    * so downstream size-based repartitioning sees the new dimensions.
+    */
+  def resizeAll(media: Dataset[MediaRow], w: Int, h: Int,
+                codec: MediaCodec = FakeCodec): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(payload = codec.resize(r.payload, w, h), width = w, height = h))
+    }
+  }
+
   /** Frame sampling for video rows: every `everyMs` ms of duration emits
     * one frame row (payload STUB: slice of source bytes). Explodes fat
     * rows into many small ones — done via flatMap so no single output

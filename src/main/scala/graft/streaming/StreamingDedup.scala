@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.dedup.Dedup
+
+/** Streaming exact dedup for continuously-ingested corpora (beyond-
+  * parity, SURVEY.md §8): first document with a given normalized-
+  * content fingerprint wins; later copies are dropped as they arrive.
+  *
+  * Built on `dropDuplicatesWithinWatermark`, the purpose-built Spark
+  * operator: state is keyed ONLY by the 128-bit fingerprint (never the
+  * text — a state row is ~fixed-width, so state size is bounded by
+  * distinct-docs-per-watermark-window, not corpus bytes), and the event-
+  * time watermark gives state a TTL — without it, streaming dedup state
+  * grows forever, the classic unbounded-state trap at ingest scale.
+  * The TTL semantics match what a 100 TB ingest wants: exact dedup
+  * within the re-delivery horizon (`delay`), periodic batch dedup
+  * ([[Dedup.exact]]) across horizons.
+  */
+object StreamingDedup {
+
+  /** First-wins streaming dedup on normalized content. `tsCol` is the
+    * event-time column the watermark rides on; duplicates arriving
+    * within `delay` of the original are dropped.
+    */
+  def firstWins(docs: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("__fp", md5(Dedup.normText(col(textCol))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}

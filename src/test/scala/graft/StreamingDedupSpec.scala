@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingDedup
+
+/** Streaming first-wins dedup through real Structured Streaming
+  * (MemoryStream → dropDuplicatesWithinWatermark → memory sink).
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(3600_000L + minute * 60_000L)
+
+  test("first copy wins; duplicates across micro-batches are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.firstWins(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "alpha beta", ts(0)), (2L, "Alpha   beta", ts(1)), (3L, "gamma", ts(1)))
+      q.processAllAvailable()
+      // batch 2: another normalized-equal copy, still within the watermark
+      input.addData((4L, "ALPHA BETA", ts(2)), (5L, "delta", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("state expires past the watermark horizon: an old fingerprint re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.firstWins(df, "text", "ts", "5 minutes")
+      .writeStream.format("memory").queryName("sdedup2").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "omega", ts(0)))
+      q.processAllAvailable()
+      // push the watermark far past ts(0)+5min, expiring the state row
+      input.addData((2L, "filler", ts(60)))
+      q.processAllAvailable()
+      // same content again, long after the horizon: state is gone, row re-admits
+      input.addData((3L, "omega", ts(61)))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup2").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && ids.contains(3L), s"got $ids")
+    } finally q.stop()
+  }
+}
