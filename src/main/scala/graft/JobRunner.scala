@@ -20,6 +20,17 @@ import graft.streaming.{CdcPipeline, UpsertSink}
   * → per-table declarative transforms → sink write, recording the
   * stream watermark; then the streaming pipeline continues from it.
   */
+object JobRunner {
+  /** Build a runner straight from a reference-shaped job JSON
+    * ([[graft.model.JobConfig]]) — a dtle user's existing job spec is
+    * the only input needed.
+    */
+  def fromJson(spark: SparkSession, json: String): (JobRunner, JobConfig) = {
+    val cfg = JobConfig.fromJson(json)
+    (new JobRunner(spark, cfg.repl), cfg)
+  }
+}
+
 class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
 
   /** Result of a table snapshot: rows written + the watermark (max seq

@@ -679,6 +679,15 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    "stats_histogram" -> ((s, dir) => {
+      // token-length distribution: exact fixed-width histogram (the
+      // truncation-budget surface), one shuffle on <= nBins+2 keys
+      graft.operators.TableStats.histogram(
+          t(s, dir, "documents").select(TextAnalysis.tokenCount(col("text")).as("v")),
+          col("v"), 0.0, 100.0, 10)
+        .orderBy(col("bin"))
+    }),
+
     // ----- beyond-parity: multimodal plumbing -----
 
     "mm_features" -> ((s, dir) => {
@@ -1272,6 +1281,17 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stats_histogram" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT) END AS v
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 100 THEN 10
+        |  ELSE CAST(floor(v / 10.0) AS INT) END AS bin FROM t)
+        |SELECT bin, COUNT(*) AS n,
+        |  CASE WHEN bin = -1 THEN '-infinity'::DOUBLE ELSE 0.0 + bin * 10.0 END AS bin_lo,
+        |  CASE WHEN bin = 10 THEN 'infinity'::DOUBLE ELSE 0.0 + (bin + 1) * 10.0 END AS bin_hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "mm_resize" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 200)),

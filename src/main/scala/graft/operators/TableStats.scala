@@ -35,4 +35,33 @@ object TableStats {
         (col("__n") - col("n_nonnull")).as("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Exact fixed-width histogram of a numeric expression — the
+    * distribution surface a training pipeline wants for token/length
+    * columns (where are the outliers, what does a truncation budget
+    * cut). One shuffle on at most `nBins + 2` keys: bin assignment is a
+    * codegen'd projection, so this runs at scan speed at any corpus
+    * size — unlike `percentile_approx` it is exactly reproducible, so
+    * it oracles bit-for-bit.
+    *
+    * Bins: `[lo + i*w, lo + (i+1)*w)` for `i in 0..nBins-1` with
+    * `w = (hi-lo)/nBins`; values below `lo` land in bin -1, values at
+    * or above `hi` in bin `nBins` (open-ended edge bins so nothing is
+    * silently dropped).
+    */
+  def histogram(df: DataFrame, valueExpr: org.apache.spark.sql.Column,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins > 0 and hi > lo, got $nBins, [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val bin = when(valueExpr < lo, lit(-1))
+      .when(valueExpr >= hi, lit(nBins))
+      .otherwise(floor((valueExpr - lo) / w).cast("int"))
+    df.select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", when(col("bin") === -1, lit(Double.NegativeInfinity))
+        .otherwise(lit(lo) + col("bin") * w))
+      .withColumn("bin_hi", when(col("bin") === nBins, lit(Double.PositiveInfinity))
+        .otherwise(lit(lo) + (col("bin") + 1) * w))
+  }
 }

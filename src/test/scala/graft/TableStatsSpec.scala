@@ -19,6 +19,19 @@ class TableStatsSpec extends SparkSpec {
     assert(p("v") == ((3L, 1L, 2L, "10", "30")))
   }
 
+  test("histogram: exact bins, open-ended edges, nothing dropped") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 3.0, 9.99, 10.0, 55.0, 100.0, 250.0).toDF("x")
+    val h = TableStats.histogram(df, col("x"), 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(h(-1) == ((1L, Double.NegativeInfinity, 0.0)))   // -5
+    assert(h(0) == ((3L, 0.0, 10.0)))                        // 0, 3, 9.99
+    assert(h(1) == ((1L, 10.0, 20.0)))                       // 10.0
+    assert(h(5) == ((1L, 50.0, 60.0)))                       // 55
+    assert(h(10) == ((2L, 100.0, Double.PositiveInfinity)))  // 100, 250
+    assert(h.values.map(_._1).sum == 8L)
+  }
+
   test("profile plan has exactly one scan of the input") {
     val df = Tables.load(spark, sf, "orders")
     val plan = TableStats.profile(df, Seq("o_orderkey", "o_orderstatus"))
