@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: times the LLM-pipeline operators on k× unions
+  * of the documents/embeddings fixtures (perturbed ids, salted text →
+  * distinct content, same distribution) — the methodology behind the
+  * README scale table. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleProbe 10 50
+  *
+  * Prints one JSON line per (op, k) with wall seconds. Not part of the
+  * driver bench contract; a development tool for the 100 TB argument.
+  */
+object ScaleProbe {
+
+  private def scaleDocs(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.count()
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * n)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(col("text"), lit(s" variant$i shard salt $i"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def scaleEmb(emb: DataFrame, k: Int): DataFrame = {
+    val n = emb.count()
+    (0 until k).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * n)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"), x => x * lit(1.0f + i * 0.01f))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10)
+    val spark = GraftSession.build()
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+
+    def time(op: String, k: Int)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","k":$k,"sec":$sec%.2f}""")
+    }
+
+    for (k <- ks) {
+      val d = scaleDocs(docs, k).localCheckpoint(true)
+      val e = scaleEmb(emb, k).localCheckpoint(true)
+      time("pack_sequences", k) {
+        operators.SeqPacking.pack(d, "doc_id", "text", "source", 512).toDF()
+      }
+      time("contamination", k) {
+        // realistic shape: the TRAIN corpus scales, the eval/benchmark
+        // set stays fixed (candidate volume is O(|eval| × cap))
+        operators.Contamination.evalOverlap(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", minOverlap = 0.1)
+      }
+      time("sample_mixture", k) {
+        operators.Sampling.sampleMixture(d, "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      }
+      time("sample_shuffle", k) {
+        operators.Sampling.deterministicShuffle(d.select(col("doc_id")), "doc_id")
+      }
+      time("emb_quantize", k) {
+        e.select(col("vec_id"), graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("qs"))
+      }
+      time("emb_l2norm", k) {
+        e.select(col("vec_id"), graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv"))
+      }
+      time("stats_histogram", k) {
+        operators.TableStats.histogram(
+          d.select(operators.text.TextAnalysis.tokenCount(col("text")).as("v")),
+          col("v"), 0.0, 100.0, 10)
+      }
+      d.unpersist()
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -77,7 +77,10 @@ object JobConfig {
       renameTable = str(t, "TableRename"),
       where = str(t, "Where"),
       columnMapFrom = arr(t, "ColumnMapFrom").map(_.asText),
-      columnMapTo = arr(t, "ColumnMapTo").map(_.asText))
+      columnMapTo = arr(t, "ColumnMapTo").map(_.asText),
+      // regex-ness is the FIELD, not the syntax (an unanchored
+      // TableRegex would otherwise be taken as a literal name)
+      nameIsRegex = str(t, "TableRegex").isDefined)
 
     def parseDo(d: JsonNode): SchemaSpec = SchemaSpec(
       schema = str(d, "TableSchema").getOrElse(""),

@@ -67,7 +67,12 @@ case class TableSpec(
       * compiles with `functions.expr` (reference `tabletypes.go:151-235`). */
     where: Option[String] = None,
     columnMapFrom: Seq[String] = Nil,
-    columnMapTo: Seq[String] = Nil
+    columnMapTo: Seq[String] = Nil,
+    /** `name` is a regex (reference: non-empty `TableRegex` field,
+      * `tabletypes.go:96`). Regexes starting with `^` are detected
+      * without the flag; an unanchored regex needs it set explicitly —
+      * matching is substring (Go `MatchString` ≅ `rlike`) either way. */
+    nameIsRegex: Boolean = false
 )
 
 /** Schema-level include entry — reference `DataSource` in `ReplicateDoDb`

@@ -89,7 +89,7 @@ object Relational {
         val tableOk =
           if (s.tables.isEmpty) lit(true)
           else s.tables.map { t =>
-            if (t.name.startsWith("^")) tableCol.rlike(t.name) else tableCol === t.name
+            if (tableIsRegex(t)) tableCol.rlike(t.name) else tableCol === t.name
           }.reduce(_ || _)
         schemaOk && tableOk
       }.reduce(_ || _)
@@ -101,6 +101,22 @@ object Relational {
       }.reduce(_ || _)
     notSystem && included && !excluded
   }
+
+  /** Regex-ness of a table spec: the explicit flag (reference: non-empty
+    * `TableRegex` field) or the `^`-anchored syntactic convention.
+    */
+  private def tableIsRegex(t: TableSpec): Boolean =
+    t.nameIsRegex || t.name.startsWith("^")
+
+  /** Rename semantics of the reference's `ExpandString`
+    * (`extractor.go:407-417`, `485-498`): the rename REPLACES the whole
+    * name with the expanded template, even when the regex matched only a
+    * substring. Wrapping the user regex in a full-line non-capturing
+    * envelope makes `regexp_replace` do exactly that — group indices in
+    * `$1...` templates are unchanged, and the lazy prefix picks the
+    * leftmost match like Go's `FindStringSubmatchIndex`.
+    */
+  private def expandWholeName(re: String): String = s"(?s)^.*?(?:$re).*$$"
 
   /** S6 — catalog-driven table discovery: the full driver-side stage the
     * reference runs at job start (inspectTables, `extractor.go:383-565`):
@@ -125,19 +141,19 @@ object Relational {
     def tableCond(s: SchemaSpec): Column =
       if (s.tables.isEmpty) lit(true)
       else s.tables.map { t =>
-        if (t.name.startsWith("^")) tbl.rlike(t.name) else tbl === t.name
+        if (tableIsRegex(t)) tbl.rlike(t.name) else tbl === t.name
       }.reduce(_ || _)
     def outDbFor(s: SchemaSpec): Column = s.schemaRegex match {
-      case Some(re) => regexp_replace(db, re, s.renameSchema.getOrElse("$0"))
+      case Some(re) => regexp_replace(db, expandWholeName(re), s.renameSchema.getOrElse("$0"))
       case None     => s.renameSchema.map(lit(_): Column).getOrElse(db)
     }
     def outTableFor(s: SchemaSpec): Column =
       s.tables.foldRight(tbl: Column) { (t, els) =>
-        val cond = if (t.name.startsWith("^")) tbl.rlike(t.name) else tbl === t.name
+        val cond = if (tableIsRegex(t)) tbl.rlike(t.name) else tbl === t.name
         val renamed = t.renameTable match {
-          case Some(tmpl) if t.name.startsWith("^") => regexp_replace(tbl, t.name, tmpl)
-          case Some(tmpl)                           => lit(tmpl): Column
-          case None                                 => tbl
+          case Some(tmpl) if tableIsRegex(t) => regexp_replace(tbl, expandWholeName(t.name), tmpl)
+          case Some(tmpl)                    => lit(tmpl): Column
+          case None                          => tbl
         }
         when(cond, renamed).otherwise(els)
       }

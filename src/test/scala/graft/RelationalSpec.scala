@@ -85,6 +85,18 @@ class RelationalSpec extends SparkSpec {
       ("src12", "y", "src12", "y")))
   }
 
+  test("discoverTables: unanchored regex rename replaces the WHOLE name (ExpandString semantics)") {
+    // reference extractor.go:485-498 — the rename is the expanded
+    // template, not a substring substitution inside the original name
+    val catalog = Seq(("db1", "prod_tbl42_x"), ("db1", "plain")).toDF("db", "table")
+    val spec = ReplicationSpec(doDb = Seq(
+      SchemaSpec("db1", tables = Seq(
+        TableSpec("", "tbl(\\d+)", renameTable = Some("t_$1"), nameIsRegex = true)))))
+    val got = Relational.discoverTables(catalog, spec)
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    assert(got == Set(("prod_tbl42_x", "t_42")))
+  }
+
   test("discoverTables: empty doDb passes all non-system tables unrenamed") {
     val catalog = Seq(("a", "t"), ("sys", "x")).toDF("db", "table")
     val got = Relational.discoverTables(catalog, ReplicationSpec())
