@@ -679,6 +679,20 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
 
+    "sql_surface" -> ((s, dir) => {
+      // the whole engine from pure SQL: fixture views + graft_* native
+      // functions in the registry — no Column API anywhere
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |  profile.n_tokens AS n_tokens,
+          |  round(profile.quality, 6) AS quality,
+          |  profile.lang_pred AS lang_pred,
+          |  size(graft_shingles(text, 3)) AS n_shingles
+          |FROM (SELECT doc_id, text, graft_text_profile(text) AS profile FROM documents)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     "stats_histogram" -> ((s, dir) => {
       // token-length distribution: exact fixed-width histogram (the
       // truncation-budget surface), one shuffle on <= nBins+2 keys
@@ -1281,6 +1295,35 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sql_surface" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
+        |sc AS (SELECT doc_id, text, words,
+        |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |  len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(words, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(words, t -> t IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |  len(list_filter(words, t -> t IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |FROM w),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
+        |FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
+        |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INT) AS n_shingles
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "stats_histogram" ->
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0

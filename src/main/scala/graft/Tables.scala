@@ -30,4 +30,12 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+
+  /** Register every fixture as a temp view, making the whole engine
+    * reachable from `spark.sql(...)` — the graft_* native functions are
+    * already in the session's function registry (GraftExtensions), so
+    * SQL-first users get the full surface with no Column API.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

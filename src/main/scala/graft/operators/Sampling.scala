@@ -23,9 +23,13 @@ object Sampling {
 
   val Buckets = 10000
 
-  /** Deterministic bucket in [0, mod) from the md5 of the key. */
+  /** Deterministic bucket in [0, mod) from the md5 of the key. A null
+    * key hashes like the empty string — without the coalesce, null rows
+    * would null through every comparison and silently vanish from
+    * samples (or all fall into a split's last bucket).
+    */
   def hashBucket(key: Column, salt: String = "", mod: Int = Buckets): Column =
-    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+    pmod(conv(substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 15), 16, 10)
       .cast("long"), lit(mod.toLong))
 
   /** Assign each row to a named split by cumulative weight over the hash

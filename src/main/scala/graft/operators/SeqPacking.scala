@@ -45,7 +45,10 @@ object SeqPacking {
     val toks = docs.select(
       col(shardCol).cast("string").as("shard"),
       col(idCol).cast("long").as("id"),
-      least(TextAnalysis.tokenCount(col(textCol)), lit(budget)).cast("int").as("ntok"))
+      // null text -> 0 tokens (the typed encoder's Int field must never
+      // see a SQL NULL)
+      coalesce(least(TextAnalysis.tokenCount(col(textCol)), lit(budget)), lit(0))
+        .cast("int").as("ntok"))
       .as[DocTok]
     toks.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))

@@ -16,9 +16,11 @@ object TextAnalysis {
 
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Null-safe: null text counts 0 (without the
+    * isNull arm, `size(split(null))` surfaces as -1).
+    */
   def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+    when(c.isNull || length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
 
   /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
     * punctuation, the common `\w+|[^\w\s]` pre-tokenizer regex.

@@ -53,6 +53,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("s1") - 1250L) < 150)
   }
 
+  test("null keys neither vanish nor pile into the last split") {
+    val withNulls = spark.range(100).toDF("id")
+      .withColumn("key", when(col("id") < 10, lit(null)).otherwise(col("id").cast("string")))
+    val split = Sampling.assignSplit(withNulls, "key", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(split.count() == 100, "rows lost on null keys")
+    // all null keys get ONE deterministic bucket -> one split, chosen by
+    // hash('') not by falling through the when-chain
+    val nullSplits = split.filter(col("key").isNull).select("split").distinct().collect()
+    assert(nullSplits.length == 1)
+    val f = Sampling.sampleFraction(withNulls, "key", 1.0)
+    assert(f.count() == 100, "fraction=1.0 must keep null-keyed rows")
+  }
+
   test("deterministicShuffle: stable order, decorrelated from id order") {
     val s1 = Sampling.deterministicShuffle(ids, "id").collect().map(_.getLong(0))
     val s2 = Sampling.deterministicShuffle(ids, "id").collect().map(_.getLong(0))

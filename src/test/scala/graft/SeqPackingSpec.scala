@@ -40,6 +40,18 @@ class SeqPackingSpec extends SparkSpec {
     assert(got == Set(("s1", 1L, 2, 0L), ("s2", 2L, 0, 0L), ("s2", 3L, 2, 0L)))
   }
 
+  test("null text and null shard survive: 0 tokens, nulls pack as their own shard") {
+    val d = Seq(
+      (1L, null.asInstanceOf[String], "s1"), (2L, "a b", "s1"),
+      (3L, "c d", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val got = SeqPacking.pack(d, "doc_id", "text", "source", 2)
+      .collect().map(p => (Option(p.shard), p.doc_id, p.n_tokens, p.window_idx)).toSet
+    assert(got == Set(
+      (Some("s1"), 1L, 0, 0L), (Some("s1"), 2L, 2, 0L),
+      (None, 3L, 2, 0L)))
+  }
+
   test("fixture invariants: fill <= budget, contiguous window ids, total preserved") {
     val d = Tables.load(spark, sf, "documents")
     val packed = SeqPacking.pack(d, "doc_id", "text", "source", 256).toDF()
