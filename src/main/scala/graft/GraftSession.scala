@@ -17,6 +17,40 @@ import org.apache.spark.sql.SparkSession
   *    the long back to a proper TimestampType column.
   */
 object GraftSession {
+
+  /** Conf deltas for the real multi-executor deployment at the 100 TB
+    * design point. `build()` below configures local[32]; these are the
+    * knobs that CHANGE when the same code ships to a 1000-executor
+    * cluster — versioned with the engine so the deployment recipe can't
+    * drift from the code it tunes. Apply on top of `build()`'s settings
+    * (`scaleOutConf.foreach((spark.conf.set _).tupled)` at submit, or
+    * as `--conf` flags).
+    */
+  val scaleOutConf: Map[String, String] = Map(
+    // AQE coalesces DOWN from this; start high so no stage is starved
+    // of parallelism before runtime stats arrive (rule of thumb: 2-4x
+    // total executor cores)
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "8192",
+    // scan-split size: 256 MB balances task-launch overhead against
+    // stragglers; with ~100k row-groups at 100 TB the scan still fans
+    // out to ~400k tasks
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    // a "small" dimension at this scale is bigger than the 10 MB
+    // default; broadcast joins beat shuffles up to executor-memory
+    // comfort (executors are sized 32-64 GB here)
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    // split shuffle partitions whose size exceeds this at runtime —
+    // the skew half of the salting story (Partitioning.saltedAggregate
+    // is the planned half)
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "268435456",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "134217728",
+    // streaming state (CDC tx assembly, streaming dedup) outgrows the
+    // in-memory store long before 100 TB; RocksDB spills to local disk
+    // and checkpoints increments
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  )
+
   def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

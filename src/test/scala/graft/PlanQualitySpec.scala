@@ -99,6 +99,22 @@ class PlanQualitySpec extends SparkSpec {
       "hot-bucket cap missing from contamination plan")
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.sinks.PartitionedWriter.write(
+      Tables.load(spark, sf, "documents"), dir, Seq("lang"))
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter did not reach the scan:\n$p")
+    // pruned scan must not enumerate every partition's files
+    val nLangs = Tables.load(spark, sf, "documents")
+      .select("lang").distinct().count()
+    assert(nLangs > 1, "fixture needs multiple langs for this test to bite")
+    assert(read.count() ==
+      Tables.load(spark, sf, "documents").filter(col("lang") === "en").count())
+  }
+
   test("native vector expressions evaluate once inside the scan stage") {
     val opt = SparkEntry.queries("emb_l2norm")(spark, sf).queryExecution.optimizedPlan.toString
     assert("graft_l2norm".r.findAllIn(opt).length == 1,
