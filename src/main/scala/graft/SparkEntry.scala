@@ -662,6 +662,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // intra-document repetition signals (Gopher-style gates)
+      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          round(TextAnalysis.duplicateNgramFraction(col("text"), 1), 6).as("dup_word_frac"),
+          round(TextAnalysis.duplicateNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_redact" -> ((s, dir) => {
+      // deterministic PII synthesized from fixture columns (oracle
+      // reproduces the exact input), then URL/email/phone redaction
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" reach me at user"), col("doc_id"), lit("@example.com or https://site"),
+          col("doc_id"), lit(".example/page?q=1 call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("raw"))
+      synth.select(col("doc_id"), TextAnalysis.redactPii(col("raw")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // flagship composition: profile gate -> exact dedup -> near-dup
       // clustering -> representatives; every stage oracle-expressible
@@ -1335,6 +1356,34 @@ object SparkEntry {
         |  CASE WHEN bin = -1 THEN '-infinity'::DOUBLE ELSE 0.0 + bin * 10.0 END AS bin_lo,
         |  CASE WHEN bin = 10 THEN 'infinity'::DOUBLE ELSE 0.0 + (bin + 1) * 10.0 END AS bin_hi
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS nt
+        |  FROM documents),
+        |b AS (SELECT doc_id, words, nt,
+        |  list_distinct(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS big
+        |  FROM w)
+        |SELECT doc_id,
+        |  round(CASE WHEN nt <= 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / nt END, 6) AS dup_word_frac,
+        |  round(CASE WHEN nt - 1 <= 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(big) AS DOUBLE) / (nt - 1) END, 6) AS dup_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_redact" ->
+      """WITH synth AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' reach me at user' || doc_id || '@example.com or https://site' ||
+        |  doc_id || '.example/page?q=1 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw, 'https?://\S+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM synth ORDER BY doc_id""".stripMargin,
 
     "mm_resize" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 200)),

@@ -114,6 +114,38 @@ object TextAnalysis {
       (acc, t) => pmod(acc * B + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(P)))
   }
 
+  /** Duplicate word-n-gram fraction — the Gopher/RefinedWeb-style
+    * intra-document repetition signal (`1 - distinct n-grams / total
+    * n-grams`; 0 for docs too short to have any). High values mean
+    * boilerplate/looping text a curation gate should drop. Uses the
+    * native distinct-shingle expression for the distinct count; total
+    * count is arithmetic on the token count, so the whole signal is one
+    * per-row projection.
+    */
+  def duplicateNgramFraction(c: Column, n: Int): Column = {
+    val total = tokenCount(c) - lit(n - 1)
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(call_function("graft_shingles", c, lit(n))).cast("double") / total)
+  }
+
+  /** PII redaction for training text: URLs, emails, then phone-shaped
+    * numbers replaced with typed placeholder tokens (URL first — an
+    * email-looking substring inside a URL should redact as part of the
+    * URL). Patterns are deliberately RE2-compatible (no backrefs or
+    * lookaround) so any engine — and the DuckDB oracle — applies them
+    * identically.
+    */
+  val UrlRe = "https?://\\S+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** One-call enrichment used by the `text_profile` query — the native
     * one-pass [[graft.plans.TextProfile]] expression (the composable
     * Column formulas above re-run the tokenize subtree once per output

@@ -14,6 +14,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Int](TextAnalysis.tokenCount(col("t")), "   ") == 0)
   }
 
+  test("duplicateNgramFraction: repetition signal, short docs are 0") {
+    val d1 = TextAnalysis.duplicateNgramFraction(col("t"), 1)
+    val d2 = TextAnalysis.duplicateNgramFraction(col("t"), 2)
+    assert(math.abs(one[Double](d1, "a b a b a") - 0.6) < 1e-12)  // 2 distinct / 5 words
+    assert(math.abs(one[Double](d2, "a b a b a") - 0.5) < 1e-12)  // 2 distinct / 4 bigrams
+    assert(one[Double](d2, "x y z") == 0.0)                        // all distinct
+    assert(one[Double](d1, "unique words only here") == 0.0)
+    assert(one[Double](d2, "single") == 0.0)                       // too short: no bigrams
+    assert(one[Double](d1, "") == 0.0)
+  }
+
+  test("redactPii: urls, emails, phones; email inside a url redacts as URL") {
+    val r = TextAnalysis.redactPii(col("t"))
+    assert(one[String](r, "mail me at bob.smith+x@corp.example.io today") ==
+      "mail me at <EMAIL> today")
+    assert(one[String](r, "see https://a.example/p?q=1&r=2 now") == "see <URL> now")
+    assert(one[String](r, "call 555-0134 x2") == "call <PHONE> x2")
+    assert(one[String](r, "ref https://x.test/u=admin@inner.example path") ==
+      "ref <URL> path")
+    assert(one[String](r, "clean text stays clean") == "clean text stays clean")
+  }
+
   test("subwordCount: BPE-ish pre-tokenizer pieces") {
     assert(one[Int](TextAnalysis.subwordCount(col("t")), "hello, world42!") == 5)
     // hello , world 42 !
