@@ -628,6 +628,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_topk_quantized" -> ((s, dir) => {
+      // exact top-k over the int8-quantized corpus (cosine is scale-
+      // invariant: byte vectors searched directly, 4x less index bytes)
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.quantizedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_lsh_topk" -> ((s, dir) => {
       // ANN path: recall < 1 by construction → rows-only; recall vs
       // brute force asserted in SimilaritySearchSpec
@@ -1209,6 +1217,25 @@ object SparkEntry {
         |  FROM embeddings),
         |scored AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos
         |  FROM q, c WHERE corpus_id <> query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_quantized" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS sc FROM m),
+        |qz AS (SELECT vec_id AS corpus_id,
+        |  list_transform(embedding, x -> greatest(-127.0, least(127.0,
+        |    sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * sc + 0.5)))) AS cv8
+        |  FROM s),
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT query_id, corpus_id, list_cosine_similarity(cv8, qv) AS cos
+        |  FROM q, qz WHERE corpus_id <> query_id)
         |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
         |FROM scored
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)

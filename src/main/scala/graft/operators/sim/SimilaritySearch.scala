@@ -64,6 +64,30 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Exact top-k over an int8-QUANTIZED corpus — the memory/shuffle
+    * scale lever: the corpus index is `array<tinyint>` (4× smaller than
+    * float32 through every scan, cache, and exchange). Cosine is
+    * scale-invariant, so the search runs DIRECTLY on the byte vectors —
+    * no dequantization, no stored scale on the search path; the only
+    * loss is the ±0.5-step rounding of each component (recall vs exact
+    * search pinned in SimilaritySearchSpec). The same trick composes
+    * with [[lshTopK]]/[[ivfTopK]] candidate generation.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      quantizeInt8(col(vecCol)).getField("q").as("cvec8"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosineNative(col("cvec8"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Near-dup embedding pairs above a cosine threshold, LSH-bucketed. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, dim: Int, nBits: Int = 8, tables: Int = 4): DataFrame = {

@@ -27,12 +27,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      // tinyint support = the int8-quantized search path: cosine is
+      // scale-invariant, so searching over quantized vectors needs no
+      // dequantization at all — the byte array IS the operand
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine needs two array<float|double> arguments, got " +
+      s"graft_cosine needs two array<float|double|tinyint> arguments, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
@@ -43,17 +46,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def getterName(e: Expression): String = elemType(e) match {
+    case FloatType => "getFloat"
+    case ByteType  => "getByte"
+    case _         => "getDouble"
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    def get(v: ArrayData, e: Expression, i: Int): Double = elemType(e) match {
+      case FloatType => v.getFloat(i).toDouble
+      case ByteType  => v.getByte(i).toDouble
+      case _         => v.getDouble(i)
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = get(x, left, i)
+      val yv = get(y, right, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -61,8 +73,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    val lGet = getterName(left)
+    val rGet = getterName(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")

@@ -46,6 +46,26 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("quantizedTopK: high recall vs exact search, cosine within quantization error") {
+    val k = 5
+    val truth = groundTruthTopK(k, 5)
+    val got = SimilaritySearch.quantizedTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k)
+      .select("query_id", "rank", "corpus_id", "cosine").as[(Long, Int, Long, Double)].collect()
+    val byQuery = got.groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    // int8 rounding can swap near-ties, but recall@k must stay high
+    val recall = truth.map { case (q, t) => (byQuery(q).toSet & t.toSet).size.toDouble / k }
+      .sum / truth.size
+    assert(recall >= 0.9, s"quantized recall@$k = $recall")
+    // quantized cosine tracks the exact one within the rounding budget
+    val exact = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 50)
+      .select("query_id", "corpus_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, c, cos) => (q, c) -> cos }.toMap
+    got.foreach { case (q, _, c, cosQ) =>
+      exact.get((q, c)).foreach(cosE => assert(math.abs(cosQ - cosE) < 0.02,
+        s"quantized cosine drift: $cosQ vs $cosE for ($q,$c)"))
+    }
+  }
+
   test("ivfTopK recall vs brute force is reasonable; probing all lists is exact") {
     import org.apache.spark.sql.functions.col
     val truth = groundTruthTopK(5, 10)
