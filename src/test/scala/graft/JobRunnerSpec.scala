@@ -26,6 +26,34 @@ class JobRunnerSpec extends SparkSpec {
     assert(res.watermark == orders.agg(max("o_orderkey")).first().getLong(0))
   }
 
+  test("a dtle job JSON drives the full lifecycle: parse -> snapshot -> transforms") {
+    // the config a reference user already has, verbatim field names
+    val json =
+      """{
+        |  "ReplicateDoDb": [
+        |    {"TableSchema": "sales", "TableSchemaRename": "analytics",
+        |     "Tables": [{"TableName": "orders", "TableRename": "orders_cdc",
+        |       "Where": "o_totalprice > 1000",
+        |       "ColumnMapFrom": ["o_orderkey", "o_custkey", "o_totalprice"]}]}
+        |  ],
+        |  "SqlFilter": ["NoDMLDelete"],
+        |  "ChunkSize": 2000
+        |}""".stripMargin
+    val (runner, cfg) = JobRunner.fromJson(spark, json)
+    assert(cfg.repl.skipOps == Set(Op.Delete))
+    val tableSpec = cfg.repl.doDb.head.tables.head
+      .copy(schema = cfg.repl.doDb.head.schema,
+        renameSchema = cfg.repl.doDb.head.renameSchema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-json-job").toString
+    val res = runner.snapshot(Tables.load(spark, sf, "orders"), tableSpec,
+      Seq("o_orderkey"), numChunks = 4, outDir = dir)
+    assert(res.table == "analytics.orders_cdc")
+    val written = spark.read.parquet(s"$dir/analytics.orders_cdc")
+    assert(written.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(written.count() ==
+      Tables.load(spark, sf, "orders").filter(col("o_totalprice") > 1000).count())
+  }
+
   test("replayBatch: routed change log over snapshot state gives final state") {
     val repl = ReplicationSpec(doDb = Seq(SchemaSpec("db")), skipOps = Set("ddl"),
       selfServerId = Some("self"))
