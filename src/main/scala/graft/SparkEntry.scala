@@ -599,6 +599,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_minhash_md5" -> ((s, dir) => {
+      // the portable-arithmetic LSH witness: same construction as
+      // dedup_minhash, every hash reproducible in ANSI SQL -> the
+      // whole minhash/banding/bucket pipeline gets a DuckDB hash-match
+      MinHashDedup.portablePairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, numBands = 4, threshold = 0.5, maxBucket = 500)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // no DuckDB oracle — SimHashDedupSpec verifies against Hamming
       // distance of brute-force fingerprints
@@ -1180,6 +1189,28 @@ object SparkEntry {
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_md5" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |h AS (SELECT doc_id, list_transform(sh, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 16), j ->
+        |    list_min(list_transform(hs, x -> ((2*j + 1) * x + j * 12345 + 7) % 2147483647))) AS sig
+        |  FROM h),
+        |banded AS (SELECT doc_id, sig, u.b AS band,
+        |  sig[u.b*4+1] || ':' || sig[u.b*4+2] || ':' || sig[u.b*4+3] || ':' || sig[u.b*4+4] AS bkey
+        |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u),
+        |f AS (SELECT * FROM banded QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 500),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        |  FROM f a JOIN f b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |scored AS (SELECT id_a, id_b,
+        |  len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS sig_frac FROM p)
+        |SELECT id_a, id_b, round(sig_frac, 6) AS sig_frac FROM scored
+        |WHERE sig_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id,

@@ -23,6 +23,59 @@ object MinHashDedup {
 
   private val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
 
+  /** Portable MinHash+LSH near-dup pairs: identical construction to the
+    * fast path, but every hash is exact in plain 64-bit arithmetic —
+    * 60-bit md5 shingle hashes reduced mod 2^31-1, permutations
+    * `(2j+1)·x + c_j mod 2^31-1` (products < 2^62, no wraparound) — so
+    * an ANSI engine reproduces the ENTIRE pipeline bit-for-bit: the
+    * `dedup_minhash_md5` DuckDB oracle hash-matches banding, buckets,
+    * and signature-agreement scores. The xxhash64 fast path stays the
+    * bench/production one (md5 costs more per shingle); this variant is
+    * the cross-engine-verifiable witness that the LSH construction is
+    * right.
+    *
+    * Shape notes: shingle hashes are computed ONCE on exploded rows and
+    * consumed by k `min` aggregates — aggregates evaluate their child
+    * projection per input row, so the k branches cannot re-inline the
+    * md5 subtree (the CollapseProject k× re-evaluation trap the in-row
+    * HOF formulation hits). Output: (id_a, id_b, sig_frac) where
+    * sig_frac = fraction of the k signature rows that agree.
+    */
+  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 16, numBands: Int = 4,
+                    threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+    require(k % numBands == 0, "numBands must divide k")
+    val rpb = k / numBands
+    val p31 = 2147483647L // 2^31 - 1
+    val hashed = graft.operators.Partitioning
+      .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"), lit(p31)).as("hs"))
+    val mins = (0 until k).map(j =>
+      min((col("hs") * lit(2L * j + 1) + lit(j * 12345L + 7L)) % lit(p31)).as(s"m$j"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until numBands).map(b =>
+        concat_ws(":", (0 until rpb).map(r => col("sig").getItem(b * rpb + r)): _*)): _*))
+        .as(Seq("band", "bkey")))
+    val buckets = banded.groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("sig")), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    explodePairs(buckets, "members")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sig_frac",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("sig_frac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sig_frac"), 6).as("sig_frac"))
+  }
+
   /** Declarative permutation — retained as the independent reference
     * formulation that DedupSpec checks [[graft.functions.MinHashSigAgg]]
     * against bit-for-bit.

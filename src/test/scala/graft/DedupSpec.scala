@@ -51,6 +51,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
   }
 
+  test("portable minhash finds planted dups with full signature agreement") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pp = MinHashDedup.portablePairs(docs, "doc_id", "text",
+        n = 3, k = 16, numBands = 4, threshold = 0.5)
+      .select("id_a", "id_b", "sig_frac").as[(Long, Long, Double)].collect()
+    val found = pp.map(r => (r._1, r._2)).toSet
+    val recall = if (truth.isEmpty) 1.0 else truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"portable minhash recall $recall over ${truth.size} true pairs")
+    // identical docs must agree on every signature row
+    val exact = Dedup.exact(docs, "doc_id", "text").filter(col("n_copies") > 1)
+    if (!exact.isEmpty) assert(pp.exists(_._3 == 1.0), "no fully-agreeing pair on a corpus with exact dups")
+  }
+
   test("minhash estimate is close to true jaccard") {
     val est = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
         shingleN = 3, k = 64, numBands = 16, threshold = 0.5)
