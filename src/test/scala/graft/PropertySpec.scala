@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.IntervalSet
+import graft.sinks.SqlBuilder
+
+/** Property-based checks (ScalaCheck) for the pure algebraic cores the
+  * distributed operators lean on — the places where a subtle edge case
+  * (adjacent intervals, zero-row batches, hostile identifiers) breaks
+  * correctness silently rather than loudly.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def holds(label: String)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  private val gnoGen = Gen.chooseNum(1L, 200L)
+  private val gnoSetGen = Gen.listOf(gnoGen).map(_.toSet)
+
+  test("IntervalSet is a faithful set of longs under add/merge") {
+    holds("membership") {
+      Prop.forAll(gnoSetGen) { xs =>
+        val ivs = xs.foldLeft(IntervalSet.empty)(_.add(_))
+        (1L to 210L).forall(v => ivs.contains(v) == xs.contains(v)) &&
+          ivs.count == xs.size.toLong
+      }
+    }
+    holds("merge == set union") {
+      Prop.forAll(gnoSetGen, gnoSetGen) { (a, b) =>
+        val ia = a.foldLeft(IntervalSet.empty)(_.add(_))
+        val ib = b.foldLeft(IntervalSet.empty)(_.add(_))
+        val u = ia.merge(ib)
+        u.count == (a ++ b).size.toLong &&
+          (1L to 210L).forall(v => u.contains(v) == (a ++ b).contains(v))
+      }
+    }
+    holds("merge commutes and is idempotent") {
+      Prop.forAll(gnoSetGen, gnoSetGen) { (a, b) =>
+        val ia = a.foldLeft(IntervalSet.empty)(_.add(_))
+        val ib = b.foldLeft(IntervalSet.empty)(_.add(_))
+        ia.merge(ib).render == ib.merge(ia).render &&
+          ia.merge(ia).render == ia.render
+      }
+    }
+  }
+
+  test("IntervalSet intervals stay normalized: sorted, disjoint, non-adjacent") {
+    holds("normal form") {
+      Prop.forAll(gnoSetGen) { xs =>
+        val ivs = xs.foldLeft(IntervalSet.empty)(_.add(_)).intervals
+        ivs.forall { case (lo, hi) => lo <= hi } &&
+          ivs.sliding(2).forall {
+            case List((_, h1), (l2, _)) => l2 > h1 + 1 // gap, else they'd merge
+            case _ => true
+          }
+      }
+    }
+  }
+
+  test("subtract is set difference; render/parse round-trips") {
+    holds("difference") {
+      Prop.forAll(gnoSetGen, gnoSetGen) { (a, b) =>
+        val ia = a.foldLeft(IntervalSet.empty)(_.add(_))
+        val ib = b.foldLeft(IntervalSet.empty)(_.add(_))
+        val d = ia.subtract(ib)
+        (1L to 210L).forall(v => d.contains(v) == (a.contains(v) && !b.contains(v)))
+      }
+    }
+    holds("roundtrip") {
+      Prop.forAll(gnoSetGen.suchThat(_.nonEmpty)) { xs =>
+        val ivs = xs.foldLeft(IntervalSet.empty)(_.add(_))
+        IntervalSet.parse(ivs.render).render == ivs.render
+      }
+    }
+  }
+
+  test("tierPlan covers every batch size exactly, largest tiers first") {
+    holds("exact cover") {
+      Prop.forAll(Gen.chooseNum(0, 5000)) { n =>
+        val plan = SqlBuilder.tierPlan(n)
+        val covered = plan.map { case (tier, cnt) => tier * cnt }.sum
+        val tiersUsed = plan.map(_._1)
+        covered == n &&
+          tiersUsed == tiersUsed.sortBy(-_) && // descending
+          plan.forall { case (_, cnt) => cnt > 0 } &&
+          // greedy: after the plan, fewer statements than one-row-each
+          plan.map(_._2).sum <= math.max(n, 1)
+      }
+    }
+  }
+}
