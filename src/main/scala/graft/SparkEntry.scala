@@ -582,6 +582,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_simhash_md5" -> ((s, dir) => {
+      // portable 60-bit simhash witness: fingerprints, block keys, and
+      // Hamming distances all rebuilt and hash-matched by DuckDB
+      SimHashDedup.portablePairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // transitive dedup clusters over the ngram near-dup pair graph
       // (min-label propagation to fixpoint; oracle = recursive CTE)
@@ -1211,6 +1218,22 @@ object SparkEntry {
         |  len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS sig_frac FROM p)
         |SELECT id_a, id_b, round(sig_frac, 6) AS sig_frac FROM scored
         |WHERE sig_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash_md5" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(words, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM w),
+        |v AS (SELECT doc_id, list_transform(range(0, 60), b ->
+        |    list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1))) AS votes FROM h),
+        |fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+        |    CASE WHEN votes[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS f FROM v),
+        |blk AS (SELECT doc_id, f, u.b AS block_idx, (f >> (u.b*12)) & 4095 AS block_val
+        |  FROM fp, LATERAL (SELECT unnest(generate_series(0, 4)) AS b) u),
+        |flt AS (SELECT * FROM blk QUALIFY COUNT(*) OVER (PARTITION BY block_idx, block_val) <= 1000),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |  FROM flt a JOIN flt b ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id,

@@ -52,6 +52,54 @@ object SimHashDedup {
         simhash(split(Dedup.normText(col(textCol)), " ")).as("fingerprint")
       )
 
+  /** Portable-arithmetic SimHash pairs — the cross-engine-verifiable
+    * witness for the pigeonhole block join (`dedup_simhash_md5` oracle):
+    * 60-bit fingerprints from md5-derived token hashes (15 hex chars →
+    * exact in 64-bit everywhere), 5 blocks of 12 bits, Hamming ≤
+    * `maxDist` < blocks. The xxhash64 native-expression path stays the
+    * production one; this variant lets DuckDB rebuild every
+    * fingerprint, block key, and Hamming distance bit-for-bit.
+    *
+    * The vote fold runs in-row as nested higher-order functions —
+    * interpreted, but every non-trivial subtree (`hs`, `votes`) is
+    * referenced exactly once, so Catalyst's projection collapse cannot
+    * fan it out (the k-times re-inline trap the minhash HOF form hits).
+    */
+  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
+                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val blocks = 5; val bits = 12; val nbits = 60
+    val seq60 = sequence(lit(0), lit(nbits - 1))
+    val hs = transform(split(Dedup.normText(col(textCol)), " "),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val votes = aggregate(col("hs"), array_repeat(lit(0L), nbits),
+      (acc, x) => zip_with(acc, seq60, (a, b) =>
+        a + (call_function("shiftright", x, b).bitwiseAND(lit(1L)) * 2 - 1)))
+    val fp = aggregate(
+      zip_with(col("votes"), seq60, (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val fps = graft.operators.Partitioning
+      .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), fp.as("fingerprint"))
+    val chunked = fps.select(
+      col("doc_id"), col("fingerprint"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftrightunsigned(col("fingerprint"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
+        .as(Seq("block_idx", "block_val")))
+    val buckets = chunked
+      .groupBy(col("block_idx"), col("block_val"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("fingerprint")), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    MinHashDedup.explodePairs(buckets, "members")
+      .withColumn("hamming", bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Near-dup pairs with Hamming distance ≤ maxDist via the block join.
     * With `blocks` 16-bit chunks (blocks=4), any pair with ≤3 differing
     * bits shares a chunk — pigeonhole guarantees recall for

@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     if (!exact.isEmpty) assert(pp.exists(_._3 == 1.0), "no fully-agreeing pair on a corpus with exact dups")
   }
 
+  test("portable simhash finds the exact dups the fast path finds") {
+    val fast = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val portable = SimHashDedup.portablePairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(portable.forall(_._3 <= 3))
+    // identical docs have identical fingerprints in BOTH hash families
+    val exactDups = fast.intersect(portable.map(p => (p._1, p._2)).toSet)
+    val zeroHam = portable.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(zeroHam.subsetOf(fast),
+      s"hamming-0 portable pairs missing from fast path: ${zeroHam.diff(fast)}")
+    assert(exactDups.nonEmpty, "hash families should agree on planted near-dups")
+  }
+
   test("minhash estimate is close to true jaccard") {
     val est = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
         shingleN = 3, k = 64, numBands = 16, threshold = 0.5)
