@@ -644,6 +644,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "emb_lsh_md5" -> ((s, dir) => {
+      // portable hyperplane-LSH witness: md5-derived plane weights are
+      // identical doubles on every engine, so buckets, candidates, and
+      // cosines all hash-match DuckDB
+      SimilaritySearch.portableLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, nBits = 6, tables = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "sim_topk_quantized" -> ((s, dir) => {
       // exact top-k over the int8-quantized corpus (cosine is scale-
       // invariant: byte vectors searched directly, 4x less index bytes)
@@ -1276,6 +1285,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "emb_lsh_md5" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 6), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), d ->
+        |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
+        |        (a, x) -> a + x) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |flt AS (SELECT * FROM bk QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 500),
+        |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        |  FROM flt a JOIN flt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |s AS (SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cos FROM p)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk_quantized" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -45,6 +45,7 @@ object SimilaritySearch {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nBits: Int = 12, tables: Int = 4): DataFrame = {
+    requireDim(corpus, vecCol, dim, "lshTopK")
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucketAt(col(vec), nBits, dim, t).as("b"))): _*)
@@ -91,6 +92,7 @@ object SimilaritySearch {
   /** Near-dup embedding pairs above a cosine threshold, LSH-bucketed. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, dim: Int, nBits: Int = 8, tables: Int = 4): DataFrame = {
+    requireDim(corpus, vecCol, dim, "lshPairs")
     val withBuckets = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucketAt(col(vecCol), nBits, dim, t).as("b"))): _*)).as("tb"))
@@ -101,6 +103,69 @@ object SimilaritySearch {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Fail fast on a plane/vector dim mismatch: `zip_with` pads the
+    * shorter side with nulls, which nulls the projection and silently
+    * lands EVERY vector in bucket 0 — a wrong-result mode (all-pairs
+    * candidates), not an error, without this check. One metadata-scale
+    * driver lookup per call.
+    */
+  private def requireDim(corpus: DataFrame, vecCol: String, dim: Int, op: String): Unit = {
+    val actualDim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(actualDim == dim, s"$op: dim=$dim but $vecCol vectors have $actualDim elements")
+  }
+
+  /** md5-derived hyperplane weight — identical DOUBLE on every engine:
+    * the first 52 bits of md5("t_b_d") are exactly representable, and
+    * division by 2^51 is exact, so w ∈ [-1, 1) reproduces bit-for-bit
+    * from the string key alone (no broadcast state, no RNG).
+    */
+  def portablePlane(table: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${table}_${bit}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 51).toDouble - 1.0
+    }
+
+  /** Portable-arithmetic LSH pairs — the cross-engine witness for the
+    * hyperplane bucketing (`emb_lsh_md5` oracle): plane weights from
+    * [[portablePlane]], projections summed sequentially in double (the
+    * same fold DuckDB's `list_reduce` runs), so every sign bit, bucket
+    * id, and candidate pair reproduces exactly. The sin-plane
+    * [[lshPairs]] stays the production path; recall here is the usual
+    * LSH recall (< 1), but the PIPELINE is hash-verifiable.
+    */
+  def portableLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dim: Int, nBits: Int = 6,
+                       tables: Int = 4, maxBucket: Int = 500): DataFrame = {
+    requireDim(corpus, vecCol, dim, "portableLshPairs")
+    def bucketFor(t: Int): org.apache.spark.sql.Column = {
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      (0 until nBits).map { b =>
+        val plane = array(portablePlane(t, b, dim).toIndexedSeq.map(lit): _*)
+        val proj = aggregate(zip_with(vd, plane, (x, p) => x * p), lit(0.0), (a, x) => a + x)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val bucketed = corpus.select(col(idCol).as("vid"), col(vecCol),
+      posexplode(array((0 until tables).map(bucketFor): _*)).as(Seq("lsh_t", "lsh_b")))
+    val buckets = bucketed
+      .groupBy(col("lsh_t"), col("lsh_b"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("vid"), col(vecCol).as("vec")), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosineNative(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
