@@ -606,6 +606,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // continual ingest: today's batch (every 5th doc) deduped against
+      // the accumulated index (the rest) — exact + near-dup drops
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalAgainst(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 1000)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "dedup_minhash_md5" -> ((s, dir) => {
       // the portable-arithmetic LSH witness: same construction as
       // dedup_minhash, every hash reproducible in ANSI SQL -> the
@@ -1205,6 +1216,26 @@ object SparkEntry {
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  doc_id % 5 = 0 AS is_batch FROM documents),
+        |exact_drop AS (SELECT b.doc_id FROM base b
+        |  WHERE b.is_batch AND md5(b.norm) IN (SELECT md5(norm) FROM base WHERE NOT is_batch)),
+        |w AS (SELECT doc_id, is_batch, string_split(norm, ' ') AS words FROM base),
+        |s2 AS (SELECT doc_id, is_batch, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, is_batch, len(sh) AS nsh, unnest(sh) AS shingle FROM s2 WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |p AS (SELECT b.doc_id AS batch_id, i.doc_id AS index_id, b.nsh AS nb, i.nsh AS ni, COUNT(*) AS common
+        |  FROM f b JOIN f i USING (shingle) WHERE b.is_batch AND NOT i.is_batch GROUP BY 1, 2, 3, 4),
+        |near_drop AS (SELECT DISTINCT batch_id AS doc_id FROM p
+        |  WHERE common / CAST(nb + ni - common AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM base WHERE is_batch
+        |  AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+        |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_md5" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words

@@ -79,6 +79,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus n-gram Jaccard pairs (batch × index): same bucketed
+    * shape as [[ngramJaccardPairs]], but the two corpora collect into
+    * per-side capped arrays so only the `m_batch × m_index` cross
+    * product ever explodes (see [[graft.operators.Contamination]] for
+    * the measured rationale). Used by [[incrementalAgainst]].
+    */
+  private[dedup] def crossJaccardPairs(index: DataFrame, batch: DataFrame,
+                                       idCol: String, textCol: String,
+                                       n: Int, threshold: Double,
+                                       maxShingleDf: Int): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      graft.operators.Partitioning.ensureMinParallelism(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .select(col("doc_id"), shingles(col("text"), n).as("sh_arr"))
+        .select(lit(tag).as("side"), col("doc_id"),
+          size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("shingle"))
+        .select(col("side"), col("doc_id"), col("n_sh"),
+          xxhash64(col("shingle")).as("sh"))
+    val buckets = side(index, 0).unionByName(side(batch, 1))
+      .groupBy(col("sh"))
+      .agg(
+        graft.functions.BoundedCollectList.column(
+          when(col("side") === 1, struct(col("doc_id"), col("n_sh"))), maxShingleDf).as("batches"),
+        graft.functions.BoundedCollectList.column(
+          when(col("side") === 0, struct(col("doc_id"), col("n_sh"))), maxShingleDf).as("indexes"))
+      .filter(size(col("batches")) >= 1 && size(col("indexes")) >= 1 &&
+        size(col("batches")) + size(col("indexes")) <= maxShingleDf)
+    buckets
+      .select(explode(col("batches")).as("b"), col("indexes"))
+      .select(col("b"), explode(col("indexes")).as("i"))
+      .groupBy(col("b.doc_id").as("batch_id"), col("i.doc_id").as("index_id"),
+        col("b.n_sh").as("nb"), col("i.n_sh").as("ni"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("nb") + col("ni") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("index_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental dedup for continual ingest: drop from `batch` every
+    * document already in `index` — exactly (same normalized content) or
+    * nearly (n-gram Jaccard ≥ `threshold` against ANY index doc). The
+    * realistic shape for a growing 100 TB corpus: the index is the
+    * accumulated curated set, the batch is today's crawl; index-side
+    * work is one scan + the bucket shuffle, never an index-×-index
+    * pairing. Returns the surviving batch rows.
+    */
+  def incrementalAgainst(index: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxShingleDf: Int = 1000): DataFrame = {
+    val indexHashes = index
+      .select(md5(normText(col(textCol))).as("content_hash")).distinct()
+    val exactDrop = batch
+      .select(col(idCol), md5(normText(col(textCol))).as("content_hash"))
+      .join(indexHashes, "content_hash")
+      .select(col(idCol).as("__drop"))
+    val nearDrop = crossJaccardPairs(index, batch, idCol, textCol, n, threshold, maxShingleDf)
+      .select(col("batch_id").as("__drop"))
+    batch.join(exactDrop.unionByName(nearDrop).distinct(),
+      batch(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Connected-component style cluster assignment from a pair list:
     * each doc maps to the min id it is (transitively, one hop) paired
     * with. Full transitive closure needs iterative joins (GraphX-style

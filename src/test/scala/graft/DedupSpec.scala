@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     if (!exact.isEmpty) assert(pp.exists(_._3 == 1.0), "no fully-agreeing pair on a corpus with exact dups")
   }
 
+  test("incrementalAgainst drops exact and near copies of the index, keeps fresh docs") {
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely separate index content about databases")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "The  quick brown fox jumps over the lazy dog"), // exact after norm
+      (101L, "the quick brown fox jumps over the lazy cat"),  // near-dup (1 word off)
+      (102L, "entirely fresh unrelated new crawl document")   // keep
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalAgainst(index, batch, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L), s"got $kept")
+    // an empty index keeps the whole batch
+    val empty = index.filter(col("doc_id") < 0)
+    assert(Dedup.incrementalAgainst(empty, batch, "doc_id", "text").count() == 3)
+  }
+
   test("portable simhash finds the exact dups the fast path finds") {
     val fast = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
