@@ -727,6 +727,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_ingest" -> ((s, dir) => {
+      // the continual-ingest flagship: gate -> dedup vs accumulated
+      // index -> deterministic split; counterpart of pipeline_curate
+      val docs = t(s, dir, "documents")
+      graft.operators.TrainingDataPipeline.ingest(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // flagship composition: profile gate -> exact dedup -> near-dup
       // clustering -> representatives; every stage oracle-expressible
@@ -1353,6 +1364,56 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "pipeline_ingest" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  doc_id % 5 = 0 AS is_batch FROM documents),
+        |bw AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base WHERE is_batch),
+        |sc AS (SELECT doc_id, text, norm, words,
+        |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |  len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(words, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(words, t -> t IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |  len(list_filter(words, t -> t IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |FROM bw),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
+        |FROM sc),
+        |prof AS (SELECT doc_id,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred
+        |FROM m),
+        |gated AS (SELECT doc_id, quality, lang_pred FROM prof
+        |  WHERE quality >= 0.5 AND lang_pred <> 'und'),
+        |cor AS (SELECT b.doc_id, b.norm, b.is_batch FROM base b WHERE NOT b.is_batch
+        |  UNION ALL SELECT b.doc_id, b.norm, b.is_batch FROM base b JOIN gated g USING (doc_id)),
+        |exact_drop AS (SELECT doc_id FROM cor
+        |  WHERE is_batch AND md5(norm) IN (SELECT md5(norm) FROM cor WHERE NOT is_batch)),
+        |cw AS (SELECT doc_id, is_batch, string_split(norm, ' ') AS words FROM cor),
+        |s2 AS (SELECT doc_id, is_batch, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM cw),
+        |e AS (SELECT doc_id, is_batch, len(sh) AS nsh, unnest(sh) AS shingle FROM s2 WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |p AS (SELECT b.doc_id AS batch_id, i.doc_id AS index_id, b.nsh AS nb, i.nsh AS ni, COUNT(*) AS common
+        |  FROM f b JOIN f i USING (shingle) WHERE b.is_batch AND NOT i.is_batch GROUP BY 1, 2, 3, 4),
+        |near_drop AS (SELECT DISTINCT batch_id AS doc_id FROM p
+        |  WHERE common / CAST(nb + ni - common AS DOUBLE) >= 0.5),
+        |kept AS (SELECT g.doc_id, g.lang_pred, g.quality FROM gated g
+        |  WHERE g.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+        |    AND g.doc_id NOT IN (SELECT doc_id FROM near_drop))
+        |SELECT doc_id, lang_pred, quality,
+        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT k.*, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+        |      FROM kept k)
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_curate" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text,

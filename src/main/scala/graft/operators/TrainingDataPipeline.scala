@@ -49,4 +49,27 @@ object TrainingDataPipeline {
     uniq.join(dropIds, uniq(idCol) === dropIds("__drop"), "left_anti")
       .select(col(idCol), col("lang_pred"), col("quality"))
   }
+
+  /** The continual-ingest counterpart of [[curate]]: today's batch →
+    * quality/language gate → dedup against the ACCUMULATED index
+    * ([[Dedup.incrementalAgainst]] — exact + near, never index×index)
+    * → deterministic split assignment ([[Sampling.assignSplit]] —
+    * md5-bucketed, so the same doc gets the same split on every run and
+    * every engine). Output: the batch rows that enter the corpus, with
+    * their profile and split. At 100 TB this is the flow that runs
+    * daily; [[curate]] is the one that ran once to bootstrap the index.
+    */
+  def ingest(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
+             shingleN: Int = 3, maxShingleDf: Int = 1000,
+             splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val prof = TextAnalysis.profile(batch, idCol, textCol)
+      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    val gated = batch.select(col(idCol), col(textCol))
+      .join(prof.select(col(idCol), col("quality"), col("lang_pred")), idCol)
+    val fresh = Dedup.incrementalAgainst(index, gated, idCol, textCol,
+      n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+    Sampling.assignSplit(fresh, idCol, splits)
+      .select(col(idCol), col("lang_pred"), col("quality"), col("split"))
+  }
 }

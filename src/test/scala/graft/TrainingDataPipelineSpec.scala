@@ -20,4 +20,25 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 5L), out.toString)
     assert(out(1L) == "en" && out(5L) == "de")
   }
+
+  test("ingest: gate, dedup vs index, split — fresh quality docs enter with a split") {
+    import spark.implicits._
+    val index = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and it is fine. " * 5)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "The quick brown fox jumps over the lazy dog and it is fine. " * 5), // dup of index
+      (101L, "The quick brown fox jumps over the lazy dog and it is good. " * 5), // near dup
+      (102L, "zzz qqq xxx"),                                                      // und -> gated out
+      (103L, "Der Hund ist nicht zu Hause und das ist auch gut so heute. " * 5)   // fresh keeper
+    ).toDF("doc_id", "text")
+    val out = TrainingDataPipeline.ingest(index, batch, "doc_id", "text")
+      .select("doc_id", "lang_pred", "split").as[(Long, String, String)].collect()
+    assert(out.map(_._1).toSet == Set(103L), out.mkString(","))
+    assert(out.head._2 == "de" && Set("train", "val", "test").contains(out.head._3))
+    // rerun gives the identical split (determinism)
+    val again = TrainingDataPipeline.ingest(index, batch, "doc_id", "text")
+      .select("split").as[String].head()
+    assert(again == out.head._3)
+  }
 }
