@@ -40,11 +40,9 @@ object Contamination {
     def side(df: DataFrame, tag: Int): DataFrame =
       Partitioning.ensureMinParallelism(
           df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-        .select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh_arr"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), n).as("sh_arr"))
         .select(lit(tag).as("side"), col("doc_id"),
-          size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("shingle"))
-        .select(col("side"), col("doc_id"), col("n_sh"),
-          xxhash64(col("shingle")).as("sh"))
+          size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("sh"))
 
     // Per-side capped collects: only the m_eval × m_train cross product
     // is ever exploded. The single-list alternative (explode members,

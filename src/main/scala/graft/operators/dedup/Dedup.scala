@@ -37,6 +37,16 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     call_function("graft_shingles", textCol, lit(n))
 
+  /** Distinct shingles pre-reduced to their xxhash64 values inside the
+    * scan stage ([[graft.plans.WordShingleHashes]]) — the dedup
+    * candidate generators explode these 8-byte longs instead of
+    * materializing every shingle string through the explode just to
+    * hash it on the next line. Bit-identical to
+    * `xxhash64(shingles(text, n)[i])` (pinned in DedupSpec).
+    */
+  def shingleHashes(textCol: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", textCol, lit(n))
+
   /** N-gram Jaccard near-dup pairs. Candidates = docs sharing at least
     * one shingle (explode + self-join on the shingle hash = one
     * hash-partitioned shuffle); Jaccard from per-pair common-shingle
@@ -57,10 +67,9 @@ object Dedup {
     // window sorts and a self-join on the same answer.
     val exploded = graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), shingles(col(textCol), n).as("sh_arr"))
+      .select(col("doc_id"), shingleHashes(col(textCol), n).as("sh_arr"))
       .select(col("doc_id"), size(col("sh_arr")).as("n_shingles"),
-        explode(col("sh_arr")).as("shingle"))
-      .select(col("doc_id"), col("n_shingles"), xxhash64(col("shingle")).as("sh"))
+        explode(col("sh_arr")).as("sh"))
     // Capped collect: a stop-shingle's bucket buffer is bounded at
     // maxShingleDf+1 members instead of growing with its document
     // frequency before the size filter drops it (hot-key OOM guard).
@@ -92,11 +101,9 @@ object Dedup {
     def side(df: DataFrame, tag: Int): DataFrame =
       graft.operators.Partitioning.ensureMinParallelism(
           df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-        .select(col("doc_id"), shingles(col("text"), n).as("sh_arr"))
+        .select(col("doc_id"), shingleHashes(col("text"), n).as("sh_arr"))
         .select(lit(tag).as("side"), col("doc_id"),
-          size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("shingle"))
-        .select(col("side"), col("doc_id"), col("n_sh"),
-          xxhash64(col("shingle")).as("sh"))
+          size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("sh"))
     val buckets = side(index, 0).unionByName(side(batch, 1))
       .groupBy(col("sh"))
       .agg(

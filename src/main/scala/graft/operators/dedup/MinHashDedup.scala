@@ -103,8 +103,8 @@ object MinHashDedup {
                  shingleN: Int = 3, k: Int = 64): DataFrame = {
     val hashed = graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
-      .select(col("doc_id"), abs(xxhash64(col("shingle"))).as("h"))
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col(textCol), shingleN)).as("h0"))
+      .select(col("doc_id"), abs(col("h0")).as("h"))
     hashed
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

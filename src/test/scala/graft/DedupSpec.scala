@@ -65,6 +65,17 @@ class DedupSpec extends SparkSpec {
     if (!exact.isEmpty) assert(pp.exists(_._3 == 1.0), "no fully-agreeing pair on a corpus with exact dups")
   }
 
+  test("fused shingle hashes == xxhash64 over the string shingles, order included") {
+    val got = docs.select(
+        Dedup.shingleHashes(col("text"), 3).as("fused"),
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "graft_shingle_hashes must be bit-identical to xxhash64(graft_shingles)")
+    }
+  }
+
   test("incrementalAgainst drops exact and near copies of the index, keeps fresh docs") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

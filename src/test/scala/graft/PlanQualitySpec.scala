@@ -44,12 +44,12 @@ class PlanQualitySpec extends SparkSpec {
     // native graft_shingles expression, not an interpreted HOF chain)
     val df = SparkEntry.queries("dedup_ngram")(spark, sf)
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("graft_shingles"),
-      "native shingles expression missing from plan")
-    // the inferred-filter rule would re-run graft_shingles per row in a
+    assert(optimized.contains("graft_shingle_hashes"),
+      "fused native shingle-hash expression missing from plan")
+    // the inferred-filter rule would re-run the shingling per row in a
     // duplicate pre-Generate predicate — excluded in GraftSession
-    assert("graft_shingles".r.findAllIn(optimized).length == 1,
-      "graft_shingles must be evaluated exactly once per row")
+    assert("graft_shingle_hashes".r.findAllIn(optimized).length == 1,
+      "graft_shingle_hashes must be evaluated exactly once per row")
     // WSCG annotations only exist on the finalized adaptive plan, and
     // only this df's own queryExecution finalizes on collect (a write
     // wraps the plan in a fresh execution)
