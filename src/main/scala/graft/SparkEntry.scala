@@ -769,6 +769,24 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin)
     }),
 
+    "corpus_report" -> ((s, dir) => {
+      // per-source corpus health: the monitoring dashboard a curation
+      // pipeline watches (decimal-exact averages so the oracle agrees)
+      val docs = t(s, dir, "documents")
+      val prof = TextAnalysis.profile(docs, "doc_id", "text")
+      docs.select(col("doc_id"), col("source"))
+        .join(prof.select(col("doc_id"), col("n_tokens"), col("quality"),
+          col("lang_pred"), col("fingerprint")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("quality").cast(DecimalType(12, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_quality"),
+          sum(when(col("lang_pred") === "und", 1L).otherwise(0L)).as("n_und"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+          (count(lit(1)) - count_distinct(col("fingerprint"))).as("n_exact_dups"))
+        .orderBy(col("source"))
+    }),
+
     "stats_histogram" -> ((s, dir) => {
       // token-length distribution: exact fixed-width histogram (the
       // truncation-budget surface), one shuffle on <= nBins+2 keys
@@ -1545,6 +1563,40 @@ object SparkEntry {
         |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INT) AS n_shingles
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_report" ->
+      """WITH base AS (SELECT doc_id, source, text,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |w AS (SELECT doc_id, source, text, norm, string_split(norm, ' ') AS words FROM base),
+        |sc AS (SELECT doc_id, source, text, norm, words,
+        |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |  len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(words, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(words, t -> t IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |  len(list_filter(words, t -> t IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |FROM w),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
+        |FROM sc),
+        |prof AS (SELECT doc_id, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
+        |  md5(norm) AS fingerprint
+        |FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+        |  SUM(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS n_und,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+        |  COUNT(*) - COUNT(DISTINCT fingerprint) AS n_exact_dups
+        |FROM prof GROUP BY source ORDER BY source""".stripMargin,
 
     "stats_histogram" ->
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0

@@ -27,6 +27,33 @@ class TextEdgeCasesSpec extends SparkSpec {
     assert(out(5L).exists(_.nonEmpty))
   }
 
+  test("fused shingle hashes mirror shingles on every edge") {
+    import spark.implicits._
+    val out = edgeDocs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(Seq()) && out(3L).contains(Seq()) && out(4L).contains(Seq()))
+    assert(out(5L).exists(_.nonEmpty))
+  }
+
+  test("repetition and redaction are total on null/empty/unicode") {
+    import spark.implicits._
+    val docs = edgeDocs.union(Seq(
+      (6L, "héllo wörld héllo wörld héllo wörld"),
+      (7L, "中文 内容 中文 内容")).toDF("doc_id", "text"))
+    val rep = docs.select(col("doc_id"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 2).as("d2"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rep(2L).contains(0.0) && rep(3L).contains(0.0) && rep(4L).contains(0.0))
+    assert(rep(6L).exists(_ > 0.5), s"unicode repetition missed: ${rep(6L)}")
+    assert(rep(7L).exists(_ > 0.0))
+    val red = docs.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(red(1L).isEmpty)              // null in -> null out
+    assert(red(2L).contains(""))
+    assert(red(6L).contains("héllo wörld héllo wörld héllo wörld")) // untouched
+  }
+
   test("text profile handles null/empty/whitespace without failing") {
     val out = TextAnalysis.profile(edgeDocs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
