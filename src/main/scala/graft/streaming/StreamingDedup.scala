@@ -30,4 +30,22 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming NEAR-dup suppression: the dedup key is the 64-bit
+    * simhash fingerprint, so lightly-edited copies (whose fingerprints
+    * collide — simhash is built to collide on near-identical token
+    * multisets) are dropped too, still with 8-byte state per kept doc.
+    * This trades the batch operators' tunable Hamming radius for O(1)
+    * streaming state: fingerprint EQUALITY is the radius-0 block of the
+    * batch pigeonhole join, which catches same-length light edits;
+    * cross-horizon and radius>0 near-dups remain the periodic batch
+    * pass's job ([[graft.operators.dedup.SimHashDedup.nearDupPairs]]).
+    */
+  def nearFirstWins(docs: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("__fp",
+        call_function("graft_simhash64", split(Dedup.normText(col(textCol)), " ")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

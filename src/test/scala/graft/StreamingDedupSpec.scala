@@ -30,6 +30,26 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearFirstWins drops simhash-colliding near copies, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.nearFirstWins(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sneardedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base, ts(0)))
+      q.processAllAvailable()
+      // same token multiset, different whitespace/case -> same fingerprint
+      input.addData((2L, base.toUpperCase + "  ", ts(1)),
+        (3L, "completely different content about databases and engines", ts(1)))
+      q.processAllAvailable()
+      val ids = spark.table("sneardedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("state expires past the watermark horizon: an old fingerprint re-admits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
