@@ -138,11 +138,13 @@ object JobConfig {
       database = str(n, "Database").getOrElse(""))
 
     val kafka = opt(root, "KafkaConfig").map { k =>
+      def kLongOr(field: String, dflt: Long): Long =
+        opt(k, field).map(_.asLong).filter(_ > 0).getOrElse(dflt)
       KafkaSinkConfig(
         topic = str(k, "Topic").getOrElse("dtle"),
         brokers = arr(k, "Brokers").map(_.asText),
-        messageGroupMaxSize = longOr("MessageGroupMaxSize", 1L),
-        messageGroupTimeoutMs = longOr("MessageGroupTimeout", 100L))
+        messageGroupMaxSize = kLongOr("MessageGroupMaxSize", 1L),
+        messageGroupTimeoutMs = kLongOr("MessageGroupTimeout", 100L))
     }
 
     JobConfig(

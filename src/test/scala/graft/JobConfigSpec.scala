@@ -79,9 +79,14 @@ class JobConfigSpec extends SparkSpec {
 
   test("KafkaConfig flips destType and carries the topic") {
     val cfg = JobConfig.fromJson(
-      """{"KafkaConfig": {"Topic": "cdc.shop", "Brokers": ["k1:9092", "k2:9092"]}}""")
+      """{"KafkaConfig": {"Topic": "cdc.shop", "Brokers": ["k1:9092", "k2:9092"],
+        |  "MessageGroupMaxSize": 4096, "MessageGroupTimeout": 250}}""".stripMargin)
     assert(cfg.destType == "kafka")
     assert(cfg.kafka.exists(k => k.topic == "cdc.shop" && k.brokers == Seq("k1:9092", "k2:9092")))
+    // the group knobs live INSIDE KafkaConfig, not at the job root
+    assert(cfg.kafka.exists(k => k.messageGroupMaxSize == 4096L && k.messageGroupTimeoutMs == 250L))
+    val dflt = JobConfig.fromJson("""{"KafkaConfig": {"Topic": "t"}}""")
+    assert(dflt.kafka.exists(k => k.messageGroupMaxSize == 1L && k.messageGroupTimeoutMs == 100L))
   }
 
   test("parsed spec drives discovery end-to-end (JSON -> plan list)") {
