@@ -83,11 +83,15 @@ object DdlRewriter {
     val literals = scala.collection.mutable.ArrayBuffer.empty[String]
     val masked = new StringBuilder
     segments.foreach {
-      case Code(c)     => masked.append(c)
-      case Backtick(b) => masked.append('`').append(b).append('`')
-      case Str(q, sIn) =>
+      case Code(c) => masked.append(c)
+      case Backtick(b, term) =>
+        // an UNTERMINATED quote renders back without a closing delimiter:
+        // "repairing" malformed input would silently alter a statement
+        // this rewriter doesn't understand — verbatim is the contract
+        masked.append('`').append(b); if (term) masked.append('`')
+      case Str(q, sIn, term) =>
         masked.append('\u0001').append(literals.length).append('\u0001')
-        literals += s"$q$sIn$q"
+        literals += (if (term) s"$q$sIn$q" else s"$q$sIn")
     }
     val rewritten = rewriteIdents(masked.toString(), renameSchema, renameTable, defaultSchema)
     literals.zipWithIndex.foldLeft(rewritten) { case (s, (lit, i)) =>
@@ -97,8 +101,8 @@ object DdlRewriter {
 
   private sealed trait Seg
   private case class Code(s: String) extends Seg
-  private case class Backtick(s: String) extends Seg
-  private case class Str(quote: Char, s: String) extends Seg
+  private case class Backtick(s: String, terminated: Boolean = true) extends Seg
+  private case class Str(quote: Char, s: String, terminated: Boolean = true) extends Seg
 
   private def tokenize(sql: String): Vector[Seg] = {
     val out = Vector.newBuilder[Seg]
@@ -110,12 +114,12 @@ object DdlRewriter {
           if (cur.nonEmpty) { out += Code(cur.toString); cur.clear() }
           val end = sql.indexOf('`', i + 1)
           val stop = if (end < 0) sql.length else end
-          out += Backtick(sql.substring(i + 1, stop)); i = stop + 1
+          out += Backtick(sql.substring(i + 1, stop), end >= 0); i = stop + 1
         case q @ ('\'' | '"') =>
           if (cur.nonEmpty) { out += Code(cur.toString); cur.clear() }
           var j = i + 1
           while (j < sql.length && (sql.charAt(j) != q || (j + 1 < sql.length && sql.charAt(j + 1) == q && { j += 1; true }))) j += 1
-          out += Str(q, sql.substring(i + 1, math.min(j, sql.length))); i = j + 1
+          out += Str(q, sql.substring(i + 1, math.min(j, sql.length)), j < sql.length); i = j + 1
         case c => cur.append(c); i += 1
       }
     }

@@ -77,6 +77,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DDL classify/rewrite are total on arbitrary input and identity under empty maps") {
+    import graft.ddl.DdlRewriter
+    val sqlish = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf(
+        "CREATE TABLE `a b`.`weird``name` (x INT)",
+        "ALTER TABLE x ADD COLUMN `c -- not a comment` INT",
+        "DROP TABLE IF EXISTS `src`.`t1`; -- trailing",
+        "TRUNCATE TABLE src.t1",
+        "create   TABLE src.t2 (s VARCHAR(10) COLLATE utf8mb4_0900_ai_ci)",
+        "/* lead */ RENAME TABLE a TO b",
+        "'unterminated string",
+        "`unterminated ident"))
+    holds("classify total") {
+      Prop.forAll(sqlish) { s => DdlRewriter.classify(s) != null }
+    }
+    // rewrite canonicalizes qualified names to backticked form even with
+    // empty maps, so identity is too strong — the contract is: total,
+    // idempotent (canonical form is a fixpoint), and quote-safe
+    // (unterminated quotes pass through without "repair")
+    holds("rewrite total + idempotent") {
+      Prop.forAll(sqlish) { s =>
+        val once = DdlRewriter.rewrite(s, Map.empty, Map.empty)
+        DdlRewriter.rewrite(once, Map.empty, Map.empty) == once
+      }
+    }
+    holds("unterminated quotes are not repaired") {
+      Prop.forAll(Gen.oneOf("`", "`Y7", "'abc", "ALTER TABLE `x", "\"half")) { s =>
+        DdlRewriter.rewrite(s, Map.empty, Map.empty) == s
+      }
+    }
+  }
+
   test("tierPlan covers every batch size exactly, largest tiers first") {
     holds("exact cover") {
       Prop.forAll(Gen.chooseNum(0, 5000)) { n =>
