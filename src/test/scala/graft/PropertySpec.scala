@@ -110,6 +110,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("redo-SQL parse is total: garbage and truncated DML never throw") {
+    import graft.sources.RedoSqlParser
+    val redoish = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf(
+        "insert into", "insert into \"A\".\"B\"(", "insert into \"A\".\"B\"(\"X\") values",
+        "insert into \"A\".\"B\"(\"X\") values (", "update \"A\".\"B\" set",
+        "update \"A\".\"B\" set \"X\" = where", "delete from \"A\".\"B\" where \"X\" =",
+        "insert into \"A\".\"B\"(\"X\") values ('unterminated)",
+        "insert into \"A\".\"B\"(\"X\") values (TO_DATE('2021-01-01',)",
+        "commit", "rollback", "insert insert insert"))
+    holds("parse total") {
+      Prop.forAll(redoish) { s =>
+        scala.util.Try(RedoSqlParser.parse(s)).isSuccess
+      }
+    }
+  }
+
   test("tierPlan covers every batch size exactly, largest tiers first") {
     holds("exact cover") {
       Prop.forAll(Gen.chooseNum(0, 5000)) { n =>
