@@ -771,12 +771,14 @@ object SparkEntry {
 
     "corpus_report" -> ((s, dir) => {
       // per-source corpus health: the monitoring dashboard a curation
-      // pipeline watches (decimal-exact averages so the oracle agrees)
-      val docs = t(s, dir, "documents")
-      val prof = TextAnalysis.profile(docs, "doc_id", "text")
-      docs.select(col("doc_id"), col("source"))
-        .join(prof.select(col("doc_id"), col("n_tokens"), col("quality"),
-          col("lang_pred"), col("fingerprint")), "doc_id")
+      // pipeline watches (decimal-exact averages so the oracle agrees).
+      // Single scan: the profile expression runs inline next to the
+      // group key — profile()+self-join would shuffle the corpus twice.
+      val p = call_function("graft_text_profile", col("text"))
+      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
+        .select(col("source"), p.getField("n_tokens").as("n_tokens"),
+          p.getField("quality").as("quality"), p.getField("lang_pred").as("lang_pred"),
+          p.getField("fingerprint").as("fingerprint"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("quality").cast(DecimalType(12, 6))).cast("double") /

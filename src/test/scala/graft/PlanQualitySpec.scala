@@ -115,6 +115,20 @@ class PlanQualitySpec extends SparkSpec {
       Tables.load(spark, sf, "documents").filter(col("lang") === "en").count())
   }
 
+  test("new pipelines stay bucket-joined and single-scan where promised") {
+    for (q <- Seq("dedup_incremental", "pipeline_ingest", "contamination")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a cross join:\n$p")
+    }
+    // corpus_report: profile inline next to the group key — one scan,
+    // no self-join shuffle
+    val cr = plan("corpus_report")
+    assert(!cr.contains("Join"), s"corpus_report must not self-join:\n$cr")
+    val scans = cr.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"corpus_report must scan documents once, saw $scans:\n$cr")
+  }
+
   test("native vector expressions evaluate once inside the scan stage") {
     val opt = SparkEntry.queries("emb_l2norm")(spark, sf).queryExecution.optimizedPlan.toString
     assert("graft_l2norm".r.findAllIn(opt).length == 1,
