@@ -781,11 +781,24 @@ object SparkEntry {
           p.getField("fingerprint").as("fingerprint"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("quality").cast(DecimalType(12, 6))).cast("double") /
-            count(lit(1)), 6).as("avg_quality"),
+          // exact integer micro-units: decimal sum * 1e6 is an integer, so
+          // the average can be rounded half-up with pure integer division —
+          // no round()-on-double, which Spark and DuckDB disagree on at
+          // boundary values (Spark BigDecimal HALF_UP vs DuckDB fp scaling)
+          (sum(col("quality").cast(DecimalType(12, 6))) * 1000000)
+            .cast("long").as("_sum_q_micro"),
           sum(when(col("lang_pred") === "und", 1L).otherwise(0L)).as("n_und"),
-          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+          sum(col("n_tokens").cast("long")).as("_sum_tokens"),
           (count(lit(1)) - count_distinct(col("fingerprint"))).as("n_exact_dups"))
+        .select(col("source"), col("n_docs"),
+          // half-up to the nearest micro, then ONE exact IEEE division —
+          // bit-identical in every engine
+          (expr("(2 * _sum_q_micro + n_docs) div (2 * n_docs)").cast("double")
+            / 1000000.0d).as("avg_quality"),
+          col("n_und"),
+          (expr("(2 * _sum_tokens * 1000000 + n_docs) div (2 * n_docs)").cast("double")
+            / 1000000.0d).as("avg_tokens"),
+          col("n_exact_dups"))
         .orderBy(col("source"))
     }),
 
@@ -1594,9 +1607,11 @@ object SparkEntry {
         |  md5(norm) AS fingerprint
         |FROM m)
         |SELECT source, COUNT(*) AS n_docs,
-        |  round(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+        |  CAST((2 * CAST(SUM(CAST(quality AS DECIMAL(12,6))) * 1000000 AS BIGINT) + COUNT(*))
+        |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_quality,
         |  SUM(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS n_und,
-        |  round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+        |  CAST((2 * CAST(SUM(n_tokens) AS BIGINT) * 1000000 + COUNT(*))
+        |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_tokens,
         |  COUNT(*) - COUNT(DISTINCT fingerprint) AS n_exact_dups
         |FROM prof GROUP BY source ORDER BY source""".stripMargin,
 
