@@ -89,19 +89,40 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Near-dup embedding pairs above a cosine threshold, LSH-bucketed. */
+  /** Near-dup embedding pairs above a cosine threshold, LSH-bucketed.
+    *
+    * Scale shape (real embeddings cluster, so hyperplane buckets are
+    * NOT balanced — a hot bucket would be quadratic under a raw
+    * self-join):
+    *  - only `(table, bucket, id)` crosses the bucket shuffle — the
+    *    wide float vectors stay out of the candidate generator;
+    *  - each bucket's members are collected with a hard
+    *    [[graft.functions.BoundedCollectList]] cap, so a degenerate
+    *    bucket costs O(maxBucket) memory and is dropped (standard LSH
+    *    practice: a bucket that big has no discriminating power —
+    *    other tables still cover its genuine near-dups);
+    *  - vectors re-join AFTER pair dedup, so each float array crosses
+    *    a shuffle once per pair side, not once per (table, candidate).
+    */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, dim: Int, nBits: Int = 8, tables: Int = 4): DataFrame = {
+               threshold: Double, dim: Int, nBits: Int = 8, tables: Int = 4,
+               maxBucket: Int = 1000): DataFrame = {
     requireDim(corpus, vecCol, dim, "lshPairs")
-    val withBuckets = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucketAt(col(vecCol), nBits, dim, t).as("b"))): _*)).as("tb"))
-      .select(col("vid"), col("vec"), col("tb.t").as("lsh_t"), col("tb.b").as("lsh_b"))
-    val a = withBuckets.select(col("lsh_t"), col("lsh_b"), col("vid").as("id_a"), col("vec").as("vec_a"))
-    val b = withBuckets.select(col("lsh_t"), col("lsh_b"), col("vid").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("lsh_t", "lsh_b"))
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val bucketed = vecs.select(col("vid"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucketAt(col("vec"), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
+    val pairs = bucketed
+      .groupBy(col("lsh_t"), col("lsh_b"))
+      .agg(graft.functions.BoundedCollectList.column(col("vid"), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(vecs.select(col("vid").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

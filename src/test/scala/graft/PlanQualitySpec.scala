@@ -129,6 +129,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"corpus_report must scan documents once, saw $scans:\n$cr")
   }
 
+  test("lshPairs candidate generation is capped and vector-free") {
+    val df = SparkEntry.queries("emb_lsh_pairs")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_collect_capped"),
+      "lshPairs must bound hot buckets with the capped collect")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lshPairs grew a cross join:\n$p")
+    // the bucket aggregation must see only (table, bucket, id) — if the
+    // float vector reaches the aggregate, the wide arrays are crossing
+    // the candidate shuffle again
+    val aggLines = opt.linesIterator.filter(_.contains("graft_collect_capped")).toSeq
+    assert(aggLines.forall(l => !l.contains("vec_a") && !l.contains("vec_b") && !l.contains("embedding")),
+      s"vectors must not cross the bucket shuffle:\n$aggLines")
+  }
+
   test("native vector expressions evaluate once inside the scan stage") {
     val opt = SparkEntry.queries("emb_l2norm")(spark, sf).queryExecution.optimizedPlan.toString
     assert("graft_l2norm".r.findAllIn(opt).length == 1,

@@ -112,5 +112,22 @@ class SimilaritySearchSpec extends SparkSpec {
     val lsh = SimilaritySearch.lshPairs(emb, "vec_id", "embedding", 0.4, dim = 64, nBits = 8, tables = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(bf))
+    assert(lsh.nonEmpty)
+  }
+
+  test("lshPairs with a tiny maxBucket drops hot buckets, never explodes them") {
+    val all = SimilaritySearch.lshPairs(emb, "vec_id", "embedding", 0.4,
+        dim = 64, nBits = 8, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // nBits=2 → 4 buckets/table: every bucket blows a cap of 3, so the
+    // capped run must return a (possibly empty) subset — not an OOM or
+    // a quadratic bucket join
+    val capped = SimilaritySearch.lshPairs(emb, "vec_id", "embedding", 0.4,
+        dim = 64, nBits = 2, tables = 4, maxBucket = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.size < all.size || all.isEmpty)
+    val bf = SimilaritySearch.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(bf))
   }
 }
