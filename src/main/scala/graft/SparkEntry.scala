@@ -444,6 +444,46 @@ object SparkEntry {
         .orderBy(col("scn"))
     }),
 
+    "s7_csf" -> ((s, dir) => {
+      // S7 — csf=1 continuation reassembly: >4000-byte redo SQL split
+      // across consecutive LogMiner rows (reference GetLogMinerRecord,
+      // `log_miner.go:293-320`). Long INSERTs are synthesized from
+      // orders, chopped into 4000-char pieces with csf flags, then
+      // reassembled per-xid and re-parsed on the executors — round-trip
+      // pins both the piece stitching and the parser on >4KB statements.
+      import s.implicits._
+      import graft.sources.{LogMinerTxCache, RedoSqlParser}
+      val full = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey").as("k"),
+          concat(lit("insert into \"SHOP\".\"BIG\"(\"K\",\"TXT\") values ("),
+            col("o_orderkey"), lit(",'"),
+            expr("repeat('ab4', int((3000 + o_orderkey % 7 * 1500) / 3))"),
+            lit("')")).as("full_sql"))
+        .withColumn("n_p", expr("int(ceil(length(full_sql) / 4000.0))"))
+      val pieces = full
+        .select(col("k"), col("n_p"),
+          posexplode(expr(
+            "transform(sequence(0, n_p - 1), i -> substring(full_sql, i * 4000 + 1, 4000))"))
+            .as(Seq("i", "redo_sql")))
+        .select(col("k").as("scn"),
+          concat(lit("x"), expr("k div 100")).as("xid"),
+          (col("k") * 100 + col("i")).as("seq"),
+          when(col("i") === col("n_p") - 1, 0).otherwise(1).as("csf"),
+          col("redo_sql"))
+      LogMinerTxCache.reassembleCsf(pieces)
+        .select(col("scn"), col("xid"), col("redo_sql"), col("n_pieces"))
+        .as[(Long, String, String, Int)]
+        .map { case (scn, xid, sql, nPieces) =>
+          val p = RedoSqlParser.parse(sql).get
+          (scn, xid, p.schema, p.table, p.op,
+            p.after("K"), p.after("TXT").length, nPieces)
+        }
+        .toDF("scn", "xid", "schema_name", "table_name", "op",
+          "k_val", "txt_len", "n_pieces")
+        .orderBy(col("scn"))
+    }),
+
     "k_sql_builder" -> ((s, dir) => {
       // K1-K4/K7 — golden SQL text of the sink statement builder
       // (reference builder_test.go style), parameterized by the actual
@@ -1116,6 +1156,19 @@ object SparkEntry {
         |  AND (b.rb_scn IS NULL OR r.scn > b.rb_scn)
         |  AND r.xid NOT IN (SELECT xid FROM rollbacks)
         |ORDER BY scn""".stripMargin,
+
+    "s7_csf" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(3000 + o_orderkey % 7 * 1500 AS INT) AS tlen
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |f AS (SELECT k, tlen,
+        |  'insert into "SHOP"."BIG"("K","TXT") values (' || CAST(k AS VARCHAR)
+        |    || ',''' || repeat('ab4', tlen // 3) || ''')' AS full_sql FROM base)
+        |SELECT CAST(k AS BIGINT) AS scn, 'x' || CAST(k // 100 AS VARCHAR) AS xid,
+        |  'SHOP' AS schema_name, 'BIG' AS table_name, 'c' AS op,
+        |  CAST(k AS VARCHAR) AS k_val, tlen AS txt_len,
+        |  CAST(ceil(length(full_sql) / 4000.0) AS INT) AS n_pieces
+        |FROM f ORDER BY scn""".stripMargin,
 
     "k_sql_builder" ->
       """SELECT * FROM (VALUES

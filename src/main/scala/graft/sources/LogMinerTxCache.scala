@@ -74,6 +74,44 @@ object LogMinerTxCache {
       .join(rollbacks, Seq("xid"), "left_anti")
   }
 
+  /** csf=1 continuation-record reassembly (reference GetLogMinerRecord,
+    * `log_miner.go:293-320`): a redo record whose SQL exceeds 4000 bytes
+    * spans several consecutive `V$LOGMNR_CONTENTS` rows — every piece
+    * but the last carries csf=1, and the record's metadata is the FIRST
+    * piece's. The reference concatenates pieces while iterating the
+    * cursor; here the same run-detection distributes as a per-xid
+    * window: all pieces of one record belong to the same transaction and
+    * are consecutive in log order, so a piece opens a new record iff its
+    * predecessor within the xid finished one (csf=0 or none). No global
+    * single-partition window — parallelism is per transaction, and a
+    * record's piece list is bounded by its own SQL length.
+    *
+    * Input: `xid`, `csf` (1 = continued in next row), `redo_sql`, and a
+    * total log order `seqCol`; all other columns pass through from the
+    * first piece. Output: one row per record, `redo_sql` concatenated,
+    * `csf` dropped, plus `n_pieces`. A trailing csf=1 run truncated by
+    * the window end is emitted as-is, like the reference's cursor loop.
+    */
+  def reassembleCsf(redo: DataFrame, seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("xid")).orderBy(col(seqCol))
+    val run = Window.partitionBy(col("xid")).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val metaCols = redo.columns.filterNot(c => c == "redo_sql" || c == "csf").toSeq
+    val recs = redo
+      .withColumn("_rec_id",
+        sum(when(lag(col("csf"), 1, 0).over(w) === 0, 1L).otherwise(0L)).over(run))
+      .groupBy(col("xid"), col("_rec_id"))
+      .agg(array_sort(collect_list(struct(
+        col(seqCol).as("_s"),
+        struct(metaCols.map(col): _*).as("_meta"),
+        col("redo_sql").as("_p")))).as("_pieces"))
+    recs.select(
+      metaCols.map(c => col("_pieces").getItem(0).getField("_meta").getField(c).as(c)) :+
+        array_join(expr("transform(_pieces, x -> x._p)"), "").as("redo_sql") :+
+        size(col("_pieces")).as("n_pieces"): _*)
+  }
+
   /** Streaming form of the same cache: one state entry per active XID
     * (reference keeps the whole active-tx list in one process; Spark
     * shards it across executors by key). Commit emits the transaction in

@@ -53,6 +53,53 @@ class LogMinerTxCacheSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  // ---- csf continuation reassembly -------------------------------------
+
+  private def piece(seq: Long, xid: String, csf: Int, sql: String, scn: Long = 0) = {
+    import spark.implicits._
+    Seq((scn, xid, seq, csf, sql)).toDF("scn", "xid", "seq", "csf", "redo_sql")
+  }
+
+  private def csf(rows: (Long, String, Int, String)*) = {
+    import spark.implicits._
+    LogMinerTxCache.reassembleCsf(
+      rows.map { case (seq, xid, f, sql) => (seq * 10, xid, seq, f, sql) }
+        .toDF("scn", "xid", "seq", "csf", "redo_sql"))
+  }
+
+  test("csf: runs concatenate in order, metadata from the first piece") {
+    val out = csf(
+      (1, "tx1", 1, "insert into t va"),
+      (2, "tx1", 1, "lues ("),
+      (3, "tx1", 0, "1)"),
+      (4, "tx1", 0, "delete from t"),
+      (5, "tx2", 0, "update t")
+    ).select("scn", "xid", "redo_sql", "n_pieces")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(out == Set(
+      (10L, "tx1", "insert into t values (1)", 3),
+      (40L, "tx1", "delete from t", 1),
+      (50L, "tx2", "update t", 1)))
+  }
+
+  test("csf: a truncated trailing run still emits (cursor-end behavior)") {
+    val out = csf((1, "tx1", 1, "insert into"), (2, "tx1", 1, " t values"))
+      .select("redo_sql", "n_pieces").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "insert into t values" && out.head.getInt(1) == 2)
+  }
+
+  test("csf: interleaved transactions never merge pieces across xids") {
+    // LogMiner emits a record's pieces consecutively; different xids'
+    // RECORDS may interleave in the global log order
+    val out = csf(
+      (1, "tx1", 1, "a"), (2, "tx1", 0, "b"),
+      (3, "tx2", 1, "x"), (4, "tx2", 0, "y"),
+      (5, "tx1", 0, "c")
+    ).select("xid", "redo_sql").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("tx1", "ab"), ("tx1", "c"), ("tx2", "xy")))
+  }
+
   // ---- streaming form -------------------------------------------------
 
   test("streaming: commit emits in scn order, rollback drops, xid recycles") {
