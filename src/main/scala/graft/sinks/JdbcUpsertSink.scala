@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{Connection, PreparedStatement}
+import java.sql.{Connection, PreparedStatement, SQLException, SQLTransientException}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.streaming.UpsertSink
@@ -23,6 +23,13 @@ import graft.streaming.UpsertSink
   *      partial-batch failure because replayed GTIDs are filtered by the
   *      ledger anti-join upstream (F10) and the tx makes row+marker
   *      atomic.
+  *   4. a deadlocked/transient-failed transaction is rolled back and
+  *      retried up to [[JdbcUpsertSink.RetryTxLimit]] times on a fresh
+  *      connection + statement cache (reference `driver/driver.go:168-169`
+  *      RetryTxLimit: MTS appliers on a busy target WILL deadlock against
+  *      concurrent workload; one deadlock must not restart the stream).
+  *      The rollback undoes rows AND ledger marker together, so a retry
+  *      replays the identical transaction — exactly-once is preserved.
   *
   * Connection management is pluggable so tests can run against any
   * JDBC target; no driver classes are referenced statically.
@@ -42,7 +49,6 @@ class JdbcUpsertSink(
 
   override def applyBatch(batch: DataFrame, epochId: Long): Unit = {
     if (batch.isEmpty) return
-    val cols = table.columns
     val conn0 = connect()
     try {
       conn0.createStatement().execute(SqlBuilder.ledgerCreate(ledgerSchema))
@@ -53,99 +59,40 @@ class JdbcUpsertSink(
       .sortWithinPartitions(col(seqCol))
 
     val tableDef = table
-    val job = jobId
     val lSchema = ledgerSchema
-    val (kc, sc, oc, gc) = (keyCol, seqCol, opCol, gtidCol)
+    val (job, oc, gc) = (jobId, opCol, gtidCol)
     val connectF = connect
 
     ordered.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = connectF()
-        conn.setAutoCommit(false)
-        val cache = new StatementCache(conn)
-        try {
-          var appliedGtids = Set.empty[String]
-          // Bulk application (reference `applier_incr.go:694-730` +
-          // `driver.go:161-167`): buffer consecutive same-op runs and
-          // flush them as multi-row statements via SqlBuilder.tierPlan
-          // (128/8/4/1 rows per REPLACE) and addBatch/executeBatch for
-          // deletes — one network round trip per statement batch instead
-          // of one per row. Op-switch flushes the other run first, so
-          // per-key ordering (rows arrive seq-sorted) is preserved.
-          val replaceRun = scala.collection.mutable.ArrayBuffer.empty[Row]
-          val deleteRun = scala.collection.mutable.ArrayBuffer.empty[Row]
-          val whereCols = if (tableDef.hasPk) tableDef.pkColumns else tableDef.columns
-
-          def flushReplaces(): Unit = if (replaceRun.nonEmpty) {
-            var off = 0
-            SqlBuilder.tierPlan(replaceRun.length).foreach { case (tier, count) =>
-              val st = cache.get(tableDef.fqn, "replace", tier,
-                SqlBuilder.replaceInto(tableDef, tier))
-              var n = 0
-              while (n < count) {
-                var i = 1
-                var k = 0
-                while (k < tier) {
-                  val r = replaceRun(off + k)
-                  tableDef.columns.foreach { c => st.setObject(i, r.getAs[AnyRef](c)); i += 1 }
-                  k += 1
-                }
-                st.addBatch()
-                off += tier
-                n += 1
-              }
-              st.executeBatch()
-            }
-            replaceRun.clear()
+        // Materialize the partition: the iterator is single-shot, and a
+        // deadlock retry must replay the SAME rows in the SAME order.
+        // Bounded: one micro-batch partition, capped upstream by the O1
+        // group sizing / admission control — the reference buffers the
+        // same window in its applier queue (`applier_incr.go:694-730`).
+        val buffered = rows.toArray
+        var attempt = 1
+        var applied = false
+        while (!applied) {
+          val conn = connectF()
+          conn.setAutoCommit(false)
+          // fresh cache per attempt: statements belong to the attempt's
+          // connection; a retried tx must not reuse a possibly-poisoned one
+          val cache = new StatementCache(conn)
+          try {
+            JdbcUpsertSink.applyRows(buffered, cache, tableDef, job, lSchema, oc, gc)
+            conn.commit()
+            applied = true
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              if (attempt >= JdbcUpsertSink.RetryTxLimit || !JdbcUpsertSink.retryable(e))
+                throw e
+              attempt += 1
+              Thread.sleep(math.min(1000L, 50L << (attempt - 2)))
+          } finally {
+            cache.close(); conn.close()
           }
-
-          def flushDeletes(): Unit = if (deleteRun.nonEmpty) {
-            val st = cache.get(tableDef.fqn, "delete", 1, SqlBuilder.delete(tableDef))
-            deleteRun.foreach { r =>
-              var i = 1
-              whereCols.foreach { c =>
-                val v = r.getAs[AnyRef](c)
-                st.setObject(i, v); st.setObject(i + 1, v); i += 2
-              }
-              st.addBatch()
-            }
-            st.executeBatch()
-            deleteRun.clear()
-          }
-
-          rows.foreach { r =>
-            r.getAs[String](oc) match {
-              case "d" =>
-                flushReplaces()
-                deleteRun += r
-                if (deleteRun.length >= SqlBuilder.bulkTiers.head) flushDeletes()
-              case _ => // c/u/r → replace
-                flushDeletes()
-                replaceRun += r
-                // at the top tier, flush eagerly: bounds the run buffer and
-                // emits exactly one full 128-row statement
-                if (replaceRun.length >= SqlBuilder.bulkTiers.head) flushReplaces()
-            }
-            val g = if (r.schema.fieldNames.contains(gc)) r.getAs[String](gc) else null
-            if (g != null) appliedGtids += g
-          }
-          flushReplaces()
-          flushDeletes()
-          // ledger rows in the same tx (exactly-once: row+marker atomic)
-          if (appliedGtids.nonEmpty) {
-            val st = cache.get(lSchema, "ledger", 1, SqlBuilder.ledgerInsert(lSchema))
-            appliedGtids.foreach { g =>
-              st.setString(1, job); st.setString(2, "graft")
-              st.setLong(3, math.abs(g.hashCode).toLong); st.setString(4, g)
-              st.addBatch()
-            }
-            st.executeBatch()
-          }
-          conn.commit()
-        } catch {
-          case e: Throwable => conn.rollback(); throw e
-        } finally {
-          cache.close(); conn.close()
         }
       }
     }
@@ -158,6 +105,118 @@ class JdbcUpsertSink(
       val c = connect()
       try LedgerCompactor.compact(c, ledgerSchema, jobId, compactThreshold)
       finally c.close()
+    }
+  }
+}
+
+object JdbcUpsertSink {
+
+  /** Max attempts for one partition transaction (reference
+    * `driver/driver.go:168-169` RetryTxLimit = 5). */
+  val RetryTxLimit = 5
+
+  /** A failure worth replaying the transaction for: serialization/deadlock
+    * (SQLState 40xxx — includes MySQL 1213 ER_LOCK_DEADLOCK), lock wait
+    * timeout (MySQL 1205), or any driver-declared transient error.
+    * Constraint violations, syntax errors, etc. fail fast — retrying a
+    * deterministic error 5 times only delays the stream restart.
+    */
+  def retryable(e: Throwable): Boolean = e match {
+    case _: SQLTransientException => true
+    case s: SQLException =>
+      val state = Option(s.getSQLState).getOrElse("")
+      state.startsWith("40") || s.getErrorCode == 1213 || s.getErrorCode == 1205
+    case _ => false
+  }
+
+  /** One partition's worth of row application, inside the caller's open
+    * transaction: bulk REPLACE/DELETE runs + the ledger marker batch.
+    * Pure function of (rows, statements) so a retry is an exact replay.
+    */
+  private[sinks] def applyRows(
+      buffered: Array[Row],
+      cache: StatementCache,
+      tableDef: SqlBuilder.TableDef,
+      job: String,
+      lSchema: String,
+      oc: String,
+      gc: String): Unit = {
+    var appliedGtids = Set.empty[String]
+    // Bulk application (reference `applier_incr.go:694-730` +
+    // `driver.go:161-167`): buffer consecutive same-op runs and
+    // flush them as multi-row statements via SqlBuilder.tierPlan
+    // (128/8/4/1 rows per REPLACE) and addBatch/executeBatch for
+    // deletes — one network round trip per statement batch instead
+    // of one per row. Op-switch flushes the other run first, so
+    // per-key ordering (rows arrive seq-sorted) is preserved.
+    val replaceRun = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val deleteRun = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val whereCols = if (tableDef.hasPk) tableDef.pkColumns else tableDef.columns
+
+    def flushReplaces(): Unit = if (replaceRun.nonEmpty) {
+      var off = 0
+      SqlBuilder.tierPlan(replaceRun.length).foreach { case (tier, count) =>
+        val st = cache.get(tableDef.fqn, "replace", tier,
+          SqlBuilder.replaceInto(tableDef, tier))
+        var n = 0
+        while (n < count) {
+          var i = 1
+          var k = 0
+          while (k < tier) {
+            val r = replaceRun(off + k)
+            tableDef.columns.foreach { c => st.setObject(i, r.getAs[AnyRef](c)); i += 1 }
+            k += 1
+          }
+          st.addBatch()
+          off += tier
+          n += 1
+        }
+        st.executeBatch()
+      }
+      replaceRun.clear()
+    }
+
+    def flushDeletes(): Unit = if (deleteRun.nonEmpty) {
+      val st = cache.get(tableDef.fqn, "delete", 1, SqlBuilder.delete(tableDef))
+      deleteRun.foreach { r =>
+        var i = 1
+        whereCols.foreach { c =>
+          val v = r.getAs[AnyRef](c)
+          st.setObject(i, v); st.setObject(i + 1, v); i += 2
+        }
+        st.addBatch()
+      }
+      st.executeBatch()
+      deleteRun.clear()
+    }
+
+    buffered.foreach { r =>
+      r.getAs[String](oc) match {
+        case "d" =>
+          flushReplaces()
+          deleteRun += r
+          if (deleteRun.length >= SqlBuilder.bulkTiers.head) flushDeletes()
+        case _ => // c/u/r → replace
+          flushDeletes()
+          replaceRun += r
+          // at the top tier, flush eagerly: bounds the run buffer and
+          // emits exactly one full 128-row statement
+          if (replaceRun.length >= SqlBuilder.bulkTiers.head) flushReplaces()
+      }
+      val g = if (r.schema.fieldNames.contains(gc)) r.getAs[String](gc) else null
+      if (g != null) appliedGtids += g
+    }
+    flushReplaces()
+    flushDeletes()
+    // ledger rows in the same tx (exactly-once: row+marker atomic)
+    if (appliedGtids.nonEmpty) {
+      val st = cache.get(lSchema, "ledger", 1, SqlBuilder.ledgerInsert(lSchema))
+      appliedGtids.foreach { g =>
+        st.setString(1, job); st.setString(2, "graft")
+        st.setLong(3, math.abs(g.hashCode).toLong); st.setString(4, g)
+        st.addBatch()
+      }
+      st.executeBatch()
     }
   }
 }

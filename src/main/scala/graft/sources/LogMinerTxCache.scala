@@ -100,7 +100,10 @@ object LogMinerTxCache {
     val metaCols = redo.columns.filterNot(c => c == "redo_sql" || c == "csf").toSeq
     val recs = redo
       .withColumn("_rec_id",
-        sum(when(lag(col("csf"), 1, 0).over(w) === 0, 1L).otherwise(0L)).over(run))
+        // coalesce: lag's default only covers the missing first row — a
+        // NULL csf VALUE in the predecessor must also read as "finished"
+        sum(when(coalesce(lag(col("csf"), 1, 0).over(w), lit(0)) === 0, 1L)
+          .otherwise(0L)).over(run))
       .groupBy(col("xid"), col("_rec_id"))
       .agg(array_sort(collect_list(struct(
         col(seqCol).as("_s"),

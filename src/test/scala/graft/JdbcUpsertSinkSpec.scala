@@ -1,7 +1,7 @@
 package graft
 
 import java.lang.reflect.{InvocationHandler, Method, Proxy}
-import java.sql.{Connection, PreparedStatement, ResultSet, Statement}
+import java.sql.{Connection, PreparedStatement, ResultSet, SQLException, Statement}
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.functions._
@@ -82,6 +82,45 @@ object JdbcRecorder {
       }).asInstanceOf[Connection]
 }
 
+/** Commit-failure injector for the deadlock-retry tests: wraps the
+  * recorder connection, throwing a deadlock (or a configured terminal
+  * error) from `commit` until `failRemaining` drains. Static object so
+  * executor-side closure copies share the same counters in local mode
+  * (same pattern as [[JdbcRecorder.events]]).
+  */
+object RetryState {
+  import java.util.concurrent.atomic.AtomicInteger
+  val commits = new AtomicInteger
+  val rollbacks = new AtomicInteger
+  val opened = new AtomicInteger
+  val failRemaining = new AtomicInteger
+  @volatile var failure: () => SQLException =
+    () => new java.sql.SQLTransactionRollbackException(
+      "Deadlock found when trying to get lock; try restarting transaction", "40001", 1213)
+
+  def reset(nFailures: Int): Unit = {
+    commits.set(0); rollbacks.set(0); opened.set(0); failRemaining.set(nFailures)
+    failure = () => new java.sql.SQLTransactionRollbackException(
+      "Deadlock found when trying to get lock; try restarting transaction", "40001", 1213)
+  }
+
+  def connection(): Connection = {
+    opened.incrementAndGet()
+    val inner = JdbcRecorder.connection()
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "commit" =>
+            if (failRemaining.getAndDecrement() > 0) throw failure()
+            commits.incrementAndGet(); null
+          case "rollback" => rollbacks.incrementAndGet(); null
+          case _ =>
+            if (args == null) m.invoke(inner) else m.invoke(inner, args: _*)
+        }
+      }).asInstanceOf[Connection]
+  }
+}
+
 class JdbcUpsertSinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -133,6 +172,67 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(replaces.map(e => (tierOf(e.sql), e.batchSize)) ==
       Seq((128, 1), (128, 1), (8, 5), (4, 1)))
     assert(replaces.map(e => tierOf(e.sql) * e.batchSize).sum == 300)
+  }
+
+  test("deadlocked tx rolls back and replays identically on a fresh connection") {
+    JdbcRecorder.clear()
+    RetryState.reset(nFailures = 2) // first two commits deadlock, third lands
+    val rows = (1 to 10).map(i => (i.toLong, i.toLong, i.toLong, "u", s"u:$i"))
+    new JdbcUpsertSink(() => RetryState.connection(), td,
+      "job1", "ledger", numPartitions = 1, compactThreshold = 0)
+      .applyBatch(rows.toDF("key", "v", "seq", "op", "gtid"), 0L)
+
+    assert(RetryState.commits.get() == 1, "exactly one commit lands")
+    assert(RetryState.rollbacks.get() == 2, "each deadlock rolls back")
+    // each attempt is an exact replay: same statement shape, all 10 rows +
+    // the 10-gtid ledger batch, inside every attempt's own tx
+    val evs = JdbcRecorder.events.toArray(Array.empty[JdbcRecorder.Exec]).toSeq
+    val replaces = evs.filter(_.sql.startsWith("REPLACE"))
+    val ledger = evs.filter(_.sql.contains("gtid_executed"))
+    assert(replaces.map(e => (tierOf(e.sql), e.batchSize)) ==
+      Seq.fill(3)(Seq((8, 1), (1, 2))).flatten, s"got ${replaces.map(e => (tierOf(e.sql), e.batchSize))}")
+    assert(ledger.map(_.batchSize) == Seq(10, 10, 10))
+  }
+
+  test("retry budget exhausts at RetryTxLimit and the stream fails") {
+    JdbcRecorder.clear()
+    RetryState.reset(nFailures = JdbcUpsertSink.RetryTxLimit + 1)
+    val rows = Seq((1L, 1L, 1L, "u", "u:1"))
+    val e = intercept[Exception] {
+      new JdbcUpsertSink(() => RetryState.connection(), td,
+        "job1", "ledger", numPartitions = 1, compactThreshold = 0)
+        .applyBatch(rows.toDF("key", "v", "seq", "op", "gtid"), 0L)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[java.sql.SQLTransactionRollbackException]))
+    assert(RetryState.rollbacks.get() == JdbcUpsertSink.RetryTxLimit)
+    assert(RetryState.commits.get() == 0)
+  }
+
+  test("a non-retryable failure fails fast: one attempt, no retry storm") {
+    JdbcRecorder.clear()
+    RetryState.reset(nFailures = 5)
+    RetryState.failure = () =>
+      new SQLException("Duplicate entry '1' for key 'PRIMARY'", "23000", 1062)
+    val rows = Seq((1L, 1L, 1L, "u", "u:1"))
+    intercept[Exception] {
+      new JdbcUpsertSink(() => RetryState.connection(), td,
+        "job1", "ledger", numPartitions = 1, compactThreshold = 0)
+        .applyBatch(rows.toDF("key", "v", "seq", "op", "gtid"), 0L)
+    }
+    assert(RetryState.rollbacks.get() == 1)
+    assert(RetryState.commits.get() == 0)
+  }
+
+  test("retryable() classifies deadlock/transient vs deterministic errors") {
+    import java.sql.{SQLTransactionRollbackException, SQLTransientConnectionException}
+    assert(JdbcUpsertSink.retryable(
+      new SQLTransactionRollbackException("deadlock", "40001", 1213)))
+    assert(JdbcUpsertSink.retryable(new SQLException("lock wait", "HY000", 1205)))
+    assert(JdbcUpsertSink.retryable(new SQLTransientConnectionException("conn reset")))
+    assert(!JdbcUpsertSink.retryable(new SQLException("dup key", "23000", 1062)))
+    assert(!JdbcUpsertSink.retryable(new RuntimeException("npe")))
   }
 
   test("ledger compaction folds per-tx rows and prior interval rows into one set") {

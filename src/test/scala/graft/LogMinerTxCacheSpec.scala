@@ -55,11 +55,6 @@ class LogMinerTxCacheSpec extends SparkSpec {
 
   // ---- csf continuation reassembly -------------------------------------
 
-  private def piece(seq: Long, xid: String, csf: Int, sql: String, scn: Long = 0) = {
-    import spark.implicits._
-    Seq((scn, xid, seq, csf, sql)).toDF("scn", "xid", "seq", "csf", "redo_sql")
-  }
-
   private def csf(rows: (Long, String, Int, String)*) = {
     import spark.implicits._
     LogMinerTxCache.reassembleCsf(
@@ -87,6 +82,20 @@ class LogMinerTxCacheSpec extends SparkSpec {
       .select("redo_sql", "n_pieces").collect()
     assert(out.length == 1)
     assert(out.head.getString(0) == "insert into t values" && out.head.getInt(1) == 2)
+  }
+
+  test("csf: a NULL csf value reads as 'record finished', not as csf=1") {
+    // lag(csf, 1, 0)'s default only covers the missing first row; a NULL
+    // csf VALUE in the predecessor must open a new record too (coalesce)
+    import spark.implicits._
+    val in = Seq(
+      (10L, "tx1", 1L, Some(0), "a"),
+      (20L, "tx1", 2L, None, "b"),    // null csf: terminates its own record
+      (30L, "tx1", 3L, Some(0), "c")  // must OPEN a new record, not append
+    ).toDF("scn", "xid", "seq", "csf", "redo_sql")
+    val out = LogMinerTxCache.reassembleCsf(in)
+      .select("redo_sql").collect().map(_.getString(0)).toSet
+    assert(out == Set("a", "b", "c"))
   }
 
   test("csf: interleaved transactions never merge pieces across xids") {
