@@ -680,8 +680,10 @@ object SparkEntry {
 
     "emb_lsh_pairs" -> ((s, dir) => {
       // LSH-bucketed near-dup embedding pairs — the scale path for
-      // emb_cosine_pairs; recall < 1 by construction → rows-only
-      // (SimilaritySearchSpec asserts precision = 1 vs brute force)
+      // emb_cosine_pairs. Portable md5-derived planes make the whole
+      // pipeline (buckets, caps, candidates, cosines) hash-match the
+      // DuckDB oracle; SimilaritySearchSpec additionally pins
+      // precision = 1 vs brute force
       SimilaritySearch.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, dim = 64, nBits = 8, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
@@ -713,8 +715,10 @@ object SparkEntry {
     }),
 
     "sim_lsh_topk" -> ((s, dir) => {
-      // ANN path: recall < 1 by construction → rows-only; recall vs
-      // brute force asserted in SimilaritySearchSpec
+      // ANN path. Recall < 1 by design, but the portable planes +
+      // broadcast-query candidate join are fully deterministic, so the
+      // approximate result ITSELF hash-matches the DuckDB oracle; recall
+      // vs brute force asserted in SimilaritySearchSpec
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, dim = 64, nBits = 8, tables = 4)
@@ -722,12 +726,26 @@ object SparkEntry {
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
-      // IVF cluster-then-probe ANN: recall < 1 by construction → rows-
-      // only; recall + exactness-at-full-probe asserted in
-      // SimilaritySearchSpec
+      // IVF cluster-then-probe ANN, production form: 2 Lloyd rounds.
+      // The refined centroid means come from double `avg()` whose
+      // partial-sum order varies run to run → rows-only by necessity;
+      // sim_ivf_topk_seed is the deterministic witness twin, and
+      // SimilaritySearchSpec pins recall + exactness-at-full-probe
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nLists = 16, nProbe = 4, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_topk_seed" -> ((s, dir) => {
+      // the IVF witness: iters=0 keeps the deterministic seed centroids
+      // (the nLists lowest-id vectors), so assignment, probing, and
+      // re-rank all reproduce in DuckDB — the full inverted-file search
+      // machinery gets a hash oracle, with only the Lloyd refinement
+      // excluded (covered by sim_ivf_topk + spec)
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 16, nProbe = 4, iters = 0)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -811,33 +829,35 @@ object SparkEntry {
 
     "corpus_report" -> ((s, dir) => {
       // per-source corpus health: the monitoring dashboard a curation
-      // pipeline watches (decimal-exact averages so the oracle agrees).
+      // pipeline watches. The hashed output is integer-only (micro-units):
+      // per-doc quality is already quantized to 6 decimals (TextProfile
+      // round6), so round(quality*1e6) sits within ~1e-4 of an integer —
+      // no rounding boundary any engine version can land on differently,
+      // and no DOUBLE or DECIMAL cast survives into the hashed columns.
+      // Sums ride in DECIMAL(38,0) so the 2*sum*1e6 intermediate cannot
+      // wrap a Long at corpus scale; every numerator is non-negative by
+      // construction (quality in [0,1], n_tokens >= 0), so truncating
+      // `div` == floor on both engines and half-up = (2s+n) div (2n).
       // Single scan: the profile expression runs inline next to the
       // group key — profile()+self-join would shuffle the corpus twice.
       val p = call_function("graft_text_profile", col("text"))
       graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
         .select(col("source"), p.getField("n_tokens").as("n_tokens"),
-          p.getField("quality").as("quality"), p.getField("lang_pred").as("lang_pred"),
+          round(p.getField("quality") * 1000000).cast("long").as("q_micros"),
+          p.getField("lang_pred").as("lang_pred"),
           p.getField("fingerprint").as("fingerprint"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          // exact integer micro-units: decimal sum * 1e6 is an integer, so
-          // the average can be rounded half-up with pure integer division —
-          // no round()-on-double, which Spark and DuckDB disagree on at
-          // boundary values (Spark BigDecimal HALF_UP vs DuckDB fp scaling)
-          (sum(col("quality").cast(DecimalType(12, 6))) * 1000000)
-            .cast("long").as("_sum_q_micro"),
+          sum(col("q_micros").cast(DecimalType(38, 0))).as("_sum_q_micros"),
           sum(when(col("lang_pred") === "und", 1L).otherwise(0L)).as("n_und"),
-          sum(col("n_tokens").cast("long")).as("_sum_tokens"),
+          sum(col("n_tokens").cast(DecimalType(38, 0))).as("_sum_tokens"),
           (count(lit(1)) - count_distinct(col("fingerprint"))).as("n_exact_dups"))
         .select(col("source"), col("n_docs"),
-          // half-up to the nearest micro, then ONE exact IEEE division —
-          // bit-identical in every engine
-          (expr("(2 * _sum_q_micro + n_docs) div (2 * n_docs)").cast("double")
-            / 1000000.0d).as("avg_quality"),
+          expr("CAST((2 * _sum_q_micros + n_docs) div (2 * n_docs) AS BIGINT)")
+            .as("avg_quality_micros"),
           col("n_und"),
-          (expr("(2 * _sum_tokens * 1000000 + n_docs) div (2 * n_docs)").cast("double")
-            / 1000000.0d).as("avg_tokens"),
+          expr("CAST((2 * _sum_tokens * 1000000 + n_docs) div (2 * n_docs) AS BIGINT)")
+            .as("avg_tokens_micros"),
           col("n_exact_dups"))
         .orderBy(col("source"))
     }),
@@ -1432,6 +1452,74 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // lshPairs with portable planes: buckets (8 bits × 4 tables), drop
+    // over-cap buckets (BoundedCollectList semantics), distinct pairs,
+    // cosine filter — bit-identical fold order on both engines
+    "emb_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), d ->
+        |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
+        |        (a, x) -> a + x) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |flt AS (SELECT * FROM bk QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 1000),
+        |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        |  FROM flt a JOIN flt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |s AS (SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cos FROM p)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // lshTopK: same portable buckets; candidates = corpus∞query bucket
+    // matches, best cosine per pair, top-5 re-rank with corpus_id
+    // tie-break — mirrors the broadcast-join + groupBy(max) Spark plan
+    "sim_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), d ->
+        |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
+        |        (a, x) -> a + x) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |q AS (SELECT * FROM bk WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id, q.v AS qv, c.v AS cv
+        |  FROM bk c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |s AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos FROM cand)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
+        |FROM s
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // ivfTopK with iters=0: seed centroids = the 16 lowest-id vectors;
+    // nearest/probe ordering matches Spark's sort_array(desc) struct
+    // comparison (cos DESC, then cid DESC on ties)
+    "sim_ivf_topk_seed" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |scoredc AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent c),
+        |assign AS (SELECT vec_id, v, cid FROM scoredc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM scoredc WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) <= 4),
+        |s AS (SELECT p.query_id, a.vec_id AS corpus_id,
+        |    list_cosine_similarity(a.v, p.qv) AS cos
+        |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
+        |FROM s
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_quantized" ->
       """WITH m AS (SELECT vec_id, embedding,
         |  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
@@ -1651,20 +1739,21 @@ object SparkEntry {
         |FROM sc),
         |prof AS (SELECT doc_id, source,
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
-        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6)
+        |    * 1000000) AS BIGINT) AS q_micros,
         |  CASE WHEN best = 0 THEN 'und'
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
         |  md5(norm) AS fingerprint
         |FROM m)
         |SELECT source, COUNT(*) AS n_docs,
-        |  CAST((2 * CAST(SUM(CAST(quality AS DECIMAL(12,6))) * 1000000 AS BIGINT) + COUNT(*))
-        |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_quality,
+        |  CAST((2 * CAST(SUM(q_micros) AS HUGEINT) + COUNT(*))
+        |    // (2 * COUNT(*)) AS BIGINT) AS avg_quality_micros,
         |  SUM(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS n_und,
-        |  CAST((2 * CAST(SUM(n_tokens) AS BIGINT) * 1000000 + COUNT(*))
-        |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_tokens,
+        |  CAST((2 * CAST(SUM(n_tokens) AS HUGEINT) * 1000000 + COUNT(*))
+        |    // (2 * COUNT(*)) AS BIGINT) AS avg_tokens_micros,
         |  COUNT(*) - COUNT(DISTINCT fingerprint) AS n_exact_dups
         |FROM prof GROUP BY source ORDER BY source""".stripMargin,
 

@@ -39,28 +39,40 @@ object SimilaritySearch {
   }
 
   /** ANN top-k: candidates from `tables` independent LSH bucketings
-    * (different bit offsets), exact cosine re-rank within candidates.
+    * (different plane sets), exact cosine re-rank within candidates.
     * Recall < 1 by construction; raise `tables` / lower `nBits` to trade
     * compute for recall.
+    *
+    * Scale shape (the `queries` side is small by contract — same as
+    * [[bruteForceTopK]]): the bucketed query side is BROADCAST, so the
+    * corpus never shuffles at all — bucketing, the candidate join, and
+    * the cosine all run map-side over one corpus scan, and only
+    * `(query_id, corpus_id, cosine)` scalars cross the dedup shuffle
+    * (a pair found by several tables is scored ≤ `tables` times
+    * map-side instead of dragging float vectors through an exchange —
+    * CPU is the cheap currency at 100 TB, shuffle bytes are not). A hot
+    * bucket costs O(members) scored rows, never an O(members²) blowup
+    * or an unbounded collect, so no cap is needed on this path.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nBits: Int = 12, tables: Int = 4): DataFrame = {
     requireDim(corpus, vecCol, dim, "lshTopK")
-    def bucketed(df: DataFrame, id: String, vec: String) = {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucketAt(col(vec), nBits, dim, t).as("b"))): _*)
-      df.select(col(id), col(vec), explode(buckets).as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("lsh_t"), col("tb.b").as("lsh_b"))
-    }
-    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")), "corpus_id", "cvec")
-    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec")
-    val cands = c.join(q, Seq("lsh_t", "lsh_b"))
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec),
+        posexplode(array((0 until tables).map(t =>
+          lshBucketAt(col(vec), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
+    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
+      "corpus_id", "cvec")
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec")
+    val scored = c.join(broadcast(q), Seq("lsh_t", "lsh_b"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "corpus_id")
       .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(max(col("cosine")).as("cosine")) // same pair ≤ tables times, same value
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
   }
@@ -75,9 +87,30 @@ object SimilaritySearch {
     * with [[lshTopK]]/[[ivfTopK]] candidate generation.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      quantizeInt8(col(vecCol)).getField("q").as("cvec8"))
+                    vecCol: String, k: Int): DataFrame =
+    quantizedTopKFromIndex(buildQuantizedIndex(corpus, idCol, vecCol), queries,
+      idCol, vecCol, k)
+
+  /** Build the persistable int8 index: `(corpus_id, vec8 array<tinyint>)`.
+    * Write it once (parquet), search it many times with
+    * [[quantizedTopKFromIndex]] — the quantization pass is paid at build
+    * time, and every later search scans 4× fewer bytes than float32.
+    * Only `q` is kept: cosine is scale-invariant, so the per-vector
+    * scale factor is dead weight on the search path.
+    */
+  def buildQuantizedIndex(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+      quantizeInt8(col(vecCol)).getField("q").as("vec8"))
+
+  /** Top-k over a PERSISTED int8 index (the [[buildQuantizedIndex]]
+    * schema, typically read back from parquet) — the stored-index entry
+    * point: no quantization inside the query, the `array<tinyint>`
+    * column streams straight from the scan into the broadcast-join
+    * cosine loop.
+    */
+  def quantizedTopKFromIndex(index: DataFrame, queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int): DataFrame = {
+    val c = index.select(col("corpus_id"), col("vec8").as("cvec8"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineNative(col("cvec8"), col("qvec")))
@@ -152,28 +185,23 @@ object SimilaritySearch {
       java.lang.Long.parseLong(hex, 16).toDouble / (1L << 51).toDouble - 1.0
     }
 
-  /** Portable-arithmetic LSH pairs — the cross-engine witness for the
-    * hyperplane bucketing (`emb_lsh_md5` oracle): plane weights from
-    * [[portablePlane]], projections summed sequentially in double (the
-    * same fold DuckDB's `list_reduce` runs), so every sign bit, bucket
-    * id, and candidate pair reproduces exactly. The sin-plane
-    * [[lshPairs]] stays the production path; recall here is the usual
-    * LSH recall (< 1), but the PIPELINE is hash-verifiable.
+  /** Portable-arithmetic LSH pairs — the original cross-engine witness
+    * for the hyperplane bucketing (`emb_lsh_md5` oracle): plane weights
+    * from [[portablePlane]], projections summed sequentially in double
+    * (the same fold DuckDB's `list_reduce` runs), so every sign bit,
+    * bucket id, and candidate pair reproduces exactly. [[lshPairs]] now
+    * shares the same portable planes (and adds the ids-only shuffle +
+    * capped-bucket scale shape); this form differs in carrying vectors
+    * inside the bucket collect — kept as the second, independently-
+    * shaped witness of the same bucketing math.
     */
   def portableLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int, nBits: Int = 6,
                        tables: Int = 4, maxBucket: Int = 500): DataFrame = {
     requireDim(corpus, vecCol, dim, "portableLshPairs")
-    def bucketFor(t: Int): org.apache.spark.sql.Column = {
-      val vd = transform(col(vecCol), x => x.cast("double"))
-      (0 until nBits).map { b =>
-        val plane = array(portablePlane(t, b, dim).toIndexedSeq.map(lit): _*)
-        val proj = aggregate(zip_with(vd, plane, (x, p) => x * p), lit(0.0), (a, x) => a + x)
-        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
     val bucketed = corpus.select(col(idCol).as("vid"), col(vecCol),
-      posexplode(array((0 until tables).map(bucketFor): _*)).as(Seq("lsh_t", "lsh_b")))
+      posexplode(array((0 until tables).map(t =>
+        lshBucketAt(col(vecCol), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
     val buckets = bucketed
       .groupBy(col("lsh_t"), col("lsh_b"))
       .agg(graft.functions.BoundedCollectList.column(
@@ -264,19 +292,26 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** LSH bucket with a per-table plane offset (table t uses planes
-    * starting at bit t*nBits) so the `tables` bucketings are independent.
+  /** LSH bucket for table `table`: sign bits of `nBits` projections onto
+    * the [[portablePlane]] hyperplanes, packed into a long. Planes are
+    * keyed (table, bit, dim-index), so the `tables` bucketings are
+    * independent. Portable arithmetic throughout — md5-derived weights
+    * are identical doubles on every engine and the projection folds
+    * left-to-right — so every bucket id reproduces bit-for-bit in the
+    * DuckDB oracle (this is what lets `emb_lsh_pairs` / `sim_lsh_topk`
+    * carry full hash oracles rather than rows-only checks).
+    *
+    * The plane weights inline as literal arrays (nBits × dim doubles per
+    * table). At the defaults (≤12 bits × 64 dims × 4 tables ≈ 3k
+    * literals) this codegens fine; for much larger dim × nBits move the
+    * planes to a broadcast 2-D array first.
     */
   private def lshBucketAt(v: org.apache.spark.sql.Column, nBits: Int, dim: Int, table: Int): org.apache.spark.sql.Column = {
     val vd = transform(v, x => x.cast("double"))
-    val bits = (0 until nBits).map { b0 =>
-      val b = table * nBits + b0
-      val proj = aggregate(
-        zip_with(vd,
-          transform(sequence(lit(b * dim + 1), lit(b * dim + dim)), i => sin(i.cast("double"))),
-          (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b0)).otherwise(lit(0L))
+    val bits = (0 until nBits).map { b =>
+      val plane = array(portablePlane(table, b, dim).toIndexedSeq.map(lit): _*)
+      val proj = aggregate(zip_with(vd, plane, (x, p) => x * p), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

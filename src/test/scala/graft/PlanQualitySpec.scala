@@ -39,6 +39,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("lshTopK broadcasts the bucketed query side; the corpus never pre-shuffles") {
+    val df = SparkEntry.queries("sim_lsh_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must reach the candidate join without a shuffle:\n$p")
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // the shingling scan stage of ngram dedup must be codegen'd (the
     // native graft_shingles expression, not an interpreted HOF chain)

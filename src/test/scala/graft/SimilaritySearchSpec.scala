@@ -99,6 +99,26 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(mean > 0.2, s"mean recall $mean")
   }
 
+  test("quantized index round-trips through parquet and searches identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("qidx").toString
+    SimilaritySearch.buildQuantizedIndex(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    // persisted schema is the compact one: id + int8 vector, 4× smaller
+    // than float32 — the scan/shuffle win the stored index exists for
+    assert(idx.schema("vec8").dataType.simpleString == "array<tinyint>")
+    val k = 5
+    val fromIdx = SimilaritySearch.quantizedTopKFromIndex(idx,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val inline = SimilaritySearch.quantizedTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(fromIdx == inline && fromIdx.nonEmpty)
+  }
+
   test("bruteForcePairs returns symmetric-free thresholded pairs") {
     val pairs = SimilaritySearch.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
