@@ -52,11 +52,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val passes = (1 to 3).map(_ => headline.map(n => n -> timeOnce(n)).toMap)
-    val results = headline.map { name => name -> passes.map(_(name)).min }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = headline.map { name => name -> passes.map(_(name)) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // all three per-pass samples per query: a host-contention round is
+    // self-evident from high variance here, instead of silently
+    // poisoning the headline min and the cross-round series
+    val samples = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(x => f"$x%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samples,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

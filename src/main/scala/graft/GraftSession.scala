@@ -60,6 +60,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // C9 charset stage: decode() must accept the full JVM charset set
+      // (MySQL latin1 = windows-1252, gbk, …), not just Spark's builtin
+      // six — reference charsetEncodingMap (mysqlconfig/encoding.go:20)
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // InferFiltersFromGenerate duplicates the generator expression
       // into a pre-Generate filter (size(e)>0 && isnotnull(e)). Every

@@ -18,6 +18,7 @@ object DdlRewriter {
   sealed trait DdlKind
   case object CreateSchema extends DdlKind
   case object DropSchema   extends DdlKind
+  case object AlterSchema  extends DdlKind
   case object CreateTable  extends DdlKind
   case object DropTable    extends DdlKind
   case object AlterTable   extends DdlKind
@@ -25,11 +26,16 @@ object DdlRewriter {
   case object Truncate     extends DdlKind
   case object CreateIndex  extends DdlKind
   case object DropIndex    extends DdlKind
+  case object FlushTables  extends DdlKind // FLUSH TABLES with a table list
   case object OtherDdl     extends DdlKind
   case object SkippedStmt  extends DdlKind // trigger/event/view/grant etc.
 
   private val skipPatterns: Seq[String] = Seq(
-    // reference always-skip regexes (`binlog_reader.go:1228-1265`)
+    // reference always-skip regexes (`binlog_reader.go:1228-1265`).
+    // GRANT/REVOKE are skipped deliberately: the reference maps their
+    // db.table level only under ExpandSyntaxSupport (default off,
+    // `loadMapping` GrantStmt branch), and privilege replication has no
+    // Spark-side applier here.
     "(?is)^\\s*create\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view|function|procedure)\\b.*",
     "(?is)^\\s*(alter|drop)\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view|function|procedure)\\b.*",
     "(?is)^\\s*(grant|revoke|flush)\\b.*",
@@ -39,29 +45,38 @@ object DdlRewriter {
 
   def classify(sql: String): DdlKind = {
     val s = sql.trim
-    if (skipPatterns.exists(s.matches)) return SkippedStmt
     val lower = s.toLowerCase
+    // FLUSH TABLES with an explicit table list maps idents (reference
+    // FlushStmt branch, `binlog_reader.go:932-941`); every other FLUSH
+    // form falls through to the skip patterns
+    if (lower.matches("(?s)^flush\\s+(local\\s+|no_write_to_binlog\\s+)?tables\\s+(?!with\\b)[a-z0-9_$`].*"))
+      return FlushTables
+    if (skipPatterns.exists(s.matches)) return SkippedStmt
     if (lower.startsWith("create database") || lower.startsWith("create schema")) CreateSchema
     else if (lower.startsWith("drop database") || lower.startsWith("drop schema")) DropSchema
+    else if (lower.startsWith("alter database") || lower.startsWith("alter schema")) AlterSchema
     else if (lower.startsWith("create table")) CreateTable
     else if (lower.startsWith("drop table")) DropTable
     else if (lower.startsWith("alter table")) AlterTable
     else if (lower.startsWith("rename table")) RenameTable
     else if (lower.startsWith("truncate")) Truncate
-    else if (lower.startsWith("create index") || lower.startsWith("create unique index")) CreateIndex
+    else if (lower.matches("(?s)^create\\s+(unique\\s+|fulltext\\s+|spatial\\s+)?index\\b.*")) CreateIndex
     else if (lower.startsWith("drop index")) DropIndex
     else OtherDdl
   }
 
   /** ALTER sub-kind classification for the SqlFilter's five ALTER gates
-    * (reference `binlog_reader.go:110-178`).
+    * (reference `binlog_reader.go:110-178`: Add/Drop/Modify/Change/Alter
+    * column, each independently gateable).
     */
   def alterKind(sql: String): Option[String] = {
     val lower = sql.trim.toLowerCase
     if (!lower.startsWith("alter table")) None
     else if (lower.matches("(?s).*\\badd\\s+(column|\\().*")) Some("AddColumn")
     else if (lower.matches("(?s).*\\bdrop\\s+column\\b.*")) Some("DropColumn")
-    else if (lower.matches("(?s).*\\b(modify|change)\\s+column\\b.*")) Some("ModifyColumn")
+    else if (lower.matches("(?s).*\\bmodify\\s+(column\\s+)?\\w.*")) Some("ModifyColumn")
+    else if (lower.matches("(?s).*\\bchange\\s+(column\\s+)?\\w.*")) Some("ChangeColumn")
+    else if (lower.matches("(?s).*\\balter\\s+column\\b.*")) Some("AlterColumn")
     else if (lower.matches("(?s).*\\brename\\b.*")) Some("Rename")
     else Some("Other")
   }
@@ -129,17 +144,124 @@ object DdlRewriter {
 
   private def ident(s: String) = s.replace("`", "")
 
+  /** One identifier: `x` or x, optionally qualified `s`.`t` / s.t. */
+  private val NameP = "(?:`?[A-Za-z0-9_$]+`?\\s*\\.\\s*)?`?[A-Za-z0-9_$]+`?"
+
   private def rewriteIdents(sql: String, renameSchema: Map[String, String],
                             renameTable: Map[(String, String), (String, String)],
                             defaultSchema: String): String = {
-    // qualified schema.table (optionally backticked either side)
+    // pass 1 — qualified schema.table (optionally backticked either side)
     val qualified = "(`?)([A-Za-z0-9_$]+)\\1\\.(`?)([A-Za-z0-9_$]+)\\3".r
-    qualified.replaceAllIn(sql, m => {
+    val q = qualified.replaceAllIn(sql, m => {
       val (sch, tbl) = (m.group(2), m.group(4))
       val (ns, nt) = renameTable.getOrElse((sch, tbl),
         (renameSchema.getOrElse(sch, sch), tbl))
       java.util.regex.Matcher.quoteReplacement(s"`$ns`.`$nt`")
     })
+    // pass 2 — statement-shaped bare-name positions (reference
+    // `loadMapping`, `binlog_reader.go:896-945`: renameAstTableFn
+    // resolves a bare table against currentSchema before mapping)
+    rewriteBarePositions(q, renameSchema, renameTable, defaultSchema)
+  }
+
+  /** A bare table name resolved the way the reference's
+    * `renameAstTableFn` resolves it: schema defaults to `defaultSchema`
+    * (the binlog event's current schema), then both maps apply, and the
+    * restored text is fully qualified. With NO default schema a bare
+    * name can only be table-renamed through an ("", table) map key —
+    * unmapped names are left byte-identical (this keeps rewrite() a
+    * no-op on statements it has nothing to say about).
+    */
+  private def mapBareTable(raw: String, renameSchema: Map[String, String],
+                           renameTable: Map[(String, String), (String, String)],
+                           defaultSchema: String): String = {
+    if (raw.contains(".")) raw // qualified: pass 1 already handled it
+    else {
+      val t = ident(raw.trim)
+      if (defaultSchema.isEmpty) {
+        renameTable.get(("", t)).map { case (_, nt) => s"`$nt`" }.getOrElse(raw)
+      } else {
+        val (ns, nt) = renameTable.getOrElse((defaultSchema, t),
+          (renameSchema.getOrElse(defaultSchema, defaultSchema), t))
+        if (ns == defaultSchema && nt == t) raw else s"`$ns`.`$nt`"
+      }
+    }
+  }
+
+  /** Rewrite the table-name positions of the statement kinds the
+    * reference maps (`loadMapping` switch, 13 mapped kinds + skip):
+    * multi-table DROP, multi-pair RENAME TABLE, TRUNCATE, CREATE TABLE
+    * (incl. LIKE refer-table), ALTER TABLE (incl. RENAME TO target, but
+    * NOT RENAME COLUMN/INDEX operands), CREATE/DROP INDEX (the table
+    * after ON — never the index ident), FLUSH TABLES lists, and the
+    * schema ident of CREATE/DROP/ALTER DATABASE.
+    */
+  private def rewriteBarePositions(sql: String, rs: Map[String, String],
+                                   rt: Map[(String, String), (String, String)],
+                                   ds: String): String = {
+    def mapName(n: String) = mapBareTable(n, rs, rt, ds)
+    def replOne(m: scala.util.matching.Regex.Match): String =
+      java.util.regex.Matcher.quoteReplacement(m.group(1) + mapName(m.group(2)))
+    // a comma list of names, each item's FIRST token is the name and any
+    // trailing words (RESTRICT / WITH READ LOCK / ...) pass through
+    def mapList(list: String): String = splitTopLevel(list).map { item =>
+      val t = item.trim
+      if (t.isEmpty) item
+      else {
+        val lead = item.takeWhile(_.isWhitespace)
+        val nameLen = t.indexWhere(c => c.isWhitespace)
+        val (name, rest) = if (nameLen < 0) (t, "") else t.splitAt(nameLen)
+        lead + mapName(name) + rest
+      }
+    }.mkString(",")
+
+    classify(sql) match {
+      case DropTable =>
+        val re = s"(?is)^(\\s*drop\\s+(?:temporary\\s+)?table\\s+(?:if\\s+exists\\s+)?)(.*)$$".r
+        re.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + mapList(m.group(2))))
+      case RenameTable =>
+        val re = "(?is)^(\\s*rename\\s+table\\s+)(.*)$".r
+        re.replaceAllIn(sql, m => {
+          val pairs = splitTopLevel(m.group(2)).map { pair =>
+            val p = "(?is)^(\\s*)(" + NameP + ")(\\s+to\\s+)(" + NameP + ")(\\s*)$"
+            p.r.replaceAllIn(pair, pm => java.util.regex.Matcher.quoteReplacement(
+              pm.group(1) + mapName(pm.group(2)) + pm.group(3) + mapName(pm.group(4)) + pm.group(5)))
+          }
+          java.util.regex.Matcher.quoteReplacement(m.group(1) + pairs.mkString(","))
+        })
+      case Truncate =>
+        val re = s"(?is)^(\\s*truncate\\s+(?:table\\s+)?)($NameP)".r
+        re.replaceAllIn(sql, replOne _)
+      case CreateTable =>
+        val head = s"(?is)^(\\s*create\\s+(?:temporary\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?)($NameP)".r
+        val like = s"(?is)(\\blike\\s+)($NameP)".r
+        like.replaceAllIn(head.replaceAllIn(sql, replOne _), replOne _)
+      case AlterTable =>
+        val head = s"(?is)^(\\s*alter\\s+(?:ignore\\s+)?table\\s+)($NameP)".r
+        // RENAME [TO|AS] <table>; RENAME COLUMN/INDEX/KEY operands are
+        // column/index idents, not tables (reference renames only
+        // spec.NewTable, `binlog_reader.go:925-929`)
+        val renTo = s"(?is)(\\brename\\s+(?:(?:to|as)\\s+)?)(?!column\\b|index\\b|key\\b|to\\b|as\\b)($NameP)".r
+        renTo.replaceAllIn(head.replaceAllIn(sql, replOne _), replOne _)
+      case CreateIndex | DropIndex =>
+        val re = s"(?is)(\\bon\\s+)($NameP)".r
+        re.replaceAllIn(sql, replOne _)
+      case FlushTables =>
+        val re = "(?is)^(\\s*flush\\s+(?:local\\s+|no_write_to_binlog\\s+)?tables\\s+)(.*)$".r
+        re.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + mapList(m.group(2))))
+      case CreateSchema | DropSchema | AlterSchema =>
+        val re = ("(?is)^(\\s*(?:create|drop|alter)\\s+(?:database|schema)\\s+" +
+          "(?:if\\s+(?:not\\s+)?exists\\s+)?)(`?)([A-Za-z0-9_$]+)\\2").r
+        re.replaceAllIn(sql, m => {
+          val s = m.group(3)
+          val ns = rs.getOrElse(s, s)
+          java.util.regex.Matcher.quoteReplacement(
+            if (ns == s) m.matched else m.group(1) + s"`$ns`")
+        })
+      case _ => sql
+    }
   }
 
   /** Column-map pruning of CREATE TABLE text (reference

@@ -107,6 +107,71 @@ object TypeConversions {
   def transcodeToUtf8(c: Column, sourceCharset: String): Column =
     decode(c.cast(BinaryType), sourceCharset)
 
+  /** MySQL charset name → JVM charset (reference charsetEncodingMap,
+    * `mysqlconfig/encoding.go:20-30`). Note MySQL's `latin1` is the
+    * cp1252 superset (Windows-1252), NOT ISO-8859-1 — the 0x80-0x9F
+    * range carries €‚ƒ„… etc.; decoding it as ISO-8859-1 silently maps
+    * those to C1 control characters.
+    */
+  val mysqlCharsetToJava: Map[String, String] = Map(
+    "latin1"  -> "windows-1252",
+    "latin2"  -> "windows-1250",
+    "gbk"     -> "GBK",
+    "gb2312"  -> "GB18030",
+    "gb18030" -> "GB18030",
+    "utf16"   -> "UTF-16BE",
+    "utf16le" -> "UTF-16LE",
+    "utf32"   -> "UTF-32BE")
+
+  /** reference `g/g.go:178` IsUTF8OrMB4 — already-UTF8 text skips the
+    * decode stage entirely. */
+  def isUtf8OrMb4(charset: String): Boolean = {
+    val c = charset.toLowerCase
+    c == "utf8" || c == "utf8mb4"
+  }
+
+  /** The decoder for one MySQL charset, or None when the column should
+    * pass through untouched: utf8/utf8mb4 (already UTF-8) and unknown
+    * charsets (reference treats them as binary — `encoding.Nop`,
+    * `encoding.go:33-45`).
+    */
+  def javaCharsetOf(mysqlCharset: String): Option[String] = {
+    val c = mysqlCharset.toLowerCase
+    if (isUtf8OrMb4(c)) None else mysqlCharsetToJava.get(c)
+  }
+
+  /** C9 — the table-metadata-driven charset stage (reference ConvertArg,
+    * `types.go:93-112`, applied per column from the table's
+    * information_schema metadata): every raw-bytes text column listed in
+    * `columnCharsets` decodes to a UTF-8 string; utf8/utf8mb4 and
+    * unknown charsets pass through as-is. One projection over the batch
+    * — column-parallel, codegen'd, no shuffle. The non-builtin decoders
+    * (windows-1252, GBK, …) need `spark.sql.legacy.javaCharsets`, which
+    * [[graft.GraftSession]] sets.
+    */
+  def transcodeRow(df: org.apache.spark.sql.DataFrame,
+                   columnCharsets: Map[String, String]): org.apache.spark.sql.DataFrame =
+    columnCharsets.foldLeft(df) { case (d, (name, cs)) =>
+      javaCharsetOf(cs) match {
+        case Some(jc) => d.withColumn(name, transcodeToUtf8(col(name), jc))
+        case None if isUtf8OrMb4(cs) =>
+          d.withColumn(name, col(name).cast("string")) // bytes already UTF-8
+        case None => d // unknown charset: binary passthrough (reference Nop)
+      }
+    }
+
+  /** C9 for DDL text (reference `binlog_reader.go:543-548`): a query
+    * event's statement decodes via the session's character_set_client
+    * BEFORE classification/rewrite — a latin1 DDL with `café` in a
+    * DEFAULT literal must land in the target as UTF-8. Driver-side
+    * (control path, one call per DDL).
+    */
+  def ddlToUtf8(raw: Array[Byte], characterSetClient: String): String =
+    javaCharsetOf(characterSetClient) match {
+      case Some(jc) => new String(raw, java.nio.charset.Charset.forName(jc))
+      case None     => new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
   /** C10 — MySQL 8.0 → 5.7 collation downgrade in DDL text (reference
     * `base/utils.go:181-201`): pure string rewrite.
     */

@@ -76,6 +76,98 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(out.contains("'about db1.t stuff'"))
   }
 
+  // ---- loadMapping statement-kind goldens (`binlog_reader.go:896-945`):
+  // the reference maps idents across 13 statement kinds via the TiDB AST;
+  // these pin the same behaviors through the tokenizing rewriter. GRANT/
+  // REVOKE are a documented subset (ExpandSyntaxSupport-gated in the
+  // reference, default off — always skipped here).
+
+  private val rs = Map("db1" -> "db1_r")
+  private val rt = Map(
+    ("db1", "tb1") -> ("db1_r", "tb1_r"),
+    ("db1", "tb2") -> ("db1_r", "tb2_r"))
+
+  test("golden: multi-table DROP TABLE renames every listed table") {
+    assert(DdlRewriter.rewrite("DROP TABLE db1.tb1, db1.tb2, other.t", rs, rt) ==
+      "DROP TABLE `db1_r`.`tb1_r`, `db1_r`.`tb2_r`, `other`.`t`")
+    // bare names resolve against the event's current schema, and the
+    // mapped form comes back qualified (reference renameAstTableFn)
+    assert(DdlRewriter.rewrite("DROP TABLE IF EXISTS tb1, tb2", rs, rt,
+      defaultSchema = "db1") ==
+      "DROP TABLE IF EXISTS `db1_r`.`tb1_r`, `db1_r`.`tb2_r`")
+  }
+
+  test("golden: multi-pair RENAME TABLE maps both sides of every pair") {
+    assert(DdlRewriter.rewrite(
+      "RENAME TABLE db1.tb1 TO db1.tb2, other.a TO other.b", rs, rt) ==
+      "RENAME TABLE `db1_r`.`tb1_r` TO `db1_r`.`tb2_r`, `other`.`a` TO `other`.`b`")
+    assert(DdlRewriter.rewrite("RENAME TABLE tb1 TO archive", rs, rt,
+      defaultSchema = "db1") ==
+      "RENAME TABLE `db1_r`.`tb1_r` TO `db1_r`.`archive`")
+  }
+
+  test("golden: TRUNCATE / CREATE TABLE (incl. LIKE) / bare table resolution") {
+    assert(DdlRewriter.rewrite("TRUNCATE TABLE tb1", rs, rt, "db1") ==
+      "TRUNCATE TABLE `db1_r`.`tb1_r`")
+    assert(DdlRewriter.rewrite("CREATE TABLE tb2 (id INT)", rs, rt, "db1") ==
+      "CREATE TABLE `db1_r`.`tb2_r` (id INT)")
+    // CreateTableStmt.ReferTable (CREATE TABLE ... LIKE) maps too
+    assert(DdlRewriter.rewrite("CREATE TABLE copy1 LIKE tb1", rs, rt, "db1") ==
+      "CREATE TABLE `db1_r`.`copy1` LIKE `db1_r`.`tb1_r`")
+  }
+
+  test("golden: ALTER TABLE RENAME TO maps the target; RENAME COLUMN does not") {
+    assert(DdlRewriter.rewrite("ALTER TABLE tb1 RENAME TO tb2", rs, rt, "db1") ==
+      "ALTER TABLE `db1_r`.`tb1_r` RENAME TO `db1_r`.`tb2_r`")
+    assert(DdlRewriter.rewrite("ALTER TABLE db1.tb1 RENAME AS db1.tb2", rs, rt) ==
+      "ALTER TABLE `db1_r`.`tb1_r` RENAME AS `db1_r`.`tb2_r`")
+    // RENAME COLUMN/INDEX operands are not tables (reference renames
+    // only spec.NewTable)
+    assert(DdlRewriter.rewrite("ALTER TABLE db1.tb1 RENAME COLUMN a TO b", rs, rt) ==
+      "ALTER TABLE `db1_r`.`tb1_r` RENAME COLUMN a TO b")
+    assert(DdlRewriter.rewrite("ALTER TABLE db1.tb1 RENAME INDEX i1 TO i2", rs, rt) ==
+      "ALTER TABLE `db1_r`.`tb1_r` RENAME INDEX i1 TO i2")
+  }
+
+  test("golden: CREATE/DROP INDEX map the ON table, never the index ident") {
+    assert(DdlRewriter.rewrite("CREATE UNIQUE INDEX tb1 ON db1.tb1 (c)", rs, rt) ==
+      "CREATE UNIQUE INDEX tb1 ON `db1_r`.`tb1_r` (c)")
+    assert(DdlRewriter.rewrite("DROP INDEX idx1 ON tb1", rs, rt, "db1") ==
+      "DROP INDEX idx1 ON `db1_r`.`tb1_r`")
+    assert(classify("CREATE FULLTEXT INDEX ft ON t(c)") == CreateIndex)
+  }
+
+  test("golden: schema statements rename the schema ident") {
+    assert(DdlRewriter.rewrite("CREATE DATABASE db1", rs, rt) ==
+      "CREATE DATABASE `db1_r`")
+    assert(DdlRewriter.rewrite("DROP DATABASE IF EXISTS db1", rs, rt) ==
+      "DROP DATABASE IF EXISTS `db1_r`")
+    assert(DdlRewriter.rewrite(
+      "ALTER DATABASE db1 DEFAULT CHARACTER SET utf8mb4", rs, rt) ==
+      "ALTER DATABASE `db1_r` DEFAULT CHARACTER SET utf8mb4")
+    assert(classify("ALTER SCHEMA db1 DEFAULT CHARACTER SET utf8") == AlterSchema)
+    // unmapped schema stays byte-identical
+    assert(DdlRewriter.rewrite("CREATE DATABASE other", rs, rt) ==
+      "CREATE DATABASE other")
+  }
+
+  test("golden: FLUSH TABLES list maps; global FLUSH forms stay skipped") {
+    assert(classify("FLUSH TABLES db1.tb1, tb2") == FlushTables)
+    assert(classify("FLUSH TABLES") == SkippedStmt)
+    assert(classify("FLUSH TABLES WITH READ LOCK") == SkippedStmt)
+    assert(classify("FLUSH LOGS") == SkippedStmt)
+    assert(DdlRewriter.rewrite("FLUSH TABLES db1.tb1, tb2 WITH READ LOCK", rs, rt,
+      defaultSchema = "db1") ==
+      "FLUSH TABLES `db1_r`.`tb1_r`, `db1_r`.`tb2_r` WITH READ LOCK")
+  }
+
+  test("golden: five ALTER gates classify independently") {
+    assert(alterKind("ALTER TABLE t MODIFY c BIGINT") == Some("ModifyColumn"))
+    assert(alterKind("ALTER TABLE t CHANGE c d INT") == Some("ChangeColumn"))
+    assert(alterKind("ALTER TABLE t ALTER COLUMN c SET DEFAULT 1") == Some("AlterColumn"))
+    assert(alterKind("ALTER TABLE t RENAME COLUMN a TO b") == Some("Rename"))
+  }
+
   test("CREATE TABLE column-map pruning keeps mapped cols + constraints") {
     // reference `base/utils.go:737-750`
     val sql = "CREATE TABLE t (id INT, name VARCHAR(10), extra DECIMAL(5,2), PRIMARY KEY (id))"

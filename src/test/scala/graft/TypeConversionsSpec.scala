@@ -61,6 +61,47 @@ class TypeConversionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("C9: table-metadata-driven stage decodes each column by its charset") {
+    // reference ConvertArg applies the per-column charset map from table
+    // metadata (`mysqlconfig/types.go:93-112`); matrix over 4 charsets +
+    // passthrough kinds in ONE projection
+    val latin1 = "café €uro".getBytes("windows-1252")
+    val gbk = "你好世界".getBytes("GBK")
+    val utf16 = "Straße".getBytes("UTF-16LE")
+    val utf8 = "plain ütf8".getBytes("UTF-8")
+    val blob = Array[Byte](0, 1, 2, -1)
+    val df = Seq((1L, latin1, gbk, utf16, utf8, blob))
+      .toDF("id", "c_latin1", "c_gbk", "c_utf16le", "c_utf8", "c_blob")
+    val out = TypeConversions.transcodeRow(df, Map(
+      "c_latin1" -> "latin1", "c_gbk" -> "gbk", "c_utf16le" -> "utf16le",
+      "c_utf8" -> "utf8mb4", "c_blob" -> "binary")).head()
+    assert(out.getAs[String]("c_latin1") == "café €uro")
+    assert(out.getAs[String]("c_gbk") == "你好世界")
+    assert(out.getAs[String]("c_utf16le") == "Straße")
+    assert(out.getAs[String]("c_utf8") == "plain ütf8")
+    // unknown charset: binary passthrough, byte-identical (reference Nop)
+    assert(out.getAs[Array[Byte]]("c_blob").toSeq == blob.toSeq)
+  }
+
+  test("C9: MySQL latin1 is cp1252 — the 0x80 Euro sign survives") {
+    // decoding as ISO-8859-1 would map 0x80 to a C1 control character
+    assert(TypeConversions.ddlToUtf8(Array(0x80.toByte), "latin1") == "€")
+  }
+
+  test("C9: DDL text decodes via character_set_client before rewrite") {
+    // reference transcodes the query event before resolveQuery
+    // (`binlog_reader.go:543-548`)
+    val ddl = "CREATE TABLE t (c VARCHAR(10) DEFAULT 'café €')"
+    val sql = TypeConversions.ddlToUtf8(ddl.getBytes("windows-1252"), "latin1")
+    assert(sql == ddl)
+    assert(graft.ddl.DdlRewriter.classify(sql) == graft.ddl.DdlRewriter.CreateTable)
+    assert(TypeConversions.ddlToUtf8("DROP TABLE t".getBytes("UTF-16LE"), "utf16le")
+      == "DROP TABLE t")
+    // utf8/utf8mb4 skip the decode stage (reference IsUTF8OrMB4)
+    assert(TypeConversions.ddlToUtf8("DROP TABLE ü".getBytes("UTF-8"), "utf8mb4")
+      == "DROP TABLE ü")
+  }
+
   test("C9: latin1 bytes transcode to UTF-8 strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
