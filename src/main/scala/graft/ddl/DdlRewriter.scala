@@ -300,6 +300,41 @@ object DdlRewriter {
     out.result()
   }
 
+  /** resolveQuery's multi-table DROP filtering (reference
+    * `binlog_reader.go:1123-1150`, goldens `binlog_reader_test.go:304`):
+    * a `DROP TABLE a.b, skip.c, d` replicating to a target that routes
+    * away `skip.*` must apply as `DROP TABLE a.b, d` — dropping a table
+    * the route never created would fail the applier. Returns the
+    * filtered statement text plus the kept (schema, table) pairs; bare
+    * names resolve against `defaultSchema`. When EVERY table is skipped
+    * the reference keeps the statement's first table but marks the whole
+    * statement skipped — mirrored here by an empty kept list (callers
+    * drop the statement). Kept items keep their original spelling; only
+    * membership changes (the reference re-renders via AST restore, a
+    * formatting difference with identical semantics).
+    */
+  def filterDropTables(sql: String, defaultSchema: String,
+                       skip: (String, String) => Boolean): (String, Seq[(String, String)]) = {
+    if (classify(sql) != DropTable) return (sql, Nil)
+    val re = "(?is)^(\\s*drop\\s+(?:temporary\\s+)?table\\s+(?:if\\s+exists\\s+)?)(.*?)(\\s*(?:restrict|cascade))?\\s*$".r
+    re.findFirstMatchIn(sql) match {
+      case None => (sql, Nil)
+      case Some(m) =>
+        val tail = Option(m.group(3)).getOrElse("")
+        val items = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty)
+        def pairOf(item: String): (String, String) = {
+          val name = item.split("\\s+")(0)
+          name.split("\\.") match {
+            case Array(s, t) => (ident(s), ident(t))
+            case _           => (defaultSchema, ident(name))
+          }
+        }
+        val kept = items.filterNot { it => val (s, t) = pairOf(it); skip(s, t) }
+        if (kept.isEmpty) (m.group(1) + items.headOption.getOrElse("") + tail, Nil)
+        else (m.group(1) + kept.mkString(", ") + tail, kept.map(pairOf))
+    }
+  }
+
   /** Routing decision for a DDL statement against the replication spec
     * (reference skipQueryDDL, `binlog_reader.go:1200-1226`).
     */

@@ -249,12 +249,21 @@ object SimilaritySearch {
     val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
 
     /** (cosine, idx) structs against every centroid — argmax/top-probe
-      * both read off this array.
+      * both read off this array. The whole centroid matrix rides as ONE
+      * array<array<double>> literal (a single constant object in
+      * codegen) and the per-centroid loop is a higher-order transform —
+      * at nLists=1024 the plan stays flat instead of inlining
+      * nLists × dim scalar literals into generated Java.
       */
-    def scoredLists(vec: Column, cs: Array[Array[Double]]): Column =
-      sort_array(array(cs.indices.map(i =>
-        struct(cosineNative(vec, array(cs(i).toIndexedSeq.map(lit): _*)).as("cos"),
-          lit(i).as("cid"))): _*), asc = false)
+    def scoredLists(vec: Column, cs: Array[Array[Double]]): Column = {
+      val matrix = typedlit(cs.map(_.toIndexedSeq).toIndexedSeq)
+      // field aliases inside a HOF lambda don't survive analysis — name
+      // the struct positionally via the cast instead
+      sort_array(
+        transform(matrix, (c, i) => struct(cosineNative(vec, c), i)
+          .cast("struct<cos:double,cid:int>")),
+        asc = false)
+    }
 
     def nearest(vec: Column, cs: Array[Array[Double]]): Column =
       scoredLists(vec, cs).getItem(0).getField("cid")

@@ -168,6 +168,26 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(alterKind("ALTER TABLE t RENAME COLUMN a TO b") == Some("Rename"))
   }
 
+  test("golden: multi-table DROP filters routed-away tables (resolveQuery)") {
+    // reference goldens `binlog_reader_test.go:304` drop-table-1/-2 with
+    // skipFunc = schema=="skip" || table=="skip"
+    val skip = (s: String, t: String) => s == "skip" || t == "skip"
+    val (sql1, kept1) = DdlRewriter.filterDropTables("drop table a.b, skip.c, d", "", skip)
+    assert(sql1 == "drop table a.b, d")
+    assert(kept1 == Seq(("a", "b"), ("", "d")))
+    // every table skipped: first table survives textually, kept list is
+    // empty — the caller drops the whole statement
+    val (sql2, kept2) =
+      DdlRewriter.filterDropTables("drop table if exists skip.b, skip.c", "", skip)
+    assert(sql2 == "drop table if exists skip.b")
+    assert(kept2.isEmpty)
+    // bare names resolve against the current schema before the skip test
+    val (sql3, kept3) = DdlRewriter.filterDropTables("DROP TABLE b, c CASCADE", "skip", skip)
+    assert(kept3.isEmpty && sql3 == "DROP TABLE b CASCADE")
+    val (sql4, kept4) = DdlRewriter.filterDropTables("DROP TABLE `skip`.`x`, ok.y", "db", skip)
+    assert(sql4 == "DROP TABLE ok.y" && kept4 == Seq(("ok", "y")))
+  }
+
   test("CREATE TABLE column-map pruning keeps mapped cols + constraints") {
     // reference `base/utils.go:737-750`
     val sql = "CREATE TABLE t (id INT, name VARCHAR(10), extra DECIMAL(5,2), PRIMARY KEY (id))"
