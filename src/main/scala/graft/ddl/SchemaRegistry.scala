@@ -71,6 +71,17 @@ class SchemaRegistry {
   def drop(db: String, table: String): Unit = schemas.remove((db, table))
   def tables: Seq[(String, String)] = schemas.keys.toSeq
 
+  /** C9 feed — the per-column charset map for a tracked table, read off
+    * the StructField metadata captured from DDL text. This is what the
+    * reference reads from information_schema into `Column.Charset`
+    * (`mysqlconfig/types.go`); hand it straight to
+    * [[graft.functions.TypeConversions.transcodeRow]].
+    */
+  def columnCharsets(db: String, table: String): Map[String, String] =
+    get(db, table).map(_.fields.collect {
+      case f if f.metadata.contains("charset") => f.name -> f.metadata.getString("charset")
+    }.toMap).getOrElse(Map.empty)
+
   /** Apply a DDL statement to the registry. Returns true when the
     * change affects a tracked (or new) table schema — the signal to
     * re-plan dependent queries (reference invalidates prepared
@@ -111,13 +122,36 @@ class SchemaRegistry {
     m.map(mm => (Option(mm.group(1)).getOrElse(db), mm.group(2)))
   }
 
-  /** CREATE TABLE column defs → StructType via [[TypeMapper]]. */
+  /** `CHARACTER SET x` / `CHARSET x` out of one column's type text. */
+  private def charsetOf(typeText: String): Option[String] =
+    "(?i)(?:character\\s+set|charset)\\s*=?\\s*`?([A-Za-z0-9_]+)`?".r
+      .findFirstMatchIn(typeText).map(_.group(1).toLowerCase)
+
+  /** Attach the effective charset as StructField metadata on text
+    * columns (reference fills `Column.Charset` from information_schema
+    * the same way: column charset, else the table default).
+    */
+  private def withCharset(f: StructField, typeText: String,
+                          tableDefault: Option[String]): StructField =
+    if (f.dataType != StringType) f
+    else charsetOf(typeText).orElse(tableDefault) match {
+      case Some(cs) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("charset", cs).build())
+      case None => f
+    }
+
+  /** CREATE TABLE column defs → StructType via [[TypeMapper]], with
+    * per-column charsets (column-level, else the table's DEFAULT
+    * CHARSET) captured as field metadata for the C9 stage.
+    */
   def parseCreateTable(db: String, sql: String): Option[((String, String), StructType)] = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     if (open < 0 || close <= open) return None
     tableOf(db, sql).map { case (d, t) =>
       val body = sql.substring(open + 1, close)
+      val tableDefault = charsetOf(sql.substring(close + 1))
       val fields = splitTopLevel(body).flatMap { part =>
         val tr = part.trim
         val tok = tr.split("[\\s(]")(0).replace("`", "")
@@ -129,7 +163,9 @@ class SchemaRegistry {
           // the full type text (inner commas like DECIMAL(10,2) intact)
           val typeText = tr.substring(tr.indexOf(tok) + tok.length).trim
           val nullable = !typeText.toLowerCase.contains("not null")
-          Some(StructField(tok, TypeMapper.mysqlToSpark(typeText), nullable))
+          Some(withCharset(
+            StructField(tok, TypeMapper.mysqlToSpark(typeText), nullable),
+            typeText, tableDefault))
         }
       }
       ((d, t), StructType(fields))
@@ -143,7 +179,9 @@ class SchemaRegistry {
     val modCol = "(?i)(?:modify|change)\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?\\s+(?:`?([A-Za-z0-9_$]+)`?\\s+)?([^,]+)".r
     if (lower.contains("add")) {
       addCol.findFirstMatchIn(sql).map { m =>
-        StructType(cur.fields :+ StructField(m.group(1), TypeMapper.mysqlToSpark(m.group(2)), nullable = true))
+        StructType(cur.fields :+ withCharset(
+          StructField(m.group(1), TypeMapper.mysqlToSpark(m.group(2)), nullable = true),
+          m.group(2), None))
       }
     } else if (lower.contains("drop")) {
       dropCol.findFirstMatchIn(sql).map { m =>
@@ -155,7 +193,9 @@ class SchemaRegistry {
         val newName = Option(m.group(2)).getOrElse(oldName)
         val newType = TypeMapper.mysqlToSpark(m.group(3))
         StructType(cur.fields.map(f =>
-          if (f.name.equalsIgnoreCase(oldName)) StructField(newName, newType, f.nullable) else f))
+          if (f.name.equalsIgnoreCase(oldName))
+            withCharset(StructField(newName, newType, f.nullable), m.group(3), None)
+          else f))
       }
     } else None
   }

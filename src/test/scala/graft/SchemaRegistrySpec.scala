@@ -7,6 +7,27 @@ import graft.ddl.{SchemaRegistry, TypeMapper}
 /** §1.2 type matrix + K5 dynamic-schema tracking. */
 class SchemaRegistrySpec extends AnyFunSuite {
 
+  test("C9 feed: per-column charsets from DDL text, table default fallback") {
+    val reg = new SchemaRegistry
+    reg.applyDdl("db1",
+      """CREATE TABLE t (
+        |  id INT PRIMARY KEY,
+        |  name VARCHAR(20) CHARACTER SET gbk NOT NULL,
+        |  note TEXT CHARSET latin2,
+        |  plain VARCHAR(10),
+        |  payload BLOB
+        |) ENGINE=InnoDB DEFAULT CHARSET=latin1""".stripMargin)
+    // column-level wins; unlabeled text columns inherit the table
+    // default; non-text columns carry no charset
+    assert(reg.columnCharsets("db1", "t") ==
+      Map("name" -> "gbk", "note" -> "latin2", "plain" -> "latin1"))
+    // ALTER keeps the feed current: added/modified columns capture theirs
+    reg.applyDdl("db1", "ALTER TABLE t ADD COLUMN extra VARCHAR(5) CHARACTER SET utf16le")
+    assert(reg.columnCharsets("db1", "t")("extra") == "utf16le")
+    reg.applyDdl("db1", "ALTER TABLE t MODIFY COLUMN plain VARCHAR(10) CHARSET utf8mb4")
+    assert(reg.columnCharsets("db1", "t")("plain") == "utf8mb4")
+  }
+
   test("MySQL type matrix maps the 25 column types") {
     import TypeMapper.mysqlToSpark
     assert(mysqlToSpark("TINYINT(1)") == BooleanType)

@@ -83,6 +83,16 @@ class TypeConversionsSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]]("c_blob").toSeq == blob.toSeq)
   }
 
+  test("C9: registry-captured charsets drive the decode stage end to end") {
+    // DDL text -> SchemaRegistry field metadata -> transcodeRow: the
+    // full table-metadata path, no hand-written charset map
+    val reg = new graft.ddl.SchemaRegistry
+    reg.applyDdl("db1", "CREATE TABLE t (k INT, txt VARCHAR(20)) DEFAULT CHARSET=gbk")
+    val df = Seq((1L, "你好世界".getBytes("GBK"))).toDF("k", "txt")
+    val out = TypeConversions.transcodeRow(df, reg.columnCharsets("db1", "t")).head()
+    assert(out.getAs[String]("txt") == "你好世界")
+  }
+
   test("C9: MySQL latin1 is cp1252 — the 0x80 Euro sign survives") {
     // decoding as ISO-8859-1 would map 0x80 to a C1 control character
     assert(TypeConversions.ddlToUtf8(Array(0x80.toByte), "latin1") == "€")
