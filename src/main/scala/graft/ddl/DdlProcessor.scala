@@ -1,0 +1,64 @@
+package graft.ddl
+
+import graft.functions.TypeConversions
+import graft.model.ReplicationSpec
+
+/** The canonical DDL control-path for a K5 barrier handler — the same
+  * order the reference runs its query-event path (SURVEY.md §2.3):
+  * charset decode (`binlog_reader.go:543-548`) → always-skip regexes →
+  * routing gate (`skipQueryDDL`, `:1200-1226`) → multi-table DROP list
+  * filtering (`resolveQuery`, `:1123-1150`) → schema-registry replay →
+  * identifier rename + collation downgrade (`loadMapping`, `:847-957`).
+  *
+  * Composes the individually-tested pieces so a
+  * [[graft.streaming.CdcPipeline]] `ddlHandler` is one call. Driver-side
+  * control path: one statement at a time, throughput irrelevant.
+  */
+object DdlProcessor {
+
+  /** Outcome for one DDL statement at a barrier.
+    *
+    * @param sql           statement to forward to the target (renamed,
+    *                      collation-downgraded); None = skip entirely
+    * @param kind          classification (feeds F4/F5 gates and metrics)
+    * @param schemaChanged the registry mutated — the replan signal
+    *                      (restart dependent streaming queries with the
+    *                      new schema)
+    */
+  case class Outcome(sql: Option[String], kind: DdlRewriter.DdlKind, schemaChanged: Boolean)
+
+  /** Process one decoded DDL statement. For a statement arriving as raw
+    * bytes from a non-UTF-8 session, decode first with
+    * [[TypeConversions.ddlToUtf8]] (character_set_client).
+    */
+  def process(db: String, table: String, sql: String,
+              spec: ReplicationSpec,
+              registry: SchemaRegistry,
+              renameSchema: Map[String, String] = Map.empty,
+              renameTable: Map[(String, String), (String, String)] = Map.empty): Outcome = {
+    import DdlRewriter._
+    val kind = classify(sql)
+    if (kind == SkippedStmt) return Outcome(None, kind, schemaChanged = false)
+
+    val routedSql = kind match {
+      case DropTable =>
+        // per-table routing (resolveQuery): drop the tables the route
+        // skips from the list; all-skipped → skip the whole statement
+        val skipFn = (s: String, t: String) => !shouldApply(sql, s, t, spec)
+        val (filtered, kept) = filterDropTables(sql, db, skipFn)
+        if (kept.isEmpty) None else Some(filtered)
+      case _ =>
+        if (shouldApply(sql, db, table, spec)) Some(sql) else None
+    }
+    routedSql match {
+      case None => Outcome(None, kind, schemaChanged = false)
+      case Some(s) =>
+        // registry replays SOURCE-side idents (before rename: it mirrors
+        // the source's information_schema, reference sqle inspector)
+        val changed = registry.applyDdl(db, s)
+        val out = TypeConversions.downgradeCollations(
+          rewrite(s, renameSchema, renameTable, defaultSchema = db))
+        Outcome(Some(out), kind, changed)
+    }
+  }
+}

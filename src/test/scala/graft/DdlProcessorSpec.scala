@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ddl.{DdlProcessor, DdlRewriter, SchemaRegistry}
+import graft.model._
+
+/** The composed K5 DDL control-path: decode → skip → route → drop-list
+  * filter → registry → rename/downgrade, in the reference's order.
+  */
+class DdlProcessorSpec extends AnyFunSuite {
+
+  private val spec = ReplicationSpec(
+    doDb = Seq(SchemaSpec("src")),
+    ignoreDb = Seq(IgnoreSpec("src", Seq("secret"))))
+  private val renames = Map("src" -> "dst")
+
+  test("routed CREATE TABLE: registry updated, idents renamed, collation downgraded") {
+    val reg = new SchemaRegistry
+    val out = DdlProcessor.process("src", "t1",
+      "CREATE TABLE src.t1 (id INT, s VARCHAR(5) COLLATE utf8mb4_0900_ai_ci) DEFAULT CHARSET=latin1",
+      spec, reg, renameSchema = renames)
+    assert(out.kind == DdlRewriter.CreateTable && out.schemaChanged)
+    assert(out.sql.get.contains("`dst`.`t1`"))
+    assert(out.sql.get.contains("utf8mb4_general_ci"))
+    // registry tracked the SOURCE-side table with its charset feed
+    assert(reg.get("src", "t1").isDefined)
+    assert(reg.columnCharsets("src", "t1")("s") == "latin1")
+  }
+
+  test("unrouted schema and always-skip statements are dropped") {
+    val reg = new SchemaRegistry
+    assert(DdlProcessor.process("other", "t",
+      "CREATE TABLE other.t (id INT)", spec, reg).sql.isEmpty)
+    assert(DdlProcessor.process("src", "secret",
+      "CREATE TABLE src.secret (id INT)", spec, reg).sql.isEmpty)
+    val trig = DdlProcessor.process("src", "t",
+      "CREATE DEFINER=`u`@`h` TRIGGER trg BEFORE INSERT ON t FOR EACH ROW BEGIN END",
+      spec, reg)
+    assert(trig.sql.isEmpty && trig.kind == DdlRewriter.SkippedStmt)
+    assert(reg.tables.isEmpty)
+  }
+
+  test("multi-table DROP filters skipped tables; all-skipped drops the statement") {
+    val reg = new SchemaRegistry
+    reg.applyDdl("src", "CREATE TABLE src.a (id INT)")
+    reg.applyDdl("src", "CREATE TABLE src.secret (id INT)")
+    val out = DdlProcessor.process("src", "a",
+      "DROP TABLE src.a, src.secret", spec, reg, renameSchema = renames)
+    // the skipped table vanished from the statement BEFORE renaming
+    assert(out.sql.get == "DROP TABLE `dst`.`a`")
+    // registry dropped only the surviving table (secret stays tracked:
+    // the target never saw it, and the source-side drop of a
+    // route-excluded table is not our state)
+    assert(reg.get("src", "a").isEmpty)
+    val all = DdlProcessor.process("src", "secret",
+      "DROP TABLE src.secret", spec, reg)
+    assert(all.sql.isEmpty && !all.schemaChanged)
+  }
+
+  test("bare idents resolve against the event's schema before rename") {
+    val reg = new SchemaRegistry
+    val out = DdlProcessor.process("src", "t2",
+      "TRUNCATE TABLE t2", spec, reg, renameSchema = renames)
+    assert(out.sql.get == "TRUNCATE TABLE `dst`.`t2`")
+    assert(!out.schemaChanged) // truncate: rows change, schema does not
+  }
+}
