@@ -932,6 +932,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    "sample_token_budget" -> ((s, dir) => {
+      // token-budget mixing (the trainer contract: N tokens per source,
+      // not per-doc fractions); deterministic prefix selection, scalable
+      // two-tier window — see Sampling.tokenBudgetSample
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetSample(docs, "doc_id", "source", "n_tokens",
+          Map("src0" -> 800L, "src1" -> 1200L, "src2" -> 500L, "src3" -> 100000L))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_shuffle" -> ((s, dir) => {
       // the output IS the assertion: rows in deterministic-shuffle order
       Sampling.deterministicShuffle(
@@ -1877,6 +1889,23 @@ object SparkEntry {
     "sample_shuffle" ->
       """SELECT doc_id FROM documents
         |ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000, doc_id""".stripMargin,
+
+    // the naive single-window form of the two-tier Spark plan: keep a
+    // doc iff its cumulative token count in md5-priority order fits the
+    // source's budget (identical result by construction)
+    "sample_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT)
+        |  END AS n_tokens,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS prio
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id) AS cum FROM t)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
+        |  WHEN 'src2' THEN 500 ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "contamination" ->
       """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,

@@ -86,4 +86,63 @@ object Sampling {
     */
   def deterministicShuffle(df: DataFrame, keyCol: String, salt: String = ""): DataFrame =
     df.orderBy(hashBucket(col(keyCol), salt), col(keyCol))
+
+  /** Token-budget mixture — the trainer's actual mixing contract ("2B
+    * tokens of web, 500M of code"), not per-doc fractions: per source,
+    * keep the deterministically-first docs whose RUNNING token total
+    * stays within the source's budget. Priority is the same salted md5
+    * as the rest of this module, so the selection reproduces across
+    * runs and engines; semantics are the prefix rule — keep a doc iff
+    * the cumulative token count through it, in priority order, is
+    * <= the budget (cumulative is monotone, so after the first overflow
+    * nothing later qualifies). Sources absent from `budgets` are
+    * dropped — the map IS the mixture spec.
+    *
+    * Scale shape: the naive form is one cumulative-sum window per
+    * source — a single task swallowing a whole source at 100 TB. Here
+    * the work is two-tier over the SAME ordering (the coarse bucket is
+    * the top 12 bits of the priority hash, so buckets are contiguous
+    * ranges of the priority order):
+    *   1. per-(source, bucket) token totals (≤ |budgets| × 4096 rows)
+    *      prefix-sum in a trivial window to locate each source's
+    *      boundary bucket + remaining budget, broadcast back;
+    *   2. the per-doc cumulative window runs partitioned by
+    *      (source, bucket) — thousands of small partitions, never one
+    *      task per source. Buckets below the boundary keep everything,
+    *      above it drop everything; only the boundary bucket (~1/4096
+    *      of a source) consults its window result.
+    * The result is identical to the naive global window.
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, sourceCol: String,
+                        tokenCol: String, budgets: Map[String, Long],
+                        salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      s"budgets need nonnegative token counts: $budgets")
+    import org.apache.spark.sql.expressions.Window
+    val prio = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long") // 60-bit priority
+    val budgetOf = element_at(typedlit(budgets), col(sourceCol))
+    val base = df.filter(budgetOf.isNotNull)
+      .withColumn("_prio", prio)
+      .withColumn("_bkt", shiftright(col("_prio"), 48)) // 4096 priority ranges
+    // tier 1: boundary bucket + remaining budget per source
+    val wSrc = Window.partitionBy(col("_src")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = base.groupBy(col(sourceCol).as("_src"), col("_bkt").as("_b"))
+      .agg(sum(col(tokenCol).cast("long")).as("_t"))
+      .withColumn("_before", coalesce(sum(col("_t")).over(wSrc), lit(0L)))
+      .withColumn("_budget", element_at(typedlit(budgets), col("_src")))
+      .filter(col("_before") + col("_t") > col("_budget"))
+      .groupBy(col("_src"))
+      .agg(min(col("_b")).as("_bound"),
+        min_by(col("_budget") - col("_before"), col("_b")).as("_remaining"))
+    // tier 2: exact prefix inside (source, bucket) partitions
+    val wDoc = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_prio"), col(keyCol))
+    base.join(broadcast(bounds), col(sourceCol) === col("_src"), "left")
+      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(wDoc))
+      .filter(col("_bound").isNull || col("_bkt") < col("_bound") ||
+        (col("_bkt") === col("_bound") && col("_cum") <= col("_remaining")))
+      .drop("_prio", "_bkt", "_src", "_bound", "_remaining", "_cum")
+  }
 }

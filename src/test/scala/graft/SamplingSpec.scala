@@ -26,6 +26,44 @@ class SamplingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty)
   }
 
+  test("tokenBudgetSample: prefix-by-priority selection equals the naive rule") {
+    // 3 sources × varying token sizes; budgets force partial selection
+    val docs = (0L until 3000L).map(i =>
+        (i, s"s${i % 3}", (i % 17 + 1).toInt))
+      .toDF("id", "src", "toks")
+    val budgets = Map("s0" -> 1000L, "s1" -> 3000L, "s2" -> 10000000L)
+    val got = Sampling.tokenBudgetSample(docs, "id", "src", "toks", budgets)
+      .select("id", "src", "toks").as[(Long, String, Int)].collect().toSet
+    // naive reference: global per-source cumulative sum in md5 order
+    def prio(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val expected = (0L until 3000L).map(i => (i, s"s${i % 3}", (i % 17 + 1).toInt))
+      .groupBy(_._2).flatMap { case (s, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (prio(r._1), r._1)).takeWhile { r =>
+          cum += r._3; cum <= budgets(s)
+        }
+      }.toSet
+    assert(got == expected)
+    // per-source kept totals respect the budgets
+    val totals = got.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    assert(totals.forall { case (s, t) => t <= budgets(s) })
+    // the unconstrained source keeps every doc
+    assert(got.count(_._2 == "s2") == 1000)
+  }
+
+  test("tokenBudgetSample: unlisted sources drop; result is deterministic") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}", 5)).toDF("id", "src", "toks")
+    val a = Sampling.tokenBudgetSample(docs, "id", "src", "toks", Map("s0" -> 120L))
+    assert(a.select("src").distinct().as[String].collect().toSeq == Seq("s0"))
+    // 120 tokens / 5 per doc = exactly 24 docs
+    assert(a.count() == 24)
+    val b = Sampling.tokenBudgetSample(docs, "id", "src", "toks", Map("s0" -> 120L))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("salt decorrelates assignments") {
     val a = Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
     val b = Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "v2")
