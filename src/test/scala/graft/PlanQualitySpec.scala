@@ -47,6 +47,16 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus must reach the candidate join without a shuffle:\n$p")
   }
 
+  test("token-budget sampling never windows a whole source through one task") {
+    val df = SparkEntry.queries("sample_token_budget")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the per-doc cumulative window must partition by (source, bucket) —
+    // a naive per-source window would funnel each source into one task
+    val docWindows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(docWindows.exists(l => l.contains("_bkt")),
+      s"no (source,bucket)-partitioned window found:\n$p")
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // the shingling scan stage of ngram dedup must be codegen'd (the
     // native graft_shingles expression, not an interpreted HOF chain)
