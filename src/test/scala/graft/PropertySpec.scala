@@ -89,9 +89,25 @@ class PropertySpec extends AnyFunSuite {
         "create   TABLE src.t2 (s VARCHAR(10) COLLATE utf8mb4_0900_ai_ci)",
         "/* lead */ RENAME TABLE a TO b",
         "'unterminated string",
-        "`unterminated ident"))
+        "`unterminated ident",
+        // statement-shaped bare-name branches (round-5 rewriter surface)
+        "DROP TABLE a, , b CASCADE", "DROP TABLE",
+        "RENAME TABLE a TO", "RENAME TABLE TO b, x TO y TO z",
+        "CREATE TABLE t LIKE", "ALTER TABLE t RENAME",
+        "ALTER TABLE t RENAME TO", "ALTER TABLE t RENAME COLUMN a TO b",
+        "CREATE UNIQUE INDEX i ON", "DROP INDEX ON t",
+        "FLUSH TABLES , t2 WITH READ LOCK", "FLUSH TABLES t1,",
+        "CREATE DATABASE IF NOT EXISTS", "ALTER SCHEMA `x"))
+    // statement-prefixed garbage drives the per-kind regex paths
+    val prefixed = for {
+      p <- Gen.oneOf("DROP TABLE ", "RENAME TABLE ", "TRUNCATE ", "CREATE TABLE ",
+        "ALTER TABLE ", "CREATE INDEX i ON ", "DROP INDEX i ON ", "FLUSH TABLES ",
+        "CREATE DATABASE ", "ALTER DATABASE ")
+      tail <- Gen.asciiPrintableStr
+    } yield p + tail
+    val anySql = Gen.oneOf(sqlish, prefixed)
     holds("classify total") {
-      Prop.forAll(sqlish) { s => DdlRewriter.classify(s) != null }
+      Prop.forAll(anySql) { s => DdlRewriter.classify(s) != null }
     }
     // rewrite canonicalizes qualified names to backticked form even with
     // empty maps, so identity is too strong — the contract is: total,
@@ -101,6 +117,19 @@ class PropertySpec extends AnyFunSuite {
       Prop.forAll(sqlish) { s =>
         val once = DdlRewriter.rewrite(s, Map.empty, Map.empty)
         DdlRewriter.rewrite(once, Map.empty, Map.empty) == once
+      }
+    }
+    holds("rewrite with maps + default schema is total on garbage") {
+      Prop.forAll(anySql) { s =>
+        DdlRewriter.rewrite(s, Map("a" -> "b"),
+          Map(("a", "t") -> ("b", "t2")), defaultSchema = "a") != null
+      }
+    }
+    holds("filterDropTables total; kept pairs never include skipped tables") {
+      Prop.forAll(anySql) { s =>
+        val (out, kept) = DdlRewriter.filterDropTables(s, "db",
+          (sch, t) => sch == "skip" || t == "skip")
+        out != null && kept.forall { case (sch, t) => sch != "skip" && t != "skip" }
       }
     }
     holds("unterminated quotes are not repaired") {
