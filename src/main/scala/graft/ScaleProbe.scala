@@ -70,6 +70,14 @@ object ScaleProbe {
         operators.Sampling.sampleMixture(d, "doc_id", "source",
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
       }
+      time("sample_token_budget", k) {
+        // budgets sized to bite (~half of each source at any k)
+        operators.Sampling.tokenBudgetSample(
+          d.select(col("doc_id"), col("source"),
+            operators.text.TextAnalysis.tokenCount(col("text")).as("toks")),
+          "doc_id", "source", "toks",
+          Map("src0" -> 7000L * k, "src1" -> 7000L * k, "src2" -> 7000L * k))
+      }
       time("sample_shuffle", k) {
         operators.Sampling.deterministicShuffle(d.select(col("doc_id")), "doc_id")
       }
@@ -78,6 +86,15 @@ object ScaleProbe {
       }
       time("emb_l2norm", k) {
         e.select(col("vec_id"), graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv"))
+      }
+      time("emb_lsh_pairs", k) {
+        operators.sim.SimilaritySearch.lshPairs(e, "vec_id", "embedding",
+          threshold = 0.4, dim = 64, nBits = 8, tables = 4)
+      }
+      time("sim_lsh_topk", k) {
+        operators.sim.SimilaritySearch.lshTopK(e,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 8, tables = 4)
       }
       time("stats_histogram", k) {
         operators.TableStats.histogram(

@@ -153,9 +153,16 @@ object SimilaritySearch {
       .select(col("id_a"), explode(col("members")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // vectors re-join by id through a SHUFFLE, never a broadcast: the
+    // corpus vector table is the big side by definition (at probe k=50,
+    // ~1.6M×64f, the planner's broadcast attempt OOMed the driver) —
+    // the shuffle_hash hint pins the id-keyed exchange the 100-TB plan
+    // needs, with the small deduped pair set as the hash build side
     pairs
-      .join(vecs.select(col("vid").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(vecs.select(col("vid").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .join(vecs.select(col("vid").as("id_a"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
