@@ -137,11 +137,14 @@ object Dedup {
                          idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5,
                          maxShingleDf: Int = 1000): DataFrame = {
+    // the index is the accumulated corpus — its hash set can never
+    // broadcast at scale; shuffle_hash pins the content_hash-keyed
+    // exchange instead of letting the planner try
     val indexHashes = index
       .select(md5(normText(col(textCol))).as("content_hash")).distinct()
     val exactDrop = batch
       .select(col(idCol), md5(normText(col(textCol))).as("content_hash"))
-      .join(indexHashes, "content_hash")
+      .join(indexHashes.hint("shuffle_hash"), "content_hash")
       .select(col(idCol).as("__drop"))
     val nearDrop = crossJaccardPairs(index, batch, idCol, textCol, n, threshold, maxShingleDf)
       .select(col("batch_id").as("__drop"))

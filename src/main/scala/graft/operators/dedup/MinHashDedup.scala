@@ -157,9 +157,14 @@ object MinHashDedup {
     val pairs = explodePairs(buckets, "members")
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // signatures re-join by id through a SHUFFLE, never a broadcast:
+    // sigs is corpus-sized (k×8B per doc) — the same planner broadcast
+    // attempt that OOMed lshPairs' vector re-join at probe scale applies
+    // here; shuffle_hash pins the id-keyed exchange with the small
+    // deduped pair set as the build side
     val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
+    pairs.join(sa.hint("shuffle_hash"), "id_a").join(sb.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
   }
 
