@@ -81,6 +81,39 @@ object DdlRewriter {
     else Some("Other")
   }
 
+  /** `lower_case_table_names != 0` handling (reference `mayLowerTable`,
+    * `binlog_reader.go:1064-1070`): lowercase every schema/table ident
+    * — backticked, qualified, and the statement-shaped bare positions
+    * (same anchors as the rename pass) — leaving string literals,
+    * keywords, and column idents alone. Compose BEFORE [[rewrite]] so
+    * rename maps are keyed in lowercase, the same order resolveQuery
+    * runs (lower, then loadMapping).
+    */
+  def lowerIdents(sql: String): String = {
+    val segments = tokenize(sql)
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = new StringBuilder
+    segments.foreach {
+      case Code(c) => masked.append(c)
+      case Backtick(b, term) =>
+        masked.append('`').append(b.toLowerCase); if (term) masked.append('`')
+      case Str(q, sIn, term) =>
+        masked.append('\u0001').append(literals.length).append('\u0001')
+        literals += (if (term) s"$q$sIn$q" else s"$q$sIn")
+    }
+    val qualified = "(`?)([A-Za-z0-9_$]+)\\1(\\s*\\.\\s*)(`?)([A-Za-z0-9_$]+)\\4".r
+    val loweredQ = qualified.replaceAllIn(masked.toString(), m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2).toLowerCase + m.group(1) + m.group(3) +
+          m.group(4) + m.group(5).toLowerCase + m.group(4)))
+    val lowered = rewriteBarePositions(loweredQ,
+      raw => if (raw.contains(".")) raw else raw.toLowerCase,
+      s => if (s == s.toLowerCase) None else Some(s.toLowerCase))
+    literals.zipWithIndex.foldLeft(lowered) { case (s, (lit0, i)) =>
+      s.replace(s"\u0001$i\u0001", lit0)
+    }
+  }
+
   /** Identifier-aware schema/table rename in DDL text: rewrites
     * `schema`.`table`, schema.table, and the bare table after the
     * statement verb. Backtick-quoted and unquoted forms are both
@@ -161,7 +194,12 @@ object DdlRewriter {
     // pass 2 — statement-shaped bare-name positions (reference
     // `loadMapping`, `binlog_reader.go:896-945`: renameAstTableFn
     // resolves a bare table against currentSchema before mapping)
-    rewriteBarePositions(q, renameSchema, renameTable, defaultSchema)
+    rewriteBarePositions(q,
+      raw => mapBareTable(raw, renameSchema, renameTable, defaultSchema),
+      s => {
+        val ns = renameSchema.getOrElse(s, s)
+        if (ns == s) None else Some(s"`$ns`")
+      })
   }
 
   /** A bare table name resolved the way the reference's
@@ -194,12 +232,15 @@ object DdlRewriter {
     * (incl. LIKE refer-table), ALTER TABLE (incl. RENAME TO target, but
     * NOT RENAME COLUMN/INDEX operands), CREATE/DROP INDEX (the table
     * after ON — never the index ident), FLUSH TABLES lists, and the
-    * schema ident of CREATE/DROP/ALTER DATABASE.
+    * schema ident of CREATE/DROP/ALTER DATABASE. Generic over the name
+    * transforms so renaming ([[rewriteIdents]]) and case normalization
+    * ([[lowerIdents]]) share one statement-shape engine:
+    * `mapName` maps one (possibly backticked/qualified) table-position
+    * token to its replacement text; `mapSchema` maps a bare schema
+    * ident to Some(replacement) or None to keep the original spelling.
     */
-  private def rewriteBarePositions(sql: String, rs: Map[String, String],
-                                   rt: Map[(String, String), (String, String)],
-                                   ds: String): String = {
-    def mapName(n: String) = mapBareTable(n, rs, rt, ds)
+  private def rewriteBarePositions(sql: String, mapName: String => String,
+                                   mapSchema: String => Option[String]): String = {
     def replOne(m: scala.util.matching.Regex.Match): String =
       java.util.regex.Matcher.quoteReplacement(m.group(1) + mapName(m.group(2)))
     // a comma list of names, each item's FIRST token is the name and any
@@ -254,12 +295,11 @@ object DdlRewriter {
       case CreateSchema | DropSchema | AlterSchema =>
         val re = ("(?is)^(\\s*(?:create|drop|alter)\\s+(?:database|schema)\\s+" +
           "(?:if\\s+(?:not\\s+)?exists\\s+)?)(`?)([A-Za-z0-9_$]+)\\2").r
-        re.replaceAllIn(sql, m => {
-          val s = m.group(3)
-          val ns = rs.getOrElse(s, s)
-          java.util.regex.Matcher.quoteReplacement(
-            if (ns == s) m.matched else m.group(1) + s"`$ns`")
-        })
+        re.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+          mapSchema(m.group(3)) match {
+            case Some(repl) => m.group(1) + repl
+            case None       => m.matched
+          }))
       case _ => sql
     }
   }

@@ -188,6 +188,23 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(sql4 == "DROP TABLE ok.y" && kept4 == Seq(("ok", "y")))
   }
 
+  test("golden: lower_case_table_names normalization (mayLowerTable)") {
+    // reference lowercases schema/table idents when
+    // lower_case_table_names != 0, BEFORE the rename maps apply
+    assert(DdlRewriter.lowerIdents("DROP TABLE Db1.Tb1, `Db2`.`TB2`, Bare") ==
+      "DROP TABLE db1.tb1, `db2`.`tb2`, bare")
+    assert(DdlRewriter.lowerIdents("RENAME TABLE A TO B, C.D TO C.E") ==
+      "RENAME TABLE a TO b, c.d TO c.e")
+    // strings, keywords, and column idents keep their case
+    assert(DdlRewriter.lowerIdents("CREATE TABLE T (MyCol INT) COMMENT 'Keep Case'") ==
+      "CREATE TABLE t (MyCol INT) COMMENT 'Keep Case'")
+    // composes before rewrite, so maps stay keyed in lowercase
+    val out = DdlRewriter.rewrite(
+      DdlRewriter.lowerIdents("ALTER TABLE DB1.TB1 ADD COLUMN c INT"),
+      Map("db1" -> "db1_r"), Map(("db1", "tb1") -> ("db1_r", "tb1_r")))
+    assert(out == "ALTER TABLE `db1_r`.`tb1_r` ADD COLUMN c INT")
+  }
+
   test("CREATE TABLE column-map pruning keeps mapped cols + constraints") {
     // reference `base/utils.go:737-750`
     val sql = "CREATE TABLE t (id INT, name VARCHAR(10), extra DECIMAL(5,2), PRIMARY KEY (id))"
