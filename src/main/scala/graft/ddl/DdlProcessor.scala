@@ -31,12 +31,19 @@ object DdlProcessor {
     * bytes from a non-UTF-8 session, decode first with
     * [[TypeConversions.ddlToUtf8]] (character_set_client).
     */
-  def process(db: String, table: String, sql: String,
+  def process(db: String, table: String, rawSql: String,
               spec: ReplicationSpec,
               registry: SchemaRegistry,
               renameSchema: Map[String, String] = Map.empty,
-              renameTable: Map[(String, String), (String, String)] = Map.empty): Outcome = {
+              renameTable: Map[(String, String), (String, String)] = Map.empty,
+              lowerCaseTableNames: Boolean = false): Outcome = {
     import DdlRewriter._
+    // lower_case_table_names != 0: normalize idents before everything
+    // else, so routing, registry keys, and rename maps see lowercase
+    // (reference mayLowerTable runs first in resolveQuery)
+    val sql = if (lowerCaseTableNames) lowerIdents(rawSql) else rawSql
+    val (db1, table1) =
+      if (lowerCaseTableNames) (db.toLowerCase, table.toLowerCase) else (db, table)
     val kind = classify(sql)
     if (kind == SkippedStmt) return Outcome(None, kind, schemaChanged = false)
 
@@ -45,19 +52,19 @@ object DdlProcessor {
         // per-table routing (resolveQuery): drop the tables the route
         // skips from the list; all-skipped → skip the whole statement
         val skipFn = (s: String, t: String) => !shouldApply(sql, s, t, spec)
-        val (filtered, kept) = filterDropTables(sql, db, skipFn)
+        val (filtered, kept) = filterDropTables(sql, db1, skipFn)
         if (kept.isEmpty) None else Some(filtered)
       case _ =>
-        if (shouldApply(sql, db, table, spec)) Some(sql) else None
+        if (shouldApply(sql, db1, table1, spec)) Some(sql) else None
     }
     routedSql match {
       case None => Outcome(None, kind, schemaChanged = false)
       case Some(s) =>
         // registry replays SOURCE-side idents (before rename: it mirrors
         // the source's information_schema, reference sqle inspector)
-        val changed = registry.applyDdl(db, s)
+        val changed = registry.applyDdl(db1, s)
         val out = TypeConversions.downgradeCollations(
-          rewrite(s, renameSchema, renameTable, defaultSchema = db))
+          rewrite(s, renameSchema, renameTable, defaultSchema = db1))
         Outcome(Some(out), kind, changed)
     }
   }

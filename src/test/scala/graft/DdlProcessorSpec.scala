@@ -57,6 +57,18 @@ class DdlProcessorSpec extends AnyFunSuite {
     assert(all.sql.isEmpty && !all.schemaChanged)
   }
 
+  test("lowerCaseTableNames normalizes before routing and rename") {
+    val reg = new SchemaRegistry
+    val out = DdlProcessor.process("SRC", "T9",
+      "TRUNCATE TABLE SRC.T9", spec, reg, renameSchema = renames,
+      lowerCaseTableNames = true)
+    assert(out.sql.contains("TRUNCATE TABLE `dst`.`t9`"))
+    // without normalization the uppercase schema misses the route
+    val miss = DdlProcessor.process("SRC", "T9",
+      "TRUNCATE TABLE SRC.T9", spec, reg, renameSchema = renames)
+    assert(miss.sql.isEmpty)
+  }
+
   test("bare idents resolve against the event's schema before rename") {
     val reg = new SchemaRegistry
     val out = DdlProcessor.process("src", "t2",
