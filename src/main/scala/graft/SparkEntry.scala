@@ -1763,7 +1763,7 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST((2 * CAST(SUM(q_micros) AS HUGEINT) + COUNT(*))
         |    // (2 * COUNT(*)) AS BIGINT) AS avg_quality_micros,
-        |  SUM(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS n_und,
+        |  CAST(SUM(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
         |  CAST((2 * CAST(SUM(n_tokens) AS HUGEINT) * 1000000 + COUNT(*))
         |    // (2 * COUNT(*)) AS BIGINT) AS avg_tokens_micros,
         |  COUNT(*) - COUNT(DISTINCT fingerprint) AS n_exact_dups
@@ -1846,7 +1846,7 @@ object SparkEntry {
         |    CASE WHEN p.acc + t.ntok > 512 THEN CAST(t.ntok AS BIGINT) ELSE p.acc + t.ntok END,
         |    CASE WHEN p.acc + t.ntok > 512 THEN p.win + 1 ELSE p.win END
         |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
-        |SELECT shard, id AS doc_id, ntok AS n_tokens, win AS window_idx
+        |SELECT shard, id AS doc_id, CAST(ntok AS INTEGER) AS n_tokens, win AS window_idx
         |FROM p ORDER BY shard, doc_id""".stripMargin,
 
     "pack_stats" ->

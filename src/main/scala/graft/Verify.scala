@@ -15,6 +15,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a marker dir so the driver can tell builder-side breakage
+        // (query threw) from orchestration breakage (query never declared):
+        // an empty <name>/ with _ERROR holding the exception text.
+        val d = Paths.get(outDir, name)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

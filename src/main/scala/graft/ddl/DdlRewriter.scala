@@ -96,7 +96,12 @@ object DdlRewriter {
     segments.foreach {
       case Code(c) => masked.append(c)
       case Backtick(b, term) =>
-        masked.append('`').append(b.toLowerCase); if (term) masked.append('`')
+        // Backticked idents pass through unchanged: the reference's
+        // mayLowerTable lowers only TableName AST nodes, so a column
+        // ident like ADD COLUMN `MyCol` keeps its case. Table positions
+        // are lowered below (qualified pairs + the statement-shaped
+        // anchors rewriteBarePositions knows, which handle backticks).
+        masked.append('`').append(b); if (term) masked.append('`')
       case Str(q, sIn, term) =>
         masked.append('\u0001').append(literals.length).append('\u0001')
         literals += (if (term) s"$q$sIn$q" else s"$q$sIn")

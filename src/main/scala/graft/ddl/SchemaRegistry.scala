@@ -65,11 +65,17 @@ object TypeMapper {
   */
 class SchemaRegistry {
   private val schemas = scala.collection.concurrent.TrieMap.empty[(String, String), StructType]
+  // Table DEFAULT CHARSET, recorded at CREATE time so a later ALTER ADD/MODIFY
+  // of a text column with no explicit CHARACTER SET inherits it (the reference
+  // reads the effective charset from information_schema, which already folds
+  // the table default in).
+  private val tableCharsets = scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def get(db: String, table: String): Option[StructType] = schemas.get((db, table))
   def put(db: String, table: String, schema: StructType): Unit = schemas((db, table)) = schema
-  def drop(db: String, table: String): Unit = schemas.remove((db, table))
+  def drop(db: String, table: String): Unit = { schemas.remove((db, table)); tableCharsets.remove((db, table)) }
   def tables: Seq[(String, String)] = schemas.keys.toSeq
+  def tableDefaultCharset(db: String, table: String): Option[String] = tableCharsets.get((db, table))
 
   /** C9 feed — the per-column charset map for a tracked table, read off
     * the StructField metadata captured from DDL text. This is what the
@@ -91,14 +97,33 @@ class SchemaRegistry {
     import DdlRewriter._
     classify(sql) match {
       case CreateTable =>
-        parseCreateTable(db, sql).exists { case ((d, t), st) => put(d, t, st); true }
+        parseCreateTable(db, sql).exists { case ((d, t), st) =>
+          put(d, t, st)
+          val close = sql.lastIndexOf(')')
+          if (close >= 0)
+            charsetOf(sql.substring(close + 1)).foreach(cs => tableCharsets((d, t)) = cs)
+          true
+        }
       case DropTable =>
-        tableOf(db, sql).exists { case (d, t) => drop(d, t); true }
+        // A multi-table `DROP TABLE a, b, c` must untrack EVERY listed
+        // table, not just the first — stale entries would feed later
+        // replans and columnCharsets, and a re-CREATE of the same name
+        // would silently overwrite. filterDropTables with a never-skip
+        // predicate is the existing parser for the full list.
+        val all = filterDropTables(sql, db, (_, _) => false)._2
+        val victims = if (all.nonEmpty) all else tableOf(db, sql).toSeq
+        victims.foreach { case (d, t) => drop(d, t) }
+        victims.nonEmpty
       case Truncate => false // rows change, schema does not
       case AlterTable =>
         tableOf(db, sql).exists { case (d, t) =>
+          // ALTER ... DEFAULT CHARSET=x / CONVERT TO CHARACTER SET x
+          // updates the recorded table default for later column adds.
+          "(?i)(?:convert\\s+to\\s+character\\s+set|default\\s+(?:character\\s+set|charset))\\s*=?\\s*`?([A-Za-z0-9_]+)`?".r
+            .findFirstMatchIn(sql).foreach(m => tableCharsets((d, t)) = m.group(1).toLowerCase)
           get(d, t) match {
-            case Some(cur) => alter(cur, sql).exists { st => put(d, t, st); true }
+            case Some(cur) =>
+              alter(cur, sql, tableCharsets.get((d, t))).exists { st => put(d, t, st); true }
             case None => false
           }
         }
@@ -172,7 +197,8 @@ class SchemaRegistry {
     }
   }
 
-  private def alter(cur: StructType, sql: String): Option[StructType] = {
+  private def alter(cur: StructType, sql: String,
+                    tableDefault: Option[String]): Option[StructType] = {
     val lower = sql.toLowerCase
     val addCol = "(?i)add\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?\\s+([^,]+)".r
     val dropCol = "(?i)drop\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?".r
@@ -181,7 +207,7 @@ class SchemaRegistry {
       addCol.findFirstMatchIn(sql).map { m =>
         StructType(cur.fields :+ withCharset(
           StructField(m.group(1), TypeMapper.mysqlToSpark(m.group(2)), nullable = true),
-          m.group(2), None))
+          m.group(2), tableDefault))
       }
     } else if (lower.contains("drop")) {
       dropCol.findFirstMatchIn(sql).map { m =>
@@ -194,7 +220,7 @@ class SchemaRegistry {
         val newType = TypeMapper.mysqlToSpark(m.group(3))
         StructType(cur.fields.map(f =>
           if (f.name.equalsIgnoreCase(oldName))
-            withCharset(StructField(newName, newType, f.nullable), m.group(3), None)
+            withCharset(StructField(newName, newType, f.nullable), m.group(3), tableDefault)
           else f))
       }
     } else None

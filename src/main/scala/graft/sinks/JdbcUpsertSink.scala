@@ -74,24 +74,31 @@ class JdbcUpsertSink(
         var attempt = 1
         var applied = false
         while (!applied) {
-          val conn = connectF()
-          conn.setAutoCommit(false)
-          // fresh cache per attempt: statements belong to the attempt's
-          // connection; a retried tx must not reuse a possibly-poisoned one
-          val cache = new StatementCache(conn)
+          // conn acquisition is INSIDE the retried block: right after a
+          // deadlock/failover on a busy target, the reconnect itself is
+          // the most likely transient failure — it must consume an
+          // attempt, not escape the budget and fail the stream.
+          var conn: Connection = null
+          var cache: StatementCache = null
           try {
+            conn = connectF()
+            conn.setAutoCommit(false)
+            // fresh cache per attempt: statements belong to the attempt's
+            // connection; a retried tx must not reuse a possibly-poisoned one
+            cache = new StatementCache(conn)
             JdbcUpsertSink.applyRows(buffered, cache, tableDef, job, lSchema, oc, gc)
             conn.commit()
             applied = true
           } catch {
             case e: Throwable =>
-              try conn.rollback() catch { case _: Throwable => () }
+              if (conn != null) try conn.rollback() catch { case _: Throwable => () }
               if (attempt >= JdbcUpsertSink.RetryTxLimit || !JdbcUpsertSink.retryable(e))
                 throw e
               attempt += 1
               Thread.sleep(math.min(1000L, 50L << (attempt - 2)))
           } finally {
-            cache.close(); conn.close()
+            if (cache != null) cache.close()
+            if (conn != null) try conn.close() catch { case _: Throwable => () }
           }
         }
       }
@@ -123,9 +130,13 @@ object JdbcUpsertSink {
     */
   def retryable(e: Throwable): Boolean = e match {
     case _: SQLTransientException => true
+    case _: java.sql.SQLRecoverableException => true
     case s: SQLException =>
       val state = Option(s.getSQLState).getOrElse("")
-      state.startsWith("40") || s.getErrorCode == 1213 || s.getErrorCode == 1205
+      // 40xxx serialization/deadlock; 08xxx connection exception (the
+      // reconnect-after-failover case now inside the retry loop)
+      state.startsWith("40") || state.startsWith("08") ||
+        s.getErrorCode == 1213 || s.getErrorCode == 1205
     case _ => false
   }
 
@@ -212,12 +223,33 @@ object JdbcUpsertSink {
     if (appliedGtids.nonEmpty) {
       val st = cache.get(lSchema, "ledger", 1, SqlBuilder.ledgerInsert(lSchema))
       appliedGtids.foreach { g =>
-        st.setString(1, job); st.setString(2, "graft")
-        st.setLong(3, math.abs(g.hashCode).toLong); st.setString(4, g)
+        val (sid, gno) = parseGtid(g)
+        st.setString(1, job); st.setString(2, sid)
+        st.setLong(3, gno); st.setString(4, g)
         st.addBatch()
       }
       st.executeBatch()
     }
+  }
+
+  /** "uuid:gno" → (source_uuid, gno). The ledger's `gtid` column is a
+    * real interval point the K7 compactor folds into per-uuid interval
+    * sets (reference `applier_gtid_executed.go:186-246` stores the parsed
+    * GNO, never a hash — two hashed GTIDs can collide and compact into a
+    * wrong interval, silently skipping an unapplied tx via F10). IDs that
+    * don't carry a numeric GNO (test fixtures, non-MySQL sources) fall
+    * back to a hash under a synthetic uuid so they never pollute a real
+    * source's interval space.
+    */
+  private[sinks] def parseGtid(g: String): (String, Long) = {
+    val i = g.lastIndexOf(':')
+    if (i > 0 && i < g.length - 1) {
+      val tail = g.substring(i + 1)
+      if (tail.nonEmpty && tail.forall(_.isDigit) && tail.length <= 18)
+        return (g.substring(0, i), tail.toLong)
+    }
+    ("synthetic-" + java.util.UUID.nameUUIDFromBytes(g.getBytes("UTF-8")).toString.take(8),
+      math.abs(g.hashCode).toLong)
   }
 }
 

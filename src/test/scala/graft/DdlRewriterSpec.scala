@@ -198,6 +198,15 @@ class DdlRewriterSpec extends AnyFunSuite {
     // strings, keywords, and column idents keep their case
     assert(DdlRewriter.lowerIdents("CREATE TABLE T (MyCol INT) COMMENT 'Keep Case'") ==
       "CREATE TABLE t (MyCol INT) COMMENT 'Keep Case'")
+    // backticked COLUMN idents keep case too — only table-name positions
+    // lower (reference lowers TableName AST nodes only)
+    assert(DdlRewriter.lowerIdents("ALTER TABLE `MyTab` ADD COLUMN `MyCol` INT") ==
+      "ALTER TABLE `mytab` ADD COLUMN `MyCol` INT")
+    assert(DdlRewriter.lowerIdents("CREATE TABLE `T2` (`Mixed` INT, KEY `IdxName` (`Mixed`))") ==
+      "CREATE TABLE `t2` (`Mixed` INT, KEY `IdxName` (`Mixed`))")
+    // CREATE INDEX: the index ident keeps case, the ON-table lowers
+    assert(DdlRewriter.lowerIdents("CREATE INDEX `MyIdx` ON `MyTab` (`MyCol`)") ==
+      "CREATE INDEX `MyIdx` ON `mytab` (`MyCol`)")
     // composes before rewrite, so maps stay keyed in lowercase
     val out = DdlRewriter.rewrite(
       DdlRewriter.lowerIdents("ALTER TABLE DB1.TB1 ADD COLUMN c INT"),

@@ -26,6 +26,30 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(reg.columnCharsets("db1", "t")("extra") == "utf16le")
     reg.applyDdl("db1", "ALTER TABLE t MODIFY COLUMN plain VARCHAR(10) CHARSET utf8mb4")
     assert(reg.columnCharsets("db1", "t")("plain") == "utf8mb4")
+    // an added text column with NO explicit charset inherits the table's
+    // DEFAULT CHARSET (the reference reads the effective charset from
+    // information_schema, which folds the table default in)
+    reg.applyDdl("db1", "ALTER TABLE t ADD COLUMN inherited VARCHAR(8)")
+    assert(reg.columnCharsets("db1", "t")("inherited") == "latin1")
+    // ALTER ... DEFAULT CHARSET=x updates the recorded default for later adds
+    reg.applyDdl("db1", "ALTER TABLE t DEFAULT CHARSET=gbk")
+    reg.applyDdl("db1", "ALTER TABLE t ADD COLUMN later VARCHAR(8)")
+    assert(reg.columnCharsets("db1", "t")("later") == "gbk")
+  }
+
+  test("multi-table DROP untracks every listed table") {
+    val reg = new SchemaRegistry
+    reg.applyDdl("db1", "CREATE TABLE a (id INT)")
+    reg.applyDdl("db1", "CREATE TABLE b (id INT)")
+    reg.applyDdl("db2", "CREATE TABLE c (id INT)")
+    assert(reg.applyDdl("db1", "DROP TABLE IF EXISTS a, b, db2.c"))
+    assert(reg.get("db1", "a").isEmpty && reg.get("db1", "b").isEmpty &&
+      reg.get("db2", "c").isEmpty)
+    // a re-CREATE after the drop starts from a clean slate (no stale default)
+    reg.applyDdl("db1", "CREATE TABLE a (txt VARCHAR(4)) DEFAULT CHARSET=latin1")
+    assert(reg.tableDefaultCharset("db1", "a").contains("latin1"))
+    reg.applyDdl("db1", "DROP TABLE a")
+    assert(reg.tableDefaultCharset("db1", "a").isEmpty)
   }
 
   test("MySQL type matrix maps the 25 column types") {

@@ -49,15 +49,30 @@ def main(sf_dir, out_dir):
                                  "detail": str(ex).split("\n")[0][:200],
                                  "rows": len(g), "exp_rows": len(e)}
                 continue
-        results[name] = {"check": "oracle", "ok": ok_schema and ok_rows and ok_vals,
-                         "rows": len(g), "exp_rows": len(e),
-                         "schema_ok": ok_schema, "got_cols": list(g.columns), "exp_cols": list(e.columns)}
+        # Driver-side hashes are computed over concrete value representations,
+        # so a dtype divergence (e.g. DuckDB HUGEINT -> pandas float64 vs Spark
+        # int64) fails the driver even when values compare equal here. Treat it
+        # as a hard failure so the local gate reproduces the driver's verdict.
+        dtype_mismatch = []
+        if ok_schema:
+            for c in g.columns:
+                gd, ed = str(g[c].dtype), str(e[c].dtype)
+                if gd != ed:
+                    dtype_mismatch.append({"col": c, "spark": gd, "oracle": ed})
+        ok_dtype = not dtype_mismatch
+        r = {"check": "oracle", "ok": ok_schema and ok_rows and ok_vals and ok_dtype,
+             "rows": len(g), "exp_rows": len(e),
+             "schema_ok": ok_schema, "got_cols": list(g.columns), "exp_cols": list(e.columns)}
+        if dtype_mismatch:
+            r["dtype_mismatch"] = dtype_mismatch
+        results[name] = r
     n_ok = sum(1 for r in results.values() if r["ok"])
     for name, r in sorted(results.items()):
         flag = "OK " if r["ok"] else "FAIL"
         extra = "" if r["ok"] else " " + json.dumps({k: v for k, v in r.items() if k != "ok"})[:300]
         print(f"{flag} {name} ({r.get('check')}, rows={r.get('rows')}){extra}")
-    print(f"\n{n_ok}/{len(results)} pass")
+    n_dtype = sum(1 for r in results.values() if r.get("dtype_mismatch"))
+    print(f"\n{n_ok}/{len(results)} pass; dtype-divergent oracles: {n_dtype}")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
