@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.ddl.{DdlProcessor, SchemaRegistry}
+import graft.functions.TypeConversions
 import graft.model._
 import graft.operators.{CdcBatch, Relational}
 import graft.sources.ChunkPlanner
-import graft.streaming.{CdcPipeline, UpsertSink}
+import graft.streaming.{CdcPipeline, DdlBarrierEvent, UpsertSink}
 
 /** The job façade — the reference's replication lifecycle (SURVEY.md
   * §3) as one API: full load (snapshot) then incremental apply.
@@ -28,6 +30,53 @@ object JobRunner {
   def fromJson(spark: SparkSession, json: String): (JobRunner, JobConfig) = {
     val cfg = JobConfig.fromJson(json)
     (new JobRunner(spark, cfg.repl), cfg)
+  }
+
+  /** C9 data-plane stage as a sink wrapper: each batch/segment passes
+    * [[transcodeMixedBatch]] before the inner sink. Wrapping the SINK
+    * (not the stream) is deliberate — the registry mutates at DDL
+    * barriers mid-batch, and `applyWithDdlBarriers` applies each DML
+    * segment after its preceding barrier's handler ran, so the charset
+    * map is always the one in force at that point of the log.
+    */
+  def charsetDecodingSink(inner: UpsertSink, registry: SchemaRegistry): UpsertSink =
+    new UpsertSink {
+      override def applyBatch(batch: DataFrame, epochId: Long): Unit =
+        inner.applyBatch(transcodeMixedBatch(batch, registry), epochId)
+    }
+
+  /** C9 over a mixed-table flattened batch (reference ConvertArg per
+    * column, `types.go:93-112`, driven by the registry's charset map).
+    * Raw text travels as BINARY columns; for each binary column with at
+    * least one tracked non-UTF-8 charset, one conditional projection
+    * decodes per (db, table) rule and the fallthrough casts as UTF-8
+    * (utf8/utf8mb4 tables and untracked tables — for an unknown charset
+    * the reference forwards raw bytes; here the column unifies to
+    * string, so unknowns decode as UTF-8 best-effort). Single codegen'd
+    * projection, no shuffle, no per-table split of the batch.
+    */
+  def transcodeMixedBatch(batch: DataFrame, registry: SchemaRegistry): DataFrame = {
+    if (!batch.columns.contains("db") || !batch.columns.contains("table")) return batch
+    val binaryCols = batch.schema.fields
+      .collect { case f if f.dataType == org.apache.spark.sql.types.BinaryType => f.name }.toSet
+    if (binaryCols.isEmpty) return batch
+    // column -> decode rules, only where a real transcode is needed
+    val rules: Map[String, Seq[(String, String, String)]] = registry.tables
+      .flatMap { case (d, t) =>
+        registry.columnCharsets(d, t).collect {
+          case (cname, cs) if binaryCols(cname) && TypeConversions.javaCharsetOf(cs).isDefined =>
+            (cname, d, t, TypeConversions.javaCharsetOf(cs).get)
+        }
+      }.groupBy(_._1).map { case (c, rs) => c -> rs.map(r => (r._2, r._3, r._4)) }
+    rules.foldLeft(batch) { case (df, (cname, rs)) =>
+      val chained = rs.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (d, t, jc)) =>
+          val cond = col("db") === d && col("table") === t
+          val dec = TypeConversions.transcodeToUtf8(col(cname), jc)
+          Some(acc.fold(when(cond, dec))(_.when(cond, dec)))
+      }.get
+      df.withColumn(cname, chained.otherwise(col(cname).cast("string")))
+    }
   }
 }
 
@@ -73,6 +122,75 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
     val fromWatermark =
       if (watermark > 0L) changes.filter(col(seqCol) > watermark) else changes
     CdcPipeline.run(fromWatermark, repl, sink, checkpointDir)
+  }
+
+  /** Incremental phase with the full K5+C9 control path wired in — the
+    * production shape of what the reference runs on every query event
+    * (`applier_incr.go:610-674`, `binlog_reader.go:543-548`):
+    *
+    *   - DDL barriers run [[ddlBarrierHandler]]: decode
+    *     (character_set_client) → skip/route/drop-filter → schema
+    *     registry replay → rename + collation downgrade → forward the
+    *     rewritten statement to `onDdlForward` (the target's DDL
+    *     executor).
+    *   - every DML segment passes the C9 charset stage
+    *     ([[JobRunner.charsetDecodingSink]]) BEFORE the sink, reading
+    *     the per-column charset map the registry captured from DDL —
+    *     segments apply after their preceding barrier, so a CREATE
+    *     TABLE ... CHARSET=latin1 in the same micro-batch already
+    *     governs the rows that follow it.
+    */
+  def incrementalWithDdl(changes: DataFrame, sink: UpsertSink, checkpointDir: String,
+                         registry: SchemaRegistry,
+                         onDdlForward: String => Unit,
+                         watermark: Long = 0L, seqCol: String = "seq",
+                         characterSetClient: String = "utf8mb4",
+                         lowerCaseTableNames: Boolean = false): StreamingQuery = {
+    val fromWatermark =
+      if (watermark > 0L) changes.filter(col(seqCol) > watermark) else changes
+    CdcPipeline.run(fromWatermark, repl,
+      JobRunner.charsetDecodingSink(sink, registry), checkpointDir,
+      ddlHandler = Some(ddlBarrierHandler(registry, onDdlForward,
+        characterSetClient, lowerCaseTableNames)))
+  }
+
+  /** The composed K5 barrier handler: one `DdlBarrierEvent` → decode →
+    * [[graft.ddl.DdlProcessor.process]] (with rename maps derived from
+    * this job's [[ReplicationSpec]]) → forward. A statement the route
+    * skips, an always-skip kind, or an all-tables-filtered DROP forwards
+    * nothing; the registry still tracks source-side schema so later
+    * events see current metadata.
+    *
+    * Byte carrier: a DDL statement read off a non-UTF-8 session arrives
+    * with each raw byte mapped to one char (ISO-8859-1 mangling — the
+    * lossless byte↔char carrier); `characterSetClient` names the real
+    * encoding, mirroring the reference decoding the query event with the
+    * session charset before parsing (`binlog_reader.go:543-548`).
+    */
+  def ddlBarrierHandler(registry: SchemaRegistry,
+                        onForward: String => Unit,
+                        characterSetClient: String = "utf8mb4",
+                        lowerCaseTableNames: Boolean = false): DdlBarrierEvent => Unit = {
+    // literal rename maps for DdlRewriter (regex renames apply on the
+    // DML plane via Relational.renameRegex; DDL text rewrite is literal)
+    val renameSchema: Map[String, String] = repl.doDb
+      .flatMap(s => s.renameSchema.filter(_ => s.schemaRegex.isEmpty).map(s.schema -> _)).toMap
+    val renameTable: Map[(String, String), (String, String)] = repl.doDb.flatMap { s =>
+      s.tables.flatMap { t =>
+        t.renameTable.filter(_ => !t.nameIsRegex).map { newT =>
+          (s.schema, t.name) -> (s.renameSchema.getOrElse(s.schema), newT)
+        }
+      }
+    }.toMap
+    (d: DdlBarrierEvent) => {
+      val decoded =
+        if (TypeConversions.isUtf8OrMb4(characterSetClient)) d.sql
+        else TypeConversions.ddlToUtf8(
+          d.sql.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), characterSetClient)
+      val out = DdlProcessor.process(d.db, d.table, decoded, repl, registry,
+        renameSchema, renameTable, lowerCaseTableNames)
+      out.sql.foreach(onForward)
+    }
   }
 
   /** Batch replay of a bounded change log over snapshot state — the

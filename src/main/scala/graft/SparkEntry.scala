@@ -622,13 +622,6 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "dedup_simhash_md5" -> ((s, dir) => {
-      // portable 60-bit simhash witness: fingerprints, block keys, and
-      // Hamming distances all rebuilt and hash-matched by DuckDB
-      SimHashDedup.portablePairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
     "dedup_clusters" -> ((s, dir) => {
       // transitive dedup clusters over the ngram near-dup pair graph
       // (min-label propagation to fixpoint; oracle = recursive CTE)
@@ -639,10 +632,14 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      // no DuckDB oracle (xxhash64 sketch) — accuracy asserted in
-      // MinHashDedupSpec against brute-force Jaccard
-      MinHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, k = 64, numBands = 16, threshold = 0.5)
+      // portable arithmetic at the full production parameters (k=64,
+      // 16 bands): md5 shingle hashes mod 2^31-1 + (2j+1)x+c_j
+      // permutations via the imperative MinHashSigAgg, so the ENTIRE
+      // pipeline hash-matches the DuckDB oracle (was rows-only while it
+      // rode xxhash64). The xxhash64 fast path stays the library API
+      // (MinHashDedup.nearDupPairs), accuracy-pinned in MinHashDedupSpec.
+      MinHashDedup.portablePairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 64, numBands = 16, threshold = 0.5, maxBucket = 500)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -667,9 +664,13 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // no DuckDB oracle — SimHashDedupSpec verifies against Hamming
-      // distance of brute-force fingerprints
-      SimHashDedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3, blocks = 4)
+      // the round-5 witness FOLDED INTO the main row: portable 60-bit
+      // md5 fingerprints (5 pigeonhole blocks × 12 bits, Hamming ≤ 3) —
+      // fingerprints, block keys, and distances all rebuilt and
+      // hash-matched by DuckDB. The xxhash64 native-expression path
+      // (nearDupPairs) stays the library API, verified vs brute-force
+      // Hamming in SimHashDedupSpec.
+      SimHashDedup.portablePairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -727,10 +728,11 @@ object SparkEntry {
 
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF cluster-then-probe ANN, production form: 2 Lloyd rounds.
-      // The refined centroid means come from double `avg()` whose
-      // partial-sum order varies run to run → rows-only by necessity;
-      // sim_ivf_topk_seed is the deterministic witness twin, and
-      // SimilaritySearchSpec pins recall + exactness-at-full-probe
+      // Centroid means run in integer micro-units (exact BIGINT sums +
+      // one fixed double division chain), so the refinement is
+      // deterministic and the WHOLE two-round pipeline hash-matches the
+      // DuckDB oracle (was rows-only while means rode double avg());
+      // SimilaritySearchSpec additionally pins recall vs brute force
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nLists = 16, nProbe = 4, iters = 2)
@@ -1366,6 +1368,28 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
         |ORDER BY doc_id""".stripMargin,
 
+    "dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |h AS (SELECT doc_id, list_transform(sh, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 64), j ->
+        |    list_min(list_transform(hs, x -> ((2*j + 1) * x + j * 12345 + 7) % 2147483647))) AS sig
+        |  FROM h),
+        |banded AS (SELECT doc_id, sig, u.b AS band,
+        |  sig[u.b*4+1] || ':' || sig[u.b*4+2] || ':' || sig[u.b*4+3] || ':' || sig[u.b*4+4] AS bkey
+        |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) u),
+        |f AS (SELECT * FROM banded QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 500),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        |  FROM f a JOIN f b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |scored AS (SELECT id_a, id_b,
+        |  len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 AS sig_frac FROM p)
+        |SELECT id_a, id_b, round(sig_frac, 6) AS sig_frac FROM scored
+        |WHERE sig_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_minhash_md5" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
@@ -1388,7 +1412,7 @@ object SparkEntry {
         |SELECT id_a, id_b, round(sig_frac, 6) AS sig_frac FROM scored
         |WHERE sig_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_simhash_md5" ->
+    "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
         |h AS (SELECT doc_id, list_transform(words, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM w),
@@ -1512,6 +1536,44 @@ object SparkEntry {
     // ivfTopK with iters=0: seed centroids = the 16 lowest-id vectors;
     // nearest/probe ordering matches Spark's sort_array(desc) struct
     // comparison (cos DESC, then cid DESC on ties)
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |a1 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m1 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a1 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l1 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
+        |cent1 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent0 c LEFT JOIN l1 l ON l.cid = c.cid),
+        |a2 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m2 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a2 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l2 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m2 GROUP BY cid),
+        |cent2 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent1 c LEFT JOIN l2 l ON l.cid = c.cid),
+        |scoredc AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent2 c),
+        |assign AS (SELECT vec_id, v, cid FROM scoredc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM scoredc WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) <= 4),
+        |s AS (SELECT p.query_id, a.vec_id AS corpus_id,
+        |    list_cosine_similarity(a.v, p.qv) AS cos
+        |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
+        |FROM s
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "sim_ivf_topk_seed" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -26,16 +26,30 @@ import org.apache.spark.sql.types._
 case class MinHashSigAgg(
     child: Expression,
     k: Int,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Array[Long]] {
 
   private val P = 2305843009213693951L // 2^61 - 1
+  private val P31 = 2147483647L // 2^31 - 1
 
+  /** Portable mode: permutation `h_j(x) = ((2j+1)·x + j·12345 + 7) mod
+    * (2^31-1)` over inputs already reduced mod 2^31-1 — every product
+    * stays < 2^62 (no wraparound), so an ANSI engine (the DuckDB
+    * oracle) reproduces each signature value bit-for-bit in plain
+    * 64-bit arithmetic. Same constants as the declarative witness
+    * formulation in [[graft.operators.dedup.MinHashDedup.portablePairs]].
+    * Default mode keeps the original wrap-around 2^61-1 constants
+    * (bench/production fast path fed by xxhash64).
+    */
   private val as: Array[Long] =
-    Array.tabulate(k)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
+    if (portable) Array.tabulate(k)(i => 2L * i + 1L)
+    else Array.tabulate(k)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
   private val bs: Array[Long] =
-    Array.tabulate(k)(i => 1103515245L * (i + 7919) + 104729L)
+    if (portable) Array.tabulate(k)(i => i * 12345L + 7L)
+    else Array.tabulate(k)(i => 1103515245L * (i + 7919) + 104729L)
+  private val mod: Long = if (portable) P31 else P
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
@@ -45,9 +59,9 @@ case class MinHashSigAgg(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < k) {
-        val x = h * as(i) + bs(i) // wrap-around, like non-ANSI Spark
-        val m = x % P
-        val p = if (m < 0) m + P else m
+        val x = h * as(i) + bs(i) // wrap-around in default mode only
+        val m = x % mod
+        val p = if (m < 0) m + mod else m
         if (p < buf(i)) buf(i) = p
         i += 1
       }
@@ -89,7 +103,8 @@ case class MinHashSigAgg(
 
 object MinHashSigAgg {
   /** Registered as `graft_minhash_sig` by [[graft.plans.GraftExtensions]]. */
-  def column(h: Column, k: Int): Column =
+  def column(h: Column, k: Int, portable: Boolean = false): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash_sig", h,
-      org.apache.spark.sql.functions.lit(k))
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(portable))
 }

@@ -28,11 +28,13 @@ object MinHashDedup {
     * 60-bit md5 shingle hashes reduced mod 2^31-1, permutations
     * `(2j+1)·x + c_j mod 2^31-1` (products < 2^62, no wraparound) — so
     * an ANSI engine reproduces the ENTIRE pipeline bit-for-bit: the
-    * `dedup_minhash_md5` DuckDB oracle hash-matches banding, buckets,
-    * and signature-agreement scores. The xxhash64 fast path stays the
-    * bench/production one (md5 costs more per shingle); this variant is
-    * the cross-engine-verifiable witness that the LSH construction is
-    * right.
+    * DuckDB oracles hash-match banding, buckets, and
+    * signature-agreement scores. This is now the MAIN `dedup_minhash`
+    * driver query at the full production parameters (k=64, 16 bands,
+    * via the portable-mode imperative [[graft.functions.MinHashSigAgg]])
+    * plus the smaller `dedup_minhash_md5` config (k=16, 4 bands); the
+    * xxhash64 path ([[nearDupPairs]]) stays the fastest library form,
+    * accuracy-pinned against brute-force Jaccard in MinHashDedupSpec.
     *
     * Shape notes: shingle hashes are computed ONCE on exploded rows and
     * consumed by k `min` aggregates — aggregates evaluate their child
@@ -52,23 +54,31 @@ object MinHashDedup {
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"), lit(p31)).as("hs"))
-    val mins = (0 until k).map(j =>
-      min((col("hs") * lit(2L * j + 1) + lit(j * 12345L + 7L)) % lit(p31)).as(s"m$j"))
+    // ONE imperative aggregate in portable mode, not k declarative
+    // `min(...)` columns: identical values (DedupSpec pins the
+    // equivalence), but a single long[k] buffer and a flat generated
+    // aggregate — the k-wide formulation costs k buffers and a
+    // multi-second Janino compile at k=64.
     val sig = hashed.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+      .agg(graft.functions.MinHashSigAgg.column(col("hs"), k, portable = true).as("sig"))
+    // Buckets carry ONLY doc ids (8 bytes/member through the shuffle) —
+    // at k=64 a (doc_id, sig) struct is 520B/member; signatures re-join
+    // by id AFTER pair dedup, when the pair set is small, pinned
+    // shuffle_hash like candidatePairs (the planner broadcasting a
+    // corpus-sized side is the measured OOM ScaleProbe caught).
+    val banded = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map(b =>
         concat_ws(":", (0 until rpb).map(r => col("sig").getItem(b * rpb + r)): _*)): _*))
         .as(Seq("band", "bkey")))
     val buckets = banded.groupBy(col("band"), col("bkey"))
-      .agg(graft.functions.BoundedCollectList.column(
-        struct(col("doc_id"), col("sig")), maxBucket).as("members"))
+      .agg(graft.functions.BoundedCollectList.column(col("doc_id"), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    explodePairs(buckets, "members")
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+    val pairs = explodePairs(buckets, "members")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    pairs.join(sa.hint("shuffle_hash"), "id_a").join(sb.hint("shuffle_hash"), "id_b")
       .withColumn("sig_frac",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
           .cast("double") / k)

@@ -52,12 +52,12 @@ object SimHashDedup {
         simhash(split(Dedup.normText(col(textCol)), " ")).as("fingerprint")
       )
 
-  /** Portable-arithmetic SimHash pairs — the cross-engine-verifiable
-    * witness for the pigeonhole block join (`dedup_simhash_md5` oracle):
-    * 60-bit fingerprints from md5-derived token hashes (15 hex chars →
-    * exact in 64-bit everywhere), 5 blocks of 12 bits, Hamming ≤
-    * `maxDist` < blocks. The xxhash64 native-expression path stays the
-    * production one; this variant lets DuckDB rebuild every
+  /** Portable-arithmetic SimHash pairs — the `dedup_simhash` driver
+    * query (full DuckDB hash oracle): 60-bit fingerprints from
+    * md5-derived token hashes (15 hex chars → exact in 64-bit
+    * everywhere), 5 blocks of 12 bits, Hamming ≤ `maxDist` < blocks.
+    * The xxhash64 native-expression path ([[nearDupPairs]]) stays the
+    * fastest library form; this variant lets DuckDB rebuild every
     * fingerprint, block key, and Hamming distance bit-for-bit.
     *
     * The vote fold runs in-row as nested higher-order functions —

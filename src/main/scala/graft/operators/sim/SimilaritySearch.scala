@@ -275,7 +275,13 @@ object SimilaritySearch {
     def nearest(vec: Column, cs: Array[Array[Double]]): Column =
       scoredLists(vec, cs).getItem(0).getField("cid")
 
-    // deterministic seed + Lloyd refinement (mean of assigned vectors)
+    // deterministic seed + Lloyd refinement (mean of assigned vectors).
+    // The mean is computed in integer micro-units — floor(x·10^6) summed
+    // as BIGINT (exact, order-free), then one fixed double division
+    // chain — so the refined centroids are bit-identical run to run AND
+    // reproducible by an ANSI engine: this is what lets `sim_ivf_topk`
+    // (iters=2) carry a full DuckDB hash oracle instead of rows-only
+    // (a double `avg()` here varies with partial-sum order).
     var centroids = c0.orderBy(col("corpus_id")).limit(nLists)
       .select(col("cvec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -283,7 +289,8 @@ object SimilaritySearch {
       val assigned = c0.select(nearest(col("cvec"), centroids).as("cid"),
         posexplode(col("cvec")).as(Seq("pos", "x")))
       val means = assigned.groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(((sum(floor(col("x").cast("double") * lit(1e6)).cast("long")).cast("double")
+          / count(lit(1)).cast("double")) / lit(1e6)).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val byCid = means.groupBy(_._1)
       centroids = centroids.indices.map { cid =>

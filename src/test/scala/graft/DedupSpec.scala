@@ -161,6 +161,27 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaMins)
   }
 
+  test("MinHashSigAgg portable mode matches the declarative portable formulation") {
+    import org.apache.spark.sql.functions._
+    val k = 16
+    val p31 = 2147483647L
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val hashed = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"), lit(p31)).as("h"))
+      .cache()
+    val viaAgg = hashed.groupBy("doc_id")
+      .agg(graft.functions.MinHashSigAgg.column(col("h"), k, portable = true).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val minCols = (0 until k).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j * 12345L + 7L)) % lit(p31)).as(s"m$j"))
+    val viaMins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_)).toList).toMap
+    hashed.unpersist()
+    assert(viaAgg == viaMins)
+  }
+
   test("connectedComponents: transitive closure over a chain and a cycle") {
     import spark.implicits._
     // chain 1-2-3-4, cycle 10-11-12-10, singleton pair 20-21

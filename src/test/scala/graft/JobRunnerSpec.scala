@@ -6,6 +6,12 @@ import graft.model._
 /** §3.2/§3.3 end-to-end: snapshot with transforms + watermark, then
   * change replay — the reference's full job lifecycle on fixtures.
   */
+/** Flattened wire row for the K5+C9 e2e: DDL text rides `after`, raw
+  * text bytes ride a BINARY data column (`name`).
+  */
+case class WireEvent(db: String, table: String, op: String, seq: Long,
+                     after: String, key: String, name: Array[Byte])
+
 class JobRunnerSpec extends SparkSpec {
   import spark.implicits._
 
@@ -52,6 +58,49 @@ class JobRunnerSpec extends SparkSpec {
     assert(written.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
     assert(written.count() ==
       Tables.load(spark, sf, "orders").filter(col("o_totalprice") > 1000).count())
+  }
+
+  test("K5+C9 wired: latin1 CREATE + renamed DML round-trip through the stream") {
+    // the reference runs this path on every query event
+    // (applier_incr.go:610-674, binlog_reader.go:543-548); done-criterion:
+    // DDL arrives rewritten + decoded, DML text arrives charset-decoded
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val repl = ReplicationSpec(doDb = Seq(SchemaSpec("src", renameSchema = Some("dst"),
+      tables = Seq(TableSpec("src", "t")))))
+    val runner = new JobRunner(spark, repl)
+    val registry = new graft.ddl.SchemaRegistry
+    val forwarded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.Map.empty[String, String]
+    val sink = new graft.streaming.UpsertSink {
+      override def applyBatch(batch: org.apache.spark.sql.DataFrame, epochId: Long): Unit =
+        batch.select("key", "name").collect().foreach(r =>
+          seen.synchronized { seen(r.getString(0)) = r.getString(1) })
+    }
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // the session was latin1: the DDL's raw bytes ride byte↔char mangled
+    // (€ is 0x80 in cp1252 — NOT representable in ISO-8859-1 text)
+    val rawDdl = new String(
+      "CREATE TABLE src.t (id INT, name VARCHAR(20) DEFAULT '€9.99') DEFAULT CHARSET=latin1"
+        .getBytes(cp1252), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val input = MemoryStream[WireEvent]
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ddl").toString
+    val q = runner.incrementalWithDdl(input.toDF(), sink, s"$dir/cp", registry,
+      s => forwarded.synchronized { forwarded += s }, characterSetClient = "latin1")
+    try {
+      input.addData(
+        WireEvent("src", "t", "ddl", 1L, rawDdl, null, null),
+        WireEvent("src", "t", "c", 2L, null, "k1", "café".getBytes(cp1252)),
+        WireEvent("src", "t", "c", 3L, null, "k2", "naïve €5".getBytes(cp1252)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // DDL: decoded via character_set_client, schema-renamed src→dst
+    assert(forwarded.size == 1, s"forwarded=$forwarded")
+    assert(forwarded.head.contains("`dst`.`t`") && forwarded.head.contains("€9.99"))
+    // registry captured the charset feed from the CREATE
+    assert(registry.columnCharsets("src", "t")("name") == "latin1")
+    // DML: raw cp1252 bytes landed as decoded UTF-8 strings
+    assert(seen.toMap == Map("k1" -> "café", "k2" -> "naïve €5"))
   }
 
   test("replayBatch: routed change log over snapshot state gives final state") {

@@ -99,6 +99,45 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(mean > 0.2, s"mean recall $mean")
   }
 
+  test("recall@10 floors at probe scale (sf0.01) for both ANN paths") {
+    // a silent plane/centroid regression would pass every plan guard and
+    // hash oracle (the oracle verifies the approximate result, not its
+    // quality) — pin recall@10 vs brute force on the 10× corpus
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val vecs = emb01.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nQ = 10
+    val truth = (0L until nQ.toLong).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val ann = df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val rs = truth.map { case (q, top) =>
+        top.count(ann.getOrElse(q, Set.empty)).toDouble / top.size }
+      rs.sum / rs.size
+    }
+    val queries01 = emb01.filter(col("vec_id") < nQ)
+    val lshRecall = recallOf(SimilaritySearch.lshTopK(emb01, queries01,
+      "vec_id", "embedding", k = 10, dim = 64, nBits = 6, tables = 8))
+    val ivfRecall = recallOf(SimilaritySearch.ivfTopK(emb01, queries01,
+      "vec_id", "embedding", k = 10, nLists = 16, nProbe = 4, iters = 2))
+    // floors chosen below measured values with margin (measured at HEAD:
+    // lsh ≈ 0.24, ivf ≈ 0.4+; a broken plane/centroid would score ≈
+    // k/N ≈ 0.002). Random uniform embeddings are LSH's worst case, so
+    // the bar is signal, not rote.
+    assert(lshRecall >= 0.15, s"lshTopK recall@10 $lshRecall < 0.15")
+    assert(ivfRecall >= 0.30, s"ivfTopK recall@10 $ivfRecall < 0.30")
+  }
+
   test("quantized index round-trips through parquet and searches identically") {
     val tmp = java.nio.file.Files.createTempDirectory("qidx").toString
     SimilaritySearch.buildQuantizedIndex(emb, "vec_id", "embedding")
