@@ -78,6 +78,15 @@ object ScaleProbe {
           "doc_id", "source", "toks",
           Map("src0" -> 7000L * k, "src1" -> 7000L * k, "src2" -> 7000L * k))
       }
+      time("dedup_minhash_portable", k) {
+        // the main dedup_minhash query path since round 6: portable-mode
+        // imperative sig agg + ids-only buckets + shuffle_hash sig re-join
+        operators.dedup.MinHashDedup.portablePairs(d, "doc_id", "text",
+          n = 3, k = 64, numBands = 16, threshold = 0.5, maxBucket = 500)
+      }
+      time("dedup_simhash_portable", k) {
+        operators.dedup.SimHashDedup.portablePairs(d, "doc_id", "text", maxDist = 3)
+      }
       time("sample_shuffle", k) {
         operators.Sampling.deterministicShuffle(d.select(col("doc_id")), "doc_id")
       }

@@ -1,8 +1,30 @@
 package graft
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run ONE query and dump it to `outDir/<name>/`. A query that throws
+    * leaves `<name>/_ERROR` holding the exception text, so the driver
+    * can tell builder-side breakage (query threw) from orchestration
+    * breakage (query never declared). Returns true on success.
+    */
+  def runOne(spark: SparkSession, sfDir: String, outDir: String,
+             name: String, fn: (SparkSession, String) => DataFrame): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val d = Paths.get(outDir, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("_ERROR"),
+        s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter (local iteration)
@@ -10,20 +32,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // Leave a marker dir so the driver can tell builder-side breakage
-        // (query threw) from orchestration breakage (query never declared):
-        // an empty <name>/ with _ERROR holding the exception text.
-        val d = Paths.get(outDir, name)
-        Files.createDirectories(d)
-        Files.writeString(d.resolve("_ERROR"),
-          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
-      }
-    }
+      .foreach { case (name, fn) => runOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

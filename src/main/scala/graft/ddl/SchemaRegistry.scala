@@ -121,11 +121,26 @@ class SchemaRegistry {
           // updates the recorded table default for later column adds.
           "(?i)(?:convert\\s+to\\s+character\\s+set|default\\s+(?:character\\s+set|charset))\\s*=?\\s*`?([A-Za-z0-9_]+)`?".r
             .findFirstMatchIn(sql).foreach(m => tableCharsets((d, t)) = m.group(1).toLowerCase)
-          get(d, t) match {
+          // CONVERT TO CHARACTER SET converts EVERY text column (MySQL
+          // semantics), so the whole charset feed retags, not just the
+          // default for future adds.
+          val converted = "(?i)convert\\s+to\\s+character\\s+set\\s+`?([A-Za-z0-9_]+)`?".r
+            .findFirstMatchIn(sql).map(_.group(1).toLowerCase).exists { cs =>
+              get(d, t).exists { cur =>
+                put(d, t, StructType(cur.fields.map(f =>
+                  if (f.dataType == StringType)
+                    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+                      .putString("charset", cs).build())
+                  else f)))
+                true
+              }
+            }
+          val altered = get(d, t) match {
             case Some(cur) =>
               alter(cur, sql, tableCharsets.get((d, t))).exists { st => put(d, t, st); true }
             case None => false
           }
+          converted || altered
         }
       case DropSchema =>
         val victims = schemas.keys.filter(_._1 == schemaOf(db, sql)).toSeq

@@ -35,6 +35,14 @@ class SchemaRegistrySpec extends AnyFunSuite {
     reg.applyDdl("db1", "ALTER TABLE t DEFAULT CHARSET=gbk")
     reg.applyDdl("db1", "ALTER TABLE t ADD COLUMN later VARCHAR(8)")
     assert(reg.columnCharsets("db1", "t")("later") == "gbk")
+    // CONVERT TO CHARACTER SET retags EVERY text column (MySQL converts
+    // the data of all string columns, not just the default)
+    assert(reg.applyDdl("db1", "ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4"))
+    val cs = reg.columnCharsets("db1", "t")
+    assert(Set("name", "note", "plain", "extra", "inherited", "later").forall(cs(_) == "utf8mb4"))
+    // and later adds inherit the new default
+    reg.applyDdl("db1", "ALTER TABLE t ADD COLUMN post_cvt VARCHAR(8)")
+    assert(reg.columnCharsets("db1", "t")("post_cvt") == "utf8mb4")
   }
 
   test("multi-table DROP untracks every listed table") {

@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** The driver-contract dump: success writes parquet; a throwing query
+  * leaves an `_ERROR` marker (VERDICT r5 minor 2 — a thrown query must
+  * be distinguishable from a never-declared one in the driver's
+  * artifact).
+  */
+class VerifySpec extends SparkSpec {
+
+  test("runOne dumps a good query and marks a broken one with _ERROR") {
+    val out = Files.createTempDirectory("graft-verify").toString
+    val ok = Verify.runOne(spark, sf, out, "good",
+      (s, dir) => Tables.load(s, dir, "nation").select(col("n_nationkey")))
+    assert(ok)
+    assert(spark.read.parquet(s"$out/good").count() == 25)
+    assert(!Files.exists(Paths.get(out, "good", "_ERROR")))
+
+    val bad = Verify.runOne(spark, sf, out, "broken",
+      (_, _) => throw new IllegalStateException("forced failure"))
+    assert(!bad)
+    val marker = Paths.get(out, "broken", "_ERROR")
+    assert(Files.exists(marker))
+    val txt = Files.readString(marker)
+    assert(txt.contains("IllegalStateException") && txt.contains("forced failure"))
+  }
+}

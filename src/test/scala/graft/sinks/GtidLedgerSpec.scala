@@ -51,6 +51,51 @@ class GtidLedgerSpec extends SparkSpec {
   }
 }
 
+class JdbcDdlExecutorSpec extends AnyFunSuite {
+  import java.util.concurrent.ConcurrentLinkedQueue
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+
+  private def recordingConn(executed: ConcurrentLinkedQueue[String]): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "createStatement" =>
+            Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+              new InvocationHandler {
+                override def invoke(pp: Any, mm: Method, a: Array[AnyRef]): AnyRef = mm.getName match {
+                  case "execute" => executed.add(a(0).asInstanceOf[String]); java.lang.Boolean.FALSE
+                  case _ => null
+                }
+              })
+          case _ => null
+        }
+      }).asInstanceOf[Connection]
+
+  test("executes forwarded DDL; a transient failure consumes an attempt, not the stream") {
+    val executed = new ConcurrentLinkedQueue[String]()
+    var calls = 0
+    val exec = new JdbcDdlExecutor(() => {
+      calls += 1
+      if (calls == 1)
+        throw new java.sql.SQLNonTransientConnectionException("refused", "08001", 2003)
+      recordingConn(executed)
+    })
+    exec("ALTER TABLE `dst`.`t` ADD COLUMN c INT")
+    assert(executed.size == 1 && executed.peek.startsWith("ALTER TABLE `dst`.`t`"))
+    assert(calls == 2)
+  }
+
+  test("a deterministic error fails fast after one attempt") {
+    var calls = 0
+    val exec = new JdbcDdlExecutor({ () =>
+      calls += 1
+      throw new java.sql.SQLSyntaxErrorException("bad DDL", "42000", 1064)
+    })
+    intercept[java.sql.SQLSyntaxErrorException](exec("NOT SQL"))
+    assert(calls == 1)
+  }
+}
+
 /** Static so executor-side closure copies share the counter in local mode. */
 object FlakyConnect {
   val calls = new AtomicInteger
