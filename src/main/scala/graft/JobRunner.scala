@@ -145,13 +145,15 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
                          onDdlForward: String => Unit,
                          watermark: Long = 0L, seqCol: String = "seq",
                          characterSetClient: String = "utf8mb4",
-                         lowerCaseTableNames: Boolean = false): StreamingQuery = {
+                         lowerCaseTableNames: Boolean = false,
+                         registryPath: Option[String] = None,
+                         onSchemaChanged: DdlBarrierEvent => Unit = _ => ()): StreamingQuery = {
     val fromWatermark =
       if (watermark > 0L) changes.filter(col(seqCol) > watermark) else changes
     CdcPipeline.run(fromWatermark, repl,
       JobRunner.charsetDecodingSink(sink, registry), checkpointDir,
       ddlHandler = Some(ddlBarrierHandler(registry, onDdlForward,
-        characterSetClient, lowerCaseTableNames)))
+        characterSetClient, lowerCaseTableNames, registryPath, onSchemaChanged)))
   }
 
   /** The composed K5 barrier handler: one `DdlBarrierEvent` → decode →
@@ -167,10 +169,22 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
     * encoding, mirroring the reference decoding the query event with the
     * session charset before parsing (`binlog_reader.go:543-548`).
     */
+  /** @param registryPath    when set, the registry snapshots here after
+    *                        every schema-changing DDL (atomic write) —
+    *                        `SchemaRegistry.load(path)` on restart
+    *                        resumes the charset feed and table metadata
+    *                        exactly (the reference persists table
+    *                        structures in its job store the same way)
+    * @param onSchemaChanged replan signal: fired after the registry
+    *                        mutates — the hook to restart dependent
+    *                        streaming queries with the new schema
+    */
   def ddlBarrierHandler(registry: SchemaRegistry,
                         onForward: String => Unit,
                         characterSetClient: String = "utf8mb4",
-                        lowerCaseTableNames: Boolean = false): DdlBarrierEvent => Unit = {
+                        lowerCaseTableNames: Boolean = false,
+                        registryPath: Option[String] = None,
+                        onSchemaChanged: DdlBarrierEvent => Unit = _ => ()): DdlBarrierEvent => Unit = {
     // literal rename maps for DdlRewriter (regex renames apply on the
     // DML plane via Relational.renameRegex; DDL text rewrite is literal)
     val renameSchema: Map[String, String] = repl.doDb
@@ -190,6 +204,10 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
       val out = DdlProcessor.process(d.db, d.table, decoded, repl, registry,
         renameSchema, renameTable, lowerCaseTableNames)
       out.sql.foreach(onForward)
+      if (out.schemaChanged) {
+        registryPath.foreach(registry.save)
+        onSchemaChanged(d)
+      }
     }
   }
 

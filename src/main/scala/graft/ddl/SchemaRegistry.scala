@@ -60,6 +60,29 @@ object TypeMapper {
     "'((?:[^']|'')*)'".r.findAllMatchIn(typeText).map(_.group(1).replace("''", "'")).toSeq
 }
 
+object SchemaRegistry {
+  /** Restore a registry persisted by [[SchemaRegistry.save]]; a missing
+    * file yields an empty registry (first run). `StructType.json` keeps
+    * per-column metadata, so the reloaded C9 charset feed is exact.
+    */
+  def load(path: String): SchemaRegistry = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val reg = new SchemaRegistry
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(Files.readString(p))
+      Option(root.get("tables")).foreach(_.elements.asScala.foreach { n =>
+        val d = n.get("db").asText; val t = n.get("table").asText
+        val st = DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType]
+        reg.put(d, t, st)
+        Option(n.get("default_charset")).foreach(c => reg.tableCharsets((d, t)) = c.asText)
+      })
+    }
+    reg
+  }
+}
+
 /** Mutable per-job schema registry; thread-safe for the driver-side
   * control path (DDL is serialized by the batch barrier — K5).
   */
@@ -76,6 +99,30 @@ class SchemaRegistry {
   def drop(db: String, table: String): Unit = { schemas.remove((db, table)); tableCharsets.remove((db, table)) }
   def tables: Seq[(String, String)] = schemas.keys.toSeq
   def tableDefaultCharset(db: String, table: String): Option[String] = tableCharsets.get((db, table))
+
+  /** Persist the registry (reference keeps table structures in its job
+    * store so a restarted applier resumes without re-reading
+    * information_schema mid-stream): one JSON file, written atomically
+    * (tmp + move) so a crash mid-save never leaves a torn registry.
+    * Driver-side control path — called at DDL barriers, not per row.
+    */
+  def save(path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("tables")
+    schemas.toSeq.sortBy(_._1).foreach { case ((d, t), st) =>
+      val n = arr.addObject()
+      n.put("db", d); n.put("table", t); n.put("schema", st.json)
+      tableCharsets.get((d, t)).foreach(cs => n.put("default_charset", cs))
+    }
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** C9 feed — the per-column charset map for a tracked table, read off
     * the StructField metadata captured from DDL text. This is what the

@@ -85,8 +85,11 @@ class JobRunnerSpec extends SparkSpec {
         .getBytes(cp1252), java.nio.charset.StandardCharsets.ISO_8859_1)
     val input = MemoryStream[WireEvent]
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ddl").toString
+    val replans = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = runner.incrementalWithDdl(input.toDF(), sink, s"$dir/cp", registry,
-      s => forwarded.synchronized { forwarded += s }, characterSetClient = "latin1")
+      s => forwarded.synchronized { forwarded += s }, characterSetClient = "latin1",
+      registryPath = Some(s"$dir/registry.json"),
+      onSchemaChanged = d => replans.synchronized { replans += d.seq })
     try {
       input.addData(
         WireEvent("src", "t", "ddl", 1L, rawDdl, null, null),
@@ -101,6 +104,12 @@ class JobRunnerSpec extends SparkSpec {
     assert(registry.columnCharsets("src", "t")("name") == "latin1")
     // DML: raw cp1252 bytes landed as decoded UTF-8 strings
     assert(seen.toMap == Map("k1" -> "café", "k2" -> "naïve €5"))
+    // replan signal fired at the barrier; the persisted registry resumes
+    // the charset feed after a restart (the reference re-loads table
+    // structures from its job store the same way)
+    assert(replans.toSeq == Seq(1L))
+    val resumed = graft.ddl.SchemaRegistry.load(s"$dir/registry.json")
+    assert(resumed.columnCharsets("src", "t")("name") == "latin1")
   }
 
   test("replayBatch: routed change log over snapshot state gives final state") {

@@ -45,6 +45,25 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(reg.columnCharsets("db1", "t")("post_cvt") == "utf8mb4")
   }
 
+  test("save/load round-trips schemas, charset metadata, and table defaults") {
+    val reg = new SchemaRegistry
+    reg.applyDdl("db1",
+      "CREATE TABLE t (id INT, name VARCHAR(20) CHARACTER SET gbk, plain TEXT) DEFAULT CHARSET=latin1")
+    reg.applyDdl("db2", "CREATE TABLE u (k BIGINT NOT NULL, v DECIMAL(10,2))")
+    val path = java.nio.file.Files.createTempDirectory("graft-reg").resolve("registry.json").toString
+    reg.save(path)
+    val back = SchemaRegistry.load(path)
+    assert(back.tables.toSet == Set(("db1", "t"), ("db2", "u")))
+    assert(back.get("db2", "u") == reg.get("db2", "u"))
+    // the C9 feed survives the round trip exactly
+    assert(back.columnCharsets("db1", "t") == Map("name" -> "gbk", "plain" -> "latin1"))
+    // and so does the table default (a post-restart ALTER ADD inherits it)
+    back.applyDdl("db1", "ALTER TABLE t ADD COLUMN post VARCHAR(4)")
+    assert(back.columnCharsets("db1", "t")("post") == "latin1")
+    // missing file = empty registry (first run)
+    assert(SchemaRegistry.load(path + ".nope").tables.isEmpty)
+  }
+
   test("multi-table DROP untracks every listed table") {
     val reg = new SchemaRegistry
     reg.applyDdl("db1", "CREATE TABLE a (id INT)")
