@@ -147,6 +147,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"corpus_report must scan documents once, saw $scans:\n$cr")
   }
 
+  test("portable minhash buckets are ids-only; sig re-join is ShuffledHashJoin") {
+    val df = SparkEntry.queries("dedup_minhash")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_collect_capped"),
+      "portable minhash must bound hot bands with the capped collect")
+    // the 64-long signature must NOT ride the band shuffle (520B/member
+    // structs); only 8-byte doc ids cross, sigs re-join afterwards
+    val aggLines = opt.linesIterator.filter(_.contains("graft_collect_capped")).toSeq
+    assert(aggLines.forall(l => !l.contains("sig")),
+      s"signatures must not cross the bucket shuffle:\n$aggLines")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"sig re-join must be shuffle_hash-pinned (planner broadcast of a corpus side OOMs at probe scale):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"portable minhash grew a cross join:\n$p")
+  }
+
   test("lshPairs candidate generation is capped and vector-free") {
     val df = SparkEntry.queries("emb_lsh_pairs")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString
