@@ -127,6 +127,18 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "s4_offset_chunks" -> ((s, dir) => {
+      // S4 fallback pager as a golden-SQL check (k_sql_builder style):
+      // the LIMIT/OFFSET page set for a keyless table is deterministic
+      // text, so DuckDB rebuilds it from COUNT(*) and hash-matches
+      import s.implicits._
+      val total = t(s, dir, "lineitem").count()
+      ChunkPlanner.offsetFallbackQueries("lineitem", None, total, 5000L)
+        .zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("chunk_idx", "page_sql")
+        .orderBy(col("chunk_idx"))
+    }),
+
     "s2_tx_assembly" -> ((s, dir) => {
       CdcBatch.assembleTx(t(s, dir, "events"), "user_id", "ts", "event_id", 43200000L)
         .select(col("user_id"), col("tx_index"), col("tx_first_seq"), col("tx_last_seq"),
@@ -1019,6 +1031,14 @@ object SparkEntry {
 
     "s3_keyset_chunks" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "s4_offset_chunks" ->
+      """WITH n AS (SELECT COUNT(*) AS total FROM lineitem),
+        |c AS (SELECT CAST(GREATEST(1, CEIL(total / 5000.0)) AS BIGINT) AS k FROM n)
+        |SELECT u.i AS chunk_idx,
+        |  'SELECT * FROM lineitem LIMIT 5000 OFFSET ' || (u.i * 5000) AS page_sql
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) u
+        |ORDER BY chunk_idx""".stripMargin,
 
     "s2_tx_assembly" ->
       """WITH flagged AS (
