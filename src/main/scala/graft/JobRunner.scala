@@ -47,32 +47,46 @@ object JobRunner {
 
   /** C9 over a mixed-table flattened batch (reference ConvertArg per
     * column, `types.go:93-112`, driven by the registry's charset map).
-    * Raw text travels as BINARY columns; for each binary column with at
-    * least one tracked non-UTF-8 charset, one conditional projection
-    * decodes per (db, table) rule and the fallthrough casts as UTF-8
-    * (utf8/utf8mb4 tables and untracked tables — for an unknown charset
-    * the reference forwards raw bytes; here the column unifies to
-    * string, so unknowns decode as UTF-8 best-effort). Single codegen'd
-    * projection, no shuffle, no per-table split of the batch.
+    * Raw text travels as BINARY columns. Contract (stable per tracked
+    * table, independent of what OTHER tables the registry holds):
+    *
+    *   - a binary column that is a tracked TEXT column of the row's
+    *     (db, table) decodes by its charset — known charsets through
+    *     their decoder, utf8/utf8mb4 as a UTF-8 cast, UNKNOWN charsets
+    *     through the lossless ISO-8859-1 byte↔char carrier (the
+    *     reference forwards raw bytes — `encoding.Nop`; getBytes
+    *     (ISO-8859-1) recovers them exactly);
+    *   - rows of untracked (db, table)s in a column that is text
+    *     SOMEWHERE decode as UTF-8 best-effort (the common source
+    *     charset) — the column's output type must unify to string;
+    *   - a column no tracked table declares as text stays BINARY. A
+    *     sink must expect bytes until a CREATE/ALTER teaches the
+    *     registry the column is text — same as the reference before
+    *     table meta is loaded.
+    *
+    * Single codegen'd projection, no shuffle, no per-table batch split.
     */
   def transcodeMixedBatch(batch: DataFrame, registry: SchemaRegistry): DataFrame = {
     if (!batch.columns.contains("db") || !batch.columns.contains("table")) return batch
     val binaryCols = batch.schema.fields
       .collect { case f if f.dataType == org.apache.spark.sql.types.BinaryType => f.name }.toSet
     if (binaryCols.isEmpty) return batch
-    // column -> decode rules, only where a real transcode is needed
+    // one rule per tracked (db, table) per binary text column
     val rules: Map[String, Seq[(String, String, String)]] = registry.tables
       .flatMap { case (d, t) =>
         registry.columnCharsets(d, t).collect {
-          case (cname, cs) if binaryCols(cname) && TypeConversions.javaCharsetOf(cs).isDefined =>
-            (cname, d, t, TypeConversions.javaCharsetOf(cs).get)
+          case (cname, cs) if binaryCols(cname) => (cname, d, t, cs)
         }
       }.groupBy(_._1).map { case (c, rs) => c -> rs.map(r => (r._2, r._3, r._4)) }
     rules.foldLeft(batch) { case (df, (cname, rs)) =>
       val chained = rs.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-        case (acc, (d, t, jc)) =>
+        case (acc, (d, t, cs)) =>
           val cond = col("db") === d && col("table") === t
-          val dec = TypeConversions.transcodeToUtf8(col(cname), jc)
+          val dec = TypeConversions.javaCharsetOf(cs) match {
+            case Some(jc) => TypeConversions.transcodeToUtf8(col(cname), jc)
+            case None if TypeConversions.isUtf8OrMb4(cs) => col(cname).cast("string")
+            case None => decode(col(cname), "ISO-8859-1") // unknown: lossless carrier
+          }
           Some(acc.fold(when(cond, dec))(_.when(cond, dec)))
       }.get
       df.withColumn(cname, chained.otherwise(col(cname).cast("string")))
@@ -160,8 +174,10 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
     * [[graft.ddl.DdlProcessor.process]] (with rename maps derived from
     * this job's [[ReplicationSpec]]) → forward. A statement the route
     * skips, an always-skip kind, or an all-tables-filtered DROP forwards
-    * nothing; the registry still tracks source-side schema so later
-    * events see current metadata.
+    * nothing AND leaves the registry untouched — the registry tracks
+    * only replicated tables, mirroring the reference inspector's scope
+    * (widening the route later requires a fresh schema load, as it does
+    * there).
     *
     * Byte carrier: a DDL statement read off a non-UTF-8 session arrives
     * with each raw byte mapped to one char (ISO-8859-1 mangling — the
@@ -197,10 +213,16 @@ class JobRunner(spark: SparkSession, repl: ReplicationSpec) {
       }
     }.toMap
     (d: DdlBarrierEvent) => {
-      val decoded =
-        if (TypeConversions.isUtf8OrMb4(characterSetClient)) d.sql
-        else TypeConversions.ddlToUtf8(
+      // decode ONLY when a decoder exists for the session charset:
+      // utf8/utf8mb4 carriers are already text, and an UNKNOWN charset
+      // must pass through untouched (reference encoding.Nop) — a forced
+      // UTF-8 decode would turn 0x80-0xFF bytes in a DEFAULT literal
+      // into U+FFFD in the statement forwarded to the target
+      val decoded = TypeConversions.javaCharsetOf(characterSetClient) match {
+        case Some(_) => TypeConversions.ddlToUtf8(
           d.sql.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), characterSetClient)
+        case None => d.sql
+      }
       val out = DdlProcessor.process(d.db, d.table, decoded, repl, registry,
         renameSchema, renameTable, lowerCaseTableNames)
       out.sql.foreach(onForward)

@@ -19,6 +19,14 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       val d = Paths.get(outDir, name)
+      // wipe any prior run's artifacts first: stale part-*.parquet next
+      // to _ERROR would make the gate compare OLD results and pass a
+      // now-broken query — the exact failure mode the marker exposes
+      if (Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.filterNot(_ == d).foreach(Files.delete)
+      }
       Files.createDirectories(d)
       Files.writeString(d.resolve("_ERROR"),
         s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")

@@ -142,13 +142,24 @@ class SchemaRegistry {
     */
   def applyDdl(db: String, sql: String): Boolean = {
     import DdlRewriter._
+    // All positional/regex parsing below runs on a literal-masked copy
+    // (length-preserving, so indexes align with the original): a ')' or
+    // charset-looking text inside a COMMENT literal must not steer the
+    // parse — `ALTER TABLE t COMMENT 'we convert to character set x'`
+    // is a comment, not a conversion.
+    val masked = maskLiterals(sql)
     classify(sql) match {
       case CreateTable =>
         parseCreateTable(db, sql).exists { case ((d, t), st) =>
           put(d, t, st)
-          val close = sql.lastIndexOf(')')
-          if (close >= 0)
-            charsetOf(sql.substring(close + 1)).foreach(cs => tableCharsets((d, t)) = cs)
+          val close = masked.lastIndexOf(')')
+          // explicit DEFAULT CHARSET records; none clears — a re-CREATE
+          // without a charset clause must not inherit a stale default
+          // from a previously-dropped namesake
+          charsetOf(masked.substring(close + 1)) match {
+            case Some(cs) => tableCharsets((d, t)) = cs
+            case None     => tableCharsets.remove((d, t))
+          }
           true
         }
       case DropTable =>
@@ -164,15 +175,23 @@ class SchemaRegistry {
       case Truncate => false // rows change, schema does not
       case AlterTable =>
         tableOf(db, sql).exists { case (d, t) =>
+          val tracked = get(d, t).isDefined
           // ALTER ... DEFAULT CHARSET=x / CONVERT TO CHARACTER SET x
           // updates the recorded table default for later column adds.
-          "(?i)(?:convert\\s+to\\s+character\\s+set|default\\s+(?:character\\s+set|charset))\\s*=?\\s*`?([A-Za-z0-9_]+)`?".r
-            .findFirstMatchIn(sql).foreach(m => tableCharsets((d, t)) = m.group(1).toLowerCase)
+          // Tracked tables only — recording for an unknown table would
+          // leak a default that poisons a later bare CREATE.
+          val newDefault = "(?i)(?:convert\\s+to\\s+character\\s+set|default\\s+(?:character\\s+set|charset))\\s*=?\\s*`?([A-Za-z0-9_]+)`?".r
+            .findFirstMatchIn(masked).map(_.group(1).toLowerCase)
+          val defaultChanged = tracked && newDefault.exists { cs =>
+            val changed = !tableCharsets.get((d, t)).contains(cs)
+            tableCharsets((d, t)) = cs
+            changed
+          }
           // CONVERT TO CHARACTER SET converts EVERY text column (MySQL
           // semantics), so the whole charset feed retags, not just the
           // default for future adds.
           val converted = "(?i)convert\\s+to\\s+character\\s+set\\s+`?([A-Za-z0-9_]+)`?".r
-            .findFirstMatchIn(sql).map(_.group(1).toLowerCase).exists { cs =>
+            .findFirstMatchIn(masked).map(_.group(1).toLowerCase).exists { cs =>
               get(d, t).exists { cur =>
                 put(d, t, StructType(cur.fields.map(f =>
                   if (f.dataType == StringType)
@@ -184,10 +203,12 @@ class SchemaRegistry {
             }
           val altered = get(d, t) match {
             case Some(cur) =>
-              alter(cur, sql, tableCharsets.get((d, t))).exists { st => put(d, t, st); true }
+              alter(cur, masked, tableCharsets.get((d, t))).exists { st => put(d, t, st); true }
             case None => false
           }
-          converted || altered
+          // a changed default alone is schema state too: it must reach
+          // the persisted snapshot or a restart resumes the stale one
+          converted || altered || defaultChanged
         }
       case DropSchema =>
         val victims = schemas.keys.filter(_._1 == schemaOf(db, sql)).toSeq
@@ -207,6 +228,32 @@ class SchemaRegistry {
     val m = "(?i)table\\s+(?:if\\s+(?:not\\s+)?exists\\s+)?(?:`?([A-Za-z0-9_$]+)`?\\.)?`?([A-Za-z0-9_$]+)`?".r
       .findFirstMatchIn(sql)
     m.map(mm => (Option(mm.group(1)).getOrElse(db), mm.group(2)))
+  }
+
+  /** Length-preserving literal mask: every char inside a '...' or "..."
+    * string literal becomes a space ('' and "" escapes handled), so
+    * positional parses (paren indexes) and keyword/charset regexes can
+    * run without being steered by literal content, while indexes still
+    * align with the original text.
+    */
+  private def maskLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var quote: Char = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (quote == 0) {
+        if (c == '\'' || c == '"') quote = c
+      } else {
+        if (c == quote) {
+          // '' / "" inside a literal is an escaped quote, stay inside
+          if (i + 1 < out.length && out(i + 1) == quote) { out(i) = ' '; i += 1; out(i) = ' ' }
+          else quote = 0
+        } else out(i) = ' '
+      }
+      i += 1
+    }
+    new String(out)
   }
 
   /** `CHARACTER SET x` / `CHARSET x` out of one column's type text. */
@@ -233,12 +280,18 @@ class SchemaRegistry {
     * CHARSET) captured as field metadata for the C9 stage.
     */
   def parseCreateTable(db: String, sql: String): Option[((String, String), StructType)] = {
-    val open = sql.indexOf('(')
-    val close = sql.lastIndexOf(')')
+    // paren positions, charset scans, and NOT NULL detection all read
+    // the literal-masked text: a ')' inside COMMENT 'see (notes)' or a
+    // DEFAULT 'not null-ish' literal must not steer the parse. Nothing
+    // below needs literal CONTENT (types, names, charsets are never
+    // quoted strings), so the masked text is parsed throughout.
+    val masked = maskLiterals(sql)
+    val open = masked.indexOf('(')
+    val close = masked.lastIndexOf(')')
     if (open < 0 || close <= open) return None
     tableOf(db, sql).map { case (d, t) =>
-      val body = sql.substring(open + 1, close)
-      val tableDefault = charsetOf(sql.substring(close + 1))
+      val body = masked.substring(open + 1, close)
+      val tableDefault = charsetOf(masked.substring(close + 1))
       val fields = splitTopLevel(body).flatMap { part =>
         val tr = part.trim
         val tok = tr.split("[\\s(]")(0).replace("`", "")
@@ -259,33 +312,44 @@ class SchemaRegistry {
     }
   }
 
+  /** `sql` arrives literal-masked from applyDdl. The operation is the
+    * first word-bounded ADD/DROP/MODIFY/CHANGE keyword AFTER the table
+    * name — a substring test (`contains("add")`) would misdispatch
+    * `DROP COLUMN address` into the add branch and silently ignore it,
+    * and the prefix strip keeps a table named `add`/`drop` from
+    * matching as the operation.
+    */
   private def alter(cur: StructType, sql: String,
                     tableDefault: Option[String]): Option[StructType] = {
-    val lower = sql.toLowerCase
+    val tail = "(?is)^\\s*alter\\s+(?:ignore\\s+)?table\\s+\\S+\\s+(.*)$".r
+      .findFirstMatchIn(sql).map(_.group(1)).getOrElse(sql)
     val addCol = "(?i)add\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?\\s+([^,]+)".r
     val dropCol = "(?i)drop\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?".r
     val modCol = "(?i)(?:modify|change)\\s+(?:column\\s+)?`?([A-Za-z0-9_$]+)`?\\s+(?:`?([A-Za-z0-9_$]+)`?\\s+)?([^,]+)".r
-    if (lower.contains("add")) {
-      addCol.findFirstMatchIn(sql).map { m =>
-        StructType(cur.fields :+ withCharset(
-          StructField(m.group(1), TypeMapper.mysqlToSpark(m.group(2)), nullable = true),
-          m.group(2), tableDefault))
-      }
-    } else if (lower.contains("drop")) {
-      dropCol.findFirstMatchIn(sql).map { m =>
-        StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(m.group(1))))
-      }
-    } else if (lower.contains("modify") || lower.contains("change")) {
-      modCol.findFirstMatchIn(sql).map { m =>
-        val oldName = m.group(1)
-        val newName = Option(m.group(2)).getOrElse(oldName)
-        val newType = TypeMapper.mysqlToSpark(m.group(3))
-        StructType(cur.fields.map(f =>
-          if (f.name.equalsIgnoreCase(oldName))
-            withCharset(StructField(newName, newType, f.nullable), m.group(3), tableDefault)
-          else f))
-      }
-    } else None
+    "(?i)\\b(add|drop|modify|change)\\b".r.findFirstMatchIn(tail)
+      .map(_.group(1).toLowerCase) match {
+      case Some("add") =>
+        addCol.findFirstMatchIn(tail).map { m =>
+          StructType(cur.fields :+ withCharset(
+            StructField(m.group(1), TypeMapper.mysqlToSpark(m.group(2)), nullable = true),
+            m.group(2), tableDefault))
+        }
+      case Some("drop") =>
+        dropCol.findFirstMatchIn(tail).map { m =>
+          StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(m.group(1))))
+        }
+      case Some("modify") | Some("change") =>
+        modCol.findFirstMatchIn(tail).map { m =>
+          val oldName = m.group(1)
+          val newName = Option(m.group(2)).getOrElse(oldName)
+          val newType = TypeMapper.mysqlToSpark(m.group(3))
+          StructType(cur.fields.map(f =>
+            if (f.name.equalsIgnoreCase(oldName))
+              withCharset(StructField(newName, newType, f.nullable), m.group(3), tableDefault)
+            else f))
+        }
+      case _ => None
+    }
   }
 
   private def splitTopLevel(s: String): Seq[String] = {

@@ -23,23 +23,9 @@ class JdbcDdlExecutor(connect: () => Connection,
                       maxAttempts: Int = JdbcUpsertSink.RetryTxLimit)
     extends (String => Unit) with Serializable {
 
-  override def apply(sql: String): Unit = {
-    var attempt = 1
-    var done = false
-    while (!done) {
-      var conn: Connection = null
-      try {
-        conn = connect()
-        val st = conn.createStatement()
-        try { st.execute(sql); done = true } finally st.close()
-      } catch {
-        case e: Throwable =>
-          if (attempt >= maxAttempts || !JdbcUpsertSink.retryable(e)) throw e
-          attempt += 1
-          Thread.sleep(math.min(1000L, 50L << (attempt - 2)))
-      } finally {
-        if (conn != null) { try conn.close() catch { case _: Throwable => () } }
-      }
+  override def apply(sql: String): Unit =
+    JdbcUpsertSink.retryWithConnection(connect, maxAttempts) { conn =>
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
     }
-  }
 }

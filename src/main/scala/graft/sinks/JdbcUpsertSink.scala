@@ -71,35 +71,15 @@ class JdbcUpsertSink(
         // group sizing / admission control — the reference buffers the
         // same window in its applier queue (`applier_incr.go:694-730`).
         val buffered = rows.toArray
-        var attempt = 1
-        var applied = false
-        while (!applied) {
-          // conn acquisition is INSIDE the retried block: right after a
-          // deadlock/failover on a busy target, the reconnect itself is
-          // the most likely transient failure — it must consume an
-          // attempt, not escape the budget and fail the stream.
-          var conn: Connection = null
-          var cache: StatementCache = null
+        JdbcUpsertSink.retryWithConnection(connectF) { conn =>
+          conn.setAutoCommit(false)
+          // fresh cache per attempt: statements belong to the attempt's
+          // connection; a retried tx must not reuse a possibly-poisoned one
+          val cache = new StatementCache(conn)
           try {
-            conn = connectF()
-            conn.setAutoCommit(false)
-            // fresh cache per attempt: statements belong to the attempt's
-            // connection; a retried tx must not reuse a possibly-poisoned one
-            cache = new StatementCache(conn)
             JdbcUpsertSink.applyRows(buffered, cache, tableDef, job, lSchema, oc, gc)
             conn.commit()
-            applied = true
-          } catch {
-            case e: Throwable =>
-              if (conn != null) try conn.rollback() catch { case _: Throwable => () }
-              if (attempt >= JdbcUpsertSink.RetryTxLimit || !JdbcUpsertSink.retryable(e))
-                throw e
-              attempt += 1
-              Thread.sleep(math.min(1000L, 50L << (attempt - 2)))
-          } finally {
-            if (cache != null) cache.close()
-            if (conn != null) try conn.close() catch { case _: Throwable => () }
-          }
+          } finally cache.close()
         }
       }
     }
@@ -121,6 +101,35 @@ object JdbcUpsertSink {
   /** Max attempts for one partition transaction (reference
     * `driver/driver.go:168-169` RetryTxLimit = 5). */
   val RetryTxLimit = 5
+
+  /** The one attempt loop both the row sink and [[JdbcDdlExecutor]]
+    * run: acquire a connection INSIDE the budget (a reconnect after
+    * failover is itself the likely transient failure), run `body`,
+    * roll back + back off + retry on [[retryable]] errors, close the
+    * connection per attempt. `body` owns autocommit/commit and any
+    * per-attempt state (statement caches) — a retry must never see a
+    * possibly-poisoned connection or cache.
+    */
+  def retryWithConnection[A](connect: () => Connection,
+                             maxAttempts: Int = RetryTxLimit)(body: Connection => A): A = {
+    var attempt = 1
+    while (true) {
+      var conn: Connection = null
+      try {
+        conn = connect()
+        return body(conn)
+      } catch {
+        case e: Throwable =>
+          if (conn != null) try conn.rollback() catch { case _: Throwable => () }
+          if (attempt >= maxAttempts || !retryable(e)) throw e
+          attempt += 1
+          Thread.sleep(math.min(1000L, 50L << (attempt - 2)))
+      } finally {
+        if (conn != null) { try conn.close() catch { case _: Throwable => () } }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** A failure worth replaying the transaction for: serialization/deadlock
     * (SQLState 40xxx — includes MySQL 1213 ER_LOCK_DEADLOCK), lock wait

@@ -64,6 +64,51 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(SchemaRegistry.load(path + ".nope").tables.isEmpty)
   }
 
+  test("literal-blind parsing: charset text and parens inside COMMENTs are inert") {
+    val reg = new SchemaRegistry
+    // ')' inside a trailing comment must not truncate the body parse or
+    // hide the real DEFAULT CHARSET
+    reg.applyDdl("db1",
+      "CREATE TABLE t (id INT, txt VARCHAR(8)) DEFAULT CHARSET=latin1 COMMENT 'see (notes)'")
+    assert(reg.get("db1", "t").get.fieldNames.toSeq == Seq("id", "txt"))
+    assert(reg.tableDefaultCharset("db1", "t").contains("latin1"))
+    // charset-looking text inside a comment literal is not a conversion
+    assert(!reg.applyDdl("db1",
+      "ALTER TABLE t COMMENT 'we convert to character set utf8mb4 next sprint'"))
+    assert(reg.columnCharsets("db1", "t")("txt") == "latin1")
+    // and a bogus charset in a CREATE comment records no default
+    reg.applyDdl("db1", "CREATE TABLE u (x TEXT) COMMENT 'legacy charset=gbk data'")
+    assert(reg.tableDefaultCharset("db1", "u").isEmpty)
+  }
+
+  test("ALTER dispatch is keyword-bounded: DROP COLUMN address really drops") {
+    val reg = new SchemaRegistry
+    reg.applyDdl("db1", "CREATE TABLE t (id INT, address VARCHAR(40), padding TEXT)")
+    assert(reg.applyDdl("db1", "ALTER TABLE t DROP COLUMN address"))
+    assert(reg.get("db1", "t").get.fieldNames.toSeq == Seq("id", "padding"))
+    assert(reg.applyDdl("db1", "ALTER TABLE t MODIFY COLUMN padding VARCHAR(99)"))
+    assert(reg.get("db1", "t").get("padding").dataType == StringType)
+  }
+
+  test("default-charset-only ALTER signals schemaChanged; untracked tables never leak one") {
+    val reg = new SchemaRegistry
+    reg.applyDdl("db1", "CREATE TABLE t (x VARCHAR(4))")
+    // tracked: the new default is registry state → true (persist + replan)
+    assert(reg.applyDdl("db1", "ALTER TABLE t DEFAULT CHARSET=gbk"))
+    assert(reg.tableDefaultCharset("db1", "t").contains("gbk"))
+    // same default again: no state change
+    assert(!reg.applyDdl("db1", "ALTER TABLE t DEFAULT CHARSET=gbk"))
+    // untracked: must not record anything — a later bare CREATE would
+    // wrongly inherit it
+    assert(!reg.applyDdl("db1", "ALTER TABLE ghost DEFAULT CHARSET=gbk"))
+    reg.applyDdl("db1", "CREATE TABLE ghost (txt VARCHAR(8))")
+    assert(reg.columnCharsets("db1", "ghost").isEmpty)
+    // re-CREATE without a charset clause clears a stale default
+    reg.applyDdl("db1", "DROP TABLE t")
+    reg.applyDdl("db1", "CREATE TABLE t (x VARCHAR(4))")
+    assert(reg.tableDefaultCharset("db1", "t").isEmpty)
+  }
+
   test("multi-table DROP untracks every listed table") {
     val reg = new SchemaRegistry
     reg.applyDdl("db1", "CREATE TABLE a (id INT)")

@@ -26,4 +26,17 @@ class VerifySpec extends SparkSpec {
     val txt = Files.readString(marker)
     assert(txt.contains("IllegalStateException") && txt.contains("forced failure"))
   }
+
+  test("a regression wipes the previous run's parquet — no stale pass") {
+    val out = Files.createTempDirectory("graft-verify").toString
+    assert(Verify.runOne(spark, sf, out, "q",
+      (s, dir) => Tables.load(s, dir, "region").select(col("r_regionkey"))))
+    assert(spark.read.parquet(s"$out/q").count() == 5)
+    // same name now throws: the old part files must NOT survive beside
+    // _ERROR, or the gate would grade run 1's results and pass
+    assert(!Verify.runOne(spark, sf, out, "q",
+      (_, _) => throw new RuntimeException("regressed")))
+    val dir = new java.io.File(s"$out/q")
+    assert(dir.listFiles().map(_.getName).toSet == Set("_ERROR"))
+  }
 }

@@ -26,6 +26,11 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        if os.path.exists(os.path.join(d, "_ERROR")):
+            # the query threw on the Spark side; never grade leftovers
+            err = open(os.path.join(d, "_ERROR")).read().strip()[:200]
+            results[name] = {"check": "builder_error", "ok": False, "err": err}
+            continue
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
