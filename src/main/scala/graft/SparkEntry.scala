@@ -666,6 +666,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      // same continual-ingest split as dedup_incremental, exact stage
+      // only, through the Bloom pre-filter: the sketch prunes before
+      // any shuffle and the md5 verify join keeps the result
+      // bit-identical to the plain exact anti-join (= this oracle)
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalExactBloom(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", expectedItems = 100000L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "dedup_minhash_md5" -> ((s, dir) => {
       // the portable-arithmetic LSH witness: same construction as
       // dedup_minhash, every hash reproducible in ANSI SQL -> the
@@ -1367,6 +1380,14 @@ object SparkEntry {
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental_bloom" ->
+      """WITH base AS (SELECT doc_id,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  doc_id % 5 = 0 AS is_batch FROM documents)
+        |SELECT doc_id FROM base b WHERE b.is_batch
+        |  AND md5(b.norm) NOT IN (SELECT md5(norm) FROM base WHERE NOT is_batch)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH base AS (SELECT doc_id, text,

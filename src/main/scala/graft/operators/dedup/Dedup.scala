@@ -152,6 +152,42 @@ object Dedup {
       batch(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Exact incremental dedup with a Bloom pre-filter — the 100 TB shape
+    * of "is today's doc already in the corpus". The accumulated index's
+    * content hashes fold into ONE Bloom sketch (native
+    * `graft_bloom_agg`, bytes ∝ `expectedItems`, independent of corpus
+    * bytes — map-side partial merge, the shuffle carries sketch bytes
+    * not hashes), the batch probes it with a codegen'd
+    * `graft_might_contain` literal (the ~99% of rows the sketch clears
+    * NEVER enter a shuffle), and only the candidates exact-join back
+    * against the index's md5 set to kill false positives. Bloom has no
+    * false negatives and the verify join is 128-bit-exact, so the
+    * result is bit-identical to the plain exact anti-join — same
+    * oracle, radically less shuffle at scale.
+    */
+  def incrementalExactBloom(index: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            expectedItems: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    val h64 = xxhash64(normText(col(textCol)))
+    // one small binary (default sketch ≈ 1 MB) — driver-safe collect,
+    // inlined as a foldable literal so might_contain codegens against a
+    // constant (the same contract the runtime-filter optimizer uses)
+    val bfBytes = index.select(h64.as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probed = batch.withColumn("__hit", call_function("graft_might_contain", lit(bfBytes), h64))
+    val clear = probed.filter(!col("__hit"))
+    val indexSet = index.select(md5(normText(col(textCol))).as("__md5")).distinct()
+    val surviving = probed.filter(col("__hit"))
+      .withColumn("__md5", md5(normText(col(textCol))))
+      // the index md5 set is corpus-sized: pin shuffle_hash, never let
+      // the planner broadcast it (the measured lshPairs OOM shape)
+      .join(indexSet.hint("shuffle_hash"), Seq("__md5"), "left_anti")
+      .drop("__md5")
+    clear.unionByName(surviving).drop("__hit")
+  }
+
   /** Connected-component style cluster assignment from a pair list:
     * each doc maps to the min id it is (transitively, one hop) paired
     * with. Full transitive closure needs iterative joins (GraphX-style

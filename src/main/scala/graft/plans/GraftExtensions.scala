@@ -53,6 +53,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashSigAgg(children.head, k, portable)
       }
     ))
+    // Spark's runtime-filter Bloom machinery, exposed as functions: the
+    // classes are public but only the optimizer's InjectRuntimeFilter
+    // instantiates them — registering them gives the dedup family an
+    // explicit corpus-membership sketch (bytes ∝ expectedItems, not
+    // corpus size) with native codegen'd probing.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_agg(h, estimatedItems) takes a long column and a long literal")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1))
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain(bloom, h) takes the sketch bytes and a long column")
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }
+    ))
     ext.injectFunction((
       FunctionIdentifier("graft_collect_capped"),
       new ExpressionInfo(classOf[graft.functions.BoundedCollectList].getName, "graft_collect_capped"),

@@ -143,6 +143,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("Bloom-prefiltered incremental dedup is bit-identical to the exact anti-join") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val index = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val viaBloom = Dedup.incrementalExactBloom(index, batch, "doc_id", "text",
+        expectedItems = 10000L)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth: plain exact anti-join on normalized md5
+    val idxHashes = index.select(md5(Dedup.normText(col("text"))).as("h"))
+    val truth = batch.select(col("doc_id"), md5(Dedup.normText(col("text"))).as("h"))
+      .join(idxHashes, Seq("h"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == truth)
+    assert(truth.nonEmpty) // sf0.001 has no exact cross-split dups: all survive — equality above is the real check
+    // the probe is a codegen'd literal filter, and the verify join never
+    // broadcasts the corpus-sized index hash set
+    val plan = Dedup.incrementalExactBloom(index, batch, "doc_id", "text", 10000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+  }
+
   test("MinHashSigAgg matches the declarative k-min formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val k = 16
