@@ -66,6 +66,25 @@ object ScaleProbe {
             .select(col("doc_id"), col("text")),
           "doc_id", "text", minOverlap = 0.1)
       }
+      time("contamination_bloom", k) {
+        // same fixed-eval shape, Bloom-pruned train side
+        operators.Contamination.evalOverlapBloom(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", minOverlap = 0.1)
+      }
+      time("dedup_incremental_bloom", k) {
+        // expectedItems × 8 bits is capped by
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (67M
+        // default) — 8M items = 64M bits is the largest default sketch;
+        // beyond that, raise the conf or accept a higher fpp (the
+        // verify join keeps the result exact either way)
+        operators.dedup.Dedup.incrementalExactBloom(
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", expectedItems = math.min(400000L * k, 8000000L))
+      }
       time("sample_mixture", k) {
         operators.Sampling.sampleMixture(d, "doc_id", "source",
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))

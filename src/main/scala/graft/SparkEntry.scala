@@ -988,6 +988,20 @@ object SparkEntry {
         .orderBy(col("eval_id"), col("train_id"))
     }),
 
+    "contamination_bloom" -> ((s, dir) => {
+      // the Bloom-prefiltered scale path: only train shingles that might
+      // hit an eval shingle enter the shuffle; result is bit-identical
+      // (no false negatives; false positives die in the bucket filter),
+      // so it shares contamination's oracle
+      val docs = t(s, dir, "documents")
+      Contamination.evalOverlapBloom(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", n = 3, minOverlap = 0.1, maxShingleDf = 1000,
+          expectedEvalShingles = 100000L)
+        .orderBy(col("eval_id"), col("train_id"))
+    }),
+
     // ----- beyond-parity: embedding utilities -----
 
     "emb_l2norm" -> ((s, dir) => {
@@ -2011,6 +2025,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "contamination" ->
+      """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  doc_id % 10 = 0 AS is_eval FROM documents),
+        |w AS (SELECT doc_id, is_eval, string_split(norm, ' ') AS words FROM base),
+        |s2 AS (SELECT doc_id, is_eval, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, is_eval, len(sh) AS n, unnest(sh) AS shingle FROM s2 WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        |p AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id, ev.n AS n_eval, COUNT(*) AS common
+        |      FROM f ev JOIN f tr USING (shingle) WHERE ev.is_eval AND NOT tr.is_eval GROUP BY 1, 2, 3)
+        |SELECT eval_id, train_id, common, round(common / CAST(n_eval AS DOUBLE), 6) AS overlap_frac
+        |FROM p WHERE round(common / CAST(n_eval AS DOUBLE), 6) >= 0.1
+        |ORDER BY eval_id, train_id""".stripMargin,
+
+    // identical by construction: the Bloom stage cannot change the result
+    "contamination_bloom" ->
       """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
         |  doc_id % 10 = 0 AS is_eval FROM documents),
         |w AS (SELECT doc_id, is_eval, string_split(norm, ' ') AS words FROM base),

@@ -33,17 +33,46 @@ object Contamination {
     * n-grams, `overlap_frac` = common / eval's distinct n-gram count,
     * kept when the (6-dp rounded) fraction reaches `minOverlap`.
     */
+  private def side(df: DataFrame, tag: Int, idCol: String, textCol: String, n: Int): DataFrame =
+    Partitioning.ensureMinParallelism(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), n).as("sh_arr"))
+      .select(lit(tag).as("side"), col("doc_id"),
+        size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("sh"))
+
   def evalOverlap(train: DataFrame, eval: DataFrame,
                   idCol: String, textCol: String,
                   n: Int = 3, minOverlap: Double = 0.2,
-                  maxShingleDf: Int = 1000): DataFrame = {
-    def side(df: DataFrame, tag: Int): DataFrame =
-      Partitioning.ensureMinParallelism(
-          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-        .select(col("doc_id"), Dedup.shingleHashes(col("text"), n).as("sh_arr"))
-        .select(lit(tag).as("side"), col("doc_id"),
-          size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("sh"))
+                  maxShingleDf: Int = 1000): DataFrame =
+    scoredPairs(side(train, 0, idCol, textCol, n), side(eval, 1, idCol, textCol, n),
+      minOverlap, maxShingleDf)
 
+  /** [[evalOverlap]] with a Bloom pre-filter on the TRAIN side — the
+    * 100 TB asymmetry exploited one step earlier: benchmarks are small
+    * and fixed, so their shingle hashes fold into one sketch, and only
+    * train shingle rows that MIGHT hit an eval shingle enter the bucket
+    * shuffle. The shuffle volume becomes ~|matching train rows| instead
+    * of the train corpus's whole shingle stream. Identical result: the
+    * sketch has no false negatives, and a false positive only creates a
+    * single-side bucket the existing `size(evals) >= 1` filter drops —
+    * so this shares `contamination`'s oracle bit-for-bit.
+    */
+  def evalOverlapBloom(train: DataFrame, eval: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, minOverlap: Double = 0.2,
+                       maxShingleDf: Int = 1000,
+                       expectedEvalShingles: Long = 1000000L): DataFrame = {
+    val evalSide = side(eval, 1, idCol, textCol, n)
+    val bf = evalSide
+      .agg(call_function("graft_bloom_agg", col("sh"), lit(expectedEvalShingles)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainSide = side(train, 0, idCol, textCol, n)
+      .filter(call_function("graft_might_contain", lit(bf), col("sh")))
+    scoredPairs(trainSide, evalSide, minOverlap, maxShingleDf)
+  }
+
+  private def scoredPairs(trainSide: DataFrame, evalSide: DataFrame,
+                          minOverlap: Double, maxShingleDf: Int): DataFrame = {
     // Per-side capped collects: only the m_eval × m_train cross product
     // is ever exploded. The single-list alternative (explode members,
     // filter eval, explode members again, filter train) materializes
@@ -54,7 +83,7 @@ object Contamination {
     // Cap semantics unchanged: both collects bound at maxShingleDf+1,
     // so a bucket whose TOTAL membership exceeds the cap is detected
     // and dropped exactly as the single-list form did.
-    val buckets = side(train, 0).unionByName(side(eval, 1))
+    val buckets = trainSide.unionByName(evalSide)
       .groupBy(col("sh"))
       .agg(
         graft.functions.BoundedCollectList.column(

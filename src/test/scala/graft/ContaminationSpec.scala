@@ -50,6 +50,23 @@ class ContaminationSpec extends SparkSpec {
     assert(uncapped.count() == 20)
   }
 
+  test("Bloom-prefiltered variant is bit-identical to evalOverlap on the fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val plain = key(Contamination.evalOverlap(train, eval, "doc_id", "text",
+      n = 3, minOverlap = 0.1, maxShingleDf = 1000))
+    val bloom = key(Contamination.evalOverlapBloom(train, eval, "doc_id", "text",
+      n = 3, minOverlap = 0.1, maxShingleDf = 1000, expectedEvalShingles = 10000L))
+    assert(plain.nonEmpty && bloom == plain)
+    // the probe sits on the train side before the shuffle
+    val plan = Contamination.evalOverlapBloom(train, eval, "doc_id", "text",
+      expectedEvalShingles = 10000L).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+  }
+
   test("fixture run matches the rows-only contract: threshold respected") {
     val docs = Tables.load(spark, sf, "documents")
     val got = Contamination.evalOverlap(
