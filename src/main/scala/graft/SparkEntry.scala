@@ -764,6 +764,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_topk_quantized" -> ((s, dir) => {
+      // IVF-SQ8 composite: inverted lists + int8 codes (the FAISS
+      // IVF+SQ8 memory shape). Portable micro-unit centroids + the
+      // ANSI-portable quantizer keep the whole build→probe→re-rank
+      // pipeline hash-oracled
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfQuantizedTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ivf_topk_seed" -> ((s, dir) => {
       // the IVF witness: iters=0 keeps the deterministic seed centroids
       // (the nLists lowest-id vectors), so assignment, probing, and
@@ -1623,6 +1634,48 @@ object SparkEntry {
         |s AS (SELECT p.query_id, a.vec_id AS corpus_id,
         |    list_cosine_similarity(a.v, p.qv) AS cos
         |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
+        |FROM s
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_topk_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |a1 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m1 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a1 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l1 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
+        |cent1 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent0 c LEFT JOIN l1 l ON l.cid = c.cid),
+        |a2 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m2 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a2 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l2 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m2 GROUP BY cid),
+        |cent2 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent1 c LEFT JOIN l2 l ON l.cid = c.cid),
+        |scoredc AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent2 c),
+        |assign AS (SELECT vec_id, v, cid FROM scoredc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM scoredc WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) <= 4),
+        |qz AS (SELECT a.vec_id, a.cid,
+        |    list_transform(a.v, x -> greatest(-127.0, least(127.0,
+        |      sign(x) * floor(abs(x) * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) + 0.5)))) AS v8
+        |  FROM (SELECT *, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM assign) a),
+        |s AS (SELECT p.query_id, z.vec_id AS corpus_id,
+        |    list_cosine_similarity(z.v8, p.qv) AS cos
+        |  FROM qz z JOIN probes p ON z.cid = p.cid AND z.vec_id <> p.query_id)
         |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
         |FROM s
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)

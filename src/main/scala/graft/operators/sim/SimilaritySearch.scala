@@ -250,38 +250,40 @@ object SimilaritySearch {
     * candidate join is equi-key on the list id, so work scales with
     * probed-list sizes, not the corpus.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.Column
+  /** (cosine, idx) structs against every centroid — argmax/top-probe
+    * both read off this array. The whole centroid matrix rides as ONE
+    * array<array<double>> literal (a single constant object in
+    * codegen) and the per-centroid loop is a higher-order transform —
+    * at nLists=1024 the plan stays flat instead of inlining
+    * nLists × dim scalar literals into generated Java.
+    */
+  private def scoredLists(vec: org.apache.spark.sql.Column,
+                          cs: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val matrix = typedlit(cs.map(_.toIndexedSeq).toIndexedSeq)
+    // field aliases inside a HOF lambda don't survive analysis — name
+    // the struct positionally via the cast instead
+    sort_array(
+      transform(matrix, (c, i) => struct(cosineNative(vec, c), i)
+        .cast("struct<cos:double,cid:int>")),
+      asc = false)
+  }
+
+  private def nearest(vec: org.apache.spark.sql.Column,
+                      cs: Array[Array[Double]]): org.apache.spark.sql.Column =
+    scoredLists(vec, cs).getItem(0).getField("cid")
+
+  /** Deterministic seed + Lloyd refinement (mean of assigned vectors).
+    * The mean is computed in integer micro-units — floor(x·10^6) summed
+    * as BIGINT (exact, order-free), then one fixed double division
+    * chain — so the refined centroids are bit-identical run to run AND
+    * reproducible by an ANSI engine: this is what lets `sim_ivf_topk`
+    * (iters=2) carry a full DuckDB hash oracle instead of rows-only
+    * (a double `avg()` here varies with partial-sum order). Only the
+    * (nLists × dim) matrix ever reaches the driver.
+    */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int, iters: Int): Array[Array[Double]] = {
     val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-
-    /** (cosine, idx) structs against every centroid — argmax/top-probe
-      * both read off this array. The whole centroid matrix rides as ONE
-      * array<array<double>> literal (a single constant object in
-      * codegen) and the per-centroid loop is a higher-order transform —
-      * at nLists=1024 the plan stays flat instead of inlining
-      * nLists × dim scalar literals into generated Java.
-      */
-    def scoredLists(vec: Column, cs: Array[Array[Double]]): Column = {
-      val matrix = typedlit(cs.map(_.toIndexedSeq).toIndexedSeq)
-      // field aliases inside a HOF lambda don't survive analysis — name
-      // the struct positionally via the cast instead
-      sort_array(
-        transform(matrix, (c, i) => struct(cosineNative(vec, c), i)
-          .cast("struct<cos:double,cid:int>")),
-        asc = false)
-    }
-
-    def nearest(vec: Column, cs: Array[Array[Double]]): Column =
-      scoredLists(vec, cs).getItem(0).getField("cid")
-
-    // deterministic seed + Lloyd refinement (mean of assigned vectors).
-    // The mean is computed in integer micro-units — floor(x·10^6) summed
-    // as BIGINT (exact, order-free), then one fixed double division
-    // chain — so the refined centroids are bit-identical run to run AND
-    // reproducible by an ANSI engine: this is what lets `sim_ivf_topk`
-    // (iters=2) carry a full DuckDB hash oracle instead of rows-only
-    // (a double `avg()` here varies with partial-sum order).
     var centroids = c0.orderBy(col("corpus_id")).limit(nLists)
       .select(col("cvec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -300,7 +302,13 @@ object SimilaritySearch {
         }
       }.toArray
     }
+    centroids
+  }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
     val indexed = c0.withColumn("cid", nearest(col("cvec"), centroids))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("probe", explode(slice(
@@ -313,6 +321,66 @@ object SimilaritySearch {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-SQ8 composite index build — the FAISS IVF+SQ8 memory shape on
+    * DataFrames: portable Lloyd centroids partition the corpus into
+    * `nLists` inverted lists and each vector is stored int8-quantized
+    * (4× smaller lists; cosine is scale-invariant so only the codes are
+    * kept). Returns (lists, centroids): `lists` =
+    * (cid, corpus_id, vec8 array<tinyint>) — persist it partitioned BY
+    * cid so a probe scan prunes at the file level — and `centroids` =
+    * (cid, centroid array<double>), which defines the probe geometry
+    * and must ride with the index.
+    */
+  def buildIvfQuantizedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                             nLists: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    val lists = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cid", nearest(col("cvec"), centroids))
+      .select(col("cid"), col("corpus_id"),
+        quantizeInt8(col("cvec")).getField("q").as("vec8"))
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+    (lists, centDf)
+  }
+
+  /** Top-k over a PERSISTED IVF-SQ8 index: probe the `nProbe` nearest
+    * lists per query (centroid matrix re-read from the small `centroids`
+    * frame — driver-side, nLists × dim), then exact int8×float cosine
+    * re-rank INSIDE the probed lists only. Work scales with probed-list
+    * bytes — already 4× smaller than float32 — not the corpus.
+    */
+  def ivfQuantizedTopKFromIndex(lists: DataFrame, centroids: DataFrame,
+                                queries: DataFrame, idCol: String, vecCol: String,
+                                k: Int, nProbe: Int = 4): DataFrame = {
+    val cs = centroids.orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("probe", explode(slice(
+        transform(scoredLists(col("qvec"), cs), s => s.getField("cid")), 1, nProbe)))
+    val cands = lists.join(probes.withColumnRenamed("probe", "cid"), Seq("cid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosineNative(col("vec8"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** In-query IVF-SQ8 (build + search in one plan) — the `queries()`
+    * form; production persists [[buildIvfQuantizedIndex]] once and
+    * searches with [[ivfQuantizedTopKFromIndex]].
+    */
+  def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val (lists, cents) = buildIvfQuantizedIndex(corpus, idCol, vecCol, nLists, iters)
+    ivfQuantizedTopKFromIndex(lists, cents, queries, idCol, vecCol, k, nProbe)
   }
 
   /** LSH bucket for table `table`: sign bits of `nBits` projections onto

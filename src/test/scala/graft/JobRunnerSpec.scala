@@ -112,6 +112,34 @@ class JobRunnerSpec extends SparkSpec {
     assert(resumed.columnCharsets("src", "t")("name") == "latin1")
   }
 
+  test("transcodeMixedBatch contract: per-table decode, lossless unknown, stable binary") {
+    val reg = new graft.ddl.SchemaRegistry
+    reg.applyDdl("s", "CREATE TABLE latin (v VARCHAR(20)) DEFAULT CHARSET=latin1")
+    reg.applyDdl("s", "CREATE TABLE utf (v VARCHAR(20)) DEFAULT CHARSET=utf8mb4")
+    reg.applyDdl("s", "CREATE TABLE weird (v VARCHAR(20)) DEFAULT CHARSET=armscii8") // unknown to the map
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val rows = Seq(
+      ("s", "latin", "café €".getBytes(cp1252), Array[Byte](1, 2)),
+      ("s", "utf", "café €".getBytes(utf8), Array[Byte](3, 4)),
+      ("s", "weird", Array[Byte](0x41, 0x9D.toByte, 0x42), Array[Byte](5, 6)),
+      ("s", "untracked", "plain".getBytes(utf8), Array[Byte](7, 8)))
+      .toDF("db", "table", "v", "payload")
+    val out = JobRunner.transcodeMixedBatch(rows, reg)
+    // v: text somewhere -> unified string column, per-table decode
+    val byTable = out.select("table", "v").as[(String, String)].collect().toMap
+    assert(byTable("latin") == "café €")   // cp1252 decoded
+    assert(byTable("utf") == "café €")     // utf8 cast
+    // unknown charset: ISO-8859-1 carrier — bytes recoverable exactly
+    assert(byTable("weird").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1).toSeq ==
+      Seq[Byte](0x41, 0x9D.toByte, 0x42))
+    assert(byTable("untracked") == "plain") // best-effort utf8
+    // payload: no tracked table declares it text -> stays BINARY
+    assert(out.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    // registry-independent columns: db/table untouched
+    assert(out.columns.toSeq == rows.columns.toSeq)
+  }
+
   test("replayBatch: routed change log over snapshot state gives final state") {
     val repl = ReplicationSpec(doDb = Seq(SchemaSpec("db")), skipOps = Set("ddl"),
       selfServerId = Some("self"))

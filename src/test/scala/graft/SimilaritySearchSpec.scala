@@ -158,6 +158,33 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(fromIdx == inline && fromIdx.nonEmpty)
   }
 
+  test("IVF-SQ8: parquet round-trip searches identically; full probe = flat int8 search") {
+    import org.apache.spark.sql.functions.col
+    val nLists = 8
+    val (lists, cents) = SimilaritySearch.buildIvfQuantizedIndex(emb, "vec_id", "embedding",
+      nLists = nLists, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+    lists.write.partitionBy("cid").parquet(s"$dir/lists")
+    cents.write.parquet(s"$dir/cents")
+    val listsBack = spark.read.parquet(s"$dir/lists")
+    val centsBack = spark.read.parquet(s"$dir/cents")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // persisted index == in-query build
+    val fromDisk = rows(SimilaritySearch.ivfQuantizedTopKFromIndex(
+      listsBack, centsBack, queries, "vec_id", "embedding", k = 5, nProbe = 3))
+    val inQuery = rows(SimilaritySearch.ivfQuantizedTopK(
+      emb, queries, "vec_id", "embedding", k = 5, nLists = nLists, nProbe = 3, iters = 1))
+    assert(fromDisk == inQuery && fromDisk.nonEmpty)
+    // probing EVERY list degenerates to the flat int8 exact search
+    val full = rows(SimilaritySearch.ivfQuantizedTopK(
+      emb, queries, "vec_id", "embedding", k = 5, nLists = nLists, nProbe = nLists, iters = 1))
+    val flat = rows(SimilaritySearch.quantizedTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(full == flat)
+  }
+
   test("bruteForcePairs returns symmetric-free thresholded pairs") {
     val pairs = SimilaritySearch.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
