@@ -44,16 +44,28 @@ object ScaleProbe {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
 
+    // optional comma-separated op filter for single-op iteration:
+    //   SPARK_GRAFT_PROBE_OPS=sim_ivf_sq8_topk runMain graft.ScaleProbe 10
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    val seenOps = scala.collection.mutable.LinkedHashSet.empty[String]
     def time(op: String, k: Int)(f: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$op","k":$k,"sec":$sec%.2f}""")
+      seenOps += op
+      if (only.forall(_.contains(op))) {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$op","k":$k,"sec":$sec%.2f}""")
+      }
     }
 
     for (k <- ks) {
-      val d = scaleDocs(docs, k).localCheckpoint(true)
-      val e = scaleEmb(emb, k).localCheckpoint(true)
+      // lazy: a filtered run only materializes the scaled frames the
+      // selected ops actually read (frame setup dominates iteration cost)
+      var dUsed = false; var eUsed = false
+      lazy val d = { dUsed = true; scaleDocs(docs, k).localCheckpoint(true) }
+      lazy val e = { eUsed = true; scaleEmb(emb, k).localCheckpoint(true) }
       time("pack_sequences", k) {
         operators.SeqPacking.pack(d, "doc_id", "text", "source", 512).toDF()
       }
@@ -75,15 +87,15 @@ object ScaleProbe {
           "doc_id", "text", minOverlap = 0.1)
       }
       time("dedup_incremental_bloom", k) {
-        // expectedItems × 8 bits is capped by
-        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (67M
-        // default) — 8M items = 64M bits is the largest default sketch;
-        // beyond that, raise the conf or accept a higher fpp (the
-        // verify join keeps the result exact either way)
+        // BloomFilterAggregate clamps estimatedNumItems to
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4M
+        // default) BEFORE sizing bits — beyond 4M items, raise THAT
+        // conf (and maxNumBits with it) or accept a higher fpp; the
+        // verify join keeps the result exact either way
         operators.dedup.Dedup.incrementalExactBloom(
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
-          "doc_id", "text", expectedItems = math.min(400000L * k, 8000000L))
+          "doc_id", "text", expectedItems = math.min(400000L * k, 4000000L))
       }
       time("sample_mixture", k) {
         operators.Sampling.sampleMixture(d, "doc_id", "source",
@@ -119,6 +131,16 @@ object ScaleProbe {
         operators.sim.SimilaritySearch.lshPairs(e, "vec_id", "embedding",
           threshold = 0.4, dim = 64, nBits = 8, tables = 4)
       }
+      time("sim_ivf_sq8_topk", k) {
+        // FIXED nLists: centroid assignment is O(corpus × nLists), so
+        // growing lists with the corpus makes the BUILD super-linear
+        // (measured 67 s at 50× with nLists=8k vs ~20 s fixed). Probed
+        // LIST SIZES then grow linearly — the production trade-off is
+        // rebuilding with more lists periodically, not per-ingest
+        operators.sim.SimilaritySearch.ivfQuantizedTopK(e,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 64, nProbe = 8, iters = 1)
+      }
       time("sim_lsh_topk", k) {
         operators.sim.SimilaritySearch.lshTopK(e,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -129,8 +151,14 @@ object ScaleProbe {
           d.select(operators.text.TextAnalysis.tokenCount(col("text")).as("v")),
           col("v"), 0.0, 100.0, 10)
       }
-      d.unpersist()
-      e.unpersist()
+      if (dUsed) d.unpersist()
+      if (eUsed) e.unpersist()
+    }
+    only.foreach { f =>
+      val unknown = f -- seenOps
+      if (unknown.nonEmpty)
+        System.err.println(s"[probe] WARNING: SPARK_GRAFT_PROBE_OPS names no known op: " +
+          s"${unknown.mkString(",")} (known: ${seenOps.mkString(",")})")
     }
     spark.stop()
   }

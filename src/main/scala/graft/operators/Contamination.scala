@@ -62,7 +62,10 @@ object Contamination {
                        n: Int = 3, minOverlap: Double = 0.2,
                        maxShingleDf: Int = 1000,
                        expectedEvalShingles: Long = 1000000L): DataFrame = {
-    val evalSide = side(eval, 1, idCol, textCol, n)
+    // the eval shingle stream feeds BOTH the sketch (eager, here) and
+    // the bucket union (in the returned plan) — checkpoint it once so
+    // the benchmark corpus is scanned/shingled once, not twice
+    val evalSide = side(eval, 1, idCol, textCol, n).localCheckpoint(true)
     val bf = evalSide
       .agg(call_function("graft_bloom_agg", col("sh"), lit(expectedEvalShingles)).as("bf"))
       .head().getAs[Array[Byte]](0)

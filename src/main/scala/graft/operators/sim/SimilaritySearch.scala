@@ -30,12 +30,7 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** ANN top-k: candidates from `tables` independent LSH bucketings
@@ -70,11 +65,7 @@ object SimilaritySearch {
       .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(max(col("cosine")).as("cosine")) // same pair ≤ tables times, same value
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Exact top-k over an int8-QUANTIZED corpus — the memory/shuffle
@@ -114,12 +105,7 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineNative(col("cvec8"), col("qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Near-dup embedding pairs above a cosine threshold, LSH-bucketed.
@@ -305,22 +291,37 @@ object SimilaritySearch {
     centroids
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
-    val indexed = c0.withColumn("cid", nearest(col("cvec"), centroids))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("probe", explode(slice(
-        transform(scoredLists(col("qvec"), centroids), s => s.getField("cid")), 1, nProbe)))
-    val cands = indexed.join(probes.withColumnRenamed("probe", "cid"), Seq("cid"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
+  /** Probe rows: one (query_id, qvec, cid) per probed list — the
+    * `nProbe` nearest centroids per query.
+    */
+  private def probeExplode(queries: DataFrame, idCol: String, vecCol: String,
+                           cs: Array[Array[Double]], nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cid", explode(slice(
+        transform(scoredLists(col("qvec"), cs), s => s.getField("cid")), 1, nProbe)))
+
+  /** The shared rank tail: scored candidates → per-query top-k with the
+    * canonical (cosine DESC, corpus_id ASC) tie-break and 6-dp output
+    * rounding — ranking semantics live HERE, once, for every search
+    * variant.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    val indexed = c0.withColumn("cid", nearest(col("cvec"), centroids))
+    val cands = indexed.join(probeExplode(queries, idCol, vecCol, centroids, nProbe), Seq("cid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosineNative(col("cvec"), col("qvec")))
+    rankTopK(cands, k)
   }
 
   /** IVF-SQ8 composite index build — the FAISS IVF+SQ8 memory shape on
@@ -338,49 +339,68 @@ object SimilaritySearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
-    val lists = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-      .withColumn("cid", nearest(col("cvec"), centroids))
-      .select(col("cid"), col("corpus_id"),
-        quantizeInt8(col("cvec")).getField("q").as("vec8"))
     val centDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "centroid")
-    (lists, centDf)
+    (quantizedLists(corpus, idCol, vecCol, centroids), centDf)
   }
+
+  private def quantizedLists(corpus: DataFrame, idCol: String, vecCol: String,
+                             cs: Array[Array[Double]]): DataFrame =
+    corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cid", nearest(col("cvec"), cs))
+      .select(col("cid"), col("corpus_id"),
+        quantizeInt8(col("cvec")).getField("q").as("vec8"))
 
   /** Top-k over a PERSISTED IVF-SQ8 index: probe the `nProbe` nearest
     * lists per query (centroid matrix re-read from the small `centroids`
     * frame — driver-side, nLists × dim), then exact int8×float cosine
     * re-rank INSIDE the probed lists only. Work scales with probed-list
     * bytes — already 4× smaller than float32 — not the corpus.
+    *
+    * The centroids frame is decoded BY NAME and validated contiguous
+    * (cids 0..n-1, none missing): the probe emits centroid ARRAY
+    * POSITIONS as cids, so a reordered/filtered centroids frame would
+    * otherwise silently probe the wrong inverted lists. The query
+    * dimension is also checked against the centroid dimension —
+    * `graft_cosine` truncates to min(len) on mismatch, which would
+    * return plausible-but-wrong neighbors for a stale index.
     */
   def ivfQuantizedTopKFromIndex(lists: DataFrame, centroids: DataFrame,
                                 queries: DataFrame, idCol: String, vecCol: String,
                                 k: Int, nProbe: Int = 4): DataFrame = {
-    val cs = centroids.orderBy(col("cid")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("probe", explode(slice(
-        transform(scoredLists(col("qvec"), cs), s => s.getField("cid")), 1, nProbe)))
-    val cands = lists.join(probes.withColumnRenamed("probe", "cid"), Seq("cid"))
+    val pairs = centroids.select(col("cid").cast("int"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    require(pairs.nonEmpty, "ivfQuantizedTopKFromIndex: empty centroids frame")
+    val n = pairs.keys.max + 1
+    require(pairs.size == n && (0 until n).forall(pairs.contains),
+      s"ivfQuantizedTopKFromIndex: centroid cids must be contiguous 0..${n - 1}, " +
+        s"got ${pairs.keys.toSeq.sorted.mkString(",")}")
+    val cs = Array.tabulate(n)(pairs)
+    requireDim(queries, vecCol, cs.head.length, "ivfQuantizedTopKFromIndex")
+    ivfQuantizedSearch(lists, cs, queries, idCol, vecCol, k, nProbe)
+  }
+
+  private def ivfQuantizedSearch(lists: DataFrame, cs: Array[Array[Double]],
+                                 queries: DataFrame, idCol: String, vecCol: String,
+                                 k: Int, nProbe: Int): DataFrame = {
+    val cands = lists.join(probeExplode(queries, idCol, vecCol, cs, nProbe), Seq("cid"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineNative(col("vec8"), col("qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cosine"), 6).as("cosine"))
+    rankTopK(cands, k)
   }
 
   /** In-query IVF-SQ8 (build + search in one plan) — the `queries()`
     * form; production persists [[buildIvfQuantizedIndex]] once and
-    * searches with [[ivfQuantizedTopKFromIndex]].
+    * searches with [[ivfQuantizedTopKFromIndex]]. The centroid matrix
+    * is already driver-side here, so no DataFrame round-trip.
     */
   def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val (lists, cents) = buildIvfQuantizedIndex(corpus, idCol, vecCol, nLists, iters)
-    ivfQuantizedTopKFromIndex(lists, cents, queries, idCol, vecCol, k, nProbe)
+    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    ivfQuantizedSearch(quantizedLists(corpus, idCol, vecCol, centroids), centroids,
+      queries, idCol, vecCol, k, nProbe)
   }
 
   /** LSH bucket for table `table`: sign bits of `nBits` projections onto
