@@ -130,12 +130,16 @@ class SimilaritySearchSpec extends SparkSpec {
       "vec_id", "embedding", k = 10, dim = 64, nBits = 6, tables = 8))
     val ivfRecall = recallOf(SimilaritySearch.ivfTopK(emb01, queries01,
       "vec_id", "embedding", k = 10, nLists = 16, nProbe = 4, iters = 2))
+    val sq8Recall = recallOf(SimilaritySearch.ivfQuantizedTopK(emb01, queries01,
+      "vec_id", "embedding", k = 10, nLists = 16, nProbe = 4, iters = 2))
     // floors chosen below measured values with margin (measured at HEAD:
     // lsh ≈ 0.24, ivf ≈ 0.4+; a broken plane/centroid would score ≈
     // k/N ≈ 0.002). Random uniform embeddings are LSH's worst case, so
     // the bar is signal, not rote.
     assert(lshRecall >= 0.15, s"lshTopK recall@10 $lshRecall < 0.15")
     assert(ivfRecall >= 0.30, s"ivfTopK recall@10 $ivfRecall < 0.30")
+    // int8 rounding costs a little recall vs the float IVF at the same probes
+    assert(sq8Recall >= 0.25, s"ivfQuantizedTopK recall@10 $sq8Recall < 0.25")
   }
 
   test("quantized index round-trips through parquet and searches identically") {

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Op
+
+/** S1 byte layer: the spec builds spec-compliant binlog v4 byte streams
+  * with an independent little encoder (components → packed forms by the
+  * public layout) and asserts the parser recovers the original values —
+  * including the packed types (DATE, DATETIME2, NEWDECIMAL BCD), CRC32
+  * stripping/verification, the Q_CHARSET_CODE status var, and the
+  * handleEvent mapping into ChangeEvents.
+  */
+object BinlogBytes {
+  import BinlogParser._
+
+  final class W {
+    val b = ArrayBuffer.empty[Byte]
+    def u8(v: Int): W = { b += (v & 0xff).toByte; this }
+    def u16(v: Int): W = { u8(v); u8(v >> 8); this }
+    def u24(v: Int): W = { u8(v); u8(v >> 8); u8(v >> 16); this }
+    def u32(v: Long): W = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt); this }
+    def u48(v: Long): W = { u32(v); u8((v >> 32).toInt); u8((v >> 40).toInt); this }
+    def i64(v: Long): W = { u32(v); u32(v >>> 32); this }
+    def beN(v: Long, n: Int): W = { var i = n - 1; while (i >= 0) { u8(((v >> (8 * i)) & 0xff).toInt); i -= 1 }; this }
+    def raw(bs: Array[Byte]): W = { b ++= bs; this }
+    def str(s: String): W = raw(s.getBytes(StandardCharsets.ISO_8859_1))
+    def lenenc(v: Long): W = if (v < 0xfb) u8(v.toInt) else { u8(0xfc); u16(v.toInt) }
+    def result: Array[Byte] = b.toArray
+  }
+
+  /** One framed event with CRC32 (header fields + body, crc appended). */
+  def event(typeCode: Int, body: Array[Byte], logPos: Long, serverId: Long = 7L,
+            ts: Long = 1700000000L): Array[Byte] = {
+    val size = 19 + body.length + 4
+    val h = new W().u32(ts).u8(typeCode).u32(serverId).u32(size).u32(logPos).u16(0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(h.result); crc.update(body)
+    new W().raw(h.result).raw(body).u32(crc.getValue).result
+  }
+
+  def fde(): Array[Byte] = {
+    val core = new W().u16(4).raw(Array.fill[Byte](50)(0)).u32(0).u8(19)
+      .raw(Array.fill[Byte](39)(1)) // post-header length table (content unused)
+      .u8(1) // checksum alg = CRC32
+    // FDE's own CRC covers header + body-minus-crc; build like event()
+    val bodyNoCrc = core.result
+    val size = 19 + bodyNoCrc.length + 4
+    val h = new W().u32(1700000000L).u8(FORMAT_DESCRIPTION_EVENT).u32(7L).u32(size).u32(size + 4).u16(0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(h.result); crc.update(bodyNoCrc)
+    new W().raw(h.result).raw(bodyNoCrc).u32(crc.getValue).result
+  }
+
+  def gtid(sid: Array[Byte], gno: Long, lastCommitted: Long, seqNo: Long): Array[Byte] =
+    new W().u8(1).raw(sid).i64(gno).u8(2).i64(lastCommitted).i64(seqNo).result
+
+  /** QUERY with Q_CHARSET_CODE status var. */
+  def query(db: String, sql: String, charsetClient: Int): Array[Byte] = {
+    val status = new W().u8(0x04).u16(charsetClient).u16(45).u16(45).result
+    new W().u32(99).u32(0).u8(db.length).u16(0).u16(status.length)
+      .raw(status).str(db).u8(0).str(sql).result
+  }
+
+  def tableMap(tableId: Long, db: String, table: String,
+               types: Seq[Int], metaBytes: Array[Byte]): Array[Byte] = {
+    val w = new W().u48(tableId).u16(1).u8(db.length).str(db).u8(0)
+      .u8(table.length).str(table).u8(0).lenenc(types.length)
+    types.foreach(w.u8)
+    w.lenenc(metaBytes.length).raw(metaBytes)
+    w.raw(Array.fill[Byte]((types.length + 7) / 8)(0)) // nullability bits (unused)
+    w.result
+  }
+
+  /** ROWS v2 body from pre-encoded row images. */
+  def rows(tableId: Long, nCols: Int, images: Seq[Array[Byte]]): Array[Byte] = {
+    val w = new W().u48(tableId).u16(0).u16(2).lenenc(nCols)
+    w.u8((1 << nCols) - 1) // all columns present (nCols <= 8 in tests)
+    images.foreach(w.raw)
+    w.result
+  }
+  def rowsUpdate(tableId: Long, nCols: Int, images: Seq[Array[Byte]]): Array[Byte] = {
+    val w = new W().u48(tableId).u16(0).u16(2).lenenc(nCols)
+    w.u8((1 << nCols) - 1); w.u8((1 << nCols) - 1)
+    images.foreach(w.raw)
+    w.result
+  }
+
+  def xid(v: Long): Array[Byte] = new W().i64(v).result
+
+  // packed-form encoders (independent arithmetic, per the public layout)
+  def packDate(y: Int, m: Int, d: Int): Array[Byte] = new W().u24((y << 9) | (m << 5) | d).result
+  def packDatetime2(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int): Array[Byte] = {
+    val ym = y * 13 + mo
+    val packed = 0x8000000000L + ((ym.toLong << 5 | d) << 17) + (h << 12 | mi << 6 | s)
+    new W().beN(packed, 5).result
+  }
+  /** decimal(10,2): intg=8 → one 4-byte group; frac 2 digits → 1 byte. */
+  def packDecimal10_2(intPart: Long, fracPart: Int, negative: Boolean): Array[Byte] = {
+    val pos = new W().beN(intPart, 4).u8(fracPart).result
+    pos(0) = (pos(0) | 0x80).toByte
+    if (negative) pos.map(b => (~b).toByte) else pos
+  }
+
+  def file(events: Array[Byte]*): Array[Byte] =
+    (Array[Byte](0xfe.toByte, 'b', 'i', 'n') +: events).reduce(_ ++ _)
+}
+
+class BinlogParserSpec extends AnyFunSuite {
+  import BinlogBytes._
+  import BinlogParser._
+
+  private val sid = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+  private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  // table: id INT, name VARCHAR(20), big BIGINT, d DATE, dec DECIMAL(10,2), t TINYINT
+  private val types = Seq(0x03, 0x0f, 0x08, 0x0a, 0xf6, 0x01)
+  private val metas = new W().u16(20).u8(10).u8(2).result // varchar max=20; decimal(10,2)
+
+  private def img(id: Long, name: Option[String], big: Long,
+                  date: Array[Byte], dec: Array[Byte], tiny: Int): Array[Byte] = {
+    val w = new W()
+    w.u8(if (name.isEmpty) 0x02 else 0x00) // null bitmap: bit1 = name
+    w.u32(id)
+    name.foreach { n => val bs = n.getBytes(cp1252); w.u8(bs.length).raw(bs) }
+    w.i64(big); w.raw(date); w.raw(dec); w.u8(tiny & 0xff)
+    w.result
+  }
+
+  private def fixture(): Array[Byte] = {
+    val tm = tableMap(23L, "src", "t", types, metas)
+    val row1 = img(1L, Some("café"), 123456789012L, packDate(2024, 3, 5),
+      packDecimal10_2(1234567L, 89, negative = false), -5)
+    val row2 = img(2L, None, -1L, packDate(1999, 12, 31),
+      packDecimal10_2(1234567L, 89, negative = true), 127)
+    val row1b = img(1L, Some("carol"), 123456789012L, packDate(2024, 3, 5),
+      packDecimal10_2(1234567L, 89, negative = false), -5)
+    file(
+      fde(),
+      event(GTID_EVENT, gtid(sid, 42L, 7L, 8L), 100),
+      event(QUERY_EVENT, query("src", "BEGIN", 8), 110),
+      event(TABLE_MAP_EVENT, tm, 120),
+      event(WRITE_ROWS_V2, rows(23L, 6, Seq(row1, row2)), 130),
+      event(UPDATE_ROWS_V2, rowsUpdate(23L, 6, Seq(row1, row1b)), 140),
+      event(DELETE_ROWS_V2, rows(23L, 6, Seq(row2)), 150),
+      event(XID_EVENT, xid(77L), 160),
+      event(GTID_EVENT, gtid(sid, 43L, 8L, 9L), 200),
+      event(QUERY_EVENT,
+        query("src", new String("ALTER TABLE t COMMENT '€9.99'".getBytes(cp1252),
+          StandardCharsets.ISO_8859_1), 8), 210),
+      event(XID_EVENT, xid(78L), 220))
+  }
+
+  test("framing: magic, headers, CRC32 strip + verify") {
+    val evs = splitEvents(fixture(), verifyCrc = true)
+    assert(evs.map(_.typeCode) == Seq(FORMAT_DESCRIPTION_EVENT, GTID_EVENT, QUERY_EVENT,
+      TABLE_MAP_EVENT, WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2, XID_EVENT,
+      GTID_EVENT, QUERY_EVENT, XID_EVENT))
+    // corrupting a byte must fail CRC verification
+    val bad = fixture(); bad(bad.length - 10) = (bad(bad.length - 10) ^ 0x1).toByte
+    intercept[IllegalArgumentException](splitEvents(bad, verifyCrc = true))
+  }
+
+  test("value decode goldens: ints, varchar bytes, DATE, NEWDECIMAL, TINY") {
+    val reg = new graft.ddl.SchemaRegistry
+    reg.applyDdl("src",
+      "CREATE TABLE t (id INT, name VARCHAR(20) CHARSET latin1, big BIGINT, d DATE, dec DECIMAL(10,2), t TINYINT)")
+    val ces = BinlogParser.toChangeEvents(splitEvents(fixture()), reg)
+    val ins = ces.filter(_.op == Op.Insert)
+    assert(ins.length == 2)
+    val r1 = ins.head.after
+    assert(r1("id") == "1" && r1("big") == "123456789012" && r1("t") == "-5")
+    assert(r1("d") == "2024-03-05")
+    assert(r1("dec") == "1234567.89")
+    // raw cp1252 bytes ride the ISO-8859-1 carrier; C9 decodes them
+    assert(new String(r1("name").getBytes(StandardCharsets.ISO_8859_1), cp1252) == "café")
+    val r2 = ins(1).after
+    assert(!r2.contains("name")) // NULL column absent from the map
+    assert(r2("big") == "-1" && r2("d") == "1999-12-31" && r2("dec") == "-1234567.89" && r2("t") == "127")
+  }
+
+  test("handleEvent mapping: tx boundaries, update pairing, DDL charset decode") {
+    val reg = new graft.ddl.SchemaRegistry
+    val ces = BinlogParser.toChangeEvents(splitEvents(fixture()), reg)
+    // first tx: 2 inserts + 1 update + 1 delete + commit, gtid :42
+    val tx1 = ces.filter(_.gtid.endsWith(":42"))
+    assert(tx1.map(_.op) == Seq("c", "c", "u", "d", "commit"))
+    assert(tx1.forall(_.lastCommitted == 7L))
+    val sidHex = "01020304-0506-0708-090a-0b0c0d0e0f10"
+    assert(tx1.head.gtid == s"$sidHex:42")
+    val up = tx1.find(_.op == "u").get
+    // unregistered table → positional names; before/after pair split
+    assert(up.before("col_1") != up.after("col_1"))
+    // second tx: the DDL, decoded via Q_CHARSET_CODE (latin1 id 8 → cp1252)
+    val ddl = ces.find(_.op == Op.Ddl).get
+    assert(ddl.after("sql").contains("€9.99"))
+    assert(ddl.db == "src" && ddl.gtid == s"$sidHex:43")
+  }
+
+  test("decoded stream drives S2 transaction assembly end-to-end") {
+    // the commit marker and gtid grouping line up with
+    // CdcPipeline.assembleTransactions' contract
+    val reg = new graft.ddl.SchemaRegistry
+    val ces = BinlogParser.toChangeEvents(splitEvents(fixture()), reg)
+    val byGtid = ces.groupBy(_.gtid)
+    val tx1 = byGtid("01020304-0506-0708-090a-0b0c0d0e0f10:42")
+    val (commits, rowsEvs) = tx1.partition(_.op == "commit")
+    assert(commits.length == 1 && rowsEvs.length == 4)
+    assert(rowsEvs.map(_.seq).sorted == rowsEvs.map(_.seq)) // log_pos ordered
+  }
+}
