@@ -384,6 +384,59 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "pipeline_replicate" -> ((s, dir) => {
+      // E2E CDC flagship — the full replication spine in ONE plan
+      // (reference job lifecycle `driver/mysql/extractor.go:195-333` /
+      // `applier.go`): S5 consistent snapshot/stream handoff + S3
+      // keyset-chunked full load + F1 row filter (both phases) + F10
+      // idempotence over the applied ledger + K2/K4 last-writer-wins
+      // upsert + K7/A5 per-key applied-GTID interval ledger. The
+      // streaming form of the same composition runs in JobRunnerSpec
+      // over the file-backed source; this batch form is the DuckDB-
+      // oracled equivalence on the applied-table state.
+      val evAll = asChangeLog(t(s, dir, "events"))
+      // S5: the handoff point ("snapshot SCN") — one scalar read at job
+      // start, exactly the reference's initial binlog-coordinates fetch
+      val cutoff = t(s, dir, "events").agg(max(col("event_id"))).head().getLong(0) / 2
+      val replayFrom = cutoff - cutoff / 4 // at-least-once restart overlap
+      // F1: the table's row filter, applied to BOTH phases like the
+      // reference applies the where-clause during full copy AND incr
+      val ev = Relational.whereFilter(evAll, "event_type <> 'click'")
+      val cols = Seq("user_id", "event_id", "event_type", "value", "op").map(col)
+      // full load: source-table state AT the snapshot point, scanned as
+      // S3 keyset chunks; applyChangeLog collapses history to state
+      val prefix = ev.filter(col("event_id") <= cutoff).select(cols: _*)
+      val snapshot = CdcBatch.applyChangeLog(
+        ChunkPlanner.chunkedRead(s, prefix, Seq("event_id"), 4),
+        "user_id", "event_id", "op")
+      // incremental feed REPLAYS a tail of pre-snapshot events (restart
+      // semantics); F10's anti-join vs the snapshot-covered ledger drops
+      // exactly the duplicates
+      val feed = ev.filter(col("event_id") > replayFrom).select(cols: _*)
+      val ledger = prefix.select(col("event_id"))
+      val incr = Relational.idempotenceFilter(feed, ledger, "event_id")
+      // K2/K4: last-writer-wins upsert of snapshot ∪ incremental — equal
+      // to replaying the whole (filtered) history, which is the oracle
+      val state = CdcBatch.applyChangeLog(snapshot.unionByName(incr),
+        "user_id", "event_id", "op")
+      // K7/A5: applied-interval ledger per key; n_replayed counts the
+      // F10-dropped duplicates (the restart-overlap observable). Both
+      // joins share the state's user_id shuffle key — no broadcast: the
+      // per-key ledger scales with the key count.
+      val applied = incr.groupBy(col("user_id"))
+        .agg(GtidSetAgg.column(col("event_id")).as("applied_set"))
+      val replayed = feed.filter(col("event_id") <= cutoff)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_replayed"))
+      Relational.columnMap(
+        state.join(applied, Seq("user_id"), "left")
+          .join(replayed, Seq("user_id"), "left")
+          .withColumn("applied_set", coalesce(col("applied_set"), lit("")))
+          .withColumn("n_replayed", coalesce(col("n_replayed"), lit(0L))),
+        Seq("user_id", "event_id", "event_type", "value", "applied_set", "n_replayed"),
+        Seq("uid", "last_seq", "last_type", "val", "applied_set", "n_replayed"))
+        .orderBy(col("uid"))
+    }),
+
     "s9_snapshot_chunks" -> ((s, dir) => {
       // S9 — Oracle AS-OF-SCN snapshot chunk planning: the rownum-window
       // JDBC dbtable subqueries, one per partition (golden text
@@ -1209,6 +1262,31 @@ object SparkEntry {
       """SELECT event_id, user_id FROM events
         |WHERE event_id BETWEEN 1 AND 4999 OR event_id BETWEEN 6001 AND 7000
         |ORDER BY event_id""".stripMargin,
+
+    // the snapshot∪incremental upsert equals replaying the whole filtered
+    // history (QUALIFY); applied_set = a5's interval fold over the
+    // post-cutoff ids; n_replayed = the F10-dropped restart overlap
+    "pipeline_replicate" ->
+      s"""WITH cut AS (SELECT MAX(event_id) // 2 AS c FROM events),
+         |f AS (SELECT user_id, event_id, event_type, value, $opCaseSql AS op
+         |      FROM events WHERE event_type <> 'click'),
+         |st AS (SELECT user_id, event_id, event_type, value, op FROM f
+         |       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         |live AS (SELECT user_id, event_id, event_type, value FROM st WHERE op <> 'd'),
+         |inc AS (SELECT user_id, event_id FROM f, cut WHERE event_id > cut.c),
+         |g AS (SELECT user_id, event_id,
+         |      event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS grp FROM inc),
+         |i AS (SELECT user_id, MIN(event_id) AS lo, MAX(event_id) AS hi FROM g GROUP BY user_id, grp),
+         |sets AS (SELECT user_id, string_agg(
+         |  CASE WHEN lo = hi THEN CAST(lo AS VARCHAR) ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR) END,
+         |  ':' ORDER BY lo) AS applied_set FROM i GROUP BY user_id),
+         |rep AS (SELECT user_id, COUNT(*) AS n_replayed FROM f, cut
+         |        WHERE event_id > cut.c - (cut.c // 4) AND event_id <= cut.c GROUP BY user_id)
+         |SELECT live.user_id AS uid, live.event_id AS last_seq, live.event_type AS last_type,
+         |  live.value AS val, coalesce(sets.applied_set, '') AS applied_set,
+         |  CAST(coalesce(rep.n_replayed, 0) AS BIGINT) AS n_replayed
+         |FROM live LEFT JOIN sets USING (user_id) LEFT JOIN rep USING (user_id)
+         |ORDER BY uid""".stripMargin,
 
     "s9_snapshot_chunks" ->
       """WITH n AS (SELECT COUNT(*) AS total FROM orders),

@@ -21,4 +21,35 @@ class SparkEntrySpec extends SparkSpec {
       df.count() // must not throw
     }
   }
+
+  test("pipeline_replicate: handoff state == straight replay; F10 overlap exercised") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("pipeline_replicate")(spark, sf).cache()
+    // the snapshot ∪ incremental upsert must lose nothing and duplicate
+    // nothing vs applying the whole filtered history in one pass
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("event_type") =!= "click")
+      .withColumn("op",
+        when(col("event_type") === "error", "d")
+          .when(col("event_type") === "signup", "i").otherwise("u"))
+    val replay = graft.operators.CdcBatch
+      .applyChangeLog(ev, "user_id", "event_id", "op")
+      .select(col("user_id").as("uid"), col("event_id").as("last_seq"),
+        col("event_type").as("last_type"), col("value").as("val"))
+    val got = out.select("uid", "last_seq", "last_type", "val")
+    assert(got.exceptAll(replay).isEmpty && replay.exceptAll(got).isEmpty)
+    // the restart overlap must be non-empty (otherwise the idempotence
+    // stage was never tested) and every live row's ledger must only
+    // contain post-cutoff ids
+    val cutoff = Tables.load(spark, sf, "events")
+      .agg(max(col("event_id"))).head().getLong(0) / 2
+    assert(out.agg(sum(col("n_replayed"))).head().getLong(0) > 0)
+    val sets = out.select("applied_set").collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(sets.nonEmpty)
+    sets.foreach { s =>
+      val los = s.split(':').map(_.split('-')(0).toLong)
+      assert(los.forall(_ > cutoff), s"pre-cutoff id leaked into ledger: $s")
+    }
+    out.unpersist()
+  }
 }
