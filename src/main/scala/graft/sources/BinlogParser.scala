@@ -16,10 +16,11 @@ import graft.model.{ChangeEvent, Op}
   *
   * Supported column types: all integer widths (TINY/SHORT/INT24/LONG/
   * LONGLONG), FLOAT/DOUBLE, NEWDECIMAL (packed BCD), VARCHAR, CHAR
-  * (STRING), ENUM, BLOB/TEXT (all four length widths), DATE, YEAR,
-  * DATETIME2/TIMESTAMP2/TIME2 (with fractional seconds). Unsupported
-  * types fail loudly with the type byte — a silent wrong decode is the
-  * one unacceptable outcome for a replication source.
+  * (STRING), ENUM, SET, BIT, BLOB/TEXT (all four length widths), JSON
+  * (JSONB storage decoded to canonical text by [[JsonBinary]]), DATE,
+  * YEAR, DATETIME2/TIMESTAMP2/TIME2 (with fractional seconds).
+  * Unsupported types fail loudly with the type byte — a silent wrong
+  * decode is the one unacceptable outcome for a replication source.
   *
   * Text/blob values are emitted as ISO-8859-1-mangled strings (the
   * repo's lossless byte↔char carrier; see JobRunner.ddlBarrierHandler):
@@ -110,10 +111,11 @@ object BinlogParser {
     val metas = types.map {
       case 0x0f /*VARCHAR*/ => r.u16()
       case 0x04 | 0x05 /*FLOAT/DOUBLE*/ => r.u8()
-      case 0xfc /*BLOB*/ => r.u8()
+      case 0xfc /*BLOB*/ | 0xf5 /*JSON: length-bytes count*/ => r.u8()
       case 0xf6 /*NEWDECIMAL*/ => { val p = r.u8(); val s = r.u8(); (p << 8) | s }
       case 0xfe | 0xf7 | 0xf8 /*STRING/ENUM/SET*/ => { val m0 = r.u8(); val m1 = r.u8(); (m0 << 8) | m1 }
       case 0x11 | 0x12 | 0x13 /*TIMESTAMP2/DATETIME2/TIME2*/ => r.u8()
+      case 0x10 /*BIT: bits%8 then whole bytes*/ => r.u16()
       case _ => 0
     }
     (tableId, TableMapEntry(db, table, types, metas))
@@ -256,6 +258,15 @@ object BinlogParser {
       var len = 0L; var i = 0
       while (i < meta) { len |= r.u8().toLong << (8 * i); i += 1 }
       r.str(len.toInt)
+    case 0xf5 => // JSON: length like BLOB, payload = JSONB storage bytes.
+      // Decoded to canonical JSON text HERE (not deferred to C9): JSON
+      // is always utf8mb4, so the text is a real string, not a carrier.
+      var len = 0L; var i = 0
+      while (i < meta) { len |= r.u8().toLong << (8 * i); i += 1 }
+      JsonBinary.decode(r.bytes(len.toInt))
+    case 0x10 => // BIT: meta = (bytes << 8) | bits%8, value big-endian
+      val nbits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
+      java.lang.Long.toUnsignedString(r.beN((nbits + 7) / 8))
     case 0x0a => // DATE: u24 = day | month<<5 | year<<9
       val v = r.u24().toInt
       f"${v >> 9}%04d-${(v >> 5) & 0xf}%02d-${v & 0x1f}%02d"
@@ -300,7 +311,7 @@ object BinlogParser {
     * byte (flipped; negative values are stored bitwise-inverted).
     */
   private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
-  private def decodeNewDecimal(r: Reader, precision: Int, scale: Int): String = {
+  private[sources] def decodeNewDecimal(r: Reader, precision: Int, scale: Int): String = {
     val intg = precision - scale
     val intg0 = intg / 9; val intgx = intg % 9
     val frac0 = scale / 9; val fracx = scale % 9

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** Decoder for MySQL's JSONB column storage — the binary format JSON
+  * columns travel in inside ROWS events (public layout: MySQL source
+  * `sql/json_binary.h`; the reference consumes it through go-mysql's
+  * JSON decoder and forwards the text form to the applier). The binlog
+  * carries the *storage* bytes, so a replication source must decode
+  * them itself; this is the missing 0xf5 arm of
+  * [[BinlogParser.decodeValue]].
+  *
+  * Format summary (all little-endian):
+  *   - byte 0: type. 0x00/0x01 small/large object, 0x02/0x03 small/large
+  *     array, 0x04 literal, 0x05 int16, 0x06 uint16, 0x07 int32,
+  *     0x08 uint32, 0x09 int64, 0x0a uint64, 0x0b double, 0x0c utf8mb4
+  *     string (varint length), 0x0f opaque (field-type byte + varint
+  *     length + payload).
+  *   - objects/arrays: element count + total size (2 bytes each when
+  *     small, 4 when large), then key entries (objects only: offset +
+  *     2-byte key length), then value entries (type byte + offset or
+  *     inlined value), then the out-of-line payloads. Offsets count
+  *     from the start of the count field. Literals and 16-bit ints are
+  *     always inlined in the value entry; 32-bit ints are inlined only
+  *     in the large format (4-byte entry field).
+  *
+  * Output is compact canonical JSON text (no whitespace), keys in
+  * stored order (MySQL stores them sorted by length then bytes).
+  * Strings decode as real UTF-8 — JSON columns are always utf8mb4, so
+  * unlike CHAR/TEXT they do NOT ride the ISO-8859-1 carrier and the C9
+  * transcode stage must leave them alone (it does: JSON columns carry
+  * no charset tag in the SchemaRegistry).
+  *
+  * Unknown types and opaque subtypes fail loudly, same policy as
+  * [[BinlogParser]]: a silent wrong decode is unacceptable in a
+  * replication source.
+  */
+object JsonBinary {
+
+  def decode(data: Array[Byte]): String = {
+    if (data.isEmpty) return "null" // empty value = SQL null payload
+    val sb = new java.lang.StringBuilder
+    value(data, data(0) & 0xff, 1, sb)
+    sb.toString
+  }
+
+  // ---- fixed-width little-endian reads ----
+  private def u16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def i16(b: Array[Byte], p: Int): Int = u16(b, p).toShort.toInt
+  private def u32(b: Array[Byte], p: Int): Long =
+    (u16(b, p).toLong | (u16(b, p + 2).toLong << 16)) & 0xffffffffL
+  private def i32(b: Array[Byte], p: Int): Int = u32(b, p).toInt
+  private def i64(b: Array[Byte], p: Int): Long = u32(b, p) | (u32(b, p + 4) << 32)
+
+  /** Variable-length size: 7 bits per byte, high bit = continuation. */
+  private def varlen(b: Array[Byte], p: Int): (Int, Int) = {
+    var len = 0L; var shift = 0; var pos = p
+    while (true) {
+      val v = b(pos) & 0xff
+      len |= (v & 0x7f).toLong << shift
+      pos += 1
+      if ((v & 0x80) == 0) return (len.toInt, pos)
+      shift += 7
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def value(b: Array[Byte], typ: Int, pos: Int, sb: java.lang.StringBuilder): Unit = typ match {
+    case 0x00 => container(b, pos, small = true, isObj = true, sb)
+    case 0x01 => container(b, pos, small = false, isObj = true, sb)
+    case 0x02 => container(b, pos, small = true, isObj = false, sb)
+    case 0x03 => container(b, pos, small = false, isObj = false, sb)
+    case 0x04 => sb.append((b(pos) & 0xff) match {
+      case 0x00 => "null"
+      case 0x01 => "true"
+      case 0x02 => "false"
+      case other => throw new IllegalArgumentException(s"bad JSONB literal $other")
+    })
+    case 0x05 => sb.append(i16(b, pos))
+    case 0x06 => sb.append(u16(b, pos))
+    case 0x07 => sb.append(i32(b, pos))
+    case 0x08 => sb.append(u32(b, pos))
+    case 0x09 => sb.append(i64(b, pos))
+    case 0x0a => sb.append(java.lang.Long.toUnsignedString(i64(b, pos)))
+    case 0x0b => appendDouble(java.lang.Double.longBitsToDouble(i64(b, pos)), sb)
+    case 0x0c =>
+      val (len, p2) = varlen(b, pos)
+      appendJsonString(new String(b, p2, len, StandardCharsets.UTF_8), sb)
+    case 0x0f => opaque(b, pos, sb)
+    case other =>
+      throw new IllegalArgumentException(f"unsupported JSONB type 0x$other%02x")
+  }
+
+  private def container(b: Array[Byte], pos: Int, small: Boolean, isObj: Boolean,
+                        sb: java.lang.StringBuilder): Unit = {
+    val w = if (small) 2 else 4
+    def field(p: Int): Int = if (small) u16(b, p) else i32(b, p)
+    val count = field(pos)
+    // size field at pos + w is only needed for bounds checks; offsets
+    // below are self-describing
+    val keyEntries = pos + 2 * w
+    val valueEntries = keyEntries + (if (isObj) count * (w + 2) else 0)
+    sb.append(if (isObj) '{' else '[')
+    var i = 0
+    while (i < count) {
+      if (i > 0) sb.append(',')
+      if (isObj) {
+        val ke = keyEntries + i * (w + 2)
+        val keyOff = field(ke)
+        val keyLen = u16(b, ke + w)
+        appendJsonString(new String(b, pos + keyOff, keyLen, StandardCharsets.UTF_8), sb)
+        sb.append(':')
+      }
+      val ve = valueEntries + i * (1 + w)
+      val vtyp = b(ve) & 0xff
+      val inlined = vtyp match {
+        case 0x04 | 0x05 | 0x06 => true // literal / int16 / uint16
+        case 0x07 | 0x08 => !small      // int32 / uint32 fit a 4-byte entry
+        case _ => false
+      }
+      if (inlined) value(b, vtyp, ve + 1, sb)
+      else value(b, vtyp, pos + field(ve + 1), sb)
+      i += 1
+    }
+    sb.append(if (isObj) '}' else ']')
+  }
+
+  /** Opaque scalar: MYSQL field-type byte + varint length + payload.
+    * DECIMAL emits as a bare number; DATE/TIME/DATETIME decode the
+    * packed-longlong temporal form (TIME_to_longlong_packed layout:
+    * `((ymd << 17 | hms) << 24) | microseconds`) and emit quoted.
+    */
+  private def opaque(b: Array[Byte], pos: Int, sb: java.lang.StringBuilder): Unit = {
+    val fieldType = b(pos) & 0xff
+    val (len, p2) = varlen(b, pos + 1)
+    fieldType match {
+      case 0xf6 => // NEWDECIMAL: precision u8 + scale u8 + packed BCD
+        val precision = b(p2) & 0xff
+        val scale = b(p2 + 1) & 0xff
+        val r = new BinlogParser.Reader(b, p2 + 2)
+        sb.append(BinlogParser.decodeNewDecimal(r, precision, scale))
+      case 0x0a | 0x0c | 0x07 | 0x0b => // DATE / DATETIME / TIMESTAMP / TIME
+        val packedRaw = i64(b, p2)
+        val neg = packedRaw < 0
+        val packed = math.abs(packedRaw)
+        val micros = packed & 0xffffffL
+        val ymdhms = packed >> 24
+        // TIME has no date part: the whole upper field is hms (hour can
+        // exceed 5 bits, up to 838); DATE/DATETIME split at bit 17
+        val hms = if (fieldType == 0x0b) ymdhms else ymdhms & 0x1ffffL
+        val h = hms >> 12; val mi = (hms >> 6) & 0x3f; val s = hms & 0x3f
+        val frac = if (micros != 0) f".$micros%06d" else ""
+        sb.append('"')
+        if (fieldType == 0x0b) { // TIME
+          if (neg) sb.append('-')
+          sb.append(f"$h%02d:$mi%02d:$s%02d$frac")
+        } else {
+          val ymd = ymdhms >> 17
+          val ym = ymd >> 5
+          sb.append(f"${ym / 13}%04d-${ym % 13}%02d-${ymd & 0x1f}%02d")
+          if (fieldType != 0x0a) sb.append(f" $h%02d:$mi%02d:$s%02d$frac")
+        }
+        sb.append('"')
+      case other =>
+        throw new IllegalArgumentException(
+          f"unsupported JSONB opaque field type 0x$other%02x (len=$len)")
+    }
+  }
+
+  private def appendDouble(d: Double, sb: java.lang.StringBuilder): Unit = {
+    // whole doubles print without the trailing ".0" (MySQL: CAST(1.0 ...
+    // prints "1.0" but JSON_EXTRACT('1.0','$') round-trips as 1.0; we
+    // define the canonical text as Java's shortest round-trip repr)
+    sb.append(d.toString)
+  }
+
+  private def appendJsonString(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case ctrl if ctrl < 0x20 => sb.append(f"\\u${ctrl.toInt}%04x")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+}

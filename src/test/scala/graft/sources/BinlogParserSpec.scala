@@ -198,6 +198,35 @@ class BinlogParserSpec extends AnyFunSuite {
     assert(ddl.db == "src" && ddl.gtid == s"$sidHex:43")
   }
 
+  test("JSON and BIT columns decode inside a ROWS event") {
+    import JsonbBytes._
+    // table: id INT, j JSON (meta = 4 length bytes), b BIT(12)
+    val jTypes = Seq(0x03, 0xf5, 0x10)
+    val jMetas = new W().u8(4).u8(12 % 8).u8(12 / 8).result
+    val jsonDoc = JsonbBytes.doc(JObj(Seq(
+      "k" -> JArr(Seq(JI16(1), JStr("v"))), "n" -> JNull)))
+    val rowImg = {
+      val w = new W()
+      w.u8(0x00) // no nulls
+      w.u32(9L)
+      w.u32(jsonDoc.length.toLong).raw(jsonDoc) // 4-byte length + JSONB
+      w.u8(0x0a).u8(0xbc) // BIT(12) big-endian: 0x0abc = 2748
+      w.result
+    }
+    val stream = file(
+      fde(),
+      event(GTID_EVENT, gtid(sid, 50L, 1L, 2L), 300),
+      event(TABLE_MAP_EVENT, tableMap(31L, "src", "tj", jTypes, jMetas), 310),
+      event(WRITE_ROWS_V2, rows(31L, 3, Seq(rowImg)), 320),
+      event(XID_EVENT, xid(99L), 330))
+    val reg = new graft.ddl.SchemaRegistry
+    val ces = BinlogParser.toChangeEvents(splitEvents(stream, verifyCrc = true), reg)
+    val ins = ces.find(_.op == Op.Insert).get
+    assert(ins.after("col_0") == "9")
+    assert(ins.after("col_1") == """{"k":[1,"v"],"n":null}""")
+    assert(ins.after("col_2") == "2748")
+  }
+
   test("decoded stream drives S2 transaction assembly end-to-end") {
     // the commit marker and gtid grouping line up with
     // CdcPipeline.assembleTransactions' contract
