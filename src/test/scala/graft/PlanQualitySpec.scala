@@ -31,6 +31,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!read.contains("l_extendedprice"), s"pruned column still read: $read")
   }
 
+  test("pipeline_replicate: no cartesian; idempotence ledger broadcasts") {
+    val p = plan("pipeline_replicate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in replicate plan:\n$p")
+    // F10's anti-join against the snapshot-covered ledger must broadcast
+    // (the ledger is ids-only); the state/ledger joins may shuffle — they
+    // are keyed per-user aggregates on both sides
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"idempotence filter must be a broadcast anti-join:\n$p")
+  }
+
   test("no dedup/similarity plan contains a cartesian or nested-loop join") {
     for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh_topk")) {
       val p = plan(q)
