@@ -384,6 +384,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "s7_session_plan" -> ((s, dir) => {
+      // S7 — the LogMiner poll loop's session plan as golden text
+      // (reference log_miner.go:119-136 start, :238-266 contents
+      // query, :198-236 schema filter): fixed-size SCN windows over a
+      // known range, each with its V$LOGMNR_CONTENTS fetch. events'
+      // max id plays the probed end SCN.
+      import s.implicits._
+      import graft.sources.LogMinerSession
+      val endScn = t(s, dir, "events").agg(max(col("event_id"))).head().getLong(0)
+      val filter = LogMinerSession.schemaFilter(
+        Seq("SHOP" -> Seq("ORDERS", "LINEITEM"), "HR" -> Nil), Seq("TMP" -> Nil))
+      LogMinerSession.windowPlan(0L, endScn, 2000L, filter)
+        .toDF("window_idx", "start_scn", "end_scn", "mine_sql")
+        .orderBy(col("window_idx"))
+    }),
+
     "pipeline_replicate" -> ((s, dir) => {
       // E2E CDC flagship — the full replication spine in ONE plan
       // (reference job lifecycle `driver/mysql/extractor.go:195-333` /
@@ -1287,6 +1303,24 @@ object SparkEntry {
          |  CAST(coalesce(rep.n_replayed, 0) AS BIGINT) AS n_replayed
          |FROM live LEFT JOIN sets USING (user_id) LEFT JOIN rep USING (user_id)
          |ORDER BY uid""".stripMargin,
+
+    // golden text pinned here independently of LogMinerSession (like
+    // s9): generator drift fails the hash, window arithmetic is
+    // recomputed by DuckDB
+    "s7_session_plan" ->
+      """WITH n AS (SELECT MAX(event_id) AS endscn FROM events),
+        |i AS (SELECT unnest(range(CAST(ceil(endscn / 2000.0) AS INT))) AS idx, endscn FROM n)
+        |SELECT CAST(idx AS BIGINT) AS window_idx,
+        |  CAST(idx * 2000 AS BIGINT) AS start_scn,
+        |  CAST(least(endscn, idx * 2000 + 2000) AS BIGINT) AS end_scn,
+        |  'SELECT scn, seg_owner, table_name, sql_redo, sql_undo, operation_code,
+        |  xid, csf, row_id, rollback, rs_id, timestamp, username
+        |FROM V$LOGMNR_CONTENTS
+        |WHERE SCN > ' || (idx * 2000) || ' AND SCN <= ' || least(endscn, idx * 2000 + 2000) || '
+        |AND ( (operation_code IN (6,7,34,36))
+        |  OR (operation_code IN (1,2,3,5)
+        |      AND seg_owner not in (''SYS'',''SYSTEM'',''APPQOSSYS'',''AUDSYS'',''CTXSYS'',''DVSYS'',''DBSFWUSER'',''DBSNMP'',''GSMADMIN_INTERNAL'',''LBACSYS'',''MDSYS'',''OJVMSYS'',''OLAPSYS'',''ORDDATA'',''ORDSYS'',''OUTLN'',''WMSYS'',''XDB'') AND( ( seg_owner = ''SHOP'' AND table_name in (''ORDERS'',''LINEITEM'')) OR ( seg_owner = ''HR'') ) AND ( seg_owner <> ''TMP'')) )' AS mine_sql
+        |FROM i ORDER BY window_idx""".stripMargin,
 
     "s9_snapshot_chunks" ->
       """WITH n AS (SELECT COUNT(*) AS total FROM orders),
