@@ -65,6 +65,59 @@ object CdcFileSource {
     }.sortBy(_._1)
   }
 
+  /** The source frame as a typed [[graft.model.ChangeEvent]] stream —
+    * image JSON strings parse back to maps; the inverse of
+    * [[eventToJson]] and the input shape
+    * [[graft.streaming.CdcPipeline.assembleTransactions]] wants.
+    */
+  def asChangeEvents(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.model.ChangeEvent] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val mt = MapType(StringType, StringType)
+    df.select(
+      col("db"), col("table"), col("op"), col("key"),
+      coalesce(from_json(col("before"), mt), map().cast(mt)).as("before"),
+      coalesce(from_json(col("after"), mt), map().cast(mt)).as("after"),
+      col("ts_ms").as("tsMillis"), col("gtid"), col("seq"),
+      col("last_committed").as("lastCommitted"),
+      col("origin_server_id").as("originServerId")
+    ).as[graft.model.ChangeEvent]
+  }
+
+  private lazy val lineMapper = new ObjectMapper()
+
+  /** One [[graft.model.ChangeEvent]] as the source's jsonl line:
+    * before/after serialize as embedded JSON-object strings (null when
+    * the image side is absent), everything else as typed fields.
+    */
+  def eventToJson(e: graft.model.ChangeEvent): String = {
+    val root = lineMapper.createObjectNode()
+    root.put("db", e.db); root.put("table", e.table)
+    root.put("op", e.op); root.put("key", e.key)
+    def image(m: Map[String, String]): String = {
+      val o = lineMapper.createObjectNode()
+      m.foreach { case (k, v) => o.put(k, v) }
+      lineMapper.writeValueAsString(o)
+    }
+    if (e.before.isEmpty) root.putNull("before") else root.put("before", image(e.before))
+    if (e.after.isEmpty) root.putNull("after") else root.put("after", image(e.after))
+    root.put("ts_ms", e.tsMillis); root.put("gtid", e.gtid); root.put("seq", e.seq)
+    root.put("last_committed", e.lastCommitted)
+    root.put("origin_server_id", e.originServerId)
+    lineMapper.writeValueAsString(root)
+  }
+
+  /** Stage a decoded event batch as one segment — the producer bridge
+    * from [[BinlogParser.readBinlogFile]] (raw binlog bytes) into the
+    * stream directory a [[CdcFileSource]] reader tails.
+    */
+  def writeEvents(path: String, events: Seq[graft.model.ChangeEvent]): Unit =
+    if (events.nonEmpty) {
+      val seqs = events.map(_.seq)
+      writeSegment(path, events.map(eventToJson), seqs.min, seqs.max)
+    }
+
   /** Writes one segment file atomically (tmp + rename) — the producer
     * side used by tests and by [[graft.JobRunner]] replay staging.
     */

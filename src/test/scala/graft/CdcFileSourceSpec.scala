@@ -121,6 +121,54 @@ class CdcFileSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("raw binlog bytes drive the streaming pipeline end-to-end (S1 bytes -> S2 tx)") {
+    import graft.sources.{BinlogBytes, BinlogParser}
+    import graft.model.ChangeEvent
+    import BinlogBytes._
+    import BinlogParser.{GTID_EVENT, QUERY_EVENT, TABLE_MAP_EVENT, WRITE_ROWS_V2, XID_EVENT}
+    // table: id INT, name VARCHAR(20)
+    val sid = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    val metas = new W().u16(20).result
+    def img(id: Long, name: String): Array[Byte] = {
+      val w = new W()
+      w.u8(0x00); w.u32(id)
+      val bs = name.getBytes("ISO-8859-1"); w.u8(bs.length); w.raw(bs)
+      w.result
+    }
+    val bytes = file(
+      fde(),
+      event(GTID_EVENT, gtid(sid, 42L, 7L, 8L), 100),
+      event(QUERY_EVENT, query("src", "BEGIN", 45), 110),
+      event(TABLE_MAP_EVENT, tableMap(23L, "src", "t", Seq(0x03, 0x0f), metas), 120),
+      event(WRITE_ROWS_V2, rows(23L, 2, Seq(img(1, "ann"), img(2, "bob"))), 130),
+      event(XID_EVENT, xid(77L), 140))
+    val work = java.nio.file.Files.createTempDirectory("graft-binlog-e2e")
+    val binlogFile = work.resolve("relay.000001")
+    java.nio.file.Files.write(binlogFile, bytes)
+    // decode the BYTES and stage them as a stream segment
+    val reg = new graft.ddl.SchemaRegistry
+    reg.applyDdl("src", "CREATE TABLE t (id INT, name VARCHAR(20))")
+    val decoded = BinlogParser.readBinlogFile(binlogFile.toString, reg)
+    CdcFileSource.writeEvents(s"$work/stream", decoded)
+    // tail the directory as a stream and assemble transactions
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = spark.readStream.format(fmt).option("path", s"$work/stream").load()
+    val q = graft.streaming.CdcPipeline
+      .assembleTransactions(CdcFileSource.asChangeEvents(stream), timeoutMs = 0)
+      .writeStream.format("memory").queryName("binlog_e2e").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val txs = spark.table("binlog_e2e").as[graft.model.TxEntry].collect()
+      assert(txs.length == 1)
+      val tx = txs.head
+      assert(tx.gtid == "01020304-0506-0708-090a-0b0c0d0e0f10:42")
+      assert(tx.events.map(_.op) == Seq("c", "c"))
+      assert(tx.events.map(_.after("name")) == Seq("ann", "bob"))
+      assert(tx.events.map(_.after("id")) == Seq("1", "2"))
+    } finally q.stop()
+  }
+
   test("permissive mode skips malformed lines; failfast raises") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-perm").toString
     CdcFileSource.writeSegment(dir, Seq(ev(1), "{not json", ev(2), """{"no_seq":true}"""), 1, 2)
