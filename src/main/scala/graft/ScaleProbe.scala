@@ -37,12 +37,28 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** k× the change stream: ids shift per copy and the key space grows
+    * with the data (more users, not hotter users) — the realistic CDC
+    * scale shape, where per-key history length stays bounded.
+    */
+  private def scaleEvents(events: DataFrame, k: Int): DataFrame = {
+    val n = events.count()
+    val users = events.agg(max(col("user_id"))).head().getLong(0) + 1
+    (0 until k).map { i =>
+      events.select(
+        (col("event_id") + lit(i * n)).as("event_id"),
+        (col("user_id") + lit(i * users)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10)
     val spark = GraftSession.build()
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
+    val events = Tables.load(spark, sfDir, "events")
 
     // optional comma-separated op filter for single-op iteration:
     //   SPARK_GRAFT_PROBE_OPS=sim_ivf_sq8_topk runMain graft.ScaleProbe 10
@@ -63,9 +79,10 @@ object ScaleProbe {
     for (k <- ks) {
       // lazy: a filtered run only materializes the scaled frames the
       // selected ops actually read (frame setup dominates iteration cost)
-      var dUsed = false; var eUsed = false
+      var dUsed = false; var eUsed = false; var vUsed = false
       lazy val d = { dUsed = true; scaleDocs(docs, k).localCheckpoint(true) }
       lazy val e = { eUsed = true; scaleEmb(emb, k).localCheckpoint(true) }
+      lazy val v = scaleEvents(events, k).localCheckpoint(true)
       time("pack_sequences", k) {
         operators.SeqPacking.pack(d, "doc_id", "text", "source", 512).toDF()
       }
@@ -146,6 +163,17 @@ object ScaleProbe {
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, dim = 64, nBits = 8, tables = 4)
       }
+      time("pipeline_replicate", k) {
+        // the CDC flagship at k× stream length and k× key count:
+        // snapshot handoff + idempotence + upsert + interval ledger
+        val ev = { vUsed = true; v }
+        val cutoff = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+        operators.Replication.replicate(
+          ev.withColumn("op",
+            when(col("event_type") === "error", "d")
+              .when(col("event_type") === "signup", "i").otherwise("u")),
+          "user_id", "event_id", "op", cutoff, cutoff - cutoff / 4)
+      }
       time("stats_histogram", k) {
         operators.TableStats.histogram(
           d.select(operators.text.TextAnalysis.tokenCount(col("text")).as("v")),
@@ -153,6 +181,7 @@ object ScaleProbe {
       }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
+      if (vUsed) v.unpersist()
     }
     only.foreach { f =>
       val unknown = f -- seenOps

@@ -418,36 +418,10 @@ object SparkEntry {
       // F1: the table's row filter, applied to BOTH phases like the
       // reference applies the where-clause during full copy AND incr
       val ev = Relational.whereFilter(evAll, "event_type <> 'click'")
-      val cols = Seq("user_id", "event_id", "event_type", "value", "op").map(col)
-      // full load: source-table state AT the snapshot point, scanned as
-      // S3 keyset chunks; applyChangeLog collapses history to state
-      val prefix = ev.filter(col("event_id") <= cutoff).select(cols: _*)
-      val snapshot = CdcBatch.applyChangeLog(
-        ChunkPlanner.chunkedRead(s, prefix, Seq("event_id"), 4),
-        "user_id", "event_id", "op")
-      // incremental feed REPLAYS a tail of pre-snapshot events (restart
-      // semantics); F10's anti-join vs the snapshot-covered ledger drops
-      // exactly the duplicates
-      val feed = ev.filter(col("event_id") > replayFrom).select(cols: _*)
-      val ledger = prefix.select(col("event_id"))
-      val incr = Relational.idempotenceFilter(feed, ledger, "event_id")
-      // K2/K4: last-writer-wins upsert of snapshot ∪ incremental — equal
-      // to replaying the whole (filtered) history, which is the oracle
-      val state = CdcBatch.applyChangeLog(snapshot.unionByName(incr),
-        "user_id", "event_id", "op")
-      // K7/A5: applied-interval ledger per key; n_replayed counts the
-      // F10-dropped duplicates (the restart-overlap observable). Both
-      // joins share the state's user_id shuffle key — no broadcast: the
-      // per-key ledger scales with the key count.
-      val applied = incr.groupBy(col("user_id"))
-        .agg(GtidSetAgg.column(col("event_id")).as("applied_set"))
-      val replayed = feed.filter(col("event_id") <= cutoff)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_replayed"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("op"))
       Relational.columnMap(
-        state.join(applied, Seq("user_id"), "left")
-          .join(replayed, Seq("user_id"), "left")
-          .withColumn("applied_set", coalesce(col("applied_set"), lit("")))
-          .withColumn("n_replayed", coalesce(col("n_replayed"), lit(0L))),
+        graft.operators.Replication.replicate(ev, "user_id", "event_id", "op",
+          cutoff, replayFrom),
         Seq("user_id", "event_id", "event_type", "value", "applied_set", "n_replayed"),
         Seq("uid", "last_seq", "last_type", "val", "applied_set", "n_replayed"))
         .orderBy(col("uid"))
