@@ -95,6 +95,43 @@ class CdcFileSourceSpec extends SparkSpec {
     assert(state == Map("k1" -> 1L, "k2" -> 5L)) // k3 deleted, other.t routed out
   }
 
+  test("fixture-scale: paced streaming replication equals the one-pass batch replay") {
+    // the cross-micro-batch pin: 1000 fixture events split over 4
+    // segments, admitted <=150 seqs per trigger (>=7 micro-batches) —
+    // the sink's incremental merge + ledger must land on exactly the
+    // state a single batch applyChangeLog computes
+    import graft.model.{ChangeEvent, ReplicationSpec, SchemaSpec}
+    import graft.streaming.{CdcPipeline, ParquetUpsertSink}
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-equiv").toString
+    val evRows = Tables.load(spark, sf, "events")
+      .withColumn("op",
+        when(col("event_type") === "error", "d")
+          .when(col("event_type") === "signup", "c").otherwise("u"))
+      .select("event_id", "user_id", "event_type", "value", "op")
+      .as[(Long, Long, String, Double, String)].collect().sortBy(_._1)
+    val ces = evRows.map { case (eid, uid, et, v, op) =>
+      ChangeEvent("shop", "t", op, uid.toString, Map.empty,
+        if (op == "d") Map.empty else Map("event_type" -> et, "value" -> v.toString),
+        1000 + eid, s"u:$eid", eid, eid - 1, "server-1")
+    }
+    ces.grouped(250).foreach(g => CdcFileSource.writeEvents(s"$work/stream", g.toSeq))
+    val sink = new ParquetUpsertSink(spark, s"$work/table", s"$work/ledger", "key", "seq", "op")
+    val stream = spark.readStream.format(fmt).option("path", s"$work/stream")
+      .option("maxOffsetsPerTrigger", "150").load()
+    val q = CdcPipeline.run(stream,
+      ReplicationSpec(doDb = Seq(SchemaSpec("shop")), skipOps = Set.empty),
+      sink, s"$work/ckpt", triggerMs = 50)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$work/table")
+      .select("key", "seq").as[(String, Long)].collect().toMap
+    val batch = graft.operators.CdcBatch.applyChangeLog(
+        ces.toSeq.toDF(), "key", "seq", "op")
+      .select("key", "seq").as[(String, Long)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("S5: snapshot -> stream handoff starts at the recorded watermark") {
     import graft.model.TableSpec
     val work = java.nio.file.Files.createTempDirectory("graft-s5").toString
