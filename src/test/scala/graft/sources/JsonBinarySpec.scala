@@ -230,4 +230,71 @@ class JsonBinarySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       JsonBinary.decode(doc(JOpaque(0xff, Array[Byte](1, 2, 3)))))
   }
+
+  test("property: random documents decode to the independent renderer's text") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // an independent canonical renderer over the same ADT — decode must
+    // agree with it on arbitrary nesting, key shapes, and value widths
+    def render(v: J): String = v match {
+      case JNull => "null"
+      case JTrue => "true"
+      case JFalse => "false"
+      case JI16(x) => x.toString
+      case JU16(x) => x.toString
+      case JI32(x) => x.toString
+      case JU32(x) => x.toString
+      case JI64(x) => x.toString
+      case JU64(x) => java.lang.Long.toUnsignedString(x)
+      case JDbl(x) => x.toString
+      case JStr(s) => esc(s)
+      case JObj(fs, _) => fs.map { case (k, x) => esc(k) + ":" + render(x) }.mkString("{", ",", "}")
+      case JArr(xs, _) => xs.map(render).mkString("[", ",", "]")
+      case JOpaque(_, _) => throw new IllegalArgumentException("not generated")
+    }
+    def esc(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b"); case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n"); case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('"', '\\', '\n', '\t', 'é', '中', '\u0001')
+    )).map(_.mkString)
+    val scalarGen: Gen[J] = Gen.oneOf(
+      Gen.const(JNull), Gen.const(JTrue), Gen.const(JFalse),
+      Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt).map(JI16(_)),
+      Gen.chooseNum(0, 65535).map(JU16(_)),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue).map(JI32(_)),
+      Gen.chooseNum(0L, 4294967295L).map(JU32(_)),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JI64(_)),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JU64(_)),
+      Gen.chooseNum(-1e9, 1e9).map(JDbl(_)),
+      strGen.map(JStr(_)))
+    def jGen(depth: Int): Gen[J] =
+      if (depth <= 0) scalarGen
+      else Gen.frequency(
+        4 -> scalarGen,
+        2 -> (for {
+          n <- Gen.chooseNum(0, 4)
+          ks <- Gen.listOfN(n, strGen)
+          vs <- Gen.listOfN(n, jGen(depth - 1))
+          large <- Gen.oneOf(true, false)
+          // JSONB keys are unique per object; dedupe preserving order
+        } yield JObj(ks.zip(vs).distinctBy(_._1), large)),
+        2 -> (for {
+          n <- Gen.chooseNum(0, 5)
+          vs <- Gen.listOfN(n, jGen(depth - 1))
+          large <- Gen.oneOf(true, false)
+        } yield JArr(vs, large)))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(jGen(3)) { j => JsonBinary.decode(doc(j)) == render(j) })
+    assert(res.passed, res.status.toString)
+  }
 }
