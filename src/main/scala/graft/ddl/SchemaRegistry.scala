@@ -194,7 +194,10 @@ class SchemaRegistry {
             .findFirstMatchIn(masked).map(_.group(1).toLowerCase).exists { cs =>
               get(d, t).exists { cur =>
                 put(d, t, StructType(cur.fields.map(f =>
-                  if (f.dataType == StringType)
+                  // JSON stays utf8mb4 through a table conversion — MySQL
+                  // does not convert JSON column data
+                  if (f.dataType == StringType &&
+                      !(f.metadata.contains("json") && f.metadata.getBoolean("json")))
                     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
                       .putString("charset", cs).build())
                   else f)))
@@ -263,11 +266,18 @@ class SchemaRegistry {
 
   /** Attach the effective charset as StructField metadata on text
     * columns (reference fills `Column.Charset` from information_schema
-    * the same way: column charset, else the table default).
+    * the same way: column charset, else the table default). JSON maps
+    * to StringType too but is ALWAYS utf8mb4 regardless of the table
+    * default — tagging it would make transcodeRow mangle the
+    * already-decoded document text, so it never gets a charset.
     */
   private def withCharset(f: StructField, typeText: String,
                           tableDefault: Option[String]): StructField =
     if (f.dataType != StringType) f
+    else if (typeText.trim.toLowerCase.startsWith("json"))
+      // marker so CONVERT TO CHARACTER SET retags skip it too
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putBoolean("json", true).build())
     else charsetOf(typeText).orElse(tableDefault) match {
       case Some(cs) =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)

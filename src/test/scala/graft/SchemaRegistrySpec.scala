@@ -45,6 +45,20 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(reg.columnCharsets("db1", "t")("post_cvt") == "utf8mb4")
   }
 
+  test("JSON columns never charset-tag: table default, ALTER ADD, CONVERT TO") {
+    // JSON is always utf8mb4 and BinlogParser emits it as a REAL decoded
+    // string, not the ISO-8859-1 carrier — a charset tag would make
+    // transcodeRow mangle the document text
+    val reg = new SchemaRegistry
+    reg.applyDdl("db1",
+      "CREATE TABLE t (id INT, doc JSON, name VARCHAR(10)) DEFAULT CHARSET=latin1")
+    assert(reg.columnCharsets("db1", "t") == Map("name" -> "latin1"))
+    reg.applyDdl("db1", "ALTER TABLE t ADD COLUMN doc2 JSON")
+    assert(!reg.columnCharsets("db1", "t").contains("doc2"))
+    reg.applyDdl("db1", "ALTER TABLE t CONVERT TO CHARACTER SET gbk")
+    assert(reg.columnCharsets("db1", "t") == Map("name" -> "gbk"))
+  }
+
   test("save/load round-trips schemas, charset metadata, and table defaults") {
     val reg = new SchemaRegistry
     reg.applyDdl("db1",
