@@ -127,6 +127,24 @@ class PlanQualitySpec extends SparkSpec {
       "hot-bucket cap missing from contamination plan")
   }
 
+  test("stored IVF index probe dynamic-prunes to the probed lists") {
+    // the 100-TB property of the persisted index: a query that probes
+    // nProbe of nLists partitions must not scan the other lists —
+    // DPP turns the cid join into a partition filter on the parquet read
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (lists, cents) = graft.operators.sim.SimilaritySearch.buildIvfQuantizedIndex(
+      emb, "vec_id", "embedding", nLists = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    lists.write.partitionBy("cid").parquet(s"$dir/lists")
+    cents.write.parquet(s"$dir/cents")
+    val out = graft.operators.sim.SimilaritySearch.ivfQuantizedTopKFromIndex(
+      spark.read.parquet(s"$dir/lists"), spark.read.parquet(s"$dir/cents"),
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nProbe = 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"index scan must carry a dynamic partition filter on cid:\n$p")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     graft.sinks.PartitionedWriter.write(
