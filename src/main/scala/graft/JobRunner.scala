@@ -32,6 +32,38 @@ object JobRunner {
     (new JobRunner(spark, cfg.repl), cfg)
   }
 
+  /** The reference's tuning knobs mapped onto this engine's runtime
+    * parameters (the BASELINE.md §1 defaults table): how a dtle user's
+    * numbers tune the Spark job rather than being parsed and ignored.
+    */
+  final case class RuntimePlan(
+      snapshotChunks: Int,        // ChunkSize → keyset chunk count
+      triggerMs: Long,            // GroupTimeout → micro-batch trigger
+      sinkPartitions: Int,        // ParallelWorkers → apply partitions
+      maxSeqsPerTrigger: Long,    // ReplChanBufferSize × group size → admission
+      bulkTiers: Seq[Int],        // BulkInsert1/2/3 → statement tiers
+      sessionSetup: Seq[String],  // ForeignKeyChecks=false → SET ... = 0
+      snapshotOnly: Boolean,      // SkipIncrementalCopy
+      createTargetTables: Boolean, // !SkipCreateDbTable
+      dropTargetFirst: Boolean)   // DropTableIfExists
+
+  def runtimePlan(cfg: JobConfig, tableRows: Long): RuntimePlan = {
+    val t = cfg.tuning
+    val chunks = math.max(1L, (tableRows + t.chunkSize - 1) / t.chunkSize)
+    RuntimePlan(
+      // cap: beyond 10k chunks the per-chunk planning overhead dominates
+      // (a 100 TB table wants bigger chunks, not more of them)
+      snapshotChunks = math.min(chunks, 10000L).toInt,
+      triggerMs = math.max(1L, t.groupTimeoutMs.toLong),
+      sinkPartitions = math.max(1, t.parallelWorkers),
+      maxSeqsPerTrigger = math.max(1L, t.replChanBufferSize * math.max(1, t.groupMaxSize)),
+      bulkTiers = graft.sinks.SqlBuilder.normalizeTiers(t.bulkInsertTiers),
+      sessionSetup = if (t.foreignKeyChecks) Nil else Seq("SET FOREIGN_KEY_CHECKS = 0"),
+      snapshotOnly = t.skipIncrementalCopy,
+      createTargetTables = !t.skipCreateDbTable,
+      dropTargetFirst = t.dropTableIfExists)
+  }
+
   /** C9 data-plane stage as a sink wrapper: each batch/segment passes
     * [[transcodeMixedBatch]] before the inner sink. Wrapping the SINK
     * (not the stream) is deliberate — the registry mutates at DDL

@@ -44,7 +44,9 @@ class JdbcUpsertSink(
     opCol: String = "op",
     gtidCol: String = "gtid",
     numPartitions: Int = 4,
-    compactThreshold: Int = 2048
+    compactThreshold: Int = 2048,
+    bulkTiers: Seq[Int] = SqlBuilder.bulkTiers,
+    sessionSetup: Seq[String] = Nil
 ) extends UpsertSink {
 
   override def applyBatch(batch: DataFrame, epochId: Long): Unit = {
@@ -62,6 +64,8 @@ class JdbcUpsertSink(
     val lSchema = ledgerSchema
     val (job, oc, gc) = (jobId, opCol, gtidCol)
     val connectF = connect
+    val tiers = SqlBuilder.normalizeTiers(bulkTiers)
+    val setup = sessionSetup
 
     ordered.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
@@ -73,11 +77,17 @@ class JdbcUpsertSink(
         val buffered = rows.toArray
         JdbcUpsertSink.retryWithConnection(connectF) { conn =>
           conn.setAutoCommit(false)
+          // per-connection session setup (reference runs e.g.
+          // SET FOREIGN_KEY_CHECKS=0 on every applier connection)
+          if (setup.nonEmpty) {
+            val st = conn.createStatement()
+            try setup.foreach(st.execute) finally st.close()
+          }
           // fresh cache per attempt: statements belong to the attempt's
           // connection; a retried tx must not reuse a possibly-poisoned one
           val cache = new StatementCache(conn)
           try {
-            JdbcUpsertSink.applyRows(buffered, cache, tableDef, job, lSchema, oc, gc)
+            JdbcUpsertSink.applyRows(buffered, cache, tableDef, job, lSchema, oc, gc, tiers)
             conn.commit()
           } finally cache.close()
         }
@@ -160,7 +170,8 @@ object JdbcUpsertSink {
       job: String,
       lSchema: String,
       oc: String,
-      gc: String): Unit = {
+      gc: String,
+      tiers: Seq[Int] = SqlBuilder.bulkTiers): Unit = {
     var appliedGtids = Set.empty[String]
     // Bulk application (reference `applier_incr.go:694-730` +
     // `driver.go:161-167`): buffer consecutive same-op runs and
@@ -175,7 +186,7 @@ object JdbcUpsertSink {
 
     def flushReplaces(): Unit = if (replaceRun.nonEmpty) {
       var off = 0
-      SqlBuilder.tierPlan(replaceRun.length).foreach { case (tier, count) =>
+      SqlBuilder.tierPlan(replaceRun.length, tiers).foreach { case (tier, count) =>
         val st = cache.get(tableDef.fqn, "replace", tier,
           SqlBuilder.replaceInto(tableDef, tier))
         var n = 0

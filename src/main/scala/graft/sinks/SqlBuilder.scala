@@ -31,9 +31,18 @@ object SqlBuilder {
     */
   val bulkTiers: Seq[Int] = Seq(128, 8, 4, 1)
 
-  def tierPlan(n: Int): Seq[(Int, Int)] = {
+  /** A usable tier sequence from arbitrary config input: positive,
+    * distinct, descending, with the row-at-a-time terminal tier so no
+    * remainder is ever dropped.
+    */
+  def normalizeTiers(tiers: Seq[Int]): Seq[Int] = {
+    val ts = tiers.filter(_ > 0).distinct.sorted(Ordering.Int.reverse)
+    if (ts.lastOption.contains(1)) ts else ts :+ 1
+  }
+
+  def tierPlan(n: Int, tiers: Seq[Int] = bulkTiers): Seq[(Int, Int)] = {
     var remaining = n
-    bulkTiers.flatMap { tier =>
+    tiers.flatMap { tier =>
       val count = remaining / tier
       remaining %= tier
       if (count > 0) Some(tier -> count) else None

@@ -74,8 +74,11 @@ object JdbcRecorder {
           case "createStatement" =>
             Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Statement]),
               new InvocationHandler {
-                override def invoke(p: Any, mm: Method, a: Array[AnyRef]): AnyRef =
-                  defaultFor(mm.getReturnType)
+                override def invoke(p: Any, mm: Method, a: Array[AnyRef]): AnyRef = mm.getName match {
+                  case "execute" => // plain statements (session setup, DDL) record too
+                    events.add(Exec(a(0).asInstanceOf[String], 1)); java.lang.Boolean.FALSE
+                  case _ => defaultFor(mm.getReturnType)
+                }
               }).asInstanceOf[Statement]
           case _ => defaultFor(m.getReturnType)
         }
@@ -156,7 +159,28 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     // deletes batch as one executeBatch of 5, not 5 round trips
     assert(deletes.map(_.batchSize) == Seq(5))
     // ledger insert rides the same tx as one batch of all 149 gtids
-    assert(ledger.map(_.batchSize) == Seq(149))
+    // (the ledger CREATE DDL records separately as a plain execute)
+    assert(ledger.filter(_.sql.startsWith("INSERT")).map(_.batchSize) == Seq(149))
+  }
+
+  test("config-driven tiers and session setup reach the connection") {
+    JdbcRecorder.clear()
+    val rows = (1 to 100).map(i => (i.toLong, i.toLong, i.toLong, "u", s"u:$i"))
+    val batch = rows.toDF("key", "v", "seq", "op", "gtid")
+    val sink = new JdbcUpsertSink(() => JdbcRecorder.connection(), td,
+      "job1", "ledger", numPartitions = 1,
+      bulkTiers = Seq(64, 16), // config form: no terminal 1 — normalized
+      sessionSetup = Seq("SET FOREIGN_KEY_CHECKS = 0"))
+    sink.applyBatch(batch, 0L)
+    val evs = JdbcRecorder.events.toArray(Array.empty[JdbcRecorder.Exec]).toSeq
+    val replaces = evs.filter(_.sql.startsWith("REPLACE"))
+    assert(replaces.map(e => (tierOf(e.sql), e.batchSize)) ==
+      Seq((64, 1), (16, 2), (1, 4)),
+      s"got: ${replaces.map(e => (tierOf(e.sql), e.batchSize))}")
+    // the session-setup statement ran before the first REPLACE
+    val idxSetup = evs.indexWhere(_.sql.contains("FOREIGN_KEY_CHECKS"))
+    val idxFirst = evs.indexWhere(_.sql.startsWith("REPLACE"))
+    assert(idxSetup >= 0 && idxSetup < idxFirst, evs.map(_.sql).mkString("\n"))
   }
 
   test("a replace run longer than the top tier flushes eagerly at 128") {
@@ -191,7 +215,7 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     val ledger = evs.filter(_.sql.contains("gtid_executed"))
     assert(replaces.map(e => (tierOf(e.sql), e.batchSize)) ==
       Seq.fill(3)(Seq((8, 1), (1, 2))).flatten, s"got ${replaces.map(e => (tierOf(e.sql), e.batchSize))}")
-    assert(ledger.map(_.batchSize) == Seq(10, 10, 10))
+    assert(ledger.filter(_.sql.startsWith("INSERT")).map(_.batchSize) == Seq(10, 10, 10))
   }
 
   test("retry budget exhausts at RetryTxLimit and the stream fails") {

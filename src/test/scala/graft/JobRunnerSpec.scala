@@ -140,6 +140,36 @@ class JobRunnerSpec extends SparkSpec {
     assert(out.columns.toSeq == rows.columns.toSeq)
   }
 
+  test("tuning knobs from the dtle JSON land in the runtime plan") {
+    val json =
+      """{
+        |  "ReplicateDoDb": [{"TableSchema": "sales"}],
+        |  "ChunkSize": 500,
+        |  "GroupTimeout": 250,
+        |  "GroupMaxSize": 4,
+        |  "ReplChanBufferSize": 64,
+        |  "ParallelWorkers": 8,
+        |  "BulkInsert1": 16, "BulkInsert2": 64, "BulkInsert3": 256,
+        |  "ForeignKeyChecks": false,
+        |  "SkipIncrementalCopy": true,
+        |  "DropTableIfExists": true
+        |}""".stripMargin
+    val (_, cfg) = JobRunner.fromJson(spark, json)
+    val plan = JobRunner.runtimePlan(cfg, tableRows = 10_000L)
+    assert(plan.snapshotChunks == 20)            // ceil(10000 / 500)
+    assert(plan.triggerMs == 250L)
+    assert(plan.sinkPartitions == 8)
+    assert(plan.maxSeqsPerTrigger == 64L * 4)
+    assert(plan.bulkTiers == Seq(256, 64, 16, 1))
+    assert(plan.sessionSetup == Seq("SET FOREIGN_KEY_CHECKS = 0"))
+    assert(plan.snapshotOnly && plan.dropTargetFirst && plan.createTargetTables)
+    // defaults reproduce the reference's envelope (BASELINE.md §1)
+    val dflt = JobRunner.runtimePlan(JobConfig.fromJson("{}"), tableRows = 10_000L)
+    assert(dflt.snapshotChunks == 5 && dflt.triggerMs == 100L &&
+      dflt.sinkPartitions == 1 && dflt.maxSeqsPerTrigger == 32L &&
+      dflt.bulkTiers == Seq(128, 8, 4, 1) && dflt.sessionSetup.isEmpty)
+  }
+
   test("replayBatch: routed change log over snapshot state gives final state") {
     val repl = ReplicationSpec(doDb = Seq(SchemaSpec("db")), skipOps = Set("ddl"),
       selfServerId = Some("self"))

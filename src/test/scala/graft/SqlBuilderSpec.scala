@@ -36,6 +36,17 @@ class SqlBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("custom tiers from job config: normalized and exact") {
+    // config-order input, duplicates, missing terminal 1 — normalize
+    assert(SqlBuilder.normalizeTiers(Seq(16, 64, 16, 0, -3)) == Seq(64, 16, 1))
+    assert(SqlBuilder.normalizeTiers(Seq(64, 16, 1)) == Seq(64, 16, 1))
+    val tiers = SqlBuilder.normalizeTiers(Seq(64, 16))
+    assert(SqlBuilder.tierPlan(100, tiers) == Seq(64 -> 1, 16 -> 2, 1 -> 4))
+    Seq(1, 5, 130, 1000).foreach { n =>
+      assert(SqlBuilder.tierPlan(n, tiers).map { case (t, c) => t * c }.sum == n)
+    }
+  }
+
   test("delete targets PK with LIMIT 1") {
     assert(norm(SqlBuilder.delete(t)) ==
       "DELETE FROM `mydb`.`tbl` WHERE (`id` = ? OR (`id` IS NULL AND ? IS NULL)) LIMIT 1")
