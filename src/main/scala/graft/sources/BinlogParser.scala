@@ -44,6 +44,7 @@ object BinlogParser {
   val UPDATE_ROWS_V2 = 0x1f
   val DELETE_ROWS_V2 = 0x20
   val GTID_EVENT = 0x21
+  val PREVIOUS_GTIDS_EVENT = 0x23
 
   private val Magic = Array[Byte](0xfe.toByte, 'b', 'i', 'n')
 
@@ -119,6 +120,38 @@ object BinlogParser {
       case _ => 0
     }
     (tableId, TableMapEntry(db, table, types, metas))
+  }
+
+  /** ROTATE event body → (next position, next binlog file name). A live
+    * reader uses this to name the next relay segment and to carry the
+    * (file, pos) coordinate pair across files.
+    */
+  def parseRotate(body: Array[Byte]): (Long, String) = {
+    val r = new Reader(body, 0)
+    val pos = r.i64()
+    (pos, r.strToEnd())
+  }
+
+  /** PREVIOUS_GTIDS event body → the executed GTID set at the start of
+    * this binlog file, in the same SID-block layout the dump command
+    * sends (n_sids, then per sid: 16 bytes + n_intervals + [start, end)
+    * pairs). Returned with INCLUSIVE interval ends to match
+    * [[graft.functions.IntervalSet]] — a resuming reader checks its
+    * ledger covers this set before trusting the file (reference resume
+    * validation in go-mysql's sync startup).
+    */
+  def parsePreviousGtids(body: Array[Byte]): Seq[(String, Seq[(Long, Long)])] = {
+    val r = new Reader(body, 0)
+    val nSids = r.i64()
+    (0L until nSids).map { _ =>
+      val sid = r.bytes(16)
+      val uuid = f"${hex(sid, 0, 4)}-${hex(sid, 4, 2)}-${hex(sid, 6, 2)}-${hex(sid, 8, 2)}-${hex(sid, 10, 6)}"
+      val nIv = r.i64()
+      uuid -> (0L until nIv).map { _ =>
+        val lo = r.i64(); val hiExcl = r.i64()
+        (lo, hiExcl - 1)
+      }
+    }
   }
 
   /** GTID event body → (sid-uuid, gno, lastCommitted, sequenceNumber). */

@@ -227,6 +227,24 @@ class BinlogParserSpec extends AnyFunSuite {
     assert(ins.after("col_2") == "2748")
   }
 
+  test("ROTATE and PREVIOUS_GTIDS decode: file handoff + resume set") {
+    val rot = new W().i64(4L).str("mysql-bin.000042").result
+    assert(BinlogParser.parseRotate(rot) == (4L, "mysql-bin.000042"))
+    // PREVIOUS_GTIDS uses the protocol's end-exclusive pairs; the parser
+    // returns the inclusive form IntervalSet speaks. Round-trip via the
+    // dump command's encoder layout.
+    val body = new W()
+      .i64(1L).raw(sid).i64(2L)
+      .i64(1L).i64(6L)  // [1,6) -> [1,5]
+      .i64(7L).i64(8L)  // [7,8) -> [7,7]
+      .result
+    val got = BinlogParser.parsePreviousGtids(body)
+    assert(got == Seq("01020304-0506-0708-090a-0b0c0d0e0f10" -> Seq((1L, 5L), (7L, 7L))))
+    // and it agrees with the repo's interval algebra text form
+    val set = graft.functions.IntervalSet(got.head._2.toList)
+    assert(set.render == "1-5:7")
+  }
+
   test("decoded stream drives S2 transaction assembly end-to-end") {
     // the commit marker and gtid grouping line up with
     // CdcPipeline.assembleTransactions' contract
