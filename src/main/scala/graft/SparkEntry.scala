@@ -427,6 +427,37 @@ object SparkEntry {
         .orderBy(col("uid"))
     }),
 
+    "pipeline_twoway" -> ((s, dir) => {
+      // O10 — two-way sync, batch form (streaming form: TwoWaySyncSpec):
+      // each key's HOME server is user_id parity; each side's applied
+      // set = its local writes ∪ the peer capture stream through the F9
+      // cycle filter (which drops the echoes of its own rows the peer
+      // re-captured). Both sides must converge to the same live state,
+      // with `via` recording local vs replicated arrival — exactly the
+      // reference's bidirectional job pair (`applier_incr.go:290-313`).
+      val ev = asChangeLog(t(s, dir, "events"))
+        .withColumn("origin",
+          when(pmod(col("user_id"), lit(2)) === 0, "server-A").otherwise("server-B"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("op"), col("origin"))
+      def sideState(side: String) = {
+        val self = s"server-$side"
+        val local = ev.filter(col("origin") === self)
+        // the peer's capture stream carries everything it applied —
+        // including echoes of OUR rows; F9 drops those
+        val replicated = Relational.cycleFilter(ev, self, "origin")
+        CdcBatch.applyChangeLog(local.unionByName(replicated),
+            "user_id", "event_id", "op")
+          .withColumn("side", lit(side))
+          .withColumn("via",
+            when(col("origin") === self, "local").otherwise("replicated"))
+      }
+      sideState("A").unionByName(sideState("B"))
+        .select(col("side"), col("user_id").as("uid"), col("event_id").as("last_seq"),
+          col("event_type").as("last_type"), col("value").as("val"), col("via"))
+        .orderBy(col("side"), col("uid"))
+    }),
+
     "s9_snapshot_chunks" -> ((s, dir) => {
       // S9 — Oracle AS-OF-SCN snapshot chunk planning: the rownum-window
       // JDBC dbtable subqueries, one per partition (golden text
@@ -1277,6 +1308,20 @@ object SparkEntry {
          |  CAST(coalesce(rep.n_replayed, 0) AS BIGINT) AS n_replayed
          |FROM live LEFT JOIN sets USING (user_id) LEFT JOIN rep USING (user_id)
          |ORDER BY uid""".stripMargin,
+
+    // both sides converge to the same live rows; `via` flips with the
+    // key's home-server parity
+    "pipeline_twoway" ->
+      s"""WITH c AS (SELECT user_id, event_id, event_type, value, $opCaseSql AS op,
+         |  CASE WHEN user_id % 2 = 0 THEN 'server-A' ELSE 'server-B' END AS origin FROM events),
+         |st AS (SELECT user_id, event_id, event_type, value, origin, op FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         |live AS (SELECT * FROM st WHERE op <> 'd')
+         |SELECT side, user_id AS uid, event_id AS last_seq, event_type AS last_type,
+         |  value AS val,
+         |  CASE WHEN origin = 'server-' || side THEN 'local' ELSE 'replicated' END AS via
+         |FROM live CROSS JOIN (SELECT unnest(['A','B']) AS side)
+         |ORDER BY side, uid""".stripMargin,
 
     // golden text pinned here independently of LogMinerSession (like
     // s9): generator drift fails the hash, window arithmetic is
