@@ -753,6 +753,23 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      // continual ingest, MinHash scale path: today's batch (doc_id%5
+      // != 0) near-dup-checked against the STORED signature index of
+      // the accumulated corpus (%5 == 0) — corpus text is never
+      // re-shingled. Same split convention as dedup_incremental; the
+      // index build + probe are both portable arithmetic, so the whole
+      // two-corpus pipeline hash-matches the oracle.
+      val docs = t(s, dir, "documents")
+      val (idxBands, idxSigs) = MinHashDedup.buildPortableIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        n = 3, k = 16, numBands = 4)
+      MinHashDedup.nearDupAgainstIndex(idxBands, idxSigs,
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+          n = 3, k = 16, numBands = 4, threshold = 0.5, maxBucket = 500)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     "dedup_minhash_md5" -> ((s, dir) => {
       // the portable-arithmetic LSH witness: same construction as
       // dedup_minhash, every hash reproducible in ANSI SQL -> the
@@ -1586,6 +1603,33 @@ object SparkEntry {
         |  len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 AS sig_frac FROM p)
         |SELECT id_a, id_b, round(sig_frac, 6) AS sig_frac FROM scored
         |WHERE sig_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // batch × stored-index probe: same portable construction, bucket
+    // cap applies to INDEX members only (the stored side)
+    "dedup_minhash_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |h AS (SELECT doc_id, list_transform(sh, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id,
+        |  list_transform(range(0, 16), j ->
+        |    list_min(list_transform(hs, x -> ((2*j + 1) * x + j * 12345 + 7) % 2147483647))) AS sig
+        |  FROM h),
+        |banded AS (SELECT doc_id, sig, u.b AS band,
+        |  sig[u.b*4+1] || ':' || sig[u.b*4+2] || ':' || sig[u.b*4+3] || ':' || sig[u.b*4+4] AS bkey
+        |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u),
+        |idx AS (SELECT * FROM banded WHERE doc_id % 5 = 0
+        |        QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 500),
+        |bat AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+        |p AS (SELECT DISTINCT bat.doc_id AS doc_id, idx.doc_id AS dup_of,
+        |  bat.sig AS sa, idx.sig AS sb
+        |  FROM bat JOIN idx ON bat.band = idx.band AND bat.bkey = idx.bkey),
+        |scored AS (SELECT doc_id, dup_of,
+        |  len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS sig_frac FROM p)
+        |SELECT doc_id, dup_of, round(sig_frac, 6) AS sig_frac FROM scored
+        |WHERE sig_frac >= 0.5 ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_minhash_md5" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words

@@ -43,11 +43,11 @@ object MinHashDedup {
     * HOF formulation hits). Output: (id_a, id_b, sig_frac) where
     * sig_frac = fraction of the k signature rows that agree.
     */
-  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, k: Int = 16, numBands: Int = 4,
-                    threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
-    require(k % numBands == 0, "numBands must divide k")
-    val rpb = k / numBands
+  /** Portable signatures: 60-bit md5 shingle hashes mod 2^31-1 folded
+    * through the imperative agg in portable mode → (doc_id, sig).
+    */
+  private[dedup] def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
+                                        n: Int, k: Int): DataFrame = {
     val p31 = 2147483647L // 2^31 - 1
     val hashed = graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
@@ -59,17 +59,32 @@ object MinHashDedup {
     // equivalence), but a single long[k] buffer and a flat generated
     // aggregate — the k-wide formulation costs k buffers and a
     // multi-second Janino compile at k=64.
-    val sig = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashSigAgg.column(col("hs"), k, portable = true).as("sig"))
+  }
+
+  /** (doc_id, sig) → exploded (doc_id, band, bkey) band keys, the
+    * ':'-joined text form every ANSI engine reproduces.
+    */
+  private[dedup] def portableBands(sig: DataFrame, k: Int, numBands: Int): DataFrame = {
+    require(k % numBands == 0, "numBands must divide k")
+    val rpb = k / numBands
+    sig.select(col("doc_id"),
+      posexplode(array((0 until numBands).map(b =>
+        concat_ws(":", (0 until rpb).map(r => col("sig").getItem(b * rpb + r)): _*)): _*))
+        .as(Seq("band", "bkey")))
+  }
+
+  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 16, numBands: Int = 4,
+                    threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+    val sig = portableSignatures(docs, idCol, textCol, n, k)
     // Buckets carry ONLY doc ids (8 bytes/member through the shuffle) —
     // at k=64 a (doc_id, sig) struct is 520B/member; signatures re-join
     // by id AFTER pair dedup, when the pair set is small, pinned
     // shuffle_hash like candidatePairs (the planner broadcasting a
     // corpus-sized side is the measured OOM ScaleProbe caught).
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until numBands).map(b =>
-        concat_ws(":", (0 until rpb).map(r => col("sig").getItem(b * rpb + r)): _*)): _*))
-        .as(Seq("band", "bkey")))
+    val banded = portableBands(sig, k, numBands)
     val buckets = banded.groupBy(col("band"), col("bkey"))
       .agg(graft.functions.BoundedCollectList.column(col("doc_id"), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -192,5 +207,56 @@ object MinHashDedup {
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Persistable MinHash index over a corpus — the continual-ingest
+    * scale path: signatures and band keys computed ONCE, written once
+    * (bands partitioned by `band` for pruning), and every future batch
+    * dedupes against them without touching corpus text again. Returns
+    * (bands, sigs): bands (doc_id, band, bkey), sigs (doc_id, sig).
+    * Portable arithmetic throughout, so the whole probe is oracled.
+    */
+  def buildPortableIndex(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 16, numBands: Int = 4): (DataFrame, DataFrame) = {
+    val sig = portableSignatures(docs, idCol, textCol, n, k)
+    (portableBands(sig, k, numBands), sig)
+  }
+
+  /** New-batch near-dups against a stored index: batch signatures
+    * compute fresh; index band buckets collect capped (hot shared-
+    * boilerplate buckets drop entirely rather than exploding — same
+    * stop-content guard as the in-corpus path); candidates are
+    * (batch × bucket members), scored by signature agreement.
+    * Output: (doc_id, dup_of, sig_frac) — batch docs with an index
+    * near-dup at ≥ threshold.
+    */
+  def nearDupAgainstIndex(idxBands: DataFrame, idxSigs: DataFrame,
+                          batch: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 16, numBands: Int = 4,
+                          threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+    val bSig = portableSignatures(batch, idCol, textCol, n, k)
+    val bBands = portableBands(bSig, k, numBands)
+    // capped collect on the INDEX side: the bounded buffer holds
+    // maxBucket+1 on overflow, so the filter detects and drops hot
+    // buckets instead of shipping them
+    val idxBuckets = idxBands.groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.BoundedCollectList.column(col("doc_id"), maxBucket).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+    val cands = bBands.join(idxBuckets, Seq("band", "bkey"))
+      .select(col("doc_id").as("batch_id"), explode(col("members")).as("index_id"))
+      .dropDuplicates("batch_id", "index_id")
+    // signature re-joins shuffle on id — idxSigs is corpus-sized, a
+    // planner broadcast of it is the measured OOM; the deduped
+    // candidate set is the small build side
+    val sa = bSig.select(col("doc_id").as("batch_id"), col("sig").as("sa"))
+    val sb = idxSigs.select(col("doc_id").as("index_id"), col("sig").as("sb"))
+    cands.join(sa.hint("shuffle_hash"), "batch_id")
+      .join(sb.hint("shuffle_hash"), "index_id")
+      .withColumn("sig_frac",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("sig_frac") >= threshold)
+      .select(col("batch_id").as("doc_id"), col("index_id").as("dup_of"),
+        round(col("sig_frac"), 6).as("sig_frac"))
   }
 }

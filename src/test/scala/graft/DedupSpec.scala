@@ -204,6 +204,34 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaMins)
   }
 
+  test("stored MinHash index: parquet round-trip probe == cross slice of in-corpus pairs") {
+    import graft.operators.dedup.MinHashDedup
+    val index = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val (bands, sigs) = MinHashDedup.buildPortableIndex(index, "doc_id", "text", 3, 16, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    bands.write.partitionBy("band").parquet(s"$dir/bands")
+    sigs.write.parquet(s"$dir/sigs")
+    val got = MinHashDedup.nearDupAgainstIndex(
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sigs"),
+        batch, "doc_id", "text", 3, 16, 4, threshold = 0.5, maxBucket = 100000)
+      .select("doc_id", "dup_of", "sig_frac")
+      .as[(Long, Long, Double)].collect().toSet
+    // with no bucket cap in play, the probe must equal exactly the
+    // cross (batch x index) slice of the whole-corpus portable pairs
+    val expected = MinHashDedup.portablePairs(docs, "doc_id", "text",
+        n = 3, k = 16, numBands = 4, threshold = 0.5, maxBucket = 100000)
+      .select("id_a", "id_b", "sig_frac").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, f) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((b, a, f)) // (batch, index, frac)
+          case (false, true) => Some((a, b, f))
+          case _ => None
+        }
+      }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("connectedComponents: transitive closure over a chain and a cycle") {
     import spark.implicits._
     // chain 1-2-3-4, cycle 10-11-12-10, singleton pair 20-21
