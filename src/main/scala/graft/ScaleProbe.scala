@@ -126,6 +126,27 @@ object ScaleProbe {
           "doc_id", "source", "toks",
           Map("src0" -> 7000L * k, "src1" -> 7000L * k, "src2" -> 7000L * k))
       }
+      // continual-ingest shape: TODAY'S batch stays fixed, the stored
+      // index covers the k×-scaled accumulated corpus. Build is the
+      // once-per-corpus cost; the probe is the per-batch cost and
+      // should track candidate volume, not corpus size.
+      locally {
+        var built: (DataFrame, DataFrame) = null
+        time("dedup_minhash_index_build", k) {
+          val (bands, sigs) = operators.dedup.MinHashDedup.buildPortableIndex(
+            d, "doc_id", "text", n = 3, k = 16, numBands = 4)
+          built = (bands.localCheckpoint(true), sigs.localCheckpoint(true))
+          built._1.union(built._1.limit(0)) // materialized above; noop write below
+        }
+        if (built != null) {
+          time("dedup_minhash_index_probe", k) {
+            operators.dedup.MinHashDedup.nearDupAgainstIndex(built._1, built._2,
+              docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text",
+              n = 3, k = 16, numBands = 4, threshold = 0.5, maxBucket = 500)
+          }
+          built._1.unpersist(); built._2.unpersist()
+        }
+      }
       time("dedup_minhash_portable", k) {
         // the main dedup_minhash query path since round 6: portable-mode
         // imperative sig agg + ids-only buckets + shuffle_hash sig re-join
