@@ -779,6 +779,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      // continual ingest, SimHash scale path: batch (doc_id%5 != 0)
+      // Hamming-checked against the STORED fingerprint/block index of
+      // the accumulated corpus (%5 == 0) — mirror of
+      // dedup_minhash_incremental on the other sketch family.
+      val docs = t(s, dir, "documents")
+      val index = SimHashDedup.buildPortableIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      SimHashDedup.nearDupAgainstIndex(index,
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+          maxDist = 3, maxBucket = 1000)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // the round-5 witness FOLDED INTO the main row: portable 60-bit
       // md5 fingerprints (5 pigeonhole blocks × 12 bits, Hamming ≤ 3) —
@@ -1652,6 +1666,25 @@ object SparkEntry {
         |  len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS sig_frac FROM p)
         |SELECT id_a, id_b, round(sig_frac, 6) AS sig_frac FROM scored
         |WHERE sig_frac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // batch × stored-fingerprint-index probe; block cap on INDEX side
+    "dedup_simhash_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(words, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM w),
+        |v AS (SELECT doc_id, list_transform(range(0, 60), b ->
+        |    list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1))) AS votes FROM h),
+        |fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+        |    CASE WHEN votes[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS f FROM v),
+        |blk AS (SELECT doc_id, f, u.b AS block_idx, (f >> (u.b*12)) & 4095 AS block_val
+        |  FROM fp, LATERAL (SELECT unnest(generate_series(0, 4)) AS b) u),
+        |idx AS (SELECT * FROM blk WHERE doc_id % 5 = 0
+        |        QUALIFY COUNT(*) OVER (PARTITION BY block_idx, block_val) <= 1000),
+        |bat AS (SELECT * FROM blk WHERE doc_id % 5 <> 0),
+        |p AS (SELECT DISTINCT bat.doc_id AS doc_id, idx.doc_id AS dup_of,
+        |    CAST(bit_count(xor(bat.f, idx.f)) AS INT) AS hamming
+        |  FROM bat JOIN idx ON bat.block_idx = idx.block_idx AND bat.block_val = idx.block_val)
+        |SELECT doc_id, dup_of, hamming FROM p WHERE hamming <= 3 ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words

@@ -65,9 +65,15 @@ object SimHashDedup {
     * referenced exactly once, so Catalyst's projection collapse cannot
     * fan it out (the k-times re-inline trap the minhash HOF form hits).
     */
-  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
-                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val blocks = 5; val bits = 12; val nbits = 60
+  private val PortableBlocks = 5
+  private val PortableBits = 12
+
+  /** Portable 60-bit fingerprints (md5 token hashes, exact in 64-bit
+    * arithmetic everywhere) → (doc_id, fingerprint).
+    */
+  private[dedup] def portableFingerprints(docs: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
+    val nbits = PortableBlocks * PortableBits
     val seq60 = sequence(lit(0), lit(nbits - 1))
     val hs = transform(split(Dedup.normText(col(textCol)), " "),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
@@ -78,16 +84,25 @@ object SimHashDedup {
       zip_with(col("votes"), seq60, (v, b) =>
         when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
-    val fps = graft.operators.Partitioning
+    graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"), votes.as("votes"))
       .select(col("doc_id"), fp.as("fingerprint"))
-    val chunked = fps.select(
+  }
+
+  /** (doc_id, fingerprint) → pigeonhole block keys (5 × 12 bits). */
+  private[dedup] def portableBlockKeys(fps: DataFrame): DataFrame =
+    fps.select(
       col("doc_id"), col("fingerprint"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftrightunsigned(col("fingerprint"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
+      posexplode(array((0 until PortableBlocks).map(b =>
+        shiftrightunsigned(col("fingerprint"), b * PortableBits)
+          .bitwiseAND(lit((1L << PortableBits) - 1))): _*))
         .as(Seq("block_idx", "block_val")))
+
+  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
+                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val chunked = portableBlockKeys(portableFingerprints(docs, idCol, textCol))
     val buckets = chunked
       .groupBy(col("block_idx"), col("block_val"))
       .agg(graft.functions.BoundedCollectList.column(
@@ -98,6 +113,36 @@ object SimHashDedup {
       .filter(col("hamming") <= maxDist)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Persistable SimHash index: one frame (doc_id, fingerprint,
+    * block_idx, block_val) — write partitioned by `block_idx` —
+    * computed once per corpus; batches probe it without re-reading
+    * corpus text. Portable arithmetic, so the probe is oracled.
+    */
+  def buildPortableIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    portableBlockKeys(portableFingerprints(docs, idCol, textCol))
+
+  /** New-batch near-dups against a stored index: block-key join with
+    * the capped collect on the INDEX side (hot boilerplate blocks drop
+    * rather than exploding), Hamming filter on the fingerprint pairs.
+    * Output: (doc_id, dup_of, hamming).
+    */
+  def nearDupAgainstIndex(index: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val bChunked = portableBlockKeys(portableFingerprints(batch, idCol, textCol))
+    val idxBuckets = index.groupBy(col("block_idx"), col("block_val"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("fingerprint")), maxBucket).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+    bChunked.join(idxBuckets, Seq("block_idx", "block_val"))
+      .select(col("doc_id").as("bid"), col("fingerprint").as("bfp"),
+        explode(col("members")).as("m"))
+      .withColumn("hamming", bit_count(col("bfp").bitwiseXOR(col("m.fingerprint"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("bid").as("doc_id"), col("m.doc_id").as("dup_of"), col("hamming"))
+      .dropDuplicates("doc_id", "dup_of")
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxDist via the block join.

@@ -232,6 +232,31 @@ class DedupSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("stored SimHash index: parquet round-trip probe == cross slice of in-corpus pairs") {
+    import graft.operators.dedup.SimHashDedup
+    val index = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val idx = SimHashDedup.buildPortableIndex(index, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    idx.write.partitionBy("block_idx").parquet(s"$dir/idx")
+    val got = SimHashDedup.nearDupAgainstIndex(
+        spark.read.parquet(s"$dir/idx"), batch, "doc_id", "text",
+        maxDist = 3, maxBucket = 100000)
+      .select("doc_id", "dup_of", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = SimHashDedup.portablePairs(docs, "doc_id", "text",
+        maxDist = 3, maxBucket = 100000)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .flatMap { case (a, b, hd) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((b, a, hd))
+          case (false, true) => Some((a, b, hd))
+          case _ => None
+        }
+      }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("connectedComponents: transitive closure over a chain and a cycle") {
     import spark.implicits._
     // chain 1-2-3-4, cycle 10-11-12-10, singleton pair 20-21
