@@ -809,6 +809,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "emb_lsh_incremental" -> ((s, dir) => {
+      // continual ingest for embeddings: new vectors (vec_id%5 != 0)
+      // near-dup-checked against the STORED LSH bucket index of the
+      // accumulated corpus (%5 == 0) — third sketch family with a
+      // persisted-index path (minhash, simhash, embedding-LSH).
+      val emb = t(s, dir, "embeddings")
+      val (idxBuckets, idxVecs) = SimilaritySearch.buildLshIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+        dim = 64, nBits = 8, tables = 4)
+      SimilaritySearch.lshPairsAgainstIndex(idxBuckets, idxVecs,
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, nBits = 8, tables = 4, maxBucket = 1000)
+        .orderBy(col("vec_id"), col("dup_of"))
+    }),
+
     "emb_lsh_pairs" -> ((s, dir) => {
       // LSH-bucketed near-dup embedding pairs — the scale path for
       // emb_cosine_pairs. Portable md5-derived planes make the whole
@@ -1765,6 +1780,27 @@ object SparkEntry {
     // lshPairs with portable planes: buckets (8 bits × 4 tables), drop
     // over-cap buckets (BoundedCollectList semantics), distinct pairs,
     // cosine filter — bit-identical fold order on both engines
+    // batch × stored-LSH-index probe; bucket cap on INDEX side only
+    "emb_lsh_incremental" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), d ->
+        |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
+        |        (a, x) -> a + x) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |idx AS (SELECT * FROM bk WHERE vec_id % 5 = 0
+        |        QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 1000),
+        |bat AS (SELECT * FROM bk WHERE vec_id % 5 <> 0),
+        |p AS (SELECT DISTINCT bat.vec_id AS vec_id, idx.vec_id AS dup_of, bat.v AS va, idx.v AS vb
+        |  FROM bat JOIN idx ON bat.tbl = idx.tbl AND bat.bucket = idx.bucket),
+        |s AS (SELECT vec_id, dup_of, list_cosine_similarity(va, vb) AS cos FROM p)
+        |SELECT vec_id, dup_of, round(cos, 6) AS cosine FROM s WHERE cos >= 0.4
+        |ORDER BY vec_id, dup_of""".stripMargin,
+
     "emb_lsh_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

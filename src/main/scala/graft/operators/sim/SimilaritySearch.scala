@@ -154,6 +154,55 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Persistable LSH bucket index over an embedding corpus — the
+    * continual-ingest path for [[lshPairs]]: buckets computed once,
+    * written once (partition by `lsh_t`), probed by every future
+    * batch. Returns (buckets, vecs): buckets (vec_id, lsh_t, lsh_b),
+    * vecs (vec_id, vec). Portable md5-derived planes, so the probe is
+    * oracled and a batch bucketed later lands in the SAME buckets.
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, nBits: Int = 8, tables: Int = 4): (DataFrame, DataFrame) = {
+    requireDim(corpus, vecCol, dim, "buildLshIndex")
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val buckets = vecs.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucketAt(col("vec"), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
+    (buckets, vecs)
+  }
+
+  /** New-batch near-dup pairs against a stored LSH index: the batch
+    * buckets with the same portable planes, joins the capped index
+    * buckets, and cosine-verifies through the id-keyed shuffle joins
+    * (index vectors are corpus-sized — never broadcast). Output:
+    * (vec_id, dup_of, cosine), batch id first.
+    */
+  def lshPairsAgainstIndex(idxBuckets: DataFrame, idxVecs: DataFrame,
+                           batch: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int, nBits: Int = 8,
+                           tables: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    requireDim(batch, vecCol, dim, "lshPairsAgainstIndex")
+    val bVecs = batch.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val bBuckets = bVecs.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucketAt(col("vec"), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
+    val capped = idxBuckets.groupBy(col("lsh_t"), col("lsh_b"))
+      .agg(graft.functions.BoundedCollectList.column(col("vec_id"), maxBucket).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+    val cands = bBuckets.join(capped, Seq("lsh_t", "lsh_b"))
+      .select(col("vec_id").as("batch_id"), explode(col("members")).as("index_id"))
+      .dropDuplicates("batch_id", "index_id")
+    cands
+      .join(bVecs.select(col("vec_id").as("batch_id"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), Seq("batch_id"))
+      .join(idxVecs.select(col("vec_id").as("index_id"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"), Seq("index_id"))
+      .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("batch_id").as("vec_id"), col("index_id").as("dup_of"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Fail fast on a plane/vector dim mismatch: `zip_with` pads the
     * shorter side with nulls, which nulls the projection and silently
     * lands EVERY vector in bucket 0 — a wrong-result mode (all-pairs

@@ -205,6 +205,32 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("stored LSH index: parquet round-trip probe == cross slice of in-corpus pairs") {
+    val index = emb.filter(col("vec_id") % 5 === 0)
+    val batch = emb.filter(col("vec_id") % 5 =!= 0)
+    val (buckets, vecs) = SimilaritySearch.buildLshIndex(index, "vec_id", "embedding",
+      dim = 64, nBits = 8, tables = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    buckets.write.partitionBy("lsh_t").parquet(s"$dir/buckets")
+    vecs.write.parquet(s"$dir/vecs")
+    val got = SimilaritySearch.lshPairsAgainstIndex(
+        spark.read.parquet(s"$dir/buckets"), spark.read.parquet(s"$dir/vecs"),
+        batch, "vec_id", "embedding", threshold = 0.3,
+        dim = 64, nBits = 8, tables = 4, maxBucket = 100000)
+      .select("vec_id", "dup_of", "cosine").as[(Long, Long, Double)].collect().toSet
+    val expected = SimilaritySearch.lshPairs(emb, "vec_id", "embedding", 0.3,
+        dim = 64, nBits = 8, tables = 4, maxBucket = 100000)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((b, a, c))
+          case (false, true) => Some((a, b, c))
+          case _ => None
+        }
+      }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("lshPairs with a tiny maxBucket drops hot buckets, never explodes them") {
     val all = SimilaritySearch.lshPairs(emb, "vec_id", "embedding", 0.4,
         dim = 64, nBits = 8, tables = 4)
