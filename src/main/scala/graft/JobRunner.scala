@@ -50,11 +50,18 @@ object JobRunner {
   def runtimePlan(cfg: JobConfig, tableRows: Long): RuntimePlan = {
     val t = cfg.tuning
     val chunks = math.max(1L, (tableRows + t.chunkSize - 1) / t.chunkSize)
+    // a Kafka destination groups by its own knobs (reference
+    // MessageGroupMaxSize/Timeout, `taskconfig.go:18-19`) — the trigger
+    // takes the kafka timeout so the envelope batch IS the message group
+    val triggerSrc =
+      if (cfg.destType == "kafka")
+        cfg.kafka.map(_.messageGroupTimeoutMs).getOrElse(t.groupTimeoutMs.toLong)
+      else t.groupTimeoutMs.toLong
     RuntimePlan(
       // cap: beyond 10k chunks the per-chunk planning overhead dominates
       // (a 100 TB table wants bigger chunks, not more of them)
       snapshotChunks = math.min(chunks, 10000L).toInt,
-      triggerMs = math.max(1L, t.groupTimeoutMs.toLong),
+      triggerMs = math.max(1L, triggerSrc),
       sinkPartitions = math.max(1, t.parallelWorkers),
       maxSeqsPerTrigger = math.max(1L, t.replChanBufferSize * math.max(1, t.groupMaxSize)),
       bulkTiers = graft.sinks.SqlBuilder.normalizeTiers(t.bulkInsertTiers),

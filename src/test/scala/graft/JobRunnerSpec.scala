@@ -140,6 +140,25 @@ class JobRunnerSpec extends SparkSpec {
     assert(out.columns.toSeq == rows.columns.toSeq)
   }
 
+  test("JSON columns never transcode: no charset tag even on a latin1 table") {
+    // BinlogParser emits JSON as REAL decoded text; the registry must
+    // not charset-tag it (it is always utf8mb4), so the C9 stage can
+    // never apply a latin1 decode to a JSON payload
+    val reg = new graft.ddl.SchemaRegistry
+    reg.applyDdl("s", "CREATE TABLE jdoc (v VARCHAR(20), d JSON) DEFAULT CHARSET=latin1")
+    assert(reg.columnCharsets("s", "jdoc") == Map("v" -> "latin1"))
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val rows = Seq(
+      ("s", "jdoc", "café €".getBytes(cp1252), """{"k":"中 é"}""".getBytes(utf8)))
+      .toDF("db", "table", "v", "d")
+    val out = JobRunner.transcodeMixedBatch(rows, reg)
+    // v decodes by its charset; d is untouched binary (no charset claim)
+    assert(out.select("v").as[String].head() == "café €")
+    assert(out.schema("d").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(new String(out.select("d").as[Array[Byte]].head(), utf8) == """{"k":"中 é"}""")
+  }
+
   test("tuning knobs from the dtle JSON land in the runtime plan") {
     val json =
       """{
@@ -168,6 +187,10 @@ class JobRunnerSpec extends SparkSpec {
     assert(dflt.snapshotChunks == 5 && dflt.triggerMs == 100L &&
       dflt.sinkPartitions == 1 && dflt.maxSeqsPerTrigger == 32L &&
       dflt.bulkTiers == Seq(128, 8, 4, 1) && dflt.sessionSetup.isEmpty)
+    // a Kafka destination's trigger comes from ITS grouping timeout
+    val kafkaCfg = JobConfig.fromJson(
+      """{"KafkaConfig": {"Topic": "t", "Brokers": ["b:9092"], "MessageGroupTimeout": 400}}""")
+    assert(JobRunner.runtimePlan(kafkaCfg, 1000L).triggerMs == 400L)
   }
 
   test("replayBatch: routed change log over snapshot state gives final state") {
