@@ -48,4 +48,49 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** The continual-ingest loop against the PERSISTED MinHash index
+    * ([[graft.operators.dedup.MinHashDedup.buildPortableIndex]] layout:
+    * `<dir>/bands`, `<dir>/sigs`): each micro-batch drops docs whose
+    * near-dup is already indexed, hands the survivors to `accept`, and
+    * APPENDS their bands+signatures — so batch N+1 (and tomorrow's
+    * batch job: the index is shared with the batch path) dedupes
+    * against everything accepted before it. A `foreachBatch` stage,
+    * not a stateful operator, deliberately: near-dup state must
+    * outlive the query, be shared across jobs, and stay off the state
+    * store (signatures are corpus-sized).
+    *
+    * Within one micro-batch, docs are mutually un-deduped (neither is
+    * indexed yet) — the same horizon trade [[firstWins]] documents;
+    * the periodic batch pass owns intra-batch pairs.
+    */
+  def indexedIngest(indexDir: String, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 16, numBands: Int = 4,
+                    threshold: Double = 0.5, maxBucket: Int = 500)(
+                    accept: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    import graft.operators.dedup.MinHashDedup
+    (batch: DataFrame, epochId: Long) => {
+      val spark = batch.sparkSession
+      val (bandsPath, sigsPath) = (s"$indexDir/bands", s"$indexDir/sigs")
+      // persist the micro-batch FIRST: the probe anti-join is a
+      // self-join of the foreachBatch frame with its own derived
+      // aggregate, and an unpersisted streaming batch self-join
+      // mis-resolves (every row matched its own dup row and dropped) —
+      // the cache gives both sides one stable relation
+      val cached = batch.persist()
+      try {
+        val fresh = if (new java.io.File(bandsPath).exists()) {
+          val dups = MinHashDedup.nearDupAgainstIndex(
+              spark.read.parquet(bandsPath), spark.read.parquet(sigsPath),
+              cached, idCol, textCol, n, k, numBands, threshold, maxBucket)
+            .select(col("doc_id").as(idCol)).distinct()
+          cached.join(dups, Seq(idCol), "left_anti")
+        } else cached
+        val (bands, sigs) = MinHashDedup.buildPortableIndex(fresh, idCol, textCol, n, k, numBands)
+        bands.write.mode("append").parquet(bandsPath)
+        sigs.write.mode("append").parquet(sigsPath)
+        accept(fresh, epochId)
+      } finally cached.unpersist()
+    }
+  }
 }

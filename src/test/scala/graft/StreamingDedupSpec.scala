@@ -12,6 +12,35 @@ class StreamingDedupSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(3600_000L + minute * 60_000L)
 
+  test("indexedIngest: stream grows the shared index; later near-copies drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingDedup.indexedIngest(s"$dir/idx", "doc_id", "text") {
+        (df, _) => accepted.synchronized {
+          accepted ++= df.select("doc_id").as[Long].collect() }
+      })
+      .start()
+    try {
+      input.addData((1L, base),
+        (2L, "completely different content about spark engines and columnar parquet files"))
+      q.processAllAvailable()
+      // batch 2: a near-copy of doc 1 (one word appended) + a fresh doc
+      input.addData((3L, base + " tonight"),
+        (4L, "unrelated new text describing streaming state stores and watermark semantics"))
+      q.processAllAvailable()
+      assert(accepted.toSet == Set(1L, 2L, 4L), s"got ${accepted.toSet}")
+      // the shared index holds exactly the accepted docs' signatures —
+      // the batch path reads the same files
+      val indexed = spark.read.parquet(s"$dir/idx/sigs").select("doc_id").as[Long].collect().toSet
+      assert(indexed == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("first copy wins; duplicates across micro-batches are dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
