@@ -142,7 +142,10 @@ object LogMinerSession {
               probedFingerprint: String): (Action, WindowState) = {
     if (probedFingerprint != state.redoFingerprint)
       (Reinit(state.startScn), state.copy(redoFingerprint = probedFingerprint))
-    else if (probedEndScn == state.startScn) (Idle, state)
+    // <= : an SCN probe BEHIND the low edge (failover to a lagging
+    // standby) must idle, not mine an inverted window — the rotation
+    // branch above is what eventually re-inits after a failover
+    else if (probedEndScn <= state.startScn) (Idle, state)
     else (Mine(state.startScn, probedEndScn), state.copy(startScn = probedEndScn))
   }
 

@@ -63,6 +63,12 @@ object StreamingDedup {
     * Within one micro-batch, docs are mutually un-deduped (neither is
     * indexed yet) — the same horizon trade [[firstWins]] documents;
     * the periodic batch pass owns intra-batch pairs.
+    *
+    * Replay semantics: a micro-batch replayed after a crash finds its
+    * own (near-identical) docs already indexed and drops them — the
+    * index doubles as the idempotence ledger, so re-appends cannot
+    * happen; `accept` correspondingly does NOT re-fire for replayed
+    * docs, so side effects in `accept` see each doc at most once.
     */
   def indexedIngest(indexDir: String, idCol: String, textCol: String,
                     n: Int = 3, k: Int = 16, numBands: Int = 4,

@@ -53,6 +53,10 @@ class LogMinerSessionSpec extends AnyFunSuite {
     // no growth: idle, state unchanged
     val (a2, s2) = advance(s1, 100L, "group:1,seq:8")
     assert(a2 == Idle && s2 == s1)
+    // SCN probe BEHIND the low edge (lagging standby after failover):
+    // idle, never an inverted mine window
+    val (aBehind, sBehind) = advance(s1, 50L, "group:1,seq:8")
+    assert(aBehind == Idle && sBehind == s1)
     // growth: mine the bounded window, low edge advances
     val (a3, s3) = advance(s2, 500L, "group:1,seq:8")
     assert(a3 == Mine(100L, 500L) && s3.startScn == 500L)
