@@ -1090,6 +1090,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // α=0.5 temperature flattening with a budget of a quarter of the
+      // corpus; integer micro-weight construction → the whole mixture
+      // derivation hash-matches the oracle (see temperatureMixture)
+      val docs = t(s, dir, "documents")
+      val target = docs.count() / 4
+      Sampling.temperatureMixture(docs, "doc_id", "source", alpha = 0.5,
+          targetRows = target)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
     "sample_token_budget" -> ((s, dir) => {
       // token-budget mixing (the trainer contract: N tokens per source,
       // not per-doc fractions); deterministic prefix selection, scalable
@@ -2303,6 +2314,22 @@ object SparkEntry {
     "sample_shuffle" ->
       """SELECT doc_id FROM documents
         |ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000, doc_id""".stripMargin,
+
+    // integer micro-weights (floor(sqrt(share)*1e6)) + integer
+    // normalizer: no order-dependent double summation, every remaining
+    // float op is one correctly-rounded IEEE step — exact parity
+    "sample_temperature" ->
+      """WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(cnt) AS total, CAST(SUM(cnt) // 4 AS BIGINT) AS target FROM n),
+        |w AS (SELECT source, cnt,
+        |  CAST(floor(sqrt(cnt / (total * 1.0)) * 1000000) AS BIGINT) AS micro FROM n, tot),
+        |z AS (SELECT SUM(micro) AS z FROM w),
+        |thr AS (SELECT source,
+        |  CAST(floor(least(1.0, (tot.target * ((micro * 1.0) / z.z)) / cnt) * 10000) AS BIGINT) AS thr
+        |  FROM w, z, tot)
+        |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < thr.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the naive single-window form of the two-tier Spark plan: keep a
     // doc iff its cumulative token count in md5-priority order fits the

@@ -87,6 +87,53 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, keyCol: String, salt: String = ""): DataFrame =
     df.orderBy(hashBucket(col(keyCol), salt), col(keyCol))
 
+  /** Temperature-flattened mixture — the multilingual-training
+    * standard: source i is sampled with probability q_i ∝ share_i^α,
+    * so α < 1 up-weights small sources (α = 0.5 is the common choice)
+    * and α = 1 keeps natural proportions. Given a target row budget T,
+    * each source keeps fraction min(1, T·q_i / n_i) of its docs via the
+    * usual deterministic hash buckets.
+    *
+    * Cross-engine exactness by construction: per-source weights
+    * quantize to INTEGER micro-units (floor(share^α · 1e6)) and the
+    * normalizer is their integer sum — so there is no order-dependent
+    * floating-point summation anywhere, and every remaining double op
+    * (one divide, one multiply, one divide, one floor) is a single
+    * correctly-rounded IEEE step on identical inputs. α = 0.5 runs
+    * through `sqrt` (correctly rounded everywhere); other α use `pow`,
+    * whose last-ulp behavior is libm-specific — fine for training,
+    * excluded from the hash-oracle contract.
+    *
+    * Driver holds one (stratum → count) map — #sources scalars, same
+    * metadata-only budget as chunk boundaries and IVF centroids.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, stratumCol: String,
+                         alpha: Double, targetRows: Long, salt: String = ""): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    val total = counts.values.sum.toDouble
+    def weight(n: Long): Long = {
+      val share = n / total
+      val w = if (alpha == 0.5) math.sqrt(share) else math.pow(share, alpha)
+      math.floor(w * 1e6).toLong
+    }
+    val micro = counts.map { case (s, n) => s -> weight(n) }
+    val z = micro.values.sum
+    val thresholds = counts.map { case (s, n) =>
+      val q = micro(s).toDouble / z
+      val f = math.min(1.0, targetRows.toDouble * q / n)
+      s -> math.floor(f * Buckets).toLong
+    }
+    val thr = thresholds.toSeq.sortBy(_._1)
+      .foldRight(lit(0L): Column) { case ((s0, t0), els) =>
+        when(col(stratumCol) === s0, lit(t0)).otherwise(els)
+      }
+    df.filter(hashBucket(col(keyCol), salt) < thr)
+  }
+
   /** Token-budget mixture — the trainer's actual mixing contract ("2B
     * tokens of web, 500M of code"), not per-doc fractions: per source,
     * keep the deterministically-first docs whose RUNNING token total

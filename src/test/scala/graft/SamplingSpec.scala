@@ -91,6 +91,41 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("s1") - 1250L) < 150)
   }
 
+  test("temperatureMixture: alpha<1 up-weights small sources; budget ~holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed corpus: 9000 web docs, 900 code, 100 math
+    val docs = ((1 to 9000).map(i => (i.toLong, "web")) ++
+        (1 to 900).map(i => (10000L + i, "code")) ++
+        (1 to 100).map(i => (20000L + i, "math")))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling
+      .temperatureMixture(docs, "doc_id", "source", alpha = 0.5, targetRows = 2000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val keptFrac = Map(
+      "web" -> out("web") / 9000.0,
+      "code" -> out("code") / 900.0,
+      "math" -> out("math") / 100.0)
+    // flattening: the smaller the source, the LARGER its kept fraction
+    assert(keptFrac("math") > keptFrac("code") && keptFrac("code") > keptFrac("web"), keptFrac.toString)
+    // overall budget approximately holds (hash-bucket quantization noise)
+    val totalKept = out.values.sum
+    assert(totalKept > 1600 && totalKept < 2400, s"kept $totalKept of target 2000")
+    // alpha=1 reduces to ~natural proportions: every source keeps ~T/N
+    val nat = graft.operators.Sampling
+      .temperatureMixture(docs, "doc_id", "source", alpha = 1.0, targetRows = 2000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // compare the two big strata only — a 100-doc stratum's kept
+    // fraction carries +-several points of hash-bucket noise
+    val fr = Seq(nat("web") / 9000.0, nat("code") / 900.0)
+    assert(fr.max - fr.min < 0.05, s"alpha=1 fractions should be ~equal: $fr")
+    // deterministic: identical output on a second run
+    val again = graft.operators.Sampling
+      .temperatureMixture(docs, "doc_id", "source", alpha = 0.5, targetRows = 2000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == out)
+  }
+
   test("null keys neither vanish nor pile into the last split") {
     val withNulls = spark.range(100).toDF("id")
       .withColumn("key", when(col("id") < 10, lit(null)).otherwise(col("id").cast("string")))
