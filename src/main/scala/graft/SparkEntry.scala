@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model._
-import graft.operators.{CdcBatch, Contamination, DebeziumEnvelope, Relational, Sampling, SeqPacking}
+import graft.operators.{AsOfJoin, CdcBatch, Contamination, DebeziumEnvelope, Relational, Sampling, SeqPacking}
 import graft.operators.dedup.{Dedup, MinHashDedup, SimHashDedup}
 import graft.operators.sim.SimilaritySearch
 import graft.operators.text.TextAnalysis
@@ -116,6 +116,23 @@ object SparkEntry {
       )
       import s.implicits._
       rows.toDF("tag", "n").orderBy(col("tag"))
+    }),
+
+    "q5_asof_join" -> ((s, dir) => {
+      // beyond-parity as-of join: each event picks up the latest order
+      // of its user at or before the event time (orders capped to
+      // custkey<100 so the no-match left-join path is exercised too).
+      // Equal-(key,time) right rows resolve by max o_orderkey — the
+      // same total order the oracle's QUALIFY dedupe imposes before
+      // DuckDB's native ASOF JOIN
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"))
+      val ord = t(s, dir, "orders").filter(col("o_custkey") < 100)
+      AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = Some("o_orderkey"))
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
     }),
 
     // ----- S: sources / scans -----
@@ -931,6 +948,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_top_ngrams" -> ((s, dir) => {
+      // corpus n-gram mining for blocklists/boilerplate: doc frequency
+      // of distinct-per-doc 3-grams, top-50 on a total order
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 50)
+    }),
+
     "text_redact" -> ((s, dir) => {
       // deterministic PII synthesized from fixture columns (oracle
       // reproduces the exact input), then URL/email/phone redaction
@@ -1197,6 +1220,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'union', (SELECT COUNT(*) FROM (SELECT nk FROM cn UNION SELECT nk FROM sn))
         |ORDER BY tag""".stripMargin,
+
+    "q5_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey < 100
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "s3_keyset_chunks" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -2219,6 +2250,15 @@ object SparkEntry {
         |  round(CASE WHEN nt - 1 <= 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(big) AS DOUBLE) / (nt - 1) END, 6) AS dup_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT unnest(sh) AS ngram FROM s WHERE len(sh) > 0)
+        |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM e GROUP BY 1
+        |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin,
 
     "text_redact" ->
       """WITH synth AS (SELECT doc_id,

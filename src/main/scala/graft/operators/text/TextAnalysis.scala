@@ -128,6 +128,22 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(call_function("graft_shingles", c, lit(n))).cast("double") / total)
   }
 
+  /** Corpus-frequent word n-grams by document frequency — the mining
+    * pass behind contamination blocklists and boilerplate detectors
+    * ("which 3-grams appear in the most documents?"). Shingles are
+    * distinct-per-doc already (the native one-pass expression), so a
+    * plain `count(*)` after the explode IS the document frequency — no
+    * `countDistinct` double-shuffle at corpus scale. The aggregate
+    * partial-combines map-side and the top-k runs as
+    * TakeOrderedAndProject on (doc_freq desc, ngram), a total order, so
+    * the cut at k is deterministic on any engine.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 3, k: Int = 50): DataFrame =
+    docs.select(explode(call_function("graft_shingles", col(textCol), lit(n))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
+
   /** PII redaction for training text: URLs, emails, then phone-shaped
     * numbers replaced with typed placeholder tokens (URL first — an
     * email-looking substring inside a URL should redact as part of the

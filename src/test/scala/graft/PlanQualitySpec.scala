@@ -218,4 +218,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("graft_quantize_i8".r.findAllIn(optQ).length <= 2,
       s"quantize re-evaluated more than its field reads:\n$optQ")
   }
+
+  test("as-of join is union+window: one key shuffle, no range-join explosion") {
+    val p = plan("q5_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not fall back to a range join:\n$p")
+    assert(p.contains("Window"), s"expected the carry-forward window:\n$p")
+    // both sides' rows flow through exactly one hash exchange on the key
+    // (plus the output sort's range exchange)
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one key shuffle, got $hashEx:\n$p")
+  }
+
+  test("top-ngrams aggregates partially and cuts with TakeOrdered, not a global sort") {
+    val p = plan("text_top_ngrams")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not fully sort the corpus:\n$p")
+  }
 }

@@ -73,4 +73,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall { case (n, pr, q) => n > 0 && pr >= 0 && pr <= 1 && q >= 0 && q <= 1 })
   }
+
+  test("topNgrams: doc frequency of distinct-per-doc grams, deterministic cut") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // distinct grams only: 'a b c' counts once here
+      (2L, "a b c d"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, "text", n = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    // 'a b c' in docs 1+2; ties at freq 1 resolve lexicographically
+    assert(top === Seq(("a b c", 2L), ("b c a", 1L)))
+    val again = TextAnalysis.topNgrams(docs, "text", n = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top === again)
+  }
 }
