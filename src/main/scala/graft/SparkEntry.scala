@@ -135,6 +135,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q6_range_join" -> ((s, dir) => {
+      // beyond-parity interval-lookup join: orders priced into
+      // quadratically-irregular bands derived from the nation table;
+      // the operator chunks intervals into equi-join buckets so the
+      // plan never falls back to a nested loop even when the interval
+      // side outgrows a broadcast
+      val bands = t(s, dir, "nation").select(col("n_name").as("band"),
+        (col("n_nationkey") * col("n_nationkey") * 600).cast("double").as("lo"),
+        ((col("n_nationkey") + 1) * (col("n_nationkey") + 1) * 600).cast("double").as("hi"))
+      val pts = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.RangeLookupJoin.pointInInterval(
+          pts, bands, "o_totalprice", "lo", "hi", width = 20000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("band"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ----- S: sources / scans -----
 
     "s3_keyset_chunks" -> ((s, dir) => {
@@ -1228,6 +1244,13 @@ object SparkEntry {
         |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q6_range_join" ->
+      """WITH b AS (SELECT n_name AS band, CAST(n_nationkey*n_nationkey*600 AS DOUBLE) AS lo,
+        |  CAST((n_nationkey+1)*(n_nationkey+1)*600 AS DOUBLE) AS hi FROM nation)
+        |SELECT o.o_orderkey, o.o_totalprice, b.band
+        |FROM orders o JOIN b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "s3_keyset_chunks" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval lookup join — enrich each left row with the right
+  * interval(s) `[lo, hi)` containing its value (price bands, IP→geo
+  * ranges, SCN→redo-log segment, time-slice calendars). Beyond-parity
+  * §2.4, same family as [[AsOfJoin]].
+  *
+  * Catalyst compiles a raw `l.v >= r.lo AND l.v < r.hi` join with no
+  * equi-key as BroadcastNestedLoopJoin — fine for a 25-row dimension,
+  * quadratic death once the interval table stops fitting in a
+  * broadcast. The scale shape here chunks every interval into
+  * fixed-width buckets (`explode(sequence(...))`), joins on the bucket
+  * as an ordinary equi-key — hash-partitioned, AQE-skewable, broadcast
+  * when small — then applies the exact containment predicate. Each
+  * (point, interval) pair meets in exactly one bucket (the point's), so
+  * no post-join dedup is needed. Work is linear in points plus total
+  * interval chunks; pick `width` near the median interval length so a
+  * typical interval explodes into O(1) rows.
+  */
+object RangeLookupJoin {
+
+  /** Inner point-in-interval join; output = left columns ++ right
+    * columns (names must not collide). Empty intervals (`lo >= hi`)
+    * match nothing, null bounds/values drop (as in the SQL predicate).
+    */
+  def pointInInterval(left: DataFrame, right: DataFrame,
+                      valueCol: String, loCol: String, hiCol: String,
+                      width: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val overlap = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(overlap.isEmpty, s"column collision between sides: $overlap")
+
+    val w = lit(width)
+    // interval [lo, hi) spans buckets floor(lo/w) .. ceil(hi/w)-1
+    // (ceil-1, not floor: an exclusive bound landing exactly on a
+    // bucket edge must not claim the next bucket)
+    val chunked = right
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
+      .withColumn("_bucket", explode(sequence(
+        floor(col(loCol) / w).cast("long"),
+        (ceil(col(hiCol) / w) - 1).cast("long"))))
+    val points = left.filter(col(valueCol).isNotNull)
+      .withColumn("_bucket", floor(col(valueCol) / w).cast("long"))
+    points.join(chunked, Seq("_bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bucket")
+  }
+}

@@ -231,6 +231,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx == 1, s"expected one key shuffle, got $hashEx:\n$p")
   }
 
+  test("range-lookup join is an equi-join on buckets, never a nested loop") {
+    val p = plan("q6_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on the bucket key:\n$p")
+  }
+
   test("top-ngrams aggregates partially and cuts with TakeOrdered, not a global sort") {
     val p = plan("text_top_ngrams")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
