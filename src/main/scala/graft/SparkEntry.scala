@@ -1068,6 +1068,16 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    "stats_quantiles" -> ((s, dir) => {
+      // exact per-source discrete quantiles (rank ceil(p*n), ties by
+      // doc_id): the length-budget surface, reproducible bit-for-bit
+      // on any engine — no percentile interpolation
+      graft.operators.TableStats.groupQuantiles(
+          t(s, dir, "documents"), "source", "n_chars", "doc_id",
+          Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy(col("source"))
+    }),
+
     // ----- beyond-parity: multimodal plumbing -----
 
     "mm_features" -> ((s, dir) => {
@@ -2273,6 +2283,17 @@ object SparkEntry {
         |  round(CASE WHEN nt - 1 <= 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(big) AS DOUBLE) / (nt - 1) END, 6) AS dup_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "stats_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN n_chars END) AS p25,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN n_chars END) AS p90,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN n_chars END) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

@@ -64,4 +64,31 @@ object TableStats {
       .withColumn("bin_hi", when(col("bin") === nBins, lit(Double.PositiveInfinity))
         .otherwise(lit(lo) + (col("bin") + 1) * w))
   }
+
+  /** Exact per-group discrete quantiles of an integer column: the value
+    * at rank `ceil(p * n)` of the group's sorted order (type-7-disc,
+    * lower element on a split — and a total order because ties break by
+    * `tieCol`). No interpolation, so every engine reproduces the exact
+    * same element — unlike `percentile_cont`, whose IEEE interpolation
+    * order differs across engines, or `percentile_approx`, which is a
+    * sketch. One shuffle on the group key plus an in-partition sort;
+    * groups stream through the window without collecting. At corpus
+    * scale this is the oracled exact path — pair it with
+    * `percentile_approx` when a sketch is acceptable.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     tieCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles in (0,1]: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = ps.map { p =>
+      val name = "p" + math.round(p * 100)
+      max(when(col("_rn") === ceil(col("_n") * p), col(valueCol))).as(name)
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
+  }
 }

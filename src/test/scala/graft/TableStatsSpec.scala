@@ -63,4 +63,15 @@ class TableStatsSpec extends SparkSpec {
     assert(files >= 4, s"got $files files")
     assert(spark.read.parquet(out).count() == 10000)
   }
+
+  test("groupQuantiles: exact discrete ranks, lower-element medians, p100 = max") {
+    import spark.implicits._
+    // group a: sorted 10,20,30,40 -> p50 rank ceil(2)=2 -> 20; p100 -> 40
+    // group b: single element -> every quantile is it
+    val df = Seq(("a", 40L, 1L), ("a", 10L, 2L), ("a", 30L, 3L), ("a", 20L, 4L),
+      ("b", 7L, 5L)).toDF("g", "v", "id")
+    val q = TableStats.groupQuantiles(df, "g", "v", "id", Seq(0.5, 1.0))
+      .orderBy("g").as[(String, Long, Long, Long)].collect()
+    assert(q.toSeq === Seq(("a", 4L, 20L, 40L), ("b", 1L, 7L, 7L)))
+  }
 }
