@@ -200,6 +200,33 @@ object ScaleProbe {
           d.select(operators.text.TextAnalysis.tokenCount(col("text")).as("v")),
           col("v"), 0.0, 100.0, 10)
       }
+      time("asof_join", k) {
+        // k× events against k×/10 checkpoint rows, both sides growing:
+        // the union+window shape should scale with the single key
+        // shuffle (event_id doubles as the monotone event time)
+        val ev = { vUsed = true; v }
+        val ckpts = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+          .select(col("user_id").as("ck_user"), col("event_id").as("ck_seq"),
+            col("event_id").as("ckpt_id"))
+        operators.AsOfJoin.asOf(ev, ckpts, "user_id", "ck_user",
+          "event_id", "ck_seq", payload = Seq("ckpt_id"))
+      }
+      time("range_join", k) {
+        // k× points against 1000k irregular, overlapping intervals —
+        // far past broadcast comfort at high k; the bucket chunking
+        // must keep this an equi-join
+        val ev = { vUsed = true; v }
+        val pts = ev.select(col("event_id"),
+          pmod(col("event_id") * 2654435761L, lit(50000)).cast("double").as("x"))
+        val iv = spark.range(1000L * k).select(col("id").as("iv_id"),
+          (pmod(col("id") * 7919, lit(997)) * 50.0).as("lo"),
+          (pmod(col("id") * 7919, lit(997)) * 50.0 + 25.0 + pmod(col("id"), lit(13)) * 10.0).as("hi"))
+        operators.RangeLookupJoin.pointInInterval(pts, iv, "x", "lo", "hi", width = 100.0)
+      }
+      time("stats_quantiles", k) {
+        operators.TableStats.groupQuantiles(d, "source", "n_chars", "doc_id",
+          Seq(0.25, 0.5, 0.9, 0.99))
+      }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
       if (vUsed) v.unpersist()
