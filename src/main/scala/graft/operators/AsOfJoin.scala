@@ -44,6 +44,9 @@ object AsOfJoin {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(leftCols.intersect(payload).isEmpty,
       s"payload ${payload.intersect(leftCols)} collides with left columns")
+    val reserved = Seq("_k", "_t", "_side", "_tb", "_p")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns ${leftCols.intersect(reserved)} collide with as-of internals")
 
     // the payload travels as ONE struct so a null payload *value* can
     // never tear a row apart (per-column last(ignoreNulls) would skip
