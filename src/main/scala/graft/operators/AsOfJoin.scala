@@ -51,8 +51,11 @@ object AsOfJoin {
     // the payload travels as ONE struct so a null payload *value* can
     // never tear a row apart (per-column last(ignoreNulls) would skip
     // back to an older right row for just that column)
+    // null keys must not match each other (SQL equi-join semantics:
+    // NULL = NULL is no match) — drop null-key right rows so a
+    // null-key left row rides its partition alone and carries nulls
     val tb = rightTiebreak.map(col).getOrElse(lit(0L))
-    val r = right.filter(col(rightTime).isNotNull).select(
+    val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
       (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
         tb.as("_tb"), struct(payload.map(col): _*).as("_p")) ++
         leftCols.map(c => lit(null).as(c))): _*)

@@ -25,23 +25,37 @@ object RangeLookupJoin {
   /** Inner point-in-interval join; output = left columns ++ right
     * columns (names must not collide). Empty intervals (`lo >= hi`)
     * match nothing, null bounds/values drop (as in the SQL predicate).
+    * An interval spanning more than `maxChunksPerInterval` buckets
+    * fails the job with a clear error instead of materializing an
+    * arbitrarily large chunk array — a single catch-all row
+    * (`hi = ∞`, a 0.0.0.0/0 IP range) would otherwise OOM the very
+    * join this shape exists to protect; widen `width` or split such
+    * rows upstream.
     */
   def pointInInterval(left: DataFrame, right: DataFrame,
                       valueCol: String, loCol: String, hiCol: String,
-                      width: Double): DataFrame = {
+                      width: Double, maxChunksPerInterval: Long = 65536L): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    require(maxChunksPerInterval > 0, "chunk cap must be positive")
     val overlap = left.columns.toSeq.intersect(right.columns.toSeq)
     require(overlap.isEmpty, s"column collision between sides: $overlap")
+    val reserved = (left.columns ++ right.columns).filter(_ == "_bucket")
+    require(reserved.isEmpty, "input columns collide with the internal _bucket column")
 
     val w = lit(width)
     // interval [lo, hi) spans buckets floor(lo/w) .. ceil(hi/w)-1
     // (ceil-1, not floor: an exclusive bound landing exactly on a
     // bucket edge must not claim the next bucket)
+    val firstB = floor(col(loCol) / w).cast("long")
+    val lastRaw = (ceil(col(hiCol) / w) - 1).cast("long")
+    val lastB = when(lastRaw - firstB >= maxChunksPerInterval,
+        raise_error(concat(lit(s"interval spans more than $maxChunksPerInterval buckets of width $width: ["),
+          col(loCol), lit(", "), col(hiCol), lit(") — widen `width` or split the interval")))
+          .cast("long"))
+      .otherwise(lastRaw)
     val chunked = right
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
-      .withColumn("_bucket", explode(sequence(
-        floor(col(loCol) / w).cast("long"),
-        (ceil(col(hiCol) / w) - 1).cast("long"))))
+      .withColumn("_bucket", explode(sequence(firstB, lastB)))
     val points = left.filter(col(valueCol).isNotNull)
       .withColumn("_bucket", floor(col(valueCol) / w).cast("long"))
     points.join(chunked, Seq("_bucket"))

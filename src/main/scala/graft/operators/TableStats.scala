@@ -79,13 +79,21 @@ object TableStats {
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      tieCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles in (0,1]: $ps")
+    val names = ps.map(p => "p" + math.round(p * 100))
+    require(names.distinct.size == names.size,
+      s"quantile labels collide after rounding to whole percents: $names — " +
+        "space the requested ps at least a percent apart")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
-    val ranked = df
+    // null values are EXCLUDED (ranks and n over non-null values only,
+    // like SQL quantile aggregates) — without this, Spark's
+    // nulls-first ascending order would rank nulls at rn=1 while an
+    // engine defaulting to nulls-last ranks them at rn=n, silently
+    // shifting every quantile
+    val ranked = df.filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    val aggs = ps.map { p =>
-      val name = "p" + math.round(p * 100)
+    val aggs = ps.zip(names).map { case (p, name) =>
       max(when(col("_rn") === ceil(col("_n") * p), col(valueCol))).as(name)
     }
     ranked.groupBy(col(groupCol))

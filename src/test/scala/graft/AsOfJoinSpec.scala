@@ -44,6 +44,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 5L, "k", 1L), Row(2L, null, "k", null)))
   }
 
+  test("null keys never match each other (NULL = NULL is no match)") {
+    val l = Seq((1L, 5L, Option.empty[String]), (2L, 5L, Option("k")))
+      .toDF("id", "t", "k")
+    val r = Seq((Option.empty[String], 3L, 9L), (Option("k"), 3L, 1L))
+      .toDF("k", "rt", "ord")
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "rt", payload = Seq("ord"))
+      .orderBy("id").collect()
+    assert(out.toSeq === Seq(Row(1L, 5L, null, null), Row(2L, 5L, "k", 1L)))
+  }
+
   test("a null payload VALUE does not tear the row back to an older match") {
     // r@10 carries (ord=200, tag=null); the event at t=12 must see that
     // whole row, not ord=200 with tag resurrected from r@5

@@ -35,6 +35,20 @@ class RangeLookupJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq(2L))
   }
 
+  test("reserved _bucket column and runaway intervals are rejected") {
+    val pts = Seq((1L, 5.0)).toDF("id", "v")
+    val iv = Seq(("a", 0.0, 10.0)).toDF("tag", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeLookupJoin.pointInInterval(pts.withColumn("_bucket", lit(1)), iv, "v", "lo", "hi", 4.0)
+    }
+    // a catch-all interval must fail loudly, not OOM the explode
+    val catchAll = Seq(("all", 0.0, Double.PositiveInfinity)).toDF("tag", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeLookupJoin.pointInInterval(pts, catchAll, "v", "lo", "hi", 4.0).collect()
+    }
+    assert(e.getMessage.contains("buckets") || e.getCause != null)
+  }
+
   test("matches the naive inequality join on fixture data") {
     val bands = Tables.load(spark, sf, "nation").select(col("n_name").as("band"),
       (col("n_nationkey") * col("n_nationkey") * 600).cast("double").as("lo"),

@@ -74,4 +74,17 @@ class TableStatsSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Long, Long)].collect()
     assert(q.toSeq === Seq(("a", 4L, 20L, 40L), ("b", 1L, 7L, 7L)))
   }
+
+  test("groupQuantiles: null values are excluded, colliding labels rejected") {
+    import spark.implicits._
+    val df = Seq(("a", Option(10L), 1L), ("a", Option.empty[Long], 2L), ("a", Option(20L), 3L))
+      .toDF("g", "v", "id")
+    // n counts non-null only (2), median = lower element 10
+    val q = TableStats.groupQuantiles(df, "g", "v", "id", Seq(0.5))
+      .as[(String, Long, Long)].collect()
+    assert(q.toSeq === Seq(("a", 2L, 10L)))
+    intercept[IllegalArgumentException] {
+      TableStats.groupQuantiles(df, "g", "v", "id", Seq(0.995, 1.0))
+    }
+  }
 }
