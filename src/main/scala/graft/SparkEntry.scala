@@ -1024,6 +1024,22 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin)
     }),
 
+    "corpus_rollup" -> ((s, dir) => {
+      // grouping-set reporting (§2.6 surface): per-(source, lang)
+      // counts with subtotals and grand total in ONE pass — Spark
+      // plans ROLLUP as a single Expand + aggregate, not three scans.
+      // Sort order pins NULLS LAST explicitly: Spark's ascending
+      // default is nulls-first, DuckDB's is nulls-last, and rollup
+      // marker rows are exactly the null-keyed ones
+      t(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("source"), col("lang"), col("gid"), col("n_docs"), col("sum_chars"))
+        .orderBy(col("gid"), col("source").asc_nulls_last, col("lang").asc_nulls_last)
+    }),
+
     "corpus_report" -> ((s, dir) => {
       // per-source corpus health: the monitoring dashboard a curation
       // pipeline watches. The hashed output is integer-only (micro-units):
@@ -2220,6 +2236,12 @@ object SparkEntry {
         |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INT) AS n_shingles
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_rollup" ->
+      """SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source NULLS LAST, lang NULLS LAST""".stripMargin,
 
     "corpus_report" ->
       """WITH base AS (SELECT doc_id, source, text,
