@@ -964,6 +964,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_paragraph" -> ((s, dir) => {
+      // sub-document dedup (C4/RefinedWeb boilerplate pass): duplicate
+      // 10-word paragraph blocks removed corpus-wide, first occurrence
+      // wins; only (id, idx, md5) cross the one shuffle
+      Dedup.paragraphDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("para_idx"))
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       // corpus n-gram mining for blocklists/boilerplate: doc frequency
       // of distinct-per-doc 3-grams, top-50 on a total order
@@ -2305,6 +2313,19 @@ object SparkEntry {
         |  round(CASE WHEN nt - 1 <= 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(big) AS DOUBLE) / (nt - 1) END, 6) AS dup_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, CAST(u.i AS INT) AS para_idx,
+        |  md5(array_to_string(words[u.i*10+1 : u.i*10+10], ' ')) AS para_hash
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |    CAST(CEIL(len(words) / 10.0) AS BIGINT))) AS i) u
+        |  WHERE len(words) > 0)
+        |SELECT doc_id, para_idx, para_hash,
+        |  CAST(COUNT(*) OVER (PARTITION BY para_hash) AS BIGINT) AS n_copies,
+        |  ROW_NUMBER() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) = 1 AS keep
+        |FROM p ORDER BY doc_id, para_idx""".stripMargin,
 
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars,

@@ -28,6 +28,39 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Sub-document dedup: duplicate PARAGRAPHS removed corpus-wide, the
+    * C4/RefinedWeb boilerplate pass (repeated headers, footers, license
+    * blocks) — whole-doc dedup never sees these. Paragraphs here are
+    * fixed `wordsPerPara`-word blocks of the normalized token stream
+    * (a separator-split would work identically when the corpus carries
+    * real newlines). First occurrence wins on the corpus-total
+    * (doc_id, para_idx) order.
+    *
+    * Scale shape: one explode, then ONLY (id, idx, md5) cross the
+    * paragraph-hash shuffle — never paragraph text; the count and the
+    * first-occurrence pick share one window partitioning, so it is a
+    * single exchange end to end.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     wordsPerPara: Int = 10): DataFrame = {
+    require(wordsPerPara > 0, "paragraph size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = split(normText(col(textCol)), " ")
+    val nParas = ceil(size(words) / lit(wordsPerPara.toDouble)).cast("int")
+    val paras = when(size(words) > 0,
+        transform(sequence(lit(0), nParas - 1),
+          i => concat_ws(" ", slice(words, i * wordsPerPara + 1, lit(wordsPerPara)))))
+      .otherwise(array())
+    val w = Window.partitionBy(col("para_hash"))
+    val exploded = graft.operators.Partitioning.ensureMinParallelism(docs)
+      .select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col(idCol), col("para_idx"), md5(col("para")).as("para_hash"))
+    exploded
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", row_number().over(
+        w.orderBy(col(idCol), col("para_idx"))) === 1)
+  }
+
   /** Word n-gram shingles of the normalized text, distinct per doc —
     * the native one-pass [[graft.plans.WordShingles]] expression
     * (registered by GraftSession). The HOF formulation it replaces was

@@ -278,4 +278,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(both.forall { case (_, n, r) => n == r })
   }
+
+  test("paragraphDedup: repeated block flagged corpus-wide, first occurrence keeps") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ") // one exact 10-word block
+    val docs = Seq(
+      (1L, s"$boiler unique one " + (1 to 7).map(i => s"a$i").mkString(" ")),
+      (2L, s"$boiler unique two " + (1 to 7).map(i => s"b$i").mkString(" ")),
+      (3L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id", "para_idx")
+      .as[(Long, Int, String, Long, Boolean)].collect()
+    // docs 1+2 share paragraph 0 (the boilerplate); doc 1's copy keeps
+    val shared = out.filter(_._4 == 2L)
+    assert(shared.map(r => (r._1, r._2, r._5)).toSeq === Seq((1L, 0, true), (2L, 0, false)))
+    // every other paragraph is unique and kept
+    assert(out.filterNot(_._4 == 2L).forall(r => r._4 == 1L && r._5))
+    // doc 3 (4 words) yields exactly one short paragraph
+    assert(out.count(_._1 == 3L) == 1)
+  }
 }
