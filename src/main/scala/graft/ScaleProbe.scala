@@ -227,6 +227,11 @@ object ScaleProbe {
         operators.TableStats.groupQuantiles(d, "source", "n_chars", "doc_id",
           Seq(0.25, 0.5, 0.9, 0.99))
       }
+      time("dedup_paragraph", k) {
+        // explode-heavy: ~n_words/10 rows per doc through one window
+        // shuffle, ids+hashes only
+        operators.dedup.Dedup.paragraphDedup(d, "doc_id", "text")
+      }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
       if (vUsed) v.unpersist()

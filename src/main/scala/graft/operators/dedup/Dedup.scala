@@ -45,12 +45,10 @@ object Dedup {
                      wordsPerPara: Int = 10): DataFrame = {
     require(wordsPerPara > 0, "paragraph size must be positive")
     import org.apache.spark.sql.expressions.Window
-    val words = split(normText(col(textCol)), " ")
-    val nParas = ceil(size(words) / lit(wordsPerPara.toDouble)).cast("int")
-    val paras = when(size(words) > 0,
-        transform(sequence(lit(0), nParas - 1),
-          i => concat_ws(" ", slice(words, i * wordsPerPara + 1, lit(wordsPerPara)))))
-      .otherwise(array())
+    // native one-pass blocking ([[graft.plans.ParagraphBlocks]]): the
+    // HOF transform/slice formulation re-splits the text per paragraph
+    // (interpreted lambda) — 6.6× slower at the 50× probe corpus
+    val paras = call_function("graft_paragraphs", col(textCol), lit(wordsPerPara))
     val w = Window.partitionBy(col("para_hash"))
     val exploded = graft.operators.Partitioning.ensureMinParallelism(docs)
       .select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))

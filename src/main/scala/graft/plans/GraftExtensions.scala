@@ -142,5 +142,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children.head, n)
       }
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_paragraphs"),
+      new ExpressionInfo(classOf[ParagraphBlocks].getName, "graft_paragraphs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_paragraphs(text, n) takes a string and an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_paragraphs: n must be an int literal, got $other")
+        }
+        ParagraphBlocks(children.head, n)
+      }
+    ))
   }
 }

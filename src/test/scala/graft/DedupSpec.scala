@@ -279,6 +279,22 @@ class DedupSpec extends SparkSpec {
     assert(both.forall { case (_, n, r) => n == r })
   }
 
+  test("native graft_paragraphs matches the HOF slice formulation bit-for-bit") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val words = split(Dedup.normText(col("text")), " ")
+    val hof = transform(sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+      i => concat_ws(" ", slice(words, i * 10 + 1, lit(10))))
+    val both = docs.select(
+        call_function("graft_paragraphs", col("text"), lit(10)).as("native"), hof.as("ref"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+    // empty/whitespace-only text: one empty paragraph, like split('',' ')
+    import spark.implicits._
+    val edge = Seq("", "   ").toDF("text")
+      .select(call_function("graft_paragraphs", col("text"), lit(10)).as("p")).collect()
+    assert(edge.forall(_.getSeq[String](0) == Seq("")))
+  }
+
   test("paragraphDedup: repeated block flagged corpus-wide, first occurrence keeps") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"w$i").mkString(" ") // one exact 10-word block
