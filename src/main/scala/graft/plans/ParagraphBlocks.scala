@@ -22,10 +22,8 @@ object ParagraphUtil {
     * engines share.
     */
   def paragraphs(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toLowerCase.toString
-    val words = s.split("\\s+")
-    val start = if (words.length > 0 && words(0).isEmpty) 1 else 0 // leading whitespace
-    val m = words.length - start
+    val words = ShingleUtil.normWords(text) // shared parity contract
+    val m = words.length
     if (m == 0) return new GenericArrayData(Array[Any](UTF8String.fromString("")))
     val nParas = (m + n - 1) / n
     val out = new Array[Any](nParas)
@@ -37,7 +35,7 @@ object ParagraphUtil {
       val end = math.min(k + n, m)
       while (k < end) {
         if (k > p * n) sb.append(' ')
-        sb.append(words(start + k))
+        sb.append(words(k))
         k += 1
       }
       out(p) = UTF8String.fromString(sb.toString)

@@ -12,6 +12,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * a static method from whole-stage codegen.
   */
 object ShingleUtil {
+  /** The one normalization every text-native expression shares — the
+    * engine-parity contract with `Dedup.normText` and the DuckDB
+    * oracles (`lower` + collapse whitespace + trim), as (words array,
+    * first-real-word offset). Lives in exactly one place so shingle
+    * and paragraph blocking can never drift apart.
+    */
+  def normWords(text: UTF8String): Array[String] = {
+    val words = text.toLowerCase.toString.split("\\s+")
+    if (words.length > 0 && words(0).isEmpty) // leading whitespace
+      java.util.Arrays.copyOfRange(words, 1, words.length)
+    else words
+  }
+
   /** Distinct space-joined n-grams of the lowercased, whitespace-
     * normalized words of `text` — the semantics of
     * `array_distinct(transform(sequence(...), concat_ws over
@@ -20,9 +33,8 @@ object ShingleUtil {
     * re-evaluates the split per element.
     */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toLowerCase.toString
-    val words = s.split("\\s+")
-    val start = if (words.length > 0 && words(0).isEmpty) 1 else 0 // leading whitespace
+    val words = normWords(text)
+    val start = 0
     val m = words.length - start
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](m * 2)

@@ -44,17 +44,22 @@ object StreamingEnrich {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[EnrichEvent], state: GroupState[DimVersion]) =>
           // batch-local buffer: bounded by the micro-batch's rows for
-          // this key, the same bound every stateful Spark op carries
+          // this key, the same bound every stateful Spark op carries.
+          // Equal-seq dim updates order by payload — arrival order
+          // after the groupByKey shuffle is NOT deterministic, so the
+          // tiebreak must be a value, the same reason AsOfJoin takes an
+          // explicit rightTiebreak column
           val sorted = rows.toIndexedSeq.sortBy(e =>
-            (e.seq, if (e.side == "dim") 0 else 1, e.factId.getOrElse(0L)))
+            (e.seq, if (e.side == "dim") 0 else 1, e.dim.getOrElse("")))
           var cur = state.getOption
           val out = IndexedSeq.newBuilder[EnrichedFact]
           sorted.foreach { e =>
             if (e.side == "dim") {
-              // seq ties: the later-arriving update wins, matching
-              // AsOfJoin's max-tiebreak pick of the batch form
-              if (cur.forall(_.seq <= e.seq))
-                cur = Some(DimVersion(e.seq, e.dim.getOrElse("")))
+              // seq ties resolve to the max payload — deterministic
+              // under any partitioning, mirroring AsOfJoin's max pick
+              val d = e.dim.getOrElse("")
+              if (cur.forall(c => c.seq < e.seq || (c.seq == e.seq && c.dim <= d)))
+                cur = Some(DimVersion(e.seq, d))
             } else {
               val m = cur.filter(_.seq <= e.seq)
               out += EnrichedFact(e.factId.getOrElse(0L), key, e.seq,

@@ -238,6 +238,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashJoin"), s"expected a hash equi-join on the bucket key:\n$p")
   }
 
+  test("paragraph dedup: one hash exchange, hashes (not text) cross it, native blocking") {
+    val df = SparkEntry.queries("dedup_paragraph")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"count + first-pick must share one para_hash shuffle, got $hashEx:\n$p")
+    assert(p.contains("graft_paragraphs"), s"expected the native blocking expression:\n$p")
+    // the projection feeding the exchange carries the md5, never `para`
+    val exchangeLine = p.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(exchangeLine.contains("para_hash"), s"shuffle key must be the hash:\n$exchangeLine")
+  }
+
   test("top-ngrams aggregates partially and cuts with TakeOrdered, not a global sort") {
     val p = plan("text_top_ngrams")
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))

@@ -41,7 +41,7 @@ class StreamingEnrichSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("seq ties: dim applies before the fact at the same seq; later update wins") {
+  test("seq ties: dim applies before the fact at the same seq; max payload wins deterministically") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[EnrichEvent]
