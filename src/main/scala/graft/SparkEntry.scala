@@ -1048,6 +1048,19 @@ object SparkEntry {
         .orderBy(col("gid"), col("source").asc_nulls_last, col("lang").asc_nulls_last)
     }),
 
+    "corpus_pivot" -> ((s, dir) => {
+      // wide-format reporting via the relational pivot API: source ×
+      // lang doc counts in one conditional-aggregate pass (explicit
+      // value list — no extra distinct-scan job, and the output schema
+      // is static, which is what a 100 TB run wants anyway)
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source"))
+    }),
+
     "corpus_report" -> ((s, dir) => {
       // per-source corpus health: the monitoring dashboard a curation
       // pipeline watches. The hashed output is integer-only (micro-units):
@@ -2244,6 +2257,15 @@ object SparkEntry {
         |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INT) AS n_shingles
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_pivot" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_rollup" ->
       """SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
