@@ -55,4 +55,29 @@ class StreamingEnrichSpec extends SparkSpec {
       assert(rows.toSeq === Seq(EnrichedFact(1L, 1L, 5L, Some("b"), Some(5L))))
     } finally q.stop()
   }
+
+  test("idle TTL mode: enrichment works with the processing-time timeout armed") {
+    // the eviction itself needs wall-clock advance (not deterministic in
+    // a spec); this pins that arming the timeout path doesn't disturb
+    // the enrichment semantics
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EnrichEvent]
+    val q = StreamingEnrich.temporalEnrich(input.toDS(), idleTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("enriched_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // once a processing-time timeout is armed the stream triggers
+      // continuously to check deadlines, so processAllAvailable never
+      // settles — poll the sink with a deadline instead
+      input.addData(dim(1L, 1, "v"), fact(1L, 2, 10))
+      input.addData(fact(1L, 3, 11))
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("enriched_ttl").count() < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val rows = spark.table("enriched_ttl").as[EnrichedFact].collect()
+        .map(f => f.factId -> f.dim).toMap
+      assert(rows === Map(10L -> Some("v"), 11L -> Some("v")))
+    } finally q.stop()
+  }
 }
