@@ -2352,7 +2352,8 @@ object SparkEntry {
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
-        |  COUNT(*) OVER (PARTITION BY source) AS n FROM documents)
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM documents
+        |  WHERE n_chars IS NOT NULL)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN n_chars END) AS p25,
         |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN n_chars END) AS p50,

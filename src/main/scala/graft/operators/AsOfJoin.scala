@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param payload right-side columns to carry onto matching left rows
-    * @param rightTiebreak orders equal-(key,time) right rows; max wins
+    * @param rightTiebreak orders equal-(key,time) right rows; the max
+    *   in the column's natural ordering wins (any orderable type)
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
@@ -53,15 +54,21 @@ object AsOfJoin {
     // back to an older right row for just that column)
     // null keys must not match each other (SQL equi-join semantics:
     // NULL = NULL is no match) — drop null-key right rows so a
-    // null-key left row rides its partition alone and carries nulls
+    // null-key left row rides its partition alone and carries nulls.
+    // The left side's _tb sentinel is a typed null so any orderable
+    // tiebreak type (timestamp, string, numeric) unions cleanly; left
+    // rows never compete on _tb anyway (_side separates them first)
     val tb = rightTiebreak.map(col).getOrElse(lit(0L))
+    val tbLeft = rightTiebreak
+      .map(c => lit(null).cast(right.schema(c).dataType))
+      .getOrElse(lit(0L))
     val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
       (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
         tb.as("_tb"), struct(payload.map(col): _*).as("_p")) ++
         leftCols.map(c => lit(null).as(c))): _*)
     val l = left.select(
       (Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
-        lit(0L).as("_tb"), lit(null).cast(r.schema("_p").dataType).as("_p")) ++
+        tbLeft.as("_tb"), lit(null).cast(r.schema("_p").dataType).as("_p")) ++
         leftCols.map(col)): _*)
 
     // one shuffle: partition by key, in-partition sort by (time, side,

@@ -139,7 +139,8 @@ object TextAnalysis {
     * the cut at k is deterministic on any engine.
     */
   def topNgrams(docs: DataFrame, textCol: String, n: Int = 3, k: Int = 50): DataFrame =
-    docs.select(explode(call_function("graft_shingles", col(textCol), lit(n))).as("ngram"))
+    graft.operators.Partitioning.ensureMinParallelism(docs)
+      .select(explode(call_function("graft_shingles", col(textCol), lit(n))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)

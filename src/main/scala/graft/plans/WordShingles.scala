@@ -14,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleUtil {
   /** The one normalization every text-native expression shares — the
     * engine-parity contract with `Dedup.normText` and the DuckDB
-    * oracles (`lower` + collapse whitespace + trim), as (words array,
-    * first-real-word offset). Lives in exactly one place so shingle
-    * and paragraph blocking can never drift apart.
+    * oracles (`lower` + collapse whitespace + trim): the normalized
+    * word array, leading-empty token already stripped. Lives in
+    * exactly one place so shingle and paragraph blocking can never
+    * drift apart.
     */
   def normWords(text: UTF8String): Array[String] = {
     val words = text.toLowerCase.toString.split("\\s+")
@@ -34,13 +35,12 @@ object ShingleUtil {
     */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val words = normWords(text)
-    val start = 0
-    val m = words.length - start
+    val m = words.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](m * 2)
     val sb = new java.lang.StringBuilder(64)
-    var i = start
-    while (i <= words.length - n) {
+    var i = 0
+    while (i <= m - n) {
       sb.setLength(0)
       var k = 0
       while (k < n) {

@@ -44,6 +44,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 5L, "k", 1L), Row(2L, null, "k", null)))
   }
 
+  test("non-numeric tiebreak columns work (typed null sentinel on the left)") {
+    val l = Seq((1L, 10L, "k")).toDF("id", "t", "k")
+    val r = Seq(("k", 10L, 1L, "alpha"), ("k", 10L, 2L, "beta"))
+      .toDF("k", "rt", "ord", "name")
+    // string tiebreak: lexicographic max "beta" wins
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "rt",
+      payload = Seq("ord"), rightTiebreak = Some("name")).collect()
+    assert(out.toSeq === Seq(Row(1L, 10L, "k", 2L)))
+  }
+
   test("null keys never match each other (NULL = NULL is no match)") {
     val l = Seq((1L, 5L, Option.empty[String]), (2L, 5L, Option("k")))
       .toDF("id", "t", "k")
