@@ -750,6 +750,14 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "sample_split_leakfree" -> ((s, dir) => {
+      // eval-hygiene split: near-dup clusters assigned atomically so a
+      // doc and its edited copy never straddle train/val
+      graft.operators.TrainingDataPipeline.leakFreeSplit(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       // portable arithmetic at the full production parameters (k=64,
       // 16 bands): md5 shingle hashes mod 2^31-1 + (2j+1)x+c_j
@@ -1847,6 +1855,32 @@ object SparkEntry {
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
         |)
         |SELECT node, MIN(label) AS cluster FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "sample_split_leakfree" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT id_a, id_b FROM p WHERE common / (na + nb - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+        |),
+        |comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+        |j AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_rep
+        |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |b AS (SELECT doc_id, cluster_rep,
+        |  ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket FROM j)
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "emb_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

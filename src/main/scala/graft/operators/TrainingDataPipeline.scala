@@ -72,4 +72,31 @@ object TrainingDataPipeline {
     Sampling.assignSplit(fresh, idCol, splits)
       .select(col(idCol), col("lang_pred"), col("quality"), col("split"))
   }
+
+  /** Leakage-aware splitting: near-dup CLUSTERS are assigned to splits
+    * atomically, so a document and its lightly-edited copy can never
+    * land on opposite sides of a train/val boundary — per-doc hashing
+    * (plain [[Sampling.assignSplit]]) leaks exactly those pairs, which
+    * inflates eval scores by the near-dup rate of the corpus. The
+    * split key is the cluster representative (min id via transitive
+    * min-label propagation); singleton docs represent themselves.
+    * Costs one pair-generation pass + the O(log d) label rounds —
+    * run it where eval integrity matters more than a per-doc hash.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+                    splits: Seq[(String, Double)] =
+                      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                    jaccardThreshold: Double = 0.5,
+                    shingleN: Int = 3, maxShingleDf: Int = 50): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol,
+      n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", idCol)
+    val withRep = docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster"), col(idCol)))
+      .select(col(idCol), col("cluster_rep"))
+    Sampling.assignSplit(withRep, "cluster_rep", splits)
+      .select(col(idCol), col("cluster_rep"), col("split"))
+  }
 }

@@ -41,4 +41,25 @@ class TrainingDataPipelineSpec extends SparkSpec {
       .select("split").as[String].head()
     assert(again == out.head._3)
   }
+
+  test("leakFreeSplit: near-dup clusters never straddle a split boundary") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog and it is fine today. "
+    val docs = Seq(
+      (1L, base * 5),                                       // cluster {1,2,3}
+      (2L, (base * 5).replace("fine", "good")),
+      (3L, (base * 5).replace("lazy", "calm")),
+      (10L, "Der Hund ist nicht zu Hause und das ist auch gut so heute ja. " * 5),
+      (11L, "ganz anderes thema hier ohne jede ueberlappung mit anderen texten. " * 5)
+    ).toDF("doc_id", "text")
+    val out = TrainingDataPipeline.leakFreeSplit(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // the whole near-dup cluster shares rep 1 and therefore one split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    // singletons represent themselves
+    assert(byId(10L)._2 == 10L && byId(11L)._2 == 11L)
+    assert(out.forall(r => Set("train", "val", "test").contains(r._3)))
+  }
 }
