@@ -1056,6 +1056,30 @@ object SparkEntry {
         .orderBy(col("gid"), col("source").asc_nulls_last, col("lang").asc_nulls_last)
     }),
 
+    "stats_corr" -> ((s, dir) => {
+      // per-source Pearson corr(n_chars, token_count) via EXACT integer
+      // moments: decimal sums commute (unlike float partial sums, whose
+      // order differs per run/engine — built-in corr() can never hash-
+      // oracle), so the one double expression at the end is bit-stable
+      val x = col("n_chars").cast(DecimalType(38, 0))
+      val y = TextAnalysis.tokenCount(col("text")).cast(DecimalType(38, 0))
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("source"),
+          round(when(
+              (col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+            .otherwise(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))).cast("double"))),
+            6).as("corr_chars_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "corpus_pivot" -> ((s, dir) => {
       // wide-format reporting via the relational pivot API: source ×
       // lang doc counts in one conditional-aggregate pass (explicit
@@ -2291,6 +2315,21 @@ object SparkEntry {
         |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INT) AS n_shingles
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "stats_corr" ->
+      """WITH t0 AS (SELECT source, n_chars,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |    ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS toks
+        |  FROM documents),
+        |m AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS sx, SUM(toks) AS sy,
+        |  SUM(n_chars * toks) AS sxy, SUM(n_chars * n_chars) AS sxx,
+        |  SUM(CAST(toks AS BIGINT) * toks) AS syy
+        |  FROM t0 GROUP BY source)
+        |SELECT source,
+        |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+        |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE))
+        |  END, 6) AS corr_chars_tokens
+        |FROM m ORDER BY source""".stripMargin,
 
     "corpus_pivot" ->
       """SELECT source,
