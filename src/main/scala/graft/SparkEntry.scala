@@ -135,6 +135,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q5b_asof_forward" -> ((s, dir) => {
+      // forward as-of: each event's NEXT signup of the same user
+      // ("time to next conversion") — same one-shuffle shape, sort
+      // direction flipped
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"))
+      val signups = t(s, dir, "events").filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("sts"),
+          col("event_id").as("next_signup_id"))
+      AsOfJoin.asOf(ev, signups, "user_id", "su", "ts", "sts",
+          payload = Seq("next_signup_id"),
+          rightTiebreak = Some("next_signup_id"), forward = true)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("user_id"),
+          col("next_signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q6_range_join" -> ((s, dir) => {
       // beyond-parity interval-lookup join: orders priced into
       // quadratically-irregular bands derived from the nation table;
@@ -1322,6 +1338,14 @@ object SparkEntry {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
         |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q5b_asof_forward" ->
+      """WITH s AS (SELECT user_id AS su, ts AS sts, event_id AS next_signup_id
+        |  FROM events WHERE event_type = 'signup'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, s.next_signup_id
+        |FROM events e ASOF LEFT JOIN s ON e.user_id = s.su AND e.ts <= s.sts
         |ORDER BY e.event_id""".stripMargin,
 
     "q6_range_join" ->

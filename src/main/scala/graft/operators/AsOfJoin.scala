@@ -35,12 +35,17 @@ object AsOfJoin {
   /** @param payload right-side columns to carry onto matching left rows
     * @param rightTiebreak orders equal-(key,time) right rows; the max
     *   in the column's natural ordering wins (any orderable type)
+    * @param forward false = latest right row at-or-BEFORE the left time
+    *   (DuckDB `l.t >= r.t`); true = earliest right row at-or-AFTER it
+    *   (`l.t <= r.t`) — "time to next event" attribution. Same single
+    *   shuffle; only the in-partition sort direction flips.
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            payload: Seq[String],
-           rightTiebreak: Option[String] = None): DataFrame = {
+           rightTiebreak: Option[String] = None,
+           forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(leftCols.intersect(payload).isEmpty,
@@ -73,9 +78,12 @@ object AsOfJoin {
 
     // one shuffle: partition by key, in-partition sort by (time, side,
     // tiebreak); window frame is unbounded-preceding so the sort is
-    // reused, never re-shuffled
+    // reused, never re-shuffled. Forward mode walks time descending, so
+    // "last seen right row" = the earliest one at-or-after the left
+    // time; nulls still sort first so a null left time matches nothing
+    val tOrder = if (forward) col("_t").desc_nulls_first else col("_t").asc_nulls_first
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc_nulls_first, col("_side"), col("_tb"))
+      .orderBy(tOrder, col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))

@@ -44,6 +44,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 5L, "k", 1L), Row(2L, null, "k", null)))
   }
 
+  test("forward mode: earliest at-or-after right row, inclusive, nulls when none follow") {
+    val l = Seq((1L, 5L, "k"), (2L, 10L, "k"), (3L, 11L, "k")).toDF("id", "t", "k")
+    val r = Seq(("k", 7L, 70L), ("k", 10L, 100L)).toDF("k", "rt", "ord")
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "rt",
+      payload = Seq("ord"), forward = true).orderBy("id").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 5L, "k", 70L),   // next at-or-after 5 is rt=7
+      Row(2L, 10L, "k", 100L), // inclusive at equal time
+      Row(3L, 11L, "k", null)  // nothing follows
+    ))
+  }
+
   test("non-numeric tiebreak columns work (typed null sentinel on the left)") {
     val l = Seq((1L, 10L, "k")).toDF("id", "t", "k")
     val r = Seq(("k", 10L, 1L, "alpha"), ("k", 10L, 2L, "beta"))
