@@ -363,6 +363,19 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "o12_salted_agg" -> ((s, dir) => {
+      // skew-safe aggregation through the driver gate: event_type has
+      // only a handful of values (each a straggler-sized group at
+      // corpus scale); salting splits each into 16 sub-groups and
+      // folds the partials — result must equal the plain aggregate
+      graft.operators.Partitioning.saltedAggregate(
+          t(s, dir, "events").select(col("event_type"), col("value")),
+          "event_type", nSalts = 16)(
+          g => g.agg(count(lit(1)).as("pn"), max(col("value")).as("pmax")),
+          g => g.agg(sum(col("pn")).as("n_events"), max(col("pmax")).as("max_value")))
+        .orderBy(col("event_type"))
+    }),
+
     "o1_size_batches" -> ((s, dir) => {
       CdcBatch.sizeBatches(
           t(s, dir, "events").withColumn("n_bytes", length(col("props"))),
@@ -1339,6 +1352,10 @@ object SparkEntry {
         |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "o12_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q5b_asof_forward" ->
       """WITH s AS (SELECT user_id AS su, ts AS sts, event_id AS next_signup_id
