@@ -1009,6 +1009,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("para_idx"))
     }),
 
+    "text_chunk" -> ((s, dir) => {
+      // overlapping context windows (50 words, stride 40): the step
+      // between raw docs and sequence packing; zero shuffles
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+          width = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       // corpus n-gram mining for blocklists/boilerplate: doc frequency
       // of distinct-per-doc 3-grams, top-50 on a total order
@@ -2474,6 +2482,17 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN n_chars END) AS p90,
         |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |  array_to_string(words[u.i*40+1 : u.i*40+50], ' ') AS chunk
+        |  FROM w, LATERAL (SELECT unnest(range(0,
+        |    1 + CAST(CEIL(GREATEST(0, len(words) - 50) / 40.0) AS BIGINT))) AS i) u)
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

@@ -145,6 +145,23 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)
 
+  /** Context-window chunking — the train-prep step between raw docs
+    * and sequence packing: split each document into `width`-word
+    * windows advancing by `stride` (overlap `width - stride` keeps
+    * context across boundaries; stride == width is disjoint). The
+    * native `graft_word_windows` expression blocks in one pass at scan
+    * speed, then one posexplode; no shuffle at all — chunking composes
+    * with any downstream op at full scan parallelism.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int, stride: Int): DataFrame =
+    graft.operators.Partitioning.ensureMinParallelism(docs)
+      .select(col(idCol), posexplode(
+        call_function("graft_word_windows", col(textCol), lit(width), lit(stride)))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_tokens",
+        when(length(col("chunk")) === 0, 0).otherwise(size(split(col("chunk"), " "))))
+
   /** PII redaction for training text: URLs, emails, then phone-shaped
     * numbers replaced with typed placeholder tokens (URL first — an
     * email-looking substring inside a URL should redact as part of the

@@ -151,7 +151,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => sys.error(s"graft_paragraphs: n must be an int literal, got $other")
         }
-        ParagraphBlocks(children.head, n)
+        ParagraphBlocks(children.head, n, n)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_windows"),
+      new ExpressionInfo(classOf[ParagraphBlocks].getName, "graft_word_windows"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_word_windows(text, n, stride) takes a string and two int literals")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_word_windows: $name must be an int literal, got $other")
+        }
+        ParagraphBlocks(children.head, intLit(children(1), "n"), intLit(children(2), "stride"))
       }
     ))
   }

@@ -21,20 +21,29 @@ object ParagraphUtil {
     * what `split('', ' ') = ['']` produces in the SQL formulation both
     * engines share.
     */
-  def paragraphs(text: UTF8String, n: Int): ArrayData = {
+  def paragraphs(text: UTF8String, n: Int): ArrayData = windows(text, n, n)
+
+  /** Generalized word windows: width `n`, step `stride`. `stride == n`
+    * is disjoint paragraph blocking; `stride < n` yields overlapping
+    * context windows (the train-prep chunking that keeps `n - stride`
+    * words of context across window boundaries). Window count for
+    * `m > 0` words is `1 + ceil(max(0, m - n) / stride)` — the last
+    * window may be short, and no window starts at or past `m`.
+    */
+  def windows(text: UTF8String, n: Int, stride: Int): ArrayData = {
     val words = ShingleUtil.normWords(text) // shared parity contract
     val m = words.length
     if (m == 0) return new GenericArrayData(Array[Any](UTF8String.fromString("")))
-    val nParas = (m + n - 1) / n
-    val out = new Array[Any](nParas)
+    val nWin = 1 + (math.max(0, m - n) + stride - 1) / stride
+    val out = new Array[Any](nWin)
     val sb = new java.lang.StringBuilder(64)
     var p = 0
-    while (p < nParas) {
+    while (p < nWin) {
       sb.setLength(0)
-      var k = p * n
+      var k = p * stride
       val end = math.min(k + n, m)
       while (k < end) {
-        if (k > p * n) sb.append(' ')
+        if (k > p * stride) sb.append(' ')
         sb.append(words(k))
         k += 1
       }
@@ -51,22 +60,26 @@ object ParagraphUtil {
   * the text once per paragraph; this is one linear pass inside
   * whole-stage codegen.
   */
-case class ParagraphBlocks(child: Expression, n: Int) extends UnaryExpression {
+case class ParagraphBlocks(child: Expression, n: Int, stride: Int)
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType && n >= 1 && stride >= 1 && stride <= n)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_paragraphs needs (string, n>=1), got ${child.dataType.simpleString}, n=$n")
+      s"graft_paragraphs/graft_word_windows need (string, n>=1, 1<=stride<=n), " +
+        s"got ${child.dataType.simpleString}, n=$n, stride=$stride")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def prettyName: String = "graft_paragraphs"
+  override def prettyName: String =
+    if (stride == n) "graft_paragraphs" else "graft_word_windows"
 
   override def nullSafeEval(t: Any): Any =
-    ParagraphUtil.paragraphs(t.asInstanceOf[UTF8String], n)
+    ParagraphUtil.windows(t.asInstanceOf[UTF8String], n, stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.ParagraphUtil.paragraphs($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.ParagraphUtil.windows($c, $n, $stride)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -74,6 +74,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.forall { case (n, pr, q) => n > 0 && pr >= 0 && pr <= 1 && q >= 0 && q <= 1 })
   }
 
+  test("chunkWindows: overlap across boundaries, short tail, no empty trailing window") {
+    val docs = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(docs, "doc_id", "text", width = 5, stride = 3)
+      .orderBy("chunk_idx").as[(Long, Int, String, Int)].collect().toSeq
+    // m=12, w=5, s=3 -> 1 + ceil(7/3) = 4 windows at offsets 0,3,6,9
+    assert(out.map(_._3) === Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12"))
+    assert(out.map(_._4) === Seq(5, 5, 5, 3))
+    // exact-fit edge: m == width -> exactly one window
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.chunkWindows(one, "doc_id", "text", 3, 2).count() == 1)
+  }
+
   test("topNgrams: doc frequency of distinct-per-doc grams, deterministic cut") {
     val docs = Seq(
       (1L, "a b c a b c"), // distinct grams only: 'a b c' counts once here
