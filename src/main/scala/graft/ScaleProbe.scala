@@ -232,6 +232,10 @@ object ScaleProbe {
         // shuffle, ids+hashes only
         operators.dedup.Dedup.paragraphDedup(d, "doc_id", "text")
       }
+      time("text_chunk", k) {
+        // shuffle-free: native window blocking + posexplode only
+        operators.text.TextAnalysis.chunkWindows(d, "doc_id", "text", 50, 40)
+      }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
       if (vUsed) v.unpersist()
