@@ -1106,13 +1106,19 @@ object SparkEntry {
           sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
           sum(x * x).as("sxx"), sum(y * y).as("syy"))
         .select(col("source"),
+          // each variance factor stays exact in Decimal(38,0) (~1e28 at
+          // 1e9 docs/source), but their PRODUCT is ~56 digits — Decimal
+          // would silently null out (and DuckDB's HUGEINT would throw),
+          // so cast per-factor to double and multiply in IEEE space.
+          // Nonzero factors are integers >= 1, so the product can't
+          // underflow to 0 and the zero test is per-factor exact.
           round(when(
-              (col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
                 (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
             .otherwise(
               (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-                sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
-                  (col("n") * col("syy") - col("sy") * col("sy"))).cast("double"))),
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
             6).as("corr_chars_tokens"))
         .orderBy(col("source"))
     }),
@@ -1354,11 +1360,19 @@ object SparkEntry {
         |ORDER BY tag""".stripMargin,
 
     "q5_asof_join" ->
+      // inner-ASOF on non-null left times, then left-join back on the
+      // unique event_id: DuckDB's native ASOF matches a NULL-ts left
+      // row to a right row, while the operator's contract (and Spark's
+      // null-safe window sort) leaves it unmatched — this shape pins
+      // "null left time matches nothing" in the oracle itself
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey < 100
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
-        |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, o.o_orderkey, o.o_totalprice
-        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
+        |nn AS (SELECT e.event_id AS eid, o.o_orderkey, o.o_totalprice
+        |  FROM events e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |  WHERE e.ts IS NOT NULL)
+        |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, nn.o_orderkey, nn.o_totalprice
+        |FROM events e LEFT JOIN nn ON e.event_id = nn.eid
         |ORDER BY e.event_id""".stripMargin,
 
     "o12_salted_agg" ->
@@ -1366,11 +1380,16 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q5b_asof_forward" ->
+      // same inner-ASOF + join-back shape as q5_asof_join, for the same
+      // NULL-left-time reason
       """WITH s AS (SELECT user_id AS su, ts AS sts, event_id AS next_signup_id
         |  FROM events WHERE event_type = 'signup'
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
-        |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, s.next_signup_id
-        |FROM events e ASOF LEFT JOIN s ON e.user_id = s.su AND e.ts <= s.sts
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |nn AS (SELECT e.event_id AS eid, s.next_signup_id
+        |  FROM events e ASOF JOIN s ON e.user_id = s.su AND e.ts <= s.sts
+        |  WHERE e.ts IS NOT NULL)
+        |SELECT e.event_id, epoch_ms(e.ts) AS ts_ms, e.user_id, nn.next_signup_id
+        |FROM events e LEFT JOIN nn ON e.event_id = nn.eid
         |ORDER BY e.event_id""".stripMargin,
 
     "q6_range_join" ->
@@ -2375,8 +2394,8 @@ object SparkEntry {
         |  SUM(CAST(toks AS BIGINT) * toks) AS syy
         |  FROM t0 GROUP BY source)
         |SELECT source,
-        |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
-        |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE))
+        |  round(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
         |  END, 6) AS corr_chars_tokens
         |FROM m ORDER BY source""".stripMargin,
 
@@ -2485,7 +2504,8 @@ object SparkEntry {
 
     "text_chunk" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
         |  array_to_string(words[u.i*40+1 : u.i*40+50], ' ') AS chunk
         |  FROM w, LATERAL (SELECT unnest(range(0,

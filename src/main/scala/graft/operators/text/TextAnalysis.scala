@@ -150,8 +150,12 @@ object TextAnalysis {
     * windows advancing by `stride` (overlap `width - stride` keeps
     * context across boundaries; stride == width is disjoint). The
     * native `graft_word_windows` expression blocks in one pass at scan
-    * speed, then one posexplode; no shuffle at all — chunking composes
-    * with any downstream op at full scan parallelism.
+    * speed, then one posexplode; the chunking itself never shuffles
+    * (the only possible exchange is `ensureMinParallelism`'s
+    * round-robin widening when the input arrives in fewer partitions
+    * than the session's parallelism — absent on any well-partitioned
+    * corpus scan). NULL text yields no chunks (posexplode of a null
+    * array emits nothing), mirrored by the oracle's NOT NULL guard.
     */
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
                    width: Int, stride: Int): DataFrame =

@@ -56,6 +56,22 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("forward mode: equal-(key,time) right ties resolve to max tiebreak") {
+    // two right rows at the exact same (k, rt) ahead of the probe: the
+    // operator must pick max(ord), the same total order the oracle's
+    // QUALIFY ... ORDER BY ord DESC dedupe imposes before DuckDB's ASOF
+    val l = Seq((1L, 5L, "k"), (2L, 10L, "k")).toDF("id", "t", "k")
+    val r = Seq(("k", 10L, 300L), ("k", 10L, 400L), ("k", 20L, 500L))
+      .toDF("k", "rt", "ord")
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "rt",
+      payload = Seq("ord"), rightTiebreak = Some("ord"), forward = true)
+      .orderBy("id").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 5L, "k", 400L),  // earliest at-or-after is the rt=10 pair; max ord wins
+      Row(2L, 10L, "k", 400L)  // inclusive tie at equal time, same dedup winner
+    ))
+  }
+
   test("non-numeric tiebreak columns work (typed null sentinel on the left)") {
     val l = Seq((1L, 10L, "k")).toDF("id", "t", "k")
     val r = Seq(("k", 10L, 1L, "alpha"), ("k", 10L, 2L, "beta"))
