@@ -410,6 +410,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ws_ms"))
     }),
 
+    "o13_session_windows" -> ((s, dir) => {
+      // §2.8 — session windows, batch form of the streaming operator
+      // (same code path; watermark no-ops in batch): events of one user
+      // within 8h of each other fold into one session. Spark plans
+      // session_window as one shuffle on the key + in-partition merge —
+      // no self-join, which is what survives a 100 TB event log. The
+      // oracle reproduces the merge as gaps-and-islands (break when the
+      // inter-arrival gap >= 8h, session end = last event + gap).
+      graft.streaming.WindowedStats.sessionCounts(
+          t(s, dir, "events").filter(col("ts").isNotNull), "ts", "user_id", "8 hours")
+        .select(col("user_id"), unix_millis(col("win_start")).as("ws_ms"),
+          unix_millis(col("win_end")).as("we_ms"), col("n_events"))
+        .orderBy(col("user_id"), col("ws_ms"))
+    }),
+
     "o5_mts_schedule" -> ((s, dir) => {
       // O5 — MTS parallel apply, batch form (reference MtsManager
       // `applier_mts.go:30-155`): rows route to a worker by key and
@@ -1521,6 +1536,20 @@ object SparkEntry {
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY user_id, ws_ms""".stripMargin,
+
+    "o13_session_windows" ->
+      // gaps-and-islands replay of Spark's session merge: a session
+      // breaks when the inter-arrival gap reaches 8h; its end is the
+      // last event plus the gap. Tie-safe: tied timestamps contribute
+      // brk=0 after the first, so island ids are order-independent.
+      """WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |    >= INTERVAL '8 hours' THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, epoch_ms(MIN(ts)) AS ws_ms,
+        |  epoch_ms(MAX(ts)) + 28800000 AS we_ms, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ws_ms""".stripMargin,
 
     "o5_mts_schedule" ->
       """SELECT event_id, user_id, user_id % 4 AS worker,
