@@ -236,6 +236,16 @@ object ScaleProbe {
         // shuffle-free: native window blocking + posexplode only
         operators.text.TextAnalysis.chunkWindows(d, "doc_id", "text", 50, 40)
       }
+      time("text_dup_spans", k) {
+        // positional-hash explode (~n_words rows/doc, longs only)
+        // through the gh window shuffle, then the doc-id merge
+        operators.text.SpanDedup.duplicatedSpans(d, "doc_id", "text", n = 10)
+      }
+      time("text_span_trim", k) {
+        // detection + the corpus-side shuffle-hash join and per-doc
+        // HOF rebuild — the full cutting pass
+        operators.text.SpanDedup.trimSpans(d, "doc_id", "text", n = 10)
+      }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
       if (vUsed) v.unpersist()

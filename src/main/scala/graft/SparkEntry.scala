@@ -1032,6 +1032,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "text_dup_spans" -> ((s, dir) => {
+      // substring-level exact dedup (Lee et al. 2022 position-window
+      // form): merged spans of 10-word windows occurring 2+ times
+      // corpus-wide — the boilerplate that straddles paragraph edges
+      graft.operators.text.SpanDedup.duplicatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    "text_span_trim" -> ((s, dir) => {
+      // the cutting pass over the same spans: every duplicated span
+      // removed from the normalized token stream, 1:1 with input docs
+      graft.operators.text.SpanDedup.trimSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       // corpus n-gram mining for blocklists/boilerplate: doc frequency
       // of distinct-per-doc 3-grams, top-50 on a total order
@@ -2542,6 +2559,47 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // both span queries replay the hash-bucketed Spark pipeline on the
+    // window STRINGS (the hashes never reach the output, so the oracle
+    // needs no hash parity — a 64-bit collision would surface here)
+    "text_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+10], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 9, 0))) AS i) u),
+        |d AS (SELECT doc_id, pos FROM
+        |  (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY ng) AS cnt FROM g) WHERE cnt >= 2),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |    THEN 1 ELSE 0 END AS brk FROM d),
+        |s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM i)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start, CAST(MAX(pos) + 10 AS INT) AS span_end
+        |FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
+
+    "text_span_trim" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+10], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 9, 0))) AS i) u),
+        |d AS (SELECT doc_id, pos FROM
+        |  (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY ng) AS cnt FROM g) WHERE cnt >= 2),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |    THEN 1 ELSE 0 END AS brk FROM d),
+        |s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM i),
+        |spans AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 10 AS se FROM s GROUP BY doc_id, sid),
+        |keep AS (SELECT w.doc_id, u.i AS pos, words[u.i + 1] AS word
+        |  FROM w, LATERAL (SELECT unnest(range(len(words))) AS i) u
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = w.doc_id AND u.i >= sp.ss AND u.i < sp.se)),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_trimmed
+        |  FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(agg.text_trimmed, '') AS text_trimmed
+        |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

@@ -115,6 +115,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "graft_span_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_span_hashes(text, n) takes a string and an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_span_hashes: n must be an int literal, got $other")
+        }
+        SpanHashes(children.head, n)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => {

@@ -255,4 +255,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not fully sort the corpus:\n$p")
   }
+
+  test("span dedup detection is join-free: two hash exchanges, hashes cross them") {
+    val spans = graft.operators.text.SpanDedup.duplicatedSpans(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", n = 10)
+    val p = spans.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"span detection must be window-counted, never joined:\n$p")
+    assert(p.contains("graft_span_hashes"), s"expected the native positional-hash scan:\n$p")
+    // exactly gh + doc_id; the (id, sid) merge aggregate must reuse the
+    // doc partition (hash(id) satisfies the (id, sid) clustering)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected exactly the gh and doc-id shuffles, got $hashEx:\n$p")
+  }
+
+  test("span trim joins shuffle-hash on the doc id, never broadcasting the span side") {
+    val trim = graft.operators.text.SpanDedup.trimSpans(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", n = 10)
+    val p = trim.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"span side must shuffle, not broadcast:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"corpus-proportional span side broadcast:\n$p")
+  }
 }
