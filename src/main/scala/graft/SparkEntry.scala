@@ -1032,6 +1032,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "corpus_diff" -> ((s, dir) => {
+      // corpus version diff: two snapshots synthesized deterministically
+      // from the fixture (oracle reproduces the exact construction) —
+      // ids %7 drop out of old, %3 out of new, %5 get edited content
+      val docs = t(s, dir, "documents")
+      val oldV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newV = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.operators.CorpusDiff.diff(oldV, newV, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_dup_spans" -> ((s, dir) => {
       // substring-level exact dedup (Lee et al. 2022 position-window
       // form): merged spans of 10-word windows occurring 2+ times
@@ -2559,6 +2572,22 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  COALESCE(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 'null') AS old_hash
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |  COALESCE(md5(lower(trim(regexp_replace(
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, '\s+', ' ', 'g')))), 'null') AS new_hash
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'modified' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // both span queries replay the hash-bucketed Spark pipeline on the
     // window STRINGS (the hashes never reach the output, so the oracle
