@@ -236,6 +236,11 @@ object ScaleProbe {
         // shuffle-free: native window blocking + posexplode only
         operators.text.TextAnalysis.chunkWindows(d, "doc_id", "text", 50, 40)
       }
+      time("text_tfidf", k) {
+        // explode-heavy: (doc, term) count + term-partition df window
+        // + per-doc top-k — three narrow hash exchanges
+        operators.text.TextAnalysis.tfIdfTopK(d, "doc_id", "text", k = 3)
+      }
       time("text_dup_spans", k) {
         // positional-hash explode (~n_words rows/doc, longs only)
         // through the gh window shuffle, then the doc-id merge

@@ -1062,6 +1062,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_tfidf" -> ((s, dir) => {
+      // per-doc TF-IDF keywords (top-3, integer-micros scores so the
+      // derivation hash-matches; ties total-ordered by term)
+      TextAnalysis.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("score_micros").desc, col("term"))
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       // corpus n-gram mining for blocklists/boilerplate: doc frequency
       // of distinct-per-doc 3-grams, top-50 on a total order
@@ -2629,6 +2636,21 @@ object SparkEntry {
         |SELECT w.doc_id, COALESCE(agg.text_trimmed, '') AS text_trimmed
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |  unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+        |d AS (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS score_micros
+        |  FROM d, n),
+        |r AS (SELECT doc_id, term, tf, df, score_micros, ROW_NUMBER() OVER
+        |  (PARTITION BY doc_id ORDER BY score_micros DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_micros
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, score_micros DESC, term""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

@@ -166,6 +166,42 @@ object TextAnalysis {
       .withColumn("n_tokens",
         when(length(col("chunk")) === 0, 0).otherwise(size(split(col("chunk"), " "))))
 
+  /** Per-document TF-IDF keywords: the top `k` terms of each document
+    * by `tf * ln(N/df)` — keyword extraction / topic tagging for
+    * curation and corpus exploration. Scoring is integer micros
+    * (`tf * round(ln(N/df)*1e6)`): `ln(N/df)` takes one of at most N
+    * distinct values, each rounded once, so both engines agree on
+    * every score except a vanishing (~1e-9 per distinct df) rounding
+    * boundary — the tie-break on the term keeps the cut at `k`
+    * total-ordered regardless.
+    *
+    * Scale shape: explode → (doc, term) partial-combined count → df as
+    * a window count over the term partition (distinct-per-doc already,
+    * so plain COUNT is document frequency — no countDistinct
+    * double-shuffle) → top-k via one doc-partition window. Three
+    * hash exchanges, all carrying (id, term, counts); N joins in as a
+    * broadcast single row.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nonNull = graft.operators.Partitioning.ensureMinParallelism(
+      docs.filter(col(textCol).isNotNull))
+    val nDocs = nonNull.agg(count(lit(1)).as("n_docs"))
+    val tf = nonNull
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(broadcast(nDocs))
+      .withColumn("score_micros", col("tf") *
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score_micros").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score_micros"))
+  }
+
   /** PII redaction for training text: URLs, emails, then phone-shaped
     * numbers replaced with typed placeholder tokens (URL first — an
     * email-looking substring inside a URL should redact as part of the

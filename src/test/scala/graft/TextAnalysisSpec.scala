@@ -101,4 +101,24 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top === again)
   }
+
+  test("tfIdfTopK: hand-computed scores, window df, rare terms outrank common") {
+    val docs = Seq(
+      (1L, Option("Apple banana  apple")), // normalization folds case/space
+      (2L, Option("banana cherry")),
+      (3L, Option("cherry banana banana")),
+      (4L, Option.empty[String])           // null doc: excluded, not in N
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("score_micros").desc, col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // N=3; idf micros: ln(3/1)=1098612, ln(3/2)=405465, ln(3/3)=0
+    assert(out.toSeq === Seq(
+      (1L, "apple", 2L, 1L, 2197224L),
+      (1L, "banana", 1L, 3L, 0L),
+      (2L, "cherry", 1L, 2L, 405465L),
+      (2L, "banana", 1L, 3L, 0L),
+      (3L, "cherry", 1L, 2L, 405465L),
+      (3L, "banana", 2L, 3L, 0L)))
+  }
 }
