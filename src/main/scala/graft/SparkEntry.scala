@@ -1032,6 +1032,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // directional containment pairs: the subset/quotation case
+      // symmetric Jaccard misses (same candidate machinery + skew caps)
+      graft.operators.dedup.Dedup.containmentPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8, maxShingleDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "corpus_diff" -> ((s, dir) => {
       // corpus version diff: two snapshots synthesized deterministically
       // from the fixture (oracle reproduces the exact construction) —
@@ -1860,6 +1869,18 @@ object SparkEntry {
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(common / na, 6) AS c_a_in_b, round(common / nb, 6) AS c_b_in_a
+        |FROM p WHERE GREATEST(common / na, common / nb) >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_incremental_bloom" ->
       """WITH base AS (SELECT doc_id,

@@ -87,15 +87,47 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Int = 1000): DataFrame = {
-    // Strings are dropped for an 8-byte hash before the shuffle
-    // (collision odds at 64 bits are negligible next to the sketch's
-    // own error). Per-doc shingle counts ride along each exploded row
-    // (size() of the already-built array — the shingling itself runs
-    // once; Catalyst's CollapseProject keeps multiply-referenced
-    // non-cheap aliases materialized). Two shuffles total: bucket by
-    // shingle, then count per pair — the earlier shape spent two
-    // window sorts and a self-join on the same answer.
+                        maxShingleDf: Int = 1000): DataFrame =
+    pairCommonCounts(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Directional containment near-dup pairs: `common/|A|` and
+    * `common/|B|` per candidate pair, kept when either direction
+    * reaches `threshold`. Catches what symmetric Jaccard structurally
+    * cannot: a short document quoted whole inside a much longer one
+    * has containment ≈ 1 in one direction while Jaccard ≈ |A|/|B| ≈ 0
+    * — the subset/quotation case (RealNews/C4-style dedup keys on
+    * exactly this). Same bucketed candidate machinery and skew caps as
+    * [[ngramJaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = 1000): DataFrame =
+    pairCommonCounts(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("c_a_in_b", col("common").cast("double") / col("na").cast("double"))
+      .withColumn("c_b_in_a", col("common").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("c_a_in_b"), 6).as("c_a_in_b"),
+        round(col("c_b_in_a"), 6).as("c_b_in_a"))
+
+  /** Shared candidate pipeline: per-pair common-shingle counts with
+    * per-doc totals, `(id_a, id_b, na, nb, common)`.
+    *
+    * Strings are dropped for an 8-byte hash before the shuffle
+    * (collision odds at 64 bits are negligible next to the sketch's
+    * own error). Per-doc shingle counts ride along each exploded row
+    * (size() of the already-built array — the shingling itself runs
+    * once; Catalyst's CollapseProject keeps multiply-referenced
+    * non-cheap aliases materialized). Two shuffles total: bucket by
+    * shingle, then count per pair — the earlier shape spent two
+    * window sorts and a self-join on the same answer.
+    */
+  private def pairCommonCounts(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int, maxShingleDf: Int): DataFrame = {
     val exploded = graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), shingleHashes(col(textCol), n).as("sh_arr"))
@@ -113,10 +145,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (col("na") + col("nb") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Cross-corpus n-gram Jaccard pairs (batch × index): same bucketed

@@ -314,4 +314,22 @@ class DedupSpec extends SparkSpec {
     // doc 3 (4 words) yields exactly one short paragraph
     assert(out.count(_._1 == 3L) == 1)
   }
+
+  test("containment catches a short doc quoted inside a long one; jaccard misses it") {
+    val quote = "one two three four five six" // 4 shingles at n=3
+    val host = s"${(1 to 14).map(i => s"u$i").mkString(" ")} $quote " +
+      (15 to 28).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, host),
+      (3L, "irrelevant filler words beyond any overlap")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // every shingle of doc 1 appears in doc 2: containment 1.0 that way,
+    // tiny the other way (host has 34 words -> 32 shingles)
+    assert(cont === Seq((1L, 2L, 1.0, round4(4.0 / 32))))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(jac.count() === 0, "symmetric jaccard must structurally miss the quotation")
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
