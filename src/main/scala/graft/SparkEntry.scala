@@ -1107,6 +1107,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_refine" -> ((s, dir) => {
+      // flagship composition over the r6 text operators, one plan:
+      // cut duplicated spans -> gate on surviving token mass -> chunk
+      // into overlapping context windows (what actually feeds packing
+      // after boilerplate removal). Every stage oracle-expressible.
+      val trimmed = graft.operators.text.SpanDedup.trimSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 10)
+      val gated = trimmed.filter(
+        TextAnalysis.tokenCount(col("text_trimmed")) >= 10)
+      TextAnalysis.chunkWindows(gated, "doc_id", "text_trimmed",
+          width = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // flagship composition: profile gate -> exact dedup -> near-dup
       // clustering -> representatives; every stage oracle-expressible
@@ -2672,6 +2686,40 @@ object SparkEntry {
         |  (PARTITION BY doc_id ORDER BY score_micros DESC, term) AS rk FROM s)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_micros
         |FROM r WHERE rk <= 3 ORDER BY doc_id, score_micros DESC, term""".stripMargin,
+
+    "pipeline_refine" ->
+      // the trim oracle's CTE chain, then Spark's tokenCount gate
+      // (empty -> 0) and the context-window chunking replay; trimmed
+      // text is already normalized, so the chunk stage re-splits as-is
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+10], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 9, 0))) AS i) u),
+        |d AS (SELECT doc_id, pos FROM
+        |  (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY ng) AS cnt FROM g) WHERE cnt >= 2),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |    THEN 1 ELSE 0 END AS brk FROM d),
+        |s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM i),
+        |spans AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 10 AS se FROM s GROUP BY doc_id, sid),
+        |kept AS (SELECT w.doc_id, u.i AS pos, words[u.i + 1] AS word
+        |  FROM w, LATERAL (SELECT unnest(range(len(words))) AS i) u
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = w.doc_id AND u.i >= sp.ss AND u.i < sp.se)),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t2
+        |  FROM kept GROUP BY doc_id),
+        |tr AS (SELECT w.doc_id, COALESCE(agg.t2, '') AS t2
+        |  FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id),
+        |gated AS (SELECT doc_id, string_split(t2, ' ') AS words2 FROM tr
+        |  WHERE CASE WHEN trim(t2) = '' THEN 0 ELSE len(string_split(t2, ' ')) END >= 10),
+        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |  array_to_string(words2[u.i*40+1 : u.i*40+50], ' ') AS chunk
+        |  FROM gated, LATERAL (SELECT unnest(range(0,
+        |    1 + CAST(CEIL(GREATEST(0, len(words2) - 50) / 40.0) AS BIGINT))) AS i) u)
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

@@ -268,6 +268,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx == 2, s"expected exactly the gh and doc-id shuffles, got $hashEx:\n$p")
   }
 
+  test("tfidf: df via window count (no countDistinct Expand), three hash exchanges") {
+    val p = plan("text_tfidf")
+    assert(!p.contains("Expand"), s"df must be a window count, not countDistinct:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 3, s"expected (doc,term) + term + doc exchanges, got $hashEx:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"N must join as a broadcast single row:\n$p")
+  }
+
   test("span trim joins shuffle-hash on the doc id, never broadcasting the span side") {
     val trim = graft.operators.text.SpanDedup.trimSpans(
       Tables.load(spark, sf, "documents"), "doc_id", "text", n = 10)
