@@ -894,6 +894,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: near-dup cosine pairs within learned-centroid
+      // clusters (portable Lloyd, so the whole derivation oracles) —
+      // density-adaptive bucketing vs emb_lsh_pairs' random planes
+      SimilaritySearch.semanticDedupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nLists = 16, iters = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "emb_lsh_incremental" -> ((s, dir) => {
       // continual ingest for embeddings: new vectors (vec_id%5 != 0)
       // near-dup-checked against the STORED LSH bucket index of the
@@ -2222,6 +2231,40 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // same Lloyd replay as sim_ivf_topk up to `assign`, then pairs
+    // within each list instead of query probes
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |a1 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m1 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a1 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l1 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
+        |cent1 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent0 c LEFT JOIN l1 l ON l.cid = c.cid),
+        |a2 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m2 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a2 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l2 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m2 GROUP BY cid),
+        |cent2 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent1 c LEFT JOIN l2 l ON l.cid = c.cid),
+        |assign AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_ivf_topk_quantized" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -373,6 +373,40 @@ object SimilaritySearch {
     rankTopK(cands, k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): the
+    * corpus partitions into `nLists` learned-centroid clusters (the
+    * same portable Lloyd as IVF, so the whole derivation oracles) and
+    * near-dup cosine pairs are generated WITHIN clusters only — the
+    * density-adaptive bucketing that hyperplane LSH lacks (a dense
+    * semantic neighborhood lands in one list regardless of which side
+    * of a random plane it falls). Same scale shape as [[lshPairs]]:
+    * ids-only capped lists cross the candidate shuffle, vectors
+    * re-join by id through pinned `shuffle_hash` exchanges. Unlike
+    * LSH's multi-table buckets, assignment is unique (argmax), so
+    * pairs need no dedup pass.
+    */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nLists: Int = 16, iters: Int = 2,
+                         maxList: Int = 1000): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    val pairs = vecs.select(col("vid"), nearest(col("vec"), centroids).as("cid"))
+      .groupBy(col("cid"))
+      .agg(graft.functions.BoundedCollectList.column(col("vid"), maxList).as("members"))
+      .filter(size(col("members")).between(2, maxList))
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    pairs
+      .join(vecs.select(col("vid").as("id_a"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF-SQ8 composite index build — the FAISS IVF+SQ8 memory shape on
     * DataFrames: portable Lloyd centroids partition the corpus into
     * `nLists` inverted lists and each vector is stored int8-quantized

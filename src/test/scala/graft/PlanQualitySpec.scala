@@ -42,11 +42,26 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("no dedup/similarity plan contains a cartesian or nested-loop join") {
-    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh_topk")) {
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh_topk",
+        "dedup_semantic", "dedup_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+  }
+
+  test("semantic dedup re-joins vectors shuffle-hash; ids-only candidate lists") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"vector re-join must shuffle, not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got a sort-merge:\n$p")
+    // the capped collect aggregates bare ids — vectors stay out of the
+    // candidate shuffle
+    val opt = df.queryExecution.optimizedPlan.toString
+    val aggLines = opt.linesIterator.filter(_.contains("graft_collect_capped")).toSeq
+    assert(aggLines.nonEmpty, s"expected the capped collect in:\n$opt")
+    assert(aggLines.forall(l => l.contains("vid") && !l.contains("vec#")),
+      s"candidate lists must collect ids only:\n$aggLines")
   }
 
   test("lshTopK broadcasts the bucketed query side; the corpus never pre-shuffles") {

@@ -205,6 +205,19 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("semanticDedupPairs is a subset of brute-force pairs with identical cosines") {
+    val bf = SimilaritySearch.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val sem = SimilaritySearch.semanticDedupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(sem.nonEmpty)
+    sem.foreach { case (a, b, c) =>
+      assert(bf.get((a, b)).contains(c),
+        s"semantic pair ($a,$b,$c) missing from or diverging vs brute force")
+    }
+  }
+
   test("stored LSH index: parquet round-trip probe == cross slice of in-corpus pairs") {
     val index = emb.filter(col("vec_id") % 5 === 0)
     val batch = emb.filter(col("vec_id") % 5 =!= 0)
