@@ -169,6 +169,12 @@ object ScaleProbe {
         operators.sim.SimilaritySearch.lshPairs(e, "vec_id", "embedding",
           threshold = 0.4, dim = 64, nBits = 8, tables = 4)
       }
+      time("dedup_semantic", k) {
+        // FIXED nLists (same rationale as sim_ivf_sq8_topk below);
+        // list sizes grow linearly, the maxList cap bounds pair fanout
+        operators.sim.SimilaritySearch.semanticDedupPairs(e, "vec_id",
+          "embedding", threshold = 0.4, nLists = 64, iters = 1)
+      }
       time("sim_ivf_sq8_topk", k) {
         // FIXED nLists: centroid assignment is O(corpus × nLists), so
         // growing lists with the corpus makes the BUILD super-linear
