@@ -247,6 +247,13 @@ object ScaleProbe {
         // + per-doc top-k — three narrow hash exchanges
         operators.text.TextAnalysis.tfIdfTopK(d, "doc_id", "text", k = 3)
       }
+      time("text_lm_score", k) {
+        // realistic shape: the reference LM is FIXED (CCNet's
+        // Wikipedia), the scored corpus grows — scoring volume is the
+        // doc-bigram stream through two key-partitioned joins
+        operators.text.TextAnalysis.lmCrossEntropy(d,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+      }
       time("text_dup_spans", k) {
         // positional-hash explode (~n_words rows/doc, longs only)
         // through the gh window shuffle, then the doc-id merge

@@ -1087,6 +1087,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("score_micros").desc, col("term"))
     }),
 
+    "text_lm_score" -> ((s, dir) => {
+      // CCNet-style perplexity filter: bigram LM trained on the src0
+      // slice, every doc scored by avg negative log-likelihood
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmCrossEntropy(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       // corpus n-gram mining for blocklists/boilerplate: doc frequency
       // of distinct-per-doc 3-grams, top-50 on a total order
@@ -2763,6 +2772,36 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // bigram Laplace LM trained on src0; -ln p in integer micros, exact
+    // integer sums and floor division mirror the Spark derivation
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |rb AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tok WHERE source = 'src0'),
+        |big AS (SELECT bg, COUNT(*) AS c12 FROM rb GROUP BY bg),
+        |rh AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1 FROM tok WHERE source = 'src0'),
+        |hist AS (SELECT w1, COUNT(*) AS c1 FROM rh GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v_size
+        |  FROM (SELECT unnest(toks) AS w FROM tok WHERE source = 'src0')),
+        |db AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tok)
+        |  GROUP BY doc_id, bg),
+        |s AS (SELECT d.doc_id, d.cnt,
+        |    CAST(round(ln((COALESCE(h.c1, 0) + v.v_size)::DOUBLE /
+        |                  (COALESCE(b.c12, 0) + 1)::DOUBLE) * 1000000) AS BIGINT) AS nll
+        |  FROM db d
+        |  LEFT JOIN big b USING (bg)
+        |  LEFT JOIN hist h ON h.w1 = string_split(d.bg, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(cnt * nll) AS BIGINT) AS nll_sum_micros,
+        |  CAST(SUM(cnt * nll) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS avg_nll_micros
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

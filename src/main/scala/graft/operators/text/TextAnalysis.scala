@@ -202,6 +202,67 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score_micros"))
   }
 
+  /** Bigrams of the normalized token stream as "w1 w2" strings (tokens
+    * never contain spaces after [[normText]], so the concat key is
+    * unambiguous and splits back losslessly).
+    */
+  private def bigrams(toks: Column): Column = {
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** CCNet-style LM perplexity scoring (Wenzek et al. 2020): a bigram
+    * LM with Laplace smoothing is trained on `ref` — the "clean"
+    * reference slice (CCNet trains KenLM on Wikipedia) — and every
+    * document in `docs` is scored by its average negative
+    * log-likelihood per bigram; high `avg_nll_micros` = out-of-domain /
+    * low-quality text, the standard perplexity filter for pretraining
+    * corpora. `p(w2|w1) = (c12+1)/(c1+V)` with `c12` the reference
+    * bigram count, `c1` the history count of `w1` (occurrences in
+    * non-final position), `V` the reference vocabulary size; a fully
+    * unseen history degrades to `1/V`. Per-token cost is integer
+    * micros (`round(-ln p * 1e6)`, one rounding per distinct (c12,c1)
+    * pair), sums and the final `div` are exact integer arithmetic, so
+    * the whole derivation hash-oracles. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    *
+    * Scale shape: the LM "training" is two partial-combined counts over
+    * the reference slice; scoring pre-aggregates `(doc, bigram)`
+    * multiplicity first (one shuffle carrying id+bigram+count, dup
+    * bigrams within a doc join once), then two key-partitioned left
+    * joins against the model tables — pinned `shuffle_hash`, because a
+    * reference slice at corpus scale has a bigram table far past
+    * broadcast comfort. V joins in as a broadcast single row.
+    */
+  def lmCrossEntropy(docs: DataFrame, ref: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val refToks = graft.operators.Partitioning.ensureMinParallelism(
+      ref.filter(col(textCol).isNotNull)).select(tokens(col(textCol)).as("toks"))
+    val vocab = refToks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v_size"))
+    val big = refToks.select(explode(bigrams(col("toks"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val hist = refToks
+      .select(explode(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0)))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    graft.operators.Partitioning.ensureMinParallelism(
+        docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), explode(bigrams(tokens(col(textCol)))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(big.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(hist.hint("shuffle_hash"), Seq("w1"), "left")
+      .join(broadcast(vocab))
+      .withColumn("nll_micros", round(log(
+          (coalesce(col("c1"), lit(0L)) + col("v_size")).cast("double") /
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+           sum(col("cnt") * col("nll_micros")).as("nll_sum_micros"))
+      .withColumn("avg_nll_micros", expr("nll_sum_micros div n_bigrams"))
+  }
+
   /** PII redaction for training text: URLs, emails, then phone-shaped
     * numbers replaced with typed placeholder tokens (URL first — an
     * email-looking substring inside a URL should redact as part of the

@@ -64,6 +64,14 @@ class PlanQualitySpec extends SparkSpec {
       s"candidate lists must collect ids only:\n$aggLines")
   }
 
+  test("lm scoring joins the model tables shuffle-hash; only V broadcasts") {
+    val df = SparkEntry.queries("text_lm_score")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"model joins must shuffle, not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got a sort-merge:\n$p")
+  }
+
   test("lshTopK broadcasts the bucketed query side; the corpus never pre-shuffles") {
     val df = SparkEntry.queries("sim_lsh_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

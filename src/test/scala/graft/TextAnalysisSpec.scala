@@ -121,4 +121,25 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "cherry", 1L, 2L, 405465L),
       (3L, "banana", 2L, 3L, 0L)))
   }
+
+  test("lmCrossEntropy: hand-computed Laplace bigram scores, unseen history backs off to 1/V") {
+    val ref = Seq((10L, "a b"), (11L, "a b"), (12L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, Option("a b")),               // in-domain bigram
+      (2L, Option("x y")),               // fully unseen: p = 1/V
+      (3L, Option("a b a b")),           // mixed: 2×(a b) + 1×(b a)
+      (4L, Option("solo")),              // one token: no bigrams, absent
+      (5L, Option.empty[String])         // null: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropy(docs, ref, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // V=3 (a,b,c); hist: a→3; big: (a b)→2, (a c)→1
+    // (a b): ln((3+3)/(2+1)) = ln 2 → 693147
+    // unseen w1 (x, b): ln((0+3)/(0+1)) = ln 3 → 1098612
+    assert(out.toSeq === Seq(
+      (1L, 1L, 693147L, 693147L),
+      (2L, 1L, 1098612L, 1098612L),
+      (3L, 3L, 2L * 693147L + 1098612L, (2L * 693147L + 1098612L) / 3L)))
+  }
 }
