@@ -903,6 +903,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_semantic_prune" -> ((s, dir) => {
+      // the SemDeDup pruning decision: transitive duplicate groups,
+      // keep the farthest-from-centroid member of each
+      SimilaritySearch.semanticPrune(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nLists = 16, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     "emb_lsh_incremental" -> ((s, dir) => {
       // continual ingest for embeddings: new vectors (vec_id%5 != 0)
       // near-dup-checked against the STORED LSH bucket index of the
@@ -2274,6 +2282,52 @@ object SparkEntry {
         |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // dedup_semantic's Lloyd replay + recursive transitive closure of
+    // the pair graph; each group keeps its farthest-from-centroid member
+    "dedup_semantic_prune" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |a1 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m1 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a1 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l1 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
+        |cent1 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent0 c LEFT JOIN l1 l ON l.cid = c.cid),
+        |a2 AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |m2 AS (SELECT a.cid, u.i AS pos,
+        |    (SUM(CAST(floor(a.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM a2 a, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |l2 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m2 GROUP BY cid),
+        |cent2 AS (SELECT c.cid, COALESCE(l.v, c.v) AS v FROM cent1 c LEFT JOIN l2 l ON l.cid = c.cid),
+        |assign AS (SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.v) AS cos
+        |  FROM e, cent2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid DESC) = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node
+        |),
+        |comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+        |sc AS (SELECT a.vec_id, COALESCE(c.cluster, a.vec_id) AS cluster,
+        |    round(a.cos, 6) AS cent_cos
+        |  FROM assign a LEFT JOIN comp c ON c.node = a.vec_id)
+        |SELECT vec_id, cluster, cent_cos,
+        |  (row_number() OVER (PARTITION BY cluster ORDER BY cent_cos ASC, vec_id ASC) = 1) AS keep
+        |FROM sc ORDER BY vec_id""".stripMargin,
 
     "sim_ivf_topk_quantized" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -390,6 +390,15 @@ object SimilaritySearch {
                          maxList: Int = 1000): DataFrame = {
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    pairsWithinLists(vecs, centroids, threshold, maxList)
+  }
+
+  /** Within-list near-dup pairs over precomputed centroids — the shared
+    * candidate/verify stage of [[semanticDedupPairs]] and
+    * [[semanticPrune]].
+    */
+  private def pairsWithinLists(vecs: DataFrame, centroids: Array[Array[Double]],
+                               threshold: Double, maxList: Int): DataFrame = {
     val pairs = vecs.select(col("vid"), nearest(col("vec"), centroids).as("cid"))
       .groupBy(col("cid"))
       .agg(graft.functions.BoundedCollectList.column(col("vid"), maxList).as("members"))
@@ -405,6 +414,44 @@ object SimilaritySearch {
       .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The SemDeDup pruning DECISION (Abbas et al. 2023 §3): near-dup
+    * pairs group transitively (an edited copy of an edited copy is
+    * still one duplicate group) and each group keeps exactly the
+    * member with the LOWEST cosine to its centroid — the paper's
+    * farthest-from-centroid representative, which biases retention
+    * toward cluster-edge diversity. Vectors in no pair are singleton
+    * groups and always kept; `sum(keep)` over the output is the
+    * post-dedup corpus size. Output: (vec_id, cluster, cent_cos,
+    * keep).
+    *
+    * Scale shape: the pair stage is [[semanticDedupPairs]]; grouping is
+    * pointer-jumping label propagation (O(log diameter) joins, ids
+    * only); the decision is one row_number window partitioned by
+    * cluster — singletons keep their own id as the partition key, so
+    * the unpaired bulk of the corpus never funnels into one task.
+    */
+  def semanticPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nLists: Int = 16, iters: Int = 2,
+                    maxList: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val centroids = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    val best = scoredLists(col("vec"), centroids).getItem(0)
+    val assigned = vecs.select(col("vid"),
+      round(best.getField("cos"), 6).as("cent_cos"))
+    val pairs = pairsWithinLists(vecs, centroids, threshold, maxList)
+    val comp = graft.operators.dedup.Dedup.connectedComponents(pairs)
+      .select(col("node").as("vid"), col("cluster"))
+    assigned
+      .join(comp.hint("shuffle_hash"), Seq("vid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("vid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("cent_cos").asc, col("vid").asc)))
+      .select(col("vid").as("vec_id"), col("cluster"), col("cent_cos"),
+        (col("rk") === 1).as("keep"))
   }
 
   /** IVF-SQ8 composite index build — the FAISS IVF+SQ8 memory shape on

@@ -218,6 +218,26 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("semanticPrune: one keep per group, the farthest-from-centroid member; pruned ⊆ paired") {
+    val out = SimilaritySearch.semanticPrune(emb, "vec_id", "embedding", 0.4)
+      .select("vec_id", "cluster", "cent_cos", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == emb.count())
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._4) == 1, s"cluster $c must keep exactly one member")
+      val kept = ms.find(_._4).get
+      // the representative is the (cent_cos, vec_id)-minimal member
+      assert(ms.forall(m => m._3 > kept._3 || (m._3 == kept._3 && m._1 >= kept._1)))
+    }
+    val paired = SimilaritySearch.semanticDedupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    out.filter(!_._4).foreach { m =>
+      assert(paired.contains(m._1), s"pruned ${m._1} appears in no near-dup pair")
+    }
+  }
+
   test("stored LSH index: parquet round-trip probe == cross slice of in-corpus pairs") {
     val index = emb.filter(col("vec_id") % 5 === 0)
     val batch = emb.filter(col("vec_id") % 5 =!= 0)
