@@ -1381,6 +1381,22 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
     }),
 
+    "sample_weighted" -> ((s, dir) => {
+      // Efraimidis-Spirakis without replacement: inclusion odds
+      // proportional to n_chars, deterministic md5 draws
+      Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 100)
+        .orderBy(col("priority"), col("doc_id"))
+    }),
+
+    "stats_distinct_kmv" -> ((s, dir) => {
+      // per-source content cardinality: KMV sketch estimate vs the
+      // exact distinct-hash count it approximates
+      graft.operators.TableStats.distinctKmv(t(s, dir, "documents"), "source", "text", k = 16)
+        .orderBy(col("source"))
+    }),
+
     "contamination" -> ((s, dir) => {
       // eval = every 10th doc, train = the rest; which train docs leak
       // an eval doc's n-grams
@@ -2960,6 +2976,33 @@ object SparkEntry {
     "sample_shuffle" ->
       """SELECT doc_id FROM documents
         |ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000, doc_id""".stripMargin,
+
+    // -ln(u) rounded once to integer nanos, then exact BIGINT division
+    // by the weight — the E-S priority reproduces bit-for-bit
+    "sample_weighted" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |  CAST(round(ln(1152921504606846976.0 / (hv + 1)::DOUBLE) * 1000000000) AS BIGINT)
+        |    // CAST(n_chars AS BIGINT) AS priority
+        |FROM h ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    // 60-bit md5 prefixes are the sketch registers: k-th smallest
+    // distinct hash -> (k-1) * 2^60 / h_(k), exact below k
+    "stats_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |  FROM h),
+        |t AS (SELECT source, COUNT(*) AS n_distinct,
+        |    MAX(CASE WHEN rk <= 16 THEN hv END) AS kth FROM r GROUP BY source)
+        |SELECT source, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_distinct < 16 THEN CAST(n_distinct AS BIGINT)
+        |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
+        |    AS kmv_estimate
+        |FROM t ORDER BY source""".stripMargin,
 
     // integer micro-weights (floor(sqrt(share)*1e6)) + integer
     // normalizer: no order-dependent double summation, every remaining

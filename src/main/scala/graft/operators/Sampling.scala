@@ -23,14 +23,20 @@ object Sampling {
 
   val Buckets = 10000
 
+  /** The raw 60-bit md5 hash in [0, 2^60) — the uniform value every
+    * sampler here derives from. Null keys hash like the empty string.
+    */
+  def hash60(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Deterministic bucket in [0, mod) from the md5 of the key. A null
     * key hashes like the empty string — without the coalesce, null rows
     * would null through every comparison and silently vanish from
     * samples (or all fall into a split's last bucket).
     */
   def hashBucket(key: Column, salt: String = "", mod: Int = Buckets): Column =
-    pmod(conv(substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 15), 16, 10)
-      .cast("long"), lit(mod.toLong))
+    pmod(hash60(key, salt), lit(mod.toLong))
 
   /** Assign each row to a named split by cumulative weight over the hash
     * bucket — e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
@@ -191,5 +197,37 @@ object Sampling {
       .filter(col("_bound").isNull || col("_bkt") < col("_bound") ||
         (col("_bkt") === col("_bound") && col("_cum") <= col("_remaining")))
       .drop("_prio", "_bkt", "_src", "_bound", "_remaining", "_cum")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006) in the same deterministic-hash discipline: each row draws
+    * `u = (h+1)/2^60` from its salted md5 and wins by the largest
+    * `u^(1/w)` — equivalently the SMALLEST `-ln(u)/w`, which is what
+    * is materialized, as an exact integer: `priority = round(-ln(u) ·
+    * 10^9) div w` (one transcendental rounding per row, then pure
+    * BIGINT division — an ANSI engine reproduces every priority
+    * bit-for-bit). The n winners are the n smallest (priority, key)
+    * pairs — heavier rows draw systematically smaller priorities, so
+    * inclusion probability is proportional to weight, without
+    * replacement, reproducible across runs/engines/retries.
+    *
+    * Scale shape: the priority is a codegen'd per-row projection and
+    * the cut is `TakeOrdered` (per-partition top-n, then a merge of
+    * n-row heaps) — no global sort, no single-task window, no shuffle
+    * of the losers. Rows with null or non-positive weight are excluded
+    * (a weight of 0 can never win; ln-division by 0 would poison the
+    * ordering).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val negLnU = round(log(lit(1152921504606846976.0) /
+      (hash60(col(keyCol), salt) + lit(1L)).cast("double")) * lit(1e9)).cast("long")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_nlu", negLnU)
+      .withColumn("priority", expr(s"_nlu div CAST(`$weightCol` AS BIGINT)"))
+      .drop("_nlu")
+      .orderBy(col("priority"), col(keyCol))
+      .limit(n)
   }
 }

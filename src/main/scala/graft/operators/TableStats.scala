@@ -99,4 +99,44 @@ object TableStats {
     ranked.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_rows"), aggs: _*)
   }
+
+  /** KMV (k-minimum-values) distinct-cardinality sketch per group —
+    * the mergeable sketch family HyperLogLog belongs to, in a fully
+    * deterministic form: with values hashed uniformly into [0, 2^60),
+    * the k-th smallest distinct hash `h_(k)` estimates cardinality as
+    * `(k-1) · 2^60 / h_(k)` (Bar-Yossef et al. 2002). Unlike
+    * `approx_count_distinct`'s HLL++ (whose registers depend on
+    * engine-internal hashing), every retained hash is a 60-bit md5
+    * prefix, so an ANSI engine reproduces the estimate bit-for-bit.
+    * Groups with fewer than `k` distinct hashes report exactly.
+    * Output: (group, n_distinct, kmv_estimate) — `n_distinct` counts
+    * distinct HASHES (what the sketch sees; 60-bit collisions are
+    * negligible), kept alongside to surface the estimation error.
+    *
+    * Scale shape: one distinct-hash aggregate (map-side combine folds
+    * duplicate content before the shuffle), then a per-group window
+    * over distinct hashes. At 100 TB only (group, 8-byte hash) rows
+    * cross the exchange — the sketch property that matters is the
+    * k-row summary per group, mergeable across partitions/days by
+    * keeping the k smallest of a union.
+    */
+  def distinctKmv(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), Sampling.hash60(col(keyCol)).as("hv"))
+      .distinct()
+    hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("hv"))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_distinct"),
+           max(when(col("rk") <= k, col("hv"))).as("kth"))
+      .withColumn("kmv_estimate",
+        when(col("n_distinct") < k, col("n_distinct"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / col("kth").cast("double")).cast("long")))
+      .select(col(groupCol), col("n_distinct"), col("kmv_estimate"))
+  }
 }

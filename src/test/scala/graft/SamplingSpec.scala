@@ -149,4 +149,32 @@ class SamplingSpec extends SparkSpec {
     val posOfFirst100 = s1.zipWithIndex.filter(_._1 < 100).map(_._2.toLong)
     assert(posOfFirst100.max > 5000, "order still correlated with id")
   }
+
+  test("weightedSample: E-S priorities match a JVM replay; weight biases inclusion") {
+    // ids 0..4999 weight 1, 5000..9999 weight 20
+    val df = ids.withColumn("w", when(col("id") < 5000, 1L).otherwise(20L))
+    val out = Sampling.weightedSample(df, "id", "w", n = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 500)
+    // exact replay of the priority arithmetic on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prio(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      Math.round(math.log(1152921504606846976.0 / (h + 1).toDouble) * 1e9) / w
+    }
+    out.foreach { case (id, w, p) => assert(p == prio(id, w), s"priority mismatch for id=$id") }
+    // the winners are exactly the n smallest (priority, id) pairs
+    val all = (0L until 10000L).map(id => (prio(id, if (id < 5000) 1L else 20L), id))
+      .sorted.take(500).map(_._2).toSet
+    assert(out.map(_._1).toSet == all)
+    // 20× weight ⇒ heavy rows dominate the sample
+    val heavy = out.count(_._1 >= 5000)
+    assert(heavy > 400, s"expected heavy-weight dominance, got $heavy/500")
+    // weight 0 / null rows are excluded, never sampled
+    val withZero = df.withColumn("w", when(col("id") === 0, 0L).otherwise(col("w")))
+    assert(!Sampling.weightedSample(withZero, "id", "w", n = 10000)
+      .collect().map(_.getLong(0)).contains(0L))
+  }
 }

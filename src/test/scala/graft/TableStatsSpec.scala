@@ -87,4 +87,24 @@ class TableStatsSpec extends SparkSpec {
       TableStats.groupQuantiles(df, "g", "v", "id", Seq(0.995, 1.0))
     }
   }
+
+  test("distinctKmv: exact below k, estimate within tolerance above, duplicate-blind") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => ("s", s"v$i"))    // 10 < k: exact
+    val big = (1 to 5000).map(i => ("b", s"doc $i")) // 5000 >> k: sketch
+    val df = (small ++ big).toDF("g", "key")
+    val out = TableStats.distinctKmv(df, "g", "key", k = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("s") == ((10L, 10L)), "below k must report exactly")
+    val (n, est) = out("b")
+    assert(n == 5000L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.35,
+      s"KMV estimate $est too far from 5000 (k=64 stderr ~1/sqrt(62) ≈ 13%)")
+    // duplicates never move the sketch: triple every row
+    val dup = df.union(df).union(df)
+    val out2 = TableStats.distinctKmv(dup, "g", "key", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == TableStats.distinctKmv(df, "g", "key", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
