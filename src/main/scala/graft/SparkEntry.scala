@@ -1397,6 +1397,26 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "link_fuzzy" -> ((s, dir) => {
+      // entity resolution within a column: distinct part names blocked
+      // by first token, near-name pairs at edit distance <= 3
+      graft.operators.FuzzyLink.selfPairs(t(s, dir, "part"), "p_name",
+          n => substring_index(n, " ", 1), maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    "link_canonical" -> ((s, dir) => {
+      // dirty-feed linkage: odd partkeys carry a one-char typo, every
+      // feed value links to its best canonical name within the block
+      val part = t(s, dir, "part")
+      val dirty = part.filter(col("p_name").isNotNull)
+        .select(when(col("p_partkey") % 2 === 1, concat(col("p_name"), lit("x")))
+          .otherwise(col("p_name")).as("feed_name"))
+      graft.operators.FuzzyLink.linkAgainst(dirty, part, "feed_name", "p_name",
+          n => substring_index(n, " ", 1), maxDist = 1)
+        .orderBy(col("dirty"), col("canonical"))
+    }),
+
     "contamination" -> ((s, dir) => {
       // eval = every 10th doc, train = the rest; which train docs leak
       // an eval doc's n-grams
@@ -3036,6 +3056,31 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
         |  WHEN 'src2' THEN 500 ELSE 100000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "link_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "link_canonical" ->
+      """WITH canon AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |dirty AS (SELECT DISTINCT CASE WHEN p_partkey % 2 = 1 THEN p_name || 'x'
+        |    ELSE p_name END AS dn
+        |  FROM part WHERE p_name IS NOT NULL),
+        |db AS (SELECT dn, string_split(dn, ' ')[1] AS blk FROM dirty),
+        |cb AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM canon),
+        |j AS (SELECT db.dn AS dirty, cb.p_name AS canonical,
+        |    CAST(levenshtein(db.dn, cb.p_name) AS BIGINT) AS dist
+        |  FROM db JOIN cb ON db.blk = cb.blk
+        |  WHERE levenshtein(db.dn, cb.p_name) <= 1),
+        |r AS (SELECT dirty, canonical, dist,
+        |    row_number() OVER (PARTITION BY dirty ORDER BY dist, canonical) AS rk FROM j)
+        |SELECT dirty, canonical, dist FROM r WHERE rk = 1
+        |ORDER BY dirty, canonical""".stripMargin,
 
     "contamination" ->
       """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
