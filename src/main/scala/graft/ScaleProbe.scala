@@ -254,6 +254,11 @@ object ScaleProbe {
         operators.text.TextAnalysis.lmCrossEntropy(d,
           docs.filter(col("source") === "src0"), "doc_id", "text")
       }
+      time("tokenizer_bpe_pairs", k) {
+        // vocab-bound: corpus scale hits only the word-count shuffle;
+        // pair mining runs over distinct words
+        operators.text.TextAnalysis.bpePairStats(d, "text", k = 50)
+      }
       time("text_dup_spans", k) {
         // positional-hash explode (~n_words rows/doc, longs only)
         // through the gh window shuffle, then the doc-id merge

@@ -1104,6 +1104,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tokenizer_bpe_pairs" -> ((s, dir) => {
+      // BPE training's inner loop: weighted adjacent char-pair counts
+      // over the vocabulary; the argmax is the next merge
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", k = 50)
+    }),
+
     "text_top_ngrams" -> ((s, dir) => {
       // corpus n-gram mining for blocklists/boilerplate: doc frequency
       // of distinct-per-doc 3-grams, top-50 on a total order
@@ -2862,6 +2868,15 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "tokenizer_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT w, COUNT(*) AS freq FROM w WHERE len(w) >= 2 GROUP BY w),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, freq FROM v)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_sites, CAST(SUM(freq) AS BIGINT) AS total
+        |FROM p GROUP BY pair ORDER BY total DESC, pair LIMIT 50""".stripMargin,
 
     // bigram Laplace LM trained on src0; -ln p in integer micros, exact
     // integer sums and floor division mirror the Spark derivation

@@ -263,6 +263,34 @@ object TextAnalysis {
       .withColumn("avg_nll_micros", expr("nll_sum_micros div n_bigrams"))
   }
 
+  /** The BPE trainer's inner-loop aggregation (Sennrich et al. 2016)
+    * at corpus scale: adjacent character-pair frequencies, weighted by
+    * word frequency — the statistic whose argmax is the next merge. The
+    * standard trick makes this corpus-size-proof: corpus scale touches
+    * only the word-frequency aggregate (map-side combined, one shuffle
+    * of distinct words); pair mining then runs over the VOCABULARY
+    * (distinct words), which grows sub-linearly in corpus size. The
+    * top-k cut is TakeOrdered on (total desc, pair) — total-ordered,
+    * no global sort. Output: (pair, n_sites, total) — occurrence sites
+    * across the vocabulary (a word containing the pair twice is two
+    * sites), and the corpus-frequency-weighted occurrence count.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val words = graft.operators.Partitioning.ensureMinParallelism(
+        docs.filter(col(textCol).isNotNull))
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_sites"), sum(col("freq")).as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(k)
+  }
+
   /** PII redaction for training text: URLs, emails, then phone-shaped
     * numbers replaced with typed placeholder tokens (URL first — an
     * email-looking substring inside a URL should redact as part of the

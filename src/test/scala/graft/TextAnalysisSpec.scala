@@ -142,4 +142,26 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, 1098612L, 1098612L),
       (3L, 3L, 2L * 693147L + 1098612L, (2L * 693147L + 1098612L) / 3L)))
   }
+
+  test("bpePairStats: frequency-weighted adjacent char pairs over the vocab") {
+    val docs = Seq(
+      (1L, Option("low low lower")),
+      (2L, Option("low newest")),
+      (3L, Option("a")),                 // single char: no pairs
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, "text", k = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "low"×3, "lower"×1, "newest"×1: lo = 3+1=4 sites? no — vocab sites:
+    // lo appears in {low, lower} = 2 sites; total = 3·1 + 1·1 = 4
+    assert(out("lo") == ((2L, 4L)))
+    assert(out("ow") == ((2L, 4L)))
+    assert(out("we") == ((2L, 2L)))      // lower, newest
+    assert(out("es") == ((1L, 1L)))      // newest only
+    assert(!out.contains("a"))           // 1-char word contributes nothing
+    // argmax pair is the first BPE merge: lo/ow tie at 4, lo wins lexicographically
+    val top = TextAnalysis.bpePairStats(docs, "text", k = 1)
+      .collect().map(_.getString(0)).head
+    assert(top == "lo")
+  }
 }
