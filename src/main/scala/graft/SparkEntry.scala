@@ -95,6 +95,22 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("n_name"))
     }),
 
+    "q7_salted_join" -> ((s, dir) => {
+      // skew-proof fact⋈dim: content-salted lineitem against a part
+      // dimension replicated per salt — result identical to the plain
+      // join, but a hot partkey spreads across 8 tasks
+      val li = graft.operators.Partitioning.ensureMinParallelism(
+        t(s, dir, "lineitem"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.Partitioning.saltedJoin(li, p, "l_partkey", nSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(22, 4)))
+            .cast("double").as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q3_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -1484,6 +1500,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the salted join IS the plain join — the oracle proves it
+    "q7_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q3_window_topn" ->
       """SELECT o_custkey, CAST(row_number() OVER w AS INT) AS rank, o_orderkey, o_totalprice

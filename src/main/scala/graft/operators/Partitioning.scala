@@ -43,4 +43,33 @@ object Partitioning {
     val partials = partial(salted.groupBy(col(keyCol), col("__salt")))
     fold(partials.groupBy(col(keyCol)))
   }
+
+  /** Salted equi-join for skewed probe keys — [[saltedAggregate]]'s
+    * join-side twin. A hot key (one customer with 10% of a 100 TB fact
+    * table) turns the shuffle join's matching partition into a
+    * straggler; here the fact side salts into `nSalts` sub-partitions
+    * (content-hash salt — retry-deterministic, same rationale as
+    * above) and the dimension side replicates once per salt, so the
+    * hot key's rows spread across `nSalts` tasks. The join key becomes
+    * (key, salt) and the result is EXACTLY `fact.join(dim, key)`
+    * (inner). The dimension must be the modest side — it is
+    * materialized `nSalts`×; that is the price of de-skewing without
+    * AQE (use AQE's skew-join when runtime stats are available; use
+    * this when the skew is known ahead and deterministic plans are
+    * required). `shuffle_hash` is pinned on the replicated side: a
+    * broadcast would make salting pointless (broadcast joins have no
+    * skew problem), and a sort-merge pays an unneeded sort.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 nSalts: Int): DataFrame = {
+    require(nSalts >= 2, s"salting needs nSalts >= 2, got $nSalts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(nSalts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    saltedFact.join(replicatedDim.hint("shuffle_hash"), Seq(keyCol, "__salt"))
+      .drop("__salt")
+  }
 }

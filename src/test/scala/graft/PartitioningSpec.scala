@@ -31,4 +31,26 @@ class PartitioningSpec extends SparkSpec {
     ).as[(Long, Long)].collect().toMap
     assert(partials(1L) > 1, s"hot key must split into multiple sub-groups, got ${partials(1L)}")
   }
+
+  test("saltedJoin equals the plain inner join on a skewed probe key") {
+    import spark.implicits._
+    // 90% of fact rows hit one dimension key; some keys match nothing
+    val fact = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 50).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(40).select(col("id").as("k"), concat(lit("d"), col("id")).as("label"))
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "label")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Partitioning.saltedJoin(fact, dim, "k", nSalts = 8)
+      .select("k", "v", "label").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    // the physical join key carries the salt and the dim side shuffles
+    val p = Partitioning.saltedJoin(fact, dim, "k", nSalts = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"join must key on (k, __salt):\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"replicated dim must shuffle, not broadcast:\n$p")
+    intercept[IllegalArgumentException] {
+      Partitioning.saltedJoin(fact.withColumn("__salt", lit(1)), dim, "k", 8)
+    }
+  }
 }
