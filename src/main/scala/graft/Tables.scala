@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixtures (TESTDATA.md). */
 object Tables {
@@ -26,9 +26,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((spark, sfDir, name), { _ =>
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      if (name != "events") df
+      else df.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) under legacy nanosAsLong: a nanos long
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers NTZ.
+        // Session tz is pinned UTC (GraftSession), so the cast keeps the
+        // underlying micros — same epoch DuckDB assigns the naive value.
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     })
 
   /** Register every fixture as a temp view, making the whole engine
