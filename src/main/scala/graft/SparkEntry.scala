@@ -1032,6 +1032,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_quality_gopher" -> ((s, dir) => {
+      // Gopher rule gate: native one-pass counts, exact-integer rules
+      TextAnalysis.gopherGate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_rolling_hash" -> ((s, dir) => {
       // md5-derived token hashes, exact 64-bit fold → full DuckDB oracle
       // (list_reduce); order-sensitivity asserted in TextAnalysisSpec
@@ -2617,6 +2623,44 @@ object SparkEntry {
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
         |  md5(norm) AS fingerprint
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_quality_gopher" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words,
+        |  string_split(text, chr(10)) AS lines FROM documents),
+        |c AS (SELECT doc_id, words,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS nw,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE list_sum(list_transform(words, t -> length(t))) END AS BIGINT) AS swl,
+        |  CAST(len(regexp_extract_all(text, '#|\.{3}|…')) AS BIGINT) AS nsym,
+        |  CAST(len(lines) AS BIGINT) AS nl,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS nb,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.{3}|…)$'))) AS BIGINT) AS ne,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) END AS BIGINT) AS na,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(words, w))) END AS BIGINT) AS nrs
+        |FROM base)
+        |SELECT doc_id, nw AS n_words,
+        |  CASE WHEN nw = 0 THEN 0 ELSE (swl * 2000000 + nw) // (nw * 2) END AS mwl_micros,
+        |  CASE WHEN nw = 0 THEN 0 ELSE (nsym * 2000000 + nw) // (nw * 2) END AS sym_micros,
+        |  CASE WHEN nl = 0 THEN 0 ELSE (nb * 2000000 + nl) // (nl * 2) END AS bullet_micros,
+        |  CASE WHEN nl = 0 THEN 0 ELSE (ne * 2000000 + nl) // (nl * 2) END AS ellipsis_micros,
+        |  CASE WHEN nw = 0 THEN 0 ELSE (na * 2000000 + nw) // (nw * 2) END AS alpha_micros,
+        |  nrs AS n_req_stop,
+        |  CAST(nw >= 50 AND nw <= 100000 AS INT) AS r_words,
+        |  CAST(nw > 0 AND swl >= nw * 3 AND swl <= nw * 10 AS INT) AS r_mwl,
+        |  CAST(nsym * 10 < nw AS INT) AS r_sym,
+        |  CAST(nb * 10 < nl * 9 AS INT) AS r_bullet,
+        |  CAST(ne * 10 < nl * 3 AS INT) AS r_ellipsis,
+        |  CAST(nw > 0 AND na * 5 >= nw * 4 AS INT) AS r_alpha,
+        |  CAST(nrs >= 2 AS INT) AS r_stop,
+        |  CAST(nw >= 50 AND nw <= 100000 AS INT) * CAST(nw > 0 AND swl >= nw * 3 AND swl <= nw * 10 AS INT)
+        |    * CAST(nsym * 10 < nw AS INT) * CAST(nb * 10 < nl * 9 AS INT)
+        |    * CAST(ne * 10 < nl * 3 AS INT) * CAST(nw > 0 AND na * 5 >= nw * 4 AS INT)
+        |    * CAST(nrs >= 2 AS INT) AS passes
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_rolling_hash" ->
       """SELECT doc_id,

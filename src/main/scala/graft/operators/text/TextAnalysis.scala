@@ -291,6 +291,60 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021, appendix A1.1): the
+    * standard heuristic quality filter for pretraining corpora. Each
+    * rule thresholds one of the native [[graft.plans.GopherStats]]
+    * integer counts, and every threshold is evaluated as an EXACT
+    * integer comparison (`mean word length in [3,10]` becomes
+    * `3·n ≤ Σlen ≤ 10·n`) — no float ever decides a rule, so the gate
+    * hash-oracles on any engine. Reported ratios are half-up integer
+    * micros for the same reason. Rules:
+    *
+    *   r_words      50 ≤ n_words ≤ 100000
+    *   r_mwl        3 ≤ mean word length ≤ 10
+    *   r_sym        symbol-to-word ratio ('#'/'...'/'…') < 0.1
+    *   r_bullet     < 90% of lines start with a bullet (-, *, •)
+    *   r_ellipsis   < 30% of lines end with ... or …
+    *   r_alpha      ≥ 80% of words contain an a-z letter
+    *   r_stop       ≥ 2 distinct required stopwords present
+    *
+    * Scale shape: one native-expression projection per row inside the
+    * scan stage — shuffle-free, composes with any downstream gate.
+    */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = call_function("graft_gopher_stats", col(textCol))
+    // half-up rational→micros, all-integer: round(1e6·num/den) =
+    // (2e6·num + den) div (2·den); num ≥ 0 so div == floor on any engine
+    def micros(num: String, den: String): String =
+      s"CASE WHEN $den = 0 THEN 0 ELSE ($num * 2000000 + $den) div ($den * 2) END"
+    graft.operators.Partitioning.ensureMinParallelism(docs)
+      .select(col(idCol), g.as("g"))
+      .select(col(idCol),
+        col("g.n_words").as("nw"), col("g.sum_word_len").as("swl"),
+        col("g.n_sym").as("nsym"), col("g.n_lines").as("nl"),
+        col("g.n_bullet").as("nb"), col("g.n_ellipsis").as("ne"),
+        col("g.n_alpha_words").as("na"), col("g.n_req_stop").as("nrs"))
+      .select(col(idCol),
+        col("nw").as("n_words"),
+        expr(micros("swl", "nw")).as("mwl_micros"),
+        expr(micros("nsym", "nw")).as("sym_micros"),
+        expr(micros("nb", "nl")).as("bullet_micros"),
+        expr(micros("ne", "nl")).as("ellipsis_micros"),
+        expr(micros("na", "nw")).as("alpha_micros"),
+        col("nrs").as("n_req_stop"),
+        (col("nw") >= 50 && col("nw") <= 100000).cast("int").as("r_words"),
+        (col("nw") > 0 && col("swl") >= col("nw") * 3 &&
+          col("swl") <= col("nw") * 10).cast("int").as("r_mwl"),
+        (col("nsym") * 10 < col("nw")).cast("int").as("r_sym"),
+        (col("nb") * 10 < col("nl") * 9).cast("int").as("r_bullet"),
+        (col("ne") * 10 < col("nl") * 3).cast("int").as("r_ellipsis"),
+        (col("nw") > 0 && col("na") * 5 >= col("nw") * 4).cast("int").as("r_alpha"),
+        (col("nrs") >= 2).cast("int").as("r_stop"))
+      .withColumn("passes",
+        col("r_words") * col("r_mwl") * col("r_sym") * col("r_bullet") *
+          col("r_ellipsis") * col("r_alpha") * col("r_stop"))
+  }
+
   /** PII redaction for training text: URLs, emails, then phone-shaped
     * numbers replaced with typed placeholder tokens (URL first — an
     * email-looking substring inside a URL should redact as part of the

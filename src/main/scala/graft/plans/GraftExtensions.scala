@@ -103,6 +103,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_gopher_stats(text) takes one string argument")
+        GopherStats(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => {
