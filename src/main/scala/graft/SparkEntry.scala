@@ -1032,6 +1032,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_classify_nb" -> ((s, dir) => {
+      // closed-form NB corpus filter: train on id%5!=0, score held-out
+      TextAnalysis.nbClassify(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality_gopher" -> ((s, dir) => {
       // Gopher rule gate: native one-pass counts, exact-integer rules
       TextAnalysis.gopherGate(t(s, dir, "documents"), "doc_id", "text")
@@ -2623,6 +2629,42 @@ object SparkEntry {
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
         |  md5(norm) AS fingerprint
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_classify_nb" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |    w -> w <> '') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+        |sc AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+        |trw AS (SELECT lang AS cls, unnest(words) AS w FROM tr),
+        |wc AS (SELECT cls, w, CAST(COUNT(*) AS BIGINT) AS cwc FROM trw GROUP BY cls, w),
+        |ct AS (SELECT cls, CAST(SUM(cwc) AS BIGINT) AS n_c FROM wc GROUP BY cls),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v_size FROM wc),
+        |pri AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS d_c FROM tr GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_tot FROM tr),
+        |consts AS (SELECT p.cls,
+        |  CAST(round(ln(d_c) * 1000000) AS BIGINT)
+        |    - CAST(round(ln(d_tot) * 1000000) AS BIGINT) AS prior_micros,
+        |  CAST(round(ln(n_c + v_size) * 1000000) AS BIGINT) AS lnden_micros
+        |  FROM pri p JOIN ct USING (cls), tot, v),
+        |dwx AS (SELECT doc_id, unnest(words) AS w FROM sc),
+        |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM dwx GROUP BY doc_id, w),
+        |dt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t_tokens FROM dw GROUP BY doc_id),
+        |model AS (SELECT cls, w, CAST(round(ln(cwc + 1) * 1000000) AS BIGINT) AS ln1p FROM wc),
+        |contrib AS (SELECT dw.doc_id, m.cls, CAST(SUM(dw.cnt * m.ln1p) AS BIGINT) AS seen
+        |  FROM dw JOIN model m USING (w) GROUP BY dw.doc_id, m.cls),
+        |scored AS (SELECT dt.doc_id, c.cls,
+        |  c.prior_micros + COALESCE(k.seen, 0) - dt.t_tokens * c.lnden_micros AS score_micros
+        |  FROM dt CROSS JOIN consts c
+        |  LEFT JOIN contrib k ON k.doc_id = dt.doc_id AND k.cls = c.cls),
+        |best AS (SELECT doc_id, cls, score_micros,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, cls) AS rk
+        |  FROM scored)
+        |SELECT b.doc_id, s.lang AS label, b.cls AS pred,
+        |  CAST(b.score_micros AS BIGINT) AS score_micros,
+        |  CAST(b.cls = s.lang AS INT) AS correct
+        |FROM best b JOIN sc s USING (doc_id) WHERE rk = 1 ORDER BY b.doc_id""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH base AS (SELECT doc_id, text,

@@ -263,6 +263,84 @@ object TextAnalysis {
       .withColumn("avg_nll_micros", expr("nll_sum_micros div n_bigrams"))
   }
 
+  /** Multinomial Naive Bayes text classifier — train and score in one
+    * plan: the closed-form member of the corpus-filter family (CCNet /
+    * LLaMA pretraining pipelines gate documents with a fastText-style
+    * linear classifier; NB is the same bag-of-words linear scorer with
+    * weights derived in closed form from counts, which makes the whole
+    * derivation deterministic and hash-oracle-able). Trains on the
+    * `id % 5 != 0` slice with `labelCol` as the class, scores the held
+    * out `id % 5 == 0` slice.
+    *
+    * Per-class log-score with Laplace smoothing over the train vocab V:
+    *
+    *   score(d,c) = ln P(c) + Σ_w cnt_w · ln((c_wc+1)/(N_c+V))
+    *              = [ln d_c − ln d_tot] − T·ln(N_c+V) + Σ_w cnt_w·ln(c_wc+1)
+    *
+    * The rearrangement is the scale trick: `ln(c_wc+1)` is 0 for every
+    * (word, class) pair UNSEEN in training, so the Σ touches only pairs
+    * present in the model table — scoring is one `shuffle_hash` join of
+    * doc word-counts against the model, never a docs × vocab product.
+    * Every ln runs on an integer count ≥ 1 and is rounded once to
+    * integer micros (the [[lmCrossEntropy]] arithmetic contract); sums
+    * and the final argmax compare exact integers, so prediction AND
+    * score hash-match any engine. Ties break on class name. Docs whose
+    * normalized text has no tokens are absent (nothing to score on).
+    *
+    * Scale shape: model = one shuffle over the train slice (map-side
+    * combined (class, word) counts); per-class constants broadcast (k
+    * classes); scoring = one (doc, word) pre-aggregation, the model
+    * join, then a k-row-per-doc argmax window over the doc partition.
+    */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val P = graft.operators.Partitioning
+    val withWords = (df: DataFrame, keep: Seq[Column]) =>
+      P.ensureMinParallelism(df.filter(col(textCol).isNotNull))
+        .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
+        .filter(col("w") =!= "")
+    val train = docs.filter(pmod(col(idCol), lit(5)) =!= 0)
+    val toScore = docs.filter(pmod(col(idCol), lit(5)) === 0)
+
+    val wc = withWords(train, Seq(col(labelCol).as("cls")))
+      .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cwc"))
+    val classTotals = wc.groupBy(col("cls")).agg(sum(col("cwc")).as("n_c"))
+    val vocab = wc.agg(countDistinct(col("w")).as("v_size"))
+    val priors = train.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("d_c"))
+    val nTrain = train.agg(count(lit(1)).as("d_tot"))
+    val consts = priors.join(classTotals, "cls")
+      .join(broadcast(vocab)).join(broadcast(nTrain))
+      .select(col("cls"),
+        (round(log(col("d_c").cast("double")) * 1e6).cast("long") -
+          round(log(col("d_tot").cast("double")) * 1e6).cast("long")).as("prior_micros"),
+        round(log((col("n_c") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("lnden_micros"))
+
+    val dw = withWords(toScore, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val docT = dw.groupBy(col(idCol)).agg(sum(col("cnt")).as("t_tokens"))
+    val model = wc.withColumn("ln1p_micros",
+      round(log((col("cwc") + 1).cast("double")) * 1e6).cast("long"))
+    val contrib = dw.join(model.hint("shuffle_hash"), Seq("w"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("cnt") * col("ln1p_micros")).as("seen_micros"))
+
+    val scored = docT.crossJoin(broadcast(consts))
+      .join(contrib.hint("shuffle_hash"), Seq(idCol, "cls"), "left")
+      .withColumn("score_micros",
+        col("prior_micros") + coalesce(col("seen_micros"), lit(0L)) -
+          col("t_tokens") * col("lnden_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micros").desc, col("cls"))
+    scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(toScore.select(col(idCol), col(labelCol).as("label")), idCol)
+      .select(col(idCol), col("label"), col("cls").as("pred"),
+        col("score_micros"),
+        (col("cls") === col("label")).cast("int").as("correct"))
+  }
+
   /** The BPE trainer's inner-loop aggregation (Sennrich et al. 2016)
     * at corpus scale: adjacent character-pair frequencies, weighted by
     * word frequency — the statistic whose argmax is the next merge. The

@@ -72,6 +72,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got a sort-merge:\n$p")
   }
 
+  test("nb classifier: model join shuffle-hash; per-class constants broadcast; no corpus cartesian") {
+    val df = SparkEntry.queries("text_classify_nb")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"model join must shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the only nested-loop allowed is docs × the k-row broadcast consts
+    assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got sort-merge:\n$p")
+    assert(p.contains("BroadcastExchange"), s"consts/vocab must broadcast:\n$p")
+  }
+
+  test("gopher gate is one shuffle-free native projection") {
+    val df = SparkEntry.queries("text_quality_gopher")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_gopher_stats"), s"native expression missing:\n$p")
+    // sort for output determinism is the only exchange allowed
+    assert(!p.contains("hashpartitioning"), s"gate must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"gate is per-row, no join:\n$p")
+  }
+
   test("lshTopK broadcasts the bucketed query side; the corpus never pre-shuffles") {
     val df = SparkEntry.queries("sim_lsh_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
