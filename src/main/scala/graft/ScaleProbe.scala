@@ -259,6 +259,16 @@ object ScaleProbe {
         // pair mining runs over distinct words
         operators.text.TextAnalysis.bpePairStats(d, "text", k = 50)
       }
+      time("text_quality_gopher", k) {
+        // per-row native projection: should track scan throughput
+        operators.text.TextAnalysis.gopherGate(d, "doc_id", "text")
+      }
+      time("text_classify_nb", k) {
+        // train AND score both scale with the corpus: model shuffle
+        // (distinct (class, word) pairs grow sub-linearly) + the
+        // doc-word shuffle-hash join against it
+        operators.text.TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
+      }
       time("text_dup_spans", k) {
         // positional-hash explode (~n_words rows/doc, longs only)
         // through the gh window shuffle, then the doc-id merge
