@@ -217,6 +217,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"corpus_report must scan documents once, saw $scans:\n$cr")
   }
 
+  test("pipeline_quality: doc_id-keyed shuffle-hash funnel, no cartesian, no sort-merge") {
+    val p = plan("pipeline_quality")
+    assert(p.contains("ShuffledHashJoin"), s"funnel joins must shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got sort-merge:\n$p")
+  }
+
   test("portable minhash buckets are ids-only; sig re-join is ShuffledHashJoin") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString
