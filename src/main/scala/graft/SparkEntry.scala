@@ -1999,13 +1999,13 @@ object SparkEntry {
         |FROM d ORDER BY n_nationkey""".stripMargin,
 
     "dedup_exact" ->
-      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      """SELECT md5(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')))) AS content_hash,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_ngram" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
@@ -2017,7 +2017,7 @@ object SparkEntry {
 
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
@@ -2029,7 +2029,7 @@ object SparkEntry {
 
     "dedup_incremental_bloom" ->
       """WITH base AS (SELECT doc_id,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm,
         |  doc_id % 5 = 0 AS is_batch FROM documents)
         |SELECT doc_id FROM base b WHERE b.is_batch
         |  AND md5(b.norm) NOT IN (SELECT md5(norm) FROM base WHERE NOT is_batch)
@@ -2037,7 +2037,7 @@ object SparkEntry {
 
     "dedup_incremental" ->
       """WITH base AS (SELECT doc_id, text,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm,
         |  doc_id % 5 = 0 AS is_batch FROM documents),
         |exact_drop AS (SELECT b.doc_id FROM base b
         |  WHERE b.is_batch AND md5(b.norm) IN (SELECT md5(norm) FROM base WHERE NOT is_batch)),
@@ -2056,7 +2056,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
@@ -2080,7 +2080,7 @@ object SparkEntry {
     // batch × stored-index probe: same portable construction, bucket
     // cap applies to INDEX members only (the stored side)
     "dedup_minhash_incremental" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
@@ -2105,7 +2105,7 @@ object SparkEntry {
         |WHERE sig_frac >= 0.5 ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_minhash_md5" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
@@ -2128,7 +2128,7 @@ object SparkEntry {
 
     // batch × stored-fingerprint-index probe; block cap on INDEX side
     "dedup_simhash_incremental" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
         |h AS (SELECT doc_id, list_transform(words, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM w),
         |v AS (SELECT doc_id, list_transform(range(0, 60), b ->
@@ -2146,7 +2146,7 @@ object SparkEntry {
         |SELECT doc_id, dup_of, hamming FROM p WHERE hamming <= 3 ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents),
         |h AS (SELECT doc_id, list_transform(words, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM w),
         |v AS (SELECT doc_id, list_transform(range(0, 60), b ->
@@ -2163,7 +2163,7 @@ object SparkEntry {
 
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
@@ -2182,7 +2182,7 @@ object SparkEntry {
 
     "sample_split_leakfree" ->
       """WITH RECURSIVE w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
@@ -2517,7 +2517,7 @@ object SparkEntry {
 
     "pipeline_ingest" ->
       """WITH base AS (SELECT doc_id, text,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm,
         |  doc_id % 5 = 0 AS is_batch FROM documents),
         |bw AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base WHERE is_batch),
         |sc AS (SELECT doc_id, text, norm, words,
@@ -2567,7 +2567,7 @@ object SparkEntry {
 
     "pipeline_quality" ->
       """WITH base AS (SELECT doc_id, source, text,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words,
         |  string_split(text, chr(10)) AS lines FROM documents),
         |c AS (SELECT doc_id, source,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS nw,
@@ -2609,7 +2609,7 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id
         |  HAVING CAST(SUM(cnt * nll) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) < 3550000),
         |rep AS (SELECT MIN(doc_id) AS doc_id
-        |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')))) AS fp
         |        FROM documents) GROUP BY fp)
         |SELECT d.doc_id, d.source, g.n_words, lm.avg_nll_micros
         |FROM documents d
@@ -2619,7 +2619,7 @@ object SparkEntry {
 
     "pipeline_curate" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, text, norm, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
@@ -2680,7 +2680,7 @@ object SparkEntry {
 
     "text_profile" ->
       """WITH base AS (SELECT doc_id, text,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, text, norm, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
@@ -2712,7 +2712,7 @@ object SparkEntry {
 
     "text_classify_nb" ->
       """WITH base AS (SELECT doc_id, lang,
-        |  list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |  list_filter(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' '),
         |    w -> w <> '') AS words
         |  FROM documents WHERE text IS NOT NULL),
         |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
@@ -2748,7 +2748,7 @@ object SparkEntry {
 
     "text_quality_gopher" ->
       """WITH base AS (SELECT doc_id, text,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words,
         |  string_split(text, chr(10)) AS lines FROM documents),
         |c AS (SELECT doc_id, words,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS nw,
@@ -2788,14 +2788,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |      list_transform(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' '),
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sql_surface" ->
       """WITH base AS (SELECT doc_id, text,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, text, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
@@ -2825,7 +2825,7 @@ object SparkEntry {
     "stats_corr" ->
       """WITH t0 AS (SELECT source, n_chars,
         |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |    ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS toks
+        |    ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS toks
         |  FROM documents),
         |m AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS sx, SUM(toks) AS sy,
         |  SUM(n_chars * toks) AS sxy, SUM(n_chars * n_chars) AS sxx,
@@ -2854,7 +2854,7 @@ object SparkEntry {
 
     "corpus_report" ->
       """WITH base AS (SELECT doc_id, source, text,
-        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
         |w AS (SELECT doc_id, source, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, source, text, norm, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
@@ -2891,7 +2891,7 @@ object SparkEntry {
 
     "stats_histogram" ->
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-        |  ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT) END AS v
+        |  ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS INT) END AS v
         |  FROM documents),
         |b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 100 THEN 10
         |  ELSE CAST(floor(v / 10.0) AS INT) END AS bin FROM t)
@@ -2902,8 +2902,8 @@ object SparkEntry {
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS nt
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS nt
         |  FROM documents),
         |b AS (SELECT doc_id, words, nt,
         |  list_distinct(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS big
@@ -2917,7 +2917,7 @@ object SparkEntry {
 
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
         |p AS (SELECT doc_id, CAST(u.i AS INT) AS para_idx,
         |  md5(array_to_string(words[u.i*10+1 : u.i*10+10], ' ')) AS para_hash
         |  FROM w, LATERAL (SELECT unnest(range(0,
@@ -2942,7 +2942,7 @@ object SparkEntry {
 
     "text_chunk" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
         |  array_to_string(words[u.i*40+1 : u.i*40+50], ' ') AS chunk
@@ -2954,11 +2954,11 @@ object SparkEntry {
 
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id,
-        |  COALESCE(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 'null') AS old_hash
+        |  COALESCE(md5(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')))), 'null') AS old_hash
         |  FROM documents WHERE doc_id % 7 <> 0),
         |n AS (SELECT doc_id,
         |  COALESCE(md5(lower(trim(regexp_replace(
-        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, '\s+', ' ', 'g')))), 'null') AS new_hash
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, '[\s\x0b]+', ' ', 'g')))), 'null') AS new_hash
         |  FROM documents WHERE doc_id % 3 <> 0)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -2973,7 +2973,7 @@ object SparkEntry {
     // needs no hash parity — a 64-bit collision would surface here)
     "text_dup_spans" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+10], ' ') AS ng
         |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 9, 0))) AS i) u),
@@ -2988,7 +2988,7 @@ object SparkEntry {
 
     "text_span_trim" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+10], ' ') AS ng
         |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 9, 0))) AS i) u),
@@ -3011,7 +3011,7 @@ object SparkEntry {
 
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,
-        |  unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  unnest(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS term
         |  FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
         |d AS (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
@@ -3029,7 +3029,7 @@ object SparkEntry {
       // (empty -> 0) and the context-window chunking replay; trimmed
       // text is already normalized, so the chunk stage re-splits as-is
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+10], ' ') AS ng
         |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 9, 0))) AS i) u),
@@ -3059,7 +3059,7 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "tokenizer_bpe_pairs" ->
-      """WITH w AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      """WITH w AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS w
         |  FROM documents WHERE text IS NOT NULL),
         |v AS (SELECT w, COUNT(*) AS freq FROM w WHERE len(w) >= 2 GROUP BY w),
         |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
@@ -3071,7 +3071,7 @@ object SparkEntry {
     // integer sums and floor division mirror the Spark derivation
     "text_lm_score" ->
       """WITH tok AS (SELECT doc_id, source,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
         |  FROM documents WHERE text IS NOT NULL),
         |rb AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
@@ -3099,7 +3099,7 @@ object SparkEntry {
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words FROM documents),
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
         |e AS (SELECT unnest(sh) AS ngram FROM s WHERE len(sh) > 0)
@@ -3146,7 +3146,7 @@ object SparkEntry {
       """WITH RECURSIVE t AS (
         |  SELECT source AS shard, doc_id AS id,
         |    least(CASE WHEN length(trim(text)) = 0 THEN 0
-        |          ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT) END, 512) AS ntok,
+        |          ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS INT) END, 512) AS ntok,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents),
         |p AS (
@@ -3164,7 +3164,7 @@ object SparkEntry {
       """WITH RECURSIVE t AS (
         |  SELECT source AS shard, doc_id AS id,
         |    least(CASE WHEN length(trim(text)) = 0 THEN 0
-        |          ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT) END, 512) AS ntok,
+        |          ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS INT) END, 512) AS ntok,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents),
         |p AS (
@@ -3250,7 +3250,7 @@ object SparkEntry {
     "sample_token_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INT)
+        |    ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS INT)
         |  END AS n_tokens,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS prio
         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
@@ -3287,7 +3287,7 @@ object SparkEntry {
         |ORDER BY dirty, canonical""".stripMargin,
 
     "contamination" ->
-      """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm,
         |  doc_id % 10 = 0 AS is_eval FROM documents),
         |w AS (SELECT doc_id, is_eval, string_split(norm, ' ') AS words FROM base),
         |s2 AS (SELECT doc_id, is_eval, list_distinct(list_transform(range(1, len(words) - 1),
@@ -3302,7 +3302,7 @@ object SparkEntry {
 
     // identical by construction: the Bloom stage cannot change the result
     "contamination_bloom" ->
-      """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      """WITH base AS (SELECT doc_id, lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm,
         |  doc_id % 10 = 0 AS is_eval FROM documents),
         |w AS (SELECT doc_id, is_eval, string_split(norm, ' ') AS words FROM base),
         |s2 AS (SELECT doc_id, is_eval, list_distinct(list_transform(range(1, len(words) - 1),

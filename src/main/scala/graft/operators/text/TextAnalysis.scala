@@ -299,8 +299,12 @@ object TextAnalysis {
       P.ensureMinParallelism(df.filter(col(textCol).isNotNull))
         .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
         .filter(col("w") =!= "")
-    val train = docs.filter(pmod(col(idCol), lit(5)) =!= 0)
-    val toScore = docs.filter(pmod(col(idCol), lit(5)) === 0)
+    // null-text docs carry no evidence and are excluded EVERYWHERE —
+    // priors included — so the class priors match an oracle that drops
+    // them before the split
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val train = nonNull.filter(pmod(col(idCol), lit(5)) =!= 0)
+    val toScore = nonNull.filter(pmod(col(idCol), lit(5)) === 0)
 
     val wc = withWords(train, Seq(col(labelCol).as("cls")))
       .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cwc"))
@@ -335,7 +339,8 @@ object TextAnalysis {
       .orderBy(col("score_micros").desc, col("cls"))
     scored
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .join(toScore.select(col(idCol), col(labelCol).as("label")), idCol)
+      .join(toScore.select(col(idCol), col(labelCol).as("label"))
+        .hint("shuffle_hash"), idCol)
       .select(col(idCol), col("label"), col("cls").as("pred"),
         col("score_micros"),
         (col("cls") === col("label")).cast("int").as("correct"))

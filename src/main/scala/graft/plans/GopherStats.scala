@@ -39,27 +39,11 @@ object GopherStatsUtil {
   private val requiredStop: Array[String] =
     Array("the", "be", "to", "of", "and", "that", "have", "with")
 
-  private def normalize(raw: String): String = {
-    val collapsed = raw.replaceAll("\\s+", " ")
-    var lo = 0
-    var hi = collapsed.length
-    while (lo < hi && collapsed.charAt(lo) == ' ') lo += 1
-    while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1
-    UTF8String.fromString(collapsed.substring(lo, hi)).toLowerCase.toString
-  }
-
   def compute(text: UTF8String): InternalRow = {
     val raw = text.toString
-    val norm = normalize(raw)
+    val norm = NormText.normalize(raw)
     val words = norm.split(" ", -1)
-
-    val rawTrimEmpty = {
-      var lo = 0; var hi = raw.length
-      while (lo < hi && raw.charAt(lo) == ' ') lo += 1
-      while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
-      lo == hi
-    }
-    val nWords = if (rawTrimEmpty) 0L else words.length.toLong
+    val nWords = if (NormText.spaceTrimEmpty(raw)) 0L else words.length.toLong
 
     var sumLen = 0L
     var nAlpha = 0L
@@ -108,17 +92,9 @@ object GopherStatsUtil {
       nWords, sumLen, nSym, nLines, nBullet, nEllipsis, nAlpha, nReqStop))
   }
 
-  private val memo = new ThreadLocal[(UTF8String, InternalRow)]
+  private val memo = new RowMemo(compute)
 
-  def computeMemo(text: UTF8String): InternalRow = {
-    val last = memo.get()
-    if (last != null && last._1.equals(text)) last._2
-    else {
-      val r = compute(text)
-      memo.set((text.clone(), r))
-      r
-    }
-  }
+  def computeMemo(text: UTF8String): InternalRow = memo(text)
 
   val schema: StructType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),

@@ -34,31 +34,13 @@ object TextProfileUtil {
   private def round6(x: Double): Double =
     new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
-  /** `lower(trim(regexp_replace(text, "\s+", " ")))` with Spark's exact
-    * semantics: whitespace-run collapse, space-only trim, ICU lowercase.
-    */
-  private def normalize(raw: String): String = {
-    val collapsed = raw.replaceAll("\\s+", " ")
-    var lo = 0
-    var hi = collapsed.length
-    while (lo < hi && collapsed.charAt(lo) == ' ') lo += 1
-    while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1
-    UTF8String.fromString(collapsed.substring(lo, hi)).toLowerCase.toString
-  }
-
   def compute(text: UTF8String): InternalRow = {
     val raw = text.toString
-    val norm = normalize(raw)
+    val norm = NormText.normalize(raw)
     val words = norm.split(" ", -1) // split("") == [""], like Spark's split
 
     // n_tokens: 0 for space-trim-empty raw text (TextAnalysis.tokenCount)
-    val rawTrimEmpty = {
-      var lo = 0; var hi = raw.length
-      while (lo < hi && raw.charAt(lo) == ' ') lo += 1
-      while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
-      lo == hi
-    }
-    val nTokens = if (rawTrimEmpty) 0 else words.length
+    val nTokens = if (NormText.spaceTrimEmpty(raw)) 0 else words.length
 
     val lowerRaw = text.toLowerCase.toString
     val m = subwordRe.matcher(lowerRaw)
@@ -98,22 +80,9 @@ object TextProfileUtil {
       UTF8String.fromString(lang), UTF8String.fromString(hex.toString)))
   }
 
-  /** Plans expand the struct into one column per field, and projection
-    * collapse may re-inline this expression once per field — a
-    * thread-local memo of the last (input, result) keeps the cost at one
-    * pass per row regardless of plan shape (the expression is pure).
-    */
-  private val memo = new ThreadLocal[(UTF8String, InternalRow)]
+  private val memo = new RowMemo(compute)
 
-  def computeMemo(text: UTF8String): InternalRow = {
-    val last = memo.get()
-    if (last != null && last._1.equals(text)) last._2
-    else {
-      val r = compute(text)
-      memo.set((text.clone(), r))
-      r
-    }
-  }
+  def computeMemo(text: UTF8String): InternalRow = memo(text)
 
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),

@@ -106,7 +106,7 @@ class GopherGateSpec extends SparkSpec {
   }
 
   test("gate agrees with the composable Column forms on the fixture") {
-    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = Tables.load(spark, sf, "documents")
     val g = TextAnalysis.gopherGate(docs, "doc_id", "text")
     // n_words must equal tokenCount; mwl micros must match meanWordLen
     val joined = docs.select(

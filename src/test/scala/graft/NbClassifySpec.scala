@@ -71,7 +71,7 @@ class NbClassifySpec extends SparkSpec {
   }
 
   test("deterministic across runs on the fixture") {
-    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val d = Tables.load(spark, sf, "documents")
     val a = TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
       .orderBy("doc_id").collect().toSeq
     val b = TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
