@@ -269,6 +269,12 @@ object ScaleProbe {
         // doc-word shuffle-hash join against it
         operators.text.TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
       }
+      time("sample_dsir", k) {
+        // fixed target slice, growing corpus: raw-vocab model table
+        // grows sub-linearly; scoring is the doc-word shuffle
+        operators.text.TextAnalysis.dsirWeights(d,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+      }
       time("text_dup_spans", k) {
         // positional-hash explode (~n_words rows/doc, longs only)
         // through the gh window shuffle, then the doc-id merge

@@ -1032,6 +1032,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_dsir" -> ((s, dir) => {
+      // DSIR data selection: top-200 docs by target-domain importance
+      // (src0 is the target), TakeOrdered on an exact-integer weight
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("weight_micros").desc, col("doc_id"))
+        .limit(200)
+    }),
+
     "text_classify_nb" -> ((s, dir) => {
       // closed-form NB corpus filter: train on id%5!=0, score held-out
       TextAnalysis.nbClassify(t(s, dir, "documents"), "doc_id", "text", "lang")
@@ -2709,6 +2719,34 @@ object SparkEntry {
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
         |  md5(norm) AS fingerprint
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "sample_dsir" ->
+      """WITH base AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' '),
+        |    w -> w <> '') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |tw AS (SELECT unnest(words) AS w FROM base WHERE source = 'src0'),
+        |rw AS (SELECT unnest(words) AS w FROM base),
+        |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tw GROUP BY w),
+        |rc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM rw GROUP BY w),
+        |model AS (SELECT rc.w,
+        |  CAST(round(ln(COALESCE(tc.ct, 0) + 1) * 1000000) AS BIGINT)
+        |    - CAST(round(ln(rc.cr + 1) * 1000000) AS BIGINT) AS dw_micros
+        |  FROM rc LEFT JOIN tc USING (w)),
+        |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_t FROM tc),
+        |nrv AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_r, CAST(COUNT(*) AS BIGINT) AS v_size FROM rc),
+        |b AS (SELECT CAST(round(ln(n_r + v_size) * 1000000) AS BIGINT)
+        |    - CAST(round(ln(n_t + v_size) * 1000000) AS BIGINT) AS base_micros
+        |  FROM nrv, nt),
+        |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+        |  (SELECT doc_id, unnest(words) AS w FROM base) GROUP BY doc_id, w),
+        |agg AS (SELECT dw.doc_id, CAST(SUM(dw.cnt) AS BIGINT) AS t_tokens,
+        |  CAST(SUM(dw.cnt * m.dw_micros) AS BIGINT) AS seen_micros
+        |  FROM dw JOIN model m USING (w) GROUP BY dw.doc_id)
+        |SELECT doc_id, t_tokens,
+        |  seen_micros + t_tokens * b.base_micros AS weight_micros
+        |FROM agg, b
+        |ORDER BY weight_micros DESC, doc_id LIMIT 200""".stripMargin,
 
     "text_classify_nb" ->
       """WITH base AS (SELECT doc_id, lang,

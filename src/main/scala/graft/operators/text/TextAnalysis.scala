@@ -346,6 +346,59 @@ object TextAnalysis {
         (col("cls") === col("label")).cast("int").as("correct"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): every corpus doc is
+    * scored by how much more likely its bag of words is under a TARGET
+    * domain's unigram LM than under the raw-corpus LM —
+    * `w(d) = Σ cnt_w·ln(p_t(w)/p_r(w))` with Laplace smoothing over the
+    * raw vocab V. The same rearrangement as [[nbClassify]] keeps it one
+    * model join:
+    *
+    *   w(d) = Σ cnt_w·[ln(c_t(w)+1) − ln(c_r(w)+1)] + T·[ln(N_r+V) − ln(N_t+V)]
+    *
+    * `target` must be drawn from `docs`' vocabulary universe (the
+    * standard DSIR setup scores the raw corpus that contains the
+    * target-domain slice), so every doc word has a raw count and the
+    * model table — keyed on raw vocab — covers every Σ term. All ln's
+    * are single-rounded integer micros on integer counts; sums and the
+    * downstream top-k cut compare exact integers, so the ranking
+    * hash-oracles. Docs with no tokens are absent.
+    *
+    * Scale shape: two word-count shuffles (map-side combined; the
+    * model table is vocab-sized, sub-linear in corpus), one
+    * shuffle-hash join of doc word-counts against it, constants
+    * broadcast.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val P = graft.operators.Partitioning
+    val words = (df: DataFrame, keep: Seq[Column]) =>
+      P.ensureMinParallelism(df.filter(col(textCol).isNotNull))
+        .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
+        .filter(col("w") =!= "")
+    val tc = words(target, Seq.empty).groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val rc = words(docs, Seq.empty).groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val model = rc.join(tc.hint("shuffle_hash"), Seq("w"), "left")
+      .select(col("w"),
+        (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")) * 1e6).cast("long") -
+          round(log((col("cr") + 1).cast("double")) * 1e6).cast("long")).as("dw_micros"))
+    val nT = tc.agg(sum(col("ct")).as("n_t"))
+    val nRv = rc.agg(sum(col("cr")).as("n_r"), count(lit(1)).as("v_size"))
+    val base = nRv.join(nT)
+      .select((round(log((col("n_r") + col("v_size")).cast("double")) * 1e6).cast("long") -
+        round(log((col("n_t") + col("v_size")).cast("double")) * 1e6).cast("long")).as("base_micros"))
+
+    words(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(model.hint("shuffle_hash"), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("t_tokens"),
+        sum(col("cnt") * col("dw_micros")).as("seen_micros"))
+      .join(broadcast(base))
+      .select(col(idCol), col("t_tokens"),
+        (col("seen_micros") + col("t_tokens") * col("base_micros")).as("weight_micros"))
+  }
+
   /** The BPE trainer's inner-loop aggregation (Sennrich et al. 2016)
     * at corpus scale: adjacent character-pair frequencies, weighted by
     * word frequency — the statistic whose argmax is the next merge. The

@@ -82,6 +82,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"consts/vocab must broadcast:\n$p")
   }
 
+  test("dsir: model join shuffle-hash, constants broadcast, TakeOrdered cut") {
+    val df = SparkEntry.queries("sample_dsir")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"model join must shuffle-hash:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must cut, not globally sort:\n$p")
+  }
+
   test("gopher gate is one shuffle-free native projection") {
     val df = SparkEntry.queries("text_quality_gopher")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
