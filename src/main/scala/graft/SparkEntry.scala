@@ -1032,6 +1032,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_quality_prune" -> ((s, dir) => {
+      // bottom-half pruning against a PER-SOURCE exact median: the
+      // global-threshold filter pattern. One text scan, ONE narrow
+      // shuffle (doc_id, source, q_micros — never the text) keyed by
+      // source; the median lands via a second window on the SAME
+      // exchange (rank + count + pick-at-rank), so no threshold
+      // re-join and no second scan of the expensive profile.
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.operators.Partitioning.ensureMinParallelism(
+          t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          round(call_function("graft_text_profile", col("text"))
+            .getField("quality") * 1000000).cast("long").as("q_micros"))
+      val wOrd = Window.partitionBy(col("source")).orderBy(col("q_micros"), col("doc_id"))
+      val wAll = Window.partitionBy(col("source"))
+      q.withColumn("_rn", row_number().over(wOrd))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("source_median_micros",
+          max(when(col("_rn") === ceil(col("_n") * 0.5), col("q_micros"))).over(wAll))
+        .filter(col("q_micros") >= col("source_median_micros"))
+        .select(col("doc_id"), col("source"), col("q_micros"),
+          col("source_median_micros"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_dsir" -> ((s, dir) => {
       // DSIR data selection: top-200 docs by target-domain importance
       // (src0 is the target), TakeOrdered on an exact-integer weight
@@ -2719,6 +2744,31 @@ object SparkEntry {
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
         |  md5(norm) AS fingerprint
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "sample_quality_prune" ->
+      """WITH base AS (SELECT doc_id, source, text,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
+        |w AS (SELECT doc_id, source, text, string_split(norm, ' ') AS words FROM base),
+        |m AS (SELECT doc_id, source, text, words,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
+        |FROM w),
+        |q AS (SELECT doc_id, source,
+        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6)
+        |    * 1000000) AS BIGINT) AS q_micros
+        |FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q_micros, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM q),
+        |med AS (SELECT source,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN q_micros END) AS med
+        |  FROM r GROUP BY source)
+        |SELECT q.doc_id, q.source, q.q_micros, med.med AS source_median_micros
+        |FROM q JOIN med USING (source) WHERE q.q_micros >= med.med
+        |ORDER BY q.doc_id""".stripMargin,
 
     "sample_dsir" ->
       """WITH base AS (SELECT doc_id, source,

@@ -91,6 +91,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must cut, not globally sort:\n$p")
   }
 
+  test("quality prune: one narrow source shuffle, single text scan, no threshold re-join") {
+    val df = SparkEntry.queries("sample_quality_prune")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"median must ride the window exchange, not a re-join:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one key shuffle, saw $hashEx:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"profile must run in ONE scan, saw $scans:\n$p")
+  }
+
   test("gopher gate is one shuffle-free native projection") {
     val df = SparkEntry.queries("text_quality_gopher")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
