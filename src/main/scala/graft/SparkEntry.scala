@@ -1549,6 +1549,15 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("idx"))
     }),
 
+    "emb_quantize_trained" -> ((s, dir) => {
+      // FAISS-style trained scalar quantizer: per-dim min/max bounds
+      // (64 rows, broadcast) then the uniform 0..255 codebook
+      val emb = t(s, dir, "embeddings")
+      val bounds = SimilaritySearch.dimBounds(emb, "embedding")
+      SimilaritySearch.quantizeTrained(emb, "vec_id", "embedding", bounds)
+        .orderBy(col("vec_id"), col("idx"))
+    }),
+
     "emb_quantize" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("vec_id"), VectorFunctions.quantizeInt8(col("embedding")).as("qs"))
@@ -3413,6 +3422,18 @@ object SparkEntry {
         |  round(CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(embedding[u.i] AS DOUBLE) / nrm END, 6) AS nval
         |FROM n, LATERAL (SELECT unnest(generate_series(1, len(n.embedding))) AS i) u
         |ORDER BY vec_id, idx""".stripMargin,
+
+    "emb_quantize_trained" ->
+      """WITH e AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS idx,
+        |  CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+        |b AS (SELECT idx, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY idx)
+        |SELECT e.vec_id, e.idx,
+        |  CAST(CASE WHEN b.mx = b.mn THEN 0
+        |    ELSE greatest(0, least(255, CAST(floor((e.x - b.mn) / (b.mx - b.mn) * 256.0) AS BIGINT)))
+        |  END AS INT) AS qcode
+        |FROM e JOIN b USING (idx)
+        |ORDER BY e.vec_id, e.idx""".stripMargin,
 
     "emb_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -93,6 +93,38 @@ object SimilaritySearch {
     corpus.select(col(idCol).as("corpus_id"),
       quantizeInt8(col(vecCol)).getField("q").as("vec8"))
 
+  /** TRAINED per-dimension bounds for the uniform scalar quantizer
+    * (the FAISS `ScalarQuantizer QT_8bit` train step): min/max of each
+    * dimension over the corpus. One posexplode + map-side-combined
+    * aggregate — the output is `dim` rows, broadcastable anywhere.
+    */
+  def dimBounds(corpus: DataFrame, vecCol: String): DataFrame =
+    graft.operators.Partitioning.ensureMinParallelism(corpus)
+      .select(posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .groupBy(col("idx"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+
+  /** Apply the trained quantizer: code = clamp(⌊(x−mn)/(mx−mn)·256⌋,
+    * 0, 255) per dimension (constant dimensions code to 0) — the
+    * asymmetric 8-bit uniform codebook, exactly reproducible on any
+    * IEEE engine (one exactly-rounded division, floor, integer
+    * clamps). Returns exploded `(id, idx, qcode)` rows; the bounds
+    * table broadcasts, so corpus scale touches only the per-element
+    * projection.
+    */
+  def quantizeTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                      bounds: DataFrame): DataFrame =
+    graft.operators.Partitioning.ensureMinParallelism(corpus)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .join(broadcast(bounds), "idx")
+      .select(col(idCol), col("idx"),
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          greatest(lit(0L), least(lit(255L),
+            floor((col("x").cast("double") - col("mn")) /
+              (col("mx") - col("mn")) * 256.0))))
+          .cast("int").as("qcode"))
+
   /** Top-k over a PERSISTED int8 index (the [[buildQuantizedIndex]]
     * schema, typically read back from parquet) — the stored-index entry
     * point: no quantization inside the query, the `array<tinyint>`

@@ -279,4 +279,30 @@ class SimilaritySearchSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(capped.subsetOf(bf))
   }
+
+  test("trained quantizer: codes span [0,255], extremes map to the ends, bounded error") {
+    val bounds = SimilaritySearch.dimBounds(emb, "embedding")
+    val codes = SimilaritySearch.quantizeTrained(emb, "vec_id", "embedding", bounds)
+    val joined = codes.join(bounds, "idx")
+      .join(emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x"))),
+        Seq("vec_id", "idx"))
+    assert(joined.filter("qcode < 0 OR qcode > 255").count() == 0)
+    // per-dim min codes to 0, max to 255 (mx > mn on real embeddings)
+    assert(joined.filter("x = mn AND qcode <> 0").count() == 0)
+    assert(joined.filter("x = mx AND qcode <> 255").count() == 0)
+    // dequantization at the cell midpoint is within one cell width
+    val bad = joined.withColumn("cell", (col("mx") - col("mn")) / 256.0)
+      .withColumn("deq", col("mn") + (col("qcode") + 0.5) * col("cell"))
+      .filter(abs(col("deq") - col("x")) > col("cell"))
+    assert(bad.count() == 0)
+  }
+
+  test("trained quantizer: constant dimension codes to 0") {
+    val flat = Seq((1L, Seq(0.5f, 1.0f)), (2L, Seq(0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val b = SimilaritySearch.dimBounds(flat, "embedding")
+    val q = SimilaritySearch.quantizeTrained(flat, "vec_id", "embedding", b)
+      .filter(col("idx") === 0).select("qcode").as[Int].collect().toSet
+    assert(q == Set(0))
+  }
 }
