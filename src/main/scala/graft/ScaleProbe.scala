@@ -269,6 +269,20 @@ object ScaleProbe {
         // doc-word shuffle-hash join against it
         operators.text.TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
       }
+      time("sample_quality_prune", k) {
+        // one profile scan + one narrow source shuffle; medians ride
+        // the window exchange
+        import org.apache.spark.sql.expressions.Window
+        val q = d.select(col("doc_id"), col("source"),
+          round(call_function("graft_text_profile", col("text"))
+            .getField("quality") * 1000000).cast("long").as("q_micros"))
+        val wOrd = Window.partitionBy(col("source")).orderBy(col("q_micros"), col("doc_id"))
+        val wAll = Window.partitionBy(col("source"))
+        q.withColumn("_rn", row_number().over(wOrd))
+          .withColumn("_n", count(lit(1)).over(wAll))
+          .withColumn("med", max(when(col("_rn") === ceil(col("_n") * 0.5), col("q_micros"))).over(wAll))
+          .filter(col("q_micros") >= col("med"))
+      }
       time("sample_dsir", k) {
         // fixed target slice, growing corpus: raw-vocab model table
         // grows sub-linearly; scoring is the doc-word shuffle

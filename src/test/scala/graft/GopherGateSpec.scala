@@ -105,6 +105,44 @@ class GopherGateSpec extends SparkSpec {
     }
   }
 
+  test("property: native counts == independent Column forms on adversarial text") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val pieces = Array("the", "cat", "大家", "好", "- item", "* x", "• y",
+      "wait...", "…", "#tag", "a#b", "12", "x7", "", " ", "  ", "\t", "\n",
+      "", "word...", "...", "eé", "NAME", "MiXeD")
+    val docs = (1 to 300).map { i =>
+      val n = rnd.nextInt(30)
+      val sep = Array(" ", " ", "\n", "\t")
+      val t = (0 until n).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(sep(rnd.nextInt(sep.length)))
+      (i, t)
+    }.toDF("doc_id", "text")
+    val g = call_function("graft_gopher_stats", col("text"))
+    val toks = graft.operators.text.TextAnalysis.tokens(col("text"))
+    val diff = docs.select(col("doc_id"), col("text"), g.as("g"))
+      .withColumn("e_nw",
+        when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+      .withColumn("e_swl",
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t))))
+      .withColumn("e_sym",
+        size(regexp_extract_all(col("text"), lit("#|\\.{3}|…"), lit(0))).cast("long"))
+      .withColumn("e_nl", size(split(col("text"), "\n", -1)).cast("long"))
+      .withColumn("e_nb", size(filter(split(col("text"), "\n", -1),
+        l => regexp_like(ltrim(l), lit("^[-*•]")))).cast("long"))
+      .withColumn("e_ne", size(filter(split(col("text"), "\n", -1),
+        l => regexp_like(rtrim(l), lit("(\\.{3}|…)$")))).cast("long"))
+      .withColumn("e_na",
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(filter(toks, t => regexp_like(t, lit("[a-z]")))).cast("long")))
+      .filter("g.n_words <> e_nw OR g.sum_word_len <> e_swl OR g.n_sym <> e_sym " +
+        "OR g.n_lines <> e_nl OR g.n_bullet <> e_nb OR g.n_ellipsis <> e_ne " +
+        "OR g.n_alpha_words <> e_na")
+    val bad = diff.collect()
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
   test("gate agrees with the composable Column forms on the fixture") {
     val docs = Tables.load(spark, sf, "documents")
     val g = TextAnalysis.gopherGate(docs, "doc_id", "text")
