@@ -1073,6 +1073,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_repetition_gopher" -> ((s, dir) => {
+      // top-ngram char coverage (n=2,3,4) + duplicate-line char
+      // fraction: the rest of the Gopher repetition battery
+      TextAnalysis.gopherRepetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality_gopher" -> ((s, dir) => {
       // Gopher rule gate: native one-pass counts, exact-integer rules
       TextAnalysis.gopherGate(t(s, dir, "documents"), "doc_id", "text")
@@ -2842,6 +2849,42 @@ object SparkEntry {
         |  CAST(b.score_micros AS BIGINT) AS score_micros,
         |  CAST(b.cls = s.lang AS INT) AS correct
         |FROM best b JOIN sc s USING (doc_id) WHERE rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    "text_repetition_gopher" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, unnest(CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')) END) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(CASE WHEN len(words) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')) END) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 4 AS n, unnest(CASE WHEN len(words) < 4 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(words) - 2), i -> array_to_string(words[i:i+3], ' ')) END) AS gram FROM w),
+        |gc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
+        |top AS (SELECT doc_id, n, CAST(c * length(gram) AS BIGINT) AS covered,
+        |  row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rk FROM gc),
+        |t1 AS (SELECT doc_id,
+        |  MAX(CASE WHEN n = 2 THEN covered END) AS cov2,
+        |  MAX(CASE WHEN n = 3 THEN covered END) AS cov3,
+        |  MAX(CASE WHEN n = 4 THEN covered END) AS cov4
+        |  FROM top WHERE rk = 1 GROUP BY doc_id),
+        |ln_ AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base),
+        |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln_ GROUP BY doc_id, line),
+        |dl AS (SELECT doc_id, CAST(SUM(c * length(line)) AS BIGINT) AS dupcov
+        |  FROM lc WHERE c >= 2 GROUP BY doc_id),
+        |lens AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS lnm,
+        |  CAST(length(text) AS BIGINT) AS lr FROM base)
+        |SELECT l.doc_id,
+        |  CASE WHEN lnm = 0 THEN 0 ELSE (COALESCE(cov2, 0) * 2000000 + lnm) // (lnm * 2) END AS top2_micros,
+        |  CASE WHEN lnm = 0 THEN 0 ELSE (COALESCE(cov3, 0) * 2000000 + lnm) // (lnm * 2) END AS top3_micros,
+        |  CASE WHEN lnm = 0 THEN 0 ELSE (COALESCE(cov4, 0) * 2000000 + lnm) // (lnm * 2) END AS top4_micros,
+        |  CASE WHEN lr = 0 THEN 0 ELSE (COALESCE(dupcov, 0) * 2000000 + lr) // (lr * 2) END AS dupline_micros
+        |FROM lens l LEFT JOIN t1 USING (doc_id) LEFT JOIN dl USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH base AS (SELECT doc_id, text,

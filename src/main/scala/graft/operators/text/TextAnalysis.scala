@@ -263,6 +263,67 @@ object TextAnalysis {
       .withColumn("avg_nll_micros", expr("nll_sum_micros div n_bigrams"))
   }
 
+  /** The remaining Gopher repetition signals (Rae et al. 2021 A1.1,
+    * complementing [[duplicateNgramFraction]]): per document, the
+    * fraction of (normalized) characters covered by the MOST FREQUENT
+    * word n-gram for n = 2, 3, 4 — `count · len(gram) / len(norm)` —
+    * and the fraction of raw characters sitting on duplicated lines.
+    * Boilerplate loops light these up even when the distinct-gram
+    * fraction stays tame. Top grams tie-break (count desc, gram asc);
+    * fractions are half-up integer micros (counts and code-point
+    * lengths are exact integers, so the signal hash-oracles).
+    *
+    * Scale shape: one exploded (doc, n, gram) count (map-side
+    * combined), a (doc, n) window to pick the top gram, the line pass
+    * alike, then doc-keyed shuffle-hash joins back — grams never carry
+    * past their aggregate.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val P = graft.operators.Partitioning
+    val base = P.ensureMinParallelism(docs.filter(col(textCol).isNotNull))
+    val toks = tokens(col(textCol))
+    def grams(n: Int): Column =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+    val exploded = Seq(2, 3, 4).map { n =>
+      base.select(col(idCol), lit(n).as("n"), explode(grams(n)).as("gram"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("n"))
+      .orderBy(col("c").desc, col("gram"))
+    val top = exploded
+      .groupBy(col(idCol), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(idCol), col("n"),
+        (col("c") * length(col("gram")).cast("long")).as("covered"))
+    val lens = base.select(col(idCol),
+      length(normText(col(textCol))).cast("long").as("l_norm"),
+      length(col(textCol)).cast("long").as("l_raw"))
+    def micros(num: String, den: String): String =
+      s"CASE WHEN $den = 0 THEN 0 ELSE ($num * 2000000 + $den) div ($den * 2) END"
+    val dupLines = base
+      .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("line"))
+      .groupBy(col(idCol), col("line")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * length(col("line")).cast("long")).as("dup_covered"))
+    lens
+      .join(top.filter(col("n") === 2).select(col(idCol), col("covered").as("cov2"))
+        .hint("shuffle_hash"), Seq(idCol), "left")
+      .join(top.filter(col("n") === 3).select(col(idCol), col("covered").as("cov3"))
+        .hint("shuffle_hash"), Seq(idCol), "left")
+      .join(top.filter(col("n") === 4).select(col(idCol), col("covered").as("cov4"))
+        .hint("shuffle_hash"), Seq(idCol), "left")
+      .join(dupLines.hint("shuffle_hash"), Seq(idCol), "left")
+      .na.fill(0L, Seq("cov2", "cov3", "cov4", "dup_covered"))
+      .select(col(idCol),
+        expr(micros("cov2", "l_norm")).as("top2_micros"),
+        expr(micros("cov3", "l_norm")).as("top3_micros"),
+        expr(micros("cov4", "l_norm")).as("top4_micros"),
+        expr(micros("dup_covered", "l_raw")).as("dupline_micros"))
+  }
+
   /** Multinomial Naive Bayes text classifier — train and score in one
     * plan: the closed-form member of the corpus-filter family (CCNet /
     * LLaMA pretraining pipelines gate documents with a fastText-style

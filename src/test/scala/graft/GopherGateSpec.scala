@@ -143,6 +143,22 @@ class GopherGateSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).mkString("\n"))
   }
 
+  test("gopherRepetition: looping text lights up top-gram coverage; dup lines counted by chars") {
+    val docs = Seq(
+      (1, "a a a a a"),          // top bigram "a a" ×4, covered 12 of 9 norm chars
+      (2, "a b c d e"),          // no repetition: top bigram ×1, covered 3 of 9
+      (3, "x\ny\nx"),            // line 'x' duplicated: 2 chars of 5 raw
+      (4, "")                    // empty: all zero, no div-by-zero
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getLong(1) == 1333333L) // round(12/9 * 1e6) half-up
+    assert(r(2).getLong(1) == 333333L)  // round(3/9 * 1e6)
+    assert(r(3).getLong(4) == 400000L)  // 2/5 raw chars on dup lines
+    assert(r(1).getLong(4) == 0L && r(2).getLong(4) == 0L)
+    (1 to 4).foreach(i => assert(r(4).getLong(i) == 0L))
+  }
+
   test("gate agrees with the composable Column forms on the fixture") {
     val docs = Tables.load(spark, sf, "documents")
     val g = TextAnalysis.gopherGate(docs, "doc_id", "text")
