@@ -514,7 +514,13 @@ object TextAnalysis {
     // (2e6·num + den) div (2·den); num ≥ 0 so div == floor on any engine
     def micros(num: String, den: String): String =
       s"CASE WHEN $den = 0 THEN 0 ELSE ($num * 2000000 + $den) div ($den * 2) END"
-    graft.operators.Partitioning.ensureMinParallelism(docs)
+    // stateless per-row projection: runs unchanged over a streaming
+    // DataFrame (where the repartition widening neither applies nor
+    // is needed — micro-batch parallelism comes from the source)
+    val base =
+      if (docs.isStreaming) docs
+      else graft.operators.Partitioning.ensureMinParallelism(docs)
+    base
       .select(col(idCol), g.as("g"))
       .select(col(idCol),
         col("g.n_words").as("nw"), col("g.sum_word_len").as("swl"),
