@@ -1073,6 +1073,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "contamination_spans" -> ((s, dir) => {
+      // verbatim span leakage: eval (id%10==0) windows vs the distinct
+      // train hash set — membership, not multiplicity, so no pair blowup
+      val docs = t(s, dir, "documents")
+      graft.operators.text.SpanDedup.contaminatedSpans(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "text_repetition_gopher" -> ((s, dir) => {
       // top-ngram char coverage (n=2,3,4) + duplicate-line char
       // fraction: the rest of the Gopher repetition battery
@@ -2849,6 +2860,24 @@ object SparkEntry {
         |  CAST(b.score_micros AS BIGINT) AS score_micros,
         |  CAST(b.cls = s.lang AS INT) AS correct
         |FROM best b JOIN sc s USING (doc_id) WHERE rk = 1 ORDER BY b.doc_id""".stripMargin,
+
+    "contamination_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |tg AS (SELECT DISTINCT array_to_string(words[u.i+1:u.i+5], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 4, 0))) AS i) u
+        |  WHERE doc_id % 10 <> 0),
+        |eg AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(words[u.i+1:u.i+5], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(0, GREATEST(len(words) - 4, 0))) AS i) u
+        |  WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, pos FROM eg WHERE ng IN (SELECT ng FROM tg)),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+        |    THEN 1 ELSE 0 END AS brk FROM d),
+        |s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM i)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start, CAST(MAX(pos) + 5 AS INT) AS span_end
+        |FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
 
     "text_repetition_gopher" ->
       """WITH base AS (SELECT doc_id, text,

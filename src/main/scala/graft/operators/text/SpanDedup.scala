@@ -67,6 +67,39 @@ object SpanDedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Verbatim-span contamination across corpora (the Lee et al. 2022
+    * substring semantic pointed at eval leakage): merged spans of the
+    * EVAL docs whose `n`-word windows appear verbatim anywhere in
+    * TRAIN. Same positional-hash machinery as [[duplicatedSpans]], but
+    * membership replaces multiplicity: eval windows LEFT-SEMI join the
+    * DISTINCT train hash set, so a phrase shared by millions of train
+    * docs contributes ONE build-side row — no pairwise blow-up, and
+    * output stays linear in eval positions. `(evalIdCol, span_start,
+    * span_end)`, positions over the normalized token stream, end
+    * exclusive.
+    */
+  def contaminatedSpans(train: DataFrame, eval: DataFrame,
+                        idCol: String, textCol: String, n: Int = 10): DataFrame = {
+    require(n >= 1, s"need n>=1; got n=$n")
+    val P = graft.operators.Partitioning
+    val trainH = P.ensureMinParallelism(train.filter(col(textCol).isNotNull))
+      .select(explode(call_function("graft_span_hashes", col(textCol), lit(n))).as("gh"))
+      .distinct()
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    P.ensureMinParallelism(eval.filter(col(textCol).isNotNull))
+      .select(col(idCol), posexplode(
+        call_function("graft_span_hashes", col(textCol), lit(n)))
+        .as(Seq("pos", "gh")))
+      .join(trainH.hint("shuffle_hash"), Seq("gh"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("sid"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + n).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Documents with every duplicated span cut out: `(idCol,
     * text_trimmed)` over the normalized token stream. ALL occurrences
     * are removed (the boilerplate-removal semantic — pair with exact /

@@ -76,4 +76,34 @@ class SpanDedupSpec extends SparkSpec {
       "SELECT graft_span_hashes('a b c d', 3)[1] = xxhash64('b c d') AS ok").head()
     assert(probe.getBoolean(0))
   }
+
+  test("contaminatedSpans: planted verbatim span surfaces; clean eval docs do not") {
+    import spark.implicits._
+    val leak = "one two three four five six seven"
+    val train = Seq(
+      (1, s"train filler text then $leak and more trailing content"),
+      (2, "другой unrelated training document entirely")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10, s"eval begins here $leak eval ends here"),
+      (11, "totally clean evaluation document nothing shared")).toDF("doc_id", "text")
+    val out = graft.operators.text.SpanDedup
+      .contaminatedSpans(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(out.map(_._1).toSet == Set(10))
+    // "one two three four five six seven" sits at positions 3..9 in the
+    // eval doc: windows 3,4,5 merge into one span [3, 10)
+    assert(out.toSeq == Seq((10, 3, 10)))
+  }
+
+  test("contaminatedSpans: a million train copies still yield one eval span") {
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon"
+    val train = (1 to 50).map(i => (i, s"copy $i says $leak every time"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100, s"prefix $leak suffix")).toDF("doc_id", "text")
+    val out = graft.operators.text.SpanDedup
+      .contaminatedSpans(train, eval, "doc_id", "text", n = 5)
+      .collect()
+    assert(out.length == 1) // membership, not multiplicity
+  }
 }
