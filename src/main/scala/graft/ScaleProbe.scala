@@ -289,6 +289,15 @@ object ScaleProbe {
         operators.text.TextAnalysis.dsirWeights(d,
           docs.filter(col("source") === "src0"), "doc_id", "text")
       }
+      time("contamination_spans", k) {
+        // fixed eval, k×-scaled train: the distinct-hash build side
+        // grows sub-linearly (shared phrases dedupe), probe is flat
+        operators.text.SpanDedup.contaminatedSpans(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 5)
+      }
       time("text_dup_spans", k) {
         // positional-hash explode (~n_words rows/doc, longs only)
         // through the gh window shuffle, then the doc-id merge
