@@ -1234,6 +1234,39 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "pipeline_datacard" -> ((s, dir) => {
+      // the artifact handed to the training team: per (split, source)
+      // docs / tokens / content groups AFTER the quality funnel, with
+      // the split assigned on each doc's exact-dup GROUP representative
+      // (copies can never straddle train/val) — gate ∧ perplexity
+      // survivors, one doc_id-keyed funnel, one fp-keyed rep join,
+      // then a partial-aggregated datacard rollup.
+      val docs = t(s, dir, "documents")
+      val gate = TextAnalysis.gopherGate(docs, "doc_id", "text")
+        .filter(col("r_words") + col("r_mwl") + col("r_sym") + col("r_bullet")
+          + col("r_ellipsis") + col("r_alpha") === 6)
+        .select(col("doc_id"), col("n_words"))
+      val lm = TextAnalysis.lmCrossEntropy(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .filter(col("avg_nll_micros") < 3550000L)
+        .select(col("doc_id"))
+      val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val rep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+      val surv = docs.select(col("doc_id"), col("source"))
+        .join(gate.hint("shuffle_hash"), "doc_id")
+        .join(lm.hint("shuffle_hash"), "doc_id")
+        .join(fp.hint("shuffle_hash"), "doc_id")
+        .join(rep.hint("shuffle_hash"), "fp")
+      graft.operators.Sampling.assignSplit(surv, "rep",
+          Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          count_distinct(col("fp")).as("n_groups"))
+        .orderBy(col("split"), col("source"))
+    }),
+
     "pipeline_quality" -> ((s, dir) => {
       // flagship composition over the r6 quality operators, one plan:
       // Gopher structural gate (the 6 language-independent rules — the
@@ -2626,6 +2659,62 @@ object SparkEntry {
         |FROM (SELECT k.*, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
         |      FROM kept k)
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_datacard" ->
+      """WITH base AS (SELECT doc_id, source, text,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words,
+        |  string_split(text, chr(10)) AS lines FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS nw,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE list_sum(list_transform(words, t -> length(t))) END AS BIGINT) AS swl,
+        |  CAST(len(regexp_extract_all(text, '#|\.{3}|…')) AS BIGINT) AS nsym,
+        |  CAST(len(lines) AS BIGINT) AS nl,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS nb,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.{3}|…)$'))) AS BIGINT) AS ne,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) END AS BIGINT) AS na
+        |FROM base),
+        |gate AS (SELECT doc_id, nw AS n_words FROM c
+        |  WHERE nw >= 50 AND nw <= 100000
+        |    AND nw > 0 AND swl >= nw * 3 AND swl <= nw * 10
+        |    AND nsym * 10 < nw AND nb * 10 < nl * 9 AND ne * 10 < nl * 3
+        |    AND na * 5 >= nw * 4),
+        |rb AS (SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i + 1])) AS bg
+        |  FROM base WHERE source = 'src0'),
+        |big AS (SELECT bg, COUNT(*) AS c12 FROM rb GROUP BY bg),
+        |rh AS (SELECT unnest(words[1:len(words) - 1]) AS w1 FROM base WHERE source = 'src0'),
+        |hist AS (SELECT w1, COUNT(*) AS c1 FROM rh GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v_size
+        |  FROM (SELECT unnest(words) AS w FROM base WHERE source = 'src0')),
+        |db AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+        |      i -> words[i] || ' ' || words[i + 1])) AS bg FROM base)
+        |  GROUP BY doc_id, bg),
+        |sc AS (SELECT d.doc_id, d.cnt,
+        |    CAST(round(ln((COALESCE(h.c1, 0) + v.v_size)::DOUBLE /
+        |                  (COALESCE(b.c12, 0) + 1)::DOUBLE) * 1000000) AS BIGINT) AS nll
+        |  FROM db d
+        |  LEFT JOIN big b USING (bg)
+        |  LEFT JOIN hist h ON h.w1 = string_split(d.bg, ' ')[1]
+        |  CROSS JOIN v),
+        |lm AS (SELECT doc_id FROM sc GROUP BY doc_id
+        |  HAVING CAST(SUM(cnt * nll) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) < 3550000),
+        |fp AS (SELECT doc_id, md5(norm) AS fp FROM base),
+        |rep AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+        |surv AS (SELECT d.doc_id, d.source, g.n_words, f.fp, r.rep,
+        |  ('0x' || substr(md5(CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+        |  FROM documents d
+        |  JOIN gate g USING (doc_id) JOIN lm USING (doc_id)
+        |  JOIN fp f USING (doc_id) JOIN rep r USING (fp))
+        |SELECT CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+        |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_quality" ->
       """WITH base AS (SELECT doc_id, source, text,

@@ -243,6 +243,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got sort-merge:\n$p")
   }
 
+  test("pipeline_datacard: funnel + rep join stay shuffle-hash; datacard agg is partial") {
+    val df = SparkEntry.queries("pipeline_datacard")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"funnel joins must shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pinned shuffle_hash, got sort-merge:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"datacard rollup must map-side combine:\n$p")
+  }
+
   test("portable minhash buckets are ids-only; sig re-join is ShuffledHashJoin") {
     val df = SparkEntry.queries("dedup_minhash")(spark, sf)
     val opt = df.queryExecution.optimizedPlan.toString
