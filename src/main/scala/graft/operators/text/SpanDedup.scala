@@ -79,18 +79,39 @@ object SpanDedup {
     * exclusive.
     */
   def contaminatedSpans(train: DataFrame, eval: DataFrame,
-                        idCol: String, textCol: String, n: Int = 10): DataFrame = {
+                        idCol: String, textCol: String, n: Int = 10): DataFrame =
+    contaminatedSpansAgainstIndex(
+      buildSpanIndex(train, textCol, n), eval, idCol, textCol, n)
+
+  /** The persistable train-side artifact for [[contaminatedSpans]]:
+    * DISTINCT window hashes `(gh)` — 8 bytes per distinct n-gram, the
+    * smallest index in the stored-index family. Write it once per
+    * train snapshot; every eval batch probes it without re-hashing the
+    * train corpus.
+    */
+  def buildSpanIndex(train: DataFrame, textCol: String, n: Int = 10): DataFrame = {
     require(n >= 1, s"need n>=1; got n=$n")
-    val P = graft.operators.Partitioning
-    val trainH = P.ensureMinParallelism(train.filter(col(textCol).isNotNull))
+    graft.operators.Partitioning.ensureMinParallelism(
+        train.filter(col(textCol).isNotNull))
       .select(explode(call_function("graft_span_hashes", col(textCol), lit(n))).as("gh"))
       .distinct()
+  }
+
+  /** Probe a PERSISTED span index (the [[buildSpanIndex]] schema,
+    * typically read back from parquet): per-batch cost tracks the eval
+    * batch, not the accumulated train corpus.
+    */
+  def contaminatedSpansAgainstIndex(index: DataFrame, eval: DataFrame,
+                                    idCol: String, textCol: String,
+                                    n: Int = 10): DataFrame = {
+    require(n >= 1, s"need n>=1; got n=$n")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    P.ensureMinParallelism(eval.filter(col(textCol).isNotNull))
+    graft.operators.Partitioning.ensureMinParallelism(
+        eval.filter(col(textCol).isNotNull))
       .select(col(idCol), posexplode(
         call_function("graft_span_hashes", col(textCol), lit(n)))
         .as(Seq("pos", "gh")))
-      .join(trainH.hint("shuffle_hash"), Seq("gh"), "left_semi")
+      .join(index.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, 1).otherwise(0))
       .withColumn("sid", sum(col("brk")).over(

@@ -95,6 +95,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((10, 3, 10)))
   }
 
+  test("stored span index: parquet round-trip probe == direct computation") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val train = docs.filter(expr("doc_id % 10 <> 0"))
+    val eval = docs.filter(expr("doc_id % 10 = 0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+    graft.operators.text.SpanDedup.buildSpanIndex(train, "text", n = 5)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = graft.operators.text.SpanDedup
+      .contaminatedSpansAgainstIndex(spark.read.parquet(dir), eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val direct = graft.operators.text.SpanDedup
+      .contaminatedSpans(train, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(viaIndex == direct)
+    assert(direct.nonEmpty) // the fixture's shared filler produces real leaks
+  }
+
   test("contaminatedSpans: a million train copies still yield one eval span") {
     import spark.implicits._
     val leak = "alpha beta gamma delta epsilon"
