@@ -355,24 +355,41 @@ object TextAnalysis {
     */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String): DataFrame = {
-    val P = graft.operators.Partitioning
-    val withWords = (df: DataFrame, keep: Seq[Column]) =>
-      P.ensureMinParallelism(df.filter(col(textCol).isNotNull))
-        .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
-        .filter(col("w") =!= "")
     // null-text docs carry no evidence and are excluded EVERYWHERE —
     // priors included — so the class priors match an oracle that drops
     // them before the split
     val nonNull = docs.filter(col(textCol).isNotNull)
     val train = nonNull.filter(pmod(col(idCol), lit(5)) =!= 0)
     val toScore = nonNull.filter(pmod(col(idCol), lit(5)) === 0)
+    val (model, consts) = trainNb(train, textCol, labelCol)
+    nbScoreAgainstModel(model, consts, toScore, idCol, textCol)
+      .join(toScore.select(col(idCol), col(labelCol).as("label"))
+        .hint("shuffle_hash"), idCol)
+      .select(col(idCol), col("label"), col("pred"), col("score_micros"),
+        (col("pred") === col("label")).cast("int").as("correct"))
+  }
 
-    val wc = withWords(train, Seq(col(labelCol).as("cls")))
+  private def explodedWords(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+    graft.operators.Partitioning.ensureMinParallelism(df.filter(col(textCol).isNotNull))
+      .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
+      .filter(col("w") =!= "")
+
+  /** Train-once half of [[nbClassify]]: `(model, consts)` — the
+    * persistable artifacts of the stored-model family. `model` is
+    * `(cls, w, cwc, ln1p_micros)` (vocab × classes rows, sub-linear in
+    * corpus); `consts` is one row per class. Write both to parquet and
+    * score any later batch — or stream — with [[nbScoreAgainstModel]]
+    * without touching the train corpus again.
+    */
+  def trainNb(train: DataFrame, textCol: String,
+              labelCol: String): (DataFrame, DataFrame) = {
+    val wc = explodedWords(train, textCol, Seq(col(labelCol).as("cls")))
       .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cwc"))
     val classTotals = wc.groupBy(col("cls")).agg(sum(col("cwc")).as("n_c"))
     val vocab = wc.agg(countDistinct(col("w")).as("v_size"))
-    val priors = train.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("d_c"))
-    val nTrain = train.agg(count(lit(1)).as("d_tot"))
+    val priors = train.filter(col(textCol).isNotNull)
+      .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("d_c"))
+    val nTrain = train.filter(col(textCol).isNotNull).agg(count(lit(1)).as("d_tot"))
     val consts = priors.join(classTotals, "cls")
       .join(broadcast(vocab)).join(broadcast(nTrain))
       .select(col("cls"),
@@ -380,16 +397,23 @@ object TextAnalysis {
           round(log(col("d_tot").cast("double")) * 1e6).cast("long")).as("prior_micros"),
         round(log((col("n_c") + col("v_size")).cast("double")) * 1e6)
           .cast("long").as("lnden_micros"))
-
-    val dw = withWords(toScore, Seq(col(idCol)))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
-    val docT = dw.groupBy(col(idCol)).agg(sum(col("cnt")).as("t_tokens"))
     val model = wc.withColumn("ln1p_micros",
       round(log((col("cwc") + 1).cast("double")) * 1e6).cast("long"))
+    (model, consts)
+  }
+
+  /** Score a batch against a (possibly parquet-round-tripped) trained
+    * model: `(id, pred, score_micros)`. For a STREAM, call this inside
+    * `foreachBatch` — the argmax window needs a complete micro-batch.
+    */
+  def nbScoreAgainstModel(model: DataFrame, consts: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val dw = explodedWords(batch, textCol, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val docT = dw.groupBy(col(idCol)).agg(sum(col("cnt")).as("t_tokens"))
     val contrib = dw.join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy(col(idCol), col("cls"))
       .agg(sum(col("cnt") * col("ln1p_micros")).as("seen_micros"))
-
     val scored = docT.crossJoin(broadcast(consts))
       .join(contrib.hint("shuffle_hash"), Seq(idCol, "cls"), "left")
       .withColumn("score_micros",
@@ -400,11 +424,7 @@ object TextAnalysis {
       .orderBy(col("score_micros").desc, col("cls"))
     scored
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .join(toScore.select(col(idCol), col(labelCol).as("label"))
-        .hint("shuffle_hash"), idCol)
-      .select(col(idCol), col("label"), col("cls").as("pred"),
-        col("score_micros"),
-        (col("cls") === col("label")).cast("int").as("correct"))
+      .select(col(idCol), col("cls").as("pred"), col("score_micros"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

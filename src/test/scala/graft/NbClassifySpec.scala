@@ -70,6 +70,54 @@ class NbClassifySpec extends SparkSpec {
     assert(out == Set(10))
   }
 
+  test("stored model: parquet round-trip scoring == in-plan classify") {
+    val d = Tables.load(spark, sf, "documents")
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val held = d.filter(col("doc_id") % 5 === 0)
+    val (model, consts) = TextAnalysis.trainNb(train, "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbmodel").toString
+    model.write.mode("overwrite").parquet(s"$dir/model")
+    consts.write.mode("overwrite").parquet(s"$dir/consts")
+    val viaDisk = TextAnalysis.nbScoreAgainstModel(
+        spark.read.parquet(s"$dir/model"), spark.read.parquet(s"$dir/consts"),
+        held, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
+      .select(col("doc_id"), col("pred"), col("score_micros"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaDisk == direct)
+  }
+
+  test("streaming scoring via foreachBatch == batch scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (1 to 40).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha", "even")
+      else (i, "omega psi chi omega", "odd")
+    }
+    val train = rows.toDF("doc_id", "text", "lang")
+    val (model, consts) = TextAnalysis.trainNb(train, "text", "lang")
+    val m = model.cache(); val c = consts.cache()
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val input = MemoryStream[(Int, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= TextAnalysis.nbScoreAgainstModel(m, c, batch, "doc_id", "text")
+            .select("doc_id", "pred").as[(Int, String)].collect()
+        }
+        ()
+      }.start()
+    try {
+      input.addData((100, "alpha beta"), (101, "omega chi"))
+      q.processAllAvailable()
+      input.addData((102, "beta gamma alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sortBy(_._1).toList ==
+      List(100 -> "even", 101 -> "odd", 102 -> "even"))
+  }
+
   test("deterministic across runs on the fixture") {
     val d = Tables.load(spark, sf, "documents")
     val a = TextAnalysis.nbClassify(d, "doc_id", "text", "lang")
