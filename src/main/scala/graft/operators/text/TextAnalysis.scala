@@ -452,13 +452,21 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, target: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
-    val P = graft.operators.Partitioning
-    val words = (df: DataFrame, keep: Seq[Column]) =>
-      P.ensureMinParallelism(df.filter(col(textCol).isNotNull))
-        .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
-        .filter(col("w") =!= "")
-    val tc = words(target, Seq.empty).groupBy(col("w")).agg(count(lit(1)).as("ct"))
-    val rc = words(docs, Seq.empty).groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val (model, base) = trainDsir(docs, target, textCol)
+    dsirScoreAgainstModel(model, base, docs, idCol, textCol)
+  }
+
+  /** Train-once half of [[dsirWeights]]: `(model, base)` — `model` is
+    * `(w, dw_micros)` keyed on the raw vocab, `base` one row. Persist
+    * both and weight any batch drawn from the same vocabulary universe
+    * with [[dsirScoreAgainstModel]].
+    */
+  def trainDsir(docs: DataFrame, target: DataFrame,
+                textCol: String): (DataFrame, DataFrame) = {
+    val tc = explodedWords(target, textCol, Seq.empty)
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val rc = explodedWords(docs, textCol, Seq.empty)
+      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
     val model = rc.join(tc.hint("shuffle_hash"), Seq("w"), "left")
       .select(col("w"),
         (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")) * 1e6).cast("long") -
@@ -468,8 +476,16 @@ object TextAnalysis {
     val base = nRv.join(nT)
       .select((round(log((col("n_r") + col("v_size")).cast("double")) * 1e6).cast("long") -
         round(log((col("n_t") + col("v_size")).cast("double")) * 1e6).cast("long")).as("base_micros"))
+    (model, base)
+  }
 
-    words(docs, Seq(col(idCol)))
+  /** Weight a batch against a (possibly parquet-round-tripped) DSIR
+    * model. Words outside the model vocab are dropped from both Σ and
+    * T — consistent for any batch drawn from the training universe.
+    */
+  def dsirScoreAgainstModel(model: DataFrame, base: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String): DataFrame =
+    explodedWords(batch, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
       .join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy(col(idCol))
@@ -478,7 +494,6 @@ object TextAnalysis {
       .join(broadcast(base))
       .select(col(idCol), col("t_tokens"),
         (col("seen_micros") + col("t_tokens") * col("base_micros")).as("weight_micros"))
-  }
 
   /** The BPE trainer's inner-loop aggregation (Sennrich et al. 2016)
     * at corpus scale: adjacent character-pair frequencies, weighted by

@@ -45,6 +45,22 @@ class DsirSpec extends SparkSpec {
     assert(out == Set(1, 4))
   }
 
+  test("stored model: parquet round-trip weighting == in-plan weights") {
+    val d = Tables.load(spark, sf, "documents")
+    val tgt = d.filter(col("source") === "src0")
+    val (model, base) = TextAnalysis.trainDsir(d, tgt, "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    model.write.mode("overwrite").parquet(s"$dir/model")
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    val viaDisk = TextAnalysis.dsirScoreAgainstModel(
+        spark.read.parquet(s"$dir/model"), spark.read.parquet(s"$dir/base"),
+        d, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.dsirWeights(d, tgt, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaDisk == direct)
+  }
+
   test("deterministic on the fixture; target slice ranks above corpus mean") {
     val d = Tables.load(spark, sf, "documents")
     val tgt = d.filter(col("source") === "src0")
