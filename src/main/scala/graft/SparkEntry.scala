@@ -1028,7 +1028,9 @@ object SparkEntry {
     // ----- beyond-parity: text analysis -----
 
     "text_profile" -> ((s, dir) => {
-      TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+      // contract: null-text docs are excluded from text-derived outputs
+      TextAnalysis.profile(t(s, dir, "documents")
+          .filter(col("text").isNotNull), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1041,7 +1043,7 @@ object SparkEntry {
       // re-join and no second scan of the expensive profile.
       import org.apache.spark.sql.expressions.Window
       val q = graft.operators.Partitioning.ensureMinParallelism(
-          t(s, dir, "documents"))
+          t(s, dir, "documents").filter(col("text").isNotNull))
         .select(col("doc_id"), col("source"),
           round(call_function("graft_text_profile", col("text"))
             .getField("quality") * 1000000).cast("long").as("q_micros"))
@@ -1093,21 +1095,24 @@ object SparkEntry {
 
     "text_quality_gopher" -> ((s, dir) => {
       // Gopher rule gate: native one-pass counts, exact-integer rules
-      TextAnalysis.gopherGate(t(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.gopherGate(t(s, dir, "documents")
+          .filter(col("text").isNotNull), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
     "text_rolling_hash" -> ((s, dir) => {
       // md5-derived token hashes, exact 64-bit fold → full DuckDB oracle
       // (list_reduce); order-sensitivity asserted in TextAnalysisSpec
-      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
+      graft.operators.Partitioning.ensureMinParallelism(
+          t(s, dir, "documents").filter(col("text").isNotNull))
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
     }),
 
     "text_repetition" -> ((s, dir) => {
       // intra-document repetition signals (Gopher-style gates)
-      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
+      graft.operators.Partitioning.ensureMinParallelism(
+          t(s, dir, "documents").filter(col("text").isNotNull))
         .select(col("doc_id"),
           round(TextAnalysis.duplicateNgramFraction(col("text"), 1), 6).as("dup_word_frac"),
           round(TextAnalysis.duplicateNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"))
@@ -1200,7 +1205,8 @@ object SparkEntry {
     "text_redact" -> ((s, dir) => {
       // deterministic PII synthesized from fixture columns (oracle
       // reproduces the exact input), then URL/email/phone redaction
-      val synth = t(s, dir, "documents").select(col("doc_id"),
+      val synth = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
         concat(substring(col("text"), 1, 40),
           lit(" reach me at user"), col("doc_id"), lit("@example.com or https://site"),
           col("doc_id"), lit(".example/page?q=1 call 555-"),
@@ -1399,7 +1405,8 @@ object SparkEntry {
       // Single scan: the profile expression runs inline next to the
       // group key — profile()+self-join would shuffle the corpus twice.
       val p = call_function("graft_text_profile", col("text"))
-      graft.operators.Partitioning.ensureMinParallelism(t(s, dir, "documents"))
+      graft.operators.Partitioning.ensureMinParallelism(
+          t(s, dir, "documents").filter(col("text").isNotNull))
         .select(col("source"), p.getField("n_tokens").as("n_tokens"),
           round(p.getField("quality") * 1000000).cast("long").as("q_micros"),
           p.getField("lang_pred").as("lang_pred"),
@@ -1424,7 +1431,8 @@ object SparkEntry {
       // token-length distribution: exact fixed-width histogram (the
       // truncation-budget surface), one shuffle on <= nBins+2 keys
       graft.operators.TableStats.histogram(
-          t(s, dir, "documents").select(TextAnalysis.tokenCount(col("text")).as("v")),
+          t(s, dir, "documents").filter(col("text").isNotNull)
+            .select(TextAnalysis.tokenCount(col("text")).as("v")),
           col("v"), 0.0, 100.0, 10)
         .orderBy(col("bin"))
     }),
@@ -2831,7 +2839,8 @@ object SparkEntry {
 
     "text_profile" ->
       """WITH base AS (SELECT doc_id, text,
-        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, text, norm, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
@@ -2848,7 +2857,7 @@ object SparkEntry {
         |FROM sc)
         |SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subwords,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s\x0b]')) AS INT) AS n_subwords,
         |  CAST(length(text) AS INT) AS n_chars_m,
         |  round(punct, 6) AS punct_ratio,
         |  round(mwl, 6) AS mean_word_len,
@@ -2863,7 +2872,8 @@ object SparkEntry {
 
     "sample_quality_prune" ->
       """WITH base AS (SELECT doc_id, source, text,
-        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (SELECT doc_id, source, text, string_split(norm, ' ') AS words FROM base),
         |m AS (SELECT doc_id, source, text, words,
         |  CASE WHEN length(text) = 0 THEN 0.0
@@ -3007,7 +3017,8 @@ object SparkEntry {
     "text_quality_gopher" ->
       """WITH base AS (SELECT doc_id, text,
         |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words,
-        |  string_split(text, chr(10)) AS lines FROM documents),
+        |  string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT doc_id, words,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS nw,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3049,7 +3060,7 @@ object SparkEntry {
         |      list_transform(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' '),
         |        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
         |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rhash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "sql_surface" ->
       """WITH base AS (SELECT doc_id, text,
@@ -3112,7 +3123,8 @@ object SparkEntry {
 
     "corpus_report" ->
       """WITH base AS (SELECT doc_id, source, text,
-        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm FROM documents),
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (SELECT doc_id, source, text, norm, string_split(norm, ' ') AS words FROM base),
         |sc AS (SELECT doc_id, source, text, norm, words,
         |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
@@ -3150,7 +3162,7 @@ object SparkEntry {
     "stats_histogram" ->
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS INT) END AS v
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 100 THEN 10
         |  ELSE CAST(floor(v / 10.0) AS INT) END AS bin FROM t)
         |SELECT bin, COUNT(*) AS n,
@@ -3162,13 +3174,13 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id,
         |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words,
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS nt
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT doc_id, words, nt,
         |  list_distinct(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS big
         |  FROM w)
         |SELECT doc_id,
         |  round(CASE WHEN nt <= 0 THEN 0.0
-        |    ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / nt END, 6) AS dup_word_frac,
+        |    ELSE 1.0 - CAST(len(list_distinct(list_filter(words, t -> t <> ''))) AS DOUBLE) / nt END, 6) AS dup_word_frac,
         |  round(CASE WHEN nt - 1 <= 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(big) AS DOUBLE) / (nt - 1) END, 6) AS dup_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
@@ -3368,11 +3380,11 @@ object SparkEntry {
       """WITH synth AS (SELECT doc_id,
         |  substr(text, 1, 40) || ' reach me at user' || doc_id || '@example.com or https://site' ||
         |  doc_id || '.example/page?q=1 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
         |  regexp_replace(
         |    regexp_replace(
-        |      regexp_replace(raw, 'https?://\S+', '<URL>', 'g'),
+        |      regexp_replace(raw, 'https?://[^\s\x0b]+', '<URL>', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM synth ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Adversarial oracle-parity fuzz: generate a synthetic documents table
+full of the inputs the driver fixtures never contain (vertical tabs,
+CJK, emoji/surrogates, bullets, ellipses, '#', empty/whitespace-only
+docs, regex metacharacters, repeated boilerplate), run the text-family
+queries through graft.Verify on it, and hash-compare against the DuckDB
+oracles — the same check the driver's gate does, pointed at the nasty
+corner of the input space.
+
+Usage: python3 tools/fuzz_oracle.py [seed]
+(writes /tmp/graft-fuzz/<seed>/, exits non-zero on any mismatch)
+"""
+import json
+import os
+import random
+import subprocess
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# documents-only queries (no lineitem/events/embeddings dependency)
+QUERIES = [
+    "text_profile", "text_quality_gopher", "text_repetition_gopher",
+    "text_rolling_hash", "text_repetition", "text_redact", "text_chunk",
+    "text_tfidf", "text_top_ngrams", "tokenizer_bpe_pairs",
+    "text_dup_spans", "text_span_trim", "text_lm_score",
+    "text_classify_nb", "sample_dsir", "sample_quality_prune",
+    "contamination_spans", "corpus_report", "corpus_pivot",
+    "corpus_rollup", "stats_histogram", "dedup_exact", "dedup_paragraph",
+    "corpus_diff", "sample_split", "sample_shuffle",
+    "pipeline_quality", "pipeline_datacard",
+]
+
+PIECES = [
+    "the", "cat", "and", "of", "to", "have", "with", "that", "be",
+    "大家", "好", "世界", "eé", "Ångström", "naïve", "😀", "🚀x",
+    "- item", "* pt", "• dot", "wait...", "…", "#tag", "a#b", "x....y",
+    "12", "3.14", "x7", "MiXeD", "NAME", "ab", "tab\tsep",
+    "(meta)", "[re]", "{x}", "a|b", "c^d", "e$f", "g\\h", "'q'", '"qq"',
+    "https://ex.io/p?q=1", "bob@ex.io", "555-0134",
+]
+SEPS = [" ", " ", " ", "  ", "\n", "\t", "", " \n "]
+
+
+def gen_docs(seed: int, n: int = 400) -> pd.DataFrame:
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(1, n + 1):
+        kind = rnd.random()
+        if kind < 0.03:
+            text = ""
+        elif kind < 0.06:
+            text = rnd.choice([" ", "   ", "\t", "\n\n", ""])
+        elif kind < 0.16:
+            # boilerplate repeats: span/paragraph dedup fodder
+            block = " ".join(rnd.choice(PIECES[:12]) for _ in range(12))
+            text = (block + " ") * rnd.randint(2, 5) + " ".join(
+                rnd.choice(PIECES) for _ in range(rnd.randint(0, 8)))
+        else:
+            k = rnd.randint(1, 120)
+            text = rnd.choice(SEPS).join(rnd.choice(PIECES) for _ in range(k))
+        rows.append({
+            "doc_id": i,
+            "text": None if kind > 0.985 else text,
+            "lang": rnd.choice(["en", "de", "fr", "es", "zh"]),
+            "source": f"src{rnd.randint(0, 3)}",
+            "n_chars": 0 if text is None else len(text),
+        })
+    return pd.DataFrame(rows)
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 42
+    root = f"/tmp/graft-fuzz/{seed}"
+    sf_dir, out_dir = f"{root}/sf", f"{root}/out"
+    os.makedirs(sf_dir, exist_ok=True)
+    docs = gen_docs(seed)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   f"{sf_dir}/documents.parquet")
+
+    r = subprocess.run(
+        ["sbt", "--error",
+         f"runMain graft.Verify {sf_dir} {out_dir} " + " ".join(QUERIES)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1200)
+    if not os.path.exists(f"{out_dir}/oracle_sql.json"):
+        print(r.stdout[-3000:], r.stderr[-3000:])
+        print("FUZZ: Verify produced no oracle_sql.json")
+        return 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name in QUERIES:
+        qdir = os.path.join(out_dir, name)
+        if os.path.exists(os.path.join(qdir, "_ERROR")):
+            failures.append((name, "spark: " +
+                             open(os.path.join(qdir, "_ERROR")).read()[:160]))
+            continue
+        import glob
+        files = glob.glob(f"{qdir}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files \
+            else pd.DataFrame()
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"oracle: {e}"[:160]))
+            continue
+
+        def canon(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            return df.sort_values(by=list(df.columns), ignore_index=True)
+
+        g, e = canon(got.copy()), canon(exp.copy())
+        if list(g.columns) != list(e.columns):
+            failures.append((name, f"schema {list(g.columns)} != {list(e.columns)}"))
+            continue
+        if len(g) != len(e):
+            failures.append((name, f"rows {len(g)} != {len(e)}"))
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                          check_exact=True)
+            print(f"OK   {name} (rows={len(g)})")
+        except AssertionError as ex:
+            failures.append((name, str(ex).splitlines()[-1][:200]))
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    print(f"{len(QUERIES) - len(failures)}/{len(QUERIES)} pass (seed={seed})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
