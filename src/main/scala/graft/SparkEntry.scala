@@ -801,6 +801,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_prefix_exact" -> ((s, dir) => {
+      // EXACT Jaccard >= 3/5 self-join via prefix filtering: candidates
+      // come only from each doc's rarest shingles, yet the oracle
+      // brute-forces ALL shared-shingle pairs with NO df cap — the gate
+      // proves the prefix filter lost nothing (SSJoin/PPJoin theorem)
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, tauNum = 3, tauDen = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // transitive dedup clusters over the ngram near-dup pair graph
       // (min-label propagation to fixpoint; oracle = recursive CTE)
@@ -2117,6 +2127,23 @@ object SparkEntry {
         |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE common / (na + nb - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // brute force with NO frequency cap: every shared-shingle pair is
+    // graded, so a green row proves the Spark-side prefix filter is
+    // lossless; the tau=3/5 filter is integer cross-multiplication in
+    // both engines (no float boundary can flip a pair)
+    "dedup_prefix_exact" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(common AS BIGINT) AS common,
+        |  round(common / (na + nb - common), 6) AS jaccard
+        |FROM p WHERE 5 * common >= 3 * (na + nb - common) ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id,

@@ -309,4 +309,72 @@ object Dedup {
           "(component label depth still shrinking); raise maxIters")
     labels
   }
+
+  /** EXACT n-gram Jaccard self-join via prefix filtering (the
+    * SSJoin/PPJoin candidate rule: Chaudhuri et al. ICDE'06, Bayardo
+    * et al. WWW'07). Where [[ngramJaccardPairs]] buckets on EVERY
+    * shingle and needs a document-frequency cap (dropping stop-shingle
+    * pairs), this generates candidates only from each document's
+    * PREFIX — its `|S| - ceil(tau*|S|) + 1` rarest shingles under one
+    * global (df, hash) total order. The prefix-filter theorem makes
+    * that lossless: two sets with Jaccard >= tau must collide inside
+    * their prefixes, so the result equals the brute-force truth with
+    * no frequency cutoff — the oracle brute-forces ALL shared-shingle
+    * pairs and the gate proves nothing was lost.
+    *
+    * The threshold is the rational `tauNum/tauDen`; both the prefix
+    * length (`n - ceil(tauNum*n/tauDen) + 1` via integer division) and
+    * the final filter (`tauDen*common >= tauNum*(na+nb-common)`) are
+    * pure integer arithmetic, so no IEEE boundary can flip a pair in
+    * either engine.
+    *
+    * Scale shape: the df pass is one map-side-combined groupBy; rarity
+    * re-join and candidate bucketing shuffle only (id, 8-byte hash)
+    * rows, and only ~(1-tau) of them — rare-first ordering means hot
+    * shingles sit in suffixes and never form buckets, which is why the
+    * exactness survives without a skew cap (`maxBucket` stays as a
+    * hot-key OOM backstop; a trip would surface as a gate mismatch,
+    * not silent loss). Verification re-joins the two shingle-set
+    * arrays per surviving candidate pair (shuffle_hash — corpus-sized
+    * sides never broadcast) and intersects in one codegen'd pass.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, tauNum: Int = 3, tauDen: Int = 5,
+                         maxBucket: Int = 10000): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sets = graft.operators.Partitioning
+      .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), shingleHashes(col("__text"), n).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+    val exploded = sets
+      .select(col("doc_id"), size(col("sh_arr")).as("nsh"), explode(col("sh_arr")).as("sh"))
+    // df via groupBy (map-side partial combine — a window count over a
+    // hot shingle would funnel its rows into one task with no combine)
+    val df = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // ceil(tauNum*n/tauDen) as integer: (tauNum*n + tauDen - 1) div tauDen
+    val prefixLen = col("nsh") - expr(s"(nsh * $tauNum + ${tauDen - 1}) div $tauDen") + lit(1)
+    val prefix = exploded.join(df.hint("shuffle_hash"), "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= prefixLen)
+    val buckets = prefix
+      .groupBy(col("sh"))
+      .agg(graft.functions.BoundedCollectList.column(col("doc_id"), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val cands = MinHashDedup.explodePairs(buckets, "members")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sa = sets.select(col("doc_id").as("id_a"), col("sh_arr").as("__sa"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("sh_arr").as("__sb"))
+    cands
+      .join(sa.hint("shuffle_hash"), "id_a")
+      .join(sb.hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("__sa")).cast("long").as("na"), size(col("__sb")).cast("long").as("nb"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("common"))
+      .filter(col("common") * tauDen >= (col("na") + col("nb") - col("common")) * tauNum)
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"), 6))
+  }
 }

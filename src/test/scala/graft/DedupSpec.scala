@@ -257,6 +257,40 @@ class DedupSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("prefixJaccardPairs == uncapped brute-force truth on the fixture corpus") {
+    // brute force: every shared-shingle pair, exact integer tau filter —
+    // the prefix filter must lose nothing (SSJoin completeness theorem)
+    val ex = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
+    val a = ex.select(col("doc_id").as("id_a"), col("n").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("id_b"), col("n").as("nb"), col("sh"))
+    val truth = a.join(b, "sh").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("common"))
+      .filter(col("common") * 5 >= (col("na") + col("nb") - col("common")) * 3)
+      .select("id_a", "id_b", "na", "nb", "common")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 3, tauNum = 3, tauDen = 5)
+      .select("id_a", "id_b", "na", "nb", "common")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture corpus should contain planted near-dups")
+    assert(got == truth)
+  }
+
+  test("prefixJaccardPairs: hot stop-shingles never form candidate buckets") {
+    // 40 docs all sharing one boilerplate opener (hot shingles), two
+    // planted near-identical docs; rare-first prefixes must still meet
+    val boiler = "terms of service apply to all"
+    val d = ((1 to 40).map(i => (i.toLong, s"$boiler unique$i payload$i body$i tail$i")) ++
+      Seq((100L, s"alpha beta gamma delta epsilon zeta eta theta"),
+          (101L, s"alpha beta gamma delta epsilon zeta eta iota"))).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairs(d, "doc_id", "text", n = 3, tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((100L, 101L)))
+    // boilerplate-only overlap stays below tau=1/2: no cross-boiler pairs
+    assert(out.forall { case (x, y) => !(x <= 40 && y <= 40) })
+  }
+
   test("connectedComponents: transitive closure over a chain and a cycle") {
     import spark.implicits._
     // chain 1-2-3-4, cycle 10-11-12-10, singleton pair 20-21

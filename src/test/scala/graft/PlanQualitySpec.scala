@@ -43,11 +43,21 @@ class PlanQualitySpec extends SparkSpec {
 
   test("no dedup/similarity plan contains a cartesian or nested-loop join") {
     for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh_topk",
-        "dedup_semantic", "dedup_containment")) {
+        "dedup_semantic", "dedup_containment", "dedup_prefix_exact")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+  }
+
+  test("prefix-filter join: shingle-set re-join is shuffle-hash, never broadcast") {
+    // the verify stage re-joins corpus-sized shingle arrays per
+    // candidate side — the measured lshPairs OOM shape if broadcast
+    val p = plan("dedup_prefix_exact")
+    assert(p.contains("ShuffledHashJoin"), s"set re-join must pin shuffle_hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin") ||
+      p.linesIterator.count(_.contains("BroadcastHashJoin")) == 0,
+      "corpus-sized shingle-set sides must not broadcast")
   }
 
   test("semantic dedup re-joins vectors shuffle-hash; ids-only candidate lists") {

@@ -30,7 +30,7 @@ QUERIES = [
     "text_classify_nb", "sample_dsir", "sample_quality_prune",
     "contamination_spans", "corpus_report", "corpus_pivot",
     "corpus_rollup", "stats_histogram", "dedup_exact", "dedup_paragraph",
-    "corpus_diff", "sample_split", "sample_shuffle",
+    "corpus_diff", "sample_split", "sample_shuffle", "dedup_prefix_exact",
     "pipeline_quality", "pipeline_datacard",
 ]
 
