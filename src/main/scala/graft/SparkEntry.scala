@@ -1563,6 +1563,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "stats_heavy_hitters" -> ((s, dir) => {
+      // count-min frequency sketch (4x1024 cells, md5-salted rows):
+      // exact top-30 corpus tokens next to their sketch estimates —
+      // CM only over-counts, so est_cnt >= exact_cnt cell-for-cell
+      graft.operators.TableStats.cmHeavyHitters(t(s, dir, "documents"), "text",
+          depth = 4, width = 1024, k = 30)
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     "link_fuzzy" -> ((s, dir) => {
       // entity resolution within a column: distinct part names blocked
       // by first token, near-name pairs at edit distance <= 3
@@ -3524,6 +3533,27 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // the sketch cells are exact integer sums over md5-derived buckets,
+    // so DuckDB rebuilds the identical 4x1024 sketch and the min-over-
+    // rows estimate matches cell-for-cell
+    "stats_heavy_hitters" ->
+      """WITH w AS (SELECT string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT unnest(words) AS token FROM w),
+        |tt AS (SELECT token FROM t WHERE token <> ''),
+        |exact AS (SELECT token, COUNT(*) AS exact_cnt FROM tt GROUP BY token
+        |  ORDER BY exact_cnt DESC, token LIMIT 30),
+        |sk AS (SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM tt CROSS JOIN range(4) AS r(i) GROUP BY 1, 2),
+        |est AS (SELECT e.token, MIN(s.cnt) AS est_cnt
+        |  FROM exact e CROSS JOIN range(4) AS r(i)
+        |  JOIN sk s ON s.i = r.i
+        |    AND s.bucket = ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || e.token), 1, 15))::BIGINT % 1024
+        |  GROUP BY e.token)
+        |SELECT e.token, CAST(e.exact_cnt AS BIGINT) AS exact_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt
+        |FROM exact e JOIN est USING (token) ORDER BY exact_cnt DESC, token""".stripMargin,
 
     // integer micro-weights (floor(sqrt(share)*1e6)) + integer
     // normalizer: no order-dependent double summation, every remaining

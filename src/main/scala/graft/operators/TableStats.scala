@@ -139,4 +139,70 @@ object TableStats {
             / col("kth").cast("double")).cast("long")))
       .select(col(groupCol), col("n_distinct"), col("kmv_estimate"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over a key
+    * column: `depth × width` counters, each key incrementing one
+    * counter per row via independent md5-salted buckets. The sketch is
+    * `depth*width` cells NO MATTER the corpus size — map-side partial
+    * sums collapse every task's contribution to at most that many
+    * rows before the one exchange, and two sketches (days, partitions,
+    * corpora) merge by cell-wise addition. Estimates only ever
+    * OVER-count (collisions add), so `min` across the depth rows is an
+    * upper bound that is exact for keys that dodge collisions in any
+    * row — the frequency-sketch counterpart to [[distinctKmv]], and
+    * deterministic (md5, not seeded murmur) so an ANSI engine
+    * reproduces every cell.
+    *
+    * Output: (cm_row, cm_bucket, cnt), at most depth*width rows.
+    */
+  def cmSketch(keys: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    val rows = (0 until depth).map { i =>
+      struct(lit(i).as("cm_row"),
+        pmod(Sampling.hash60(concat(lit(s"$i:"), col(keyCol))), lit(width))
+          .as("cm_bucket"))
+    }
+    keys.select(explode(array(rows: _*)).as("c"))
+      .groupBy(col("c.cm_row").as("cm_row"), col("c.cm_bucket").as("cm_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimate for each key in `candidates` against a built
+    * sketch: min over the depth counters the key hashes to. The sketch
+    * side is at most depth*width rows — broadcast it; candidate keys
+    * never shuffle at all.
+    */
+  def cmEstimate(sketch: DataFrame, candidates: DataFrame, keyCol: String,
+                 depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = candidates.select(col("*"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("cm_row"),
+            pmod(Sampling.hash60(concat(lit(s"$i:"), col(keyCol))), lit(width))
+              .as("cm_bucket"))): _*)).as("p"))
+      .select(col("*"), col("p.cm_row").as("cm_row"), col("p.cm_bucket").as("cm_bucket"))
+      .drop("p")
+    probes.join(broadcast(sketch), Seq("cm_row", "cm_bucket"))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** Heavy hitters over the corpus token stream: the exact top-`k`
+    * tokens by multiplicity next to their count-min estimates — the
+    * correctness harness for the sketch (CM guarantees est >= exact;
+    * equality whenever any depth row is collision-free for the token).
+    * The exact side exists for the comparison; at 100 TB the sketch
+    * alone answers "roughly how often does X occur" with fixed memory.
+    */
+  def cmHeavyHitters(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024, k: Int = 30): DataFrame = {
+    val toks = Partitioning.ensureMinParallelism(docs.filter(col(textCol).isNotNull))
+      .select(explode(graft.operators.text.TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(k)
+    val sketch = cmSketch(toks, "token", depth, width)
+    cmEstimate(sketch, exact, "token", depth, width)
+      .select(col("token"), col("exact_cnt"), col("est_cnt"))
+  }
 }

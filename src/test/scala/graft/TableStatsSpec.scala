@@ -107,4 +107,30 @@ class TableStatsSpec extends SparkSpec {
     assert(out2 == TableStats.distinctKmv(df, "g", "key", k = 64)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("count-min: est >= exact always, exact at generous width, cell-wise mergeable") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val hh = TableStats.cmHeavyHitters(docs, "text", depth = 4, width = 1024, k = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length == 30)
+    assert(hh.forall { case (_, exact, est) => est >= exact },
+      "count-min must never under-count")
+    // sketch size is bounded by depth*width no matter the corpus
+    val toks = docs.filter(col("text").isNotNull)
+      .select(explode(graft.operators.text.TextAnalysis.tokens(col("text"))).as("k"))
+      .filter(col("k") =!= "")
+    val sk = TableStats.cmSketch(toks, "k", depth = 4, width = 64)
+    assert(sk.count() <= 4 * 64)
+    // mergeability: sketch(A ++ B) == cell-wise sum of the two sketches
+    val a = toks.limit(500).localCheckpoint(true)
+    val b = toks.limit(1700).localCheckpoint(true)
+    val merged = TableStats.cmSketch(a, "k", 4, 64)
+      .unionByName(TableStats.cmSketch(b, "k", 4, 64))
+      .groupBy("cm_row", "cm_bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = TableStats.cmSketch(a.unionByName(b), "k", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == whole)
+  }
 }
