@@ -111,6 +111,30 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "q8_overlap_join" -> ((s, dir) => {
+      // interval × interval temporal join: same-user click bursts ×
+      // purchase bursts (per calendar day). Both interval sets chunk
+      // into hour buckets and equi-join on (bucket, user); a pair
+      // survives only in the bucket holding the overlap's left edge —
+      // exactly-once with no dedup shuffle, never a nested-loop join
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      def bursts(kind: String, pfx: String) =
+        ev.filter(col("event_type") === kind)
+          .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as(s"${pfx}_day"))
+          .agg(unix_millis(min(col("ts"))).as(s"${pfx}_lo"),
+            (unix_millis(max(col("ts"))) + 1).as(s"${pfx}_hi"),
+            count(lit(1)).as(s"${pfx}_n"))
+      graft.operators.RangeLookupJoin.intervalOverlap(
+          bursts("click", "c"), bursts("purchase", "p"),
+          "c_lo", "c_hi", "p_lo", "p_hi",
+          width = 3600000.0, equiKeys = Seq("user_id"))
+        .withColumn("overlap_ms",
+          least(col("c_hi"), col("p_hi")) - greatest(col("c_lo"), col("p_lo")))
+        .select(col("user_id"), col("c_day"), col("p_day"), col("c_lo"), col("c_hi"),
+          col("p_lo"), col("p_hi"), col("c_n"), col("p_n"), col("overlap_ms"))
+        .orderBy(col("user_id"), col("c_lo"), col("p_lo"))
+    }),
+
     "q3_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -1669,6 +1693,24 @@ object SparkEntry {
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // plain overlap predicate join — the bucketed exactly-once plan
+    // must reproduce it pair-for-pair
+    "q8_overlap_join" ->
+      """WITH e AS (SELECT user_id, event_type, ts, strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT user_id, day AS c_day, epoch_ms(MIN(ts)) AS c_lo,
+        |    epoch_ms(MAX(ts)) + 1 AS c_hi, COUNT(*) AS c_n
+        |  FROM e WHERE event_type = 'click' GROUP BY user_id, day),
+        |p AS (SELECT user_id, day AS p_day, epoch_ms(MIN(ts)) AS p_lo,
+        |    epoch_ms(MAX(ts)) + 1 AS p_hi, COUNT(*) AS p_n
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, day)
+        |SELECT user_id, c_day, p_day, c_lo, c_hi, p_lo, p_hi,
+        |  CAST(c_n AS BIGINT) AS c_n, CAST(p_n AS BIGINT) AS p_n,
+        |  LEAST(c_hi, p_hi) - GREATEST(c_lo, p_lo) AS overlap_ms
+        |FROM c JOIN p USING (user_id)
+        |WHERE c_lo < p_hi AND p_lo < c_hi
+        |ORDER BY user_id, c_lo, p_lo""".stripMargin,
 
     "q3_window_topn" ->
       """SELECT o_custkey, CAST(row_number() OVER w AS INT) AS rank, o_orderkey, o_totalprice

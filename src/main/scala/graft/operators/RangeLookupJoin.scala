@@ -62,4 +62,49 @@ object RangeLookupJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval × interval OVERLAP join: pairs whose half-open intervals
+    * `[loL, hiL) × [loR, hiR)` intersect (temporal joins: session ×
+    * maintenance window, order window × activity burst). Same
+    * bucket-chunking idea as [[pointInInterval]], applied to BOTH
+    * sides: a pair's intervals co-occupy every bucket of their overlap
+    * region, so the raw equi-join on `(bucket, equiKeys)` would emit
+    * the pair once per shared bucket — instead of a dedup shuffle, the
+    * join keeps a pair only in its CANONICAL bucket, the one holding
+    * `max(loL, loR)` (the overlap's left edge, which exists iff the
+    * overlap does). Exactly-once by construction, no distinct.
+    *
+    * `equiKeys` are ordinary join keys present on both sides (e.g. the
+    * user id for same-user temporal joins) — they ride the same hash
+    * exchange as the bucket, so adding them costs nothing and slashes
+    * bucket collisions. All remaining column names must be disjoint.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loL: String, hiL: String, loR: String, hiR: String,
+                      width: Double, equiKeys: Seq[String] = Nil,
+                      maxChunksPerInterval: Long = 65536L): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val collide = left.columns.toSeq.intersect(right.columns.toSeq).diff(equiKeys)
+    require(collide.isEmpty, s"column collision between sides: $collide")
+    require(!(left.columns ++ right.columns).contains("_bucket"),
+      "input columns collide with the internal _bucket column")
+
+    val w = lit(width)
+    def chunk(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val firstB = floor(col(lo) / w).cast("long")
+      val lastRaw = (ceil(col(hi) / w) - 1).cast("long")
+      val lastB = when(lastRaw - firstB >= maxChunksPerInterval,
+          raise_error(concat(
+            lit(s"interval spans more than $maxChunksPerInterval buckets of width $width: ["),
+            col(lo), lit(", "), col(hi), lit(") — widen `width` or split the interval")))
+            .cast("long"))
+        .otherwise(lastRaw)
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) < col(hi))
+        .withColumn("_bucket", explode(sequence(firstB, lastB)))
+    }
+    chunk(left, loL, hiL).join(chunk(right, loR, hiR), "_bucket" +: equiKeys)
+      .filter(col(loL) < col(hiR) && col(loR) < col(hiL))
+      .filter(col("_bucket") === floor(greatest(col(loL), col(loR)) / w).cast("long"))
+      .drop("_bucket")
+  }
 }

@@ -61,4 +61,32 @@ class RangeLookupJoinSpec extends SparkSpec {
       .select("o_orderkey", "band").orderBy("o_orderkey").collect()
     assert(fast.toSeq === naive.toSeq && fast.nonEmpty)
   }
+
+  test("intervalOverlap: exactly-once across shared buckets, half-open edges") {
+    // a×x share MANY buckets (both wide) — must still emit once;
+    // touching-at-edge pairs (hi == lo) must NOT match (half-open)
+    val l = Seq(("a", 0.0, 100.0), ("b", 10.0, 12.0), ("c", 50.0, 51.0))
+      .toDF("ltag", "l_lo", "l_hi")
+    val r = Seq(("x", 5.0, 95.0), ("y", 12.0, 14.0), ("z", 200.0, 300.0))
+      .toDF("rtag", "r_lo", "r_hi")
+    val out = RangeLookupJoin.intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi", width = 3.0)
+      .select("ltag", "rtag").as[(String, String)].collect().sorted
+    // b=[10,12) touches y=[12,14) at the edge only: no match
+    assert(out.toSeq === Seq(("a", "x"), ("a", "y"), ("b", "x"), ("c", "x")))
+  }
+
+  test("intervalOverlap with equiKeys matches the naive per-key overlap join") {
+    val l = (1 to 60).map(i => (i % 5L, s"L$i", i * 3.0, i * 3.0 + (i % 7) + 1.0))
+      .toDF("k", "ltag", "l_lo", "l_hi")
+    val r = (1 to 60).map(i => (i % 5L, s"R$i", i * 2.5, i * 2.5 + (i % 5) + 1.0))
+      .toDF("k", "rtag", "r_lo", "r_hi")
+    val naive = l.join(r, Seq("k"))
+      .filter(col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("ltag", "rtag").as[(String, String)].collect().toSet
+    val fast = RangeLookupJoin.intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+        width = 4.0, equiKeys = Seq("k"))
+      .select("ltag", "rtag").as[(String, String)].collect()
+    assert(fast.length == fast.toSet.size, "pair emitted more than once")
+    assert(fast.toSet == naive && naive.nonEmpty)
+  }
 }
