@@ -1587,6 +1587,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "stats_drift" -> ((s, dir) => {
+      // PSI distribution drift per source between the even-id and
+      // odd-id corpus halves (stand-ins for two snapshot versions),
+      // bucketed by token-count (width 32, capped at bin 15); add-one
+      // smoothing over observed buckets, every term integer micros
+      val docs = t(s, dir, "documents")
+      val tc = graft.operators.text.TextAnalysis.tokenCount(col("text"))
+      val bucket = least(floor(tc / lit(32.0)), lit(15L)).cast("long")
+      graft.operators.TableStats.psiDrift(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "source", bucket)
+        .orderBy(col("source"))
+    }),
+
     "stats_heavy_hitters" -> ((s, dir) => {
       // count-min frequency sketch (4x1024 cells, md5-salted rows):
       // exact top-30 corpus tokens next to their sketch estimates —
@@ -3575,6 +3590,36 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // per-bucket terms round to integer micros BEFORE the per-source
+    // sum, so no order-dependent float accumulation exists in either
+    // engine; num/den are single-rounded products of exact counts
+    "stats_drift" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS tc
+        |  FROM documents),
+        |bkt AS (SELECT source, LEAST(CAST(floor(tc / 32.0) AS BIGINT), 15) AS bucket,
+        |    doc_id % 2 AS half FROM d),
+        |ca AS (SELECT source, bucket, COUNT(*) AS a FROM bkt WHERE half = 0 GROUP BY 1, 2),
+        |cb AS (SELECT source, bucket, COUNT(*) AS b FROM bkt WHERE half = 1 GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(ca.source, cb.source) AS source,
+        |    COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |    COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+        |  FROM ca FULL OUTER JOIN cb ON ca.source = cb.source AND ca.bucket = cb.bucket),
+        |t AS (SELECT source, a, b,
+        |    SUM(a) OVER (PARTITION BY source) AS ta,
+        |    SUM(b) OVER (PARTITION BY source) AS tb,
+        |    COUNT(*) OVER (PARTITION BY source) AS nb FROM j),
+        |terms AS (SELECT source, a, b, nb,
+        |    CAST(round((CAST(a + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE)
+        |               - CAST(b + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))
+        |      * ln((CAST(a + 1 AS DOUBLE) * CAST(tb + nb AS DOUBLE))
+        |          / (CAST(b + 1 AS DOUBLE) * CAST(ta + nb AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS term FROM t)
+        |SELECT source, CAST(SUM(a) AS BIGINT) AS n_old, CAST(SUM(b) AS BIGINT) AS n_new,
+        |  CAST(MAX(nb) AS BIGINT) AS n_buckets, CAST(SUM(term) AS BIGINT) AS psi_micros
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // the sketch cells are exact integer sums over md5-derived buckets,
     // so DuckDB rebuilds the identical 4x1024 sketch and the min-over-

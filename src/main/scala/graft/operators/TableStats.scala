@@ -187,6 +187,52 @@ object TableStats {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** Population-stability-index drift between two corpus snapshots,
+    * per group — the monitoring primitive for a refreshed training
+    * corpus ("did source X's length/quality distribution move?").
+    * PSI = Σ_buckets (p_new - p_old)·ln(p_new/p_old) with add-one
+    * smoothing over the union of observed buckets; PSI ≳ 0.2 is the
+    * classic retrain-trigger threshold (in micros: 200000).
+    *
+    * Every term is derived from exact integer counts through one
+    * fixed sequence of IEEE steps (two divisions, one ln of a ratio
+    * of exact products, one multiply, one round to micros — then an
+    * INTEGER sum per group), so the whole statistic hash-matches an
+    * ANSI replica: no order-dependent float accumulation anywhere.
+    *
+    * Scale shape: each side is one map-side-combined (group, bucket)
+    * aggregate — bounded by groups × bins regardless of corpus rows —
+    * then a full-outer merge on the same key and a window over the
+    * tiny per-group bucket list. Nothing corpus-sized crosses a second
+    * exchange.
+    */
+  def psiDrift(oldSnap: DataFrame, newSnap: DataFrame,
+               groupCol: String, bucket: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, as: String) =
+      Partitioning.ensureMinParallelism(df)
+        .groupBy(col(groupCol), bucket.as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val joined = counts(oldSnap, "a_cnt")
+      .join(counts(newSnap, "b_cnt"), Seq(groupCol, "bucket"), "full_outer")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("a_cnt"), lit(0L)).as("a"), coalesce(col("b_cnt"), lit(0L)).as("b"))
+    val w = Window.partitionBy(col(groupCol))
+    val withTotals = joined
+      .withColumn("ta", sum(col("a")).over(w))
+      .withColumn("tb", sum(col("b")).over(w))
+      .withColumn("nb", count(lit(1)).over(w))
+    val pa = (col("a") + 1).cast("double") / (col("ta") + col("nb")).cast("double")
+    val pb = (col("b") + 1).cast("double") / (col("tb") + col("nb")).cast("double")
+    val num = (col("a") + 1).cast("double") * (col("tb") + col("nb")).cast("double")
+    val den = (col("b") + 1).cast("double") * (col("ta") + col("nb")).cast("double")
+    withTotals
+      .withColumn("term", round((pa - pb) * log(num / den) * 1e6).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("a")).as("n_old"), sum(col("b")).as("n_new"),
+        max(col("nb")).as("n_buckets"), sum(col("term")).as("psi_micros"))
+  }
+
   /** Heavy hitters over the corpus token stream: the exact top-`k`
     * tokens by multiplicity next to their count-min estimates — the
     * correctness harness for the sketch (CM guarantees est >= exact;

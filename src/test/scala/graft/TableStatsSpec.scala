@@ -108,6 +108,24 @@ class TableStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("psiDrift: zero on identical halves, positive on a shifted one, bucket-gap safe") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => ("s", i % 10L))
+    val same = TableStats.psiDrift(base.toDF("g", "v"), base.toDF("g", "v"),
+        "g", col("v")).collect().head
+    assert(same.getLong(4) == 0L, s"identical distributions must read PSI 0, got $same")
+    // shifted: new half concentrates in buckets the old half barely has
+    val shifted = (1 to 400).map(i => ("s", 8L + i % 2L))
+    val drift = TableStats.psiDrift(base.toDF("g", "v"), shifted.toDF("g", "v"),
+        "g", col("v")).collect().head
+    assert(drift.getLong(4) > 200000L, s"shifted distribution must trip the 0.2 threshold: $drift")
+    assert(drift.getLong(1) == 400L && drift.getLong(2) == 400L && drift.getLong(3) == 10L)
+    // a bucket present on only one side must not null out the term
+    val gap = TableStats.psiDrift(Seq(("g2", 1L)).toDF("g", "v"),
+        Seq(("g2", 2L)).toDF("g", "v"), "g", col("v")).collect().head
+    assert(!gap.isNullAt(4) && gap.getLong(3) == 2L)
+  }
+
   test("count-min: est >= exact always, exact at generous width, cell-wise mergeable") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
