@@ -135,6 +135,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("c_lo"), col("p_lo"))
     }),
 
+    "q9_json_props" -> ((s, dir) => {
+      // semi-structured scan: typed extraction from the JSON props
+      // column with ONE schema-directed from_json per row inside the
+      // scan stage (codegen'd; no regex, no UDF) — only the extracted
+      // int ever reaches the aggregate exchange, never the JSON text
+      val kSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"), kSchema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q3_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -1708,6 +1727,13 @@ object SparkEntry {
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_json_props" ->
+      """WITH p AS (SELECT event_type, CAST(props::JSON ->> 'k' AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(k) AS BIGINT) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // plain overlap predicate join — the bucketed exactly-once plan
     // must reproduce it pair-for-pair

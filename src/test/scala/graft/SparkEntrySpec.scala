@@ -22,6 +22,22 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("json props extraction: malformed/missing/null all yield null k (oracle parity)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the oracle's CAST(props::JSON ->> 'k' AS BIGINT) nulls on every
+    // non-conforming row; from_json must agree case-for-case
+    val rows = Seq((1L, """{"k": 42}"""), (2L, """{"other": 1}"""),
+      (3L, "not json"), (4L, null.asInstanceOf[String]), (5L, """{"k": null}"""))
+      .toDF("id", "props")
+    val kSchema = StructType(Seq(StructField("k", IntegerType)))
+    val got = rows.withColumn("k", from_json(col("props"), kSchema).getField("k"))
+      .select("id", "k").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map(1L -> Some(42), 2L -> None, 3L -> None, 4L -> None, 5L -> None))
+  }
+
   test("pipeline_replicate: handoff state == straight replay; F10 overlap exercised") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("pipeline_replicate")(spark, sf).cache()
