@@ -45,6 +45,13 @@ object BinlogParser {
   val DELETE_ROWS_V2 = 0x20
   val GTID_EVENT = 0x21
   val PREVIOUS_GTIDS_EVENT = 0x23
+  val PARTIAL_UPDATE_ROWS = 0x27 // MySQL 8 binlog_row_value_options=PARTIAL_JSON
+
+  /** `value_options` bit: after-images may store JSON columns as diff
+    * sequences against the before-image (public layout
+    * `libbinlogevents/include/rows_event.h`).
+    */
+  private val OptPartialJson = 1
 
   private val Magic = Array[Byte](0xfe.toByte, 'b', 'i', 'n')
 
@@ -222,9 +229,18 @@ object BinlogParser {
 
   /** ROWS v2 body → (tableId, images). UPDATE emits (before, after)
     * pairs flattened in order; WRITE/DELETE emit single images.
+    *
+    * PARTIAL_UPDATE_ROWS (0x27): each after-image is preceded by a
+    * lenenc `value_options`; with the PARTIAL_JSON bit set a bitmap
+    * follows — one bit per JSON column present in the after-image —
+    * marking columns whose stored value is a [[JsonDiff]] sequence
+    * against the paired before-image instead of full JSONB. The diffs
+    * are applied HERE so every downstream consumer keeps seeing full
+    * row images (the reference applier's contract).
     */
   def parseRows(body: Array[Byte], typeCode: Int,
                 tm: Long => TableMapEntry): (Long, Seq[RowImage]) = {
+    val isUpdate = typeCode == UPDATE_ROWS_V2 || typeCode == PARTIAL_UPDATE_ROWS
     val r = new Reader(body, 0)
     val tableId = r.u48()
     r.skip(2) // flags
@@ -232,29 +248,68 @@ object BinlogParser {
     r.skip(math.max(0, extraLen - 2))
     val n = r.lenenc().toInt
     val present1 = r.bitmap(n)
-    val present2 = if (typeCode == UPDATE_ROWS_V2) r.bitmap(n) else present1
+    val present2 = if (isUpdate) r.bitmap(n) else present1
     val entry = tm(tableId)
     require(entry != null, s"ROWS event for unmapped table id $tableId")
     val images = Seq.newBuilder[RowImage]
     var isAfter = false // alternates for UPDATE
+    // before-image JSON DOMs by column ordinal — the base documents the
+    // paired after-image's diffs patch (reset per row pair)
+    var beforeJson = Map.empty[Int, JsonBinary.Jv]
     while (r.remaining > 0) {
-      val present = if (typeCode == UPDATE_ROWS_V2 && isAfter) present2 else present1
+      val present = if (isUpdate && isAfter) present2 else present1
+      val partialJson: IndexedSeq[Boolean] =
+        if (typeCode == PARTIAL_UPDATE_ROWS && isAfter) {
+          val valueOptions = r.lenenc()
+          if ((valueOptions & OptPartialJson) != 0) {
+            val jsonCols = (0 until n).count(c => present(c) && entry.types(c) == 0xf5)
+            r.bitmap(jsonCols)
+          } else IndexedSeq.empty
+        } else IndexedSeq.empty
       val presentCount = present.count(identity)
       val nulls = r.bitmap(presentCount)
       val img = Array.fill[Option[String]](n)(None)
       var pi = 0
+      var jsonOrdinal = 0
       var c = 0
       while (c < n) {
         if (present(c)) {
-          if (!nulls(pi)) img(c) = Some(decodeValue(r, entry.types(c), entry.metas(c)))
+          val isJson = entry.types(c) == 0xf5
+          if (!nulls(pi)) {
+            if (isJson && typeCode == PARTIAL_UPDATE_ROWS) {
+              val payload = r.bytes(blobLen(r, entry.metas(c)))
+              if (!isAfter) {
+                val tree = JsonBinary.decodeTree(payload)
+                beforeJson += c -> tree
+                img(c) = Some(JsonBinary.render(tree))
+              } else if (jsonOrdinal < partialJson.length && partialJson(jsonOrdinal)) {
+                val base = beforeJson.getOrElse(c, throw new IllegalStateException(
+                  s"partial JSON diff for column $c with no before-image value " +
+                    "(partial updates require the column in the before image)"))
+                val patched = JsonDiff.applyDiffs(base, JsonDiff.readDiffs(payload))
+                img(c) = Some(JsonBinary.render(patched))
+              } else img(c) = Some(JsonBinary.decode(payload))
+            } else img(c) = Some(decodeValue(r, entry.types(c), entry.metas(c)))
+          }
+          if (isJson && isAfter) jsonOrdinal += 1
           pi += 1
         }
         c += 1
       }
       images += img.toIndexedSeq
-      if (typeCode == UPDATE_ROWS_V2) isAfter = !isAfter
+      if (isUpdate) {
+        if (isAfter) beforeJson = Map.empty // next pair starts fresh
+        isAfter = !isAfter
+      }
     }
     (tableId, images.result())
+  }
+
+  /** BLOB-style length: `meta` little-endian length bytes. */
+  private def blobLen(r: Reader, meta: Int): Int = {
+    var len = 0L; var i = 0
+    while (i < meta) { len |= r.u8().toLong << (8 * i); i += 1 }
+    len.toInt
   }
 
   // ---- value decoding (public column storage formats) ----
@@ -421,7 +476,7 @@ object BinlogParser {
           if (!decoded.equalsIgnoreCase("BEGIN"))
             out += ChangeEvent(db, "", Op.Ddl, "", Map.empty, Map("sql" -> decoded),
               ev.timestamp * 1000, gtid, ev.logPos, lastCommitted, ev.serverId.toString)
-        case WRITE_ROWS_V2 | DELETE_ROWS_V2 | UPDATE_ROWS_V2 =>
+        case WRITE_ROWS_V2 | DELETE_ROWS_V2 | UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS =>
           val (tid, images) = parseRows(ev.body, ev.typeCode,
             id => tables.getOrElse(id, null))
           val e = tables(tid)

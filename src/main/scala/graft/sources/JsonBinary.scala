@@ -24,12 +24,15 @@ import java.nio.charset.StandardCharsets
   *     always inlined in the value entry; 32-bit ints are inlined only
   *     in the large format (4-byte entry field).
   *
-  * Output is compact canonical JSON text (no whitespace), keys in
-  * stored order (MySQL stores them sorted by length then bytes).
-  * Strings decode as real UTF-8 — JSON columns are always utf8mb4, so
-  * unlike CHAR/TEXT they do NOT ride the ISO-8859-1 carrier and the C9
-  * transcode stage must leave them alone (it does: JSON columns carry
-  * no charset tag in the SchemaRegistry).
+  * Decoding builds a small DOM ([[Jv]]) so MySQL 8 partial-JSON diffs
+  * ([[JsonDiff]]) can be applied structurally; [[render]] serializes it
+  * to the same compact canonical text the original streaming decoder
+  * emitted (no whitespace, keys in stored order — MySQL stores them
+  * sorted by length then bytes). Strings decode as real UTF-8 — JSON
+  * columns are always utf8mb4, so unlike CHAR/TEXT they do NOT ride
+  * the ISO-8859-1 carrier and the C9 transcode stage must leave them
+  * alone (it does: JSON columns carry no charset tag in the
+  * SchemaRegistry).
   *
   * Unknown types and opaque subtypes fail loudly, same policy as
   * [[BinlogParser]]: a silent wrong decode is unacceptable in a
@@ -37,11 +40,53 @@ import java.nio.charset.StandardCharsets
   */
 object JsonBinary {
 
-  def decode(data: Array[Byte]): String = {
-    if (data.isEmpty) return "null" // empty value = SQL null payload
+  /** Minimal JSON DOM. `VRaw` carries a verbatim token (numbers,
+    * null/true/false, decimals) so rendering cannot re-format what the
+    * storage already fixed; `VStr` is escaped+quoted at render time
+    * (plain strings and opaque temporals alike).
+    */
+  sealed trait Jv
+  final case class VRaw(token: String) extends Jv
+  final case class VStr(s: String) extends Jv
+  final case class VArr(items: Vector[Jv]) extends Jv
+  final case class VObj(fields: Vector[(String, Jv)]) extends Jv
+
+  def decode(data: Array[Byte]): String = render(decodeTree(data))
+
+  def decodeTree(data: Array[Byte]): Jv = {
+    if (data.isEmpty) return VRaw("null") // empty value = SQL null payload
+    value(data, data(0) & 0xff, 1)
+  }
+
+  def render(v: Jv): String = {
     val sb = new java.lang.StringBuilder
-    value(data, data(0) & 0xff, 1, sb)
+    renderTo(v, sb)
     sb.toString
+  }
+
+  private def renderTo(v: Jv, sb: java.lang.StringBuilder): Unit = v match {
+    case VRaw(t) => sb.append(t)
+    case VStr(s) => appendJsonString(s, sb)
+    case VArr(items) =>
+      sb.append('[')
+      var i = 0
+      while (i < items.length) {
+        if (i > 0) sb.append(',')
+        renderTo(items(i), sb)
+        i += 1
+      }
+      sb.append(']')
+    case VObj(fields) =>
+      sb.append('{')
+      var i = 0
+      while (i < fields.length) {
+        if (i > 0) sb.append(',')
+        appendJsonString(fields(i)._1, sb)
+        sb.append(':')
+        renderTo(fields(i)._2, sb)
+        i += 1
+      }
+      sb.append('}')
   }
 
   // ---- fixed-width little-endian reads ----
@@ -65,34 +110,36 @@ object JsonBinary {
     throw new IllegalStateException("unreachable")
   }
 
-  private def value(b: Array[Byte], typ: Int, pos: Int, sb: java.lang.StringBuilder): Unit = typ match {
-    case 0x00 => container(b, pos, small = true, isObj = true, sb)
-    case 0x01 => container(b, pos, small = false, isObj = true, sb)
-    case 0x02 => container(b, pos, small = true, isObj = false, sb)
-    case 0x03 => container(b, pos, small = false, isObj = false, sb)
-    case 0x04 => sb.append((b(pos) & 0xff) match {
+  private def value(b: Array[Byte], typ: Int, pos: Int): Jv = typ match {
+    case 0x00 => container(b, pos, small = true, isObj = true)
+    case 0x01 => container(b, pos, small = false, isObj = true)
+    case 0x02 => container(b, pos, small = true, isObj = false)
+    case 0x03 => container(b, pos, small = false, isObj = false)
+    case 0x04 => VRaw((b(pos) & 0xff) match {
       case 0x00 => "null"
       case 0x01 => "true"
       case 0x02 => "false"
       case other => throw new IllegalArgumentException(s"bad JSONB literal $other")
     })
-    case 0x05 => sb.append(i16(b, pos))
-    case 0x06 => sb.append(u16(b, pos))
-    case 0x07 => sb.append(i32(b, pos))
-    case 0x08 => sb.append(u32(b, pos))
-    case 0x09 => sb.append(i64(b, pos))
-    case 0x0a => sb.append(java.lang.Long.toUnsignedString(i64(b, pos)))
-    case 0x0b => appendDouble(java.lang.Double.longBitsToDouble(i64(b, pos)), sb)
+    case 0x05 => VRaw(i16(b, pos).toString)
+    case 0x06 => VRaw(u16(b, pos).toString)
+    case 0x07 => VRaw(i32(b, pos).toString)
+    case 0x08 => VRaw(u32(b, pos).toString)
+    case 0x09 => VRaw(i64(b, pos).toString)
+    case 0x0a => VRaw(java.lang.Long.toUnsignedString(i64(b, pos)))
+    case 0x0b =>
+      // whole doubles keep Java's shortest round-trip repr (see the
+      // canonical-text contract in the scaladoc)
+      VRaw(java.lang.Double.longBitsToDouble(i64(b, pos)).toString)
     case 0x0c =>
       val (len, p2) = varlen(b, pos)
-      appendJsonString(new String(b, p2, len, StandardCharsets.UTF_8), sb)
-    case 0x0f => opaque(b, pos, sb)
+      VStr(new String(b, p2, len, StandardCharsets.UTF_8))
+    case 0x0f => opaque(b, pos)
     case other =>
       throw new IllegalArgumentException(f"unsupported JSONB type 0x$other%02x")
   }
 
-  private def container(b: Array[Byte], pos: Int, small: Boolean, isObj: Boolean,
-                        sb: java.lang.StringBuilder): Unit = {
+  private def container(b: Array[Byte], pos: Int, small: Boolean, isObj: Boolean): Jv = {
     val w = if (small) 2 else 4
     def field(p: Int): Int = if (small) u16(b, p) else i32(b, p)
     val count = field(pos)
@@ -100,17 +147,7 @@ object JsonBinary {
     // below are self-describing
     val keyEntries = pos + 2 * w
     val valueEntries = keyEntries + (if (isObj) count * (w + 2) else 0)
-    sb.append(if (isObj) '{' else '[')
-    var i = 0
-    while (i < count) {
-      if (i > 0) sb.append(',')
-      if (isObj) {
-        val ke = keyEntries + i * (w + 2)
-        val keyOff = field(ke)
-        val keyLen = u16(b, ke + w)
-        appendJsonString(new String(b, pos + keyOff, keyLen, StandardCharsets.UTF_8), sb)
-        sb.append(':')
-      }
+    def valueAt(i: Int): Jv = {
       val ve = valueEntries + i * (1 + w)
       val vtyp = b(ve) & 0xff
       val inlined = vtyp match {
@@ -118,11 +155,17 @@ object JsonBinary {
         case 0x07 | 0x08 => !small      // int32 / uint32 fit a 4-byte entry
         case _ => false
       }
-      if (inlined) value(b, vtyp, ve + 1, sb)
-      else value(b, vtyp, pos + field(ve + 1), sb)
-      i += 1
+      if (inlined) value(b, vtyp, ve + 1)
+      else value(b, vtyp, pos + field(ve + 1))
     }
-    sb.append(if (isObj) '}' else ']')
+    if (isObj) {
+      VObj(Vector.tabulate(count) { i =>
+        val ke = keyEntries + i * (w + 2)
+        val keyOff = field(ke)
+        val keyLen = u16(b, ke + w)
+        (new String(b, pos + keyOff, keyLen, StandardCharsets.UTF_8), valueAt(i))
+      })
+    } else VArr(Vector.tabulate(count)(valueAt))
   }
 
   /** Opaque scalar: MYSQL field-type byte + varint length + payload.
@@ -130,7 +173,7 @@ object JsonBinary {
     * packed-longlong temporal form (TIME_to_longlong_packed layout:
     * `((ymd << 17 | hms) << 24) | microseconds`) and emit quoted.
     */
-  private def opaque(b: Array[Byte], pos: Int, sb: java.lang.StringBuilder): Unit = {
+  private def opaque(b: Array[Byte], pos: Int): Jv = {
     val fieldType = b(pos) & 0xff
     val (len, p2) = varlen(b, pos + 1)
     fieldType match {
@@ -138,7 +181,7 @@ object JsonBinary {
         val precision = b(p2) & 0xff
         val scale = b(p2 + 1) & 0xff
         val r = new BinlogParser.Reader(b, p2 + 2)
-        sb.append(BinlogParser.decodeNewDecimal(r, precision, scale))
+        VRaw(BinlogParser.decodeNewDecimal(r, precision, scale))
       case 0x0a | 0x0c | 0x07 | 0x0b => // DATE / DATETIME / TIMESTAMP / TIME
         val packedRaw = i64(b, p2)
         val neg = packedRaw < 0
@@ -150,7 +193,7 @@ object JsonBinary {
         val hms = if (fieldType == 0x0b) ymdhms else ymdhms & 0x1ffffL
         val h = hms >> 12; val mi = (hms >> 6) & 0x3f; val s = hms & 0x3f
         val frac = if (micros != 0) f".$micros%06d" else ""
-        sb.append('"')
+        val sb = new java.lang.StringBuilder
         if (fieldType == 0x0b) { // TIME
           if (neg) sb.append('-')
           sb.append(f"$h%02d:$mi%02d:$s%02d$frac")
@@ -160,18 +203,11 @@ object JsonBinary {
           sb.append(f"${ym / 13}%04d-${ym % 13}%02d-${ymd & 0x1f}%02d")
           if (fieldType != 0x0a) sb.append(f" $h%02d:$mi%02d:$s%02d$frac")
         }
-        sb.append('"')
+        VStr(sb.toString)
       case other =>
         throw new IllegalArgumentException(
           f"unsupported JSONB opaque field type 0x$other%02x (len=$len)")
     }
-  }
-
-  private def appendDouble(d: Double, sb: java.lang.StringBuilder): Unit = {
-    // whole doubles print without the trailing ".0" (MySQL: CAST(1.0 ...
-    // prints "1.0" but JSON_EXTRACT('1.0','$') round-trips as 1.0; we
-    // define the canonical text as Java's shortest round-trip repr)
-    sb.append(d.toString)
   }
 
   private def appendJsonString(s: String, sb: java.lang.StringBuilder): Unit = {

@@ -245,6 +245,60 @@ class BinlogParserSpec extends AnyFunSuite {
     assert(set.render == "1-5:7")
   }
 
+  test("PARTIAL_UPDATE_ROWS: JSON diffs patch the before image; full columns untouched") {
+    import JsonbBytes.{JArr, JI16, JObj, JStr}
+    // table: id INT, j JSON (meta = 4 length bytes, the server default)
+    val entry = TableMapEntry("db", "t", Array(0x03, 0xf5), Array(0, 4))
+    val beforeDoc = JsonbBytes.doc(JObj(Seq(
+      "a" -> JI16(1), "b" -> JStr("x"),
+      "cc" -> JArr(Seq(JI16(1), JI16(2), JI16(3))))))
+    // diff sequence: REPLACE $.b=42, REMOVE $.cc[1], INSERT $.ab="new"
+    val v42 = JsonbBytes.doc(JI16(42)); val vNew = JsonbBytes.doc(JStr("new"))
+    val diffs = new W()
+      .u8(0).lenenc(3).str("$.b").lenenc(v42.length).raw(v42)
+      .u8(2).lenenc(7).str("$.cc[1]")
+      .u8(1).lenenc(4).str("$.ab").lenenc(vNew.length).raw(vNew)
+      .result
+    val body = new W().u48(9L).u16(0).u16(2).lenenc(2)
+      .u8(0x03).u8(0x03) // before + after present bitmaps (both cols)
+      // before image: no nulls, id=7, full JSONB
+      .u8(0).u32(7L).u32(beforeDoc.length).raw(beforeDoc)
+      // after image: value_options=PARTIAL_JSON, partial bit set for
+      // the one JSON column, no nulls, id=7, diff-sequence value
+      .u8(1).u8(0x01)
+      .u8(0).u32(7L).u32(diffs.length).raw(diffs)
+      .result
+    val (tid, images) = BinlogParser.parseRows(body, PARTIAL_UPDATE_ROWS, _ => entry)
+    assert(tid == 9L && images.length == 2)
+    assert(images(0)(1).get == """{"a":1,"b":"x","cc":[1,2,3]}""")
+    assert(images(1)(0).get == "7")
+    assert(images(1)(1).get == """{"a":1,"b":42,"ab":"new","cc":[1,3]}""")
+  }
+
+  test("PARTIAL_UPDATE_ROWS: clear partial bit means a full JSONB after-image") {
+    import JsonbBytes.{JI16, JObj}
+    val entry = TableMapEntry("db", "t", Array(0x03, 0xf5), Array(0, 4))
+    val before = JsonbBytes.doc(JObj(Seq("a" -> JI16(1))))
+    val after = JsonbBytes.doc(JObj(Seq("a" -> JI16(2))))
+    val body = new W().u48(9L).u16(0).u16(2).lenenc(2)
+      .u8(0x03).u8(0x03)
+      .u8(0).u32(7L).u32(before.length).raw(before)
+      .u8(1).u8(0x00) // PARTIAL_JSON on, but this column's bit is clear
+      .u8(0).u32(7L).u32(after.length).raw(after)
+      .result
+    val (_, images) = BinlogParser.parseRows(body, PARTIAL_UPDATE_ROWS, _ => entry)
+    assert(images(1)(1).get == """{"a":2}""")
+    // and an EMPTY diff sequence with the bit set = unchanged column
+    val body2 = new W().u48(9L).u16(0).u16(2).lenenc(2)
+      .u8(0x03).u8(0x03)
+      .u8(0).u32(7L).u32(before.length).raw(before)
+      .u8(1).u8(0x01)
+      .u8(0).u32(7L).u32(0L) // zero-length diff payload
+      .result
+    val (_, images2) = BinlogParser.parseRows(body2, PARTIAL_UPDATE_ROWS, _ => entry)
+    assert(images2(1)(1).get == """{"a":1}""")
+  }
+
   test("decoded stream drives S2 transaction assembly end-to-end") {
     // the commit marker and gtid grouping line up with
     // CdcPipeline.assembleTransactions' contract
