@@ -1606,6 +1606,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "stats_quantiles_sketch" -> ((s, dir) => {
+      // mergeable octave-sketch quantiles over per-doc token counts:
+      // <= 64 integer bins per source however big the corpus; p50/p90/
+      // p99 upper bounds from one bounded aggregate + tiny window
+      val docs = t(s, dir, "documents")
+      val tc = graft.operators.text.TextAnalysis.tokenCount(col("text")).cast("long")
+      val sk = graft.operators.TableStats.histQuantileSketch(
+        docs.select(col("source"), tc.as("tc")), "source", "tc")
+      graft.operators.TableStats.histQuantilesFromSketch(sk, "source", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("source"))
+    }),
+
     "stats_drift" -> ((s, dir) => {
       // PSI distribution drift per source between the even-id and
       // odd-id corpus halves (stand-ins for two snapshot versions),
@@ -3616,6 +3628,29 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // bin = bit-length of (tc+1): pure integer binning, so the sketch
+    // and its quantile bounds reproduce exactly in any engine
+    "stats_quantiles_sketch" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS tc
+        |  FROM documents),
+        |s AS (SELECT source, length(bin(CAST(tc + 1 AS BIGINT))) AS bin, COUNT(*) AS cnt
+        |  FROM d WHERE tc IS NOT NULL AND tc >= 0 GROUP BY 1, 2),
+        |t AS (SELECT source, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n FROM s),
+        |q AS (SELECT source, MAX(n) AS n_rows,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) AS b90,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bin END) AS b99
+        |  FROM t GROUP BY source)
+        |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+        |  (CAST(1 AS BIGINT) << b50) - 2 AS p50_hi,
+        |  (CAST(1 AS BIGINT) << b90) - 2 AS p90_hi,
+        |  (CAST(1 AS BIGINT) << b99) - 2 AS p99_hi
+        |FROM q ORDER BY source""".stripMargin,
 
     // per-bucket terms round to integer micros BEFORE the per-source
     // sum, so no order-dependent float accumulation exists in either

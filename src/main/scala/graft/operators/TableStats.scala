@@ -187,6 +187,49 @@ object TableStats {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** Octave-binned histogram sketch per group: `bin = bit-length of
+    * (v+1)` — pure integer binning (no log-boundary float wobble), at
+    * most 64 bins per group no matter how many rows, mergeable by
+    * adding counts. The HdrHistogram idea reduced to its
+    * cross-engine-deterministic core: where [[groupQuantiles]] pays a
+    * full per-group sort for EXACT ranks, this answers the same
+    * questions at 2× value resolution from a sketch whose size never
+    * grows — the right trade at 100 TB for dashboards and alerting
+    * thresholds, and the exact path stays available when a number must
+    * be a real data point.
+    */
+  def histQuantileSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    Partitioning.ensureMinParallelism(df)
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .groupBy(col(groupCol),
+        length(bin(col(valueCol).cast("long") + 1)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile UPPER BOUNDS from an octave sketch: for each p, the
+    * smallest bin whose cumulative count reaches `ceil(p·n)`, reported
+    * as that bin's largest representable value (`2^bin - 2`). The true
+    * p-quantile is ≤ the bound and > half of it.
+    */
+  def histQuantilesFromSketch(sketch: DataFrame, groupCol: String,
+                              ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles in (0,1]: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val names = ps.map(p => "p" + math.round(p * 100) + "_hi")
+    require(names.distinct.size == names.size, s"quantile labels collide: $names")
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    val aggs = ps.zip(names).map { case (p, name) =>
+      min(when(col("cum") >= ceil(col("n") * p), col("bin"))).as(s"_b_$name")
+    }
+    val est = names.map(name =>
+      (expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_b_$name AS INT))") - 2).as(name))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).cast("long").as("n_rows"), aggs: _*)
+      .select(col(groupCol) +: col("n_rows") +: est: _*)
+  }
+
   /** Population-stability-index drift between two corpus snapshots,
     * per group — the monitoring primitive for a refreshed training
     * corpus ("did source X's length/quality distribution move?").

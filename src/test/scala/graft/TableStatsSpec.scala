@@ -108,6 +108,31 @@ class TableStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("octave sketch: bounds bracket exact quantiles, sketch merges, <= 64 bins") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", (i % 97).toLong)).toDF("g", "v")
+    val sk = TableStats.histQuantileSketch(df, "g", "v")
+    assert(sk.count() <= 64)
+    val q = TableStats.histQuantilesFromSketch(sk, "g", Seq(0.5, 0.9, 0.99)).collect().head
+    val exact = TableStats.groupQuantiles(df.withColumn("id", col("v")), "g", "v", "id",
+      Seq(0.5, 0.9, 0.99)).collect().head
+    for (i <- Seq(2, 3, 4)) {
+      val bound = q.getLong(i); val truth = exact.getLong(i)
+      assert(truth <= bound && truth * 2 + 2 > bound,
+        s"col $i: exact $truth vs bound $bound outside the octave bracket")
+    }
+    // mergeability: sketch(A ++ B) == cell-wise sum
+    val a = (1 to 300).map(i => ("g", i.toLong)).toDF("g", "v")
+    val b = (1 to 700).map(i => ("g", (i * 3).toLong)).toDF("g", "v")
+    val merged = TableStats.histQuantileSketch(a, "g", "v")
+      .unionByName(TableStats.histQuantileSketch(b, "g", "v"))
+      .groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val whole = TableStats.histQuantileSketch(a.unionByName(b), "g", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(merged == whole)
+  }
+
   test("psiDrift: zero on identical halves, positive on a shifted one, bucket-gap safe") {
     import spark.implicits._
     val base = (1 to 400).map(i => ("s", i % 10L))

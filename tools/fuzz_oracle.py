@@ -31,7 +31,7 @@ QUERIES = [
     "contamination_spans", "corpus_report", "corpus_pivot",
     "corpus_rollup", "stats_histogram", "dedup_exact", "dedup_paragraph",
     "corpus_diff", "sample_split", "sample_shuffle", "dedup_prefix_exact",
-    "stats_drift", "stats_heavy_hitters",
+    "stats_drift", "stats_heavy_hitters", "stats_quantiles_sketch",
     "pipeline_quality", "pipeline_datacard",
 ]
 
