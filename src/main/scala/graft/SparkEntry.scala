@@ -1606,6 +1606,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "stats_outliers" -> ((s, dir) => {
+      // robust length outliers per source: |tokens - median| > 3 * MAD
+      // — median/MAD instead of mean/stddev so the extreme docs being
+      // hunted cannot drag the threshold toward themselves
+      val docs = t(s, dir, "documents")
+      val tc = graft.operators.text.TextAnalysis.tokenCount(col("text")).cast("long")
+      graft.operators.TableStats.madOutliers(
+          docs.select(col("doc_id"), col("source"), tc.as("n_tokens")),
+          "source", "n_tokens", "doc_id", k = 3)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     "stats_quantiles_sketch" -> ((s, dir) => {
       // mergeable octave-sketch quantiles over per-doc token counts:
       // <= 64 integer bins per source however big the corpus; p50/p90/
@@ -3628,6 +3640,26 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // lower-median ranks via (n+1) div 2 — pure integer picks, no
+    // interpolation, so median and MAD match the engine bit-for-bit
+    "stats_outliers" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS tc
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, tc,
+        |    row_number() OVER (PARTITION BY source ORDER BY tc, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+        |m AS (SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN tc END)
+        |    OVER (PARTITION BY source) AS med FROM r),
+        |dv AS (SELECT doc_id, source, tc, n, med, ABS(tc - med) AS dev FROM m),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn2 FROM dv),
+        |m2 AS (SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |    OVER (PARTITION BY source) AS mad FROM r2)
+        |SELECT doc_id, source, CAST(tc AS BIGINT) AS n_tokens, CAST(med AS BIGINT) AS med,
+        |  CAST(mad AS BIGINT) AS mad, CAST(dev AS BIGINT) AS dev
+        |FROM m2 WHERE dev > 3 * mad ORDER BY source, doc_id""".stripMargin,
 
     // bin = bit-length of (tc+1): pure integer binning, so the sketch
     // and its quantile bounds reproduce exactly in any engine

@@ -187,6 +187,38 @@ object TableStats {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** Robust per-group outlier detection: median / MAD (median absolute
+    * deviation), the estimator family that survives the outliers it
+    * hunts — a mean/stddev z-score moves with every extreme value, the
+    * median pair does not. Flags rows with `|v - med| > k·MAD`. All
+    * ranks are exact discrete picks (`rank = (n+1) div 2`, the lower
+    * median — pure integer, no interpolation), so the whole derivation
+    * is engine-exact.
+    *
+    * Plan shape: ONE hash exchange on the group key feeds both window
+    * passes (rank by value, then rank by deviation — same partitioning,
+    * two in-partition sorts); nothing reshuffles between them and no
+    * per-group threshold table is ever joined back.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"deviation multiplier must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = Partitioning.ensureMinParallelism(df)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col(valueCol), col(idCol))))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+      .withColumn("_medrank", expr("(_n + 1) div 2"))
+      .withColumn("med", max(when(col("_rn") === col("_medrank"), col(valueCol))).over(byGroup))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    ranked
+      .withColumn("_rn2", row_number().over(byGroup.orderBy(col("dev"), col(idCol))))
+      .withColumn("mad", max(when(col("_rn2") === col("_medrank"), col("dev"))).over(byGroup))
+      .filter(col("dev") > col("mad") * k)
+      .select(col(idCol), col(groupCol), col(valueCol), col("med"), col("mad"), col("dev"))
+  }
+
   /** Octave-binned histogram sketch per group: `bin = bit-length of
     * (v+1)` — pure integer binning (no log-boundary float wobble), at
     * most 64 bins per group no matter how many rows, mergeable by

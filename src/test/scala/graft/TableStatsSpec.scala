@@ -108,6 +108,24 @@ class TableStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("madOutliers: robust to the outliers it flags; mean/stddev would not be") {
+    import spark.implicits._
+    // 99 inliers around 50 plus one wild point; med=~50, MAD small,
+    // the wild point flags; an id-distinct tie column keeps ranks total
+    val rows = ((1 to 99).map(i => (i.toLong, "s", 45L + (i % 11))) :+ (100L, "s", 100000L))
+      .toDF("id", "g", "v")
+    val out = TableStats.madOutliers(rows, "g", "v", "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSet == Set(100L), s"only the planted outlier: ${out.toSeq}")
+    val (_, v, med, mad) = out.head
+    assert(v == 100000L && med >= 45 && med <= 55 && mad <= 5)
+    // degenerate group: all-equal values → MAD 0, any deviation flags
+    val const = ((1 to 10).map(i => (i.toLong, "c", 7L)) :+ (11L, "c", 8L)).toDF("id", "g", "v")
+    val flagged = TableStats.madOutliers(const, "g", "v", "id", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(11L))
+  }
+
   test("octave sketch: bounds bracket exact quantiles, sketch merges, <= 64 bins") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ("g", (i % 97).toLong)).toDF("g", "v")
