@@ -469,6 +469,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ws_ms"))
     }),
 
+    "k8_scd2_history" -> ((s, dir) => {
+      // beyond-ref sink shape: the same change log the upsert applier
+      // consumes, materialized as SCD2 time-travel history — 'error'
+      // events act as deletes, closing their key's open interval
+      val ev = t(s, dir, "events")
+        .withColumn("op", when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+      CdcBatch.scd2History(ev, "user_id", "event_id", "ts",
+          Seq("event_type", "value"), "op")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     "o13_session_windows" -> ((s, dir) => {
       // §2.8 — session windows, batch form of the streaming operator
       // (same code path; watermark no-ops in batch): events of one user
@@ -1956,6 +1967,20 @@ object SparkEntry {
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY user_id, ws_ms""".stripMargin,
+
+    // versions number BEFORE tombstones drop (gaps mark deletes); a
+    // delete's timestamp closes its predecessor through the lead()
+    "k8_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op FROM events),
+        |v AS (SELECT user_id, event_id, event_type, value, op,
+        |    CAST(row_number() OVER w AS INT) AS version,
+        |    epoch_ms(ts) AS valid_from_ms,
+        |    lead(epoch_ms(ts)) OVER w AS valid_to_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, version, valid_from_ms, valid_to_ms,
+        |  (valid_to_ms IS NULL) AS is_current, event_type, value
+        |FROM v WHERE op <> 'd' ORDER BY user_id, version""".stripMargin,
 
     "o13_session_windows" ->
       // gaps-and-islands replay of Spark's session merge: a session

@@ -162,6 +162,36 @@ object CdcBatch {
     * polynomial over key columns: exact, order-insensitive, distributes
     * as a partial aggregate (map-side combine).
     */
+  /** SCD type-2 history from a change log — the warehouse-side sink a
+    * CDC feed most often lands in: every change becomes a VERSIONED row
+    * with a `[valid_from, valid_to)` interval instead of overwriting
+    * the key (the reference applier materializes only current state;
+    * this is the time-travel materialization of the same log).
+    *
+    * Each key's changes order by `seqCol`; `valid_to_ms` is the next
+    * change's timestamp (null = open/current version). A delete
+    * (`opCol` = 'd') closes its predecessor's interval — its timestamp
+    * flows through the lead() — and contributes no version row, so a
+    * key whose last change is a delete correctly has NO current row.
+    * Version numbers are assigned BEFORE delete rows drop (gaps reveal
+    * tombstones in the history).
+    *
+    * One hash exchange on the key; both window functions share it.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
+                  tsCol: String, payload: Seq[String], opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_ms", unix_millis(col(tsCol)))
+      .withColumn("valid_to_ms", lead(unix_millis(col(tsCol)), 1).over(w))
+      .filter(col(opCol) =!= "d")
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select(col(keyCol) +: col("version") +: col("valid_from_ms") +:
+        col("valid_to_ms") +: col("is_current") +: payload.map(col): _*)
+  }
+
   def checksum(df: DataFrame, groupCols: Seq[String], k1: String, k2: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(

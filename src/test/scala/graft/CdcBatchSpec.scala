@@ -75,4 +75,28 @@ class CdcBatchSpec extends SparkSpec {
     val b = CdcBatch.checksum(log.orderBy(rand(42)), Seq("op"), "seq", "seq").orderBy("op").collect()
     assert(a.sameElements(b))
   }
+
+  test("scd2History: deletes close intervals, version gaps mark tombstones") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val log2 = Seq(
+      ("k1", 1L, "u", at(10)), ("k1", 2L, "u", at(20)),          // live key, 2 versions
+      ("k2", 3L, "u", at(30)), ("k2", 4L, "d", at(40)),          // ends deleted
+      ("k3", 5L, "u", at(50)), ("k3", 6L, "d", at(60)), ("k3", 7L, "u", at(70))
+    ).toDF("pk", "seq", "op", "ts")
+    val out = CdcBatch.scd2History(log2, "pk", "seq", "ts", Seq("op"), "op")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    val t0 = ts.getTime
+    assert(out == Set(
+      ("k1", 1, t0 + 10000, t0 + 20000, false),
+      ("k1", 2, t0 + 20000, -1L, true),
+      ("k2", 1, t0 + 30000, t0 + 40000, false),   // closed by the delete, no current row
+      ("k3", 1, t0 + 50000, t0 + 60000, false),
+      ("k3", 3, t0 + 70000, -1L, true)))          // version 2 was the tombstone: gap
+    // no key ever has two current versions
+    val currents = CdcBatch.scd2History(log2, "pk", "seq", "ts", Seq("op"), "op")
+      .filter(col("is_current")).groupBy("pk").count().collect()
+    assert(currents.forall(_.getLong(1) == 1L))
+  }
 }
