@@ -1617,6 +1617,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "tokenizer_coverage" -> ((s, dir) => {
+      // is a 200-token vocab enough? per-source share of token MASS
+      // outside the corpus top-200 — the go/no-go number for vocab,
+      // stopword, and embedding-table sizing
+      graft.operators.text.TextAnalysis.vocabCoverage(
+          t(s, dir, "documents"), "source", "text", vocabSize = 200)
+        .orderBy(col("source"))
+    }),
+
     "stats_outliers" -> ((s, dir) => {
       // robust length outliers per source: |tokens - median| > 3 * MAD
       // — median/MAD instead of mean/stddev so the extreme docs being
@@ -3665,6 +3674,25 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // vocab = top-200 under the (count desc, token) total order;
+    // coverage counts are integers, one rounded division at output
+    "tokenizer_coverage" ->
+      """WITH w AS (SELECT source,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT source, unnest(words) AS tok FROM w),
+        |tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+        |v AS (SELECT tok, 1 AS in_vocab FROM (
+        |  SELECT tok, COUNT(*) AS c FROM tt GROUP BY tok ORDER BY c DESC, tok LIMIT 200)),
+        |g AS (SELECT source, COUNT(*) AS n_tokens,
+        |    SUM(COALESCE(in_vocab, 0)) AS n_covered
+        |  FROM tt LEFT JOIN v USING (tok) GROUP BY source)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_covered AS BIGINT) AS n_covered,
+        |  CAST(n_tokens - n_covered AS BIGINT) AS n_oov,
+        |  CAST(round((n_tokens - n_covered) / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS oov_micros
+        |FROM g ORDER BY source""".stripMargin,
 
     // lower-median ranks via (n+1) div 2 — pure integer picks, no
     // interpolation, so median and MAD match the engine bit-for-bit

@@ -620,4 +620,36 @@ object TextAnalysis {
       p.getField("fingerprint").as("fingerprint")
     )
   }
+
+  /** Vocabulary coverage / OOV report per group: how much of each
+    * source's token MASS the corpus top-`vocabSize` vocabulary covers
+    * — the number that decides whether a tokenizer vocab (or a
+    * stopword list, or an embedding table) is big enough before
+    * anything trains. Vocab = top tokens by corpus occurrence count
+    * under the total (count desc, token) order.
+    *
+    * Scale shape: the vocab derives from one map-side-combined token
+    * count + a TakeOrdered cut, and the coverage join BROADCASTS it —
+    * the corpus-sized token stream never shuffles for the flag, only
+    * the bounded (group) aggregate exchanges. `oov_micros` is the one
+    * rounded IEEE division, after all counting.
+    */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                    vocabSize: Int = 200): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val toks = graft.operators.Partitioning
+      .ensureMinParallelism(docs.filter(col(textCol).isNotNull))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .withColumn("n_oov", col("n_tokens") - col("n_covered"))
+      .withColumn("oov_micros",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double") * 1e6).cast("long"))
+  }
 }

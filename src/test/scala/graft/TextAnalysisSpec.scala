@@ -164,4 +164,17 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).head
     assert(top == "lo")
   }
+
+  test("vocabCoverage: exact OOV mass against a planted vocab cut") {
+    import spark.implicits._
+    // corpus top-2 = {the, cat}; src_a has 1 OOV occurrence of 5, src_b 3 of 4
+    val d = Seq(
+      ("a", "the cat the cat dog"), ("b", "the rare words here"),
+      ("b", null.asInstanceOf[String])).toDF("source", "text")
+    val out = TextAnalysis.vocabCoverage(d, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((5L, 4L, 1L, 200000L)))
+    assert(out("b") == ((4L, 1L, 3L, 750000L)))
+  }
 }
