@@ -135,6 +135,46 @@ object SparkEntry {
         .orderBy(col("user_id"), col("c_lo"), col("p_lo"))
     }),
 
+    "q10_funnel" -> ((s, dir) => {
+      // ordered conversion funnel: view -> click -> purchase, each
+      // step's first timestamp strictly after the previous step's.
+      // Three bounded per-user aggregates chained by broadcast-able
+      // joins on the user key — never a per-user sort of raw events
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_ms") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_click_raw"))
+      val cv = v.join(c, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click_raw").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(cv.filter(col("t_click").isNotNull), "user_id")
+        .filter(col("ts_ms") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_purchase_raw"))
+      cv.join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase_raw").as("t_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q11_cohorts" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen day, distinct
+      // active users per (cohort_day, day_offset) — first-seen via one
+      // per-user aggregate joined back, then a distinct-count grid
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day").cast("string").as("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "q9_json_props" -> ((s, dir) => {
       // semi-structured scan: typed extraction from the JSON props
       // column with ONE schema-directed from_json per row inside the
@@ -1771,6 +1811,31 @@ object SparkEntry {
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // strict sequential semantics: each step's min timestamp must be
+    // strictly after the previous step's min — not "did all three ever"
+    "q10_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_ms) AS t_click FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_ms) AS t_purchase FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q11_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q9_json_props" ->
       """WITH p AS (SELECT event_type, CAST(props::JSON ->> 'k' AS BIGINT) AS k FROM events)

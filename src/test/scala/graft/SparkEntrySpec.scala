@@ -22,6 +22,21 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("funnel is strictly sequential: out-of-order steps do not convert") {
+    import org.apache.spark.sql.functions._
+    // fixture-independent check of the q10 shape: a user whose click
+    // PRECEDES their first view must not count as click-converted
+    val out = SparkEntry.queries("q10_funnel")(spark, sf)
+      .filter(col("t_click").isNotNull)
+      .select("t_view", "t_click").collect()
+    assert(out.forall(r => r.getLong(1) > r.getLong(0)),
+      "every converted click must be strictly after the first view")
+    val p = SparkEntry.queries("q10_funnel")(spark, sf)
+      .filter(col("t_purchase").isNotNull)
+      .select("t_click", "t_purchase").collect()
+    assert(p.forall(r => r.getLong(1) > r.getLong(0)))
+  }
+
   test("json props extraction: malformed/missing/null all yield null k (oracle parity)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
