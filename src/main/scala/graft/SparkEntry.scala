@@ -1657,6 +1657,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "mm_ppm_decode" -> ((s, dir) => {
+      // REAL image decode through the multimodal plumbing: P6 PPM
+      // images synthesized from an arithmetic pixel formula, encoded to
+      // actual header+RGB bytes, decoded back by PpmCodec inside
+      // mapPartitions. The oracle recomputes the channel sums straight
+      // from the formula without ever seeing a byte — green means the
+      // decoder inverts the encoder exactly, not just "plumbing ran"
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.PpmCodec
+      s.range(24).map { i =>
+        val w = 8 + (i % 5).toInt; val h = 6 + (i % 3).toInt
+        val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+          val c = j % 3; val p = j / 3
+          ((i * (7 + 4 * c) + p.toLong * (3 + 2 * c)) % 256).toByte
+        }
+        (i, codec.encode(w, h, rgb))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (w, h, r, g, b) = codec.channelSums(payload)
+        (id, w, h, w * h, r, g, b)
+      }).toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+        .select(col("media_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("n_px").cast("long").as("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("media_id"))
+    }),
+
     "tokenizer_coverage" -> ((s, dir) => {
       // is a 200-token vocab enough? per-source share of token MASS
       // outside the corpus top-200 — the go/no-go number for vocab,
@@ -3739,6 +3765,18 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // the oracle derives the sums from the pixel formula alone —
+    // cross-engine proof the byte-level PPM decode is exact
+    "mm_ppm_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 8 + i % 5 AS w, 6 + i % 3 AS h FROM range(24) t(i)),
+        |px AS (SELECT media_id, w, h, p FROM ids CROSS JOIN range(96) r(p) WHERE p < w * h)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM((media_id * 7 + p * 3) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id * 11 + p * 5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id * 15 + p * 7) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
 
     // vocab = top-200 under the (count desc, token) total order;
     // coverage counts are integers, one rounded division at output

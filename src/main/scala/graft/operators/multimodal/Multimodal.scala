@@ -62,6 +62,111 @@ object Multimodal {
       java.util.Arrays.copyOf(payload, math.min(payload.length, math.max(1, w * h)))
   }
 
+  /** REAL image codec for the NetPBM P6 (binary PPM) format — pure JVM,
+    * no native libraries, so one genuinely decodable format exercises
+    * the whole multimodal path end-to-end while JPEG/PNG stay behind
+    * the labeled [[FakeCodec]] stub. Header: `P6`, whitespace- and
+    * `#`-comment-separated width/height/maxval (maxval ≤ 255), one
+    * whitespace byte, then `w*h*3` raw RGB bytes.
+    */
+  object PpmCodec extends MediaCodec {
+
+    /** (width, height, interleaved RGB bytes). Fails loudly on
+      * anything that is not a well-formed P6 — a silently wrong decode
+      * poisons every feature downstream.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+        "not a P6 PPM payload")
+      var pos = 2
+      def token(): Int = {
+        // skip whitespace and # comments
+        var done = false
+        while (!done) {
+          while (pos < payload.length && Character.isWhitespace(payload(pos))) pos += 1
+          if (pos < payload.length && payload(pos) == '#') {
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else done = true
+        }
+        var v = 0
+        require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9',
+          s"bad PPM header token at byte $pos")
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = token(); val h = token(); val maxval = token()
+      require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+      require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval")
+      pos += 1 // single whitespace after maxval
+      require(payload.length - pos >= w * h * 3,
+        s"truncated PPM: need ${w * h * 3} pixel bytes, have ${payload.length - pos}")
+      (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + w * h * 3))
+    }
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+      val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = java.util.Arrays.copyOf(header, header.length + rgb.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Per-channel sums — exact integers, the cross-engine-checkable
+      * core statistic (means are one division away).
+      */
+    def channelSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h, px) = decode(payload)
+      var r = 0L; var g = 0L; var b = 0L; var i = 0
+      while (i < px.length) {
+        r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
+        i += 3
+      }
+      (w, h, r, g, b)
+    }
+
+    /** Real features: a `dim`-cell row-major grid of mean luminance
+      * (ITU-R BT.601 integer weights 299/587/114), each cell averaged
+      * over its pixel span — the classic thumbnail-fingerprint feature.
+      */
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (w, h, px) = decode(payload)
+      val n = w * h
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var p = 0
+      while (p < n) {
+        val cell = (p.toLong * dim / n).toInt
+        val lum = 299L * (px(3 * p) & 0xff) + 587L * (px(3 * p + 1) & 0xff) +
+          114L * (px(3 * p + 2) & 0xff)
+        sums(cell) += lum; counts(cell) += 1
+        p += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (counts(i) == 0) 0f else (sums(i).toDouble / (counts(i) * 1000.0)).toFloat)
+    }
+
+    /** Nearest-neighbor resample, re-encoded as a valid P6. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val (sw, sh, px) = decode(payload)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * sh / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * sw / w).toInt
+          val s = 3 * (sy * sw + sx); val d = 3 * (y * w + x)
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encode(w, h, out)
+    }
+  }
+
   /** Size partitions so each holds ~`targetBytes` of payload — binary
     * rows are fat (MBs), so the default 128 MB parquet split with
     * thousands of rows per task would OOM executors at 100 TB. Uses the

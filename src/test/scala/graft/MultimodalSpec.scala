@@ -35,6 +35,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PpmCodec: encode/decode round-trip, header comments, loud failures") {
+    val rgb = Array.tabulate[Byte](4 * 3 * 3)(j => (j * 17 % 256).toByte)
+    val bytes = Multimodal.PpmCodec.encode(4, 3, rgb)
+    val (w, h, px) = Multimodal.PpmCodec.decode(bytes)
+    assert(w == 4 && h == 3 && px.sameElements(rgb))
+    // header with comments and odd whitespace still parses
+    val commented = ("P6\n# made by hand\n 4 # width\n3\n# last\n255\n"
+      .getBytes("US-ASCII") ++ rgb)
+    val (w2, h2, px2) = Multimodal.PpmCodec.decode(commented)
+    assert(w2 == 4 && h2 == 3 && px2.sameElements(rgb))
+    intercept[IllegalArgumentException](Multimodal.PpmCodec.decode("P5\n1 1\n255\n ".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.PpmCodec.decode(Multimodal.PpmCodec.encode(4, 3, rgb).dropRight(5)))
+  }
+
+  test("PpmCodec: nearest-neighbor resize picks true source pixels; features in range") {
+    // 2x1 image: left red, right blue; upscaled 4x2 keeps exact pixels
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val up = Multimodal.PpmCodec.resize(Multimodal.PpmCodec.encode(2, 1, rgb), 4, 2)
+    val (w, h, px) = Multimodal.PpmCodec.decode(up)
+    assert(w == 4 && h == 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val d = 3 * (y * 4 + x)
+      val expect = if (x < 2) (255, 0, 0) else (0, 0, 255)
+      assert(((px(d) & 0xff, px(d + 1) & 0xff, px(d + 2) & 0xff)) == expect, s"($x,$y)")
+    }
+    val feats = Multimodal.PpmCodec.decodeFeatures(up, 4)
+    assert(feats.length == 4 && feats.forall(f => f >= 0f && f <= 255f))
+    // red cells brighter than blue under BT.601 (0.299 vs 0.114)
+    assert(feats(0) > feats(1) || feats(0) > feats(3))
+  }
+
+  test("extractFeatures with PpmCodec produces real luminance features end-to-end") {
+    import spark.implicits._
+    val media = spark.range(6).map { i =>
+      val w = 4 + (i % 3).toInt
+      val rgb = Array.tabulate[Byte](w * w * 3)(j => ((i * 31 + j * 7) % 256).toByte)
+      Multimodal.MediaRow(i, "image", Multimodal.PpmCodec.encode(w, w, rgb),
+        "image/x-portable-pixmap", w, w, 0L)
+    }
+    val out = Multimodal.extractFeatures(media, dim = 8, codec = Multimodal.PpmCodec)
+      .collect()
+    assert(out.length == 6)
+    assert(out.forall(_.features.length == 8))
+    // deterministic: same input, same features
+    val again = Multimodal.extractFeatures(media, dim = 8, codec = Multimodal.PpmCodec)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    assert(out.forall(r => again(r.media_id) == r.features.toSeq))
+  }
+
   test("repartitionBySize targets byte budget") {
     val df = Multimodal.synthesize(spark, 100).toDF()
       .withColumn("n_bytes", org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("payload")))
