@@ -1657,6 +1657,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "emb_classify_centroid" -> ((s, dir) => {
+      // Rocchio baseline: label centroids from the train slice (the
+      // portable integer-micro means), held-out vectors take their
+      // max-cosine centroid's label — train AND inference hash-oracled
+      val e = t(s, dir, "embeddings")
+      graft.operators.sim.SimilaritySearch.centroidClassify(
+          e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          e.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))
+    }),
+
     "mm_ppm_decode" -> ((s, dir) => {
       // REAL image decode through the multimodal plumbing: P6 PPM
       // images synthesized from an arithmetic pixel formula, encoded to
@@ -3765,6 +3777,25 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // same integer-micro mean arithmetic as the IVF oracle; argmax
+    // tie-break is (cos DESC, label DESC), the struct sort order
+    "emb_classify_centroid" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |te AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        |m AS (SELECT tr.label AS lbl, u.i AS pos,
+        |    (SUM(CAST(floor(tr.v[u.i] * 1000000) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE) / 1000000.0 AS m
+        |  FROM tr, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+        |  GROUP BY tr.label, u.i),
+        |c AS (SELECT lbl, list(m ORDER BY pos) AS cv FROM m GROUP BY lbl),
+        |s AS (SELECT te.vec_id, te.label AS true_label, c.lbl,
+        |    list_cosine_similarity(te.v, c.cv) AS cos FROM te, c)
+        |SELECT vec_id, CAST(true_label AS INT) AS true_label, CAST(lbl AS INT) AS pred_label,
+        |  round(cos, 6) AS cosine
+        |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, lbl DESC) = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // the oracle derives the sums from the pixel formula alone —
     // cross-engine proof the byte-level PPM decode is exact

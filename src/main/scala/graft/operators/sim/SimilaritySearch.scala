@@ -588,4 +588,45 @@ object SimilaritySearch {
     }
     bits.reduce(_ + _)
   }
+
+  /** Nearest-centroid (Rocchio) classification: label centroids from
+    * the train slice, each test vector takes the label of its
+    * max-cosine centroid. The closed-form geometric sibling of the NB
+    * text classifier — no iterations, one pass over train, one over
+    * test — and the standard strong baseline for "label the new crawl
+    * by embedding" before anything fine-tuned exists.
+    *
+    * Centroid means reuse the portable Lloyd arithmetic (floor(x·10^6)
+    * summed exact as BIGINT, one fixed division chain), so train AND
+    * inference hash-oracle end to end. Ties on cosine resolve to the
+    * LARGER label (the scoredLists struct order). Only the
+    * (nLabels × dim) matrix reaches the driver; test vectors score
+    * against a broadcast literal — zero shuffle beyond the bounded
+    * train aggregate.
+    */
+  def centroidClassify(train: DataFrame, test: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String): DataFrame = {
+    val means = train
+      .select(col(labelCol).cast("int").as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(((sum(floor(col("x").cast("double") * lit(1e6)).cast("long")).cast("double")
+        / count(lit(1)).cast("double")) / lit(1e6)).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(means.nonEmpty, "centroidClassify: empty train slice")
+    val labels = means.map(_._1).distinct.sorted
+    val matrix = labels.map { l =>
+      means.filter(_._1 == l).sortBy(_._2).map(_._3)
+    }
+    // labels ascending → matrix index desc == label desc: the struct
+    // sort's tie-break IS the oracle's ORDER BY cos DESC, lbl DESC
+    val top = scoredLists(col("__v"), matrix).getItem(0)
+    test
+      .select(col(idCol), col(labelCol).cast("int").as("true_label"),
+        col(vecCol).as("__v"))
+      .withColumn("pred_label",
+        element_at(typedlit(labels.toIndexedSeq), top.getField("cid") + 1))
+      .withColumn("cosine", round(top.getField("cos"), 6))
+      .drop("__v")
+  }
 }

@@ -305,4 +305,23 @@ class SimilaritySearchSpec extends SparkSpec {
       .filter(col("idx") === 0).select("qcode").as[Int].collect().toSet
     assert(q == Set(0))
   }
+
+  test("centroidClassify: perfect on separable clusters, deterministic ties") {
+    // three orthogonal-ish clusters with small deterministic jitter
+    def vec(axis: Int, j: Int): Seq[Float] =
+      Seq.tabulate(6)(d => (if (d == axis) 10f else 0f) + (j % 3) * 0.01f * (d + 1))
+    val rows = for (axis <- 0 until 3; j <- 0 until 20)
+      yield ((axis * 20 + j).toLong, vec(axis, j), axis * 7)  // labels 0, 7, 14
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val train = df.filter(col("vec_id") % 4 =!= 0)
+    val test = df.filter(col("vec_id") % 4 === 0)
+    val out = SimilaritySearch.centroidClassify(train, test, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.nonEmpty && out.forall { case (_, t, p) => t == p },
+      s"separable clusters must classify perfectly: ${out.filter(r => r._2 != r._3).toSeq}")
+    // runs twice identically (integer-micro centroids are order-free)
+    val again = SimilaritySearch.centroidClassify(train, test, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
