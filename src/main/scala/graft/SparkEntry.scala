@@ -1657,6 +1657,35 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "pipeline_multimodal" -> ((s, dir) => {
+      // image flagship: REAL byte decode -> BT.601 luminance-grid
+      // features -> pairwise cosine, every stage reproduced by the
+      // oracle from the pixel formula alone (the whole image path —
+      // codec, cell mapping, float32 feature rounding, cosine — is
+      // deterministic arithmetic, so even the similarity hash-matches)
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.PpmCodec
+      val imgs = s.range(16).map { i =>
+        val w = 8 + (i % 5).toInt; val h = 6 + (i % 3).toInt
+        val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+          val c = j % 3; val p = j / 3
+          ((i * (7 + 4 * c) + p.toLong * (3 + 2 * c)) % 256).toByte
+        }
+        graft.operators.multimodal.Multimodal.MediaRow(i, "image",
+          codec.encode(w, h, rgb), "image/x-portable-pixmap", w, h, 0L)
+      }
+      val feats = graft.operators.multimodal.Multimodal
+        .extractFeatures(imgs, dim = 8, codec = codec)
+        .select(col("media_id"), col("features"))
+      val a = feats.select(col("media_id").as("id_a"), col("features").as("fa"))
+      val b = feats.select(col("media_id").as("id_b"), col("features").as("fb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.VectorFunctions.cosineNative(col("fa"), col("fb")), 6)
+            .as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "emb_classify_centroid" -> ((s, dir) => {
       // Rocchio baseline: label centroids from the train slice (the
       // portable integer-micro means), held-out vectors take their
@@ -3777,6 +3806,24 @@ object SparkEntry {
         |       ELSE CAST(round(15.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT) END
         |    AS kmv_estimate
         |FROM t ORDER BY source""".stripMargin,
+
+    // every stage of the image path re-derived from the pixel formula:
+    // cell mapping (p*dim div n), integer luminance sums, the float32
+    // feature rounding (CAST AS REAL), and the double cosine
+    "pipeline_multimodal" ->
+      """WITH ids AS (SELECT i AS mid, 8 + i % 5 AS w, 6 + i % 3 AS h FROM range(16) t(i)),
+        |px AS (SELECT mid, p, CAST(p * 8 // (w * h) AS INT) AS cell,
+        |    299 * ((mid * 7 + p * 3) % 256) + 587 * ((mid * 11 + p * 5) % 256)
+        |      + 114 * ((mid * 15 + p * 7) % 256) AS lum
+        |  FROM ids CROSS JOIN range(96) r(p) WHERE p < w * h),
+        |cells AS (SELECT mid, cell, SUM(lum) AS s, COUNT(*) AS c FROM px GROUP BY 1, 2),
+        |f AS (SELECT mid, list(CAST(CAST(s AS DOUBLE) / (c * 1000.0) AS REAL) ORDER BY cell) AS fv
+        |  FROM cells GROUP BY mid)
+        |SELECT a.mid AS id_a, b.mid AS id_b,
+        |  round(list_cosine_similarity(list_transform(a.fv, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.fv, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        |FROM f a JOIN f b ON a.mid < b.mid
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same integer-micro mean arithmetic as the IVF oracle; argmax
     // tie-break is (cos DESC, label DESC), the struct sort order
