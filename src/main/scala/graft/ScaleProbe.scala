@@ -126,6 +126,29 @@ object ScaleProbe {
           "doc_id", "source", "toks",
           Map("src0" -> 7000L * k, "src1" -> 7000L * k, "src2" -> 7000L * k))
       }
+      time("dedup_prefix_exact", k) {
+        // dup-dense by construction (every doc has k-1 near-variants):
+        // candidate volume tracks true-pair volume, the honest
+        // quadratic-output caveat all exact pair finders share
+        operators.dedup.Dedup.prefixJaccardPairs(d, "doc_id", "text",
+          n = 3, tauNum = 3, tauDen = 5)
+      }
+      time("stats_heavy_hitters", k) {
+        operators.TableStats.cmHeavyHitters(d, "text", depth = 4, width = 1024, k = 30)
+      }
+      time("stats_drift", k) {
+        val tc = operators.text.TextAnalysis.tokenCount(col("text"))
+        operators.TableStats.psiDrift(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "source", least(floor(tc / lit(32.0)), lit(15L)).cast("long"))
+      }
+      time("stats_outliers", k) {
+        operators.TableStats.madOutliers(
+          d.select(col("doc_id"), col("source"),
+            operators.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tc")),
+          "source", "tc", "doc_id", k = 3)
+      }
       // continual-ingest shape: TODAY'S batch stays fixed, the stored
       // index covers the k×-scaled accumulated corpus. Build is the
       // once-per-corpus cost; the probe is the per-batch cost and

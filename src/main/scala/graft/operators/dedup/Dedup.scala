@@ -328,15 +328,30 @@ object Dedup {
     * pure integer arithmetic, so no IEEE boundary can flip a pair in
     * either engine.
     *
+    * Prefix filtering ALONE collapses on low-entropy corpora — the
+    * ScaleProbe's dup-dense 50k-doc corpus has a 36k-shingle vocab, and
+    * "rarest-first" prunes nothing when nothing is rare: 31M distinct
+    * candidates for 241k true pairs, all shipped to the array verify.
+    * So the candidate aggregate applies the REST of the PPJoin battery,
+    * both lossless:
+    *   - length filter: J ≥ tau forces tau·|A| ≤ |B| ≤ |A|/tau;
+    *   - positional filter: a shared prefix shingle at (1-based) ranks
+    *     (i, j) bounds the overlap by `1 + min(|A|−i, |B|−j)`; a pair
+    *     survives only if its BEST shared-prefix bound reaches the
+    *     required overlap `ceil(tau/(1+tau)·(|A|+|B|))` (taking the max
+    *     over shared shingles is a superset of PPJoin's first-match
+    *     rule, so nothing true is lost).
+    * Both run inside the pair aggregate that replaces dropDuplicates —
+    * same exchange, no extra shuffle — and only survivors meet the
+    * shingle-set arrays in the verify join.
+    *
     * Scale shape: the df pass is one map-side-combined groupBy; rarity
     * re-join and candidate bucketing shuffle only (id, 8-byte hash)
-    * rows, and only ~(1-tau) of them — rare-first ordering means hot
-    * shingles sit in suffixes and never form buckets, which is why the
-    * exactness survives without a skew cap (`maxBucket` stays as a
-    * hot-key OOM backstop; a trip would surface as a gate mismatch,
-    * not silent loss). Verification re-joins the two shingle-set
-    * arrays per surviving candidate pair (shuffle_hash — corpus-sized
-    * sides never broadcast) and intersects in one codegen'd pass.
+    * rows, and only ~(1-tau) of them. `maxBucket` stays as a hot-key
+    * OOM backstop; a trip would surface as a gate mismatch, not silent
+    * loss. Verification re-joins the two shingle-set arrays per
+    * surviving candidate pair (shuffle_hash — corpus-sized sides never
+    * broadcast) and intersects in one codegen'd pass.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, tauNum: Int = 3, tauDen: Int = 5,
@@ -360,11 +375,22 @@ object Dedup {
       .filter(col("rk") <= prefixLen)
     val buckets = prefix
       .groupBy(col("sh"))
-      .agg(graft.functions.BoundedCollectList.column(col("doc_id"), maxBucket).as("members"))
+      .agg(graft.functions.BoundedCollectList.column(
+        struct(col("doc_id"), col("nsh"), col("rk")), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    val cands = MinHashDedup.explodePairs(buckets, "members")
-      .select(col("a").as("id_a"), col("b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val o = expr(s"($tauNum * (na + nb) + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}")
+    val cands = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      // length filter before anything aggregates
+      .filter(col("b.nsh") * tauDen >= col("a.nsh") * tauNum &&
+        col("a.nsh") * tauDen >= col("b.nsh") * tauNum)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.nsh").cast("long").as("na"), col("b.nsh").cast("long").as("nb"))
+      .agg(max(least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk"))).as("__best"))
+      .filter(col("__best") + 1 >= o)
+      .select(col("id_a"), col("id_b"))
     val sa = sets.select(col("doc_id").as("id_a"), col("sh_arr").as("__sa"))
     val sb = sets.select(col("doc_id").as("id_b"), col("sh_arr").as("__sb"))
     cands
