@@ -135,6 +135,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("c_lo"), col("p_lo"))
     }),
 
+    "q12_gapfill" -> ((s, dir) => {
+      // dense daily panel: per-user purchase totals with missing days
+      // filled by the last observation — the sparse-log → dense-panel
+      // step retention curves and feature backfills need. The calendar
+      // is a constant literal exploded per key, never a data-sized join
+      val ev = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      graft.operators.GapFill.dailyCarryForward(ev, "user_id", "d", "value",
+          "2024-01-01", "2024-01-30")
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "q10_funnel" -> ((s, dir) => {
       // ordered conversion funnel: view -> click -> purchase, each
       // step's first timestamp strictly after the previous step's.
@@ -1878,6 +1891,28 @@ object SparkEntry {
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DECIMAL day sums (order-free), carry-forward via IGNORE NULLS
+    // last_value over the same key exchange
+    "q12_gapfill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-30'),
+        |a AS (SELECT user_id, day, SUM(CAST(value AS DECIMAL(18,6))) AS dec_v
+        |  FROM e GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |    INTERVAL 1 DAY)) AS day),
+        |spine AS (SELECT u.user_id, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE ts IS NOT NULL AND event_type = 'purchase') u CROSS JOIN days d),
+        |j AS (SELECT s.user_id, s.day, a.dec_v,
+        |    last_value(a.dec_v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_dec
+        |  FROM spine s LEFT JOIN a ON a.user_id = s.user_id AND a.day = s.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(dec_v AS DOUBLE) AS day_value, CAST(filled_dec AS DOUBLE) AS filled_value,
+        |  (dec_v IS NULL AND filled_dec IS NOT NULL) AS is_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     // strict sequential semantics: each step's min timestamp must be
     // strictly after the previous step's min — not "did all three ever"
