@@ -171,4 +171,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PpmCodec: encode/decode round-trips; identity resize; JSON diff apply total") {
+    val codec = graft.operators.multimodal.Multimodal.PpmCodec
+    val imgGen = for {
+      w <- Gen.chooseNum(1, 17)
+      h <- Gen.chooseNum(1, 13)
+      seed <- Gen.chooseNum(0, 100000)
+    } yield (w, h, Array.tabulate[Byte](w * h * 3)(j => ((seed + j * 31) % 256).toByte))
+    holds("ppm round-trip") {
+      Prop.forAll(imgGen) { case (w, h, rgb) =>
+        val (dw, dh, px) = codec.decode(codec.encode(w, h, rgb))
+        dw == w && dh == h && px.sameElements(rgb)
+      }
+    }
+    holds("resize to same size is the identity") {
+      Prop.forAll(imgGen) { case (w, h, rgb) =>
+        val (_, _, px) = codec.decode(codec.resize(codec.encode(w, h, rgb), w, h))
+        px.sameElements(rgb)
+      }
+    }
+    holds("features are bounded by the max luminance and cover every cell") {
+      Prop.forAll(imgGen, Gen.chooseNum(1, 8)) { case ((w, h, rgb), dim) =>
+        val f = codec.decodeFeatures(codec.encode(w, h, rgb), dim)
+        f.length == dim && f.forall(v => v >= 0f && v <= 255f)
+      }
+    }
+  }
 }
