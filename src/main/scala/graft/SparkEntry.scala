@@ -1699,6 +1699,37 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "pipeline_monitor" -> ((s, dir) => {
+      // the corpus-health dashboard in one plan: per source — snapshot
+      // drift (PSI), OOV mass vs the corpus vocab, sketch quantile
+      // bounds, and robust outlier counts. Every input frame reduces to
+      // a per-source row before the joins, so the joins are trivial
+      // regardless of corpus size
+      val docs = t(s, dir, "documents")
+      val tcExpr = graft.operators.text.TextAnalysis.tokenCount(col("text"))
+      val drift = graft.operators.TableStats.psiDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "source", least(floor(tcExpr / lit(32.0)), lit(15L)).cast("long"))
+      val cov = graft.operators.text.TextAnalysis.vocabCoverage(docs, "source", "text", 200)
+        .select(col("source"), col("n_tokens"), col("oov_micros"))
+      val sk = graft.operators.TableStats.histQuantilesFromSketch(
+        graft.operators.TableStats.histQuantileSketch(
+          docs.select(col("source"), tcExpr.cast("long").as("tc")), "source", "tc"),
+        "source", Seq(0.5, 0.99))
+        .select(col("source"), col("p50_hi"), col("p99_hi"))
+      val outl = graft.operators.TableStats.madOutliers(
+          docs.select(col("doc_id"), col("source"), tcExpr.cast("long").as("tc")),
+          "source", "tc", "doc_id", k = 3)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_outliers"))
+      drift.join(cov, "source").join(sk, "source")
+        .join(outl, Seq("source"), "left")
+        .select(col("source"), col("n_old"), col("n_new"), col("psi_micros"),
+          col("n_tokens"), col("oov_micros"), col("p50_hi"), col("p99_hi"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy(col("source"))
+    }),
+
     "emb_classify_centroid" -> ((s, dir) => {
       // Rocchio baseline: label centroids from the train slice (the
       // portable integer-micro means), held-out vectors take their
@@ -3859,6 +3890,72 @@ object SparkEntry {
         |    list_transform(b.fv, x -> CAST(x AS DOUBLE))), 6) AS cosine
         |FROM f a JOIN f b ON a.mid < b.mid
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the four monitor blocks verbatim (each already proven green
+    // standalone), joined on the per-source rows
+    "pipeline_monitor" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) END AS tc
+        |  FROM documents),
+        |bkt AS (SELECT source, LEAST(CAST(floor(tc / 32.0) AS BIGINT), 15) AS bucket,
+        |    doc_id % 2 AS half FROM d),
+        |ca AS (SELECT source, bucket, COUNT(*) AS a FROM bkt WHERE half = 0 GROUP BY 1, 2),
+        |cb AS (SELECT source, bucket, COUNT(*) AS b FROM bkt WHERE half = 1 GROUP BY 1, 2),
+        |dj AS (SELECT COALESCE(ca.source, cb.source) AS source,
+        |    COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+        |  FROM ca FULL OUTER JOIN cb ON ca.source = cb.source AND ca.bucket = cb.bucket),
+        |dt AS (SELECT source, a, b,
+        |    SUM(a) OVER (PARTITION BY source) AS ta, SUM(b) OVER (PARTITION BY source) AS tb,
+        |    COUNT(*) OVER (PARTITION BY source) AS nb FROM dj),
+        |terms AS (SELECT source, a, b,
+        |    CAST(round((CAST(a + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE)
+        |               - CAST(b + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))
+        |      * ln((CAST(a + 1 AS DOUBLE) * CAST(tb + nb AS DOUBLE))
+        |          / (CAST(b + 1 AS DOUBLE) * CAST(ta + nb AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS term FROM dt),
+        |drift AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_old,
+        |    CAST(SUM(b) AS BIGINT) AS n_new, CAST(SUM(term) AS BIGINT) AS psi_micros
+        |  FROM terms GROUP BY source),
+        |cw AS (SELECT source,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |ct AS (SELECT source, unnest(words) AS tok FROM cw),
+        |ctt AS (SELECT source, tok FROM ct WHERE tok <> ''),
+        |cv AS (SELECT tok, 1 AS in_vocab FROM (
+        |  SELECT tok, COUNT(*) AS c FROM ctt GROUP BY tok ORDER BY c DESC, tok LIMIT 200)),
+        |cov AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(round((COUNT(*) - SUM(COALESCE(in_vocab, 0))) / CAST(COUNT(*) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS oov_micros
+        |  FROM ctt LEFT JOIN cv USING (tok) GROUP BY source),
+        |qs AS (SELECT source, length(bin(CAST(tc + 1 AS BIGINT))) AS bin, COUNT(*) AS cnt
+        |  FROM d WHERE tc IS NOT NULL AND tc >= 0 GROUP BY 1, 2),
+        |qt AS (SELECT source, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n FROM qs),
+        |qq AS (SELECT source,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bin END) AS b99
+        |  FROM qt GROUP BY source),
+        |sk AS (SELECT source, (CAST(1 AS BIGINT) << b50) - 2 AS p50_hi,
+        |    (CAST(1 AS BIGINT) << b99) - 2 AS p99_hi FROM qq),
+        |orr AS (SELECT doc_id, source, tc,
+        |    row_number() OVER (PARTITION BY source ORDER BY tc, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+        |om AS (SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN tc END)
+        |    OVER (PARTITION BY source) AS med FROM orr),
+        |odv AS (SELECT doc_id, source, n, ABS(tc - med) AS dev FROM om),
+        |or2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn2 FROM odv),
+        |om2 AS (SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |    OVER (PARTITION BY source) AS mad FROM or2),
+        |outl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_outliers
+        |  FROM om2 WHERE dev > 3 * mad GROUP BY source)
+        |SELECT d2.source, d2.n_old, d2.n_new, d2.psi_micros,
+        |  cov.n_tokens, cov.oov_micros, sk.p50_hi, sk.p99_hi,
+        |  COALESCE(outl.n_outliers, 0) AS n_outliers
+        |FROM drift d2 JOIN cov USING (source) JOIN sk USING (source)
+        |LEFT JOIN outl USING (source)
+        |ORDER BY source""".stripMargin,
 
     // same integer-micro mean arithmetic as the IVF oracle; argmax
     // tie-break is (cos DESC, label DESC), the struct sort order
