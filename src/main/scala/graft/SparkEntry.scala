@@ -1768,6 +1768,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "text_pii_inventory" -> ((s, dir) => {
+      // compliance report behind the redaction pass: per-source PII
+      // occurrence counts, email-inside-URL counted once (as URL) via
+      // the same precedence chain text_redact applies
+      val synth = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), concat(
+          substring(col("text"), 1, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" reach user@example.com"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" https://site"), col("doc_id"), lit(".example/p?q=1")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" call 555-0134"))
+            .otherwise(lit(""))).as("raw"))
+      graft.operators.text.TextAnalysis.piiInventory(synth, "source", "raw")
+        .orderBy(col("source"))
+    }),
+
     "tokenizer_coverage" -> ((s, dir) => {
       // is a 200-token vocab enough? per-source share of token MASS
       // outside the corpus top-200 — the go/no-go number for vocab,
@@ -3987,6 +4005,30 @@ object SparkEntry {
         |  CAST(SUM((media_id * 11 + p * 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 15 + p * 7) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // same precedence as the redact chain: emails counted after URLs
+    // blank out, phones after both — an email inside a URL is a URL
+    "text_pii_inventory" ->
+      """WITH synth AS (SELECT source,
+        |    substr(text, 1, 40)
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' reach user@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' https://site' || doc_id || '.example/p?q=1' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0134' ELSE '' END AS raw
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT source,
+        |    len(regexp_extract_all(raw, 'https?://[^\s\x0b]+')) AS u,
+        |    len(regexp_extract_all(regexp_replace(raw, 'https?://[^\s\x0b]+', ' ', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+        |        'https?://[^\s\x0b]+', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |      '\b\d{3}-\d{4}\b')) AS p
+        |  FROM synth)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(u) AS BIGINT) AS n_urls, CAST(SUM(e) AS BIGINT) AS n_emails,
+        |  CAST(SUM(p) AS BIGINT) AS n_phones,
+        |  CAST(SUM(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // vocab = top-200 under the (count desc, token) total order;
     // coverage counts are integers, one rounded division at output

@@ -601,6 +601,29 @@ object TextAnalysis {
         EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Structured-extraction inventory per group — the compliance report
+    * behind the redaction pass: how MUCH PII sits in each source, not
+    * just its redacted form. Counting follows the same precedence as
+    * [[redactPii]] (emails counted after URLs blank out, phones after
+    * both), so an email inside a URL counts once, as a URL. Per-row
+    * extraction is a shuffle-free projection; only the per-group
+    * integer row crosses the exchange.
+    */
+  def piiInventory(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val noUrl = regexp_replace(col(textCol), UrlRe, " ")
+    val noUrlEmail = regexp_replace(noUrl, EmailRe, " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long").as("u"),
+        size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(noUrlEmail, lit(PhoneRe), lit(0))).cast("long").as("p"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("u")).as("n_urls"), sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(when(col("u") + col("e") + col("p") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
+  }
+
   /** One-call enrichment used by the `text_profile` query — the native
     * one-pass [[graft.plans.TextProfile]] expression (the composable
     * Column formulas above re-run the tokenize subtree once per output
