@@ -1768,6 +1768,15 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "stats_zipf" -> ((s, dir) => {
+      // does each source look like language? OLS slope of ln(freq) vs
+      // ln(rank) over the top-100 tokens — natural text sits near -1,
+      // boilerplate flattens; every moment sum is exact integer micros
+      graft.operators.text.TextAnalysis.zipfSlope(
+          t(s, dir, "documents"), "source", "text", topK = 100)
+        .orderBy(col("source"))
+    }),
+
     "text_pii_inventory" -> ((s, dir) => {
       // compliance report behind the redaction pass: per-source PII
       // occurrence counts, email-inside-URL counted once (as URL) via
@@ -4005,6 +4014,29 @@ object SparkEntry {
         |  CAST(SUM((media_id * 11 + p * 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 15 + p * 7) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // per-term micro-rounded lns, exact integer moment sums, ONE final
+    // IEEE division — the OLS slope hash-matches
+    "stats_zipf" ->
+      """WITH w AS (SELECT source,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT source, unnest(words) AS tok FROM w),
+        |tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+        |c AS (SELECT source, tok, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
+        |r AS (SELECT source, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rank
+        |  FROM c QUALIFY rank <= 100),
+        |m AS (SELECT source,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y FROM r),
+        |g AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM m GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+        |  CASE WHEN n >= 2 AND n * sxx <> sx * sx
+        |    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT) END AS zipf_slope_micros
+        |FROM g ORDER BY source""".stripMargin,
 
     // same precedence as the redact chain: emails counted after URLs
     // blank out, phones after both — an email inside a URL is a URL

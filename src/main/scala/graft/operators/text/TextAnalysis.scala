@@ -644,6 +644,46 @@ object TextAnalysis {
     )
   }
 
+  /** Zipf-slope corpus-naturalness check per group: OLS slope of
+    * ln(frequency) against ln(rank) over each group's top-`topK`
+    * tokens. Natural language sits near −1; templated/boilerplate
+    * corpora flatten toward 0 and spam-expanded ones steepen — a
+    * one-number screen for "does this source look like language".
+    *
+    * Exactness: ln(rank) and ln(count) round to integer micros PER
+    * TERM, the OLS moment sums are exact integer arithmetic, and the
+    * slope is ONE final IEEE division — no order-dependent float
+    * accumulation, so the statistic hash-oracles. Top-K cut under the
+    * total (count desc, token) order; groups with <2 distinct tokens
+    * report null slope.
+    */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String,
+                topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"need at least 2 ranks to fit a slope, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.operators.Partitioning
+      .ensureMinParallelism(docs.filter(col(textCol).isNotNull))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val ranked = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rank") <= topK)
+    val x = round(log(col("rank").cast("double")) * 1e6).cast("long")
+    val y = round(log(col("cnt").cast("double")) * 1e6).cast("long")
+    ranked
+      .select(col(groupCol), x.as("x"), y.as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("zipf_slope_micros",
+        when(col("n") >= 2 && col("n") * col("sxx") =!= col("sx") * col("sx"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+            .cast("long")))
+      .select(col(groupCol), col("n").as("n_ranks"), col("zipf_slope_micros"))
+  }
+
   /** Vocabulary coverage / OOV report per group: how much of each
     * source's token MASS the corpus top-`vocabSize` vocabulary covers
     * — the number that decides whether a tokenizer vocab (or a

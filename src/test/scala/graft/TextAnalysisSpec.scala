@@ -165,6 +165,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top == "lo")
   }
 
+  test("zipfSlope: steeper for zipf-ish counts than uniform; degenerate groups null") {
+    import spark.implicits._
+    // zipf-ish: token k appears ~60/k times; uniform: every token 5 times
+    val zipfDocs = (1 to 12).flatMap(k => Seq.fill(60 / k)(("z", s"tok$k")))
+    val uniDocs = (1 to 12).flatMap(k => Seq.fill(5)(("u", s"tok$k")))
+    val one = Seq(("one", "solo"))
+    val d = (zipfDocs ++ uniDocs ++ one).toDF("source", "text")
+    val out = TextAnalysis.zipfSlope(d, "source", "text", topK = 12)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out("one").isEmpty, "single-token group has no slope")
+    assert(out("u").contains(0L), "uniform counts fit a flat line")
+    assert(out("z").exists(_ < -800000L),
+      s"zipf-ish counts must slope near -1: ${out("z")}")
+  }
+
   test("vocabCoverage: exact OOV mass against a planted vocab cut") {
     import spark.implicits._
     // corpus top-2 = {the, cat}; src_a has 1 OOV occurrence of 5, src_b 3 of 4
