@@ -37,6 +37,32 @@ class StreamingMonitorSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("cm sketch state survives a checkpointed restart (counts keep accumulating)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cm-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cm-ckpt").toString
+    val cells = scala.collection.concurrent.TrieMap[(Int, Long), Long]()
+    def run(): Unit = {
+      val q = CorpusMonitor.streamingCmSketch(
+          spark.readStream.schema("token string").parquet(src), "token",
+          depth = 3, width = 16)
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => cells((r.getInt(0), r.getLong(1))) = r.getLong(2))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val batch1 = Seq("the", "cat", "the"); val batch2 = Seq("the", "dog", "cat", "cat")
+    batch1.toDF("token").write.mode("append").parquet(src)
+    run()
+    batch2.toDF("token").write.mode("append").parquet(src)
+    run() // fresh query, same checkpoint: state store must carry the counts
+    val expect = TableStats.cmSketch((batch1 ++ batch2).toDF("token"), "token", 3, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.toMap == expect)
+  }
+
   test("per-batch drift against a static baseline == batch psiDrift of each slice") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
