@@ -1768,6 +1768,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "corpus_lang_confusion" -> ((s, dir) => {
+      // language-ID evaluation: the stopword-profile predictor scored
+      // against the table's labeled lang — confusion cells plus
+      // per-true-language accuracy in micros (eval tooling for any
+      // classifier the gate pipeline swaps in)
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.operators.text.TextAnalysis.profile(
+        t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+      val withTrue = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"))
+        .join(p.select(col("doc_id"), col("lang_pred")), "doc_id")
+      withTrue.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_true", sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("cell_micros",
+          round(col("n").cast("double") / col("n_true").cast("double") * 1e6).cast("long"))
+        .select(col("lang"), col("lang_pred"), col("n"), col("n_true"), col("cell_micros"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     "stats_zipf" -> ((s, dir) => {
       // does each source look like language? OLS slope of ln(freq) vs
       // ln(rank) over the top-100 tokens — natural text sits near -1,
@@ -4014,6 +4034,32 @@ object SparkEntry {
         |  CAST(SUM((media_id * 11 + p * 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 15 + p * 7) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // the stopword-profile predictor re-derived in SQL (same block as
+    // text_profile), cross-tabbed against the labeled lang column
+    "corpus_lang_confusion" ->
+      """WITH base AS (SELECT doc_id, lang, text,
+        |  lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, lang, text, string_split(norm, ' ') AS words FROM base),
+        |sc AS (SELECT doc_id, lang, text,
+        |  len(list_filter(words, t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |  len(list_filter(words, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(words, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(words, t -> t IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |  len(list_filter(words, t -> t IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |FROM w),
+        |m AS (SELECT lang, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best, * FROM sc),
+        |pr AS (SELECT lang,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred
+        |FROM m),
+        |c AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+        |tt AS (SELECT lang, lang_pred, n, SUM(n) OVER (PARTITION BY lang) AS n_true FROM c)
+        |SELECT lang, lang_pred, CAST(n AS BIGINT) AS n, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) * 1000000.0) AS BIGINT) AS cell_micros
+        |FROM tt ORDER BY lang, lang_pred""".stripMargin,
 
     // per-term micro-rounded lns, exact integer moment sums, ONE final
     // IEEE division — the OLS slope hash-matches

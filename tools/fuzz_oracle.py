@@ -32,7 +32,7 @@ QUERIES = [
     "corpus_rollup", "stats_histogram", "dedup_exact", "dedup_paragraph",
     "corpus_diff", "sample_split", "sample_shuffle", "dedup_prefix_exact",
     "stats_drift", "stats_heavy_hitters", "stats_quantiles_sketch",
-    "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf",
+    "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
     "pipeline_quality", "pipeline_datacard",
 ]
 
