@@ -182,9 +182,12 @@ object TableStats {
               .as("cm_bucket"))): _*)).as("p"))
       .select(col("*"), col("p.cm_row").as("cm_row"), col("p.cm_bucket").as("cm_bucket"))
       .drop("p")
-    probes.join(broadcast(sketch), Seq("cm_row", "cm_bucket"))
+    // LEFT join + coalesce 0: a cell the sketch never touched counts
+    // as zero in the min — an inner join would drop it and report an
+    // inflated estimate (or lose never-seen keys entirely)
+    probes.join(broadcast(sketch), Seq("cm_row", "cm_bucket"), "left")
       .groupBy(candidates.columns.map(col): _*)
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   /** Robust per-group outlier detection: median / MAD (median absolute

@@ -258,13 +258,16 @@ object BinlogParser {
     var beforeJson = Map.empty[Int, JsonBinary.Jv]
     while (r.remaining > 0) {
       val present = if (isUpdate && isAfter) present2 else present1
+      // one bit per JSON column IN THE TABLE, in definition order —
+      // not per present column: with a MINIMAL/NOBLOB row image the
+      // server still writes a bit for every JSON column, so sizing or
+      // indexing by presence would shear the whole row parse
       val partialJson: IndexedSeq[Boolean] =
         if (typeCode == PARTIAL_UPDATE_ROWS && isAfter) {
           val valueOptions = r.lenenc()
-          if ((valueOptions & OptPartialJson) != 0) {
-            val jsonCols = (0 until n).count(c => present(c) && entry.types(c) == 0xf5)
-            r.bitmap(jsonCols)
-          } else IndexedSeq.empty
+          if ((valueOptions & OptPartialJson) != 0)
+            r.bitmap(entry.types.count(_ == 0xf5))
+          else IndexedSeq.empty
         } else IndexedSeq.empty
       val presentCount = present.count(identity)
       val nulls = r.bitmap(presentCount)
@@ -273,8 +276,8 @@ object BinlogParser {
       var jsonOrdinal = 0
       var c = 0
       while (c < n) {
+        val isJson = entry.types(c) == 0xf5
         if (present(c)) {
-          val isJson = entry.types(c) == 0xf5
           if (!nulls(pi)) {
             if (isJson && typeCode == PARTIAL_UPDATE_ROWS) {
               val payload = r.bytes(blobLen(r, entry.metas(c)))
@@ -291,9 +294,11 @@ object BinlogParser {
               } else img(c) = Some(JsonBinary.decode(payload))
             } else img(c) = Some(decodeValue(r, entry.types(c), entry.metas(c)))
           }
-          if (isJson && isAfter) jsonOrdinal += 1
           pi += 1
         }
+        // the partial bit index advances for EVERY table JSON column,
+        // present in this image or not (table-definition order)
+        if (isJson && isAfter) jsonOrdinal += 1
         c += 1
       }
       images += img.toIndexedSeq
@@ -343,15 +348,11 @@ object BinlogParser {
           r.str(len)
       }
     case 0xfc => // BLOB/TEXT: meta = number of length bytes
-      var len = 0L; var i = 0
-      while (i < meta) { len |= r.u8().toLong << (8 * i); i += 1 }
-      r.str(len.toInt)
+      r.str(blobLen(r, meta))
     case 0xf5 => // JSON: length like BLOB, payload = JSONB storage bytes.
       // Decoded to canonical JSON text HERE (not deferred to C9): JSON
       // is always utf8mb4, so the text is a real string, not a carrier.
-      var len = 0L; var i = 0
-      while (i < meta) { len |= r.u8().toLong << (8 * i); i += 1 }
-      JsonBinary.decode(r.bytes(len.toInt))
+      JsonBinary.decode(r.bytes(blobLen(r, meta)))
     case 0x10 => // BIT: meta = (bytes << 8) | bits%8, value big-endian
       val nbits = ((meta >> 8) & 0xff) * 8 + (meta & 0xff)
       java.lang.Long.toUnsignedString(r.beN((nbits + 7) / 8))

@@ -24,14 +24,18 @@ import java.nio.charset.StandardCharsets
   *     always inlined in the value entry; 32-bit ints are inlined only
   *     in the large format (4-byte entry field).
   *
-  * Decoding builds a small DOM ([[Jv]]) so MySQL 8 partial-JSON diffs
-  * ([[JsonDiff]]) can be applied structurally; [[render]] serializes it
-  * to the same compact canonical text the original streaming decoder
-  * emitted (no whitespace, keys in stored order — MySQL stores them
-  * sorted by length then bytes). Strings decode as real UTF-8 — JSON
-  * columns are always utf8mb4, so unlike CHAR/TEXT they do NOT ride
-  * the ISO-8859-1 carrier and the C9 transcode stage must leave them
-  * alone (it does: JSON columns carry no charset tag in the
+  * ONE byte-walk serves two consumers through a small visitor:
+  * [[decode]] streams straight into a StringBuilder (the hot CDC path
+  * — every ordinary JSON column in every rows event, zero intermediate
+  * allocation), and [[decodeTree]] builds the small [[Jv]] DOM that
+  * MySQL 8 partial-JSON diffs ([[JsonDiff]]) patch structurally;
+  * [[render]] serializes a DOM to the identical canonical text (no
+  * whitespace, keys in stored order — MySQL stores them sorted by
+  * length then bytes). Sharing the walk means the two outputs cannot
+  * drift (also pinned by a differential test). Strings decode as real
+  * UTF-8 — JSON columns are always utf8mb4, so unlike CHAR/TEXT they
+  * do NOT ride the ISO-8859-1 carrier and the C9 transcode stage must
+  * leave them alone (it does: JSON columns carry no charset tag in the
   * SchemaRegistry).
   *
   * Unknown types and opaque subtypes fail loudly, same policy as
@@ -51,11 +55,85 @@ object JsonBinary {
   final case class VArr(items: Vector[Jv]) extends Jv
   final case class VObj(fields: Vector[(String, Jv)]) extends Jv
 
-  def decode(data: Array[Byte]): String = render(decodeTree(data))
+  /** Visitor the single byte-walk feeds; the two sinks below are the
+    * streaming renderer and the DOM builder.
+    */
+  private trait Sink {
+    def raw(token: String): Unit
+    def str(s: String): Unit
+    def beginContainer(isObj: Boolean): Unit
+    def key(k: String): Unit
+    def endContainer(isObj: Boolean): Unit
+  }
+
+  private final class TextSink extends Sink {
+    val sb = new java.lang.StringBuilder
+    private var needComma = List(false)
+    private def element(): Unit = {
+      if (needComma.head) sb.append(',')
+      needComma = true :: needComma.tail
+    }
+    def raw(token: String): Unit = { element(); sb.append(token) }
+    def str(s: String): Unit = { element(); appendJsonString(s, sb) }
+    def beginContainer(isObj: Boolean): Unit = {
+      element(); sb.append(if (isObj) '{' else '[')
+      needComma = false :: needComma
+    }
+    def key(k: String): Unit = {
+      if (needComma.head) sb.append(',')
+      needComma = true :: needComma.tail
+      appendJsonString(k, sb); sb.append(':')
+      // the value call's element() must not re-emit the comma
+      needComma = false :: needComma.tail
+    }
+    def endContainer(isObj: Boolean): Unit = {
+      needComma = needComma.tail
+      sb.append(if (isObj) '}' else ']')
+    }
+  }
+
+  private final class TreeSink extends Sink {
+    // each frame remembers the parent-object key it will be inserted
+    // under (captured at beginContainer — the child's own key() calls
+    // must not clobber it)
+    private final case class Frame(isObj: Boolean, insertKey: String,
+                                   buf: scala.collection.mutable.ArrayBuffer[(String, Jv)])
+    private var stack: List[Frame] = Nil
+    private var pendingKey: String = null
+    private var rootResult: Jv = null
+    private def push(v: Jv, k: String): Unit = stack match {
+      case Nil => rootResult = v
+      case f :: _ => f.buf += ((k, v))
+    }
+    def raw(token: String): Unit = { push(VRaw(token), pendingKey); pendingKey = null }
+    def str(s: String): Unit = { push(VStr(s), pendingKey); pendingKey = null }
+    def beginContainer(isObj: Boolean): Unit = {
+      stack = Frame(isObj, pendingKey,
+        scala.collection.mutable.ArrayBuffer.empty[(String, Jv)]) :: stack
+      pendingKey = null
+    }
+    def key(k: String): Unit = pendingKey = k
+    def endContainer(isObj: Boolean): Unit = {
+      val f = stack.head
+      stack = stack.tail
+      val v = if (f.isObj) VObj(f.buf.toVector) else VArr(f.buf.map(_._2).toVector)
+      push(v, f.insertKey)
+    }
+    def result: Jv = rootResult
+  }
+
+  def decode(data: Array[Byte]): String = {
+    if (data.isEmpty) return "null" // empty value = SQL null payload
+    val s = new TextSink
+    walk(data, data(0) & 0xff, 1, s)
+    s.sb.toString
+  }
 
   def decodeTree(data: Array[Byte]): Jv = {
-    if (data.isEmpty) return VRaw("null") // empty value = SQL null payload
-    value(data, data(0) & 0xff, 1)
+    if (data.isEmpty) return VRaw("null")
+    val s = new TreeSink
+    walk(data, data(0) & 0xff, 1, s)
+    s.result
   }
 
   def render(v: Jv): String = {
@@ -110,36 +188,37 @@ object JsonBinary {
     throw new IllegalStateException("unreachable")
   }
 
-  private def value(b: Array[Byte], typ: Int, pos: Int): Jv = typ match {
-    case 0x00 => container(b, pos, small = true, isObj = true)
-    case 0x01 => container(b, pos, small = false, isObj = true)
-    case 0x02 => container(b, pos, small = true, isObj = false)
-    case 0x03 => container(b, pos, small = false, isObj = false)
-    case 0x04 => VRaw((b(pos) & 0xff) match {
+  private def walk(b: Array[Byte], typ: Int, pos: Int, s: Sink): Unit = typ match {
+    case 0x00 => container(b, pos, small = true, isObj = true, s)
+    case 0x01 => container(b, pos, small = false, isObj = true, s)
+    case 0x02 => container(b, pos, small = true, isObj = false, s)
+    case 0x03 => container(b, pos, small = false, isObj = false, s)
+    case 0x04 => s.raw((b(pos) & 0xff) match {
       case 0x00 => "null"
       case 0x01 => "true"
       case 0x02 => "false"
       case other => throw new IllegalArgumentException(s"bad JSONB literal $other")
     })
-    case 0x05 => VRaw(i16(b, pos).toString)
-    case 0x06 => VRaw(u16(b, pos).toString)
-    case 0x07 => VRaw(i32(b, pos).toString)
-    case 0x08 => VRaw(u32(b, pos).toString)
-    case 0x09 => VRaw(i64(b, pos).toString)
-    case 0x0a => VRaw(java.lang.Long.toUnsignedString(i64(b, pos)))
+    case 0x05 => s.raw(i16(b, pos).toString)
+    case 0x06 => s.raw(u16(b, pos).toString)
+    case 0x07 => s.raw(i32(b, pos).toString)
+    case 0x08 => s.raw(u32(b, pos).toString)
+    case 0x09 => s.raw(i64(b, pos).toString)
+    case 0x0a => s.raw(java.lang.Long.toUnsignedString(i64(b, pos)))
     case 0x0b =>
       // whole doubles keep Java's shortest round-trip repr (see the
       // canonical-text contract in the scaladoc)
-      VRaw(java.lang.Double.longBitsToDouble(i64(b, pos)).toString)
+      s.raw(java.lang.Double.longBitsToDouble(i64(b, pos)).toString)
     case 0x0c =>
       val (len, p2) = varlen(b, pos)
-      VStr(new String(b, p2, len, StandardCharsets.UTF_8))
-    case 0x0f => opaque(b, pos)
+      s.str(new String(b, p2, len, StandardCharsets.UTF_8))
+    case 0x0f => opaque(b, pos, s)
     case other =>
       throw new IllegalArgumentException(f"unsupported JSONB type 0x$other%02x")
   }
 
-  private def container(b: Array[Byte], pos: Int, small: Boolean, isObj: Boolean): Jv = {
+  private def container(b: Array[Byte], pos: Int, small: Boolean, isObj: Boolean,
+                        s: Sink): Unit = {
     val w = if (small) 2 else 4
     def field(p: Int): Int = if (small) u16(b, p) else i32(b, p)
     val count = field(pos)
@@ -147,7 +226,15 @@ object JsonBinary {
     // below are self-describing
     val keyEntries = pos + 2 * w
     val valueEntries = keyEntries + (if (isObj) count * (w + 2) else 0)
-    def valueAt(i: Int): Jv = {
+    s.beginContainer(isObj)
+    var i = 0
+    while (i < count) {
+      if (isObj) {
+        val ke = keyEntries + i * (w + 2)
+        val keyOff = field(ke)
+        val keyLen = u16(b, ke + w)
+        s.key(new String(b, pos + keyOff, keyLen, StandardCharsets.UTF_8))
+      }
       val ve = valueEntries + i * (1 + w)
       val vtyp = b(ve) & 0xff
       val inlined = vtyp match {
@@ -155,17 +242,11 @@ object JsonBinary {
         case 0x07 | 0x08 => !small      // int32 / uint32 fit a 4-byte entry
         case _ => false
       }
-      if (inlined) value(b, vtyp, ve + 1)
-      else value(b, vtyp, pos + field(ve + 1))
+      if (inlined) walk(b, vtyp, ve + 1, s)
+      else walk(b, vtyp, pos + field(ve + 1), s)
+      i += 1
     }
-    if (isObj) {
-      VObj(Vector.tabulate(count) { i =>
-        val ke = keyEntries + i * (w + 2)
-        val keyOff = field(ke)
-        val keyLen = u16(b, ke + w)
-        (new String(b, pos + keyOff, keyLen, StandardCharsets.UTF_8), valueAt(i))
-      })
-    } else VArr(Vector.tabulate(count)(valueAt))
+    s.endContainer(isObj)
   }
 
   /** Opaque scalar: MYSQL field-type byte + varint length + payload.
@@ -173,7 +254,7 @@ object JsonBinary {
     * packed-longlong temporal form (TIME_to_longlong_packed layout:
     * `((ymd << 17 | hms) << 24) | microseconds`) and emit quoted.
     */
-  private def opaque(b: Array[Byte], pos: Int): Jv = {
+  private def opaque(b: Array[Byte], pos: Int, s: Sink): Unit = {
     val fieldType = b(pos) & 0xff
     val (len, p2) = varlen(b, pos + 1)
     fieldType match {
@@ -181,7 +262,7 @@ object JsonBinary {
         val precision = b(p2) & 0xff
         val scale = b(p2 + 1) & 0xff
         val r = new BinlogParser.Reader(b, p2 + 2)
-        VRaw(BinlogParser.decodeNewDecimal(r, precision, scale))
+        s.raw(BinlogParser.decodeNewDecimal(r, precision, scale))
       case 0x0a | 0x0c | 0x07 | 0x0b => // DATE / DATETIME / TIMESTAMP / TIME
         val packedRaw = i64(b, p2)
         val neg = packedRaw < 0
@@ -191,19 +272,19 @@ object JsonBinary {
         // TIME has no date part: the whole upper field is hms (hour can
         // exceed 5 bits, up to 838); DATE/DATETIME split at bit 17
         val hms = if (fieldType == 0x0b) ymdhms else ymdhms & 0x1ffffL
-        val h = hms >> 12; val mi = (hms >> 6) & 0x3f; val s = hms & 0x3f
+        val h = hms >> 12; val mi = (hms >> 6) & 0x3f; val sec = hms & 0x3f
         val frac = if (micros != 0) f".$micros%06d" else ""
         val sb = new java.lang.StringBuilder
         if (fieldType == 0x0b) { // TIME
           if (neg) sb.append('-')
-          sb.append(f"$h%02d:$mi%02d:$s%02d$frac")
+          sb.append(f"$h%02d:$mi%02d:$sec%02d$frac")
         } else {
           val ymd = ymdhms >> 17
           val ym = ymd >> 5
           sb.append(f"${ym / 13}%04d-${ym % 13}%02d-${ymd & 0x1f}%02d")
-          if (fieldType != 0x0a) sb.append(f" $h%02d:$mi%02d:$s%02d$frac")
+          if (fieldType != 0x0a) sb.append(f" $h%02d:$mi%02d:$sec%02d$frac")
         }
-        VStr(sb.toString)
+        s.str(sb.toString)
       case other =>
         throw new IllegalArgumentException(
           f"unsupported JSONB opaque field type 0x$other%02x (len=$len)")

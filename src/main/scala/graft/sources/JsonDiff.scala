@@ -66,11 +66,28 @@ object JsonDiff {
         case '.' =>
           i += 1
           if (i < path.length && path.charAt(i) == '"') {
+            // quoted members use JSON string escaping — decode the full
+            // escape set, not just \" and \\ (a key like "a\nb" must
+            // resolve to the member with a real newline)
             val sb = new java.lang.StringBuilder
             i += 1
             while (path.charAt(i) != '"') {
-              if (path.charAt(i) == '\\') i += 1
-              sb.append(path.charAt(i)); i += 1
+              if (path.charAt(i) == '\\') {
+                i += 1
+                path.charAt(i) match {
+                  case 'n' => sb.append('\n')
+                  case 't' => sb.append('\t')
+                  case 'r' => sb.append('\r')
+                  case 'b' => sb.append('\b')
+                  case 'f' => sb.append('\f')
+                  case '/' => sb.append('/')
+                  case 'u' =>
+                    sb.append(Integer.parseInt(path.substring(i + 1, i + 5), 16).toChar)
+                    i += 4
+                  case other => sb.append(other) // \" and \\ and anything literal
+                }
+              } else sb.append(path.charAt(i))
+              i += 1
             }
             i += 1
             legs += Left(sb.toString)

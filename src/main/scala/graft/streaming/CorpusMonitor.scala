@@ -34,9 +34,11 @@ object CorpusMonitor {
     * baseline snapshot (the curated corpus the trainer last saw).
     * Each batch's (group, bucket) counts reduce map-side before the
     * tiny PSI arithmetic; `onBatch` receives (batchId, drift rows) —
-    * wire it to alerting. Returns the started writer (foreachBatch:
-    * PSI needs the full-outer bucket merge, which streaming-native
-    * aggregation cannot express against a static side).
+    * wire it to alerting. Returns the CONFIGURED writer — the caller
+    * picks trigger/query name and calls `.start()` (foreachBatch
+    * because PSI needs the full-outer bucket merge, which
+    * streaming-native aggregation cannot express against a static
+    * side).
     */
   def driftAgainstBaseline(stream: DataFrame, baseline: DataFrame,
                            groupCol: String, bucket: org.apache.spark.sql.Column,

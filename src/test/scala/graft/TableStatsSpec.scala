@@ -193,5 +193,13 @@ class TableStatsSpec extends SparkSpec {
     val whole = TableStats.cmSketch(a.unionByName(b), "k", 4, 64)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(merged == whole)
+    // never-seen probes: empty cells count as ZERO in the min, so a
+    // key absent from the sketched data estimates 0, not an inflated
+    // min over whatever cells happen to exist
+    val tiny = TableStats.cmSketch(Seq("only").toDF("k"), "k", 4, 1024)
+    val est = TableStats.cmEstimate(tiny,
+        Seq("never-seen-key-xyz").toDF("k"), "k", 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("never-seen-key-xyz") == 0L)
   }
 }

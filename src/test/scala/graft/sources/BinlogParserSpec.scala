@@ -299,6 +299,32 @@ class BinlogParserSpec extends AnyFunSuite {
     assert(images2(1)(1).get == """{"a":1}""")
   }
 
+  test("PARTIAL_UPDATE_ROWS: partial bits index by TABLE JSON order, not presence") {
+    import JsonbBytes.{JI16, JObj}
+    // table: id INT, j1 JSON, j2 JSON — minimal-style after image
+    // carries only (id, j2); the partial bitmap still has one bit per
+    // TABLE JSON column, so j2's bit is bit 1
+    val entry = TableMapEntry("db", "t", Array(0x03, 0xf5, 0xf5), Array(0, 4, 4))
+    val j1 = JsonbBytes.doc(JObj(Seq("a" -> JI16(1))))
+    val j2 = JsonbBytes.doc(JObj(Seq("b" -> JI16(5))))
+    val v9 = JsonbBytes.doc(JI16(9))
+    val diffs = new W().u8(0).lenenc(3).str("$.b").lenenc(v9.length).raw(v9).result
+    val body = new W().u48(9L).u16(0).u16(2).lenenc(3)
+      .u8(0x07)          // before: all three columns present
+      .u8(0x05)          // after: id + j2 only (bits 0 and 2)
+      // before image
+      .u8(0).u32(7L).u32(j1.length).raw(j1).u32(j2.length).raw(j2)
+      // after image: PARTIAL_JSON on; table has 2 JSON cols -> 1 bitmap
+      // byte; j2 is JSON ordinal 1 -> bit 0x02 (bit 0 covers absent j1)
+      .u8(1).u8(0x02)
+      .u8(0).u32(7L).u32(diffs.length).raw(diffs)
+      .result
+    val (_, images) = BinlogParser.parseRows(body, PARTIAL_UPDATE_ROWS, _ => entry)
+    assert(images(0)(1).get == """{"a":1}""" && images(0)(2).get == """{"b":5}""")
+    assert(images(1)(1).isEmpty, "j1 absent from the minimal after image")
+    assert(images(1)(2).get == """{"b":9}""")
+  }
+
   test("decoded stream drives S2 transaction assembly end-to-end") {
     // the commit marker and gtid grouping line up with
     // CdcPipeline.assembleTransactions' contract

@@ -53,6 +53,17 @@ class JsonDiffSpec extends AnyFunSuite {
     assert(JsonBinary.render(root) == "null")
   }
 
+  test("quoted members decode the full JSON escape set") {
+    assert(JsonDiff.parsePath("""$."a\nb"""") == List(Left("a\nb")))
+    assert(JsonDiff.parsePath("""$."t\tx"[1]""") == List(Left("t\tx"), Right(1)))
+    assert(JsonDiff.parsePath("$.\"u\\u0041z\"") == List(Left("uAz")))
+    assert(JsonDiff.parsePath("""$."q\"w\\e"""") == List(Left("q\"w\\e")))
+    val doc = VObj(Vector("a\nb" -> VRaw("1")))
+    val out = JsonDiff.applyDiffs(doc,
+      Seq(JsonDiff.Diff(JsonDiff.Replace, "$.\"a\\nb\"", Some(VRaw("2")))))
+    assert(JsonBinary.render(out) == "{\"a\\nb\":2}")
+  }
+
   test("path misses and shape mismatches fail loudly") {
     intercept[IllegalArgumentException](JsonDiff.applyDiffs(doc,
       Seq(JsonDiff.Diff(JsonDiff.Replace, "$.nope", Some(VRaw("1"))))))
