@@ -918,6 +918,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_prefix_incremental" -> ((s, dir) => {
+      // continual-ingest exact near-dup: the corpus slice builds the
+      // frozen df/prefix/set index once, the batch dedups against it
+      // under the index's order — oracle brute-forces the full cross
+      // product, so the gate proves the frozen-order filters lossless
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val (dfT, pfx, sets) = Dedup.buildPrefixIndex(corpus, "doc_id", "text",
+        n = 3, tauNum = 1, tauDen = 2)
+      Dedup.prefixJaccardAgainstIndex(dfT, pfx, sets, batch, "doc_id", "text",
+          n = 3, tauNum = 1, tauDen = 2)
+        .orderBy(col("batch_id"), col("index_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // transitive dedup clusters over the ngram near-dup pair graph
       // (min-label propagation to fixpoint; oracle = recursive CTE)
@@ -2539,6 +2554,24 @@ object SparkEntry {
         |  CAST(common AS BIGINT) AS common,
         |  round(common / (na + nb - common), 6) AS jaccard
         |FROM p WHERE 5 * common >= 3 * (na + nb - common) ORDER BY id_a, id_b""".stripMargin,
+
+    // full cross-product truth with no caps — green proves the frozen
+    // index order + PPJoin filters lost no batch×corpus pair
+    "dedup_prefix_incremental" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS batch_id, b.doc_id AS index_id,
+        |    a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM e a JOIN e b USING (shingle)
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2, 3, 4)
+        |SELECT batch_id, index_id, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(common AS BIGINT) AS common,
+        |  round(common / (na + nb - common), 6) AS jaccard
+        |FROM p WHERE 2 * common >= 1 * (na + nb - common)
+        |ORDER BY batch_id, index_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id,

@@ -310,6 +310,94 @@ object Dedup {
     labels
   }
 
+  /** Persistable exact-prefix-join index: the continual-ingest form of
+    * [[prefixJaccardPairs]]. Three parquet-able frames — the frozen
+    * document-frequency table, the df-ordered prefix buckets, and the
+    * full shingle sets — built ONCE over the accumulated corpus;
+    * [[prefixJaccardAgainstIndex]] then dedups each day's batch
+    * against them without re-shingling the corpus.
+    *
+    * Exactness across builds: the prefix theorem needs one total order
+    * SHARED by both sides, not the "true" current df — so the batch
+    * ranks its shingles under the INDEX's frozen (df, hash) order,
+    * with unseen shingles at df 0 (they cannot be common with any
+    * index doc, and the completeness argument is purely positional, so
+    * where they land in the order is immaterial).
+    */
+  def buildPrefixIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tauNum: Int = 3, tauDen: Int = 5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = graft.operators.Partitioning
+      .ensureMinParallelism(corpus.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), shingleHashes(col("__text"), n).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+    val exploded = sets
+      .select(col("doc_id"), size(col("sh_arr")).as("nsh"), explode(col("sh_arr")).as("sh"))
+    val dfTable = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefixLen = col("nsh") - expr(s"(nsh * $tauNum + ${tauDen - 1}) div $tauDen") + lit(1)
+    val prefixes = exploded.join(dfTable.hint("shuffle_hash"), "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("sh"), col("doc_id"), col("nsh"), col("rk"))
+    (dfTable, prefixes, sets)
+  }
+
+  /** Batch × index exact Jaccard pairs: candidates from shared prefix
+    * shingles under the index's frozen order, the same lossless PPJoin
+    * length + positional filters as the self-join, then array verify
+    * against both sides' sets. Returns (batch_id, index_id, na, nb,
+    * common, jaccard) — na is the batch side.
+    */
+  def prefixJaccardAgainstIndex(dfTable: DataFrame, idxPrefixes: DataFrame,
+                                idxSets: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int = 3, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bSets = graft.operators.Partitioning
+      .ensureMinParallelism(batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), shingleHashes(col("__text"), n).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+    val bExploded = bSets
+      .select(col("doc_id"), size(col("sh_arr")).as("nsh"), explode(col("sh_arr")).as("sh"))
+    val prefixLen = col("nsh") - expr(s"(nsh * $tauNum + ${tauDen - 1}) div $tauDen") + lit(1)
+    // unseen shingles rank rarest (df 0). Completeness is positional:
+    // the theorem only needs "common tokens past the prefix number
+    // fewer than the required overlap", which holds whatever occupies
+    // the prefix slots — and an index-unseen shingle can never be a
+    // common token anyway
+    val bPrefix = bExploded.join(dfTable.hint("shuffle_hash"), Seq("sh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("sh"), col("doc_id").as("batch_id"),
+        col("nsh").as("na"), col("rk").as("rka"))
+    val o = expr(s"($tauNum * (na + nb) + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}")
+    val cands = bPrefix.join(
+        idxPrefixes.select(col("sh"), col("doc_id").as("index_id"),
+          col("nsh").as("nb"), col("rk").as("rkb")).hint("shuffle_hash"), "sh")
+      .filter(col("nb") * tauDen >= col("na") * tauNum &&
+        col("na") * tauDen >= col("nb") * tauNum)
+      .groupBy(col("batch_id"), col("index_id"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .agg(max(least(col("na") - col("rka"), col("nb") - col("rkb"))).as("__best"))
+      .filter(col("__best") + 1 >= o)
+      .select(col("batch_id"), col("index_id"))
+    cands
+      .join(bSets.select(col("doc_id").as("batch_id"), col("sh_arr").as("__sa"))
+        .hint("shuffle_hash"), "batch_id")
+      .join(idxSets.select(col("doc_id").as("index_id"), col("sh_arr").as("__sb"))
+        .hint("shuffle_hash"), "index_id")
+      .select(col("batch_id"), col("index_id"),
+        size(col("__sa")).cast("long").as("na"), size(col("__sb")).cast("long").as("nb"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("common"))
+      .filter(col("common") * tauDen >= (col("na") + col("nb") - col("common")) * tauNum)
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"), 6))
+  }
+
   /** EXACT n-gram Jaccard self-join via prefix filtering (the
     * SSJoin/PPJoin candidate rule: Chaudhuri et al. ICDE'06, Bayardo
     * et al. WWW'07). Where [[ngramJaccardPairs]] buckets on EVERY

@@ -291,6 +291,30 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (x, y) => !(x <= 40 && y <= 40) })
   }
 
+  test("stored prefix index: parquet round-trip probe == brute-force cross truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pfx").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val (dfT, pfx, sets) = Dedup.buildPrefixIndex(corpus, "doc_id", "text", 3, 1, 2)
+    dfT.write.parquet(s"$dir/df"); pfx.write.parquet(s"$dir/pfx")
+    sets.write.parquet(s"$dir/sets")
+    val got = Dedup.prefixJaccardAgainstIndex(
+        spark.read.parquet(s"$dir/df"), spark.read.parquet(s"$dir/pfx"),
+        spark.read.parquet(s"$dir/sets"), batch, "doc_id", "text", 3, 1, 2)
+      .select("batch_id", "index_id", "common")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: every shared-shingle cross pair, exact tau filter
+    def ex(df: org.apache.spark.sql.DataFrame, a: String) =
+      df.select(col("doc_id").as(a), Dedup.shingleHashes(col("text"), 3).as("arr"))
+        .filter(size(col("arr")) > 0)
+        .select(col(a), size(col("arr")).cast("long").as(s"n_$a"), explode(col("arr")).as("sh"))
+    val truth = ex(batch, "ba").join(ex(corpus, "ia"), "sh")
+      .groupBy("ba", "ia", "n_ba", "n_ia").agg(count(lit(1)).as("common"))
+      .filter(col("common") * 2 >= (col("n_ba") + col("n_ia") - col("common")) * 1)
+      .select("ba", "ia", "common").as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+  }
+
   test("connectedComponents: transitive closure over a chain and a cycle") {
     import spark.implicits._
     // chain 1-2-3-4, cycle 10-11-12-10, singleton pair 20-21
