@@ -135,6 +135,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("c_lo"), col("p_lo"))
     }),
 
+    "q13_deciles" -> ((s, dir) => {
+      // customer-value deciles WITHIN each nation: NTILE over exact
+      // decimal revenue under a (revenue, custkey) total order. The
+      // window partitions on the nation key — a global unpartitioned
+      // ntile would funnel every customer through ONE task, the
+      // single-partition window trap
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), "o_custkey")
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+      rev.withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("c_nationkey")).orderBy(col("revenue"), col("o_custkey"))))
+        .groupBy(col("c_nationkey"), col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("revenue")).cast("double").as("total_revenue"),
+          min(col("revenue")).cast("double").as("min_revenue"),
+          max(col("revenue")).cast("double").as("max_revenue"))
+        .orderBy(col("c_nationkey"), col("decile"))
+    }),
+
     "q12_gapfill" -> ((s, dir) => {
       // dense daily panel: per-user purchase totals with missing days
       // filled by the last observation — the sparse-log → dense-panel
@@ -1984,6 +2006,21 @@ object SparkEntry {
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_deciles" ->
+      """WITH r AS (SELECT c.c_nationkey, o.o_custkey,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |d AS (SELECT c_nationkey, revenue,
+        |    ntile(10) OVER (PARTITION BY c_nationkey ORDER BY revenue, o_custkey) AS decile
+        |  FROM r)
+        |SELECT c_nationkey, CAST(decile AS INT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(revenue) AS DOUBLE) AS total_revenue,
+        |  CAST(MIN(revenue) AS DOUBLE) AS min_revenue,
+        |  CAST(MAX(revenue) AS DOUBLE) AS max_revenue
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // DECIMAL day sums (order-free), carry-forward via IGNORE NULLS
     // last_value over the same key exchange
