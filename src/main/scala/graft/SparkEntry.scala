@@ -1779,6 +1779,30 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "mm_wav_decode" -> ((s, dir) => {
+      // REAL audio decode through the multimodal plumbing: 16-bit PCM
+      // WAVs synthesized from a sawtooth formula, encoded to actual
+      // RIFF bytes, decoded back by WavCodec inside mapPartitions.
+      // The oracle re-derives the integer signal stats from the sample
+      // formula alone — green means the byte decoder is exact
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.WavCodec
+      s.range(24).map { i =>
+        val n = 400 + (i % 7).toInt * 50
+        val samples = Array.tabulate[Short](n) { t =>
+          (((i * 31 + t.toLong * 7) % 2001) - 1000).toShort
+        }
+        (i, codec.encodeWav(8000, 1, samples))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (rate, n, sumAbs, maxAbs, crossings) = codec.signalStats(payload)
+        (id, rate, n, sumAbs, maxAbs, crossings)
+      }).toDF("media_id", "sample_rate", "n_samples", "sum_abs", "max_abs", "n_crossings")
+        .select(col("media_id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("sum_abs"), col("max_abs"), col("n_crossings"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_ppm_decode" -> ((s, dir) => {
       // REAL image decode through the multimodal plumbing: P6 PPM
       // images synthesized from an arithmetic pixel formula, encoded to
@@ -4092,6 +4116,22 @@ object SparkEntry {
         |  round(cos, 6) AS cosine
         |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, lbl DESC) = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // integer signal stats re-derived from the sawtooth formula —
+    // cross-engine proof the RIFF/PCM byte decode is exact
+    "mm_wav_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 400 + (i % 7) * 50 AS n FROM range(24) t(i)),
+        |sm AS (SELECT media_id, n, p, ((media_id * 31 + p * 7) % 2001) - 1000 AS v
+        |  FROM ids CROSS JOIN range(750) r(p) WHERE p < n),
+        |w AS (SELECT media_id, n, p, v,
+        |    LAG(v) OVER (PARTITION BY media_id ORDER BY p) AS pv FROM sm)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL
+        |    AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_crossings
+        |FROM w GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // the oracle derives the sums from the pixel formula alone —
     // cross-engine proof the byte-level PPM decode is exact

@@ -167,6 +167,127 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec for RIFF/WAVE 16-bit PCM — the audio sibling of
+    * [[PpmCodec]]: pure JVM, so one genuinely decodable audio format
+    * exercises the multimodal path end-to-end. Parses the RIFF header,
+    * walks chunks to `fmt ` (PCM, 16-bit) and `data`, and exposes the
+    * samples; unknown chunks (LIST, fact…) skip by their declared
+    * size. Fails loudly on anything else — same policy as every
+    * decoder here.
+    */
+  object WavCodec extends MediaCodec {
+
+    /** (sampleRate, channels, interleaved 16-bit samples). */
+    def decodeWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+      def u32(p: Int): Long = (payload(p) & 0xffL) | ((payload(p + 1) & 0xffL) << 8) |
+        ((payload(p + 2) & 0xffL) << 16) | ((payload(p + 3) & 0xffL) << 24)
+      def u16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+      def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+      require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var pos = 12
+      var rate = -1; var channels = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+        val id = tag(pos); val len = u32(pos + 4).toInt
+        id match {
+          case "fmt " =>
+            val fmtCode = u16(pos + 8)
+            require(fmtCode == 1, s"unsupported WAV format code $fmtCode (PCM only)")
+            channels = u16(pos + 10)
+            rate = u32(pos + 12).toInt
+            val bits = u16(pos + 22)
+            require(bits == 16, s"unsupported WAV bit depth $bits (16-bit only)")
+          case "data" => dataOff = pos + 8; dataLen = len
+          case _ => // LIST/fact/...: skip by declared size
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
+      require(dataOff + dataLen <= payload.length, "truncated WAV data chunk")
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((payload(dataOff + 2 * i) & 0xff) |
+          (payload(dataOff + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (rate, channels, samples)
+    }
+
+    def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def put32(p: Int, v: Long): Unit = {
+        out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+        out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte
+      }
+      def put16(p: Int, v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+      def putTag(p: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, p)
+      putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
+      putTag(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, channels)
+      put32(24, sampleRate.toLong); put32(28, sampleRate.toLong * channels * 2)
+      put16(32, channels * 2); put16(34, 16)
+      putTag(36, "data"); put32(40, dataLen.toLong)
+      var i = 0
+      while (i < samples.length) {
+        out(44 + 2 * i) = samples(i).toByte
+        out(44 + 2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Exact integer signal stats — the cross-engine-checkable core
+      * (every value derived from sample integers, no float).
+      */
+    def signalStats(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (rate, _, s) = decodeWav(payload)
+      var sumAbs = 0L; var maxAbs = 0L; var crossings = 0L
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toLong
+        val a = math.abs(v)
+        sumAbs += a; if (a > maxAbs) maxAbs = a
+        if (i > 0 && ((s(i - 1) < 0 && v >= 0) || (s(i - 1) >= 0 && v < 0))) crossings += 1
+        i += 1
+      }
+      (rate, s.length, sumAbs, maxAbs, crossings)
+    }
+
+    /** Real features: `dim`-cell RMS grid over the sample stream. */
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (_, _, s) = decodeWav(payload)
+      val n = math.max(1, s.length)
+      val sums = new Array[Long](dim); val counts = new Array[Long](dim)
+      var i = 0
+      while (i < s.length) {
+        val cell = (i.toLong * dim / n).toInt
+        sums(cell) += s(i).toLong * s(i); counts(cell) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (counts(i) == 0) 0f
+        else math.sqrt(sums(i).toDouble / counts(i)).toFloat)
+    }
+
+    /** MediaCodec resize contract: resample to `w*h` samples,
+      * nearest-sample — the audio analog of a thumbnail.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val (rate, ch, s) = decodeWav(payload)
+      val target = math.max(1, w * h)
+      val out = new Array[Short](target)
+      var i = 0
+      while (i < target) {
+        out(i) = s(math.min(s.length - 1, (i.toLong * s.length / target).toInt))
+        i += 1
+      }
+      encodeWav(rate, ch, out)
+    }
+  }
+
   /** Size partitions so each holds ~`targetBytes` of payload — binary
     * rows are fat (MBs), so the default 128 MB parquet split with
     * thousands of rows per task would OOM executors at 100 TB. Uses the

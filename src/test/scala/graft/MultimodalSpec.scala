@@ -85,6 +85,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => again(r.media_id) == r.features.toSeq))
   }
 
+  test("WavCodec: encode/decode round-trip, chunk skipping, loud failures") {
+    val samples = Array.tabulate[Short](500)(t => ((t * 37 % 4001) - 2000).toShort)
+    val bytes = Multimodal.WavCodec.encodeWav(16000, 1, samples)
+    val (rate, ch, got) = Multimodal.WavCodec.decodeWav(bytes)
+    assert(rate == 16000 && ch == 1 && got.sameElements(samples))
+    // an unknown LIST chunk between fmt and data must be skipped
+    val withList = bytes.slice(0, 36) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes ++
+      bytes.drop(36)
+    // fix the RIFF size field (not validated, but keep it honest)
+    val (_, _, got2) = Multimodal.WavCodec.decodeWav(withList)
+    assert(got2.sameElements(samples))
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decodeWav("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40)))
+    // 8-bit PCM rejected loudly
+    val eight = bytes.clone(); eight(34) = 8
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decodeWav(eight))
+  }
+
+  test("WavCodec: resample hits exact source samples; RMS features bounded") {
+    val samples = Array.tabulate[Short](100)(t => (t * 100).toShort)
+    val bytes = Multimodal.WavCodec.encodeWav(8000, 1, samples)
+    val (_, _, half) = Multimodal.WavCodec.decodeWav(
+      Multimodal.WavCodec.resize(bytes, 10, 5)) // 50 samples
+    assert(half.length == 50)
+    assert(half.forall(v => samples.contains(v)), "nearest resample picks true samples")
+    val f = Multimodal.WavCodec.decodeFeatures(bytes, 4)
+    assert(f.length == 4 && f.forall(v => v >= 0f && v <= 32768f))
+    assert(f(3) > f(0), "rising ramp has rising per-cell RMS")
+  }
+
   test("repartitionBySize targets byte budget") {
     val df = Multimodal.synthesize(spark, 100).toDF()
       .withColumn("n_bytes", org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("payload")))
