@@ -964,6 +964,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "sample_kfold" -> ((s, dir) => {
+      // leak-free k-fold cross-validation assignment: the fold keys on
+      // each doc's exact-dup group REPRESENTATIVE, so verbatim copies
+      // always land in the same fold (per-doc hashing would leak a
+      // copy into the held-out fold)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val hashed = docs.select(col("doc_id"),
+        md5(Dedup.normText(col("text"))).as("__h"))
+      val reps = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep"))
+      hashed.join(reps, "__h")
+        .select(col("doc_id"), col("rep"),
+          pmod(graft.operators.Sampling.hash60(col("rep")), lit(5)).cast("int").as("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_split_leakfree" -> ((s, dir) => {
       // eval-hygiene split: near-dup clusters assigned atomically so a
       // doc and its edited copy never straddle train/val
@@ -2798,6 +2813,17 @@ object SparkEntry {
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
         |)
         |SELECT node, MIN(label) AS cluster FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // fold keys on the exact-dup group representative — copies can
+    // never straddle folds; 60-bit md5 bucket, same hash60 contract
+    "sample_kfold" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')))) AS hh
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT hh, MIN(doc_id) AS rep FROM h GROUP BY hh)
+        |SELECT doc_id, rep,
+        |  CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold
+        |FROM h JOIN r USING (hh) ORDER BY doc_id""".stripMargin,
 
     "sample_split_leakfree" ->
       """WITH RECURSIVE w AS (SELECT doc_id,
