@@ -157,6 +157,27 @@ object SparkEntry {
         .orderBy(col("c_nationkey"), col("decile"))
     }),
 
+    "q14_moving_avg" -> ((s, dir) => {
+      // 7-day trailing revenue per user via a RANGE frame over epoch
+      // days — event-time rolling totals that skip missing days
+      // correctly (a ROWS frame would look back 6 ROWS, not 6 days);
+      // DECIMAL day sums keep the running totals engine-exact
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).as("day_rev"))
+        .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rev_7d", sum(col("day_rev")).over(w).cast("double"))
+        .withColumn("n_days_7d", count(lit(1)).over(w))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_rev").cast("double").as("day_rev"), col("rev_7d"), col("n_days_7d"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "q12_gapfill" -> ((s, dir) => {
       // dense daily panel: per-user purchase totals with missing days
       // filled by the last observation — the sparse-log → dense-panel
@@ -2045,6 +2066,22 @@ object SparkEntry {
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // RANGE frame over epoch days: 6-day lookback by VALUE, so sparse
+    // activity windows span calendar days, not row counts
+    "q14_moving_avg" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |d AS (SELECT user_id, day, SUM(CAST(value AS DECIMAL(18,6))) AS day_rev,
+        |    date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM e GROUP BY 1, 2)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(day_rev AS DOUBLE) AS day_rev,
+        |  CAST(SUM(day_rev) OVER w AS DOUBLE) AS rev_7d,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
 
     "q13_deciles" ->
       """WITH r AS (SELECT c.c_nationkey, o.o_custkey,
