@@ -582,8 +582,9 @@ object SparkEntry {
       // within 8h of each other fold into one session. Spark plans
       // session_window as one shuffle on the key + in-partition merge —
       // no self-join, which is what survives a 100 TB event log. The
-      // oracle reproduces the merge as gaps-and-islands (break when the
-      // inter-arrival gap >= 8h, session end = last event + gap).
+      // oracle reproduces the merge as gaps-and-islands (break only
+      // when the gap EXCEEDS 8h — exactly-at-gap merges — end = last
+      // event + gap).
       graft.streaming.WindowedStats.sessionCounts(
           t(s, dir, "events").filter(col("ts").isNotNull), "ts", "user_id", "8 hours")
         .select(col("user_id"), unix_millis(col("win_start")).as("ws_ms"),
@@ -2145,8 +2146,10 @@ object SparkEntry {
         |WHERE date_diff('day', cohort_day, day) <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // TRY_CAST, not ::JSON — a malformed props row must null out like
+    // Spark's from_json, not abort the whole query (events fuzz catch)
     "q9_json_props" ->
-      """WITH p AS (SELECT event_type, CAST(props::JSON ->> 'k' AS BIGINT) AS k FROM events)
+      """WITH p AS (SELECT event_type, CAST(TRY_CAST(props AS JSON) ->> 'k' AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(k) AS BIGINT) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
@@ -2366,12 +2369,15 @@ object SparkEntry {
 
     "o13_session_windows" ->
       // gaps-and-islands replay of Spark's session merge: a session
-      // breaks when the inter-arrival gap reaches 8h; its end is the
-      // last event plus the gap. Tie-safe: tied timestamps contribute
+      // breaks only when the inter-arrival gap EXCEEDS 8h — an event
+      // landing exactly at last+gap still merges (Spark's session
+      // windows are [start, last+gap] inclusive at the merge boundary;
+      // the events fuzz caught the >= formulation splitting them).
+      // End = last event + gap. Tie-safe: tied timestamps contribute
       // brk=0 after the first, so island ids are order-independent.
       """WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
         |m AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |    >= INTERVAL '8 hours' THEN 1 ELSE 0 END AS brk FROM e),
+        |    > INTERVAL '8 hours' THEN 1 ELSE 0 END AS brk FROM e),
         |s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
         |SELECT user_id, epoch_ms(MIN(ts)) AS ws_ms,

@@ -36,6 +36,15 @@ QUERIES = [
     "pipeline_quality", "pipeline_datacard",
 ]
 
+# events-only queries: gated when the adversarial events table is
+# generated alongside documents (tied timestamps, null ts, lone users,
+# negative/extreme values, funnel steps out of order)
+EVENT_QUERIES = [
+    "o13_session_windows", "k8_scd2_history", "q8_overlap_join",
+    "q10_funnel", "q11_cohorts", "q12_gapfill", "q14_moving_avg",
+    "o5_mts_schedule", "q9_json_props",
+]
+
 PIECES = [
     "the", "cat", "and", "of", "to", "have", "with", "that", "be",
     "大家", "好", "世界", "eé", "Ångström", "naïve", "😀", "🚀x",
@@ -74,6 +83,44 @@ def gen_docs(seed: int, n: int = 400) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_events(seed: int, n: int = 600) -> pd.DataFrame:
+    """Adversarial change stream: tied timestamps, null ts, lone-event
+    users, out-of-order funnel steps, negative/zero/extreme values —
+    the shapes the driver's uniform fixture never produces.
+    """
+    rnd = random.Random(seed * 7 + 1)
+    base = pd.Timestamp("2024-01-01")
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    for i in range(1, n + 1):
+        kind = rnd.random()
+        user = rnd.randint(1, 40)
+        if kind < 0.05:
+            ts = None                                   # null event time
+        elif kind < 0.25:
+            # tied timestamps: several events share one exact second
+            ts = base + pd.Timedelta(seconds=rnd.randint(0, 20) * 3600)
+        else:
+            ts = base + pd.Timedelta(seconds=rnd.randint(0, 29 * 86400))
+        value = rnd.choice([0.0, -5.25, 1e9, 0.125, rnd.random() * 100])
+        rows.append({
+            "event_id": i,
+            "ts": ts,
+            "user_id": user,
+            "event_type": rnd.choice(types),
+            "value": value,
+            "props": rnd.choice(['{"k": 1}', '{"k": null}', '{"other": 2}',
+                                 "not json", '{"k": -7}']),
+        })
+    # a few lone users: exactly one event ever (funnel/session edges)
+    for j in range(3):
+        rows.append({"event_id": n + 1 + j, "ts": base, "user_id": 1000 + j,
+                     "event_type": "purchase", "value": 1.0, "props": "{}"})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 42
     root = f"/tmp/graft-fuzz/{seed}"
@@ -82,10 +129,14 @@ def main() -> int:
     docs = gen_docs(seed)
     pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
                    f"{sf_dir}/documents.parquet")
+    events = gen_events(seed)
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                   f"{sf_dir}/events.parquet")
 
+    all_queries = QUERIES + EVENT_QUERIES
     r = subprocess.run(
         ["sbt", "--error",
-         f"runMain graft.Verify {sf_dir} {out_dir} " + " ".join(QUERIES)],
+         f"runMain graft.Verify {sf_dir} {out_dir} " + " ".join(all_queries)],
         cwd="/root/repo", capture_output=True, text=True, timeout=1200)
     if not os.path.exists(f"{out_dir}/oracle_sql.json"):
         print(r.stdout[-3000:], r.stderr[-3000:])
@@ -95,9 +146,11 @@ def main() -> int:
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
-    for name in QUERIES:
+    for name in all_queries:
         qdir = os.path.join(out_dir, name)
         if os.path.exists(os.path.join(qdir, "_ERROR")):
             failures.append((name, "spark: " +
@@ -132,7 +185,7 @@ def main() -> int:
             failures.append((name, str(ex).splitlines()[-1][:200]))
     for name, why in failures:
         print(f"FAIL {name}: {why}")
-    print(f"{len(QUERIES) - len(failures)}/{len(QUERIES)} pass (seed={seed})")
+    print(f"{len(all_queries) - len(failures)}/{len(all_queries)} pass (seed={seed})")
     return 1 if failures else 0
 
 
