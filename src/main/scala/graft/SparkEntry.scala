@@ -2894,22 +2894,32 @@ object SparkEntry {
         |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // the n2 = 0 arms mirror the native expression's cosine(0, x) := 0
+    // convention (zero vectors would otherwise NaN past the threshold)
     "emb_cosine_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS n2
+        |  FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(a.v, b.v) END AS cos
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine
+        |FROM s WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS qn2
         |  FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |c AS (SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS cn2
         |  FROM embeddings),
-        |scored AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos
+        |scored AS (SELECT query_id, corpus_id,
+        |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(cv, qv) END AS cos
         |  FROM q, c WHERE corpus_id <> query_id)
         |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
         |FROM scored
@@ -3193,9 +3203,14 @@ object SparkEntry {
         |  list_transform(embedding, x -> greatest(-127.0, least(127.0,
         |    sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * sc + 0.5)))) AS cv8
         |  FROM s),
-        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS qn2
         |  FROM embeddings WHERE vec_id < 10),
-        |scored AS (SELECT query_id, corpus_id, list_cosine_similarity(cv8, qv) AS cos
+        |scored AS (SELECT query_id, corpus_id,
+        |    CASE WHEN qn2 = 0
+        |      OR list_aggregate(list_transform(cv8, x -> x * x), 'sum') = 0 THEN 0.0
+        |      ELSE list_cosine_similarity(cv8, qv) END AS cos
         |  FROM q, qz WHERE corpus_id <> query_id)
         |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, round(cos, 6) AS cosine
         |FROM scored
@@ -4180,7 +4195,9 @@ object SparkEntry {
         |  GROUP BY tr.label, u.i),
         |c AS (SELECT lbl, list(m ORDER BY pos) AS cv FROM m GROUP BY lbl),
         |s AS (SELECT te.vec_id, te.label AS true_label, c.lbl,
-        |    list_cosine_similarity(te.v, c.cv) AS cos FROM te, c)
+        |    CASE WHEN list_aggregate(list_transform(te.v, x -> x * x), 'sum') = 0
+        |      OR list_aggregate(list_transform(c.cv, x -> x * x), 'sum') = 0 THEN 0.0
+        |      ELSE list_cosine_similarity(te.v, c.cv) END AS cos FROM te, c)
         |SELECT vec_id, CAST(true_label AS INT) AS true_label, CAST(lbl AS INT) AS pred_label,
         |  round(cos, 6) AS cosine
         |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, lbl DESC) = 1

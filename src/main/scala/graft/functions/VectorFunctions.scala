@@ -21,7 +21,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    // cosine(0, x) := 0, matching [[graft.plans.CosineSimilarity]] —
+    // 0/0 = NaN would ride Spark's NaN-is-greatest comparisons past
+    // every threshold (embeddings-fuzz catch)
+    when(dot(a, a) === 0.0 || dot(b, b) === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (norm(a) * norm(b)))
 
   /** Native-Expression cosine ([[graft.plans.CosineSimilarity]], fused
     * codegen loop, bit-identical to [[cosine]]). Requires the

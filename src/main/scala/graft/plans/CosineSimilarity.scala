@@ -69,7 +69,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // cosine(0, x) := 0 by convention — without this arm a zero vector
+    // (real corpora: padding/null embeddings) yields 0/0 = NaN, and
+    // Spark SQL's NaN-is-greatest comparison semantics then push it
+    // PAST every similarity threshold and to rank 1 of every top-k
+    // (caught by the embeddings fuzz; IEEE engines drop NaN instead)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -87,7 +93,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = (double) $b.$rGet($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -37,6 +37,23 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(r2 - 1.0) < 1e-12)
   }
 
+  test("cosine(0, x) = 0 in both the native and declarative forms (never NaN)") {
+    import spark.implicits._
+    // Spark compares NaN as GREATER than everything, so a NaN cosine
+    // would pass every threshold and take rank 1 of every top-k — the
+    // zero vector must read as similarity 0 instead
+    val rows = Seq(
+      (1L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (2L, Seq(1f, 2f, 3f), Seq(0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 0f), Seq(0f, 0f, 0f))
+    ).toDF("id", "a", "b")
+    val out = rows.select(col("id"),
+        VectorFunctions.cosineNative(col("a"), col("b")).as("cn"),
+        VectorFunctions.cosine(col("a"), col("b")).as("cd"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.forall { case (_, cn, cd) => cn == 0.0 && cd == 0.0 }, out.toSeq.toString)
+  }
+
   test("codegen path evaluates (no interpreted fallback errors) at scale") {
     // force a plan that runs the expression across the whole corpus
     val s = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(3))

@@ -45,6 +45,13 @@ EVENT_QUERIES = [
     "o5_mts_schedule", "q9_json_props",
 ]
 
+# embeddings-family queries gated on the adversarial vector table
+# (zero vectors, denormals, huge magnitudes, exact duplicates)
+EMB_QUERIES = [
+    "emb_l2norm", "emb_quantize", "emb_cosine_pairs", "sim_topk",
+    "emb_quantize_trained", "sim_topk_quantized", "emb_classify_centroid",
+]
+
 PIECES = [
     "the", "cat", "and", "of", "to", "have", "with", "that", "be",
     "大家", "好", "世界", "eé", "Ångström", "naïve", "😀", "🚀x",
@@ -121,6 +128,34 @@ def gen_events(seed: int, n: int = 600) -> pd.DataFrame:
     return df
 
 
+def gen_embeddings(seed: int, n: int = 200, dim: int = 64) -> pd.DataFrame:
+    """Adversarial vectors: the zero vector, denormal-tiny and huge
+    magnitudes, negatives, exact duplicates, and near-duplicates —
+    the norm/rounding edges a uniform fixture never reaches.
+    """
+    import numpy as np
+    rnd = np.random.RandomState(seed * 13 + 5)
+    rows = []
+    for i in range(n):
+        kind = i % 10
+        if kind == 0:
+            v = np.zeros(dim, dtype=np.float32)
+        elif kind == 1:
+            v = np.full(dim, 1e-30, dtype=np.float32)      # denormal-ish
+        elif kind == 2:
+            # large but inside the integer-micros domain the centroid/
+            # IVF arithmetic documents (floor(x*1e6) must fit BIGINT)
+            v = rnd.randn(dim).astype(np.float32) * 1e3
+        elif kind == 3 and rows:
+            v = np.array(rows[-1]["embedding"], dtype=np.float32)  # exact dup
+        else:
+            v = rnd.randn(dim).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v],
+                     "label": int(i % 4)})
+    df = pd.DataFrame(rows)
+    return df
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 42
     root = f"/tmp/graft-fuzz/{seed}"
@@ -132,8 +167,15 @@ def main() -> int:
     events = gen_events(seed)
     pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
                    f"{sf_dir}/events.parquet")
+    emb = gen_embeddings(seed)
+    emb_schema = pa.schema([("vec_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float32())),
+                            ("label", pa.int32())])
+    pq.write_table(pa.Table.from_pandas(emb, preserve_index=False,
+                                        schema=emb_schema),
+                   f"{sf_dir}/embeddings.parquet")
 
-    all_queries = QUERIES + EVENT_QUERIES
+    all_queries = QUERIES + EVENT_QUERIES + EMB_QUERIES
     r = subprocess.run(
         ["sbt", "--error",
          f"runMain graft.Verify {sf_dir} {out_dir} " + " ".join(all_queries)],
@@ -148,6 +190,8 @@ def main() -> int:
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name in all_queries:
