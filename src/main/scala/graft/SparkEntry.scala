@@ -3237,9 +3237,9 @@ object SparkEntry {
         |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
         |FROM sc),
         |prof AS (SELECT doc_id,
-        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3) * 1000000 + 0.5) / 1000000 AS quality,
         |  CASE WHEN best = 0 THEN 'und'
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred
@@ -3394,9 +3394,9 @@ object SparkEntry {
         |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
         |FROM sc),
         |prof AS (SELECT doc_id, words,
-        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3) * 1000000 + 0.5) / 1000000 AS quality,
         |  CASE WHEN best = 0 THEN 'und'
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
@@ -3459,11 +3459,11 @@ object SparkEntry {
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s\x0b]')) AS INT) AS n_subwords,
         |  CAST(length(text) AS INT) AS n_chars_m,
-        |  round(punct, 6) AS punct_ratio,
-        |  round(mwl, 6) AS mean_word_len,
-        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  floor(punct * 1000000 + 0.5) / 1000000 AS punct_ratio,
+        |  floor(mwl * 1000000 + 0.5) / 1000000 AS mean_word_len,
+        |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3) * 1000000 + 0.5) / 1000000 AS quality,
         |  CASE WHEN best = 0 THEN 'und'
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
@@ -3482,10 +3482,10 @@ object SparkEntry {
         |       ELSE CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE) / len(words) END AS mwl
         |FROM w),
         |q AS (SELECT doc_id, source,
-        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  CAST(floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6)
-        |    * 1000000) AS BIGINT) AS q_micros
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3)
+        |    * 1000000 + 0.5) AS BIGINT) AS q_micros
         |FROM m),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q_micros, doc_id) AS rn,
         |  COUNT(*) OVER (PARTITION BY source) AS n FROM q),
@@ -3681,9 +3681,9 @@ object SparkEntry {
         |FROM sc)
         |SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
-        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3) * 1000000 + 0.5) / 1000000 AS quality,
         |  CASE WHEN best = 0 THEN 'und'
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,
@@ -3741,10 +3741,10 @@ object SparkEntry {
         |FROM sc),
         |prof AS (SELECT doc_id, source,
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(words) AS INT) END AS n_tokens,
-        |  CAST(round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  CAST(floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
         |        (1.0 - least(punct * 5.0, 1.0)) * 0.3 +
-        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3, 6)
-        |    * 1000000) AS BIGINT) AS q_micros,
+        |        (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3)
+        |    * 1000000 + 0.5) AS BIGINT) AS q_micros,
         |  CASE WHEN best = 0 THEN 'und'
         |       WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
         |       WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' ELSE 'zh' END AS lang_pred,

@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -31,8 +30,16 @@ object TextProfileUtil {
     "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "不")
   )
 
+  // floor(x*1e6 + 0.5)/1e6, NOT BigDecimal HALF_UP: engines disagree
+  // on ties because they round different representations (BigDecimal
+  // sees the double's exact decimal expansion; DuckDB's round works on
+  // the scaled product). The explicit floor formula is the same two
+  // IEEE ops everywhere, so a quality score landing exactly on a
+  // half-micro boundary (seed-99 fuzz: 0.7388125) quantizes
+  // identically. Inputs here are non-negative, where floor(x+0.5) IS
+  // half-up.
   private def round6(x: Double): Double =
-    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    math.floor(x * 1e6 + 0.5) / 1e6
 
   def compute(text: UTF8String): InternalRow = {
     val raw = text.toString
