@@ -50,6 +50,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-6 query family: no cartesian products or nested-loop joins") {
+    for (q <- Seq("q8_overlap_join", "q10_funnel", "q11_cohorts", "q12_gapfill",
+        "q13_deciles", "q14_moving_avg", "k8_scd2_history", "pipeline_monitor",
+        "tokenizer_coverage", "stats_drift", "dedup_prefix_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("window-bearing queries never run an unpartitioned (single-task) window") {
+    // Window.orderBy without partitionBy funnels the whole input
+    // through ONE task — the q13 first-cut trap
+    for (name <- Seq("q13_deciles", "q3_window_topn", "stats_outliers",
+        "stats_quantiles_sketch", "q14_moving_avg", "corpus_lang_confusion")) {
+      val phys = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val bad = phys.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has an unpartitioned window: global sort funnel")
+    }
+  }
+
   test("prefix-filter join: shingle-set re-join is shuffle-hash, never broadcast") {
     // the verify stage re-joins corpus-sized shingle arrays per
     // candidate side — the measured lshPairs OOM shape if broadcast
