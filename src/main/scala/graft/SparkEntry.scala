@@ -1886,6 +1886,29 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    "stats_trend" -> ((s, dir) => {
+      // is this stream growing or shrinking? OLS slope of daily event
+      // counts over epoch days, per event type — x and y are BOTH
+      // integers here, so every OLS moment is exact and only the final
+      // slope division is a float op (micros/day, rounded once)
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("trend_micros_per_day",
+          when(col("n_days") >= 2 && col("n_days") * col("sxx") =!= col("sx") * col("sx"),
+            round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+              .cast("long")))
+        .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+          col("trend_micros_per_day"))
+        .orderBy(col("event_type"))
+    }),
+
     "stats_zipf" -> ((s, dir) => {
       // does each source look like language? OLS slope of ln(freq) vs
       // ln(rank) over the top-100 tokens — natural text sits near -1,
@@ -4256,6 +4279,22 @@ object SparkEntry {
         |SELECT lang, lang_pred, CAST(n AS BIGINT) AS n, CAST(n_true AS BIGINT) AS n_true,
         |  CAST(round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) * 1000000.0) AS BIGINT) AS cell_micros
         |FROM tt ORDER BY lang, lang_pred""".stripMargin,
+
+    // integer x (epoch day) and integer y (count): every OLS moment is
+    // exact; one rounded division at the end
+    "stats_trend" ->
+      """WITH d AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    COUNT(*) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM d GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS n_events,
+        |  CASE WHEN n >= 2 AND n * sxx <> sx * sx
+        |    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT) END
+        |    AS trend_micros_per_day
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // per-term micro-rounded lns, exact integer moment sums, ONE final
     // IEEE division — the OLS slope hash-matches
