@@ -191,6 +191,43 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    "pipeline_events" -> ((s, dir) => {
+      // the events dashboard in one row: stream totals, session count,
+      // funnel conversion depth, and the global volume trend. Each
+      // block reduces to a single row BEFORE the joins — the cross
+      // joins below multiply 1×1×1×1, the scalar-subquery shape, not a
+      // data-sized cartesian
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val totals = ev.agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      val sessions = graft.streaming.WindowedStats
+        .sessionCounts(ev, "ts", "user_id", "8 hours")
+        .agg(count(lit(1)).as("n_sessions"))
+      val e = ev.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_ms") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_ms") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_purchase"))
+      val funnel = v.agg(count(lit(1)).as("n_viewers")).crossJoin(
+        c.agg(count(lit(1)).as("n_clickers"))).crossJoin(
+        p.agg(count(lit(1)).as("n_converted")))
+      val daily = ev.groupBy(
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      val trend = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(when(col("n") >= 2 && col("n") * col("sxx") =!= col("sx") * col("sx"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+            .cast("long")).as("trend_micros_per_day"))
+      totals.crossJoin(sessions).crossJoin(funnel).crossJoin(trend)
+    }),
+
     "q10_funnel" -> ((s, dir) => {
       // ordered conversion funnel: view -> click -> purchase, each
       // step's first timestamp strictly after the previous step's.
@@ -2143,6 +2180,37 @@ object SparkEntry {
         |  CAST(dec_v AS DOUBLE) AS day_value, CAST(filled_dec AS DOUBLE) AS filled_value,
         |  (dec_v IS NULL AND filled_dec IS NOT NULL) AS is_filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // every block reduced to a scalar subquery over the proven SQL
+    "pipeline_events" ->
+      """WITH e AS (SELECT user_id, event_type, ts, epoch_ms(ts) AS ts_ms FROM events
+        |  WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |    > INTERVAL '8 hours' THEN 1 ELSE 0 END AS brk FROM e),
+        |sids AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_ms) AS t_click FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_ms) AS t_purchase FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click GROUP BY e.user_id),
+        |d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    COUNT(*) AS y FROM e GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM d)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_events,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT user_id, sid FROM sids)) AS n_sessions,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clickers,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_converted,
+        |  (SELECT CASE WHEN n >= 2 AND n * sxx <> sx * sx
+        |    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT) END FROM g)
+        |    AS trend_micros_per_day""".stripMargin,
 
     // strict sequential semantics: each step's min timestamp must be
     // strictly after the previous step's min — not "did all three ever"

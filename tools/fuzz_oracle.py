@@ -42,7 +42,7 @@ QUERIES = [
 EVENT_QUERIES = [
     "o13_session_windows", "k8_scd2_history", "q8_overlap_join",
     "q10_funnel", "q11_cohorts", "q12_gapfill", "q14_moving_avg",
-    "o5_mts_schedule", "q9_json_props", "stats_trend",
+    "o5_mts_schedule", "q9_json_props", "stats_trend", "pipeline_events",
 ]
 
 # embeddings-family queries gated on the adversarial vector table
