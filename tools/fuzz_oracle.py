@@ -45,6 +45,13 @@ EVENT_QUERIES = [
     "o5_mts_schedule", "q9_json_props", "stats_trend", "pipeline_events",
 ]
 
+# relational q-family gated on adversarial TPC-H-ish tables (negative
+# and extreme prices, zero quantities, NULL-able measures, duplicate
+# and orphan foreign keys, decile/window tie storms)
+REL_QUERIES = [
+    "q1_agg", "q3_window_topn", "q7_salted_join", "q13_deciles", "q4_setops",
+]
+
 # embeddings-family queries gated on the adversarial vector table
 # (zero vectors, denormals, huge magnitudes, exact duplicates)
 EMB_QUERIES = [
@@ -156,6 +163,62 @@ def gen_embeddings(seed: int, n: int = 200, dim: int = 64) -> pd.DataFrame:
     return df
 
 
+def gen_relational(seed: int):
+    """Adversarial star-schema slices: hot keys (one partkey carries a
+    third of lineitem), negative/zero/huge prices, discount at the 0
+    and 1 boundaries, tie storms for the window/decile queries, orphan
+    foreign keys, and shared nation keys for the set ops.
+    """
+    rnd = random.Random(seed * 19 + 3)
+    base = pd.Timestamp("2024-01-01")
+    li = []
+    for i in range(1, 800):
+        hot = rnd.random() < 0.33
+        li.append({
+            "l_orderkey": i % 200 + 1, "l_partkey": 1 if hot else rnd.randint(1, 60),
+            "l_suppkey": rnd.randint(1, 20), "l_linenumber": i % 7,
+            "l_quantity": rnd.choice([0.0, 1.0, 50.0, 0.5]),
+            "l_extendedprice": rnd.choice([0.0, -10.5, 1e7, 123.456, rnd.random() * 1000]),
+            "l_discount": rnd.choice([0.0, 1.0, 0.05, 0.10]),
+            "l_tax": 0.07,
+            "l_returnflag": rnd.choice(["A", "N", "R"]),
+            "l_linestatus": rnd.choice(["O", "F"]),
+            "l_shipdate": base + pd.Timedelta(days=rnd.randint(0, 60)),
+        })
+    orders = [{
+        "o_orderkey": i, "o_custkey": rnd.randint(1, 50),
+        "o_orderstatus": rnd.choice(["O", "F", "P"]),
+        # tie storm: many orders share one exact price (window tiebreaks)
+        "o_totalprice": rnd.choice([1000.0, 1000.0, -1.25, 0.0, rnd.random() * 5e5]),
+        "o_orderdate": base + pd.Timedelta(days=rnd.randint(0, 60)),
+        "o_orderpriority": rnd.choice(["1-URGENT", "5-LOW"]),
+    } for i in range(1, 300)]
+    cust = [{
+        "c_custkey": i, "c_name": f"Customer#{i}",
+        "c_nationkey": i % 7, "c_acctbal": rnd.random() * 1000 - 500,
+        "c_mktsegment": rnd.choice(["BUILDING", "AUTOMOBILE"]),
+    } for i in range(1, 61)]  # custkeys 51+ in orders become orphans
+    part = [{
+        "p_partkey": i, "p_name": f"part {i} " + rnd.choice(["azure", "rose"]),
+        "p_brand": f"Brand#{i % 5}", "p_type": "STANDARD",
+        "p_size": i % 50, "p_retailprice": 100.0 + i,
+    } for i in range(1, 61)]
+    supp = [{
+        "s_suppkey": i, "s_name": f"Supplier#{i}",
+        "s_nationkey": (i * 3) % 11, "s_acctbal": rnd.random() * 100,
+    } for i in range(1, 21)]
+    out = {}
+    for name, rows in [("lineitem", li), ("orders", orders),
+                       ("customer", cust), ("part", part), ("supplier", supp)]:
+        df = pd.DataFrame(rows)
+        for c in df.columns:
+            if str(df[c].dtype) == "int64" and c in ("l_linenumber", "c_nationkey",
+                                                     "s_nationkey", "p_size"):
+                df[c] = df[c].astype("int32")
+        out[name] = df
+    return out
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 42
     root = f"/tmp/graft-fuzz/{seed}"
@@ -175,7 +238,11 @@ def main() -> int:
                                         schema=emb_schema),
                    f"{sf_dir}/embeddings.parquet")
 
-    all_queries = QUERIES + EVENT_QUERIES + EMB_QUERIES
+    for name, df in gen_relational(seed).items():
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       f"{sf_dir}/{name}.parquet")
+
+    all_queries = QUERIES + EVENT_QUERIES + EMB_QUERIES + REL_QUERIES
     r = subprocess.run(
         ["sbt", "--error",
          f"runMain graft.Verify {sf_dir} {out_dir} " + " ".join(all_queries)],
@@ -192,6 +259,8 @@ def main() -> int:
         f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    for t in ("lineitem", "orders", "customer", "part", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name in all_queries:
