@@ -1418,6 +1418,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_bm25_topk" -> ((s, dir) => {
+      // Okapi BM25 lexical retrieval: k1/b as exact rationals reduce
+      // the tf weight to one BIGINT ratio, idf rounded once per
+      // distinct df — the whole ranking is integer-exact and
+      // hash-matches the oracle. Query terms broadcast; the corpus
+      // never shuffles for the match.
+      import s.implicits._
+      val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
+        (3L, "hash merge sort batch")).toDF("query_id", "qtext")
+      graft.operators.text.Bm25.topK(t(s, dir, "documents"), qs,
+          "doc_id", "text", "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "text_bm25_index_probe" -> ((s, dir) => {
+      // the stored-index path: postings persisted once (sorted by term
+      // for row-group skipping), the probe scores straight off the
+      // parquet read-back — must reproduce the one-shot plan exactly
+      import s.implicits._
+      val ix = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_ix"
+      graft.operators.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text", ix)
+      val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
+        (3L, "hash merge sort batch")).toDF("query_id", "qtext")
+      graft.operators.text.Bm25.scoreAgainstIndex(
+          s.read.parquet(s"$ix/postings"), s.read.parquet(s"$ix/stats"),
+          qs, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "tokenizer_bpe_pairs" -> ((s, dir) => {
       // BPE training's inner loop: weighted adjacent char-pair counts
       // over the vocabulary; the argmax is the next merge
@@ -2103,6 +2132,43 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("idx"))
     })
   )
+
+  /** Shared by `text_bm25_topk` and `text_bm25_index_probe` (the stored
+    * index must reproduce the one-shot ranking exactly). Mirrors
+    * [[graft.operators.text.Bm25]]: idf rounded once per distinct df,
+    * tf weight as one BIGINT ratio, per-term contribution quantized
+    * half-up — `//` here is Spark's `div` on all-positive operands.
+    */
+  private val bm25OracleSql: String =
+    """WITH q(query_id, qtext) AS (VALUES (1, 'spark join table'),
+      |    (2, 'window agg stream'), (3, 'hash merge sort batch')),
+      |tok AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |post AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+      |  GROUP BY doc_id, dl, term),
+      |pd AS (SELECT doc_id, dl, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM post),
+      |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS t_tot FROM tok),
+      |qt AS (SELECT DISTINCT query_id,
+      |    unnest(string_split(lower(trim(regexp_replace(qtext, '[\s\x0b]+', ' ', 'g'))), ' ')) AS term
+      |  FROM q),
+      |sc AS (SELECT qt.query_id, p.doc_id,
+      |    CAST(round(ln((st.n_docs - p.df + 0.5) / (p.df + 0.5) + 1) * 1000000) AS BIGINT) AS idf,
+      |    st.t_tot * (10 * p.tf + 3) + 9 * p.dl * st.n_docs AS den,
+      |    p.tf FROM pd p JOIN qt USING (term) CROSS JOIN st),
+      |ct AS (SELECT query_id, doc_id,
+      |    (idf * ((44 * tf * st.t_tot * 1000000 + den) // (2 * den)) + 500000) // 1000000 AS contrib
+      |  FROM sc CROSS JOIN st),
+      |g AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      |  FROM ct GROUP BY query_id, doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(row_number() OVER w AS INT) AS rank,
+      |  doc_id, score_micros, n_terms_hit
+      |FROM g
+      |WINDOW w AS (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC)
+      |QUALIFY row_number() OVER w <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -4057,6 +4123,12 @@ object SparkEntry {
         |  CAST(SUM(cnt * nll) AS BIGINT) AS nll_sum_micros,
         |  CAST(SUM(cnt * nll) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS avg_nll_micros
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_topk" -> bm25OracleSql,
+
+    // the stored-index probe must reproduce the one-shot BM25 ranking
+    // exactly — same oracle
+    "text_bm25_index_probe" -> bm25OracleSql,
 
     "text_top_ngrams" ->
       """WITH w AS (SELECT doc_id,

@@ -1,0 +1,156 @@
+package graft.operators.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 full-text retrieval over the corpus (beyond-parity,
+  * SURVEY.md §8) — the lexical half of every RAG / data-curation
+  * retrieval stack, and the standard relevance filter for targeted
+  * corpus slicing ("give me the docs about X" at corpus scale).
+  *
+  * Scoring is the Lucene/ATIRE BM25 formulation with k1 = 6/5 and
+  * b = 3/4 held as EXACT rationals so the whole per-term weight reduces
+  * to integer arithmetic:
+  *
+  *   idf(t)      = ln( (N − df + 0.5) / (df + 0.5) + 1 )      — rounded
+  *                 ONCE per distinct df to integer micros (≤ N distinct
+  *                 values, the same single-rounding contract as TF-IDF);
+  *   tfw(t, D)   = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * with avgdl = T/N (total corpus tokens over doc count) the tf weight
+  * cross-multiplies to the integer ratio
+  *
+  *   tfw = 22·tf·T / (T·(10·tf + 3) + 9·dl·N)
+  *
+  * quantized half-up to micros with one BIGINT division
+  * (`(44·tf·T·10^6 + den) div (2·den)`), and each term's contribution
+  * is `(idf_micros · tfw_micros + 5·10^5) div 10^6` — every step pure
+  * BIGINT, so scores hash-match any ANSI engine bit for bit (no float
+  * accumulation anywhere). Long headroom: the widest intermediate is
+  * 44·tf·T·10^6 ≤ 2^62 up to ~10^11 tf·tokens; past that (true
+  * trillion-token corpora) the same formula runs in DECIMAL(38,0)
+  * unchanged.
+  *
+  * Scale shape: one corpus scan builds (doc, term, tf, dl); df is a
+  * window count over the term partition (rows are distinct per doc, so
+  * plain COUNT is document frequency — no countDistinct double
+  * shuffle); corpus stats (N, T) join as a broadcast single row; the
+  * query-term table is tiny by contract and BROADCASTs into the
+  * postings, so the corpus never shuffles for the match — only
+  * (query, doc, contribution) scalars reach the score aggregation, and
+  * the final top-k is a per-query window over k·|queries| candidates.
+  * For repeated querying, [[buildIndex]] persists the postings (sorted
+  * by term for row-group skipping) so later queries touch only the
+  * postings of their own terms — see [[scoreAgainstIndex]].
+  *
+  * Reference basis: dtle has no text retrieval (this is beyond-parity);
+  * formula per Robertson & Zaragoza 2009, the +1 idf per Lucene's
+  * BM25Similarity.
+  */
+object Bm25 {
+
+  /** Postings + corpus stats from one scan: (term, doc_id, tf, dl) with
+    * df attached per term. Null-text docs are excluded (the corpus-wide
+    * text contract); an empty string contributes its single ''-token
+    * like every other text-derived operator.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nonNull = graft.operators.Partitioning.ensureMinParallelism(
+      docs.filter(col(textCol).isNotNull))
+    val tf = nonNull
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+  }
+
+  /** Corpus stats broadcast row: (n_docs, total_tokens). */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("total_tokens"))
+
+  /** Explode query strings to distinct match terms: (query_id, term).
+    * Distinct per query — BM25 is a set-of-terms model; repeated query
+    * terms do not double-score (the Robertson formulation's query-side
+    * tf is omitted, as in Lucene).
+    */
+  def queryTerms(queries: DataFrame, qidCol: String, qtextCol: String): DataFrame =
+    queries.filter(col(qtextCol).isNotNull)
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("term"))
+
+  /** Unranked BM25 scores: (query_id, doc_id, score_micros,
+    * n_terms_hit) for every doc matching ≥ 1 query term. The postings
+    * side carries df already; stats ride in as one broadcast row.
+    */
+  def scores(post: DataFrame, stats: DataFrame, qterms: DataFrame): DataFrame =
+    post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("idf_micros",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * lit(1e6)).cast("long"))
+      .withColumn("den",
+        col("total_tokens") * (lit(10L) * col("tf") + lit(3L)) +
+          lit(9L) * col("dl") * col("n_docs"))
+      .withColumn("tfw_micros",
+        expr("(44 * tf * total_tokens * 1000000 + den) div (2 * den)"))
+      .withColumn("contrib",
+        expr("(idf_micros * tfw_micros + 500000) div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_micros"),
+        count(lit(1)).as("n_terms_hit"))
+
+  /** Top-k docs per query by BM25, the one-shot path (postings built in
+    * the same plan). Tie-break (score DESC, doc_id ASC) keeps the cut
+    * total-ordered.
+    */
+  def topK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+           qidCol: String, qtextCol: String, k: Int = 10): DataFrame =
+    rankTopK(scores(postings(docs, idCol, textCol), corpusStats(docs, textCol),
+      queryTerms(queries, qidCol, qtextCol)), k)
+
+  /** The shared rank tail: per-query top-k with the canonical
+    * (score DESC, doc_id ASC) tie-break.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micros").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score_micros"), col("n_terms_hit"))
+
+  /** Build the persistable inverted index: postings written SORTED BY
+    * term inside each term-hash partition, so a probe for a handful of
+    * query terms prunes to a few row groups via parquet min/max stats
+    * instead of scanning the corpus posting list — the pay-once search
+    * structure behind every repeated-retrieval workload. Returns
+    * (postings, stats) for immediate use; `dir` non-empty also persists
+    * both (postings under dir/postings, stats under dir/stats).
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String = ""): (DataFrame, DataFrame) = {
+    val post = postings(docs, idCol, textCol)
+    val stats = corpusStats(docs, textCol)
+    if (dir.nonEmpty) {
+      post.repartition(col("term")).sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      stats.write.mode("overwrite").parquet(s"$dir/stats")
+    }
+    (post, stats)
+  }
+
+  /** Search a PERSISTED index (the [[buildIndex]] layout read back from
+    * parquet): df/dl/tf come from the stored postings, so the query
+    * pays only the pushed-down postings scan for its own terms plus a
+    * k·|queries| window — the corpus text is never re-tokenized.
+    */
+  def scoreAgainstIndex(post: DataFrame, stats: DataFrame, queries: DataFrame,
+                        qidCol: String, qtextCol: String, k: Int = 10): DataFrame =
+    rankTopK(scores(post, stats, queryTerms(queries, qidCol, qtextCol)), k)
+}

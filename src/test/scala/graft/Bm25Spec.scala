@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.text.Bm25
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "spark runs fast queries"),          // dl 4
+    (1L, "spark spark spark joins tables"),   // dl 5, tf(spark)=3
+    (2L, "tables hold rows"),                 // dl 3
+    (3L, "rows and rows of data data data")   // dl 7
+  ).toDF("doc_id", "text")
+
+  /** Independent integer replay of the score formula (same contract,
+    * different code path: plain Scala longs, no DataFrame).
+    */
+  private def score(terms: Seq[(Long, Long, Long)], n: Long, t: Long): Long =
+    terms.map { case (tf, df, dl) =>
+      val idf = math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+      val den = t * (10 * tf + 3) + 9 * dl * n
+      val tfw = (44 * tf * t * 1000000L + den) / (2 * den)
+      (idf * tfw + 500000L) / 1000000L
+    }.sum
+
+  test("topK: scores match the integer formula replayed by hand") {
+    val qs = Seq((1L, "spark tables")).toDF("query_id", "qtext")
+    val got = Bm25.topK(corpus, qs, "doc_id", "text", "query_id", "qtext", k = 10)
+      .orderBy(col("rank"))
+      .select("doc_id", "score_micros", "n_terms_hit")
+      .as[(Long, Long, Long)].collect()
+
+    val n = 4L; val t = 19L // 4+5+3+7 tokens
+    // doc 1 matches both terms: spark tf=3 df=2, tables tf=1 df=2
+    val d1 = score(Seq((3L, 2L, 5L), (1L, 2L, 5L)), n, t)
+    // doc 0: spark tf=1 df=2; doc 2: tables tf=1 df=2
+    val d0 = score(Seq((1L, 2L, 4L)), n, t)
+    val d2 = score(Seq((1L, 2L, 3L)), n, t)
+    assert(got.toSet == Set((1L, d1, 2L), (0L, d0, 1L), (2L, d2, 1L)))
+    assert(got.head._1 == 1L) // both-term doc ranks first
+  }
+
+  test("rarer terms outweigh common ones at equal tf") {
+    val c = Seq(
+      (0L, "rare common"), (1L, "common filler"), (2L, "common stuff"),
+      (3L, "common words here")).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare"), (2L, "common")).toDF("query_id", "qtext")
+    val top = Bm25.topK(c, qs, "doc_id", "text", "query_id", "qtext", k = 1)
+      .select("query_id", "score_micros").as[(Long, Long)].collect().toMap
+    assert(top(1L) > top(2L))
+  }
+
+  test("docs with no query term never appear; null text excluded") {
+    val c = corpus.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val qs = Seq((1L, "spark")).toDF("query_id", "qtext")
+    val ids = Bm25.topK(c, qs, "doc_id", "text", "query_id", "qtext", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L))
+  }
+
+  test("repeated query terms do not double-score (set-of-terms model)") {
+    val q1 = Seq((1L, "spark")).toDF("query_id", "qtext")
+    val q2 = Seq((1L, "spark spark spark")).toDF("query_id", "qtext")
+    def res(q: org.apache.spark.sql.DataFrame) =
+      Bm25.topK(corpus, q, "doc_id", "text", "query_id", "qtext", k = 10)
+        .select("doc_id", "score_micros").as[(Long, Long)].collect().toSet
+    assert(res(q1) == res(q2))
+  }
+
+  test("stored index reproduces the one-shot ranking exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qs = Seq((1L, "spark join table"), (2L, "window agg stream"))
+      .toDF("query_id", "qtext")
+    val direct = Bm25.topK(docs, qs, "doc_id", "text", "query_id", "qtext", k = 10)
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    Bm25.buildIndex(docs, "doc_id", "text", dir)
+    val probed = Bm25.scoreAgainstIndex(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"),
+      qs, "query_id", "qtext", k = 10)
+    assert(direct.exceptAll(probed).isEmpty && probed.exceptAll(direct).isEmpty)
+    assert(direct.count() > 0)
+  }
+}
