@@ -1241,6 +1241,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_pq_topk" -> ((s, dir) => {
+      // Product quantization (FAISS PQ8): per-subspace codebooks with
+      // integer-micro centroids, so assignment and ADC are EXACT
+      // BIGINT arithmetic — the entire train→encode→search pipeline
+      // hash-matches the oracle with no float fold anywhere
+      val emb = t(s, dir, "embeddings")
+      graft.operators.sim.ProductQuantizer.adcTopK(emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_pq_topk_refined" -> ((s, dir) => {
+      // the deployed PQ shape (FAISS IndexRefineFlat): ADC prunes the
+      // corpus on 32x-compressed codes, exact integer-L2 re-ranks the
+      // top-50 — recall pinned in PqSpec, and the refine stage is
+      // integer-exact too, so even this composite is fully oracled
+      val emb = t(s, dir, "embeddings")
+      graft.operators.sim.ProductQuantizer.adcTopKRefined(emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, rerank = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ivf_topk_seed" -> ((s, dir) => {
       // the IVF witness: iters=0 keeps the deterministic seed centroids
       // (the nLists lowest-id vectors), so assignment, probing, and
@@ -2169,6 +2192,52 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC)
       |QUALIFY row_number() OVER w <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  /** PQ train/encode replay shared by `sim_pq_topk` and
+    * `sim_pq_topk_refined`: micro-quantized sub-vectors, seed codebook
+    * from the 16 lowest ids, one integer-Lloyd round (means rounded to
+    * micros via floor(Σ/n + 0.5)), final codes, then ADC distances —
+    * every distance a pure-BIGINT Σ(a−b)², so no float parity is
+    * involved at any step.
+    */
+  private val pqOraclePrefix: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s.s AS sub, mv[s.s*8+1 : s.s*8+8] AS sv
+      |  FROM e, (SELECT unnest(generate_series(0, 7)) AS s) s),
+      |seed AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS INT) - 1 AS cid,
+      |    sv AS cw
+      |  FROM sub QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
+      |d0 AS (SELECT v.vec_id, v.sub, s.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.sv[i] - s.cw[i]) * (v.sv[i] - s.cw[i]))) AS BIGINT) AS d2
+      |  FROM sub v JOIN seed s ON v.sub = s.sub),
+      |a0 AS (SELECT vec_id, sub, cid FROM d0
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+      |mm AS (SELECT a.sub, a.cid, u.i AS pos,
+      |    CAST(floor(CAST(SUM(v.sv[u.i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
+      |  FROM a0 a JOIN sub v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+      |    LATERAL (SELECT unnest(generate_series(1, 8)) AS i) u
+      |  GROUP BY a.sub, a.cid, u.i),
+      |cl AS (SELECT sub, cid, list(cm ORDER BY pos) AS cw FROM mm GROUP BY sub, cid),
+      |cb AS (SELECT s.sub, s.cid, COALESCE(l.cw, s.cw) AS cw
+      |  FROM seed s LEFT JOIN cl l ON s.sub = l.sub AND s.cid = l.cid),
+      |d1 AS (SELECT v.vec_id, v.sub, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))) AS BIGINT) AS d2
+      |  FROM sub v JOIN cb c ON v.sub = c.sub),
+      |codes AS (SELECT vec_id, sub, cid FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+      |adc AS (SELECT q.vec_id AS query_id, co.vec_id AS corpus_id,
+      |    CAST(SUM(CAST(list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.sv[i] - c.cw[i]) * (q.sv[i] - c.cw[i]))) AS BIGINT)) AS BIGINT) AS adc_d2
+      |  FROM sub q
+      |  JOIN codes co ON q.sub = co.sub AND co.vec_id <> q.vec_id
+      |  JOIN cb c ON c.sub = co.sub AND c.cid = co.cid
+      |  WHERE q.vec_id < 10
+      |  GROUP BY q.vec_id, co.vec_id)
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -4123,6 +4192,28 @@ object SparkEntry {
         |  CAST(SUM(cnt * nll) AS BIGINT) AS nll_sum_micros,
         |  CAST(SUM(cnt * nll) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS avg_nll_micros
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sim_pq_topk" -> (pqOraclePrefix +
+      """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, adc_d2
+        |FROM adc
+        |WINDOW w AS (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+
+    "sim_pq_topk_refined" -> (pqOraclePrefix +
+      """, cand AS (SELECT query_id, corpus_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC) <= 50),
+        |ex AS (SELECT cand.query_id, cand.corpus_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (eq.mv[i] - ec.mv[i]) * (eq.mv[i] - ec.mv[i]))) AS BIGINT) AS d2
+        |  FROM cand
+        |  JOIN e eq ON eq.vec_id = cand.query_id
+        |  JOIN e ec ON ec.vec_id = cand.corpus_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, d2
+        |FROM ex
+        |WINDOW w AS (PARTITION BY query_id ORDER BY d2 ASC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin),
 
     "text_bm25_topk" -> bm25OracleSql,
 

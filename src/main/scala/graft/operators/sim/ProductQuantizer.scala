@@ -1,0 +1,205 @@
+package graft.operators.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011; the FAISS `PQ{m}` index) —
+  * the memory end-game of the quantization family: the vector splits
+  * into `m` sub-vectors, each encoded as the id of its nearest codeword
+  * in a per-subspace trained codebook, so a 64-float vector compresses
+  * to `m` small codes (here 8 bytes — 32× smaller than float32) and
+  * search runs on codes alone via asymmetric distance computation
+  * (ADC): the query stays exact, every corpus vector is represented by
+  * its codewords.
+  *
+  * The portability trick that lets the WHOLE pipeline hash-oracle:
+  * vectors quantize to integer micros up front (`floor(x·10^6)`, the
+  * corpus-wide convention) and codebook centroids ROUND TO INTEGER
+  * MICROS after each Lloyd mean (`floor(Σ/n + 0.5)` — one IEEE
+  * division + floor, the established portable rounding), so every
+  * assignment distance and every ADC distance is EXACT BIGINT
+  * arithmetic: Σ(a−b)² of longs. No float accumulation exists anywhere
+  * in train, encode, or search — order-free integer sums — which is a
+  * strictly stronger determinism than the IVF path's sequential-fold
+  * cosine parity.
+  *
+  * Scale shape: training touches the corpus map-side only (argmin
+  * against a broadcast codebook literal, then one (sub, cid, pos)
+  * aggregation of m·ks·subDim cells); only the m×ks×subDim codebook
+  * ever reaches the driver. Encoding is a shuffle-free projection.
+  * ADC search broadcasts the (small by contract) query set against the
+  * codes table — the codes are the only corpus-sized operand, 32×
+  * fewer bytes than the raw vectors through every scan and cache.
+  *
+  * Headroom: micro components ≤ ~2^23 for unit-scale embeddings, so a
+  * squared diff is ≤ 2^46 and a 64-dim sum ≤ 2^52 — exact in BIGINT
+  * with orders of magnitude to spare.
+  */
+object ProductQuantizer {
+
+  /** codebooks(sub)(cid)(pos) — integer-micro centroids. */
+  type Codebooks = Array[Array[Array[Long]]]
+
+  def microVec(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1e6)).cast("long"))
+
+  private def cbLit(cb: Array[Array[Long]]): Column =
+    typedlit(cb.map(_.toIndexedSeq).toIndexedSeq)
+
+  /** Exact integer squared L2 between two micro vectors. */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
+
+  /** Per-subspace nearest-codeword ids: array<int> of length m.
+    * Tie-break: lowest codeword id (sort_array on (d2, cid) structs).
+    */
+  def codesCol(mv: Column, cbs: Codebooks): Column = {
+    val sd = cbs(0)(0).length
+    array(cbs.indices.map { s =>
+      val sv = slice(mv, s * sd + 1, sd)
+      sort_array(transform(cbLit(cbs(s)), (cw, i) =>
+        struct(d2(sv, cw), i).cast("struct<d2:bigint,cid:int>")), asc = true)
+        .getItem(0).getField("cid")
+    }: _*)
+  }
+
+  /** Train the per-subspace codebooks: deterministic seed (the `ks`
+    * lowest-id vectors' sub-vectors) refined by `iters` Lloyd rounds
+    * with integer-micro means; an emptied codeword keeps its previous
+    * centroid. Only m·ks·subDim cells reach the driver per round.
+    */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, ks: Int, iters: Int): Codebooks = {
+    require(dim % m == 0, s"trainCodebooks: dim=$dim not divisible by m=$m")
+    val sd = dim / m
+    val c0 = corpus.select(col(idCol).as("cid_"), microVec(col(vecCol)).as("mv"))
+    val seedRows = c0.orderBy(col("cid_")).limit(ks).select(col("mv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seedRows.length == ks, s"trainCodebooks: corpus smaller than ks=$ks")
+    var cbs: Codebooks = Array.tabulate(m, ks) { (s, c) =>
+      seedRows(c).slice(s * sd, s * sd + sd)
+    }
+    for (_ <- 1 to iters) {
+      val assigned = c0
+        .select(codesCol(col("mv"), cbs).as("codes"), posexplode(col("mv")).as(Seq("pos", "x")))
+        .select((col("pos") / sd).cast("int").as("sub"), col("pos"), col("x"),
+          element_at(col("codes"), (col("pos") / sd).cast("int") + 1).as("cid"))
+      // integer-micro mean per codebook cell: floor(Σ/n + 0.5) — one
+      // IEEE division + floor, the portable rounding every oracle can
+      // replay. m·ks·subDim cells reach the driver, never the corpus.
+      val cells = assigned.groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong))
+        .toMap
+      cbs = Array.tabulate(m, ks) { (s, c) =>
+        // a cell present at one position is present at all sd of them
+        if (cells.contains((s, c, s * sd)))
+          Array.tabulate(sd)(p => cells((s, c, s * sd + p)))
+        else cbs(s)(c) // emptied codeword keeps its previous centroid
+      }
+    }
+    cbs
+  }
+
+  /** Encode: (corpus_id, codes array<int>). Shuffle-free projection. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, cbs: Codebooks): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), codesCol(microVec(col(vecCol)), cbs).as("codes"))
+
+  /** ADC distance of a query micro vector against a codes column under
+    * `cbs` — exact BIGINT.
+    */
+  def adcD2(codes: Column, qmv: Column, cbs: Codebooks): Column = {
+    val sd = cbs(0)(0).length
+    cbs.indices.map { s =>
+      val cw = element_at(cbLit(cbs(s)), element_at(codes, s + 1) + 1)
+      d2(slice(qmv, s * sd + 1, sd), cw)
+    }.reduce(_ + _)
+  }
+
+  /** PQ-ADC top-k: train, encode, search in one call (the one-shot
+    * oracled path). Output: (query_id, rank, corpus_id, adc_d2) with
+    * adc_d2 in exact micro² units; rank tie-break (d2 ASC, id ASC).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 1): DataFrame = {
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    adcTopKFromIndex(encode(corpus, idCol, vecCol, cbs), cbs, queries, idCol, vecCol, k)
+  }
+
+  /** Search a prebuilt codes table (typically read back from parquet —
+    * see [[buildIndex]]): the corpus-sized operand is codes-only.
+    */
+  def adcTopKFromIndex(codes: DataFrame, cbs: Codebooks, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), microVec(col(vecCol)).as("qmv"))
+    val scored = codes.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("adc_d2", adcD2(col("codes"), col("qmv"), cbs))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("adc_d2"))
+  }
+
+  /** ADC-then-refine top-k (the FAISS `IndexRefineFlat` shape): ADC
+    * ranks the whole corpus on codes alone, the top `rerank`
+    * candidates re-join their exact vectors by id and re-rank under
+    * exact integer micro-L2. This is how PQ is actually deployed — the
+    * 32×-compressed scan prunes the corpus, the expensive exact
+    * distance touches only `rerank·|queries|` rows. The vector
+    * re-join is a pinned shuffle_hash on id (the vector table is the
+    * big side by definition — never broadcast). Output: (query_id,
+    * rank, corpus_id, d2) with d2 the EXACT micro² distance.
+    */
+  def adcTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 1,
+                     rerank: Int = 50): DataFrame = {
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    val cands = adcTopKFromIndex(encode(corpus, idCol, vecCol, cbs), cbs,
+      queries, idCol, vecCol, rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val exact = cands
+      .join(corpus.select(col(idCol).as("corpus_id"), microVec(col(vecCol)).as("cmv"))
+        .hint("shuffle_hash"), Seq("corpus_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        microVec(col(vecCol)).as("qmv"))), Seq("query_id"))
+      .withColumn("d2", d2(col("cmv"), col("qmv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("d2"))
+  }
+
+  /** Persist the index: codes parquet under dir/codes, codebooks as
+    * (sub, cid, pos, cm) rows under dir/codebook. Returns the codes
+    * DataFrame.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+                 dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 1): (DataFrame, Codebooks) = {
+    val spark = corpus.sparkSession
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    val codes = encode(corpus, idCol, vecCol, cbs)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    import spark.implicits._
+    cbs.indices.flatMap(s => cbs(s).indices.flatMap(c =>
+      cbs(s)(c).indices.map(p => (s, c, p, cbs(s)(c)(p)))))
+      .toDF("sub", "cid", "pos", "cm")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    (codes, cbs)
+  }
+
+  /** Read codebooks back from the [[buildIndex]] layout. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    m: Int, ks: Int, sd: Int): Codebooks = {
+    val rows = spark.read.parquet(s"$dir/codebook")
+      .select("sub", "cid", "pos", "cm").collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    Array.tabulate(m, ks, sd) { (s, c, p) => rows((s, c, p)) }
+  }
+}

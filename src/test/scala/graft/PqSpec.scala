@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.sim.{ProductQuantizer => PQ, SimilaritySearch}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("codes: length m, codeword ids within [0, ks)") {
+    val cbs = PQ.trainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 1)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val codes = PQ.encode(emb, "vec_id", "embedding", cbs)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // every subspace uses more than one codeword on real data
+    val distinctPerSub = (0 until 8).map(s => codes.map(_(s)).distinct.size)
+    assert(distinctPerSub.forall(_ > 1))
+  }
+
+  test("train/encode/search is deterministic run to run (exact integers)") {
+    def run() = PQ.adcTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run() == run())
+  }
+
+  test("ADC of a vector against its own codes equals summed cell distances") {
+    // the codeword of each subspace is the nearest by construction:
+    // encoding then ADC-ing the SAME vector must give the minimal
+    // reconstruction distance — monotonicity sanity vs a wrong codeword
+    val cbs = PQ.trainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 1)
+    val self = PQ.encode(emb, "vec_id", "embedding", cbs)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("embedding")), Seq("corpus_id"))
+      .withColumn("d_self", PQ.adcD2(col("codes"), PQ.microVec(col("embedding")), cbs))
+      .withColumn("d_rolled", PQ.adcD2(
+        // rotate every code by one codeword — a deliberately wrong encoding
+        transform(col("codes"), c => pmod(c + 1, lit(16))),
+        PQ.microVec(col("embedding")), cbs))
+      .select(col("d_self"), col("d_rolled")).as[(Long, Long)].collect()
+    assert(self.forall { case (s, r) => s <= r })
+  }
+
+  test("recall@5 vs exact integer-L2 on the probe corpus") {
+    // exact micro-L2 top-5 per query (the metric PQ approximates)
+    val c = emb.select(col("vec_id").as("corpus_id"), PQ.microVec(col("embedding")).as("cmv"))
+    val q = queries.select(col("vec_id").as("query_id"), PQ.microVec(col("embedding")).as("qmv"))
+    val exact = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(zip_with(col("cmv"), col("qmv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, e) => acc + e))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2").asc, col("corpus_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    // raw ADC is a coarse candidate generator on unstructured vectors —
+    // only a sanity floor; the deployed path is ADC + exact refine
+    val adc = PQ.adcTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(exact.intersect(adc).size.toDouble / exact.size >= 0.15,
+      "raw ADC recall collapsed")
+    // refined (rerank=50): measured 0.88 on this corpus — pin well above
+    // the raw path so a silent codebook regression trips the floor
+    val refined = PQ.adcTopKRefined(emb, queries, "vec_id", "embedding",
+        k = 5, dim = 64, rerank = 50)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(exact.intersect(refined).size.toDouble / exact.size >= 0.6,
+      s"refined PQ recall below floor")
+  }
+
+  test("stored index round-trips: codes+codebook read-back reproduces the search") {
+    val dir = java.nio.file.Files.createTempDirectory("pqix").toString
+    val (_, cbs) = PQ.buildIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val fromDisk = PQ.adcTopKFromIndex(spark.read.parquet(s"$dir/codes"),
+      PQ.loadCodebooks(spark, dir, m = 8, ks = 16, sd = 8), queries, "vec_id", "embedding", 5)
+    val direct = PQ.adcTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+    assert(direct.exceptAll(fromDisk).isEmpty && fromDisk.exceptAll(direct).isEmpty)
+    assert(cbs.flatten.flatten.nonEmpty && direct.count() > 0)
+  }
+}
