@@ -1241,6 +1241,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 over each query doc's own text + exact
+      // cosine over its embedding, reciprocal-rank-fused with integer
+      // 10^6 div (60+rank) scores — rank-space fusion needs no score
+      // calibration and the whole composite hash-oracles. Absent-pool
+      // sentinel rank 0 keeps columns non-null BIGINT (no dtype drift)
+      graft.operators.sim.HybridSearch.hybridTopK(
+          t(s, dir, "documents"), t(s, dir, "embeddings"), 0L until 10L,
+          "doc_id", "text", "vec_id", "embedding", k = 10, pool = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // Product quantization (FAISS PQ8): per-subspace codebooks with
       // integer-micro centroids, so assignment and ADC are EXACT
@@ -4192,6 +4204,64 @@ object SparkEntry {
         |  CAST(SUM(cnt * nll) AS BIGINT) AS nll_sum_micros,
         |  CAST(SUM(cnt * nll) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS avg_nll_micros
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 pool (query-by-example over each query doc's own tokens) +
+    // cosine pool (the sim_topk arithmetic incl. the cosine(0,.)=0
+    // guard), RRF-fused with integer 10^6 // (60+rank) contributions;
+    // rank 0 = absent-from-pool sentinel, all output ranks BIGINT
+    "sim_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |post AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+        |    (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+        |  GROUP BY doc_id, dl, term),
+        |pd AS (SELECT doc_id, dl, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM post),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS t_tot FROM tok),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tok WHERE doc_id < 10),
+        |bsc AS (SELECT qt.query_id, p.doc_id,
+        |    CAST(round(ln((st.n_docs - p.df + 0.5) / (p.df + 0.5) + 1) * 1000000) AS BIGINT) AS idf,
+        |    st.t_tot * (10 * p.tf + 3) + 9 * p.dl * st.n_docs AS den,
+        |    p.tf FROM pd p JOIN qt USING (term) CROSS JOIN st),
+        |bct AS (SELECT query_id, doc_id,
+        |    (idf * ((44 * tf * st.t_tot * 1000000 + den) // (2 * den)) + 500000) // 1000000 AS contrib
+        |  FROM bsc CROSS JOIN st),
+        |bg AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros
+        |  FROM bct WHERE doc_id <> query_id GROUP BY query_id, doc_id),
+        |tp AS (SELECT query_id, doc_id AS corpus_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC) AS r_text
+        |  FROM bg QUALIFY r_text <= 20),
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS qn2
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS cn2
+        |  FROM embeddings),
+        |vs AS (SELECT query_id, corpus_id,
+        |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(cv, qv) END AS cos
+        |  FROM q, c WHERE corpus_id <> query_id),
+        |vp AS (SELECT query_id, corpus_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS r_vec
+        |  FROM vs QUALIFY r_vec <= 20),
+        |f AS (SELECT COALESCE(tp.query_id, vp.query_id) AS query_id,
+        |    COALESCE(tp.corpus_id, vp.corpus_id) AS corpus_id,
+        |    COALESCE(r_text, 0) AS r_text, COALESCE(r_vec, 0) AS r_vec
+        |  FROM tp FULL OUTER JOIN vp
+        |    ON tp.query_id = vp.query_id AND tp.corpus_id = vp.corpus_id),
+        |sc2 AS (SELECT query_id, corpus_id, r_text, r_vec,
+        |    (CASE WHEN r_text > 0 THEN 1000000 // (60 + r_text) ELSE 0 END) +
+        |    (CASE WHEN r_vec > 0 THEN 1000000 // (60 + r_vec) ELSE 0 END) AS rrf_micros
+        |  FROM f)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
+        |  CAST(rrf_micros AS BIGINT) AS rrf_micros,
+        |  CAST(r_text AS BIGINT) AS r_text, CAST(r_vec AS BIGINT) AS r_vec
+        |FROM sc2
+        |WINDOW w AS (PARTITION BY query_id ORDER BY rrf_micros DESC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "sim_pq_topk" -> (pqOraclePrefix +
       """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, adc_d2
