@@ -1461,7 +1461,8 @@ object SparkEntry {
       // never shuffles for the match.
       import s.implicits._
       val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
-        (3L, "hash merge sort batch")).toDF("query_id", "qtext")
+        (3L, "hash merge sort batch"), (4L, "the cat and naïve 😀"))
+        .toDF("query_id", "qtext")
       graft.operators.text.Bm25.topK(t(s, dir, "documents"), qs,
           "doc_id", "text", "query_id", "qtext", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -1475,7 +1476,8 @@ object SparkEntry {
       val ix = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_ix"
       graft.operators.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text", ix)
       val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
-        (3L, "hash merge sort batch")).toDF("query_id", "qtext")
+        (3L, "hash merge sort batch"), (4L, "the cat and naïve 😀"))
+        .toDF("query_id", "qtext")
       graft.operators.text.Bm25.scoreAgainstIndex(
           s.read.parquet(s"$ix/postings"), s.read.parquet(s"$ix/stats"),
           qs, "query_id", "qtext", k = 10)
@@ -2176,7 +2178,8 @@ object SparkEntry {
     */
   private val bm25OracleSql: String =
     """WITH q(query_id, qtext) AS (VALUES (1, 'spark join table'),
-      |    (2, 'window agg stream'), (3, 'hash merge sort batch')),
+      |    (2, 'window agg stream'), (3, 'hash merge sort batch'),
+      |    (4, 'the cat and naïve 😀')),
       |tok AS (SELECT doc_id,
       |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
       |  FROM documents WHERE text IS NOT NULL),
@@ -2222,8 +2225,8 @@ object SparkEntry {
       |    sv AS cw
       |  FROM sub QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
       |d0 AS (SELECT v.vec_id, v.sub, s.cid,
-      |    CAST(list_sum(list_transform(generate_series(1, 8),
-      |      i -> (v.sv[i] - s.cw[i]) * (v.sv[i] - s.cw[i]))) AS BIGINT) AS d2
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> CAST(v.sv[i] - s.cw[i] AS HUGEINT) * (v.sv[i] - s.cw[i]))) AS d2
       |  FROM sub v JOIN seed s ON v.sub = s.sub),
       |a0 AS (SELECT vec_id, sub, cid FROM d0
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
@@ -2236,14 +2239,14 @@ object SparkEntry {
       |cb AS (SELECT s.sub, s.cid, COALESCE(l.cw, s.cw) AS cw
       |  FROM seed s LEFT JOIN cl l ON s.sub = l.sub AND s.cid = l.cid),
       |d1 AS (SELECT v.vec_id, v.sub, c.cid,
-      |    CAST(list_sum(list_transform(generate_series(1, 8),
-      |      i -> (v.sv[i] - c.cw[i]) * (v.sv[i] - c.cw[i]))) AS BIGINT) AS d2
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> CAST(v.sv[i] - c.cw[i] AS HUGEINT) * (v.sv[i] - c.cw[i]))) AS d2
       |  FROM sub v JOIN cb c ON v.sub = c.sub),
       |codes AS (SELECT vec_id, sub, cid FROM d1
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
       |adc AS (SELECT q.vec_id AS query_id, co.vec_id AS corpus_id,
-      |    CAST(SUM(CAST(list_sum(list_transform(generate_series(1, 8),
-      |      i -> (q.sv[i] - c.cw[i]) * (q.sv[i] - c.cw[i]))) AS BIGINT)) AS BIGINT) AS adc_d2
+      |    SUM(list_sum(list_transform(generate_series(1, 8),
+      |      i -> CAST(q.sv[i] - c.cw[i] AS HUGEINT) * (q.sv[i] - c.cw[i])))) AS adc_d2
       |  FROM sub q
       |  JOIN codes co ON q.sub = co.sub AND co.vec_id <> q.vec_id
       |  JOIN cb c ON c.sub = co.sub AND c.cid = co.cid
@@ -4263,8 +4266,13 @@ object SparkEntry {
         |QUALIFY row_number() OVER w <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // the final HUGEINT->DOUBLE goes through VARCHAR: DuckDB's direct
+    // integer->double cast TRUNCATES above 2^53 while Spark's
+    // Decimal.toDouble is correctly rounded — string->double is
+    // correctly rounded in both (1-ULP fuzz catch, seed 7)
     "sim_pq_topk" -> (pqOraclePrefix +
-      """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, adc_d2
+      """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
+        |  CAST(CAST(adc_d2 AS VARCHAR) AS DOUBLE) AS adc_d2
         |FROM adc
         |WINDOW w AS (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5
@@ -4274,12 +4282,13 @@ object SparkEntry {
       """, cand AS (SELECT query_id, corpus_id FROM adc
         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC) <= 50),
         |ex AS (SELECT cand.query_id, cand.corpus_id,
-        |    CAST(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (eq.mv[i] - ec.mv[i]) * (eq.mv[i] - ec.mv[i]))) AS BIGINT) AS d2
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(eq.mv[i] - ec.mv[i] AS HUGEINT) * (eq.mv[i] - ec.mv[i]))) AS d2
         |  FROM cand
         |  JOIN e eq ON eq.vec_id = cand.query_id
         |  JOIN e ec ON ec.vec_id = cand.corpus_id)
-        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id, d2
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
+        |  CAST(CAST(d2 AS VARCHAR) AS DOUBLE) AS d2
         |FROM ex
         |WINDOW w AS (PARTITION BY query_id ORDER BY d2 ASC, corpus_id ASC)
         |QUALIFY row_number() OVER w <= 5

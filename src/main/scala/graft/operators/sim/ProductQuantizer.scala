@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * corpus-wide convention) and codebook centroids ROUND TO INTEGER
   * MICROS after each Lloyd mean (`floor(Σ/n + 0.5)` — one IEEE
   * division + floor, the established portable rounding), so every
-  * assignment distance and every ADC distance is EXACT BIGINT
-  * arithmetic: Σ(a−b)² of longs. No float accumulation exists anywhere
-  * in train, encode, or search — order-free integer sums — which is a
+  * assignment distance and every ADC distance is EXACT integer
+  * arithmetic: Σ(a−b)² in DECIMAL(38,0) (HUGEINT on the oracle side —
+  * the squares can exceed 2^63 at the adversarial edge of the
+  * BIGINT-micros domain). No float accumulation exists anywhere in
+  * train, encode, or search — order-free integer sums — which is a
   * strictly stronger determinism than the IVF path's sequential-fold
-  * cosine parity.
+  * cosine parity. Distances surface as one final correctly-rounded
+  * double cast (exact below 2^53 — every unit-scale corpus).
   *
   * Scale shape: training touches the corpus map-side only (argmin
   * against a broadcast codebook literal, then one (sub, cid, pos)
@@ -32,9 +35,6 @@ import org.apache.spark.sql.functions._
   * codes table — the codes are the only corpus-sized operand, 32×
   * fewer bytes than the raw vectors through every scan and cache.
   *
-  * Headroom: micro components ≤ ~2^23 for unit-scale embeddings, so a
-  * squared diff is ≤ 2^46 and a 64-dim sum ≤ 2^52 — exact in BIGINT
-  * with orders of magnitude to spare.
   */
 object ProductQuantizer {
 
@@ -47,9 +47,19 @@ object ProductQuantizer {
   private def cbLit(cb: Array[Array[Long]]): Column =
     typedlit(cb.map(_.toIndexedSeq).toIndexedSeq)
 
-  /** Exact integer squared L2 between two micro vectors. */
+  /** Exact squared L2 between two micro vectors, in DECIMAL(38,0):
+    * micro components are only bounded by the corpus-wide BIGINT-micros
+    * domain (|x·10^6| < 2^63, the contract the adversarial fuzz
+    * vectors probe at 10^3 magnitudes), so a single (a−b)² can exceed
+    * 2^63 — the difference stays in long (≤ 2^64 needs one more bit
+    * than the domain allows, so it fits), the square and sum run in
+    * decimal. The oracle mirrors with HUGEINT. Output casts to double
+    * once at the end (correctly-rounded in both engines; exact below
+    * 2^53, which covers all unit-scale corpora).
+    */
   private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
+    aggregate(zip_with(a, b, (x, y) => (x - y).cast("decimal(38,0)") * (x - y)),
+      lit(0).cast("decimal(38,0)"), (acc, e) => acc + e)
 
   /** Per-subspace nearest-codeword ids: array<int> of length m.
     * Tie-break: lowest codeword id (sort_array on (d2, cid) structs).
@@ -59,7 +69,7 @@ object ProductQuantizer {
     array(cbs.indices.map { s =>
       val sv = slice(mv, s * sd + 1, sd)
       sort_array(transform(cbLit(cbs(s)), (cw, i) =>
-        struct(d2(sv, cw), i).cast("struct<d2:bigint,cid:int>")), asc = true)
+        struct(d2(sv, cw), i).cast("struct<d2:decimal(38,0),cid:int>")), asc = true)
         .getItem(0).getField("cid")
     }: _*)
   }
@@ -142,7 +152,7 @@ object ProductQuantizer {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("corpus_id"), col("adc_d2"))
+        col("corpus_id"), col("adc_d2").cast("double").as("adc_d2"))
   }
 
   /** ADC-then-refine top-k (the FAISS `IndexRefineFlat` shape): ADC
@@ -173,7 +183,7 @@ object ProductQuantizer {
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("corpus_id"), col("d2"))
+        col("corpus_id"), col("d2").cast("double").as("d2"))
   }
 
   /** Persist the index: codes parquet under dir/codes, codebooks as

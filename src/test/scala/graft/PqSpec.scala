@@ -23,7 +23,7 @@ class PqSpec extends SparkSpec {
 
   test("train/encode/search is deterministic run to run (exact integers)") {
     def run() = PQ.adcTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(run() == run())
   }
 
@@ -39,7 +39,8 @@ class PqSpec extends SparkSpec {
         // rotate every code by one codeword — a deliberately wrong encoding
         transform(col("codes"), c => pmod(c + 1, lit(16))),
         PQ.microVec(col("embedding")), cbs))
-      .select(col("d_self"), col("d_rolled")).as[(Long, Long)].collect()
+      .select(col("d_self").cast("double"), col("d_rolled").cast("double"))
+      .as[(Double, Double)].collect()
     assert(self.forall { case (s, r) => s <= r })
   }
 

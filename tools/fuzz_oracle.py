@@ -33,7 +33,8 @@ QUERIES = [
     "corpus_diff", "sample_split", "sample_shuffle", "dedup_prefix_exact",
     "stats_drift", "stats_heavy_hitters", "stats_quantiles_sketch",
     "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
-    "pipeline_quality", "pipeline_datacard",
+    "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
+    "text_bm25_index_probe",
 ]
 
 # events-only queries: gated when the adversarial events table is
@@ -57,6 +58,7 @@ REL_QUERIES = [
 EMB_QUERIES = [
     "emb_l2norm", "emb_quantize", "emb_cosine_pairs", "sim_topk",
     "emb_quantize_trained", "sim_topk_quantized", "emb_classify_centroid",
+    "sim_pq_topk", "sim_pq_topk_refined", "sim_hybrid_rrf",
 ]
 
 PIECES = [
