@@ -213,6 +213,30 @@ object ScaleProbe {
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, dim = 64, nBits = 8, tables = 4)
       }
+      time("text_bm25_topk", k) {
+        // retrieval shape: the corpus scales, the query set stays
+        // fixed — cost is the postings build (one corpus scan + the
+        // term-df window); the match itself touches only query-term
+        // postings via the broadcast
+        operators.text.Bm25.topK(d,
+          docs.filter(col("doc_id") < 8)
+            .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+          "doc_id", "text", "query_id", "qtext", k = 10)
+      }
+      time("sim_pq_topk_refined", k) {
+        // PQ train (fixed m×ks codebook, corpus-linear assignment) +
+        // codes-only ADC + top-50 exact refine; the corpus-sized
+        // operand after encode is 8 codes/vector, 32x under float32
+        operators.sim.ProductQuantizer.adcTopKRefined(e,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, rerank = 50)
+      }
+      time("sim_hybrid_rrf", k) {
+        // both retrievers at k× corpus, fixed query set; fusion cost is
+        // pool-sized regardless of k
+        operators.sim.HybridSearch.hybridTopK(d, e, 0L until 8L,
+          "doc_id", "text", "vec_id", "embedding", k = 10, pool = 20)
+      }
       time("pipeline_replicate", k) {
         // the CDC flagship at k× stream length and k× key count:
         // snapshot handoff + idempotence + upsert + interval ledger

@@ -44,35 +44,18 @@ object ProductQuantizer {
   def microVec(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(1e6)).cast("long"))
 
-  private def cbLit(cb: Array[Array[Long]]): Column =
-    typedlit(cb.map(_.toIndexedSeq).toIndexedSeq)
+  private def cbLit3(cbs: Codebooks): Column =
+    typedlit(cbs.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
 
-  /** Exact squared L2 between two micro vectors, in DECIMAL(38,0):
-    * micro components are only bounded by the corpus-wide BIGINT-micros
-    * domain (|x·10^6| < 2^63, the contract the adversarial fuzz
-    * vectors probe at 10^3 magnitudes), so a single (a−b)² can exceed
-    * 2^63 — the difference stays in long (≤ 2^64 needs one more bit
-    * than the domain allows, so it fits), the square and sum run in
-    * decimal. The oracle mirrors with HUGEINT. Output casts to double
-    * once at the end (correctly-rounded in both engines; exact below
-    * 2^53, which covers all unit-scale corpora).
+  /** Per-subspace nearest-codeword ids: array<int> of length m,
+    * tie-break lowest codeword id. Runs as the native
+    * [[graft.plans.PqAssign]] kernel (one fused JVM loop per row,
+    * 128-bit exact accumulation — the interpreted decimal-HOF version
+    * of the same math cost ~5× the probe wall-clock); the codebook
+    * rides as one foldable literal bound at plan build.
     */
-  private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y).cast("decimal(38,0)") * (x - y)),
-      lit(0).cast("decimal(38,0)"), (acc, e) => acc + e)
-
-  /** Per-subspace nearest-codeword ids: array<int> of length m.
-    * Tie-break: lowest codeword id (sort_array on (d2, cid) structs).
-    */
-  def codesCol(mv: Column, cbs: Codebooks): Column = {
-    val sd = cbs(0)(0).length
-    array(cbs.indices.map { s =>
-      val sv = slice(mv, s * sd + 1, sd)
-      sort_array(transform(cbLit(cbs(s)), (cw, i) =>
-        struct(d2(sv, cw), i).cast("struct<d2:decimal(38,0),cid:int>")), asc = true)
-        .getItem(0).getField("cid")
-    }: _*)
-  }
+  def codesCol(vec: Column, cbs: Codebooks): Column =
+    call_function("graft_pq_assign", vec, cbLit3(cbs))
 
   /** Train the per-subspace codebooks: deterministic seed (the `ks`
     * lowest-id vectors' sub-vectors) refined by `iters` Lloyd rounds
@@ -83,7 +66,8 @@ object ProductQuantizer {
                      dim: Int, m: Int, ks: Int, iters: Int): Codebooks = {
     require(dim % m == 0, s"trainCodebooks: dim=$dim not divisible by m=$m")
     val sd = dim / m
-    val c0 = corpus.select(col(idCol).as("cid_"), microVec(col(vecCol)).as("mv"))
+    val c0 = corpus.select(col(idCol).as("cid_"), col(vecCol).as("v"),
+      microVec(col(vecCol)).as("mv"))
     val seedRows = c0.orderBy(col("cid_")).limit(ks).select(col("mv")).collect()
       .map(_.getSeq[Long](0).toArray)
     require(seedRows.length == ks, s"trainCodebooks: corpus smaller than ks=$ks")
@@ -92,7 +76,7 @@ object ProductQuantizer {
     }
     for (_ <- 1 to iters) {
       val assigned = c0
-        .select(codesCol(col("mv"), cbs).as("codes"), posexplode(col("mv")).as(Seq("pos", "x")))
+        .select(codesCol(col("v"), cbs).as("codes"), posexplode(col("mv")).as(Seq("pos", "x")))
         .select((col("pos") / sd).cast("int").as("sub"), col("pos"), col("x"),
           element_at(col("codes"), (col("pos") / sd).cast("int") + 1).as("cid"))
       // integer-micro mean per codebook cell: floor(Σ/n + 0.5) — one
@@ -116,18 +100,20 @@ object ProductQuantizer {
 
   /** Encode: (corpus_id, codes array<int>). Shuffle-free projection. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String, cbs: Codebooks): DataFrame =
-    corpus.select(col(idCol).as("corpus_id"), codesCol(microVec(col(vecCol)), cbs).as("codes"))
+    corpus.select(col(idCol).as("corpus_id"), codesCol(col(vecCol), cbs).as("codes"))
 
-  /** ADC distance of a query micro vector against a codes column under
-    * `cbs` — exact BIGINT.
+  /** ADC distance of a raw query vector against a codes column under
+    * `cbs` — exact DECIMAL(38,0) via the native [[graft.plans.PqAdc]]
+    * kernel (128-bit long accumulation, one Decimal per row).
     */
-  def adcD2(codes: Column, qmv: Column, cbs: Codebooks): Column = {
-    val sd = cbs(0)(0).length
-    cbs.indices.map { s =>
-      val cw = element_at(cbLit(cbs(s)), element_at(codes, s + 1) + 1)
-      d2(slice(qmv, s * sd + 1, sd), cw)
-    }.reduce(_ + _)
-  }
+  def adcD2(codes: Column, qvec: Column, cbs: Codebooks): Column =
+    call_function("graft_pq_adc", codes, qvec, cbLit3(cbs))
+
+  /** Exact micro-L2 between two raw vectors ([[graft.plans.MicroL2]]) —
+    * the refine distance and the exact-search baseline.
+    */
+  def microL2(a: Column, b: Column): Column =
+    call_function("graft_micro_l2", a, b)
 
   /** PQ-ADC top-k: train, encode, search in one call (the one-shot
     * oracled path). Output: (query_id, rank, corpus_id, adc_d2) with
@@ -144,9 +130,9 @@ object ProductQuantizer {
     */
   def adcTopKFromIndex(codes: DataFrame, cbs: Codebooks, queries: DataFrame,
                        idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), microVec(col(vecCol)).as("qmv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = codes.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("adc_d2", adcD2(col("codes"), col("qmv"), cbs))
+      .withColumn("adc_d2", adcD2(col("codes"), col("qv"), cbs))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -173,11 +159,11 @@ object ProductQuantizer {
       queries, idCol, vecCol, rerank)
       .select(col("query_id"), col("corpus_id"))
     val exact = cands
-      .join(corpus.select(col(idCol).as("corpus_id"), microVec(col(vecCol)).as("cmv"))
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
         .hint("shuffle_hash"), Seq("corpus_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"),
-        microVec(col(vecCol)).as("qmv"))), Seq("query_id"))
-      .withColumn("d2", d2(col("cmv"), col("qmv")))
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("d2", microL2(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("corpus_id").asc)
     exact.withColumn("rank", row_number().over(w))

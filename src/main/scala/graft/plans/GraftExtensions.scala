@@ -187,5 +187,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ParagraphBlocks(children.head, intLit(children(1), "n"), intLit(children(2), "stride"))
       }
     ))
+    // PQ kernels: the codebook rides as a FOLDABLE literal argument and
+    // is bound into the expression at plan build (one long[][][] per
+    // plan, not a per-row operand)
+    def codebookOf(e: Expression, fn: String): Array[Array[Array[Long]]] = {
+      require(e.foldable, s"$fn: codebook must be a literal array<array<array<long>>>")
+      val outer = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      Array.tabulate(outer.numElements()) { s =>
+        val mid = outer.getArray(s)
+        Array.tabulate(mid.numElements())(c => mid.getArray(c).toLongArray())
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "graft_pq_assign"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_pq_assign(vec, codebook) takes a vector and a codebook literal")
+        PqAssign(children.head, codebookOf(children(1), "graft_pq_assign"))
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_pq_adc(codes, qvec, codebook) takes codes, a vector, and a codebook literal")
+        PqAdc(children.head, children(1), codebookOf(children(2), "graft_pq_adc"))
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_micro_l2"),
+      new ExpressionInfo(classOf[MicroL2].getName, "graft_micro_l2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_micro_l2(a, b) takes two array arguments")
+        MicroL2(children.head, children(1))
+      }
+    ))
   }
 }

@@ -396,4 +396,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"span side must shuffle, not broadcast:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"corpus-proportional span side broadcast:\n$p")
   }
+
+  test("bm25: query terms broadcast into the postings; df is a window count") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"term match must broadcast the query terms:\n$p")
+    assert(!p.contains("Expand"), s"df must be a window count, not countDistinct:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // only the 1-row stats table may ride a nested loop
+    assert(!p.contains("SortMergeJoin"), s"the term join must hash, not sort-merge:\n$p")
+  }
+
+  test("pq: ADC search scans codes with a broadcast query side; refine re-join shuffle-hash") {
+    val p = plan("sim_pq_topk")
+    // the corpus-sized operand is the codes table; the query side rides
+    // a broadcast (non-equi self-exclusion => nested loop over k rows)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"),
+      s"query side must broadcast into the codes scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    val pr = plan("sim_pq_topk_refined")
+    assert(pr.contains("ShuffledHashJoin"),
+      s"refine must re-join exact vectors shuffle-hash, never broadcast the corpus:\n$pr")
+    assert(!pr.contains("CartesianProduct"), s"unexpected cartesian:\n$pr")
+  }
+
+  test("hybrid rrf: no cartesian; both retriever pools window-rank per query") {
+    val df = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bm25 term match must broadcast:\n$p")
+    val phys = df.queryExecution.executedPlan
+    val bad = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "rank windows must partition by query_id")
+  }
 }

@@ -34,11 +34,11 @@ class PqSpec extends SparkSpec {
     val cbs = PQ.trainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 1)
     val self = PQ.encode(emb, "vec_id", "embedding", cbs)
       .join(emb.select(col("vec_id").as("corpus_id"), col("embedding")), Seq("corpus_id"))
-      .withColumn("d_self", PQ.adcD2(col("codes"), PQ.microVec(col("embedding")), cbs))
+      .withColumn("d_self", PQ.adcD2(col("codes"), col("embedding"), cbs))
       .withColumn("d_rolled", PQ.adcD2(
         // rotate every code by one codeword — a deliberately wrong encoding
         transform(col("codes"), c => pmod(c + 1, lit(16))),
-        PQ.microVec(col("embedding")), cbs))
+        col("embedding"), cbs))
       .select(col("d_self").cast("double"), col("d_rolled").cast("double"))
       .as[(Double, Double)].collect()
     assert(self.forall { case (s, r) => s <= r })
