@@ -1453,6 +1453,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tokenizer_bpe_train" -> ((s, dir) => {
+      // the full iterative BPE training loop (8 merge rounds), not just
+      // the first-round statistic: corpus scanned once into word
+      // counts, every round runs on the cached vocabulary, one argmax
+      // row reaches the driver per round. Code-point symbols + plain
+      // replace keep both engines merging identically
+      graft.operators.text.BpeTrainer.train(t(s, dir, "documents"), "text", merges = 8)
+        .orderBy(col("step"))
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       // Okapi BM25 lexical retrieval: k1/b as exact rationals reduce
       // the tf weight to one BIGINT ratio, idf rounded once per
@@ -2254,7 +2264,39 @@ object SparkEntry {
       |  GROUP BY q.vec_id, co.vec_id)
       |""".stripMargin
 
+  /** The BPE training replay as `merges` chained CTE stages (generated
+    * — each stage recounts pairs, takes the (count DESC, l, r) argmax,
+    * and replays the same non-overlapping `replace`). `LEFT JOIN b ON
+    * TRUE` carries exhausted rounds through unchanged, mirroring the
+    * Spark loop's early stop.
+    */
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val head =
+      """WITH wc AS (SELECT w, COUNT(*) AS cnt FROM (SELECT
+        |    unnest(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL) GROUP BY w),
+        |w0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS seq, cnt FROM wc)""".stripMargin
+    val stages = (1 to merges).map { k =>
+      s""",
+         |p$k AS (SELECT s.t[u.i] AS l, s.t[u.i + 1] AS r, SUM(s.cnt) AS c
+         |  FROM (SELECT string_split(trim(seq), ' ') AS t, cnt FROM w${k - 1}) s,
+         |    LATERAL (SELECT unnest(generate_series(1, len(s.t) - 1)) AS i) u
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS (SELECT CASE WHEN b.l IS NULL THEN s.seq
+         |    ELSE replace(s.seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') END AS seq,
+         |    s.cnt
+         |  FROM w${k - 1} s LEFT JOIN b$k b ON TRUE)""".stripMargin
+    }.mkString
+    val union = (1 to merges).map { k =>
+      s"SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"$head$stages\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged, pair_count FROM (\n$union\n) ORDER BY step"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

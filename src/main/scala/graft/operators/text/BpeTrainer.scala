@@ -1,0 +1,106 @@
+package graft.operators.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE merge training (Sennrich et al. 2016) — the actual
+  * tokenizer-training loop, not just its first-round statistic
+  * ([[TextAnalysis.bpePairStats]]): `merges` rounds of
+  * (count weighted adjacent pairs → take the argmax pair → merge every
+  * occurrence corpus-wide), producing the ordered merge table that IS
+  * a BPE tokenizer's model file.
+  *
+  * Scale shape: the corpus is touched ONCE (word counts — one
+  * map-side-combined aggregation); every merge round runs on the
+  * cached VOCABULARY table (distinct words × counts — sub-linear in
+  * corpus bytes, the same trick HuggingFace's trainer uses), and only
+  * the 1-row argmax reaches the driver per round. Words are held as
+  * space-joined symbol sequences padded with sentinel spaces, so a
+  * merge is one non-overlapping left-to-right `replace(' l r ' → ' lr ')`
+  * per word — exactly the greedy semantics of reference BPE
+  * (overlapping runs like `a a a` merge left-to-right to `aa a`).
+  *
+  * Cross-engine parity traps pinned here:
+  *  - symbols are UNICODE CODE POINTS via `regexp_extract_all(w, '.')`
+  *    — Java's `split("")` would break surrogate pairs (an emoji into
+  *    two lone surrogates) while DuckDB splits runes, so the regex
+  *    dot (one code point in BOTH Java and RE2) is the portable
+  *    splitter;
+  *  - the merge uses plain `replace`, never regex — merged symbols can
+  *    contain any character class (quotes, brackets, dots);
+  *  - argmax tie-break is (count DESC, left ASC, right ASC) — a total
+  *    order, so every round's winner reproduces.
+  *
+  * Output: one row per executed merge —
+  * (step, left, right, merged, pair_count); rounds with no remaining
+  * pair emit nothing (degenerate single-symbol corpora).
+  */
+object BpeTrainer {
+
+  /** Word → symbol-sequence representation: ' h e l l o '. */
+  private def seqOf(word: org.apache.spark.sql.Column) =
+    concat(lit(" "), array_join(regexp_extract_all(word, lit("."), lit(0)), " "), lit(" "))
+
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = graft.operators.Partitioning.ensureMinParallelism(
+      docs.filter(col(textCol).isNotNull))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(seqOf(col("w")).as("seq"), col("cnt"))
+      .cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val toks = split(trim(col("seq")), " ")
+      // sequence(1, 0) throws on single-symbol words — guard to empty
+      val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>"))
+      val best = vocab
+        .select(col("cnt"), explode(transform(idxs,
+          i => struct(element_at(toks, i).as("l"), element_at(toks, i + 1).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      best.headOption match {
+        case None => exhausted = true // every word is one symbol already
+        case Some((l, r, c)) =>
+          out += ((step, l, r, l + r, c))
+          val merged = vocab
+            .withColumn("seq", replace(col("seq"),
+              lit(s" $l $r "), lit(s" $l$r ")))
+            .cache()
+          merged.count() // materialize before dropping the parent
+          vocab.unpersist()
+          vocab = merged
+          step += 1
+      }
+    }
+    vocab.unpersist()
+    // lhs/rhs, not left/right: reserved words in ANSI engines
+    out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a trained merge table to new text: each merge replayed in
+    * step order over the symbol representation — the ENCODE half of
+    * the tokenizer. Returns (id, symbols array<string>). The merge
+    * list is a driver-side artifact (the model), so application is a
+    * shuffle-free projection at scan speed.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             mergeTable: Seq[(String, String)]): DataFrame = {
+    val words = graft.operators.Partitioning.ensureMinParallelism(
+      docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "w")))
+    val mergedSeq = mergeTable.foldLeft(seqOf(col("w"))) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    words.select(col(idCol), col("wpos"), split(trim(mergedSeq), " ").as("symbols"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.text.BpeTrainer
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train(texts: Seq[String], merges: Int = 5) =
+    BpeTrainer.train(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"), "text", merges)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+
+  test("merge sequence matches the hand-derived BPE run") {
+    // vocab: ab x2, abc x1 -> (a,b) weight 3 wins, then (ab,c) weight 1
+    val got = train(Seq("ab ab abc"))
+    assert(got == Seq((1, "a", "b", "ab", 3L), (2, "ab", "c", "abc", 1L)))
+  }
+
+  test("overlapping runs merge greedily left-to-right") {
+    // 'aaa' x2: pair (a,a) appears twice per word -> weight 4; after the
+    // merge each word is 'aa a', so round 2 merges (aa,a) at weight 2
+    val got = train(Seq("aaa aaa"))
+    assert(got.take(2) == Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+  }
+
+  test("ties break on (count desc, lhs, rhs) deterministically") {
+    // (a,b) and (b,a) both weight 2 inside 'abab'; (a,b) wins lexically
+    val got = train(Seq("abab"), merges = 1)
+    assert(got == Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("surrogate pairs stay whole: emoji are single symbols") {
+    val got = train(Seq("😀🚀 😀🚀"), merges = 1)
+    assert(got == Seq((1, "😀", "🚀",
+      "😀🚀", 2L)))
+  }
+
+  test("training stops early when no pairs remain; null text excluded") {
+    val df = Seq((0L, "a b c"), (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = BpeTrainer.train(df, "text", merges = 8).collect()
+    assert(got.isEmpty) // all words are single symbols from round 1
+  }
+
+  test("encode applies the merge table in step order") {
+    val docs = Seq((0L, "ab ab abc")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", 5)
+      .orderBy("step").select("lhs", "rhs").as[(String, String)].collect().toSeq
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .orderBy("wpos").select("symbols").as[Seq[String]].collect().toSeq
+    assert(enc == Seq(Seq("ab"), Seq("ab"), Seq("abc")))
+  }
+}
