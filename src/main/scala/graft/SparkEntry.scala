@@ -1478,6 +1478,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "text_bm25_prf" -> ((s, dir) => {
+      // RM3 pseudo-relevance feedback: top-5 feedback docs nominate
+      // their highest tf*idf terms (originals anti-joined away), the
+      // expanded term set retrieves the final top-10 — two passes over
+      // ONE postings plan, feedback pool broadcast, all-BIGINT weights
+      import s.implicits._
+      val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
+        (3L, "hash merge sort batch"), (4L, "the cat and naïve 😀"))
+        .toDF("query_id", "qtext")
+      graft.operators.text.Bm25.prfTopK(t(s, dir, "documents"), qs,
+          "doc_id", "text", "query_id", "qtext", k = 10, fb = 5, expand = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "text_bm25_index_probe" -> ((s, dir) => {
       // the stored-index path: postings persisted once (sorted by term
       // for row-group skipping), the probe scores straight off the
@@ -2186,7 +2200,7 @@ object SparkEntry {
     * tf weight as one BIGINT ratio, per-term contribution quantized
     * half-up — `//` here is Spark's `div` on all-positive operands.
     */
-  private val bm25OracleSql: String =
+  private val bm25OraclePrefix: String =
     """WITH q(query_id, qtext) AS (VALUES (1, 'spark join table'),
       |    (2, 'window agg stream'), (3, 'hash merge sort batch'),
       |    (4, 'the cat and naïve 😀')),
@@ -2211,12 +2225,45 @@ object SparkEntry {
       |g AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros,
       |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       |  FROM ct GROUP BY query_id, doc_id)
-      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(row_number() OVER w AS INT) AS rank,
+      |""".stripMargin
+
+  private val bm25OracleFinal: String =
+    """SELECT CAST(query_id AS BIGINT) AS query_id, CAST(row_number() OVER w AS INT) AS rank,
       |  doc_id, score_micros, n_terms_hit
-      |FROM g
+      |FROM %s
       |WINDOW w AS (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC)
       |QUALIFY row_number() OVER w <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  private val bm25OracleSql: String = bm25OraclePrefix + bm25OracleFinal.format("g")
+
+  /** The RM3 replay: feedback top-5 from `g`, expansion terms by
+    * summed tf·idf over feedback docs (original terms excluded via
+    * NOT EXISTS — the Spark side's broadcast anti-join), then the
+    * whole BM25 chain again over the expanded term set.
+    */
+  private val bm25PrfOracleSql: String = bm25OraclePrefix +
+    """, fb AS (SELECT query_id, doc_id FROM g
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC) <= 5),
+      |ex AS (SELECT f.query_id, p.term,
+      |    SUM(p.tf * CAST(round(ln((st.n_docs - p.df + 0.5) / (p.df + 0.5) + 1) * 1000000) AS BIGINT)) AS w
+      |  FROM fb f JOIN pd p ON p.doc_id = f.doc_id CROSS JOIN st
+      |  WHERE NOT EXISTS (SELECT 1 FROM qt WHERE qt.query_id = f.query_id AND qt.term = p.term)
+      |  GROUP BY f.query_id, p.term),
+      |et AS (SELECT query_id, term FROM ex
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term ASC) <= 3),
+      |qt2 AS (SELECT query_id, term FROM qt UNION ALL SELECT query_id, term FROM et),
+      |sc2 AS (SELECT qt2.query_id, p.doc_id,
+      |    CAST(round(ln((st.n_docs - p.df + 0.5) / (p.df + 0.5) + 1) * 1000000) AS BIGINT) AS idf,
+      |    st.t_tot * (10 * p.tf + 3) + 9 * p.dl * st.n_docs AS den,
+      |    p.tf FROM pd p JOIN qt2 ON p.term = qt2.term CROSS JOIN st),
+      |ct2 AS (SELECT query_id, doc_id,
+      |    (idf * ((44 * tf * st.t_tot * 1000000 + den) // (2 * den)) + 500000) // 1000000 AS contrib
+      |  FROM sc2 CROSS JOIN st),
+      |g2 AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      |  FROM ct2 GROUP BY query_id, doc_id)
+      |""".stripMargin + bm25OracleFinal.format("g2")
 
   /** PQ train/encode replay shared by `sim_pq_topk` and
     * `sim_pq_topk_refined`: micro-quantized sub-vectors, seed codebook
@@ -4337,6 +4384,8 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin),
 
     "text_bm25_topk" -> bm25OracleSql,
+
+    "text_bm25_prf" -> bm25PrfOracleSql,
 
     // the stored-index probe must reproduce the one-shot BM25 ranking
     // exactly — same oracle

@@ -153,4 +153,42 @@ object Bm25 {
   def scoreAgainstIndex(post: DataFrame, stats: DataFrame, queries: DataFrame,
                         qidCol: String, qtextCol: String, k: Int = 10): DataFrame =
     rankTopK(scores(post, stats, queryTerms(queries, qidCol, qtextCol)), k)
+
+  /** Pseudo-relevance-feedback expansion (the RM3 shape, integer-exact):
+    * the initial BM25 top-`fb` docs per query are assumed relevant,
+    * their highest-weight terms (Σ tf·idf_micros over the feedback
+    * docs, original query terms excluded) join the query, and the
+    * expanded term set retrieves the final top-k — the classic fix for
+    * vocabulary mismatch ("car" finds docs that only say "automobile").
+    *
+    * Scale shape: two passes over the SAME postings plan; the feedback
+    * pool (fb·|queries| rows) BROADCASTS into the postings to collect
+    * candidate expansion terms, so the corpus again never shuffles;
+    * expansion scoring and both rank cuts are per-query windows over
+    * pool-sized data. Every weight is BIGINT (tf · once-rounded idf
+    * micros), so the whole two-round retrieval hash-oracles.
+    */
+  def prfTopK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+              qidCol: String, qtextCol: String, k: Int = 10, fb: Int = 5,
+              expand: Int = 3): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val stats = corpusStats(docs, textCol)
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val feedback = rankTopK(scores(post, stats, qt), fb)
+      .select(col("query_id"), col("doc_id"))
+    val expTerms = post
+      .join(broadcast(feedback), Seq("doc_id"))
+      .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+      .join(broadcast(stats))
+      .withColumn("w", col("tf") *
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("w")).as("w"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("w").desc, col("term").asc)))
+      .filter(col("rk") <= expand)
+      .select(col("query_id"), col("term"))
+    rankTopK(scores(post, stats, qt.union(expTerms)), k)
+  }
 }

@@ -81,4 +81,26 @@ class Bm25Spec extends SparkSpec {
     assert(direct.exceptAll(probed).isEmpty && probed.exceptAll(direct).isEmpty)
     assert(direct.count() > 0)
   }
+
+  test("prf: expansion terms come from feedback docs and exclude originals") {
+    // query hits doc A; doc A also contains 'automobile'; doc B contains
+    // 'automobile' but not 'car' — PRF must surface B, plain BM25 cannot
+    val c = Seq(
+      (0L, "car engine car road"),
+      (1L, "automobile engine road trip"),
+      (2L, "automobile highway journey"),
+      (3L, "kitchen recipe soup"),
+      (4L, "garden flower tree")).toDF("doc_id", "text")
+    val qs = Seq((1L, "car")).toDF("query_id", "qtext")
+    val plain = Bm25.topK(c, qs, "doc_id", "text", "query_id", "qtext", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val prf = Bm25.prfTopK(c, qs, "doc_id", "text", "query_id", "qtext",
+      k = 10, fb = 1, expand = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(0L))
+    assert(prf.contains(0L) && (prf.contains(1L) || prf.contains(2L)),
+      s"expansion should recall automobile docs, got $prf")
+    assert(!prf.contains(3L) || !prf.contains(4L),
+      "unrelated docs should not both enter via expansion")
+  }
 }
