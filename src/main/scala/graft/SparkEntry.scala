@@ -1492,6 +1492,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "text_bm25_percolate" -> ((s, dir) => {
+      // the percolator: standing queries, incoming docs (ids 100-119
+      // play the stream batch), frozen index stats — every (query, doc)
+      // match with its score, no top-k; streaming parity in Bm25Spec
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
+        (3L, "hash merge sort batch"), (4L, "the cat and naïve 😀"))
+        .toDF("query_id", "qtext")
+      val post = graft.operators.text.Bm25.postings(docs, "doc_id", "text")
+      graft.operators.text.Bm25.percolate(
+          graft.operators.text.Bm25.termDf(post),
+          graft.operators.text.Bm25.corpusStats(docs, "text"),
+          qs, "query_id", "qtext",
+          docs.filter(col("doc_id").between(100, 119)), "doc_id", "text")
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     "text_bm25_index_probe" -> ((s, dir) => {
       // the stored-index path: postings persisted once (sorted by term
       // for row-group skipping), the probe scores straight off the
@@ -4386,6 +4404,39 @@ object SparkEntry {
     "text_bm25_topk" -> bm25OracleSql,
 
     "text_bm25_prf" -> bm25PrfOracleSql,
+
+    // percolator: frozen corpus stats (tdf/st), batch docs re-derive
+    // dl/tf; COALESCE(df, 0) mirrors the left join for unseen terms
+    "text_bm25_percolate" ->
+      """WITH q(query_id, qtext) AS (VALUES (1, 'spark join table'),
+        |    (2, 'window agg stream'), (3, 'hash merge sort batch'),
+        |    (4, 'the cat and naïve 😀')),
+        |tok AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tdf AS (SELECT term, COUNT(*) AS df FROM
+        |    (SELECT DISTINCT doc_id, term FROM
+        |      (SELECT doc_id, unnest(toks) AS term FROM tok))
+        |  GROUP BY term),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS t_tot FROM tok),
+        |qt AS (SELECT DISTINCT query_id,
+        |    unnest(string_split(lower(trim(regexp_replace(qtext, '[\s\x0b]+', ' ', 'g'))), ' ')) AS term
+        |  FROM q),
+        |btf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+        |    (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+        |     WHERE doc_id BETWEEN 100 AND 119)
+        |  GROUP BY doc_id, dl, term),
+        |sc AS (SELECT qt.query_id, b.doc_id,
+        |    CAST(round(ln((st.n_docs - COALESCE(t.df, 0) + 0.5) / (COALESCE(t.df, 0) + 0.5) + 1) * 1000000) AS BIGINT) AS idf,
+        |    st.t_tot * (10 * b.tf + 3) + 9 * b.dl * st.n_docs AS den,
+        |    b.tf FROM btf b JOIN qt USING (term) LEFT JOIN tdf t USING (term) CROSS JOIN st),
+        |ct AS (SELECT query_id, doc_id,
+        |    (idf * ((44 * tf * st.t_tot * 1000000 + den) // (2 * den)) + 500000) // 1000000 AS contrib
+        |  FROM sc CROSS JOIN st)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(SUM(contrib) AS BIGINT) AS score_micros, CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |FROM ct GROUP BY query_id, doc_id
+        |ORDER BY query_id, doc_id""".stripMargin,
 
     // the stored-index probe must reproduce the one-shot BM25 ranking
     // exactly — same oracle

@@ -154,6 +154,57 @@ object Bm25 {
                         qidCol: String, qtextCol: String, k: Int = 10): DataFrame =
     rankTopK(scores(post, stats, queryTerms(queries, qidCol, qtextCol)), k)
 
+  /** Distinct per-term document frequencies of a postings table — the
+    * tiny (vocab-sized) side table the percolator broadcasts.
+    */
+  def termDf(post: DataFrame): DataFrame =
+    post.select(col("term"), col("df")).distinct()
+
+  /** Match a batch of INCOMING docs against a STANDING query set under
+    * the frozen statistics of a stored index (df/N/T from the
+    * reference corpus, dl from the incoming doc) — the
+    * Elasticsearch-percolator shape: alerting/routing on a document
+    * stream, where the queries stand still and the docs flow. Terms
+    * unseen by the index carry df = 0 (maximal idf — a brand-new term
+    * is maximally distinctive). Emits EVERY (query, doc) match with
+    * its score, no top-k: alert consumers threshold downstream.
+    *
+    * Works identically per micro-batch inside `foreachBatch` (parity
+    * pinned in Bm25Spec): the broadcast sides (query terms, term dfs,
+    * the stats row) are batch-invariant, so each micro-batch pays only
+    * its own tokenize + two broadcast joins — no state, no shuffle of
+    * anything corpus-sized.
+    */
+  def percolate(tdf: DataFrame, stats: DataFrame, queries: DataFrame,
+                qidCol: String, qtextCol: String,
+                batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val btf = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    btf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(tdf), Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .join(broadcast(stats))
+      .withColumn("idf_micros",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * lit(1e6)).cast("long"))
+      .withColumn("den",
+        col("total_tokens") * (lit(10L) * col("tf") + lit(3L)) +
+          lit(9L) * col("dl") * col("n_docs"))
+      .withColumn("tfw_micros",
+        expr("(44 * tf * total_tokens * 1000000 + den) div (2 * den)"))
+      .withColumn("contrib",
+        expr("(idf_micros * tfw_micros + 500000) div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_micros"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
   /** Pseudo-relevance-feedback expansion (the RM3 shape, integer-exact):
     * the initial BM25 top-`fb` docs per query are assumed relevant,
     * their highest-weight terms (Σ tf·idf_micros over the feedback

@@ -103,4 +103,48 @@ class Bm25Spec extends SparkSpec {
     assert(!prf.contains(3L) || !prf.contains(4L),
       "unrelated docs should not both enter via expansion")
   }
+
+  test("percolate: unseen terms carry df=0 (maximal idf); frozen stats") {
+    val qs = Seq((1L, "spark zzznovel")).toDF("query_id", "qtext")
+    val post = Bm25.postings(corpus, "doc_id", "text")
+    val batch = Seq((100L, "zzznovel spark zzznovel")).toDF("doc_id", "text")
+    val got = Bm25.percolate(Bm25.termDf(post), Bm25.corpusStats(corpus, "text"),
+      qs, "query_id", "qtext", batch, "doc_id", "text")
+      .select("doc_id", "n_terms_hit").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 2L))) // both terms matched, unseen one included
+  }
+
+  test("streaming percolation via foreachBatch == batch percolation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val qs = Seq((1L, "spark join table"), (2L, "tables rows")).toDF("query_id", "qtext")
+    val post = Bm25.postings(corpus, "doc_id", "text").cache()
+    val tdf = Bm25.termDf(post).cache()
+    val st = Bm25.corpusStats(corpus, "text").cache()
+    val incoming = Seq((100L, "spark tables ahead"), (101L, "rows of tables"),
+      (102L, "nothing relevant here"))
+    val expected = Bm25.percolate(tdf, st, qs, "query_id", "qtext",
+      incoming.toDF("doc_id", "text"), "doc_id", "text")
+      .select("query_id", "doc_id", "score_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Bm25.percolate(tdf, st, qs, "query_id", "qtext",
+            batch, "doc_id", "text")
+            .select("query_id", "doc_id", "score_micros")
+            .as[(Long, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      input.addData(incoming(0), incoming(1))
+      q.processAllAvailable()
+      input.addData(incoming(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
 }
