@@ -1253,6 +1253,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_mmr_topk" -> ((s, dir) => {
+      // MMR diversification: greedy max(min-dist-to-selected − dist-to-
+      // query) over the exact integer-L2 pool — the de-redundancy pass
+      // between retrieval and consumption; selection fully unrolled as
+      // dataframe stages and integer-exact, so the greedy order oracles
+      val emb = t(s, dir, "embeddings")
+      graft.operators.sim.Diversify.mmrTopK(emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, pool = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // Product quantization (FAISS PQ8): per-subspace codebooks with
       // integer-micro centroids, so assignment and ADC are EXACT
@@ -2359,8 +2370,53 @@ object SparkEntry {
     s"$head$stages\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged, pair_count FROM (\n$union\n) ORDER BY step"
   }
 
+  /** The MMR greedy replay: exact HUGEINT pool + pairwise distances,
+    * then `k−1` unrolled argmax stages (min-dist-to-selected minus
+    * dist-to-query, ties on candidate id), mirroring the Spark side's
+    * unrolled dataframe stages. Final distances surface via the
+    * VARCHAR-mediated double cast (same 2^53 rounding trap as PQ).
+    */
+  private def mmrOracleSql(k: Int, pool: Int): String = {
+    val d2 = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a.mv[i] - $b.mv[i] AS HUGEINT) * ($a.mv[i] - $b.mv[i])))"
+    val head =
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, ${d2("q", "c")} AS d2q
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         |pool AS (SELECT query_id, corpus_id, d2q FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2q ASC, corpus_id ASC) <= $pool),
+         |pw AS (SELECT a.query_id, a.corpus_id AS cand, b.corpus_id AS sel, ${d2("ea", "eb")} AS d2p
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+         |  JOIN e ea ON ea.vec_id = a.corpus_id
+         |  JOIN e eb ON eb.vec_id = b.corpus_id),
+         |s1 AS (SELECT query_id, corpus_id, d2q, 1 AS rank FROM pool
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2q ASC, corpus_id ASC) = 1),
+         |sel1 AS (SELECT * FROM s1)""".stripMargin
+    val stages = (2 to k).map { step =>
+      s""",
+         |s$step AS (SELECT query_id, corpus_id, d2q, $step AS rank FROM (
+         |    SELECT p.query_id, p.corpus_id, p.d2q, MIN(pw.d2p) - p.d2q AS mmr
+         |    FROM pool p
+         |    JOIN pw ON pw.query_id = p.query_id AND pw.cand = p.corpus_id
+         |    JOIN sel${step - 1} s ON s.query_id = pw.query_id AND s.corpus_id = pw.sel
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${step - 1} x
+         |      WHERE x.query_id = p.query_id AND x.corpus_id = p.corpus_id)
+         |    GROUP BY p.query_id, p.corpus_id, p.d2q)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, corpus_id ASC) = 1),
+         |sel$step AS (SELECT * FROM sel${step - 1} UNION ALL SELECT * FROM s$step)""".stripMargin
+    }.mkString
+    s"""$head$stages
+       |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
+       |  CAST(CAST(d2q AS VARCHAR) AS DOUBLE) AS d2
+       |FROM sel$k ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
+
+    "sim_mmr_topk" -> mmrOracleSql(5, 20),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,91 @@
+package graft.operators.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maximal-marginal-relevance diversification (Carbonell & Goldstein
+  * 1998) of a nearest-neighbor pool — the standard de-redundancy pass
+  * between retrieval and consumption (RAG context assembly, dedup-aware
+  * sampling): from the top-`pool` nearest candidates, greedily keep the
+  * item that best balances closeness to the QUERY against distance to
+  * everything ALREADY KEPT, so near-duplicate neighbors don't crowd
+  * the k slots.
+  *
+  * With λ = 1/2 and (negative) squared L2 as the similarity, the MMR
+  * argmax reduces to `min_{s∈selected} d²(c, s) − d²(c, q)` — pure
+  * integer arithmetic on micro-quantized vectors (the exact
+  * `graft_micro_l2` kernel), so the ENTIRE greedy selection is
+  * deterministic and hash-oracles; ties break on the candidate id.
+  *
+  * Scale shape: the candidate pool is `pool·|queries|` rows by
+  * construction — selection runs on pool-sized data only. The corpus
+  * is touched once by the pool search (broadcast query side); pool
+  * vectors re-attach through a broadcast of the PO0L (ids+scores, the
+  * small side) against the corpus scan; pairwise distances are
+  * pool²·|queries| rows of longs. The k selection steps are UNROLLED
+  * as k dataframe stages (k is small by contract) — no driver-side
+  * loop over rows, no UDF.
+  */
+object Diversify {
+
+  /** Greedy MMR top-k. Output: (query_id, rank, corpus_id, d2) where
+    * rank is the SELECTION ORDER (1 = nearest to the query) and d2 the
+    * exact micro² distance to the query (double, exact below 2^53).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, pool: Int = 20): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // exact micro-L2 pool: the corpus scans once, the query side rides
+    // the broadcast; only (query_id, corpus_id, d2) survives the cut
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("d2q", ProductQuantizer.microL2(col("cv"), col("qv")))
+    val poolDf = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("d2q").asc, col("corpus_id").asc)))
+      .filter(col("rk") <= pool)
+      .select(col("query_id"), col("corpus_id"), col("d2q"))
+      .cache()
+    // pool vectors: broadcast the ids-only pool into the corpus scan
+    val pv = c.join(broadcast(poolDf.select(col("query_id"), col("corpus_id"))),
+        Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cv"))
+    // pairwise distances within each query's pool (pool² rows/query)
+    val pw = pv.alias("a")
+      .join(pv.alias("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.corpus_id") =!= col("b.corpus_id"))
+      .select(col("a.query_id").as("query_id"), col("a.corpus_id").as("cand"),
+        col("b.corpus_id").as("sel"),
+        ProductQuantizer.microL2(col("a.cv"), col("b.cv")).as("d2p"))
+      .cache()
+
+    // step 1: plain nearest
+    var selected = poolDf
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("d2q").asc, col("corpus_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("corpus_id"), col("d2q"), lit(1).as("rank"))
+    // steps 2..k: argmax of min-dist-to-selected − dist-to-query
+    for (step <- 2 to k) {
+      val remaining = poolDf.join(
+        selected.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_anti")
+      val next = remaining
+        .join(pw.withColumnRenamed("cand", "corpus_id"), Seq("query_id", "corpus_id"))
+        .join(selected.select(col("query_id"), col("corpus_id").as("sel")),
+          Seq("query_id", "sel"))
+        .groupBy(col("query_id"), col("corpus_id"), col("d2q"))
+        .agg(min(col("d2p")).as("min_div"))
+        .withColumn("mmr", col("min_div") - col("d2q"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr").desc, col("corpus_id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("corpus_id"), col("d2q"), lit(step).as("rank"))
+      selected = selected.unionByName(next)
+    }
+    selected
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("corpus_id"),
+        col("d2q").cast("double").as("d2"))
+  }
+}
