@@ -419,6 +419,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), s"unexpected cartesian:\n$pr")
   }
 
+  test("prf/percolate/mmr/bpe-family plans: no cartesian, no sort-merge surprises") {
+    for (q <- Seq("text_bm25_prf", "text_bm25_percolate", "sim_mmr_topk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    // percolate: every corpus-sized side is absent — batch tf joins the
+    // broadcast query terms and the broadcast vocab df table
+    val pp = plan("text_bm25_percolate")
+    assert(pp.contains("BroadcastHashJoin"), s"percolate joins must broadcast:\n$pp")
+    assert(!pp.contains("SortMergeJoin"), s"percolate must not sort-merge:\n$pp")
+    // mmr: pool vectors re-attach via broadcast of the ids-only pool —
+    // the corpus-side join must be a broadcast HASH join, and every
+    // selection window partitions by query
+    val pm = SparkEntry.queries("sim_mmr_topk")(spark, sf).queryExecution.executedPlan
+    val bad = pm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "mmr selection windows must partition by query_id")
+  }
+
   test("hybrid rrf: no cartesian; both retriever pools window-rank per query") {
     val df = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
