@@ -1264,6 +1264,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_pq_topk" -> ((s, dir) => {
+      // FAISS IVF16,PQ8 (by_residual=false): coarse integer k-means
+      // (the PQ train loop with m=1) prunes to 4 probed lists, PQ codes
+      // answer via native ADC inside them — both scale levers composed,
+      // every distance exact integer, the composite fully oracled
+      val emb = t(s, dir, "embeddings")
+      graft.operators.sim.ProductQuantizer.ivfPqTopK(emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // Product quantization (FAISS PQ8): per-subspace codebooks with
       // integer-micro centroids, so assignment and ADC are EXACT
@@ -2301,35 +2313,48 @@ object SparkEntry {
     * every distance a pure-BIGINT Σ(a−b)², so no float parity is
     * involved at any step.
     */
-  private val pqOraclePrefix: String =
+  /** One PQ train/encode chain as tagged CTEs ({tag}sub … {tag}codes):
+    * micro sub-vectors, seed codebook from the `ks` lowest ids, one
+    * integer-Lloyd round (means rounded to micros via floor(Σ/n+0.5)),
+    * final codes — every distance a HUGEINT Σ(a−b)². Generated so the
+    * same proven chain serves plain PQ (m=8) and the IVF-PQ coarse
+    * level (m=1, sd=dim).
+    */
+  private def pqTrainCtes(tag: String, m: Int, sd: Int, ks: Int): String =
+    s"""${tag}sub AS (SELECT vec_id, s.s AS sub, mv[s.s*$sd+1 : s.s*$sd+$sd] AS sv
+       |  FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS s) s),
+       |${tag}seed AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS INT) - 1 AS cid,
+       |    sv AS cw
+       |  FROM ${tag}sub QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $ks),
+       |${tag}d0 AS (SELECT v.vec_id, v.sub, s.cid,
+       |    list_sum(list_transform(generate_series(1, $sd),
+       |      i -> CAST(v.sv[i] - s.cw[i] AS HUGEINT) * (v.sv[i] - s.cw[i]))) AS d2
+       |  FROM ${tag}sub v JOIN ${tag}seed s ON v.sub = s.sub),
+       |${tag}a0 AS (SELECT vec_id, sub, cid FROM ${tag}d0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+       |${tag}mm AS (SELECT a.sub, a.cid, u.i AS pos,
+       |    CAST(floor(CAST(SUM(v.sv[u.i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
+       |  FROM ${tag}a0 a JOIN ${tag}sub v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+       |    LATERAL (SELECT unnest(generate_series(1, $sd)) AS i) u
+       |  GROUP BY a.sub, a.cid, u.i),
+       |${tag}cl AS (SELECT sub, cid, list(cm ORDER BY pos) AS cw FROM ${tag}mm GROUP BY sub, cid),
+       |${tag}cb AS (SELECT s.sub, s.cid, COALESCE(l.cw, s.cw) AS cw
+       |  FROM ${tag}seed s LEFT JOIN ${tag}cl l ON s.sub = l.sub AND s.cid = l.cid),
+       |${tag}d1 AS (SELECT v.vec_id, v.sub, c.cid,
+       |    list_sum(list_transform(generate_series(1, $sd),
+       |      i -> CAST(v.sv[i] - c.cw[i] AS HUGEINT) * (v.sv[i] - c.cw[i]))) AS d2
+       |  FROM ${tag}sub v JOIN ${tag}cb c ON v.sub = c.sub),
+       |${tag}codes AS (SELECT vec_id, sub, cid FROM ${tag}d1
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
+
+  private val pqMicroE: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
       |  FROM embeddings),
-      |sub AS (SELECT vec_id, s.s AS sub, mv[s.s*8+1 : s.s*8+8] AS sv
-      |  FROM e, (SELECT unnest(generate_series(0, 7)) AS s) s),
-      |seed AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS INT) - 1 AS cid,
-      |    sv AS cw
-      |  FROM sub QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
-      |d0 AS (SELECT v.vec_id, v.sub, s.cid,
-      |    list_sum(list_transform(generate_series(1, 8),
-      |      i -> CAST(v.sv[i] - s.cw[i] AS HUGEINT) * (v.sv[i] - s.cw[i]))) AS d2
-      |  FROM sub v JOIN seed s ON v.sub = s.sub),
-      |a0 AS (SELECT vec_id, sub, cid FROM d0
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
-      |mm AS (SELECT a.sub, a.cid, u.i AS pos,
-      |    CAST(floor(CAST(SUM(v.sv[u.i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
-      |  FROM a0 a JOIN sub v ON a.vec_id = v.vec_id AND a.sub = v.sub,
-      |    LATERAL (SELECT unnest(generate_series(1, 8)) AS i) u
-      |  GROUP BY a.sub, a.cid, u.i),
-      |cl AS (SELECT sub, cid, list(cm ORDER BY pos) AS cw FROM mm GROUP BY sub, cid),
-      |cb AS (SELECT s.sub, s.cid, COALESCE(l.cw, s.cw) AS cw
-      |  FROM seed s LEFT JOIN cl l ON s.sub = l.sub AND s.cid = l.cid),
-      |d1 AS (SELECT v.vec_id, v.sub, c.cid,
-      |    list_sum(list_transform(generate_series(1, 8),
-      |      i -> CAST(v.sv[i] - c.cw[i] AS HUGEINT) * (v.sv[i] - c.cw[i]))) AS d2
-      |  FROM sub v JOIN cb c ON v.sub = c.sub),
-      |codes AS (SELECT vec_id, sub, cid FROM d1
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+      |""".stripMargin
+
+  private val pqOraclePrefix: String = pqMicroE + pqTrainCtes("", 8, 8, 16) +
+    """,
       |adc AS (SELECT q.vec_id AS query_id, co.vec_id AS corpus_id,
       |    SUM(list_sum(list_transform(generate_series(1, 8),
       |      i -> CAST(q.sv[i] - c.cw[i] AS HUGEINT) * (q.sv[i] - c.cw[i])))) AS adc_d2
@@ -4433,6 +4458,32 @@ object SparkEntry {
     // integer->double cast TRUNCATES above 2^53 while Spark's
     // Decimal.toDouble is correctly rounded — string->double is
     // correctly rounded in both (1-ULP fuzz catch, seed 7)
+    // coarse chain (c*, m=1 over the full 64 dims) assigns lists; the
+    // fine chain (f*, m=8) supplies codes; queries probe their 4
+    // nearest coarse centroids and ADC only inside those lists
+    "sim_ivf_pq_topk" -> (pqMicroE + pqTrainCtes("c", 1, 64, 16) + ",\n" +
+      pqTrainCtes("f", 8, 8, 16) +
+      """,
+        |probes AS (SELECT vec_id AS query_id, cid AS lid FROM cd1
+        |  WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 4),
+        |lists AS (SELECT vec_id, cid AS lid FROM ccodes),
+        |adc2 AS (SELECT p.query_id, l.vec_id AS corpus_id,
+        |    SUM(list_sum(list_transform(generate_series(1, 8),
+        |      i -> CAST(q.sv[i] - c.cw[i] AS HUGEINT) * (q.sv[i] - c.cw[i])))) AS adc_d2
+        |  FROM probes p
+        |  JOIN lists l ON l.lid = p.lid AND l.vec_id <> p.query_id
+        |  JOIN fcodes co ON co.vec_id = l.vec_id
+        |  JOIN fcb c ON c.sub = co.sub AND c.cid = co.cid
+        |  JOIN fsub q ON q.vec_id = p.query_id AND q.sub = co.sub
+        |  GROUP BY p.query_id, l.vec_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
+        |  CAST(CAST(adc_d2 AS VARCHAR) AS DOUBLE) AS adc_d2
+        |FROM adc2
+        |WINDOW w AS (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+
     "sim_pq_topk" -> (pqOraclePrefix +
       """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
         |  CAST(CAST(adc_d2 AS VARCHAR) AS DOUBLE) AS adc_d2

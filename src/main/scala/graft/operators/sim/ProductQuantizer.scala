@@ -172,6 +172,52 @@ object ProductQuantizer {
         col("corpus_id"), col("d2").cast("double").as("d2"))
   }
 
+  /** The query-side coarse probe: ids of the `nProbe` nearest coarse
+    * centroids (exact decimal d2, ties on centroid id). Interpreted
+    * HOF arithmetic is fine HERE — it runs on the handful of query
+    * rows, never the corpus.
+    */
+  private def coarseProbe(qv: Column, coarse: Codebooks, nProbe: Int): Column = {
+    val mv = microVec(qv)
+    val scored = sort_array(transform(element_at(cbLit3(coarse), 1), (cw, i) =>
+      struct(aggregate(zip_with(mv, cw, (x, y) => (x - y).cast("decimal(38,0)") * (x - y)),
+        lit(0).cast("decimal(38,0)"), (a, e) => a + e), i)
+        .cast("struct<d2:decimal(38,0),cid:int>")), asc = true)
+    slice(transform(scored, s => s.getField("cid")), 1, nProbe)
+  }
+
+  /** IVF-PQ composite (the FAISS `IVF{nLists},PQ{m}` index with
+    * `by_residual = false`): a coarse integer k-means — this module's
+    * own train loop with m = 1, so the WHOLE coarse quantizer shares
+    * the PQ arithmetic and its exactness — partitions the corpus into
+    * inverted lists; within the `nProbe` probed lists, search runs on
+    * PQ codes alone via the native ADC kernel. The two quantization
+    * levels compose the two scale levers: lists bound how much of the
+    * corpus a query touches, codes bound the bytes per touched row.
+    * Every distance is exact integer arithmetic end to end, so the
+    * composite hash-oracles like its parts.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, dim: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ks: Int = 16, iters: Int = 1): DataFrame = {
+    val coarse = trainCodebooks(corpus, idCol, vecCol, dim, 1, nLists, iters)
+    val fine = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    val indexed = corpus.select(col(idCol).as("corpus_id"),
+      element_at(codesCol(col(vecCol), coarse), 1).as("lid"),
+      codesCol(col(vecCol), fine).as("codes"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(coarseProbe(col(vecCol), coarse, nProbe)).as("lid"))
+    val scored = indexed.join(broadcast(probes), Seq("lid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc_d2", adcD2(col("codes"), col("qv"), fine))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("adc_d2").cast("double").as("adc_d2"))
+  }
+
   /** Persist the index: codes parquet under dir/codes, codebooks as
     * (sub, cid, pos, cm) rows under dir/codebook. Returns the codes
     * DataFrame.

