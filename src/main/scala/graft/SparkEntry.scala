@@ -1253,6 +1253,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "layout_zorder" -> ((s, dir) => {
+      // Morton-curve layout evidence: lineitem bucketed by top z-value
+      // bits of (l_orderkey, l_partkey) with per-bucket min/max of
+      // BOTH columns — the numbers a scan planner prunes on; spans
+      // stay compact in both dimensions where a plain sort leaves the
+      // second column full-width (pinned in ZOrderSpec)
+      graft.sinks.ZOrderLayout.zorderStats(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 10, bucketBits = 6)
+        .orderBy(col("bucket"))
+    }),
+
     "sim_mmr_topk" -> ((s, dir) => {
       // MMR diversification: greedy max(min-dist-to-selected − dist-to-
       // query) over the exact integer-L2 pool — the de-redundancy pass
@@ -2442,6 +2453,33 @@ object SparkEntry {
     "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
 
     "sim_mmr_topk" -> mmrOracleSql(5, 20),
+
+    // linear (min,max) 10-bit quantization, 5-step magic-mask Morton
+    // interleave, bucket = top 6 z bits — pure 64-bit integer ops after
+    // one IEEE multiply+floor per value
+    "layout_zorder" ->
+      """WITH s AS (SELECT MIN(l_orderkey) AS mn_x, MAX(l_orderkey) AS mx_x,
+        |    MIN(l_partkey) AS mn_y, MAX(l_partkey) AS mx_y FROM lineitem),
+        |q AS (SELECT l_orderkey, l_partkey,
+        |    CASE WHEN mx_x = mn_x THEN 0
+        |         ELSE CAST(floor((l_orderkey - mn_x) * 1024.0 / (mx_x - mn_x + 1)) AS BIGINT) END AS xq,
+        |    CASE WHEN mx_y = mn_y THEN 0
+        |         ELSE CAST(floor((l_partkey - mn_y) * 1024.0 / (mx_y - mn_y + 1)) AS BIGINT) END AS yq
+        |  FROM lineitem CROSS JOIN s),
+        |sp AS (SELECT l_orderkey, l_partkey,
+        |    ((xq | (xq << 8)) & 16711935) AS x1, ((yq | (yq << 8)) & 16711935) AS y1
+        |  FROM q),
+        |sp2 AS (SELECT l_orderkey, l_partkey,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sp),
+        |sp3 AS (SELECT l_orderkey, l_partkey,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sp2),
+        |z AS (SELECT l_orderkey, l_partkey,
+        |    (((x3 | (x3 << 1)) & 1431655765) | (((y3 | (y3 << 1)) & 1431655765) << 1)) AS zv
+        |  FROM sp3)
+        |SELECT (zv >> 14) AS bucket, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_x, MAX(l_orderkey) AS max_x,
+        |  MIN(l_partkey) AS min_y, MAX(l_partkey) AS max_y
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,91 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout for multi-column data skipping — the
+  * `OPTIMIZE ZORDER BY` of Delta/Iceberg, rebuilt portably: rows sort
+  * by the bit-interleaving of their quantized column codes, so rows
+  * close in EITHER dimension land in the same file/row-group and
+  * min/max pruning works for predicates on BOTH columns — a plain sort
+  * clusters only its leading column and leaves the second column's
+  * spans full-width in every file.
+  *
+  * Quantization is linear against the column's (min, max) — one
+  * broadcast row, one IEEE multiply+floor per value (the same
+  * approximation Delta's range-id sampling converges to on uniform
+  * keys; heavy skew wants rank-based codes, at the price of a global
+  * exchange). The interleave is 5 shift/mask steps of 64-bit integer
+  * arithmetic — identical on any engine, so layouts (and the stats
+  * query proving them) hash-oracle.
+  */
+object ZOrderLayout {
+
+  /** Spread the low 16 bits of `v` to even bit positions (Morton
+    * encoding step): 0b1011 → 0b1000101. Magic-mask sequence.
+    */
+  def spreadBits(v: Column): Column = {
+    val s1 = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Interleave two ≤16-bit codes: x on even bits, y on odd. */
+  def zValue2(xCode: Column, yCode: Column): Column =
+    spreadBits(xCode).bitwiseOR(shiftleft(spreadBits(yCode), 1))
+
+  /** Linear (min,max) quantization to `bits`-bit codes: one broadcast
+    * stats row, `floor((x−mn)·2^bits / (mx−mn+1))` per value —
+    * constant columns code to 0.
+    */
+  def quantize(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val buckets = math.pow(2, bits)
+    when(mx === mn, lit(0L)).otherwise(
+      floor((x - mn).cast("double") * lit(buckets) /
+        (mx - mn + lit(1)).cast("double")).cast("long"))
+  }
+
+  /** Attach the z-value for two long/int columns (10-bit codes each —
+    * 1024×1024 cells, plenty for file-level pruning). The stats side
+    * is a 1-row broadcast; everything else is a per-row projection.
+    */
+  def withZValue(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 10): DataFrame = {
+    val stats = df.agg(
+      min(col(xCol).cast("long")).as("mn_x"), max(col(xCol).cast("long")).as("mx_x"),
+      min(col(yCol).cast("long")).as("mn_y"), max(col(yCol).cast("long")).as("mx_y"))
+    df.join(broadcast(stats))
+      .withColumn("zv", zValue2(
+        quantize(col(xCol).cast("long"), col("mn_x"), col("mx_x"), bits),
+        quantize(col(yCol).cast("long"), col("mn_y"), col("mx_y"), bits)))
+      .drop("mn_x", "mx_x", "mn_y", "mx_y")
+  }
+
+  /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value,
+    * sort inside partitions, drop the helper column — each output file
+    * covers a compact Morton-curve segment, tight min/max on BOTH
+    * columns.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+                    numFiles: Int, bits: Int = 10): Unit =
+    withZValue(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+
+  /** The pruning evidence as a queryable result: rows bucketed by the
+    * TOP `log2(buckets)` z-value bits (= the files a range writer
+    * would cut), with per-bucket count and min/max spans of both
+    * columns — the numbers a scan planner would prune on.
+    */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int = 10, bucketBits: Int = 6): DataFrame =
+    withZValue(df, xCol, yCol, bits)
+      .withColumn("bucket", shiftright(col("zv"), 2 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("long")).as("min_x"), max(col(xCol).cast("long")).as("max_x"),
+        min(col(yCol).cast("long")).as("min_y"), max(col(yCol).cast("long")).as("max_y"))
+}

@@ -51,6 +51,7 @@ EVENT_QUERIES = [
 # and orphan foreign keys, decile/window tie storms)
 REL_QUERIES = [
     "q1_agg", "q3_window_topn", "q7_salted_join", "q13_deciles", "q4_setops",
+    "layout_zorder",
 ]
 
 # embeddings-family queries gated on the adversarial vector table
