@@ -1253,6 +1253,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "text_pmi_collocations" -> ((s, dir) => {
+      // PMI collocation mining: the multiword-expression extractor;
+      // exact BIGINT ratio, one ln, one rounding — hash-oracled
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text", k = 50, minCount = 5)
+    }),
+
+    "q15_above_avg" -> ((s, dir) => {
+      // scalar-subquery shape: suppliers above the mean supplier
+      // revenue — the avg comparison cross-multiplies (rev·n > total)
+      // so no division ever rounds; exercises Catalyst's aggregate →
+      // broadcast-scalar → filter pipeline
+      val li = t(s, dir, "lineitem")
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(22, 4))).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tot"), count(lit(1)).as("cnt"))
+      rev.join(broadcast(tot))
+        .filter(col("rev") * col("cnt") > col("tot"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "layout_compaction_plan" -> ((s, dir) => {
+      // order-preserving bin packing of day-files into ~64 KiB
+      // compaction jobs: exclusive running sum div target — the
+      // manifest-sized maintenance plan behind every streaming ingest
+      graft.sinks.CompactionPlanner.planEventCompaction(
+          t(s, dir, "events"), "ts", "props", targetBytes = 65536L)
+        .orderBy(col("day"))
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // Morton-curve layout evidence: lineitem bucketed by top z-value
       // bits of (l_orderkey, l_partkey) with per-bucket min/max of
@@ -2453,6 +2486,47 @@ object SparkEntry {
     "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
 
     "sim_mmr_topk" -> mmrOracleSql(5, 20),
+
+    "text_pmi_collocations" ->
+      """WITH tok AS (SELECT
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+        |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS t_uni FROM uni),
+        |t2 AS (SELECT CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS t_bi FROM tok),
+        |bg AS (SELECT bg, COUNT(*) AS c12 FROM (SELECT
+        |      unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tok)
+        |  GROUP BY bg HAVING COUNT(*) >= 5),
+        |sp AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12 FROM bg),
+        |p AS (SELECT sp.w1, sp.w2, sp.c12,
+        |    CAST(round(ln(CAST(sp.c12 * t1.t_uni * t1.t_uni AS DOUBLE) /
+        |                  CAST(t2.t_bi * u1.c * u2.c AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micros
+        |  FROM sp JOIN uni u1 ON u1.w = sp.w1 JOIN uni u2 ON u2.w = sp.w2
+        |  CROSS JOIN t1 CROSS JOIN t2)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi_micros
+        |FROM p ORDER BY pmi_micros DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q15_above_avg" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT SUM(rev) AS tot, COUNT(*) AS cnt FROM r)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS revenue
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN t
+        |WHERE rev * cnt > tot ORDER BY s_suppkey""".stripMargin,
+
+    // strlen = BYTE length in DuckDB, matching Spark's octet_length
+    "layout_compaction_plan" ->
+      """WITH f AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) * 64 + SUM(COALESCE(strlen(props), 0)) AS BIGINT) AS bytes
+        |  FROM events WHERE ts IS NOT NULL GROUP BY day),
+        |p AS (SELECT day, bytes,
+        |    COALESCE(SUM(bytes) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM f)
+        |SELECT day, bytes AS file_bytes, CAST(prior // 65536 AS BIGINT) AS bucket
+        |FROM p ORDER BY day""".stripMargin,
 
     // linear (min,max) 10-bit quantization, 5-step magic-mask Morton
     // interleave, bucket = top 6 z bits — pure 64-bit integer ops after

@@ -523,6 +523,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocation mining: adjacent word pairs ranked by pointwise
+    * mutual information — `ln(c12·T1² / (T2·c1·c2))` with c12 the
+    * bigram count, c1/c2 unigram counts, T1/T2 the unigram/bigram
+    * totals. The canonical multiword-expression extractor ("new york",
+    * "machine learning") for tokenizer seeding and blocklist curation.
+    * The ratio is built in exact BIGINT (headroom to ~10^5 corpus
+    * tokens at max counts; beyond that, split the ln — at one rounding
+    * per term), converted once, ln'd once, rounded once to micros —
+    * hash-oracled. `minCount` suppresses the unstable low-frequency
+    * tail (classic PMI failure mode); the cut is TakeOrdered on
+    * (pmi DESC, w1, w2).
+    *
+    * Scale shape: one token scan feeds both the unigram and bigram
+    * aggregates (vocab-sized shuffles); unigram counts re-join the
+    * bigram table twice — vocab-sized hash joins, corpus bytes never
+    * move twice.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 50,
+                      minCount: Int = 5): DataFrame = {
+    val nonNull = graft.operators.Partitioning.ensureMinParallelism(
+      docs.filter(col(textCol).isNotNull))
+    val uni = nonNull.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val t1 = uni.agg(sum(col("c")).as("t_uni"))
+    val bi = nonNull.select(explode(bigrams(tokens(col(textCol)))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val t2 = nonNull.select(
+      sum(greatest(size(tokens(col(textCol))) - 1, lit(0)).cast("long")).as("t_bi"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")).hint("shuffle_hash"), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")).hint("shuffle_hash"), Seq("w2"))
+      .join(broadcast(t1)).join(broadcast(t2))
+      .withColumn("pmi_micros",
+        round(log((col("c12") * col("t_uni") * col("t_uni")).cast("double") /
+          (col("t_bi") * col("c1") * col("c2")).cast("double")) * lit(1e6)).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Gopher-style rule gate (Rae et al. 2021, appendix A1.1): the
     * standard heuristic quality filter for pretraining corpora. Each
     * rule thresholds one of the native [[graft.plans.GopherStats]]

@@ -35,6 +35,7 @@ QUERIES = [
     "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
     "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
     "text_bm25_index_probe", "tokenizer_bpe_train", "text_bm25_prf", "text_bm25_percolate",
+    "text_pmi_collocations",
 ]
 
 # events-only queries: gated when the adversarial events table is
@@ -44,6 +45,7 @@ EVENT_QUERIES = [
     "o13_session_windows", "k8_scd2_history", "q8_overlap_join",
     "q10_funnel", "q11_cohorts", "q12_gapfill", "q14_moving_avg",
     "o5_mts_schedule", "q9_json_props", "stats_trend", "pipeline_events",
+    "layout_compaction_plan",
 ]
 
 # relational q-family gated on adversarial TPC-H-ish tables (negative
@@ -51,7 +53,7 @@ EVENT_QUERIES = [
 # and orphan foreign keys, decile/window tie storms)
 REL_QUERIES = [
     "q1_agg", "q3_window_topn", "q7_salted_join", "q13_deciles", "q4_setops",
-    "layout_zorder",
+    "layout_zorder", "q15_above_avg",
 ]
 
 # embeddings-family queries gated on the adversarial vector table
