@@ -1277,6 +1277,14 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "stats_active_users" -> ((s, dir) => {
+      // DAU + rolling 7-day distinct actives: rolling distinct is not
+      // window-summable, so days join their trailing pair window —
+      // pairs x 7 rows, day list broadcast
+      graft.operators.TableStats.activeUsers(t(s, dir, "events"), "ts", "user_id")
+        .orderBy(col("day"))
+    }),
+
     "layout_compaction_plan" -> ((s, dir) => {
       // order-preserving bin packing of day-files into ~64 KiB
       // compaction jobs: exclusive running sum div target — the
@@ -1528,6 +1536,21 @@ object SparkEntry {
       // replace keep both engines merging identically
       graft.operators.text.BpeTrainer.train(t(s, dir, "documents"), "text", merges = 8)
         .orderBy(col("step"))
+    }),
+
+    "tokenizer_bpe_encode" -> ((s, dir) => {
+      // the ENCODE half: train 8 merges, replay the merge table over
+      // docs 0-49 at scan speed — the tokenizer applying its model
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.text.BpeTrainer.train(docs, "text", merges = 8)
+        .orderBy(col("step")).select("lhs", "rhs").as[(String, String)].collect().toSeq
+      graft.operators.text.BpeTrainer.encode(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", merges)
+        .select(col("doc_id"), col("wpos"),
+          array_join(col("symbols"), " ").as("sym_text"),
+          size(col("symbols")).as("n_symbols"))
+        .orderBy(col("doc_id"), col("wpos"))
     }),
 
     "text_bm25_topk" -> ((s, dir) => {
@@ -2415,12 +2438,25 @@ object SparkEntry {
     * TRUE` carries exhausted rounds through unchanged, mirroring the
     * Spark loop's early stop.
     */
-  private def bpeTrainOracleSql(merges: Int): String = {
+  /** The shared BPE chain: tok (per-doc token lists), wc (word
+    * counts), then `merges` staged rounds — each recounting pairs,
+    * taking the (count DESC, l, r) argmax, and replaying the same
+    * non-overlapping replace. The WORD rides through every stage so
+    * the final stage doubles as the trained word→symbols map (the
+    * encode oracle joins it back to document positions).
+    */
+  private def bpeChain(merges: Int): String = {
     val head =
-      """WITH wc AS (SELECT w, COUNT(*) AS cnt FROM (SELECT
-        |    unnest(string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ')) AS w
-        |  FROM documents WHERE text IS NOT NULL) GROUP BY w),
-        |w0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS seq, cnt FROM wc)""".stripMargin
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, COUNT(*) AS cnt FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+        |w0 AS (SELECT w,
+        |    ' ' || COALESCE(array_to_string(regexp_extract_all(w, '.'), ' '), '') || ' ' AS seq,
+        |    cnt FROM wc)""".stripMargin
+    // COALESCE: DuckDB's array_to_string(EMPTY) is NULL (Spark's
+    // array_join is '') — the ''-word's seq must stay '  ', not NULL
+    // (encode fuzz catch, seed 43)
     val stages = (1 to merges).map { k =>
       s""",
          |p$k AS (SELECT s.t[u.i] AS l, s.t[u.i + 1] AS r, SUM(s.cnt) AS c
@@ -2428,16 +2464,34 @@ object SparkEntry {
          |    LATERAL (SELECT unnest(generate_series(1, len(s.t) - 1)) AS i) u
          |  GROUP BY l, r),
          |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-         |w$k AS (SELECT CASE WHEN b.l IS NULL THEN s.seq
+         |w$k AS (SELECT s.w, CASE WHEN b.l IS NULL THEN s.seq
          |    ELSE replace(s.seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') END AS seq,
          |    s.cnt
          |  FROM w${k - 1} s LEFT JOIN b$k b ON TRUE)""".stripMargin
     }.mkString
+    head + stages
+  }
+
+  private def bpeTrainOracleSql(merges: Int): String = {
     val union = (1 to merges).map { k =>
       s"SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
     }.mkString("\nUNION ALL\n")
-    s"$head$stages\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged, pair_count FROM (\n$union\n) ORDER BY step"
+    s"${bpeChain(merges)}\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged, pair_count FROM (\n$union\n) ORDER BY step"
   }
+
+  /** Encode oracle: document word positions join the final stage's
+    * word→symbols map; empty words keep their single ''-symbol.
+    */
+  private def bpeEncodeOracleSql(merges: Int): String =
+    bpeChain(merges) +
+      s""",
+         |dw AS (SELECT doc_id, CAST(u.i AS INT) AS wpos, toks[u.i + 1] AS w
+         |  FROM tok, LATERAL (SELECT unnest(range(len(toks))) AS i) u
+         |  WHERE doc_id < 50)
+         |SELECT d.doc_id, d.wpos, trim(v.seq) AS sym_text,
+         |  CAST(len(string_split(trim(v.seq), ' ')) AS INT) AS n_symbols
+         |FROM dw d JOIN w$merges v ON v.w = d.w
+         |ORDER BY d.doc_id, d.wpos""".stripMargin
 
   /** The MMR greedy replay: exact HUGEINT pool + pairwise distances,
     * then `k−1` unrolled argmax stages (min-dist-to-selected minus
@@ -2485,6 +2539,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
 
+    "tokenizer_bpe_encode" -> bpeEncodeOracleSql(8),
+
     "sim_mmr_topk" -> mmrOracleSql(5, 20),
 
     "text_pmi_collocations" ->
@@ -2515,6 +2571,19 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS revenue
         |FROM r JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN t
         |WHERE rev * cnt > tot ORDER BY s_suppkey""".stripMargin,
+
+    "stats_active_users" ->
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE ts IS NOT NULL),
+        |d AS (SELECT DISTINCT day FROM p),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM p GROUP BY day),
+        |wau AS (SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+        |  FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+        |  CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin,
 
     // strlen = BYTE length in DuckDB, matching Spark's octet_length
     "layout_compaction_plan" ->

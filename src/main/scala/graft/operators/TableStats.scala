@@ -329,4 +329,32 @@ object TableStats {
     cmEstimate(sketch, exact, "token", depth, width)
       .select(col("token"), col("exact_cnt"), col("est_cnt"))
   }
+
+  /** Daily + rolling-window distinct actives (DAU / WAU): the stream-
+    * health metric every event pipeline reports. Rolling distinct is
+    * NOT window-summable (users repeat across days), so each calendar
+    * day joins the distinct (day, user) pairs of its trailing window —
+    * the pair table is the deduped activity set (≤ |users|·|days|
+    * rows), and the day list is calendar-sized, so the non-equi join
+    * broadcasts the DAY side and costs pairs×window rows, never
+    * events×anything.
+    */
+  def activeUsers(events: DataFrame, tsCol: String, userCol: String,
+                  windowDays: Int = 7): DataFrame = {
+    val pairs = events.filter(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("uid"))
+      .distinct()
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val days = pairs.select(col("day"), col("day_num")).distinct()
+    val dau = pairs.groupBy(col("day").as("d_day"))
+      .agg(countDistinct(col("uid")).as("dau"))
+    val wau = pairs.alias("p")
+      .join(broadcast(days.alias("d")),
+        col("p.day_num").between(col("d.day_num") - (windowDays - 1), col("d.day_num")))
+      .groupBy(col("d.day").as("w_day"))
+      .agg(countDistinct(col("p.uid")).as("wau"))
+    dau.join(wau, col("d_day") === col("w_day"))
+      .select(date_format(col("d_day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
 }

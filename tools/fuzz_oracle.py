@@ -35,7 +35,7 @@ QUERIES = [
     "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
     "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
     "text_bm25_index_probe", "tokenizer_bpe_train", "text_bm25_prf", "text_bm25_percolate",
-    "text_pmi_collocations",
+    "text_pmi_collocations", "tokenizer_bpe_encode",
 ]
 
 # events-only queries: gated when the adversarial events table is
@@ -45,7 +45,7 @@ EVENT_QUERIES = [
     "o13_session_windows", "k8_scd2_history", "q8_overlap_join",
     "q10_funnel", "q11_cohorts", "q12_gapfill", "q14_moving_avg",
     "o5_mts_schedule", "q9_json_props", "stats_trend", "pipeline_events",
-    "layout_compaction_plan",
+    "layout_compaction_plan", "stats_active_users",
 ]
 
 # relational q-family gated on adversarial TPC-H-ish tables (negative
