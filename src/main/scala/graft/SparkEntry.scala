@@ -1241,6 +1241,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "pipeline_rag" -> ((s, dir) => {
+      // the retrieval flagship: hybrid RRF recall (BM25 + cosine) →
+      // embedding-space MMR de-redundancy → overlapping context
+      // windows of the survivors — the full RAG context-assembly path
+      // in ONE plan, every stage integer-exact and the composite
+      // oracled end to end
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val fused = graft.operators.sim.HybridSearch.hybridTopK(docs, emb, 0L until 3L,
+        "doc_id", "text", "vec_id", "embedding", k = 10, pool = 20)
+      val sel = graft.operators.sim.Diversify.mmrFromPool(
+        fused.select(col("query_id"), col("corpus_id")), emb, "vec_id", "embedding", k = 3)
+      val selDocs = docs.join(broadcast(sel.select(col("corpus_id")).distinct()),
+          docs("doc_id") === col("corpus_id"))
+        .select(docs("doc_id"), docs("text"))
+      val chunks = TextAnalysis.chunkWindows(selDocs, "doc_id", "text", width = 10, stride = 5)
+      sel.join(chunks, sel("corpus_id") === chunks("doc_id"))
+        .select(col("query_id"), col("rank"), col("corpus_id"), col("chunk_idx"),
+          col("chunk"), col("n_tokens"))
+        .orderBy(col("query_id"), col("rank"), col("chunk_idx"))
+    }),
+
     "sim_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 over each query doc's own text + exact
       // cosine over its embedding, reciprocal-rank-fused with integer
@@ -2499,25 +2521,21 @@ object SparkEntry {
     * unrolled dataframe stages. Final distances surface via the
     * VARCHAR-mediated double cast (same 2^53 rounding trap as PQ).
     */
-  private def mmrOracleSql(k: Int, pool: Int): String = {
-    val d2 = (a: String, b: String) =>
-      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a.mv[i] - $b.mv[i] AS HUGEINT) * ($a.mv[i] - $b.mv[i])))"
-    val head =
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
-         |  FROM embeddings),
-         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, ${d2("q", "c")} AS d2q
-         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
-         |pool AS (SELECT query_id, corpus_id, d2q FROM sc
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2q ASC, corpus_id ASC) <= $pool),
-         |pw AS (SELECT a.query_id, a.corpus_id AS cand, b.corpus_id AS sel, ${d2("ea", "eb")} AS d2p
-         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
-         |  JOIN e ea ON ea.vec_id = a.corpus_id
-         |  JOIN e eb ON eb.vec_id = b.corpus_id),
-         |s1 AS (SELECT query_id, corpus_id, d2q, 1 AS rank FROM pool
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2q ASC, corpus_id ASC) = 1),
-         |sel1 AS (SELECT * FROM s1)""".stripMargin
-    val stages = (2 to k).map { step =>
+  /** HUGEINT micro-L2 between two `mv` list columns. */
+  private def sqlD2(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a.mv[i] - $b.mv[i] AS HUGEINT) * ($a.mv[i] - $b.mv[i])))"
+
+  /** The greedy MMR stages (s1..sel`k`) over existing CTEs
+    * `pool(query_id, corpus_id, d2q)` and `pw(query_id, cand, sel,
+    * d2p)` — shared by `sim_mmr_topk` and `pipeline_rag`.
+    */
+  private def mmrStagesSql(k: Int): String = {
+    val s1 =
+      """,
+        |s1 AS (SELECT query_id, corpus_id, d2q, 1 AS rank FROM pool
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2q ASC, corpus_id ASC) = 1),
+        |sel1 AS (SELECT * FROM s1)""".stripMargin
+    val rest = (2 to k).map { step =>
       s""",
          |s$step AS (SELECT query_id, corpus_id, d2q, $step AS rank FROM (
          |    SELECT p.query_id, p.corpus_id, p.d2q, MIN(pw.d2p) - p.d2q AS mmr
@@ -2530,11 +2548,92 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, corpus_id ASC) = 1),
          |sel$step AS (SELECT * FROM sel${step - 1} UNION ALL SELECT * FROM s$step)""".stripMargin
     }.mkString
-    s"""$head$stages
+    s1 + rest
+  }
+
+  private def mmrOracleSql(k: Int, pool: Int): String = {
+    val d2 = sqlD2 _
+    val head =
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, ${d2("q", "c")} AS d2q
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         |pool AS (SELECT query_id, corpus_id, d2q FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2q ASC, corpus_id ASC) <= $pool),
+         |pw AS (SELECT a.query_id, a.corpus_id AS cand, b.corpus_id AS sel, ${d2("ea", "eb")} AS d2p
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+         |  JOIN e ea ON ea.vec_id = a.corpus_id
+         |  JOIN e eb ON eb.vec_id = b.corpus_id)""".stripMargin
+    s"""$head${mmrStagesSql(k)}
        |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
        |  CAST(CAST(d2q AS VARCHAR) AS DOUBLE) AS d2
        |FROM sel$k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The hybrid-retrieval replay through the per-(query, item) rank
+    * tables (tp = BM25 pool, vp = cosine pool), parameterized by the
+    * query-id cutoff so `pipeline_rag` reuses the same proven chain.
+    */
+  private def hybridOraclePrefix(maxQ: Int): String =
+    raw"""WITH tok AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |post AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
+        |    (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+        |  GROUP BY doc_id, dl, term),
+        |pd AS (SELECT doc_id, dl, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM post),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS t_tot FROM tok),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tok WHERE doc_id < $maxQ),
+        |bsc AS (SELECT qt.query_id, p.doc_id,
+        |    CAST(round(ln((st.n_docs - p.df + 0.5) / (p.df + 0.5) + 1) * 1000000) AS BIGINT) AS idf,
+        |    st.t_tot * (10 * p.tf + 3) + 9 * p.dl * st.n_docs AS den,
+        |    p.tf FROM pd p JOIN qt USING (term) CROSS JOIN st),
+        |bct AS (SELECT query_id, doc_id,
+        |    (idf * ((44 * tf * st.t_tot * 1000000 + den) // (2 * den)) + 500000) // 1000000 AS contrib
+        |  FROM bsc CROSS JOIN st),
+        |bg AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros
+        |  FROM bct WHERE doc_id <> query_id GROUP BY query_id, doc_id),
+        |tp AS (SELECT query_id, doc_id AS corpus_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC) AS r_text
+        |  FROM bg QUALIFY r_text <= 20),
+        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS qn2
+        |  FROM embeddings WHERE vec_id < $maxQ),
+        |c AS (SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS cn2
+        |  FROM embeddings),
+        |vs AS (SELECT query_id, corpus_id,
+        |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(cv, qv) END AS cos
+        |  FROM q, c WHERE corpus_id <> query_id),
+        |vp AS (SELECT query_id, corpus_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS r_vec
+        |  FROM vs QUALIFY r_vec <= 20),
+      |""".stripMargin
+
+  private val hybridOracleFinal: String =
+    """f AS (SELECT COALESCE(tp.query_id, vp.query_id) AS query_id,
+      |    COALESCE(tp.corpus_id, vp.corpus_id) AS corpus_id,
+      |    COALESCE(r_text, 0) AS r_text, COALESCE(r_vec, 0) AS r_vec
+      |  FROM tp FULL OUTER JOIN vp
+      |    ON tp.query_id = vp.query_id AND tp.corpus_id = vp.corpus_id),
+      |sc2 AS (SELECT query_id, corpus_id, r_text, r_vec,
+      |    (CASE WHEN r_text > 0 THEN 1000000 // (60 + r_text) ELSE 0 END) +
+      |    (CASE WHEN r_vec > 0 THEN 1000000 // (60 + r_vec) ELSE 0 END) AS rrf_micros
+      |  FROM f)
+      |""".stripMargin
+
+  private val hybridOracleSelect: String =
+    """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
+      |  CAST(rrf_micros AS BIGINT) AS rrf_micros,
+      |  CAST(r_text AS BIGINT) AS r_text, CAST(r_vec AS BIGINT) AS r_vec
+      |FROM sc2
+      |WINDOW w AS (PARTITION BY query_id ORDER BY rrf_micros DESC, corpus_id ASC)
+      |QUALIFY row_number() OVER w <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
@@ -4581,59 +4680,36 @@ object SparkEntry {
     // cosine pool (the sim_topk arithmetic incl. the cosine(0,.)=0
     // guard), RRF-fused with integer 10^6 // (60+rank) contributions;
     // rank 0 = absent-from-pool sentinel, all output ranks BIGINT
-    "sim_hybrid_rrf" ->
-      """WITH tok AS (SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |post AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM
-        |    (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
-        |  GROUP BY doc_id, dl, term),
-        |pd AS (SELECT doc_id, dl, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM post),
-        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS t_tot FROM tok),
-        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tok WHERE doc_id < 10),
-        |bsc AS (SELECT qt.query_id, p.doc_id,
-        |    CAST(round(ln((st.n_docs - p.df + 0.5) / (p.df + 0.5) + 1) * 1000000) AS BIGINT) AS idf,
-        |    st.t_tot * (10 * p.tf + 3) + 9 * p.dl * st.n_docs AS den,
-        |    p.tf FROM pd p JOIN qt USING (term) CROSS JOIN st),
-        |bct AS (SELECT query_id, doc_id,
-        |    (idf * ((44 * tf * st.t_tot * 1000000 + den) // (2 * den)) + 500000) // 1000000 AS contrib
-        |  FROM bsc CROSS JOIN st),
-        |bg AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros
-        |  FROM bct WHERE doc_id <> query_id GROUP BY query_id, doc_id),
-        |tp AS (SELECT query_id, doc_id AS corpus_id, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY score_micros DESC, doc_id ASC) AS r_text
-        |  FROM bg QUALIFY r_text <= 20),
-        |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
-        |    list_aggregate(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS qn2
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-        |    list_aggregate(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS cn2
-        |  FROM embeddings),
-        |vs AS (SELECT query_id, corpus_id,
-        |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0
-        |         ELSE list_cosine_similarity(cv, qv) END AS cos
-        |  FROM q, c WHERE corpus_id <> query_id),
-        |vp AS (SELECT query_id, corpus_id, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS r_vec
-        |  FROM vs QUALIFY r_vec <= 20),
-        |f AS (SELECT COALESCE(tp.query_id, vp.query_id) AS query_id,
-        |    COALESCE(tp.corpus_id, vp.corpus_id) AS corpus_id,
-        |    COALESCE(r_text, 0) AS r_text, COALESCE(r_vec, 0) AS r_vec
-        |  FROM tp FULL OUTER JOIN vp
-        |    ON tp.query_id = vp.query_id AND tp.corpus_id = vp.corpus_id),
-        |sc2 AS (SELECT query_id, corpus_id, r_text, r_vec,
-        |    (CASE WHEN r_text > 0 THEN 1000000 // (60 + r_text) ELSE 0 END) +
-        |    (CASE WHEN r_vec > 0 THEN 1000000 // (60 + r_vec) ELSE 0 END) AS rrf_micros
-        |  FROM f)
-        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
-        |  CAST(rrf_micros AS BIGINT) AS rrf_micros,
-        |  CAST(r_text AS BIGINT) AS r_text, CAST(r_vec AS BIGINT) AS r_vec
-        |FROM sc2
-        |WINDOW w AS (PARTITION BY query_id ORDER BY rrf_micros DESC, corpus_id ASC)
-        |QUALIFY row_number() OVER w <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_hybrid_rrf" -> (hybridOraclePrefix(10) + hybridOracleFinal + hybridOracleSelect),
+
+    // hybrid fusion (3 queries) -> fused top-10 pool -> MMR stages over
+    // exact micro-L2 (em) -> context windows from the SAME tok CTE the
+    // BM25 side tokenized with
+    "pipeline_rag" -> (hybridOraclePrefix(3) + hybridOracleFinal +
+      s""",em AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |pool0 AS (SELECT query_id, corpus_id FROM sc2
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, corpus_id ASC) <= 10),
+         |pool AS (SELECT p.query_id, p.corpus_id, ${sqlD2("eq", "ec")} AS d2q
+         |  FROM pool0 p
+         |  JOIN em eq ON eq.vec_id = p.query_id
+         |  JOIN em ec ON ec.vec_id = p.corpus_id),
+         |pw AS (SELECT a.query_id, a.corpus_id AS cand, b.corpus_id AS sel, ${sqlD2("ea", "eb")} AS d2p
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+         |  JOIN em ea ON ea.vec_id = a.corpus_id
+         |  JOIN em eb ON eb.vec_id = b.corpus_id)""".stripMargin +
+      mmrStagesSql(3) +
+      """,
+        |selw AS (SELECT s.query_id, s.rank, s.corpus_id, t.toks AS words
+        |  FROM sel3 s JOIN tok t ON t.doc_id = s.corpus_id),
+        |cw AS (SELECT query_id, rank, corpus_id, CAST(u.i AS INT) AS chunk_idx,
+        |    array_to_string(words[u.i*5+1 : u.i*5+10], ' ') AS chunk
+        |  FROM selw, LATERAL (SELECT unnest(range(0,
+        |    1 + CAST(CEIL(GREATEST(0, len(words) - 10) / 5.0) AS BIGINT))) AS i) u)
+        |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, chunk_idx, chunk,
+        |  CAST(CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS INT) AS n_tokens
+        |FROM cw ORDER BY query_id, rank, chunk_idx""".stripMargin),
 
     // the final HUGEINT->DOUBLE goes through VARCHAR: DuckDB's direct
     // integer->double cast TRUNCATES above 2^53 while Spark's

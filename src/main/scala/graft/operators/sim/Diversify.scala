@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: the candidate pool is `pool·|queries|` rows by
   * construction — selection runs on pool-sized data only. The corpus
   * is touched once by the pool search (broadcast query side); pool
-  * vectors re-attach through a broadcast of the PO0L (ids+scores, the
+  * vectors re-attach through a broadcast of the POOL (ids+scores, the
   * small side) against the corpus scan; pairwise distances are
   * pool²·|queries| rows of longs. The k selection steps are UNROLLED
   * as k dataframe stages (k is small by contract) — no driver-side
@@ -60,13 +60,20 @@ object Diversify {
         ProductQuantizer.microL2(col("a.cv"), col("b.cv")).as("d2p"))
       .cache()
 
-    // step 1: plain nearest
+    greedySelect(poolDf, pw, k)
+  }
+
+  /** The unrolled greedy loop over a prepared pool
+    * (query_id, corpus_id, d2q) and pairwise table
+    * (query_id, cand, sel, d2p): rank 1 = nearest to the query, each
+    * later rank the argmax of min-dist-to-selected − dist-to-query.
+    */
+  private def greedySelect(poolDf: DataFrame, pw: DataFrame, k: Int): DataFrame = {
     var selected = poolDf
       .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("d2q").asc, col("corpus_id").asc)))
       .filter(col("rk") === 1)
       .select(col("query_id"), col("corpus_id"), col("d2q"), lit(1).as("rank"))
-    // steps 2..k: argmax of min-dist-to-selected − dist-to-query
     for (step <- 2 to k) {
       val remaining = poolDf.join(
         selected.select(col("query_id"), col("corpus_id")),
@@ -87,5 +94,31 @@ object Diversify {
     selected
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("corpus_id"),
         col("d2q").cast("double").as("d2"))
+  }
+
+  /** MMR over an EXTERNALLY-supplied candidate pool (query_id,
+    * corpus_id) — e.g. a hybrid-retrieval output: relevance and
+    * redundancy are measured in embedding space (exact micro-L2 to the
+    * query id's own vector), while the pool can come from any
+    * retriever. Pool and query ids must live in `corpus`'s id space.
+    */
+  def mmrFromPool(pool: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val poolV = c.join(broadcast(pool), col("vid") === col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("v").as("cv"))
+    val qv = c.join(broadcast(pool.select(col("query_id")).distinct()),
+        col("vid") === col("query_id"))
+      .select(col("query_id"), col("v").as("qvv"))
+    val poolDf = poolV.join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        ProductQuantizer.microL2(col("cv"), col("qvv")).as("d2q"))
+    val pw = poolV.alias("a")
+      .join(poolV.alias("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.corpus_id") =!= col("b.corpus_id"))
+      .select(col("a.query_id").as("query_id"), col("a.corpus_id").as("cand"),
+        col("b.corpus_id").as("sel"),
+        ProductQuantizer.microL2(col("a.cv"), col("b.cv")).as("d2p"))
+    greedySelect(poolDf, pw, k)
   }
 }

@@ -440,6 +440,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(bad.isEmpty, "mmr selection windows must partition by query_id")
   }
 
+  test("pipeline_rag: no cartesian; selection windows partition by query") {
+    val df = SparkEntry.queries("pipeline_rag")(spark, sf)
+    val p = df.queryExecution.executedPlan
+    assert(!p.toString.contains("CartesianProduct"), "rag flagship has a cartesian")
+    val bad = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "rag windows must partition by query_id")
+  }
+
   test("hybrid rrf: no cartesian; both retriever pools window-rank per query") {
     val df = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
