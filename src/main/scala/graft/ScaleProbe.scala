@@ -48,7 +48,7 @@ object ScaleProbe {
       events.select(
         (col("event_id") + lit(i * n)).as("event_id"),
         (col("user_id") + lit(i * users)).as("user_id"),
-        col("event_type"), col("value"))
+        col("event_type"), col("value"), col("ts"), col("props"))
     }.reduce(_ unionByName _)
   }
 
@@ -236,6 +236,25 @@ object ScaleProbe {
         // pool-sized regardless of k
         operators.sim.HybridSearch.hybridTopK(d, e, 0L until 8L,
           "doc_id", "text", "vec_id", "embedding", k = 10, pool = 20)
+      }
+      time("tokenizer_bpe_train", k) {
+        // vocab-bound claim: the corpus scan feeds word counts once,
+        // the 4 merge rounds run over distinct words only
+        operators.text.BpeTrainer.train(d, "text", merges = 4)
+      }
+      time("layout_zorder", k) {
+        // k x lineitem with shifted order keys: stats + interleave are
+        // one scan + one 64-cell aggregate however large the input
+        val li = Tables.load(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val scaled = (0 until k).map(i =>
+          li.select((col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
+            col("l_partkey"))).reduce(_ unionByName _)
+        graft.sinks.ZOrderLayout.zorderStats(scaled, "l_orderkey", "l_partkey")
+      }
+      time("stats_active_users", k) {
+        val ev = { vUsed = true; v }
+        operators.TableStats.activeUsers(ev, "ts", "user_id")
       }
       time("pipeline_replicate", k) {
         // the CDC flagship at k× stream length and k× key count:

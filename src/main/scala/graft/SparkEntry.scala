@@ -1299,6 +1299,25 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q16_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent PRECEDING non-purchase event type ('direct' when none)
+      // — one user-partitioned IGNORE-NULLS window, then a tiny rollup
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").filter(col("ts").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
     "stats_active_users" -> ((s, dir) => {
       // DAU + rolling 7-day distinct actives: rolling distinct is not
       // window-summable, so days join their trailing pair window —
@@ -2670,6 +2689,20 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS revenue
         |FROM r JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN t
         |WHERE rev * cnt > tot ORDER BY s_suppkey""".stripMargin,
+
+    "q16_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events
+        |  WHERE ts IS NOT NULL),
+        |a AS (SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT COALESCE(touch, 'direct') AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
 
     "stats_active_users" ->
       """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

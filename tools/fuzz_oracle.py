@@ -45,7 +45,7 @@ EVENT_QUERIES = [
     "o13_session_windows", "k8_scd2_history", "q8_overlap_join",
     "q10_funnel", "q11_cohorts", "q12_gapfill", "q14_moving_avg",
     "o5_mts_schedule", "q9_json_props", "stats_trend", "pipeline_events",
-    "layout_compaction_plan", "stats_active_users",
+    "layout_compaction_plan", "stats_active_users", "q16_attribution",
 ]
 
 # relational q-family gated on adversarial TPC-H-ish tables (negative
