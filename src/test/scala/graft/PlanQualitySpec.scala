@@ -64,7 +64,8 @@ class PlanQualitySpec extends SparkSpec {
     // Window.orderBy without partitionBy funnels the whole input
     // through ONE task — the q13 first-cut trap
     for (name <- Seq("q13_deciles", "q3_window_topn", "stats_outliers",
-        "stats_quantiles_sketch", "q14_moving_avg", "corpus_lang_confusion")) {
+        "stats_quantiles_sketch", "q14_moving_avg", "corpus_lang_confusion",
+        "q16_attribution")) {
       val phys = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val bad = phys.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
