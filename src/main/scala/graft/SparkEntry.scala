@@ -1646,7 +1646,9 @@ object SparkEntry {
       // for row-group skipping), the probe scores straight off the
       // parquet read-back — must reproduce the one-shot plan exactly
       import s.implicits._
-      val ix = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_ix"
+      // per-run unique dir: a FIXED path would let two concurrent runs
+      // (parallel fuzz seeds) clobber each other's index mid-read
+      val ix = java.nio.file.Files.createTempDirectory("graft_bm25_ix").toString
       graft.operators.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text", ix)
       val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
         (3L, "hash merge sort batch"), (4L, "the cat and naïve 😀"))
@@ -2493,7 +2495,7 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL),
         |wc AS (SELECT w, COUNT(*) AS cnt FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
         |w0 AS (SELECT w,
-        |    ' ' || COALESCE(array_to_string(regexp_extract_all(w, '.'), ' '), '') || ' ' AS seq,
+        |    ' ' || COALESCE(array_to_string(regexp_extract_all(w, '(?s).'), '  '), '') || ' ' AS seq,
         |    cnt FROM wc)""".stripMargin
     // COALESCE: DuckDB's array_to_string(EMPTY) is NULL (Spark's
     // array_join is '') — the ''-word's seq must stay '  ', not NULL
@@ -2501,12 +2503,12 @@ object SparkEntry {
     val stages = (1 to merges).map { k =>
       s""",
          |p$k AS (SELECT s.t[u.i] AS l, s.t[u.i + 1] AS r, SUM(s.cnt) AS c
-         |  FROM (SELECT string_split(trim(seq), ' ') AS t, cnt FROM w${k - 1}) s,
+         |  FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM w${k - 1}) s,
          |    LATERAL (SELECT unnest(generate_series(1, len(s.t) - 1)) AS i) u
          |  GROUP BY l, r),
          |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          |w$k AS (SELECT s.w, CASE WHEN b.l IS NULL THEN s.seq
-         |    ELSE replace(s.seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') END AS seq,
+         |    ELSE replace(s.seq, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') END AS seq,
          |    s.cnt
          |  FROM w${k - 1} s LEFT JOIN b$k b ON TRUE)""".stripMargin
     }.mkString
@@ -2529,8 +2531,8 @@ object SparkEntry {
          |dw AS (SELECT doc_id, CAST(u.i AS INT) AS wpos, toks[u.i + 1] AS w
          |  FROM tok, LATERAL (SELECT unnest(range(len(toks))) AS i) u
          |  WHERE doc_id < 50)
-         |SELECT d.doc_id, d.wpos, trim(v.seq) AS sym_text,
-         |  CAST(len(string_split(trim(v.seq), ' ')) AS INT) AS n_symbols
+         |SELECT d.doc_id, d.wpos, array_to_string(string_split(trim(v.seq), '  '), ' ') AS sym_text,
+         |  CAST(len(string_split(trim(v.seq), '  ')) AS INT) AS n_symbols
          |FROM dw d JOIN w$merges v ON v.w = d.w
          |ORDER BY d.doc_id, d.wpos""".stripMargin
 

@@ -46,7 +46,6 @@ object Diversify {
         .orderBy(col("d2q").asc, col("corpus_id").asc)))
       .filter(col("rk") <= pool)
       .select(col("query_id"), col("corpus_id"), col("d2q"))
-      .cache()
     // pool vectors: broadcast the ids-only pool into the corpus scan
     val pv = c.join(broadcast(poolDf.select(col("query_id"), col("corpus_id"))),
         Seq("corpus_id"))
@@ -58,7 +57,6 @@ object Diversify {
       .select(col("a.query_id").as("query_id"), col("a.corpus_id").as("cand"),
         col("b.corpus_id").as("sel"),
         ProductQuantizer.microL2(col("a.cv"), col("b.cv")).as("d2p"))
-      .cache()
 
     greedySelect(poolDf, pw, k)
   }
@@ -68,7 +66,14 @@ object Diversify {
     * (query_id, cand, sel, d2p): rank 1 = nearest to the query, each
     * later rank the argmax of min-dist-to-selected − dist-to-query.
     */
-  private def greedySelect(poolDf: DataFrame, pw: DataFrame, k: Int): DataFrame = {
+  private def greedySelect(poolIn: DataFrame, pwIn: DataFrame, k: Int): DataFrame = {
+    // cache both tables for the k reuses, materialize the (pool-sized)
+    // result eagerly, then RELEASE them — a lazy result would either
+    // leak the cached blocks for the session or recompute the whole
+    // upstream retrieval once per stage (review catch: mmrFromPool ran
+    // the hybrid pipeline O(k) times uncached)
+    val poolDf = poolIn.cache()
+    val pw = pwIn.cache()
     var selected = poolDf
       .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("d2q").asc, col("corpus_id").asc)))
@@ -91,16 +96,23 @@ object Diversify {
         .select(col("query_id"), col("corpus_id"), col("d2q"), lit(step).as("rank"))
       selected = selected.unionByName(next)
     }
-    selected
+    val out = selected
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("corpus_id"),
         col("d2q").cast("double").as("d2"))
+      .localCheckpoint(true)
+    poolDf.unpersist()
+    pw.unpersist()
+    out
   }
 
   /** MMR over an EXTERNALLY-supplied candidate pool (query_id,
     * corpus_id) — e.g. a hybrid-retrieval output: relevance and
     * redundancy are measured in embedding space (exact micro-L2 to the
     * query id's own vector), while the pool can come from any
-    * retriever. Pool and query ids must live in `corpus`'s id space.
+    * retriever. Pool and query ids must live in `corpus`'s id space;
+    * pool members WITHOUT a vector are dropped before selection (MMR
+    * needs geometry — a lexical-only hit cannot be de-redundantized),
+    * so the output can hold fewer than k rows per query.
     */
   def mmrFromPool(pool: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {

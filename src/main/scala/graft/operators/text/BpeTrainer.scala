@@ -15,17 +15,20 @@ import org.apache.spark.sql.functions._
   * cached VOCABULARY table (distinct words × counts — sub-linear in
   * corpus bytes, the same trick HuggingFace's trainer uses), and only
   * the 1-row argmax reaches the driver per round. Words are held as
-  * space-joined symbol sequences padded with sentinel spaces, so a
-  * merge is one non-overlapping left-to-right `replace(' l r ' → ' lr ')`
-  * per word — exactly the greedy semantics of reference BPE
-  * (overlapping runs like `a a a` merge left-to-right to `aa a`).
+  * DOUBLE-space-joined symbol sequences with single sentinel spaces at
+  * the edges, so a merge is one non-overlapping left-to-right
+  * `replace(' l  r ' → ' lr ')` per word — exactly the greedy
+  * semantics of reference BPE, including back-to-back occurrences
+  * (`abab` → [ab, ab], an `aaaaaa` run → [aa, aa, aa]; overlapping
+  * runs like `aaa` still merge left-to-right to [aa, a]). See [[seqOf]]
+  * for why the double separator is what makes plain `replace` exact.
   *
   * Cross-engine parity traps pinned here:
-  *  - symbols are UNICODE CODE POINTS via `regexp_extract_all(w, '.')`
-  *    — Java's `split("")` would break surrogate pairs (an emoji into
-  *    two lone surrogates) while DuckDB splits runes, so the regex
-  *    dot (one code point in BOTH Java and RE2) is the portable
-  *    splitter;
+  *  - symbols are UNICODE CODE POINTS via `regexp_extract_all(w,
+  *    '(?s).')` — Java's `split("")` would break surrogate pairs (an
+  *    emoji into two lone surrogates) while DuckDB splits runes, and
+  *    the `(?s)` flag aligns the two engines' dot over
+  *    U+0085/U+2028/U+2029;
   *  - the merge uses plain `replace`, never regex — merged symbols can
   *    contain any character class (quotes, brackets, dots);
   *  - argmax tie-break is (count DESC, left ASC, right ASC) — a total
@@ -37,9 +40,21 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
-  /** Word → symbol-sequence representation: ' h e l l o '. */
+  /** Word → symbol-sequence representation: ' h  e  l  l  o ' —
+    * DOUBLE spaces between symbols, single at the edges. The double
+    * separator is what makes one plain non-overlapping `replace` per
+    * merge EXACTLY reference-greedy: the pattern ' l  r ' consumes
+    * only the first space of the trailing separator, so the next
+    * adjacent occurrence still starts with its own leading space
+    * ('abab' merges to [ab, ab], a 6-run of 'a' to [aa, aa, aa] — the
+    * single-space encoding under-merged both, since the consumed
+    * boundary space blocked the immediately following match; review
+    * catch). `(?s).` keeps the dot identical across engines: Java's
+    * bare dot excludes U+0085/U+2028/U+2029 while RE2's excludes only
+    * newline — with the flag both match every code point.
+    */
   private def seqOf(word: org.apache.spark.sql.Column) =
-    concat(lit(" "), array_join(regexp_extract_all(word, lit("."), lit(0)), " "), lit(" "))
+    concat(lit(" "), array_join(regexp_extract_all(word, lit("(?s)."), lit(0)), "  "), lit(" "))
 
   def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -54,7 +69,7 @@ object BpeTrainer {
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val toks = split(trim(col("seq")), " ")
+      val toks = split(trim(col("seq")), "  ")
       // sequence(1, 0) throws on single-symbol words — guard to empty
       val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
         .otherwise(array().cast("array<int>"))
@@ -74,7 +89,7 @@ object BpeTrainer {
           out += ((step, l, r, l + r, c))
           val merged = vocab
             .withColumn("seq", replace(col("seq"),
-              lit(s" $l $r "), lit(s" $l$r ")))
+              lit(s" $l  $r "), lit(s" $l$r ")))
             .cache()
           merged.count() // materialize before dropping the parent
           vocab.unpersist()
@@ -99,8 +114,8 @@ object BpeTrainer {
       docs.filter(col(textCol).isNotNull))
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "w")))
     val mergedSeq = mergeTable.foldLeft(seqOf(col("w"))) { case (acc, (l, r)) =>
-      replace(acc, lit(s" $l $r "), lit(s" $l$r "))
+      replace(acc, lit(s" $l  $r "), lit(s" $l$r "))
     }
-    words.select(col(idCol), col("wpos"), split(trim(mergedSeq), " ").as("symbols"))
+    words.select(col(idCol), col("wpos"), split(trim(mergedSeq), "  ").as("symbols"))
   }
 }

@@ -74,6 +74,8 @@ object PqUtil {
     val mv = microsOf(vec, isFloat)
     val m = cbs.length
     val sd = cbs(0)(0).length
+    require(mv.length == m * sd,
+      s"graft_pq_assign: vector dim ${mv.length} != codebook dim ${m * sd}")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -128,11 +130,17 @@ object PqUtil {
     toDecimal(hi, lo)
   }
 
-  /** Exact micro-L2 between two raw vectors (the PQ refine stage). */
+  /** Exact micro-L2 between two raw vectors (the PQ refine stage).
+    * Dimension mismatch FAILS instead of silently truncating — a
+    * ragged vector scoring only its shared prefix would win top-k
+    * slots with an artificially small distance (review catch).
+    */
   def microL2(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Decimal = {
     val am = microsOf(a, aFloat)
     val bm = microsOf(b, bFloat)
-    val (hi, lo) = d2Acc(am, bm, 0, math.min(am.length, bm.length))
+    require(am.length == bm.length,
+      s"graft_micro_l2: vector dims differ (${am.length} vs ${bm.length})")
+    val (hi, lo) = d2Acc(am, bm, 0, am.length)
     toDecimal(hi, lo)
   }
 }

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
 object CompactionPlanner {
 
   /** Plan over (fileKey, bytes) rows: returns (fileKey, file_bytes,
-    * bucket) with buckets of ~`targetBytes` in key order (exclusive
-    * running sum div target — a file larger than the target gets its
-    * own bucket and never splits).
+    * bucket) with buckets of ~`targetBytes` in key order via the
+    * exclusive running sum div target. Files never split; an oversize
+    * file lands in whatever bucket the running sum reaches it in, so a
+    * bucket's worst case is its fill plus one oversize file — size
+    * compaction executors for that, not for targetBytes.
     */
   def plan(files: DataFrame, keyCol: String, bytesCol: String,
            targetBytes: Long): DataFrame = {

@@ -41,9 +41,12 @@ object ZOrderLayout {
     */
   def quantize(x: Column, mn: Column, mx: Column, bits: Int): Column = {
     val buckets = math.pow(2, bits)
+    // subtract AFTER the double casts: a long-range span past 2^63
+    // (sentinel keys near both extremes) would wrap silently in Spark
+    // and error loudly in the oracle (review catch)
     when(mx === mn, lit(0L)).otherwise(
-      floor((x - mn).cast("double") * lit(buckets) /
-        (mx - mn + lit(1)).cast("double")).cast("long"))
+      floor((x.cast("double") - mn.cast("double")) * lit(buckets) /
+        (mx.cast("double") - mn.cast("double") + lit(1.0))).cast("long"))
   }
 
   /** Attach the z-value for two long/int columns (10-bit codes each —

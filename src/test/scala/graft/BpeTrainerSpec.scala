@@ -25,6 +25,25 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got.take(2) == Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
   }
 
+  test("back-to-back occurrences all merge in one round (reference greedy)") {
+    // 'abab': one (a,b) application must yield [ab, ab] — the
+    // single-space encoding consumed the shared boundary space and
+    // under-merged to [ab, a, b] (review catch); after round 1 the only
+    // remaining pair is (ab, ab)
+    val got = train(Seq("abab"))
+    assert(got == Seq((1, "a", "b", "ab", 2L), (2, "ab", "ab", "abab", 1L)))
+    // 6-run: (a,a) merges three times in ONE round, then (aa,aa)
+    val run = train(Seq("aaaaaa"))
+    assert(run.take(2) == Seq((1, "a", "a", "aa", 5L), (2, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("U+2028 line separator is one symbol on both engines' dot") {
+    // Java's bare '.' skips U+2028 while RE2's matches it — (?s) aligns
+    // them; the char survives normText (neither engine's \s strips it)
+    val got = train(Seq("a\u2028b a\u2028b"), merges = 1)
+    assert(got == Seq((1, "a", "\u2028", "a\u2028", 2L)))
+  }
+
   test("ties break on (count desc, lhs, rhs) deterministically") {
     // (a,b) and (b,a) both weight 2 inside 'abab'; (a,b) wins lexically
     val got = train(Seq("abab"), merges = 1)
