@@ -2118,6 +2118,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_dhash_pairs" -> ((s, dir) => {
+      // image near-dup dedup on REAL bytes: dHash fingerprints through
+      // encode->resize->decode->luma (all integer), Hamming pairs ≤ 10.
+      // Images synthesized from a pixel formula keyed on id%8, so ids
+      // 8 apart are planted exact dups (hamming 0); the oracle
+      // re-derives every bit from the formula without seeing a byte
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.PpmCodec
+      val hashes = s.range(24).map { i =>
+        val b = (i % 8).toInt
+        val w = 8 + b % 5; val h = 6 + b % 3
+        val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+          val c = j % 3; val p = j / 3
+          ((b.toLong * (7 + 4 * c) + p.toLong * (3 + 2 * c)) % 256).toByte
+        }
+        (i, codec.dHash(codec.encode(w, h, rgb)))
+      }.toDF("media_id", "dhash")
+      hashes.alias("a").join(hashes.alias("b"),
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_ppm_decode" -> ((s, dir) => {
       // REAL image decode through the multimodal plumbing: P6 PPM
       // images synthesized from an arithmetic pixel formula, encoded to
@@ -5095,6 +5120,32 @@ object SparkEntry {
 
     // the oracle derives the sums from the pixel formula alone —
     // cross-engine proof the byte-level PPM decode is exact
+    // dHash replay from the pixel formula: 9x8 nearest-resize source
+    // coordinates, integer BT.601 milli-luma, per-position bit compare
+    // (no 64-bit packing — DuckDB's checked shift rejects 1<<63), then
+    // Hamming as the count of differing positions
+    "mm_dhash_pairs" ->
+      """WITH ids AS (SELECT i AS media_id, i % 8 AS b,
+        |    8 + (i % 8) % 5 AS w, 6 + (i % 8) % 3 AS h FROM range(24) t(i)),
+        |cells AS (SELECT media_id, b, w, h, rr.r, cc.c,
+        |    ((cc.c * w) // 9) AS sx, ((rr.r * h) // 8) AS sy
+        |  FROM ids CROSS JOIN range(8) rr(r) CROSS JOIN range(9) cc(c)),
+        |lum AS (SELECT media_id, r, c,
+        |    299 * ((b * 7 + (sy * w + sx) * 3) % 256) +
+        |    587 * ((b * 11 + (sy * w + sx) * 5) % 256) +
+        |    114 * ((b * 15 + (sy * w + sx) * 7) % 256) AS l
+        |  FROM cells),
+        |bits AS (SELECT a.media_id, a.r * 8 + a.c AS pos,
+        |    CASE WHEN n.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum n ON n.media_id = a.media_id AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |hp AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id AND a.pos = b.pos
+        |  GROUP BY a.media_id, b.media_id)
+        |SELECT id_a, id_b, hamming FROM hp WHERE hamming <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "mm_ppm_decode" ->
       """WITH ids AS (SELECT i AS media_id, 8 + i % 5 AS w, 6 + i % 3 AS h FROM range(24) t(i)),
         |px AS (SELECT media_id, w, h, p FROM ids CROSS JOIN range(96) r(p) WHERE p < w * h)

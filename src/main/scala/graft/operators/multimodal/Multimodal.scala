@@ -147,6 +147,35 @@ object Multimodal {
         if (counts(i) == 0) 0f else (sums(i).toDouble / (counts(i) * 1000.0)).toFloat)
     }
 
+    /** Perceptual difference hash (dHash, the classic image near-dup
+      * fingerprint): nearest-resize to (hw+1)×hh, integer BT.601
+      * milli-luma per pixel (299r+587g+114b, never divided), bit
+      * (r, c) = 1 iff luma(r, c+1) > luma(r, c), packed row-major into
+      * a long (hw·hh ≤ 64). Brightness/contrast-shift invariant by
+      * construction (uniform luma offsets cancel in the differences);
+      * pure integer end to end, so an oracle can re-derive every bit
+      * from the pixel formula alone.
+      */
+    def dHash(payload: Array[Byte], hw: Int = 8, hh: Int = 8): Long = {
+      require(hw * hh <= 64, s"dHash: $hw x $hh exceeds 64 bits")
+      val (w, h, px) = decode(resize(payload, hw + 1, hh))
+      def lum(r: Int, c: Int): Long = {
+        val s = 3 * (r * w + c)
+        299L * (px(s) & 0xff) + 587L * (px(s + 1) & 0xff) + 114L * (px(s + 2) & 0xff)
+      }
+      var bits = 0L
+      var r = 0
+      while (r < hh) {
+        var c = 0
+        while (c < hw) {
+          if (lum(r, c + 1) > lum(r, c)) bits |= 1L << (r * hw + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
     /** Nearest-neighbor resample, re-encoded as a valid P6. */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val (sw, sh, px) = decode(payload)

@@ -123,4 +123,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= 2)
     assert(out.count() == 100)
   }
+
+  test("dHash: identical images match, brightness shift is invariant, crops differ") {
+    val codec = Multimodal.PpmCodec
+    def img(shift: Int, scale: Int): Array[Byte] = {
+      val w = 16; val h = 12
+      val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+        val p = j / 3
+        (((p % w) * scale + shift) % 256).toByte
+      }
+      codec.encode(w, h, rgb)
+    }
+    val a = codec.dHash(img(0, 9))
+    val b = codec.dHash(img(0, 9))
+    assert(a == b, "identical bytes must hash identically")
+    // uniform brightness shift cancels in luma DIFFERENCES
+    assert(codec.dHash(img(40, 9)) == a, "dHash must be brightness-shift invariant")
+    // a differently-textured image lands far away
+    val other = codec.dHash(img(0, 251)) // wrapping gradient: different sign pattern
+    assert(java.lang.Long.bitCount(a ^ other) > 10, "distinct textures must differ")
+  }
 }
