@@ -2727,7 +2727,7 @@ object SparkEntry {
         |  FROM e)
         |SELECT COALESCE(touch, 'direct') AS channel,
         |  COUNT(*) AS n_purchases,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY channel ORDER BY channel""".stripMargin,
 
