@@ -101,4 +101,36 @@ class PqSpec extends SparkSpec {
     assert(perQuery.forall(_ <= 3), s"hits span more lists than nProbe")
     assert(qlids.nonEmpty && got.count() > 0)
   }
+
+  test("streaming ANN probe via foreachBatch == batch search against the stored index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
+    PQ.buildIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val codes = spark.read.parquet(s"$dir/codes").cache()
+    val cbs = PQ.loadCodebooks(spark, dir, m = 8, ks = 16, sd = 8)
+    val qRows = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+    val expected = PQ.adcTopKFromIndex(codes, cbs,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= PQ.adcTopKFromIndex(codes, cbs, batch, "vec_id", "embedding", 5)
+            .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      input.addData(qRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    codes.unpersist()
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
 }
