@@ -788,6 +788,34 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s8_ddl_convert" -> ((s, dir) => {
+      // S8 (DDL half) — Oracle DDL → MySQL DDL conversion (reference
+      // parseDDLSQL, `log_miner.go:1075-1279`): statements synthesized
+      // from part exercise the NUMBER precision tiers, the 30-digit
+      // scale cap, CHAR/VARCHAR size thresholds, the fsp≤6 timestamp
+      // cap, quoted-identifier case preservation, and all three
+      // statement kinds; conversion runs inside the executors (the
+      // LogMiner stream shape — one converter call per redo DDL).
+      import s.implicits._
+      import graft.ddl.OracleDdlConverter
+      t(s, dir, "part").select(col("p_partkey").cast("long")).as[Long]
+        .map { k =>
+          val ddl = (k % 6) match {
+            case 0 => s"CREATE TABLE SHOP.T$k(ID NUMBER(${1 + k % 38}), NAME VARCHAR2(${1 + k % 2000}))"
+            case 1 => s"CREATE TABLE SHOP.T$k(C NUMBER(38,${1 + k % 35}) NOT NULL, D DATE)"
+            case 2 => s"ALTER TABLE SHOP.T$k ADD (C$k TIMESTAMP(${k % 10}))"
+            case 3 => s"alter table SHOP.T$k modify ( C$k CHAR ( ${1 + k % 300} ) )"
+            case 4 => s"ALTER TABLE SHOP.T$k DROP (C1, C2)"
+            case _ => s"""DROP TABLE "shop"."t$k""""
+          }
+          val c = OracleDdlConverter.convert(ddl, "SEG")
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          (k, c.kind, c.schema, c.table, c.sql)
+        }
+        .toDF("p_partkey", "kind", "schema_name", "table_name", "mysql_sql")
+        .orderBy(col("p_partkey"))
+    }),
+
     "s7_txcache" -> ((s, dir) => {
       // S7 — LogMiner tx cache: redo records synthesized from events
       // (20-record transactions; every 4th rolls back; position 15 is a
@@ -3245,6 +3273,39 @@ object SparkEntry {
         |  CAST(o_orderkey AS VARCHAR) AS k_val,
         |  CASE WHEN o_orderkey % 3 <> 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS d_val
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // mirrors the reference type-mapping table (NUMBER tiers, LimitSize
+    // scale cap, CHAR 255-threshold, fsp cap) as direct string building
+    "s8_ddl_convert" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+        |c AS (SELECT k, k % 6 AS m, CAST(k AS VARCHAR) AS ks,
+        |    1 + k % 38 AS p0, 1 + k % 2000 AS n0,
+        |    CASE WHEN 1 + k % 35 > 30 THEN 30 ELSE 1 + k % 35 END AS s1,
+        |    CASE WHEN k % 10 > 6 THEN 6 ELSE k % 10 END AS f2,
+        |    1 + k % 300 AS n3
+        |  FROM b)
+        |SELECT k AS p_partkey,
+        |  CASE WHEN m IN (0, 1) THEN 'create_table'
+        |       WHEN m = 5 THEN 'drop_table' ELSE 'alter_table' END AS kind,
+        |  CASE WHEN m = 5 THEN 'shop' ELSE 'SHOP' END AS schema_name,
+        |  CASE WHEN m = 5 THEN 't' || ks ELSE 'T' || ks END AS table_name,
+        |  CASE m
+        |    WHEN 0 THEN 'CREATE TABLE `SHOP`.`T' || ks || '` (`ID` ' ||
+        |      CASE WHEN p0 < 3 THEN 'TINYINT' WHEN p0 < 5 THEN 'SMALLINT'
+        |           WHEN p0 < 9 THEN 'INT' WHEN p0 < 19 THEN 'BIGINT'
+        |           ELSE 'DECIMAL(' || CAST(p0 AS VARCHAR) || ')' END ||
+        |      ',`NAME` VARCHAR(' || CAST(n0 AS VARCHAR) || ')) DEFAULT CHARACTER SET = UTF8MB4'
+        |    WHEN 1 THEN 'CREATE TABLE `SHOP`.`T' || ks || '` (`C` DECIMAL(38,' ||
+        |      CAST(s1 AS VARCHAR) || ') NOT NULL,`D` DATETIME) DEFAULT CHARACTER SET = UTF8MB4'
+        |    WHEN 2 THEN 'ALTER TABLE `SHOP`.`T' || ks || '` ADD COLUMN (`C' || ks ||
+        |      '` DATETIME(' || CAST(f2 AS VARCHAR) || '))'
+        |    WHEN 3 THEN 'ALTER TABLE `SHOP`.`T' || ks || '` MODIFY COLUMN `C' || ks || '` ' ||
+        |      CASE WHEN n3 <= 255 THEN 'CHAR' ELSE 'VARCHAR' END || '(' || CAST(n3 AS VARCHAR) || ')'
+        |    WHEN 4 THEN 'ALTER TABLE `SHOP`.`T' || ks || '` DROP COLUMN `SHOP`.`T' || ks ||
+        |      '`.`C1`, DROP COLUMN `SHOP`.`T' || ks || '`.`C2`'
+        |    ELSE 'DROP TABLE `shop`.`t' || ks || '`'
+        |  END AS mysql_sql
+        |FROM c ORDER BY p_partkey""".stripMargin,
 
     "s7_txcache" ->
       """WITH redo AS (

@@ -46,6 +46,14 @@ object DdlProcessor {
       if (lowerCaseTableNames) (db.toLowerCase, table.toLowerCase) else (db, table)
     val kind = classify(sql)
     if (kind == SkippedStmt) return Outcome(None, kind, schemaChanged = false)
+    // expand-syntax statements (grants, user admin, procedures, SET
+    // PASSWORD, FLUSH): forwarded VERBATIM under the opt-in flag — no
+    // table registry to replay, no identifier rewrite (the reference
+    // sends the original query text through setDtleQuery,
+    // `binlog_reader.go:590-604`); skipped entirely when the flag is off
+    if (kind == ExpandStmt)
+      return if (spec.expandSyntaxSupport) Outcome(Some(sql), kind, schemaChanged = false)
+             else Outcome(None, kind, schemaChanged = false)
 
     val routedSql = kind match {
       case DropTable =>

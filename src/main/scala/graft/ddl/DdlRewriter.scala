@@ -28,19 +28,38 @@ object DdlRewriter {
   case object DropIndex    extends DdlKind
   case object FlushTables  extends DdlKind // FLUSH TABLES with a table list
   case object OtherDdl     extends DdlKind
-  case object SkippedStmt  extends DdlKind // trigger/event/view/grant etc.
+  case object SkippedStmt  extends DdlKind // trigger/event/view — skipped unconditionally
+  /** Expand-syntax statements (grants, user admin, procedures/functions,
+    * SET PASSWORD, bare FLUSH forms): skipped by DEFAULT but FORWARDED
+    * when `ReplicationSpec.expandSyntaxSupport` is set — the reference's
+    * opt-in `ExpandSyntaxSupport` gate (`binlog_reader.go:560-567`
+    * `skipSql = queryInfo.isExpand || isExpandSyntaxQuery` only when the
+    * flag is off; expand cases `:1107-1156`, string-matched procedures
+    * `:1251-1263`).
+    */
+  case object ExpandStmt   extends DdlKind
 
   private val skipPatterns: Seq[String] = Seq(
-    // reference always-skip regexes (`binlog_reader.go:1228-1265`).
-    // GRANT/REVOKE are skipped deliberately: the reference maps their
-    // db.table level only under ExpandSyntaxSupport (default off,
-    // `loadMapping` GrantStmt branch), and privilege replication has no
-    // Spark-side applier here.
-    "(?is)^\\s*create\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view|function|procedure)\\b.*",
-    "(?is)^\\s*(alter|drop)\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view|function|procedure)\\b.*",
+    // reference ALWAYS-skip set — regardless of ExpandSyntaxSupport
+    // (`binlog_reader.go:561-563` isSkip ∪ isSkipQuery: CreateView /
+    // AlterView / DropTrigger resolve isSkip `:1095-1097,1166`, and the
+    // trigger/event regexes `:1228-1232,1236-1249`)
+    "(?is)^\\s*create\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view)\\b.*",
+    "(?is)^\\s*(alter|drop)\\s+(definer\\s*=\\s*\\S+\\s+)?(trigger|event|view)\\b.*"
+  )
+
+  private val expandPatterns: Seq[String] = Seq(
+    // reference expand set: RevokeStmt/SetPwdStmt/FlushStmt/procedure
+    // admin (`binlog_reader.go:1107-1122`), Create/Grant/Drop/Alter user
+    // → routed against mysql.user (`:1151-1156`), plus the
+    // string-matched `rename user` / `CREATE DEFINER=… PROCEDURE`
+    // (`isExpandSyntaxQuery :1251-1263`). FLUSH TABLES with a table
+    // list is NOT here — classify() maps it to FlushTables first.
     "(?is)^\\s*(grant|revoke|flush)\\b.*",
     "(?is)^\\s*(create|alter|drop|rename)\\s+user\\b.*",
-    "(?is)^\\s*set\\s+password\\b.*"
+    "(?is)^\\s*set\\s+password\\b.*",
+    "(?is)^\\s*create\\s+(definer\\s*=\\s*\\S+\\s+)?(function|procedure)\\b.*",
+    "(?is)^\\s*(alter|drop)\\s+(definer\\s*=\\s*\\S+\\s+)?(function|procedure)\\b.*"
   )
 
   def classify(sql: String): DdlKind = {
@@ -52,6 +71,7 @@ object DdlRewriter {
     if (lower.matches("(?s)^flush\\s+(local\\s+|no_write_to_binlog\\s+)?tables\\s+(?!with\\b)[a-z0-9_$`].*"))
       return FlushTables
     if (skipPatterns.exists(s.matches)) return SkippedStmt
+    if (expandPatterns.exists(s.matches)) return ExpandStmt
     if (lower.startsWith("create database") || lower.startsWith("create schema")) CreateSchema
     else if (lower.startsWith("drop database") || lower.startsWith("drop schema")) DropSchema
     else if (lower.startsWith("alter database") || lower.startsWith("alter schema")) AlterSchema
@@ -384,8 +404,17 @@ object DdlRewriter {
     * (reference skipQueryDDL, `binlog_reader.go:1200-1226`).
     */
   def shouldApply(sql: String, schema: String, table: String, spec: ReplicationSpec): Boolean = {
-    classify(sql) != SkippedStmt && {
-      val sysOk = !graft.operators.Relational.systemSchemas.contains(schema.toLowerCase)
+    val kind = classify(sql)
+    // expand-syntax statements ride the flag alone: the reference routes
+    // them against mysql.user and skipQueryDDL admits schema "mysql"
+    // exactly when ExpandSyntaxSupport is on (`binlog_reader.go:1202-1208`)
+    if (kind == ExpandStmt) return spec.expandSyntaxSupport
+    kind != SkippedStmt && {
+      // "mysql" opens under the expand flag; sys/information_schema/
+      // performance_schema never do (`binlog_reader.go:1202-1210`)
+      val sysOk =
+        if (schema.equalsIgnoreCase("mysql")) spec.expandSyntaxSupport
+        else !graft.operators.Relational.systemSchemas.contains(schema.toLowerCase)
       val included = spec.doDb.isEmpty || spec.doDb.exists { s: SchemaSpec =>
         val sOk = s.schemaRegex.map(schema.matches).getOrElse(s.schema == schema)
         sOk && (s.tables.isEmpty || table.isEmpty || s.tables.exists(t =>

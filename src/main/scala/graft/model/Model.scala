@@ -99,5 +99,12 @@ case class ReplicationSpec(
     skipOps: Set[String] = Set.empty,
     /** skip rows originating from this server id — cycle prevention for
       * bidirectional sync (reference `applier_incr.go:290-313`) */
-    selfServerId: Option[String] = None
+    selfServerId: Option[String] = None,
+    /** opt-in replication of expand-syntax statements (grants, user
+      * admin, procedures, SET PASSWORD, FLUSH) and of DML on the
+      * replicable `mysql.*` grant tables — the reference's
+      * `ExpandSyntaxSupport` job flag (`taskconfig.go`, consumed at
+      * `binlog_reader.go:560-567,1203,1309`). Default off: those
+      * statements are skipped, exactly like the reference default. */
+    expandSyntaxSupport: Boolean = false
 )

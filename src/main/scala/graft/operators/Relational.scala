@@ -77,7 +77,22 @@ object Relational {
     */
   val systemSchemas: Seq[String] = Seq("mysql", "sys", "information_schema", "performance_schema")
 
+  /** The `mysql.*` tables whose ROWS replicate under ExpandSyntaxSupport
+    * — the grant/routine tables (reference `skipMysqlSchemaEvent`,
+    * `binlog_reader.go:1267-1274`; row gate `:1307-1313`). Everything
+    * else in `mysql.*` stays skipped even with the flag on.
+    */
+  val expandableMysqlTables: Seq[String] =
+    Seq("event", "func", "proc", "tables_priv", "columns_priv", "procs_priv", "user")
+
   def routeFilter(spec: ReplicationSpec, dbCol: Column, tableCol: Column): Column = {
+    // reference skipRowEvent switches on the schema FIRST: "mysql" under
+    // the expand flag admits the grant tables regardless of doDb (the
+    // branch returns before any doDb matching, `binlog_reader.go:1307-1313`)
+    val mysqlOk =
+      if (spec.expandSyntaxSupport)
+        lower(dbCol) === "mysql" && lower(tableCol).isin(expandableMysqlTables: _*)
+      else lit(false)
     val notSystem = !lower(dbCol).isin(systemSchemas: _*)
     val included: Column =
       if (spec.doDb.isEmpty) lit(true)
@@ -99,7 +114,7 @@ object Relational {
         if (ig.tables.isEmpty) dbCol === ig.schema
         else dbCol === ig.schema && tableCol.isin(ig.tables: _*)
       }.reduce(_ || _)
-    notSystem && included && !excluded
+    mysqlOk || (notSystem && included && !excluded)
   }
 
   /** Regex-ness of a table spec: the explicit flag (reference: non-empty

@@ -40,6 +40,41 @@ class DdlProcessorSpec extends AnyFunSuite {
     assert(reg.tables.isEmpty)
   }
 
+  test("ExpandSyntaxSupport off (default): grants/user admin/procedures skip") {
+    val reg = new SchemaRegistry
+    val stmts = Seq(
+      "GRANT SELECT ON db.* TO 'u'@'h'",
+      "CREATE USER 'u'@'h' IDENTIFIED BY 'x'",
+      "SET PASSWORD FOR 'u'@'h' = 'x'",
+      "FLUSH PRIVILEGES",
+      "DROP PROCEDURE p1")
+    stmts.foreach { s =>
+      val out = DdlProcessor.process("mysql", "user", s, spec, reg)
+      assert(out.sql.isEmpty && out.kind == DdlRewriter.ExpandStmt, s)
+      assert(!out.schemaChanged)
+    }
+    assert(reg.tables.isEmpty)
+  }
+
+  test("ExpandSyntaxSupport on: expand statements forward VERBATIM") {
+    // reference: the flag flips skipSql for isExpand statements and the
+    // original query text is forwarded (`binlog_reader.go:560-604`);
+    // no registry replay, no rename rewrite applies to them
+    val reg = new SchemaRegistry
+    val expandSpec = spec.copy(expandSyntaxSupport = true)
+    val grant = "GRANT SELECT ON db.* TO 'u'@'h'"
+    val out = DdlProcessor.process("mysql", "user", grant, expandSpec, reg,
+      renameSchema = Map("db" -> "dst"))
+    assert(out.sql.contains(grant)) // verbatim — rename maps don't touch it
+    assert(out.kind == DdlRewriter.ExpandStmt && !out.schemaChanged)
+    assert(reg.tables.isEmpty)
+    // triggers stay dead even with the flag on (reference always-skip)
+    val trig = DdlProcessor.process("src", "t",
+      "CREATE DEFINER=`u`@`h` TRIGGER trg BEFORE INSERT ON t FOR EACH ROW BEGIN END",
+      expandSpec, reg)
+    assert(trig.sql.isEmpty && trig.kind == DdlRewriter.SkippedStmt)
+  }
+
   test("multi-table DROP filters skipped tables; all-skipped drops the statement") {
     val reg = new SchemaRegistry
     reg.applyDdl("src", "CREATE TABLE src.a (id INT)")

@@ -24,15 +24,44 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(classify("DROP INDEX i ON t") == DropIndex)
   }
 
-  test("always-skip statements (trigger/event/view/grant/user)") {
-    // reference skip regexes `binlog_reader.go:1228-1265`
+  test("always-skip statements (trigger/event/view) — regardless of expand") {
+    // reference isSkip ∪ isSkipQuery (`binlog_reader.go:561-563,1236-1249`)
     assert(classify("CREATE DEFINER=`u`@`h` TRIGGER trg BEFORE INSERT ON t FOR EACH ROW BEGIN END") == SkippedStmt)
     assert(classify("CREATE EVENT ev ON SCHEDULE EVERY 1 DAY DO BEGIN END") == SkippedStmt)
     assert(classify("create view v as select 1") == SkippedStmt)
-    assert(classify("GRANT ALL ON *.* TO 'u'@'h'") == SkippedStmt)
     assert(classify("DROP TRIGGER trg") == SkippedStmt)
-    assert(classify("CREATE USER 'u'@'h' IDENTIFIED BY 'x'") == SkippedStmt)
-    assert(classify("FLUSH PRIVILEGES") == SkippedStmt)
+    assert(classify("ALTER VIEW v AS SELECT 2") == SkippedStmt)
+  }
+
+  test("expand-syntax statements classify ExpandStmt (gated, not dead)") {
+    // reference isExpand cases (`binlog_reader.go:1107-1156,1251-1263`)
+    assert(classify("GRANT ALL ON *.* TO 'u'@'h'") == ExpandStmt)
+    assert(classify("REVOKE SELECT ON db.* FROM 'u'@'h'") == ExpandStmt)
+    assert(classify("CREATE USER 'u'@'h' IDENTIFIED BY 'x'") == ExpandStmt)
+    assert(classify("rename user 'a'@'%' to 'b'@'%'") == ExpandStmt)
+    assert(classify("SET PASSWORD FOR 'u'@'h' = 'x'") == ExpandStmt)
+    assert(classify("FLUSH PRIVILEGES") == ExpandStmt)
+    assert(classify("CREATE DEFINER=`u`@`h` PROCEDURE p() BEGIN END") == ExpandStmt)
+    assert(classify("DROP PROCEDURE p") == ExpandStmt)
+    assert(classify("DROP FUNCTION f") == ExpandStmt)
+    // FLUSH TABLES with a table list still maps idents, not expand
+    assert(classify("FLUSH TABLES db1.tb1, tb2") == FlushTables)
+  }
+
+  test("shouldApply: expand statements ride the flag; mysql schema opens with it") {
+    import graft.model.ReplicationSpec
+    val off = ReplicationSpec()
+    val on = ReplicationSpec(expandSyntaxSupport = true)
+    val grant = "GRANT SELECT ON db.* TO 'u'@'h'"
+    assert(!shouldApply(grant, "mysql", "user", off))
+    assert(shouldApply(grant, "mysql", "user", on))
+    // mysql.* DDL (e.g. ALTER on a grant table) opens only under the flag
+    assert(!shouldApply("ALTER TABLE mysql.user ADD COLUMN c INT", "mysql", "user", off))
+    assert(shouldApply("ALTER TABLE mysql.user ADD COLUMN c INT", "mysql", "user", on))
+    // the other system schemas never open (`binlog_reader.go:1209-1210`)
+    assert(!shouldApply("CREATE TABLE sys.t (id INT)", "sys", "t", on))
+    // always-skip stays skipped even with expand on
+    assert(!shouldApply("DROP TRIGGER trg", "db1", "t", on))
   }
 
   test("alter sub-kind classification") {
@@ -151,11 +180,13 @@ class DdlRewriterSpec extends AnyFunSuite {
       "CREATE DATABASE other")
   }
 
-  test("golden: FLUSH TABLES list maps; global FLUSH forms stay skipped") {
+  test("golden: FLUSH TABLES list maps; global FLUSH forms are expand-gated") {
     assert(classify("FLUSH TABLES db1.tb1, tb2") == FlushTables)
-    assert(classify("FLUSH TABLES") == SkippedStmt)
-    assert(classify("FLUSH TABLES WITH READ LOCK") == SkippedStmt)
-    assert(classify("FLUSH LOGS") == SkippedStmt)
+    // reference FlushStmt → isExpand (`binlog_reader.go:1113-1119`):
+    // skipped by default, forwarded under ExpandSyntaxSupport
+    assert(classify("FLUSH TABLES") == ExpandStmt)
+    assert(classify("FLUSH TABLES WITH READ LOCK") == ExpandStmt)
+    assert(classify("FLUSH LOGS") == ExpandStmt)
     assert(DdlRewriter.rewrite("FLUSH TABLES db1.tb1, tb2 WITH READ LOCK", rs, rt,
       defaultSchema = "db1") ==
       "FLUSH TABLES `db1_r`.`tb1_r`, `db1_r`.`tb2_r` WITH READ LOCK")

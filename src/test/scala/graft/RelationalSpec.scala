@@ -45,6 +45,22 @@ class RelationalSpec extends SparkSpec {
     assert(kept == Set(("db1", "t1"), ("sbtest3", "x")))
   }
 
+  test("routeFilter: ExpandSyntaxSupport admits mysql grant tables only") {
+    // reference skipRowEvent mysql branch (`binlog_reader.go:1307-1313`)
+    // + skipMysqlSchemaEvent table list (`:1267-1274`)
+    val events = Seq(
+      ("mysql", "user"), ("mysql", "proc"), ("mysql", "db"),
+      ("sys", "t"), ("db1", "t1")
+    ).toDF("db", "table")
+    val spec = ReplicationSpec(doDb = Seq(SchemaSpec("db1")),
+      expandSyntaxSupport = true)
+    val kept = events.filter(Relational.routeFilter(spec, col("db"), col("table")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // grant tables user/proc open; mysql.db and sys.* stay closed;
+    // normal routing is unaffected
+    assert(kept == Set(("mysql", "user"), ("mysql", "proc"), ("db1", "t1")))
+  }
+
   test("opFilter drops configured event kinds") {
     val ev = Seq(("1", "c"), ("2", "u"), ("3", "d")).toDF("id", "op")
     assert(Relational.opFilter(ev, Set("d")).count() == 2)
