@@ -1397,6 +1397,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivfpq_index_probe" -> ((s, dir) => {
+      // the deployed ANN shape: the SAME IVF16,PQ8 search but over a
+      // PERSISTED index read back from parquet — codes partitioned by
+      // list id (the on-disk inverted file), so the probe join prunes
+      // to the probed list directories; shares sim_ivf_pq_topk's
+      // hash oracle (train→store→load→search must lose nothing)
+      val emb = t(s, dir, "embeddings")
+      val ix = graft.TempDirs.scratch("graft_ivfpq_ix")
+      graft.operators.sim.ProductQuantizer.buildIvfPqIndex(
+        emb, "vec_id", "embedding", ix, dim = 64, nLists = 16)
+      graft.operators.sim.ProductQuantizer.ivfPqTopKFromIndex(
+          s, ix, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // Product quantization (FAISS PQ8): per-subspace codebooks with
       // integer-micro centroids, so assignment and ADC are EXACT
@@ -1674,9 +1690,9 @@ object SparkEntry {
       // for row-group skipping), the probe scores straight off the
       // parquet read-back — must reproduce the one-shot plan exactly
       import s.implicits._
-      // per-run unique dir: a FIXED path would let two concurrent runs
-      // (parallel fuzz seeds) clobber each other's index mid-read
-      val ix = java.nio.file.Files.createTempDirectory("graft_bm25_ix").toString
+      // per-run unique dir (two concurrent fuzz seeds must not clobber
+      // each other's index), reaped at JVM exit by TempDirs
+      val ix = graft.TempDirs.scratch("graft_bm25_ix")
       graft.operators.text.Bm25.buildIndex(t(s, dir, "documents"), "doc_id", "text", ix)
       val qs = Seq((1L, "spark join table"), (2L, "window agg stream"),
         (3L, "hash merge sort batch"), (4L, "the cat and naïve 😀"))
@@ -2527,6 +2543,35 @@ object SparkEntry {
       |  WHERE q.vec_id < 10
       |  GROUP BY q.vec_id, co.vec_id)
       |""".stripMargin
+
+  /** The IVF16,PQ8 search replayed in SQL — shared verbatim by
+    * `sim_ivf_pq_topk` (one-shot) and `sim_ivfpq_index_probe` (stored
+    * index): the persisted layout must reproduce the one-shot plan's
+    * results exactly, so both share ONE hash oracle.
+    */
+  private lazy val ivfPqOracleSql: String =
+    pqMicroE + pqTrainCtes("c", 1, 64, 16) + ",\n" +
+      pqTrainCtes("f", 8, 8, 16) +
+      """,
+        |probes AS (SELECT vec_id AS query_id, cid AS lid FROM cd1
+        |  WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 4),
+        |lists AS (SELECT vec_id, cid AS lid FROM ccodes),
+        |adc2 AS (SELECT p.query_id, l.vec_id AS corpus_id,
+        |    SUM(list_sum(list_transform(generate_series(1, 8),
+        |      i -> CAST(q.sv[i] - c.cw[i] AS HUGEINT) * (q.sv[i] - c.cw[i])))) AS adc_d2
+        |  FROM probes p
+        |  JOIN lists l ON l.lid = p.lid AND l.vec_id <> p.query_id
+        |  JOIN fcodes co ON co.vec_id = l.vec_id
+        |  JOIN fcb c ON c.sub = co.sub AND c.cid = co.cid
+        |  JOIN fsub q ON q.vec_id = p.query_id AND q.sub = co.sub
+        |  GROUP BY p.query_id, l.vec_id)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
+        |  CAST(CAST(adc_d2 AS VARCHAR) AS DOUBLE) AS adc_d2
+        |FROM adc2
+        |WINDOW w AS (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin
 
   /** The BPE training replay as `merges` chained CTE stages (generated
     * — each stage recounts pairs, takes the (count DESC, l, r) argmax,
@@ -4839,28 +4884,10 @@ object SparkEntry {
     // coarse chain (c*, m=1 over the full 64 dims) assigns lists; the
     // fine chain (f*, m=8) supplies codes; queries probe their 4
     // nearest coarse centroids and ADC only inside those lists
-    "sim_ivf_pq_topk" -> (pqMicroE + pqTrainCtes("c", 1, 64, 16) + ",\n" +
-      pqTrainCtes("f", 8, 8, 16) +
-      """,
-        |probes AS (SELECT vec_id AS query_id, cid AS lid FROM cd1
-        |  WHERE vec_id < 10
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) <= 4),
-        |lists AS (SELECT vec_id, cid AS lid FROM ccodes),
-        |adc2 AS (SELECT p.query_id, l.vec_id AS corpus_id,
-        |    SUM(list_sum(list_transform(generate_series(1, 8),
-        |      i -> CAST(q.sv[i] - c.cw[i] AS HUGEINT) * (q.sv[i] - c.cw[i])))) AS adc_d2
-        |  FROM probes p
-        |  JOIN lists l ON l.lid = p.lid AND l.vec_id <> p.query_id
-        |  JOIN fcodes co ON co.vec_id = l.vec_id
-        |  JOIN fcb c ON c.sub = co.sub AND c.cid = co.cid
-        |  JOIN fsub q ON q.vec_id = p.query_id AND q.sub = co.sub
-        |  GROUP BY p.query_id, l.vec_id)
-        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,
-        |  CAST(CAST(adc_d2 AS VARCHAR) AS DOUBLE) AS adc_d2
-        |FROM adc2
-        |WINDOW w AS (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC)
-        |QUALIFY row_number() OVER w <= 5
-        |ORDER BY query_id, rank""".stripMargin),
+    "sim_ivf_pq_topk" -> ivfPqOracleSql,
+
+    // the stored-index probe must reproduce the one-shot plan exactly
+    "sim_ivfpq_index_probe" -> ivfPqOracleSql,
 
     "sim_pq_topk" -> (pqOraclePrefix +
       """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,

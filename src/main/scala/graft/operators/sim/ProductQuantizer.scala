@@ -202,9 +202,24 @@ object ProductQuantizer {
                 m: Int = 8, ks: Int = 16, iters: Int = 1): DataFrame = {
     val coarse = trainCodebooks(corpus, idCol, vecCol, dim, 1, nLists, iters)
     val fine = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
-    val indexed = corpus.select(col(idCol).as("corpus_id"),
+    ivfPqSearch(ivfPqAssign(corpus, idCol, vecCol, coarse, fine),
+      coarse, fine, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** The stored IVF-PQ row shape: (corpus_id, lid, codes). */
+  private def ivfPqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                          coarse: Codebooks, fine: Codebooks): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
       element_at(codesCol(col(vecCol), coarse), 1).as("lid"),
       codesCol(col(vecCol), fine).as("codes"))
+
+  /** The shared probe tail: queries pick their `nProbe` lists, ADC
+    * scores the probed codes, per-query window cuts the top-k. One
+    * broadcast of the (tiny) probe table; the codes never move.
+    */
+  private def ivfPqSearch(indexed: DataFrame, coarse: Codebooks, fine: Codebooks,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nProbe: Int): DataFrame = {
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(coarseProbe(col(vecCol), coarse, nProbe)).as("lid"))
     val scored = indexed.join(broadcast(probes), Seq("lid"))
@@ -218,30 +233,75 @@ object ProductQuantizer {
         col("corpus_id"), col("adc_d2").cast("double").as("adc_d2"))
   }
 
+  /** Persist the FULL IVF-PQ structure — the deployed ANN shape is
+    * search-over-stored-index, not train-per-query. Codes land
+    * PARTITIONED BY list id (the on-disk inverted file: one directory
+    * per coarse list), coarse and fine codebooks as tiny parquet
+    * tables beside them. At probe time the broadcast (query, lid)
+    * table joins on the partition column, so Spark's dynamic partition
+    * pruning reads ONLY the `nProbe · |queries|` probed list
+    * directories — the 100 TB path never scans the other
+    * `nLists − nProbe` lists at all.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+                      dim: Int, nLists: Int = 16, m: Int = 8, ks: Int = 16,
+                      iters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val coarse = trainCodebooks(corpus, idCol, vecCol, dim, 1, nLists, iters)
+    val fine = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    ivfPqAssign(corpus, idCol, vecCol, coarse, fine)
+      .write.mode("overwrite").partitionBy("lid").parquet(s"$dir/codes")
+    writeCodebooks(spark, coarse, s"$dir/coarse")
+    writeCodebooks(spark, fine, s"$dir/fine")
+  }
+
+  /** Probe a PERSISTED [[buildIvfPqIndex]] layout read back from disk:
+    * identical results to the one-shot [[ivfPqTopK]] (same codebooks,
+    * same ADC kernel — parity pinned in PqSpec and the probe shares
+    * the one-shot query's hash oracle).
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, dim: Int, nLists: Int = 16, nProbe: Int = 4,
+                         m: Int = 8, ks: Int = 16): DataFrame = {
+    val indexed = spark.read.parquet(s"$dir/codes")
+    val coarse = readCodebooks(spark, s"$dir/coarse", 1, nLists, dim)
+    val fine = readCodebooks(spark, s"$dir/fine", m, ks, dim / m)
+    ivfPqSearch(indexed, coarse, fine, queries, idCol, vecCol, k, nProbe)
+  }
+
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             cbs: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    cbs.indices.flatMap(s => cbs(s).indices.flatMap(c =>
+      cbs(s)(c).indices.map(p => (s, c, p, cbs(s)(c)(p)))))
+      .toDF("sub", "cid", "pos", "cm")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
+                            m: Int, ks: Int, sd: Int): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "cid", "pos", "cm").collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    Array.tabulate(m, ks, sd) { (s, c, p) => rows((s, c, p)) }
+  }
+
   /** Persist the index: codes parquet under dir/codes, codebooks as
     * (sub, cid, pos, cm) rows under dir/codebook. Returns the codes
     * DataFrame.
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                  dim: Int, m: Int = 8, ks: Int = 16, iters: Int = 1): (DataFrame, Codebooks) = {
-    val spark = corpus.sparkSession
     val cbs = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
     val codes = encode(corpus, idCol, vecCol, cbs)
     codes.write.mode("overwrite").parquet(s"$dir/codes")
-    import spark.implicits._
-    cbs.indices.flatMap(s => cbs(s).indices.flatMap(c =>
-      cbs(s)(c).indices.map(p => (s, c, p, cbs(s)(c)(p)))))
-      .toDF("sub", "cid", "pos", "cm")
-      .write.mode("overwrite").parquet(s"$dir/codebook")
+    writeCodebooks(corpus.sparkSession, cbs, s"$dir/codebook")
     (codes, cbs)
   }
 
   /** Read codebooks back from the [[buildIndex]] layout. */
   def loadCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    m: Int, ks: Int, sd: Int): Codebooks = {
-    val rows = spark.read.parquet(s"$dir/codebook")
-      .select("sub", "cid", "pos", "cm").collect()
-      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
-    Array.tabulate(m, ks, sd) { (s, c, p) => rows((s, c, p)) }
-  }
+                    m: Int, ks: Int, sd: Int): Codebooks =
+    readCodebooks(spark, s"$dir/codebook", m, ks, sd)
 }

@@ -73,7 +73,7 @@ class Bm25Spec extends SparkSpec {
     val qs = Seq((1L, "spark join table"), (2L, "window agg stream"))
       .toDF("query_id", "qtext")
     val direct = Bm25.topK(docs, qs, "doc_id", "text", "query_id", "qtext", k = 10)
-    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    val dir = graft.TempDirs.scratch("bm25ix")
     Bm25.buildIndex(docs, "doc_id", "text", dir)
     val probed = Bm25.scoreAgainstIndex(
       spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"),

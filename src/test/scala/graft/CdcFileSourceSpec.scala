@@ -16,7 +16,7 @@ class CdcFileSourceSpec extends SparkSpec {
   private def fmt = classOf[CdcFileSource].getName
 
   test("batch read sees all segments; streaming reads incrementally with offsets") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val dir = graft.TempDirs.scratch("graft-cdc")
     CdcFileSource.writeSegment(dir, (1L to 5L).map(s => ev(s)), 1, 5)
     CdcFileSource.writeSegment(dir, (6L to 9L).map(s => ev(s)), 6, 9)
 
@@ -40,9 +40,9 @@ class CdcFileSourceSpec extends SparkSpec {
   }
 
   test("checkpoint resume continues from the committed offset, no duplicates") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cdc2").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val dir = graft.TempDirs.scratch("graft-cdc2")
+    val ckpt = graft.TempDirs.scratch("graft-ckpt")
+    val out = graft.TempDirs.scratch("graft-out")
     CdcFileSource.writeSegment(dir, (1L to 4L).map(s => ev(s)), 1, 4)
 
     def run(): Unit = {
@@ -61,7 +61,7 @@ class CdcFileSourceSpec extends SparkSpec {
   }
 
   test("maxOffsetsPerTrigger paces admission") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cdc3").toString
+    val dir = graft.TempDirs.scratch("graft-cdc3")
     CdcFileSource.writeSegment(dir, (1L to 10L).map(s => ev(s)), 1, 10)
     val q = spark.readStream.format(fmt).option("path", dir)
       .option("maxOffsetsPerTrigger", "4").load()
@@ -78,8 +78,8 @@ class CdcFileSourceSpec extends SparkSpec {
   test("end-to-end: DSv2 source -> route/filter pipeline -> upsert sink") {
     import graft.model.{ReplicationSpec, SchemaSpec}
     import graft.streaming.{CdcPipeline, ParquetUpsertSink}
-    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-src").toString
-    val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val dir = graft.TempDirs.scratch("graft-e2e-src")
+    val work = graft.TempDirs.scratch("graft-e2e")
     // shop.t rows k1..k3; one foreign-db row and one delete
     CdcFileSource.writeSegment(dir, Seq(
       ev(1, "c", "k1"), ev(2, "c", "k2"), ev(3, "c", "k3"),
@@ -104,7 +104,7 @@ class CdcFileSourceSpec extends SparkSpec {
     import graft.streaming.{CdcPipeline, ParquetUpsertSink}
     import org.apache.spark.sql.functions.{col, when}
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-equiv").toString
+    val work = graft.TempDirs.scratch("graft-equiv")
     val evRows = Tables.load(spark, sf, "events")
       .withColumn("op",
         when(col("event_type") === "error", "d")
@@ -134,7 +134,7 @@ class CdcFileSourceSpec extends SparkSpec {
 
   test("S5: snapshot -> stream handoff starts at the recorded watermark") {
     import graft.model.TableSpec
-    val work = java.nio.file.Files.createTempDirectory("graft-s5").toString
+    val work = graft.TempDirs.scratch("graft-s5")
     val streamDir = s"$work/stream"
     // the change stream contains history BEFORE the snapshot point too
     CdcFileSource.writeSegment(streamDir, (1L to 8L).map(s => ev(s)), 1, 8)
@@ -179,7 +179,7 @@ class CdcFileSourceSpec extends SparkSpec {
       event(TABLE_MAP_EVENT, tableMap(23L, "src", "t", Seq(0x03, 0x0f), metas), 120),
       event(WRITE_ROWS_V2, rows(23L, 2, Seq(img(1, "ann"), img(2, "bob"))), 130),
       event(XID_EVENT, xid(77L), 140))
-    val work = java.nio.file.Files.createTempDirectory("graft-binlog-e2e")
+    val work = java.nio.file.Paths.get(graft.TempDirs.scratch("graft-binlog-e2e"))
     val binlogFile = work.resolve("relay.000001")
     java.nio.file.Files.write(binlogFile, bytes)
     // decode the BYTES and stage them as a stream segment
@@ -207,7 +207,7 @@ class CdcFileSourceSpec extends SparkSpec {
   }
 
   test("permissive mode skips malformed lines; failfast raises") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-perm").toString
+    val dir = graft.TempDirs.scratch("graft-cdc-perm")
     CdcFileSource.writeSegment(dir, Seq(ev(1), "{not json", ev(2), """{"no_seq":true}"""), 1, 2)
     val ok = spark.read.format(fmt).option("path", dir).option("mode", "permissive").load()
     assert(ok.count() == 2)

@@ -38,7 +38,7 @@ class CdcPipelineSpec extends SparkSpec {
 
   test("ParquetUpsertSink: upsert + delete + ledger idempotence") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val dir = graft.TempDirs.scratch("graft-sink")
     val sink = new ParquetUpsertSink(spark, s"$dir/table", s"$dir/ledger", "pk", "seq", "op")
 
     val b1 = Seq(
@@ -70,7 +70,7 @@ class CdcPipelineSpec extends SparkSpec {
   test("end-to-end pipeline: route + op filter + cycle filter + sink") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val dir = graft.TempDirs.scratch("graft-pipe")
     val sink = new ParquetUpsertSink(spark, s"$dir/table", s"$dir/ledger", "key", "seq", "op")
     val input = MemoryStream[ChangeEvent]
     val spec = ReplicationSpec(

@@ -209,7 +209,7 @@ class DedupSpec extends SparkSpec {
     val index = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val (bands, sigs) = MinHashDedup.buildPortableIndex(index, "doc_id", "text", 3, 16, 4)
-    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    val dir = graft.TempDirs.scratch("graft-mhidx")
     bands.write.partitionBy("band").parquet(s"$dir/bands")
     sigs.write.parquet(s"$dir/sigs")
     val got = MinHashDedup.nearDupAgainstIndex(
@@ -237,7 +237,7 @@ class DedupSpec extends SparkSpec {
     val index = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val idx = SimHashDedup.buildPortableIndex(index, "doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    val dir = graft.TempDirs.scratch("graft-shidx")
     idx.write.partitionBy("block_idx").parquet(s"$dir/idx")
     val got = SimHashDedup.nearDupAgainstIndex(
         spark.read.parquet(s"$dir/idx"), batch, "doc_id", "text",
@@ -292,7 +292,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("stored prefix index: parquet round-trip probe == brute-force cross truth") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-pfx").toString
+    val dir = graft.TempDirs.scratch("graft-pfx")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val (dfT, pfx, sets) = Dedup.buildPrefixIndex(corpus, "doc_id", "text", 3, 1, 2)

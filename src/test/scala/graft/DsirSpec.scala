@@ -49,7 +49,7 @@ class DsirSpec extends SparkSpec {
     val d = Tables.load(spark, sf, "documents")
     val tgt = d.filter(col("source") === "src0")
     val (model, base) = TextAnalysis.trainDsir(d, tgt, "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val dir = graft.TempDirs.scratch("graft-dsir")
     model.write.mode("overwrite").parquet(s"$dir/model")
     base.write.mode("overwrite").parquet(s"$dir/base")
     val viaDisk = TextAnalysis.dsirScoreAgainstModel(

@@ -17,7 +17,7 @@ class JobRunnerSpec extends SparkSpec {
 
   test("snapshot: chunked read + filter + projection + rename + watermark") {
     val runner = new JobRunner(spark, ReplicationSpec())
-    val dir = java.nio.file.Files.createTempDirectory("graft-job").toString
+    val dir = graft.TempDirs.scratch("graft-job")
     val orders = Tables.load(spark, sf, "orders")
     val spec = TableSpec("sales", "orders",
       renameSchema = Some("analytics"), renameTable = Some("orders_cdc"),
@@ -50,7 +50,7 @@ class JobRunnerSpec extends SparkSpec {
     val tableSpec = cfg.repl.doDb.head.tables.head
       .copy(schema = cfg.repl.doDb.head.schema,
         renameSchema = cfg.repl.doDb.head.renameSchema)
-    val dir = java.nio.file.Files.createTempDirectory("graft-json-job").toString
+    val dir = graft.TempDirs.scratch("graft-json-job")
     val res = runner.snapshot(Tables.load(spark, sf, "orders"), tableSpec,
       Seq("o_orderkey"), numChunks = 4, outDir = dir)
     assert(res.table == "analytics.orders_cdc")
@@ -84,7 +84,7 @@ class JobRunnerSpec extends SparkSpec {
       "CREATE TABLE src.t (id INT, name VARCHAR(20) DEFAULT '€9.99') DEFAULT CHARSET=latin1"
         .getBytes(cp1252), java.nio.charset.StandardCharsets.ISO_8859_1)
     val input = MemoryStream[WireEvent]
-    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ddl").toString
+    val dir = graft.TempDirs.scratch("graft-e2e-ddl")
     val replans = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = runner.incrementalWithDdl(input.toDF(), sink, s"$dir/cp", registry,
       s => forwarded.synchronized { forwarded += s }, characterSetClient = "latin1",

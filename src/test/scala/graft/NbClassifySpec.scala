@@ -75,7 +75,7 @@ class NbClassifySpec extends SparkSpec {
     val train = d.filter(col("doc_id") % 5 =!= 0)
     val held = d.filter(col("doc_id") % 5 === 0)
     val (model, consts) = TextAnalysis.trainNb(train, "text", "lang")
-    val dir = java.nio.file.Files.createTempDirectory("graft-nbmodel").toString
+    val dir = graft.TempDirs.scratch("graft-nbmodel")
     model.write.mode("overwrite").parquet(s"$dir/model")
     consts.write.mode("overwrite").parquet(s"$dir/consts")
     val viaDisk = TextAnalysis.nbScoreAgainstModel(

@@ -230,7 +230,7 @@ class PlanQualitySpec extends SparkSpec {
     val emb = Tables.load(spark, sf, "embeddings")
     val (lists, cents) = graft.operators.sim.SimilaritySearch.buildIvfQuantizedIndex(
       emb, "vec_id", "embedding", nLists = 8, iters = 1)
-    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val dir = graft.TempDirs.scratch("graft-dpp")
     lists.write.partitionBy("cid").parquet(s"$dir/lists")
     cents.write.parquet(s"$dir/cents")
     val out = graft.operators.sim.SimilaritySearch.ivfQuantizedTopKFromIndex(
@@ -242,7 +242,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("partitioned layout prunes partitions at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val dir = graft.TempDirs.scratch("graft_prune")
     graft.sinks.PartitionedWriter.write(
       Tables.load(spark, sf, "documents"), dir, Seq("lang"))
     val read = spark.read.parquet(dir).filter(col("lang") === "en")

@@ -71,7 +71,7 @@ class PqSpec extends SparkSpec {
   }
 
   test("stored index round-trips: codes+codebook read-back reproduces the search") {
-    val dir = java.nio.file.Files.createTempDirectory("pqix").toString
+    val dir = graft.TempDirs.scratch("pqix")
     val (_, cbs) = PQ.buildIndex(emb, "vec_id", "embedding", dir, dim = 64)
     val fromDisk = PQ.adcTopKFromIndex(spark.read.parquet(s"$dir/codes"),
       PQ.loadCodebooks(spark, dir, m = 8, ks = 16, sd = 8), queries, "vec_id", "embedding", 5)
@@ -102,10 +102,25 @@ class PqSpec extends SparkSpec {
     assert(qlids.nonEmpty && got.count() > 0)
   }
 
+  test("ivf-pq stored index round-trips: probe-from-disk == one-shot search") {
+    val dir = graft.TempDirs.scratch("ivfpqix")
+    PQ.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64, nLists = 8)
+    val fromDisk = PQ.ivfPqTopKFromIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 3)
+    val direct = PQ.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 3)
+    assert(direct.exceptAll(fromDisk).isEmpty && fromDisk.exceptAll(direct).isEmpty)
+    assert(fromDisk.count() > 0)
+    // the on-disk layout IS the inverted file: one directory per list
+    val listDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lid="))
+    assert(listDirs.nonEmpty && listDirs.length <= 8)
+  }
+
   test("streaming ANN probe via foreachBatch == batch search against the stored index") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
+    val dir = graft.TempDirs.scratch("pqstream")
     PQ.buildIndex(emb, "vec_id", "embedding", dir, dim = 64)
     val codes = spark.read.parquet(s"$dir/codes").cache()
     val cbs = PQ.loadCodebooks(spark, dir, m = 8, ks = 16, sd = 8)

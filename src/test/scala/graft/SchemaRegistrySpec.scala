@@ -64,7 +64,7 @@ class SchemaRegistrySpec extends AnyFunSuite {
     reg.applyDdl("db1",
       "CREATE TABLE t (id INT, name VARCHAR(20) CHARACTER SET gbk, plain TEXT) DEFAULT CHARSET=latin1")
     reg.applyDdl("db2", "CREATE TABLE u (k BIGINT NOT NULL, v DECIMAL(10,2))")
-    val path = java.nio.file.Files.createTempDirectory("graft-reg").resolve("registry.json").toString
+    val path = java.nio.file.Paths.get(graft.TempDirs.scratch("graft-reg")).resolve("registry.json").toString
     reg.save(path)
     val back = SchemaRegistry.load(path)
     assert(back.tables.toSet == Set(("db1", "t"), ("db2", "u")))

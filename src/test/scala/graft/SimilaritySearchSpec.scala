@@ -143,7 +143,7 @@ class SimilaritySearchSpec extends SparkSpec {
   }
 
   test("quantized index round-trips through parquet and searches identically") {
-    val tmp = java.nio.file.Files.createTempDirectory("qidx").toString
+    val tmp = graft.TempDirs.scratch("qidx")
     SimilaritySearch.buildQuantizedIndex(emb, "vec_id", "embedding")
       .write.mode("overwrite").parquet(tmp)
     val idx = spark.read.parquet(tmp)
@@ -167,7 +167,7 @@ class SimilaritySearchSpec extends SparkSpec {
     val nLists = 8
     val (lists, cents) = SimilaritySearch.buildIvfQuantizedIndex(emb, "vec_id", "embedding",
       nLists = nLists, iters = 1)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+    val dir = graft.TempDirs.scratch("graft-ivfsq8")
     lists.write.partitionBy("cid").parquet(s"$dir/lists")
     cents.write.parquet(s"$dir/cents")
     val listsBack = spark.read.parquet(s"$dir/lists")
@@ -243,7 +243,7 @@ class SimilaritySearchSpec extends SparkSpec {
     val batch = emb.filter(col("vec_id") % 5 =!= 0)
     val (buckets, vecs) = SimilaritySearch.buildLshIndex(index, "vec_id", "embedding",
       dim = 64, nBits = 8, tables = 4)
-    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val dir = graft.TempDirs.scratch("graft-lshidx")
     buckets.write.partitionBy("lsh_t").parquet(s"$dir/buckets")
     vecs.write.parquet(s"$dir/vecs")
     val got = SimilaritySearch.lshPairsAgainstIndex(

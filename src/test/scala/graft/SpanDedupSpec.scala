@@ -100,7 +100,7 @@ class SpanDedupSpec extends SparkSpec {
     val docs = Tables.load(spark, sf, "documents")
     val train = docs.filter(expr("doc_id % 10 <> 0"))
     val eval = docs.filter(expr("doc_id % 10 = 0"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+    val dir = graft.TempDirs.scratch("graft-spanidx")
     graft.operators.text.SpanDedup.buildSpanIndex(train, "text", n = 5)
       .write.mode("overwrite").parquet(dir)
     val viaIndex = graft.operators.text.SpanDedup

@@ -15,7 +15,7 @@ class StreamingDedupSpec extends SparkSpec {
   test("indexedIngest: stream grows the shared index; later near-copies drop") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val dir = graft.TempDirs.scratch("graft-ingest")
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
     val input = MemoryStream[(Long, String)]
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"

@@ -39,8 +39,8 @@ class StreamingMonitorSpec extends SparkSpec {
 
   test("cm sketch state survives a checkpointed restart (counts keep accumulating)") {
     import spark.implicits._
-    val src = java.nio.file.Files.createTempDirectory("graft-cm-src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-cm-ckpt").toString
+    val src = graft.TempDirs.scratch("graft-cm-src")
+    val ckpt = graft.TempDirs.scratch("graft-cm-ckpt")
     val cells = scala.collection.concurrent.TrieMap[(Int, Long), Long]()
     def run(): Unit = {
       val q = CorpusMonitor.streamingCmSketch(

@@ -40,7 +40,7 @@ class TableStatsSpec extends SparkSpec {
   }
 
   test("partitioned writer: one file per partition value, round-trips") {
-    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
+    val out = graft.TempDirs.scratch("graft-part") + "/docs"
     val docs = Tables.load(spark, sf, "documents")
     PartitionedWriter.write(docs, out, Seq("lang"))
     val back = spark.read.parquet(out)
@@ -56,7 +56,7 @@ class TableStatsSpec extends SparkSpec {
 
   test("partitioned writer bounds file size on a hot partition") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-part2").toString + "/t"
+    val out = graft.TempDirs.scratch("graft-part2") + "/t"
     val hot = spark.range(10000).select(lit("x").as("k"), col("id")).repartition(8)
     PartitionedWriter.write(hot, out, Seq("k"), maxRecordsPerFile = 3000)
     val files = new java.io.File(s"$out/k=x").listFiles().count(_.getName.endsWith(".parquet"))

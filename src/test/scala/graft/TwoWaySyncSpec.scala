@@ -19,7 +19,7 @@ class TwoWaySyncSpec extends SparkSpec {
       s""""last_committed":${seq - 1},"origin_server_id":"$origin"}"""
 
   test("A->B and B->A apply peer rows once and drop self-originated echoes") {
-    val work = java.nio.file.Files.createTempDirectory("graft-2way").toString
+    val work = graft.TempDirs.scratch("graft-2way")
     val streamA = s"$work/streamA" // changes captured ON server A
     val streamB = s"$work/streamB"
 

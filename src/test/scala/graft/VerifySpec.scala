@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class VerifySpec extends SparkSpec {
 
   test("runOne dumps a good query and marks a broken one with _ERROR") {
-    val out = Files.createTempDirectory("graft-verify").toString
+    val out = graft.TempDirs.scratch("graft-verify")
     val ok = Verify.runOne(spark, sf, out, "good",
       (s, dir) => Tables.load(s, dir, "nation").select(col("n_nationkey")))
     assert(ok)
@@ -28,7 +28,7 @@ class VerifySpec extends SparkSpec {
   }
 
   test("a regression wipes the previous run's parquet — no stale pass") {
-    val out = Files.createTempDirectory("graft-verify").toString
+    val out = graft.TempDirs.scratch("graft-verify")
     assert(Verify.runOne(spark, sf, out, "q",
       (s, dir) => Tables.load(s, dir, "region").select(col("r_regionkey"))))
     assert(spark.read.parquet(s"$out/q").count() == 5)

@@ -45,7 +45,7 @@ class ZOrderSpec extends SparkSpec {
   test("writeZOrdered round-trips rows and drops the helper column") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = graft.TempDirs.scratch("zorder")
     ZOrderLayout.writeZOrdered(grid, "x", "y", dir, numFiles = 8, bits = 5)
     val back = spark.read.parquet(dir)
     assert(back.columns.toSeq.sorted == Seq("x", "y"))
