@@ -114,6 +114,13 @@ object ScaleProbe {
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           "doc_id", "text", expectedItems = math.min(400000L * k, 4000000L))
       }
+      time("bpe_train_local_1k", k) {
+        // the trainer scale path: ONE aggregation + driver merge loop —
+        // job count stays flat at any merge depth (1000 here; the
+        // distributed loop would run ~2000 jobs). Time tracks the
+        // corpus-scan word count, not the merge count.
+        operators.text.BpeTrainer.trainLocal(d, "text", merges = 1000)
+      }
       time("sample_mixture", k) {
         operators.Sampling.sampleMixture(d, "doc_id", "source",
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))

@@ -1623,6 +1623,17 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    "tokenizer_bpe_fast" -> ((s, dir) => {
+      // the SCALE path of the same training: vocab collected after the
+      // one corpus aggregation, merge loop driver-side with incremental
+      // pair counts — O(1) Spark jobs for any merge count (a 32k-merge
+      // vocab costs what 8 does, where the distributed loop pays
+      // 2 jobs/round). Must produce bit-identical merges: shares
+      // tokenizer_bpe_train's hash oracle
+      graft.operators.text.BpeTrainer.trainLocal(t(s, dir, "documents"), "text", merges = 8)
+        .orderBy(col("step"))
+    }),
+
     "tokenizer_bpe_encode" -> ((s, dir) => {
       // the ENCODE half: train 8 merges, replay the merge table over
       // docs 0-49 at scan speed — the tokenizer applying its model
@@ -2756,6 +2767,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_train" -> bpeTrainOracleSql(8),
+
+    // the driver-side scale path must reproduce the distributed merges
+    "tokenizer_bpe_fast" -> bpeTrainOracleSql(8),
 
     "tokenizer_bpe_encode" -> bpeEncodeOracleSql(8),
 

@@ -102,6 +102,106 @@ object BpeTrainer {
     out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** The SCALE path of [[train]]: identical output, O(1) Spark jobs
+    * for ANY merge count. After the one corpus-wide word-count
+    * aggregation the problem is vocabulary-bound (distinct words ×
+    * counts — what HuggingFace's trainer also collects), so the merge
+    * loop runs driver-side over the collected vocab with INCREMENTAL
+    * pair-count maintenance: each merge touches only the words that
+    * contain the winning pair (pair → word-index postings), not the
+    * whole vocab — a real 32k-merge training run is two Spark jobs
+    * (count + collect) plus an in-memory loop, where the distributed
+    * form pays 2·merges jobs. [[train]] stays as the oracle witness;
+    * equality is pinned in BpeTrainerSpec and `tokenizer_bpe_fast`
+    * shares `tokenizer_bpe_train`'s hash oracle.
+    *
+    * Parity notes mirrored from the distributed form: symbols are code
+    * points (Java `codePoints`, = `regexp_extract_all '(?s).'`); the
+    * merge is non-overlapping left-to-right; the argmax tie-break
+    * (count DESC, l ASC, r ASC) compares strings by CODE POINT — Spark
+    * orders UTF8 bytes (= code-point order) while Java's
+    * `String.compareTo` orders UTF-16 units, and the two disagree
+    * between supplementary characters (emoji) and U+E000..U+FFFF, so a
+    * naive compareTo would pick a different winner on tied emoji pairs.
+    */
+  def trainLocal(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = graft.operators.Partitioning.ensureMinParallelism(
+      docs.filter(col(textCol).isNotNull))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+
+    // code-point (= UTF8-byte = Spark) string order, NOT UTF-16 compareTo
+    def cpCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+
+    final class W(var syms: Array[String], val cnt: Long)
+    val words: Array[W] = vocab.map { case (w, c) =>
+      new W(w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String),
+      scala.collection.mutable.Set[Int]]
+    def bump(p: (String, String), by: Long, idx: Int): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + by
+      if (nc <= 0L) { pairCount.remove(p); pairWords.remove(p) }
+      else {
+        pairCount(p) = nc
+        if (by > 0) pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty[Int]) += idx
+      }
+    }
+    words.indices.foreach { i =>
+      val s = words(i).syms
+      var j = 0
+      while (j + 1 < s.length) { bump((s(j), s(j + 1)), words(i).cnt, i); j += 1 }
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    while (step <= merges && pairCount.nonEmpty) {
+      // argmax (count DESC, l ASC, r ASC) — linear scan; the pair table
+      // is vocab-sized and shrinks as merges consume it
+      var best: (String, String) = null; var bc = -1L
+      pairCount.foreach { case (p, c) =>
+        if (c > bc || (c == bc && {
+          val dl = cpCompare(p._1, best._1)
+          dl < 0 || (dl == 0 && cpCompare(p._2, best._2) < 0)
+        })) { best = p; bc = c }
+      }
+      val (l, r) = best
+      out += ((step, l, r, l + r, bc))
+      // merge only in the words that contain the pair; maintain counts
+      // incrementally (old pairs out, new pairs in)
+      val touched = pairWords.getOrElse(best, scala.collection.mutable.Set.empty[Int]).toArray
+      touched.foreach { i =>
+        val w = words(i); val s = w.syms
+        var j = 0
+        while (j + 1 < s.length) { bump((s(j), s(j + 1)), -w.cnt, i); j += 1 }
+        val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+        j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == l && s(j + 1) == r) { ns += l + r; j += 2 }
+          else { ns += s(j); j += 1 }
+        }
+        w.syms = ns.toArray
+        j = 0
+        while (j + 1 < w.syms.length) { bump((w.syms(j), w.syms(j + 1)), w.cnt, i); j += 1 }
+      }
+      step += 1
+    }
+    out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Apply a trained merge table to new text: each merge replayed in
     * step order over the symbol representation — the ENCODE half of
     * the tokenizer. Returns (id, symbols array<string>). The merge

@@ -62,6 +62,50 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got.isEmpty) // all words are single symbols from round 1
   }
 
+  private def trainLocal(texts: Seq[String], merges: Int = 5) =
+    BpeTrainer.trainLocal(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"), "text", merges)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+
+  test("trainLocal == train on every fixture (the scale path is exact)") {
+    val fixtures = Seq(
+      Seq("ab ab abc"),
+      Seq("aaa aaa"),
+      Seq("abab abab cd"),
+      Seq("the cat sat on the mat", "the dog sat"),
+      Seq("x")) // degenerate: single-symbol vocab, early stop
+    fixtures.foreach { f =>
+      assert(trainLocal(f, 6) == train(f, 6), s"diverged on $f")
+    }
+  }
+
+  test("trainLocal tie-break is code-point order, not UTF-16 (emoji trap)") {
+    // two tied pairs: (😀, a) and (, b). Code-point order puts
+    // U+F000 below U+1F600, so (, b) must win round 1 — Java's
+    // String.compareTo would order the surrogate pair (D83D DE00)
+    // BELOW  and pick the emoji pair instead. Spark's UTF8
+    // ordering == code points, so the two paths only agree if the
+    // driver loop compares code points.
+    val docs = Seq("😀a b")
+    val d = train(docs, 1)
+    val l = trainLocal(docs, 1)
+    assert(d == l)
+    assert(l.head._2 == "") // the code-point-smaller left symbol
+  }
+
+  test("trainLocal: deep merge count costs O(1) Spark jobs (the scale contract)") {
+    val docs = (0 until 200).map(i => s"w${i}abcdefgh w${i}abcd xyz$i")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val merged = BpeTrainer.trainLocal(docs, "text", merges = 1000).count()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(merged > 100) // the loop genuinely ran deep
+    // one count-collect + the result materialization — far under a
+    // per-merge job budget (the distributed loop would add ~2000 jobs)
+    assert(after - before <= 10, s"jobs=${after - before}")
+  }
+
   test("encode applies the merge table in step order") {
     val docs = Seq((0L, "ab ab abc")).toDF("doc_id", "text")
     val merges = BpeTrainer.train(docs, "text", 5)
