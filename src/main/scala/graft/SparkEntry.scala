@@ -1374,6 +1374,16 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "layout_zorder_rank" -> ((s, dir) => {
+      // quantile-rank z-order codes: every bucket holds ≈ equal rows
+      // regardless of value distribution — the skew-proof variant
+      // (linear codes collapse under an outlier key; ZOrderSpec pins
+      // the divergence), all-integer so the layout hash-oracles
+      graft.sinks.ZOrderLayout.zorderStatsRank(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 10, bucketBits = 6)
+        .orderBy(col("bucket"))
+    }),
+
     "sim_mmr_topk" -> ((s, dir) => {
       // MMR diversification: greedy max(min-dist-to-selected − dist-to-
       // query) over the exact integer-L2 pool — the de-redundancy pass
@@ -2555,6 +2565,26 @@ object SparkEntry {
       |  GROUP BY q.vec_id, co.vec_id)
       |""".stripMargin
 
+  /** The Morton interleave + bucket rollup shared by both z-order
+    * oracles (linear and rank codes differ only in their `q` CTE).
+    */
+  private val zorderMortonTail: String =
+    """,
+      |sp AS (SELECT l_orderkey, l_partkey,
+      |    ((xq | (xq << 8)) & 16711935) AS x1, ((yq | (yq << 8)) & 16711935) AS y1
+      |  FROM q),
+      |sp2 AS (SELECT l_orderkey, l_partkey,
+      |    ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sp),
+      |sp3 AS (SELECT l_orderkey, l_partkey,
+      |    ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sp2),
+      |z AS (SELECT l_orderkey, l_partkey,
+      |    (((x3 | (x3 << 1)) & 1431655765) | (((y3 | (y3 << 1)) & 1431655765) << 1)) AS zv
+      |  FROM sp3)
+      |SELECT (zv >> 14) AS bucket, COUNT(*) AS n_rows,
+      |  MIN(l_orderkey) AS min_x, MAX(l_orderkey) AS max_x,
+      |  MIN(l_partkey) AS min_y, MAX(l_partkey) AS max_y
+      |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** The IVF16,PQ8 search replayed in SQL — shared verbatim by
     * `sim_ivf_pq_topk` (one-shot) and `sim_ivfpq_index_probe` (stored
     * index): the persisted layout must reproduce the one-shot plan's
@@ -2844,31 +2874,41 @@ object SparkEntry {
         |FROM p ORDER BY day""".stripMargin,
 
     // linear (min,max) 10-bit quantization, 5-step magic-mask Morton
-    // interleave, bucket = top 6 z bits — pure 64-bit integer ops after
-    // one IEEE multiply+floor per value
+    // interleave, bucket = top 6 z bits. The subtraction runs EXACTLY
+    // in HUGEINT and reaches double through the varchar-mediated cast
+    // (DuckDB's direct HUGEINT→DOUBLE is not correctly rounded),
+    // mirroring the engine's DECIMAL(38,0)-subtract-then-convert — the
+    // two sides stay bit-identical over the whole long domain
     "layout_zorder" ->
-      """WITH s AS (SELECT MIN(l_orderkey) AS mn_x, MAX(l_orderkey) AS mx_x,
+      ("""WITH s AS (SELECT MIN(l_orderkey) AS mn_x, MAX(l_orderkey) AS mx_x,
         |    MIN(l_partkey) AS mn_y, MAX(l_partkey) AS mx_y FROM lineitem),
         |q AS (SELECT l_orderkey, l_partkey,
         |    CASE WHEN mx_x = mn_x THEN 0
-        |         ELSE CAST(floor((l_orderkey - mn_x) * 1024.0 / (mx_x - mn_x + 1)) AS BIGINT) END AS xq,
+        |         ELSE CAST(floor(CAST(CAST(CAST(l_orderkey AS HUGEINT) - mn_x AS VARCHAR) AS DOUBLE) * 1024.0 /
+        |              (CAST(CAST(CAST(mx_x AS HUGEINT) - mn_x AS VARCHAR) AS DOUBLE) + 1.0)) AS BIGINT) END AS xq,
         |    CASE WHEN mx_y = mn_y THEN 0
-        |         ELSE CAST(floor((l_partkey - mn_y) * 1024.0 / (mx_y - mn_y + 1)) AS BIGINT) END AS yq
-        |  FROM lineitem CROSS JOIN s),
-        |sp AS (SELECT l_orderkey, l_partkey,
-        |    ((xq | (xq << 8)) & 16711935) AS x1, ((yq | (yq << 8)) & 16711935) AS y1
-        |  FROM q),
-        |sp2 AS (SELECT l_orderkey, l_partkey,
-        |    ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sp),
-        |sp3 AS (SELECT l_orderkey, l_partkey,
-        |    ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sp2),
-        |z AS (SELECT l_orderkey, l_partkey,
-        |    (((x3 | (x3 << 1)) & 1431655765) | (((y3 | (y3 << 1)) & 1431655765) << 1)) AS zv
-        |  FROM sp3)
-        |SELECT (zv >> 14) AS bucket, COUNT(*) AS n_rows,
-        |  MIN(l_orderkey) AS min_x, MAX(l_orderkey) AS max_x,
-        |  MIN(l_partkey) AS min_y, MAX(l_partkey) AS max_y
-        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |         ELSE CAST(floor(CAST(CAST(CAST(l_partkey AS HUGEINT) - mn_y AS VARCHAR) AS DOUBLE) * 1024.0 /
+        |              (CAST(CAST(CAST(mx_y AS HUGEINT) - mn_y AS VARCHAR) AS DOUBLE) + 1.0)) AS BIGINT) END AS yq
+        |  FROM lineitem CROSS JOIN s)""".stripMargin + zorderMortonTail),
+
+    // quantile-rank codes: cumulative distinct-value counts, one
+    // positive integer division per value (div == // on positive
+    // operands), same Morton tail — balanced buckets under ANY skew
+    "layout_zorder_rank" ->
+      ("""WITH xn AS (SELECT CAST(l_orderkey AS BIGINT) AS v, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |xc AS (SELECT v, CAST(COALESCE(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1024
+        |    // SUM(n) OVER () AS BIGINT) AS code FROM xn),
+        |yn AS (SELECT CAST(l_partkey AS BIGINT) AS v, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |yc AS (SELECT v, CAST(COALESCE(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1024
+        |    // SUM(n) OVER () AS BIGINT) AS code FROM yn),
+        |q AS (SELECT l.l_orderkey, l.l_partkey, xc.code AS xq, yc.code AS yq
+        |  FROM lineitem l
+        |  JOIN xc ON CAST(l.l_orderkey AS BIGINT) = xc.v
+        |  JOIN yc ON CAST(l.l_partkey AS BIGINT) = yc.v)""".stripMargin + zorderMortonTail),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

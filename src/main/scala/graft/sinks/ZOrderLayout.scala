@@ -38,15 +38,23 @@ object ZOrderLayout {
   /** Linear (min,max) quantization to `bits`-bit codes: one broadcast
     * stats row, `floor((x−mn)·2^bits / (mx−mn+1))` per value —
     * constant columns code to 0.
+    *
+    * Arithmetic order is part of the cross-engine contract: subtract
+    * EXACTLY in DECIMAL(38,0) (no long wrap-around for spans past
+    * 2^63, no precision loss for keys above 2^53 — double-cast-first
+    * subtraction diverged from the oracle's integer subtraction there,
+    * review catch), then ONE correctly-rounded conversion to double
+    * feeds the IEEE multiply/divide/floor. The oracle mirrors it:
+    * HUGEINT subtraction routed through the varchar-mediated double
+    * cast (DuckDB's direct HUGEINT→DOUBLE is not correctly rounded).
     */
   def quantize(x: Column, mn: Column, mx: Column, bits: Int): Column = {
     val buckets = math.pow(2, bits)
-    // subtract AFTER the double casts: a long-range span past 2^63
-    // (sentinel keys near both extremes) would wrap silently in Spark
-    // and error loudly in the oracle (review catch)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val diff = (x.cast(d38) - mn.cast(d38)).cast("double")
+    val span = (mx.cast(d38) - mn.cast(d38)).cast("double")
     when(mx === mn, lit(0L)).otherwise(
-      floor((x.cast("double") - mn.cast("double")) * lit(buckets) /
-        (mx.cast("double") - mn.cast("double") + lit(1.0))).cast("long"))
+      floor(diff * lit(buckets) / (span + lit(1.0))).cast("long"))
   }
 
   /** Attach the z-value for two long/int columns (10-bit codes each —
@@ -64,6 +72,61 @@ object ZOrderLayout {
         quantize(col(yCol).cast("long"), col("mn_y"), col("mx_y"), bits)))
       .drop("mn_x", "mx_x", "mn_y", "mx_y")
   }
+
+  /** Quantile-RANK codes for one column: (value → code) where
+    * `code = ⌊rows_before(value) · 2^bits / total⌋` — every bucket
+    * holds ≈ total/2^bits rows regardless of the value distribution.
+    * Linear codes degrade under skew (one outlier stretches the range
+    * so every regular value collapses into code 0 and that column's
+    * min/max spans stay full-width in every file — pinned in
+    * ZOrderSpec); rank codes bound both columns on ANY distribution.
+    *
+    * All-integer (cumulative count, then one positive integer
+    * division), so codes hash-oracle on any engine. Scale shape: the
+    * heavy table never sees a global window — only the DISTINCT-value
+    * table does (a groupBy reduction first), which is the standard
+    * boundary-table trade of rank-based partitioning; for keys whose
+    * distinct cardinality rivals the row count, sample the boundary
+    * table or fall back to linear codes.
+    */
+  def rankCodes(df: DataFrame, c: String, bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = 1L << bits
+    val counts = df.groupBy(col(c).cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("prior", coalesce(sum(col("n")).over(w), lit(0L)))
+      .join(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .select(col("v"), expr(s"prior * $buckets div total").as("code"))
+  }
+
+  /** [[withZValue]] with rank codes: two vocab-sized code joins
+    * replace the broadcast min/max row.
+    */
+  def withZValueRank(df: DataFrame, xCol: String, yCol: String,
+                     bits: Int = 10): DataFrame = {
+    val xc = rankCodes(df, xCol, bits)
+      .select(col("v").as("xv_"), col("code").as("xq_"))
+    val yc = rankCodes(df, yCol, bits)
+      .select(col("v").as("yv_"), col("code").as("yq_"))
+    df.join(xc.hint("shuffle_hash"), col(xCol).cast("long") === col("xv_"))
+      .join(yc.hint("shuffle_hash"), col(yCol).cast("long") === col("yv_"))
+      .withColumn("zv", zValue2(col("xq_"), col("yq_")))
+      .drop("xv_", "xq_", "yv_", "yq_")
+  }
+
+  /** [[zorderStats]] over rank codes — the oracled evidence that the
+    * layout stays balanced under skew.
+    */
+  def zorderStatsRank(df: DataFrame, xCol: String, yCol: String,
+                      bits: Int = 10, bucketBits: Int = 6): DataFrame =
+    withZValueRank(df, xCol, yCol, bits)
+      .withColumn("bucket", shiftright(col("zv"), 2 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("long")).as("min_x"), max(col(xCol).cast("long")).as("max_x"),
+        min(col(yCol).cast("long")).as("min_y"), max(col(yCol).cast("long")).as("max_y"))
 
   /** Write `df` z-ordered on (xCol, yCol): range-partition by z-value,
     * sort inside partitions, drop the helper column — each output file

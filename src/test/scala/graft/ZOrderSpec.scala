@@ -42,6 +42,40 @@ class ZOrderSpec extends SparkSpec {
     assert(px < zx, "sanity: x-major bounds x tighter than z-order does")
   }
 
+  test("skewed keys: linear codes collapse one column; rank codes bound both") {
+    // x: a uniform 1..512 working set plus ONE outlier at 10^12 — the
+    // linear (min,max) quantizer maps every regular x to code 0, so
+    // buckets split only on y and x stays full-width per bucket; rank
+    // codes ignore magnitudes entirely and keep buckets balanced
+    val rows = (1 to 512).flatMap(x => (1 to 4).map(y =>
+      (x.toLong, ((x * 7 + y * 13) % 64).toLong))) :+ (1000000000000L, 1L)
+    val df = rows.toDF("x", "y")
+    def maxRegularXSpan(stats: org.apache.spark.sql.DataFrame): Long =
+      stats.filter(col("max_x") < 1000000L) // outlier bucket aside
+        .agg(max(col("max_x") - col("min_x"))).head().getLong(0)
+    val lin = ZOrderLayout.zorderStats(df, "x", "y", bits = 10, bucketBits = 4)
+    val rnk = ZOrderLayout.zorderStatsRank(df, "x", "y", bits = 10, bucketBits = 4)
+    // linear: regular rows all landed in x-code 0 → some bucket carries
+    // (nearly) the whole 1..512 span
+    assert(maxRegularXSpan(lin) > 400L, s"linear=${maxRegularXSpan(lin)}")
+    // rank: 16 buckets over 513 distinct x values → spans stay bounded
+    assert(maxRegularXSpan(rnk) < 200L, s"rank=${maxRegularXSpan(rnk)}")
+    // and the rank buckets hold balanced row counts (within 3x)
+    val counts = rnk.select(col("n_rows")).as[Long].collect()
+    assert(counts.max <= 3 * math.max(counts.min, 1))
+  }
+
+  test("rankCodes: exact integer quantiles, code range [0, 2^bits)") {
+    val df = (1 to 100).map(i => (i.toLong, 0L)).toDF("x", "y")
+    val codes = ZOrderLayout.rankCodes(df, "x", 3)
+      .orderBy(col("v")).as[(Long, Long)].collect()
+    // 100 values into 8 buckets: code = prior*8 div 100 — 12..13 per code
+    assert(codes.map(_._2).min == 0L && codes.map(_._2).max == 7L)
+    assert(codes.groupBy(_._2).values.map(_.size).max <= 13)
+    // monotone: codes never decrease with value
+    assert(codes.map(_._2).sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("writeZOrdered round-trips rows and drops the helper column") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
