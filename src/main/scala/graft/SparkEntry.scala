@@ -2818,8 +2818,8 @@ object SparkEntry {
         |  GROUP BY bg HAVING COUNT(*) >= 5),
         |sp AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12 FROM bg),
         |p AS (SELECT sp.w1, sp.w2, sp.c12,
-        |    CAST(round(ln(CAST(sp.c12 * t1.t_uni * t1.t_uni AS DOUBLE) /
-        |                  CAST(t2.t_bi * u1.c * u2.c AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micros
+        |    CAST(round(ln(CAST(CAST(CAST(sp.c12 AS HUGEINT) * t1.t_uni * t1.t_uni AS VARCHAR) AS DOUBLE) /
+        |                  CAST(CAST(CAST(t2.t_bi AS HUGEINT) * u1.c * u2.c AS VARCHAR) AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micros
         |  FROM sp JOIN uni u1 ON u1.w = sp.w1 JOIN uni u2 ON u2.w = sp.w2
         |  CROSS JOIN t1 CROSS JOIN t2)
         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi_micros

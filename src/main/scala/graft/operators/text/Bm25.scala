@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   * quantized half-up to micros with one BIGINT division
   * (`(44·tf·T·10^6 + den) div (2·den)`), and each term's contribution
   * is `(idf_micros · tfw_micros + 5·10^5) div 10^6` — every step pure
-  * BIGINT, so scores hash-match any ANSI engine bit for bit (no float
-  * accumulation anywhere). Long headroom: the widest intermediate is
-  * 44·tf·T·10^6 ≤ 2^62 up to ~10^11 tf·tokens; past that (true
-  * trillion-token corpora) the same formula runs in DECIMAL(38,0)
-  * unchanged.
+  * integer, so scores hash-match any ANSI engine bit for bit (no float
+  * accumulation anywhere). The widest intermediate, `44·tf·T·10^6`,
+  * runs in DECIMAL(38,0) (a BIGINT form would wrap silently past
+  * tf·T ≈ 2.1e11 — inside a 10^11-token corpus; decimal is exact to
+  * tf·T ≈ 2.3e30) and the integral divide returns the micro weight to
+  * BIGINT, identical to the narrow arithmetic wherever both are
+  * defined.
   *
   * Scale shape: one corpus scan builds (doc, term, tf, dl); df is a
   * window count over the term partition (rows are distinct per doc, so
@@ -83,24 +85,37 @@ object Bm25 {
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("term"))
 
+  /** The ONE scoring expression both [[scores]] and [[percolate]]
+    * apply to a joined (tf, dl, df, n_docs, total_tokens) row set
+    * (they previously duplicated it — review catch). The tf-weight
+    * numerator `44·tf·T·10^6` runs in DECIMAL(38,0): the BIGINT form
+    * wrapped silently past tf·T ≈ 2.1e11 (inside a ~1e11-token
+    * corpus); decimal carries it exactly to tf·T ≈ 2.3e30 — beyond any
+    * corpus — and the integral divide lands back in BIGINT micros, so
+    * results are bit-identical to the narrow form wherever both are
+    * defined. idf·tfw ≤ 1.4e7·2.2e6 ≈ 3e13 keeps `contrib` in BIGINT.
+    */
+  private def withScoreCols(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("idf_micros",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * lit(1e6)).cast("long"))
+      .withColumn("den",
+        expr("cast(total_tokens as decimal(38,0)) * (10 * tf + 3) + " +
+          "9 * cast(dl as decimal(38,0)) * n_docs"))
+      .withColumn("tfw_micros",
+        expr("(44 * cast(tf as decimal(38,0)) * total_tokens * 1000000 + den) div (2 * den)"))
+      .withColumn("contrib",
+        expr("(idf_micros * tfw_micros + 500000) div 1000000"))
+
   /** Unranked BM25 scores: (query_id, doc_id, score_micros,
     * n_terms_hit) for every doc matching ≥ 1 query term. The postings
     * side carries df already; stats ride in as one broadcast row.
     */
   def scores(post: DataFrame, stats: DataFrame, qterms: DataFrame): DataFrame =
-    post
+    withScoreCols(post
       .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(stats))
-      .withColumn("idf_micros",
-        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-          * lit(1e6)).cast("long"))
-      .withColumn("den",
-        col("total_tokens") * (lit(10L) * col("tf") + lit(3L)) +
-          lit(9L) * col("dl") * col("n_docs"))
-      .withColumn("tfw_micros",
-        expr("(44 * tf * total_tokens * 1000000 + den) div (2 * den)"))
-      .withColumn("contrib",
-        expr("(idf_micros * tfw_micros + 500000) div 1000000"))
+      .join(broadcast(stats)))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_micros"),
         count(lit(1)).as("n_terms_hit"))
@@ -185,21 +200,11 @@ object Bm25 {
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    btf
+    withScoreCols(btf
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(tdf), Seq("term"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
-      .join(broadcast(stats))
-      .withColumn("idf_micros",
-        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-          * lit(1e6)).cast("long"))
-      .withColumn("den",
-        col("total_tokens") * (lit(10L) * col("tf") + lit(3L)) +
-          lit(9L) * col("dl") * col("n_docs"))
-      .withColumn("tfw_micros",
-        expr("(44 * tf * total_tokens * 1000000 + den) div (2 * den)"))
-      .withColumn("contrib",
-        expr("(idf_micros * tfw_micros + 500000) div 1000000"))
+      .join(broadcast(stats)))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_micros"),
         count(lit(1)).as("n_terms_hit"))

@@ -2,6 +2,7 @@ package graft.operators.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text analysis for training-data pipelines (beyond-parity, SURVEY.md
   * §8): language ID, quality scoring, token counting, fingerprinting.
@@ -528,10 +529,12 @@ object TextAnalysis {
     * bigram count, c1/c2 unigram counts, T1/T2 the unigram/bigram
     * totals. The canonical multiword-expression extractor ("new york",
     * "machine learning") for tokenizer seeding and blocklist curation.
-    * The ratio is built in exact BIGINT (headroom to ~10^5 corpus
-    * tokens at max counts; beyond that, split the ln — at one rounding
-    * per term), converted once, ln'd once, rounded once to micros —
-    * hash-oracled. `minCount` suppresses the unstable low-frequency
+    * Numerator and denominator are built EXACTLY in DECIMAL(38,0)
+    * (↔ DuckDB HUGEINT) — headroom to ~4·10^12 corpus tokens even at
+    * maximal counts (c12·T1² ≤ 10^38), and past that the failure is
+    * LOUD on both engines (decimal overflow), never a silent wrap —
+    * each side converted once to double, ln'd once, rounded once to
+    * micros — hash-oracled. `minCount` suppresses the unstable low-frequency
     * tail (classic PMI failure mode); the cut is TakeOrdered on
     * (pmi DESC, w1, w2).
     *
@@ -558,9 +561,15 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w1"), col("c").as("c1")).hint("shuffle_hash"), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")).hint("shuffle_hash"), Seq("w2"))
       .join(broadcast(t1)).join(broadcast(t2))
+      // numerator/denominator built EXACTLY in DECIMAL(38,0) — the
+      // BIGINT form wrapped silently past ~3e9 corpus tokens (review
+      // catch); decimal38 holds to t_uni ≈ 4e12 (c12·t_uni² ≤ 1e38)
+      // and FAILS VISIBLY beyond (Spark nulls, DuckDB HUGEINT errors)
+      // instead of ranking wrong. One double conversion per side, one
+      // ln, one rounding — the single-rounding parity contract
       .withColumn("pmi_micros",
-        round(log((col("c12") * col("t_uni") * col("t_uni")).cast("double") /
-          (col("t_bi") * col("c1") * col("c2")).cast("double")) * lit(1e6)).cast("long"))
+        round(log((col("c12").cast(DecimalType(38, 0)) * col("t_uni") * col("t_uni")).cast("double") /
+          (col("t_bi").cast(DecimalType(38, 0)) * col("c1") * col("c2")).cast("double")) * lit(1e6)).cast("long"))
       .select(col("w1"), col("w2"), col("c12"), col("pmi_micros"))
       .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
       .limit(k)

@@ -190,13 +190,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PQ kernels: the codebook rides as a FOLDABLE literal argument and
     // is bound into the expression at plan build (one long[][][] per
     // plan, not a per-row operand)
-    def codebookOf(e: Expression, fn: String): Array[Array[Array[Long]]] = {
+    def codebookOf(e: Expression, fn: String): CodebookRef = {
       require(e.foldable, s"$fn: codebook must be a literal array<array<array<long>>>")
       val outer = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      Array.tabulate(outer.numElements()) { s =>
+      new CodebookRef(Array.tabulate(outer.numElements()) { s =>
         val mid = outer.getArray(s)
         Array.tabulate(mid.numElements())(c => mid.getArray(c).toLongArray())
-      }
+      })
     }
     ext.injectFunction((
       FunctionIdentifier("graft_pq_assign"),

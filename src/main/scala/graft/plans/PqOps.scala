@@ -105,16 +105,24 @@ object PqUtil {
     new GenericArrayData(out)
   }
 
-  /** ADC distance: Σ over subspaces of d2(q_sub, codeword(codes[sub])). */
+  /** ADC distance: Σ over subspaces of d2(q_sub, codeword(codes[sub])).
+    * Codes paired with the WRONG codebook fail with a descriptive
+    * error, not a raw ArrayIndexOutOfBounds (review catch).
+    */
   def adc(codes: ArrayData, qvec: ArrayData, isFloat: Boolean,
           cbs: Array[Array[Array[Long]]]): Decimal = {
     val qm = microsOf(qvec, isFloat)
     val m = cbs.length
     val sd = cbs(0)(0).length
+    require(codes.numElements() == m,
+      s"graft_pq_adc: codes length ${codes.numElements()} != codebook subspaces $m")
     var hi = 0L; var lo = 0L
     var s = 0
     while (s < m) {
-      val cw = cbs(s)(codes.getInt(s))
+      val cid = codes.getInt(s)
+      require(cid >= 0 && cid < cbs(s).length,
+        s"graft_pq_adc: code id $cid out of range [0, ${cbs(s).length}) in subspace $s")
+      val cw = cbs(s)(cid)
       var i = 0
       while (i < sd) {
         val d = qm(s * sd + i) - cw(i)
@@ -145,6 +153,27 @@ object PqUtil {
   }
 }
 
+/** Codebook holder with VALUE-based equality. The raw
+  * `Array[Array[Array[Long]]]` as a case-class field compares by
+  * reference, so two structurally identical PqAssign/PqAdc expressions
+  * were never `semanticEquals` — Catalyst canonicalization,
+  * common-subexpression elimination, and exchange reuse all silently
+  * missed (review catch). Deep equality restores them.
+  */
+final class CodebookRef(val cbs: Array[Array[Array[Long]]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case other: CodebookRef =>
+      java.util.Arrays.deepEquals(cbs.asInstanceOf[Array[AnyRef]],
+        other.cbs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override val hashCode: Int =
+    java.util.Arrays.deepHashCode(cbs.asInstanceOf[Array[AnyRef]])
+  // keep plan strings compact: a codebook is m·ks·subDim cells
+  override def toString: String =
+    s"codebook(m=${cbs.length},ks=${if (cbs.isEmpty) 0 else cbs(0).length})"
+}
+
 private[plans] object PqTypes {
   def vecOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType | DoubleType, _) => true
@@ -155,7 +184,7 @@ private[plans] object PqTypes {
 }
 
 /** `graft_pq_assign(vec)` with a bound codebook — array<int> codes. */
-case class PqAssign(child: Expression, cbs: Array[Array[Array[Long]]])
+case class PqAssign(child: Expression, book: CodebookRef)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -167,10 +196,10 @@ case class PqAssign(child: Expression, cbs: Array[Array[Array[Long]]])
   override def prettyName: String = "graft_pq_assign"
 
   override def nullSafeEval(input: Any): Any =
-    PqUtil.assign(input.asInstanceOf[ArrayData], PqTypes.isFloat(child.dataType), cbs)
+    PqUtil.assign(input.asInstanceOf[ArrayData], PqTypes.isFloat(child.dataType), book.cbs)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCbs", cbs, "long[][][]")
+    val cbRef = ctx.addReferenceObj("pqCbs", book.cbs, "long[][][]")
     val f = PqTypes.isFloat(child.dataType)
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.plans.PqUtil.assign($v, $f, $cbRef);")
@@ -181,7 +210,7 @@ case class PqAssign(child: Expression, cbs: Array[Array[Array[Long]]])
 }
 
 /** `graft_pq_adc(codes, qvec)` with a bound codebook — DECIMAL(38,0). */
-case class PqAdc(left: Expression, right: Expression, cbs: Array[Array[Array[Long]]])
+case class PqAdc(left: Expression, right: Expression, book: CodebookRef)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -195,10 +224,10 @@ case class PqAdc(left: Expression, right: Expression, cbs: Array[Array[Array[Lon
 
   override def nullSafeEval(codes: Any, qvec: Any): Any =
     PqUtil.adc(codes.asInstanceOf[ArrayData], qvec.asInstanceOf[ArrayData],
-      PqTypes.isFloat(right.dataType), cbs)
+      PqTypes.isFloat(right.dataType), book.cbs)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCbs", cbs, "long[][][]")
+    val cbRef = ctx.addReferenceObj("pqCbs", book.cbs, "long[][][]")
     val f = PqTypes.isFloat(right.dataType)
     nullSafeCodeGen(ctx, ev, (c, q) =>
       s"${ev.value} = graft.plans.PqUtil.adc($c, $q, $f, $cbRef);")

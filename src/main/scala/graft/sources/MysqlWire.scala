@@ -31,12 +31,22 @@ object MysqlWire {
   val COM_REGISTER_SLAVE = 0x15
   val COM_BINLOG_DUMP_GTID = 0x1e
 
-  /** MySQL packet framing: 3-byte little-endian length + sequence id.
-    * Returns the payloads in order (multi-packet payloads ≥ 16 MiB are
-    * out of scope for control packets — binlog events are re-framed by
-    * the event header anyway).
+  /** The protocol's single-packet payload ceiling: a 3-byte length
+    * field caps one packet at 0xFFFFFF bytes; larger logical payloads
+    * split into consecutive max-length packets closed by a final
+    * short (possibly EMPTY) packet.
+    */
+  val MaxPacketPayload: Int = 0xFFFFFF
+
+  /** MySQL packet framing: 3-byte little-endian length + sequence id,
+    * for payloads UNDER the 16 MiB − 1 single-packet ceiling. Larger
+    * payloads must go through [[framePayload]] — writing an oversized
+    * length into 3 bytes would silently corrupt the stream, so this
+    * form now refuses it.
     */
   def framePacket(payload: Array[Byte], seq: Int): Array[Byte] = {
+    require(payload.length < MaxPacketPayload,
+      s"framePacket: payload ${payload.length} ≥ 0xFFFFFF — use framePayload (multi-packet)")
     val out = new Array[Byte](payload.length + 4)
     out(0) = (payload.length & 0xff).toByte
     out(1) = ((payload.length >> 8) & 0xff).toByte
@@ -44,6 +54,46 @@ object MysqlWire {
     out(3) = (seq & 0xff).toByte
     System.arraycopy(payload, 0, out, 4, payload.length)
     out
+  }
+
+  /** Frame ONE logical payload of ANY size (the protocol multi-packet
+    * rule, MySQL internals "Sending More Than 16Mb"): each 0xFFFFFF
+    * chunk is its own packet with an incrementing sequence id, and a
+    * run of max-length packets is closed by a final short packet —
+    * an EMPTY one when the payload is an exact multiple of 0xFFFFFF
+    * (the receiver needs the terminator to know the payload ended).
+    */
+  def framePayload(payload: Array[Byte], startSeq: Int): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream(payload.length + 16)
+    var off = 0; var seq = startSeq
+    while (payload.length - off >= MaxPacketPayload) {
+      bb.write(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, (seq & 0xff).toByte))
+      bb.write(payload, off, MaxPacketPayload)
+      off += MaxPacketPayload; seq += 1
+    }
+    bb.write(framePacket(java.util.Arrays.copyOfRange(payload, off, payload.length), seq))
+    bb.toByteArray
+  }
+
+  /** Reassemble [[splitPackets]] frames into LOGICAL payloads: a run
+    * of max-length packets concatenates with its (possibly empty)
+    * terminator; sequence ids must be consecutive within a run.
+    */
+  def assemblePayloads(frames: Seq[(Int, Array[Byte])]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var expectSeq = -1
+    frames.foreach { case (seq, p) =>
+      if (cur.size() > 0) {
+        require(seq == expectSeq,
+          s"assemblePayloads: continuation seq $seq, expected $expectSeq")
+      }
+      cur.write(p, 0, p.length)
+      if (p.length == MaxPacketPayload) expectSeq = (seq + 1) & 0xff
+      else { out += cur.toByteArray; cur.reset(); expectSeq = -1 }
+    }
+    require(cur.size() == 0, "assemblePayloads: stream ends inside a multi-packet payload")
+    out.result()
   }
 
   /** Split a byte stream into (seq, payload) frames. */

@@ -25,6 +25,34 @@ class MysqlWireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](splitPackets(stream.dropRight(1)))
   }
 
+  test("multi-packet framing: 16 MiB+ payloads split, reassemble, terminate") {
+    // a payload over the 0xFFFFFF single-packet ceiling (exotic configs:
+    // huge auth-more-data / COM_QUERY bodies)
+    val big = Array.tabulate(MysqlWire.MaxPacketPayload + 1000)(i => (i * 31 + 7).toByte)
+    val stream = MysqlWire.framePayload(big, startSeq = 2)
+    val frames = MysqlWire.splitPackets(stream)
+    assert(frames.map(_._2.length) == Seq(MysqlWire.MaxPacketPayload, 1000))
+    assert(frames.map(_._1) == Seq(2, 3)) // consecutive sequence ids
+    val back = MysqlWire.assemblePayloads(frames)
+    assert(back.length == 1 && java.util.Arrays.equals(back.head, big))
+    // exact-multiple payload needs the EMPTY terminator packet
+    val exact = Array.fill(MysqlWire.MaxPacketPayload)(0x5a.toByte)
+    val exactFrames = MysqlWire.splitPackets(MysqlWire.framePayload(exact, 0))
+    assert(exactFrames.map(_._2.length) == Seq(MysqlWire.MaxPacketPayload, 0))
+    assert(java.util.Arrays.equals(
+      MysqlWire.assemblePayloads(exactFrames).head, exact))
+    // small payloads stay single-packet; adjacent ones reassemble 1:1
+    val small = MysqlWire.splitPackets(
+      MysqlWire.framePayload(Array[Byte](1, 2), 0) ++ MysqlWire.framePayload(Array[Byte](3), 0))
+    assert(MysqlWire.assemblePayloads(small).map(_.toSeq) == Seq(Seq(1, 2), Seq(3)))
+    // framePacket itself now refuses oversize instead of corrupting
+    intercept[IllegalArgumentException](MysqlWire.framePacket(exact, 0))
+    // a stream ending mid-payload fails loudly
+    intercept[IllegalArgumentException](
+      MysqlWire.assemblePayloads(MysqlWire.splitPackets(
+        java.util.Arrays.copyOfRange(stream, 0, 4 + MysqlWire.MaxPacketPayload))))
+  }
+
   test("HandshakeV10 decode: version, 20-byte scramble assembly, plugin") {
     val nonce = Array.tabulate[Byte](20)(i => (i + 1).toByte)
     val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
