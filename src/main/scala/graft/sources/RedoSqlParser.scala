@@ -44,16 +44,33 @@ object RedoSqlParser {
 
   /** Redo rows (scn, xid, sql) → ChangeEvents, ordered by SCN — the
     * stream stage after the LogMiner poll (reference LoopLogminerRecord,
-    * `log_miner.go:733`).
+    * `log_miner.go:733`). DML parses to row images; DDL redo converts
+    * through [[graft.ddl.OracleDdlConverter]] (the reference's
+    * parseDDLSQL branch for operation-code-5 records,
+    * `log_miner.go:1075`) and lands as an `Op.Ddl` event whose `after
+    * ("sql")` already carries MYSQL dialect — the same shape
+    * [[BinlogParser]] emits for QUERY events, so the
+    * [[graft.streaming.CdcPipeline]] DDL barrier and
+    * [[graft.ddl.DdlProcessor]] apply it unchanged. `segOwner`
+    * resolves unqualified DDL names (the redo record's segment owner).
     */
-  def toChangeEvents(rows: Iterator[(Long, String, String)], originServerId: String): Iterator[ChangeEvent] =
+  def toChangeEvents(rows: Iterator[(Long, String, String)], originServerId: String,
+                     segOwner: String = ""): Iterator[ChangeEvent] =
     rows.flatMap { case (scn, xid, sql) =>
-      parse(sql).map { d =>
-        ChangeEvent(d.schema, d.table, d.op,
-          key = d.after.getOrElse("ROWID", d.before.getOrElse("ROWID", "")),
-          before = d.before, after = d.after,
-          tsMillis = 0L, gtid = xid, seq = scn, lastCommitted = -1L,
-          originServerId = originServerId)
+      parse(sql) match {
+        case Some(d) =>
+          Some(ChangeEvent(d.schema, d.table, d.op,
+            key = d.after.getOrElse("ROWID", d.before.getOrElse("ROWID", "")),
+            before = d.before, after = d.after,
+            tsMillis = 0L, gtid = xid, seq = scn, lastCommitted = -1L,
+            originServerId = originServerId))
+        case None =>
+          graft.ddl.OracleDdlConverter.convert(sql, segOwner).toOption.map { c =>
+            ChangeEvent(c.schema, c.table, graft.model.Op.Ddl, key = "",
+              before = Map.empty, after = Map("sql" -> c.sql),
+              tsMillis = 0L, gtid = xid, seq = scn, lastCommitted = -1L,
+              originServerId = originServerId)
+          }
       }
     }
 

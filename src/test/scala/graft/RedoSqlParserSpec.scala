@@ -66,6 +66,23 @@ class RedoSqlParserSpec extends AnyFunSuite {
     assert(evs.head.gtid == "x1")
   }
 
+  test("DDL redo converts to a MySQL-dialect Op.Ddl event in-stream") {
+    // the parseDDLSQL branch of the LogMiner loop: DDL redo arrives
+    // interleaved with DML; the event's sql is already MySQL dialect
+    val evs = RedoSqlParser.toChangeEvents(Iterator(
+      (200L, "x3", """insert into "S"."T"("ID") values (2)"""),
+      (201L, "x3", "CREATE TABLE S.T2(ID NUMBER(8), NOTE VARCHAR2(50))"),
+      (202L, "x3", "commit"), // neither DML nor convertible DDL → dropped
+      (203L, "x4", "alter table T2 add (C2 DATE)") // unqualified → segOwner
+    ), "oracle-1", segOwner = "S").toSeq
+    assert(evs.map(_.seq) == Seq(200L, 201L, 203L))
+    val ddl = evs(1)
+    assert(ddl.op == graft.model.Op.Ddl && ddl.db == "S" && ddl.table == "T2")
+    assert(ddl.after("sql") ==
+      "CREATE TABLE `S`.`T2` (`ID` INT,`NOTE` VARCHAR(50)) DEFAULT CHARACTER SET = UTF8MB4")
+    assert(evs(2).after("sql") == "ALTER TABLE `S`.`T2` ADD COLUMN (`C2` DATETIME)")
+  }
+
   test("S9 snapshot chunks produce rownum-windowed AS OF SCN queries") {
     val chunks = RedoSqlParser.snapshotChunks("S", "T", 12345L, totalRows = 10, chunk = 4)
     assert(chunks.size == 3)
