@@ -199,6 +199,20 @@ class OracleDdlConverterSpec extends AnyFunSuite {
       "CREATE TABLE `TEST`.`EMPLOYEES_DEMO` (`EMPLOYEE_ID` INT,`FIRST_NAME` VARCHAR(20),`LAST_NAME` VARCHAR(25) NOT NULL,`EMAIL` VARCHAR(25) NOT NULL,`PHONE_NUMBER` VARCHAR(20),`HIRE_DATE` DATETIME NOT NULL,`JOB_ID` VARCHAR(10) NOT NULL,`SALARY` DECIMAL(8,2) NOT NULL,`COMMISSION_PCT` DECIMAL(2,2),`MANAGER_ID` INT,`DEPARTMENT_ID` SMALLINT,`DN` VARCHAR(300),UNIQUE `EMP_EMAIL_UK_DEMO`(`email`)) DEFAULT CHARACTER SET = UTF8MB4")
   }
 
+  test("alter constraint clauses are no-ops; sibling clauses still convert") {
+    // the reference's Add/Modify/Rename/DropConstraintClause branches
+    // are `// todo` no-ops (log_miner.go:1230-1237): the clause
+    // vanishes, the statement's other clauses survive
+    val c = conv("ALTER TABLE TEST.T ADD CONSTRAINT pk_t PRIMARY KEY (ID) ADD (C2 DATE)")
+    assert(c.sql == "ALTER TABLE `TEST`.`T` ADD COLUMN (`C2` DATETIME)")
+    assert(conv("ALTER TABLE TEST.T DROP CONSTRAINT uk_t MODIFY (C1 CHAR(10))").sql ==
+      "ALTER TABLE `TEST`.`T` MODIFY COLUMN `C1` CHAR(10)")
+    // an ALTER whose every clause is a constraint no-op fails loudly
+    // (nothing to forward), not silently as an empty ALTER
+    assert(OracleDdlConverter.convert(
+      "ALTER TABLE TEST.T ADD CONSTRAINT pk_t PRIMARY KEY (ID)", "X").isLeft)
+  }
+
   test("segOwner resolves a missing schema qualifier") {
     val c = OracleDdlConverter.convert("CREATE TABLE T1(ID INT)", "OWNER1").toOption.get
     assert(c.schema == "OWNER1")

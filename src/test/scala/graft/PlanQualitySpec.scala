@@ -241,6 +241,22 @@ class PlanQualitySpec extends SparkSpec {
       s"index scan must carry a dynamic partition filter on cid:\n$p")
   }
 
+  test("stored IVF-PQ index probe dynamic-prunes to the probed lists") {
+    // same 100-TB property for the r8 buildIvfPqIndex layout: codes are
+    // partitioned by lid, so the probe's broadcast (query, lid) join
+    // must turn into a dynamic partition filter on the codes read
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = graft.TempDirs.scratch("graft-ivfpq-dpp")
+    graft.operators.sim.ProductQuantizer.buildIvfPqIndex(
+      emb, "vec_id", "embedding", dir, dim = 64, nLists = 8)
+    val out = graft.operators.sim.ProductQuantizer.ivfPqTopKFromIndex(
+      spark, dir, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"codes scan must carry a dynamic partition filter on lid:\n$p")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = graft.TempDirs.scratch("graft_prune")
     graft.sinks.PartitionedWriter.write(
