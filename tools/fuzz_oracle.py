@@ -35,7 +35,7 @@ QUERIES = [
     "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
     "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
     "text_bm25_index_probe", "tokenizer_bpe_train", "text_bm25_prf", "text_bm25_percolate",
-    "text_pmi_collocations", "tokenizer_bpe_encode", "mm_dhash_pairs",
+    "text_pmi_collocations", "tokenizer_bpe_encode", "tokenizer_bpe_fast", "mm_dhash_pairs",
 ]
 
 # events-only queries: gated when the adversarial events table is
@@ -53,7 +53,7 @@ EVENT_QUERIES = [
 # and orphan foreign keys, decile/window tie storms)
 REL_QUERIES = [
     "q1_agg", "q3_window_topn", "q7_salted_join", "q13_deciles", "q4_setops",
-    "layout_zorder", "q15_above_avg",
+    "layout_zorder", "layout_zorder_rank", "q15_above_avg",
 ]
 
 # embeddings-family queries gated on the adversarial vector table
@@ -61,7 +61,7 @@ REL_QUERIES = [
 EMB_QUERIES = [
     "emb_l2norm", "emb_quantize", "emb_cosine_pairs", "sim_topk",
     "emb_quantize_trained", "sim_topk_quantized", "emb_classify_centroid",
-    "sim_pq_topk", "sim_pq_topk_refined", "sim_hybrid_rrf", "sim_mmr_topk", "sim_ivf_pq_topk", "pipeline_rag",
+    "sim_pq_topk", "sim_pq_topk_refined", "sim_hybrid_rrf", "sim_mmr_topk", "sim_ivf_pq_topk", "sim_ivfpq_index_probe", "pipeline_rag",
 ]
 
 PIECES = [
