@@ -255,6 +255,24 @@ object ProductQuantizer {
     writeCodebooks(spark, fine, s"$dir/fine")
   }
 
+  /** Continual-ingest append (the FAISS `add()` contract): encode NEW
+    * vectors with the STORED codebooks — no retrain — and append their
+    * codes into the partitioned layout. Probes see old + new rows with
+    * zero index rebuild; the append touches only the new batch (encode
+    * is a per-row projection, the write lands in the lists the batch
+    * hits). Re-training on codebook drift is a policy decision above
+    * this call, exactly as in deployed FAISS indexes.
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                         dir: String, dim: Int, nLists: Int = 16,
+                         m: Int = 8, ks: Int = 16): Unit = {
+    val spark = newVecs.sparkSession
+    val coarse = readCodebooks(spark, s"$dir/coarse", 1, nLists, dim)
+    val fine = readCodebooks(spark, s"$dir/fine", m, ks, dim / m)
+    ivfPqAssign(newVecs, idCol, vecCol, coarse, fine)
+      .write.mode("append").partitionBy("lid").parquet(s"$dir/codes")
+  }
+
   /** Probe a PERSISTED [[buildIvfPqIndex]] layout read back from disk:
     * identical results to the one-shot [[ivfPqTopK]] (same codebooks,
     * same ADC kernel — parity pinned in PqSpec and the probe shares

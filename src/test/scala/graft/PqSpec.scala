@@ -117,6 +117,32 @@ class PqSpec extends SparkSpec {
     assert(listDirs.nonEmpty && listDirs.length <= 8)
   }
 
+  test("ivf-pq append: new vectors searchable without rebuild, == full encode") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    // build from half the corpus (codebooks train on it)
+    val dir = graft.TempDirs.scratch("ivfpqadd")
+    PQ.buildIvfPqIndex(half1, "vec_id", "embedding", dir, dim = 64, nLists = 8)
+    val before = PQ.ivfPqTopKFromIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 20, dim = 64, nLists = 8, nProbe = 3)
+      .select(col("query_id"), col("corpus_id"), col("adc_d2").as("d2_before"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // append the other half — encoded with the STORED codebooks
+    PQ.appendToIvfPqIndex(half2, "vec_id", "embedding", dir, dim = 64, nLists = 8)
+    val after = PQ.ivfPqTopKFromIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 20, dim = 64, nLists = 8, nProbe = 3)
+      .select(col("query_id"), col("corpus_id"), col("adc_d2"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // appended rows genuinely participate in search results
+    assert(after.exists(_._1._2 % 2 == 1))
+    // and the append never perturbed an existing row's distance: every
+    // (query, even-corpus) pair surviving the deeper result set scores
+    // identically to the pre-append probe
+    val survivors = after.collect { case (key, d2) if before.contains(key) => (key, d2) }
+    assert(survivors.nonEmpty)
+    survivors.foreach { case (key, d2) => assert(before(key) == d2, s"perturbed $key") }
+  }
+
   test("streaming ANN probe via foreachBatch == batch search against the stored index") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
