@@ -172,6 +172,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("OracleDdlConverter is total: garbage returns Left, never throws") {
+    import graft.ddl.OracleDdlConverter
+    val oracleish = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf(
+        "CREATE TABLE", "CREATE TABLE S.", "CREATE TABLE S.T(",
+        "CREATE TABLE S.T(C)", "CREATE TABLE S.T(C NUMBER(",
+        "CREATE TABLE S.T(C NUMBER(8", "CREATE TABLE S.T(C WIDGET)",
+        "CREATE TABLE S.T(C VARCHAR2())", "CREATE TABLE S.T(C CHAR(-5))",
+        """CREATE TABLE "unterminated(C INT)""",
+        "ALTER TABLE", "ALTER TABLE S.T", "ALTER TABLE S.T ADD (",
+        "ALTER TABLE S.T MODIFY C", "ALTER TABLE S.T DROP (A,",
+        "ALTER TABLE S.T RENAME COLUMN A", "ALTER TABLE S.T ADD CONSTRAINT",
+        "DROP TABLE", "DROP TABLE .", "drop table s.t cascade constraints",
+        "-- only a comment", "commit", "GRANT SELECT ON T TO U",
+        // size literal past Int.MaxValue: the lexer's toInt edge
+        "CREATE TABLE S.T(C VARCHAR2(99999999999999999999))",
+        "CREATE TABLE S.T(C NUMBER(999999999999, 3))"))
+    val prefixed = for {
+      p <- Gen.oneOf("CREATE TABLE ", "ALTER TABLE ", "DROP TABLE ",
+        "CREATE TABLE S.T(C ", "ALTER TABLE S.T ADD (C ")
+      tail <- Gen.asciiPrintableStr
+    } yield p + tail
+    holds("convert total") {
+      Prop.forAll(Gen.oneOf(oracleish, prefixed)) { s =>
+        OracleDdlConverter.convert(s, "SEG") // Left or Right — never throws
+        true
+      }
+    }
+  }
+
   test("PpmCodec: encode/decode round-trips; identity resize; JSON diff apply total") {
     val codec = graft.operators.multimodal.Multimodal.PpmCodec
     val imgGen = for {
