@@ -2234,6 +2234,32 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_bmp_decode" -> ((s, dir) => {
+      // second REAL image container: 24-bit BMP with the format's
+      // actual traps (BGR order, bottom-up rows, 4-byte padding,
+      // little-endian headers). The statistic is ROW-WEIGHTED channel
+      // sums — plain sums are order-invariant, so a decoder that
+      // forgot the bottom-up flip would still pass them; the weight
+      // makes vertical orientation part of the oracle contract
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.BmpCodec
+      s.range(24).map { i =>
+        val w = 8 + (i % 5).toInt; val h = 6 + (i % 3).toInt
+        val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+          val c = j % 3; val p = j / 3
+          ((i * (7 + 4 * c) + p.toLong * (3 + 2 * c)) % 256).toByte
+        }
+        (i, codec.encode(w, h, rgb))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (w, h, r, g, b) = codec.weightedChannelSums(payload)
+        (id, w, h, w * h, r, g, b)
+      }).toDF("media_id", "width", "height", "n_px", "wsum_r", "wsum_g", "wsum_b")
+        .select(col("media_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("n_px").cast("long").as("n_px"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"))
+        .orderBy(col("media_id"))
+    }),
+
     "corpus_lang_confusion" -> ((s, dir) => {
       // language-ID evaluation: the stopword-profile predictor scored
       // against the table's labeled lang — confusion cells plus
@@ -5296,6 +5322,19 @@ object SparkEntry {
         |  CAST(SUM((media_id * 7 + p * 3) % 256) AS BIGINT) AS sum_r,
         |  CAST(SUM((media_id * 11 + p * 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 15 + p * 7) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // the decoder must invert BGR + bottom-up + padding exactly: the
+    // row weight (p // w + 1) is computed in TOP-DOWN pixel order
+    "mm_bmp_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 8 + i % 5 AS w, 6 + i % 3 AS h FROM range(24) t(i)),
+        |px AS (SELECT media_id, w, h, p, p // w + 1 AS wt
+        |  FROM ids CROSS JOIN range(96) r(p) WHERE p < w * h)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(wt * ((media_id * 7 + p * 3) % 256)) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(wt * ((media_id * 11 + p * 5) % 256)) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(wt * ((media_id * 15 + p * 7) % 256)) AS BIGINT) AS wsum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
 
     // the stopword-profile predictor re-derived in SQL (same block as

@@ -204,6 +204,125 @@ object Multimodal {
     * size. Fails loudly on anything else — same policy as every
     * decoder here.
     */
+  /** REAL 24-bit uncompressed BMP (BITMAPINFOHEADER): the second
+    * from-scratch image container, with the format's actual traps —
+    * BGR byte order, BOTTOM-UP row storage (positive biHeight),
+    * 4-byte row padding, little-endian headers. decode() normalizes to
+    * the same top-down interleaved-RGB contract as [[PpmCodec]], so
+    * every downstream feature (channel sums, dHash, luminance grids)
+    * is container-agnostic. Negative biHeight (top-down BMPs) is
+    * honored; anything not 24-bpp/BI_RGB fails loudly.
+    */
+  object BmpCodec extends Serializable {
+
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    private def put16(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+    }
+    private def put32(b: Array[Byte], p: Int, v: Long): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+      b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte
+    }
+    private def rowSize(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+    /** Top-down RGB triples → a complete BMP file (bottom-up storage,
+      * the overwhelmingly common on-disk form).
+      */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+      val rs = rowSize(w)
+      val out = new Array[Byte](54 + rs * h)
+      out(0) = 'B'; out(1) = 'M'
+      put32(out, 2, out.length.toLong) // file size
+      put32(out, 10, 54L)              // pixel-data offset
+      put32(out, 14, 40L)              // BITMAPINFOHEADER size
+      put32(out, 18, w.toLong)
+      put32(out, 22, h.toLong)         // positive → bottom-up
+      put16(out, 26, 1)                // planes
+      put16(out, 28, 24)               // bpp
+      put32(out, 34, (rs * h).toLong)  // image size (compression 0 at 30)
+      var y = 0
+      while (y < h) {
+        val dst = 54 + (h - 1 - y) * rs // bottom-up
+        var x = 0
+        while (x < w) {
+          val src = (y * w + x) * 3
+          out(dst + x * 3) = rgb(src + 2)     // B
+          out(dst + x * 3 + 1) = rgb(src + 1) // G
+          out(dst + x * 3 + 2) = rgb(src)     // R
+          x += 1
+        }
+        y += 1 // pad bytes stay zero
+      }
+      out
+    }
+
+    /** (width, height, TOP-DOWN interleaved RGB) — un-flips bottom-up
+      * storage, strips padding, swaps BGR→RGB.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+        "not a BMP payload")
+      val off = u32(payload, 10).toInt
+      val hdr = u32(payload, 14)
+      require(hdr >= 40, s"unsupported BMP header size $hdr")
+      val w = u32(payload, 18).toInt
+      val rawH = u32(payload, 22).toInt
+      val topDown = rawH < 0
+      val h = math.abs(rawH)
+      require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
+      require(u16(payload, 28) == 24, s"unsupported bpp ${u16(payload, 28)} (24 only)")
+      require(u32(payload, 30) == 0L, "compressed BMP unsupported (BI_RGB only)")
+      val rs = rowSize(w)
+      require(payload.length - off >= rs * h,
+        s"truncated BMP: need ${rs * h} pixel bytes, have ${payload.length - off}")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = off + (if (topDown) y else h - 1 - y) * rs
+        var x = 0
+        while (x < w) {
+          val dst = (y * w + x) * 3
+          rgb(dst) = payload(srcRow + x * 3 + 2)     // R
+          rgb(dst + 1) = payload(srcRow + x * 3 + 1) // G
+          rgb(dst + 2) = payload(srcRow + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** Row-weighted channel sums: Σ (top-down row index + 1)·value per
+      * channel. Plain sums are ORDER-INVARIANT — a decoder that forgot
+      * the bottom-up flip would still pass them; the row weight makes
+      * vertical orientation part of the checked contract.
+      */
+    def weightedChannelSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h, px) = decode(payload)
+      var r = 0L; var g = 0L; var b = 0L; var i = 0
+      while (i < px.length) {
+        val wt = (i / 3 / w + 1).toLong
+        r += wt * (px(i) & 0xff); g += wt * (px(i + 1) & 0xff); b += wt * (px(i + 2) & 0xff)
+        i += 3
+      }
+      (w, h, r, g, b)
+    }
+
+    /** The same perceptual dHash as [[PpmCodec.dHash]], off the decoded
+      * RGB — proves the hash is container-agnostic (a PPM and a BMP of
+      * the same pixels collide, which is the point of perceptual dedup).
+      */
+    def dHash(payload: Array[Byte], hw: Int = 8, hh: Int = 8): Long = {
+      val (w, h, rgb) = decode(payload)
+      PpmCodec.dHash(PpmCodec.encode(w, h, rgb), hw, hh)
+    }
+  }
+
   object WavCodec extends MediaCodec {
 
     /** (sampleRate, channels, interleaved 16-bit samples). */

@@ -85,6 +85,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => again(r.media_id) == r.features.toSeq))
   }
 
+  test("BmpCodec: golden header bytes, round-trip, padding, bottom-up flip") {
+    import graft.operators.multimodal.Multimodal.BmpCodec
+    // 3x2 image: rows distinguishable so a missed flip is visible
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 10).toByte)
+    val bmp = BmpCodec.encode(3, 2, rgb)
+    // golden header: 'BM', file size 54 + 12*2 (row 3*3=9 pads to 12)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert((bmp(2) & 0xff) == 78 && bmp(3) == 0) // 54 + 24
+    assert((bmp(10) & 0xff) == 54)               // data offset
+    assert((bmp(14) & 0xff) == 40)               // BITMAPINFOHEADER
+    assert((bmp(18) & 0xff) == 3 && (bmp(22) & 0xff) == 2) // w, h
+    assert((bmp(28) & 0xff) == 24)               // bpp
+    // bottom-up: the FIRST stored row is the LAST image row; BGR order
+    // image row 1 pixel 0 = rgb bytes (90,100,110) -> stored as B,G,R
+    assert((bmp(54) & 0xff) == 110 && (bmp(55) & 0xff) == 100 && (bmp(56) & 0xff) == 90)
+    // row padding bytes are zero
+    assert(bmp(54 + 9) == 0 && bmp(54 + 10) == 0 && bmp(54 + 11) == 0)
+    // round-trip
+    val (w, h, back) = BmpCodec.decode(bmp)
+    assert(w == 3 && h == 2 && back.toSeq == rgb.toSeq)
+    // top-down BMPs (negative height) decode identically
+    val td = bmp.clone()
+    td(22) = (-2).toByte; td(23) = 0xff.toByte; td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    // re-flip the pixel rows so the top-down file carries row 0 first
+    System.arraycopy(bmp, 54 + 12, td, 54, 12)
+    System.arraycopy(bmp, 54, td, 54 + 12, 12)
+    val (_, _, backTd) = BmpCodec.decode(td)
+    assert(backTd.toSeq == rgb.toSeq)
+    // loud failures: wrong magic, wrong bpp, truncation
+    intercept[IllegalArgumentException](BmpCodec.decode("PNG".getBytes))
+    val bad = bmp.clone(); bad(28) = 8
+    intercept[IllegalArgumentException](BmpCodec.decode(bad))
+    intercept[IllegalArgumentException](
+      BmpCodec.decode(java.util.Arrays.copyOfRange(bmp, 0, 60)))
+    // row-weighted sums weight by TOP-DOWN row index + 1
+    val (_, _, wr, _, _) = BmpCodec.weightedChannelSums(bmp)
+    // row0 R values: 0, 30, 60 (wt 1); row1 R: 90, 120, 150 (wt 2)
+    assert(wr == (0 + 30 + 60) + 2 * (90 + 120 + 150))
+  }
+
+  test("BmpCodec: dHash is container-agnostic (same pixels as PPM collide)") {
+    import graft.operators.multimodal.Multimodal.{BmpCodec, PpmCodec}
+    val w = 16; val h = 12
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    assert(BmpCodec.dHash(BmpCodec.encode(w, h, rgb)) ==
+      PpmCodec.dHash(PpmCodec.encode(w, h, rgb)))
+  }
+
   test("WavCodec: encode/decode round-trip, chunk skipping, loud failures") {
     val samples = Array.tabulate[Short](500)(t => ((t * 37 % 4001) - 2000).toShort)
     val bytes = Multimodal.WavCodec.encodeWav(16000, 1, samples)
