@@ -2260,6 +2260,54 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_png_decode" -> ((s, dir) => {
+      // REAL PNG through the JDK's own zlib: chunk framing + CRC32,
+      // IDAT inflate, and the five per-row filters — the encoder
+      // applies filter y % 5, so None/Sub/Up/Average/Paeth ALL sit on
+      // the oracle path; row-weighted sums keep orientation checked.
+      // (PNG needs no external codec lib — java.util.zip is the JDK.)
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.PngCodec
+      s.range(24).map { i =>
+        val w = 9 + (i % 4).toInt; val h = 7 + (i % 5).toInt
+        val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+          val c = j % 3; val p = j / 3
+          ((i * (13 + 6 * c) + p.toLong * (5 + 4 * c)) % 256).toByte
+        }
+        (i, codec.encode(w, h, rgb))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (w, h, r, g, b) = codec.weightedChannelSums(payload)
+        (id, w, h, w * h, r, g, b)
+      }).toDF("media_id", "width", "height", "n_px", "wsum_r", "wsum_g", "wsum_b")
+        .select(col("media_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("n_px").cast("long").as("n_px"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    "mm_mulaw_decode" -> ((s, dir) => {
+      // G.711 mu-law (WAV format 7, the telephony capture form): raw
+      // law bytes synthesized from a formula, wrapped in a REAL
+      // format-7 container, expanded to PCM16 by the decoder; the
+      // oracle replays the canonical ulaw2linear bit algebra in SQL.
+      // Position-weighted sum keeps sample ORDER part of the contract
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.WavCodec
+      s.range(24).map { i =>
+        val n = 200 + (i * 10).toInt
+        val ulaw = Array.tabulate[Byte](n)(p => ((i * 31 + p.toLong * 7) % 256).toByte)
+        (i, codec.encodeWavMulaw(8000, 1, ulaw))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (rate, ch, samples) = codec.decodeWav(payload)
+        var wsum = 0L; var p = 0
+        while (p < samples.length) { wsum += (p + 1).toLong * samples(p); p += 1 }
+        (id, rate, ch, samples.length.toLong, wsum)
+      }).toDF("media_id", "sample_rate", "n_channels", "n_samples", "wsum")
+        .select(col("media_id"), col("sample_rate").cast("int").as("sample_rate"),
+          col("n_channels").cast("int").as("n_channels"), col("n_samples"), col("wsum"))
+        .orderBy(col("media_id"))
+    }),
+
     "corpus_lang_confusion" -> ((s, dir) => {
       // language-ID evaluation: the stopword-profile predictor scored
       // against the table's labeled lang — confusion cells plus
@@ -5336,6 +5384,36 @@ object SparkEntry {
         |  CAST(SUM(wt * ((media_id * 11 + p * 5) % 256)) AS BIGINT) AS wsum_g,
         |  CAST(SUM(wt * ((media_id * 15 + p * 7) % 256)) AS BIGINT) AS wsum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // deflate→inflate must round-trip and every filter must invert:
+    // any filter-algebra error shifts pixel values and breaks the sums
+    "mm_png_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 9 + i % 4 AS w, 7 + i % 5 AS h FROM range(24) t(i)),
+        |px AS (SELECT media_id, w, h, p, p // w + 1 AS wt
+        |  FROM ids CROSS JOIN range(132) r(p) WHERE p < w * h)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(wt * ((media_id * 13 + p * 5) % 256)) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(wt * ((media_id * 19 + p * 9) % 256)) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(wt * ((media_id * 25 + p * 13) % 256)) AS BIGINT) AS wsum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // canonical ulaw2linear: b = ~u; t = (((b&15)<<3)+132) << ((b&112)>>4);
+    // sample = ±(t−132) by the sign bit — pure integer bit algebra
+    "mm_mulaw_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 200 + i * 10 AS n FROM range(24) t(i)),
+        |sm AS (SELECT media_id, p,
+        |    255 - CAST((media_id * 31 + p * 7) % 256 AS INT) AS b
+        |  FROM ids CROSS JOIN range(430) r(p) WHERE p < n),
+        |ex AS (SELECT media_id, p,
+        |  CASE WHEN (b & 128) <> 0
+        |    THEN 132 - ((((b & 15) << 3) + 132) << ((b & 112) >> 4))
+        |    ELSE ((((b & 15) << 3) + 132) << ((b & 112) >> 4)) - 132 END AS sample
+        |  FROM sm)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM((p + 1) * sample) AS BIGINT) AS wsum
+        |FROM ex GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // the stopword-profile predictor re-derived in SQL (same block as
     // text_profile), cross-tabbed against the labeled lang column

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested: schemas, partition-size
   * control for fat binary rows, per-partition batched processing via
   * `mapPartitions` on a typed Dataset (the Scala analog of
-  * `mapInPandas` batch processing). The actual codec work is STUBBED —
-  * image/audio libraries are not in this container — behind
-  * [[MediaCodec]], whose default is a deterministic fake so tests are
-  * reproducible; swap in a real JNI/ffmpeg-backed codec in production.
+  * `mapInPandas` batch processing). Four formats have REAL pure-JVM
+  * codecs — NetPBM P6 ([[PpmCodec]]), 24-bit BMP ([[BmpCodec]]),
+  * zlib-backed truecolor PNG ([[PngCodec]] — java.util.zip ships in
+  * the JDK), and RIFF/WAVE PCM ([[WavCodec]]) — each proven byte-exact
+  * by a formula oracle. Only the formats that genuinely need native
+  * libraries this container lacks (JPEG, MP3) sit behind the labeled
+  * [[FakeCodec]] stub; swap in a JNI/ffmpeg-backed codec there in
+  * production.
   */
 object Multimodal {
 
@@ -48,9 +52,12 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
-  /** STUB: deterministic fake codec — features are a seeded PRNG stream
-    * from the payload hash; resize truncates/pads. Replace with a real
-    * codec (javacv/ffmpeg) outside this container.
+  /** STUB: deterministic fake codec for the formats that genuinely
+    * need native libraries this container lacks (JPEG's DCT/huffman,
+    * MP3) — features are a seeded PRNG stream from the payload hash;
+    * resize truncates/pads. Replace with a real codec (javacv/ffmpeg)
+    * outside this container. PPM/BMP/PNG/WAV do NOT go through this:
+    * they have real pure-JVM codecs below.
     */
   object FakeCodec extends MediaCodec {
     def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -63,9 +70,10 @@ object Multimodal {
   }
 
   /** REAL image codec for the NetPBM P6 (binary PPM) format — pure JVM,
-    * no native libraries, so one genuinely decodable format exercises
-    * the whole multimodal path end-to-end while JPEG/PNG stay behind
-    * the labeled [[FakeCodec]] stub. Header: `P6`, whitespace- and
+    * no native libraries, so genuinely decodable formats exercise
+    * the whole multimodal path end-to-end (PPM here, 24-bit BMP in
+    * [[BmpCodec]], real zlib-backed PNG in [[PngCodec]]) while
+    * JPEG/MP3 stay behind the labeled [[FakeCodec]] stub. Header: `P6`, whitespace- and
     * `#`-comment-separated width/height/maxval (maxval ≤ 255), one
     * whitespace byte, then `w*h*3` raw RGB bytes.
     */
@@ -323,9 +331,203 @@ object Multimodal {
     }
   }
 
+  /** REAL PNG (RFC 2083) — no external codec libs needed: zlib lives
+    * in the JDK (`java.util.zip` Inflater/Deflater/CRC32), so
+    * 8-bit-truecolor PNG is pure-JVM: chunk framing with CRC32, IHDR,
+    * concatenated IDAT inflate, and the five per-row byte filters
+    * (None/Sub/Up/Average/Paeth) inverted exactly. The encoder APPLIES
+    * a varying filter per row (`y % 5`), so the oracled decode path
+    * exercises the whole filter algebra, not just the trivial None.
+    * RGB (color type 2), bit depth 8, non-interlaced — the dominant
+    * truecolor form; everything else fails loudly.
+    */
+  object PngCodec extends Serializable {
+
+    private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    private def putBe32(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
+      b(p + 2) = (v >>> 8).toByte; b(p + 3) = v.toByte
+    }
+
+    private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBe32(out, 0, data.length)
+      tag.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 4, 4 + data.length)
+      putBe32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Top-down RGB triples → a complete PNG, filter `y % 5` per row. */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        val f = y % 5
+        raw((stride + 1) * y) = f.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = rgb(y * stride + x) & 0xff
+          val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+          val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+          val filtered = f match {
+            case 0 => cur
+            case 1 => cur - a
+            case 2 => cur - b
+            case 3 => cur - ((a + b) / 2)
+            case 4 => cur - paeth(a, b, c)
+          }
+          raw((stride + 1) * y + 1 + x) = (filtered & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      deflater.setInput(raw); deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = new Array[Byte](13)
+      putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+      ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      out.write(chunk("IHDR", ihdr))
+      out.write(chunk("IDAT", zout.toByteArray))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+
+    /** (width, height, top-down interleaved RGB). Walks chunks (CRC
+      * verified), inflates the concatenated IDAT stream, inverts the
+      * per-row filter. Ancillary chunks are skipped, as the spec says.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length > 8 && Signature.indices.forall(i => payload(i) == Signature(i)),
+        "not a PNG payload")
+      var pos = 8
+      var w = 0; var h = 0; var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(payload.length - pos >= 12, s"truncated PNG chunk at $pos")
+        val len = be32(payload, pos)
+        val tag = new String(payload, pos + 4, 4, "US-ASCII")
+        require(len >= 0 && payload.length - pos - 12 >= len,
+          s"truncated PNG chunk body at $pos (len=$len)")
+        val crc = new java.util.zip.CRC32
+        crc.update(payload, pos + 4, 4 + len)
+        require(crc.getValue.toInt == be32(payload, pos + 8 + len),
+          s"PNG chunk CRC mismatch in $tag")
+        tag match {
+          case "IHDR" =>
+            w = be32(payload, pos + 8); h = be32(payload, pos + 12)
+            require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+            require(payload(pos + 16) == 8, s"unsupported bit depth ${payload(pos + 16)}")
+            require(payload(pos + 17) == 2, s"unsupported color type ${payload(pos + 17)} (RGB only)")
+            require(payload(pos + 20) == 0, "interlaced PNG unsupported")
+            seenIhdr = true
+          case "IDAT" => idat.write(payload, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk: skip
+        }
+        pos += 12 + len
+      }
+      require(seenIhdr, "PNG missing IHDR")
+      val stride = w * 3
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      val raw = new Array[Byte]((stride + 1) * h)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(), "truncated PNG pixel stream")
+        got += n
+      }
+      inflater.end()
+      require(got == raw.length, s"PNG pixel stream: got $got of ${raw.length} bytes")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val f = raw((stride + 1) * y) & 0xff
+        require(f <= 4, s"bad PNG filter type $f in row $y")
+        var x = 0
+        while (x < stride) {
+          val v = raw((stride + 1) * y + 1 + x) & 0xff
+          val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+          val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+          val recon = f match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + b
+            case 3 => v + ((a + b) / 2)
+            case 4 => v + paeth(a, b, c)
+          }
+          rgb(y * stride + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** The same row-weighted sums contract as [[BmpCodec]]: vertical
+      * orientation AND the filter inversion are both load-bearing.
+      */
+    def weightedChannelSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h, px) = decode(payload)
+      var r = 0L; var g = 0L; var b = 0L; var i = 0
+      while (i < px.length) {
+        val wt = (i / 3 / w + 1).toLong
+        r += wt * (px(i) & 0xff); g += wt * (px(i + 1) & 0xff); b += wt * (px(i + 2) & 0xff)
+        i += 3
+      }
+      (w, h, r, g, b)
+    }
+
+    /** Container-agnostic perceptual hash, like [[BmpCodec.dHash]]. */
+    def dHash(payload: Array[Byte], hw: Int = 8, hh: Int = 8): Long = {
+      val (w, h, rgb) = decode(payload)
+      PpmCodec.dHash(PpmCodec.encode(w, h, rgb), hw, hh)
+    }
+  }
+
   object WavCodec extends MediaCodec {
 
-    /** (sampleRate, channels, interleaved 16-bit samples). */
+    /** G.711 mu-law expansion (the telephony codec, ITU-T G.711): one
+      * byte to one PCM16 sample, pure integer — bias 0x84, 3-bit
+      * exponent, 4-bit mantissa, complemented on the wire. Exactly the
+      * canonical ulaw2linear: `t = (((~u & 15) << 3) + 132) << exp`,
+      * sample = ±(t − 132) by the sign bit — SQL-replayable, so the
+      * mm_mulaw_decode oracle re-derives every sample from the formula.
+      */
+    def muLawExpand(uByte: Int): Int = {
+      val b = (~uByte) & 0xff
+      val t = (((b & 0x0f) << 3) + 0x84) << ((b & 0x70) >> 4)
+      if ((b & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** (sampleRate, channels, interleaved 16-bit samples). Accepts
+      * PCM16 (format 1) and 8-bit G.711 mu-law (format 7, expanded via
+      * [[muLawExpand]]) — the two WAV forms a speech-data pipeline
+      * actually meets.
+      */
     def decodeWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
       def u32(p: Int): Long = (payload(p) & 0xffL) | ((payload(p + 1) & 0xffL) << 8) |
         ((payload(p + 2) & 0xffL) << 16) | ((payload(p + 3) & 0xffL) << 24)
@@ -334,18 +536,20 @@ object Multimodal {
       require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
         "not a RIFF/WAVE payload")
       var pos = 12
-      var rate = -1; var channels = -1
+      var rate = -1; var channels = -1; var fmtCode = -1
       var dataOff = -1; var dataLen = -1
       while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
         val id = tag(pos); val len = u32(pos + 4).toInt
         id match {
           case "fmt " =>
-            val fmtCode = u16(pos + 8)
-            require(fmtCode == 1, s"unsupported WAV format code $fmtCode (PCM only)")
+            fmtCode = u16(pos + 8)
+            require(fmtCode == 1 || fmtCode == 7,
+              s"unsupported WAV format code $fmtCode (PCM or mu-law)")
             channels = u16(pos + 10)
             rate = u32(pos + 12).toInt
             val bits = u16(pos + 22)
-            require(bits == 16, s"unsupported WAV bit depth $bits (16-bit only)")
+            require(bits == (if (fmtCode == 7) 8 else 16),
+              s"unsupported WAV bit depth $bits for format $fmtCode")
           case "data" => dataOff = pos + 8; dataLen = len
           case _ => // LIST/fact/...: skip by declared size
         }
@@ -353,15 +557,45 @@ object Multimodal {
       }
       require(rate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
       require(dataOff + dataLen <= payload.length, "truncated WAV data chunk")
-      val n = dataLen / 2
-      val samples = new Array[Short](n)
-      var i = 0
-      while (i < n) {
-        samples(i) = ((payload(dataOff + 2 * i) & 0xff) |
-          (payload(dataOff + 2 * i + 1) << 8)).toShort
-        i += 1
+      if (fmtCode == 7) {
+        val samples = new Array[Short](dataLen)
+        var i = 0
+        while (i < dataLen) {
+          samples(i) = muLawExpand(payload(dataOff + i) & 0xff).toShort
+          i += 1
+        }
+        (rate, channels, samples)
+      } else {
+        val n = dataLen / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((payload(dataOff + 2 * i) & 0xff) |
+            (payload(dataOff + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        (rate, channels, samples)
       }
-      (rate, channels, samples)
+    }
+
+    /** A format-7 container around raw G.711 mu-law bytes (8-bit,
+      * blockAlign = channels) — what telephony captures actually ship.
+      */
+    def encodeWavMulaw(sampleRate: Int, channels: Int, ulaw: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + ulaw.length)
+      def put32(p: Int, v: Long): Unit = {
+        out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+        out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte
+      }
+      def put16(p: Int, v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+      def putTag(p: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, p)
+      putTag(0, "RIFF"); put32(4, 36L + ulaw.length); putTag(8, "WAVE")
+      putTag(12, "fmt "); put32(16, 16L); put16(20, 7); put16(22, channels)
+      put32(24, sampleRate.toLong); put32(28, sampleRate.toLong * channels)
+      put16(32, channels); put16(34, 8)
+      putTag(36, "data"); put32(40, ulaw.length.toLong)
+      ulaw.copyToArray(out, 44)
+      out
     }
 
     def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {

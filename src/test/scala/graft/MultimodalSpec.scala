@@ -133,6 +133,67 @@ class MultimodalSpec extends SparkSpec {
       PpmCodec.dHash(PpmCodec.encode(w, h, rgb)))
   }
 
+  test("PngCodec: round-trip through real zlib; every filter type inverts") {
+    import graft.operators.multimodal.Multimodal.PngCodec
+    // tall enough that rows exercise filters 0..4 (encode uses y % 5),
+    // wide enough that Sub/Paeth see real left neighbors
+    val w = 11; val h = 7
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 73 + 29) % 256).toByte)
+    val png = PngCodec.encode(w, h, rgb)
+    // real PNG signature
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (dw, dh, back) = PngCodec.decode(png)
+    assert(dw == w && dh == h && back.toSeq == rgb.toSeq)
+    // gradient images (where Sub/Up/Paeth predictions are non-trivial)
+    val grad = Array.tabulate[Byte](w * h * 3) { i =>
+      val p = i / 3; ((p % w) * 7 + (p / w) * 11 + i % 3).toByte
+    }
+    val (_, _, back2) = PngCodec.decode(PngCodec.encode(w, h, grad))
+    assert(back2.toSeq == grad.toSeq)
+    // chunk CRC is verified: flipping a pixel byte inside IDAT fails
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x01).toByte
+    intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+    // loud failures: wrong signature, truncation
+    intercept[IllegalArgumentException](PngCodec.decode("JFIF".getBytes))
+    intercept[IllegalArgumentException](
+      PngCodec.decode(java.util.Arrays.copyOfRange(png, 0, 40)))
+  }
+
+  test("PngCodec: dHash collides with PPM/BMP of the same pixels") {
+    import graft.operators.multimodal.Multimodal.{BmpCodec, PngCodec, PpmCodec}
+    val w = 16; val h = 12
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val hp = PpmCodec.dHash(PpmCodec.encode(w, h, rgb))
+    assert(PngCodec.dHash(PngCodec.encode(w, h, rgb)) == hp)
+    assert(BmpCodec.dHash(BmpCodec.encode(w, h, rgb)) == hp)
+  }
+
+  test("WavCodec mu-law: known-answer expansion, format-7 container decode") {
+    import graft.operators.multimodal.Multimodal.WavCodec
+    // canonical G.711 vectors: 0xFF -> 0 (positive zero), 0x7F -> -0
+    // encodes as 0; 0x80 complements to 0x7F -> max magnitude 8031
+    assert(WavCodec.muLawExpand(0xff) == 0)
+    assert(WavCodec.muLawExpand(0x7f) == 0)
+    // full-scale magnitudes of the canonical (Sun) ulaw2linear: ±32124
+    assert(WavCodec.muLawExpand(0x80) == 32124)
+    assert(WavCodec.muLawExpand(0x00) == -32124)
+    // monotone within a positive segment: smaller wire byte = larger mag
+    assert(WavCodec.muLawExpand(0x81) > WavCodec.muLawExpand(0x8f))
+    // container: format code 7, bits 8 — decodes through the same API
+    val ulaw = Array.tabulate[Byte](64)(i => (i * 4 + 1).toByte)
+    val wav = WavCodec.encodeWavMulaw(8000, 1, ulaw)
+    assert((wav(20) & 0xff) == 7 && (wav(34) & 0xff) == 8)
+    val (rate, ch, samples) = WavCodec.decodeWav(wav)
+    assert(rate == 8000 && ch == 1 && samples.length == 64)
+    assert(samples.toSeq == ulaw.toSeq.map(b => WavCodec.muLawExpand(b & 0xff).toShort))
+    // every possible byte stays inside PCM16
+    (0 to 255).foreach { u =>
+      val s = WavCodec.muLawExpand(u)
+      assert(s >= -32124 && s <= 32124, s"out of range: $u -> $s")
+    }
+  }
+
   test("WavCodec: encode/decode round-trip, chunk skipping, loud failures") {
     val samples = Array.tabulate[Short](500)(t => ((t * 37 % 4001) - 2000).toShort)
     val bytes = Multimodal.WavCodec.encodeWav(16000, 1, samples)
