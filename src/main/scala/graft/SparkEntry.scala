@@ -2285,6 +2285,33 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_gif_decode" -> ((s, dir) => {
+      // REAL GIF through from-scratch LZW: variable-width codes,
+      // dictionary growth, clear-code resets, 255-byte sub-blocks —
+      // the compressed stream must decompress to the exact index
+      // array and resolve through the palette, or the weighted sums
+      // (and therefore the hash) break. Images are big enough that
+      // the code width genuinely grows past 9 bits
+      import s.implicits._
+      val codec = graft.operators.multimodal.Multimodal.GifCodec
+      s.range(12).map { i =>
+        val w = 40 + (i % 4).toInt * 5; val h = 30 + (i % 3).toInt * 5
+        val palette = Array.tabulate[Byte](768) { j =>
+          val c = j % 3; val k = j / 3
+          ((k.toLong * (3 + 2 * c) + i + 1) % 256).toByte
+        }
+        val idx = Array.tabulate[Byte](w * h)(p => ((i * 7 + p.toLong * 13) % 256).toByte)
+        (i, codec.encode(w, h, palette, idx))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (w, h, r, g, b) = codec.weightedChannelSums(payload)
+        (id, w, h, w * h, r, g, b)
+      }).toDF("media_id", "width", "height", "n_px", "wsum_r", "wsum_g", "wsum_b")
+        .select(col("media_id"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("n_px").cast("long").as("n_px"),
+          col("wsum_r"), col("wsum_g"), col("wsum_b"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_mulaw_decode" -> ((s, dir) => {
       // G.711 mu-law (WAV format 7, the telephony capture form): raw
       // law bytes synthesized from a formula, wrapped in a REAL
@@ -5396,6 +5423,21 @@ object SparkEntry {
         |  CAST(SUM(wt * ((media_id * 13 + p * 5) % 256)) AS BIGINT) AS wsum_r,
         |  CAST(SUM(wt * ((media_id * 19 + p * 9) % 256)) AS BIGINT) AS wsum_g,
         |  CAST(SUM(wt * ((media_id * 25 + p * 13) % 256)) AS BIGINT) AS wsum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // pixel value = palette[index]: both are formulas, so the oracle
+    // composes them without ever seeing a byte of the LZW stream
+    "mm_gif_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 40 + (i % 4) * 5 AS w, 30 + (i % 3) * 5 AS h
+        |  FROM range(12) t(i)),
+        |px AS (SELECT media_id, w, h, p, p // w + 1 AS wt,
+        |    (media_id * 7 + p * 13) % 256 AS idx
+        |  FROM ids CROSS JOIN range(2200) r(p) WHERE p < w * h)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM(wt * ((idx * 3 + media_id + 1) % 256)) AS BIGINT) AS wsum_r,
+        |  CAST(SUM(wt * ((idx * 5 + media_id + 1) % 256)) AS BIGINT) AS wsum_g,
+        |  CAST(SUM(wt * ((idx * 7 + media_id + 1) % 256)) AS BIGINT) AS wsum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
 
     // canonical ulaw2linear: b = ~u; t = (((b&15)<<3)+132) << ((b&112)>>4);

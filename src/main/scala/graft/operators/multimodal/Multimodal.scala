@@ -508,6 +508,199 @@ object Multimodal {
     }
   }
 
+  /** REAL GIF (89a) — from-scratch LZW, the format's actual algorithm:
+    * variable-width codes (9→12 bits, LSB-first bit packing), dynamic
+    * dictionary growth, clear-code resets at 4096 entries, the KwKwK
+    * self-reference case, 255-byte data sub-blocks. GIF is
+    * palette-indexed, so the codec's pixel contract is (palette,
+    * indices); [[decodeRgb]] resolves through the palette to the same
+    * top-down RGB contract as the other image codecs. 8-bit global
+    * color table, non-interlaced, single image; extensions skipped per
+    * spec; anything else fails loudly.
+    */
+  object GifCodec extends Serializable {
+
+    /** palette: 768 bytes (256 RGB triples); indices: one byte/pixel. */
+    def encode(w: Int, h: Int, palette: Array[Byte], indices: Array[Byte]): Array[Byte] = {
+      require(palette.length == 768, s"palette must be 256 RGB triples, got ${palette.length}")
+      require(indices.length == w * h, s"index buffer ${indices.length} != ${w * h}")
+      val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 1024)
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      put16(w); put16(h)
+      out.write(0xf7) // GCT present, color res 8, GCT size 256
+      out.write(0); out.write(0) // background, aspect
+      out.write(palette, 0, 768)
+      out.write(0x2c) // image descriptor
+      put16(0); put16(0); put16(w); put16(h)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW minimum code size
+      // ---- LZW compress, GIF variant ------------------------------
+      val clearCode = 256; val eoiCode = 257
+      var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var next = 258; var codeSize = 9
+      var bitBuf = 0L; var bitCnt = 0
+      val data = new java.io.ByteArrayOutputStream()
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+        while (bitCnt >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      def resetDict(): Unit = { dict = scala.collection.mutable.HashMap.empty; next = 258; codeSize = 9 }
+      emit(clearCode)
+      var wCode = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        dict.get((wCode, k)) match {
+          case Some(c) => wCode = c
+          case None =>
+            emit(wCode)
+            if (next < 4096) {
+              dict((wCode, k)) = next; next += 1
+              // the encoder runs one dictionary-add AHEAD of the
+              // decoder (its add lands right after emitting code n;
+              // the decoder's matching add lands after READING code
+              // n+1), so its width bump must fire one add later than
+              // the decoder's `next == 1<<size` — the classic GIF
+              // encoder off-by-one (desynced at 512/1024/2048 codes)
+              if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+            } else { emit(clearCode); resetDict() }
+            wCode = k
+        }
+        i += 1
+      }
+      emit(wCode); emit(eoiCode)
+      if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+      // ---- 255-byte sub-blocks ------------------------------------
+      val bytes = data.toByteArray
+      var p = 0
+      while (p < bytes.length) {
+        val n = math.min(255, bytes.length - p)
+        out.write(n); out.write(bytes, p, n)
+        p += n
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** (width, height, palette, indices) — the raw decoded form. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte], Array[Byte]) = {
+      require(payload.length >= 13 &&
+        new String(payload, 0, 3, "US-ASCII") == "GIF" &&
+        (new String(payload, 3, 3, "US-ASCII") == "89a" ||
+          new String(payload, 3, 3, "US-ASCII") == "87a"), "not a GIF payload")
+      def u16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+      val sw = u16(6); val sh = u16(8)
+      val packed = payload(10) & 0xff
+      require((packed & 0x80) != 0, "GIF without a global color table unsupported")
+      val gctSize = 3 * (2 << (packed & 7))
+      require(gctSize == 768, s"unsupported GIF palette size ${gctSize / 3} (256 only)")
+      val palette = java.util.Arrays.copyOfRange(payload, 13, 13 + 768)
+      var pos = 13 + 768
+      // skip extensions until the image descriptor
+      while (pos < payload.length && (payload(pos) & 0xff) == 0x21) {
+        pos += 2 // introducer + label
+        while ((payload(pos) & 0xff) != 0) pos += 1 + (payload(pos) & 0xff)
+        pos += 1
+      }
+      require(pos < payload.length && (payload(pos) & 0xff) == 0x2c, "GIF image descriptor missing")
+      val iw = u16(pos + 5); val ih = u16(pos + 7)
+      require(iw == sw && ih == sh, "GIF sub-rectangle images unsupported")
+      val ipacked = payload(pos + 9) & 0xff
+      require((ipacked & 0x80) == 0, "GIF local color tables unsupported")
+      require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+      val minCode = payload(pos + 10) & 0xff
+      require(minCode == 8, s"unsupported LZW min code size $minCode (8 only)")
+      pos += 11
+      // concatenate data sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while ((payload(pos) & 0xff) != 0) {
+        val n = payload(pos) & 0xff
+        data.write(payload, pos + 1, n)
+        pos += 1 + n
+      }
+      // ---- LZW decompress -----------------------------------------
+      val bytes = data.toByteArray
+      val clearCode = 256; val eoiCode = 257
+      val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+      var next = 258; var codeSize = 9
+      var bitBuf = 0L; var bitCnt = 0; var bp = 0
+      def read(): Int = {
+        while (bitCnt < codeSize && bp < bytes.length) {
+          bitBuf |= (bytes(bp) & 0xffL) << bitCnt; bitCnt += 8; bp += 1
+        }
+        require(bitCnt >= codeSize, "truncated GIF LZW stream")
+        val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+        bitBuf >>>= codeSize; bitCnt -= codeSize
+        c
+      }
+      def expand(code: Int, out: java.io.ByteArrayOutputStream): Byte = {
+        // iterative prefix walk (a recursion would stack-overflow on
+        // long chains); returns the string's FIRST byte
+        val stack = new Array[Byte](4096)
+        var sp = 0; var c = code
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        val first = c.toByte
+        out.write(first & 0xff)
+        while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+        first
+      }
+      val pix = new java.io.ByteArrayOutputStream(sw * sh)
+      var prev = -1
+      var done = false
+      while (!done) {
+        val c = read()
+        if (c == clearCode) { next = 258; codeSize = 9; prev = -1 }
+        else if (c == eoiCode) done = true
+        else if (prev < 0) { expand(c, pix); prev = c }
+        else {
+          require(c <= next, s"corrupt GIF LZW code $c (next=$next)")
+          val first: Byte =
+            if (c < next && c != clearCode && c != eoiCode) expand(c, pix)
+            else { // KwKwK: code not yet in dict = prev string + its first byte
+              val f = expand(prev, pix)
+              pix.write(f & 0xff); f
+            }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first; next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = c
+        }
+      }
+      val indices = pix.toByteArray
+      require(indices.length == sw * sh,
+        s"GIF pixel count ${indices.length} != ${sw * sh}")
+      (sw, sh, palette, indices)
+    }
+
+    /** Palette-resolved top-down RGB — the shared image contract. */
+    def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, pal, idx) = decode(payload)
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < idx.length) {
+        val k = (idx(p) & 0xff) * 3
+        rgb(p * 3) = pal(k); rgb(p * 3 + 1) = pal(k + 1); rgb(p * 3 + 2) = pal(k + 2)
+        p += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** Row-weighted sums over the palette-resolved pixels. */
+    def weightedChannelSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h, px) = decodeRgb(payload)
+      var r = 0L; var g = 0L; var b = 0L; var i = 0
+      while (i < px.length) {
+        val wt = (i / 3 / w + 1).toLong
+        r += wt * (px(i) & 0xff); g += wt * (px(i + 1) & 0xff); b += wt * (px(i + 2) & 0xff)
+        i += 3
+      }
+      (w, h, r, g, b)
+    }
+  }
+
   object WavCodec extends MediaCodec {
 
     /** G.711 mu-law expansion (the telephony codec, ITU-T G.711): one

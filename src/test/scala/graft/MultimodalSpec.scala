@@ -169,6 +169,50 @@ class MultimodalSpec extends SparkSpec {
     assert(BmpCodec.dHash(BmpCodec.encode(w, h, rgb)) == hp)
   }
 
+  test("GifCodec: real LZW round-trips — KwKwK, dict growth, 4096 reset") {
+    import graft.operators.multimodal.Multimodal.GifCodec
+    val palette = Array.tabulate[Byte](768)(i => ((i * 5 + 3) % 256).toByte)
+    def roundTrip(w: Int, h: Int, idx: Array[Byte]): Unit = {
+      val gif = GifCodec.encode(w, h, palette, idx)
+      assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+      val (dw, dh, pal, back) = GifCodec.decode(gif)
+      assert(dw == w && dh == h)
+      assert(pal.toSeq == palette.toSeq)
+      assert(back.toSeq == idx.toSeq, s"${w}x$h failed")
+    }
+    // KwKwK immediately: a constant run ("aaaa…") forces code == next
+    roundTrip(16, 4, Array.fill[Byte](64)(7))
+    // alternating + runs: exercises normal dict hits and misses
+    roundTrip(13, 9, Array.tabulate[Byte](117)(i => (i % 5).toByte))
+    // pseudo-random 120x80 = 9600 px: the dictionary passes 4096
+    // entries and the clear-code reset path runs for real
+    val rnd = new scala.util.Random(42)
+    roundTrip(120, 80, Array.fill[Byte](9600)(rnd.nextInt(256).toByte))
+    // single pixel (degenerate stream: code + eoi)
+    roundTrip(1, 1, Array[Byte](200.toByte))
+    // compression is real: the repetitive image shrinks well below raw
+    val runs = GifCodec.encode(64, 64, palette, Array.fill[Byte](4096)(9))
+    assert(runs.length < 768 + 13 + 4096 / 4, s"no compression? ${runs.length}")
+    // loud failures
+    intercept[IllegalArgumentException](GifCodec.decode("NOTGIF".getBytes))
+    val gif = GifCodec.encode(4, 4, palette, Array.fill[Byte](16)(1))
+    intercept[IllegalArgumentException](
+      GifCodec.decode(java.util.Arrays.copyOfRange(gif, 0, 700)))
+  }
+
+  test("GifCodec: palette resolution matches the shared RGB contract") {
+    import graft.operators.multimodal.Multimodal.GifCodec
+    val palette = Array.tabulate[Byte](768)(i => (i % 251).toByte)
+    val idx = Array.tabulate[Byte](24)(i => (i * 11 % 256).toByte)
+    val (w, h, rgb) = GifCodec.decodeRgb(GifCodec.encode(6, 4, palette, idx))
+    assert(w == 6 && h == 4)
+    (0 until 24).foreach { p =>
+      val k = (idx(p) & 0xff) * 3
+      assert(rgb(p * 3) == palette(k) && rgb(p * 3 + 1) == palette(k + 1) &&
+        rgb(p * 3 + 2) == palette(k + 2))
+    }
+  }
+
   test("WavCodec mu-law: known-answer expansion, format-7 container decode") {
     import graft.operators.multimodal.Multimodal.WavCodec
     // canonical G.711 vectors: 0xFF -> 0 (positive zero), 0x7F -> -0
