@@ -1384,6 +1384,16 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "sim_kmeans_clusters" -> ((s, dir) => {
+      // corpus domain discovery: exact integer k-means (the coarse
+      // train loop at m=1) → per-cluster membership, corpus share,
+      // inertia — the mixture-balancer's input statistics; the whole
+      // train→assign→aggregate path shares the PQ oracle machinery
+      graft.operators.sim.ProductQuantizer.kmeansClusterStats(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, k = 8, iters = 1)
+        .orderBy(col("cluster_id"))
+    }),
+
     "sim_mmr_topk" -> ((s, dir) => {
       // MMR diversification: greedy max(min-dist-to-selected − dist-to-
       // query) over the exact integer-L2 pool — the de-redundancy pass
@@ -5043,6 +5053,19 @@ object SparkEntry {
 
     // the stored-index probe must reproduce the one-shot plan exactly
     "sim_ivfpq_index_probe" -> ivfPqOracleSql,
+
+    // the same tagged train chain at m=1, ks=8; inertia sums the
+    // assigned HUGEINT distances (varchar-mediated double cast)
+    "sim_kmeans_clusters" -> (pqMicroE + pqTrainCtes("c", 1, 64, 8) +
+      """,
+        |a AS (SELECT co.vec_id, co.cid, d.d2
+        |  FROM ccodes co JOIN cd1 d
+        |    ON d.vec_id = co.vec_id AND d.cid = co.cid AND d.sub = co.sub),
+        |t AS (SELECT COUNT(*) AS total FROM a)
+        |SELECT CAST(cid AS INT) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) * 1000000 // total AS BIGINT) AS share_micros,
+        |  CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE) AS inertia
+        |FROM a CROSS JOIN t GROUP BY cid, total ORDER BY cluster_id""".stripMargin),
 
     "sim_pq_topk" -> (pqOraclePrefix +
       """SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, corpus_id,

@@ -233,6 +233,32 @@ object ProductQuantizer {
         col("corpus_id"), col("adc_d2").cast("double").as("adc_d2"))
   }
 
+  /** Corpus DOMAIN DISCOVERY: exact integer k-means (this module's
+    * coarse-quantizer train loop at m = 1, so determinism and
+    * exactness carry over) across the full vectors, reporting each
+    * cluster's membership count, corpus share (half-open integer
+    * micros), and inertia (Σ exact integer d2 to the assigned
+    * centroid) — the statistics a mixture balancer (DoReMi-style
+    * domain weighting, cluster-proportional sampling) consumes.
+    * Scale shape: train moves k·dim cells per round; the stats pass is
+    * one assignment projection + a k-row aggregate.
+    */
+  def kmeansClusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, k: Int, iters: Int = 1): DataFrame = {
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dim, 1, k, iters)
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("codes", codesCol(col("v"), cbs))
+      .withColumn("cluster_id", element_at(col("codes"), 1))
+      .withColumn("d2", adcD2(col("codes"), col("v"), cbs))
+    val stats = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia_raw"))
+    stats.join(broadcast(stats.agg(sum(col("n_vecs")).as("total"))))
+      .select(col("cluster_id").cast("int").as("cluster_id"), col("n_vecs"),
+        expr("n_vecs * 1000000 div total").as("share_micros"),
+        col("inertia_raw").cast("double").as("inertia"))
+  }
+
   /** Persist the FULL IVF-PQ structure — the deployed ANN shape is
     * search-over-stored-index, not train-per-query. Codes land
     * PARTITIONED BY list id (the on-disk inverted file: one directory
