@@ -1051,6 +1051,22 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // quality-aware representatives: each near-dup cluster keeps its
+      // HIGHEST-token-count member (ties to smallest id) instead of
+      // min-id — the RefinedWeb/FineWeb keep-best-of-cluster choice
+      import graft.operators.text.TextAnalysis
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 50)
+      val comps = Dedup.connectedComponents(pairs)
+      Dedup.keepBest(
+          docs.select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("score")),
+          "doc_id", "score", comps)
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_kfold" -> ((s, dir) => {
       // leak-free k-fold cross-validation assignment: the fold keys on
       // each doc's exact-dup group REPRESENTATIVE, so verbatim copies
@@ -3896,6 +3912,36 @@ object SparkEntry {
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
         |)
         |SELECT node, MIN(label) AS cluster FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // the cluster chain + a (score DESC, id ASC) argmax per component;
+    // singletons (no pair) always keep
+    "dedup_keep_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'))), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM w),
+        |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+        |f AS (SELECT * FROM e QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT id_a, id_b FROM p WHERE common / (na + nb - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+        |),
+        |comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+        |sc AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS score FROM w),
+        |j AS (SELECT s.doc_id, COALESCE(c.cluster, s.doc_id) AS component, s.score
+        |  FROM sc s LEFT JOIN comp c ON s.doc_id = c.node)
+        |SELECT doc_id, component,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
+        |    ORDER BY score DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END AS INT) AS kept,
+        |  score
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // fold keys on the exact-dup group representative — copies can
     // never straddle folds; 60-bit md5 bucket, same hash60 contract

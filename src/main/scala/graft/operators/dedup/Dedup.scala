@@ -258,6 +258,29 @@ object Dedup {
     docs.join(drop, col(idCol) === col("drop_id"), "left_anti")
   }
 
+  /** QUALITY-AWARE cluster representatives: within each near-dup
+    * component keep the HIGHEST-scoring member (ties to the smallest
+    * id) instead of the min-id default — the pipeline choice that
+    * retains the longest/cleanest copy of every duplicated document
+    * (RefinedWeb/FineWeb keep-best-of-cluster). `scored` carries
+    * (idCol, scoreCol); `components` is [[connectedComponents]]
+    * output — docs absent from it are their own singletons and always
+    * keep. Components table is pair-graph-sized (dups only), so it
+    * broadcasts; the window partitions by component — dup-cluster
+    * sized groups, never a global sort.
+    */
+  def keepBest(scored: DataFrame, idCol: String, scoreCol: String,
+               components: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = scored
+      .join(broadcast(components.withColumnRenamed("node", idCol)), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("cluster"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    j.withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .select(col(idCol), col("component"), col("kept"), col(scoreCol))
+  }
+
   /** Full transitive dedup clusters: min-label propagation over the
     * near-dup pair graph until fixpoint (bounded by `maxIters` —
     * iterations needed = graph diameter, and near-dup graphs are

@@ -141,6 +141,15 @@ object ZOrderLayout {
       .drop("zv")
       .write.mode("overwrite").parquet(path)
 
+  /** [[writeZOrdered]] with rank codes — the skew-proof write path. */
+  def writeZOrderedRank(df: DataFrame, xCol: String, yCol: String, path: String,
+                        numFiles: Int, bits: Int = 10): Unit =
+    withZValueRank(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+
   /** The pruning evidence as a queryable result: rows bucketed by the
     * TOP `log2(buckets)` z-value bits (= the files a range writer
     * would cut), with per-bucket count and min/max spans of both
