@@ -103,17 +103,20 @@ object JobConfig {
         (if (filters.contains("nodmldelete")) Set(Op.Delete) else Set.empty[String]) ++
         (if (filters.exists(_.startsWith("noddl"))) Set(Op.Ddl) else Set.empty[String])
 
-    val repl = ReplicationSpec(
-      doDb = arr(root, "ReplicateDoDb").map(parseDo),
-      ignoreDb = arr(root, "ReplicateIgnoreDb").map(parseIgnore),
-      skipOps = skipOps)
-
     def intOr(field: String, dflt: Int): Int =
       opt(root, field).map(_.asInt).filter(_ > 0).getOrElse(dflt)
     def longOr(field: String, dflt: Long): Long =
       opt(root, field).map(_.asLong).filter(_ > 0).getOrElse(dflt)
     def boolOr(field: String, dflt: Boolean): Boolean =
       opt(root, field).map(_.asBoolean).getOrElse(dflt)
+
+    val repl = ReplicationSpec(
+      doDb = arr(root, "ReplicateDoDb").map(parseDo),
+      ignoreDb = arr(root, "ReplicateIgnoreDb").map(parseIgnore),
+      skipOps = skipOps,
+      // the reference's opt-in gate for grants/user admin/procedures
+      // and mysql.* grant-table rows (taskconfig ExpandSyntaxSupport)
+      expandSyntaxSupport = boolOr("ExpandSyntaxSupport", dflt = false))
 
     val bulkTiers = Seq(
       intOr("BulkInsert1", 4), intOr("BulkInsert2", 8), intOr("BulkInsert3", 128))

@@ -47,6 +47,10 @@ class JobRunnerSpec extends SparkSpec {
         |}""".stripMargin
     val (runner, cfg) = JobRunner.fromJson(spark, json)
     assert(cfg.repl.skipOps == Set(Op.Delete))
+    assert(!cfg.repl.expandSyntaxSupport) // reference default: off
+    // the reference field name flips the gate verbatim
+    assert(JobConfig.fromJson("""{"ExpandSyntaxSupport": true}""")
+      .repl.expandSyntaxSupport)
     val tableSpec = cfg.repl.doDb.head.tables.head
       .copy(schema = cfg.repl.doDb.head.schema,
         renameSchema = cfg.repl.doDb.head.renameSchema)

@@ -143,6 +143,43 @@ class PqSpec extends SparkSpec {
     survivors.foreach { case (key, d2) => assert(before(key) == d2, s"perturbed $key") }
   }
 
+  test("streaming ingest: per-micro-batch appendToIvfPqIndex == one batch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val newRows = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+    // stream path: codebooks train once on the base corpus; each
+    // micro-batch appends its codes via foreachBatch — the continual-
+    // ingest ANN shape (encode is per-row, write touches only the
+    // batch's lists, no retrain, no rebuild)
+    val dirS = graft.TempDirs.scratch("ivfpqstream")
+    PQ.buildIvfPqIndex(half1, "vec_id", "embedding", dirS, dim = 64, nLists = 8)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PQ.appendToIvfPqIndex(batch, "vec_id", "embedding", dirS, dim = 64, nLists = 8)
+        ()
+      }.start()
+    try {
+      input.addData(newRows.take(newRows.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(newRows.drop(newRows.size / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch reference: same base, everything appended at once
+    val dirB = graft.TempDirs.scratch("ivfpqbatch")
+    PQ.buildIvfPqIndex(half1, "vec_id", "embedding", dirB, dim = 64, nLists = 8)
+    PQ.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      dirB, dim = 64, nLists = 8)
+    val fromStream = PQ.ivfPqTopKFromIndex(spark, dirS, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 3)
+    val fromBatch = PQ.ivfPqTopKFromIndex(spark, dirB, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 8, nProbe = 3)
+    assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
+    assert(fromStream.count() > 0)
+  }
+
   test("streaming ANN probe via foreachBatch == batch search against the stored index") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
