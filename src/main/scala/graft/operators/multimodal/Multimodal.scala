@@ -421,7 +421,7 @@ object Multimodal {
       require(payload.length > 8 && Signature.indices.forall(i => payload(i) == Signature(i)),
         "not a PNG payload")
       var pos = 8
-      var w = 0; var h = 0; var seenIhdr = false
+      var w = 0; var h = 0; var seenIhdr = false; var colorType = 2
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done) {
@@ -439,7 +439,9 @@ object Multimodal {
             w = be32(payload, pos + 8); h = be32(payload, pos + 12)
             require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
             require(payload(pos + 16) == 8, s"unsupported bit depth ${payload(pos + 16)}")
-            require(payload(pos + 17) == 2, s"unsupported color type ${payload(pos + 17)} (RGB only)")
+            colorType = payload(pos + 17) & 0xff
+            require(colorType == 2 || colorType == 6,
+              s"unsupported color type $colorType (truecolor RGB/RGBA only)")
             require(payload(pos + 20) == 0, "interlaced PNG unsupported")
             seenIhdr = true
           case "IDAT" => idat.write(payload, pos + 8, len)
@@ -449,7 +451,10 @@ object Multimodal {
         pos += 12 + len
       }
       require(seenIhdr, "PNG missing IHDR")
-      val stride = w * 3
+      // bpp: filter neighbors step one PIXEL (3 bytes RGB, 4 RGBA) —
+      // filtering an RGBA image with the RGB offset corrupts silently
+      val bpp = if (colorType == 6) 4 else 3
+      val stride = w * bpp
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
       val raw = new Array[Byte]((stride + 1) * h)
@@ -461,7 +466,7 @@ object Multimodal {
       }
       inflater.end()
       require(got == raw.length, s"PNG pixel stream: got $got of ${raw.length} bytes")
-      val rgb = new Array[Byte](w * h * 3)
+      val recon = new Array[Byte](stride * h)
       var y = 0
       while (y < h) {
         val f = raw((stride + 1) * y) & 0xff
@@ -469,22 +474,32 @@ object Multimodal {
         var x = 0
         while (x < stride) {
           val v = raw((stride + 1) * y + 1 + x) & 0xff
-          val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
-          val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
-          val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
-          val recon = f match {
+          val a = if (x >= bpp) recon(y * stride + x - bpp) & 0xff else 0
+          val b = if (y > 0) recon((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) recon((y - 1) * stride + x - bpp) & 0xff else 0
+          val rv = f match {
             case 0 => v
             case 1 => v + a
             case 2 => v + b
             case 3 => v + ((a + b) / 2)
             case 4 => v + paeth(a, b, c)
           }
-          rgb(y * stride + x) = (recon & 0xff).toByte
+          recon(y * stride + x) = (rv & 0xff).toByte
           x += 1
         }
         y += 1
       }
-      (w, h, rgb)
+      if (bpp == 3) (w, h, recon)
+      else { // RGBA → RGB: alpha dropped (the shared image contract)
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          rgb(p * 3) = recon(p * 4); rgb(p * 3 + 1) = recon(p * 4 + 1)
+          rgb(p * 3 + 2) = recon(p * 4 + 2)
+          p += 1
+        }
+        (w, h, rgb)
+      }
     }
 
     /** The same row-weighted sums contract as [[BmpCodec]]: vertical
@@ -609,7 +624,7 @@ object Multimodal {
       require(iw == sw && ih == sh, "GIF sub-rectangle images unsupported")
       val ipacked = payload(pos + 9) & 0xff
       require((ipacked & 0x80) == 0, "GIF local color tables unsupported")
-      require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+      val interlaced = (ipacked & 0x40) != 0
       val minCode = payload(pos + 10) & 0xff
       require(minCode == 8, s"unsupported LZW min code size $minCode (8 only)")
       pos += 11
@@ -669,9 +684,22 @@ object Multimodal {
           prev = c
         }
       }
-      val indices = pix.toByteArray
-      require(indices.length == sw * sh,
-        s"GIF pixel count ${indices.length} != ${sw * sh}")
+      val stored = pix.toByteArray
+      require(stored.length == sw * sh,
+        s"GIF pixel count ${stored.length} != ${sw * sh}")
+      // GIF interlace: stored rows are the four passes concatenated
+      // (0,8,16… / 4,12… / 2,6,10… / 1,3,5…) — map back to raster order
+      val indices =
+        if (!interlaced) stored
+        else {
+          val order = (0 until sh by 8) ++ (4 until sh by 8) ++
+            (2 until sh by 4) ++ (1 until sh by 2)
+          val out = new Array[Byte](stored.length)
+          order.zipWithIndex.foreach { case (destRow, srcRow) =>
+            System.arraycopy(stored, srcRow * sw, out, destRow * sw, sw)
+          }
+          out
+        }
       (sw, sh, palette, indices)
     }
 

@@ -200,6 +200,81 @@ class MultimodalSpec extends SparkSpec {
       GifCodec.decode(java.util.Arrays.copyOfRange(gif, 0, 700)))
   }
 
+  test("PngCodec: RGBA (color type 6) decodes with bpp-4 filtering, alpha dropped") {
+    import graft.operators.multimodal.Multimodal.PngCodec
+    // hand-build an RGBA PNG: signature + IHDR(type 6) + IDAT + IEND —
+    // rows use filters 0, 2 (Up), and 4 (Paeth) so the 4-byte-pixel
+    // neighbor offset is genuinely exercised (the RGB offset would
+    // corrupt silently)
+    val w = 5; val h = 3; val bpp = 4
+    val rgba = Array.tabulate[Byte](w * h * bpp)(i => ((i * 23 + 7) % 256).toByte)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val filters = Array(0, 2, 4)
+    for (y <- 0 until h) {
+      raw((stride + 1) * y) = filters(y).toByte
+      for (x <- 0 until stride) {
+        val cur = rgba(y * stride + x) & 0xff
+        val a = if (x >= bpp) rgba(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) rgba((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) rgba((y - 1) * stride + x - bpp) & 0xff else 0
+        val f = filters(y) match {
+          case 0 => cur
+          case 2 => cur - b
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw((stride + 1) * y + 1 + x) = (f & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val body = tag.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32; crc.update(body)
+      be32(data.length) ++ body ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (dw, dh, rgb) = PngCodec.decode(png)
+    assert(dw == w && dh == h)
+    // alpha dropped, RGB bytes exact
+    (0 until w * h).foreach { p =>
+      assert(rgb(p * 3) == rgba(p * 4) && rgb(p * 3 + 1) == rgba(p * 4 + 1) &&
+        rgb(p * 3 + 2) == rgba(p * 4 + 2), s"pixel $p")
+    }
+  }
+
+  test("GifCodec: interlaced images de-interlace to raster order") {
+    import graft.operators.multimodal.Multimodal.GifCodec
+    val palette = Array.tabulate[Byte](768)(i => ((i * 3 + 1) % 256).toByte)
+    val w = 7; val h = 11 // odd height: all four passes non-trivial
+    val idx = Array.tabulate[Byte](w * h)(i => ((i * 13 + 5) % 256).toByte)
+    // store rows in interlace-pass order, then flip the interlace flag
+    val order = (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
+    val stored = new Array[Byte](w * h)
+    order.zipWithIndex.foreach { case (srcRow, destPos) =>
+      System.arraycopy(idx, srcRow * w, stored, destPos * w, w)
+    }
+    val gif = GifCodec.encode(w, h, palette, stored)
+    gif(13 + 768 + 9) = (gif(13 + 768 + 9) | 0x40).toByte // image-descriptor packed
+    val (dw, dh, _, back) = GifCodec.decode(gif)
+    assert(dw == w && dh == h)
+    assert(back.toSeq == idx.toSeq, "interlaced rows must return in raster order")
+  }
+
   test("GifCodec: palette resolution matches the shared RGB contract") {
     import graft.operators.multimodal.Multimodal.GifCodec
     val palette = Array.tabulate[Byte](768)(i => (i % 251).toByte)
