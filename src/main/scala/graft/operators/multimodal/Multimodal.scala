@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch processing). Four formats have REAL pure-JVM
   * codecs — NetPBM P6 ([[PpmCodec]]), 24-bit BMP ([[BmpCodec]]),
   * zlib-backed truecolor PNG ([[PngCodec]] — java.util.zip ships in
-  * the JDK), and RIFF/WAVE PCM ([[WavCodec]]) — each proven byte-exact
-  * by a formula oracle. Only the formats that genuinely need native
-  * libraries this container lacks (JPEG, MP3) sit behind the labeled
-  * [[FakeCodec]] stub; swap in a JNI/ffmpeg-backed codec there in
-  * production.
+  * the JDK), and RIFF/WAVE PCM + G.711 mu-law ([[WavCodec]]) — each
+  * proven byte-exact by a formula oracle and (for PNG/BMP/GIF)
+  * cross-verified in both directions against the JDK's independent
+  * `javax.imageio` readers and writers (CodecInteropSpec). JPEG is
+  * real too, through the JDK's own baseline codec ([[JpegCodec]] —
+  * lossy, so its contract is spec-level bounded error, not a hash
+  * oracle). Only audio/video compression that truly needs native
+  * libraries (MP3, video frames) sits behind the labeled
+  * [[FakeCodec]] stub.
   */
 object Multimodal {
 
@@ -53,11 +57,11 @@ object Multimodal {
   }
 
   /** STUB: deterministic fake codec for the formats that genuinely
-    * need native libraries this container lacks (JPEG's DCT/huffman,
-    * MP3) — features are a seeded PRNG stream from the payload hash;
-    * resize truncates/pads. Replace with a real codec (javacv/ffmpeg)
-    * outside this container. PPM/BMP/PNG/WAV do NOT go through this:
-    * they have real pure-JVM codecs below.
+    * need native libraries this container lacks (MP3, video frame
+    * extraction) — features are a seeded PRNG stream from the payload
+    * hash; resize truncates/pads. Replace with a real codec
+    * (javacv/ffmpeg) outside this container. Images do NOT go through
+    * this: PPM/BMP/PNG/GIF/JPEG all have real codecs below.
     */
   object FakeCodec extends MediaCodec {
     def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -529,9 +533,12 @@ object Multimodal {
     * self-reference case, 255-byte data sub-blocks. GIF is
     * palette-indexed, so the codec's pixel contract is (palette,
     * indices); [[decodeRgb]] resolves through the palette to the same
-    * top-down RGB contract as the other image codecs. 8-bit global
-    * color table, non-interlaced, single image; extensions skipped per
-    * spec; anything else fails loudly.
+    * top-down RGB contract as the other image codecs. Decode accepts
+    * any global-color-table size, LZW min code 2–8, and interlaced
+    * row order (the JDK's own writer exercises all of these in
+    * CodecInteropSpec); the encoder emits the 256-entry
+    * non-interlaced form. Single image; extensions skipped per spec;
+    * anything else fails loudly.
     */
   object GifCodec extends Serializable {
 
@@ -609,10 +616,10 @@ object Multimodal {
       val sw = u16(6); val sh = u16(8)
       val packed = payload(10) & 0xff
       require((packed & 0x80) != 0, "GIF without a global color table unsupported")
-      val gctSize = 3 * (2 << (packed & 7))
-      require(gctSize == 768, s"unsupported GIF palette size ${gctSize / 3} (256 only)")
-      val palette = java.util.Arrays.copyOfRange(payload, 13, 13 + 768)
-      var pos = 13 + 768
+      val gctEntries = 2 << (packed & 7) // 2..256, any power of two
+      val gctSize = 3 * gctEntries
+      val palette = java.util.Arrays.copyOfRange(payload, 13, 13 + gctSize)
+      var pos = 13 + gctSize
       // skip extensions until the image descriptor
       while (pos < payload.length && (payload(pos) & 0xff) == 0x21) {
         pos += 2 // introducer + label
@@ -626,7 +633,7 @@ object Multimodal {
       require((ipacked & 0x80) == 0, "GIF local color tables unsupported")
       val interlaced = (ipacked & 0x40) != 0
       val minCode = payload(pos + 10) & 0xff
-      require(minCode == 8, s"unsupported LZW min code size $minCode (8 only)")
+      require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
       pos += 11
       // concatenate data sub-blocks
       val data = new java.io.ByteArrayOutputStream()
@@ -637,9 +644,10 @@ object Multimodal {
       }
       // ---- LZW decompress -----------------------------------------
       val bytes = data.toByteArray
-      val clearCode = 256; val eoiCode = 257
+      val clearCode = 1 << minCode; val eoiCode = clearCode + 1
+      val firstFree = clearCode + 2
       val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
-      var next = 258; var codeSize = 9
+      var next = firstFree; var codeSize = minCode + 1
       var bitBuf = 0L; var bitCnt = 0; var bp = 0
       def read(): Int = {
         while (bitCnt < codeSize && bp < bytes.length) {
@@ -655,7 +663,7 @@ object Multimodal {
         // long chains); returns the string's FIRST byte
         val stack = new Array[Byte](4096)
         var sp = 0; var c = code
-        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        while (c >= firstFree) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
         val first = c.toByte
         out.write(first & 0xff)
         while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
@@ -666,7 +674,7 @@ object Multimodal {
       var done = false
       while (!done) {
         val c = read()
-        if (c == clearCode) { next = 258; codeSize = 9; prev = -1 }
+        if (c == clearCode) { next = firstFree; codeSize = minCode + 1; prev = -1 }
         else if (c == eoiCode) done = true
         else if (prev < 0) { expand(c, pix); prev = c }
         else {
@@ -723,6 +731,103 @@ object Multimodal {
       while (i < px.length) {
         val wt = (i / 3 / w + 1).toLong
         r += wt * (px(i) & 0xff); g += wt * (px(i + 1) & 0xff); b += wt * (px(i + 2) & 0xff)
+        i += 3
+      }
+      (w, h, r, g, b)
+    }
+  }
+
+  /** REAL JPEG — via the JDK's OWN baseline codec (`javax.imageio`
+    * ships in every standard JDK's java.desktop module; verified
+    * headless-safe). Unlike the byte-exact containers, JPEG is LOSSY:
+    * decode(encode(x)) ≈ x, so the verification contract is spec-level
+    * (bounded per-pixel error on smooth content, bit-determinism of
+    * decode) and the driver query is rows-only — an exact SQL oracle
+    * over DCT quantization would be fiction. ImageIO also gives the
+    * INTEROP witness for the from-scratch codecs: PNG/BMP/GIF bytes
+    * this library writes decode identically under the JDK's
+    * independent readers, and vice versa (CodecInteropSpec).
+    */
+  object JpegCodec extends MediaCodec {
+
+    /** BT.601 luminance-grid features over the JDK-decoded pixels —
+      * the same feature contract as every other image codec (shared
+      * via the PPM re-encoding, so one implementation serves all).
+      */
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (w, h, rgb) = decode(payload)
+      PpmCodec.decodeFeatures(PpmCodec.encode(w, h, rgb), dim)
+    }
+
+    /** Nearest-neighbor resize, re-encoded as JPEG. */
+    def resize(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (w, h, rgb) = decode(payload)
+      val (_, _, small) = PpmCodec.decode(
+        PpmCodec.resize(PpmCodec.encode(w, h, rgb), w2, h2))
+      encode(w2, h2, small)
+    }
+
+    def encode(w: Int, h: Int, rgb: Array[Byte], quality: Float = 0.92f): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"pixel buffer ${rgb.length} != ${w * h * 3}")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        img.setRGB(p % w, p / w,
+          ((rgb(p * 3) & 0xff) << 16) | ((rgb(p * 3 + 1) & 0xff) << 8) | (rgb(p * 3 + 2) & 0xff))
+        p += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+
+    /** (width, height, top-down RGB) through the JDK decoder. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "not a decodable JPEG payload")
+      imageToRgb(img)
+    }
+
+    /** Shared BufferedImage → top-down interleaved RGB. */
+    def imageToRgb(
+        img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val v = img.getRGB(p % w, p / w)
+        rgb(p * 3) = ((v >> 16) & 0xff).toByte
+        rgb(p * 3 + 1) = ((v >> 8) & 0xff).toByte
+        rgb(p * 3 + 2) = (v & 0xff).toByte
+        p += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** Same perceptual hash as the lossless containers — dHash's
+      * 8×8 luminance differences survive JPEG quantization on real
+      * images, which is exactly why it is the near-dup fingerprint
+      * of choice for lossy-recompressed web content.
+      */
+    def dHash(payload: Array[Byte], hw: Int = 8, hh: Int = 8): Long = {
+      val (w, h, rgb) = decode(payload)
+      PpmCodec.dHash(PpmCodec.encode(w, h, rgb), hw, hh)
+    }
+
+    def channelSums(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h, px) = decode(payload)
+      var r = 0L; var g = 0L; var b = 0L; var i = 0
+      while (i < px.length) {
+        r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
         i += 3
       }
       (w, h, r, g, b)
