@@ -2210,13 +2210,15 @@ object SparkEntry {
     }),
 
     "mm_dhash_pairs" -> ((s, dir) => {
-      // image near-dup dedup on REAL bytes: dHash fingerprints through
-      // encode->resize->decode->luma (all integer), Hamming pairs ≤ 10.
-      // Images synthesized from a pixel formula keyed on id%8, so ids
-      // 8 apart are planted exact dups (hamming 0); the oracle
-      // re-derives every bit from the formula without seeing a byte
+      // image near-dup dedup on REAL bytes ACROSS CONTAINERS: each id
+      // encodes its pixels as PPM, BMP, or PNG by id%3 (the scraped-web
+      // reality — the same image circulates re-containered), and dHash
+      // is container-agnostic, so ids 8 apart stay planted exact dups
+      // (hamming 0) even when their containers differ. The oracle
+      // re-derives every bit from the pixel formula without seeing a
+      // byte of any container
       import s.implicits._
-      val codec = graft.operators.multimodal.Multimodal.PpmCodec
+      import graft.operators.multimodal.Multimodal.{BmpCodec, PngCodec, PpmCodec}
       val hashes = s.range(24).map { i =>
         val b = (i % 8).toInt
         val w = 8 + b % 5; val h = 6 + b % 3
@@ -2224,7 +2226,12 @@ object SparkEntry {
           val c = j % 3; val p = j / 3
           ((b.toLong * (7 + 4 * c) + p.toLong * (3 + 2 * c)) % 256).toByte
         }
-        (i, codec.dHash(codec.encode(w, h, rgb)))
+        val dh = (i % 3) match {
+          case 0 => PpmCodec.dHash(PpmCodec.encode(w, h, rgb))
+          case 1 => BmpCodec.dHash(BmpCodec.encode(w, h, rgb))
+          case _ => PngCodec.dHash(PngCodec.encode(w, h, rgb))
+        }
+        (i, dh)
       }.toDF("media_id", "dhash")
       hashes.alias("a").join(hashes.alias("b"),
           col("a.media_id") < col("b.media_id"))
