@@ -73,13 +73,11 @@ object Multimodal {
       java.util.Arrays.copyOf(payload, math.min(payload.length, math.max(1, w * h)))
   }
 
-  /** REAL image codec for the NetPBM P6 (binary PPM) format — pure JVM,
-    * no native libraries, so genuinely decodable formats exercise
-    * the whole multimodal path end-to-end (PPM here, 24-bit BMP in
-    * [[BmpCodec]], real zlib-backed PNG in [[PngCodec]]) while
-    * JPEG/MP3 stay behind the labeled [[FakeCodec]] stub. Header: `P6`, whitespace- and
-    * `#`-comment-separated width/height/maxval (maxval ≤ 255), one
-    * whitespace byte, then `w*h*3` raw RGB bytes.
+  /** REAL image codec for the NetPBM P6 (binary PPM) format — pure
+    * JVM; the simplest of the real containers and the shared pixel
+    * substrate the others' features/dHash route through. Header:
+    * `P6`, whitespace- and `#`-comment-separated width/height/maxval
+    * (maxval ≤ 255), one whitespace byte, then `w*h*3` raw RGB bytes.
     */
   object PpmCodec extends MediaCodec {
 
@@ -426,6 +424,7 @@ object Multimodal {
         "not a PNG payload")
       var pos = 8
       var w = 0; var h = 0; var seenIhdr = false; var colorType = 2
+      var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done) {
@@ -444,10 +443,13 @@ object Multimodal {
             require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
             require(payload(pos + 16) == 8, s"unsupported bit depth ${payload(pos + 16)}")
             colorType = payload(pos + 17) & 0xff
-            require(colorType == 2 || colorType == 6,
-              s"unsupported color type $colorType (truecolor RGB/RGBA only)")
+            require(colorType == 2 || colorType == 6 || colorType == 3,
+              s"unsupported color type $colorType (truecolor, RGBA, paletted)")
             require(payload(pos + 20) == 0, "interlaced PNG unsupported")
             seenIhdr = true
+          case "PLTE" =>
+            require(len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+            plte = java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
           case "IDAT" => idat.write(payload, pos + 8, len)
           case "IEND" => done = true
           case _ => () // ancillary chunk: skip
@@ -455,9 +457,9 @@ object Multimodal {
         pos += 12 + len
       }
       require(seenIhdr, "PNG missing IHDR")
-      // bpp: filter neighbors step one PIXEL (3 bytes RGB, 4 RGBA) —
-      // filtering an RGBA image with the RGB offset corrupts silently
-      val bpp = if (colorType == 6) 4 else 3
+      // bpp: filter neighbors step one PIXEL (3 bytes RGB, 4 RGBA,
+      // 1 palette index) — the wrong offset corrupts silently
+      val bpp = colorType match { case 6 => 4; case 3 => 1; case _ => 3 }
       val stride = w * bpp
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
@@ -493,16 +495,28 @@ object Multimodal {
         }
         y += 1
       }
-      if (bpp == 3) (w, h, recon)
-      else { // RGBA → RGB: alpha dropped (the shared image contract)
-        val rgb = new Array[Byte](w * h * 3)
-        var p = 0
-        while (p < w * h) {
-          rgb(p * 3) = recon(p * 4); rgb(p * 3 + 1) = recon(p * 4 + 1)
-          rgb(p * 3 + 2) = recon(p * 4 + 2)
-          p += 1
-        }
-        (w, h, rgb)
+      colorType match {
+        case 2 => (w, h, recon)
+        case 6 => // RGBA → RGB: alpha dropped (the shared image contract)
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            rgb(p * 3) = recon(p * 4); rgb(p * 3 + 1) = recon(p * 4 + 1)
+            rgb(p * 3 + 2) = recon(p * 4 + 2)
+            p += 1
+          }
+          (w, h, rgb)
+        case 3 => // paletted: indices resolve through PLTE
+          require(plte != null, "paletted PNG missing PLTE chunk")
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val k = (recon(p) & 0xff) * 3
+            require(k + 2 < plte.length, s"PNG palette index ${recon(p) & 0xff} out of range")
+            rgb(p * 3) = plte(k); rgb(p * 3 + 1) = plte(k + 1); rgb(p * 3 + 2) = plte(k + 2)
+            p += 1
+          }
+          (w, h, rgb)
       }
     }
 
@@ -615,10 +629,11 @@ object Multimodal {
       def u16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
       val sw = u16(6); val sh = u16(8)
       val packed = payload(10) & 0xff
-      require((packed & 0x80) != 0, "GIF without a global color table unsupported")
-      val gctEntries = 2 << (packed & 7) // 2..256, any power of two
-      val gctSize = 3 * gctEntries
-      val palette = java.util.Arrays.copyOfRange(payload, 13, 13 + gctSize)
+      // the global color table is optional when the image carries a
+      // local one (checked at the image descriptor)
+      val gctSize = if ((packed & 0x80) != 0) 3 * (2 << (packed & 7)) else 0
+      val palette: Array[Byte] =
+        if (gctSize > 0) java.util.Arrays.copyOfRange(payload, 13, 13 + gctSize) else null
       var pos = 13 + gctSize
       // skip extensions until the image descriptor
       while (pos < payload.length && (payload(pos) & 0xff) == 0x21) {
@@ -630,11 +645,22 @@ object Multimodal {
       val iw = u16(pos + 5); val ih = u16(pos + 7)
       require(iw == sw && ih == sh, "GIF sub-rectangle images unsupported")
       val ipacked = payload(pos + 9) & 0xff
-      require((ipacked & 0x80) == 0, "GIF local color tables unsupported")
       val interlaced = (ipacked & 0x40) != 0
-      val minCode = payload(pos + 10) & 0xff
+      pos += 10
+      // a local color table overrides the global one for this image
+      val activePalette =
+        if ((ipacked & 0x80) != 0) {
+          val lctSize = 3 * (2 << (ipacked & 7))
+          val lct = java.util.Arrays.copyOfRange(payload, pos, pos + lctSize)
+          pos += lctSize
+          lct
+        } else {
+          require(palette != null, "GIF with neither global nor local color table")
+          palette
+        }
+      val minCode = payload(pos) & 0xff
       require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
-      pos += 11
+      pos += 1
       // concatenate data sub-blocks
       val data = new java.io.ByteArrayOutputStream()
       while ((payload(pos) & 0xff) != 0) {
@@ -708,7 +734,7 @@ object Multimodal {
           }
           out
         }
-      (sw, sh, palette, indices)
+      (sw, sh, activePalette, indices)
     }
 
     /** Palette-resolved top-down RGB — the shared image contract. */

@@ -72,6 +72,58 @@ class CodecInteropSpec extends AnyFunSuite {
       "our decoder disagrees with the JDK reader on a JDK-written GIF")
   }
 
+  test("PNG color type 3 (paletted): JDK-written indexed PNGs decode exactly") {
+    // an indexed BufferedImage makes ImageIO emit a REAL paletted PNG
+    // (PLTE + 1-byte indices) — the common web form for logos/icons
+    val pal = (0 until 16).map(i => (i * 16, 255 - i * 16, (i * 37) % 256))
+    val cm = new java.awt.image.IndexColorModel(4, 16,
+      pal.map(_._1.toByte).toArray, pal.map(_._2.toByte).toArray, pal.map(_._3.toByte).toArray)
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    (0 until 60).foreach { p =>
+      val (r, g, b) = pal(p % 16)
+      img.setRGB(p % 10, p / 10, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    // only proceed if the JDK actually wrote color type 3 at depth 8
+    // (it may choose 4-bit for tiny palettes — then our 8-bit-only
+    // decoder must refuse loudly rather than misread)
+    val ihdrColorType = bytes(8 + 4 + 4 + 9) & 0xff
+    val ihdrDepth = bytes(8 + 4 + 4 + 8) & 0xff
+    if (ihdrColorType == 3 && ihdrDepth == 8) {
+      val (w, h, rgb) = PngCodec.decode(bytes)
+      val (_, _, viaJdk) = rgbOf(read(bytes))
+      assert(w == 10 && h == 6 && rgb.toSeq == viaJdk.toSeq)
+    } else intercept[IllegalArgumentException](PngCodec.decode(bytes))
+  }
+
+  test("GIF local color table overrides the global one") {
+    val gct = Array.fill[Byte](768)(0) // poisoned global palette
+    val lct = Array.tabulate[Byte](768)(i => ((i * 11 + 2) % 256).toByte)
+    val idx = Array.tabulate[Byte](6 * 4)(i => (i % 256).toByte)
+    // rebuild our encoder's output with the palette moved into a LOCAL
+    // table: [header, GCT][0x2C desc(10)][minCode][data...] →
+    // [header no-GCT][desc + LCT flag][LCT][minCode][data...]
+    val base = GifCodec.encode(6, 4, lct, idx)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 10)
+    out.write(base(10) & 0x7f) // clear GCT flag
+    out.write(base, 11, 2)     // background + aspect
+    out.write(base, 13 + 768, 9) // image descriptor up to packed byte
+    out.write(0x80 | 7)          // LCT present, 256 entries
+    out.write(lct, 0, 768)
+    out.write(base, 13 + 768 + 10, base.length - (13 + 768 + 10))
+    val (w, h, pal, back) = GifCodec.decode(out.toByteArray)
+    assert(w == 6 && h == 4)
+    assert(pal.toSeq == lct.toSeq, "local table must override the global")
+    assert(back.toSeq == idx.toSeq)
+    // the JDK reader agrees on the same bytes
+    val (_, _, viaJdk) = rgbOf(read(out.toByteArray))
+    assert(viaJdk.toSeq == GifCodec.decodeRgb(out.toByteArray)._3.toSeq)
+  }
+
   test("JPEG (JDK codec): bounded loss on smooth content, deterministic decode") {
     // smooth gradient: JPEG's DCT is near-transparent at q=0.92
     val grad = Array.tabulate[Byte](32 * 24 * 3) { i =>
