@@ -2345,6 +2345,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_avi_frames" -> ((s, dir) => {
+      // REAL video frame sampling: AVI-MJPEG containers built from
+      // real JPEG frames, decoded and sampled at a 500 ms cadence —
+      // the oracle pins the (frame_idx, ts) arithmetic while the whole
+      // RIFF walk + JPEG machinery runs inside the executors (frame
+      // BYTES are lossy JPEG and spec-checked, not hash-oracled)
+      import s.implicits._
+      import graft.operators.multimodal.Multimodal
+      import graft.operators.multimodal.Multimodal.{AviMjpegCodec, JpegCodec, MediaRow}
+      val vids = s.range(12).map { i =>
+        val w = 16; val h = 12
+        val fps = 2 + (i % 4).toInt; val nf = 5 + (i % 6).toInt
+        val frames = (0 until nf).map(f => JpegCodec.encode(w, h,
+          Array.tabulate[Byte](w * h * 3)(j => ((j + f * 17 + i) % 256).toByte)))
+        MediaRow(i, "video", AviMjpegCodec.encode(w, h, fps, frames),
+          "video/avi", w, h, nf * 1000L / fps)
+      }
+      Multimodal.sampleFramesMjpeg(vids, everyMs = 500)
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"))
+        .orderBy(col("media_id"), col("ts_ms"))
+    }),
+
     "mm_mulaw_decode" -> ((s, dir) => {
       // G.711 mu-law (WAV format 7, the telephony capture form): raw
       // law bytes synthesized from a formula, wrapped in a REAL
@@ -5515,6 +5537,18 @@ object SparkEntry {
         |  CAST(SUM(wt * ((idx * 5 + media_id + 1) % 256)) AS BIGINT) AS wsum_g,
         |  CAST(SUM(wt * ((idx * 7 + media_id + 1) % 256)) AS BIGINT) AS wsum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+
+    // duration = nf/fps; one frame per 500 ms; idx floors ts·fps/1000
+    "mm_avi_frames" ->
+      """WITH v AS (SELECT i AS media_id, 2 + i % 4 AS fps, 5 + i % 6 AS nf FROM range(12) t(i)),
+        |d AS (SELECT media_id, fps, nf,
+        |    GREATEST(1, ((nf * 1000) // fps) // 500) AS n FROM v),
+        |f AS (SELECT media_id, fps, nf, k * 500 AS ts_ms
+        |  FROM d CROSS JOIN range(20) r(k) WHERE k < n)
+        |SELECT media_id,
+        |  CAST(LEAST(nf - 1, ts_ms * fps // 1000) AS INT) AS frame_idx,
+        |  CAST(ts_ms AS BIGINT) AS ts_ms
+        |FROM f ORDER BY media_id, ts_ms""".stripMargin,
 
     // canonical ulaw2linear: b = ~u; t = (((b&15)<<3)+132) << ((b&112)>>4);
     // sample = ±(t−132) by the sign bit — pure integer bit algebra

@@ -1068,6 +1068,127 @@ object Multimodal {
     * rows into many small ones — done via flatMap so no single output
     * row inherits the full payload.
     */
+  /** REAL video container: AVI-MJPEG (RIFF `AVI ` with an `hdrl`
+    * header LIST and `00dc` JPEG frame chunks in the `movi` LIST) —
+    * the classic motion-JPEG form, buildable and decodable with what
+    * this library already has (RIFF walking as in [[WavCodec]], frame
+    * payloads through [[JpegCodec]]). Fixed frame rate via the avih
+    * microseconds-per-frame field; chunks word-aligned per RIFF.
+    * H.264-family codecs genuinely need native decoders and stay out
+    * of scope, but frame SAMPLING — the training-data operation — is
+    * real end to end on this container ([[sampleFramesMjpeg]]).
+    */
+  object AviMjpegCodec extends Serializable {
+
+    private def put32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+      b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+    }
+    private def tagBytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** JPEG frame payloads → one AVI-MJPEG file at `fps`. */
+    def encode(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(fps > 0 && frames.nonEmpty, "need fps > 0 and ≥ 1 frame")
+      val usPerFrame = 1000000L / fps
+      // strh (56) + strf (40 BITMAPINFOHEADER, biCompression 'MJPG')
+      val strh = new java.io.ByteArrayOutputStream()
+      strh.write(tagBytes("vids")); strh.write(tagBytes("MJPG"))
+      put32(strh, 0); put32(strh, 0); put32(strh, 0) // flags, prio+lang, initial
+      put32(strh, 1); put32(strh, fps.toLong)        // scale, rate → fps
+      put32(strh, 0); put32(strh, frames.length.toLong) // start, length
+      put32(strh, 0); put32(strh, 0); put32(strh, 0); put32(strh, 0)
+      val strf = new java.io.ByteArrayOutputStream()
+      put32(strf, 40L); put32(strf, w.toLong); put32(strf, h.toLong)
+      strf.write(1); strf.write(0); strf.write(24); strf.write(0) // planes, bpp
+      strf.write(tagBytes("MJPG"))
+      put32(strf, 0); put32(strf, 0); put32(strf, 0); put32(strf, 0); put32(strf, 0)
+      val avih = new java.io.ByteArrayOutputStream()
+      put32(avih, usPerFrame); put32(avih, 0); put32(avih, 0); put32(avih, 0)
+      put32(avih, frames.length.toLong); put32(avih, 0); put32(avih, 1)
+      put32(avih, 0); put32(avih, w.toLong); put32(avih, h.toLong)
+      put32(avih, 0); put32(avih, 0); put32(avih, 0); put32(avih, 0)
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream(data.length + 9)
+        b.write(tagBytes(tag)); put32(b, data.length.toLong)
+        b.write(data, 0, data.length)
+        if (data.length % 2 == 1) b.write(0) // RIFF word alignment
+        b.toByteArray
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream(body.length + 12)
+        b.write(tagBytes("LIST")); put32(b, body.length + 4L)
+        b.write(tagBytes(kind)); b.write(body, 0, body.length)
+        b.toByteArray
+      }
+      val strl = list("strl", chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
+      val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = hdrl ++ movi
+      val out = new java.io.ByteArrayOutputStream(body.length + 12)
+      out.write(tagBytes("RIFF")); put32(out, body.length + 4L)
+      out.write(tagBytes("AVI ")); out.write(body, 0, body.length)
+      out.toByteArray
+    }
+
+    /** (width, height, fps, JPEG frame payloads). */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+      def u32(p: Int): Long = (payload(p) & 0xffL) | ((payload(p + 1) & 0xffL) << 8) |
+        ((payload(p + 2) & 0xffL) << 16) | ((payload(p + 3) & 0xffL) << 24)
+      def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+      require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        "not a RIFF/AVI payload")
+      var w = -1; var h = -1; var usPerFrame = -1L
+      val frames = Seq.newBuilder[Array[Byte]]
+      def walk(from: Int, until: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = tag(pos); val len = u32(pos + 4).toInt
+          require(len >= 0 && pos + 8 + len <= until, s"truncated AVI chunk $id at $pos")
+          id match {
+            case "LIST" => walk(pos + 12, pos + 8 + len) // skip the list kind
+            case "avih" =>
+              usPerFrame = u32(pos + 8)
+              w = u32(pos + 8 + 32).toInt; h = u32(pos + 8 + 36).toInt
+            case "00dc" =>
+              frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
+            case _ => () // strh/strf/indexes: informational here
+          }
+          pos += 8 + len + (len & 1)
+        }
+      }
+      walk(12, payload.length)
+      require(usPerFrame > 0 && w > 0 && h > 0, "AVI missing avih header")
+      val out = frames.result()
+      require(out.nonEmpty, "AVI contains no 00dc frames")
+      (w, h, (1000000L / usPerFrame).toInt, out)
+    }
+
+    /** The frame covering `tsMs` (floor), with its index. */
+    def frameAt(payload: Array[Byte], tsMs: Long): (Int, Array[Byte]) = {
+      val (_, _, fps, frames) = decode(payload)
+      val idx = math.min(frames.length - 1, math.max(0L, tsMs * fps / 1000).toInt)
+      (idx, frames(idx))
+    }
+  }
+
+  /** REAL frame sampling over AVI-MJPEG payloads: one decoded JPEG
+    * frame per `everyMs` of timeline — the training-data shape
+    * ([[sampleFrames]] is the byte-slicing fallback for opaque codecs).
+    */
+  def sampleFramesMjpeg(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val (_, _, fps, frames) = AviMjpegCodec.decode(r.payload)
+      val durMs = frames.length * 1000L / math.max(1, fps)
+      val n = math.max(1L, durMs / everyMs).toInt
+      (0 until n).map { i =>
+        val ts = i * everyMs
+        val idx = math.min(frames.length - 1, (ts * fps / 1000).toInt)
+        Frame(r.media_id, idx, ts, frames(idx))
+      }
+    }
+  }
+
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>

@@ -344,6 +344,49 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3) > f(0), "rising ramp has rising per-cell RMS")
   }
 
+  test("AviMjpegCodec: real video container round-trip + frame sampling e2e") {
+    import graft.operators.multimodal.Multimodal
+    import graft.operators.multimodal.Multimodal.{AviMjpegCodec, JpegCodec, MediaRow}
+    val w = 24; val h = 16; val fps = 5
+    // 10 distinguishable frames: brightness ramps with frame index
+    def framePixels(f: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h * 3) { i =>
+        val p = i / 3; ((p % w) * 3 + (p / w) * 2 + f * 20).toByte
+      }
+    val jpegs = (0 until 10).map(f => JpegCodec.encode(w, h, framePixels(f)))
+    val avi = AviMjpegCodec.encode(w, h, fps, jpegs)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val (dw, dh, dfps, back) = AviMjpegCodec.decode(avi)
+    assert(dw == w && dh == h && dfps == fps && back.length == 10)
+    // frames come back byte-identical (the container is lossless;
+    // only the JPEG inside is lossy)
+    back.zip(jpegs).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    // frameAt floors to the covering frame: 10 frames @5fps = 2s
+    assert(AviMjpegCodec.frameAt(avi, 0)._1 == 0)
+    assert(AviMjpegCodec.frameAt(avi, 999)._1 == 4)
+    assert(AviMjpegCodec.frameAt(avi, 5000)._1 == 9) // clamped to last
+    // Spark e2e: sampleFramesMjpeg yields REAL decodable frames at the
+    // requested cadence, with frame indices advancing through time
+    val rows = Seq(MediaRow(1L, "video", avi, "video/avi", w, h, 2000L)).toDS()
+    val frames = Multimodal.sampleFramesMjpeg(rows, everyMs = 500).collect()
+      .sortBy(_.ts_ms)
+    assert(frames.length == 4) // 2s / 500ms
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 5, 7))
+    frames.foreach { fr =>
+      val (fw, fh, _) = JpegCodec.decode(fr.payload)
+      assert(fw == w && fh == h)
+    }
+    // the sampled frames really are DIFFERENT images (brightness ramp)
+    val lumas = frames.map { fr =>
+      val (_, _, rgb) = JpegCodec.decode(fr.payload)
+      rgb.map(_ & 0xff).sum / rgb.length
+    }
+    assert(lumas.sliding(2).forall(p => p.head != p.last))
+    // loud failure on garbage
+    intercept[IllegalArgumentException](AviMjpegCodec.decode("RIFFxxxx".getBytes))
+  }
+
   test("repartitionBySize targets byte budget") {
     val df = Multimodal.synthesize(spark, 100).toDF()
       .withColumn("n_bytes", org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("payload")))

@@ -35,7 +35,7 @@ QUERIES = [
     "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
     "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
     "text_bm25_index_probe", "tokenizer_bpe_train", "text_bm25_prf", "text_bm25_percolate",
-    "text_pmi_collocations", "tokenizer_bpe_encode", "tokenizer_bpe_fast", "mm_dhash_pairs", "mm_bmp_decode", "mm_png_decode", "mm_mulaw_decode", "mm_gif_decode",
+    "text_pmi_collocations", "tokenizer_bpe_encode", "tokenizer_bpe_fast", "mm_dhash_pairs", "mm_bmp_decode", "mm_png_decode", "mm_mulaw_decode", "mm_gif_decode", "mm_avi_frames",
 ]
 
 # events-only queries: gated when the adversarial events table is
