@@ -223,7 +223,17 @@ object Multimodal {
     * is container-agnostic. Negative biHeight (top-down BMPs) is
     * honored; anything not 24-bpp/BI_RGB fails loudly.
     */
-  object BmpCodec extends Serializable {
+  object BmpCodec extends MediaCodec {
+
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (w, h, rgb) = decode(payload)
+      PpmCodec.decodeFeatures(PpmCodec.encode(w, h, rgb), dim)
+    }
+    def resize(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (w, h, rgb) = decode(payload)
+      val (_, _, small) = PpmCodec.decode(PpmCodec.resize(PpmCodec.encode(w, h, rgb), w2, h2))
+      encode(w2, h2, small)
+    }
 
     private def u16(b: Array[Byte], p: Int): Int =
       (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
@@ -343,7 +353,17 @@ object Multimodal {
     * RGB (color type 2), bit depth 8, non-interlaced — the dominant
     * truecolor form; everything else fails loudly.
     */
-  object PngCodec extends Serializable {
+  object PngCodec extends MediaCodec {
+
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (w, h, rgb) = decode(payload)
+      PpmCodec.decodeFeatures(PpmCodec.encode(w, h, rgb), dim)
+    }
+    def resize(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (w, h, rgb) = decode(payload)
+      val (_, _, small) = PpmCodec.decode(PpmCodec.resize(PpmCodec.encode(w, h, rgb), w2, h2))
+      encode(w2, h2, small)
+    }
 
     private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -1036,6 +1056,49 @@ object Multimodal {
   /** Feature extraction: batched per partition (one codec instance per
     * task, rows streamed — the `mapInPandas` batch shape).
     */
+  /** GIF through the [[MediaCodec]] contract: palette-resolved pixels
+    * feed the shared luminance features; resize re-encodes as a
+    * 256-entry GIF whose palette is the resized image's own colors
+    * only when they fit — nearest-neighbor keeps the original color
+    * SET, so resized pixels always exist in the original palette.
+    */
+  object GifAsMediaCodec extends MediaCodec {
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (w, h, rgb) = GifCodec.decodeRgb(payload)
+      PpmCodec.decodeFeatures(PpmCodec.encode(w, h, rgb), dim)
+    }
+    def resize(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (_, _, pal, idx) = GifCodec.decode(payload)
+      val (w, h, _) = GifCodec.decodeRgb(payload)
+      // nearest-neighbor over the INDEX plane: stays in the palette
+      val out = new Array[Byte](w2 * h2)
+      var p = 0
+      while (p < w2 * h2) {
+        val sx = ((p % w2).toLong * w / w2).toInt
+        val sy = ((p / w2).toLong * h / h2).toInt
+        out(p) = idx(sy * w + sx)
+        p += 1
+      }
+      GifCodec.encode(w2, h2,
+        if (pal.length == 768) pal else java.util.Arrays.copyOf(pal, 768), out)
+    }
+  }
+
+  /** MIME → codec dispatch: every image/audio format with a REAL
+    * implementation routes to it; only genuinely native-library
+    * formats (MP3, H.264-family video) fall back to the labeled
+    * [[FakeCodec]] stub.
+    */
+  def codecFor(mime: String): MediaCodec = mime.toLowerCase match {
+    case "image/x-portable-pixmap" | "image/ppm" => PpmCodec
+    case "image/bmp" => BmpCodec
+    case "image/png" => PngCodec
+    case "image/gif" => GifAsMediaCodec
+    case "image/jpeg" | "image/jpg" => JpegCodec
+    case "audio/wav" | "audio/x-wav" | "audio/basic" => WavCodec
+    case _ => FakeCodec
+  }
+
   def extractFeatures(media: Dataset[MediaRow], dim: Int,
                       codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -1046,6 +1109,23 @@ object Multimodal {
         val sha = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sha,
           codec.decodeFeatures(r.payload, dim))
+      }
+    }
+  }
+
+  /** [[extractFeatures]] over a HETEROGENEOUS corpus: each row routes
+    * to its mime type's real codec via [[codecFor]] — the shape a
+    * scraped multimodal table actually has.
+    */
+  def extractFeaturesAuto(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        md.reset()
+        val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sha,
+          codecFor(r.mime).decodeFeatures(r.payload, dim))
       }
     }
   }

@@ -387,6 +387,39 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](AviMjpegCodec.decode("RIFFxxxx".getBytes))
   }
 
+  test("codecFor routes every real format; extractFeaturesAuto over a mixed corpus") {
+    import graft.operators.multimodal.Multimodal
+    import graft.operators.multimodal.Multimodal._
+    assert(codecFor("image/png") eq PngCodec)
+    assert(codecFor("image/bmp") eq BmpCodec)
+    assert(codecFor("image/jpeg") eq JpegCodec)
+    assert(codecFor("IMAGE/GIF") eq GifAsMediaCodec)
+    assert(codecFor("audio/wav") eq WavCodec)
+    assert(codecFor("audio/mpeg") eq FakeCodec) // MP3: genuinely native
+    // one image, four containers: the luminance features must agree
+    // across PPM/BMP/PNG exactly (lossless) and match GIF through its
+    // palette (identity palette makes index == gray value)
+    val w = 12; val h = 8
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i / 3 * 2) % 256).toByte)
+    val pal = Array.tabulate[Byte](768)(i => (i / 3).toByte) // pal[k] = (k,k,k)
+    val gray = Array.tabulate[Byte](w * h)(p => ((p * 2) % 256).toByte)
+    val rows = Seq(
+      MediaRow(0L, "image", PpmCodec.encode(w, h, rgb), "image/ppm", w, h, 0L),
+      MediaRow(1L, "image", BmpCodec.encode(w, h, rgb), "image/bmp", w, h, 0L),
+      MediaRow(2L, "image", PngCodec.encode(w, h, rgb), "image/png", w, h, 0L),
+      MediaRow(3L, "image", GifCodec.encode(w, h, pal,
+        Array.tabulate[Byte](w * h)(p => gray(p))), "image/gif", w, h, 0L)
+    ).toDS()
+    val feats = Multimodal.extractFeaturesAuto(rows, dim = 8).collect()
+      .sortBy(_.media_id).map(_.features.toSeq)
+    // the image is gray (r=g=b=2p) and the GIF palette is the identity
+    // gray ramp, so ALL FOUR containers hold the same pixels — features
+    // must agree exactly, each through its own real decoder
+    assert(feats(0) == feats(1) && feats(1) == feats(2) && feats(2) == feats(3),
+      "same pixels in four containers must produce identical features")
+    assert(feats(0).exists(_ != 0f)) // and they are real, not zeros
+  }
+
   test("repartitionBySize targets byte budget") {
     val df = Multimodal.synthesize(spark, 100).toDF()
       .withColumn("n_bytes", org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("payload")))
