@@ -238,6 +238,29 @@ object ScaleProbe {
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, dim = 64, rerank = 50)
       }
+      // r8 stored IVF-PQ: build once per corpus; the probe reads only
+      // its nProbe list directories via DPP — probe time must track
+      // candidates, not corpus size
+      locally {
+        var dir: String = null
+        time("sim_ivfpq_index_build", k) {
+          dir = TempDirs.scratch("probe_ivfpq")
+          operators.sim.ProductQuantizer.buildIvfPqIndex(
+            e, "vec_id", "embedding", dir, dim = 64, nLists = 16)
+          e.limit(0) // built above; noop write below
+        }
+        if (dir != null) time("sim_ivfpq_index_probe", k) {
+          operators.sim.ProductQuantizer.ivfPqTopKFromIndex(
+            spark, dir, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, dim = 64, nLists = 16, nProbe = 4)
+        }
+      }
+      time("sim_kmeans_clusters", k) {
+        // domain discovery: train moves k·dim cells/round; assignment
+        // is one corpus projection, the stats a k-row aggregate
+        operators.sim.ProductQuantizer.kmeansClusterStats(
+          e, "vec_id", "embedding", dim = 64, k = 8)
+      }
       time("sim_hybrid_rrf", k) {
         // both retrievers at k× corpus, fixed query set; fusion cost is
         // pool-sized regardless of k
@@ -258,6 +281,11 @@ object ScaleProbe {
           li.select((col("l_orderkey") + lit(i * 10000000L)).as("l_orderkey"),
             col("l_partkey"))).reduce(_ unionByName _)
         graft.sinks.ZOrderLayout.zorderStats(scaled, "l_orderkey", "l_partkey")
+      }
+      time("layout_zorder_rank", k) {
+        // rank codes: the global window runs over DISTINCT values only
+        // (groupBy reduction first), the heavy table joins its codes
+        graft.sinks.ZOrderLayout.zorderStatsRank(v, "event_id", "user_id")
       }
       time("stats_active_users", k) {
         val ev = { vUsed = true; v }
