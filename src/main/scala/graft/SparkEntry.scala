@@ -2116,22 +2116,28 @@ object SparkEntry {
     "pipeline_multimodal" -> ((s, dir) => {
       // image flagship: REAL byte decode -> BT.601 luminance-grid
       // features -> pairwise cosine, every stage reproduced by the
-      // oracle from the pixel formula alone (the whole image path —
-      // codec, cell mapping, float32 feature rounding, cosine — is
-      // deterministic arithmetic, so even the similarity hash-matches)
+      // oracle from the pixel formula alone. Since r8 the corpus is
+      // HETEROGENEOUS — each image ships in a container chosen by
+      // id%3 (PPM/BMP/PNG, all lossless) and extractFeaturesAuto
+      // routes per-row by mime — three different real decoders must
+      // produce the identical features or the hash breaks
       import s.implicits._
-      val codec = graft.operators.multimodal.Multimodal.PpmCodec
+      import graft.operators.multimodal.Multimodal
+      import graft.operators.multimodal.Multimodal.{BmpCodec, MediaRow, PngCodec, PpmCodec}
       val imgs = s.range(16).map { i =>
         val w = 8 + (i % 5).toInt; val h = 6 + (i % 3).toInt
         val rgb = Array.tabulate[Byte](w * h * 3) { j =>
           val c = j % 3; val p = j / 3
           ((i * (7 + 4 * c) + p.toLong * (3 + 2 * c)) % 256).toByte
         }
-        graft.operators.multimodal.Multimodal.MediaRow(i, "image",
-          codec.encode(w, h, rgb), "image/x-portable-pixmap", w, h, 0L)
+        val (payload, mime) = (i % 3) match {
+          case 0 => (PpmCodec.encode(w, h, rgb), "image/x-portable-pixmap")
+          case 1 => (BmpCodec.encode(w, h, rgb), "image/bmp")
+          case _ => (PngCodec.encode(w, h, rgb), "image/png")
+        }
+        MediaRow(i, "image", payload, mime, w, h, 0L)
       }
-      val feats = graft.operators.multimodal.Multimodal
-        .extractFeatures(imgs, dim = 8, codec = codec)
+      val feats = Multimodal.extractFeaturesAuto(imgs, dim = 8)
         .select(col("media_id"), col("features"))
       val a = feats.select(col("media_id").as("id_a"), col("features").as("fa"))
       val b = feats.select(col("media_id").as("id_b"), col("features").as("fb"))
