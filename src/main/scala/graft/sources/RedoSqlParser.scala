@@ -203,14 +203,65 @@ object RedoSqlParser {
     } else if (c.peek("empty_blob()") || c.peek("empty_clob()")) {
       if (c.peek("empty_blob()")) c.expect("empty_blob()") else c.expect("empty_clob()")
       ""
+    } else if (c.peek("unistr")) {
+      // UNISTR('\0412\044B') [|| UNISTR('...')]* — national-charset
+      // literals, possibly concatenated (reference columnsValueConverter
+      // + UnitstrConvert, `sql_parse.go:171-222`): each \XXXX 4-hex
+      // escape is one UTF-16 unit, other characters pass through
+      val sb = new StringBuilder
+      var more = true
+      while (more) {
+        c.expect("unistr"); c.skipWs()
+        require(s.charAt(c.i) == '(', s"expected ( after UNISTR at ${c.i}")
+        c.i += 1
+        sb.append(unistrDecode(quoted(c)))
+        c.skipWs()
+        require(s.charAt(c.i) == ')', s"expected ) after UNISTR literal at ${c.i}")
+        c.i += 1
+        c.skipWs()
+        if (c.i + 1 < s.length && s.charAt(c.i) == '|' && s.charAt(c.i + 1) == '|') {
+          c.i += 2; c.skipWs()
+        } else more = false
+      }
+      sb.toString
+    } else if (c.peek("to_dsinterval") || c.peek("to_yminterval")) {
+      // interval constructors carry their literal verbatim (reference
+      // strips the function wrapper, `sql_parse.go:168-170`)
+      while (s.charAt(c.i) != '(') c.i += 1
+      c.i += 1
+      val lit = quoted(c)
+      c.skipWs(); c.expect(")")
+      lit
     } else if (s.charAt(c.i) == '\'') {
       quoted(c)
     } else {
       // bare number (possibly signed/decimal/scientific)
       val start = c.i
       while (c.i < s.length && !",) ;".contains(s.charAt(c.i)) && !s.charAt(c.i).isWhitespace) c.i += 1
-      s.substring(start, c.i)
+      val tok = s.substring(start, c.i)
+      // MySQL has no Inf/-Inf/Nan: the reference nulls them
+      // (`sql_parse.go:181-189`)
+      if (tok == "Inf" || tok == "-Inf" || tok == "Nan") null else tok
     }
+  }
+
+  /** UNISTR body decode: `\XXXX` → the UTF-16 unit; doubled
+    * backslashes (restored-SQL escaping) normalize first; a malformed
+    * trailing escape stops cleanly instead of looping (the reference's
+    * index loop would spin on one).
+    */
+  private def unistrDecode(v0: String): String = {
+    val v = v0.replace("\\\\", "\\")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) != '\\') { sb.append(v.charAt(i)); i += 1 }
+      else if (v.length >= i + 5) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 5), 16).toChar)
+        i += 5
+      } else i = v.length
+    }
+    sb.toString
   }
 
   private def quoted(c: Cursor): String = {

@@ -45,6 +45,30 @@ class RedoSqlParserSpec extends AnyFunSuite {
     assert(p.after("TS") == "2020-01-01 00:00:00.123")
   }
 
+  test("value converters: UNISTR (+concat), intervals, Inf/Nan null out") {
+    // reference goldens: UNISTR('\0412\044B')||UNISTR('\0431\0443') = Выбу
+    // (sql_parse_test.go TestColumnsValueConverter)
+    val p = RedoSqlParser.parse(
+      """insert into "S"."T"("N1","N2","DS","YM","F1","F2","F3") values (""" +
+        """UNISTR('\0412\044B') ||UNISTR('\0431\0443'),""" +
+        """UNISTR('\6570\636E\5E93\6D4B\8BD5'),""" +
+        """TO_DSINTERVAL('+00 01:02:03.000000'),""" +
+        """TO_YMINTERVAL('+01-02'),Inf,-Inf,Nan)""").get
+    assert(p.after("N1") == "Выбу")
+    assert(p.after("N2") == "数据库测试")
+    assert(p.after("DS") == "+00 01:02:03.000000")
+    assert(p.after("YM") == "+01-02")
+    assert(p.after("F1") == null && p.after("F2") == null && p.after("F3") == null)
+    // mixed literal chars + escapes; doubled-backslash (restored-SQL) form
+    val q = RedoSqlParser.parse(
+      """insert into T2(A,B) values (UNISTR('x\0041y'),UNISTR('\\0412'))""").get
+    assert(q.after("A") == "xAy")
+    assert(q.after("B") == "В")
+    // malformed trailing escape stops cleanly, never loops
+    assert(RedoSqlParser.parse("""insert into T3(A) values (UNISTR('\04'))""")
+      .get.after("A") == "")
+  }
+
   test("unquoted identifiers and schemaless table") {
     val p = RedoSqlParser.parse("insert into T1(ID) values (9)").get
     assert(p.schema == "" && p.table == "T1" && p.after("ID") == "9")
