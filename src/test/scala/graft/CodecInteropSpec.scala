@@ -124,6 +124,26 @@ class CodecInteropSpec extends AnyFunSuite {
     assert(viaJdk.toSeq == GifCodec.decodeRgb(out.toByteArray)._3.toSeq)
   }
 
+  test("WAV: our PCM16 bytes decode identically under javax.sound.sampled") {
+    import graft.operators.multimodal.Multimodal.WavCodec
+    val samples = Array.tabulate[Short](500)(i => ((i * 131 - 250) % 32768).toShort)
+    val wav = WavCodec.encodeWav(16000, 1, samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val raw = ais.readAllBytes()
+    assert(raw.length == samples.length * 2)
+    val viaJdk = Array.tabulate[Short](samples.length) { i =>
+      (((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort)
+    }
+    assert(viaJdk.toSeq == samples.toSeq,
+      "JDK audio reader disagrees with our WAV encoder")
+    // and our decoder agrees with itself on the same bytes
+    assert(WavCodec.decodeWav(wav)._3.toSeq == samples.toSeq)
+  }
+
   test("JPEG (JDK codec): bounded loss on smooth content, deterministic decode") {
     // smooth gradient: JPEG's DCT is near-transparent at q=0.92
     val grad = Array.tabulate[Byte](32 * 24 * 3) { i =>
