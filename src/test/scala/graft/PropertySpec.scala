@@ -203,6 +203,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("image codecs round-trip ARBITRARY pixels: PNG filters, GIF LZW, BMP padding") {
+    import graft.operators.multimodal.Multimodal.{BmpCodec, GifCodec, PngCodec}
+    val gen = for {
+      w <- Gen.choose(1, 21)
+      h <- Gen.choose(1, 17)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (w, h, seed)
+    holds("codec round-trips") {
+      Prop.forAll(gen) { case (w, h, seed) =>
+        val rnd = new java.util.Random(seed)
+        val rgb = new Array[Byte](w * h * 3)
+        rnd.nextBytes(rgb)
+        // PNG: all five row filters rotate through; zlib inflate must
+        // invert deflate byte-exactly
+        val (pw, ph, png) = PngCodec.decode(PngCodec.encode(w, h, rgb))
+        // BMP: row padding + bottom-up + BGR
+        val (bw, bh, bmp) = BmpCodec.decode(BmpCodec.encode(w, h, rgb))
+        // GIF: random indices through real LZW (random data is the
+        // adversarial case for dictionary growth)
+        val pal = new Array[Byte](768); rnd.nextBytes(pal)
+        val idx = new Array[Byte](w * h); rnd.nextBytes(idx)
+        val (gw, gh, gpal, gidx) = GifCodec.decode(GifCodec.encode(w, h, pal, idx))
+        pw == w && ph == h && java.util.Arrays.equals(png, rgb) &&
+          bw == w && bh == h && java.util.Arrays.equals(bmp, rgb) &&
+          gw == w && gh == h && java.util.Arrays.equals(gpal, pal) &&
+          java.util.Arrays.equals(gidx, idx)
+      }
+    }
+  }
+
   test("PpmCodec: encode/decode round-trips; identity resize; JSON diff apply total") {
     val codec = graft.operators.multimodal.Multimodal.PpmCodec
     val imgGen = for {
