@@ -76,6 +76,7 @@ class OracleEndToEndSpec extends SparkSpec {
     assert(reg.get("SHOP", "ITEMS").map(_.fieldNames.toSeq)
       .contains(Seq("ID", "NAME", "ADDED")))
 
+    // (the streaming form of this handoff is the next test)
     // -- DML half: the registry-backed table def drives the target SQL
     val cols = reg.get("SHOP", "ITEMS").get.fieldNames.toSeq
     val t = SqlBuilder.TableDef("shop_t", "ITEMS", cols, pkColumns = Seq("ID"))
@@ -85,5 +86,57 @@ class OracleEndToEndSpec extends SparkSpec {
     assert(events(1).after == Map("ID" -> "1", "NAME" -> "ok"))
     assert(events(2).before == Map("ID" -> "1") &&
       events(2).after == Map("ID" -> "1", "NAME" -> "better"))
+  }
+
+  test("streaming: tx spans micro-batches; DDL barrier applies mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import LogMinerTxCache.RedoRecord
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val repl = ReplicationSpec(doDb = Seq(SchemaSpec("SHOP")))
+    val reg = new SchemaRegistry
+    val applied = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val input = MemoryStream[RedoRecord]
+    val q = LogMinerTxCache.assemble(input.toDS()).writeStream
+      .outputMode("append")
+      .foreachBatch { (txs: org.apache.spark.sql.Dataset[LogMinerTxCache.OracleTx], _: Long) =>
+        applied.synchronized {
+          txs.collect().sortBy(_.endScn).foreach { tx =>
+            RedoSqlParser.toChangeEvents(
+              tx.records.iterator.map(r => (r.scn, r.xid, r.redoSql)),
+              "oracle-1", segOwner = "SHOP"
+            ).foreach { ev =>
+              if (ev.op == Op.Ddl) {
+                val out = DdlProcessor.process(ev.db, ev.table, ev.after("sql"), repl, reg)
+                applied += (("ddl", out.sql.get))
+              } else applied += ((ev.op, s"${ev.table}:${ev.after.getOrElse("ID", "")}"))
+            }
+          }
+        }
+        ()
+      }.start()
+    try {
+      // micro-batch 1: an auto-committed DDL tx, plus the START of a
+      // DML tx whose commit arrives later — it must WAIT in state
+      input.addData(
+        RedoRecord(100L, "x1", "ddl", "AAA", "CREATE TABLE SHOP.LIVE(ID NUMBER(8))", 0),
+        RedoRecord(101L, "x1", "commit", "", "", 0),
+        RedoRecord(110L, "x2", "c", "R1",
+          """insert into "SHOP"."LIVE"("ID") values (7)""", 0))
+      q.processAllAvailable()
+      applied.synchronized {
+        assert(applied.toList == List(
+          ("ddl", "CREATE TABLE `SHOP`.`LIVE` (`ID` INT) DEFAULT CHARACTER SET = UTF8MB4")))
+        assert(reg.get("SHOP", "LIVE").isDefined) // the barrier replayed
+      }
+      // micro-batch 2: the commit releases the buffered DML
+      input.addData(
+        RedoRecord(111L, "x2", "c", "R2",
+          """insert into "SHOP"."LIVE"("ID") values (8)""", 0),
+        RedoRecord(112L, "x2", "commit", "", "", 0))
+      q.processAllAvailable()
+      applied.synchronized {
+        assert(applied.toList.drop(1) == List(("c", "LIVE:7"), ("c", "LIVE:8")))
+      }
+    } finally q.stop()
   }
 }
