@@ -1671,11 +1671,13 @@ object SparkEntry {
     }),
 
     "tokenizer_bpe_encode" -> ((s, dir) => {
-      // the ENCODE half: train 8 merges, replay the merge table over
-      // docs 0-49 at scan speed — the tokenizer applying its model
+      // the ENCODE half: train 8 merges (via the O(1)-job trainLocal —
+      // bit-equal to the distributed trainer, proven in BpeTrainerSpec
+      // and by tokenizer_bpe_fast sharing the train oracle), replay
+      // the merge table over docs 0-49 at scan speed
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.text.BpeTrainer.train(docs, "text", merges = 8)
+      val merges = graft.operators.text.BpeTrainer.trainLocal(docs, "text", merges = 8)
         .orderBy(col("step")).select("lhs", "rhs").as[(String, String)].collect().toSeq
       graft.operators.text.BpeTrainer.encode(
           docs.filter(col("doc_id") < 50), "doc_id", "text", merges)
