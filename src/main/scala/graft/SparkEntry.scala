@@ -1390,6 +1390,16 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "layout_zorder3" -> ((s, dir) => {
+      // three-column Morton curve (OPTIMIZE ZORDER BY a,b,c): 10-bit
+      // codes interleave to 30 bits, per-bucket spans bound ALL THREE
+      // columns — a lexicographic sort bounds only its leading one
+      graft.sinks.ZOrderLayout.zorderStats3(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", "l_suppkey",
+          bits = 10, bucketBits = 6)
+        .orderBy(col("bucket"))
+    }),
+
     "layout_zorder_rank" -> ((s, dir) => {
       // quantile-rank z-order codes: every bucket holds ≈ equal rows
       // regardless of value distribution — the skew-proof variant
@@ -3054,6 +3064,43 @@ object SparkEntry {
         |         ELSE CAST(floor(CAST(CAST(CAST(l_partkey AS HUGEINT) - mn_y AS VARCHAR) AS DOUBLE) * 1024.0 /
         |              (CAST(CAST(CAST(mx_y AS HUGEINT) - mn_y AS VARCHAR) AS DOUBLE) + 1.0)) AS BIGINT) END AS yq
         |  FROM lineitem CROSS JOIN s)""".stripMargin + zorderMortonTail),
+
+    // 3-way magic-mask interleave (0x030000FF/0x0300F00F/0x030C30C3/
+    // 0x09249249), same exact-subtract quantization as layout_zorder
+    "layout_zorder3" ->
+      """WITH s AS (SELECT MIN(l_orderkey) AS mn_x, MAX(l_orderkey) AS mx_x,
+        |    MIN(l_partkey) AS mn_y, MAX(l_partkey) AS mx_y,
+        |    MIN(l_suppkey) AS mn_z, MAX(l_suppkey) AS mx_z FROM lineitem),
+        |q AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CASE WHEN mx_x = mn_x THEN 0
+        |         ELSE CAST(floor(CAST(CAST(CAST(l_orderkey AS HUGEINT) - mn_x AS VARCHAR) AS DOUBLE) * 1024.0 /
+        |              (CAST(CAST(CAST(mx_x AS HUGEINT) - mn_x AS VARCHAR) AS DOUBLE) + 1.0)) AS BIGINT) END AS xq,
+        |    CASE WHEN mx_y = mn_y THEN 0
+        |         ELSE CAST(floor(CAST(CAST(CAST(l_partkey AS HUGEINT) - mn_y AS VARCHAR) AS DOUBLE) * 1024.0 /
+        |              (CAST(CAST(CAST(mx_y AS HUGEINT) - mn_y AS VARCHAR) AS DOUBLE) + 1.0)) AS BIGINT) END AS yq,
+        |    CASE WHEN mx_z = mn_z THEN 0
+        |         ELSE CAST(floor(CAST(CAST(CAST(l_suppkey AS HUGEINT) - mn_z AS VARCHAR) AS DOUBLE) * 1024.0 /
+        |              (CAST(CAST(CAST(mx_z AS HUGEINT) - mn_z AS VARCHAR) AS DOUBLE) + 1.0)) AS BIGINT) END AS zq
+        |  FROM lineitem CROSS JOIN s),
+        |s1 AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    ((xq | (xq << 16)) & 50331903) AS x1, ((yq | (yq << 16)) & 50331903) AS y1,
+        |    ((zq | (zq << 16)) & 50331903) AS z1 FROM q),
+        |s2 AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    ((x1 | (x1 << 8)) & 50393103) AS x2, ((y1 | (y1 << 8)) & 50393103) AS y2,
+        |    ((z1 | (z1 << 8)) & 50393103) AS z2 FROM s1),
+        |s3 AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    ((x2 | (x2 << 4)) & 51130563) AS x3, ((y2 | (y2 << 4)) & 51130563) AS y3,
+        |    ((z2 | (z2 << 4)) & 51130563) AS z3 FROM s2),
+        |z AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    (((x3 | (x3 << 2)) & 153391689)
+        |     | (((y3 | (y3 << 2)) & 153391689) << 1)
+        |     | (((z3 | (z3 << 2)) & 153391689) << 2)) AS zv
+        |  FROM s3)
+        |SELECT (zv >> 24) AS bucket, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_x, MAX(l_orderkey) AS max_x,
+        |  MIN(l_partkey) AS min_y, MAX(l_partkey) AS max_y,
+        |  MIN(l_suppkey) AS min_z, MAX(l_suppkey) AS max_z
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // quantile-rank codes: cumulative distinct-value counts, one
     // positive integer division per value (div == // on positive

@@ -35,6 +35,23 @@ object ZOrderLayout {
   def zValue2(xCode: Column, yCode: Column): Column =
     spreadBits(xCode).bitwiseOR(shiftleft(spreadBits(yCode), 1))
 
+  /** Morton-3: spread the low 10 bits of `v` to every THIRD position
+    * (the classic 3-way magic-mask sequence) — three columns interleave
+    * into one 30-bit curve position.
+    */
+  def spreadBits3(v: Column): Column = {
+    val s1 = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x030000FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 8))).bitwiseAND(lit(0x0300F00FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 4))).bitwiseAND(lit(0x030C30C3L))
+    (s3.bitwiseOR(shiftleft(s3, 2))).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** Interleave three ≤10-bit codes: x on bit 0 mod 3, y on 1, z on 2. */
+  def zValue3(xCode: Column, yCode: Column, zCode: Column): Column =
+    spreadBits3(xCode)
+      .bitwiseOR(shiftleft(spreadBits3(yCode), 1))
+      .bitwiseOR(shiftleft(spreadBits3(zCode), 2))
+
   /** Linear (min,max) quantization to `bits`-bit codes: one broadcast
     * stats row, `floor((x−mn)·2^bits / (mx−mn+1))` per value —
     * constant columns code to 0.
@@ -140,6 +157,40 @@ object ZOrderLayout {
       .sortWithinPartitions(col("zv"))
       .drop("zv")
       .write.mode("overwrite").parquet(path)
+
+  /** Three-column z-order (the multi-column `OPTIMIZE ZORDER BY a, b,
+    * c` form): 10-bit codes per column interleave into a 30-bit Morton
+    * position, so min/max pruning works for predicates on ANY of the
+    * three — where a lexicographic sort bounds only its leading column.
+    * Same one-broadcast-stats-row shape as [[withZValue]].
+    */
+  def withZValue3(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                  bits: Int = 10): DataFrame = {
+    require(bits <= 10, s"3-way interleave carries ≤10 bits per column, got $bits")
+    val stats = df.agg(
+      min(col(xCol).cast("long")).as("mn_x"), max(col(xCol).cast("long")).as("mx_x"),
+      min(col(yCol).cast("long")).as("mn_y"), max(col(yCol).cast("long")).as("mx_y"),
+      min(col(zCol).cast("long")).as("mn_z"), max(col(zCol).cast("long")).as("mx_z"))
+    df.join(broadcast(stats))
+      .withColumn("zv", zValue3(
+        quantize(col(xCol).cast("long"), col("mn_x"), col("mx_x"), bits),
+        quantize(col(yCol).cast("long"), col("mn_y"), col("mx_y"), bits),
+        quantize(col(zCol).cast("long"), col("mn_z"), col("mx_z"), bits)))
+      .drop("mn_x", "mx_x", "mn_y", "mx_y", "mn_z", "mx_z")
+  }
+
+  /** [[zorderStats]] for the three-column curve: per-bucket count and
+    * min/max spans of ALL THREE columns.
+    */
+  def zorderStats3(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                   bits: Int = 10, bucketBits: Int = 6): DataFrame =
+    withZValue3(df, xCol, yCol, zCol, bits)
+      .withColumn("bucket", shiftright(col("zv"), 3 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("long")).as("min_x"), max(col(xCol).cast("long")).as("max_x"),
+        min(col(yCol).cast("long")).as("min_y"), max(col(yCol).cast("long")).as("max_y"),
+        min(col(zCol).cast("long")).as("min_z"), max(col(zCol).cast("long")).as("max_z"))
 
   /** [[writeZOrdered]] with rank codes — the skew-proof write path. */
   def writeZOrderedRank(df: DataFrame, xCol: String, yCol: String, path: String,

@@ -42,6 +42,43 @@ class ZOrderSpec extends SparkSpec {
     assert(px < zx, "sanity: x-major bounds x tighter than z-order does")
   }
 
+  test("spreadBits3 / zValue3 match hand-computed Morton-3 codes") {
+    val got = Seq((0b1011L, 0L, 0L), (1L, 1L, 1L), (1023L, 1023L, 1023L))
+      .toDF("x", "y", "z")
+      .select(ZOrderLayout.spreadBits3(col("x")).as("sx"),
+        ZOrderLayout.zValue3(col("x"), col("y"), col("z")).as("zv"))
+      .as[(Long, Long)].collect().toSeq
+    // 0b1011 spread to every 3rd bit: 0b1000001001
+    assert(got(0)._1 == 0x209L)
+    assert(got(1)._2 == 7L)                 // (1,1,1) → bits 0,1,2
+    assert(got(2)._2 == (1L << 30) - 1)     // all 30 bits set
+  }
+
+  test("3-column z-order bounds ALL THREE columns; lexicographic bounds one") {
+    // 16x16x16 cube, every combination once
+    val cube = (0 until 16).flatMap(x => (0 until 16).flatMap(y =>
+      (0 until 16).map(z => (x.toLong, y.toLong, z.toLong)))).toDF("x", "y", "z")
+    val stats = ZOrderLayout.zorderStats3(cube, "x", "y", "z", bits = 4, bucketBits = 3)
+      .collect()
+    assert(stats.length == 8)
+    // every 512-cell bucket is a half-cube: each column spans ≤ 8 of 16
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 8)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 8)
+      assert(r.getAs[Long]("max_z") - r.getAs[Long]("min_z") <= 8)
+    }
+    // a lexicographic (x, y, z) sort cut into 8 chunks leaves y and z
+    // full-width in every chunk
+    import org.apache.spark.sql.expressions.Window
+    val lex = cube.withColumn("rn",
+        row_number().over(Window.orderBy("x", "y", "z")))
+      .withColumn("chunk", ((col("rn") - 1) / 512).cast("int"))
+    val spans = lex.groupBy("chunk")
+      .agg((max("y") - min("y")).as("sy"), (max("z") - min("z")).as("sz"))
+      .agg(avg("sy"), avg("sz")).head()
+    assert(spans.getDouble(0) > 14.0 && spans.getDouble(1) > 14.0)
+  }
+
   test("skewed keys: linear codes collapse one column; rank codes bound both") {
     // x: a uniform 1..512 working set plus ONE outlier at 10^12 — the
     // linear (min,max) quantizer maps every regular x to code 0, so

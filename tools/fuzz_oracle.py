@@ -53,7 +53,7 @@ EVENT_QUERIES = [
 # and orphan foreign keys, decile/window tie storms)
 REL_QUERIES = [
     "q1_agg", "q3_window_topn", "q7_salted_join", "q13_deciles", "q4_setops",
-    "layout_zorder", "layout_zorder_rank", "q15_above_avg", "s8_ddl_convert",
+    "layout_zorder", "layout_zorder_rank", "layout_zorder3", "q15_above_avg", "s8_ddl_convert",
 ]
 
 # embeddings-family queries gated on the adversarial vector table
