@@ -232,6 +232,41 @@ class DedupSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming near-dup: per-micro-batch probe of the stored MinHash index == batch probe") {
+    // the continual-ingest dedup shape: the index stands still, doc
+    // batches flow through foreachBatch — each batch pays only its own
+    // shingling + the banded bucket join, no state, no rebuild
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val index = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (bands, sigs) = MinHashDedup.buildPortableIndex(index, "doc_id", "text", 3, 16, 4)
+    val bandsC = bands.localCheckpoint(true); val sigsC = sigs.localCheckpoint(true)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= MinHashDedup.nearDupAgainstIndex(bandsC, sigsC, b,
+              "doc_id", "text", 3, 16, 4, threshold = 0.5, maxBucket = 100000)
+            .select("doc_id", "dup_of").as[(Long, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      input.addData(batchDocs.take(batchDocs.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(batchDocs.drop(batchDocs.size / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = MinHashDedup.nearDupAgainstIndex(bandsC, sigsC,
+        batchDocs.toDF("doc_id", "text"), "doc_id", "text", 3, 16, 4,
+        threshold = 0.5, maxBucket = 100000)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+  }
+
   test("stored SimHash index: parquet round-trip probe == cross slice of in-corpus pairs") {
     import graft.operators.dedup.SimHashDedup
     val index = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
