@@ -1400,6 +1400,17 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "layout_zorder_source" -> ((s, dir) => {
+      // the corpus-layout cluster: documents z-ordered by (source
+      // string, n_chars) rank codes — a scan filtered on EITHER the
+      // domain or the length band prunes; string ranks are byte-order
+      // on both engines so every code hash-matches
+      graft.sinks.ZOrderLayout.zorderStatsRankBy(
+          t(s, dir, "documents").filter(col("source").isNotNull && col("n_chars").isNotNull),
+          "source", "n_chars", bits = 10, bucketBits = 4)
+        .orderBy(col("bucket"))
+    }),
+
     "layout_zorder_rank" -> ((s, dir) => {
       // quantile-rank z-order codes: every bucket holds ≈ equal rows
       // regardless of value distribution — the skew-proof variant
@@ -3100,6 +3111,37 @@ object SparkEntry {
         |  MIN(l_orderkey) AS min_x, MAX(l_orderkey) AS max_x,
         |  MIN(l_partkey) AS min_y, MAX(l_partkey) AS max_y,
         |  MIN(l_suppkey) AS min_z, MAX(l_suppkey) AS max_z
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // string ranks via the same cumulative-count window (varchar
+    // comparison is raw bytes on both engines), numeric ranks as in
+    // layout_zorder_rank; bucket = top 4 of 20 interleaved bits
+    "layout_zorder_source" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |kn AS (SELECT source AS v, COUNT(*) AS n FROM d GROUP BY 1),
+        |kc AS (SELECT v, CAST(COALESCE(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1024
+        |    // SUM(n) OVER () AS BIGINT) AS code FROM kn),
+        |nn AS (SELECT n_chars AS v, COUNT(*) AS n FROM d GROUP BY 1),
+        |nc AS (SELECT v, CAST(COALESCE(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1024
+        |    // SUM(n) OVER () AS BIGINT) AS code FROM nn),
+        |q AS (SELECT d.source, d.n_chars, kc.code AS xq, nc.code AS yq
+        |  FROM d JOIN kc ON d.source = kc.v JOIN nc ON d.n_chars = nc.v),
+        |sp AS (SELECT source, n_chars,
+        |    ((xq | (xq << 8)) & 16711935) AS x1, ((yq | (yq << 8)) & 16711935) AS y1
+        |  FROM q),
+        |sp2 AS (SELECT source, n_chars,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sp),
+        |sp3 AS (SELECT source, n_chars,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sp2),
+        |z AS (SELECT source, n_chars,
+        |    (((x3 | (x3 << 1)) & 1431655765) | (((y3 | (y3 << 1)) & 1431655765) << 1)) AS zv
+        |  FROM sp3)
+        |SELECT (zv >> 16) AS bucket, COUNT(*) AS n_rows,
+        |  MIN(source) AS min_key, MAX(source) AS max_key,
+        |  MIN(n_chars) AS min_num, MAX(n_chars) AS max_num
         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // quantile-rank codes: cumulative distinct-value counts, one

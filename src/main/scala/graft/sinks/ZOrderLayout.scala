@@ -106,11 +106,21 @@ object ZOrderLayout {
     * distinct cardinality rivals the row count, sample the boundary
     * table or fall back to linear codes.
     */
-  def rankCodes(df: DataFrame, c: String, bits: Int): DataFrame = {
+  def rankCodes(df: DataFrame, c: String, bits: Int): DataFrame =
+    rankCodesBy(df.select(col(c).cast("long").as(c)), c, bits)
+
+  /** [[rankCodes]] for ANY orderable key type — rank quantization
+    * never looks at magnitudes, so STRING keys (source/domain columns,
+    * the corpus-layout clustering case) work as well as numeric ones.
+    * Cross-engine note: Spark's UTF8String and DuckDB's varchar both
+    * compare raw bytes, so the rank order (and therefore every code)
+    * hash-matches even on non-ASCII keys.
+    */
+  def rankCodesBy(df: DataFrame, c: String, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val buckets = 1L << bits
-    val counts = df.groupBy(col(c).cast("long").as("v"))
-      .agg(count(lit(1)).as("n"))
+    val counts = df.select(col(c).as("v")).filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
     counts
       .withColumn("prior", coalesce(sum(col("n")).over(w), lit(0L)))
@@ -132,6 +142,38 @@ object ZOrderLayout {
       .withColumn("zv", zValue2(col("xq_"), col("yq_")))
       .drop("xv_", "xq_", "yv_", "yq_")
   }
+
+  /** Rank z-order with a STRING first key — the corpus layout cluster:
+    * rows sort by interleaved (key-rank, numeric-rank) codes so a
+    * scan filtered on EITHER the string key (source/domain) or the
+    * numeric one (length/date) prunes. Output keeps the raw columns
+    * plus `zv`; null keys drop (they have no rank).
+    */
+  def withZValueRankBy(df: DataFrame, keyCol: String, numCol: String,
+                       bits: Int = 10): DataFrame = {
+    val kc = rankCodesBy(df, keyCol, bits)
+      .select(col("v").as("kv_"), col("code").as("kq_"))
+    val nc = rankCodesBy(df.select(col(numCol).cast("long").as(numCol)), numCol, bits)
+      .select(col("v").as("nv_"), col("code").as("nq_"))
+    df.filter(col(keyCol).isNotNull && col(numCol).isNotNull)
+      .join(kc.hint("shuffle_hash"), col(keyCol) === col("kv_"))
+      .join(nc.hint("shuffle_hash"), col(numCol).cast("long") === col("nv_"))
+      .withColumn("zv", zValue2(col("kq_"), col("nq_")))
+      .drop("kv_", "kq_", "nv_", "nq_")
+  }
+
+  /** The pruning evidence for the string-keyed layout: per-bucket row
+    * count, the (byte-ordered) min/max of the string key, and the span
+    * of the numeric column.
+    */
+  def zorderStatsRankBy(df: DataFrame, keyCol: String, numCol: String,
+                        bits: Int = 10, bucketBits: Int = 6): DataFrame =
+    withZValueRankBy(df, keyCol, numCol, bits)
+      .withColumn("bucket", shiftright(col("zv"), 2 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        min(col(numCol).cast("long")).as("min_num"), max(col(numCol).cast("long")).as("max_num"))
 
   /** [[zorderStats]] over rank codes — the oracled evidence that the
     * layout stays balanced under skew.

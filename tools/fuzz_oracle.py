@@ -30,7 +30,7 @@ QUERIES = [
     "text_classify_nb", "sample_dsir", "sample_quality_prune",
     "contamination_spans", "corpus_report", "corpus_pivot",
     "corpus_rollup", "stats_histogram", "dedup_exact", "dedup_paragraph",
-    "corpus_diff", "sample_split", "sample_shuffle", "dedup_prefix_exact", "dedup_keep_best",
+    "corpus_diff", "sample_split", "sample_shuffle", "dedup_prefix_exact", "dedup_keep_best", "layout_zorder_source",
     "stats_drift", "stats_heavy_hitters", "stats_quantiles_sketch",
     "stats_outliers", "tokenizer_coverage", "pipeline_monitor", "text_pii_inventory", "stats_zipf", "corpus_lang_confusion",
     "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
