@@ -342,13 +342,16 @@ object DdlRewriter {
     val body = sql.substring(open + 1, close)
     // split on top-level commas
     val parts = splitTopLevel(body)
-    val keepSet = keep.map(_.toLowerCase).toSet
-    val kept = parts.filter { p =>
-      val t = p.trim
-      val firstTok = ident(t.split("[\\s(]")(0)).toLowerCase
-      val isConstraint = Set("primary", "unique", "key", "index", "constraint", "foreign", "check").contains(firstTok)
-      if (isConstraint) true else keepSet.contains(firstTok)
-    }
+    val constraintToks = Set("primary", "unique", "key", "index", "constraint", "foreign", "check")
+    def nameOf(p: String): String = ident(p.trim.split("[\\s(]")(0)).toLowerCase
+    val (constraints, columnDefs) = parts.partition(p => constraintToks.contains(nameOf(p)))
+    // the column map dictates ORDER, not just membership — the
+    // reference rebuilds the CREATE with columns in columnMap order
+    // (RenameCreateTable, `base/utils.go`; golden `utils_test.go:323`
+    // puts `val` before `id` for columnMap [val, id]), because its
+    // applier binds row values by that ordinal order downstream
+    val byName = columnDefs.map(p => nameOf(p) -> p).toMap
+    val kept = keep.map(_.toLowerCase).flatMap(byName.get) ++ constraints
     head + kept.mkString(",") + tail
   }
 

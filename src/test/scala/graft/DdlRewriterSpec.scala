@@ -245,13 +245,19 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(out == "ALTER TABLE `db1_r`.`tb1_r` ADD COLUMN c INT")
   }
 
-  test("CREATE TABLE column-map pruning keeps mapped cols + constraints") {
+  test("CREATE TABLE column-map pruning keeps mapped cols + constraints, in MAP order") {
     // reference `base/utils.go:737-750`
     val sql = "CREATE TABLE t (id INT, name VARCHAR(10), extra DECIMAL(5,2), PRIMARY KEY (id))"
     val out = DdlRewriter.pruneCreateTableColumns(sql, Seq("id", "name"))
     assert(out.contains("id INT") && out.contains("name VARCHAR(10)"))
     assert(!out.contains("extra"))
     assert(out.contains("PRIMARY KEY (id)"))
+    // the columnMap dictates ORDER (reference RenameCreateTable golden
+    // `utils_test.go:323`: columnMap [val, id] puts val FIRST) — the
+    // reference applier binds row values by that ordinal order
+    val reordered = DdlRewriter.pruneCreateTableColumns(
+      "create table s.t (id int primary key, val int)", Seq("val", "id"))
+    assert(reordered == "create table s.t ( val int,id int primary key)")
   }
 
   test("shouldApply honors do/ignore lists and system schemas") {
