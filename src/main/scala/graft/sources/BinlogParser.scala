@@ -188,14 +188,43 @@ object BinlogParser {
     val statusLen = r.u16()
     val statusEnd = r.pos + statusLen
     var charsetClient = 0
+    // the full status-var length table (MySQL log_event layout; the
+    // reference walks the same codes in ParseQueryEventFlags,
+    // `common/binlog.go`). Getting 0x03 right matters: it is
+    // Q_AUTO_INCREMENT (4 fixed bytes, NOT a catalog string) and sorts
+    // BEFORE Q_CHARSET — a session with non-default auto_increment
+    // settings would otherwise derail the walk and lose the C9
+    // charset (caught against the reference's raw hex vectors).
     while (r.pos < statusEnd) {
       r.u8() match {
         case 0x00 => r.skip(4)              // Q_FLAGS2
         case 0x01 => r.skip(8)              // Q_SQL_MODE
-        case 0x03 => val l = r.u8(); r.skip(l + 1) // Q_CATALOG
+        case 0x02 => val l = r.u8(); r.skip(l + 1) // Q_CATALOG (nul-terminated)
+        case 0x03 => r.skip(4)              // Q_AUTO_INCREMENT: increment u16, offset u16
         case 0x04 => charsetClient = r.u16(); r.skip(4) // Q_CHARSET: client, conn, server
         case 0x05 => val l = r.u8(); r.skip(l) // Q_TIME_ZONE
-        case 0x06 => val l = r.u8(); r.skip(l + 1) // Q_CATALOG_NZ... (len+str)
+        case 0x06 => val l = r.u8(); r.skip(l) // Q_CATALOG_NZ (len+str, NO nul)
+        case 0x07 => r.skip(2)              // Q_LC_TIME_NAMES
+        case 0x08 => r.skip(2)              // Q_CHARSET_DATABASE
+        case 0x09 => r.skip(8)              // Q_TABLE_MAP_FOR_UPDATE
+        case 0x0a => r.skip(4)              // Q_MASTER_DATA_WRITTEN
+        case 0x0b =>                        // Q_INVOKER: two len-prefixed strings
+          val ul = r.u8(); r.skip(ul); val hl = r.u8(); r.skip(hl)
+        case 0x0c =>                        // Q_UPDATED_DB_NAMES: count + nul-terminated names
+          val n = r.u8()
+          if (n < 254) {                    // 254 = OVER_MAX marker: no names follow
+            var i = 0
+            while (i < n && r.pos < statusEnd) {
+              while (r.pos < statusEnd && r.u8() != 0) {}
+              i += 1
+            }
+          }
+        case 0x0d => r.skip(3)              // Q_MICROSECONDS
+        case 0x11 => r.skip(1)              // Q_EXPLICIT_DEFAULTS_FOR_TIMESTAMP
+        case 0x12 => r.skip(8)              // Q_DDL_LOGGED_WITH_XID
+        case 0x13 => r.skip(2)              // Q_DEFAULT_COLLATION_FOR_UTF8MB4
+        case 0x14 => r.skip(1)              // Q_SQL_REQUIRE_PRIMARY_KEY
+        case 0x15 => r.skip(1)              // Q_DEFAULT_TABLE_ENCRYPTION
         case other => // unknown status var: cannot know its length — stop scanning
           r.seek(statusEnd)
       }

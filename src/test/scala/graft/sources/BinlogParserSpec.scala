@@ -111,6 +111,34 @@ class BinlogParserSpec extends AnyFunSuite {
   import BinlogBytes._
   import BinlogParser._
 
+  test("query-event status vars: the reference's raw hex vectors walk cleanly") {
+    // the two capture blobs from the reference's ParseQueryEventFlags
+    // test (`common/binlog_test.go:18-20`) — real-server status-var
+    // blocks with Q_AUTO_INCREMENT (4 fixed bytes sorting BEFORE
+    // Q_CHARSET), Q_CATALOG_NZ (no nul), Q_UPDATED_DB_NAMES, and the
+    // 0xfe OVER_MAX db-count marker
+    def body(statusHex: String, db: String, sql: String): Array[Byte] = {
+      val status = statusHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val bb = new java.io.ByteArrayOutputStream()
+      bb.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) // thread id + exec time
+      bb.write(db.length)                            // db len
+      bb.write(Array[Byte](0, 0))                    // error code
+      bb.write(status.length & 0xff); bb.write((status.length >> 8) & 0xff)
+      bb.write(status)
+      bb.write(db.getBytes("US-ASCII")); bb.write(0)
+      bb.write(sql.getBytes("US-ASCII"))
+      bb.toByteArray
+    }
+    val bs1 = "0000000000012000a0550000000006037374640302000100042d002d002d000c01706d5f69616d5f6964656e746974795f6462001000"
+    val bs2 = "0000000000012000a055000000000603737464042d002d0008000cfe"
+    val (db1, sql1, cs1) = parseQuery(body(bs1, "d1", "CREATE TABLE t (id INT)"))
+    assert(db1 == "d1" && sql1 == "CREATE TABLE t (id INT)")
+    assert(cs1 == 45 && charsetName(cs1) == "utf8mb4") // reference golden
+    val (db2, sql2, cs2) = parseQuery(body(bs2, "d2", "DROP TABLE t"))
+    assert(db2 == "d2" && sql2 == "DROP TABLE t")
+    assert(cs2 == 45 && charsetName(cs2) == "utf8mb4")
+  }
+
   private val sid = Array.tabulate[Byte](16)(i => (i + 1).toByte)
   private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
