@@ -508,7 +508,8 @@ object SparkEntry {
         TypeConversions.setLabels(pmod(col("o_orderkey"), lit(8)), Seq("r", "w", "x")).as("set_csv"),
         TypeConversions.unsignedWiden(col("o_custkey") - 700, "tinyint").as("u8_widen"),
         TypeConversions.decimalToDebezium(col("o_totalprice"), 12, 2).as("dec_b64"),
-        TypeConversions.binaryToBase64(col("o_orderstatus").cast(BinaryType)).as("bin_b64")
+        TypeConversions.binaryToBase64(col("o_orderstatus").cast(BinaryType)).as("bin_b64"),
+        TypeConversions.bitToDebezium(pmod(col("o_orderkey"), lit(1024)), 16).as("bit_b64")
       ).orderBy(col("o_orderkey"))
     }),
 
@@ -3455,7 +3456,9 @@ object SparkEntry {
         |  CASE WHEN (o_orderkey % 8) & 4 <> 0 THEN 'x' END) AS set_csv,
         |CAST((o_custkey - 700) & 255 AS SMALLINT) AS u8_widen,
         |to_base64(unhex(lpad(to_hex(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)), 16, '0'))) AS dec_b64,
-        |to_base64(encode(o_orderstatus)) AS bin_b64
+        |to_base64(encode(o_orderstatus)) AS bin_b64,
+        |to_base64(unhex(lpad(to_hex((o_orderkey % 1024) & 255), 2, '0')
+        |  || lpad(to_hex(((o_orderkey % 1024) >> 8) & 255), 2, '0'))) AS bit_b64
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f8_ddl_rewrite" ->

@@ -67,6 +67,18 @@ object TypeConversions {
   def enumLabel(ordinal: Column, labels: Seq[String]): Column =
     element_at(array(labels.map(lit): _*), ordinal.cast("int"))
 
+  /** C7b — BIT(n) → Debezium wire form: the value's ceil(n/8) bytes in
+    * LITTLE-endian order, base64 (reference getBitValue, `kafka3.go`;
+    * goldens `kafka3_test.go:33`: bit(8) 9 → "CQ==", bit(16) 9 →
+    * "CQA=" — note the little-endian byte order, NOT big-endian).
+    */
+  def bitToDebezium(c: Column, bits: Int): Column = {
+    val nBytes = (bits + 7) / 8
+    val bytes = (0 until nBytes).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i).bitwiseAND(lit(0xffL))), 2, "0"))
+    base64(unhex(concat(bytes: _*)))
+  }
+
   /** C6b — SET bitmask → CSV of labels (reference `kafka3.go:1176-1191`).
     * concat_ws drops NULLs, so unset bits vanish — no UDF needed.
     */

@@ -42,6 +42,21 @@ class TypeConversionsSpec extends SparkSpec {
     assert(padded == java.util.Base64.getEncoder.encodeToString(Array[Byte]('A', 'B', 0, 0)))
   }
 
+  test("C7b: BIT(n) little-endian base64 — reference kafka3 goldens") {
+    val d = Seq((0L, 9L)).toDF("zero", "nine")
+    def bit(c: String, bits: Int): String =
+      d.select(TypeConversions.bitToDebezium(col(c), bits).as("r")).as[String].head()
+    assert(bit("zero", 8) == "AA==")   // bit(8) 0
+    assert(bit("nine", 8) == "CQ==")   // bit(8) 9
+    assert(bit("nine", 16) == "CQA=")  // bit(16) 9: LITTLE-endian 09 00
+    assert(bit("nine", 1) == "CQ==")   // sub-byte widths round up to one byte
+    // a value crossing the byte boundary: 0x0102 → 02 01 on the wire
+    val two = Seq(0x0102L).toDF("v")
+    assert(two.select(TypeConversions.bitToDebezium(col("v"), 16).as("r"))
+      .as[String].head() ==
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](0x02, 0x01)))
+  }
+
   test("C8: unsigned widening incl. mediumint mask") {
     val d = Seq((-1, -1L)).toDF("i", "l")
     assert(d.select(TypeConversions.unsignedWiden(col("i"), "tinyint")).as[Short].head() == 255)
