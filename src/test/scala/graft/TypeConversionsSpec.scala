@@ -17,6 +17,10 @@ class TypeConversionsSpec extends SparkSpec {
     assert(one[Long](TypeConversions.timeToMicros(col("v")), "-01:02:03.5") == -3723500000L)
     assert(one[Long](TypeConversions.timeToMicros(col("v")), "00:00:00.000001") == 1L)
     assert(one[Long](TypeConversions.timeToMicros(col("v")), "838:59:59") == 3020399000000L)
+    // reference TestTimeValue vector (kafka2_test.go:14): negative
+    // multi-hundred-hour TIME with fraction
+    assert(one[Long](TypeConversions.timeToMicros(col("v")), "-800:02:03.100000") ==
+      -((800L * 3600 + 2 * 60 + 3) * 1000000L + 100000L))
   }
 
   test("C3/C4/C5: datetime/date/timestamp conversions") {
