@@ -1262,6 +1262,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_knn_graph" -> ((s, dir) => {
+      // mutual k-NN graph over the whole corpus: LSH-bucketed
+      // candidates (never all-pairs), per-node exact-cosine top-5,
+      // edge kept only when BOTH endpoints keep it — the neighborhood
+      // structure graph-based curation (SemDeDup clustering, density
+      // pruning) consumes; fully deterministic, so the graph itself
+      // hash-matches the oracle
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 5,
+          dim = 64, nBits = 8, tables = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "sim_recall_eval" -> ((s, dir) => {
+      // ANN quality measurement as a query: recall@5 of the LSH index
+      // against brute-force ground truth, per query — the gauge an
+      // index-parameter sweep reads; exact integer recall micros
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      SimilaritySearch.recallAtK(
+          SimilaritySearch.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+          SimilaritySearch.lshTopK(emb, q, "vec_id", "embedding",
+            k = 5, dim = 64, nBits = 8, tables = 4))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF cluster-then-probe ANN, production form: 2 Lloyd rounds.
       // Centroid means run in integer micro-units (exact BIGINT sums +

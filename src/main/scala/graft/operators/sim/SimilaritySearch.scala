@@ -235,6 +235,79 @@ object SimilaritySearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Mutual k-NN graph over the WHOLE corpus — the neighborhood
+    * structure that graph-based curation passes (SemDeDup clustering,
+    * local-density pruning, label propagation over near-neighbors)
+    * consume. Candidates come from the portable LSH buckets, never
+    * all-pairs; each node ranks its candidates by exact cosine and
+    * keeps its `k` best; an edge survives only when BOTH endpoints
+    * keep it (mutual-kNN) — the standard asymmetry filter that drops
+    * hub nodes' one-way edges. Output: (id_a < id_b, cosine,
+    * rank_ab, rank_ba).
+    *
+    * Scale shape: capped-bucket candidate generation carries ids only
+    * through the bucket shuffle ([[lshPairs]] discipline); float
+    * vectors re-join per directed pair via pinned shuffle_hash; the
+    * per-node rank is a window over candidate groups bounded by
+    * tables·maxBucket, and the mutual check is an equi-join on the
+    * reversed edge key — nothing is quadratic in the corpus and no
+    * vector crosses more than two exchanges.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               dim: Int, nBits: Int = 8, tables: Int = 4,
+               maxBucket: Int = 1000): DataFrame = {
+    requireDim(corpus, vecCol, dim, "knnGraph")
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val bucketed = vecs.select(col("vid"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucketAt(col("vec"), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
+    val cands = bucketed
+      .groupBy(col("lsh_t"), col("lsh_b"))
+      .agg(graft.functions.BoundedCollectList.column(col("vid"), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(col("members")).as("src"), col("members"))
+      .select(col("src"), explode(col("members")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+    val directed = cands
+      .join(vecs.select(col("vid").as("src"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(vecs.select(col("vid").as("dst"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .withColumn("cosine", cosineNative(col("vec_a"), col("vec_b")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst").asc)))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rk"))
+    val back = directed.select(col("dst").as("src"), col("src").as("dst"),
+      col("rk").as("rk_back"))
+    directed.join(back, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rk").cast("int").as("rank_ab"), col("rk_back").cast("int").as("rank_ba"))
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * THE quality gauge every ANN deployment tracks, expressed as a
+    * query so an index-parameter sweep (nBits, tables, nProbe, PQ m)
+    * is one run per setting instead of an offline eval harness. Both
+    * inputs are [[rankTopK]]-shaped `(query_id, rank, corpus_id, …)`;
+    * output per query: `n_exact` (ground-truth size — below k at
+    * corpus edges), `hits` (approx ∩ exact), `recall_micros`
+    * (hits·10⁶ div n_exact, exact integer arithmetic). Row count =
+    * |queries|, so the whole evaluation is join-light: the exact side
+    * anchors a left join against the (equally tiny) approx side.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id"), lit(1L).as("hit")),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_micros", expr("hits * 1000000 div n_exact"))
+
   /** Fail fast on a plane/vector dim mismatch: `zip_with` pads the
     * shorter side with nulls, which nulls the projection and silently
     * lands EVERY vector in bucket 0 — a wrong-result mode (all-pairs
