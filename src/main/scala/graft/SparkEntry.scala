@@ -4252,6 +4252,73 @@ object SparkEntry {
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // knnGraph: lshPairs-style capped buckets (8 bits × 4 tables, cap
+    // 1000) but DIRECTED candidates, per-src top-5 by (cos DESC, dst
+    // ASC), then the mutual filter = self-join on the reversed edge
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), d ->
+        |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
+        |        (a, x) -> a + x) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |flt AS (SELECT * FROM bk QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 1000),
+        |p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb
+        |  FROM flt a JOIN flt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |s AS (SELECT src, dst, list_cosine_similarity(va, vb) AS cos FROM p),
+        |d AS (SELECT src, dst, cos, CAST(row_number() OVER w AS INT) AS rk FROM s
+        |  WINDOW w AS (PARTITION BY src ORDER BY cos DESC, dst ASC)
+        |  QUALIFY row_number() OVER w <= 5)
+        |SELECT a.src AS id_a, a.dst AS id_b, round(a.cos, 6) AS cosine,
+        |  a.rk AS rank_ab, b.rk AS rank_ba
+        |FROM d a JOIN d b ON a.src = b.dst AND a.dst = b.src
+        |WHERE a.src < a.dst
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // recallAtK(bruteForceTopK, lshTopK) at k=5: exact side = sim_topk's
+    // CTEs (incl. the zero-norm guard), approx side = sim_lsh_topk's;
+    // hits summed as BIGINT (not HUGEINT→float64), recall via `//` on
+    // positive operands == Spark's `div`
+    "sim_recall_eval" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS n2
+        |  FROM embeddings),
+        |xs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CASE WHEN q.n2 = 0 OR c.n2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(c.v, q.v) END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, corpus_id FROM xs
+        |  WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |  QUALIFY row_number() OVER w <= 5),
+        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), d ->
+        |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
+        |        (a, x) -> a + x) >= 0
+        |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |qb AS (SELECT * FROM bk WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS corpus_id, qb.v AS qv, c.v AS cv
+        |  FROM bk c JOIN qb ON c.tbl = qb.tbl AND c.bucket = qb.bucket AND c.vec_id <> qb.vec_id),
+        |ap AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos FROM cand),
+        |approx AS (SELECT query_id, corpus_id FROM ap
+        |  WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
+        |  QUALIFY row_number() OVER w <= 5)
+        |SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(COUNT(*) AS BIGINT) AS recall_micros
+        |FROM exact x LEFT JOIN approx a
+        |  ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+        |GROUP BY x.query_id
+        |ORDER BY x.query_id""".stripMargin,
+
     // ivfTopK with iters=0: seed centroids = the 16 lowest-id vectors;
     // nearest/probe ordering matches Spark's sort_array(desc) struct
     // comparison (cos DESC, then cid DESC on ties)

@@ -324,4 +324,78 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("knnGraph: hand-computed mutual graph on two exact clusters") {
+    // two orthogonal clusters of identical vectors: every same-cluster
+    // cosine is exactly 1.0 (rank ties break by dst ASC), every
+    // cross-cluster cosine is 0, so at k=2 the mutual graph is exactly
+    // the six within-cluster edges with hand-derivable ranks —
+    // deterministic whether or not cross-cluster pairs ever become LSH
+    // candidates (cos 0 never reaches the top-2)
+    val u = Seq(1.0f, 0.0f, 0.0f, 2.0f)
+    val v = Seq(0.0f, 3.0f, -1.0f, 0.0f) // u·v = 0
+    val df = Seq(1L -> u, 2L -> u, 3L -> u, 11L -> v, 12L -> v, 13L -> v)
+      .toDF("vec_id", "embedding")
+    val g = SimilaritySearch.knnGraph(df, "vec_id", "embedding", k = 2,
+        dim = 4, nBits = 2, tables = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val expected = Set(
+      (1L, 2L, 1.0, 1, 1), (1L, 3L, 1.0, 2, 1), (2L, 3L, 1.0, 2, 2),
+      (11L, 12L, 1.0, 1, 1), (11L, 13L, 1.0, 2, 1), (12L, 13L, 1.0, 2, 2))
+    assert(g == expected, s"got $g")
+  }
+
+  test("knnGraph: mutual-edge and rank invariants on the real corpus") {
+    val g = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 5,
+      dim = 64, nBits = 8, tables = 4).cache()
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    // canonical edge orientation, ranks within [1, k], cosine in range
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 5)
+      assert(r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001)
+    }
+    // no duplicate undirected edges
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    // every mutual edge incident to n is one of n's ≤ k surviving
+    // out-edges, so no node's degree can exceed k
+    val degOver = g.select(explode(array(col("id_a"), col("id_b"))).as("n"))
+      .groupBy("n").count().filter(col("count") > 5)
+    assert(degOver.count() == 0)
+    g.unpersist()
+  }
+
+  test("recallAtK: hand-computed fixture incl. corpus-edge n_exact < k") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (2L, 1, 10L), (2L, 2, 20L), (2L, 3, 30L), (2L, 4, 40L), (2L, 5, 50L))
+      .toDF("query_id", "rank", "corpus_id")
+    val approx = Seq((1L, 1, 10L), (1L, 2, 99L),
+      (2L, 1, 10L), (2L, 2, 20L), (2L, 3, 30L), (2L, 4, 40L), (2L, 5, 50L))
+      .toDF("query_id", "rank", "corpus_id")
+    val out = SimilaritySearch.recallAtK(exact, approx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // q1: 3 exact (below k — corpus edge), 1 hit → 333333 micros;
+    // q2: perfect recall → exactly 1000000
+    assert(out == Set((1L, 3L, 1L, 333333L), (2L, 5L, 5L, 1000000L)), s"got $out")
+  }
+
+  test("recallAtK on real lshTopK vs bruteForceTopK stays within [0, 1]") {
+    val q = emb.filter(col("vec_id") < 10)
+    val r = SimilaritySearch.recallAtK(
+        SimilaritySearch.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        SimilaritySearch.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+          dim = 64, nBits = 8, tables = 4))
+      .collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      val (n, h, m) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(n == 5L)
+      assert(h >= 0L && h <= n)
+      assert(m >= 0L && m <= 1000000L)
+      assert(m == h * 1000000L / n)
+    }
+  }
 }
