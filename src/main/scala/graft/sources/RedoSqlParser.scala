@@ -64,13 +64,33 @@ object RedoSqlParser {
             before = d.before, after = d.after,
             tsMillis = 0L, gtid = xid, seq = scn, lastCommitted = -1L,
             originServerId = originServerId))
-        case None =>
-          graft.ddl.OracleDdlConverter.convert(sql, segOwner).toOption.map { c =>
-            ChangeEvent(c.schema, c.table, graft.model.Op.Ddl, key = "",
-              before = Map.empty, after = Map("sql" -> c.sql),
-              tsMillis = 0L, gtid = xid, seq = scn, lastCommitted = -1L,
-              originServerId = originServerId)
+        case None if isDdl(sql) =>
+          // A DDL statement the converter cannot parse FAILS the batch
+          // (reference parseToDataEvent returns the parseDDLSQL error,
+          // `log_miner.go:903-907`): silently dropping it would diverge
+          // the target schema from the source with no trace.
+          graft.ddl.OracleDdlConverter.convert(sql, segOwner) match {
+            case Right(c) =>
+              Some(ChangeEvent(c.schema, c.table, graft.model.Op.Ddl, key = "",
+                before = Map.empty, after = Map("sql" -> c.sql),
+                tsMillis = 0L, gtid = xid, seq = scn, lastCommitted = -1L,
+                originServerId = originServerId))
+            case Left(err) =>
+              throw new IllegalArgumentException(
+                s"unconvertible redo DDL at scn=$scn: $err; sql=$sql")
           }
+        case None if isDmlShaped(sql) =>
+          // Starts like DML but didn't parse: the reference's
+          // parseDMLSQL would return the error (`log_miner.go:910-913`)
+          // — fail loudly rather than lose a row change.
+          throw new IllegalArgumentException(
+            s"unparseable redo DML at scn=$scn: $sql")
+        case None =>
+          // Transaction control / internal rows (COMMIT, ROLLBACK, SET
+          // TRANSACTION, …): the reference never routes these to
+          // parseToDataEvent (only operation codes 1/2/3/5 do,
+          // `log_miner.go:898-915`) — skipped, not an error.
+          None
       }
     }
 
@@ -86,6 +106,29 @@ object RedoSqlParser {
     }
     def peek(kw: String): Boolean = { skipWs(); s.regionMatches(true, i, kw, 0, kw.length) }
     def eof: Boolean = { skipWs(); i >= s.length || s.charAt(i) == ';' }
+  }
+
+  /** Leading-keyword DDL detection — the sandbox stand-in for LogMiner's
+    * OPERATION_CODE=5 tag (our rows carry only (scn, xid, sql)). Oracle
+    * classifies GRANT/REVOKE/AUDIT as DDL too, so they route to the
+    * converter and surface its error rather than vanishing.
+    */
+  private val ddlKeywords = Set("CREATE", "ALTER", "DROP", "TRUNCATE",
+    "RENAME", "COMMENT", "GRANT", "REVOKE", "ANALYZE", "AUDIT", "PURGE",
+    "FLASHBACK", "ASSOCIATE", "DISASSOCIATE", "NOAUDIT")
+
+  private def isDdl(sql: String): Boolean = {
+    val t = sql.dropWhile(_.isWhitespace)
+    val kw = t.takeWhile(ch => !ch.isWhitespace && ch != '(' && ch != ';')
+    ddlKeywords.contains(kw.toUpperCase(java.util.Locale.ROOT))
+  }
+
+  /** Looks like one of the three DML forms [[parse]] accepts — used to
+    * distinguish "malformed DML" (an error) from "not DML at all". */
+  private def isDmlShaped(sql: String): Boolean = {
+    val lower = sql.trim.toLowerCase
+    lower.startsWith("insert into") || lower.startsWith("update") ||
+      lower.startsWith("delete from")
   }
 
   private def parseInsert(sql: String): ParsedDml = {

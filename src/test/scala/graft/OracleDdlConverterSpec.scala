@@ -236,4 +236,15 @@ class OracleDdlConverterSpec extends AnyFunSuite {
   test("timestamp default fsp is oracle's 6") {
     assert(conv("CREATE TABLE TEST.T(C TIMESTAMP)").sql.contains("DATETIME(6)"))
   }
+
+  test("CHAR beyond Oracle's 2000 cap maps to VARCHAR (deliberate extension)") {
+    // the reference's table (sql_parse.go DataDefChar) covers 1..2000
+    // only — larger sizes are invalid Oracle DDL it never sees. We
+    // extend rather than drop: parse, emit VARCHAR(n).
+    assert(conv("CREATE TABLE TEST.T(C CHAR(2001))").sql.contains("VARCHAR(2001)"))
+    assert(conv("CREATE TABLE TEST.T(C CHAR(4000))").sql.contains("VARCHAR(4000)"))
+    // the in-range boundaries stay the reference's
+    assert(conv("CREATE TABLE TEST.T(C CHAR(2000))").sql.contains("VARCHAR(2000)"))
+    assert(conv("CREATE TABLE TEST.T(C CHAR(255))").sql.contains("CHAR(255)"))
+  }
 }

@@ -107,6 +107,35 @@ class RedoSqlParserSpec extends AnyFunSuite {
     assert(evs(2).after("sql") == "ALTER TABLE `S`.`T2` ADD COLUMN (`C2` DATETIME)")
   }
 
+  test("unconvertible DDL fails the batch instead of silently dropping") {
+    // reference parseToDataEvent propagates the parseDDLSQL error
+    // (log_miner.go:903-907); a dropped DDL would diverge the target
+    // schema with no trace
+    val ex = intercept[IllegalArgumentException] {
+      RedoSqlParser.toChangeEvents(Iterator(
+        (300L, "x5", "CREATE SYNONYM S1 FOR T1")
+      ), "oracle-1", segOwner = "S").toSeq
+    }
+    assert(ex.getMessage.contains("scn=300"))
+    assert(ex.getMessage.contains("CREATE SYNONYM S1 FOR T1"))
+  }
+
+  test("malformed DML fails the batch; tx-control rows still skip silently") {
+    val ex = intercept[IllegalArgumentException] {
+      RedoSqlParser.toChangeEvents(Iterator(
+        (301L, "x6", """insert into "S"."T"("ID" values garbage""")
+      ), "oracle-1").toSeq
+    }
+    assert(ex.getMessage.contains("scn=301"))
+    // commit / rollback / set transaction: not op-codes 1/2/3/5 → skipped
+    val evs = RedoSqlParser.toChangeEvents(Iterator(
+      (302L, "x7", "commit"),
+      (303L, "x7", "rollback"),
+      (304L, "x7", "set transaction read write")
+    ), "oracle-1").toSeq
+    assert(evs.isEmpty)
+  }
+
   test("S9 snapshot chunks produce rownum-windowed AS OF SCN queries") {
     val chunks = RedoSqlParser.snapshotChunks("S", "T", 12345L, totalRows = 10, chunk = 4)
     assert(chunks.size == 3)
