@@ -74,6 +74,13 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // generated-class cache (static conf, default 100 entries): an
+      // analytics session cycling through dozens of multi-stage queries
+      // holds far more than 100 distinct codegen units, so the default
+      // thrashes and re-pays Janino compilation (~100-500 ms per unit)
+      // on every revisit. The entries are class references — memory
+      // cost is metaspace already paid at first compile.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // managed tables (bucketed layouts) go to /tmp, not the repo cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

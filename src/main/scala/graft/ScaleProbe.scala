@@ -287,6 +287,23 @@ object ScaleProbe {
         // (groupBy reduction first), the heavy table joins its codes
         graft.sinks.ZOrderLayout.zorderStatsRank(v, "event_id", "user_id")
       }
+      time("layout_zorder_source", k) {
+        // string-keyed rank z-order: the distinct-value table the global
+        // window sorts is |sources| × |length bands| — domain counts grow
+        // far slower than rows, so the window input stays metadata-sized
+        // while the big table only joins its codes
+        graft.sinks.ZOrderLayout.zorderStatsRankBy(
+          d.filter(col("source").isNotNull && col("n_chars").isNotNull),
+          "source", "n_chars", bits = 10, bucketBits = 4)
+      }
+      time("sim_knn_graph", k) {
+        // mutual k-NN graph: candidates bucket-bounded (tables·maxBucket
+        // per node), vectors re-join per directed pair — nothing
+        // corpus-quadratic; the check is that time tracks candidate
+        // count, not corpus²
+        operators.sim.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 8, tables = 4)
+      }
       time("stats_active_users", k) {
         val ev = { vUsed = true; v }
         operators.TableStats.activeUsers(ev, "ts", "user_id")

@@ -18,6 +18,31 @@ object Partitioning {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Materialize a multiply-consumed derived table ONCE (persist + an
+    * eager count), so each downstream consumer reads the cache instead
+    * of re-deriving the whole subtree.
+    *
+    * Why not rely on the planner: Catalyst does not share duplicate
+    * subtrees inside one plan, and AQE's stage cache only deduplicates
+    * exchanges whose canonical form matches — a derived table consumed
+    * under three DIFFERENT keys (banding, join on id_a, join on id_b)
+    * recomputes per consumer (measured: the minhash signature pipeline
+    * — full text scan + per-shingle md5 — ran 3× per dedup_minhash).
+    *
+    * Why persist over localCheckpoint: persist keeps lineage, so a lost
+    * executor recomputes its partitions — localCheckpoint would fail
+    * the job, a real risk on a 1000-executor run. MEMORY_AND_DISK:
+    * index-shaped tables (k longs per doc) spill rather than OOM. The
+    * eager count prevents the concurrent-stage race where AQE
+    * materializes the consumers' independent stages in parallel, each
+    * missing the cache and re-deriving.
+    */
+  def materializeOnce(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
   /** Salted two-level aggregation for skewed grouping keys (SURVEY.md
     * §4: "skewed keys → salting or AQE skew-join"). A key holding a
     * large fraction of a 100 TB table turns `groupBy(key)` into one

@@ -78,7 +78,11 @@ object MinHashDedup {
   def portablePairs(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, k: Int = 16, numBands: Int = 4,
                     threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
-    val sig = portableSignatures(docs, idCol, textCol, n, k)
+    // Signatures feed three consumers (banding, the id_a join, the id_b
+    // join); materialized once or the text-scan+md5 pipeline runs 3×
+    // (Partitioning.materializeOnce scaladoc has the measurements).
+    val sig = graft.operators.Partitioning.materializeOnce(
+      portableSignatures(docs, idCol, textCol, n, k))
     // Buckets carry ONLY doc ids (8 bytes/member through the shuffle) —
     // at k=64 a (doc_id, sig) struct is 520B/member; signatures re-join
     // by id AFTER pair dedup, when the pair set is small, pinned
@@ -202,7 +206,9 @@ object MinHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 64, numBands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, shingleN, k)
+    // three consumers inside candidatePairs — see portablePairs
+    val sigs = graft.operators.Partitioning.materializeOnce(
+      signatures(docs, idCol, textCol, shingleN, k))
     candidatePairs(sigs, k, numBands)
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
@@ -234,7 +240,9 @@ object MinHashDedup {
                           batch: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 16, numBands: Int = 4,
                           threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
-    val bSig = portableSignatures(batch, idCol, textCol, n, k)
+    // batch sigs feed banding AND the batch_id score join — once
+    val bSig = graft.operators.Partitioning.materializeOnce(
+      portableSignatures(batch, idCol, textCol, n, k))
     val bBands = portableBands(bSig, k, numBands)
     // capped collect on the INDEX side: the bounded buffer holds
     // maxBucket+1 on overflow, so the filter detects and drops hot
