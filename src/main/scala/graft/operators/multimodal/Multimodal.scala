@@ -640,6 +640,109 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Generalized writer (r9): LOCAL color table and/or INTERLACED row
+      * order, with the palette sized to `tableBits` (2..8 → 4..256
+      * entries) and the LZW minimum code size following it — the
+      * remaining write-side half of what [[decode]] already reads.
+      * `localTable = true` omits the global table entirely (the
+      * optional-GCT layout the decoder's "neither table" guard covers);
+      * `interlaced` stores rows in the four-pass order
+      * (0,8,16… / 4,12… / 2,6,10… / 1,3,5…).
+      *
+      * [[encode]] keeps its original byte layout (GCT 256, progressive)
+      * — stored fixtures and the mm_gif_* oracles hash over those bytes.
+      */
+    def encodeWith(w: Int, h: Int, palette: Array[Byte], indices: Array[Byte],
+                   tableBits: Int = 8, localTable: Boolean = false,
+                   interlaced: Boolean = false): Array[Byte] = {
+      require(tableBits >= 2 && tableBits <= 8, s"tableBits $tableBits outside 2..8")
+      val entries = 1 << tableBits
+      require(palette.length == 3 * entries,
+        s"palette must be $entries RGB triples, got ${palette.length / 3}")
+      require(indices.length == w * h, s"index buffer ${indices.length} != ${w * h}")
+      require(indices.forall(b => (b & 0xff) < entries),
+        s"index out of range for $entries-entry table")
+      val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 1024)
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def put16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      put16(w); put16(h)
+      val sizeField = tableBits - 1 // GCT/LCT size field: 2^(field+1) entries
+      out.write((if (localTable) 0x00 else 0x80) | 0x70 | (if (localTable) 0 else sizeField))
+      out.write(0); out.write(0) // background, aspect
+      if (!localTable) out.write(palette, 0, palette.length)
+      out.write(0x2c) // image descriptor
+      put16(0); put16(0); put16(w); put16(h)
+      out.write((if (localTable) 0x80 | sizeField else 0x00) |
+        (if (interlaced) 0x40 else 0x00))
+      if (localTable) out.write(palette, 0, palette.length)
+      val src =
+        if (!interlaced) indices
+        else {
+          val order = (0 until h by 8) ++ (4 until h by 8) ++
+            (2 until h by 4) ++ (1 until h by 2)
+          val re = new Array[Byte](indices.length)
+          order.zipWithIndex.foreach { case (srcRow, destRow) =>
+            System.arraycopy(indices, srcRow * w, re, destRow * w, w)
+          }
+          re
+        }
+      val minCode = math.max(2, tableBits) // spec floor: min code size >= 2
+      out.write(minCode)
+      out.write(lzwCompress(src, minCode))
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** GIF-variant LZW at an arbitrary minimum code size, emitted as
+      * 255-byte sub-blocks (terminator included). Same width-bump
+      * off-by-one discipline as [[encode]]'s inline 8-bit path.
+      */
+    private def lzwCompress(indices: Array[Byte], minCode: Int): Array[Byte] = {
+      val clearCode = 1 << minCode; val eoiCode = clearCode + 1
+      val firstFree = clearCode + 2
+      var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var next = firstFree; var codeSize = minCode + 1
+      var bitBuf = 0L; var bitCnt = 0
+      val data = new java.io.ByteArrayOutputStream()
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+        while (bitCnt >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      emit(clearCode)
+      var wCode = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        dict.get((wCode, k)) match {
+          case Some(c) => wCode = c
+          case None =>
+            emit(wCode)
+            if (next < 4096) {
+              dict((wCode, k)) = next; next += 1
+              if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+            } else {
+              emit(clearCode)
+              dict = scala.collection.mutable.HashMap.empty
+              next = firstFree; codeSize = minCode + 1
+            }
+            wCode = k
+        }
+        i += 1
+      }
+      emit(wCode); emit(eoiCode)
+      if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+      val bytes = data.toByteArray
+      val out = new java.io.ByteArrayOutputStream(bytes.length + bytes.length / 255 + 2)
+      var p = 0
+      while (p < bytes.length) {
+        val n = math.min(255, bytes.length - p)
+        out.write(n); out.write(bytes, p, n)
+        p += n
+      }
+      out.write(0) // block terminator
+      out.toByteArray
+    }
+
     /** (width, height, palette, indices) — the raw decoded form. */
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte], Array[Byte]) = {
       require(payload.length >= 13 &&

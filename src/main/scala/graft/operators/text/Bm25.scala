@@ -175,6 +175,90 @@ object Bm25 {
   def termDf(post: DataFrame): DataFrame =
     post.select(col("term"), col("df")).distinct()
 
+  // ---- versioned index: rebuild-and-swap -------------------------------
+  //
+  // The deployed retrieval/percolator shape: a standing index serves
+  // queries under FROZEN statistics while the corpus keeps growing;
+  // periodically the postings are re-derived from the current corpus
+  // and the index is repointed ATOMICALLY — readers either see the old
+  // version whole or the new version whole, never a half-written mix.
+  //
+  // Layout: dir/v<NNNNNN>/{postings,stats} + dir/_CURRENT, a one-line
+  // pointer file naming the active version. The pointer is written to a
+  // temp name and renamed into place — rename is the atomic primitive
+  // on POSIX and HDFS (object stores substitute a conditional put).
+  // Old versions stay on disk until pruned, so an in-flight query that
+  // resolved the pointer before a swap finishes its scan against intact
+  // files.
+
+  private def currentFile(dir: String) = java.nio.file.Paths.get(dir, "_CURRENT")
+
+  /** The active version name (e.g. "v000002"), if the index exists. */
+  def currentIndexVersion(dir: String): Option[String] = {
+    val f = currentFile(dir)
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** Open the active version of a versioned index: resolves `_CURRENT`
+    * once at call time (the freeze point — a later swap does not move
+    * this handle) and reads its postings/stats.
+    */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): (DataFrame, DataFrame) = {
+    val v = currentIndexVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no _CURRENT index under $dir"))
+    (spark.read.parquet(s"$dir/$v/postings"), spark.read.parquet(s"$dir/$v/stats"))
+  }
+
+  /** Re-derive the index from `docs` into the next version dir, then
+    * atomically repoint `_CURRENT`. Queries opened before the swap keep
+    * their frozen statistics; queries opened after see the new corpus.
+    * Returns the new version name.
+    */
+  def refreshIndex(docs: DataFrame, idCol: String, textCol: String,
+                   dir: String): String = {
+    val next = "v%06d".format(
+      currentIndexVersion(dir).map(_.stripPrefix("v").toInt).getOrElse(0) + 1)
+    buildIndex(docs, idCol, textCol, s"$dir/$next")
+    val tmp = java.nio.file.Paths.get(dir, s"_CURRENT.$next.tmp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(tmp, next)
+    java.nio.file.Files.move(tmp, currentFile(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Delete all but the `keep` newest version dirs (never the current
+    * one). Run well after a swap, once in-flight readers of older
+    * versions have drained.
+    */
+  def pruneIndexVersions(dir: String, keep: Int = 2): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    val cur = currentIndexVersion(dir)
+    val versions = java.nio.file.Files.list(d).iterator().asScalaSeq
+      .filter(p => p.getFileName.toString.matches("v\\d{6}"))
+      .map(_.getFileName.toString).sorted
+    val doomed = versions.dropRight(keep).filterNot(cur.contains)
+    doomed.foreach { v =>
+      val root = java.nio.file.Paths.get(dir, v)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(p => java.nio.file.Files.delete(p))
+    }
+    doomed
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
   /** Match a batch of INCOMING docs against a STANDING query set under
     * the frozen statistics of a stored index (df/N/T from the
     * reference corpus, dl from the incoming doc) — the

@@ -147,4 +147,58 @@ class Bm25Spec extends SparkSpec {
     } finally q.stop()
     assert(got.toSet == expected && expected.nonEmpty)
   }
+
+  test("versioned index: queries see frozen stats until the swap, new after") {
+    val dir = TempDirs.scratch("bm25_versioned_")
+    val docsV1 = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    // v2 corpus: alpha becomes common (df 3 of 4) — scores must change
+    val docsV2 = Seq((0L, "alpha beta"), (1L, "beta gamma"),
+      (2L, "alpha alpha"), (3L, "alpha delta")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha")).toDF("query_id", "qtext")
+
+    assert(Bm25.currentIndexVersion(dir).isEmpty)
+    assert(Bm25.refreshIndex(docsV1, "doc_id", "text", dir) == "v000001")
+    assert(Bm25.currentIndexVersion(dir).contains("v000001"))
+
+    // a reader opened NOW freezes on v1
+    val (postV1, statsV1) = Bm25.openIndex(spark, dir)
+    val scoreUnderV1 = Bm25.scoreAgainstIndex(postV1, statsV1, qs,
+      "query_id", "qtext", k = 10)
+      .select("doc_id", "score_micros").as[(Long, Long)].collect().toMap
+
+    // rebuild from the grown corpus and swap
+    assert(Bm25.refreshIndex(docsV2, "doc_id", "text", dir) == "v000002")
+    assert(Bm25.currentIndexVersion(dir).contains("v000002"))
+
+    // the pre-swap handle still reads v1 bytes: identical result
+    val scoreOldHandle = Bm25.scoreAgainstIndex(postV1, statsV1, qs,
+      "query_id", "qtext", k = 10)
+      .select("doc_id", "score_micros").as[(Long, Long)].collect().toMap
+    assert(scoreOldHandle == scoreUnderV1)
+
+    // a reader opened after the swap sees the new statistics: alpha's
+    // idf dropped (df 1/2 -> 3/4) and new docs match
+    val (postV2, statsV2) = Bm25.openIndex(spark, dir)
+    val scoreUnderV2 = Bm25.scoreAgainstIndex(postV2, statsV2, qs,
+      "query_id", "qtext", k = 10)
+      .select("doc_id", "score_micros").as[(Long, Long)].collect().toMap
+    assert(scoreUnderV2.keySet == Set(0L, 2L, 3L))
+    assert(scoreUnderV2(0L) != scoreUnderV1(0L))
+
+    // percolation under the frozen old handle vs the new one diverges
+    // the same way (df changes the weight), proving the swap boundary
+    // is the ONLY place stats change
+    val batch = Seq((100L, "alpha alpha beta")).toDF("doc_id", "text")
+    val pOld = Bm25.percolate(Bm25.termDf(postV1), statsV1, qs, "query_id", "qtext",
+      batch, "doc_id", "text").select("score_micros").as[Long].head()
+    val pNew = Bm25.percolate(Bm25.termDf(postV2), statsV2, qs, "query_id", "qtext",
+      batch, "doc_id", "text").select("score_micros").as[Long].head()
+    assert(pOld != pNew)
+
+    // prune keeps the current version
+    assert(Bm25.pruneIndexVersions(dir, keep = 1) == Seq("v000001"))
+    assert(Bm25.currentIndexVersion(dir).contains("v000002"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v000001")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v000002")))
+  }
 }

