@@ -304,6 +304,15 @@ object ScaleProbe {
         operators.sim.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
           k = 5, dim = 64, nBits = 8, tables = 4)
       }
+      time("sim_knn_graph_dense", k) {
+        // the density knob measured: the probe's scaled copies share
+        // buckets by construction (scaling preserves hyperplane signs),
+        // so per-bucket membership grows k× and candidates k² — raising
+        // nBits with corpus size (the FAISS practice) restores the
+        // bound: 2^12 buckets at 50× ≈ the 1× per-bucket density
+        operators.sim.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 12, tables = 4)
+      }
       time("stats_active_users", k) {
         val ev = { vUsed = true; v }
         operators.TableStats.activeUsers(ev, "ts", "user_id")

@@ -4254,11 +4254,14 @@ object SparkEntry {
 
     // knnGraph: lshPairs-style capped buckets (8 bits × 4 tables, cap
     // 1000) but DIRECTED candidates, per-src top-5 by (cos DESC, dst
-    // ASC), then the mutual filter = self-join on the reversed edge
+    // ASC), then the mutual filter = self-join on the reversed edge;
+    // zero-norm guard matches cosineNative's cosine(0,·)=0 convention
     "sim_knn_graph" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS n2
         |  FROM embeddings),
-        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |bk AS (SELECT vec_id, v, n2, u.t AS tbl,
         |  CAST(list_sum(list_transform(range(0, 8), b ->
         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |        list_transform(range(1, len(v)+1), d ->
@@ -4267,9 +4270,12 @@ object SparkEntry {
         |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
         |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
         |flt AS (SELECT * FROM bk QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 1000),
-        |p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb
+        |p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb,
+        |    a.n2 AS na2, b.n2 AS nb2
         |  FROM flt a JOIN flt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |s AS (SELECT src, dst, list_cosine_similarity(va, vb) AS cos FROM p),
+        |s AS (SELECT src, dst,
+        |    CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(va, vb) END AS cos FROM p),
         |d AS (SELECT src, dst, cos, CAST(row_number() OVER w AS INT) AS rk FROM s
         |  WINDOW w AS (PARTITION BY src ORDER BY cos DESC, dst ASC)
         |  QUALIFY row_number() OVER w <= 5)
@@ -4295,7 +4301,7 @@ object SparkEntry {
         |exact AS (SELECT query_id, corpus_id FROM xs
         |  WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |  QUALIFY row_number() OVER w <= 5),
-        |bk AS (SELECT vec_id, v, u.t AS tbl,
+        |bk AS (SELECT vec_id, v, n2, u.t AS tbl,
         |  CAST(list_sum(list_transform(range(0, 8), b ->
         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |        list_transform(range(1, len(v)+1), d ->
@@ -4304,9 +4310,12 @@ object SparkEntry {
         |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
         |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
         |qb AS (SELECT * FROM bk WHERE vec_id < 10),
-        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS corpus_id, qb.v AS qv, c.v AS cv
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS corpus_id, qb.v AS qv, c.v AS cv,
+        |    qb.n2 AS qn2, c.n2 AS cn2
         |  FROM bk c JOIN qb ON c.tbl = qb.tbl AND c.bucket = qb.bucket AND c.vec_id <> qb.vec_id),
-        |ap AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos FROM cand),
+        |ap AS (SELECT query_id, corpus_id,
+        |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0
+        |         ELSE list_cosine_similarity(cv, qv) END AS cos FROM cand),
         |approx AS (SELECT query_id, corpus_id FROM ap
         |  WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC)
         |  QUALIFY row_number() OVER w <= 5)

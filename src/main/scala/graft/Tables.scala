@@ -25,7 +25,15 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((spark, sfDir, name), { _ =>
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // The driver fixtures are SINGLE-row-group parquet files, and a
+      // parquet row group is unsplittable — every scan otherwise runs
+      // as ONE task no matter how many cores exist (measured: q1's
+      // scan+partial-agg single-threaded). ensureMinParallelism spreads
+      // it; on production inputs (many row groups) the condition is
+      // false and this is a no-op. Filters and pruning push through the
+      // repartition to the scan (pinned in PlanQualitySpec).
+      val df = graft.operators.Partitioning.ensureMinParallelism(
+        spark.read.parquet(s"$sfDir/$name.parquet"))
       if (name != "events") df
       else df.schema("ts").dataType match {
         // TIMESTAMP(NANOS) under legacy nanosAsLong: a nanos long

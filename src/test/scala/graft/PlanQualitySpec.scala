@@ -198,11 +198,15 @@ class PlanQualitySpec extends SparkSpec {
   test("sampling ops are shuffle-free per-row filters/projections") {
     for (q <- Seq("sample_split", "sample_mixture")) {
       val p = plan(q)
-      // the only exchange allowed is the final total-order sort's range
-      // partitioning; the assignment itself must not shuffle
+      // the only exchanges allowed: the final total-order sort's range
+      // partitioning, plus the loader's RoundRobin spread of the
+      // single-row-group fixture (Tables.load ensureMinParallelism —
+      // absent on production many-row-group inputs); the assignment
+      // itself must not shuffle
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       val rangeEx = p.linesIterator.count(_.contains("rangepartitioning"))
-      assert(exchanges == rangeEx, s"$q shuffles beyond the output sort:\n$p")
+      val rrEx = p.linesIterator.count(_.contains("RoundRobinPartitioning"))
+      assert(exchanges == rangeEx + rrEx, s"$q shuffles beyond the output sort:\n$p")
       assert(!p.toLowerCase.contains("scalaudf"), s"$q uses a UDF")
     }
   }

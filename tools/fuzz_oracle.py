@@ -62,6 +62,9 @@ EMB_QUERIES = [
     "emb_l2norm", "emb_quantize", "emb_cosine_pairs", "sim_topk",
     "emb_quantize_trained", "sim_topk_quantized", "emb_classify_centroid",
     "sim_pq_topk", "sim_pq_topk_refined", "sim_hybrid_rrf", "sim_mmr_topk", "sim_ivf_pq_topk", "sim_ivfpq_index_probe", "sim_kmeans_clusters", "pipeline_rag",
+    # r9: oracles carry the zero-norm CASE guard matching cosineNative's
+    # cosine(0,.)=0, so the adversarial zero/denormal vectors are fair game
+    "sim_knn_graph", "sim_recall_eval",
 ]
 
 PIECES = [
