@@ -41,15 +41,20 @@ object Diversify {
     // the broadcast; only (query_id, corpus_id, d2) survives the cut
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("d2q", ProductQuantizer.microL2(col("cv"), col("qv")))
-    val poolDf = scored
+    // the pool cut (corpus scan + per-query window) feeds the greedy
+    // loop AND the pool-vector re-join; pv feeds both sides of the
+    // pairwise self-join — materialized once each (pool-sized tables),
+    // released after greedySelect's eager output materialization
+    val poolDf = graft.operators.Partitioning.materializeOnce(scored
       .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("d2q").asc, col("corpus_id").asc)))
       .filter(col("rk") <= pool)
-      .select(col("query_id"), col("corpus_id"), col("d2q"))
+      .select(col("query_id"), col("corpus_id"), col("d2q")))
     // pool vectors: broadcast the ids-only pool into the corpus scan
-    val pv = c.join(broadcast(poolDf.select(col("query_id"), col("corpus_id"))),
-        Seq("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("cv"))
+    val pv = graft.operators.Partitioning.materializeOnce(
+      c.join(broadcast(poolDf.select(col("query_id"), col("corpus_id"))),
+          Seq("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), col("cv")))
     // pairwise distances within each query's pool (pool² rows/query)
     val pw = pv.alias("a")
       .join(pv.alias("b"), col("a.query_id") === col("b.query_id") &&
@@ -58,7 +63,9 @@ object Diversify {
         col("b.corpus_id").as("sel"),
         ProductQuantizer.microL2(col("a.cv"), col("b.cv")).as("d2p"))
 
-    greedySelect(poolDf, pw, k)
+    val out = greedySelect(poolDf, pw, k)
+    pv.unpersist(); poolDf.unpersist()
+    out
   }
 
   /** The unrolled greedy loop over a prepared pool
@@ -116,10 +123,19 @@ object Diversify {
     */
   def mmrFromPool(pool: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {
+    // `pool` is typically a whole retrieval pipeline (hybrid RRF in
+    // pipeline_rag) and is consumed twice here; poolV three times
+    // (d2q, both sides of the pairwise self-join). Without
+    // materialization the retrieval re-runs ~4× (the minhash lesson,
+    // Partitioning.materializeOnce). Both tables are pool-sized
+    // (|queries|·pool rows), and greedySelect materializes its output
+    // eagerly, so the pins release before returning.
+    val po = graft.operators.Partitioning.materializeOnce(pool)
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-    val poolV = c.join(broadcast(pool), col("vid") === col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("v").as("cv"))
-    val qv = c.join(broadcast(pool.select(col("query_id")).distinct()),
+    val poolV = graft.operators.Partitioning.materializeOnce(
+      c.join(broadcast(po), col("vid") === col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), col("v").as("cv")))
+    val qv = c.join(broadcast(po.select(col("query_id")).distinct()),
         col("vid") === col("query_id"))
       .select(col("query_id"), col("v").as("qvv"))
     val poolDf = poolV.join(broadcast(qv), Seq("query_id"))
@@ -131,6 +147,8 @@ object Diversify {
       .select(col("a.query_id").as("query_id"), col("a.corpus_id").as("cand"),
         col("b.corpus_id").as("sel"),
         ProductQuantizer.microL2(col("a.cv"), col("b.cv")).as("d2p"))
-    greedySelect(poolDf, pw, k)
+    val out = greedySelect(poolDf, pw, k)
+    poolV.unpersist(); po.unpersist()
+    out
   }
 }

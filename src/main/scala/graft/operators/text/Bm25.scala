@@ -311,8 +311,13 @@ object Bm25 {
   def prfTopK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
               qidCol: String, qtextCol: String, k: Int = 10, fb: Int = 5,
               expand: Int = 3): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-    val stats = corpusStats(docs, textCol)
+    // postings (corpus tokenize + df window) feed three consumers —
+    // feedback scoring, expansion mining, final scoring — and stats
+    // (a corpus scan) broadcast into each: materialized once, or both
+    // derivations re-run per consumer (Partitioning.materializeOnce
+    // scaladoc has the mechanism)
+    val post = graft.operators.Partitioning.materializeOnce(postings(docs, idCol, textCol))
+    val stats = graft.operators.Partitioning.materializeOnce(corpusStats(docs, textCol))
     val qt = queryTerms(queries, qidCol, qtextCol)
     val feedback = rankTopK(scores(post, stats, qt), fb)
       .select(col("query_id"), col("doc_id"))
