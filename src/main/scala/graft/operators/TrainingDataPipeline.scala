@@ -32,11 +32,16 @@ object TrainingDataPipeline {
     val gated = docs.select(col(idCol), col(textCol))
       .join(prof.select(col(idCol), col("quality"), col("lang_pred"), col("fingerprint")), idCol)
 
-    // 2. exact dedup: min id per content fingerprint
-    val uniq = gated
+    // 2. exact dedup: min id per content fingerprint. Materialized: the
+    // survivors feed BOTH the near-dup pair generation and the final
+    // representative anti-join — without the pin, the profile gate +
+    // fingerprint window re-derive per consumer. This cache is the
+    // working set steps 3-5 iterate over (the Spark ML fit() pattern);
+    // MEMORY_AND_DISK spills on corpora past executor memory.
+    val uniq = graft.operators.Partitioning.materializeOnce(gated
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy(col("fingerprint"))))
       .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
+      .drop("__keep"))
 
     // 3.+4. near-dup clusters among exact-unique survivors
     val pairs = Dedup.ngramJaccardPairs(uniq, idCol, textCol,

@@ -292,9 +292,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // `pairs` is usually a whole candidate pipeline (ngram/minhash);
+    // referencing it from both union branches would derive it twice
+    // inside the one eager checkpoint — materialize the slim edge list
+    // first, reverse the cached rows, release once edges are pinned
+    val p = graft.operators.Partitioning.materializeOnce(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    p.unpersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
