@@ -267,6 +267,36 @@ object ScaleProbe {
         operators.sim.HybridSearch.hybridTopK(d, e, 0L until 8L,
           "doc_id", "text", "vec_id", "embedding", k = 10, pool = 20)
       }
+      time("text_bm25_prf", k) {
+        // RM3 two-round retrieval: postings + stats materialize once
+        // (r9) and serve the feedback pass, expansion mining, and the
+        // final ranking — cost ≈ one postings build, not three
+        operators.text.Bm25.prfTopK(d,
+          docs.filter(col("doc_id") < 8)
+            .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+          "doc_id", "text", "query_id", "qtext", k = 10)
+      }
+      time("pipeline_rag", k) {
+        // the RAG context assembly at k× corpus: hybrid recall runs
+        // once into the materialized pool (r9), MMR and chunking are
+        // pool-sized
+        val fused = operators.sim.HybridSearch.hybridTopK(d, e, 0L until 3L,
+          "doc_id", "text", "vec_id", "embedding", k = 10, pool = 20)
+        val sel = operators.sim.Diversify.mmrFromPool(
+          fused.select(col("query_id"), col("corpus_id")), e, "vec_id", "embedding", k = 3)
+        val selDocs = d.join(broadcast(sel.select(col("corpus_id")).distinct()),
+            d("doc_id") === col("corpus_id"))
+          .select(d("doc_id"), d("text"))
+        sel.join(operators.text.TextAnalysis.chunkWindows(selDocs, "doc_id", "text",
+            width = 10, stride = 5), sel("corpus_id") === col("doc_id"))
+      }
+      time("pipeline_curate", k) {
+        // the bootstrap curation flow; the probe corpus is dup-dense by
+        // construction (every doc has k-1 near-variants), so the pair
+        // graph and clusters grow with k² true pairs — output-bound,
+        // the same caveat as emb_lsh_pairs/dedup_prefix_exact
+        operators.TrainingDataPipeline.curate(d, "doc_id", "text")
+      }
       time("tokenizer_bpe_train", k) {
         // vocab-bound claim: the corpus scan feeds word counts once,
         // the 4 merge rounds run over distinct words only
