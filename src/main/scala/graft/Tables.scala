@@ -25,15 +25,16 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((spark, sfDir, name), { _ =>
-      // The driver fixtures are SINGLE-row-group parquet files, and a
-      // parquet row group is unsplittable — every scan otherwise runs
-      // as ONE task no matter how many cores exist (measured: q1's
-      // scan+partial-agg single-threaded). ensureMinParallelism spreads
-      // it; on production inputs (many row groups) the condition is
-      // false and this is a no-op. Filters and pruning push through the
-      // repartition to the scan (pinned in PlanQualitySpec).
-      val df = graft.operators.Partitioning.ensureMinParallelism(
-        spark.read.parquet(s"$sfDir/$name.parquet"))
+      // No loader-level repartition: the compute-bound operators
+      // (shingling, hashing, tokenizing — where a one-task scan of a
+      // single-row-group fixture actually hurts) each spread their own
+      // input via Partitioning.ensureMinParallelism at the point the
+      // per-row work starts. Doing it here instead taxed EVERY consumer
+      // with a full-table RoundRobin exchange — measured by the round-9
+      // driver bench as ~2x on shuffle-light queries (a5_gtid_set
+      // 0.32->0.80 s, k2_cdc_apply 0.36->0.86 s) for no gain on the
+      // heavy ones, which already spread themselves.
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name != "events") df
       else df.schema("ts").dataType match {
         // TIMESTAMP(NANOS) under legacy nanosAsLong: a nanos long
