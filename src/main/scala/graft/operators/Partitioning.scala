@@ -43,6 +43,32 @@ object Partitioning {
     cached
   }
 
+  /** Eager-terminal companion to [[materializeOnce]] for operators whose
+    * OUTPUT is small relative to the corpus (near-dup pair lists, top-k
+    * tables, curated survivors): compute the output NOW via an eager
+    * localCheckpoint, then release the pins before returning. Without
+    * this, a lazy-returning operator's pins outlive the call — the
+    * caller cannot unpersist blocks it never saw, and a long-lived
+    * session making repeated calls (per-batch percolation, a bench/fuzz
+    * harness) accumulates cached blocks until LRU eviction.
+    *
+    * Why localCheckpoint for the output rather than another persist:
+    * checkpoint blocks never register in the session CacheManager and
+    * are reaped by the ContextCleaner as soon as the returned frame is
+    * garbage-collected — no explicit release protocol needed. The
+    * trade: lineage is truncated, so an executor lost between here and
+    * consumption fails the job instead of recomputing. That is
+    * acceptable ONLY because the checkpointed table is output-bound
+    * (pair/top-k sized), making the exposure window short; corpus-sized
+    * intermediates must keep [[materializeOnce]]'s lineage-preserving
+    * persist and live inside such an eager scope.
+    */
+  def releasePinsAfter(out: DataFrame, pins: DataFrame*): DataFrame = {
+    val eager = out.localCheckpoint(true)
+    pins.foreach(_.unpersist())
+    eager
+  }
+
   /** Salted two-level aggregation for skewed grouping keys (SURVEY.md
     * §4: "skewed keys → salting or AQE skew-join"). A key holding a
     * large fraction of a 100 TB table turns `groupBy(key)` into one

@@ -43,12 +43,22 @@ object TrainingDataPipeline {
       .filter(col(idCol) === col("__keep"))
       .drop("__keep"))
 
-    // 3.+4. near-dup clusters among exact-unique survivors
+    // 3.+4. near-dup clusters among exact-unique survivors.
+    // connectedComponents iterates eagerly (localCheckpoint fixpoint),
+    // so by the time dropIds exists the pin has served its multi-
+    // consumer purpose — release it HERE rather than leaking it into
+    // the session cache (the returned frame is lazy; the caller could
+    // never unpersist a pin it cannot see). The final left_anti then
+    // re-derives the gate+fingerprint subtree ONCE more — one extra
+    // pass, bought back by a lineage-complete, corpus-sized output
+    // that a checkpoint would have frozen into non-recomputable blocks.
     val pairs = Dedup.ngramJaccardPairs(uniq, idCol, textCol,
       n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
     val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as("__drop"))
+      .localCheckpoint(true) // cluster-non-rep sized, i.e. small
+    uniq.unpersist()
 
     // 5. keep cluster representatives (and everything unpaired)
     uniq.join(dropIds, uniq(idCol) === dropIds("__drop"), "left_anti")

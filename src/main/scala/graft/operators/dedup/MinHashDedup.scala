@@ -75,9 +75,14 @@ object MinHashDedup {
         .as(Seq("band", "bkey")))
   }
 
-  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
+  /** Lazy plan + its signature pin, for plan inspection (PlanQualitySpec
+    * asserts the ids-only buckets and shuffle_hash re-join on THIS
+    * plan; the public [[portablePairs]] eagerly materializes, which
+    * collapses the visible plan to a checkpoint scan).
+    */
+  private[graft] def portablePairsLazy(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, k: Int = 16, numBands: Int = 4,
-                    threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+                    threshold: Double = 0.5, maxBucket: Int = 500): (DataFrame, DataFrame) = {
     // Signatures feed three consumers (banding, the id_a join, the id_b
     // join); materialized once or the text-scan+md5 pipeline runs 3×
     // (Partitioning.materializeOnce scaladoc has the measurements).
@@ -97,12 +102,22 @@ object MinHashDedup {
       .dropDuplicates("id_a", "id_b")
     val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sa"))
     val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sb"))
-    pairs.join(sa.hint("shuffle_hash"), "id_a").join(sb.hint("shuffle_hash"), "id_b")
+    val out = pairs.join(sa.hint("shuffle_hash"), "id_a").join(sb.hint("shuffle_hash"), "id_b")
       .withColumn("sig_frac",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
           .cast("double") / k)
       .filter(col("sig_frac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sig_frac"), 6).as("sig_frac"))
+    (out, sig)
+  }
+
+  def portablePairs(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 16, numBands: Int = 4,
+                    threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+    val (out, sig) = portablePairsLazy(docs, idCol, textCol, n, k, numBands, threshold, maxBucket)
+    // pair-sized output: eager checkpoint, then drop the signature pin
+    // (Partitioning.releasePinsAfter scaladoc has the lifecycle contract)
+    graft.operators.Partitioning.releasePinsAfter(out, sig)
   }
 
   /** Declarative permutation — retained as the independent reference
@@ -206,13 +221,14 @@ object MinHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 64, numBands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
-    // three consumers inside candidatePairs — see portablePairs
+    // three consumers inside candidatePairs — see portablePairsLazy
     val sigs = graft.operators.Partitioning.materializeOnce(
       signatures(docs, idCol, textCol, shingleN, k))
-    candidatePairs(sigs, k, numBands)
+    val out = candidatePairs(sigs, k, numBands)
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    graft.operators.Partitioning.releasePinsAfter(out, sigs)
   }
 
   /** Persistable MinHash index over a corpus — the continual-ingest
@@ -258,7 +274,7 @@ object MinHashDedup {
     // candidate set is the small build side
     val sa = bSig.select(col("doc_id").as("batch_id"), col("sig").as("sa"))
     val sb = idxSigs.select(col("doc_id").as("index_id"), col("sig").as("sb"))
-    cands.join(sa.hint("shuffle_hash"), "batch_id")
+    val out = cands.join(sa.hint("shuffle_hash"), "batch_id")
       .join(sb.hint("shuffle_hash"), "index_id")
       .withColumn("sig_frac",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
@@ -266,5 +282,8 @@ object MinHashDedup {
       .filter(col("sig_frac") >= threshold)
       .select(col("batch_id").as("doc_id"), col("index_id").as("dup_of"),
         round(col("sig_frac"), 6).as("sig_frac"))
+    // this runs once per incoming batch in the streaming percolator —
+    // exactly the call shape that leaked a pin per batch before
+    graft.operators.Partitioning.releasePinsAfter(out, bSig)
   }
 }

@@ -198,15 +198,11 @@ class PlanQualitySpec extends SparkSpec {
   test("sampling ops are shuffle-free per-row filters/projections") {
     for (q <- Seq("sample_split", "sample_mixture")) {
       val p = plan(q)
-      // the only exchanges allowed: the final total-order sort's range
-      // partitioning, plus the loader's RoundRobin spread of the
-      // single-row-group fixture (Tables.load ensureMinParallelism —
-      // absent on production many-row-group inputs); the assignment
-      // itself must not shuffle
+      // the only exchange allowed is the final total-order sort's range
+      // partitioning; the assignment itself must not shuffle
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       val rangeEx = p.linesIterator.count(_.contains("rangepartitioning"))
-      val rrEx = p.linesIterator.count(_.contains("RoundRobinPartitioning"))
-      assert(exchanges == rangeEx + rrEx, s"$q shuffles beyond the output sort:\n$p")
+      assert(exchanges == rangeEx, s"$q shuffles beyond the output sort:\n$p")
       assert(!p.toLowerCase.contains("scalaudf"), s"$q uses a UDF")
     }
   }
@@ -309,7 +305,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("portable minhash buckets are ids-only; sig re-join is ShuffledHashJoin") {
-    val df = SparkEntry.queries("dedup_minhash")(spark, sf)
+    // the public portablePairs eagerly materializes (releasing its
+    // signature pin), which collapses the visible plan to a checkpoint
+    // scan — inspect the lazy inner plan, which is what actually runs
+    val (df, sigPin) = graft.operators.dedup.MinHashDedup.portablePairsLazy(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      n = 3, k = 64, numBands = 16, threshold = 0.5, maxBucket = 500)
+    sigPin.unpersist()
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("graft_collect_capped"),
       "portable minhash must bound hot bands with the capped collect")
@@ -441,9 +443,22 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("prf/percolate/mmr/bpe-family plans: no cartesian, no sort-merge surprises") {
-    for (q <- Seq("text_bm25_prf", "text_bm25_percolate", "sim_mmr_topk")) {
+    for (q <- Seq("text_bm25_percolate", "sim_mmr_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    // prf eagerly materializes (pin release) — inspect the lazy inner
+    // plan, which is what actually runs
+    locally {
+      import spark.implicits._
+      val qs = Seq((1L, "spark join table"), (2L, "window agg stream"))
+        .toDF("query_id", "qtext")
+      val (prf, pins) = graft.operators.text.Bm25.prfTopKLazy(
+        Tables.load(spark, sf, "documents"), qs, "doc_id", "text", "query_id", "qtext",
+        k = 10, fb = 5, expand = 3)
+      val p = prf.queryExecution.executedPlan.toString
+      pins.foreach(_.unpersist())
+      assert(!p.contains("CartesianProduct"), s"text_bm25_prf has a cartesian product:\n$p")
     }
     // percolate: every corpus-sized side is absent — batch tf joins the
     // broadcast query terms and the broadcast vocab df table
@@ -459,6 +474,21 @@ class PlanQualitySpec extends SparkSpec {
         if w.partitionSpec.isEmpty => w
     }
     assert(bad.isEmpty, "mmr selection windows must partition by query_id")
+  }
+
+  test("pin hygiene: materializing operators leave no cache entries after consumption") {
+    // the round-9 leak class: operators pinning multi-consumed subtrees
+    // (minhash signatures, BM25 postings/stats, curate's working set)
+    // returned lazy frames, so the pins outlived every call. Each must
+    // now release before returning — the session cache ends each query
+    // exactly as it started.
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    for (q <- Seq("dedup_minhash", "dedup_minhash_md5", "dedup_minhash_incremental",
+        "text_bm25_prf", "pipeline_curate")) {
+      SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
+      assert(cm.isEmpty, s"$q leaked a pinned Dataset into the session cache")
+    }
   }
 
   test("pipeline_rag: no cartesian; selection windows partition by query") {
