@@ -327,21 +327,22 @@ object ScaleProbe {
           "source", "n_chars", bits = 10, bucketBits = 4)
       }
       time("sim_knn_graph", k) {
-        // mutual k-NN graph: candidates bucket-bounded (tables·maxBucket
-        // per node), vectors re-join per directed pair — nothing
-        // corpus-quadratic; the check is that time tracks candidate
-        // count, not corpus²
+        // mutual k-NN graph at the AUTO bit count (autoNBits: smallest
+        // b in [4,16] with n ≤ 64·2^b): candidates bucket-bounded,
+        // vectors re-join per directed pair — nothing corpus-quadratic,
+        // and the cell count now grows with the corpus by default, so
+        // the 50× run holds its bound with no manual knob
+        operators.sim.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
+          k = 5, dim = 64, tables = 4)
+      }
+      time("sim_knn_graph_fixed8", k) {
+        // the measured fixed-bits trap, kept as the cautionary row: the
+        // probe's scaled copies share buckets by construction (scaling
+        // preserves hyperplane signs), so per-bucket membership grows
+        // k× and candidates k² under a FROZEN 2^8 cell count (233 s at
+        // 50× vs 32 s at 2^12 when this was the default's failure mode)
         operators.sim.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
           k = 5, dim = 64, nBits = 8, tables = 4)
-      }
-      time("sim_knn_graph_dense", k) {
-        // the density knob measured: the probe's scaled copies share
-        // buckets by construction (scaling preserves hyperplane signs),
-        // so per-bucket membership grows k× and candidates k² — raising
-        // nBits with corpus size (the FAISS practice) restores the
-        // bound: 2^12 buckets at 50× ≈ the 1× per-bucket density
-        operators.sim.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
-          k = 5, dim = 64, nBits = 12, tables = 4)
       }
       time("stats_active_users", k) {
         val ev = { vUsed = true; v }

@@ -1270,8 +1270,12 @@ object SparkEntry {
       // pruning) consumes; fully deterministic, so the graph itself
       // hash-matches the oracle
       val emb = t(s, dir, "embeddings")
+      // nBits self-scales with the corpus (autoNBits: smallest b in
+      // [4,16] with n <= 64*2^b); the oracle replays the same integer
+      // search against count(*), so both engines derive the same b at
+      // ANY fixture size — including the fuzz corpora
       SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 5,
-          dim = 64, nBits = 8, tables = 4)
+          dim = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -4252,23 +4256,29 @@ object SparkEntry {
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
-    // knnGraph: lshPairs-style capped buckets (8 bits × 4 tables, cap
-    // 1000) but DIRECTED candidates, per-src top-5 by (cos DESC, dst
-    // ASC), then the mutual filter = self-join on the reversed edge;
-    // zero-norm guard matches cosineNative's cosine(0,·)=0 convention
+    // knnGraph: lshPairs-style capped buckets (auto-scaled bits × 4
+    // tables, cap 1000) but DIRECTED candidates, per-src top-5 by
+    // (cos DESC, dst ASC), then the mutual filter = self-join on the
+    // reversed edge; zero-norm guard matches cosineNative's
+    // cosine(0,·)=0 convention. `nb` replays autoNBits: smallest b in
+    // [4,16] with count <= 64*2^b — pure integer, so it cannot drift
+    // from the Spark side at any corpus size
     "sim_knn_graph" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      """WITH nb AS (SELECT CAST(coalesce(MIN(b), 16) AS INT) AS nbits
+        |  FROM range(4, 17) t(b)
+        |  WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << b)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |    list_aggregate(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS n2
         |  FROM embeddings),
         |bk AS (SELECT vec_id, v, n2, u.t AS tbl,
-        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |  CAST(list_sum(list_transform(range(0, nb.nbits), b ->
         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |        list_transform(range(1, len(v)+1), d ->
         |          v[d] * (('0x' || substr(md5(u.t || '_' || b || '_' || (d-1)), 1, 13))::BIGINT / 2251799813685248.0 - 1.0))),
         |        (a, x) -> a + x) >= 0
         |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
+        |  FROM e, nb, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) u),
         |flt AS (SELECT * FROM bk QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 1000),
         |p AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb,
         |    a.n2 AS na2, b.n2 AS nb2

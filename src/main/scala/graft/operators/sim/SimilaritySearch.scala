@@ -254,13 +254,22 @@ object SimilaritySearch {
     * vector crosses more than two exchanges.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               dim: Int, nBits: Int = 8, tables: Int = 4,
+               dim: Int, nBits: Int = 0, tables: Int = 4,
                maxBucket: Int = 1000): DataFrame = {
     requireDim(corpus, vecCol, dim, "knnGraph")
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    // nBits <= 0 → derive from corpus size. ScaleProbe measured the
+    // fixed-bits trap: buckets densify with the corpus, Σ bucket²
+    // candidates grow quadratically (233 s at nBits=8 on the 50×
+    // corpus vs 32 s at nBits=12). The FAISS practice — grow the cell
+    // count with the collection — as a default rather than a manual
+    // knob: smallest b in [4,16] keeping expected bucket population
+    // ≤ 64 (n ≤ 64·2^b). One count-star job; explicit nBits overrides
+    // for parameter sweeps.
+    val bits = if (nBits > 0) nBits else autoNBits(vecs.count())
     val bucketed = vecs.select(col("vid"),
       posexplode(array((0 until tables).map(t =>
-        lshBucketAt(col("vec"), nBits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
+        lshBucketAt(col("vec"), bits, dim, t)): _*)).as(Seq("lsh_t", "lsh_b")))
     val cands = bucketed
       .groupBy(col("lsh_t"), col("lsh_b"))
       .agg(graft.functions.BoundedCollectList.column(col("vid"), maxBucket).as("members"))
@@ -324,6 +333,16 @@ object SimilaritySearch {
     * division by 2^51 is exact, so w ∈ [-1, 1) reproduces bit-for-bit
     * from the string key alone (no broadcast state, no RNG).
     */
+  /** Index-size-scaled hyperplane count: the smallest b in [4,16] with
+    * n ≤ 64·2^b, i.e. expected bucket population ≤ 64. INTEGER
+    * comparisons only — the DuckDB oracle replays the identical search
+    * (`MIN(b) FROM range(4,17) WHERE count ≤ 64·(1<<b)`), and an
+    * integer formula cannot drift across engines the way a
+    * `ceil(log2(...))` double could at exact-power boundaries.
+    */
+  def autoNBits(n: Long): Int =
+    (4 to 16).find(b => n <= (64L << b)).getOrElse(16)
+
   def portablePlane(table: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>
       val hex = java.security.MessageDigest.getInstance("MD5")

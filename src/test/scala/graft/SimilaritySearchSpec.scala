@@ -346,6 +346,21 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(g == expected, s"got $g")
   }
 
+  test("autoNBits: integer breakpoints, and the auto path equals its explicit twin") {
+    import SimilaritySearch.autoNBits
+    assert(autoNBits(1) == 4 && autoNBits(500) == 4 && autoNBits(1024) == 4)
+    assert(autoNBits(1025) == 5)
+    assert(autoNBits(64L << 12) == 12 && autoNBits((64L << 12) + 1) == 13)
+    assert(autoNBits(Long.MaxValue) == 16)
+    // nBits omitted == nBits set to the derived value, bit for bit
+    val n = emb.count()
+    val auto = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 3,
+      dim = 64, tables = 2).collect().toSet
+    val explicit = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 3,
+      dim = 64, nBits = autoNBits(n), tables = 2).collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("knnGraph: mutual-edge and rank invariants on the real corpus") {
     val g = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 5,
       dim = 64, nBits = 8, tables = 4).cache()
