@@ -656,6 +656,11 @@ object Multimodal {
                    tableBits: Int = 8, localTable: Boolean = false,
                    interlaced: Boolean = false): Array[Byte] = {
       require(tableBits >= 2 && tableBits <= 8, s"tableBits $tableBits outside 2..8")
+      // zero-area images would slip the length check (0 == 0) and then
+      // crash lzwCompress on indices(0); dims past 0xffff would
+      // silently truncate in the 16-bit header fields
+      require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff,
+        s"GIF dimensions ${w}x$h outside 1..65535")
       val entries = 1 << tableBits
       require(palette.length == 3 * entries,
         s"palette must be $entries RGB triples, got ${palette.length / 3}")

@@ -219,15 +219,45 @@ object Bm25 {
     */
   def refreshIndex(docs: DataFrame, idCol: String, textCol: String,
                    dir: String): String = {
-    val next = "v%06d".format(
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Build into a WRITER-UNIQUE staging dir first: two concurrent
+    // refreshes that both read the same _CURRENT would otherwise
+    // compute the same next version and interleave writes into ONE
+    // directory — the pointer rename protects readers, not writers.
+    // The staging dir then renames (atomic, same filesystem) into its
+    // version slot; losing a version-number race just means retrying
+    // the rename under the next number — the built files never mix.
+    Files.createDirectories(Paths.get(dir))
+    val stage = s"$dir/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    buildIndex(docs, idCol, textCol, stage)
+    var next = "v%06d".format(
       currentIndexVersion(dir).map(_.stripPrefix("v").toInt).getOrElse(0) + 1)
-    buildIndex(docs, idCol, textCol, s"$dir/$next")
-    val tmp = java.nio.file.Paths.get(dir, s"_CURRENT.$next.tmp")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(tmp, next)
-    java.nio.file.Files.move(tmp, currentFile(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    var placed = false
+    while (!placed) {
+      try {
+        Files.move(Paths.get(stage), Paths.get(dir, next),
+          StandardCopyOption.ATOMIC_MOVE)
+        placed = true
+      } catch {
+        // a populated target dir surfaces as either exception depending
+        // on the filesystem — both just mean "version taken, try next"
+        case _: java.nio.file.FileAlreadyExistsException =>
+          next = "v%06d".format(next.stripPrefix("v").toInt + 1)
+        case _: java.nio.file.DirectoryNotEmptyException =>
+          next = "v%06d".format(next.stripPrefix("v").toInt + 1)
+      }
+    }
+    // never repoint BACKWARDS: if a concurrent writer already published
+    // a higher version while we were renaming, leave its pointer alone
+    // (our version stays on disk; prune will retire it in order)
+    val stillNewest = currentIndexVersion(dir)
+      .forall(_.stripPrefix("v").toInt < next.stripPrefix("v").toInt)
+    if (stillNewest) {
+      val tmp = Paths.get(dir, s"_CURRENT.$next.tmp")
+      Files.writeString(tmp, next)
+      Files.move(tmp, currentFile(dir),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     next
   }
 
@@ -236,17 +266,27 @@ object Bm25 {
     * versions have drained.
     */
   def pruneIndexVersions(dir: String, keep: Int = 2): Seq[String] = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Nil
     val cur = currentIndexVersion(dir)
-    val versions = java.nio.file.Files.list(d).iterator().asScalaSeq
-      .filter(p => p.getFileName.toString.matches("v\\d{6}"))
-      .map(_.getFileName.toString).sorted
+    // Files.list/walk hold a directory handle until closed — leak-free
+    // via Using, and deletes tolerate files vanishing underneath (a
+    // concurrent prune or an aborted staging dir being cleaned up).
+    val versions = scala.util.Using.resource(Files.list(d)) { s =>
+      s.iterator().asScalaSeq
+        .filter(p => p.getFileName.toString.matches("v\\d{6}"))
+        .map(_.getFileName.toString).sorted
+    }
     val doomed = versions.dropRight(keep).filterNot(cur.contains)
     doomed.foreach { v =>
-      val root = java.nio.file.Paths.get(dir, v)
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().forEachRemaining(p => java.nio.file.Files.delete(p))
+      val root = Paths.get(dir, v)
+      scala.util.Using.resource(Files.walk(root)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().forEachRemaining(p =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.nio.file.NoSuchFileException => () })
+      }
     }
     doomed
   }
@@ -292,6 +332,41 @@ object Bm25 {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_micros"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Streaming percolation over a VERSIONED index: the standing-query
+    * stream runs in `foreachBatch`, and each micro-batch resolves
+    * `_CURRENT` at ITS OWN boundary — so a [[refreshIndex]] swap
+    * mid-stream takes effect exactly at the next batch: frozen old
+    * statistics until the swap, new statistics after, never a mix
+    * inside one batch ([[openIndex]]'s freeze point, through the
+    * stream). The broadcast sides (term dfs, the stats row) are
+    * re-derived once per VERSION, not per batch: they are eagerly
+    * localCheckpointed (vocab-sized — ContextCleaner reaps the blocks
+    * when a swap drops the old version's entry, so a long-running
+    * stream pins at most one version's sides).
+    *
+    * `sink(matches, batchId, version)` receives each batch's
+    * percolation with the version it scored under — alert consumers
+    * log it so a score step at a swap is attributable.
+    */
+  def percolateStreamVersioned(dir: String, queries: DataFrame,
+      qidCol: String, qtextCol: String,
+      stream: DataFrame, idCol: String, textCol: String)
+      (sink: (DataFrame, Long, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    var held: (String, DataFrame, DataFrame) = null
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val v = currentIndexVersion(dir).getOrElse(
+        throw new IllegalStateException(s"no _CURRENT index under $dir"))
+      if (held == null || held._1 != v) {
+        val (post, st) = openIndex(spark, dir)
+        held = (v, termDf(post).localCheckpoint(true), st.localCheckpoint(true))
+      }
+      sink(percolate(held._2, held._3, queries, qidCol, qtextCol,
+        batch, idCol, textCol), batchId, v)
+      ()
+    }.start()
   }
 
   /** Pseudo-relevance-feedback expansion (the RM3 shape, integer-exact):

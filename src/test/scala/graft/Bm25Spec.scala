@@ -201,4 +201,51 @@ class Bm25Spec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v000001")))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v000002")))
   }
+
+  test("streaming percolator survives an index swap mid-stream: old stats until, new after") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = TempDirs.scratch("bm25_stream_versioned_")
+    val docsV1 = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val docsV2 = Seq((0L, "alpha beta"), (1L, "beta gamma"),
+      (2L, "alpha alpha"), (3L, "alpha delta")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha")).toDF("query_id", "qtext")
+    val doc = (100L, "alpha alpha beta")
+
+    Bm25.refreshIndex(docsV1, "doc_id", "text", dir)
+    // the SAME doc percolated under each version's frozen stats — the
+    // batch-mode truth the stream must reproduce on each swap side
+    def batchScore(): Long = {
+      val (post, st) = Bm25.openIndex(spark, dir)
+      Bm25.percolate(Bm25.termDf(post), st, qs, "query_id", "qtext",
+        Seq(doc).toDF("doc_id", "text"), "doc_id", "text")
+        .select("score_micros").as[Long].head()
+    }
+    val scoreV1 = batchScore()
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = Bm25.percolateStreamVersioned(dir, qs, "query_id", "qtext",
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text") { (m, batchId, v) =>
+      got.synchronized {
+        got ++= m.select("doc_id", "score_micros").as[(Long, Long)].collect()
+          .map { case (d, s) => (batchId, v, d, s) }
+      }
+    }
+    try {
+      input.addData(doc)
+      q.processAllAvailable()
+      // swap mid-stream, then the SAME doc again
+      Bm25.refreshIndex(docsV2, "doc_id", "text", dir)
+      val scoreV2 = batchScore()
+      input.addData(doc)
+      q.processAllAvailable()
+      assert(scoreV1 != scoreV2, "the corpus change must move the score")
+      val byBatch = got.sortBy(_._1)
+      assert(byBatch.map(_._2) == Seq("v000001", "v000002"),
+        s"each batch must carry the version it scored under: $got")
+      assert(byBatch.map(_._4) == Seq(scoreV1, scoreV2),
+        s"stream must equal batch percolation on each side of the swap: $got")
+    } finally q.stop()
+  }
 }

@@ -108,6 +108,33 @@ class CodecInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF encodeWith: dictionary-full reset path (>4096 codes) round-trips and matches the JDK") {
+    // a high-entropy 128x64 frame at 256 colors grows the LZW dict past
+    // 4096 → the clear-code emit + codeSize reset path runs (the fuzz
+    // test's ≤960-pixel frames never reach it); verify both our decoder
+    // and the JDK's independent reader resolve the exact pixels
+    val (tw, th) = (128, 64)
+    val rnd = new scala.util.Random(97)
+    val pal = Array.tabulate[Byte](768)(i => ((i * 37 + 13) % 256).toByte)
+    val idx = Array.tabulate[Byte](tw * th)(_ => rnd.nextInt(256).toByte)
+    val bytes = GifCodec.encodeWith(tw, th, pal, idx, tableBits = 8)
+    val (dw, dh, dpal, didx) = GifCodec.decode(bytes)
+    assert(dw == tw && dh == th && dpal.toSeq == pal.toSeq)
+    assert(didx.toSeq == idx.toSeq, "dict-reset stream corrupts on our own decoder")
+    val (jw, jh, viaJdk) = rgbOf(read(bytes))
+    assert(jw == tw && jh == th)
+    assert(viaJdk.toSeq == GifCodec.decodeRgb(bytes)._3.toSeq,
+      "JDK reader disagrees across the dictionary reset")
+  }
+
+  test("GIF encodeWith refuses zero-area and over-65535 dimensions") {
+    val pal = Array.tabulate[Byte](768)(i => (i % 256).toByte)
+    intercept[IllegalArgumentException](
+      GifCodec.encodeWith(0, 0, pal, Array.emptyByteArray))
+    intercept[IllegalArgumentException](
+      GifCodec.encodeWith(0x10000, 1, pal, new Array[Byte](0x10000)))
+  }
+
   test("GIF encodeWith defaults reproduce encode's byte layout semantics") {
     // encode() keeps its original GCT-256 progressive layout; the new
     // writer at the same settings must decode to the same image (byte
