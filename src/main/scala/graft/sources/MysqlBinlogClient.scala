@@ -135,7 +135,16 @@ object MysqlBinlogClient {
     * EOF, or the connection closes. Wire CRCs are verified once the
     * FDE announces CRC32 — same trust boundary as the file reader.
     */
-  def stream(cfg: Config)(onEvent: BinlogParser.RawEvent => Boolean): Unit = {
+  def stream(cfg: Config)(onEvent: BinlogParser.RawEvent => Boolean): Unit =
+    streamRaw(cfg)((ev, _) => onEvent(ev))
+
+  /** [[stream]] plus the UNPARSED wire bytes of each event — the wire
+    * form (header + body + CRC) is byte-identical to the binlog FILE
+    * event layout, so a relay ([[BinlogRelay]], S10) appends these
+    * bytes verbatim and the file replays through
+    * [[BinlogParser.readBinlogFile]] with CRC verification on.
+    */
+  def streamRaw(cfg: Config)(onEvent: (BinlogParser.RawEvent, Array[Byte]) => Boolean): Unit = {
     val sock = new Socket()
     sock.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
     sock.setSoTimeout(cfg.readTimeoutMs)
@@ -178,7 +187,7 @@ object MysqlBinlogClient {
             if (ev.typeCode == BinlogParser.FORMAT_DESCRIPTION_EVENT)
               // FDE body ends with its checksum-alg byte (1 = CRC32)
               checksummed = ev.body.nonEmpty && ev.body.last == 1
-            go = onEvent(ev)
+            go = onEvent(ev, bytes)
           case MysqlWire.EofPacket => go = false
           case e: MysqlWire.ErrPacket =>
             throw new IllegalStateException(s"dump stream error: ${e.code} ${e.sqlState} ${e.message}")

@@ -311,6 +311,49 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("S10 relay: socket stream → disk relay file → CRC-verified replay, identical events") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val obs = new Observed
+    val ready = new CountDownLatch(1)
+    val (events, _) = cannedEvents()
+    val thread = serve(server, events, obs, ready)
+    assert(ready.await(5, TimeUnit.SECONDS))
+    val relayPath = java.nio.file.Files.createTempDirectory("relay_").resolve("relay-000001.bin").toString
+    try {
+      // socket → disk, wire bytes verbatim (no re-serialization)
+      val n = BinlogRelay.relayFrom(MysqlBinlogClient.Config(
+        host = InetAddress.getLoopbackAddress.getHostAddress,
+        port = server.getLocalPort, user = user, password = password,
+        serverId = 4242L, slaveUuid = "cd" * 16,
+        gtids = Seq(sidUuid -> Seq((1L, 10L)))), relayPath)
+      thread.join(10000)
+      assert(obs.failure == null, s"server-side failure: ${obs.failure}")
+      assert(n == events.length.toLong)
+
+      // the relay file replays with CRC verification ON — the master's
+      // own checksums survived the socket and the disk hop
+      import org.apache.spark.sql.types._
+      val reg = new graft.ddl.SchemaRegistry
+      reg.put("src", "users", StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType))))
+      reg.put("src", "media", StructType(Seq(
+        StructField("id", IntegerType), StructField("payload", BinaryType))))
+      val replayed = BinlogParser.readBinlogFile(relayPath, reg, verifyCrc = true)
+      assert(replayed.count(_.op == "commit") == 3)
+      assert(replayed.filter(_.op == graft.model.Op.Insert)
+        .map(e => (e.table, e.key)).toSet == Set(("users", "1"), ("users", "2"), ("media", "7")))
+      // a torn tail (crash mid-append) fails loudly on replay, never
+      // applies half an event
+      val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(relayPath))
+      val torn = java.util.Arrays.copyOfRange(raw, 0, raw.length - 7)
+      intercept[IllegalArgumentException](
+        BinlogParser.splitEvents(torn, verifyCrc = true))
+    } finally {
+      server.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(relayPath))
+    }
+  }
+
   test("server ERR during the dump surfaces as a loud failure, not silence") {
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     val obs = new Observed
