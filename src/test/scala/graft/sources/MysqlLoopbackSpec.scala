@@ -354,6 +354,131 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     }
   }
 
+  test("caching_sha2 fast path and auth-switch-to-native both negotiate over the socket") {
+    // two server personalities: (a) advertises caching_sha2_password,
+    // verifies the SHA-256 scramble, answers AuthMoreData 0x03 (fast
+    // auth) then OK; (b) advertises caching_sha2 but switches the
+    // client to mysql_native_password with a FRESH nonce mid-auth
+    for (useSwitch <- Seq(false, true)) {
+      val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+      val obs = new Observed
+      val switchNonce = Array.tabulate[Byte](20)(i => (i * 11 + 1).toByte)
+      val t = new Thread(() => {
+        try {
+          val sock = server.accept()
+          try {
+            val in = new BufferedInputStream(sock.getInputStream)
+            val out = new BufferedOutputStream(sock.getOutputStream)
+            // handshake advertising caching_sha2_password
+            val hs = {
+              val b = ArrayBuffer.empty[Byte]
+              b += 10
+              b ++= "8.0.99-sha2".getBytes(StandardCharsets.UTF_8); b += 0
+              b ++= Array[Byte](0x2b, 0, 0, 0)
+              b ++= nonce.take(8); b += 0
+              val caps = MysqlWire.CLIENT_PROTOCOL_41 | MysqlWire.CLIENT_PLUGIN_AUTH |
+                MysqlWire.CLIENT_SECURE_CONNECTION
+              b += (caps & 0xff).toByte; b += ((caps >> 8) & 0xff).toByte
+              b += 45; b ++= Array[Byte](2, 0)
+              b += ((caps >> 16) & 0xff).toByte; b += ((caps >> 24) & 0xff).toByte
+              b += 21; b ++= Array.fill[Byte](10)(0)
+              b ++= nonce.drop(8); b += 0
+              b ++= "caching_sha2_password".getBytes(StandardCharsets.UTF_8); b += 0
+              MysqlWire.framePacket(b.toArray, 0)
+            }
+            out.write(hs); out.flush()
+            val (_, resp) = readFrame(in)
+            val r = new BinlogParser.Reader(resp, 0)
+            r.u32(); r.u32(); r.u8(); r.skip(23)
+            def ntStr(): String = {
+              val sb = new StringBuilder
+              while (r.peekU8() != 0) sb.append(r.u8().toChar)
+              r.skip(1); sb.toString
+            }
+            ntStr() // user
+            val auth = r.bytes(r.u8())
+            if (!useSwitch) {
+              require(auth.sameElements(MysqlWire.cachingSha2Auth(password, nonce)),
+                "sha2 scramble must verify")
+              out.write(MysqlWire.framePacket(Array[Byte](0x01, 0x03), 2)) // fast auth ok
+              out.write(ok(3)); out.flush()
+            } else {
+              // switch to native with a fresh nonce
+              val sw = ("mysql_native_password".getBytes(StandardCharsets.UTF_8) :+ 0.toByte) ++
+                switchNonce :+ 0.toByte
+              out.write(MysqlWire.framePacket(0xfe.toByte +: sw, 2)); out.flush()
+              val (_, swResp) = readFrame(in)
+              require(swResp.sameElements(MysqlWire.nativePasswordAuth(password, switchNonce)),
+                "switched scramble must verify on the NEW nonce")
+              out.write(ok(4)); out.flush()
+            }
+            obs.authOk = true
+            // minimal command loop: OK everything, FDE+EOF the dump
+            var done = false
+            while (!done) {
+              val (_, cmd) = readFrame(in)
+              if ((cmd(0) & 0xff) == MysqlWire.COM_BINLOG_DUMP_GTID) {
+                out.write(MysqlWire.framePacket(0x00.toByte +: fde(), 1))
+                out.write(eof(2)); out.flush()
+                done = true
+              } else { out.write(ok(1)); out.flush() }
+            }
+          } finally sock.close()
+        } catch { case e: Throwable => obs.failure = e }
+      })
+      t.setDaemon(true); t.start()
+      try {
+        val got = ArrayBuffer.empty[Int]
+        MysqlBinlogClient.stream(MysqlBinlogClient.Config(
+          host = InetAddress.getLoopbackAddress.getHostAddress,
+          port = server.getLocalPort, user = user, password = password,
+          serverId = 9L, slaveUuid = "ef" * 16)) { ev => got += ev.typeCode; true }
+        t.join(5000)
+        assert(obs.failure == null, s"server failure (switch=$useSwitch): ${obs.failure}")
+        assert(obs.authOk, s"auth did not verify (switch=$useSwitch)")
+        assert(got.toSeq == Seq(BinlogParser.FORMAT_DESCRIPTION_EVENT),
+          s"stream should deliver the FDE after auth (switch=$useSwitch)")
+      } finally server.close()
+    }
+  }
+
+  test("heartbeat events ride the stream without disturbing decode") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val obs = new Observed
+    val ready = new CountDownLatch(1)
+    // FDE, heartbeat (type 0x1b, body = binlog file name), one tx
+    val evs = Seq(
+      fde(),
+      event(0x1b, new W().str("mysql-bin.000042").result, 90),
+      event(BinlogParser.GTID_EVENT, gtid(sid, 21L, 0L, 1L), 100),
+      event(BinlogParser.QUERY_EVENT, query("src", "BEGIN", 45), 110),
+      event(BinlogParser.TABLE_MAP_EVENT,
+        tableMap(23L, "src", "users", Seq(0x03, 0x0f), new W().u16(64).result), 120),
+      event(BinlogParser.WRITE_ROWS_V2, rows(23L, 2, Seq(nameImg(9, "ida"))), 130),
+      event(0x1b, new W().str("mysql-bin.000042").result, 135),
+      event(BinlogParser.XID_EVENT, xid(955L), 140))
+    val thread = serve(server, evs, obs, ready)
+    assert(ready.await(5, TimeUnit.SECONDS))
+    try {
+      val got = ArrayBuffer.empty[BinlogParser.RawEvent]
+      MysqlBinlogClient.stream(MysqlBinlogClient.Config(
+        host = InetAddress.getLoopbackAddress.getHostAddress,
+        port = server.getLocalPort, user = user, password = password,
+        serverId = 5L, slaveUuid = "aa" * 16)) { ev => got += ev; true }
+      thread.join(10000)
+      assert(obs.failure == null, s"server-side failure: ${obs.failure}")
+      assert(got.count(_.typeCode == 0x1b) == 2, "heartbeats must arrive (CRC-checked)")
+      import org.apache.spark.sql.types._
+      val reg = new graft.ddl.SchemaRegistry
+      reg.put("src", "users", StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType))))
+      val ces = BinlogParser.toChangeEvents(got.toSeq, reg)
+      assert(ces.map(_.op) == Seq(graft.model.Op.Insert, "commit"),
+        "heartbeats must not perturb tx assembly")
+      assert(ces.head.after("name") == "ida")
+    } finally server.close()
+  }
+
   test("server ERR during the dump surfaces as a loud failure, not silence") {
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     val obs = new Observed
