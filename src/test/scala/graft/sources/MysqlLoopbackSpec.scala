@@ -16,23 +16,29 @@ import scala.collection.mutable.ArrayBuffer
   * `binlog_reader.go:282-414,959-1036`. Everything the byte-level
   * specs pinned individually here moves through one live socket.
   */
-class MysqlLoopbackSpec extends AnyFunSuite {
-  import BinlogBytes._
+/** Shared in-JVM fake MySQL server for loopback specs — serves the
+  * canned handshake, VERIFIES the client's bytes (scramble recomputed
+  * from its own password knowledge, SID block decoded and recorded)
+  * rather than echoing them, then streams binlog events.
+  */
+object LoopbackMysql {
+  import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream}
+  import java.net.ServerSocket
+  import java.nio.charset.StandardCharsets
+  import java.util.concurrent.CountDownLatch
+  import scala.collection.mutable.ArrayBuffer
 
-  private val user = "repl"
-  private val password = "s3cret!"
-  private val nonce = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
+  val user = "repl"
+  val password = "s3cret!"
+  val nonce: Array[Byte] = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
 
-  // ---- server-side helpers (independent of MysqlWire where it matters:
-  //      the server VERIFIES the client's bytes rather than echoing them) ----
-
-  private def ok(seq: Int): Array[Byte] =
+  def ok(seq: Int): Array[Byte] =
     MysqlWire.framePacket(Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00), seq)
 
-  private def eof(seq: Int): Array[Byte] =
+  def eof(seq: Int): Array[Byte] =
     MysqlWire.framePacket(Array[Byte](0xfe.toByte, 0x00, 0x00, 0x02, 0x00), seq)
 
-  private def handshakeV10(): Array[Byte] = {
+  def handshakeV10(): Array[Byte] = {
     val b = ArrayBuffer.empty[Byte]
     b += 10
     b ++= "8.0.99-loopback".getBytes(StandardCharsets.UTF_8); b += 0
@@ -51,7 +57,7 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     MysqlWire.framePacket(b.toArray, 0)
   }
 
-  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+  def readFully(in: InputStream, n: Int): Array[Byte] = {
     val buf = new Array[Byte](n); var off = 0
     while (off < n) {
       val k = in.read(buf, off, n - off)
@@ -61,7 +67,7 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     buf
   }
 
-  private def readFrame(in: InputStream): (Int, Array[Byte]) = {
+  def readFrame(in: InputStream): (Int, Array[Byte]) = {
     val h = readFully(in, 4)
     val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
     (h(3) & 0xff, readFully(in, len))
@@ -83,8 +89,8 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     * the dump command's SID block, then streams `events` (each an
     * OK-prefixed, possibly multi-packet payload) and closes with EOF.
     */
-  private def serve(server: ServerSocket, events: Seq[Array[Byte]], obs: Observed,
-                    ready: CountDownLatch): Thread = {
+  def serve(server: ServerSocket, events: Seq[Array[Byte]], obs: Observed,
+            ready: CountDownLatch): Thread = {
     val t = new Thread(() => {
       try {
         val sock = server.accept()
@@ -158,6 +164,12 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     t.start()
     t
   }
+
+}
+
+class MysqlLoopbackSpec extends AnyFunSuite {
+  import BinlogBytes._
+  import LoopbackMysql._
 
   // ---- the canned binlog stream: FDE + three GTID transactions,
   //      tx2 carrying a >16 MiB LONGBLOB row image ----
