@@ -276,4 +276,20 @@ class DdlRewriterSpec extends AnyFunSuite {
       "CREATE TABLE t (s VARCHAR(5) COLLATE utf8mb4_0900_ai_ci)")
     assert(out.contains("utf8mb4_general_ci") && !out.toLowerCase.contains("0900"))
   }
+
+  test("collation downgrade: the reference's own three vectors, verbatim") {
+    // reference TestMySQL57CollationReplaceWorkaround (base/utils_test.go:362)
+    // incl. the UPPERCASE form — the match is case-insensitive and the
+    // replacement lands lowercase, exactly as the reference rewrites it
+    import graft.functions.TypeConversions.downgradeCollations
+    assert(downgradeCollations(
+      "CREATE DATABASE `a` /*!40100 DEFAULT CHARACTER SET utf8mb4 COLLATE utf8mb4_0900_ai_ci */ /*!80016 DEFAULT ENCRYPTION='N' */") ==
+      "CREATE DATABASE `a` /*!40100 DEFAULT CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci */ /*!80016 DEFAULT ENCRYPTION='N' */")
+    assert(downgradeCollations(
+      "CREATE TABLE `a` (\n  `id` int(11) NOT NULL AUTO_INCREMENT,\n  `val1` varchar(64) DEFAULT NULL,\n  PRIMARY KEY (`id`)\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_0900_ai_ci") ==
+      "CREATE TABLE `a` (\n  `id` int(11) NOT NULL AUTO_INCREMENT,\n  `val1` varchar(64) DEFAULT NULL,\n  PRIMARY KEY (`id`)\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_general_ci")
+    assert(downgradeCollations(
+      "CREATE TABLE `test`.`char_columns` (`id` INT(11) NOT NULL,`c_char` CHAR(255) DEFAULT NULL,PRIMARY KEY(`id`)) ENGINE = InnoDB\nDEFAULT CHARACTER SET = UTF8MB4\nDEFAULT COLLATE = UTF8MB4_0900_AI_CI") ==
+      "CREATE TABLE `test`.`char_columns` (`id` INT(11) NOT NULL,`c_char` CHAR(255) DEFAULT NULL,PRIMARY KEY(`id`)) ENGINE = InnoDB\nDEFAULT CHARACTER SET = UTF8MB4\nDEFAULT COLLATE = utf8mb4_general_ci")
+  }
 }
