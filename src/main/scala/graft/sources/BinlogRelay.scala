@@ -69,4 +69,42 @@ object BinlogRelay {
       relay.events
     } finally relay.close()
   }
+
+  /** Directory form with FILE ROTATION — the reference's relay layout:
+    * one local file per master binlog file, switched on ROTATE events
+    * (the server opens every dump with a fake ROTATE naming the
+    * current file, and emits a real one at each file boundary, each
+    * followed by that file's own FDE — so every relay file is
+    * self-describing and replays independently). ROTATE events
+    * themselves are control-plane framing and are NOT written (a
+    * replayed file would otherwise end with a pointer to a file the
+    * relay names differently). Returns the files written, in order,
+    * each CRC-replayable via [[BinlogParser.readBinlogFile]].
+    */
+  def relayDirFrom(cfg: MysqlBinlogClient.Config, dir: String,
+                   maxEvents: Long = Long.MaxValue): Seq[String] = {
+    val written = Seq.newBuilder[String]
+    var current: BinlogRelay = null
+    var total = 0L
+    def roll(name: String): Unit = {
+      if (current != null) current.close()
+      val p = Paths.get(dir, name).toString
+      current = create(p)
+      written += p
+    }
+    try {
+      MysqlBinlogClient.streamRaw(cfg) { (ev, bytes) =>
+        total += 1
+        if (ev.typeCode == BinlogParser.ROTATE_EVENT) {
+          val (_, nextFile) = BinlogParser.parseRotate(ev.body)
+          roll(nextFile)
+        } else {
+          if (current == null) roll("relay-000001") // no leading fake ROTATE
+          current.append(bytes)
+        }
+        total < maxEvents
+      }
+      written.result()
+    } finally if (current != null) current.close()
+  }
 }

@@ -53,16 +53,16 @@ object MysqlBinlogClient {
     * this payload spans.
     */
   private[sources] def readPayload(in: InputStream): Array[Byte] = {
-    val (_, first) = readFrame(in)
+    val (seq0, first) = readFrame(in)
     if (first.length < MysqlWire.MaxPacketPayload) first
     else {
       val out = new java.io.ByteArrayOutputStream(first.length * 2)
       out.write(first, 0, first.length)
       var last = first
-      var expect = -1 // seq continuity is enforced by assemblePayloads in batch form;
+      var expect = (seq0 + 1) & 0xff // every continuation checked, incl. the first
       while (last.length == MysqlWire.MaxPacketPayload) {
         val (seq, p) = readFrame(in)
-        if (expect >= 0) require(seq == expect, s"continuation seq $seq, expected $expect")
+        require(seq == expect, s"continuation seq $seq, expected $expect")
         expect = (seq + 1) & 0xff
         out.write(p, 0, p.length)
         last = p
@@ -85,6 +85,7 @@ object MysqlBinlogClient {
                            seqStart: Int): Unit = {
     var seq = seqStart
     var done = false
+    var switches = 0
     while (!done) {
       val p = readPayload(in)
       (p(0) & 0xff) match {
@@ -93,6 +94,10 @@ object MysqlBinlogClient {
           val e = MysqlWire.classifyStreamPacket(p).asInstanceOf[MysqlWire.ErrPacket]
           throw new IllegalStateException(s"auth failed: ${e.code} ${e.sqlState} ${e.message}")
         case 0xfe => // AuthSwitchRequest: plugin NUL name + fresh nonce
+          // real servers send at most ONE switch; an unbounded loop here
+          // would let a broken/malicious server spin the client forever
+          switches += 1
+          require(switches <= 2, s"auth switch requested $switches times — giving up")
           var i = 1
           while (i < p.length && p(i) != 0) i += 1
           val plugin = new String(p, 1, i - 1, java.nio.charset.StandardCharsets.UTF_8)

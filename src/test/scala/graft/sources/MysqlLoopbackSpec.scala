@@ -491,6 +491,61 @@ class MysqlLoopbackSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("S10 relay rotation: ROTATE events roll files, each independently replayable") {
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val obs = new Observed
+    val ready = new CountDownLatch(1)
+    // file 1: FDE + tx(gno 41); ROTATE to mysql-bin.000002; file 2's own
+    // FDE + tx(gno 42) — the per-file FDE is what makes each relay file
+    // self-describing
+    val evs = Seq(
+      fde(),
+      event(BinlogParser.GTID_EVENT, gtid(sid, 41L, 0L, 1L), 100),
+      event(BinlogParser.QUERY_EVENT, query("src", "BEGIN", 45), 110),
+      event(BinlogParser.TABLE_MAP_EVENT,
+        tableMap(23L, "src", "users", Seq(0x03, 0x0f), new W().u16(64).result), 120),
+      event(BinlogParser.WRITE_ROWS_V2, rows(23L, 2, Seq(nameImg(4, "dan"))), 130),
+      event(BinlogParser.XID_EVENT, xid(41L), 140),
+      event(BinlogParser.ROTATE_EVENT,
+        new W().i64(4L).str("mysql-bin.000002").result, 150),
+      fde(),
+      event(BinlogParser.GTID_EVENT, gtid(sid, 42L, 0L, 1L), 100),
+      event(BinlogParser.QUERY_EVENT, query("src", "BEGIN", 45), 110),
+      event(BinlogParser.TABLE_MAP_EVENT,
+        tableMap(23L, "src", "users", Seq(0x03, 0x0f), new W().u16(64).result), 120),
+      event(BinlogParser.WRITE_ROWS_V2, rows(23L, 2, Seq(nameImg(5, "eve"))), 130),
+      event(BinlogParser.XID_EVENT, xid(42L), 140))
+    val thread = serve(server, evs, obs, ready)
+    assert(ready.await(5, TimeUnit.SECONDS))
+    val dir = java.nio.file.Files.createTempDirectory("relaydir_").toString
+    try {
+      val files = BinlogRelay.relayDirFrom(MysqlBinlogClient.Config(
+        host = InetAddress.getLoopbackAddress.getHostAddress,
+        port = server.getLocalPort, user = user, password = password,
+        serverId = 8L, slaveUuid = "bb" * 16), dir)
+      thread.join(10000)
+      assert(obs.failure == null, s"server-side failure: ${obs.failure}")
+      assert(files.map(f => java.nio.file.Paths.get(f).getFileName.toString) ==
+        Seq("relay-000001", "mysql-bin.000002"))
+      import org.apache.spark.sql.types._
+      val reg = new graft.ddl.SchemaRegistry
+      reg.put("src", "users", StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType))))
+      // each file replays on its own (own FDE, CRC verified)
+      val f1 = BinlogParser.readBinlogFile(files(0), reg, verifyCrc = true)
+      val f2 = BinlogParser.readBinlogFile(files(1), reg, verifyCrc = true)
+      assert(f1.filter(_.op == graft.model.Op.Insert).map(_.after("name")) == Seq("dan"))
+      assert(f1.count(_.op == "commit") == 1)
+      assert(f2.filter(_.op == graft.model.Op.Insert).map(_.after("name")) == Seq("eve"))
+      assert(f2.count(_.op == "commit") == 1)
+    } finally {
+      server.close()
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("server ERR during the dump surfaces as a loud failure, not silence") {
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     val obs = new Observed
