@@ -27,8 +27,8 @@ object Sampling {
     * sampler here derives from. Null keys hash like the empty string.
     */
   def hash60(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 15), 16, 10)
-      .cast("long")
+    call_function("graft_md5_60",
+      concat(coalesce(key.cast("string"), lit("")), lit(salt)))
 
   /** Deterministic bucket in [0, mod) from the md5 of the key. A null
     * key hashes like the empty string — without the coalesce, null rows
@@ -172,8 +172,7 @@ object Sampling {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
       s"budgets need nonnegative token counts: $budgets")
     import org.apache.spark.sql.expressions.Window
-    val prio = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
-      lit(salt))), 1, 15), 16, 10).cast("long") // 60-bit priority
+    val prio = hash60(col(keyCol), salt) // 60-bit priority
     val budgetOf = element_at(typedlit(budgets), col(sourceCol))
     val base = df.filter(budgetOf.isNotNull)
       .withColumn("_prio", prio)

@@ -53,7 +53,7 @@ object MinHashDedup {
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"), lit(p31)).as("hs"))
+        pmod(call_function("graft_md5_60", col("shingle")), lit(p31)).as("hs"))
     // ONE imperative aggregate in portable mode, not k declarative
     // `min(...)` columns: identical values (DedupSpec pins the
     // equivalence), but a single long[k] buffer and a flat generated

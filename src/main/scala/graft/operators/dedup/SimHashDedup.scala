@@ -76,7 +76,7 @@ object SimHashDedup {
     val nbits = PortableBlocks * PortableBits
     val seq60 = sequence(lit(0), lit(nbits - 1))
     val hs = transform(split(Dedup.normText(col(textCol)), " "),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+      t => call_function("graft_md5_60", t))
     val votes = aggregate(col("hs"), array_repeat(lit(0L), nbits),
       (acc, x) => zip_with(acc, seq60, (a, b) =>
         a + (call_function("shiftright", x, b).bitwiseAND(lit(1L)) * 2 - 1)))

@@ -112,7 +112,7 @@ object TextAnalysis {
     val B = 1000003L
     val P = 2147483647L // 2^31-1: keeps acc*B + 60-bit token hash under 2^63
     aggregate(tokens(c), lit(0L),
-      (acc, t) => pmod(acc * B + conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(P)))
+      (acc, t) => pmod(acc * B + call_function("graft_md5_60", t), lit(P)))
   }
 
   /** Duplicate word-n-gram fraction — the Gopher/RefinedWeb-style

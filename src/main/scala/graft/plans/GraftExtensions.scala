@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5_60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_md5_60(s) takes one string argument")
+        Md5Hash60(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {

@@ -12,6 +12,32 @@ class DedupSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sf, "documents")
 
+  test("graft_md5_60 == the conv(substring(md5)) chain, bit for bit") {
+    // the fused native expression must be indistinguishable from the
+    // declarative chain every oracle replays — over ascii, unicode
+    // (astral plane included), empty, long, and NULL inputs, via both
+    // the codegen'd projection AND the interpreted HOF path
+    val rnd = new scala.util.Random(77)
+    val pool = "abcXYZ09 _-ä中🙂\té😀"
+    val strs = Seq("", "a", "hello world", "🙂" * 10, pool, "x" * 5000) ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(40)).map(_ =>
+        pool(rnd.nextInt(pool.length))).mkString) :+ null.asInstanceOf[String]
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("i", "s")
+    val cmp = df.select(
+      call_function("graft_md5_60", col("s")).as("fused"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("chain"),
+      // HOF path: the lambda evaluates interpreted
+      element_at(transform(array(col("s")),
+        t => call_function("graft_md5_60", t)), 1).as("hof"))
+    assert(cmp.filter(!(col("fused") <=> col("chain")) ||
+      !(col("fused") <=> col("hof"))).isEmpty,
+      "fused md5-60 diverged from the declarative chain")
+    // and the SQL surface resolves it
+    assert(spark.sql("SELECT graft_md5_60('abc')").as[Long].head() ==
+      df.sparkSession.range(1).select(
+        conv(substring(md5(lit("abc")), 1, 15), 16, 10).cast("long")).as[Long].head())
+  }
+
   test("exact dedup groups whitespace/case variants") {
     val d = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO WORLD \n"),
