@@ -671,7 +671,19 @@ object SimilaritySearch {
     * literals) this codegens fine; for much larger dim × nBits move the
     * planes to a broadcast 2-D array first.
     */
-  private def lshBucketAt(v: org.apache.spark.sql.Column, nBits: Int, dim: Int, table: Int): org.apache.spark.sql.Column = {
+  private def lshBucketAt(v: org.apache.spark.sql.Column, nBits: Int, dim: Int, table: Int): org.apache.spark.sql.Column =
+    // fused native pass over all bits ([[graft.plans.LshBucket]] — same
+    // md5-derived planes, same left-to-right double fold, bit-identical
+    // to [[lshBucketDeclarative]], which SimilaritySearchSpec pins)
+    call_function("graft_lsh_bucket", v, lit(table), lit(nBits))
+
+  /** The composable HOF formulation, retained as the independent
+    * equivalence witness for [[graft.plans.LshBucket]] (and the exact
+    * shape the DuckDB oracles replay): per bit, a left-to-right double
+    * fold of the element-wise product with the md5-derived plane.
+    */
+  private[graft] def lshBucketDeclarative(v: org.apache.spark.sql.Column, nBits: Int,
+                                          dim: Int, table: Int): org.apache.spark.sql.Column = {
     val vd = transform(v, x => x.cast("double"))
     val bits = (0 until nBits).map { b =>
       val plane = array(portablePlane(table, b, dim).toIndexedSeq.map(lit): _*)

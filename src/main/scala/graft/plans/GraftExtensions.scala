@@ -29,6 +29,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_lsh_bucket(vec, table, nBits) takes an array column and two int literals")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_lsh_bucket: $name must be an int literal, got $other")
+        }
+        LshBucket(children.head, intLit(children(1), "table"), intLit(children(2), "nBits"))
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {

@@ -346,6 +346,33 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(g == expected, s"got $g")
   }
 
+  test("graft_lsh_bucket == the declarative HOF bucketing, bit for bit") {
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    // fixture vectors plus the edge shapes: zero vector, null array,
+    // a vector with a null element — declarative semantics (bucket 0
+    // for nulled projections) must carry over exactly
+    val edge = Seq(
+      (9001L, Array.fill(64)(0.0f)),
+      (9002L, null.asInstanceOf[Array[Float]]),
+      (9003L, Array.tabulate(64)(i => if (i == 7) null else java.lang.Float.valueOf(i * 0.1f - 3f)))
+    )
+    val edgeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(edge.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true), true))))
+    val both = emb.select(col("vec_id"), col("embedding")).unionByName(edgeDf)
+    for ((t, bits) <- Seq((0, 4), (1, 8), (3, 12))) {
+      val cmp = both.select(
+        call_function("graft_lsh_bucket", col("embedding"), flit(t), flit(bits)).as("fused"),
+        SimilaritySearch.lshBucketDeclarative(col("embedding"), bits, 64, t).as("decl"))
+      assert(cmp.filter(!(col("fused") <=> col("decl"))).isEmpty,
+        s"table=$t nBits=$bits: fused bucket diverged from the declarative fold")
+    }
+  }
+
   test("autoNBits: integer breakpoints, and the auto path equals its explicit twin") {
     import SimilaritySearch.autoNBits
     assert(autoNBits(1) == 4 && autoNBits(500) == 4 && autoNBits(1024) == 4)
