@@ -476,6 +476,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(bad.isEmpty, "mmr selection windows must partition by query_id")
   }
 
+  test("LSH bucketing stays on the fused native expression") {
+    // the interpreted per-bit HOF fold was the measured cost (ScaleProbe
+    // knn 50x: 38 -> 31 s fused); a silent revert would not fail any
+    // value check, so pin the plan
+    for (q <- Seq("sim_lsh_topk", "sim_knn_graph", "emb_lsh_pairs")) {
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_lsh_bucket"),
+        s"$q lost the fused native bucketing:\n${opt.take(2000)}")
+    }
+  }
+
   test("pin hygiene: materializing operators leave no cache entries after consumption") {
     // the round-9 leak class: operators pinning multi-consumed subtrees
     // (minhash signatures, BM25 postings/stats, curate's working set)
