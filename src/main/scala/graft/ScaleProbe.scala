@@ -328,7 +328,7 @@ object ScaleProbe {
       }
       time("sim_knn_graph", k) {
         // mutual k-NN graph at the AUTO bit count (autoNBits: smallest
-        // b in [4,16] with n ≤ 64·2^b): candidates bucket-bounded,
+        // b in [4,24] with n ≤ 64·2^b): candidates bucket-bounded,
         // vectors re-join per directed pair — nothing corpus-quadratic,
         // and the cell count now grows with the corpus by default, so
         // the 50× run holds its bound with no manual knob

@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1271,7 +1273,7 @@ object SparkEntry {
       // hash-matches the oracle
       val emb = t(s, dir, "embeddings")
       // nBits self-scales with the corpus (autoNBits: smallest b in
-      // [4,16] with n <= 64*2^b); the oracle replays the same integer
+      // [4,24] with n <= 64*2^b); the oracle replays the same integer
       // search against count(*), so both engines derive the same b at
       // ANY fixture size — including the fuzz corpora
       SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 5,
@@ -1920,6 +1922,19 @@ object SparkEntry {
       // clustering -> representatives; every stage oracle-expressible
       graft.operators.TrainingDataPipeline.curate(
           t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, jaccardThreshold = 0.5, maxShingleDf = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_curate_to" -> ((s, dir) => {
+      // the write-through deployment shape: same curation, but the
+      // working-set pin survives through the parquet write (one fewer
+      // corpus pass) and the returned lineage is the written files —
+      // must be row-identical to pipeline_curate (same oracle)
+      val out = java.nio.file.Files.createTempDirectory("graft_curate_to_")
+        .resolve("corpus").toString
+      graft.operators.TrainingDataPipeline.curateTo(
+          t(s, dir, "documents"), "doc_id", "text", out,
           minQuality = 0.5, jaccardThreshold = 0.5, maxShingleDf = 50)
         .orderBy(col("doc_id"))
     }),
@@ -4261,11 +4276,11 @@ object SparkEntry {
     // (cos DESC, dst ASC), then the mutual filter = self-join on the
     // reversed edge; zero-norm guard matches cosineNative's
     // cosine(0,·)=0 convention. `nb` replays autoNBits: smallest b in
-    // [4,16] with count <= 64*2^b — pure integer, so it cannot drift
+    // [4,24] with count <= 64*2^b — pure integer, so it cannot drift
     // from the Spark side at any corpus size
     "sim_knn_graph" ->
-      """WITH nb AS (SELECT CAST(coalesce(MIN(b), 16) AS INT) AS nbits
-        |  FROM range(4, 17) t(b)
+      """WITH nb AS (SELECT CAST(coalesce(MIN(b), 24) AS INT) AS nbits
+        |  FROM range(4, 25) t(b)
         |  WHERE (SELECT count(*) FROM embeddings) <= 64 * (1::BIGINT << b)),
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |    list_aggregate(list_transform(embedding,
@@ -6113,5 +6128,10 @@ object SparkEntry {
         |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(length(s) AS BIGINT) AS n_bytes, sha256(s) AS sha
         |FROM p ORDER BY media_id""".stripMargin
-  )
+  ).pipe(m =>
+    // curateTo is curate with a different pin lifecycle and a
+    // write-through output — the RESULT contract is identical, so the
+    // same oracle gates both (any divergence between the two forms
+    // fails exactly one of them)
+    m + ("pipeline_curate_to" -> m("pipeline_curate")))
 }

@@ -26,6 +26,51 @@ object TrainingDataPipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
              shingleN: Int = 3, maxShingleDf: Int = 1000): DataFrame = {
+    val (uniq, dropIds) = curateStages(docs, idCol, textCol,
+      minQuality, jaccardThreshold, shingleN, maxShingleDf)
+    // Release the working-set pin HERE rather than leaking it into the
+    // session cache (the returned frame is lazy; the caller could never
+    // unpersist a pin it cannot see). The final left_anti then
+    // re-derives the gate+fingerprint subtree ONCE more — one extra
+    // pass, bought back by a lineage-complete, corpus-sized output
+    // that a checkpoint would have frozen into non-recomputable blocks.
+    // If the output goes straight to storage anyway, [[curateTo]] keeps
+    // the pin through the write and skips that extra pass.
+    uniq.unpersist()
+
+    // 5. keep cluster representatives (and everything unpaired)
+    uniq.join(dropIds, uniq(idCol) === dropIds("__drop"), "left_anti")
+      .select(col(idCol), col("lang_pred"), col("quality"))
+  }
+
+  /** Write-through [[curate]] for the common deployment shape where the
+    * curated corpus is immediately persisted: the working-set pin stays
+    * live through the output write (the left_anti reads the CACHED
+    * survivors instead of re-deriving the gate+fingerprint subtree),
+    * is released after, and the returned frame's lineage is the written
+    * files — recomputable, pin-free, and one full corpus pass cheaper
+    * than `curate(...).write` at 100 TB.
+    */
+  def curateTo(docs: DataFrame, idCol: String, textCol: String, outPath: String,
+               minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
+               shingleN: Int = 3, maxShingleDf: Int = 1000,
+               mode: String = "overwrite"): DataFrame = {
+    val (uniq, dropIds) = curateStages(docs, idCol, textCol,
+      minQuality, jaccardThreshold, shingleN, maxShingleDf)
+    uniq.join(dropIds, uniq(idCol) === dropIds("__drop"), "left_anti")
+      .select(col(idCol), col("lang_pred"), col("quality"))
+      .write.mode(mode).parquet(outPath)
+    uniq.unpersist()
+    docs.sparkSession.read.parquet(outPath)
+  }
+
+  /** Steps 1–4 shared by [[curate]] and [[curateTo]]: returns the
+    * PINNED exact-unique survivors and the eager (small) drop-set of
+    * near-dup non-representatives. The caller owns the pin's release.
+    */
+  private def curateStages(docs: DataFrame, idCol: String, textCol: String,
+                           minQuality: Double, jaccardThreshold: Double,
+                           shingleN: Int, maxShingleDf: Int): (DataFrame, DataFrame) = {
     // 1. profile gate
     val prof = TextAnalysis.profile(docs, idCol, textCol)
       .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
@@ -46,23 +91,14 @@ object TrainingDataPipeline {
     // 3.+4. near-dup clusters among exact-unique survivors.
     // connectedComponents iterates eagerly (localCheckpoint fixpoint),
     // so by the time dropIds exists the pin has served its multi-
-    // consumer purpose — release it HERE rather than leaking it into
-    // the session cache (the returned frame is lazy; the caller could
-    // never unpersist a pin it cannot see). The final left_anti then
-    // re-derives the gate+fingerprint subtree ONCE more — one extra
-    // pass, bought back by a lineage-complete, corpus-sized output
-    // that a checkpoint would have frozen into non-recomputable blocks.
+    // consumer purpose.
     val pairs = Dedup.ngramJaccardPairs(uniq, idCol, textCol,
       n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
     val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as("__drop"))
       .localCheckpoint(true) // cluster-non-rep sized, i.e. small
-    uniq.unpersist()
-
-    // 5. keep cluster representatives (and everything unpaired)
-    uniq.join(dropIds, uniq(idCol) === dropIds("__drop"), "left_anti")
-      .select(col(idCol), col("lang_pred"), col("quality"))
+    (uniq, dropIds)
   }
 
   /** The continual-ingest counterpart of [[curate]]: today's batch →

@@ -333,15 +333,24 @@ object SimilaritySearch {
     * division by 2^51 is exact, so w ∈ [-1, 1) reproduces bit-for-bit
     * from the string key alone (no broadcast state, no RNG).
     */
-  /** Index-size-scaled hyperplane count: the smallest b in [4,16] with
+  /** Index-size-scaled hyperplane count: the smallest b in [4,24] with
     * n ≤ 64·2^b, i.e. expected bucket population ≤ 64. INTEGER
     * comparisons only — the DuckDB oracle replays the identical search
-    * (`MIN(b) FROM range(4,17) WHERE count ≤ 64·(1<<b)`), and an
+    * (`MIN(b) FROM range(4,25) WHERE count ≤ 64·(1<<b)`), and an
     * integer formula cannot drift across engines the way a
     * `ceil(log2(...))` double could at exact-power boundaries.
+    *
+    * The cap was 16 while the per-bit HOF composition inlined nBits×dim
+    * literal plane weights into codegen; the fused
+    * [[graft.plans.LshBucket]] expression derives planes from a
+    * JVM-cached md5 table instead (24 bits × 64 dims × 4 tables ≈ 48 KiB,
+    * built once per shape), so the bound is now only where the ≤64
+    * expected-population guarantee saturates: 64·2^24 ≈ 1.07 B vectors.
+    * Past that, the maxBucket cap still keeps plans safe but candidate
+    * recall sags — shard the corpus or raise the cap explicitly.
     */
   def autoNBits(n: Long): Int =
-    (4 to 16).find(b => n <= (64L << b)).getOrElse(16)
+    (4 to 24).find(b => n <= (64L << b)).getOrElse(24)
 
   def portablePlane(table: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>

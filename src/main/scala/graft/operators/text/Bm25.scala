@@ -193,6 +193,29 @@ object Bm25 {
 
   private def currentFile(dir: String) = java.nio.file.Paths.get(dir, "_CURRENT")
 
+  // Pointer-publish critical section: a per-dir JVM monitor (same-process
+  // writers) nested around an OS FileLock (cross-process writers; the lock
+  // dies with its holder, so no stale-lockfile recovery is ever needed).
+  // POSIX only — on an object store replace with a conditional put.
+  private val pointerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withPointerLock[A](dir: String)(body: => A): A = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val mon = pointerMonitors.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(dir))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(dir, "_CURRENT.lockfile"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   /** The active version name (e.g. "v000002"), if the index exists. */
   def currentIndexVersion(dir: String): Option[String] = {
     val f = currentFile(dir)
@@ -249,14 +272,19 @@ object Bm25 {
     }
     // never repoint BACKWARDS: if a concurrent writer already published
     // a higher version while we were renaming, leave its pointer alone
-    // (our version stays on disk; prune will retire it in order)
-    val stillNewest = currentIndexVersion(dir)
-      .forall(_.stripPrefix("v").toInt < next.stripPrefix("v").toInt)
-    if (stillNewest) {
-      val tmp = Paths.get(dir, s"_CURRENT.$next.tmp")
-      Files.writeString(tmp, next)
-      Files.move(tmp, currentFile(dir),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // (our version stays on disk; prune will retire it in order). The
+    // read+move runs under the pointer lock — without it two writers
+    // finishing near-simultaneously could interleave between the check
+    // and the move and let the LOWER version repoint last.
+    withPointerLock(dir) {
+      val stillNewest = currentIndexVersion(dir)
+        .forall(_.stripPrefix("v").toInt < next.stripPrefix("v").toInt)
+      if (stillNewest) {
+        val tmp = Paths.get(dir, s"_CURRENT.$next.tmp")
+        Files.writeString(tmp, next)
+        Files.move(tmp, currentFile(dir),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     next
   }

@@ -202,6 +202,35 @@ class Bm25Spec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v000002")))
   }
 
+  test("concurrent refreshes: pointer lands on the highest version, never backwards") {
+    // the r10 TOCTOU fix: without the pointer lock, two writers
+    // finishing near-simultaneously could interleave between the
+    // stillNewest read and the _CURRENT move, letting the LOWER
+    // version repoint last. Under the lock the final pointer is
+    // always the max of the published versions.
+    val dir = TempDirs.scratch("bm25_concurrent_refresh_")
+    val docs = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val published = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => published.add(Bm25.refreshIndex(docs, "doc_id", "text", dir)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val versions = published.asScala.toSeq.sorted
+    assert(versions.size == 6, s"version collision: $versions")
+    assert(Bm25.currentIndexVersion(dir).contains(versions.max))
+    // every published version is a complete, openable directory
+    versions.foreach { v =>
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, v, "postings")))
+    }
+    // the lock file is plumbing, not a version: prune must ignore it
+    // and leave the current version standing
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_CURRENT.lockfile")))
+    val doomed = Bm25.pruneIndexVersions(dir, keep = 1)
+    assert(doomed.toSet == versions.dropRight(1).toSet)
+    assert(Bm25.currentIndexVersion(dir).contains(versions.max))
+  }
+
   test("streaming percolator survives an index swap mid-stream: old stats until, new after") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

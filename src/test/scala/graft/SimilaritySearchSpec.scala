@@ -378,7 +378,10 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(autoNBits(1) == 4 && autoNBits(500) == 4 && autoNBits(1024) == 4)
     assert(autoNBits(1025) == 5)
     assert(autoNBits(64L << 12) == 12 && autoNBits((64L << 12) + 1) == 13)
-    assert(autoNBits(Long.MaxValue) == 16)
+    // the old 16-bit codegen-literal ceiling is gone (fused LshBucket
+    // caches planes per shape); only the population guarantee saturates
+    assert(autoNBits(64L << 16) == 16 && autoNBits((64L << 16) + 1) == 17)
+    assert(autoNBits(64L << 24) == 24 && autoNBits(Long.MaxValue) == 24)
     // nBits omitted == nBits set to the derived value, bit for bit
     val n = emb.count()
     val auto = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", k = 3,

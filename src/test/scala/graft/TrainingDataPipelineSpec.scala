@@ -21,6 +21,33 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(out(1L) == "en" && out(5L) == "de")
   }
 
+  test("curateTo: row-identical to curate, pin released after the write, lineage = files") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and it is fine. " * 5),
+      (2L, "The quick brown fox jumps over the lazy dog and it is fine. " * 5),
+      (3L, "The quick brown fox jumps over the lazy dog and it is good. " * 5),
+      (4L, "zzz qqq xxx"),
+      (5L, "Der Hund ist nicht zu Hause und das ist auch gut so heute. " * 5)
+    ).toDF("doc_id", "text")
+    val outDir = TempDirs.scratch("curate_to_") + "/corpus"
+    // the shared session may hold fixture pins from other tests — the
+    // contract under test is "curateTo adds none", so start clean (the
+    // same discipline as PlanQualitySpec's pin-hygiene test)
+    spark.sharedState.cacheManager.clearCache()
+    val viaWrite = TrainingDataPipeline.curateTo(docs, "doc_id", "text", outDir,
+      minQuality = 0.5, jaccardThreshold = 0.5)
+    val lazyForm = TrainingDataPipeline.curate(docs, "doc_id", "text",
+      minQuality = 0.5, jaccardThreshold = 0.5)
+    assert(viaWrite.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+      == lazyForm.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
+    // the write-through pin must not outlive the call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curateTo leaked its working-set pin into the session cache")
+    // and the returned frame reads the written files (survives a fresh read)
+    assert(spark.read.parquet(outDir).count() == viaWrite.count())
+  }
+
   test("ingest: gate, dedup vs index, split — fresh quality docs enter with a split") {
     import spark.implicits._
     val index = Seq(
