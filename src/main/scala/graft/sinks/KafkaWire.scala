@@ -32,6 +32,8 @@ object KafkaWire {
 
   // ---- API keys -----------------------------------------------------
   val ApiProduce: Short = 0
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
   val ApiVersions: Short = 18
 
@@ -274,6 +276,102 @@ object KafkaWire {
     }
     in.i32                                // throttle_time_ms
     acks
+  }
+
+  /** Decode a LOG slice — zero or more concatenated v2 batches (what a
+    * Fetch response's record_set carries) — yielding each record with
+    * its ABSOLUTE offset (baseOffset + offsetDelta). CRC-verified per
+    * batch like [[decodeBatch]]. A trailing partial batch (the broker
+    * may cut a slice at max_bytes mid-batch) is dropped silently — the
+    * consumer re-fetches from the last full offset, Kafka's contract.
+    */
+  def decodeLog(bytes: Array[Byte]): Seq[(Long, Record)] = {
+    val out = Seq.newBuilder[(Long, Record)]
+    var pos = 0
+    while (pos + 12 <= bytes.length) {
+      val bb = ByteBuffer.wrap(bytes, pos, 12)
+      val baseOffset = bb.getLong
+      val batchLength = bb.getInt
+      val end = pos + 12 + batchLength
+      if (end > bytes.length) pos = bytes.length // partial tail: stop
+      else {
+        val slice = java.util.Arrays.copyOfRange(bytes, pos, end)
+        // decodeBatch returns records in offsetDelta order (they are
+        // written that way and the framing walk preserves it)
+        decodeBatch(slice).zipWithIndex.foreach { case (r, i) =>
+          out += ((baseOffset + i, r))
+        }
+        pos = end
+      }
+    }
+    out.result()
+  }
+
+  // ---- ListOffsets v1 ---------------------------------------------------
+  val TsLatest: Long = -1L
+  val TsEarliest: Long = -2L
+
+  def listOffsetsRequest(correlationId: Int, clientId: String,
+                         topic: String, partitions: Seq[Int], timestamp: Long): Array[Byte] = {
+    val o = new Out
+    o.i32(-1)                             // replica_id: consumer
+    o.i32(1).str(topic)
+    o.i32(partitions.size)
+    partitions.foreach { p => o.i32(p); o.i64(timestamp) }
+    request(ApiListOffsets, 1, correlationId, clientId, o.bytes)
+  }
+
+  /** partition → (error, offset). */
+  def parseListOffsets(body: Array[Byte]): Map[Int, (Short, Long)] = {
+    val in = new In(body.drop(4))
+    (0 until in.i32).flatMap { _ =>
+      in.str
+      (0 until in.i32).map { _ =>
+        val p = in.i32; val err = in.i16; in.i64 // timestamp
+        p -> (err, in.i64)
+      }
+    }.toMap
+  }
+
+  // ---- Fetch v4 ------------------------------------------------------------
+  def fetchRequest(correlationId: Int, clientId: String, topic: String,
+                   partition: Int, fetchOffset: Long,
+                   maxWaitMs: Int = 100, minBytes: Int = 1,
+                   maxBytes: Int = 8 * 1024 * 1024): Array[Byte] = {
+    val o = new Out
+    o.i32(-1)                             // replica_id
+    o.i32(maxWaitMs)
+    o.i32(minBytes)
+    o.i32(maxBytes)
+    o.i8(0)                               // isolation_level: READ_UNCOMMITTED
+    o.i32(1).str(topic)
+    o.i32(1)
+    o.i32(partition).i64(fetchOffset).i32(maxBytes)
+    request(ApiFetch, 4, correlationId, clientId, o.bytes)
+  }
+
+  case class FetchResult(error: Short, highWatermark: Long, records: Seq[(Long, Record)])
+
+  def parseFetchResponse(body: Array[Byte], topic: String, partition: Int): FetchResult = {
+    val in = new In(body.drop(4))
+    in.i32                                // throttle_time_ms
+    var result: Option[FetchResult] = None
+    (0 until in.i32).foreach { _ =>
+      val t = in.str
+      (0 until in.i32).foreach { _ =>
+        val p = in.i32
+        val err = in.i16
+        val hw = in.i64
+        in.i64                            // last_stable_offset
+        val nAborted = in.i32             // nullable array: -1 = null
+        (0 until math.max(nAborted, 0)).foreach { _ => in.i64; in.i64 }
+        val set = in.nbytes.getOrElse(Array.emptyByteArray)
+        if (t == topic && p == partition)
+          result = Some(FetchResult(err, hw, decodeLog(set)))
+      }
+    }
+    result.getOrElse(throw new IllegalStateException(
+      s"fetch response missing $topic/$partition"))
   }
 
   // ---- default partitioner ---------------------------------------------------

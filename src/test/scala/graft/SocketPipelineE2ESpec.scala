@@ -181,6 +181,31 @@ class SocketPipelineE2ESpec extends SparkSpec {
       assert(key2.size == 2 && key2.map(_.partition).distinct.size == 1)
       assert(key2.head.value.exists(_.contains("\"op\":\"c\"")) &&
         key2(1).value.exists(_.contains("\"op\":\"u\"")), s"key2 order: ${key2.map(_.value)}")
+
+      // and BACK: the consumer half reads the broker's log over its own
+      // sockets (KafkaWireSource, one task per topic-partition), decodes
+      // the envelopes through the public path, and replays them into a
+      // replica — Kafka as the durable buffer between two engines, the
+      // deployment SURVEY §2.1 names for S1
+      val consumed = spark.read
+        .format(classOf[graft.sources.KafkaWireSource].getName)
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "graft.shop.t").load()
+      val replayed = graft.operators.DebeziumEnvelope.decode(consumed)
+        .orderBy(org.apache.spark.sql.functions.col("seq")).collect()
+      assert(replayed.length == 4)
+      val replica = scala.collection.mutable.Map.empty[String, String]
+      replayed.foreach { r =>
+        val id = // key of the row image: id field of after (or before on delete)
+          Option(r.getString(4)).orElse(Option(r.getString(3)))
+            .flatMap("\"id\"\\s*:\\s*\"?(\\d+)".r.findFirstMatchIn(_)).map(_.group(1)).get
+        r.getString(2) match {
+          case "d" => replica.remove(id)
+          case _   => replica(id) = r.getString(4)
+        }
+      }
+      assert(replica.keySet == Set("2"), s"replica after Kafka round trip: $replica")
+      assert(replica("2").contains("bea"))
     } finally { broker.close(); server.close() }
   }
 }

@@ -27,6 +27,39 @@ object LoopbackKafka {
     val produceRequests = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile private var closed = false
 
+    /** The partition logs: accepted batches with their assigned base
+      * offsets (the broker REWRITES baseOffset on append — it sits
+      * outside the CRC'd span, exactly why Kafka laid the batch out
+      * that way), served back verbatim by Fetch.
+      */
+    private val log = scala.collection.mutable.Map
+      .empty[(String, Int), scala.collection.mutable.ArrayBuffer[(Long, Int, Array[Byte])]]
+    private val logLock = new Object
+
+    private def appendLog(topic: String, p: Int, batch: Array[Byte], n: Int): Long =
+      logLock.synchronized {
+        val entries = log.getOrElseUpdate((topic, p),
+          scala.collection.mutable.ArrayBuffer.empty)
+        val base = entries.lastOption.map { case (b, c, _) => b + c }.getOrElse(0L)
+        val rewritten = batch.clone()
+        java.nio.ByteBuffer.wrap(rewritten, 0, 8).putLong(base)
+        entries += ((base, n, rewritten))
+        base
+      }
+
+    private def logEnd(topic: String, p: Int): Long = logLock.synchronized {
+      log.get((topic, p)).flatMap(_.lastOption).map { case (b, c, _) => b + c }.getOrElse(0L)
+    }
+
+    private def logSlice(topic: String, p: Int, from: Long): Array[Byte] =
+      logLock.synchronized {
+        val batches = log.get((topic, p)).toSeq.flatten
+          .filter { case (b, c, _) => b + c > from }
+        val out = new java.io.ByteArrayOutputStream()
+        batches.foreach { case (_, _, bytes) => out.write(bytes) }
+        out.toByteArray
+      }
+
     val host: String = InetAddress.getLoopbackAddress.getHostAddress
     def port: Int = server.getLocalPort
 
@@ -68,8 +101,10 @@ object LoopbackKafka {
             case KafkaWire.ApiVersions =>
               require(apiVersion == 0, s"ApiVersions v$apiVersion unsupported")
               val o = new KafkaWire.Out
-              o.i16(0).i32(3)
+              o.i16(0).i32(5)
               o.i16(KafkaWire.ApiProduce).i16(0).i16(8)
+              o.i16(KafkaWire.ApiFetch).i16(0).i16(6)
+              o.i16(KafkaWire.ApiListOffsets).i16(0).i16(2)
               o.i16(KafkaWire.ApiMetadata).i16(0).i16(5)
               o.i16(KafkaWire.ApiVersions).i16(0).i16(0)
               o.bytes
@@ -102,20 +137,21 @@ object LoopbackKafka {
                 (0 until r.i32).map { _ =>
                   val p = r.i32
                   val set = r.nbytes.getOrElse(Array.emptyByteArray)
-                  val err: Short =
-                    if (errorTopic.contains(topic)) errorCode
+                  val (err: Short, base: Long) =
+                    if (errorTopic.contains(topic)) (errorCode, -1L)
                     else {
                       // the REAL acceptance check: decodeBatch recomputes
                       // the CRC32C and walks the varint record framing;
                       // corrupt bytes throw before anything is stored
-                      KafkaWire.decodeBatch(set).foreach { rec =>
+                      val recs = KafkaWire.decodeBatch(set)
+                      recs.foreach { rec =>
                         records.add(Stored(topic, p,
                           rec.key.map(new String(_, UTF_8)),
                           rec.value.map(new String(_, UTF_8))))
                       }
-                      0
+                      (0.toShort, appendLog(topic, p, set, recs.size))
                     }
-                  (topic, p, err)
+                  (topic, p, err, base)
                 }
               }
               val o = new KafkaWire.Out
@@ -124,11 +160,53 @@ object LoopbackKafka {
               byTopic.foreach { case (topic, parts) =>
                 o.str(topic)
                 o.i32(parts.size)
-                parts.foreach { case (_, p, err) =>
-                  o.i32(p).i16(err).i64(0L).i64(-1L)
+                parts.foreach { case (_, p, err, base) =>
+                  o.i32(p).i16(err).i64(base).i64(-1L)
                 }
               }
               o.i32(0)                                  // throttle_time_ms
+              o.bytes
+            case KafkaWire.ApiListOffsets =>
+              require(apiVersion == 1, s"ListOffsets v$apiVersion unsupported")
+              r.i32                                     // replica_id
+              val reqs = (0 until r.i32).flatMap { _ =>
+                val topic = r.str
+                (0 until r.i32).map { _ => (topic, r.i32, r.i64) }
+              }
+              val o = new KafkaWire.Out
+              val byTopic = reqs.groupBy(_._1)
+              o.i32(byTopic.size)
+              byTopic.foreach { case (topic, parts) =>
+                o.str(topic)
+                o.i32(parts.size)
+                parts.foreach { case (_, p, ts) =>
+                  val off = if (ts == KafkaWire.TsEarliest) 0L else logEnd(topic, p)
+                  o.i32(p).i16(0).i64(-1L).i64(off)
+                }
+              }
+              o.bytes
+            case KafkaWire.ApiFetch =>
+              require(apiVersion == 4, s"Fetch v$apiVersion unsupported")
+              r.i32; r.i32; r.i32; r.i32; r.i8          // replica, wait, min, max, isolation
+              val reqs = (0 until r.i32).flatMap { _ =>
+                val topic = r.str
+                (0 until r.i32).map { _ => (topic, r.i32, r.i64, r.i32) }
+              }
+              val o = new KafkaWire.Out
+              o.i32(0)                                  // throttle_time_ms
+              val byTopic = reqs.groupBy(_._1)
+              o.i32(byTopic.size)
+              byTopic.foreach { case (topic, parts) =>
+                o.str(topic)
+                o.i32(parts.size)
+                parts.foreach { case (_, p, off, _) =>
+                  val slice = logSlice(topic, p, off)
+                  o.i32(p).i16(0).i64(logEnd(topic, p)).i64(logEnd(topic, p))
+                  o.i32(0)                              // aborted_transactions: empty
+                  o.i32(slice.length)
+                  o.raw(slice)
+                }
+              }
               o.bytes
             case other =>
               throw new IllegalStateException(s"unexpected api key $other")
@@ -225,6 +303,72 @@ class KafkaLoopbackSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("kafka error 6") ||
         Option(e.getCause).exists(_.getMessage.contains("kafka error 6")))
+    } finally broker.close()
+  }
+
+  test("consumer: batch read returns the whole log with broker-assigned offsets") {
+    val broker = new Broker(numPartitions = 2)
+    try {
+      val rows = spark.range(40).select(
+        concat(lit("key"), col("id")).as("key"),
+        concat(lit("val"), col("id")).as("value"),
+        lit("consume.batch").as("topic"))
+      assert(KafkaWireSink.produce(rows.repartition(3), broker.host, broker.port) == 40L)
+      val got = spark.read.format(classOf[graft.sources.KafkaWireSource].getName)
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "consume.batch").load()
+      val collected = got.select("partition", "offset", "key", "value")
+        .as[(Int, Long, String, String)].collect()
+      assert(collected.length == 40)
+      assert(collected.map(_._4).toSet == (0 until 40).map(i => s"val$i").toSet)
+      // offsets are dense per partition from 0 (the broker assigned them)
+      collected.groupBy(_._1).foreach { case (_, rs) =>
+        val offs = rs.map(_._2).sorted.toSeq
+        assert(offs == (0L until offs.size.toLong).toSeq, s"offsets not dense: $offs")
+      }
+      // key→partition placement agrees between producer and consumer rows
+      collected.foreach { case (p, _, k, _) =>
+        assert(p == KafkaWire.partitionFor(k.getBytes(UTF_8), 2))
+      }
+    } finally broker.close()
+  }
+
+  test("consumer: streaming read tracks offsets across produce rounds, no replay") {
+    val broker = new Broker(numPartitions = 2)
+    try {
+      def produceRound(tag: String, n: Int): Unit = {
+        val rows = spark.range(n).select(
+          concat(lit("key"), col("id")).as("key"),
+          concat(lit(tag), col("id")).as("value"),
+          lit("consume.stream").as("topic"))
+        KafkaWireSink.produce(rows, broker.host, broker.port); ()
+      }
+      produceRound("a", 15)
+      val seen = new ConcurrentLinkedQueue[(Int, Long, String)]()
+      val q = spark.readStream.format(classOf[graft.sources.KafkaWireSource].getName)
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "consume.stream").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("partition", "offset", "value")
+            .collect().foreach(r => seen.add((r.getInt(0), r.getLong(1), r.getString(2))))
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(seen.asScala.map(_._3).toSet == (0 until 15).map(i => s"a$i").toSet)
+        produceRound("b", 10)
+        q.processAllAvailable()
+        val all = seen.asScala.toSeq
+        assert(all.size == 25, s"expected 25 distinct deliveries, got ${all.size}")
+        assert(all.map(_._3).toSet ==
+          ((0 until 15).map(i => s"a$i") ++ (0 until 10).map(i => s"b$i")).toSet)
+        // no (partition, offset) delivered twice — the checkpointed
+        // per-partition cursor advanced instead of replaying
+        assert(all.map(t => (t._1, t._2)).distinct.size == all.size)
+      } finally q.stop()
     } finally broker.close()
   }
 
