@@ -71,6 +71,30 @@ object JobRunner {
       dropTargetFirst = t.dropTableIfExists)
   }
 
+  /** Sink selection from the job document — the reference dispatches
+    * its applier by job DestType (`driver/driver.go`; the kafka job
+    * type is `driver/kafka/kafka3.go`): `"kafka"` builds the
+    * wire-producer envelope sink from `KafkaConfig` (topic prefix +
+    * first broker; `MessageGroupMaxSize` becomes the produce batch
+    * bound), anything else takes the caller's JDBC/parquet upsert
+    * sink. Accepting the reference's job JSON verbatim and selecting
+    * the same sink family keeps "switch engines" a driver swap.
+    */
+  def sinkFor(cfg: graft.model.JobConfig, fallback: => UpsertSink): UpsertSink =
+    cfg.destType match {
+      case "kafka" =>
+        val k = cfg.kafka.getOrElse(throw new IllegalArgumentException(
+          "destType=kafka requires a KafkaConfig block"))
+        val b = k.brokers.headOption.getOrElse(
+          throw new IllegalArgumentException("KafkaConfig.brokers is empty"))
+        val i = b.lastIndexOf(':')
+        require(i > 0, s"broker must be host:port, got '$b'")
+        new graft.sinks.KafkaEnvelopeSink(b.substring(0, i), b.substring(i + 1).toInt,
+          k.topic,
+          maxBatchRecords = math.max(1, math.min(k.messageGroupMaxSize, 10000L)).toInt)
+      case _ => fallback
+    }
+
   /** C9 data-plane stage as a sink wrapper: each batch/segment passes
     * [[transcodeMixedBatch]] before the inner sink. Wrapping the SINK
     * (not the stream) is deliberate — the registry mutates at DDL

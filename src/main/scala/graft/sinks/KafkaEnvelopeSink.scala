@@ -26,13 +26,28 @@ class KafkaEnvelopeSink(host: String, port: Int, topicPrefix: String,
     extends UpsertSink {
 
   override def applyBatch(batch: DataFrame, epochId: Long): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, size, to_json, when}
+    import org.apache.spark.sql.types.{MapType, StructType}
+    // the CDC frame's images arrive in three dialects: JSON text
+    // (CdcFileSource), map<string,string> (ChangeEvent encoder — empty
+    // map means "absent half"), struct (batch operators). Normalize to
+    // JSON-text-or-null so encodeRaw splices one shape.
+    val normalized = Seq("before", "after").foldLeft(batch) { (df, c) =>
+      df.schema(c).dataType match {
+        case _: MapType =>
+          df.withColumn(c, when(coalesce(size(col(c)), lit(0)) > 0, to_json(col(c))))
+        case _: StructType =>
+          df.withColumn(c, when(col(c).isNotNull, to_json(col(c))))
+        case _ => df
+      }
+    }
     // repartition by row key + seq-sort within partitions: every key
     // lives in exactly one producing task and its messages hit the wire
     // in commit order — the same ordering move ParquetUpsertSink makes,
     // and what downstream log compaction / replay lean on (one key maps
     // to one kafka partition via the default partitioner, so per-key
     // wire order IS per-partition log order)
-    val data = batch
+    val data = normalized
       .filter(col("op").isin(Op.Insert, Op.Update, Op.Delete, Op.Read))
       .repartition(col("key"))
       .sortWithinPartitions(col("seq"))

@@ -64,6 +64,50 @@ class JobRunnerSpec extends SparkSpec {
       Tables.load(spark, sf, "orders").filter(col("o_totalprice") > 1000).count())
   }
 
+  test("destType=kafka: the job document alone selects the wire-producer sink, e2e") {
+    // the reference's kafka JOB TYPE: same job JSON, DestType flips the
+    // applier (driver.go dispatch → kafka3.go). Here the parsed config
+    // builds the envelope sink over the from-scratch wire and the
+    // stream lands on a validating loopback broker.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val broker = new graft.sinks.LoopbackKafka.Broker(numPartitions = 2)
+    try {
+      val cfg = JobConfig.fromJson(
+        s"""{"ReplicateDoDb": [{"TableSchema": "shop"}],
+           | "KafkaConfig": {"Topic": "graft",
+           |   "Brokers": ["${broker.host}:${broker.port}"],
+           |   "MessageGroupMaxSize": 500}}""".stripMargin)
+      assert(cfg.destType == "kafka")
+      val sink = JobRunner.sinkFor(cfg,
+        fallback = throw new IllegalStateException("kafka job must not take the fallback sink"))
+      val runner = new JobRunner(spark, cfg.repl)
+      val input = MemoryStream[ChangeEvent]
+      val dir = TempDirs.scratch("job-kafka")
+      val q = runner.incremental(input.toDF(), sink, s"$dir/cp")
+      try {
+        input.addData(
+          ChangeEvent("shop", "t", "c", "1", Map.empty,
+            Map("id" -> "1", "name" -> "ann"), 1000L, "g:1", 1L, 0L, "sid"),
+          ChangeEvent("other", "t", "c", "9", Map.empty,
+            Map("id" -> "9"), 1001L, "g:2", 2L, 0L, "sid"),
+          ChangeEvent("shop", "t", "d", "1",
+            Map("id" -> "1", "name" -> "ann"), Map.empty, 1002L, "g:3", 3L, 0L, "sid"))
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val got = broker.records.asScala.toSeq
+      // routing from the SAME job document applied before the sink
+      assert(got.map(_.topic).toSet == Set("graft.shop.t"), s"topics: ${got.map(_.topic)}")
+      assert(got.size == 2, s"records: $got")
+      val ins = got.find(_.value.exists(_.contains("\"op\":\"c\""))).get.value.get
+      assert(ins.contains("\"name\":\"ann\"") && ins.contains("\"before\":null"))
+      val del = got.find(_.value.exists(_.contains("\"op\":\"d\""))).get.value.get
+      // the map-dialect images normalized: absent half -> JSON null
+      assert(del.contains("\"after\":null") && del.contains("\"name\":\"ann\""))
+    } finally broker.close()
+  }
+
   test("K5+C9 wired: latin1 CREATE + renamed DML round-trip through the stream") {
     // the reference runs this path on every query event
     // (applier_incr.go:610-674, binlog_reader.go:543-548); done-criterion:
