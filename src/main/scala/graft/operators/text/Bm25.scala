@@ -262,11 +262,15 @@ object Bm25 {
           StandardCopyOption.ATOMIC_MOVE)
         placed = true
       } catch {
-        // a populated target dir surfaces as either exception depending
-        // on the filesystem — both just mean "version taken, try next"
-        case _: java.nio.file.FileAlreadyExistsException =>
-          next = "v%06d".format(next.stripPrefix("v").toInt + 1)
-        case _: java.nio.file.DirectoryNotEmptyException =>
+        // a populated target dir surfaces differently by filesystem AND
+        // by race timing: FileAlreadyExistsException,
+        // DirectoryNotEmptyException, or (rename(2) returning ENOTEMPTY
+        // under ATOMIC_MOVE) a plain FileSystemException — measured in
+        // the 6-writer concurrency spec. All mean "version taken, try
+        // next", but ONLY when the target actually exists; anything
+        // else (EXDEV, permissions) must stay loud.
+        case e: java.nio.file.FileSystemException
+            if Files.exists(Paths.get(dir, next)) =>
           next = "v%06d".format(next.stripPrefix("v").toInt + 1)
       }
     }

@@ -21,6 +21,35 @@ import graft.streaming.UpsertSink
   * and checkpoint replay re-sends it (the reference's contract; keyed
   * messages make the duplicates compact away downstream).
   */
+object KafkaEnvelopeSink {
+  /** The DDL half of the Kafka job — a [[graft.streaming.CdcPipeline]]
+    * barrier handler that publishes the Debezium schema-change envelope
+    * `{source, databaseName, ddl, ts_ms}` keyed by database onto the
+    * SERVER-LEVEL topic (= the prefix; reference full-copy DDL path
+    * `kafka3.go:684-865`, envelope `kafka2.go:111-230`). Debezium's
+    * topic split exactly: data rows on `prefix.db.table`, the DDL that
+    * reshapes them on `prefix`, replayable together by ts/pos. Runs on
+    * the driver at the barrier over one short-lived connection — DDL is
+    * control-plane rare and already serialized by K5.
+    */
+  def schemaChangeHandler(host: String, port: Int, topicPrefix: String,
+                          serverId: String = "graft")
+      : graft.streaming.DdlBarrierEvent => Unit = { e =>
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val src = root.putObject("source")
+    src.put("name", "graft"); src.put("db", e.db)
+    src.put("server_id", serverId); src.put("pos", e.seq)
+    root.put("databaseName", e.db)
+    root.put("ddl", e.sql)
+    root.put("ts_ms", System.currentTimeMillis())
+    val key = om.createObjectNode()
+    key.put("databaseName", e.db)
+    KafkaWireSink.produceLocal(host, port,
+      Seq((Some(om.writeValueAsString(key)), om.writeValueAsString(root), topicPrefix)))
+  }
+}
+
 class KafkaEnvelopeSink(host: String, port: Int, topicPrefix: String,
                         acks: Short = -1, maxBatchRecords: Int = 500)
     extends UpsertSink {

@@ -61,6 +61,28 @@ object KafkaWireSink {
     counter.value
   }
 
+  /** Driver-side produce of a handful of control-plane messages (DDL
+    * schema-change envelopes at a barrier) without scheduling a Spark
+    * job — DDL is rare and serialized by design (K5), so one
+    * short-lived connection from the driver is the right altitude.
+    * `rows` = (key, value, topic).
+    */
+  def produceLocal(host: String, port: Int,
+                   rows: Seq[(Option[String], String, String)],
+                   acks: Short = -1, timeoutMs: Int = 30000,
+                   clientId: String = "graft-ddl"): Unit =
+    if (rows.nonEmpty) {
+      val conn = new Conn(host, port, clientId, acks, timeoutMs)
+      try rows.foreach { case (key, value, topic) =>
+        val nParts = conn.partitionCount(topic)
+        val p = key.map(_.getBytes(UTF_8)).fold(conn.nextRoundRobin(nParts))(
+          KafkaWire.partitionFor(_, nParts))
+        conn.send(topic, p, Seq(KafkaWire.Record(
+          key.map(_.getBytes(UTF_8)), Some(value.getBytes(UTF_8)),
+          System.currentTimeMillis())))
+      } finally conn.close()
+    }
+
   /** One producer connection: handshake once, cache topic metadata,
     * frame/ack produce calls.
     */

@@ -218,6 +218,13 @@ object LoopbackKafka {
   }
 }
 
+/** Flat CDC wire row for the streaming Kafka tests (images as JSON
+  * text — the CdcFileSource dialect).
+  */
+case class KWire(db: String, table: String, op: String, key: String,
+                 before: String, after: String, tsMillis: Long, seq: Long,
+                 originServerId: String)
+
 class KafkaLoopbackSpec extends SparkSpec {
   import LoopbackKafka._
   import spark.implicits._
@@ -369,6 +376,47 @@ class KafkaLoopbackSpec extends SparkSpec {
         // per-partition cursor advanced instead of replaying
         assert(all.map(t => (t._1, t._2)).distinct.size == all.size)
       } finally q.stop()
+    } finally broker.close()
+  }
+
+  test("DDL barrier publishes the schema-change envelope to the server-level topic") {
+    // Debezium's topic split over the wire: data rows on
+    // prefix.db.table, the DDL that reshapes them on the prefix topic,
+    // strictly between the segments it separates (K5 barrier order)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val broker = new Broker(numPartitions = 2)
+    try {
+      val sink = new KafkaEnvelopeSink(broker.host, broker.port, "graft")
+      val input = MemoryStream[KWire]
+      val q = graft.streaming.CdcPipeline.run(input.toDF(),
+        graft.model.ReplicationSpec(), sink,
+        graft.TempDirs.scratch("kafka_ddl_") + "/cp", triggerMs = 100,
+        ddlHandler = Some(KafkaEnvelopeSink.schemaChangeHandler(
+          broker.host, broker.port, "graft")))
+      try {
+        input.addData(
+          KWire("shop", "t", "c", "1", null, """{"id":"1"}""", 1L, 1L, "sid"),
+          KWire("shop", "t", "ddl", "", null, "ALTER TABLE t ADD COLUMN x INT", 2L, 2L, "sid"),
+          KWire("shop", "t", "c", "2", null, """{"id":"2","x":"9"}""", 3L, 3L, "sid"))
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val got = broker.records.asScala.toSeq
+      val schemaMsgs = got.filter(_.topic == "graft")
+      assert(schemaMsgs.size == 1, s"schema topic: $schemaMsgs")
+      val sv = schemaMsgs.head.value.get
+      assert(sv.contains("ALTER TABLE t ADD COLUMN x INT") &&
+        sv.contains("\"databaseName\":\"shop\"") && sv.contains("\"pos\":2"))
+      assert(schemaMsgs.head.key.exists(_.contains("shop")))
+      val data = got.filter(_.topic == "graft.shop.t")
+      assert(data.size == 2)
+      // barrier order in broker arrival: pre-DDL row, DDL, post-DDL row
+      val order = got.map(s => s.topic -> s.value.getOrElse(""))
+      assert(order.indexWhere(_._2.contains("\"id\":\"1\"")) <
+        order.indexWhere(_._1 == "graft"), s"order: $order")
+      assert(order.indexWhere(_._1 == "graft") <
+        order.indexWhere(_._2.contains("\"id\":\"2\"")), s"order: $order")
     } finally broker.close()
   }
 
