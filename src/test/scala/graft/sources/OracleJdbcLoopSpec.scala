@@ -1,6 +1,7 @@
 package graft.sources
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -16,8 +17,43 @@ import graft.SparkSpec
   * stays external; everything the reference's poll loop does against
   * the JDBC surface runs for real here.
   */
+/** A REAL `java.sql.Driver` class (not a proxy): Spark's JDBC source
+  * re-instantiates the driver by class name through DriverRegistry, so
+  * it needs a public no-arg constructor; state lives in the companion's
+  * url → Db registry.
+  */
+class FakeOracleDriver extends java.sql.Driver {
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection =
+    if (acceptsURL(url)) FakeOracleDriver.dbs.get(url).map(_.connection).orNull else null
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith("jdbc:graft-fake-oracle:")
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getPropertyInfo(url: String, info: java.util.Properties): Array[java.sql.DriverPropertyInfo] =
+    Array.empty
+  override def getParentLogger: java.util.logging.Logger =
+    throw new java.sql.SQLFeatureNotSupportedException()
+}
+
+object FakeOracleDriver {
+  val dbs = new java.util.concurrent.ConcurrentHashMap[String, FakeOracle.Db]().asScala
+
+  locally { java.sql.DriverManager.registerDriver(new FakeOracleDriver) }
+
+  def register(db: FakeOracle.Db): String = {
+    val url = s"jdbc:graft-fake-oracle:${System.identityHashCode(db)}"
+    dbs.put(url, db)
+    url
+  }
+}
+
 object FakeOracle {
   import java.lang.reflect.{InvocationHandler, Method, Proxy}
+
+  /** Column metadata for result sets Spark's JDBC source introspects. */
+  case class ColMeta(name: String, sqlType: Int, precision: Int = 0,
+                     scale: Int = 0, nullable: Boolean = true)
 
   private def proxy[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
     Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
@@ -33,17 +69,48 @@ object FakeOracle {
         }
       }).asInstanceOf[T]
 
-  private def resultSet(rows: Seq[Map[String, Any]]): java.sql.ResultSet = {
+  private def resultSet(rows: Seq[Map[String, Any]],
+                        schema: Seq[ColMeta] = Nil): java.sql.ResultSet = {
     var i = -1
+    var lastNull = false
+    def metaData: java.sql.ResultSetMetaData =
+      proxy(classOf[java.sql.ResultSetMetaData]) { (name, args) =>
+        def col = schema(args(0).asInstanceOf[Integer] - 1)
+        name match {
+          case "getColumnCount" => Integer.valueOf(schema.size)
+          case "getColumnLabel" | "getColumnName" => col.name
+          case "getColumnType" => Integer.valueOf(col.sqlType)
+          case "getColumnTypeName" => "FAKE"
+          case "getPrecision" => Integer.valueOf(col.precision)
+          case "getScale" => Integer.valueOf(col.scale)
+          case "isSigned" => java.lang.Boolean.TRUE
+          case "isNullable" => Integer.valueOf(
+            if (col.nullable) java.sql.ResultSetMetaData.columnNullable
+            else java.sql.ResultSetMetaData.columnNoNulls)
+          case other => throw new UnsupportedOperationException(s"RSMD.$other")
+        }
+      }
     proxy(classOf[java.sql.ResultSet]) { (name, args) =>
-      def cell = rows(i).getOrElse(args(0).asInstanceOf[String].toLowerCase, null)
+      // labels arrive lowercase from the poller; Spark's JDBC source
+      // reads by 1-based INDEX, resolved through the declared schema
+      def cell: Any = {
+        val key = args(0) match {
+          case idx: Integer => schema(idx - 1).name.toLowerCase
+          case label => label.asInstanceOf[String].toLowerCase
+        }
+        val v = rows(i).getOrElse(key, null)
+        lastNull = v == null
+        v
+      }
       name match {
         case "next" => i += 1; java.lang.Boolean.valueOf(i < rows.size)
         case "close" => null
         case "getString" => Option(cell).map(_.toString).orNull
-        case "getLong" => java.lang.Long.valueOf(cell.toString.toLong)
-        case "getInt" => Integer.valueOf(cell.toString.toInt)
-        case "wasNull" => java.lang.Boolean.FALSE
+        case "getLong" => java.lang.Long.valueOf(Option(cell).fold(0L)(_.toString.toLong))
+        case "getInt" => Integer.valueOf(Option(cell).fold(0)(_.toString.toInt))
+        case "wasNull" => java.lang.Boolean.valueOf(lastNull)
+        case "getMetaData" => metaData
+        case "isClosed" => java.lang.Boolean.FALSE
         case other => throw new UnsupportedOperationException(s"ResultSet.$other")
       }
     }
@@ -61,10 +128,17 @@ object FakeOracle {
       "rs_id" -> s"rs$scn", "timestamp" -> "2026-01-01 00:00:00", "username" -> "APP")
 
   final class Db(redo: Seq[Map[String, Any]], scnProbes: Seq[Long],
-                 fpProbes: Seq[(Long, Long, Long)], logFiles: Seq[String]) {
+                 fpProbes: Seq[(Long, Long, Long)], logFiles: Seq[String],
+                 snapshotRows: Seq[Map[String, Any]] = Nil) {
+    /** S9 flashback-table schema (lowercase keys in snapshotRows). */
+    val snapshotSchema: Seq[ColMeta] = Seq(
+      ColMeta("O_ID", java.sql.Types.BIGINT, precision = 19),
+      ColMeta("O_STATUS", java.sql.Types.VARCHAR, precision = 12),
+      ColMeta("RN", java.sql.Types.BIGINT, precision = 19, nullable = false))
     val addedLogfiles = mutable.ArrayBuffer.empty[String]
     val startedWindows = mutable.ArrayBuffer.empty[(Long, Long)]
     val contentsQueries = mutable.ArrayBuffer.empty[String]
+    val asOfQueries = mutable.ArrayBuffer.empty[String]
     var dictionaryBuilds = 0
     var endCalls = 0
     private var scnIdx = 0
@@ -97,6 +171,18 @@ object FakeOracle {
         resultSet(Seq(Map("group#" -> g, "thread#" -> t, "sequence#" -> s)))
       } else if (sql.contains("v$archived_log")) {
         resultSet(logFiles.map(f => Map[String, Any]("name" -> f, "first_change#" -> 1L)))
+      } else if (sql.contains("AS OF SCN")) {
+        // S9 flashback chunk read — Spark's JDBC source sends a schema
+        // probe (WHERE 1=0) then the per-partition rownum-window scans
+        asOfQueries += sql
+        if (sql.contains("1=0")) resultSet(Nil, snapshotSchema)
+        else {
+          val hi = "ROWNUM <= (\\d+)".r.findFirstMatchIn(sql).get.group(1).toLong
+          val lo = "rn > (\\d+)".r.findFirstMatchIn(sql).get.group(1).toLong
+          resultSet(snapshotRows.filter { r =>
+            val rn = r("rn").asInstanceOf[Long]; rn > lo && rn <= hi
+          }, snapshotSchema)
+        }
       } else throw new UnsupportedOperationException(s"unexpected query: $sql")
     }
 
@@ -130,35 +216,57 @@ object FakeOracle {
         }
       }
 
+    private def preparedStatement(sql: String): java.sql.PreparedStatement =
+      proxy(classOf[java.sql.PreparedStatement]) { (name, args) =>
+        name match {
+          case "executeQuery" if args.isEmpty => query(sql)
+          case "execute" if args.isEmpty => executeStmt(sql); java.lang.Boolean.FALSE
+          case "setFetchSize" | "setQueryTimeout" | "close" | "cancel" |
+               "clearWarnings" => null
+          case "isClosed" => java.lang.Boolean.FALSE
+          case other => throw new UnsupportedOperationException(s"PreparedStatement.$other")
+        }
+      }
+
     def connection: java.sql.Connection =
-      proxy(classOf[java.sql.Connection]) { (name, _) =>
+      proxy(classOf[java.sql.Connection]) { (name, args) =>
         name match {
           case "createStatement" => statement()
-          case "close" => null
+          // Spark's JDBC scan prepares its statements (with or without
+          // resultset type/concurrency args — the SQL is always args(0))
+          case "prepareStatement" => preparedStatement(args(0).asInstanceOf[String])
+          case "close" | "commit" | "rollback" | "setAutoCommit" |
+               "clearWarnings" | "setTransactionIsolation" => null
+          case "getAutoCommit" => java.lang.Boolean.TRUE
           case "isClosed" => java.lang.Boolean.FALSE
+          case "isValid" => java.lang.Boolean.TRUE
+          case "getTransactionIsolation" =>
+            Integer.valueOf(java.sql.Connection.TRANSACTION_READ_COMMITTED)
+          case "getMetaData" =>
+            proxy(classOf[java.sql.DatabaseMetaData]) { (n, _) =>
+              n match {
+                case "getDatabaseProductName" => "FakeOracle"
+                case "getDatabaseProductVersion" | "getDriverVersion" => "1.0"
+                case "getJDBCMajorVersion" => Integer.valueOf(4)
+                case "getJDBCMinorVersion" => Integer.valueOf(2)
+                case "getDatabaseMajorVersion" | "getDriverMajorVersion" => Integer.valueOf(1)
+                case "getDatabaseMinorVersion" | "getDriverMinorVersion" => Integer.valueOf(0)
+                case "getSearchStringEscape" => "\\"
+                case "supportsTransactions" => java.lang.Boolean.TRUE
+                case "getIdentifierQuoteString" => "\""
+                case o => throw new UnsupportedOperationException(s"DatabaseMetaData.$o")
+              }
+            }
           case other => throw new UnsupportedOperationException(s"Connection.$other")
         }
       }
 
-    /** Register with DriverManager so the spec connects through the
-      * standard front door — the exact call a production deployment
-      * makes with the vendor driver on the classpath.
+    /** Register in the driver's url → db map; connects through the
+      * standard `DriverManager.getConnection` front door — the exact
+      * call a production deployment makes with the vendor driver on
+      * the classpath.
       */
-    def jdbcUrl: String = {
-      val url = s"jdbc:graft-fake-oracle:${System.identityHashCode(this)}"
-      val driver = proxy(classOf[java.sql.Driver]) { (name, args) =>
-        name match {
-          case "acceptsURL" => java.lang.Boolean.valueOf(args(0) == url)
-          case "connect" => if (args(0) == url) connection else null
-          case "getMajorVersion" => Integer.valueOf(1)
-          case "getMinorVersion" => Integer.valueOf(0)
-          case "jdbcCompliant" => java.lang.Boolean.FALSE
-          case other => throw new UnsupportedOperationException(s"Driver.$other")
-        }
-      }
-      java.sql.DriverManager.registerDriver(driver)
-      url
-    }
+    def jdbcUrl: String = FakeOracleDriver.register(this)
   }
 }
 
@@ -231,6 +339,40 @@ class OracleJdbcLoopSpec extends SparkSpec {
       "NAME" -> "a-deliberately-long-value-so-the-record-splits"))
     assert(events(1).after("sql").startsWith("CREATE TABLE `SHOP`.`LIVE`"))
     assert(events(2).after == Map("ID" -> "7"))
+  }
+
+  test("S9 snapshot: Spark's own JDBC source reads the AS-OF-SCN chunks") {
+    // the SURVEY primitive for S9 is "JDBC read with AS OF SCN in
+    // dbtable" — here spark.read.jdbc executes the oracled chunk plans
+    // for real against the fake endpoint: one dbtable subquery per
+    // chunk, schema probe + rownum-window scans, rows back as DataFrames
+    val total = 23L
+    val snapRows = (1L to total).map(i => Map[String, Any](
+      "o_id" -> i, "o_status" -> s"st${i % 3}", "rn" -> i))
+    val db = new Db(Nil, Seq(1L), Seq((1L, 1L, 1L)),
+      logFiles = Seq("/u01/redo01.log"), snapshotRows = snapRows)
+    val url = db.jdbcUrl
+    val chunks = RedoSqlParser.snapshotChunks("SHOP", "ORDERS", 12345L, total, chunk = 10)
+    assert(chunks.size == 3)
+    val props = new java.util.Properties()
+    val parts = chunks.map(c => spark.read.jdbc(url, c, props))
+    val all = parts.reduce(_ unionAll _)
+    assert(all.columns.toSeq == Seq("O_ID", "O_STATUS", "RN"))
+    val collected = all.select("O_ID", "O_STATUS").as[(Long, String)].collect().sortBy(_._1)
+    assert(collected.length == 23)
+    assert(collected.map(_._1).toSeq == (1L to 23L))
+    assert(collected.forall { case (id, st) => st == s"st${id % 3}" })
+    // every server-side scan was a flashback query at the pinned SCN
+    assert(db.asOfQueries.nonEmpty &&
+      db.asOfQueries.forall(_.contains("AS OF SCN 12345")))
+    // and the three data windows (non-probe) tile the table exactly
+    val windows = db.asOfQueries.filterNot(_.contains("1=0")).map { q =>
+      ("rn > (\\d+)".r.findFirstMatchIn(q).get.group(1).toLong,
+        "ROWNUM <= (\\d+)".r.findFirstMatchIn(q).get.group(1).toLong)
+    }.distinct.sorted
+    // the generator does not clamp the last hi — ROWNUM simply runs out
+    // of rows, the reference dumper's chunking shape
+    assert(windows == Seq((0L, 10L), (10L, 20L), (20L, 30L)), s"windows: $windows")
   }
 
   test("poller refuses a broken dialogue: mining before registration fails loudly") {
