@@ -129,7 +129,12 @@ object FakeOracle {
 
   final class Db(redo: Seq[Map[String, Any]], scnProbes: Seq[Long],
                  fpProbes: Seq[(Long, Long, Long)], logFiles: Seq[String],
-                 snapshotRows: Seq[Map[String, Any]] = Nil) {
+                 snapshotRows: Seq[Map[String, Any]] = Nil,
+                 keysetTable: String = "",
+                 keysetSchema: Seq[ColMeta] = Nil,
+                 keysetAnswers: Map[String, Seq[Map[String, Any]]] = Map.empty) {
+    /** WHERE texts the keyset scans actually sent (S3 assertion). */
+    val keysetWheres = mutable.ArrayBuffer.empty[String]
     /** S9 flashback-table schema (lowercase keys in snapshotRows). */
     val snapshotSchema: Seq[ColMeta] = Seq(
       ColMeta("O_ID", java.sql.Types.BIGINT, precision = 19),
@@ -154,6 +159,22 @@ object FakeOracle {
       val v = fpProbes(math.min(fpIdx, fpProbes.size - 1)); fpIdx += 1; v
     }
 
+    /** Spark prunes projections into the JDBC SELECT list — the served
+      * result set's schema must be the SELECTED columns in order, not
+      * the whole table.
+      */
+    private def selectedSchema(sql: String, full: Seq[ColMeta]): Seq[ColMeta] = {
+      val list = "(?is)SELECT\\s+(.*?)\\s+FROM".r.findFirstMatchIn(sql).map(_.group(1))
+      list match {
+        case Some(cols) if !cols.contains("*") =>
+          cols.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).map { n =>
+            full.find(_.name.equalsIgnoreCase(n)).getOrElse(
+              throw new IllegalStateException(s"scan selects unknown column '$n': $sql"))
+          }
+        case _ => full
+      }
+    }
+
     private def query(sql: String): java.sql.ResultSet = synchronized {
       if (sql.contains("V$LOGMNR_CONTENTS")) {
         val w = "SCN > (\\d+) AND SCN <= (\\d+)".r.findFirstMatchIn(sql)
@@ -171,17 +192,35 @@ object FakeOracle {
         resultSet(Seq(Map("group#" -> g, "thread#" -> t, "sequence#" -> s)))
       } else if (sql.contains("v$archived_log")) {
         resultSet(logFiles.map(f => Map[String, Any]("name" -> f, "first_change#" -> 1L)))
+      } else if (keysetTable.nonEmpty && sql.contains(keysetTable)) {
+        // S3 keyset read — Spark sends one SELECT per predicate, the
+        // predicate verbatim as the partition's WHERE clause
+        if (sql.contains("1=0")) resultSet(Nil, selectedSchema(sql, keysetSchema))
+        else {
+          // Spark sends the partition predicate VERBATIM after WHERE
+          val where = sql.split("WHERE", 2) match {
+            case Array(_, w) => w.trim
+            case _ => throw new IllegalStateException(s"keyset scan without WHERE: $sql")
+          }
+          def norm(s: String) = s.replaceAll("\\s+", " ").trim
+          val rows = keysetAnswers.collectFirst {
+            case (p, r) if norm(p) == norm(where) => r
+          }.getOrElse(throw new IllegalStateException(
+            s"keyset scan with an UNPLANNED predicate: '$where'"))
+          keysetWheres += where
+          resultSet(rows, selectedSchema(sql, keysetSchema))
+        }
       } else if (sql.contains("AS OF SCN")) {
         // S9 flashback chunk read — Spark's JDBC source sends a schema
         // probe (WHERE 1=0) then the per-partition rownum-window scans
         asOfQueries += sql
-        if (sql.contains("1=0")) resultSet(Nil, snapshotSchema)
+        if (sql.contains("1=0")) resultSet(Nil, selectedSchema(sql, snapshotSchema))
         else {
           val hi = "ROWNUM <= (\\d+)".r.findFirstMatchIn(sql).get.group(1).toLong
           val lo = "rn > (\\d+)".r.findFirstMatchIn(sql).get.group(1).toLong
           resultSet(snapshotRows.filter { r =>
             val rn = r("rn").asInstanceOf[Long]; rn > lo && rn <= hi
-          }, snapshotSchema)
+          }, selectedSchema(sql, snapshotSchema))
         }
       } else throw new UnsupportedOperationException(s"unexpected query: $sql")
     }
@@ -373,6 +412,44 @@ class OracleJdbcLoopSpec extends SparkSpec {
     // the generator does not clamp the last hi — ROWNUM simply runs out
     // of rows, the reference dumper's chunking shape
     assert(windows == Seq((0L, 10L), (10L, 20L), (20L, 30L)), s"windows: $windows")
+  }
+
+  test("S3 keyset chunks: spark.read.jdbc(predicates) scans each range as one partition") {
+    // the SURVEY primitive for S3 is "spark.read.jdbc(url, table,
+    // predicates)" — run it for real: the generated lexicographic
+    // keyset predicates become partition WHERE clauses verbatim, the
+    // union is the table exactly once. The fake REFUSES any predicate
+    // that was not planned, so a rewritten/mangled clause fails loudly.
+    val rows = (1L to 40L).map(i => Map[String, Any](
+      "o_id" -> (i / 4), "sub_id" -> (i % 4), "payload" -> s"p$i", "rn" -> i))
+    val schema = Seq(
+      ColMeta("O_ID", java.sql.Types.BIGINT, precision = 19),
+      ColMeta("SUB_ID", java.sql.Types.BIGINT, precision = 19),
+      ColMeta("PAYLOAD", java.sql.Types.VARCHAR, precision = 12),
+      ColMeta("RN", java.sql.Types.BIGINT, precision = 19))
+    // plan predicates on a composite key from a local frame of the same
+    // rows (the planner's sampling path), then precompute each range's
+    // answer with Spark's own filter semantics — the contract the
+    // oracled s3_keyset_chunks already proves mathematically
+    val local = rows.map(r => (r("o_id").asInstanceOf[Long],
+      r("sub_id").asInstanceOf[Long], r("payload").toString, r("rn").asInstanceOf[Long]))
+      .toDF("o_id", "sub_id", "payload", "rn")
+    val preds = ChunkPlanner.chunkPredicates(local, Seq("o_id", "sub_id"), numChunks = 4)
+    assert(preds.size >= 3, s"predicates: $preds")
+    val answers = preds.map { p =>
+      p -> local.filter(expr(p)).collect().map(r => Map[String, Any](
+        "o_id" -> r.getLong(0), "sub_id" -> r.getLong(1),
+        "payload" -> r.getString(2), "rn" -> r.getLong(3))).toSeq
+    }.toMap
+    val db = new Db(Nil, Seq(1L), Seq((1L, 1L, 1L)), logFiles = Seq("/u01/redo01.log"),
+      keysetTable = "SHOP.ORDERS", keysetSchema = schema, keysetAnswers = answers)
+    val got = spark.read.jdbc(db.jdbcUrl, "SHOP.ORDERS", preds.toArray,
+        new java.util.Properties())
+      .select("PAYLOAD").as[String].collect().sorted
+    assert(got.toSeq == (1L to 40L).map(i => s"p$i").sorted, s"got ${got.length} rows")
+    // one scan per predicate, each sent verbatim
+    assert(db.keysetWheres.map(_.replaceAll("\\s+", " ")).sorted ==
+      preds.map(_.replaceAll("\\s+", " ")).sorted)
   }
 
   test("poller refuses a broken dialogue: mining before registration fails loudly") {
