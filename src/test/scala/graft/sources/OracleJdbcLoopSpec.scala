@@ -452,6 +452,78 @@ class OracleJdbcLoopSpec extends SparkSpec {
       preds.map(_.replaceAll("\\s+", " ")).sorted)
   }
 
+  test("pump: endpoint → staged JSONL windows → streaming tx cache → committed txs") {
+    // the full S7 streaming deployment: the single-connection poll loop
+    // drains on the driver (a DBMS_LOGMNR session is per-connection —
+    // the reference's one-reader-goroutine constraint), stages each
+    // window as an atomically-renamed segment, and everything after is
+    // distributed Structured Streaming
+    import LogMinerTxCache.{OracleTx, RedoRecord}
+    val longInsert =
+      """insert into "SHOP"."ITEMS"("ID","NAME") values (1,'a-deliberately-long-value-so-the-record-splits')"""
+    val (p1, rest) = longInsert.splitAt(35)
+    val (p2, p3) = rest.splitAt(30)
+    val redo = Seq(
+      redoRow(101L, OpInsert, "x1", p1, csf = 1, rowId = "R1", tableName = "ITEMS"),
+      redoRow(102L, OpInsert, "x1", p2, csf = 1, rowId = "R1", tableName = "ITEMS"),
+      redoRow(103L, OpInsert, "x1", p3, csf = 0, rowId = "R1", tableName = "ITEMS"),
+      redoRow(105L, OpInsert, "x2",
+        """insert into "SHOP"."ITEMS"("ID","NAME") values (9,'gone')""",
+        rowId = "R9", tableName = "ITEMS"),
+      redoRow(110L, OpCommit, "x1", ""),
+      redoRow(112L, OpRollback, "x2", ""),
+      redoRow(120L, OpDdl, "x3", "CREATE TABLE SHOP.LIVE(ID NUMBER(8))", tableName = "LIVE"),
+      redoRow(121L, OpCommit, "x3", ""),
+      redoRow(130L, OpInsert, "x4",
+        """insert into "SHOP"."LIVE"("ID") values (7)""", rowId = "R7", tableName = "LIVE"),
+      redoRow(131L, OpCommit, "x4", ""))
+    val db = new Db(redo,
+      scnProbes = Seq(115L, 135L, 135L, 135L),
+      fpProbes = Seq((1L, 1L, 5L)),
+      logFiles = Seq("/u01/redo01.log"))
+    val conn = java.sql.DriverManager.getConnection(db.jdbcUrl)
+    val outDir = graft.TempDirs.scratch("lm_pump_")
+    val (state, files) = LogMinerPump.drainTo(conn, 100L,
+      LogMinerSession.schemaFilter(Seq("SHOP" -> Nil), Nil), outDir)
+    assert(state.startScn == 135L && files.size == 2, s"$state / $files")
+
+    // cross-check: the pump's iterator-form csf join + op map must equal
+    // the DataFrame form (toRedoFrame) on the same raw rows
+    val staged = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[RedoRecord]].schema)
+      .json(outDir)
+      .select("scn", "xid", "op", "rowId", "redoSql", "rollback")
+      .as[(Long, String, String, String, String, Int)].collect().toSet
+    val dfForm = LogMinerPoller.toRedoFrame(spark,
+        db.startedWindows.toSeq.flatMap { case (lo, hi) =>
+          // re-serve the already-polled rows through the fake's own data
+          redo.filter(r => r("scn").asInstanceOf[Long] > lo && r("scn").asInstanceOf[Long] <= hi)
+        }.map(m => LogMinerPoller.ContentsRow(
+          m("scn").asInstanceOf[Long], m("seg_owner").toString, m("table_name").toString,
+          Option(m("sql_redo")).map(_.toString).orNull, null,
+          m("operation_code").asInstanceOf[Int], m("xid").toString,
+          m("csf").asInstanceOf[Int], m("row_id").toString,
+          m("rollback").asInstanceOf[Int], m("rs_id").toString,
+          m("timestamp").toString, m("username").toString)))
+      .as[(Long, String, String, String, String, Int)].collect().toSet
+    assert(staged == dfForm, s"iterator form diverged:\n$staged\nvs\n$dfForm")
+
+    // streaming consumption: tail the staged dir, shard tx state by xid
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[RedoRecord]].schema)
+      .json(outDir).as[RedoRecord]
+    val q = LogMinerTxCache.assemble(stream)
+      .writeStream.format("memory").queryName("lm_pump_tx")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val txs = spark.table("lm_pump_tx").as[OracleTx].collect()
+      .map(t => t.xid -> t).toMap
+    assert(txs.keySet == Set("x1", "x3", "x4"), s"txs: ${txs.keySet}") // x2 rolled back
+    assert(txs("x1").records.map(_.redoSql) == Seq(longInsert)) // csf rejoined
+    assert(txs("x3").records.head.op == "ddl")
+    assert(txs("x4").startScn == 130L && txs("x4").endScn == 131L)
+  }
+
   test("poller refuses a broken dialogue: mining before registration fails loudly") {
     val db = new Db(Nil, Seq(10L), Seq((1L, 1L, 1L)), logFiles = Seq("/u01/redo01.log"))
     val conn = db.connection
