@@ -179,6 +179,10 @@ object LogMinerPoller {
         .when(col("operationCode") === OpDdl, "ddl")
         .when(col("operationCode") === OpCommit, "commit")
         .when(col("operationCode") === OpRollback, "rollback")
+        // unreachable through contentsQuery's IN-list; loud, not null —
+        // a silently-nulled op would leak rows past the tx cache
+        .otherwise(raise_error(concat(
+          lit("unknown LogMiner operation_code "), col("operationCode"))))
         .as("op"),
       col("rowId").as("row_id"),
       col("redo_sql"),

@@ -53,7 +53,12 @@ object LogMinerPump {
       case OpDdl => Some("ddl")
       case OpCommit => Some(LogMinerTxCache.CommitOp)
       case OpRollback => Some(LogMinerTxCache.RollbackOp)
-      case _ => None
+      case OpStart | OpMissScn => None
+      // contentsQuery's IN-list makes this unreachable from the poller;
+      // a code that arrives anyway (hand-fed rows, a future query edit)
+      // must fail loudly — silently dropping redo is CDC data loss
+      case other => throw new IllegalArgumentException(
+        s"unknown LogMiner operation_code $other at scn ${r.scn}")
     }
     op.map(o => RedoRecord(r.scn, r.xid, o, r.rowId,
       Option(r.sqlRedo).getOrElse(""), r.rollback))

@@ -524,6 +524,21 @@ class OracleJdbcLoopSpec extends SparkSpec {
     assert(txs("x4").startScn == 130L && txs("x4").endScn == 131L)
   }
 
+  test("unknown operation codes fail loudly — dropped redo is CDC data loss") {
+    // unreachable through contentsQuery's IN-list; pinned for the
+    // hand-fed and future-query-edit paths
+    val bad = LogMinerPoller.ContentsRow(7L, "SHOP", "T", "whatever", null,
+      operationCode = 9, xid = "x", csf = 0, rowId = "R", rollback = 0,
+      rsId = "rs", timestamp = "t", username = "u")
+    val e = intercept[IllegalArgumentException](LogMinerPump.toRedoRecord(bad))
+    assert(e.getMessage.contains("operation_code 9"))
+    val e2 = intercept[Exception] {
+      LogMinerPoller.toRedoFrame(spark, Seq(bad)).collect()
+    }
+    assert(e2.getMessage.contains("unknown LogMiner operation_code") ||
+      Option(e2.getCause).exists(_.getMessage.contains("unknown LogMiner operation_code")))
+  }
+
   test("poller refuses a broken dialogue: mining before registration fails loudly") {
     val db = new Db(Nil, Seq(10L), Seq((1L, 1L, 1L)), logFiles = Seq("/u01/redo01.log"))
     val conn = db.connection
