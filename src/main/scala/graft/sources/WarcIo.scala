@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** WARC (Web ARChive, ISO 28500 / WARC 1.1) reader + writer, from
+  * scratch on the JDK — the ingestion container for web-crawl training
+  * corpora (Common Crawl ships `.warc.gz` / WET this way).
+  *
+  * Format essentials implemented here:
+  *   - a record = `WARC/1.0` version line, CRLF-terminated named header
+  *     fields (with RFC-822-style continuation folding), a blank line,
+  *     exactly `Content-Length` payload octets, then a CRLF CRLF trailer;
+  *   - a `.warc.gz` file = concatenated gzip MEMBERS, one record per
+  *     member, so readers can stream records without decompressing the
+  *     whole file (`GZIPInputStream` consumes concatenated members
+  *     natively);
+  *   - `response` records carry a full HTTP/1.1 message as payload;
+  *     WET "conversion" records carry extracted plain text.
+  *
+  * Scale shape: crawl archives are many moderate files (Common Crawl:
+  * ~70k files x ~1 GiB per crawl), so parallelism is FILE-granular —
+  * `readWarc` maps one Spark task per archive via the `binaryFile`
+  * source and streams records inside the task with bounded memory
+  * (payloads are size-guarded, one record materialized at a time).
+  * Gzip members are not block-splittable; that is the format's own
+  * contract, and at 100 TB the file count (not intra-file splits)
+  * supplies the parallelism.
+  *
+  * All parsing fails loudly (malformed version line, missing
+  * Content-Length, truncated payload, bad trailer) — a crawl pipeline
+  * that silently drops records corrupts corpus statistics downstream.
+  */
+object WarcIo {
+
+  /** One WARC record. `extra` holds any header fields beyond the named
+    * ones, with their original names (matching is case-insensitive).
+    */
+  final case class WarcRecord(
+      recordType: String,
+      targetUri: String,
+      date: String,
+      recordId: String,
+      contentType: String,
+      extra: Map[String, String],
+      payload: Array[Byte])
+
+  /** Deterministic RFC-4122 name-based record id — executor-safe (no
+    * randomness; retries of a task regenerate identical ids).
+    */
+  def recordIdFor(seed: String): String =
+    "<urn:uuid:" + UUID.nameUUIDFromBytes(("graft-warc:" + seed).getBytes(UTF_8)) + ">"
+
+  private val Crlf = "\r\n"
+
+  // ---------------------------------------------------------------- write
+
+  /** Serialize one record as an uncompressed WARC/1.0 record. */
+  def writeRecord(r: WarcRecord): Array[Byte] = {
+    require(r.recordType.nonEmpty, "WARC-Type is mandatory")
+    require(r.recordId.nonEmpty, "WARC-Record-ID is mandatory")
+    require(r.date.nonEmpty, "WARC-Date is mandatory")
+    val sb = new StringBuilder
+    sb.append("WARC/1.0").append(Crlf)
+    sb.append("WARC-Type: ").append(r.recordType).append(Crlf)
+    sb.append("WARC-Record-ID: ").append(r.recordId).append(Crlf)
+    sb.append("WARC-Date: ").append(r.date).append(Crlf)
+    if (r.targetUri.nonEmpty) sb.append("WARC-Target-URI: ").append(r.targetUri).append(Crlf)
+    if (r.contentType.nonEmpty) sb.append("Content-Type: ").append(r.contentType).append(Crlf)
+    r.extra.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      require(!k.equalsIgnoreCase("content-length"), "Content-Length is derived, not caller-set")
+      sb.append(k).append(": ").append(v).append(Crlf)
+    }
+    sb.append("Content-Length: ").append(r.payload.length).append(Crlf)
+    sb.append(Crlf)
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + r.payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(r.payload, 0, out, head.length, r.payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** One gzip member wrapping `raw` (the `.warc.gz` unit: member-per-record). */
+  def gzipMember(raw: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(raw); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Serialize records as a `.warc.gz` stream: concatenated gzip members,
+    * one record per member — the layout crawl tooling expects.
+    */
+  def writeGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    records.foreach(r => bos.write(gzipMember(writeRecord(r))))
+    bos.toByteArray
+  }
+
+  /** Serialize records uncompressed, back to back. */
+  def writePlain(records: Seq[WarcRecord]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    records.foreach(r => bos.write(writeRecord(r)))
+    bos.toByteArray
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Parse a whole archive held in memory; sniffs gzip magic and handles
+    * concatenated members. For file-sized inputs prefer `readStream`.
+    */
+  def readAll(bytes: Array[Byte], maxPayloadBytes: Int = 64 << 20): Vector[WarcRecord] = {
+    val base = new ByteArrayInputStream(bytes)
+    val in =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        new GZIPInputStream(base)
+      else base
+    readStream(in, maxPayloadBytes).toVector
+  }
+
+  /** Stream records off `in` (already decompressed if the source was
+    * gzip). One record is materialized at a time; payloads above
+    * `maxPayloadBytes` fail loudly instead of ballooning executor heap.
+    */
+  def readStream(in: InputStream, maxPayloadBytes: Int = 64 << 20): Iterator[WarcRecord] = {
+    val buf = new BufferedInputStream(in, 64 << 10)
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+      private def advance(): Unit = if (nextRec == null && !done) {
+        val first = firstNonEmptyLine(buf)
+        first match {
+          case None => done = true
+          case Some(version) =>
+            if (!(version == "WARC/1.0" || version == "WARC/1.1"))
+              fail(s"expected WARC version line, got '${version.take(40)}'")
+            nextRec = readOne(buf, maxPayloadBytes)
+        }
+      }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): WarcRecord = {
+        advance()
+        if (done) throw new NoSuchElementException("past end of WARC stream")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** Skip blank lines between records (tolerated), return the first
+    * non-empty line or None at EOF.
+    */
+  private def firstNonEmptyLine(in: InputStream): Option[String] = {
+    while (true) {
+      readLineOpt(in) match {
+        case None => return None
+        case Some(l) if l.nonEmpty => return Some(l)
+        case _ => () // inter-record padding
+      }
+    }
+    None
+  }
+
+  private def readOne(in: InputStream, maxPayloadBytes: Int): WarcRecord = {
+    // header fields with continuation folding
+    val fields = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var line = readLineOpt(in).getOrElse(fail("EOF inside WARC header"))
+    while (line.nonEmpty) {
+      if (line.head == ' ' || line.head == '\t') {
+        if (fields.isEmpty) fail("continuation line before any header field")
+        val (k, v) = fields.last
+        fields(fields.length - 1) = (k, v + " " + line.trim)
+      } else {
+        val i = line.indexOf(':')
+        if (i <= 0) fail(s"malformed WARC header line '${line.take(60)}'")
+        fields += ((line.substring(0, i).trim, line.substring(i + 1).trim))
+      }
+      line = readLineOpt(in).getOrElse(fail("EOF inside WARC header"))
+    }
+    def get(name: String): Option[String] =
+      fields.find(_._1.equalsIgnoreCase(name)).map(_._2)
+    val len = get("Content-Length").getOrElse(fail("record without Content-Length")).toLong
+    if (len > maxPayloadBytes)
+      fail(s"payload of $len bytes exceeds the $maxPayloadBytes-byte guard")
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < payload.length) {
+      val n = in.read(payload, off, payload.length - off)
+      if (n < 0) fail(s"truncated payload: got $off of $len bytes")
+      off += n
+    }
+    // trailer: CRLF CRLF
+    expectCrlf(in); expectCrlf(in)
+    val named = Set("warc-type", "warc-record-id", "warc-date", "warc-target-uri",
+      "content-type", "content-length")
+    WarcRecord(
+      recordType = get("WARC-Type").getOrElse(fail("record without WARC-Type")),
+      targetUri = get("WARC-Target-URI").getOrElse(""),
+      date = get("WARC-Date").getOrElse(fail("record without WARC-Date")),
+      recordId = get("WARC-Record-ID").getOrElse(fail("record without WARC-Record-ID")),
+      contentType = get("Content-Type").getOrElse(""),
+      extra = fields.filterNot(f => named(f._1.toLowerCase)).toMap,
+      payload = payload)
+  }
+
+  /** Read one CRLF-terminated line as UTF-8; None at clean EOF before any
+    * byte. A bare LF is accepted (seen in hand-rolled archives), a CR not
+    * followed by LF is an error.
+    */
+  private def readLineOpt(in: InputStream): Option[String] = {
+    val bos = new ByteArrayOutputStream(80)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') {
+      if (b == '\r') {
+        val nl = in.read()
+        if (nl != '\n') fail("CR not followed by LF in WARC header")
+        return Some(new String(bos.toByteArray, UTF_8))
+      }
+      bos.write(b)
+      b = in.read()
+    }
+    Some(new String(bos.toByteArray, UTF_8))
+  }
+
+  private def expectCrlf(in: InputStream): Unit = {
+    val a = in.read(); val b = in.read()
+    if (a != '\r' || b != '\n')
+      fail(s"missing CRLF record trailer (got bytes $a,$b)")
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("WARC: " + msg)
+
+  // ----------------------------------------------------------------- HTTP
+
+  /** Parsed HTTP/1.1 response message (the payload of a WARC `response`
+    * record). Header order preserved; lookup is case-insensitive.
+    */
+  final case class HttpResponse(status: Int, reason: String,
+      headers: Seq[(String, String)], body: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.find(_._1.equalsIgnoreCase(name)).map(_._2)
+  }
+
+  def buildHttpResponse(status: Int, reason: String,
+      headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("HTTP/1.1 ").append(status).append(' ').append(reason).append(Crlf)
+    headers.foreach { case (k, v) =>
+      require(!k.equalsIgnoreCase("content-length"), "Content-Length is derived")
+      sb.append(k).append(": ").append(v).append(Crlf)
+    }
+    sb.append("Content-Length: ").append(body.length).append(Crlf).append(Crlf)
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out
+  }
+
+  def parseHttpResponse(payload: Array[Byte]): HttpResponse = {
+    // locate the CRLFCRLF head/body split without decoding the body
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) fail("HTTP payload without header/body separator")
+    val head = new String(payload, 0, split, UTF_8)
+    val lines = head.split("\r\n", -1)
+    val status = lines.head.split(" ", 3) match {
+      case Array(proto, code, reason) if proto.startsWith("HTTP/") =>
+        (code.toInt, reason)
+      case Array(proto, code) if proto.startsWith("HTTP/") => (code.toInt, "")
+      case _ => fail(s"malformed HTTP status line '${lines.head.take(60)}'")
+    }
+    val headers = lines.tail.toSeq.map { l =>
+      val j = l.indexOf(':')
+      if (j <= 0) fail(s"malformed HTTP header '${l.take(60)}'")
+      (l.substring(0, j).trim, l.substring(j + 1).trim)
+    }
+    val body = java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+    headers.find(_._1.equalsIgnoreCase("content-length")).map(_._2.toLong).foreach { n =>
+      if (n != body.length) fail(s"HTTP Content-Length $n but body has ${body.length} bytes")
+    }
+    HttpResponse(status._1, status._2, headers, body)
+  }
+
+  /** WET-style conversion record: extracted plain text standing in for
+    * the crawl response it was derived from.
+    */
+  def toWet(source: WarcRecord, text: String): WarcRecord =
+    WarcRecord(
+      recordType = "conversion",
+      targetUri = source.targetUri,
+      date = source.date,
+      recordId = recordIdFor("wet:" + source.recordId),
+      contentType = "text/plain",
+      extra = Map("WARC-Refers-To" -> source.recordId),
+      payload = text.getBytes(UTF_8))
+
+  // ---------------------------------------------------------------- Spark
+
+  /** Read `.warc` / `.warc.gz` archives under `path` into a DataFrame —
+    * one row per record. One task per archive file (binaryFile source);
+    * see the class doc for why that is the right parallel grain.
+    */
+  def readWarc(spark: SparkSession, path: String,
+      maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    bin.as[(String, Array[Byte])].flatMap { case (file, bytes) =>
+      readAll(bytes, maxPayloadBytes).iterator.zipWithIndex.map { case (r, ix) =>
+        (file, ix, r.recordType, r.targetUri, r.date, r.recordId, r.contentType,
+          r.payload.length.toLong, r.payload)
+      }
+    }.toDF("file", "rec_ix", "rec_type", "target_uri", "warc_date", "record_id",
+      "content_type", "content_length", "payload")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.sources.WarcIo
+import graft.sources.WarcIo.WarcRecord
+
+/** WARC container: round-trips (plain + gzip members), header folding,
+  * loud failures on every malformed shape, HTTP payload parse, WET
+  * conversion, and the Spark file reader.
+  */
+class WarcIoSpec extends SparkSpec {
+
+  private def rec(i: Int, body: String, rtype: String = "response"): WarcRecord =
+    WarcRecord(
+      recordType = rtype,
+      targetUri = s"http://example.org/doc/$i",
+      date = "2026-01-01T00:00:00Z",
+      recordId = WarcIo.recordIdFor(s"spec:$i"),
+      contentType = "text/plain",
+      extra = Map("WARC-Block-Digest" -> s"sha1:fake$i"),
+      payload = body.getBytes(UTF_8))
+
+  test("plain round-trip preserves every field and the payload bytes") {
+    val in = Seq(rec(1, "hello warc"), rec(2, "second récord ✓"), rec(3, ""))
+    val out = WarcIo.readAll(WarcIo.writePlain(in))
+    assert(out.length == 3)
+    in.zip(out).foreach { case (a, b) =>
+      assert(a.recordType == b.recordType && a.targetUri == b.targetUri &&
+        a.date == b.date && a.recordId == b.recordId &&
+        a.contentType == b.contentType && a.extra == b.extra)
+      assert(a.payload.sameElements(b.payload))
+    }
+  }
+
+  test("gzip member-per-record round-trip (concatenated members)") {
+    val in = (0 until 20).map(i => rec(i, s"body $i " + ("x" * i)))
+    val gz = WarcIo.writeGz(in)
+    // really multiple members: count gzip magics at member boundaries
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val out = WarcIo.readAll(gz)
+    assert(out.length == 20)
+    assert(out.zipWithIndex.forall { case (r, i) => r.targetUri.endsWith(s"/doc/$i") })
+  }
+
+  test("header continuation folding and bare-LF lines are accepted") {
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "X-Long: first\r\n  folded tail\r\n" +
+      "Content-Length: 2\n" + // bare LF tolerated
+      "\r\nhi\r\n\r\n").getBytes(UTF_8)
+    val r = WarcIo.readAll(raw).head
+    assert(r.extra("X-Long") == "first folded tail")
+    assert(new String(r.payload, UTF_8) == "hi")
+  }
+
+  test("malformed archives fail loudly") {
+    val good = WarcIo.writeRecord(rec(1, "payload"))
+    // truncated payload
+    intercept[IllegalArgumentException](WarcIo.readAll(good.dropRight(6)))
+    // corrupt trailer
+    val badTrailer = good.clone(); badTrailer(badTrailer.length - 1) = 'X'
+    intercept[IllegalArgumentException](WarcIo.readAll(badTrailer))
+    // wrong version line
+    intercept[IllegalArgumentException](
+      WarcIo.readAll("WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(UTF_8)))
+    // missing Content-Length
+    intercept[IllegalArgumentException](WarcIo.readAll(
+      ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
+        "WARC-Date: d\r\n\r\n\r\n\r\n").getBytes(UTF_8)))
+    // payload over the guard
+    intercept[IllegalArgumentException](WarcIo.readAll(good, maxPayloadBytes = 3))
+  }
+
+  test("HTTP response build/parse round-trip, content-length verified") {
+    val body = "<html><body>ok</body></html>".getBytes(UTF_8)
+    val payload = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html; charset=utf-8", "Server" -> "graft"), body)
+    val h = WarcIo.parseHttpResponse(payload)
+    assert(h.status == 200 && h.reason == "OK")
+    assert(h.header("content-type").contains("text/html; charset=utf-8"))
+    assert(h.body.sameElements(body))
+    // tampered content-length fails
+    val tampered = new String(payload, UTF_8).replace("Content-Length: 28", "Content-Length: 5")
+    intercept[IllegalArgumentException](WarcIo.parseHttpResponse(tampered.getBytes(UTF_8)))
+  }
+
+  test("WET conversion record points back at its source") {
+    val src = rec(7, "ignored")
+    val wet = WarcIo.toWet(src, "extracted text")
+    assert(wet.recordType == "conversion" && wet.contentType == "text/plain")
+    assert(wet.extra("WARC-Refers-To") == src.recordId)
+    assert(wet.targetUri == src.targetUri)
+    assert(new String(wet.payload, UTF_8) == "extracted text")
+    // and it round-trips like any record
+    val back = WarcIo.readAll(WarcIo.writeGz(Seq(wet))).head
+    assert(back.extra("WARC-Refers-To") == src.recordId)
+  }
+
+  test("readWarc: one row per record across multiple archive files") {
+    val dir = Files.createTempDirectory("warcio")
+    val a = (0 until 5).map(i => rec(i, s"file-a $i"))
+    val b = (5 until 12).map(i => rec(i, s"file-b $i"))
+    Files.write(Paths.get(dir.toString, "a.warc.gz"), WarcIo.writeGz(a))
+    Files.write(Paths.get(dir.toString, "b.warc.gz"), WarcIo.writeGz(b))
+    val df = WarcIo.readWarc(spark, dir.toString + "/*.warc.gz")
+    val rows = df.collect()
+    assert(rows.length == 12)
+    val uris = rows.map(_.getAs[String]("target_uri")).toSet
+    assert(uris == (0 until 12).map(i => s"http://example.org/doc/$i").toSet)
+    val lens = rows.map(r => (r.getAs[String]("target_uri"), r.getAs[Long]("content_length"))).toMap
+    assert(lens("http://example.org/doc/3") == "file-a 3".length.toLong)
+  }
+
+  test("a 5 MiB payload streams through intact (bounded, not ballooning)") {
+    val big = Array.tabulate[Byte](5 << 20)(j => (j * 31 % 251).toByte)
+    val r = rec(99, "").copy(payload = big, contentType = "application/octet-stream")
+    val out = WarcIo.readAll(WarcIo.writeGz(Seq(r))).head
+    assert(out.payload.length == big.length)
+    assert(java.util.Arrays.equals(out.payload, big))
+  }
+}
