@@ -18,10 +18,13 @@ package graft.functions
   *     changes semantics for some endpoints); empty query dropped;
   *   - the fragment is dropped (never sent to servers).
   *
-  * `registrableDomain` groups hosts by their eTLD+1 using an embedded
-  * SNAPSHOT of common public-suffix rules — enough for corpus
-  * bucketing; production deployments should supply the full, current
-  * public-suffix list via `registrableDomain(host, suffixes)`.
+  * `registrableDomain` groups hosts by their eTLD+1 under a
+  * [[PublicSuffixList]] implementing the full publicsuffix.org
+  * algorithm — normal rules, wildcard rules (`*.ck`), and exception
+  * rules (`!www.ck`) — over an embedded SNAPSHOT of the list.
+  * Production deployments should load the full, current
+  * public_suffix_list.dat via `PublicSuffixList.parse` and pass it to
+  * `registrableDomain(host, psl)`.
   *
   * Everything here is a pure string function — used inside codegen'd
   * expressions or per-row maps, no shuffle, no state.
@@ -36,9 +39,137 @@ object UrlOps extends Serializable {
     n.startsWith("utm_") || n == "gclid" || n == "fbclid" || n == "msclkid"
   }
 
-  /** Minimal public-suffix snapshot (multi-label suffixes listed
-    * explicitly; any unlisted single label acts as a suffix, which is
-    * the PSL's own fallback rule `*`).
+  /** Compiled public-suffix rules in the public_suffix_list.dat model:
+    * normal rules, wildcard rules (stored with their `*.` prefix), and
+    * exception rules (stored WITHOUT the `!`). Matching follows the
+    * published algorithm: among matching rules an exception beats all,
+    * otherwise the rule with the most labels prevails, and a host no
+    * rule matches falls back to the implicit `*` (last label).
+    *
+    * Three flat `Set[String]` lookups per candidate suffix length —
+    * O(labels²) string work per host, no allocation beyond the tail
+    * joins — fine inside codegen'd per-row maps at corpus scale.
+    */
+  final class PublicSuffixList private[functions] (
+      normal: Set[String], wildcard: Set[String], exception: Set[String])
+      extends Serializable {
+
+    /** Label count of the public suffix of `labels` (a lowercased host
+      * split on '.'). At least 1 (the implicit `*` fallback rule); can
+      * equal `labels.length` when the whole host is a public suffix.
+      */
+    private[functions] def suffixLength(labels: Array[String]): Int = {
+      var excLen = -1
+      var best = 1
+      var k = 1
+      while (k <= labels.length) {
+        val tail = labels.takeRight(k).mkString(".")
+        // exception rule: the suffix is the rule minus its leftmost label
+        if (exception(tail) && k - 1 > excLen) excLen = k - 1
+        if (normal(tail) && k > best) best = k
+        if (k >= 2 && wildcard("*." + labels.takeRight(k - 1).mkString(".")) && k > best)
+          best = k
+        k += 1
+      }
+      if (excLen >= 0) excLen else best
+    }
+
+    /** The public suffix of `host` (eTLD), lowercased. */
+    def publicSuffix(host: String): String = {
+      val h = host.toLowerCase.stripSuffix(".")
+      val labels = h.split("\\.", -1)
+      labels.takeRight(suffixLength(labels)).mkString(".")
+    }
+
+    /** eTLD+1. A host that IS a public suffix (or a single label, or an
+      * IPv4 literal) is returned unchanged.
+      */
+    def registrableDomain(host: String): String = {
+      val h = host.toLowerCase.stripSuffix(".")
+      if (h.isEmpty || h.forall(c => c.isDigit || c == '.')) return h // IPv4 literal
+      val labels = h.split("\\.", -1)
+      if (labels.length < 2) return h
+      val sl = suffixLength(labels)
+      if (labels.length <= sl) h
+      else labels.takeRight(sl + 1).mkString(".")
+    }
+  }
+
+  object PublicSuffixList {
+    /** Parse public_suffix_list.dat content: one rule per line, `//`
+      * comments and blank lines skipped, a rule ends at the first
+      * whitespace (the file's own convention), case-insensitive.
+      * Handles `!exception` and `*.wildcard` rules.
+      */
+    def parse(lines: IterableOnce[String]): PublicSuffixList = {
+      val normal = Set.newBuilder[String]
+      val wildcard = Set.newBuilder[String]
+      val exception = Set.newBuilder[String]
+      lines.iterator.foreach { raw =>
+        val l = raw.trim.takeWhile(!_.isWhitespace).toLowerCase
+        if (l.nonEmpty && !l.startsWith("//")) {
+          if (l.startsWith("!")) exception += l.substring(1)
+          else if (l.contains("*")) wildcard += l
+          else normal += l
+        }
+      }
+      new PublicSuffixList(normal.result(), wildcard.result(), exception.result())
+    }
+
+    /** Treat a plain suffix set as normal rules (legacy entry point). */
+    def fromSuffixes(suffixes: Set[String]): PublicSuffixList =
+      new PublicSuffixList(suffixes.map(_.toLowerCase), Set.empty, Set.empty)
+  }
+
+  /** Embedded SNAPSHOT of the public suffix list — the high-traffic
+    * ccTLD second levels, the wildcard/exception families, and common
+    * hosting "private domains". NOT the full list (that is ~10k rules
+    * and updates monthly); corpus bucketing with this snapshot groups
+    * the overwhelming majority of crawl hosts correctly, and
+    * deployments can swap in the real file via `PublicSuffixList.parse`.
+    */
+  val defaultPslRules: Seq[String] = Seq(
+    // generic TLDs (single labels also fall out of the implicit `*`
+    // rule; listing the common ones keeps parity with the real file)
+    "com", "net", "org", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "mobi", "io", "co", "me", "tv", "cc", "ai", "app", "dev",
+    "xyz", "online", "site",
+    // United Kingdom
+    "uk", "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk",
+    "nhs.uk", "org.uk", "plc.uk", "police.uk", "*.sch.uk",
+    // Japan (incl. the city wildcard/exception families)
+    "jp", "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    // Australia
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // Cook Islands: everything under ck is a suffix except www.ck
+    "ck", "*.ck", "!www.ck",
+    // Bangladesh: fully wildcarded
+    "bd", "*.bd",
+    // other common ccTLD second levels
+    "br", "com.br", "net.br", "org.br", "gov.br",
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "in", "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "kr", "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr",
+    "za", "co.za", "net.za", "org.za", "web.za",
+    "mx", "com.mx", "org.mx", "gob.mx", "net.mx",
+    "fr", "de", "it", "es", "nl", "ru", "pl", "us", "ca", "ch", "se",
+    // hosting private domains (the PSL's PRIVATE section)
+    "github.io", "gitlab.io", "blogspot.com", "s3.amazonaws.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "pages.dev", "workers.dev", "azurewebsites.net",
+    "cloudfront.net", "appspot.com")
+
+  /** The embedded-snapshot PSL used by the 1-arg `registrableDomain`. */
+  val defaultPsl: PublicSuffixList = PublicSuffixList.parse(defaultPslRules)
+
+  /** Legacy flat view (normal multi-label rules only) — kept for callers
+    * that pass an explicit suffix set.
     */
   val defaultSuffixes: Set[String] = Set(
     "co.uk", "org.uk", "ac.uk", "gov.uk",
@@ -165,24 +296,21 @@ object UrlOps extends Serializable {
     sb.toString
   }
 
-  /** eTLD+1 under the given suffix set: the longest listed multi-label
-    * suffix wins; otherwise the final label is the suffix. A host that
-    * IS a suffix (or a single label, or an IP) is returned unchanged.
+  /** eTLD+1 under the embedded PSL snapshot. A host that IS a public
+    * suffix (or a single label, or an IP) is returned unchanged.
     */
-  def registrableDomain(host: String,
-      suffixes: Set[String] = defaultSuffixes): String = {
-    val h = host.toLowerCase.stripSuffix(".")
-    if (h.forall(c => c.isDigit || c == '.')) return h // IPv4 literal
-    val labels = h.split("\\.", -1)
-    if (labels.length < 2) return h
-    // longest listed suffix matching a proper tail of the host
-    var best = 1 // PSL fallback: last label is a suffix
-    var k = 2
-    while (k < labels.length) {
-      if (suffixes(labels.takeRight(k).mkString("."))) best = k
-      k += 1
-    }
-    if (labels.length <= best) h
-    else labels.takeRight(best + 1).mkString(".")
-  }
+  def registrableDomain(host: String): String =
+    defaultPsl.registrableDomain(host)
+
+  /** eTLD+1 under a caller-supplied PSL (e.g. the full
+    * public_suffix_list.dat via `PublicSuffixList.parse`).
+    */
+  def registrableDomain(host: String, psl: PublicSuffixList): String =
+    psl.registrableDomain(host)
+
+  /** Legacy form: a flat set of normal suffix rules (no wildcards or
+    * exceptions) plus the implicit `*` fallback.
+    */
+  def registrableDomain(host: String, suffixes: Set[String]): String =
+    PublicSuffixList.fromSuffixes(suffixes).registrableDomain(host)
 }

@@ -57,14 +57,65 @@ object HtmlExtract extends Serializable {
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
-  private val namedEntities = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
-    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…")
+  /** HTML4 Latin-1 entity names in code-point order 160 (nbsp) … 255
+    * (yuml) — real crawl text is dense in `&eacute;`-class references,
+    * which must become text, not survive verbatim into training data.
+    */
+  private val latin1Names = Vector(
+    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+    "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr",
+    "deg", "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
+    "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig", "Ccedil",
+    "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+    "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml", "times",
+    "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute", "THORN", "szlig",
+    "agrave", "aacute", "acirc", "atilde", "auml", "aring", "aelig", "ccedil",
+    "egrave", "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+    "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+    "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
 
-  /** Decode character references: named (core set), `&#NNN;`, `&#xHH;`.
-    * Unknown or malformed references pass through verbatim (browser
-    * behavior; crawl text is full of bare ampersands).
+  /** Greek letters + common symbol/punctuation entities (HTML4 set). */
+  private val symbolEntities: Map[String, Int] = Map(
+    "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
+    "Yuml" -> 376, "fnof" -> 402, "circ" -> 710, "tilde" -> 732,
+    "Alpha" -> 913, "Beta" -> 914, "Gamma" -> 915, "Delta" -> 916,
+    "Epsilon" -> 917, "Zeta" -> 918, "Eta" -> 919, "Theta" -> 920,
+    "Iota" -> 921, "Kappa" -> 922, "Lambda" -> 923, "Mu" -> 924,
+    "Nu" -> 925, "Xi" -> 926, "Omicron" -> 927, "Pi" -> 928,
+    "Rho" -> 929, "Sigma" -> 931, "Tau" -> 932, "Upsilon" -> 933,
+    "Phi" -> 934, "Chi" -> 935, "Psi" -> 936, "Omega" -> 937,
+    "alpha" -> 945, "beta" -> 946, "gamma" -> 947, "delta" -> 948,
+    "epsilon" -> 949, "zeta" -> 950, "eta" -> 951, "theta" -> 952,
+    "iota" -> 953, "kappa" -> 954, "lambda" -> 955, "mu" -> 956,
+    "nu" -> 957, "xi" -> 958, "omicron" -> 959, "pi" -> 960,
+    "rho" -> 961, "sigmaf" -> 962, "sigma" -> 963, "tau" -> 964,
+    "upsilon" -> 965, "phi" -> 966, "chi" -> 967, "psi" -> 968,
+    "omega" -> 969,
+    "ensp" -> 8194, "emsp" -> 8195, "thinsp" -> 8201, "zwnj" -> 8204,
+    "zwj" -> 8205, "lrm" -> 8206, "rlm" -> 8207, "ndash" -> 8211,
+    "mdash" -> 8212, "lsquo" -> 8216, "rsquo" -> 8217, "sbquo" -> 8218,
+    "ldquo" -> 8220, "rdquo" -> 8221, "bdquo" -> 8222, "dagger" -> 8224,
+    "Dagger" -> 8225, "bull" -> 8226, "hellip" -> 8230, "permil" -> 8240,
+    "prime" -> 8242, "Prime" -> 8243, "lsaquo" -> 8249, "rsaquo" -> 8250,
+    "oline" -> 8254, "frasl" -> 8260, "euro" -> 8364, "trade" -> 8482,
+    "larr" -> 8592, "uarr" -> 8593, "rarr" -> 8594, "darr" -> 8595,
+    "harr" -> 8596, "minus" -> 8722, "lowast" -> 8727, "radic" -> 8730,
+    "infin" -> 8734, "cap" -> 8745, "cup" -> 8746, "ne" -> 8800,
+    "equiv" -> 8801, "le" -> 8804, "ge" -> 8805)
+
+  private val namedEntities: Map[String, String] =
+    Map("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'") ++
+      latin1Names.zipWithIndex.map { case (n, i) => n -> (160 + i).toChar.toString } ++
+      symbolEntities.map { case (n, cp) => n -> cp.toChar.toString }
+
+  /** Decode character references: named (core + Latin-1 + HTML4
+    * symbol/Greek sets), `&#NNN;`, `&#xHH;`. Unknown or malformed
+    * references pass through verbatim (browser behavior; crawl text is
+    * full of bare ampersands). Numeric references in the surrogate
+    * block decode to U+FFFD — a lone surrogate is ill-formed UTF-16
+    * that would corrupt downstream UTF-8 encoding (WET payloads), and
+    * U+FFFD is what browsers substitute.
     */
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -80,15 +131,11 @@ object HtmlExtract extends Serializable {
           val body = s.substring(i + 1, semi)
           val decoded: Option[String] =
             if (body.startsWith("#x") || body.startsWith("#X"))
-              try {
-                val cp = Integer.parseInt(body.substring(2), 16)
-                if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp))) else None
-              } catch { case _: NumberFormatException => None }
+              try codePointText(Integer.parseInt(body.substring(2), 16))
+              catch { case _: NumberFormatException => None }
             else if (body.startsWith("#"))
-              try {
-                val cp = Integer.parseInt(body.substring(1))
-                if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp))) else None
-              } catch { case _: NumberFormatException => None }
+              try codePointText(Integer.parseInt(body.substring(1)))
+              catch { case _: NumberFormatException => None }
             else namedEntities.get(body)
           decoded match {
             case Some(d) => out.append(d); i = semi + 1
@@ -99,6 +146,15 @@ object HtmlExtract extends Serializable {
     }
     out.toString
   }
+
+  /** Numeric-reference decode: surrogate-block code points → U+FFFD
+    * (ill-formed UTF-16; browsers substitute), out-of-range → None
+    * (reference passes through verbatim).
+    */
+  private def codePointText(cp: Int): Option[String] =
+    if (cp >= 0xD800 && cp <= 0xDFFF) Some("�")
+    else if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp)))
+    else None
 
   // ------------------------------------------------------------ tokenizer
 
@@ -237,7 +293,15 @@ object HtmlExtract extends Serializable {
     var blockTag = "body"
     var firstTextBoiler = false
     var sawText = false
-    var aDepth = 0
+    // Anchor state is a boolean, not a depth: a new <a> implicitly
+    // closes the previous one, and ANY block-level open/close closes an
+    // open anchor. Crawl HTML is full of never-closed <a> tags; without
+    // the implicit close, one of them marks every later block as pure
+    // link text and content() silently drops the whole rest of the
+    // document. (Deliberate divergence from the browser's formatting-
+    // element reconstruction, which would carry the anchor across
+    // blocks — for link-density grading a bounded blast radius wins.)
+    var inAnchor = false
     var boilerDepth = 0
     val tagStack = ArrayBuffer.empty[String]
 
@@ -258,20 +322,22 @@ object HtmlExtract extends Serializable {
           sawText = true; firstTextBoiler = boilerDepth > 0
         }
         text.append(dec)
-        if (aDepth > 0) linkText.append(dec)
+        if (inAnchor) linkText.append(dec)
       case StartTag(name, _, selfClosing) =>
-        if (name == "br") { text.append('\n'); if (aDepth > 0) linkText.append('\n') }
+        if (name == "br") { text.append('\n'); if (inAnchor) linkText.append('\n') }
         else if (blockTags(name)) {
           flush()
+          inAnchor = false
           if (!selfClosing) {
             tagStack += name
             blockTag = name
             if (boilerTags(name)) boilerDepth += 1
           }
-        } else if (name == "a" && !selfClosing) aDepth += 1
+        } else if (name == "a") inAnchor = !selfClosing
       case EndTag(name) =>
         if (blockTags(name)) {
           flush()
+          inAnchor = false
           val ix = tagStack.lastIndexOf(name)
           if (ix >= 0) {
             // close this element and anything left open inside it
@@ -282,7 +348,7 @@ object HtmlExtract extends Serializable {
             }
           }
           blockTag = if (tagStack.nonEmpty) tagStack.last else "body"
-        } else if (name == "a" && aDepth > 0) aDepth -= 1
+        } else if (name == "a") inAnchor = false
     }
     flush()
     out.toVector

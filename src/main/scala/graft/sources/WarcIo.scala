@@ -6,7 +6,6 @@ import java.util.UUID
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** WARC (Web ARChive, ISO 28500 / WARC 1.1) reader + writer, from
   * scratch on the JDK — the ingestion container for web-crawl training
@@ -25,9 +24,11 @@ import org.apache.spark.sql.functions.col
   *
   * Scale shape: crawl archives are many moderate files (Common Crawl:
   * ~70k files x ~1 GiB per crawl), so parallelism is FILE-granular —
-  * `readWarc` maps one Spark task per archive via the `binaryFile`
-  * source and streams records inside the task with bounded memory
-  * (payloads are size-guarded, one record materialized at a time).
+  * `readWarc` maps one Spark task per archive via
+  * `sparkContext.binaryFiles` and streams records off the open
+  * `PortableDataStream` with bounded memory (payloads are
+  * size-guarded, one record materialized at a time; neither the
+  * archive bytes nor a record collection is ever resident).
   * Gzip members are not block-splittable; that is the format's own
   * contract, and at 100 TB the file count (not intra-file splits)
   * supplies the parallelism.
@@ -185,7 +186,11 @@ object WarcIo {
     }
     def get(name: String): Option[String] =
       fields.find(_._1.equalsIgnoreCase(name)).map(_._2)
-    val len = get("Content-Length").getOrElse(fail("record without Content-Length")).toLong
+    val lenStr = get("Content-Length").getOrElse(fail("record without Content-Length"))
+    val len =
+      try lenStr.toLong
+      catch { case _: NumberFormatException => fail(s"non-numeric Content-Length '${lenStr.take(40)}'") }
+    if (len < 0) fail(s"negative Content-Length $len")
     if (len > maxPayloadBytes)
       fail(s"payload of $len bytes exceeds the $maxPayloadBytes-byte guard")
     val payload = new Array[Byte](len.toInt)
@@ -310,21 +315,44 @@ object WarcIo {
 
   // ---------------------------------------------------------------- Spark
 
+  /** Open a raw archive stream (plain or gzip — sniffed from the magic
+    * bytes) and stream its records one at a time: only the current
+    * record's payload is ever resident, never the archive bytes or a
+    * collection of records. This IS the distributed parse path —
+    * `readWarc` calls it per file; `readAll` (whole-Vector) exists only
+    * for small in-memory inputs like tests.
+    */
+  def recordsFromRaw(raw: InputStream, maxPayloadBytes: Int = 64 << 20): Iterator[WarcRecord] = {
+    val buf = new BufferedInputStream(raw, 64 << 10)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf) else buf
+    readStream(in, maxPayloadBytes)
+  }
+
   /** Read `.warc` / `.warc.gz` archives under `path` into a DataFrame —
-    * one row per record. One task per archive file (binaryFile source);
-    * see the class doc for why that is the right parallel grain.
+    * one row per record. One task per archive file
+    * (`sparkContext.binaryFiles` → `PortableDataStream`); see the class
+    * doc for why file granularity is the right parallel grain. Records
+    * stream off the open file handle one at a time (`recordsFromRaw`),
+    * so executor residency is ONE record, not the archive — a ~1 GiB
+    * `.warc.gz` (multi-GiB decoded) parses under a small task heap.
     */
   def readWarc(spark: SparkSession, path: String,
       maxPayloadBytes: Int = 64 << 20): DataFrame = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-    bin.as[(String, Array[Byte])].flatMap { case (file, bytes) =>
-      readAll(bytes, maxPayloadBytes).iterator.zipWithIndex.map { case (r, ix) =>
-        (file, ix, r.recordType, r.targetUri, r.date, r.recordId, r.contentType,
-          r.payload.length.toLong, r.payload)
+    val rows = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val it = recordsFromRaw(pds.open(), maxPayloadBytes)
+        it.zipWithIndex.map { case (r, ix) =>
+          (file, ix, r.recordType, r.targetUri, r.date, r.recordId, r.contentType,
+            r.payload.length.toLong, r.payload)
+        }
       }
-    }.toDF("file", "rec_ix", "rec_type", "target_uri", "warc_date", "record_id",
-      "content_type", "content_length", "payload")
+    spark.createDataset(rows)
+      .toDF("file", "rec_ix", "rec_type", "target_uri", "warc_date", "record_id",
+        "content_type", "content_length", "payload")
   }
 }

@@ -89,6 +89,48 @@ class HtmlExtractSpec extends SparkSpec {
     assert(HtmlExtract.extractText("<p>keep</p><script>var x = 1;") == "keep")
   }
 
+  test("Latin-1 / symbol / Greek entities decode to text (r12 widening)") {
+    assert(HtmlExtract.decodeEntities("caf&eacute; r&eacute;sum&eacute;") == "café résumé")
+    assert(HtmlExtract.decodeEntities("&Auml;&ouml;&uuml;&szlig;") == "Äöüß")
+    assert(HtmlExtract.decodeEntities("&ntilde;&ccedil;&iquest;") == "ñç¿")
+    assert(HtmlExtract.decodeEntities("&euro;42 &trade; &bull; &ldquo;q&rdquo;") ==
+      "€42 ™ • “q”")
+    assert(HtmlExtract.decodeEntities("&alpha;&beta;&Omega;&pi;") == "αβΩπ")
+    assert(HtmlExtract.decodeEntities("&frac12; + &frac14; &ne; &infin;") ==
+      "½ + ¼ ≠ ∞")
+    // still-unknown names pass through verbatim
+    assert(HtmlExtract.decodeEntities("&notareal;") == "&notareal;")
+  }
+
+  test("numeric references in the surrogate block decode to U+FFFD") {
+    assert(HtmlExtract.decodeEntities("&#xD800;") == "�")
+    assert(HtmlExtract.decodeEntities("a&#xDFFF;b") == "a�b")
+    assert(HtmlExtract.decodeEntities("&#55296;") == "�") // decimal D800
+    // result is well-formed UTF-16: round-trips through UTF-8 unchanged
+    val s = HtmlExtract.decodeEntities("x&#xDABC;y")
+    assert(new String(s.getBytes("UTF-8"), "UTF-8") == s)
+    // out-of-range still passes through verbatim
+    assert(HtmlExtract.decodeEntities("&#x110000;") == "&#x110000;")
+  }
+
+  test("an unclosed <a> does not poison later blocks' link density") {
+    // crawl HTML: anchor never closed; the next block must NOT count as link text
+    val html = "<div><a href='/x'>menu link</a></div>" +
+      "<div><a href='/y'>unclosed" +
+      "<p>a real paragraph of body prose long enough to keep for training</p>" +
+      "<p>another real paragraph with plenty of ordinary prose in it too</p>"
+    val bs = HtmlExtract.blocks(html)
+    val paras = bs.filter(_.tag == "p")
+    assert(paras.length == 2)
+    assert(paras.forall(_.linkChars == 0))
+    val kept = HtmlExtract.content(html, minChars = 25, maxLinkDensity = 0.33)
+    assert(kept.map(_.tag) == Vector("p", "p"))
+    // and a new <a> implicitly closes the previous one within a block
+    val b = HtmlExtract.blocks("<p><a href='/1'>one<a href='/2'>two</a> tail</p>").head
+    assert(b.text == "onetwo tail")
+    assert(b.linkChars == 6) // "one" + "two", not the tail
+  }
+
   test("contentBlocksDf + linksDf explode per document") {
     import spark.implicits._
     val df = Seq(

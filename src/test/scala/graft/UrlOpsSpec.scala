@@ -65,4 +65,77 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(UrlOps.registrableDomain("LOCALHOST") == "localhost")
     assert(UrlOps.registrableDomain("192.168.0.1") == "192.168.0.1")
   }
+
+  test("a host that IS a listed 3-label suffix is returned unchanged") {
+    // the pre-r12 loop stopped at k < labels.length and shortened these
+    assert(UrlOps.registrableDomain("s3.amazonaws.com") == "s3.amazonaws.com")
+    assert(UrlOps.registrableDomain("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(UrlOps.registrableDomain("github.io") == "github.io")
+  }
+
+  // the published test battery from publicsuffix.org/list/tests, for
+  // every case our embedded snapshot covers; where the published
+  // expectation is null (no registrable domain) our convention is to
+  // return the host unchanged
+  test("PSL published cases: mixed case, unlisted TLD, jp/ck families") {
+    def rd(h: String): String = UrlOps.registrableDomain(h)
+    // Mixed case
+    assert(rd("COM") == "com")
+    assert(rd("example.COM") == "example.com")
+    assert(rd("WwW.example.COM") == "example.com")
+    // Unlisted TLD (implicit * rule)
+    assert(rd("example") == "example")
+    assert(rd("example.example") == "example.example")
+    assert(rd("b.example.example") == "example.example")
+    assert(rd("a.b.example.example") == "example.example")
+    // TLD with only 1 (implicit) rule
+    assert(rd("biz") == "biz")
+    assert(rd("domain.biz") == "domain.biz")
+    assert(rd("b.domain.biz") == "domain.biz")
+    assert(rd("a.b.domain.biz") == "domain.biz")
+    // TLD with some 2-level rules
+    assert(rd("example.com") == "example.com")
+    assert(rd("b.example.com") == "example.com")
+    assert(rd("a.b.example.com") == "example.com")
+    assert(rd("uk.com") == "uk.com")
+    // jp: plain second levels
+    assert(rd("jp") == "jp")
+    assert(rd("test.jp") == "test.jp")
+    assert(rd("www.test.jp") == "test.jp")
+    assert(rd("ac.jp") == "ac.jp")
+    assert(rd("test.ac.jp") == "test.ac.jp")
+    assert(rd("www.test.ac.jp") == "test.ac.jp")
+    // jp: wildcard city families with exceptions
+    assert(rd("kawasaki.jp") == "kawasaki.jp")
+    assert(rd("test.kawasaki.jp") == "test.kawasaki.jp") // *.kawasaki.jp → whole host is a suffix
+    assert(rd("www.test.kawasaki.jp") == "www.test.kawasaki.jp")
+    assert(rd("city.kawasaki.jp") == "city.kawasaki.jp") // !city.kawasaki.jp
+    assert(rd("www.city.kawasaki.jp") == "city.kawasaki.jp")
+    // ck: fully wildcarded with exception
+    assert(rd("ck") == "ck")
+    assert(rd("test.ck") == "test.ck")
+    assert(rd("b.test.ck") == "b.test.ck")
+    assert(rd("a.b.test.ck") == "b.test.ck")
+    assert(rd("www.ck") == "www.ck")           // !www.ck
+    assert(rd("www.www.ck") == "www.ck")
+    // US K12-style not in snapshot; trailing dot canonicalized
+    assert(rd("example.com.") == "example.com")
+  }
+
+  test("PublicSuffixList.parse handles the .dat format") {
+    val psl = UrlOps.PublicSuffixList.parse(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "", "com", "  uk ", "co.uk", "*.sch.uk", "!known.sch.uk",
+      "jp  // trailing comment ends at whitespace",
+      "// ===END==="))
+    assert(psl.publicSuffix("a.co.uk") == "co.uk")
+    assert(psl.registrableDomain("x.y.sch.uk") == "x.y.sch.uk") // *.sch.uk
+    assert(psl.registrableDomain("a.known.sch.uk") == "known.sch.uk") // exception
+    assert(psl.registrableDomain("foo.jp") == "foo.jp")
+  }
+
+  test("legacy flat suffix-set overload still works") {
+    assert(UrlOps.registrableDomain("a.b.site.co.uk", Set("co.uk")) == "site.co.uk")
+    assert(UrlOps.registrableDomain("co.uk", Set("co.uk")) == "co.uk")
+  }
 }

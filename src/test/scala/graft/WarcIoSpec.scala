@@ -122,4 +122,66 @@ class WarcIoSpec extends SparkSpec {
     assert(out.payload.length == big.length)
     assert(java.util.Arrays.equals(out.payload, big))
   }
+
+  test("negative / non-numeric Content-Length fail with the WARC: contract") {
+    def raw(len: String) = ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
+      s"WARC-Date: d\r\nContent-Length: $len\r\n\r\nhi\r\n\r\n").getBytes(UTF_8)
+    val neg = intercept[IllegalArgumentException](WarcIo.readAll(raw("-2")))
+    assert(neg.getMessage.startsWith("WARC: "))
+    val nan = intercept[IllegalArgumentException](WarcIo.readAll(raw("twelve")))
+    assert(nan.getMessage.startsWith("WARC: "))
+  }
+
+  /** An InputStream that synthesizes an endless WARC stream record by
+    * record and counts bytes actually served — direct proof that the
+    * parse path has one-record residency: pulling k records reads only
+    * ~k records' worth of bytes, never the archive.
+    */
+  private final class GeneratedWarcStream(recordBytes: Int => Array[Byte])
+      extends java.io.InputStream {
+    private var ix = 0
+    private var cur: Array[Byte] = recordBytes(0)
+    private var off = 0
+    var served = 0L
+    override def read(): Int = {
+      if (off == cur.length) { ix += 1; cur = recordBytes(ix); off = 0 }
+      val b = cur(off) & 0xff
+      off += 1; served += 1
+      b
+    }
+  }
+
+  test("recordsFromRaw is lazy: k records pulled = ~k records read (not the archive)") {
+    val perRec = WarcIo.writeRecord(rec(0, "p" * 1000)).length // all records same size
+    val gen = new GeneratedWarcStream(i => WarcIo.writeRecord(rec(i, "p" * 1000)))
+    val it = WarcIo.recordsFromRaw(gen)
+    val first5 = it.take(5).toVector
+    assert(first5.map(_.targetUri) == (0 until 5).map(i => s"http://example.org/doc/$i"))
+    // BufferedInputStream reads ahead at most its 64 KiB buffer beyond
+    // the 5 records consumed; the whole "archive" is unbounded
+    assert(gen.served <= 5L * perRec + (64 << 10) + perRec)
+  }
+
+  test("readWarc parses a multi-hundred-MiB decoded archive (streaming Spark path)") {
+    // 128 records x 2 MiB of zeros = 256 MiB decoded; the .gz on disk is
+    // tiny. The old readAll-based path held every record in one Vector;
+    // the PortableDataStream path keeps one record live at a time.
+    val dir = Files.createTempDirectory("warcbig")
+    val f = Paths.get(dir.toString, "big.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(Files.newOutputStream(f), 1 << 20))
+    val payload = new Array[Byte](2 << 20)
+    (0 until 128).foreach { i =>
+      out.write(WarcIo.writeRecord(rec(i, "").copy(payload = payload,
+        contentType = "application/octet-stream")))
+    }
+    out.close()
+    import org.apache.spark.sql.functions.{count, max, sum}
+    val agg = WarcIo.readWarc(spark, f.toString)
+      .agg(count("*").as("n"), sum("content_length").as("bytes"),
+        max("rec_ix").as("last")).head()
+    assert(agg.getAs[Long]("n") == 128L)
+    assert(agg.getAs[Long]("bytes") == 128L * (2 << 20))
+    assert(agg.getAs[Int]("last") == 127)
+  }
 }
