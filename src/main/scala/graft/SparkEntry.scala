@@ -12,8 +12,10 @@ import graft.operators.dedup.{Dedup, MinHashDedup, SimHashDedup}
 import graft.operators.sim.SimilaritySearch
 import graft.operators.text.TextAnalysis
 import graft.operators.multimodal.Multimodal
-import graft.functions.{GtidSetAgg, TypeConversions, VectorFunctions}
-import graft.sources.ChunkPlanner
+import graft.functions.{GtidSetAgg, TypeConversions, UrlOps, VectorFunctions}
+import graft.operators.multimodal.Mp4Codec
+import graft.operators.text.HtmlExtract
+import graft.sources.{ChunkPlanner, WarcIo}
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
   * (names prefixed with the inventory id) plus the beyond-parity
@@ -42,6 +44,26 @@ object SparkEntry {
 
   private val opCaseSql =
     "CASE WHEN event_type = 'error' THEN 'd' WHEN event_type = 'signup' THEN 'i' ELSE 'u' END"
+
+  /** Escape text for embedding as HTML character data. Escape→decode is
+    * the identity, which is what lets the crawl-family oracles
+    * reconstruct extraction output from the raw text alone.
+    */
+  private def escHtml(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** The crawl-fixture page scaffold shared by `text_html_blocks` and
+    * `pipeline_crawl`: title/nav/footer boilerplate around one heading
+    * and one paragraph. Emitted block indices are fixed by construction
+    * (0 title, 1-2 nav items, 3 heading, 4 paragraph, then footer), so
+    * oracles can name them without parsing HTML.
+    */
+  private def crawlHtml(docId: Column, text: Column, heading: Column): Column =
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"), lit("</title></head><body>"),
+      lit("<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>"),
+      lit("<h1>"), heading, lit("</h1><p>"), escHtml(text),
+      lit("</p><footer>(c) graft corpus</footer></body></html>"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Exercises
     * scan → broadcast join → decimal-exact aggregation.
@@ -2663,6 +2685,191 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sc"), 6).as("scale"),
           col("idx"), col("qv").cast("int").as("qval"))
         .orderBy(col("vec_id"), col("idx"))
+    }),
+
+    // ----- beyond-parity: crawl ingestion (WARC → HTML → URL) -----
+
+    "url_normalize" -> ((s, dir) => {
+      // RFC 3986 syntax normalization over 8 URL templates covering the
+      // distinct rules (case, default ports, dot-segments, unreserved
+      // escape decode, escape-hex uppercasing, tracking-param strip,
+      // empty-query drop, fragment drop) plus eTLD+1 over the PSL
+      // families (normal, wildcard *.ck, exception !city.kawasaki.jp).
+      // The oracle constructs the expected strings from the same
+      // integer — green means every normalization rule agrees.
+      import s.implicits._
+      s.range(240).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val u = (i % 8) match {
+          case 0 => s"HTTP://WWW.Site${i % 20}.COM:80/a/./b/../p$i.html?utm_source=x&id=$i#frag"
+          case 1 => s"https://Host$i.example.ORG:443/x//y/%7Euser/?"
+          case 2 => s"http://sub$i.shop.co.uk/%41%2f/p?gclid=zz&a=1&b=2"
+          case 3 => s"https://u$i.github.io:8443/docs/../index.html"
+          case 4 => s"http://api$i.example.com/v1/./res/$i?x=%7e&UTM_CAMPAIGN=c"
+          case 5 => s"HTTPS://CDN$i.Example.COM/img/%2f/p$i.png"
+          case 6 => s"http://www$i.test.ck/a/b/../c#x"
+          case _ => s"http://city.kawasaki.jp/p$i/?fbclid=q&q=$i"
+        }
+        val host = UrlOps.parse(u).host
+        (i, UrlOps.normalize(u), host, UrlOps.registrableDomain(host))
+      }).toDF("id", "url_norm", "host", "domain")
+        .orderBy(col("id"))
+    }),
+
+    "url_domain_stats" -> ((s, dir) => {
+      // per-eTLD+1 grouping over 10 host templates spanning the PSL rule
+      // kinds (incl. hosts that ARE suffixes' children, wildcard .ck,
+      // the kawasaki.jp exception, a private-domain 3-label suffix, and
+      // IPv4 literals) — the aggregation every per-domain corpus stat
+      // stands on
+      import s.implicits._
+      s.range(400).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val host = (i % 10) match {
+          case 0 => s"a$i.example.com"
+          case 1 => s"b$i.site${i % 5}.co.uk"
+          case 2 => s"u${i % 9}.github.io"
+          case 3 => s"x$i.y.z.kawasaki.jp"
+          case 4 => "city.kawasaki.jp"
+          case 5 => s"m$i.city.kawasaki.jp"
+          case 6 => s"shop${i % 6}.example.ck"
+          case 7 => "www.ck"
+          case 8 => s"cdn${i % 3}.s3.amazonaws.com"
+          case _ => s"192.168.${i % 4}.1"
+        }
+        (host, UrlOps.registrableDomain(host))
+      }).toDF("host", "domain")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("domain"))
+    }),
+
+    "text_html_blocks" -> ((s, dir) => {
+      // REAL HTML extraction over the documents fixture: each doc's text
+      // is escaped into the crawl scaffold (title/nav/footer boilerplate,
+      // formula heading, the text as <p>). The oracle reconstructs the
+      // kept blocks from the raw text alone — escape→decode is the
+      // identity and block indices are fixed by the scaffold — so green
+      // means tokenizer, entity decoder, whitespace normalizer,
+      // code-point counter, and boilerplate classifier agree cross-engine
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"),
+            concat(lit("Document "), col("doc_id").cast("string"),
+              lit(" primary heading content"))).as("html"))
+      HtmlExtract.contentBlocksDf(docs, "doc_id", "html")
+        .orderBy(col("doc_id"), col("block_ix"))
+    }),
+
+    "text_html_links" -> ((s, dir) => {
+      // linksDf over formula HTML: three anchors per doc covering the
+      // quote styles (double, single, bare), entity-decoded hrefs, and
+      // absolute-URL normalization of the extracted links
+      import s.implicits._
+      val docs = s.range(120).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val html = s"<p>Intro $i</p><ul>" +
+          s"""<li><a href="HTTP://Tracker.COM:80/t?utm_source=a&amp;k=$i">track $i</a></li>""" +
+          s"<li><a href='/rel/$i'>relative link</a></li>" +
+          s"<li><a href=https://u${i % 7}.github.io/page>GH Page $i</a></li></ul>"
+        (i, html)
+      }).toDF("doc_id", "html")
+      HtmlExtract.linksDf(docs, "doc_id", "html")
+        .as[(Long, Int, String, String)]
+        .mapPartitions(_.map { case (id, ix, href, anchor) =>
+          val lower = href.toLowerCase
+          val norm =
+            if (lower.startsWith("http://") || lower.startsWith("https://"))
+              UrlOps.normalize(href)
+            else href // relative: frontier resolution happens upstream
+          (id, ix, norm, anchor)
+        }).toDF("doc_id", "link_ix", "href_norm", "anchor")
+        .orderBy(col("doc_id"), col("link_ix"))
+    }),
+
+    "pipeline_crawl" -> ((s, dir) => {
+      // FLAGSHIP crawl path: documents → HTML pages → HTTP responses →
+      // .warc.gz archives ON DISK (one gz member per record, one file
+      // per task) → readWarc (binaryFiles + one-record-at-a-time
+      // iterator) → parseHttpResponse → HtmlExtract.content →
+      // per-domain dedup stats. The oracle never sees a WARC byte: it
+      // reconstructs the expected extraction from raw text + the uri
+      // formula, so green proves the container/HTTP/HTML/URL chain is
+      // byte-exact cross-engine. Scale shape: file-granular archive
+      // parallelism, per-row parse/extract, one hash-agg shuffle on
+      // the (low-cardinality) domain key.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"),
+            lit("Shared section heading for crawl docs")).as("html"))
+      val warcDir = TempDirs.scratch("crawl_warc_")
+      docs.repartition(8).as[(Long, String)].foreachPartition {
+        (it: Iterator[(Long, String)]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = java.nio.file.Paths.get(warcDir, f"part-$pid%05d.warc.gz")
+            val out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(f), 1 << 20)
+            try it.foreach { case (id, html) =>
+              val tld = (id % 4) match {
+                case 0 => "com"; case 1 => "co.uk"; case 2 => "github.io"; case _ => "org"
+              }
+              val uri = s"http://w${id % 41}.site${id % 13}.$tld/p/$id"
+              val payload = WarcIo.buildHttpResponse(200, "OK",
+                Seq("Content-Type" -> "text/html; charset=utf-8"),
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val rec = WarcIo.WarcRecord("response", uri, "2026-01-01T00:00:00Z",
+                WarcIo.recordIdFor("crawl:" + id),
+                "application/http; msgtype=response", Map.empty, payload)
+              out.write(WarcIo.gzipMember(WarcIo.writeRecord(rec)))
+            } finally out.close()
+          }
+      }
+      WarcIo.readWarc(s, warcDir + "/*.warc.gz")
+        .where(col("rec_type") === "response")
+        .select(col("target_uri"), col("payload"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (uri, payload) =>
+          val http = WarcIo.parseHttpResponse(payload)
+          val html = new String(http.body, java.nio.charset.StandardCharsets.UTF_8)
+          val etext = HtmlExtract.content(html, 25, 0.33).map(_.text).mkString("\n")
+          (UrlOps.registrableDomain(UrlOps.parse(uri).host), etext)
+        }).toDF("domain", "etext")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("etext")).as("n_unique"),
+          sum(length(col("etext")).cast("long")).as("total_chars"))
+        .orderBy(col("domain"))
+    }),
+
+    "mm_mp4_info" -> ((s, dir) => {
+      // REAL ISO-BMFF container round-trip through the multimodal
+      // plumbing: two tracks per file (vide with multi-run stts + stss
+      // subset, soun with constant deltas and no stss), encoded to
+      // actual boxes and parsed back; every output column is integer
+      // arithmetic the oracle recomputes from the track formulas alone
+      import s.implicits._
+      s.range(12).mapPartitions(_.flatMap { iL =>
+        val i = iL.toInt
+        val vTs = 600 + (i % 5) * 200
+        val nV = 4 + i % 4
+        val vDeltas = (0 until nV).map(j => 40 + (i * 3 + j * 7) % 60)
+        val vSizes = (0 until nV).map(j => 3 + (i + j) % 5)
+        val nA = 3 + i % 3
+        val tracks = Seq(
+          Mp4Codec.TrackSpec(1, "vide", "avc1", vTs, vDeltas,
+            vSizes.map(sz => Array.fill[Byte](sz)(i.toByte)), 1 to nV by 3),
+          Mp4Codec.TrackSpec(2, "soun", "mp4a", 8000, Seq.fill(nA)(640),
+            (0 until nA).map(j => Array.fill[Byte](10 + j)((i + 1).toByte))))
+        val info = Mp4Codec.parse(Mp4Codec.encode(tracks))
+        info.tracks.map(tr => (i, tr.trackId, tr.handler, tr.codec, tr.timescale,
+          tr.durationMs, tr.sampleCount, tr.syncSamples.length,
+          tr.sampleSizes.sum, tr.sampleTsMs.last, info.durationMs))
+      }).toDF("media_id", "track_id", "handler", "codec", "timescale",
+        "track_dur_ms", "n_samples", "n_sync", "total_bytes", "last_ts_ms",
+        "movie_dur_ms")
+        .orderBy(col("media_id"), col("track_id"))
     })
   )
 
@@ -6127,7 +6334,155 @@ object SparkEntry {
         |SELECT id AS media_id,
         |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(length(s) AS BIGINT) AS n_bytes, sha256(s) AS sha
-        |FROM p ORDER BY media_id""".stripMargin
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // the oracle CONSTRUCTS the normalized form from the template
+    // integer — green means every RFC 3986 rule (case, default port,
+    // dot-segments, unreserved decode, hex uppercasing, tracking strip,
+    // fragment drop) and the PSL families (wildcard *.ck, exception
+    // !city.kawasaki.jp, 3-label private suffix) agree cross-engine
+    "url_normalize" ->
+      """WITH t AS (SELECT i, i % 8 AS m, CAST(i AS VARCHAR) AS si,
+        |    CAST(i % 20 AS VARCHAR) AS s20 FROM range(240) r(i))
+        |SELECT i AS id,
+        |  CASE m
+        |    WHEN 0 THEN 'http://www.site' || s20 || '.com/a/p' || si || '.html?id=' || si
+        |    WHEN 1 THEN 'https://host' || si || '.example.org/x//y/~user/'
+        |    WHEN 2 THEN 'http://sub' || si || '.shop.co.uk/A%2F/p?a=1&b=2'
+        |    WHEN 3 THEN 'https://u' || si || '.github.io:8443/index.html'
+        |    WHEN 4 THEN 'http://api' || si || '.example.com/v1/res/' || si || '?x=~'
+        |    WHEN 5 THEN 'https://cdn' || si || '.example.com/img/%2F/p' || si || '.png'
+        |    WHEN 6 THEN 'http://www' || si || '.test.ck/a/c'
+        |    ELSE 'http://city.kawasaki.jp/p' || si || '/?q=' || si END AS url_norm,
+        |  CASE m
+        |    WHEN 0 THEN 'www.site' || s20 || '.com'
+        |    WHEN 1 THEN 'host' || si || '.example.org'
+        |    WHEN 2 THEN 'sub' || si || '.shop.co.uk'
+        |    WHEN 3 THEN 'u' || si || '.github.io'
+        |    WHEN 4 THEN 'api' || si || '.example.com'
+        |    WHEN 5 THEN 'cdn' || si || '.example.com'
+        |    WHEN 6 THEN 'www' || si || '.test.ck'
+        |    ELSE 'city.kawasaki.jp' END AS host,
+        |  CASE m
+        |    WHEN 0 THEN 'site' || s20 || '.com'
+        |    WHEN 1 THEN 'example.org'
+        |    WHEN 2 THEN 'shop.co.uk'
+        |    WHEN 3 THEN 'u' || si || '.github.io'
+        |    WHEN 4 THEN 'example.com'
+        |    WHEN 5 THEN 'example.com'
+        |    WHEN 6 THEN 'www' || si || '.test.ck'
+        |    ELSE 'city.kawasaki.jp' END AS domain
+        |FROM t ORDER BY id""".stripMargin,
+
+    "url_domain_stats" ->
+      """WITH t AS (SELECT i, i % 10 AS m, CAST(i AS VARCHAR) AS si FROM range(400) r(i)),
+        |h AS (SELECT i, m,
+        |  CASE m
+        |    WHEN 0 THEN 'a' || si || '.example.com'
+        |    WHEN 1 THEN 'b' || si || '.site' || CAST(i % 5 AS VARCHAR) || '.co.uk'
+        |    WHEN 2 THEN 'u' || CAST(i % 9 AS VARCHAR) || '.github.io'
+        |    WHEN 3 THEN 'x' || si || '.y.z.kawasaki.jp'
+        |    WHEN 4 THEN 'city.kawasaki.jp'
+        |    WHEN 5 THEN 'm' || si || '.city.kawasaki.jp'
+        |    WHEN 6 THEN 'shop' || CAST(i % 6 AS VARCHAR) || '.example.ck'
+        |    WHEN 7 THEN 'www.ck'
+        |    WHEN 8 THEN 'cdn' || CAST(i % 3 AS VARCHAR) || '.s3.amazonaws.com'
+        |    ELSE '192.168.' || CAST(i % 4 AS VARCHAR) || '.1' END AS host,
+        |  CASE m
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'site' || CAST(i % 5 AS VARCHAR) || '.co.uk'
+        |    WHEN 2 THEN 'u' || CAST(i % 9 AS VARCHAR) || '.github.io'
+        |    WHEN 3 THEN 'y.z.kawasaki.jp'
+        |    WHEN 4 THEN 'city.kawasaki.jp'
+        |    WHEN 5 THEN 'city.kawasaki.jp'
+        |    WHEN 6 THEN 'shop' || CAST(i % 6 AS VARCHAR) || '.example.ck'
+        |    WHEN 7 THEN 'www.ck'
+        |    WHEN 8 THEN 'cdn' || CAST(i % 3 AS VARCHAR) || '.s3.amazonaws.com'
+        |    ELSE '192.168.' || CAST(i % 4 AS VARCHAR) || '.1' END AS domain
+        |  FROM t)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // escape→decode is the identity and block indices are fixed by the
+    // scaffold, so the expected blocks derive from the raw text alone:
+    // the HTML-space set is exactly [ \t\n\f\r] (NOT \v — both engines
+    // keep U+000B), and length() counts code points in both
+    "text_html_blocks" ->
+      """WITH nrm AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    'Document ' || CAST(doc_id AS VARCHAR) || ' primary heading content' AS ht
+        |  FROM nrm)
+        |SELECT doc_id, CAST(3 AS INT) AS block_ix, 'h1' AS tag, ht AS text,
+        |  CAST(length(ht) AS INT) AS n_chars, CAST(0 AS INT) AS link_chars FROM h
+        |UNION ALL
+        |SELECT doc_id, CAST(4 AS INT), 'p', nt, CAST(length(nt) AS INT), CAST(0 AS INT)
+        |FROM nrm WHERE length(nt) >= 25
+        |ORDER BY doc_id, block_ix""".stripMargin,
+
+    "text_html_links" ->
+      """WITH t AS (SELECT i, CAST(i AS VARCHAR) AS si,
+        |    CAST(i % 7 AS VARCHAR) AS s7 FROM range(120) r(i)),
+        |l AS (
+        |  SELECT i, 0 AS link_ix, 'http://tracker.com/t?k=' || si AS href_norm,
+        |    'track ' || si AS anchor FROM t
+        |  UNION ALL SELECT i, 1, '/rel/' || si, 'relative link' FROM t
+        |  UNION ALL SELECT i, 2, 'https://u' || s7 || '.github.io/page', 'GH Page ' || si FROM t)
+        |SELECT i AS doc_id, CAST(link_ix AS INT) AS link_ix, href_norm, anchor
+        |FROM l ORDER BY doc_id, link_ix""".stripMargin,
+
+    // the oracle never sees a WARC byte: the whole container/HTTP/HTML/
+    // URL chain must reproduce text + uri formulas exactly
+    "pipeline_crawl" ->
+      """WITH d AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+        |      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |        WHEN 2 THEN 'github.io' ELSE 'org' END AS domain,
+        |    'Shared section heading for crawl docs' ||
+        |      CASE WHEN length(nt) >= 25 THEN chr(10) || nt ELSE '' END AS etext
+        |  FROM d)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+        |  CAST(COUNT(DISTINCT etext) AS BIGINT) AS n_unique,
+        |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
+        |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // all container fields are integer arithmetic over the track
+    // formulas: durations floor-divide via // (positive operands, so
+    // DuckDB // == Spark/JVM truncating division)
+    "mm_mp4_info" ->
+      """WITH ids AS (SELECT i AS media_id, 600 + (i % 5) * 200 AS vts,
+        |    4 + i % 4 AS nv, 3 + i % 3 AS na FROM range(12) t(i)),
+        |vd AS (SELECT media_id, vts, nv, na,
+        |    SUM(40 + (media_id * 3 + j * 7) % 60) AS vsum,
+        |    SUM(3 + (media_id + j) % 5) AS vbytes,
+        |    MAX(CASE WHEN j = nv - 1 THEN 40 + (media_id * 3 + j * 7) % 60 END) AS vlast
+        |  FROM ids CROSS JOIN range(7) r(j) WHERE j < nv
+        |  GROUP BY media_id, vts, nv, na),
+        |tr AS (
+        |  SELECT media_id, 1 AS track_id, 'vide' AS handler, 'avc1' AS codec,
+        |    vts AS timescale, vsum * 1000 // vts AS track_dur_ms,
+        |    nv AS n_samples, (nv + 2) // 3 AS n_sync, vbytes AS total_bytes,
+        |    (vsum - vlast) * 1000 // vts AS last_ts_ms,
+        |    GREATEST(vsum * 1000 // vts, na * 80) AS movie_dur_ms
+        |  FROM vd
+        |  UNION ALL
+        |  SELECT media_id, 2, 'soun', 'mp4a', 8000,
+        |    na * 80, na, na, 10 * na + na * (na - 1) // 2,
+        |    (na - 1) * 80, GREATEST(vsum * 1000 // vts, na * 80)
+        |  FROM vd)
+        |SELECT CAST(media_id AS INT) AS media_id, CAST(track_id AS INT) AS track_id,
+        |  handler, codec, CAST(timescale AS INT) AS timescale,
+        |  CAST(track_dur_ms AS BIGINT) AS track_dur_ms,
+        |  CAST(n_samples AS INT) AS n_samples, CAST(n_sync AS INT) AS n_sync,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  CAST(last_ts_ms AS BIGINT) AS last_ts_ms,
+        |  CAST(movie_dur_ms AS BIGINT) AS movie_dur_ms
+        |FROM tr ORDER BY media_id, track_id""".stripMargin
   ).pipe(m =>
     // curateTo is curate with a different pin lifecycle and a
     // write-through output — the RESULT contract is identical, so the

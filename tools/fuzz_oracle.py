@@ -36,6 +36,13 @@ QUERIES = [
     "pipeline_quality", "pipeline_datacard", "text_bm25_topk",
     "text_bm25_index_probe", "tokenizer_bpe_train", "text_bm25_prf", "text_bm25_percolate",
     "text_pmi_collocations", "tokenizer_bpe_encode", "tokenizer_bpe_fast", "mm_dhash_pairs", "mm_bmp_decode", "mm_png_decode", "mm_mulaw_decode", "mm_gif_decode", "mm_avi_frames",
+    # r12 crawl family: the docs are escaped into HTML scaffolding and
+    # round-tripped through the tokenizer/entity decoder (and, for
+    # pipeline_crawl, through WARC+HTTP containers on disk) — the
+    # HTML-ish PIECES below (tags, entities, stray <, &#refs) land in
+    # the escaped text and must survive byte-exactly
+    "text_html_blocks", "pipeline_crawl", "url_normalize",
+    "url_domain_stats", "text_html_links", "mm_mp4_info",
 ]
 
 # events-only queries: gated when the adversarial events table is
@@ -74,6 +81,10 @@ PIECES = [
     "12", "3.14", "x7", "MiXeD", "NAME", "ab", "tab\tsep",
     "(meta)", "[re]", "{x}", "a|b", "c^d", "e$f", "g\\h", "'q'", '"qq"',
     "https://ex.io/p?q=1", "bob@ex.io", "555-0134",
+    # HTML-shaped fragments: escaped into the crawl scaffold, these
+    # exercise entity round-trips, stray angle brackets, nested anchors
+    "<b>bold</b>", "&amp;", "a<b", "x&y", "&#65;", "&eacute;",
+    "<!--c-->", "</p>", '<a href="/x">deep</a>', "&#xD800;", "&nope;",
 ]
 SEPS = [" ", " ", " ", "  ", "\n", "\t", "", " \n "]
 
