@@ -466,6 +466,62 @@ object ScaleProbe {
         // HOF rebuild — the full cutting pass
         operators.text.SpanDedup.trimSpans(d, "doc_id", "text", n = 10)
       }
+      // r12 crawl path: k× docs → .warc.gz archives on disk (the build:
+      // one pass, file-per-task, gzip-member framing) → readWarc
+      // (streaming PortableDataStream, one record resident per task) →
+      // HTTP parse → HTML extract → domain agg. Extract should track
+      // archive bytes linearly; memory stays flat at any k because no
+      // task ever holds an archive.
+      locally {
+        var warcDir: String = null
+        time("crawl_warc_build", k) {
+          warcDir = TempDirs.scratch("probe_warc")
+          val wd = warcDir
+          d.select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+            .repartition(32)
+            .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+              if (it.hasNext) {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                val f = java.nio.file.Paths.get(wd, f"part-$pid%05d.warc.gz")
+                val out = new java.io.BufferedOutputStream(
+                  java.nio.file.Files.newOutputStream(f), 1 << 20)
+                try it.foreach { row =>
+                  val id = row.getLong(0)
+                  val esc = row.getString(1).replace("&", "&amp;")
+                    .replace("<", "&lt;").replace(">", "&gt;")
+                  val html = "<html><body><nav><a href='/'>Home</a></nav>" +
+                    s"<h1>Shared heading for the crawl probe</h1><p>$esc</p></body></html>"
+                  val payload = sources.WarcIo.buildHttpResponse(200, "OK",
+                    Seq("Content-Type" -> "text/html; charset=utf-8"),
+                    html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  out.write(sources.WarcIo.gzipMember(sources.WarcIo.writeRecord(
+                    sources.WarcIo.WarcRecord("response",
+                      s"http://site${id % 997}.example.com/p/$id",
+                      "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor("probe:" + id),
+                      "application/http; msgtype=response", Map.empty, payload))))
+                } finally out.close()
+              }
+            }
+          d.limit(0) // archives written above; noop write below
+        }
+        if (warcDir != null) time("crawl_extract", k) {
+          import spark.implicits._
+          sources.WarcIo.readWarc(spark, warcDir + "/*.warc.gz")
+            .where(col("rec_type") === "response")
+            .select(col("target_uri"), col("payload"))
+            .as[(String, Array[Byte])]
+            .mapPartitions(_.map { case (uri, payload) =>
+              val http = sources.WarcIo.parseHttpResponse(payload)
+              val html = new String(http.body, java.nio.charset.StandardCharsets.UTF_8)
+              val etext = operators.text.HtmlExtract.content(html, 25, 0.33)
+                .map(_.text).mkString("\n")
+              (functions.UrlOps.registrableDomain(functions.UrlOps.parse(uri).host),
+                etext.codePointCount(0, etext.length).toLong)
+            }).toDF("domain", "n_chars")
+            .groupBy(col("domain"))
+            .agg(count(lit(1)).as("n_pages"), sum(col("n_chars")).as("total_chars"))
+        }
+      }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
       if (vUsed) v.unpersist()

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.text.HtmlExtract
+import graft.sources.WarcIo
+import graft.streaming.StreamingDedup
+
+/** The streaming form of the crawl path: WARC archives arrive as a
+  * stream, records are parsed and main-content-extracted statelessly
+  * inside the stream, survivors of the shared-index near-dup gate
+  * (`StreamingDedup.indexedIngest`) are written back out as WET
+  * conversion records — WARC in, deduped WET out, the continual-ingest
+  * twin of the batch `pipeline_crawl` flagship.
+  */
+class CrawlStreamingSpec extends SparkSpec {
+
+  private def page(body: String): String =
+    s"<html><head><title>t</title></head><body><nav><a href='/'>Home</a></nav>" +
+      s"<p>$body</p></body></html>"
+
+  private def archive(docs: Seq[(Long, String)]): Array[Byte] =
+    WarcIo.writeGz(docs.map { case (id, body) =>
+      WarcIo.WarcRecord(
+        recordType = "response",
+        targetUri = s"http://ex.example.com/p/$id",
+        date = "2026-01-01T00:00:00Z",
+        recordId = WarcIo.recordIdFor(s"cs:$id"),
+        contentType = "application/http; msgtype=response",
+        extra = Map.empty,
+        payload = WarcIo.buildHttpResponse(200, "OK",
+          Seq("Content-Type" -> "text/html; charset=utf-8"),
+          page(body).getBytes(UTF_8)))
+    })
+
+  test("WARC stream → extract → indexed near-dup gate → WET records out") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = TempDirs.scratch("crawl-stream")
+    val wetDir = Paths.get(dir, "wet"); Files.createDirectories(wetDir)
+
+    val textA = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val textB = "completely different content about spark engines and columnar parquet files"
+    val textC = "unrelated new text describing streaming state stores and watermark semantics"
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[Array[Byte]]
+
+    // stateless in-stream stage: archive bytes → records → extracted text
+    val extracted = input.toDS().flatMap { bytes =>
+      WarcIo.recordsFromRaw(new java.io.ByteArrayInputStream(bytes))
+        .filter(_.recordType == "response")
+        .map { r =>
+          val http = WarcIo.parseHttpResponse(r.payload)
+          val text = HtmlExtract
+            .content(new String(http.body, UTF_8), minChars = 25, maxLinkDensity = 0.33)
+            .map(_.text).mkString("\n")
+          val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+          (id, r.targetUri, r.date, r.recordId, text)
+        }
+    }.toDF("doc_id", "uri", "wdate", "rid", "text")
+
+    val q = extracted.writeStream.foreachBatch(
+      StreamingDedup.indexedIngest(s"$dir/idx", "doc_id", "text") { (df, epoch) =>
+        val rows = df.select("doc_id", "uri", "wdate", "rid", "text").collect()
+        accepted.synchronized {
+          accepted ++= rows.map(r => (r.getLong(0), r.getString(4)))
+        }
+        if (rows.nonEmpty) {
+          // survivors → WET conversion records, the crawl pipeline's output container
+          val wet = rows.toSeq.map { r =>
+            WarcIo.toWet(
+              WarcIo.WarcRecord("response", r.getString(1), r.getString(2),
+                r.getString(3), "", Map.empty, Array.emptyByteArray),
+              r.getString(4))
+          }
+          Files.write(wetDir.resolve(f"wet-$epoch%05d.warc.gz"), WarcIo.writeGz(wet))
+        }
+      }).start()
+    try {
+      input.addData(archive(Seq(1L -> textA, 2L -> textB)))
+      q.processAllAvailable()
+      // batch 2: doc 3 is a near-copy of doc 1 (one word appended) and
+      // must be dropped by the shared index; doc 4 is fresh
+      input.addData(archive(Seq(3L -> (textA + " tonight"), 4L -> textC)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(accepted.map(_._1).toSet == Set(1L, 2L, 4L), s"got ${accepted.map(_._1).toSet}")
+    // extraction really ran: boilerplate nav stripped, body text kept
+    assert(accepted.toMap.apply(1L) == textA)
+
+    // the WET side round-trips through the Spark reader: conversion
+    // records whose payload IS the deduped text, linked to the source
+    val wet = WarcIo.readWarc(spark, wetDir.toString + "/*.warc.gz")
+    val rows = wet.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("rec_type") == "conversion"))
+    val texts = rows.map(r => new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toSet
+    assert(texts == Set(textA, textB, textC))
+    // and the shared index holds exactly the accepted docs (batch parity)
+    val indexed = spark.read.parquet(s"$dir/idx/sigs").select("doc_id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 4L))
+  }
+}
