@@ -2836,9 +2836,11 @@ object SparkEntry {
           val etext = HtmlExtract.content(html, 25, 0.33).map(_.text).mkString("\n")
           (UrlOps.registrableDomain(UrlOps.parse(uri).host), etext)
         }).toDF("domain", "etext")
+        // dedup on the 16-byte digest, not the text: the distinct
+        // shuffle moves fixed-width keys however large the pages are
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_pages"),
-          countDistinct(col("etext")).as("n_unique"),
+          countDistinct(md5(col("etext").cast("binary"))).as("n_unique"),
           sum(length(col("etext")).cast("long")).as("total_chars"))
         .orderBy(col("domain"))
     }),
@@ -6447,7 +6449,7 @@ object SparkEntry {
         |      CASE WHEN length(nt) >= 25 THEN chr(10) || nt ELSE '' END AS etext
         |  FROM d)
         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
-        |  CAST(COUNT(DISTINCT etext) AS BIGINT) AS n_unique,
+        |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
 

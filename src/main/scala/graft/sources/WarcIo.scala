@@ -345,8 +345,20 @@ object WarcIo {
     import spark.implicits._
     val rows = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
-        val it = recordsFromRaw(pds.open(), maxPayloadBytes)
-        it.zipWithIndex.map { case (r, ix) =>
+        val raw = pds.open()
+        val it = recordsFromRaw(raw, maxPayloadBytes)
+        // close the file handle the moment the last record is served —
+        // at crawl scale (~70k archives/crawl) waiting for GC to reap
+        // descriptors exhausts the executor's fd table
+        val closing = new Iterator[WarcRecord] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) raw.close()
+            h
+          }
+          override def next(): WarcRecord = it.next()
+        }
+        closing.zipWithIndex.map { case (r, ix) =>
           (file, ix, r.recordType, r.targetUri, r.date, r.recordId, r.contentType,
             r.payload.length.toLong, r.payload)
         }
