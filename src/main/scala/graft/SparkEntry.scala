@@ -2804,28 +2804,20 @@ object SparkEntry {
           crawlHtml(col("doc_id"), col("text"),
             lit("Shared section heading for crawl docs")).as("html"))
       val warcDir = TempDirs.scratch("crawl_warc_")
-      docs.repartition(8).as[(Long, String)].foreachPartition {
-        (it: Iterator[(Long, String)]) =>
-          if (it.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val f = java.nio.file.Paths.get(warcDir, f"part-$pid%05d.warc.gz")
-            val out = new java.io.BufferedOutputStream(
-              java.nio.file.Files.newOutputStream(f), 1 << 20)
-            try it.foreach { case (id, html) =>
-              val tld = (id % 4) match {
-                case 0 => "com"; case 1 => "co.uk"; case 2 => "github.io"; case _ => "org"
-              }
-              val uri = s"http://w${id % 41}.site${id % 13}.$tld/p/$id"
-              val payload = WarcIo.buildHttpResponse(200, "OK",
-                Seq("Content-Type" -> "text/html; charset=utf-8"),
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              val rec = WarcIo.WarcRecord("response", uri, "2026-01-01T00:00:00Z",
-                WarcIo.recordIdFor("crawl:" + id),
-                "application/http; msgtype=response", Map.empty, payload)
-              out.write(WarcIo.gzipMember(WarcIo.writeRecord(rec)))
-            } finally out.close()
+      val records = docs.repartition(8).as[(Long, String)]
+        .mapPartitions(_.map { case (id, html) =>
+          val tld = (id % 4) match {
+            case 0 => "com"; case 1 => "co.uk"; case 2 => "github.io"; case _ => "org"
           }
-      }
+          val uri = s"http://w${id % 41}.site${id % 13}.$tld/p/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("crawl:" + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarc(records, warcDir)
       WarcIo.readWarc(s, warcDir + "/*.warc.gz")
         .where(col("rec_type") === "response")
         .select(col("target_uri"), col("payload"))
@@ -2843,6 +2835,44 @@ object SparkEntry {
           countDistinct(md5(col("etext").cast("binary"))).as("n_unique"),
           sum(length(col("etext")).cast("long")).as("total_chars"))
         .orderBy(col("domain"))
+    }),
+
+    "url_robots_filter" -> ((s, dir) => {
+      // RFC 9309 politeness gate over a formula frontier: 8 path
+      // shapes × 2 crawler tokens against one policy exercising group
+      // selection (named vs *), longest-match precedence, `*`
+      // wildcards, and `$` anchors; the expected decision per arm is
+      // fixed by construction, so the oracle states it directly
+      import s.implicits._
+      val policy = Seq(
+        "User-agent: graftbot",
+        "Disallow: /private/",
+        "Allow: /private/pub/",
+        "Disallow: /*.pdf$",
+        "Disallow: /tmp*",
+        "Allow: /tmp/keep$",
+        "",
+        "User-agent: *",
+        "Disallow: /secret/").mkString("\n")
+      s.range(200).mapPartitions { it =>
+        val robots = graft.functions.RobotsTxt.parse(policy) // once per task
+        it.flatMap { iL =>
+          val i = iL.toLong
+          val path = (i % 8) match {
+            case 0 => s"/public/page$i.html"
+            case 1 => s"/private/doc$i.html"
+            case 2 => s"/private/pub/x$i"
+            case 3 => s"/docs/file$i.pdf"
+            case 4 => s"/docs/file$i.pdfx"
+            case 5 => s"/tmp/cache$i"
+            case 6 => "/tmp/keep"
+            case _ => s"/secret/x$i"
+          }
+          Seq("graftbot", "otherbot").map(a =>
+            (i, a, path, graft.functions.RobotsTxt.isAllowed(robots, a, path)))
+        }
+      }.toDF("id", "agent", "path", "allowed")
+        .orderBy(col("id"), col("agent"))
     }),
 
     "mm_mp4_info" -> ((s, dir) => {
@@ -6452,6 +6482,26 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // the decisions are pinned per template arm: graftbot's own group
+    // governs it (so /secret is allowed), otherbot falls to * (so only
+    // /secret is denied) — any drift in group selection, longest-match
+    // precedence, wildcard or anchor semantics flips an arm
+    "url_robots_filter" ->
+      """WITH t AS (SELECT i, i % 8 AS m, CAST(i AS VARCHAR) AS si FROM range(200) r(i)),
+        |p AS (SELECT i, m,
+        |  CASE m WHEN 0 THEN '/public/page' || si || '.html'
+        |         WHEN 1 THEN '/private/doc' || si || '.html'
+        |         WHEN 2 THEN '/private/pub/x' || si
+        |         WHEN 3 THEN '/docs/file' || si || '.pdf'
+        |         WHEN 4 THEN '/docs/file' || si || '.pdfx'
+        |         WHEN 5 THEN '/tmp/cache' || si
+        |         WHEN 6 THEN '/tmp/keep'
+        |         ELSE '/secret/x' || si END AS path FROM t),
+        |a AS (SELECT i, path, 'graftbot' AS agent, m NOT IN (1, 3, 5) AS allowed FROM p
+        |      UNION ALL
+        |      SELECT i, path, 'otherbot', m <> 7 FROM p)
+        |SELECT i AS id, agent, path, allowed FROM a ORDER BY id, agent""".stripMargin,
 
     // all container fields are integer arithmetic over the track
     // formulas: durations floor-divide via // (positive operands, so

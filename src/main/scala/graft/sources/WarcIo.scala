@@ -315,6 +315,38 @@ object WarcIo {
 
   // ---------------------------------------------------------------- Spark
 
+  /** Distributed `.warc.gz` writer: one archive file per partition,
+    * gzip member per record (the layout crawl tooling expects —
+    * readers stream members without decompressing whole files). The
+    * inverse of [[readWarc]]; records are written as the partition
+    * iterator serves them, so task residency is ONE record here too.
+    *
+    * `rows` must carry the record columns `(rec_type, target_uri,
+    * warc_date, record_id, content_type, payload)` — the readWarc
+    * layout minus file/rec_ix — in any order. Returns the file count.
+    */
+  def writeWarc(rows: DataFrame, dir: String): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val cols = rows.select("rec_type", "target_uri", "warc_date", "record_id",
+      "content_type", "payload").as[(String, String, String, String, String, Array[Byte])]
+    val written = spark.sparkContext.longAccumulator("warc_files")
+    cols.foreachPartition { (it: Iterator[(String, String, String, String, String, Array[Byte])]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz")
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(f), 1 << 20)
+        try it.foreach { case (t, uri, date, rid, ct, payload) =>
+          out.write(gzipMember(writeRecord(WarcRecord(t, uri, date, rid, ct, Map.empty, payload))))
+        } finally out.close()
+        written.add(1L)
+      }
+    }
+    written.value
+  }
+
   /** Open a raw archive stream (plain or gzip — sniffed from the magic
     * bytes) and stream its records one at a time: only the current
     * record's payload is ever resident, never the archive bytes or a

@@ -123,6 +123,26 @@ class WarcIoSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out.payload, big))
   }
 
+  test("writeWarc ↔ readWarc round-trip (distributed writer, file per partition)") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("warcw")
+    val rows = spark.range(40).mapPartitions(_.map { i =>
+      ("response", s"http://example.org/w/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"w:$i"), "text/plain", s"payload $i".getBytes(UTF_8))
+    }).toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(4)
+    val nFiles = WarcIo.writeWarc(rows, dir)
+    assert(nFiles == 4)
+    val back = WarcIo.readWarc(spark, dir + "/*.warc.gz").collect()
+    assert(back.length == 40)
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toMap
+    (0 until 40).foreach { i =>
+      assert(byUri(s"http://example.org/w/$i") == s"payload $i")
+    }
+    assert(back.forall(_.getAs[String]("rec_type") == "response"))
+  }
+
   test("negative / non-numeric Content-Length fail with the WARC: contract") {
     def raw(len: String) = ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
       s"WARC-Date: d\r\nContent-Length: $len\r\n\r\nhi\r\n\r\n").getBytes(UTF_8)
