@@ -2837,6 +2837,45 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "pipeline_frontier" -> ((s, dir) => {
+      // FLAGSHIP frontier maintenance — the other half of the crawl
+      // loop (pipeline_crawl consumes archives; this produces the next
+      // fetch batch): raw outlinks → RFC 3986 normalization (which
+      // COLLAPSES tracking-param/case/port variants: 250 shop links →
+      // 50 canonical URLs) → RFC 9309 robots gate (kills the .pdf arm)
+      // → exact URL dedup → anti-join against the already-crawled set
+      // → per-eTLD+1 batch counts. Scale shape: per-row string work,
+      // one distinct on short URL strings, one broadcast anti-join,
+      // one low-cardinality domain agg.
+      import s.implicits._
+      val policy = "User-agent: *\nDisallow: /*.pdf$\n"
+      val frontier = s.range(250).mapPartitions { it =>
+        val robots = graft.functions.RobotsTxt.parse(policy)
+        it.flatMap { iL =>
+          val i = iL.toLong
+          Seq(
+            s"HTTP://WWW.Shop${i % 10}.COM:80/item/${i % 50}/?utm_source=$i",
+            s"https://files.example.com/private/doc$i.pdf",
+            s"https://u${i % 7}.github.io/posts/p$i"
+          ).flatMap { href =>
+            val norm = UrlOps.normalize(href)
+            val u = UrlOps.parse(norm)
+            val pathQ = u.path + (if (u.query.nonEmpty) "?" + u.query else "")
+            if (graft.functions.RobotsTxt.isAllowed(robots, "graftbot", pathQ))
+              Some((norm, UrlOps.registrableDomain(u.host)))
+            else None
+          }
+        }
+      }.toDF("url_norm", "domain")
+      val seen = s.range(20).map(k => s"http://www.shop${k % 10}.com/item/$k/")
+        .toDF("url_norm")
+      frontier.dropDuplicates("url_norm")
+        .join(broadcast(seen), Seq("url_norm"), "left_anti")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"))
+        .orderBy(col("domain"))
+    }),
+
     "url_robots_filter" -> ((s, dir) => {
       // RFC 9309 politeness gate over a formula frontier: 8 path
       // shapes × 2 crawler tokens against one policy exercising group
@@ -6482,6 +6521,21 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // normalization collapses the 250 shop variants to 50 canonical
+    // URLs (query is utm-only → dropped; case/port normalized); robots
+    // kills the .pdf arm; the seen set removes items 0-19; github
+    // posts are all distinct — every stage's effect is visible in the
+    // per-domain counts
+    "pipeline_frontier" ->
+      """WITH shop AS (SELECT DISTINCT i % 50 AS k FROM range(250) r(i)),
+        |u AS (
+        |  SELECT 'shop' || CAST(k % 10 AS VARCHAR) || '.com' AS domain
+        |  FROM shop WHERE k >= 20
+        |  UNION ALL
+        |  SELECT 'u' || CAST(i % 7 AS VARCHAR) || '.github.io' FROM range(250) r(i))
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
 
     // the decisions are pinned per template arm: graftbot's own group
     // governs it (so /secret is allowed), otherbot falls to * (so only

@@ -50,6 +50,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("crawl family: seen-set anti-join broadcasts; no cartesians") {
+    val pf = plan("pipeline_frontier")
+    assert(pf.contains("BroadcastHashJoin") && pf.contains("LeftAnti"),
+      "the seen-set anti-join must broadcast (the frontier side is the big one)")
+    for (q <- Seq("pipeline_crawl", "text_html_blocks", "text_html_links",
+        "url_normalize", "url_domain_stats", "url_robots_filter")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("round-6 query family: no cartesian products or nested-loop joins") {
     for (q <- Seq("q8_overlap_join", "q10_funnel", "q11_cohorts", "q12_gapfill",
         "q13_deciles", "q14_moving_avg", "k8_scd2_history", "pipeline_monitor",
