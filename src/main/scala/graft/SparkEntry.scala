@@ -2837,6 +2837,38 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "url_sitemap_parse" -> ((s, dir) => {
+      // sitemap-protocol parsing through real XML bytes: formula
+      // urlsets (loc with &amp; references, lastmod, one-decimal
+      // priority) and sitemapindex pointers; the oracle reconstructs
+      // every decoded field from the formulas. -1 is the
+      // priority-absent sentinel (nullable ints hash as float64)
+      import s.implicits._
+      s.range(60).mapPartitions(_.flatMap { iL =>
+        val i = iL.toLong
+        val h = i % 5
+        val xml =
+          if (i % 4 == 3)
+            "<sitemapindex>" + (0 until 2).map(j =>
+              s"<sitemap><loc>https://ex$h.org/sm/$i/$j.xml.gz</loc>" +
+                "<lastmod>2026-03-01</lastmod></sitemap>").mkString + "</sitemapindex>"
+          else {
+            val nu = (3 + i % 3).toInt
+            "<?xml version=\"1.0\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              (0 until nu).map(j =>
+                s"<url><loc>https://ex$h.org/p/$i/$j?a=1&amp;b=$j</loc>" +
+                  s"<lastmod>2026-0${1 + j % 9}-01</lastmod>" +
+                  s"<priority>0.$j</priority></url>").mkString + "</urlset>"
+          }
+        val sm = graft.sources.SitemapXml.parse(xml)
+        sm.entries.zipWithIndex.map { case (e, ix) =>
+          (i, sm.kind, ix, e.loc, e.lastmod, e.priorityTenths.getOrElse(-1))
+        }
+      }).toDF("sm_id", "kind", "url_ix", "loc", "lastmod", "pri_tenths")
+        .orderBy(col("sm_id"), col("url_ix"))
+    }),
+
     "pipeline_frontier" -> ((s, dir) => {
       // FLAGSHIP frontier maintenance — the other half of the crawl
       // loop (pipeline_crawl consumes archives; this produces the next
@@ -6521,6 +6553,24 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "url_sitemap_parse" ->
+      """WITH t AS (SELECT i, i % 4 AS m, CAST(i % 5 AS VARCHAR) AS h,
+        |    CAST(i AS VARCHAR) AS si, 3 + i % 3 AS nu FROM range(60) r(i)),
+        |us AS (SELECT i, 'urlset' AS kind, j AS url_ix,
+        |    'https://ex' || h || '.org/p/' || si || '/' || CAST(j AS VARCHAR)
+        |      || '?a=1&b=' || CAST(j AS VARCHAR) AS loc,
+        |    '2026-0' || CAST(1 + j % 9 AS VARCHAR) || '-01' AS lastmod,
+        |    CAST(j AS INT) AS pri_tenths
+        |  FROM t CROSS JOIN range(5) rr(j) WHERE m <> 3 AND j < nu),
+        |si AS (SELECT i, 'sitemapindex' AS kind, j AS url_ix,
+        |    'https://ex' || h || '.org/sm/' || si || '/' || CAST(j AS VARCHAR)
+        |      || '.xml.gz' AS loc,
+        |    '2026-03-01' AS lastmod, CAST(-1 AS INT) AS pri_tenths
+        |  FROM t CROSS JOIN range(2) rr(j) WHERE m = 3)
+        |SELECT i AS sm_id, kind, CAST(url_ix AS INT) AS url_ix, loc, lastmod, pri_tenths
+        |FROM (SELECT * FROM us UNION ALL SELECT * FROM si)
+        |ORDER BY sm_id, url_ix""".stripMargin,
 
     // normalization collapses the 250 shop variants to 50 canonical
     // URLs (query is utm-only → dropped; case/port normalized); robots
