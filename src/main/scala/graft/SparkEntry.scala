@@ -2837,6 +2837,32 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "text_html_meta" -> ((s, dir) => {
+      // head-section metadata through the real tokenizer: lang claim,
+      // title block, meta description (entity-decoded), OpenGraph
+      // property, and the rel=canonical link NORMALIZED — the
+      // site-published dedup key. Every field is formula-derivable
+      import s.implicits._
+      s.range(100).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val lang = Seq("en", "de", "fr", "zh")((i % 4).toInt)
+        val html =
+          s"""<html lang="$lang"><head><title>Page $i</title>
+             |<meta name="description" content="Summary $i &amp; more">
+             |<meta property="og:site_name" content="Site${i % 6}">
+             |<link rel="canonical" href="HTTP://WWW.Ex${i % 6}.COM:80/page/${i % 20}?utm_source=z&amp;v=${i % 10}">
+             |</head><body><p>body</p></body></html>""".stripMargin
+        val meta = HtmlExtract.metaTags(html).toMap
+        (i,
+          HtmlExtract.htmlLang(html).getOrElse(""),
+          HtmlExtract.title(html).getOrElse(""),
+          meta.getOrElse("description", ""),
+          meta.getOrElse("og:site_name", ""),
+          HtmlExtract.canonicalUrl(html).map(UrlOps.normalize).getOrElse(""))
+      }).toDF("id", "lang", "title", "description", "site", "canon_norm")
+        .orderBy(col("id"))
+    }),
+
     "url_sitemap_parse" -> ((s, dir) => {
       // sitemap-protocol parsing through real XML bytes: formula
       // urlsets (loc with &amp; references, lastmod, one-decimal
@@ -6553,6 +6579,19 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "text_html_meta" ->
+      """WITH t AS (SELECT i, CAST(i AS VARCHAR) AS si,
+        |    CAST(i % 6 AS VARCHAR) AS s6 FROM range(100) r(i))
+        |SELECT i AS id,
+        |  CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+        |    ELSE 'zh' END AS lang,
+        |  'Page ' || si AS title,
+        |  'Summary ' || si || ' & more' AS description,
+        |  'Site' || s6 AS site,
+        |  'http://www.ex' || s6 || '.com/page/' || CAST(i % 20 AS VARCHAR)
+        |    || '?v=' || CAST(i % 10 AS VARCHAR) AS canon_norm
+        |FROM t ORDER BY id""".stripMargin,
 
     "url_sitemap_parse" ->
       """WITH t AS (SELECT i, i % 4 AS m, CAST(i % 5 AS VARCHAR) AS h,

@@ -391,6 +391,37 @@ object HtmlExtract extends Serializable {
   def title(html: String): Option[String] =
     blocks(html).find(_.tag == "title").map(_.text)
 
+  /** `(name-or-property, content)` for every `<meta>` carrying both —
+    * description/keywords/robots plus OpenGraph `property=` tags, the
+    * head-section signals crawl quality filters read. Keys lowercased;
+    * attribute values arrive entity-decoded from the tokenizer.
+    */
+  def metaTags(html: String): Vector[(String, String)] =
+    tokenize(html).collect {
+      case StartTag("meta", attrs, _) =>
+        (attrs.collectFirst { case (k, v) if k == "name" || k == "property" => v },
+          attrs.collectFirst { case ("content", v) => v })
+    }.collect { case (Some(k), Some(c)) => (k.toLowerCase, c) }
+
+  /** `<link rel=canonical href=…>` — the duplicate-cluster key real
+    * sites publish themselves; feeding it to URL dedup collapses
+    * mirror/variant pages the content hash alone would keep.
+    */
+  def canonicalUrl(html: String): Option[String] =
+    tokenize(html).collectFirst {
+      case StartTag("link", attrs, _)
+          if attrs.exists(a => a._1 == "rel" && a._2.equalsIgnoreCase("canonical")) =>
+        attrs.collectFirst { case ("href", v) => v }
+    }.flatten
+
+  /** The root `<html lang=…>` attribute — the author's language claim,
+    * the prior a statistical language-ID gate starts from.
+    */
+  def htmlLang(html: String): Option[String] =
+    tokenize(html).collectFirst { case StartTag("html", attrs, _) =>
+      attrs.collectFirst { case ("lang", v) => v }
+    }.flatten
+
   // ---------------------------------------------------------------- Spark
 
   /** Explode each document's HTML into its kept content blocks:

@@ -131,6 +131,23 @@ class HtmlExtractSpec extends SparkSpec {
     assert(b.linkChars == 6) // "one" + "two", not the tail
   }
 
+  test("metaTags / canonicalUrl / htmlLang read the head section") {
+    val html = """<html lang="en-GB"><head><title>T</title>
+      |<meta name="description" content="a &amp; b">
+      |<meta property="og:title" content="OG title">
+      |<meta name="keywords">
+      |<meta content="orphan content">
+      |<link rel="stylesheet" href="/s.css">
+      |<link rel="canonical" href="https://ex.org/page?id=1">
+      |</head><body><p>x</p></body></html>""".stripMargin
+    assert(HtmlExtract.metaTags(html) == Vector(
+      "description" -> "a & b", "og:title" -> "OG title"))
+    assert(HtmlExtract.canonicalUrl(html).contains("https://ex.org/page?id=1"))
+    assert(HtmlExtract.htmlLang(html).contains("en-GB"))
+    assert(HtmlExtract.canonicalUrl("<p>none</p>").isEmpty)
+    assert(HtmlExtract.htmlLang("<html><p>no lang</p>").isEmpty)
+  }
+
   test("contentBlocksDf + linksDf explode per document") {
     import spark.implicits._
     val df = Seq(
