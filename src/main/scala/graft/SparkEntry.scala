@@ -2837,6 +2837,28 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "url_idn_normalize" -> ((s, dir) => {
+      // internationalized hostnames fold to one ASCII key: unicode
+      // labels → xn-- punycode (RFC 3492, JDK-cross-verified in
+      // PunycodeSpec), already-encoded and ASCII hosts pass through —
+      // so `münchen.de` and `xn--mnchen-3ya.de` dedup together. The
+      // oracle pins the expected encodings per arm
+      import s.implicits._
+      s.range(150).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val url = (i % 5) match {
+          case 0 => s"http://BÜCHER.example/p$i"
+          case 1 => s"https://MÜNCHEN.de/s/$i?utm_source=x&id=$i"
+          case 2 => s"http://日本語.jp/x$i"
+          case 3 => s"http://plain$i.example.com/y"
+          case _ => s"http://xn--mnchen-3ya.de/z$i"
+        }
+        val norm = UrlOps.normalize(url)
+        (i, norm, UrlOps.parse(norm).host)
+      }).toDF("id", "url_norm", "host")
+        .orderBy(col("id"))
+    }),
+
     "text_html_meta" -> ((s, dir) => {
       // head-section metadata through the real tokenizer: lang claim,
       // title block, meta description (entity-decoded), OpenGraph
@@ -6579,6 +6601,26 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // expected punycode per arm (bcher-kva / mnchen-3ya / wgv71a119e)
+    // is pinned — PunycodeSpec independently cross-verifies the encoder
+    // against java.net.IDN, so a drifting arm means a real encode bug
+    "url_idn_normalize" ->
+      """WITH t AS (SELECT i, i % 5 AS m, CAST(i AS VARCHAR) AS si FROM range(150) r(i))
+        |SELECT i AS id,
+        |  CASE m
+        |    WHEN 0 THEN 'http://xn--bcher-kva.example/p' || si
+        |    WHEN 1 THEN 'https://xn--mnchen-3ya.de/s/' || si || '?id=' || si
+        |    WHEN 2 THEN 'http://xn--wgv71a119e.jp/x' || si
+        |    WHEN 3 THEN 'http://plain' || si || '.example.com/y'
+        |    ELSE 'http://xn--mnchen-3ya.de/z' || si END AS url_norm,
+        |  CASE m
+        |    WHEN 0 THEN 'xn--bcher-kva.example'
+        |    WHEN 1 THEN 'xn--mnchen-3ya.de'
+        |    WHEN 2 THEN 'xn--wgv71a119e.jp'
+        |    WHEN 3 THEN 'plain' || si || '.example.com'
+        |    ELSE 'xn--mnchen-3ya.de' END AS host
+        |FROM t ORDER BY id""".stripMargin,
 
     "text_html_meta" ->
       """WITH t AS (SELECT i, CAST(i AS VARCHAR) AS si,

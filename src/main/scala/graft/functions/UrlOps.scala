@@ -283,13 +283,28 @@ object UrlOps extends Serializable {
       .mkString("&")
   }
 
+  /** IDNA-lite ToASCII: per label, locale-independent code-point
+    * lowercase; a label with any non-ASCII code point becomes
+    * `xn--` + punycode (RFC 3492). Already-encoded `xn--` labels and
+    * plain ASCII pass through lowercased. Full IDNA2008 mapping (bidi
+    * rules, contextual joiners, deviation characters) is deliberately
+    * out of scope — the case-fold + punycode pair folds the
+    * overwhelming majority of crawl hostnames to one key.
+    */
+  def toAsciiHost(host: String): String =
+    host.split("\\.", -1).map { label =>
+      val lower = label.codePoints().toArray.map(Character.toLowerCase)
+      val s = new String(lower, 0, lower.length)
+      if (s.forall(_ < 128)) s else "xn--" + Punycode.encode(s)
+    }.mkString(".")
+
   /** Full syntax-based normalization (see class doc). */
   def normalize(url: String): String = {
     val u = parse(url)
     val port = if (u.port == defaultPort(u.scheme)) -1 else u.port
     val path = normalizeEscapes(resolveDotSegments(u.path))
     val q = normalizeQuery(u.query)
-    val sb = new StringBuilder(u.scheme).append("://").append(u.host)
+    val sb = new StringBuilder(u.scheme).append("://").append(toAsciiHost(u.host))
     if (port > 0) sb.append(':').append(port)
     sb.append(path)
     if (q.nonEmpty) sb.append('?').append(q)
