@@ -2824,7 +2824,7 @@ object SparkEntry {
         .as[(String, Array[Byte])]
         .mapPartitions(_.map { case (uri, payload) =>
           val http = WarcIo.parseHttpResponse(payload)
-          val html = new String(http.body, java.nio.charset.StandardCharsets.UTF_8)
+          val html = WarcIo.decodeBody(http) // charset-aware (header/meta/UTF-8)
           val etext = HtmlExtract.content(html, 25, 0.33).map(_.text).mkString("\n")
           (UrlOps.registrableDomain(UrlOps.parse(uri).host), etext)
         }).toDF("domain", "etext")
@@ -2835,6 +2835,38 @@ object SparkEntry {
           countDistinct(md5(col("etext").cast("binary"))).as("n_unique"),
           sum(length(col("etext")).cast("long")).as("total_chars"))
         .orderBy(col("domain"))
+    }),
+
+    "text_html_charset" -> ((s, dir) => {
+      // charset-correct body decode — the silent-mojibake trap: pages
+      // are built as REAL ISO-8859-1 / windows-1252 / UTF-8 bytes and
+      // decoded back via the header-charset → meta-prescan → UTF-8
+      // chain; the oracle states the original text, so green means no
+      // arm mis-decoded a single code point
+      import s.implicits._
+      s.range(120).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val text = (i % 4) match {
+          case 0 => s"Café onza £$i - déjà vu résumé naïveté ordinal nº$i"
+          case 1 => s"Señor ñandú $i piñata jalapeño año"
+          case 2 => s"UTF-8 snowman ☃ and emoji 😀 doc $i"
+          case _ => s"Windows euro €$i quote ’curly’ dash–$i"
+        }
+        val meta = if (i % 4 == 1) "<meta charset=\"iso-8859-1\">" else ""
+        val html = s"<html><head>$meta<title>t</title></head><body><p>$text</p></body></html>"
+        val (ct, cs) = (i % 4) match {
+          case 0 => ("text/html; charset=ISO-8859-1", "ISO-8859-1")
+          case 1 => ("text/html", "ISO-8859-1") // no header → meta prescan
+          case 2 => ("text/html", "UTF-8")      // no declaration → default
+          case _ => ("text/html; charset=windows-1252", "windows-1252")
+        }
+        val payload = WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> ct),
+          html.getBytes(java.nio.charset.Charset.forName(cs)))
+        val decoded = WarcIo.decodeBody(WarcIo.parseHttpResponse(payload))
+        val block = HtmlExtract.content(decoded, 10, 0.5).map(_.text).mkString("\n")
+        (i, block, block.codePointCount(0, block.length))
+      }).toDF("id", "text", "n_chars")
+        .orderBy(col("id"))
     }),
 
     "url_idn_normalize" -> ((s, dir) => {
@@ -6601,6 +6633,18 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "text_html_charset" ->
+      """WITH t AS (SELECT i, i % 4 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),
+        |e AS (SELECT i,
+        |  CASE m
+        |    WHEN 0 THEN 'Café onza £' || si || ' - déjà vu résumé naïveté ordinal nº' || si
+        |    WHEN 1 THEN 'Señor ñandú ' || si || ' piñata jalapeño año'
+        |    WHEN 2 THEN 'UTF-8 snowman ☃ and emoji 😀 doc ' || si
+        |    ELSE 'Windows euro €' || si || ' quote ’curly’ dash–' || si END AS text
+        |  FROM t)
+        |SELECT i AS id, text, CAST(length(text) AS INT) AS n_chars
+        |FROM e ORDER BY id""".stripMargin,
 
     // expected punycode per arm (bcher-kva / mnchen-3ya / wgv71a119e)
     // is pinned — PunycodeSpec independently cross-verifies the encoder

@@ -300,6 +300,63 @@ object WarcIo {
     HttpResponse(status._1, status._2, headers, body)
   }
 
+  /** Charset named by a Content-Type value ("text/html;
+    * charset=ISO-8859-1"), if present and known to the JVM.
+    */
+  def charsetOf(contentType: String): Option[java.nio.charset.Charset] = {
+    val lower = contentType.toLowerCase
+    val at = lower.indexOf("charset=")
+    if (at < 0) None
+    else {
+      var end = at + 8
+      while (end < lower.length && lower.charAt(end) != ';' &&
+        !Character.isWhitespace(lower.charAt(end))) end += 1
+      val name = lower.substring(at + 8, end).stripPrefix("\"").stripSuffix("\"")
+      try Some(java.nio.charset.Charset.forName(name))
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Find a `<meta charset=…>` / `<meta http-equiv … content="…;
+    * charset=…">` declaration in the first `window` body bytes (the
+    * WHATWG prescan, simplified): the bytes are read as ISO-8859-1 —
+    * an ASCII superset, so the declaration's own characters are exact.
+    */
+  def sniffMetaCharset(body: Array[Byte], window: Int = 1024): Option[java.nio.charset.Charset] = {
+    val head = new String(body, 0, math.min(window, body.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val at = head.indexOf("charset=")
+    if (at < 0) None
+    else {
+      var st = at + 8
+      if (st < head.length && (head.charAt(st) == '"' || head.charAt(st) == '\'')) st += 1
+      var end = st
+      while (end < head.length && (head.charAt(end).isLetterOrDigit ||
+        head.charAt(end) == '-' || head.charAt(end) == '_')) end += 1
+      val name = head.substring(st, end)
+      if (name.isEmpty) None
+      else try Some(java.nio.charset.Charset.forName(name))
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Decode an HTTP body to text the way a crawl pipeline must:
+    * Content-Type header charset first, then the in-document `<meta
+    * charset>` prescan, then UTF-8 — with unmappable/malformed bytes
+    * replaced by U+FFFD rather than thrown (mojibake must be visible
+    * and bounded, never fatal: one bad page cannot kill a 100 TB
+    * extract job, and silent misdecoding corrupts training text).
+    */
+  def decodeBody(http: HttpResponse): String = {
+    val cs = http.header("Content-Type").flatMap(charsetOf)
+      .orElse(sniffMetaCharset(http.body))
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(http.body)).toString
+  }
+
   /** WET-style conversion record: extracted plain text standing in for
     * the crawl response it was derived from.
     */

@@ -143,6 +143,29 @@ class WarcIoSpec extends SparkSpec {
     assert(back.forall(_.getAs[String]("rec_type") == "response"))
   }
 
+  test("charset chain: header > meta prescan > UTF-8; replacement never throws") {
+    import java.nio.charset.Charset
+    // header wins
+    val latin = "café ñ".getBytes(Charset.forName("ISO-8859-1"))
+    val h1 = WarcIo.parseHttpResponse(WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html; charset=ISO-8859-1"), latin))
+    assert(WarcIo.decodeBody(h1) == "café ñ")
+    // no header charset → meta prescan
+    val metaDoc = "<html><head><meta charset='windows-1252'></head><body>€</body></html>"
+    val h2 = WarcIo.parseHttpResponse(WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html"), metaDoc.getBytes(Charset.forName("windows-1252"))))
+    assert(WarcIo.decodeBody(h2).contains("€"))
+    // unknown charset name → fall through to UTF-8
+    assert(WarcIo.charsetOf("text/html; charset=not-a-charset").isEmpty)
+    assert(WarcIo.charsetOf("text/html").isEmpty)
+    assert(WarcIo.charsetOf("TEXT/HTML; CHARSET=\"UTF-8\"").map(_.name).contains("UTF-8"))
+    // malformed UTF-8 bytes decode to U+FFFD, never throw
+    val bad = WarcIo.parseHttpResponse(WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/plain; charset=utf-8"),
+      Array[Byte]('o', 'k', 0xC3.toByte, 0x28)))
+    assert(WarcIo.decodeBody(bad) == "ok�(")
+  }
+
   test("negative / non-numeric Content-Length fail with the WARC: contract") {
     def raw(len: String) = ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
       s"WARC-Date: d\r\nContent-Length: $len\r\n\r\nhi\r\n\r\n").getBytes(UTF_8)
