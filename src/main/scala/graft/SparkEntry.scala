@@ -2837,6 +2837,22 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "crawl_schedule" -> ((s, dir) => {
+      // fetch scheduling: rendezvous (HRW) fetcher assignment on the
+      // portable md5-60 chain + per-domain politeness slots. The
+      // oracle rebuilds the same scores with arg_max and the same
+      // window — fetcher choice AND slot arithmetic both hash-gated
+      import s.implicits._
+      val frontier = s.range(300).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val d = i % 20
+        (s"site$d.example.com", s"http://site$d.example.com/p/$i", 500L + d * 100L)
+      }).toDF("domain", "url", "delay_ms")
+      graft.operators.CrawlScheduler.schedule(frontier, "domain", "url", 4, col("delay_ms"))
+        .select(col("url"), col("domain"), col("fetcher"), col("slot_ms"))
+        .orderBy(col("url"))
+    }),
+
     "text_html_charset" -> ((s, dir) => {
       // charset-correct body decode — the silent-mojibake trap: pages
       // are built as REAL ISO-8859-1 / windows-1252 / UTF-8 bytes and
@@ -6633,6 +6649,24 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT md5(etext)) AS BIGINT) AS n_unique,
         |  CAST(SUM(length(etext)) AS BIGINT) AS total_chars
         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // HRW score = top 60 bits of md5(domain || '|' || fetcher) — the
+    // same ('0x' || substr(md5, 1, 15))::BIGINT chain all portable
+    // sketches use; arg_max picks the winner, the window the slot
+    "crawl_schedule" ->
+      """WITH t AS (SELECT i, i % 20 AS d FROM range(300) r(i)),
+        |u AS (SELECT 'site' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+        |    'http://site' || CAST(d AS VARCHAR) || '.example.com/p/' || CAST(i AS VARCHAR) AS url,
+        |    500 + d * 100 AS delay_ms FROM t),
+        |fa AS (SELECT domain,
+        |    arg_max(f, ('0x' || substr(md5(domain || '|' || CAST(f AS VARCHAR)), 1, 15))::BIGINT) AS fetcher
+        |  FROM (SELECT DISTINCT domain FROM u) CROSS JOIN range(4) r(f)
+        |  GROUP BY domain)
+        |SELECT u.url, u.domain, CAST(fa.fetcher AS INT) AS fetcher,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY u.domain ORDER BY u.url) - 1)
+        |    * u.delay_ms AS BIGINT) AS slot_ms
+        |FROM u JOIN fa USING (domain)
+        |ORDER BY url""".stripMargin,
 
     "text_html_charset" ->
       """WITH t AS (SELECT i, i % 4 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),

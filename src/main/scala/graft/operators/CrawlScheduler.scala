@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fetch scheduling for a crawl frontier — the step between "which
+  * URLs" (pipeline_frontier) and the fetchers: host-level politeness
+  * requires ONE queue per registrable domain, so domains must map
+  * stably to fetchers and fetches within a domain must be spaced by
+  * its crawl delay.
+  *
+  * Fetcher assignment is rendezvous hashing (highest-random-weight):
+  * score(domain, f) = md5-top-60-bits of `domain|f`, fetcher with the
+  * max score wins. Unlike `hash(domain) % n`, resizing the fleet from
+  * n to n+1 moves only ~1/(n+1) of domains — the property that keeps
+  * per-host queues (and their politeness clocks) stable through
+  * scale-ups. Scored in one codegen'd higher-order expression per row:
+  * no explode, no shuffle, no fetcher table.
+  *
+  * Slotting is one window per domain partition: fetch k of a domain
+  * gets start offset (k-1)·delay — the shuffle is keyed on the
+  * (bounded-cardinality) domain, never on URLs.
+  */
+object CrawlScheduler {
+
+  /** Add an integer `fetcher` column (0-based) via rendezvous hashing
+    * over `nFetchers` fetchers. Deterministic, cross-engine portable
+    * (the md5-prefix chain every sketch here uses).
+    */
+  def assignFetchers(df: DataFrame, domainCol: String, nFetchers: Int): DataFrame = {
+    require(nFetchers > 0, "need at least one fetcher")
+    df.withColumn("fetcher", expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${nFetchers - 1}),
+         |    f -> struct(graft_md5_60(concat($domainCol, '|', cast(f as string))) as s,
+         |                f as id)),
+         |  struct(cast(-1 as bigint) as s, cast(-1 as int) as id),
+         |  (acc, x) -> if(x.s > acc.s, x, acc)).id""".stripMargin))
+  }
+
+  /** Politeness schedule: assign fetchers, then give fetch k of each
+    * domain the start slot (k-1)·delay (ordered by `urlCol` for
+    * determinism). `delayMsCol` is per-row (usually a per-domain
+    * crawl-delay joined from robots.txt; constant via `lit`).
+    */
+  def schedule(frontier: DataFrame, domainCol: String, urlCol: String,
+      nFetchers: Int, delayMsCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(urlCol))
+    assignFetchers(frontier, domainCol, nFetchers)
+      .withColumn("slot_ms",
+        (row_number().over(w) - 1).cast("long") * delayMsCol.cast("long"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CrawlScheduler
+
+/** Rendezvous fetcher assignment + per-domain politeness slotting. */
+class CrawlSchedulerSpec extends SparkSpec {
+
+  test("same domain → same fetcher; assignment spreads across the fleet") {
+    import spark.implicits._
+    val urls = (0 until 400).map(i => (s"d${i % 40}.example.com", s"http://d${i % 40}.example.com/p/$i"))
+      .toDF("domain", "url")
+    val assigned = CrawlScheduler.assignFetchers(urls, "domain", 8).cache()
+    val perDomain = assigned.groupBy("domain")
+      .agg(countDistinct(col("fetcher")).as("nf")).collect()
+    assert(perDomain.forall(_.getLong(1) == 1L), "a domain must map to exactly one fetcher")
+    val used = assigned.select("fetcher").distinct().as[Int].collect().toSet
+    assert(used.size >= 5, s"40 domains over 8 fetchers should hit most of the fleet, got $used")
+    assert(used.forall(f => f >= 0 && f < 8))
+    assigned.unpersist()
+  }
+
+  test("rendezvous stability: growing the fleet moves only a minority of domains") {
+    import spark.implicits._
+    val domains = (0 until 200).map(i => s"host$i.org").toDF("domain")
+    val at8 = CrawlScheduler.assignFetchers(domains, "domain", 8)
+      .select(col("domain"), col("fetcher").as("f8"))
+    val at9 = CrawlScheduler.assignFetchers(domains, "domain", 9)
+      .select(col("domain"), col("fetcher").as("f9"))
+    val moved = at8.join(at9, "domain").filter(col("f8") =!= col("f9")).count()
+    // expected ~200/9 ≈ 22; mod-hashing would move ~178
+    assert(moved < 60, s"rendezvous should move ~1/9 of domains, moved $moved")
+    // and every moved domain went TO the new fetcher (HRW property)
+    val movedWrong = at8.join(at9, "domain")
+      .filter(col("f8") =!= col("f9") && col("f9") =!= 8).count()
+    assert(movedWrong == 0, "an HRW reassignment can only target the added fetcher")
+  }
+
+  test("slots: fetch k of a domain starts at (k-1)*delay") {
+    import spark.implicits._
+    val urls = Seq(
+      ("a.org", "http://a.org/1"), ("a.org", "http://a.org/2"),
+      ("a.org", "http://a.org/3"), ("b.org", "http://b.org/1"))
+      .toDF("domain", "url")
+    val s = CrawlScheduler.schedule(urls, "domain", "url", 4, lit(1500))
+      .select("domain", "url", "slot_ms").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(s == Set(
+      ("a.org", "http://a.org/1", 0L), ("a.org", "http://a.org/2", 1500L),
+      ("a.org", "http://a.org/3", 3000L), ("b.org", "http://b.org/1", 0L)))
+  }
+}
