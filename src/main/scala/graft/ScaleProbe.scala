@@ -474,36 +474,38 @@ object ScaleProbe {
       // task ever holds an archive.
       locally {
         var warcDir: String = null
-        time("crawl_warc_build", k) {
+        // the build is the same writeWarc sink production uses — the
+        // probe must not maintain a second archive writer
+        def buildArchives(): Unit = {
+          import spark.implicits._
           warcDir = TempDirs.scratch("probe_warc")
-          val wd = warcDir
-          d.select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+          val records = d.select(col("doc_id"), col("text"))
+            .filter(col("text").isNotNull)
             .repartition(32)
-            .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-              if (it.hasNext) {
-                val pid = org.apache.spark.TaskContext.getPartitionId()
-                val f = java.nio.file.Paths.get(wd, f"part-$pid%05d.warc.gz")
-                val out = new java.io.BufferedOutputStream(
-                  java.nio.file.Files.newOutputStream(f), 1 << 20)
-                try it.foreach { row =>
-                  val id = row.getLong(0)
-                  val esc = row.getString(1).replace("&", "&amp;")
-                    .replace("<", "&lt;").replace(">", "&gt;")
-                  val html = "<html><body><nav><a href='/'>Home</a></nav>" +
-                    s"<h1>Shared heading for the crawl probe</h1><p>$esc</p></body></html>"
-                  val payload = sources.WarcIo.buildHttpResponse(200, "OK",
-                    Seq("Content-Type" -> "text/html; charset=utf-8"),
-                    html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                  out.write(sources.WarcIo.gzipMember(sources.WarcIo.writeRecord(
-                    sources.WarcIo.WarcRecord("response",
-                      s"http://site${id % 997}.example.com/p/$id",
-                      "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor("probe:" + id),
-                      "application/http; msgtype=response", Map.empty, payload))))
-                } finally out.close()
-              }
-            }
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, text) =>
+              val esc = text.replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+              val html = "<html><body><nav><a href='/'>Home</a></nav>" +
+                s"<h1>Shared heading for the crawl probe</h1><p>$esc</p></body></html>"
+              val payload = sources.WarcIo.buildHttpResponse(200, "OK",
+                Seq("Content-Type" -> "text/html; charset=utf-8"),
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              ("response", s"http://site${id % 997}.example.com/p/$id",
+                "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor("probe:" + id),
+                "application/http; msgtype=response", payload)
+            }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+              "content_type", "payload")
+          sources.WarcIo.writeWarc(records, warcDir)
+        }
+        time("crawl_warc_build", k) {
+          buildArchives()
           d.limit(0) // archives written above; noop write below
         }
+        // a filtered run asking only for crawl_extract still needs the
+        // archives — build them untimed
+        if (warcDir == null && only.forall(_.contains("crawl_extract")))
+          buildArchives()
         if (warcDir != null) time("crawl_extract", k) {
           import spark.implicits._
           sources.WarcIo.readWarc(spark, warcDir + "/*.warc.gz")

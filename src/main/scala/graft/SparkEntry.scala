@@ -2922,13 +2922,12 @@ object SparkEntry {
              |<meta property="og:site_name" content="Site${i % 6}">
              |<link rel="canonical" href="HTTP://WWW.Ex${i % 6}.COM:80/page/${i % 20}?utm_source=z&amp;v=${i % 10}">
              |</head><body><p>body</p></body></html>""".stripMargin
-        val meta = HtmlExtract.metaTags(html).toMap
-        (i,
-          HtmlExtract.htmlLang(html).getOrElse(""),
-          HtmlExtract.title(html).getOrElse(""),
+        val hs = HtmlExtract.headSignals(html) // ONE tokenizer pass
+        val meta = hs.meta.toMap
+        (i, hs.lang, hs.title,
           meta.getOrElse("description", ""),
           meta.getOrElse("og:site_name", ""),
-          HtmlExtract.canonicalUrl(html).map(UrlOps.normalize).getOrElse(""))
+          if (hs.canonical.isEmpty) "" else UrlOps.normalize(hs.canonical))
       }).toDF("id", "lang", "title", "description", "site", "canon_norm")
         .orderBy(col("id"))
     }),

@@ -66,7 +66,9 @@ object Punycode extends Serializable {
       cps.foreach { c =>
         if (c < n) {
           delta += 1
-          if (delta == 0) throw new IllegalArgumentException("punycode: overflow")
+          // JVM ints wrap to NEGATIVE, not zero — the RFC's unsigned
+          // wrap check translates to a sign check here
+          if (delta < 0) throw new IllegalArgumentException("punycode: overflow")
         }
         if (c == n) {
           var q = delta

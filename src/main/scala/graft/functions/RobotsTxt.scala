@@ -57,7 +57,12 @@ object RobotsTxt extends Serializable {
       if (agents.nonEmpty) raws += Raw(agents, rules, delay)
       agents = Vector.empty; rules = Vector.empty; delay = None; sawRules = false
     }
-    text.split("\r?\n", -1).foreach { line0 =>
+    // a UTF-8 BOM survives decoding as U+FEFF, which String.trim does
+    // NOT strip — left in place it turns the first field name into
+    // "<BOM>user-agent", the whole first group is skipped as unknown,
+    // and every disallowed path silently becomes allowed
+    val body = if (text.nonEmpty && text.charAt(0) == '\uFEFF') text.substring(1) else text
+    body.split("\r?\n", -1).foreach { line0 =>
       val line = {
         val h = line0.indexOf('#')
         (if (h >= 0) line0.substring(0, h) else line0).trim

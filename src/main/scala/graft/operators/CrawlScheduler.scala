@@ -30,13 +30,18 @@ object CrawlScheduler {
     */
   def assignFetchers(df: DataFrame, domainCol: String, nFetchers: Int): DataFrame = {
     require(nFetchers > 0, "need at least one fetcher")
-    df.withColumn("fetcher", expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${nFetchers - 1}),
-         |    f -> struct(graft_md5_60(concat($domainCol, '|', cast(f as string))) as s,
-         |                f as id)),
-         |  struct(cast(-1 as bigint) as s, cast(-1 as int) as id),
-         |  (acc, x) -> if(x.s > acc.s, x, acc)).id""".stripMargin))
+    // a NULL domain must surface as a NULL fetcher, not leak the -1
+    // accumulator seed as a phantom queue id (null md5 scores make
+    // every comparison null, so the fold would return the seed)
+    df.withColumn("fetcher",
+      when(col(domainCol).isNull, lit(null))
+        .otherwise(expr(
+          s"""aggregate(
+             |  transform(sequence(0, ${nFetchers - 1}),
+             |    f -> struct(graft_md5_60(concat($domainCol, '|', cast(f as string))) as s,
+             |                f as id)),
+             |  struct(cast(-1 as bigint) as s, cast(-1 as int) as id),
+             |  (acc, x) -> if(x.s > acc.s, x, acc)).id""".stripMargin)))
   }
 
   /** Politeness schedule: assign fetchers, then give fetch k of each

@@ -117,44 +117,8 @@ object HtmlExtract extends Serializable {
     * that would corrupt downstream UTF-8 encoding (WET payloads), and
     * U+FFFD is what browsers substitute.
     */
-  def decodeEntities(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    val out = new MutSB(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != '&') { out.append(c); i += 1 }
-      else {
-        val semi = s.indexOf(';', i + 1)
-        if (semi < 0 || semi - i > 12) { out.append('&'); i += 1 }
-        else {
-          val body = s.substring(i + 1, semi)
-          val decoded: Option[String] =
-            if (body.startsWith("#x") || body.startsWith("#X"))
-              try codePointText(Integer.parseInt(body.substring(2), 16))
-              catch { case _: NumberFormatException => None }
-            else if (body.startsWith("#"))
-              try codePointText(Integer.parseInt(body.substring(1)))
-              catch { case _: NumberFormatException => None }
-            else namedEntities.get(body)
-          decoded match {
-            case Some(d) => out.append(d); i = semi + 1
-            case None => out.append('&'); i += 1
-          }
-        }
-      }
-    }
-    out.toString
-  }
-
-  /** Numeric-reference decode: surrogate-block code points → U+FFFD
-    * (ill-formed UTF-16; browsers substitute), out-of-range → None
-    * (reference passes through verbatim).
-    */
-  private def codePointText(cp: Int): Option[String] =
-    if (cp >= 0xD800 && cp <= 0xDFFF) Some("�")
-    else if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp)))
-    else None
+  def decodeEntities(s: String): String =
+    graft.functions.CharRefs.decode(s, namedEntities)
 
   // ------------------------------------------------------------ tokenizer
 
@@ -391,36 +355,68 @@ object HtmlExtract extends Serializable {
   def title(html: String): Option[String] =
     blocks(html).find(_.tag == "title").map(_.text)
 
-  /** `(name-or-property, content)` for every `<meta>` carrying both —
-    * description/keywords/robots plus OpenGraph `property=` tags, the
-    * head-section signals crawl quality filters read. Keys lowercased;
-    * attribute values arrive entity-decoded from the tokenizer.
+  /** Every head-section signal a crawl pipeline reads, in one place:
+    * the root `lang` claim, the `<title>` text, `(name-or-property,
+    * content)` meta pairs (description/robots/OpenGraph), and the
+    * `rel=canonical` href — the site-published dedup key.
     */
-  def metaTags(html: String): Vector[(String, String)] =
-    tokenize(html).collect {
+  final case class HeadSignals(lang: String, title: String,
+      meta: Vector[(String, String)], canonical: String)
+
+  /** All head signals in ONE tokenizer pass over the head slice
+    * (everything before `</head>`, or the whole document when the tag
+    * is missing) — per-row crawl metadata must not cost four
+    * full-document parses. Keys lowercased; attribute values arrive
+    * entity-decoded from the tokenizer.
+    */
+  def headSignals(html: String): HeadSignals = {
+    val cut = indexOfIgnoreCase(html, "</head", 0)
+    val head = if (cut >= 0) html.substring(0, cut) else html
+    var lang = ""
+    var canonical = ""
+    val meta = Vector.newBuilder[(String, String)]
+    val titleSb = new MutSB
+    var inTitle = false
+    var titleDone = false
+    tokenize(head).foreach {
+      case StartTag("html", attrs, _) =>
+        if (lang.isEmpty)
+          attrs.collectFirst { case ("lang", v) => v }.foreach(lang = _)
       case StartTag("meta", attrs, _) =>
-        (attrs.collectFirst { case (k, v) if k == "name" || k == "property" => v },
-          attrs.collectFirst { case ("content", v) => v })
-    }.collect { case (Some(k), Some(c)) => (k.toLowerCase, c) }
-
-  /** `<link rel=canonical href=…>` — the duplicate-cluster key real
-    * sites publish themselves; feeding it to URL dedup collapses
-    * mirror/variant pages the content hash alone would keep.
-    */
-  def canonicalUrl(html: String): Option[String] =
-    tokenize(html).collectFirst {
+        val k = attrs.collectFirst { case (n, v) if n == "name" || n == "property" => v }
+        val c = attrs.collectFirst { case ("content", v) => v }
+        (k, c) match {
+          case (Some(kk), Some(cc)) => meta += ((kk.toLowerCase, cc))
+          case _ => ()
+        }
       case StartTag("link", attrs, _)
-          if attrs.exists(a => a._1 == "rel" && a._2.equalsIgnoreCase("canonical")) =>
-        attrs.collectFirst { case ("href", v) => v }
-    }.flatten
+          if canonical.isEmpty &&
+            attrs.exists(a => a._1 == "rel" && a._2.equalsIgnoreCase("canonical")) =>
+        attrs.collectFirst { case ("href", v) => v }.foreach(canonical = _)
+      case StartTag("title", _, selfClosing) =>
+        if (!titleDone && !selfClosing) inTitle = true
+      case EndTag("title") =>
+        if (inTitle) { inTitle = false; titleDone = true }
+      case TextTok(raw) if inTitle => titleSb.append(decodeEntities(raw))
+      case _ => ()
+    }
+    HeadSignals(lang, normalizeSpace(titleSb.toString), meta.result(), canonical)
+  }
 
-  /** The root `<html lang=…>` attribute — the author's language claim,
-    * the prior a statistical language-ID gate starts from.
-    */
-  def htmlLang(html: String): Option[String] =
-    tokenize(html).collectFirst { case StartTag("html", attrs, _) =>
-      attrs.collectFirst { case ("lang", v) => v }
-    }.flatten
+  /** Meta `(name-or-property, content)` pairs; see [[headSignals]]. */
+  def metaTags(html: String): Vector[(String, String)] = headSignals(html).meta
+
+  /** `<link rel=canonical href=…>`; see [[headSignals]]. */
+  def canonicalUrl(html: String): Option[String] = {
+    val c = headSignals(html).canonical
+    if (c.isEmpty) None else Some(c)
+  }
+
+  /** The root `<html lang=…>` attribute; see [[headSignals]]. */
+  def htmlLang(html: String): Option[String] = {
+    val l = headSignals(html).lang
+    if (l.isEmpty) None else Some(l)
+  }
 
   // ---------------------------------------------------------------- Spark
 

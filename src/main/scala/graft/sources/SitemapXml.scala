@@ -27,49 +27,10 @@ object SitemapXml extends Serializable {
 
   final case class Sitemap(kind: String, entries: Vector[Entry])
 
-  private def decodeRefs(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    val out = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != '&') { out.append(c); i += 1 }
-      else {
-        val semi = s.indexOf(';', i + 1)
-        if (semi < 0 || semi - i > 10) { out.append('&'); i += 1 }
-        else {
-          val body = s.substring(i + 1, semi)
-          val dec = body match {
-            case "amp" => Some("&")
-            case "lt" => Some("<")
-            case "gt" => Some(">")
-            case "quot" => Some("\"")
-            case "apos" => Some("'")
-            case b if b.startsWith("#x") || b.startsWith("#X") =>
-              try {
-                val cp = Integer.parseInt(b.substring(2), 16)
-                if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
-                  Some(new String(Character.toChars(cp)))
-                else None
-              } catch { case _: NumberFormatException => None }
-            case b if b.startsWith("#") =>
-              try {
-                val cp = Integer.parseInt(b.substring(1))
-                if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
-                  Some(new String(Character.toChars(cp)))
-                else None
-              } catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-          dec match {
-            case Some(d) => out.append(d); i = semi + 1
-            case None => out.append('&'); i += 1
-          }
-        }
-      }
-    }
-    out.toString
-  }
+  // XML's five predefined entities + numeric forms, via the shared
+  // decoder so the surrogate/overflow policy matches HtmlExtract's
+  private def decodeRefs(s: String): String =
+    graft.functions.CharRefs.decode(s, graft.functions.CharRefs.xmlEntities)
 
   /** Index just past `<name...>`, or -1. Matches `<name>` and
     * `<name attr=...>`, not `<namelonger>`.

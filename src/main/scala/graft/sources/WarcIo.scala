@@ -321,35 +321,52 @@ object WarcIo {
     * charset=…">` declaration in the first `window` body bytes (the
     * WHATWG prescan, simplified): the bytes are read as ISO-8859-1 —
     * an ASCII superset, so the declaration's own characters are exact.
+    * Only `charset=` occurrences INSIDE a `<meta …>` tag count — a
+    * page whose early text or link hrefs merely mention `charset=`
+    * must not select the decode charset.
     */
   def sniffMetaCharset(body: Array[Byte], window: Int = 1024): Option[java.nio.charset.Charset] = {
     val head = new String(body, 0, math.min(window, body.length),
       java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
-    val at = head.indexOf("charset=")
-    if (at < 0) None
-    else {
-      var st = at + 8
-      if (st < head.length && (head.charAt(st) == '"' || head.charAt(st) == '\'')) st += 1
-      var end = st
-      while (end < head.length && (head.charAt(end).isLetterOrDigit ||
-        head.charAt(end) == '-' || head.charAt(end) == '_')) end += 1
-      val name = head.substring(st, end)
-      if (name.isEmpty) None
-      else try Some(java.nio.charset.Charset.forName(name))
-      catch { case _: Exception => None }
+    var metaAt = head.indexOf("<meta")
+    while (metaAt >= 0) {
+      val tagEnd = head.indexOf('>', metaAt) match {
+        case -1 => head.length
+        case e => e
+      }
+      val at = head.indexOf("charset=", metaAt)
+      if (at >= 0 && at < tagEnd) {
+        var st = at + 8
+        if (st < head.length && (head.charAt(st) == '"' || head.charAt(st) == '\'')) st += 1
+        var end = st
+        while (end < head.length && (head.charAt(end).isLetterOrDigit ||
+          head.charAt(end) == '-' || head.charAt(end) == '_')) end += 1
+        val name = head.substring(st, end)
+        if (name.nonEmpty)
+          try return Some(java.nio.charset.Charset.forName(name))
+          catch { case _: Exception => () } // unknown name: keep scanning
+      }
+      metaAt = head.indexOf("<meta", metaAt + 5)
     }
+    None
   }
 
   /** Decode an HTTP body to text the way a crawl pipeline must:
-    * Content-Type header charset first, then the in-document `<meta
-    * charset>` prescan, then UTF-8 — with unmappable/malformed bytes
-    * replaced by U+FFFD rather than thrown (mojibake must be visible
-    * and bounded, never fatal: one bad page cannot kill a 100 TB
-    * extract job, and silent misdecoding corrupts training text).
+    * Content-Type header charset first, then — for (X)HTML/XML bodies
+    * only — the in-document `<meta charset>` prescan, then UTF-8; with
+    * unmappable/malformed bytes replaced by U+FFFD rather than thrown
+    * (mojibake must be visible and bounded, never fatal: one bad page
+    * cannot kill a 100 TB extract job, and silent misdecoding corrupts
+    * training text).
     */
   def decodeBody(http: HttpResponse): String = {
-    val cs = http.header("Content-Type").flatMap(charsetOf)
-      .orElse(sniffMetaCharset(http.body))
+    val ct = http.header("Content-Type")
+    val markupBody = ct.forall { c =>
+      val l = c.toLowerCase
+      l.contains("html") || l.contains("xml")
+    }
+    val cs = ct.flatMap(charsetOf)
+      .orElse(if (markupBody) sniffMetaCharset(http.body) else None)
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
@@ -380,28 +397,49 @@ object WarcIo {
     *
     * `rows` must carry the record columns `(rec_type, target_uri,
     * warc_date, record_id, content_type, payload)` — the readWarc
-    * layout minus file/rec_ix — in any order. Returns the file count.
+    * layout minus file/rec_ix — in any order. `dir` must be on a
+    * filesystem every executor can reach (shared mount or local
+    * mode); tasks create it themselves, and a retried task rewrites
+    * its own part file (CREATE+TRUNCATE), so the output is
+    * attempt-idempotent. Returns the number of archive files ON DISK
+    * after completion (counted on the driver — an accumulator would
+    * double-count retried attempts).
     */
   def writeWarc(rows: DataFrame, dir: String): Long = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
     val spark = rows.sparkSession
     import spark.implicits._
     val cols = rows.select("rec_type", "target_uri", "warc_date", "record_id",
       "content_type", "payload").as[(String, String, String, String, String, Array[Byte])]
-    val written = spark.sparkContext.longAccumulator("warc_files")
     cols.foreachPartition { (it: Iterator[(String, String, String, String, String, Array[Byte])]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         val f = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz")
         val out = new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(f), 1 << 20)
         try it.foreach { case (t, uri, date, rid, ct, payload) =>
           out.write(gzipMember(writeRecord(WarcRecord(t, uri, date, rid, ct, Map.empty, payload))))
         } finally out.close()
-        written.add(1L)
       }
     }
-    written.value
+    val ls = java.nio.file.Files.list(p)
+    try ls.filter(f => f.getFileName.toString.endsWith(".warc.gz")).count()
+    finally ls.close()
+  }
+
+  /** Wrap a raw archive stream in its decompressor (gzip sniffed from
+    * the magic bytes; plain passes through buffered). Closing the
+    * returned stream closes `raw` and releases the gzip Inflater's
+    * native memory.
+    */
+  def openArchiveStream(raw: InputStream): InputStream = {
+    val buf = new BufferedInputStream(raw, 64 << 10)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf) else buf
   }
 
   /** Open a raw archive stream (plain or gzip — sniffed from the magic
@@ -409,16 +447,22 @@ object WarcIo {
     * record's payload is ever resident, never the archive bytes or a
     * collection of records. This IS the distributed parse path —
     * `readWarc` calls it per file; `readAll` (whole-Vector) exists only
-    * for small in-memory inputs like tests.
+    * for small in-memory inputs like tests. The stream (and with it
+    * the gzip Inflater) closes the moment the last record is served —
+    * a task whose partition holds many archives must not hold every
+    * file open until task end.
     */
   def recordsFromRaw(raw: InputStream, maxPayloadBytes: Int = 64 << 20): Iterator[WarcRecord] = {
-    val buf = new BufferedInputStream(raw, 64 << 10)
-    buf.mark(2)
-    val b0 = buf.read(); val b1 = buf.read()
-    buf.reset()
-    val in: InputStream =
-      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf) else buf
-    readStream(in, maxPayloadBytes)
+    val in = openArchiveStream(raw)
+    val it = readStream(in, maxPayloadBytes)
+    new Iterator[WarcRecord] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) in.close() // idempotent; readStream caches exhaustion
+        h
+      }
+      override def next(): WarcRecord = it.next()
+    }
   }
 
   /** Read `.warc` / `.warc.gz` archives under `path` into a DataFrame —
@@ -434,15 +478,22 @@ object WarcIo {
     import spark.implicits._
     val rows = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
-        val raw = pds.open()
-        val it = recordsFromRaw(raw, maxPayloadBytes)
-        // close the file handle the moment the last record is served —
-        // at crawl scale (~70k archives/crawl) waiting for GC to reap
-        // descriptors exhausts the executor's fd table
+        // fd + Inflater hygiene at crawl scale (~70k archives/crawl):
+        // recordsFromRaw closes the stream at exhaustion (covers the
+        // many-archives-per-task case), and the task-completion
+        // listener covers every other exit — early stop (limit),
+        // parse exceptions, task kill — where GC-reaped descriptors
+        // would otherwise exhaust the executor's fd table
+        val in = openArchiveStream(pds.open())
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Exception => () }
+          })
+        val it = readStream(in, maxPayloadBytes)
         val closing = new Iterator[WarcRecord] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) raw.close()
+            if (!h) in.close()
             h
           }
           override def next(): WarcRecord = it.next()

@@ -54,12 +54,13 @@ class SitemapXmlSpec extends AnyFunSuite {
     assert(SitemapXml.parse("<urlsetX><url><loc>h</loc></url></urlsetX>").kind == "")
   }
 
-  test("numeric references decode; surrogate refs pass through") {
+  test("numeric references decode; surrogate refs → U+FFFD (shared policy)") {
     val sm = SitemapXml.parse(
       "<urlset><url><loc>https://ex.org/&#65;&#x42;</loc></url></urlset>")
     assert(sm.entries.head.loc == "https://ex.org/AB")
+    // same substitution HtmlExtract applies — one decoder, one policy
     val s2 = SitemapXml.parse(
       "<urlset><url><loc>https://ex.org/&#xD800;</loc></url></urlset>")
-    assert(s2.entries.head.loc == "https://ex.org/&#xD800;")
+    assert(s2.entries.head.loc == "https://ex.org/�")
   }
 }

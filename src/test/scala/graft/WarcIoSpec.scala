@@ -164,6 +164,19 @@ class WarcIoSpec extends SparkSpec {
       Seq("Content-Type" -> "text/plain; charset=utf-8"),
       Array[Byte]('o', 'k', 0xC3.toByte, 0x28)))
     assert(WarcIo.decodeBody(bad) == "ok�(")
+    // review catch: a bare "charset=" OUTSIDE a <meta> tag (link hrefs,
+    // visible text) must not select the decode charset
+    val lure = ("<html><body><a href=\"/conv?charset=koi8-r\">x</a>" +
+      "<p>café</p></body></html>").getBytes("UTF-8")
+    assert(WarcIo.sniffMetaCharset(lure).isEmpty)
+    val h3 = WarcIo.parseHttpResponse(WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html"), lure))
+    assert(WarcIo.decodeBody(h3).contains("café"))
+    // and non-markup bodies skip the prescan entirely
+    val json = "{\"u\": \"/x?charset=koi8-r\", \"t\": \"café\"}".getBytes("UTF-8")
+    val h4 = WarcIo.parseHttpResponse(WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "application/json"), json))
+    assert(WarcIo.decodeBody(h4).contains("café"))
   }
 
   test("negative / non-numeric Content-Length fail with the WARC: contract") {
