@@ -2696,23 +2696,26 @@ object SparkEntry {
       // empty-query drop, fragment drop) plus eTLD+1 over the PSL
       // families (normal, wildcard *.ck, exception !city.kawasaki.jp).
       // The oracle constructs the expected strings from the same
-      // integer — green means every normalization rule agrees.
-      import s.implicits._
-      s.range(240).mapPartitions(_.map { iL =>
-        val i = iL.toLong
-        val u = (i % 8) match {
-          case 0 => s"HTTP://WWW.Site${i % 20}.COM:80/a/./b/../p$i.html?utm_source=x&id=$i#frag"
-          case 1 => s"https://Host$i.example.ORG:443/x//y/%7Euser/?"
-          case 2 => s"http://sub$i.shop.co.uk/%41%2f/p?gclid=zz&a=1&b=2"
-          case 3 => s"https://u$i.github.io:8443/docs/../index.html"
-          case 4 => s"http://api$i.example.com/v1/./res/$i?x=%7e&UTM_CAMPAIGN=c"
-          case 5 => s"HTTPS://CDN$i.Example.COM/img/%2f/p$i.png"
-          case 6 => s"http://www$i.test.ck/a/b/../c#x"
-          case _ => s"http://city.kawasaki.jp/p$i/?fbclid=q&q=$i"
-        }
-        val host = UrlOps.parse(u).host
-        (i, UrlOps.normalize(u), host, UrlOps.registrableDomain(host))
-      }).toDF("id", "url_norm", "host", "domain")
+      // integer — green means every normalization rule agrees. Runs as
+      // the NATIVE expressions (graft_url_normalize/_host/_domain), so
+      // the whole plan is Range → codegen'd Project — no typed
+      // mapPartitions boundary (PlanQualitySpec pins this).
+      s.range(240).selectExpr("id",
+        """CASE CAST(id % 8 AS INT)
+          |  WHEN 0 THEN concat('HTTP://WWW.Site', id % 20, '.COM:80/a/./b/../p', id,
+          |                     '.html?utm_source=x&id=', id, '#frag')
+          |  WHEN 1 THEN concat('https://Host', id, '.example.ORG:443/x//y/%7Euser/?')
+          |  WHEN 2 THEN concat('http://sub', id, '.shop.co.uk/%41%2f/p?gclid=zz&a=1&b=2')
+          |  WHEN 3 THEN concat('https://u', id, '.github.io:8443/docs/../index.html')
+          |  WHEN 4 THEN concat('http://api', id, '.example.com/v1/./res/', id, '?x=%7e&UTM_CAMPAIGN=c')
+          |  WHEN 5 THEN concat('HTTPS://CDN', id, '.Example.COM/img/%2f/p', id, '.png')
+          |  WHEN 6 THEN concat('http://www', id, '.test.ck/a/b/../c#x')
+          |  ELSE concat('http://city.kawasaki.jp/p', id, '/?fbclid=q&q=', id)
+          |END AS url""".stripMargin)
+        .select(col("id"),
+          call_function("graft_url_normalize", col("url")).as("url_norm"),
+          call_function("graft_url_host", col("url")).as("host"))
+        .withColumn("domain", call_function("graft_url_domain", col("host")))
         .orderBy(col("id"))
     }),
 

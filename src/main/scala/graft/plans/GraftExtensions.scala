@@ -42,6 +42,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalize].getName, "graft_url_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_url_normalize(url) takes one string argument")
+        UrlNormalize(children.head)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_url_host"),
+      new ExpressionInfo(classOf[UrlHost].getName, "graft_url_host"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_url_host(url) takes one string argument")
+        UrlHost(children.head)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_url_domain"),
+      new ExpressionInfo(classOf[UrlDomain].getName, "graft_url_domain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_url_domain(host) takes one string argument")
+        UrlDomain(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {

@@ -50,6 +50,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("url_normalize runs as native expressions — no typed object boundary") {
+    val p = plan("url_normalize")
+    assert(p.contains("graft_url_normalize"), "must use the native expression")
+    assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject") &&
+      !p.contains("MapPartitions"),
+      "URL normalization must stay inside whole-stage codegen")
+  }
+
   test("crawl family: seen-set anti-join broadcasts; no cartesians") {
     val pf = plan("pipeline_frontier")
     assert(pf.contains("BroadcastHashJoin") && pf.contains("LeftAnti"),
