@@ -2725,23 +2725,22 @@ object SparkEntry {
       // the kawasaki.jp exception, a private-domain 3-label suffix, and
       // IPv4 literals) — the aggregation every per-domain corpus stat
       // stands on
-      import s.implicits._
-      s.range(400).mapPartitions(_.map { iL =>
-        val i = iL.toLong
-        val host = (i % 10) match {
-          case 0 => s"a$i.example.com"
-          case 1 => s"b$i.site${i % 5}.co.uk"
-          case 2 => s"u${i % 9}.github.io"
-          case 3 => s"x$i.y.z.kawasaki.jp"
-          case 4 => "city.kawasaki.jp"
-          case 5 => s"m$i.city.kawasaki.jp"
-          case 6 => s"shop${i % 6}.example.ck"
-          case 7 => "www.ck"
-          case 8 => s"cdn${i % 3}.s3.amazonaws.com"
-          case _ => s"192.168.${i % 4}.1"
-        }
-        (host, UrlOps.registrableDomain(host))
-      }).toDF("host", "domain")
+      // fully columnar via the native graft_url_domain expression:
+      // Range → Project → one hash agg, all inside codegen
+      s.range(400).selectExpr(
+        """CASE CAST(id % 10 AS INT)
+          |  WHEN 0 THEN concat('a', id, '.example.com')
+          |  WHEN 1 THEN concat('b', id, '.site', id % 5, '.co.uk')
+          |  WHEN 2 THEN concat('u', id % 9, '.github.io')
+          |  WHEN 3 THEN concat('x', id, '.y.z.kawasaki.jp')
+          |  WHEN 4 THEN 'city.kawasaki.jp'
+          |  WHEN 5 THEN concat('m', id, '.city.kawasaki.jp')
+          |  WHEN 6 THEN concat('shop', id % 6, '.example.ck')
+          |  WHEN 7 THEN 'www.ck'
+          |  WHEN 8 THEN concat('cdn', id % 3, '.s3.amazonaws.com')
+          |  ELSE concat('192.168.', id % 4, '.1')
+          |END AS host""".stripMargin)
+        .select(col("host"), call_function("graft_url_domain", col("host")).as("domain"))
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n"), countDistinct(col("host")).as("n_hosts"))
         .orderBy(col("domain"))
