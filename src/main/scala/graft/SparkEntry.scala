@@ -2859,27 +2859,51 @@ object SparkEntry {
       // charset-correct body decode — the silent-mojibake trap: pages
       // are built as REAL ISO-8859-1 / windows-1252 / UTF-8 bytes and
       // decoded back via the header-charset → meta-prescan → UTF-8
-      // chain; the oracle states the original text, so green means no
-      // arm mis-decoded a single code point
+      // chain; arm 4 additionally frames the body with RFC 9112
+      // chunked transfer-encoding, chunk boundaries landing INSIDE
+      // multi-byte sequences (dechunk must reassemble bytes before
+      // decoding). The oracle states the original text, so green means
+      // no arm mis-decoded a single code point
       import s.implicits._
       s.range(120).mapPartitions(_.map { iL =>
         val i = iL.toLong
-        val text = (i % 4) match {
+        val text = (i % 5) match {
           case 0 => s"Café onza £$i - déjà vu résumé naïveté ordinal nº$i"
           case 1 => s"Señor ñandú $i piñata jalapeño año"
           case 2 => s"UTF-8 snowman ☃ and emoji 😀 doc $i"
-          case _ => s"Windows euro €$i quote ’curly’ dash–$i"
+          case 3 => s"Windows euro €$i quote ’curly’ dash–$i"
+          case _ => s"Chunked emoji 🚀🚀 payload $i across splits"
         }
-        val meta = if (i % 4 == 1) "<meta charset=\"iso-8859-1\">" else ""
+        val meta = if (i % 5 == 1) "<meta charset=\"iso-8859-1\">" else ""
         val html = s"<html><head>$meta<title>t</title></head><body><p>$text</p></body></html>"
-        val (ct, cs) = (i % 4) match {
-          case 0 => ("text/html; charset=ISO-8859-1", "ISO-8859-1")
-          case 1 => ("text/html", "ISO-8859-1") // no header → meta prescan
-          case 2 => ("text/html", "UTF-8")      // no declaration → default
-          case _ => ("text/html; charset=windows-1252", "windows-1252")
+        val payload = (i % 5) match {
+          case 4 =>
+            // hand-framed chunked response; split points ignore char
+            // boundaries on purpose
+            val body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val cut1 = body.length / 3
+            val cut2 = 2 * body.length / 3
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+              "Transfer-Encoding: chunked\r\n\r\n").getBytes("US-ASCII"))
+            Seq((0, cut1), (cut1, cut2), (cut2, body.length)).foreach { case (a, b) =>
+              bos.write(Integer.toHexString(b - a).getBytes("US-ASCII"))
+              bos.write('\r'); bos.write('\n')
+              bos.write(body, a, b - a)
+              bos.write('\r'); bos.write('\n')
+            }
+            bos.write("0\r\n\r\n".getBytes("US-ASCII"))
+            bos.toByteArray
+          case m =>
+            val (ct, cs) = m match {
+              case 0 => ("text/html; charset=ISO-8859-1", "ISO-8859-1")
+              case 1 => ("text/html", "ISO-8859-1") // no header → meta prescan
+              case 2 => ("text/html", "UTF-8")      // no declaration → default
+              case _ => ("text/html; charset=windows-1252", "windows-1252")
+            }
+            WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> ct),
+              html.getBytes(java.nio.charset.Charset.forName(cs)))
         }
-        val payload = WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> ct),
-          html.getBytes(java.nio.charset.Charset.forName(cs)))
         val decoded = WarcIo.decodeBody(WarcIo.parseHttpResponse(payload))
         val block = HtmlExtract.content(decoded, 10, 0.5).map(_.text).mkString("\n")
         (i, block, block.codePointCount(0, block.length))
@@ -6670,13 +6694,14 @@ object SparkEntry {
         |ORDER BY url""".stripMargin,
 
     "text_html_charset" ->
-      """WITH t AS (SELECT i, i % 4 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),
+      """WITH t AS (SELECT i, i % 5 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),
         |e AS (SELECT i,
         |  CASE m
         |    WHEN 0 THEN 'Café onza £' || si || ' - déjà vu résumé naïveté ordinal nº' || si
         |    WHEN 1 THEN 'Señor ñandú ' || si || ' piñata jalapeño año'
         |    WHEN 2 THEN 'UTF-8 snowman ☃ and emoji 😀 doc ' || si
-        |    ELSE 'Windows euro €' || si || ' quote ’curly’ dash–' || si END AS text
+        |    WHEN 3 THEN 'Windows euro €' || si || ' quote ’curly’ dash–' || si
+        |    ELSE 'Chunked emoji 🚀🚀 payload ' || si || ' across splits' END AS text
         |  FROM t)
         |SELECT i AS id, text, CAST(length(text) AS INT) AS n_chars
         |FROM e ORDER BY id""".stripMargin,

@@ -300,6 +300,51 @@ object WarcIo {
     HttpResponse(status._1, status._2, headers, body)
   }
 
+  /** RFC 9112 §7.1 chunked transfer decoding — WARC response records
+    * store the HTTP message AS CAPTURED, chunked framing included, so
+    * a crawl pipeline that skips dechunking feeds hex size lines and
+    * CRLFs into its HTML parser. Chunk extensions (`;ext=v`) are
+    * ignored per spec; trailers after the 0-chunk are ignored; all
+    * malformed framing fails loudly (WARC: prefix).
+    */
+  def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length)
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i + 1 < body.length && !(body(i) == '\r' && body(i + 1) == '\n')) i += 1
+      if (i + 1 >= body.length) fail("chunked body: missing CRLF after size line")
+      val s = new String(body, start, i - start, UTF_8)
+      i += 2
+      s
+    }
+    while (true) {
+      val sizeStr = line().takeWhile(_ != ';').trim
+      val size =
+        try Integer.parseInt(sizeStr, 16)
+        catch { case _: NumberFormatException =>
+          fail(s"chunked body: bad chunk size '${sizeStr.take(20)}'") }
+      if (size < 0) fail(s"chunked body: negative chunk size $size")
+      if (size == 0) return out.toByteArray // trailers (if any) ignored
+      if (i + size > body.length)
+        fail(s"chunked body: truncated chunk (need $size bytes at $i of ${body.length})")
+      out.write(body, i, size)
+      i += size
+      if (i + 1 >= body.length || body(i) != '\r' || body(i + 1) != '\n')
+        fail("chunked body: missing CRLF after chunk data")
+      i += 2
+    }
+    out.toByteArray // unreachable
+  }
+
+  /** The response's entity bytes: dechunked when the message was
+    * captured with `Transfer-Encoding: chunked`, verbatim otherwise.
+    */
+  def bodyBytes(http: HttpResponse): Array[Byte] =
+    if (http.header("Transfer-Encoding").exists(_.toLowerCase.contains("chunked")))
+      dechunk(http.body)
+    else http.body
+
   /** Charset named by a Content-Type value ("text/html;
     * charset=ISO-8859-1"), if present and known to the JVM.
     */
@@ -365,13 +410,14 @@ object WarcIo {
       val l = c.toLowerCase
       l.contains("html") || l.contains("xml")
     }
+    val bytes = bodyBytes(http) // dechunk BEFORE any byte-level work
     val cs = ct.flatMap(charsetOf)
-      .orElse(if (markupBody) sniffMetaCharset(http.body) else None)
+      .orElse(if (markupBody) sniffMetaCharset(bytes) else None)
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    dec.decode(java.nio.ByteBuffer.wrap(http.body)).toString
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
   }
 
   /** WET-style conversion record: extracted plain text standing in for

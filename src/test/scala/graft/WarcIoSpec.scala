@@ -179,6 +179,38 @@ class WarcIoSpec extends SparkSpec {
     assert(WarcIo.decodeBody(h4).contains("café"))
   }
 
+  test("chunked transfer-encoding: dechunk reassembles; malformed framing fails loudly") {
+    val body = "Hello 🚀 chunked world with a multi-byte split".getBytes(UTF_8)
+    def chunked(cuts: Seq[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      (Seq(0) ++ cuts ++ Seq(body.length)).sliding(2).foreach { case Seq(a, b) =>
+        bos.write(Integer.toHexString(b - a).getBytes("US-ASCII"))
+        bos.write("\r\n".getBytes("US-ASCII"))
+        bos.write(body, a, b - a)
+        bos.write("\r\n".getBytes("US-ASCII"))
+      }
+      bos.write("0\r\n\r\n".getBytes("US-ASCII"))
+      bos.toByteArray
+    }
+    // split inside the rocket's 4-byte UTF-8 sequence
+    assert(java.util.Arrays.equals(WarcIo.dechunk(chunked(Seq(7, 8))), body))
+    assert(java.util.Arrays.equals(WarcIo.dechunk(chunked(Seq(20))), body))
+    // chunk extension is ignored
+    val withExt = ("5;ext=v\r\nhello\r\n0\r\n\r\n").getBytes("US-ASCII")
+    assert(new String(WarcIo.dechunk(withExt), UTF_8) == "hello")
+    // bodyBytes routes on the Transfer-Encoding header
+    val raw = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\n0\r\n\r\n").getBytes("US-ASCII")
+    val http = WarcIo.parseHttpResponse(raw)
+    assert(new String(WarcIo.bodyBytes(http), UTF_8) == "hello")
+    assert(WarcIo.decodeBody(http) == "hello")
+    // malformed shapes fail with the WARC: contract
+    intercept[IllegalArgumentException](WarcIo.dechunk("zz\r\nxx\r\n0\r\n\r\n".getBytes(UTF_8)))
+    intercept[IllegalArgumentException](WarcIo.dechunk("a\r\nshort\r\n0\r\n\r\n".getBytes(UTF_8)))
+    intercept[IllegalArgumentException](WarcIo.dechunk("5\r\nhelloXX0\r\n\r\n".getBytes(UTF_8)))
+    intercept[IllegalArgumentException](WarcIo.dechunk("5\r\nhello\r\n".getBytes(UTF_8)))
+  }
+
   test("negative / non-numeric Content-Length fail with the WARC: contract") {
     def raw(len: String) = ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
       s"WARC-Date: d\r\nContent-Length: $len\r\n\r\nhi\r\n\r\n").getBytes(UTF_8)
