@@ -2867,16 +2867,24 @@ object SparkEntry {
       import s.implicits._
       s.range(120).mapPartitions(_.map { iL =>
         val i = iL.toLong
-        val text = (i % 5) match {
+        val text = (i % 6) match {
           case 0 => s"Café onza £$i - déjà vu résumé naïveté ordinal nº$i"
           case 1 => s"Señor ñandú $i piñata jalapeño año"
           case 2 => s"UTF-8 snowman ☃ and emoji 😀 doc $i"
           case 3 => s"Windows euro €$i quote ’curly’ dash–$i"
-          case _ => s"Chunked emoji 🚀🚀 payload $i across splits"
+          case 4 => s"Chunked emoji 🚀🚀 payload $i across splits"
+          case _ => s"Gzip body naïve café $i decompressed in flight"
         }
-        val meta = if (i % 5 == 1) "<meta charset=\"iso-8859-1\">" else ""
+        val meta = if (i % 6 == 1) "<meta charset=\"iso-8859-1\">" else ""
         val html = s"<html><head>$meta<title>t</title></head><body><p>$text</p></body></html>"
-        val payload = (i % 5) match {
+        val payload = (i % 6) match {
+          case 5 =>
+            // Content-Encoding: gzip — decodeBody must decompress
+            // before any charset work
+            WarcIo.buildHttpResponse(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8",
+                "Content-Encoding" -> "gzip"),
+              WarcIo.gzipMember(html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           case 4 =>
             // hand-framed chunked response; split points ignore char
             // boundaries on purpose
@@ -6694,14 +6702,15 @@ object SparkEntry {
         |ORDER BY url""".stripMargin,
 
     "text_html_charset" ->
-      """WITH t AS (SELECT i, i % 5 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),
+      """WITH t AS (SELECT i, i % 6 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),
         |e AS (SELECT i,
         |  CASE m
         |    WHEN 0 THEN 'Café onza £' || si || ' - déjà vu résumé naïveté ordinal nº' || si
         |    WHEN 1 THEN 'Señor ñandú ' || si || ' piñata jalapeño año'
         |    WHEN 2 THEN 'UTF-8 snowman ☃ and emoji 😀 doc ' || si
         |    WHEN 3 THEN 'Windows euro €' || si || ' quote ’curly’ dash–' || si
-        |    ELSE 'Chunked emoji 🚀🚀 payload ' || si || ' across splits' END AS text
+        |    WHEN 4 THEN 'Chunked emoji 🚀🚀 payload ' || si || ' across splits'
+        |    ELSE 'Gzip body naïve café ' || si || ' decompressed in flight' END AS text
         |  FROM t)
         |SELECT i AS id, text, CAST(length(text) AS INT) AS n_chars
         |FROM e ORDER BY id""".stripMargin,

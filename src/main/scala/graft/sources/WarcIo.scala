@@ -337,13 +337,52 @@ object WarcIo {
     out.toByteArray // unreachable
   }
 
-  /** The response's entity bytes: dechunked when the message was
-    * captured with `Transfer-Encoding: chunked`, verbatim otherwise.
+  /** Drain a decompressor with a hard output cap — compressed bodies
+    * can balloon ~1000×, and a task must not inflate a zip bomb into
+    * executor heap.
     */
-  def bodyBytes(http: HttpResponse): Array[Byte] =
-    if (http.header("Transfer-Encoding").exists(_.toLowerCase.contains("chunked")))
-      dechunk(http.body)
-    else http.body
+  private def drain(in: InputStream, maxBytes: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64 << 10)
+    val buf = new Array[Byte](64 << 10)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size() + n > maxBytes)
+        fail(s"decoded body exceeds the $maxBytes-byte guard")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** The response's entity bytes exactly as the origin produced them:
+    * `Transfer-Encoding: chunked` framing removed, then
+    * `Content-Encoding` gzip/deflate decompressed (deflate tries zlib
+    * first, then the raw stream some servers send). Malformed framing
+    * or a body inflating past `maxBytes` fails loudly — per-record
+    * try/catch belongs to the caller, silent truncation to nobody.
+    */
+  def bodyBytes(http: HttpResponse, maxBytes: Int = 64 << 20): Array[Byte] = {
+    val dechunked =
+      if (http.header("Transfer-Encoding").exists(_.toLowerCase.contains("chunked")))
+        dechunk(http.body)
+      else http.body
+    http.header("Content-Encoding").map(_.toLowerCase.trim) match {
+      case Some(ce) if ce.contains("gzip") =>
+        try drain(new GZIPInputStream(new ByteArrayInputStream(dechunked)), maxBytes)
+        catch { case e: java.io.IOException => fail(s"gzip body: ${e.getMessage}") }
+      case Some(ce) if ce.contains("deflate") =>
+        try drain(new java.util.zip.InflaterInputStream(
+          new ByteArrayInputStream(dechunked)), maxBytes)
+        catch {
+          case _: java.io.IOException => // raw deflate without zlib header
+            try drain(new java.util.zip.InflaterInputStream(
+              new ByteArrayInputStream(dechunked),
+              new java.util.zip.Inflater(true)), maxBytes)
+            catch { case e: java.io.IOException => fail(s"deflate body: ${e.getMessage}") }
+        }
+      case _ => dechunked
+    }
+  }
 
   /** Charset named by a Content-Type value ("text/html;
     * charset=ISO-8859-1"), if present and known to the JVM.

@@ -211,6 +211,57 @@ class WarcIoSpec extends SparkSpec {
     intercept[IllegalArgumentException](WarcIo.dechunk("5\r\nhello\r\n".getBytes(UTF_8)))
   }
 
+  test("Content-Encoding gzip/deflate bodies decompress; zip bombs hit the guard") {
+    val text = "compressed body with café and 🚀 content " * 4
+    val plain = text.getBytes(UTF_8)
+    val gz = WarcIo.gzipMember(plain) // any gzip stream works here
+    def resp(headers: Seq[(String, String)], body: Array[Byte]): WarcIo.HttpResponse =
+      WarcIo.parseHttpResponse(WarcIo.buildHttpResponse(200, "OK", headers, body))
+    val g = resp(Seq("Content-Type" -> "text/html; charset=utf-8",
+      "Content-Encoding" -> "gzip"), gz)
+    assert(WarcIo.decodeBody(g) == text)
+    // zlib deflate
+    val zlib = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(plain); d.close(); bos.toByteArray
+    }
+    assert(WarcIo.decodeBody(resp(Seq("Content-Type" -> "text/plain; charset=utf-8",
+      "Content-Encoding" -> "deflate"), zlib)) == text)
+    // raw deflate (no zlib header) — the other in-the-wild form
+    val rawDef = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+      d.write(plain); d.close(); bos.toByteArray
+    }
+    assert(WarcIo.decodeBody(resp(Seq("Content-Type" -> "text/plain; charset=utf-8",
+      "Content-Encoding" -> "deflate"), rawDef)) == text)
+    // chunked + gzip composed: framing removed first, then decompressed
+    val chunkedGz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n").getBytes("US-ASCII"))
+      val cut = gz.length / 2
+      Seq((0, cut), (cut, gz.length)).foreach { case (a, b) =>
+        bos.write(Integer.toHexString(b - a).getBytes("US-ASCII"))
+        bos.write("\r\n".getBytes("US-ASCII")); bos.write(gz, a, b - a)
+        bos.write("\r\n".getBytes("US-ASCII"))
+      }
+      bos.write("0\r\n\r\n".getBytes("US-ASCII"))
+      bos.toByteArray
+    }
+    assert(WarcIo.decodeBody(WarcIo.parseHttpResponse(chunkedGz)) == text)
+    // inflation past the guard fails loudly instead of ballooning heap
+    val bomb = WarcIo.gzipMember(new Array[Byte](4 << 20)) // 4 MiB of zeros
+    val b = resp(Seq("Content-Encoding" -> "gzip"), bomb)
+    intercept[IllegalArgumentException](WarcIo.bodyBytes(b, maxBytes = 1 << 20))
+    // corrupt gzip fails loudly
+    val corrupt = gz.clone(); corrupt(corrupt.length / 2) = 0x55
+    intercept[IllegalArgumentException](
+      WarcIo.bodyBytes(resp(Seq("Content-Encoding" -> "gzip"), corrupt)))
+  }
+
   test("negative / non-numeric Content-Length fail with the WARC: contract") {
     def raw(len: String) = ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
       s"WARC-Date: d\r\nContent-Length: $len\r\n\r\nhi\r\n\r\n").getBytes(UTF_8)
