@@ -514,7 +514,7 @@ object ScaleProbe {
             .as[(String, Array[Byte])]
             .mapPartitions(_.map { case (uri, payload) =>
               val http = sources.WarcIo.parseHttpResponse(payload)
-              val html = new String(http.body, java.nio.charset.StandardCharsets.UTF_8)
+              val html = sources.WarcIo.decodeBody(http) // the production chain
               val etext = operators.text.HtmlExtract.content(html, 25, 0.33)
                 .map(_.text).mkString("\n")
               (functions.UrlOps.registrableDomain(functions.UrlOps.parse(uri).host),
