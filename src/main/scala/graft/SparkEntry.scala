@@ -2855,6 +2855,45 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "text_html_extract_eval" -> ((s, dir) => {
+      // extraction-quality eval harness (the sim_recall_eval pattern
+      // applied to the HTML extractor): pages with PLANTED ground
+      // truth per arm — clean content, too-short content, link-drowned
+      // content, long boilerplate in a footer — and precision/recall
+      // measured by really running content() and set-comparing against
+      // the plant. The oracle states each arm's designed outcome, so
+      // ANY drift in boilerplate classification (footer kept → fp>0),
+      // the length gate, or the density gate flips a counter
+      import s.implicits._
+      s.range(200).mapPartitions(_.map { iL =>
+        val i = iL.toLong
+        val arm = (i % 4).toInt
+        val h1 = s"Heading content block for document number $i"
+        val pLong = s"A long planted paragraph of genuine body content $i with plenty of words"
+        val pShort = s"Tiny note $i"
+        val pLinky = s"related links and further reading material for document $i"
+        val bFooter = s"Copyright legal boilerplate notice $i with long enough text to pass length"
+        val (bodyHtml, truth) = arm match {
+          case 0 => (s"<p>$pLong</p>", Set(h1, pLong))
+          case 1 => (s"<p>$pShort</p>", Set(h1, pShort))
+          case 2 => (s"<p><a href='/l'>$pLinky</a> x</p>", Set(h1, s"$pLinky x"))
+          case _ => (s"<p>$pLong</p><footer>$bFooter</footer>", Set(h1, pLong))
+        }
+        val html = s"<html><head><title>Doc $i</title></head><body>" +
+          s"<nav><a href='/'>Home</a></nav><h1>$h1</h1>$bodyHtml</body></html>"
+        val extracted = HtmlExtract.content(html, 25, 0.33).map(_.text).toSet
+        (arm, (extracted & truth).size, (truth -- extracted).size,
+          (extracted -- truth).size)
+      }).toDF("arm", "tp", "fn", "fp")
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tp")).as("tp"),
+          sum(col("fn")).as("fn"), sum(col("fp")).as("fp"))
+        .select(col("arm"), col("n_docs"), col("tp"), col("fn"), col("fp"),
+          expr("CAST(tp * 1000000 DIV (tp + fp) AS BIGINT)").as("precision_micros"),
+          expr("CAST(tp * 1000000 DIV (tp + fn) AS BIGINT)").as("recall_micros"))
+        .orderBy(col("arm"))
+    }),
+
     "text_html_charset" -> ((s, dir) => {
       // charset-correct body decode — the silent-mojibake trap: pages
       // are built as REAL ISO-8859-1 / windows-1252 / UTF-8 bytes and
@@ -6700,6 +6739,22 @@ object SparkEntry {
         |    * u.delay_ms AS BIGINT) AS slot_ms
         |FROM u JOIN fa USING (domain)
         |ORDER BY url""".stripMargin,
+
+    // designed outcomes per arm: clean (recall 1), too-short content
+    // (fn=1), link-drowned content (fn=1), footer boilerplate dropped
+    // correctly (fp stays 0) — measured, not assumed
+    "text_html_extract_eval" ->
+      """WITH t AS (SELECT i, i % 4 AS arm FROM range(200) r(i)),
+        |c AS (SELECT arm, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN arm IN (0, 3) THEN 2 ELSE 1 END) AS tp,
+        |    SUM(CASE WHEN arm IN (1, 2) THEN 1 ELSE 0 END) AS fn
+        |  FROM t GROUP BY arm)
+        |SELECT CAST(arm AS INT) AS arm, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(0 AS BIGINT) AS fp,
+        |  CAST(tp * 1000000 // tp AS BIGINT) AS precision_micros,
+        |  CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_micros
+        |FROM c ORDER BY arm""".stripMargin,
 
     "text_html_charset" ->
       """WITH t AS (SELECT i, i % 6 AS m, CAST(i AS VARCHAR) AS si FROM range(120) r(i)),

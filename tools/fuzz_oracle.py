@@ -45,7 +45,7 @@ QUERIES = [
     "url_domain_stats", "text_html_links", "mm_mp4_info",
     "url_robots_filter", "pipeline_frontier", "url_sitemap_parse",
     "text_html_meta", "url_idn_normalize", "text_html_charset",
-    "crawl_schedule",
+    "crawl_schedule", "text_html_extract_eval",
 ]
 
 # events-only queries: gated when the adversarial events table is
