@@ -354,16 +354,45 @@ object WarcIo {
     out.toByteArray
   }
 
+  /** Does `body` actually start with chunked framing — a hex size line
+    * (optionally `;ext`) terminated by CRLF? Real-world WARC corpora
+    * frequently KEEP the `Transfer-Encoding: chunked` header while
+    * storing an already-dechunked body (capture proxies dechunk on the
+    * wire), so the header alone must not trigger `dechunk`'s loud
+    * failure on a perfectly good body.
+    */
+  def looksChunked(body: Array[Byte]): Boolean = {
+    var i = 0
+    // hex digits first (at least one, at most 8 — a >4 GiB size line is
+    // not framing) …
+    while (i < body.length && i < 8 &&
+      Character.digit(body(i).toChar, 16) >= 0) i += 1
+    if (i == 0 || i >= body.length) return false
+    // … then the ONLY valid continuations are CRLF or a `;extension`
+    // running up to a CRLF within a sane bound
+    if (body(i) == '\r') return i + 1 < body.length && body(i + 1) == '\n'
+    if (body(i) != ';') return false
+    var j = i + 1
+    while (j + 1 < body.length && j < 256 &&
+      !(body(j) == '\r' && body(j + 1) == '\n')) j += 1
+    j + 1 < body.length && body(j) == '\r' && body(j + 1) == '\n'
+  }
+
   /** The response's entity bytes exactly as the origin produced them:
     * `Transfer-Encoding: chunked` framing removed, then
     * `Content-Encoding` gzip/deflate decompressed (deflate tries zlib
-    * first, then the raw stream some servers send). Malformed framing
-    * or a body inflating past `maxBytes` fails loudly — per-record
-    * try/catch belongs to the caller, silent truncation to nobody.
+    * first, then the raw stream some servers send). A chunked HEADER
+    * over a body that carries no chunk framing (see [[looksChunked]])
+    * passes the body through raw instead of failing — the common
+    * already-dechunked-at-capture corpus shape. Malformed framing in a
+    * body that IS framed, or a body inflating past `maxBytes`, still
+    * fails loudly — per-record try/catch belongs to the caller, silent
+    * truncation to nobody.
     */
   def bodyBytes(http: HttpResponse, maxBytes: Int = 64 << 20): Array[Byte] = {
     val dechunked =
-      if (http.header("Transfer-Encoding").exists(_.toLowerCase.contains("chunked")))
+      if (http.header("Transfer-Encoding").exists(_.toLowerCase.contains("chunked"))
+        && looksChunked(http.body))
         dechunk(http.body)
       else http.body
     http.header("Content-Encoding").map(_.toLowerCase.trim) match {
@@ -395,7 +424,9 @@ object WarcIo {
       var end = at + 8
       while (end < lower.length && lower.charAt(end) != ';' &&
         !Character.isWhitespace(lower.charAt(end))) end += 1
-      val name = lower.substring(at + 8, end).stripPrefix("\"").stripSuffix("\"")
+      val name = lower.substring(at + 8, end)
+        .stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'") // charset='utf-8' appears in the wild
       try Some(java.nio.charset.Charset.forName(name))
       catch { case _: Exception => None }
     }
@@ -483,35 +514,75 @@ object WarcIo {
     * `rows` must carry the record columns `(rec_type, target_uri,
     * warc_date, record_id, content_type, payload)` — the readWarc
     * layout minus file/rec_ix — in any order. `dir` must be on a
-    * filesystem every executor can reach (shared mount or local
-    * mode); tasks create it themselves, and a retried task rewrites
-    * its own part file (CREATE+TRUNCATE), so the output is
-    * attempt-idempotent. Returns the number of archive files ON DISK
-    * after completion (counted on the driver — an accumulator would
-    * double-count retried attempts).
+    * filesystem every executor can reach (shared mount or local mode).
+    *
+    * Attempt safety (the Hadoop output-committer discipline, scoped to
+    * this sink): each task attempt writes to its OWN temp name
+    * (`part-NNNNN-attemptK.tmp`) and atomically renames into the final
+    * `part-NNNNN.warc.gz` — so a speculative attempt or a zombie task
+    * racing its retry can never interleave bytes into a live archive;
+    * whichever attempt renames last leaves one complete file. Stale
+    * part/temp files from a previous call with more partitions are
+    * cleaned on the driver before the job (this sink owns the
+    * `part-*.warc.gz` namespace under `dir`), so the committed-file
+    * list is exactly this job's output. Returns the committed archive
+    * paths, sorted — reported by the winning tasks themselves, never
+    * reconstructed by listing the directory.
     */
-  def writeWarc(rows: DataFrame, dir: String): Long = {
+  def writeWarc(rows: DataFrame, dir: String): Seq[String] = {
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
+    locally { // clean this sink's namespace: stale parts + orphaned temps
+      val ls = java.nio.file.Files.list(p)
+      try ls.filter { f =>
+        val n = f.getFileName.toString
+        n.startsWith("part-") && (n.endsWith(".warc.gz") || n.endsWith(".tmp"))
+      }.forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally ls.close()
+    }
     val spark = rows.sparkSession
     import spark.implicits._
     val cols = rows.select("rec_type", "target_uri", "warc_date", "record_id",
       "content_type", "payload").as[(String, String, String, String, String, Array[Byte])]
-    cols.foreachPartition { (it: Iterator[(String, String, String, String, String, Array[Byte])]) =>
-      if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-        val f = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz")
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(f), 1 << 20)
-        try it.foreach { case (t, uri, date, rid, ct, payload) =>
-          out.write(gzipMember(writeRecord(WarcRecord(t, uri, date, rid, ct, Map.empty, payload))))
-        } finally out.close()
+    cols.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val recs = it.map { case (t, uri, date, rid, ct, payload) =>
+          WarcRecord(t, uri, date, rid, ct, Map.empty, payload)
+        }
+        Iterator.single(commitPartitionFile(dir, pid, tc.taskAttemptId(), recs))
       }
+    }.collect().toSeq.distinct.sorted
+  }
+
+  /** One task attempt's write+commit: stream `recs` into
+    * `part-$pid-attempt$tag.tmp`, then atomically rename over the final
+    * `part-$pid.warc.gz` (REPLACE_EXISTING — last complete attempt
+    * wins). Returns the committed path. Factored out of [[writeWarc]]
+    * so the two-attempts-one-partition race is testable without a
+    * Spark speculation harness.
+    */
+  private[graft] def commitPartitionFile(dir: String, pid: Int, attemptTag: Long,
+      recs: Iterator[WarcRecord]): String = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val tmp = java.nio.file.Paths.get(dir, f"part-$pid%05d-attempt$attemptTag.tmp")
+    val fin = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz")
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp), 1 << 20)
+    try recs.foreach(r => out.write(gzipMember(writeRecord(r))))
+    finally out.close()
+    try java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      // non-POSIX fallback: plain replace (still rename-based on
+      // every real filesystem Spark writes to)
+      java.nio.file.Files.move(tmp, fin,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val ls = java.nio.file.Files.list(p)
-    try ls.filter(f => f.getFileName.toString.endsWith(".warc.gz")).count()
-    finally ls.close()
+    fin.toAbsolutePath.toString
   }
 
   /** Wrap a raw archive stream in its decompressor (gzip sniffed from

@@ -131,8 +131,10 @@ class WarcIoSpec extends SparkSpec {
         WarcIo.recordIdFor(s"w:$i"), "text/plain", s"payload $i".getBytes(UTF_8))
     }).toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
       .repartition(4)
-    val nFiles = WarcIo.writeWarc(rows, dir)
-    assert(nFiles == 4)
+    val committed = WarcIo.writeWarc(rows, dir)
+    assert(committed.length == 4)
+    assert(committed.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(committed.forall(_.endsWith(".warc.gz")))
     val back = WarcIo.readWarc(spark, dir + "/*.warc.gz").collect()
     assert(back.length == 40)
     val byUri = back.map(r => r.getAs[String]("target_uri") ->
@@ -141,6 +143,45 @@ class WarcIoSpec extends SparkSpec {
       assert(byUri(s"http://example.org/w/$i") == s"payload $i")
     }
     assert(back.forall(_.getAs[String]("rec_type") == "response"))
+  }
+
+  test("writeWarc attempt safety: two attempts of one partition → one valid archive") {
+    val dir = TempDirs.scratch("warcatt")
+    def recsOf(tag: String) = (0 until 5).iterator.map(i =>
+      WarcIo.WarcRecord("response", s"http://example.org/a/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"a:$tag:$i"), "text/plain", Map.empty,
+        s"attempt $tag payload $i".getBytes(UTF_8)))
+    // zombie attempt 7 and its retry 8 race the same partition; the
+    // retry commits last — exactly one final file, fully readable,
+    // holding ONE attempt's records (never interleaved bytes)
+    val p1 = WarcIo.commitPartitionFile(dir, 3, 7L, recsOf("first"))
+    val p2 = WarcIo.commitPartitionFile(dir, 3, 8L, recsOf("second"))
+    assert(p1 == p2)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.map(_.getFileName.toString).toList
+    } finally files.close()
+    assert(names == List("part-00003.warc.gz"), s"left on disk: $names") // no .tmp orphans
+    val back = WarcIo.readAll(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1)))
+    assert(back.length == 5)
+    assert(back.forall(r => new String(r.payload, UTF_8).startsWith("attempt second")))
+  }
+
+  test("writeWarc cleans stale parts from a previous wider job") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("warcstale")
+    def job(n: Int, parts: Int) = spark.range(n).mapPartitions(_.map { i =>
+      ("response", s"http://example.org/s/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"s:$i"), "text/plain", s"p$i".getBytes(UTF_8))
+    }).toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(parts)
+    assert(WarcIo.writeWarc(job(40, 8), dir).length == 8)
+    // second, narrower job into the same dir: the 6 stale wide parts
+    // must not survive to inflate the committed output
+    val committed = WarcIo.writeWarc(job(10, 2), dir)
+    assert(committed.length == 2)
+    assert(WarcIo.readWarc(spark, dir + "/*.warc.gz").count() == 10)
   }
 
   test("charset chain: header > meta prescan > UTF-8; replacement never throws") {
@@ -209,6 +250,31 @@ class WarcIoSpec extends SparkSpec {
     intercept[IllegalArgumentException](WarcIo.dechunk("a\r\nshort\r\n0\r\n\r\n".getBytes(UTF_8)))
     intercept[IllegalArgumentException](WarcIo.dechunk("5\r\nhelloXX0\r\n\r\n".getBytes(UTF_8)))
     intercept[IllegalArgumentException](WarcIo.dechunk("5\r\nhello\r\n".getBytes(UTF_8)))
+    // the chunked HEADER over an ALREADY-DECHUNKED body (capture
+    // proxies dechunk on the wire but keep the header — common in real
+    // WARC corpora): bodyBytes must pass the body through raw, not
+    // kill the task on "bad chunk size '<html>'"
+    val pre = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "<html><body>already dechunked</body></html>").getBytes("US-ASCII")
+    assert(WarcIo.decodeBody(WarcIo.parseHttpResponse(pre)) ==
+      "<html><body>already dechunked</body></html>")
+    // looksChunked boundary cases
+    assert(WarcIo.looksChunked("5\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)))
+    assert(WarcIo.looksChunked("5;ext=v\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)))
+    assert(!WarcIo.looksChunked("<html>".getBytes(UTF_8)))
+    // leading hex chars but no CRLF framing → raw body, not framing
+    assert(!WarcIo.looksChunked("deadline extended to Friday".getBytes(UTF_8)))
+    assert(!WarcIo.looksChunked(Array.empty[Byte]))
+    // genuinely framed bodies still fail loudly when corrupt mid-way
+    val torn = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\n").getBytes("US-ASCII")
+    intercept[IllegalArgumentException](WarcIo.bodyBytes(WarcIo.parseHttpResponse(torn)))
+  }
+
+  test("charsetOf accepts single-quoted charset tokens") {
+    assert(WarcIo.charsetOf("text/html; charset='utf-8'").map(_.name).contains("UTF-8"))
+    assert(WarcIo.charsetOf("text/html; charset='windows-1252'")
+      .map(_.name).contains("windows-1252"))
   }
 
   test("Content-Encoding gzip/deflate bodies decompress; zip bombs hit the guard") {
