@@ -2777,15 +2777,16 @@ object SparkEntry {
         (i, html)
       }).toDF("doc_id", "html")
       HtmlExtract.linksDf(docs, "doc_id", "html")
-        .as[(Long, Int, String, String)]
-        .mapPartitions(_.map { case (id, ix, href, anchor) =>
-          val lower = href.toLowerCase
-          val norm =
-            if (lower.startsWith("http://") || lower.startsWith("https://"))
-              UrlOps.normalize(href)
-            else href // relative: frontier resolution happens upstream
-          (id, ix, norm, anchor)
-        }).toDF("doc_id", "link_ix", "href_norm", "anchor")
+        // absolute links normalize in the codegen'd native expression;
+        // relative hrefs pass through (frontier resolution happens
+        // upstream) — a columnar when/otherwise, so the plan stays in
+        // whole-stage codegen instead of dropping to typed mapPartitions
+        .withColumn("href_norm",
+          when(lower(col("href")).startsWith("http://") ||
+            lower(col("href")).startsWith("https://"),
+            call_function("graft_url_normalize", col("href")))
+            .otherwise(col("href")))
+        .select(col("doc_id"), col("link_ix"), col("href_norm"), col("anchor"))
         .orderBy(col("doc_id"), col("link_ix"))
     }),
 
@@ -3074,6 +3075,87 @@ object SparkEntry {
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_urls"))
         .orderBy(col("domain"))
+    }),
+
+    "pipeline_frontier_incremental" -> ((s, dir) => {
+      // the PERSISTED frontier seen-set (CrawlFrontier): index built
+      // once from the crawl history, then two discovery batches probed
+      // against it — Bloom prefilter + pruned-shard md5 verify, never
+      // a broadcast of the crawled set — with batch 1's accepted URLs
+      // appended before batch 2 probes. Bit-identical to the plain
+      // exact anti-joins the oracle states (Bloom has no false
+      // negatives; the verify join is 128-bit-exact), which is the
+      // whole point: the scale path changes the plan, not the answer.
+      import s.implicits._
+      def hist(i: Long) = s"http://h${i % 13}.example.com/p/$i"
+      val history = s.range(400).map(i => hist(i)).toDF("url")
+      val b1 = s.range(300).map(i =>
+        if (i % 3 == 0) hist(i) else s"http://n${i % 9}.org/q/$i").toDF("url")
+      val b2 = s.range(300).map { i =>
+        (i % 4) match {
+          case 0 => hist(i)
+          case 1 => s"http://n${i % 9}.org/q/$i"
+          case 2 => s"http://fresh${i % 6}.net/z/$i"
+          case _ => s"http://h${i % 13}.example.com/p/${i + 1000}"
+        }
+      }.toDF("url")
+      val idxDir = TempDirs.scratch("frontier_inc_")
+      graft.operators.CrawlFrontier.buildIndex(history.withColumn("day", lit(100L)),
+        "url", col("day"), idxDir, nShards = 16, expectedItems = 10000L)
+      // materialize batch 1's accepted set BEFORE appending it — the
+      // accepted frame must not lazily re-probe an index that now
+      // contains itself (production lands the batch durably anyway)
+      val acc1Dir = TempDirs.scratch("frontier_acc1_") + "/acc1"
+      graft.operators.CrawlFrontier.probeNew(s, idxDir, b1, "url")
+        .write.parquet(acc1Dir)
+      val acc1 = s.read.parquet(acc1Dir)
+      graft.operators.CrawlFrontier.appendBatch(acc1, "url", lit(200L), idxDir)
+      val acc2 = graft.operators.CrawlFrontier.probeNew(s, idxDir, b2, "url")
+      acc1.withColumn("batch", lit(1)).unionByName(acc2.withColumn("batch", lit(2)))
+        .select(col("batch"), col("url"))
+        .orderBy(col("batch"), col("url"))
+    }),
+
+    "frontier_recrawl" -> ((s, dir) => {
+      // recrawl-age selection against the same persisted index:
+      // sitemap <lastmod> signals join the SEEN side (pruned-shard
+      // probe) and a URL is due only when it was crawled AND changed
+      // after its stored last_crawl — the refresh feed that
+      // complements pipeline_frontier_incremental's discovery feed
+      import s.implicits._
+      val history = s.range(200)
+        .map(i => (s"http://r${i % 7}.com/p/$i", 100L + i % 10)).toDF("url", "day")
+      val idxDir = TempDirs.scratch("frontier_rc_")
+      graft.operators.CrawlFrontier.buildIndex(history, "url", col("day"), idxDir,
+        nShards = 8, expectedItems = 10000L)
+      val updates = s.range(200).map { i =>
+        val delta = (i % 3) match { case 0 => 4L; case 1 => 0L; case _ => -2L }
+        (s"http://r${i % 7}.com/p/$i", 100L + i % 10 + delta)
+      }.toDF("url", "lastmod")
+        .unionByName(s.range(50).map(i => (s"http://nv$i.com/", 999L)).toDF("url", "lastmod"))
+      graft.operators.CrawlFrontier.recrawlDue(s, idxDir, updates, "url", col("lastmod"))
+        .orderBy(col("url"))
+    }),
+
+    "crawl_schedule_capped" -> ((s, dir) => {
+      // crawl_schedule's scale twin under a planted 100:1 domain skew:
+      // a 600-url mega-domain is first CAPPED to its top-20 by
+      // priority via the bounded-heap aggregate (graft_topk_agg — ≤k
+      // state per domain, map-side merge, no per-domain sort), and
+      // only the capped batch enters the politeness window — so the
+      // window partition is ≤20 rows even for the mega-domain. The
+      // oracle reproduces the cap with the equivalent (but
+      // single-task-sorting) window formulation.
+      import s.implicits._
+      val frontier = s.range(1000).map { i =>
+        val domain = if (i < 600) "mega.com" else s"d${i % 25}.org"
+        (domain, f"http://$domain/p/$i%04d", ((i * 7) % 101).toDouble)
+      }.toDF("domain", "url", "priority")
+      val capped = graft.operators.CrawlScheduler.capPerDomain(
+        frontier, "domain", "url", col("priority"), 20)
+      graft.operators.CrawlScheduler.schedule(capped, "domain", "url", 4, lit(1000L))
+        .select(col("url"), col("domain"), col("fetcher"), col("slot_ms"))
+        .orderBy(col("url"))
     }),
 
     "url_robots_filter" -> ((s, dir) => {
@@ -6835,6 +6917,65 @@ object SparkEntry {
         |  SELECT 'u' || CAST(i % 7 AS VARCHAR) || '.github.io' FROM range(250) r(i))
         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // the scale path (Bloom prefilter + pruned-shard md5 verify) is
+    // result-identical to these two plain anti-joins — batch 2 also
+    // anti-joins batch 1's accepted set because it was appended to the
+    // index between the probes
+    "pipeline_frontier_incremental" ->
+      """WITH hist AS (SELECT 'http://h' || CAST(i % 13 AS VARCHAR) || '.example.com/p/' || CAST(i AS VARCHAR) AS url
+        |  FROM range(400) r(i)),
+        |b1 AS (SELECT CASE WHEN i % 3 = 0
+        |    THEN 'http://h' || CAST(i % 13 AS VARCHAR) || '.example.com/p/' || CAST(i AS VARCHAR)
+        |    ELSE 'http://n' || CAST(i % 9 AS VARCHAR) || '.org/q/' || CAST(i AS VARCHAR) END AS url
+        |  FROM range(300) r(i)),
+        |acc1 AS (SELECT url FROM b1 WHERE url NOT IN (SELECT url FROM hist)),
+        |b2 AS (SELECT CASE i % 4
+        |    WHEN 0 THEN 'http://h' || CAST(i % 13 AS VARCHAR) || '.example.com/p/' || CAST(i AS VARCHAR)
+        |    WHEN 1 THEN 'http://n' || CAST(i % 9 AS VARCHAR) || '.org/q/' || CAST(i AS VARCHAR)
+        |    WHEN 2 THEN 'http://fresh' || CAST(i % 6 AS VARCHAR) || '.net/z/' || CAST(i AS VARCHAR)
+        |    ELSE 'http://h' || CAST(i % 13 AS VARCHAR) || '.example.com/p/' || CAST(i + 1000 AS VARCHAR) END AS url
+        |  FROM range(300) r(i)),
+        |acc2 AS (SELECT url FROM b2 WHERE url NOT IN (SELECT url FROM hist)
+        |  AND url NOT IN (SELECT url FROM acc1))
+        |SELECT CAST(1 AS INT) AS batch, url FROM acc1
+        |UNION ALL SELECT CAST(2 AS INT), url FROM acc2
+        |ORDER BY batch, url""".stripMargin,
+
+    // due = crawled AND lastmod strictly after the stored last_crawl:
+    // only the i%3=0 arm (+4 days) qualifies; equal (+0) and older
+    // (-2) do not, and never-crawled urls belong to the discovery
+    // feed, not this one
+    "frontier_recrawl" ->
+      """WITH h AS (SELECT i, 'http://r' || CAST(i % 7 AS VARCHAR) || '.com/p/' || CAST(i AS VARCHAR) AS url,
+        |    100 + i % 10 AS day FROM range(200) r(i))
+        |SELECT url, CAST(day AS BIGINT) AS last_crawl,
+        |  CAST(day + 4 AS BIGINT) AS signal
+        |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
+
+    // the bounded-heap cap == the window formulation on the same total
+    // order (priority DESC, url ASC); fetchers and slots then follow
+    // the crawl_schedule chain over the capped set
+    "crawl_schedule_capped" ->
+      """WITH t AS (SELECT i,
+        |    CASE WHEN i < 600 THEN 'mega.com' ELSE 'd' || CAST(i % 25 AS VARCHAR) || '.org' END AS domain
+        |  FROM range(1000) r(i)),
+        |u AS (SELECT domain,
+        |    'http://' || domain || '/p/' || lpad(CAST(i AS VARCHAR), 4, '0') AS url,
+        |    CAST((i * 7) % 101 AS DOUBLE) AS priority FROM t),
+        |capped AS (SELECT domain, url FROM (
+        |    SELECT domain, url,
+        |      ROW_NUMBER() OVER (PARTITION BY domain ORDER BY priority DESC, url) AS rn
+        |    FROM u) WHERE rn <= 20),
+        |fa AS (SELECT domain,
+        |    arg_max(f, ('0x' || substr(md5(domain || '|' || CAST(f AS VARCHAR)), 1, 15))::BIGINT) AS fetcher
+        |  FROM (SELECT DISTINCT domain FROM capped) CROSS JOIN range(4) r(f)
+        |  GROUP BY domain)
+        |SELECT c.url, c.domain, CAST(fa.fetcher AS INT) AS fetcher,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY c.domain ORDER BY c.url) - 1)
+        |    * 1000 AS BIGINT) AS slot_ms
+        |FROM capped c JOIN fa USING (domain)
+        |ORDER BY url""".stripMargin,
 
     // the decisions are pinned per template arm: graftbot's own group
     // governs it (so /secret is allowed), otherbot falls to * (so only

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent crawl-frontier maintenance — the seen-set as a STORED,
+  * sharded url-hash index probed per discovery batch, never a
+  * broadcast (or driver copy) of the crawled set.
+  *
+  * A real frontier's seen-set is crawl-sized — billions of URLs at
+  * 100 TB — while each discovery batch is comparatively small and, in
+  * steady state, MOSTLY already seen. The layout and probe exploit
+  * both facts:
+  *
+  * `<dir>/urls/` — parquet, directory-partitioned by
+  * `shard = pmod(xxhash64(url), nShards)`, carrying
+  * `(url_md5, url, last_crawl)`. Partitioning by a hash shard means a
+  * probe that only touches some shards reads only those directories
+  * (genuine partition pruning at the scan), and appends land as new
+  * files under existing shard directories — no rewrite, no compaction
+  * coupling.
+  *
+  * `<dir>/bloom/` — parquet, ONE sketch row per build/append
+  * (`graft_bloom_agg` over `xxhash64(url)`, bytes ∝ `expectedItems`).
+  * Probes load the rows and `mergeInPlace` them through the public
+  * sketch API into one literal — sketches stay mergeable because the
+  * index pins `expectedItems` at build time (`<dir>/meta`).
+  *
+  * Probe ([[probeNew]]): candidates hit the merged Bloom literal in a
+  * codegen'd `graft_might_contain` — no false negatives, so the ~all
+  * genuinely-new URLs of a discovery batch that miss the sketch are
+  * ACCEPTED without touching the index at all. Only sketch hits
+  * (true dups + ~1% false positives) verify against the stored md5
+  * set, scanning only the shards the survivors actually hash into and
+  * joining shuffle-hash on the 128-bit key — so the result is
+  * bit-identical to the plain `left_anti` against the full crawled
+  * set (the oracle states exactly that), at a fraction of its IO and
+  * shuffle. Worst case (a replayed batch that is 100% seen) degrades
+  * to scanning the touched shards — still never a broadcast and never
+  * a driver-side set.
+  *
+  * Recrawl selection ([[recrawlDue]]): sitemap `lastmod` updates join
+  * the SEEN side of the index (same pruned-shard probe) and return
+  * URLs whose content changed after their stored `last_crawl` — the
+  * age-based re-fetch feed that complements the new-URL feed.
+  *
+  * Reference behavior: dtle's incremental replication keeps a
+  * persisted applied-GTID ledger consulted per batch rather than
+  * re-reading history (drivers/mysql/applier.go); this is the same
+  * contract for crawl URLs, Spark-shaped.
+  */
+object CrawlFrontier {
+
+  private def shardCol(urlCol: String, nShards: Int): Column =
+    pmod(xxhash64(col(urlCol)), lit(nShards.toLong)).cast("int")
+
+  /** Build (overwrite) the index from the crawled history.
+    * `lastCrawlCol` is any orderable recrawl clock — epoch day, fetch
+    * timestamp — stored per URL for [[recrawlDue]].
+    */
+  def buildIndex(crawled: DataFrame, urlCol: String, lastCrawlCol: Column,
+      dir: String, nShards: Int = 64, expectedItems: Long = 4000000L): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = crawled.sparkSession
+    // one row per url: a url re-crawled in history keeps its LATEST clock
+    val urls = crawled
+      .groupBy(col(urlCol).as("url"))
+      .agg(max(lastCrawlCol).as("last_crawl"))
+      .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
+        shardCol("url", nShards).as("shard"))
+    urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
+    writeBloom(spark, dir, urls.select(col("url")), expectedItems, overwrite = true)
+    spark.createDataFrame(Seq((nShards, expectedItems)))
+      .toDF("n_shards", "expected_items")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a newly-crawled batch: new files under the existing shard
+    * directories plus one more Bloom row — nothing is rewritten.
+    * Callers feed it URLs that passed [[probeNew]] (appending an
+    * already-indexed URL is harmless for membership — md5 dedup at
+    * probe — but duplicates the row until a compaction pass).
+    */
+  def appendBatch(newlyCrawled: DataFrame, urlCol: String, lastCrawlCol: Column,
+      dir: String): Unit = {
+    val spark = newlyCrawled.sparkSession
+    val (nShards, expectedItems) = readMeta(spark, dir)
+    val urls = newlyCrawled
+      .groupBy(col(urlCol).as("url"))
+      .agg(max(lastCrawlCol).as("last_crawl"))
+      .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
+        shardCol("url", nShards).as("shard"))
+    urls.write.mode("append").partitionBy("shard").parquet(s"$dir/urls")
+    writeBloom(spark, dir, urls.select(col("url")), expectedItems, overwrite = false)
+  }
+
+  /** The batch rows whose `urlCol` is NOT in the index — bit-identical
+    * to `batch LEFT ANTI JOIN index ON url`, via Bloom prefilter +
+    * pruned-shard md5 verify (see class doc). All columns of `batch`
+    * ride through.
+    */
+  def probeNew(spark: SparkSession, dir: String, batch: DataFrame, urlCol: String): DataFrame = {
+    val (nShards, _) = readMeta(spark, dir)
+    val bf = mergedBloom(spark, dir) match {
+      case Some(b) => b
+      case None => return batch // empty index: everything is new
+    }
+    val probed = batch.withColumn("__hit",
+      call_function("graft_might_contain", lit(bf), xxhash64(col(urlCol))))
+    val clear = probed.filter(!col("__hit"))
+    val candidates = probed.filter(col("__hit"))
+      .withColumn("__md5", md5(col(urlCol)))
+      .withColumn("__shard", shardCol(urlCol, nShards))
+    // shards the survivors actually occupy — ≤ nShards ints, driver-safe
+    val shards = candidates.select(col("__shard")).distinct()
+      .collect().map(_.getInt(0))
+    val verified =
+      if (shards.isEmpty) candidates.drop("__md5", "__shard")
+      else {
+        // shard ∈ … is a PARTITION filter on the parquet source: only
+        // the touched directories are read; the anti-join shuffles on
+        // the 128-bit key, shuffle_hash pinned (the index side must
+        // never be broadcast — it is crawl-sized)
+        val seen = spark.read.parquet(s"$dir/urls")
+          .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+          .select(col("url_md5").as("__md5")).distinct()
+        candidates.join(seen.hint("shuffle_hash"), Seq("__md5"), "left_anti")
+          .drop("__md5", "__shard")
+      }
+    clear.unionByName(verified).drop("__hit")
+  }
+
+  /** URLs due for re-fetch: `updates` carries change signals —
+    * typically sitemap `<lastmod>` ([[graft.sources.SitemapXml]]) —
+    * and a URL is due when it IS indexed and its signal clock exceeds
+    * the stored `last_crawl`. Same pruned-shard probe as [[probeNew]]
+    * (the Bloom pass keeps never-crawled sitemap URLs out of the
+    * join — those belong to the NEW feed, not the recrawl feed).
+    * Returns `(url, last_crawl, signal)` sorted nowhere — callers rank
+    * by staleness ([[CrawlScheduler.capPerDomain]] downstream).
+    */
+  def recrawlDue(spark: SparkSession, dir: String, updates: DataFrame,
+      urlCol: String, signalCol: Column): DataFrame = {
+    val (nShards, _) = readMeta(spark, dir)
+    val bf = mergedBloom(spark, dir) match {
+      case Some(b) => b
+      case None => // empty index: nothing was ever crawled, nothing is due
+        return updates.select(col(urlCol).as("url"), signalCol.as("last_crawl"),
+          signalCol.as("signal")).limit(0)
+    }
+    val candidates = updates
+      .select(col(urlCol).as("url"), signalCol.as("signal"))
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("url"))))
+      .withColumn("__md5", md5(col("url")))
+      .withColumn("__shard", shardCol("url", nShards))
+    val shards = candidates.select(col("__shard")).distinct()
+      .collect().map(_.getInt(0))
+    if (shards.isEmpty)
+      return candidates.select(col("url"), col("signal").as("last_crawl"), col("signal"))
+        .limit(0)
+    val seen = spark.read.parquet(s"$dir/urls")
+      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .select(col("url_md5").as("__md5"), col("last_crawl"))
+    candidates.join(seen.hint("shuffle_hash"), Seq("__md5"))
+      .filter(col("signal") > col("last_crawl"))
+      .select(col("url"), col("last_crawl"), col("signal"))
+  }
+
+  /** One frontier turn — [[probeNew]], index the accepted URLs
+    * ([[appendBatch]]), hand them to `accept` — shaped as a
+    * `foreachBatch` body like
+    * [[graft.streaming.StreamingDedup.indexedIngest]]: the accepted
+    * frame is persisted across its two consumers, the index append
+    * lands BEFORE `accept` fires, and a micro-batch replayed after a
+    * crash finds its own URLs already indexed and drops them — the
+    * index doubles as the idempotence ledger, so `accept` sees each
+    * URL at most once.
+    */
+  def ingest(dir: String, urlCol: String, lastCrawlCol: Column)(
+      accept: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      val spark = batch.sparkSession
+      val cached = batch.persist() // stable relation for the two probe passes
+      try {
+        val accepted = probeNew(spark, dir, cached, urlCol).persist()
+        try {
+          appendBatch(accepted, urlCol, lastCrawlCol, dir)
+          accept(accepted, epochId)
+        } finally accepted.unpersist()
+      } finally cached.unpersist()
+    }
+
+  // ---- internals ----
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {
+    val m = spark.read.parquet(s"$dir/meta").select("n_shards", "expected_items").head()
+    (m.getInt(0), m.getLong(1))
+  }
+
+  private def writeBloom(spark: SparkSession, dir: String, urls: DataFrame,
+      expectedItems: Long, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    urls.select(xxhash64(col("url")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
+      .filter(col("bf").isNotNull) // empty batch → null sketch → nothing to append
+      .write.mode(mode).parquet(s"$dir/bloom")
+  }
+
+  /** All appended sketch rows merged into one — public sketch API,
+    * compatible because `expectedItems` is pinned per index. The
+    * merged literal is sketch-sized (≈1 MB default), never
+    * corpus-sized.
+    */
+  private def mergedBloom(spark: SparkSession, dir: String): Option[Array[Byte]] = {
+    val rows = spark.read.parquet(s"$dir/bloom").select("bf").collect()
+    if (rows.isEmpty) return None
+    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      rows.head.getAs[Array[Byte]](0))
+    rows.tail.foreach { r =>
+      merged.mergeInPlace(
+        org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]](0)))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    Some(out.toByteArray)
+  }
+}

@@ -45,15 +45,58 @@ object CrawlScheduler {
   }
 
   /** Politeness schedule: assign fetchers, then give fetch k of each
-    * domain the start slot (k-1)·delay (ordered by `urlCol` for
-    * determinism). `delayMsCol` is per-row (usually a per-domain
-    * crawl-delay joined from robots.txt; constant via `lit`).
+    * domain the start slot (k-1)·delay. The window orders by `urlCol`
+    * plus any `tiebreak` columns — pass one whenever URLs can repeat
+    * within a domain (a frontier that didn't dedup), or `row_number`
+    * ties make relative slots nondeterministic across runs/engines.
+    * `delayMsCol` is per-row (usually a per-domain crawl-delay joined
+    * from robots.txt; constant via `lit`).
+    *
+    * Feed this from [[capPerDomain]] at scale: the window partition is
+    * then at most k rows per domain, so no mega-domain ever
+    * single-task-sorts its whole frontier here.
     */
   def schedule(frontier: DataFrame, domainCol: String, urlCol: String,
-      nFetchers: Int, delayMsCol: Column): DataFrame = {
-    val w = Window.partitionBy(col(domainCol)).orderBy(col(urlCol))
+      nFetchers: Int, delayMsCol: Column, tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(urlCol) +: tiebreak: _*)
     assignFetchers(frontier, domainCol, nFetchers)
       .withColumn("slot_ms",
         (row_number().over(w) - 1).cast("long") * delayMsCol.cast("long"))
+  }
+
+  /** Bound each domain's fetch batch to its `k` highest-priority URLs
+    * BEFORE any per-domain window — the guard that keeps one hot
+    * domain (a link farm, a mega-wiki) from funnelling millions of
+    * frontier rows through a single politeness-window sort task while
+    * the rest of the fleet idles.
+    *
+    * Scale shape: `graft_topk_agg` ([[graft.functions.BoundedTopK]])
+    * holds a ≤k bounded heap per domain with map-side partial merge,
+    * so the domain-keyed shuffle carries at most k rows per domain per
+    * map task and NOTHING is ever fully sorted — update is O(log k)
+    * against the heap root. The window formulation (`row_number() <= k`)
+    * computes the same rows but sorts every row of the hot domain in
+    * one task; this is the bounded-state replacement.
+    *
+    * Ranking: higher `priorityCol` first (recrawl urgency, link
+    * indegree, sitemap `<priority>`…), ties broken by `urlCol`
+    * ascending — a total order whenever URLs are unique per domain,
+    * which makes the kept set deterministic and oracle-checkable. All
+    * other columns of `frontier` ride through unchanged.
+    */
+  def capPerDomain(frontier: DataFrame, domainCol: String, urlCol: String,
+      priorityCol: Column, k: Int): DataFrame = {
+    val payload = frontier.columns.filter(_ != domainCol)
+    // ordering hits neg_priority first (so higher priority = smaller =
+    // kept), then url, then the remaining payload columns (inert once
+    // (priority, url) is unique)
+    val ranked = struct(
+      (priorityCol * lit(-1.0)).cast("double").as("__negp") +:
+        col(urlCol).as(urlCol) +:
+        payload.filter(_ != urlCol).map(c => col(c).as(c)): _*)
+    frontier.groupBy(col(domainCol))
+      .agg(graft.functions.BoundedTopK.column(ranked, k).as("__top"))
+      .select(col(domainCol), explode(col("__top")).as("__item"))
+      .select(col(domainCol) +: payload.map(c => col("__item." + c).as(c)): _*)
   }
 }

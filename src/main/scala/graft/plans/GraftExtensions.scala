@@ -140,6 +140,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk_agg"),
+      new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_topk_agg(c, limit) takes a column and an int literal")
+        val limit = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_topk_agg: limit must be an int literal, got $other")
+        }
+        graft.functions.BoundedTopK(children.head, limit)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_text_profile"),
       new ExpressionInfo(classOf[TextProfile].getName, "graft_text_profile"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CrawlFrontier
+
+/** Persistent frontier seen-set: stored sharded url-hash index + Bloom
+  * prefilter, probed per batch — result bit-identical to the plain
+  * exact anti-join against the crawled set.
+  */
+class CrawlFrontierSpec extends SparkSpec {
+
+  test("probeNew == exact left_anti against the crawled set (two batches, then append)") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_idx")
+    val crawled = (0 until 500).map(i => (s"http://site${i % 37}.com/p/$i", 100L + i % 7))
+      .toDF("url", "day")
+    CrawlFrontier.buildIndex(crawled, "url", col("day"), dir,
+      nShards = 16, expectedItems = 10000L)
+
+    // batch 1: half seen, half new, plus a carry column
+    val batch1 = ((0 until 200).map(i => (s"http://site${i % 37}.com/p/$i", s"m$i")) ++
+      (0 until 150).map(i => (s"http://new${i % 11}.org/a/$i", s"n$i")))
+      .toDF("url", "meta")
+    val got1 = CrawlFrontier.probeNew(spark, dir, batch1, "url")
+      .as[(String, String)].collect().toSet
+    val want1 = batch1.join(crawled.select("url"), Seq("url"), "left_anti")
+      .as[(String, String)].collect().toSet
+    assert(got1 == want1)
+    assert(got1.size == 150)
+
+    // append batch 1's accepted urls, then probe a batch overlapping both
+    CrawlFrontier.appendBatch(
+      CrawlFrontier.probeNew(spark, dir, batch1, "url"), "url", lit(200L), dir)
+    val batch2 = ((0 until 60).map(i => (s"http://new${i % 11}.org/a/$i", s"o$i")) ++   // batch-1 accepted
+      (0 until 60).map(i => (s"http://site${i % 37}.com/p/$i", s"p$i")) ++             // original crawl
+      (0 until 80).map(i => (s"http://fresh${i % 5}.net/z/$i", s"q$i")))               // genuinely new
+      .toDF("url", "meta")
+    val allSeen = crawled.select("url")
+      .unionByName(batch1.select("url").join(crawled.select("url"), Seq("url"), "left_anti"))
+    val got2 = CrawlFrontier.probeNew(spark, dir, batch2, "url")
+      .as[(String, String)].collect().toSet
+    val want2 = batch2.join(allSeen, Seq("url"), "left_anti")
+      .as[(String, String)].collect().toSet
+    assert(got2 == want2)
+    assert(got2.size == 80)
+    assert(got2.forall(_._1.startsWith("http://fresh")))
+  }
+
+  test("probeNew never broadcasts the index side and prunes untouched shards") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_plan")
+    val crawled = (0 until 400).map(i => (s"http://host${i % 23}.com/x/$i", 1L)).toDF("url", "day")
+    CrawlFrontier.buildIndex(crawled, "url", col("day"), dir, nShards = 32, expectedItems = 5000L)
+    val batch = (0 until 50).map(i => (s"http://host${i % 23}.com/x/$i", i)).toDF("url", "k")
+    val plan = CrawlFrontier.probeNew(spark, dir, batch, "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"index side must not broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffled verify join:\n$plan")
+    // shard pruning: the parquet scan carries a partition filter on `shard`
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected shard partition pruning in:\n$plan")
+  }
+
+  test("recrawlDue: only seen urls with a newer change signal come back") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_recrawl")
+    val crawled = (0 until 100).map(i => (s"http://s${i % 9}.com/p/$i", 100L + (i % 10)))
+      .toDF("url", "day")
+    CrawlFrontier.buildIndex(crawled, "url", col("day"), dir, nShards = 8, expectedItems = 1000L)
+    // sitemap signals: 50 updated after crawl, 50 stale, 30 never crawled
+    val updates = ((0 until 100).map { i =>
+      val lastCrawl = 100L + (i % 10)
+      (s"http://s${i % 9}.com/p/$i", if (i % 2 == 0) lastCrawl + 5 else lastCrawl - 1)
+    } ++ (0 until 30).map(i => (s"http://never${i}.com/", 999L)))
+      .toDF("url", "lastmod")
+    val due = CrawlFrontier.recrawlDue(spark, dir, updates, "url", col("lastmod"))
+      .as[(String, Long, Long)].collect()
+    assert(due.length == 50)
+    assert(due.forall { case (_, lastCrawl, signal) => signal > lastCrawl })
+    assert(due.forall(!_._1.startsWith("http://never")))
+  }
+
+  test("ingest is a replay-safe foreachBatch body: the index is the idempotence ledger") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_ingest")
+    CrawlFrontier.buildIndex(
+      Seq(("http://base.com/0", 1L)).toDF("url", "day"), "url", col("day"), dir,
+      nShards = 4, expectedItems = 1000L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val body = CrawlFrontier.ingest(dir, "url", lit(2L)) { (accepted, _) =>
+      seen ++= accepted.select("url").as[String].collect()
+    }
+    val batch = (0 until 20).map(i => (s"http://b.com/$i", i)).toDF("url", "k")
+    body(batch, 0L)
+    assert(seen.sorted == (0 until 20).map(i => s"http://b.com/$i").sorted)
+    body(batch, 0L) // replay: everything already indexed → accept sees nothing
+    assert(seen.length == 20)
+  }
+}

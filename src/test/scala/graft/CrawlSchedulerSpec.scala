@@ -37,6 +37,39 @@ class CrawlSchedulerSpec extends SparkSpec {
     assert(movedWrong == 0, "an HRW reassignment can only target the added fetcher")
   }
 
+  test("capPerDomain keeps each domain's top-k by priority, identical to the window formulation") {
+    import spark.implicits._
+    // 100:1 skew: one mega-domain with 1000 urls, 20 small domains with ~10
+    val rows = ((0 until 1000).map(i => ("mega.example.com", f"http://mega.example.com/p/$i%04d", (i % 97).toDouble, s"x$i")) ++
+      (0 until 200).map(i => (s"d${i % 20}.org", f"http://d${i % 20}.org/p/$i%04d", (i % 13).toDouble, s"y$i")))
+      .toDF("domain", "url", "priority", "extra")
+    val capped = CrawlScheduler.capPerDomain(rows, "domain", "url", col("priority"), 25)
+    // oracle: the window formulation on the same total order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain")).orderBy(col("priority").desc, col("url"))
+    val expected = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 25).drop("rn")
+    val got = capped.select("domain", "url", "priority", "extra").as[(String, String, Double, String)].collect().toSet
+    val want = expected.select("domain", "url", "priority", "extra").as[(String, String, Double, String)].collect().toSet
+    assert(got == want)
+    assert(capped.filter(col("domain") === "mega.example.com").count() == 25)
+    // payload columns ride through untouched
+    assert(capped.columns.sorted.toSeq == Seq("domain", "extra", "priority", "url"))
+  }
+
+  test("schedule tiebreak column makes duplicate-url slots deterministic") {
+    import spark.implicits._
+    // same url twice within a domain: without a tiebreaker row_number
+    // ties are engine-dependent; with one, slots are pinned
+    val urls = Seq(
+      ("a.org", "http://a.org/p", 1L), ("a.org", "http://a.org/p", 2L),
+      ("a.org", "http://a.org/q", 3L))
+      .toDF("domain", "url", "seq")
+    val s = CrawlScheduler.schedule(urls, "domain", "url", 4, lit(1000), Seq(col("seq")))
+      .select("url", "seq", "slot_ms").as[(String, Long, Long)].collect().toSet
+    assert(s == Set(("http://a.org/p", 1L, 0L), ("http://a.org/p", 2L, 1000L),
+      ("http://a.org/q", 3L, 2000L)))
+  }
+
   test("slots: fetch k of a domain starts at (k-1)*delay") {
     import spark.implicits._
     val urls = Seq(

@@ -105,4 +105,44 @@ class CrawlStreamingSpec extends SparkSpec {
     val indexed = spark.read.parquet(s"$dir/idx/sigs").select("doc_id").as[Long].collect().toSet
     assert(indexed == Set(1L, 2L, 4L))
   }
+
+  test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.scratch("frontier-stream")
+
+    // the crawl history the stream starts from
+    val crawled = (0 until 40).map(i => (s"http://hist.example.com/p/$i", 100L)).toDF("url", "day")
+    graft.operators.CrawlFrontier.buildIndex(crawled, "url", col("day"), dir,
+      nShards = 8, expectedItems = 10000L)
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[String]
+    val q = input.toDS().toDF("url").writeStream.foreachBatch(
+      graft.operators.CrawlFrontier.ingest(dir, "url", lit(200L)) { (df, _) =>
+        val urls = df.select("url").as[String].collect()
+        accepted.synchronized { accepted ++= urls }
+      }).start()
+    try {
+      // micro-batch 1: 10 already-crawled + 5 new
+      input.addData((0 until 10).map(i => s"http://hist.example.com/p/$i") ++
+        (0 until 5).map(i => s"http://newsite.org/a/$i"): _*)
+      q.processAllAvailable()
+      // micro-batch 2: re-discoveries of batch 1's accepted urls + 3 fresh —
+      // the PERSISTED index (not stream state) must drop the re-discoveries
+      input.addData((0 until 5).map(i => s"http://newsite.org/a/$i") ++
+        (0 until 3).map(i => s"http://fresh.net/z/$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(accepted.toSet ==
+      ((0 until 5).map(i => s"http://newsite.org/a/$i") ++
+        (0 until 3).map(i => s"http://fresh.net/z/$i")).toSet, s"got ${accepted.toSet}")
+    // the index grew by exactly the accepted urls (idempotence ledger)
+    val indexed = spark.read.parquet(s"$dir/urls").select("url").as[String].collect().toSet
+    assert(indexed.size == 48)
+    assert(indexed.count(_.startsWith("http://newsite")) == 5)
+    assert(indexed.count(_.startsWith("http://fresh")) == 3)
+  }
 }

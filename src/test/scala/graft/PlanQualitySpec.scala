@@ -58,6 +58,35 @@ class PlanQualitySpec extends SparkSpec {
       "URL normalization must stay inside whole-stage codegen")
   }
 
+  test("text_html_links normalizes columnar — no typed object boundary after extraction") {
+    val p = plan("text_html_links")
+    assert(p.contains("graft_url_normalize"), "must use the native expression")
+    // the fixture generator and linksDf's parse are typed by design
+    // (two DeserializeToObject boundaries); the NORMALIZATION stage
+    // after them must not add a third
+    val boundaries = p.sliding("DeserializeToObject".length)
+      .count(_ == "DeserializeToObject")
+    assert(boundaries <= 2, s"normalization added an extra typed stage ($boundaries):\n$p")
+  }
+
+  test("frontier incremental probe: shard-pruned scan, shuffled verify join, no broadcast of the index") {
+    val p = plan("pipeline_frontier_incremental")
+    assert(p.contains("might_contain"), "must probe the Bloom literal")
+    assert(p.contains("PartitionFilters") && p.contains("shard"),
+      s"index scan must prune shards:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the crawl-sized index side must never broadcast:\n$p")
+  }
+
+  test("crawl_schedule_capped: bounded-heap cap, window only after the cap") {
+    val p = plan("crawl_schedule_capped")
+    assert(p.contains("graft_topk_agg"), "the cap must be the bounded aggregate")
+    // partial aggregation applies: two HashAggregate/ObjectHashAggregate
+    // stages around the domain-keyed exchange
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected an aggregate-based cap:\n$p")
+  }
+
   test("crawl family: seen-set anti-join broadcasts; no cartesians") {
     val pf = plan("pipeline_frontier")
     assert(pf.contains("BroadcastHashJoin") && pf.contains("LeftAnti"),
