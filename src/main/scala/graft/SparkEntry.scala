@@ -3038,6 +3038,31 @@ object SparkEntry {
         .orderBy(col("sm_id"), col("url_ix"))
     }),
 
+    "url_psl_full" -> ((s, dir) => {
+      // eTLD+1 under the FULL embedded public_suffix_list.dat (~10k
+      // rules, also battery-verified in UrlOpsSpec): 14 arms over real
+      // registry rules the in-source snapshot lacks — ccTLD second
+      // levels, a US K12 three-label chain, PRIVATE-section hosting
+      // domains — plus the *.ck wildcard and !city exception families.
+      // Every arm's registrable domain is fixed by the published list,
+      // so the oracle states it directly; the computation runs in the
+      // native graft_url_domain expression.
+      import s.implicits._
+      val sfx = Vector("com.sg", "co.th", "com.tr", "com.ua", "org.nz", "com.ar",
+        "co.il", "com.my", "com.eg", "k12.ak.us", "fly.dev", "myshopify.com")
+      s.range(280).map { i =>
+        val m = (i % 14).toInt
+        val host = m match {
+          case 12 => s"a$i.b$i.test.ck"
+          case 13 => s"x$i.city.kawasaki.jp"
+          case k => s"w$i.site$i.${sfx(k)}"
+        }
+        (i.toLong, host)
+      }.toDF("id", "host")
+        .withColumn("domain", call_function("graft_url_domain", col("host")))
+        .orderBy(col("id"))
+    }),
+
     "pipeline_frontier" -> ((s, dir) => {
       // FLAGSHIP frontier maintenance — the other half of the crawl
       // loop (pipeline_crawl consumes archives; this produces the next
@@ -6917,6 +6942,26 @@ object SparkEntry {
         |  SELECT 'u' || CAST(i % 7 AS VARCHAR) || '.github.io' FROM range(250) r(i))
         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // each arm's eTLD+1 is pinned by the published list: normal ccTLD
+    // registries keep site+suffix, *.ck makes b<i>.test.ck the
+    // registrable domain, !city.kawasaki.jp collapses to the exception
+    "url_psl_full" ->
+      """WITH t AS (SELECT i, i % 14 AS m, CAST(i AS VARCHAR) AS si FROM range(280) r(i)),
+        |s AS (SELECT i, m, si,
+        |  CASE m WHEN 0 THEN 'com.sg' WHEN 1 THEN 'co.th' WHEN 2 THEN 'com.tr'
+        |         WHEN 3 THEN 'com.ua' WHEN 4 THEN 'org.nz' WHEN 5 THEN 'com.ar'
+        |         WHEN 6 THEN 'co.il' WHEN 7 THEN 'com.my' WHEN 8 THEN 'com.eg'
+        |         WHEN 9 THEN 'k12.ak.us' WHEN 10 THEN 'fly.dev'
+        |         ELSE 'myshopify.com' END AS sfx FROM t)
+        |SELECT i AS id,
+        |  CASE WHEN m = 12 THEN 'a' || si || '.b' || si || '.test.ck'
+        |       WHEN m = 13 THEN 'x' || si || '.city.kawasaki.jp'
+        |       ELSE 'w' || si || '.site' || si || '.' || sfx END AS host,
+        |  CASE WHEN m = 12 THEN 'b' || si || '.test.ck'
+        |       WHEN m = 13 THEN 'city.kawasaki.jp'
+        |       ELSE 'site' || si || '.' || sfx END AS domain
+        |FROM s ORDER BY id""".stripMargin,
 
     // the scale path (Bloom prefilter + pruned-shard md5 verify) is
     // result-identical to these two plain anti-joins — batch 2 also

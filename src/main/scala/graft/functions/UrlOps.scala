@@ -21,10 +21,11 @@ package graft.functions
   * `registrableDomain` groups hosts by their eTLD+1 under a
   * [[PublicSuffixList]] implementing the full publicsuffix.org
   * algorithm — normal rules, wildcard rules (`*.ck`), and exception
-  * rules (`!www.ck`) — over an embedded SNAPSHOT of the list.
-  * Production deployments should load the full, current
-  * public_suffix_list.dat via `PublicSuffixList.parse` and pass it to
-  * `registrableDomain(host, psl)`.
+  * rules (`!www.ck`) — over the FULL published
+  * public_suffix_list.dat, embedded as a classpath resource
+  * ([[fullPsl]], ~10k rules, verified against the publicsuffix.org
+  * test battery in UrlOpsSpec). A newer list drops in via
+  * `PublicSuffixList.parse` + `registrableDomain(host, psl)`.
   *
   * Everything here is a pure string function — used inside codegen'd
   * expressions or per-row maps, no shuffle, no state.
@@ -99,18 +100,26 @@ object UrlOps extends Serializable {
     /** Parse public_suffix_list.dat content: one rule per line, `//`
       * comments and blank lines skipped, a rule ends at the first
       * whitespace (the file's own convention), case-insensitive.
-      * Handles `!exception` and `*.wildcard` rules.
+      * Handles `!exception` and `*.wildcard` rules. IDN rules (the
+      * list stores them in unicode) are ALSO indexed under their
+      * punycoded form, so `xn--…` hostnames match the same registry
+      * rules their unicode twins do — the publicsuffix.org test
+      * battery checks both spellings.
       */
     def parse(lines: IterableOnce[String]): PublicSuffixList = {
       val normal = Set.newBuilder[String]
       val wildcard = Set.newBuilder[String]
       val exception = Set.newBuilder[String]
+      def variants(rule: String): Seq[String] = {
+        if (rule.forall(_ < 128)) Seq(rule)
+        else Seq(rule, toAsciiHost(rule))
+      }
       lines.iterator.foreach { raw =>
         val l = raw.trim.takeWhile(!_.isWhitespace).toLowerCase
         if (l.nonEmpty && !l.startsWith("//")) {
-          if (l.startsWith("!")) exception += l.substring(1)
-          else if (l.contains("*")) wildcard += l
-          else normal += l
+          if (l.startsWith("!")) exception ++= variants(l.substring(1))
+          else if (l.contains("*")) wildcard ++= variants(l)
+          else normal ++= variants(l)
         }
       }
       new PublicSuffixList(normal.result(), wildcard.result(), exception.result())
@@ -165,7 +174,10 @@ object UrlOps extends Serializable {
     "firebaseapp.com", "pages.dev", "workers.dev", "azurewebsites.net",
     "cloudfront.net", "appspot.com")
 
-  /** The embedded-snapshot PSL used by the 1-arg `registrableDomain`. */
+  /** The in-source snapshot PSL — parse-mechanics tests and a
+    * no-resource fallback; the 1-arg `registrableDomain` uses
+    * [[fullPsl]].
+    */
   val defaultPsl: PublicSuffixList = PublicSuffixList.parse(defaultPslRules)
 
   /** Legacy flat view (normal multi-label rules only) — kept for callers
@@ -311,11 +323,28 @@ object UrlOps extends Serializable {
     sb.toString
   }
 
-  /** eTLD+1 under the embedded PSL snapshot. A host that IS a public
-    * suffix (or a single label, or an IP) is returned unchanged.
+  /** The FULL published public suffix list
+    * (https://publicsuffix.org/list/public_suffix_list.dat, MPL 2.0),
+    * embedded as a classpath resource and parsed once per JVM — ~10k
+    * rules covering every ccTLD registry and the PRIVATE hosting
+    * section. This is what the 1-arg [[registrableDomain]] (and the
+    * native `graft_url_domain` expression on top of it) uses; the
+    * in-source [[defaultPsl]] snapshot remains for parse-mechanics
+    * tests and as an explicit no-resource fallback.
+    */
+  lazy val fullPsl: PublicSuffixList = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "embedded graft/public_suffix_list.dat missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try PublicSuffixList.parse(src.getLines()) finally src.close()
+  }
+
+  /** eTLD+1 under the full embedded public suffix list. A host that IS
+    * a public suffix (or a single label, or an IP) is returned
+    * unchanged.
     */
   def registrableDomain(host: String): String =
-    defaultPsl.registrableDomain(host)
+    fullPsl.registrableDomain(host)
 
   /** eTLD+1 under a caller-supplied PSL (e.g. the full
     * public_suffix_list.dat via `PublicSuffixList.parse`).

@@ -138,4 +138,55 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(UrlOps.registrableDomain("a.b.site.co.uk", Set("co.uk")) == "site.co.uk")
     assert(UrlOps.registrableDomain("co.uk", Set("co.uk")) == "co.uk")
   }
+
+  test("the FULL embedded public_suffix_list.dat passes the complete publicsuffix.org battery") {
+    val psl = UrlOps.fullPsl
+    // the battery's contract: registrable domain, or null when the
+    // host is itself a public suffix, a single unlisted label, or
+    // syntactically invalid (leading dot / empty label)
+    def check(input: String): String = {
+      if (input == null) return null
+      val h = input.toLowerCase
+      if (h.split("\\.", -1).exists(_.isEmpty)) return null
+      if (psl.publicSuffix(h) == h) return null
+      psl.registrableDomain(h)
+    }
+    val in = getClass.getResourceAsStream("/graft/test_psl.txt")
+    assert(in != null, "test battery resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val Case = """checkPublicSuffix\((null|'[^']*'), (null|'[^']*')\);""".r
+    var n = 0
+    try src.getLines().map(_.trim).filterNot(_.startsWith("//")).foreach { line =>
+      Case.findFirstMatchIn(line).foreach { m =>
+        def arg(s: String): String = if (s == "null") null else s.substring(1, s.length - 1)
+        val (input, expected) = (arg(m.group(1)), arg(m.group(2)))
+        assert(check(input) == expected,
+          s"checkPublicSuffix('$input') gave '${check(input)}', battery expects '$expected'")
+        n += 1
+      }
+    } finally src.close()
+    assert(n >= 75, s"battery should exercise 75+ active cases, parsed only $n")
+  }
+
+  test("full list covers ccTLD registries the in-source snapshot misses") {
+    def rd(h: String): String = UrlOps.registrableDomain(h)
+    // second-level registries absent from defaultPslRules
+    assert(rd("www.example.com.sg") == "example.com.sg")
+    assert(rd("shop.example.co.th") == "example.co.th")
+    assert(rd("x.example.com.tr") == "example.com.tr")
+    assert(rd("a.b.example.com.ua") == "example.com.ua")
+    assert(rd("www.example.org.nz") == "example.org.nz")
+    assert(rd("site.example.com.ar") == "example.com.ar")
+    assert(rd("host.example.co.il") == "example.co.il")
+    assert(rd("x.example.com.my") == "example.com.my")
+    assert(rd("a.example.com.eg") == "example.com.eg")
+    // US state K12 chains (three-label suffixes)
+    assert(rd("www.test.k12.ak.us") == "test.k12.ak.us")
+    assert(rd("k12.ak.us") == "k12.ak.us") // host IS the suffix
+    // PRIVATE-section hosting domains beyond the snapshot
+    assert(rd("myapp.fly.dev") == "myapp.fly.dev")
+    assert(rd("x.myshop.myshopify.com") == "myshop.myshopify.com")
+    // IDN registry in both spellings
+    assert(rd("example.xn--55qx5d.cn") == "example.xn--55qx5d.cn")
+  }
 }
