@@ -3183,6 +3183,75 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "frontier_redirects" -> ((s, dir) => {
+      // 3xx Location chains collapsed to their canonical terminal URL
+      // (CrawlFrontier.resolveRedirects — pointer doubling, ⌈log₂ L⌉
+      // self-joins): four arms per template — a 3-hop chain whose
+      // middle Location is RAW (scheme/host case, default port,
+      // utm params) and must normalize before resolution, a plain
+      // terminal, a single redirect, and a 2-cycle that must come back
+      // resolved=false. Expected finals/hops are fixed per arm.
+      import s.implicits._
+      val fetches = s.range(120).flatMap { i =>
+        val d = s"s${i % 10}.com"
+        (i % 4) match {
+          case 0 => Seq(
+            (s"http://$d/start/$i", Some(s"HTTP://${d.toUpperCase}:80/mid/$i?utm_source=x")),
+            (s"http://$d/mid/$i", Some(s"http://$d/final/$i")),
+            (s"http://$d/final/$i", None))
+          case 1 => Seq((s"http://$d/solo/$i", None))
+          case 2 => Seq(
+            (s"http://$d/one/$i", Some(s"http://$d/fin/$i")),
+            (s"http://$d/fin/$i", None))
+          case _ => Seq(
+            (s"http://$d/loopa/$i", Some(s"http://$d/loopb/$i")),
+            (s"http://$d/loopb/$i", Some(s"http://$d/loopa/$i")))
+        }
+      }.toDF("url", "location_raw")
+        // raw Location values canonicalize in the native expression
+        // BEFORE chain resolution — otherwise the dirty mid-hop never
+        // matches its fetched row
+        .withColumn("location", call_function("graft_url_normalize", col("location_raw")))
+        .drop("location_raw")
+      graft.operators.CrawlFrontier.resolveRedirects(fetches, "url", "location", maxHops = 16)
+        .orderBy(col("url"))
+    }),
+
+    "crawl_revisits" -> ((s, dir) => {
+      // the re-crawl storage dedup loop END TO END: yesterday's crawl
+      // written to real .warc.gz archives → digest set via readWarc +
+      // graft_warc_digest → today's fetches marked (unchanged payload
+      // ⇒ payload-free revisit record keyed on WARC-Payload-Digest) →
+      // today's archive written and read back. The oracle reconstructs
+      // record types and byte counts from the text formulas alone, so
+      // green proves digesting, marking, and the revisit container
+      // round-trip are all byte-exact.
+      import s.implicits._
+      def rows(texts: org.apache.spark.sql.Dataset[(Long, String)]) =
+        texts.toDF("id", "text").selectExpr(
+          "'response' as rec_type",
+          "concat('http://rv.example.com/p/', id) as target_uri",
+          "'2026-01-01T00:00:00Z' as warc_date",
+          "concat('<urn:uuid:rv-', id, '>') as record_id",
+          "'application/http; msgtype=response' as content_type",
+          "cast(text as binary) as payload")
+      val yesterday = rows(s.range(120).map(i => (i, s"doc $i body v1")))
+      val yDir = TempDirs.scratch("revisit_y_")
+      WarcIo.writeWarc(yesterday, yDir)
+      val prior = WarcIo.payloadDigests(WarcIo.readWarc(s, yDir + "/*.warc.gz"))
+      val today = rows(s.range(120).map(i =>
+        (i, if (i % 3 == 0) s"doc $i body v1" else s"doc $i body v2")))
+      val tDir = TempDirs.scratch("revisit_t_")
+      WarcIo.writeWarc(WarcIo.markRevisits(today, prior), tDir)
+      WarcIo.readWarc(s, tDir + "/*.warc.gz")
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("id"),
+          col("rec_type"),
+          col("content_length").as("n_bytes"),
+          col("payload_digest").isNotNull.as("digested"))
+        .orderBy(col("id"))
+    }),
+
     "url_robots_filter" -> ((s, dir) => {
       // RFC 9309 politeness gate over a formula frontier: 8 path
       // shapes × 2 crawler tokens against one policy exercising group
@@ -6997,6 +7066,45 @@ object SparkEntry {
         |SELECT url, CAST(day AS BIGINT) AS last_crawl,
         |  CAST(day + 4 AS BIGINT) AS signal
         |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
+
+    // every arm's terminal and hop count is fixed by construction; the
+    // 2-cycle's hops pin the pointer-doubling arithmetic (1→2→4→8→16
+    // over the four ⌈log₂ 16⌉ rounds) and resolved=false
+    "frontier_redirects" ->
+      """WITH t AS (SELECT i, i % 4 AS m,
+        |    's' || CAST(i % 10 AS VARCHAR) || '.com' AS d,
+        |    CAST(i AS VARCHAR) AS si FROM range(120) r(i)),
+        |rows AS (
+        |  SELECT 'http://' || d || '/start/' || si AS url,
+        |    'http://' || d || '/final/' || si AS f, 2 AS hops, true AS res FROM t WHERE m = 0
+        |  UNION ALL SELECT 'http://' || d || '/mid/' || si,
+        |    'http://' || d || '/final/' || si, 1, true FROM t WHERE m = 0
+        |  UNION ALL SELECT 'http://' || d || '/final/' || si,
+        |    'http://' || d || '/final/' || si, 0, true FROM t WHERE m = 0
+        |  UNION ALL SELECT 'http://' || d || '/solo/' || si,
+        |    'http://' || d || '/solo/' || si, 0, true FROM t WHERE m = 1
+        |  UNION ALL SELECT 'http://' || d || '/one/' || si,
+        |    'http://' || d || '/fin/' || si, 1, true FROM t WHERE m = 2
+        |  UNION ALL SELECT 'http://' || d || '/fin/' || si,
+        |    'http://' || d || '/fin/' || si, 0, true FROM t WHERE m = 2
+        |  UNION ALL SELECT 'http://' || d || '/loopa/' || si,
+        |    'http://' || d || '/loopa/' || si, 16, false FROM t WHERE m = 3
+        |  UNION ALL SELECT 'http://' || d || '/loopb/' || si,
+        |    'http://' || d || '/loopb/' || si, 16, false FROM t WHERE m = 3)
+        |SELECT url, f AS final_url, CAST(hops AS BIGINT) AS hops, res AS resolved
+        |FROM rows ORDER BY url""".stripMargin,
+
+    // unchanged payloads (i%3=0) become 0-byte revisit records, the
+    // rest stay responses at their exact ASCII byte length; every
+    // record carries a WARC-Payload-Digest after the marking pass
+    "crawl_revisits" ->
+      """WITH t AS (SELECT i, CAST(i AS VARCHAR) AS si FROM range(120) r(i))
+        |SELECT i AS id,
+        |  CASE WHEN i % 3 = 0 THEN 'revisit' ELSE 'response' END AS rec_type,
+        |  CAST(CASE WHEN i % 3 = 0 THEN 0
+        |       ELSE length('doc ' || si || ' body v2') END AS BIGINT) AS n_bytes,
+        |  true AS digested
+        |FROM t ORDER BY id""".stripMargin,
 
     // the bounded-heap cap == the window formulation on the same total
     // order (priority DESC, url ASC); fetchers and slots then follow

@@ -190,6 +190,52 @@ object CrawlFrontier {
       } finally cached.unpersist()
     }
 
+  /** Collapse 3xx redirect chains to their terminal URL by POINTER
+    * DOUBLING: `fetches` holds one row per fetched URL with
+    * `locationCol` = the (normalized) Location target for redirects,
+    * null for terminal responses. Output: `(url, final_url, hops,
+    * resolved)` — `resolved` false for chains that are cyclic or
+    * longer than `maxHops`.
+    *
+    * Scale shape: each round composes the jump table with itself
+    * (reach(x) ← reach(reach(x)), hop counts add), so a chain of
+    * length L resolves in ⌈log₂ L⌉ self-joins — 4 shuffles for the
+    * 16-hop cap rather than 16 sequential joins; each join is
+    * hash-keyed on the URL, nothing is collected or broadcast.
+    * `localCheckpoint` truncates the growing lineage each round (the
+    * same iterative-plan discipline as
+    * [[graft.operators.dedup.Dedup.connectedComponents]]). A Location
+    * target that was never fetched terminates its chain (the frontier
+    * fetches it next turn).
+    */
+  def resolveRedirects(fetches: DataFrame, urlCol: String, locationCol: String,
+      maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1, "maxHops must be at least 1")
+    var j = fetches.select(
+      col(urlCol).as("url"),
+      coalesce(col(locationCol), col(urlCol)).as("reach"),
+      when(col(locationCol).isNull, lit(0L)).otherwise(lit(1L)).as("hops"),
+      col(locationCol).isNull.as("done"))
+    var span = 1
+    while (span < maxHops) {
+      val r = j.select(col("url").as("r_url"), col("reach").as("r_reach"),
+        col("hops").as("r_hops"), col("done").as("r_done"))
+      val stepped = j.join(r.hint("shuffle_hash"), j("reach") === r("r_url"), "left")
+      // a reach with no row of its own is an unfetched target → terminal
+      j = stepped.select(
+        col("url"),
+        when(col("done") || col("r_url").isNull, col("reach"))
+          .otherwise(col("r_reach")).as("reach"),
+        when(col("done") || col("r_url").isNull, col("hops"))
+          .otherwise(col("hops") + col("r_hops")).as("hops"),
+        (col("done") || col("r_url").isNull || col("r_done")).as("done"))
+        .localCheckpoint()
+      span *= 2
+    }
+    j.select(col("url"), col("reach").as("final_url"), col("hops"),
+      col("done").as("resolved"))
+  }
+
   // ---- internals ----
 
   private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {

@@ -140,6 +140,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_warc_digest"),
+      new ExpressionInfo(classOf[WarcPayloadDigest].getName, "graft_warc_digest"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_warc_digest(payload) takes one binary argument")
+        WarcPayloadDigest(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk_agg"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk_agg"),
       (children: Seq[Expression]) => {

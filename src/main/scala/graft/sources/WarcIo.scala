@@ -503,6 +503,34 @@ object WarcIo {
       extra = Map("WARC-Refers-To" -> source.recordId),
       payload = text.getBytes(UTF_8))
 
+  /** The WARC 1.0 revisit profile for payload-identical re-fetches. */
+  val RevisitProfile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+  /** WARC-Payload-Digest spelling: `sha1:` + unpadded RFC 4648 Base32
+    * (what public crawl corpora carry). Columnar twin:
+    * `graft_warc_digest` ([[graft.plans.WarcPayloadDigest]]).
+    */
+  def payloadDigest(payload: Array[Byte]): String =
+    graft.plans.WarcDigestUtil.digest(payload).toString
+
+  /** Payload-free `revisit` record replacing a response whose payload
+    * digest matches a prior crawl's copy — the WARC convention that
+    * keeps re-crawls from storing every unchanged page again. The
+    * digest rides in WARC-Payload-Digest; WARC-Profile names the
+    * identical-payload-digest semantics.
+    */
+  def toRevisit(source: WarcRecord, digest: String): WarcRecord =
+    WarcRecord(
+      recordType = "revisit",
+      targetUri = source.targetUri,
+      date = source.date,
+      recordId = source.recordId,
+      contentType = "application/http; msgtype=response",
+      extra = source.extra ++ Map(
+        "WARC-Payload-Digest" -> digest,
+        "WARC-Profile" -> RevisitProfile),
+      payload = Array.emptyByteArray)
+
   // ---------------------------------------------------------------- Spark
 
   /** Distributed `.warc.gz` writer: one archive file per partition,
@@ -513,8 +541,11 @@ object WarcIo {
     *
     * `rows` must carry the record columns `(rec_type, target_uri,
     * warc_date, record_id, content_type, payload)` — the readWarc
-    * layout minus file/rec_ix — in any order. `dir` must be on a
-    * filesystem every executor can reach (shared mount or local mode).
+    * layout minus file/rec_ix — in any order, plus optionally an
+    * `extra` map column of additional WARC headers (the
+    * [[markRevisits]] output shape: WARC-Payload-Digest,
+    * WARC-Profile). `dir` must be on a filesystem every executor can
+    * reach (shared mount or local mode).
     *
     * Attempt safety (the Hadoop output-committer discipline, scoped to
     * this sink): each task attempt writes to its OWN temp name
@@ -542,19 +573,71 @@ object WarcIo {
     }
     val spark = rows.sparkSession
     import spark.implicits._
-    val cols = rows.select("rec_type", "target_uri", "warc_date", "record_id",
-      "content_type", "payload").as[(String, String, String, String, String, Array[Byte])]
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val withExtra =
+      if (rows.columns.contains("extra")) rows
+      else rows.withColumn("extra", typedLit(Map.empty[String, String]))
+    val cols = withExtra.select(col("rec_type"), col("target_uri"), col("warc_date"),
+      col("record_id"), col("content_type"), col("payload"), col("extra"))
+      .as[(String, String, String, String, String, Array[Byte], Map[String, String])]
     cols.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        val recs = it.map { case (t, uri, date, rid, ct, payload) =>
-          WarcRecord(t, uri, date, rid, ct, Map.empty, payload)
+        val recs = it.map { case (t, uri, date, rid, ct, payload, extra) =>
+          WarcRecord(t, uri, date, rid, ct, extra, payload)
         }
         Iterator.single(commitPartitionFile(dir, pid, tc.taskAttemptId(), recs))
       }
     }.collect().toSeq.distinct.sorted
+  }
+
+  /** Re-crawl dedup on WARC-Payload-Digest: response rows whose digest
+    * is in `priorDigests` (one `digest` column, the `sha1:BASE32`
+    * spelling — typically [[payloadDigests]] over the previous
+    * crawl's archives) become payload-free `revisit` rows; everything
+    * else passes through. Every output row carries its digest in the
+    * `extra` header map, so [[writeWarc]] emits WARC-Payload-Digest on
+    * responses and revisits alike (revisits add WARC-Profile).
+    *
+    * Scale shape: the digest is the codegen'd `graft_warc_digest`
+    * expression, and the membership check is ONE shuffle-hash left
+    * join on the 37-char digest key — the prior-crawl set is
+    * crawl-sized, so it must never broadcast or land on the driver.
+    */
+  def markRevisits(rows: DataFrame, priorDigests: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val prior = priorDigests.select(col("digest").as("__d")).distinct()
+      .withColumn("__seen", lit(true))
+    rows.withColumn("__d", call_function("graft_warc_digest", col("payload")))
+      .join(prior.hint("shuffle_hash"), Seq("__d"), "left")
+      .withColumn("__rev", coalesce(col("__seen"), lit(false)))
+      .withColumn("rec_type", when(col("__rev"), lit("revisit")).otherwise(col("rec_type")))
+      .withColumn("extra",
+        when(col("__rev"), map(
+          lit("WARC-Payload-Digest"), col("__d"),
+          lit("WARC-Profile"), lit(RevisitProfile)))
+          .otherwise(map(lit("WARC-Payload-Digest"), col("__d"))))
+      .withColumn("payload",
+        when(col("__rev"), lit(Array.emptyByteArray)).otherwise(col("payload")))
+      .drop("__d", "__seen", "__rev")
+  }
+
+  /** The digest set of a crawl — feed yesterday's archives in, get the
+    * `digest` column [[markRevisits]] consumes. Revisit records
+    * contribute the digest they already carry (their payload is
+    * empty); responses digest their payload.
+    */
+  def payloadDigests(warcRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val carried =
+      if (warcRows.columns.contains("payload_digest")) col("payload_digest")
+      else lit(null).cast("string")
+    warcRows.select(
+      coalesce(carried,
+        call_function("graft_warc_digest", col("payload"))).as("digest"))
+      .distinct()
   }
 
   /** One task attempt's write+commit: stream `recs` into
@@ -655,12 +738,15 @@ object WarcIo {
           override def next(): WarcRecord = it.next()
         }
         closing.zipWithIndex.map { case (r, ix) =>
+          val digest = r.extra.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
+          }.orNull
           (file, ix, r.recordType, r.targetUri, r.date, r.recordId, r.contentType,
-            r.payload.length.toLong, r.payload)
+            r.payload.length.toLong, r.payload, digest)
         }
       }
     spark.createDataset(rows)
       .toDF("file", "rec_ix", "rec_type", "target_uri", "warc_date", "record_id",
-        "content_type", "content_length", "payload")
+        "content_type", "content_length", "payload", "payload_digest")
   }
 }

@@ -82,6 +82,30 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(due.forall(!_._1.startsWith("http://never")))
   }
 
+  test("resolveRedirects: chains collapse in log rounds; cycles and unfetched targets handled") {
+    import spark.implicits._
+    // a 5-hop chain, a terminal, a redirect to an UNFETCHED target,
+    // and a 2-cycle — all in one fetch table
+    val fetches = (
+      (0 until 5).map(i => (s"http://c.com/$i", Some(s"http://c.com/${i + 1}"))) :+
+        ("http://c.com/5", None) :+
+        ("http://t.com/solo", None) :+
+        ("http://e.com/out", Some("http://external.org/never-fetched")) :+
+        ("http://l.com/a", Some("http://l.com/b")) :+
+        ("http://l.com/b", Some("http://l.com/a"))
+      ).toDF("url", "location")
+    val r = CrawlFrontier.resolveRedirects(fetches, "url", "location", maxHops = 16)
+      .as[(String, String, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r("http://c.com/0") == ("http://c.com/0", "http://c.com/5", 5L, true))
+    assert(r("http://c.com/3") == ("http://c.com/3", "http://c.com/5", 2L, true))
+    assert(r("http://t.com/solo") == ("http://t.com/solo", "http://t.com/solo", 0L, true))
+    // unfetched target terminates the chain (fetched next turn)
+    assert(r("http://e.com/out") ==
+      ("http://e.com/out", "http://external.org/never-fetched", 1L, true))
+    // the cycle never resolves
+    assert(!r("http://l.com/a")._4 && !r("http://l.com/b")._4)
+  }
+
   test("ingest is a replay-safe foreachBatch body: the index is the idempotence ledger") {
     import spark.implicits._
     val dir = TempDirs.scratch("frontier_ingest")

@@ -168,6 +168,58 @@ class WarcIoSpec extends SparkSpec {
     assert(back.forall(r => new String(r.payload, UTF_8).startsWith("attempt second")))
   }
 
+  test("payloadDigest matches the published sha1/base32 spelling") {
+    // vectors cross-checked against hashlib.sha1 + base64.b32encode
+    assert(WarcIo.payloadDigest(Array.emptyByteArray) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    assert(WarcIo.payloadDigest("abc".getBytes(UTF_8)) ==
+      "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+    assert(WarcIo.payloadDigest("Hello WARC revisit".getBytes(UTF_8)) ==
+      "sha1:5Y3KQBBXLN7TJ567JFVDG6OTWQ7OEAOB")
+  }
+
+  test("markRevisits: prior-digest matches become payload-free revisit records, round-tripped") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("warcrev")
+    def rows(texts: Seq[(Int, String)]) = texts.toDF("id", "text")
+      .selectExpr("'response' as rec_type",
+        "concat('http://rv.org/p/', id) as target_uri",
+        "'2026-01-01T00:00:00Z' as warc_date",
+        "concat('<urn:uuid:r', id, '>') as record_id",
+        "'application/http; msgtype=response' as content_type",
+        "cast(text as binary) as payload")
+    val yesterday = rows((0 until 10).map(i => i -> s"body $i v1"))
+    val prior = WarcIo.payloadDigests(yesterday)
+    // today: even ids unchanged (revisit), odd ids changed (response)
+    val today = rows((0 until 10).map(i =>
+      i -> (if (i % 2 == 0) s"body $i v1" else s"body $i v2")))
+    val marked = WarcIo.markRevisits(today, prior)
+    WarcIo.writeWarc(marked, dir)
+    val back = WarcIo.readWarc(spark, dir + "/*.warc.gz").collect()
+    assert(back.length == 10)
+    back.foreach { r =>
+      val id = r.getAs[String]("target_uri").split('/').last.toInt
+      val digest = r.getAs[String]("payload_digest")
+      assert(digest != null && digest.startsWith("sha1:"), s"row $id lost its digest")
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("rec_type") == "revisit")
+        assert(r.getAs[Array[Byte]]("payload").isEmpty)
+        // the revisit's digest is the ORIGINAL payload's digest
+        assert(digest == WarcIo.payloadDigest(s"body $id v1".getBytes(UTF_8)))
+      } else {
+        assert(r.getAs[String]("rec_type") == "response")
+        assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) == s"body $id v2")
+      }
+    }
+    // digest sets compose across crawls: revisits contribute their
+    // carried digest, so today's digest set still covers the even ids
+    val todayDigests = WarcIo.payloadDigests(
+      WarcIo.readWarc(spark, dir + "/*.warc.gz")).as[String].collect().toSet
+    assert(todayDigests.size == 10)
+    assert(todayDigests.contains(WarcIo.payloadDigest("body 0 v1".getBytes(UTF_8))))
+    assert(todayDigests.contains(WarcIo.payloadDigest("body 1 v2".getBytes(UTF_8))))
+  }
+
   test("writeWarc cleans stale parts from a previous wider job") {
     import spark.implicits._
     val dir = TempDirs.scratch("warcstale")
