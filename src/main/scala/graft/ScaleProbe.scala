@@ -524,6 +524,22 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n_pages"), sum(col("n_chars")).as("total_chars"))
         }
       }
+      time("crawl_schedule_skew", k) {
+        // planted ~100:1 domain skew: the mega-domain owns half of all
+        // rows while ~1k small domains share the rest. capPerDomain's
+        // bounded heap caps the hot key BEFORE the politeness window,
+        // so the window partition is ≤100 rows regardless of skew and
+        // probe time stays linear in k — the uncapped formulation
+        // would single-task-sort the mega-domain's k·10⁴ rows
+        val frontier = spark.range(20000L * k).select(
+          when(pmod(col("id"), lit(2)) === 0, lit("mega.example.com"))
+            .otherwise(concat(lit("d"), pmod(col("id"), lit(997)), lit(".org"))).as("domain"),
+          concat(lit("http://h/p/"), col("id")).as("url"),
+          pmod(col("id"), lit(101)).cast("double").as("priority"))
+        operators.CrawlScheduler.schedule(
+          operators.CrawlScheduler.capPerDomain(frontier, "domain", "url", col("priority"), 100),
+          "domain", "url", 16, lit(1000L))
+      }
       if (dUsed) d.unpersist()
       if (eUsed) e.unpersist()
       if (vUsed) v.unpersist()
