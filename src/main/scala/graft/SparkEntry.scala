@@ -2306,6 +2306,36 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_flac_decode" -> ((s, dir) => {
+      // REAL lossless-audio round trip: PCM synthesized from a
+      // quadratic formula (curvature exercises the order-2/3 fixed
+      // predictors), compressed to actual FLAC bytes (multi-frame:
+      // blockSize 128 over 400-700 samples, Rice-coded residuals,
+      // CRC-8/CRC-16/MD5 all live), decoded back by FlacCodec inside
+      // mapPartitions. The oracle re-derives the integer stats from
+      // the sample formula alone — green means the whole
+      // bitstream (headers, UTF-8 frame numbers, Rice codes,
+      // prediction undo, checksums) is exact.
+      import s.implicits._
+      s.range(24).map { i =>
+        val n = 400 + (i % 7).toInt * 50
+        val samples = Array.tabulate[Short](n) { t =>
+          (((i * 31 + t.toLong * t) % 2801) - 1400).toShort
+        }
+        (i, graft.operators.multimodal.FlacCodec.encode(8000, 1, samples, blockSize = 128))
+      }.mapPartitions(_.map { case (id, payload) =>
+        val (rate, ch, dec) = graft.operators.multimodal.FlacCodec.decode(payload)
+        var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+        dec.foreach { v =>
+          sum += v; sumAbs += math.abs(v.toLong)
+          maxAbs = math.max(maxAbs, math.abs(v.toLong))
+        }
+        (id, rate, ch, dec.length.toLong, sum, sumAbs, maxAbs)
+      }).toDF("media_id", "sample_rate", "n_channels", "n_samples",
+        "sum_v", "sum_abs", "max_abs")
+        .orderBy(col("media_id"))
+    }),
+
     "mm_dhash_pairs" -> ((s, dir) => {
       // image near-dup dedup on REAL bytes ACROSS CONTAINERS: each id
       // encodes its pixels as PPM, BMP, or PNG by id%3 (the scraped-web
@@ -6339,6 +6369,19 @@ object SparkEntry {
         |    AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_crossings
         |FROM w GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // the signal stats come straight from the quadratic sample formula
+    // — cross-engine proof the FLAC bitstream round-trip is lossless
+    "mm_flac_decode" ->
+      """WITH ids AS (SELECT i AS media_id, 400 + (i % 7) * 50 AS n FROM range(24) t(i)),
+        |sm AS (SELECT media_id, n, p, ((media_id * 31 + p * p) % 2801) - 1400 AS v
+        |  FROM ids CROSS JOIN range(750) r(p) WHERE p < n)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+        |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // the oracle derives the sums from the pixel formula alone —
     // cross-engine proof the byte-level PPM decode is exact

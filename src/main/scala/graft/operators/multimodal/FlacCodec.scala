@@ -1,0 +1,513 @@
+package graft.operators.multimodal
+
+/** REAL FLAC codec (subset), pure JVM and from scratch — the lossless
+  * audio container of archival/speech corpora. Implemented coverage:
+  *
+  *   - container: `fLaC` magic + STREAMINFO metadata block (incl. the
+  *     spec's MD5 of the unencoded audio, verified on decode);
+  *   - frames: fixed-blocksize strategy, UTF-8-coded frame numbers,
+  *     16-bit samples, mono/stereo independent channels, CRC-8 header
+  *     and CRC-16 frame checks (verified on decode, loud on mismatch);
+  *   - subframes: CONSTANT, VERBATIM, and FIXED predictors order 0–4
+  *     (the k-th-difference polynomial predictors) with Rice-coded
+  *     residuals (4-bit parameter, zigzag folding, escape-to-raw
+  *     supported on decode).
+  *
+  * Everything here is exact integer arithmetic — no magic tables
+  * beyond the two published CRC polynomials (0x07, 0x8005) — so
+  * encode→decode round-trips are bit-exact and oracle-checkable
+  * (`mm_flac_decode` re-derives every decoded sample from the
+  * generator formula in SQL). LPC subframes and >2 channels are out
+  * of subset scope (decode fails loudly, never silently).
+  *
+  * Reference behavior: dtle ships typed column codecs for every wire
+  * format it replicates (e.g. `drivers/mysql/binlog` value decoders);
+  * this is the same completeness contract applied to the multimodal
+  * column family.
+  */
+object FlacCodec extends Multimodal.MediaCodec {
+
+  // ---------------------------------------------------------------- bits
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream(1 << 14)
+    private var cur = 0
+    private var n = 0
+    def writeBits(value: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((value >>> i) & 1L).toInt
+        n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def writeUnary(q: Long): Unit = {
+      var i = 0L
+      while (i < q) { writeBits(0, 1); i += 1 }
+      writeBits(1, 1)
+    }
+    def align(): Unit = if (n != 0) writeBits(0, 8 - n)
+    def isAligned: Boolean = n == 0
+    def bytes: Array[Byte] = { require(n == 0, "unaligned"); out.toByteArray }
+    def size: Int = out.size()
+  }
+
+  private final class BitReader(bytes: Array[Byte], startByte: Int) {
+    private var bitPos = startByte.toLong * 8
+    def bytePos: Int = {
+      require((bitPos & 7) == 0, "unaligned")
+      (bitPos >> 3).toInt
+    }
+    def readBits(bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) {
+        val b = (bitPos >> 3).toInt
+        require(b < bytes.length, "FLAC: truncated stream")
+        v = (v << 1) | ((bytes(b) >> (7 - (bitPos & 7)).toInt) & 1).toLong
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    def readSigned(bits: Int): Long = {
+      val v = readBits(bits)
+      if ((v & (1L << (bits - 1))) != 0) v - (1L << bits) else v
+    }
+    def readUnary(): Long = {
+      var q = 0L
+      while (readBits(1) == 0) q += 1
+      q
+    }
+    def align(): Unit = bitPos = (bitPos + 7) & ~7L
+  }
+
+  // ---------------------------------------------------------------- crc
+
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — the FLAC frame
+    * header check.
+    */
+  def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the FLAC whole-frame check. */
+  def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------- frame numbers
+
+  /** FLAC's UTF-8-style variable-length code for frame numbers. */
+  private def writeUtf8Number(w: BitWriter, v: Long): Unit = {
+    require(v >= 0, "negative frame number")
+    if (v < 0x80) w.writeBits(v, 8)
+    else {
+      // count payload bits → byte count
+      var bytes = 2
+      while (bytes < 7 && v >= (1L << (bytes * 5 + 1))) bytes += 1
+      val lead = (0xff << (8 - bytes)) & 0xfe // bytes ones then a zero
+      w.writeBits(lead | ((v >> ((bytes - 1) * 6)) & ((1 << (7 - bytes)) - 1)), 8)
+      var i = bytes - 2
+      while (i >= 0) {
+        w.writeBits(0x80L | ((v >> (i * 6)) & 0x3f), 8)
+        i -= 1
+      }
+    }
+  }
+
+  private def readUtf8Number(r: BitReader): Long = {
+    val b0 = r.readBits(8).toInt
+    if ((b0 & 0x80) == 0) b0.toLong
+    else {
+      var bytes = 0
+      var mask = 0x80
+      while ((b0 & mask) != 0) { bytes += 1; mask >>= 1 }
+      require(bytes >= 2 && bytes <= 7, s"FLAC: bad UTF-8 lead byte $b0")
+      var v = (b0 & (mask - 1)).toLong
+      var i = 1
+      while (i < bytes) {
+        val c = r.readBits(8).toInt
+        require((c & 0xc0) == 0x80, "FLAC: bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      v
+    }
+  }
+
+  // ------------------------------------------------------------- predict
+
+  /** k-th order fixed-predictor residuals (k-th differences). */
+  private def residuals(s: Array[Long], order: Int): Array[Long] = {
+    val out = new Array[Long](s.length - order)
+    var i = order
+    while (i < s.length) {
+      out(i - order) = order match {
+        case 0 => s(i)
+        case 1 => s(i) - s(i - 1)
+        case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
+        case 3 => s(i) - 3 * s(i - 1) + 3 * s(i - 2) - s(i - 3)
+        case _ => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1)
+
+  /** Exact Rice size in bits for parameter k over folded residuals. */
+  private def riceBits(folded: Array[Long], k: Int): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < folded.length) { bits += (folded(i) >>> k) + 1 + k; i += 1 }
+    bits
+  }
+
+  // -------------------------------------------------------------- encode
+
+  /** Encode 16-bit PCM (interleaved when stereo) into a FLAC stream.
+    * Per frame and channel the cheapest of CONSTANT / best FIXED
+    * order / VERBATIM is chosen by exact bit cost.
+    */
+  def encode(sampleRate: Int, channels: Int, samples: Array[Short],
+      blockSize: Int = 4096): Array[Byte] = {
+    require(channels == 1 || channels == 2, "subset: mono or stereo")
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    require(samples.length % channels == 0, "ragged interleave")
+    val nSamples = samples.length / channels
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val le = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(le.putShort)
+    md5.update(le.array())
+
+    val frames = new java.io.ByteArrayOutputStream(1 << 16)
+    var frameIx = 0L
+    var off = 0
+    var minFrame = Int.MaxValue
+    var maxFrame = 0
+    while (off < nSamples) {
+      val bs = math.min(blockSize, nSamples - off)
+      val w = new BitWriter
+      w.writeBits(0x3ffe, 14) // sync
+      w.writeBits(0, 1) // reserved
+      w.writeBits(0, 1) // fixed-blocksize strategy → frame number below
+      w.writeBits(0x7, 4) // blocksize: 16-bit field at header end
+      w.writeBits(0x0, 4) // sample rate: from STREAMINFO
+      w.writeBits(channels - 1, 4) // independent channels
+      w.writeBits(0x4, 3) // 16-bit samples
+      w.writeBits(0, 1) // reserved
+      writeUtf8Number(w, frameIx)
+      w.writeBits(bs - 1, 16)
+      require(w.isAligned, "header must be byte-aligned")
+      // CRC-8 over the header bytes written so far
+      val headerCopy = w.bytes
+      w.writeBits(crc8(headerCopy, 0, headerCopy.length), 8)
+      var ch = 0
+      while (ch < channels) {
+        val s = new Array[Long](bs)
+        var i = 0
+        while (i < bs) { s(i) = samples((off + i) * channels + ch); i += 1 }
+        writeSubframe(w, s)
+        ch += 1
+      }
+      w.align()
+      val body = w.bytes
+      val fw = new BitWriter
+      // assemble: body + crc16 over body
+      body.foreach(b => fw.writeBits(b & 0xffL, 8))
+      fw.writeBits(crc16(body, 0, body.length), 16)
+      val frameBytes = fw.bytes
+      frames.write(frameBytes)
+      if (frameBytes.length < minFrame) minFrame = frameBytes.length
+      if (frameBytes.length > maxFrame) maxFrame = frameBytes.length
+      off += bs
+      frameIx += 1
+    }
+    if (nSamples == 0) { minFrame = 0; maxFrame = 0 }
+
+    val head = new BitWriter
+    head.writeBits('f', 8); head.writeBits('L', 8)
+    head.writeBits('a', 8); head.writeBits('C', 8)
+    head.writeBits(1, 1) // last metadata block
+    head.writeBits(0, 7) // STREAMINFO
+    head.writeBits(34, 24)
+    val bsField = math.max(16, math.min(blockSize, 65535))
+    head.writeBits(bsField, 16) // min/max block size (all frames but the last)
+    head.writeBits(bsField, 16)
+    head.writeBits(minFrame, 24)
+    head.writeBits(maxFrame, 24)
+    head.writeBits(sampleRate, 20)
+    head.writeBits(channels - 1, 3)
+    head.writeBits(15, 5) // bps − 1
+    head.writeBits(nSamples.toLong, 36)
+    md5.digest().foreach(b => head.writeBits(b & 0xffL, 8))
+    val out = new java.io.ByteArrayOutputStream(frames.size() + 64)
+    out.write(head.bytes)
+    frames.writeTo(out)
+    out.toByteArray
+  }
+
+  private def writeSubframe(w: BitWriter, s: Array[Long]): Unit = {
+    val bs = s.length
+    val constant = bs > 0 && s.forall(_ == s(0))
+    if (constant) {
+      w.writeBits(0, 1); w.writeBits(0, 6); w.writeBits(0, 1)
+      w.writeBits(s(0) & 0xffff, 16)
+      return
+    }
+    // best fixed order by exact cost; verbatim as the ceiling
+    var bestOrder = -1
+    var bestK = 0
+    var bestBits = 16L * bs // verbatim cost
+    var order = 0
+    while (order <= math.min(4, bs - 1)) {
+      val res = residuals(s, order)
+      val folded = res.map(zigzag)
+      var k = 0
+      while (k <= 14) {
+        val bits = 16L * order + 2 + 4 + 4 + riceBits(folded, k)
+        if (bits < bestBits) { bestBits = bits; bestOrder = order; bestK = k }
+        k += 1
+      }
+      order += 1
+    }
+    if (bestOrder < 0) {
+      w.writeBits(0, 1); w.writeBits(1, 6); w.writeBits(0, 1) // VERBATIM
+      s.foreach(v => w.writeBits(v & 0xffff, 16))
+    } else {
+      w.writeBits(0, 1)
+      w.writeBits(8 | bestOrder, 6) // FIXED, 0b001xxx
+      w.writeBits(0, 1) // no wasted bits
+      var i = 0
+      while (i < bestOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+      w.writeBits(0, 2) // residual method: 4-bit Rice
+      w.writeBits(0, 4) // partition order 0
+      w.writeBits(bestK, 4)
+      residuals(s, bestOrder).foreach { r =>
+        val u = zigzag(r)
+        w.writeUnary(u >>> bestK)
+        if (bestK > 0) w.writeBits(u & ((1L << bestK) - 1), bestK)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- decode
+
+  /** Decode a (subset) FLAC stream: `(sampleRate, channels,
+    * interleaved 16-bit samples)`. Verifies the magic, CRC-8 per
+    * frame header, CRC-16 per frame, and the STREAMINFO MD5 of the
+    * decoded audio — any mismatch fails loudly.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(payload.length >= 42 &&
+      payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C',
+      "not a fLaC stream")
+    var pos = 4
+    var rate = -1; var channels = -1; var total = -1L
+    var md5Expect: Array[Byte] = null
+    var last = false
+    while (!last) {
+      val h = payload(pos) & 0xff
+      last = (h & 0x80) != 0
+      val btype = h & 0x7f
+      val len = ((payload(pos + 1) & 0xff) << 16) | ((payload(pos + 2) & 0xff) << 8) |
+        (payload(pos + 3) & 0xff)
+      if (btype == 0) {
+        val r = new BitReader(payload, pos + 4)
+        r.readBits(16); r.readBits(16); r.readBits(24); r.readBits(24)
+        rate = r.readBits(20).toInt
+        channels = r.readBits(3).toInt + 1
+        val bps = r.readBits(5).toInt + 1
+        require(bps == 16, s"subset: 16-bit only, stream has $bps")
+        total = r.readBits(36)
+        md5Expect = java.util.Arrays.copyOfRange(payload, pos + 4 + 18, pos + 4 + 34)
+      }
+      pos += 4 + len
+    }
+    require(rate > 0 && channels >= 1, "FLAC: missing STREAMINFO")
+    require(channels <= 2, "subset: mono or stereo")
+    val out = new Array[Short]((total * channels).toInt)
+    var filled = 0L
+    while (filled < total) {
+      val frameStart = pos
+      val r = new BitReader(payload, pos)
+      require(r.readBits(14) == 0x3ffe, "FLAC: lost frame sync")
+      r.readBits(1)
+      val blockingStrategy = r.readBits(1)
+      val bsCode = r.readBits(4).toInt
+      val srCode = r.readBits(4).toInt
+      val chAssign = r.readBits(4).toInt
+      require(chAssign == channels - 1,
+        s"subset: independent channels only, got assignment $chAssign")
+      val ssCode = r.readBits(3).toInt
+      require(ssCode == 4, s"subset: 16-bit frames only, code $ssCode")
+      r.readBits(1)
+      readUtf8Number(r) // frame number (fixed) or sample number
+      require(blockingStrategy == 0, "subset: fixed blocksize streams")
+      val bs = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.readBits(8).toInt + 1
+        case 7 => r.readBits(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case c => sys.error(s"FLAC: reserved blocksize code $c")
+      }
+      srCode match {
+        case 0 => ()
+        case 12 => r.readBits(8)
+        case 13 | 14 => r.readBits(16)
+        case c if c < 12 => () // table-coded rates carry no extra bytes
+        case c => sys.error(s"FLAC: bad sample-rate code $c")
+      }
+      val headerEnd = r.bytePos
+      val crcRead = r.readBits(8).toInt
+      require(crcRead == crc8(payload, frameStart, headerEnd),
+        "FLAC: frame header CRC-8 mismatch")
+      val chans = Array.ofDim[Long](channels, bs)
+      var ch = 0
+      while (ch < channels) {
+        readSubframe(r, chans(ch), bs)
+        ch += 1
+      }
+      r.align()
+      val bodyEnd = r.bytePos
+      val crc16Read = r.readBits(16).toInt
+      require(crc16Read == crc16(payload, frameStart, bodyEnd),
+        "FLAC: frame CRC-16 mismatch")
+      pos = bodyEnd + 2
+      var i = 0
+      while (i < bs) {
+        var c = 0
+        while (c < channels) {
+          out(((filled + i) * channels + c).toInt) = chans(c)(i).toShort
+          c += 1
+        }
+        i += 1
+      }
+      filled += bs
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val le = java.nio.ByteBuffer.allocate(out.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.foreach(le.putShort)
+    md5.update(le.array())
+    require(java.util.Arrays.equals(md5.digest(), md5Expect),
+      "FLAC: decoded audio MD5 does not match STREAMINFO")
+    (rate, channels, out)
+  }
+
+  private def readSubframe(r: BitReader, dst: Array[Long], bs: Int): Unit = {
+    require(r.readBits(1) == 0, "FLAC: subframe padding bit set")
+    val ty = r.readBits(6).toInt
+    val wasted = r.readBits(1)
+    require(wasted == 0, "subset: wasted-bits subframes unsupported")
+    if (ty == 0) { // CONSTANT
+      val v = r.readSigned(16)
+      java.util.Arrays.fill(dst, v)
+    } else if (ty == 1) { // VERBATIM
+      var i = 0
+      while (i < bs) { dst(i) = r.readSigned(16); i += 1 }
+    } else if ((ty & 0x38) == 0x08) { // FIXED
+      val order = ty & 0x7
+      require(order <= 4, s"FLAC: bad fixed order $order")
+      var i = 0
+      while (i < order) { dst(i) = r.readSigned(16); i += 1 }
+      require(r.readBits(2) == 0, "subset: 4-bit Rice residual only")
+      val partOrder = r.readBits(4).toInt
+      val nParts = 1 << partOrder
+      require(bs % nParts == 0, "FLAC: partition size not integral")
+      var part = 0
+      var idx = order
+      while (part < nParts) {
+        val k = r.readBits(4).toInt
+        val count = (bs >> partOrder) - (if (part == 0) order else 0)
+        if (k == 15) { // escape: raw n-bit residuals
+          val raw = r.readBits(5).toInt
+          var j = 0
+          while (j < count) { dst(idx) = r.readSigned(raw); idx += 1; j += 1 }
+        } else {
+          var j = 0
+          while (j < count) {
+            val u = (r.readUnary() << k) | (if (k > 0) r.readBits(k) else 0L)
+            dst(idx) = unzigzag(u)
+            idx += 1; j += 1
+          }
+        }
+        part += 1
+      }
+      // undo the prediction
+      i = order
+      while (i < bs) {
+        dst(i) = order match {
+          case 0 => dst(i)
+          case 1 => dst(i) + dst(i - 1)
+          case 2 => dst(i) + 2 * dst(i - 1) - dst(i - 2)
+          case 3 => dst(i) + 3 * dst(i - 1) - 3 * dst(i - 2) + dst(i - 3)
+          case _ => dst(i) + 4 * dst(i - 1) - 6 * dst(i - 2) + 4 * dst(i - 3) - dst(i - 4)
+        }
+        i += 1
+      }
+    } else sys.error(s"subset: unsupported subframe type $ty (LPC out of scope)")
+  }
+
+  // ----------------------------------------------------- MediaCodec glue
+
+  /** Same `dim`-cell RMS grid as the WAV path — FLAC and WAV payloads
+    * of the same audio produce identical features.
+    */
+  override def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val (_, _, s) = decode(payload)
+    val n = math.max(1, s.length)
+    val sums = new Array[Long](dim); val counts = new Array[Long](dim)
+    var i = 0
+    while (i < s.length) {
+      val cell = (i.toLong * dim / n).toInt
+      sums(cell) += s(i).toLong * s(i); counts(cell) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(i =>
+      if (counts(i) == 0) 0f
+      else math.sqrt(sums(i).toDouble / counts(i)).toFloat)
+  }
+
+  /** Resample to `w*h` samples, nearest-sample, re-encoded as FLAC. */
+  override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val (rate, ch, s) = decode(payload)
+    val target = math.max(1, w * h)
+    val out = new Array[Short](target)
+    var i = 0
+    while (i < target) {
+      out(i) = s(math.min(s.length - 1, (i.toLong * s.length / target).toInt))
+      i += 1
+    }
+    encode(rate, ch, out)
+  }
+}

@@ -1204,6 +1204,7 @@ object Multimodal {
     case "image/gif" => GifAsMediaCodec
     case "image/jpeg" | "image/jpg" => JpegCodec
     case "audio/wav" | "audio/x-wav" | "audio/basic" => WavCodec
+    case "audio/flac" | "audio/x-flac" => FlacCodec
     case _ => FakeCodec
   }
 
