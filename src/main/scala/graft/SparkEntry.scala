@@ -3215,8 +3215,9 @@ object SparkEntry {
 
     "frontier_redirects" -> ((s, dir) => {
       // 3xx Location chains collapsed to their canonical terminal URL
-      // (CrawlFrontier.resolveRedirects — pointer doubling, ⌈log₂ L⌉
-      // self-joins): four arms per template — a 3-hop chain whose
+      // (CrawlFrontier.resolveRedirects — pointer doubling,
+      // ⌈log₂(maxHops+1)⌉ self-joins): four arms per template — a
+      // 3-hop chain whose
       // middle Location is RAW (scheme/host case, default port,
       // utm params) and must normalize before resolution, a plain
       // terminal, a single redirect, and a 2-cycle that must come back
@@ -7111,8 +7112,9 @@ object SparkEntry {
         |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
 
     // every arm's terminal and hop count is fixed by construction; the
-    // 2-cycle's hops pin the pointer-doubling arithmetic (1→2→4→8→16
-    // over the four ⌈log₂ 16⌉ rounds) and resolved=false
+    // 2-cycle's hops pin the pointer-doubling arithmetic (1→2→4→8→16→32
+    // over the five ⌈log₂(16+1)⌉ rounds that guarantee 16-hop chains)
+    // and resolved=false
     "frontier_redirects" ->
       """WITH t AS (SELECT i, i % 4 AS m,
         |    's' || CAST(i % 10 AS VARCHAR) || '.com' AS d,
@@ -7131,9 +7133,9 @@ object SparkEntry {
         |  UNION ALL SELECT 'http://' || d || '/fin/' || si,
         |    'http://' || d || '/fin/' || si, 0, true FROM t WHERE m = 2
         |  UNION ALL SELECT 'http://' || d || '/loopa/' || si,
-        |    'http://' || d || '/loopa/' || si, 16, false FROM t WHERE m = 3
+        |    'http://' || d || '/loopa/' || si, 32, false FROM t WHERE m = 3
         |  UNION ALL SELECT 'http://' || d || '/loopb/' || si,
-        |    'http://' || d || '/loopb/' || si, 16, false FROM t WHERE m = 3)
+        |    'http://' || d || '/loopb/' || si, 32, false FROM t WHERE m = 3)
         |SELECT url, f AS final_url, CAST(hops AS BIGINT) AS hops, res AS resolved
         |FROM rows ORDER BY url""".stripMargin,
 

@@ -92,12 +92,46 @@ object CrawlFrontier {
         shardCol("url", nShards).as("shard"))
     urls.write.mode("append").partitionBy("shard").parquet(s"$dir/urls")
     writeBloom(spark, dir, urls.select(col("url")), expectedItems, overwrite = false)
+    compactBloom(spark, dir)
+  }
+
+  /** Keep the sketch table bounded: every append adds one
+    * expectedItems-sized row, and probes merge ALL rows driver-side —
+    * without compaction a long-lived frontier's probe cost (and driver
+    * memory) would grow linearly with crawl age. Past `maxRows`, the
+    * rows merge into one (same m/k since `expectedItems` is pinned,
+    * so `mergeInPlace` is exact) and the dir is rewritten. Single
+    * writer assumed — the streaming [[ingest]] contract (micro-batches
+    * are sequential); concurrent batch writers should compact
+    * explicitly instead.
+    */
+  private def compactBloom(spark: SparkSession, dir: String, maxRows: Int = 8): Unit = {
+    val rows = spark.read.parquet(s"$dir/bloom").select("bf").collect()
+    if (rows.length > maxRows) {
+      val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        rows.head.getAs[Array[Byte]](0))
+      rows.tail.foreach { r =>
+        merged.mergeInPlace(
+          org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]](0)))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      merged.writeTo(out)
+      spark.createDataFrame(Seq(Tuple1(out.toByteArray))).toDF("bf")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+    }
   }
 
   /** The batch rows whose `urlCol` is NOT in the index — bit-identical
-    * to `batch LEFT ANTI JOIN index ON url`, via Bloom prefilter +
-    * pruned-shard md5 verify (see class doc). All columns of `batch`
-    * ride through.
+    * to `batch LEFT ANTI JOIN index ON url` (null URLs kept, as an
+    * anti-join would), via Bloom prefilter + pruned-shard md5 verify
+    * (see class doc). All columns of `batch` ride through.
+    *
+    * Evaluation contract: the batch plan is consumed up to three
+    * times (clear filter, shard discovery, verify join) — callers
+    * with an expensive upstream should pass a persisted frame, as
+    * [[ingest]] does; discovery batches are small relative to the
+    * index, so this is the same probe-side trade
+    * [[graft.operators.dedup.Dedup.incrementalExactBloom]] makes.
     */
   def probeNew(spark: SparkSession, dir: String, batch: DataFrame, urlCol: String): DataFrame = {
     val (nShards, _) = readMeta(spark, dir)
@@ -105,8 +139,13 @@ object CrawlFrontier {
       case Some(b) => b
       case None => return batch // empty index: everything is new
     }
+    // null-url parity with the plain anti-join: a null key can never
+    // match the index, so it must be KEPT (might_contain yields null
+    // for null input, which would otherwise fail both filters and
+    // silently drop the row)
     val probed = batch.withColumn("__hit",
-      call_function("graft_might_contain", lit(bf), xxhash64(col(urlCol))))
+      coalesce(call_function("graft_might_contain", lit(bf), xxhash64(col(urlCol))),
+        lit(false)))
     val clear = probed.filter(!col("__hit"))
     val candidates = probed.filter(col("__hit"))
       .withColumn("__md5", md5(col(urlCol)))
@@ -158,9 +197,13 @@ object CrawlFrontier {
     if (shards.isEmpty)
       return candidates.select(col("url"), col("signal").as("last_crawl"), col("signal"))
         .limit(0)
+    // last_crawl comes back in the SIGNAL's type so the empty-index
+    // branch and this one agree on the schema (the two clocks must be
+    // comparable for the `>` below anyway)
+    val sigType = updates.select(signalCol).schema.head.dataType
     val seen = spark.read.parquet(s"$dir/urls")
       .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
-      .select(col("url_md5").as("__md5"), col("last_crawl"))
+      .select(col("url_md5").as("__md5"), col("last_crawl").cast(sigType).as("last_crawl"))
     candidates.join(seen.hint("shuffle_hash"), Seq("__md5"))
       .filter(col("signal") > col("last_crawl"))
       .select(col("url"), col("last_crawl"), col("signal"))
@@ -182,11 +225,20 @@ object CrawlFrontier {
       val spark = batch.sparkSession
       val cached = batch.persist() // stable relation for the two probe passes
       try {
-        val accepted = probeNew(spark, dir, cached, urlCol).persist()
-        try {
-          appendBatch(accepted, urlCol, lastCrawlCol, dir)
-          accept(accepted, epochId)
-        } finally accepted.unpersist()
+        // STAGE the accepted set durably BEFORE touching the index: the
+        // accepted frame's lazy plan probes the index, so if it were
+        // re-evaluated after appendBatch (cache-block loss on executor
+        // failure), it would find its own URLs indexed and recompute to
+        // EMPTY — indexed-but-never-delivered, the silent-loss shape. A
+        // parquet staging dir per epoch (overwritten on replay) makes
+        // the frame appendBatch and accept() consume immune to
+        // recomputation, and doubles as the accepted-batch log.
+        val staging = s"$dir/staging/epoch-$epochId"
+        probeNew(spark, dir, cached, urlCol)
+          .write.mode("overwrite").parquet(staging)
+        val accepted = spark.read.parquet(staging)
+        appendBatch(accepted, urlCol, lastCrawlCol, dir)
+        accept(accepted, epochId)
       } finally cached.unpersist()
     }
 
@@ -194,14 +246,17 @@ object CrawlFrontier {
     * DOUBLING: `fetches` holds one row per fetched URL with
     * `locationCol` = the (normalized) Location target for redirects,
     * null for terminal responses. Output: `(url, final_url, hops,
-    * resolved)` — `resolved` false for chains that are cyclic or
-    * longer than `maxHops`.
+    * resolved)` — `resolved` is GUARANTEED true for every chain of
+    * length ≤ `maxHops`; cycles come back false (chains between
+    * maxHops and the round budget 2^⌈log₂(maxHops+1)⌉−1 resolve
+    * opportunistically).
     *
     * Scale shape: each round composes the jump table with itself
-    * (reach(x) ← reach(reach(x)), hop counts add), so a chain of
-    * length L resolves in ⌈log₂ L⌉ self-joins — 4 shuffles for the
-    * 16-hop cap rather than 16 sequential joins; each join is
-    * hash-keyed on the URL, nothing is collected or broadcast.
+    * (reach(x) ← reach(reach(x)), hop counts add), so after k rounds
+    * every chain of length ≤ 2^k − 1 is confirmed terminal; the loop
+    * runs ⌈log₂(maxHops+1)⌉ rounds — 5 shuffles guarantee the 16-hop
+    * cap rather than 16 sequential joins; each join is hash-keyed on
+    * the URL, nothing is collected or broadcast.
     * `localCheckpoint` truncates the growing lineage each round (the
     * same iterative-plan discipline as
     * [[graft.operators.dedup.Dedup.connectedComponents]]). A Location
@@ -216,8 +271,8 @@ object CrawlFrontier {
       coalesce(col(locationCol), col(urlCol)).as("reach"),
       when(col(locationCol).isNull, lit(0L)).otherwise(lit(1L)).as("hops"),
       col(locationCol).isNull.as("done"))
-    var span = 1
-    while (span < maxHops) {
+    var confirmed = 0L // after k rounds every chain of length ≤ 2^k − 1 is done
+    while (confirmed < maxHops) {
       val r = j.select(col("url").as("r_url"), col("reach").as("r_reach"),
         col("hops").as("r_hops"), col("done").as("r_done"))
       val stepped = j.join(r.hint("shuffle_hash"), j("reach") === r("r_url"), "left")
@@ -230,7 +285,7 @@ object CrawlFrontier {
           .otherwise(col("hops") + col("r_hops")).as("hops"),
         (col("done") || col("r_url").isNull || col("r_done")).as("done"))
         .localCheckpoint()
-      span *= 2
+      confirmed = confirmed * 2 + 1
     }
     j.select(col("url"), col("reach").as("final_url"), col("hops"),
       col("done").as("resolved"))

@@ -89,9 +89,12 @@ object CrawlScheduler {
     val payload = frontier.columns.filter(_ != domainCol)
     // ordering hits neg_priority first (so higher priority = smaller =
     // kept), then url, then the remaining payload columns (inert once
-    // (priority, url) is unique)
+    // (priority, url) is unique). Negation stays in the column's OWN
+    // numeric type — a cast to double would silently collapse long
+    // priorities beyond 2^53 (epoch-micros recency, indegree counters)
+    // and break the documented window equivalence.
     val ranked = struct(
-      (priorityCol * lit(-1.0)).cast("double").as("__negp") +:
+      (priorityCol * lit(-1)).as("__negp") +:
         col(urlCol).as(urlCol) +:
         payload.filter(_ != urlCol).map(c => col(c).as(c)): _*)
     frontier.groupBy(col(domainCol))

@@ -201,6 +201,9 @@ object FlacCodec extends Multimodal.MediaCodec {
     require(channels == 1 || channels == 2, "subset: mono or stereo")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(samples.length % channels == 0, "ragged interleave")
+    // the frame header's blocksize field is 16-bit (bs−1): a larger
+    // request would silently truncate and emit an undecodable archive
+    require(blockSize >= 1 && blockSize <= 65536, s"blockSize $blockSize out of [1, 65536]")
     val nSamples = samples.length / channels
     val md5 = java.security.MessageDigest.getInstance("MD5")
     val le = java.nio.ByteBuffer.allocate(samples.length * 2)
@@ -498,16 +501,23 @@ object FlacCodec extends Multimodal.MediaCodec {
       else math.sqrt(sums(i).toDouble / counts(i)).toFloat)
   }
 
-  /** Resample to `w*h` samples, nearest-sample, re-encoded as FLAC. */
+  /** Resample to `w*h` FRAMES (per-channel nearest-frame — stereo
+    * stays channel-true and the interleave stays integral), re-encoded
+    * as FLAC.
+    */
   override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val (rate, ch, s) = decode(payload)
+    val nFrames = s.length / ch
     val target = math.max(1, w * h)
-    val out = new Array[Short](target)
+    val out = new Array[Short](target * ch)
     var i = 0
     while (i < target) {
-      out(i) = s(math.min(s.length - 1, (i.toLong * s.length / target).toInt))
+      val src = if (nFrames == 0) 0 else math.min(nFrames - 1, (i.toLong * nFrames / target).toInt)
+      var c = 0
+      while (c < ch) { out(i * ch + c) = s(src * ch + c); c += 1 }
       i += 1
     }
-    encode(rate, ch, out)
+    if (nFrames == 0) encode(rate, ch, Array.empty[Short])
+    else encode(rate, ch, out)
   }
 }

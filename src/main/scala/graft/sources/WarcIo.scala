@@ -363,11 +363,16 @@ object WarcIo {
     */
   def looksChunked(body: Array[Byte]): Boolean = {
     var i = 0
-    // hex digits first (at least one, at most 8 — a >4 GiB size line is
-    // not framing) …
-    while (i < body.length && i < 8 &&
+    // leading zeros are legal and unbounded (RFC 9112 permits them and
+    // zero-padding servers exist) …
+    while (i < body.length && i < 64 && body(i) == '0') i += 1
+    val zeros = i
+    // … then significant hex digits (at most 8 — a >4 GiB size is not
+    // framing) …
+    val sigStart = i
+    while (i < body.length && i - sigStart < 8 &&
       Character.digit(body(i).toChar, 16) >= 0) i += 1
-    if (i == 0 || i >= body.length) return false
+    if ((zeros == 0 && i == sigStart) || i >= body.length) return false
     // … then the ONLY valid continuations are CRLF or a `;extension`
     // running up to a CRLF within a sane bound
     if (body(i) == '\r') return i + 1 < body.length && body(i + 1) == '\n'

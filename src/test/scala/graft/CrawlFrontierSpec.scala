@@ -82,6 +82,46 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(due.forall(!_._1.startsWith("http://never")))
   }
 
+  test("probeNew keeps null-url rows (anti-join parity) and compaction bounds the sketch table") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_null")
+    CrawlFrontier.buildIndex(
+      (0 until 50).map(i => (s"http://a.com/$i", 1L)).toDF("url", "day"),
+      "url", col("day"), dir, nShards = 4, expectedItems = 1000L)
+    val batch = Seq(("http://a.com/1", "seen"), (null: String, "nullrow"),
+      ("http://b.com/x", "new")).toDF("url", "meta")
+    val got = CrawlFrontier.probeNew(spark, dir, batch, "url")
+      .select("meta").as[String].collect().toSet
+    // a null key can never match an anti-join → the row survives
+    assert(got == Set("nullrow", "new"))
+    // 12 appends → compaction keeps ≤ 8 sketch rows and membership exact
+    (0 until 12).foreach { b =>
+      CrawlFrontier.appendBatch(
+        (0 until 10).map(i => (s"http://b$b.com/$i", 2L)).toDF("url", "day"),
+        "url", col("day"), dir)
+    }
+    assert(spark.read.parquet(s"$dir/bloom").count() <= 8)
+    val reprobe = CrawlFrontier.probeNew(spark, dir,
+      ((0 until 12).map(b => (s"http://b$b.com/3", "old")) :+ (("http://c.com/z", "fresh")))
+        .toDF("url", "meta"), "url")
+      .select("meta").as[String].collect()
+    assert(reprobe.toSeq == Seq("fresh"))
+  }
+
+  test("resolveRedirects: chains of length exactly maxHops resolve; maxHops=1 works") {
+    import spark.implicits._
+    def chain(n: Int) = ((0 until n).map(i => (s"http://x.com/$i", Some(s"http://x.com/${i + 1}"))) :+
+      ((s"http://x.com/$n", None: Option[String]))).toDF("url", "location")
+    // length exactly maxHops
+    val r16 = CrawlFrontier.resolveRedirects(chain(16), "url", "location", maxHops = 16)
+      .as[(String, String, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r16("http://x.com/0") == ("http://x.com/0", "http://x.com/16", 16L, true))
+    // maxHops = 1 must still resolve a single redirect
+    val r1 = CrawlFrontier.resolveRedirects(chain(1), "url", "location", maxHops = 1)
+      .as[(String, String, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r1("http://x.com/0") == ("http://x.com/0", "http://x.com/1", 1L, true))
+  }
+
   test("resolveRedirects: chains collapse in log rounds; cycles and unfetched targets handled") {
     import spark.implicits._
     // a 5-hop chain, a terminal, a redirect to an UNFETCHED target,

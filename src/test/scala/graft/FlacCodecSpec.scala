@@ -84,5 +84,14 @@ class FlacCodecSpec extends AnyFunSuite {
     val (_, _, s2) = FlacCodec.decode(resized)
     assert(s2.length == 100)
     assert(s2(0) == s(0) && s2(99) == s(990))
+    // stereo + odd target grid: per-channel resample, channels stay true
+    val st = Array.tabulate(600)(i => (if (i % 2 == 0) 1000 + i else -(2000 + i)).toShort)
+    val r2 = FlacCodec.resize(FlacCodec.encode(8000, 2, st), 3, 3)
+    val (_, c2, s3) = FlacCodec.decode(r2)
+    assert(c2 == 2 && s3.length == 18)
+    assert(s3.zipWithIndex.forall { case (v, i) => if (i % 2 == 0) v > 0 else v < 0 },
+      "left/right samples must not cross channels")
+    // oversized blockSize is rejected at write time, not decode time
+    intercept[IllegalArgumentException](FlacCodec.encode(8000, 1, st, blockSize = 100000))
   }
 }

@@ -314,6 +314,10 @@ class WarcIoSpec extends SparkSpec {
     assert(WarcIo.looksChunked("5\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)))
     assert(WarcIo.looksChunked("5;ext=v\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)))
     assert(!WarcIo.looksChunked("<html>".getBytes(UTF_8)))
+    // zero-padded sizes are legal framing (9+ digits via leading zeros)
+    assert(WarcIo.looksChunked("000000005\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)))
+    assert(new String(
+      WarcIo.dechunk("000000005\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8)), UTF_8) == "hello")
     // leading hex chars but no CRLF framing → raw body, not framing
     assert(!WarcIo.looksChunked("deadline extended to Friday".getBytes(UTF_8)))
     assert(!WarcIo.looksChunked(Array.empty[Byte]))

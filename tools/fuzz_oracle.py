@@ -46,6 +46,12 @@ QUERIES = [
     "url_robots_filter", "pipeline_frontier", "url_sitemap_parse",
     "text_html_meta", "url_idn_normalize", "text_html_charset",
     "crawl_schedule", "text_html_extract_eval",
+    # r13 frontier/revisit/PSL/FLAC family (formula fixtures; the
+    # frontier and revisit pipelines exercise stored indexes and real
+    # WARC containers on disk under every seed)
+    "url_psl_full", "pipeline_frontier_incremental", "frontier_recrawl",
+    "frontier_redirects", "crawl_revisits", "crawl_schedule_capped",
+    "mm_flac_decode",
 ]
 
 # events-only queries: gated when the adversarial events table is
