@@ -3213,6 +3213,65 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "pipeline_crawl_loop" -> ((s, dir) => {
+      // FLAGSHIP: one full turn of the production crawl loop, every
+      // r13 piece composed — dirty outlinks normalize
+      // (graft_url_normalize collapses case/port/utm variants), 3xx
+      // fetches collapse to canonical finals (resolveRedirects,
+      // pointer doubling), the PERSISTED seen-set drops re-discoveries
+      // (CrawlFrontier index: Bloom prefilter + pruned-shard verify,
+      // = exact anti-join), hot domains cap at top-10 by priority
+      // (bounded-heap graft_topk_agg), and the politeness scheduler
+      // assigns rendezvous fetchers + slots. The oracle rebuilds the
+      // whole turn from formulas: normalization and redirect targets
+      // by construction, the seen-set as a plain NOT IN, the cap as
+      // the window formulation, fetchers via the md5 arg_max chain.
+      import s.implicits._
+      val history = s.range(200).map(i => (s"http://d${i % 8}.shop.com/p/$i", 100L))
+        .toDF("url", "day")
+      val idxDir = TempDirs.scratch("crawl_loop_idx_")
+      graft.operators.CrawlFrontier.buildIndex(history, "url", col("day"), idxDir,
+        nShards = 8, expectedItems = 10000L)
+      // discovered outlinks, three arms: dirty dup of history (or just
+      // past it), a redirect entry point, and a clean new URL
+      val discovered = s.range(240).map { i =>
+        (i, (i % 3).toInt, (i % 3) match {
+          case 0 => s"HTTP://D${i % 8}.SHOP.COM:80/p/$i?utm_source=z"
+          case 1 => s"http://r${i % 5}.news.org/old/$i"
+          case _ => s"http://u${i % 7}.github.io/post/$i"
+        })
+      }.toDF("i", "arm", "raw")
+        .withColumn("url", call_function("graft_url_normalize", col("raw")))
+      // the fetch table for the redirect arm: old → (dirty) Location,
+      // new → terminal
+      val fetches = s.range(240).filter(_ % 3 == 1).flatMap { i =>
+        Seq(
+          (s"http://r${i % 5}.news.org/old/$i",
+            Some(s"HTTP://R${i % 5}.NEWS.ORG:80/new/$i#frag")),
+          (s"http://r${i % 5}.news.org/new/$i", None: Option[String]))
+      }.toDF("url", "location_raw")
+        .withColumn("location", call_function("graft_url_normalize", col("location_raw")))
+        .drop("location_raw")
+      val resolved = graft.operators.CrawlFrontier
+        .resolveRedirects(fetches, "url", "location", maxHops = 8)
+        .select(col("url"), col("final_url"))
+      val finals = discovered.filter(col("arm") =!= 1).select(col("url"))
+        .unionByName(discovered.filter(col("arm") === 1)
+          .join(resolved, Seq("url"))
+          .select(col("final_url").as("url")))
+      val batch = graft.operators.CrawlFrontier.probeNew(s, idxDir, finals, "url")
+        .withColumn("host", call_function("graft_url_host", col("url")))
+        .withColumn("domain", call_function("graft_url_domain", col("host")))
+        .withColumn("priority",
+          regexp_extract(col("url"), "([0-9]+)$", 1).cast("double"))
+        .select(col("domain"), col("url"), col("priority"))
+      val capped = graft.operators.CrawlScheduler.capPerDomain(
+        batch, "domain", "url", col("priority"), 10)
+      graft.operators.CrawlScheduler.schedule(capped, "domain", "url", 4, lit(500L))
+        .select(col("url"), col("domain"), col("fetcher"), col("slot_ms"))
+        .orderBy(col("url"))
+    }),
+
     "frontier_redirects" -> ((s, dir) => {
       // 3xx Location chains collapsed to their canonical terminal URL
       // (CrawlFrontier.resolveRedirects — pointer doubling,
@@ -7110,6 +7169,38 @@ object SparkEntry {
         |SELECT url, CAST(day AS BIGINT) AS last_crawl,
         |  CAST(day + 4 AS BIGINT) AS signal
         |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
+
+    // the whole loop turn from formulas: normalization + redirect
+    // finals by construction, the persisted seen-set as NOT IN over
+    // the history formula, the bounded-heap cap as its window twin,
+    // HRW fetchers via the md5 arg_max chain, slots via row_number
+    "pipeline_crawl_loop" ->
+      """WITH d AS (SELECT i, i % 3 AS a, CAST(i AS VARCHAR) AS si FROM range(240) r(i)),
+        |f AS (
+        |  SELECT i, 'http://d' || CAST(i % 8 AS VARCHAR) || '.shop.com/p/' || si AS url,
+        |         'shop.com' AS domain FROM d WHERE a = 0
+        |  UNION ALL
+        |  SELECT i, 'http://r' || CAST(i % 5 AS VARCHAR) || '.news.org/new/' || si,
+        |         'news.org' FROM d WHERE a = 1
+        |  UNION ALL
+        |  SELECT i, 'http://u' || CAST(i % 7 AS VARCHAR) || '.github.io/post/' || si,
+        |         'u' || CAST(i % 7 AS VARCHAR) || '.github.io' FROM d WHERE a = 2),
+        |hist AS (SELECT 'http://d' || CAST(i % 8 AS VARCHAR) || '.shop.com/p/' || CAST(i AS VARCHAR) AS url
+        |  FROM range(200) r(i)),
+        |newu AS (SELECT url, domain, CAST(i AS DOUBLE) AS pr FROM f
+        |  WHERE url NOT IN (SELECT url FROM hist)),
+        |capped AS (SELECT url, domain FROM (
+        |    SELECT url, domain,
+        |      ROW_NUMBER() OVER (PARTITION BY domain ORDER BY pr DESC, url) AS rn
+        |    FROM newu) WHERE rn <= 10),
+        |fa AS (SELECT domain,
+        |    arg_max(fch, ('0x' || substr(md5(domain || '|' || CAST(fch AS VARCHAR)), 1, 15))::BIGINT) AS fetcher
+        |  FROM (SELECT DISTINCT domain FROM capped) CROSS JOIN range(4) r(fch)
+        |  GROUP BY domain)
+        |SELECT c.url, c.domain, CAST(fa.fetcher AS INT) AS fetcher,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY c.domain ORDER BY c.url) - 1) * 500 AS BIGINT) AS slot_ms
+        |FROM capped c JOIN fa USING (domain)
+        |ORDER BY url""".stripMargin,
 
     // every arm's terminal and hop count is fixed by construction; the
     // 2-cycle's hops pin the pointer-doubling arithmetic (1→2→4→8→16→32
