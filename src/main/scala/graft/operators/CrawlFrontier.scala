@@ -77,9 +77,11 @@ object CrawlFrontier {
 
   /** Append a newly-crawled batch: new files under the existing shard
     * directories plus one more Bloom row — nothing is rewritten.
-    * Callers feed it URLs that passed [[probeNew]] (appending an
-    * already-indexed URL is harmless for membership — md5 dedup at
-    * probe — but duplicates the row until a compaction pass).
+    * Appending an already-indexed URL (a re-crawl recorded with a
+    * newer `lastCrawlCol`) adds a second row for that URL: membership
+    * probes dedup on the md5 ([[probeNew]]) and recrawl selection
+    * takes the LATEST clock ([[recrawlDue]]'s max), so duplicates are
+    * only a storage cost until a compaction pass rewrites the shard.
     */
   def appendBatch(newlyCrawled: DataFrame, urlCol: String, lastCrawlCol: Column,
       dir: String): Unit = {
@@ -199,11 +201,15 @@ object CrawlFrontier {
         .limit(0)
     // last_crawl comes back in the SIGNAL's type so the empty-index
     // branch and this one agree on the schema (the two clocks must be
-    // comparable for the `>` below anyway)
+    // comparable for the `>` below anyway). A URL re-crawled across
+    // appends has MULTIPLE index rows — its recrawl clock is the
+    // LATEST one, and without the max() the join would emit duplicate
+    // dues against stale clocks.
     val sigType = updates.select(signalCol).schema.head.dataType
     val seen = spark.read.parquet(s"$dir/urls")
       .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
-      .select(col("url_md5").as("__md5"), col("last_crawl").cast(sigType).as("last_crawl"))
+      .groupBy(col("url_md5").as("__md5"))
+      .agg(max(col("last_crawl")).cast(sigType).as("last_crawl"))
     candidates.join(seen.hint("shuffle_hash"), Seq("__md5"))
       .filter(col("signal") > col("last_crawl"))
       .select(col("url"), col("last_crawl"), col("signal"))

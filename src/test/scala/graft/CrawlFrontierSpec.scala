@@ -146,6 +146,27 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(!r("http://l.com/a")._4 && !r("http://l.com/b")._4)
   }
 
+  test("recrawlDue uses the LATEST clock when a url has been re-crawled across appends") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_reclock")
+    CrawlFrontier.buildIndex(
+      (0 until 20).map(i => (s"http://rc.com/p/$i", 100L)).toDF("url", "day"),
+      "url", col("day"), dir, nShards = 4, expectedItems = 1000L)
+    // urls 0..9 re-crawled at day 110 → second index row each
+    CrawlFrontier.appendBatch(
+      (0 until 10).map(i => (s"http://rc.com/p/$i", 110L)).toDF("url", "day"),
+      "url", col("day"), dir)
+    // signal day 105: newer than the ORIGINAL crawl for all, but older
+    // than the RE-crawl for 0..9 — only 10..19 are due, exactly once
+    val due = CrawlFrontier.recrawlDue(spark, dir,
+      (0 until 20).map(i => (s"http://rc.com/p/$i", 105L)).toDF("url", "lastmod"),
+      "url", col("lastmod"))
+      .as[(String, Long, Long)].collect()
+    assert(due.length == 10, s"expected 10 dues, got ${due.length}: ${due.take(12).toSeq}")
+    assert(due.forall { case (u, lc, _) =>
+      u.split('/').last.toInt >= 10 && lc == 100L })
+  }
+
   test("ingest is a replay-safe foreachBatch body: the index is the idempotence ledger") {
     import spark.implicits._
     val dir = TempDirs.scratch("frontier_ingest")
