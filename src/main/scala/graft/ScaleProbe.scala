@@ -524,6 +524,36 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n_pages"), sum(col("n_chars")).as("total_chars"))
         }
       }
+      locally {
+        // persisted frontier seen-set at k×100k urls: index build once,
+        // then a 10%-of-index discovery batch (80% already seen — the
+        // steady-state recrawl-discovery shape) probed against it.
+        // Probe cost = bloom merge + codegen'd prefilter + verify join
+        // over only the touched shards.
+        var frontierDir: String = null
+        def buildFrontier(): DataFrame = {
+          frontierDir = TempDirs.scratch("probe_frontier_")
+          val crawled = spark.range(100000L * k).select(
+            concat(lit("http://h"), pmod(col("id"), lit(9973)),
+              lit(".com/p/"), col("id")).as("url"),
+            lit(100L).as("day"))
+          operators.CrawlFrontier.buildIndex(crawled, "url", col("day"), frontierDir,
+            nShards = 64, expectedItems = math.max(100000L * k, 100000L))
+          spark.range(1).toDF("built")
+        }
+        time("frontier_index_build", k)(buildFrontier())
+        if (frontierDir == null && only.forall(_.contains("frontier_probe")))
+          buildFrontier()
+        if (frontierDir != null) time("frontier_probe", k) {
+          val batch = spark.range(10000L * k).select(
+            when(pmod(col("id"), lit(5)) < 4,
+              concat(lit("http://h"), pmod(col("id"), lit(9973)),
+                lit(".com/p/"), col("id")))
+              .otherwise(concat(lit("http://new"), col("id"), lit(".org/")))
+              .as("url"))
+          operators.CrawlFrontier.probeNew(spark, frontierDir, batch, "url")
+        }
+      }
       time("crawl_schedule_skew", k) {
         // planted ~100:1 domain skew: the mega-domain owns half of all
         // rows while ~1k small domains share the rest. capPerDomain's

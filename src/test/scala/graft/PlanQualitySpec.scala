@@ -545,7 +545,8 @@ class PlanQualitySpec extends SparkSpec {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()
     for (q <- Seq("dedup_minhash", "dedup_minhash_md5", "dedup_minhash_incremental",
-        "text_bm25_prf", "pipeline_curate")) {
+        "text_bm25_prf", "pipeline_curate",
+        "pipeline_frontier_incremental", "pipeline_crawl_loop", "crawl_revisits")) {
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       assert(cm.isEmpty, s"$q leaked a pinned Dataset into the session cache")
     }
