@@ -123,6 +123,48 @@ object CrawlFrontier {
     }
   }
 
+  /** Rewrite the index with ONE row per URL (latest `last_crawl`) and
+    * ONE fresh Bloom sketch — the periodic maintenance pass that
+    * reclaims the storage growth [[appendBatch]] trades for
+    * append-only writes (re-crawled URLs accumulate a row per crawl;
+    * probes stay correct without compaction, this is purely a
+    * storage/scan-cost pass). The rewrite goes through staging dirs
+    * and directory renames: readers never see a MIX of old and new
+    * rows — a crash mid-swap leaves the old tree parked at
+    * `urls_old`/`bloom_old` (recover by renaming back) rather than a
+    * corrupted index. Single-writer assumed, like [[appendBatch]], and
+    * no concurrent probes during the swap window.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val (nShards, expectedItems) = readMeta(spark, dir)
+    val urls = spark.read.parquet(s"$dir/urls")
+      .groupBy(col("url_md5"), col("url"))
+      .agg(max(col("last_crawl")).as("last_crawl"))
+      .withColumn("shard", shardCol("url", nShards))
+    val staging = s"$dir/urls_compact"
+    urls.write.mode("overwrite").partitionBy("shard").parquet(staging)
+    // one fresh sketch over the deduped set replaces the append trail
+    val bloomStaging = s"$dir/bloom_compact"
+    spark.read.parquet(staging).select(xxhash64(col("url")).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
+      .filter(col("bf").isNotNull)
+      .coalesce(1).write.mode("overwrite").parquet(bloomStaging)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    def swap(staged: String, live: String, parked: String): Unit = {
+      rm(new java.io.File(parked))
+      require(new java.io.File(live).renameTo(new java.io.File(parked)),
+        s"compactIndex: could not park $live")
+      require(new java.io.File(staged).renameTo(new java.io.File(live)),
+        s"compactIndex: could not promote $staged (old tree parked at $parked)")
+      rm(new java.io.File(parked))
+    }
+    swap(staging, s"$dir/urls", s"$dir/urls_old")
+    swap(bloomStaging, s"$dir/bloom", s"$dir/bloom_old")
+  }
+
   /** The batch rows whose `urlCol` is NOT in the index — bit-identical
     * to `batch LEFT ANTI JOIN index ON url` (null URLs kept, as an
     * anti-join would), via Bloom prefilter + pruned-shard md5 verify

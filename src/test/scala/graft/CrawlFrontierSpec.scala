@@ -167,6 +167,38 @@ class CrawlFrontierSpec extends SparkSpec {
       u.split('/').last.toInt >= 10 && lc == 100L })
   }
 
+  test("compactIndex: one row per url, latest clock, probes and recrawls unchanged") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_compact")
+    CrawlFrontier.buildIndex(
+      (0 until 30).map(i => (s"http://cp.com/p/$i", 100L)).toDF("url", "day"),
+      "url", col("day"), dir, nShards = 4, expectedItems = 1000L)
+    // three re-crawl appends of the same urls → 4 rows per url 0..9
+    (1 to 3).foreach { n =>
+      CrawlFrontier.appendBatch(
+        (0 until 10).map(i => (s"http://cp.com/p/$i", 100L + n * 10)).toDF("url", "day"),
+        "url", col("day"), dir)
+    }
+    assert(spark.read.parquet(s"$dir/urls").count() == 60)
+    CrawlFrontier.compactIndex(spark, dir)
+    val rows = spark.read.parquet(s"$dir/urls")
+      .select("url", "last_crawl").as[(String, Long)].collect().toMap
+    assert(rows.size == 30)
+    assert(rows("http://cp.com/p/3") == 130L) // latest clock survives
+    assert(rows("http://cp.com/p/15") == 100L)
+    assert(spark.read.parquet(s"$dir/bloom").count() == 1)
+    assert(!new java.io.File(s"$dir/urls_old").exists())
+    // membership and recrawl behavior identical post-compaction
+    val probe = CrawlFrontier.probeNew(spark, dir,
+      Seq(("http://cp.com/p/3", "seen"), ("http://other.org/x", "new")).toDF("url", "meta"),
+      "url")
+    assert(probe.select("meta").as[String].collect().toSeq == Seq("new"))
+    val due = CrawlFrontier.recrawlDue(spark, dir,
+      Seq(("http://cp.com/p/3", 125L), ("http://cp.com/p/4", 135L)).toDF("url", "lastmod"),
+      "url", col("lastmod")).as[(String, Long, Long)].collect()
+    assert(due.toSeq == Seq(("http://cp.com/p/4", 130L, 135L)))
+  }
+
   test("ingest is a replay-safe foreachBatch body: the index is the idempotence ledger") {
     import spark.implicits._
     val dir = TempDirs.scratch("frontier_ingest")
