@@ -42,6 +42,12 @@ case class BoundedTopK(
 
   require(limit > 0, "graft_topk_agg: limit must be positive")
 
+  // reject non-orderable inputs (maps, …) at ANALYSIS time — without
+  // this the interpreted ordering throws deep inside task execution
+  // with an opaque trace
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
   @transient private lazy val ord: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
 

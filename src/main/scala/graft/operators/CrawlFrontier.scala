@@ -149,17 +149,18 @@ object CrawlFrontier {
       .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
       .filter(col("bf").isNotNull)
       .coalesce(1).write.mode("overwrite").parquet(bloomStaging)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    // swaps go through the Hadoop FileSystem API like every other path
+    // here — the index may live on HDFS/S3A, not the driver's disk
+    val hconf = spark.sessionState.newHadoopConf()
     def swap(staged: String, live: String, parked: String): Unit = {
-      rm(new java.io.File(parked))
-      require(new java.io.File(live).renameTo(new java.io.File(parked)),
-        s"compactIndex: could not park $live")
-      require(new java.io.File(staged).renameTo(new java.io.File(live)),
+      val (sp, lp, pp) = (new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(parked))
+      val fs = lp.getFileSystem(hconf)
+      fs.delete(pp, true)
+      require(fs.rename(lp, pp), s"compactIndex: could not park $live")
+      require(fs.rename(sp, lp),
         s"compactIndex: could not promote $staged (old tree parked at $parked)")
-      rm(new java.io.File(parked))
+      fs.delete(pp, true); ()
     }
     swap(staging, s"$dir/urls", s"$dir/urls_old")
     swap(bloomStaging, s"$dir/bloom", s"$dir/bloom_old")
@@ -257,15 +258,19 @@ object CrawlFrontier {
       .select(col("url"), col("last_crawl"), col("signal"))
   }
 
-  /** One frontier turn — [[probeNew]], index the accepted URLs
-    * ([[appendBatch]]), hand them to `accept` — shaped as a
-    * `foreachBatch` body like
-    * [[graft.streaming.StreamingDedup.indexedIngest]]: the accepted
-    * frame is persisted across its two consumers, the index append
-    * lands BEFORE `accept` fires, and a micro-batch replayed after a
-    * crash finds its own URLs already indexed and drops them — the
-    * index doubles as the idempotence ledger, so `accept` sees each
-    * URL at most once.
+  /** One frontier turn — [[probeNew]], stage the accepted set
+    * durably, index it ([[appendBatch]]), hand it to `accept` — shaped
+    * as a `foreachBatch` body like
+    * [[graft.streaming.StreamingDedup.indexedIngest]].
+    *
+    * Replay semantics (at-least-once, like every foreachBatch sink): a
+    * replayed epoch whose staging dir already COMMITTED re-delivers
+    * exactly that accepted set to `accept` — never a recomputed
+    * (empty, because self-indexed) one and never a different one —
+    * so downstream consumers see the same URLs again only across a
+    * crash boundary and can dedupe idempotently. New epochs probe the
+    * index as usual; URLs accepted by an earlier epoch are dropped by
+    * the probe — the index is the cross-epoch idempotence ledger.
     */
   def ingest(dir: String, urlCol: String, lastCrawlCol: Column)(
       accept: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
@@ -277,16 +282,39 @@ object CrawlFrontier {
         // accepted frame's lazy plan probes the index, so if it were
         // re-evaluated after appendBatch (cache-block loss on executor
         // failure), it would find its own URLs indexed and recompute to
-        // EMPTY — indexed-but-never-delivered, the silent-loss shape. A
-        // parquet staging dir per epoch (overwritten on replay) makes
-        // the frame appendBatch and accept() consume immune to
-        // recomputation, and doubles as the accepted-batch log.
+        // EMPTY — indexed-but-never-delivered, the silent-loss shape.
+        //
+        // On REPLAY a committed staging dir for this epoch is
+        // RE-DELIVERED, never recomputed: a crash after appendBatch
+        // would otherwise make the replay's probe find its own URLs
+        // indexed and overwrite the good staging data with an empty
+        // frame — the same loss through the other door. Re-running
+        // appendBatch on the re-delivered frame is safe (duplicate
+        // rows are membership-harmless; compactIndex reclaims them)
+        // and heals the crash-between-urls-and-bloom window too.
         val staging = s"$dir/staging/epoch-$epochId"
-        probeNew(spark, dir, cached, urlCol)
-          .write.mode("overwrite").parquet(staging)
+        val hconf = spark.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+        val fs = marker.getFileSystem(hconf)
+        if (!fs.exists(marker)) {
+          probeNew(spark, dir, cached, urlCol)
+            .write.mode("overwrite").parquet(staging)
+        }
         val accepted = spark.read.parquet(staging)
         appendBatch(accepted, urlCol, lastCrawlCol, dir)
         accept(accepted, epochId)
+        // retention: replay only ever needs THIS epoch's staging dir —
+        // drop older ones so a long-running stream doesn't accumulate
+        // unbounded small-file dirs
+        val stagingRoot = new org.apache.hadoop.fs.Path(s"$dir/staging")
+        if (fs.exists(stagingRoot)) {
+          fs.listStatus(stagingRoot).foreach { st =>
+            val name = st.getPath.getName
+            if (name.startsWith("epoch-") &&
+              scala.util.Try(name.stripPrefix("epoch-").toLong).toOption.exists(_ < epochId))
+              fs.delete(st.getPath, true)
+          }
+        }
       } finally cached.unpersist()
     }
 

@@ -89,12 +89,20 @@ object CrawlScheduler {
     val payload = frontier.columns.filter(_ != domainCol)
     // ordering hits neg_priority first (so higher priority = smaller =
     // kept), then url, then the remaining payload columns (inert once
-    // (priority, url) is unique). Negation stays in the column's OWN
-    // numeric type — a cast to double would silently collapse long
-    // priorities beyond 2^53 (epoch-micros recency, indegree counters)
-    // and break the documented window equivalence.
+    // (priority, url) is unique — and they must be orderable types;
+    // graft_topk_agg rejects maps at analysis time). A leading null
+    // flag makes non-null priorities beat null ones, matching the
+    // window formulation's `ORDER BY priority DESC` NULLS LAST —
+    // struct ordering alone sorts nulls FIRST and would let unscored
+    // rows win the cap. Negation stays in the column's OWN numeric
+    // type — a cast to double would silently collapse long priorities
+    // beyond 2^53 (epoch-micros recency, indegree counters) and break
+    // the documented window equivalence. (Long.MinValue priorities are
+    // out of contract: unary negation wraps; scores/counters/
+    // timestamps never carry it.)
     val ranked = struct(
-      (priorityCol * lit(-1)).as("__negp") +:
+      priorityCol.isNull.as("__pnull") +:
+        (priorityCol * lit(-1)).as("__negp") +:
         col(urlCol).as(urlCol) +:
         payload.filter(_ != urlCol).map(c => col(c).as(c)): _*)
     frontier.groupBy(col(domainCol))

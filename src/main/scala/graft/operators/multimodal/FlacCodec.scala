@@ -201,9 +201,11 @@ object FlacCodec extends Multimodal.MediaCodec {
     require(channels == 1 || channels == 2, "subset: mono or stereo")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(samples.length % channels == 0, "ragged interleave")
-    // the frame header's blocksize field is 16-bit (bs−1): a larger
+    // the spec's valid blocksize range: below 16 is reserved, above
+    // 65535 won't fit the 16-bit (bs−1) header field — a larger
     // request would silently truncate and emit an undecodable archive
-    require(blockSize >= 1 && blockSize <= 65536, s"blockSize $blockSize out of [1, 65536]")
+    require(blockSize >= 16 && blockSize <= 65535,
+      s"blockSize $blockSize out of the spec range [16, 65535]")
     val nSamples = samples.length / channels
     val md5 = java.security.MessageDigest.getInstance("MD5")
     val le = java.nio.ByteBuffer.allocate(samples.length * 2)
@@ -242,15 +244,14 @@ object FlacCodec extends Multimodal.MediaCodec {
         ch += 1
       }
       w.align()
-      val body = w.bytes
-      val fw = new BitWriter
-      // assemble: body + crc16 over body
-      body.foreach(b => fw.writeBits(b & 0xffL, 8))
-      fw.writeBits(crc16(body, 0, body.length), 16)
-      val frameBytes = fw.bytes
-      frames.write(frameBytes)
-      if (frameBytes.length < minFrame) minFrame = frameBytes.length
-      if (frameBytes.length > maxFrame) maxFrame = frameBytes.length
+      val body = w.bytes // byte-aligned by construction; CRC-16 is two
+      val crc = crc16(body, 0, body.length) // whole bytes — append directly
+      frames.write(body)
+      frames.write((crc >> 8) & 0xff)
+      frames.write(crc & 0xff)
+      val frameLen = body.length + 2
+      if (frameLen < minFrame) minFrame = frameLen
+      if (frameLen > maxFrame) maxFrame = frameLen
       off += bs
       frameIx += 1
     }
@@ -262,9 +263,8 @@ object FlacCodec extends Multimodal.MediaCodec {
     head.writeBits(1, 1) // last metadata block
     head.writeBits(0, 7) // STREAMINFO
     head.writeBits(34, 24)
-    val bsField = math.max(16, math.min(blockSize, 65535))
-    head.writeBits(bsField, 16) // min/max block size (all frames but the last)
-    head.writeBits(bsField, 16)
+    head.writeBits(blockSize, 16) // min/max block size (all frames but the last)
+    head.writeBits(blockSize, 16)
     head.writeBits(minFrame, 24)
     head.writeBits(maxFrame, 24)
     head.writeBits(sampleRate, 20)

@@ -365,7 +365,7 @@ object WarcIo {
     var i = 0
     // leading zeros are legal and unbounded (RFC 9112 permits them and
     // zero-padding servers exist) …
-    while (i < body.length && i < 64 && body(i) == '0') i += 1
+    while (i < body.length && body(i) == '0') i += 1
     val zeros = i
     // … then significant hex digits (at most 8 — a >4 GiB size is not
     // framing) …
@@ -374,12 +374,14 @@ object WarcIo {
       Character.digit(body(i).toChar, 16) >= 0) i += 1
     if ((zeros == 0 && i == sigStart) || i >= body.length) return false
     // … then the ONLY valid continuations are CRLF or a `;extension`
-    // running up to a CRLF within a sane bound
+    // running up to a CRLF. Neither scan is capped — a cap would turn
+    // a long-but-valid size line (big CDN signature extensions, heavy
+    // zero padding) into a silent raw passthrough of framed bytes,
+    // and both scans are bounded by the first CRLF anyway.
     if (body(i) == '\r') return i + 1 < body.length && body(i + 1) == '\n'
     if (body(i) != ';') return false
     var j = i + 1
-    while (j + 1 < body.length && j < 256 &&
-      !(body(j) == '\r' && body(j + 1) == '\n')) j += 1
+    while (j + 1 < body.length && !(body(j) == '\r' && body(j + 1) == '\n')) j += 1
     j + 1 < body.length && body(j) == '\r' && body(j + 1) == '\n'
   }
 
@@ -558,23 +560,39 @@ object WarcIo {
     * `part-NNNNN.warc.gz` — so a speculative attempt or a zombie task
     * racing its retry can never interleave bytes into a live archive;
     * whichever attempt renames last leaves one complete file. Stale
-    * part/temp files from a previous call with more partitions are
-    * cleaned on the driver before the job (this sink owns the
-    * `part-*.warc.gz` namespace under `dir`), so the committed-file
-    * list is exactly this job's output. Returns the committed archive
-    * paths, sorted — reported by the winning tasks themselves, never
+    * part files from a previous call with more partitions are moved
+    * ASIDE (renamed `*.stale`) on the driver before the job — this
+    * sink owns the `part-*.warc.gz` namespace under `dir` — and
+    * deleted only AFTER the job commits, so a failed job leaves the
+    * previous archive recoverable (strip the `.stale` suffix) instead
+    * of destroyed, and `.stale` files never match a `*.warc.gz`
+    * reader glob meanwhile. Returns the committed archive paths,
+    * sorted — reported by the winning tasks themselves, never
     * reconstructed by listing the directory.
     */
   def writeWarc(rows: DataFrame, dir: String): Seq[String] = {
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
-    locally { // clean this sink's namespace: stale parts + orphaned temps
+    val parked = locally { // park stale parts; drop only orphaned temps
       val ls = java.nio.file.Files.list(p)
-      try ls.filter { f =>
-        val n = f.getFileName.toString
-        n.startsWith("part-") && (n.endsWith(".warc.gz") || n.endsWith(".tmp"))
-      }.forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally ls.close()
+      try {
+        val aside = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (n.startsWith("part-")) {
+            if (n.endsWith(".tmp")) { java.nio.file.Files.deleteIfExists(f); () }
+            else if (n.endsWith(".warc.gz")) {
+              val s = f.resolveSibling(n + ".stale")
+              java.nio.file.Files.move(f, s,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              aside += s
+            }
+          }
+        }
+        aside.toSeq
+      } finally ls.close()
     }
     val spark = rows.sparkSession
     import spark.implicits._
@@ -585,7 +603,7 @@ object WarcIo {
     val cols = withExtra.select(col("rec_type"), col("target_uri"), col("warc_date"),
       col("record_id"), col("content_type"), col("payload"), col("extra"))
       .as[(String, String, String, String, String, Array[Byte], Map[String, String])]
-    cols.mapPartitions { it =>
+    val committed = cols.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val tc = org.apache.spark.TaskContext.get()
@@ -596,6 +614,9 @@ object WarcIo {
         Iterator.single(commitPartitionFile(dir, pid, tc.taskAttemptId(), recs))
       }
     }.collect().toSeq.distinct.sorted
+    // job committed → the parked previous archive can go
+    parked.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    committed
   }
 
   /** Re-crawl dedup on WARC-Payload-Digest: response rows whose digest
@@ -615,15 +636,31 @@ object WarcIo {
     import org.apache.spark.sql.functions._
     val prior = priorDigests.select(col("digest").as("__d")).distinct()
       .withColumn("__seen", lit(true))
+    // caller-supplied extra headers MERGE with the digest headers (the
+    // toRevisit convention) — clobbering them would silently strip
+    // WARC-IP-Address-style metadata from the written archives; and
+    // only RESPONSE records convert — warcinfo/metadata/conversion
+    // rows with a coincidentally-matching payload must pass through
+    val baseExtra = {
+      val raw =
+        if (rows.columns.contains("extra"))
+          coalesce(col("extra"), map().cast("map<string,string>"))
+        else map().cast("map<string,string>")
+      // ours win: duplicate keys make map_concat throw under the
+      // default dedup policy
+      map_filter(raw, (k, _) =>
+        k =!= "WARC-Payload-Digest" && k =!= "WARC-Profile")
+    }
     rows.withColumn("__d", call_function("graft_warc_digest", col("payload")))
       .join(prior.hint("shuffle_hash"), Seq("__d"), "left")
-      .withColumn("__rev", coalesce(col("__seen"), lit(false)))
-      .withColumn("rec_type", when(col("__rev"), lit("revisit")).otherwise(col("rec_type")))
+      .withColumn("__rev",
+        coalesce(col("__seen"), lit(false)) && col("rec_type") === "response")
       .withColumn("extra",
-        when(col("__rev"), map(
+        when(col("__rev"), map_concat(baseExtra, map(
           lit("WARC-Payload-Digest"), col("__d"),
-          lit("WARC-Profile"), lit(RevisitProfile)))
-          .otherwise(map(lit("WARC-Payload-Digest"), col("__d"))))
+          lit("WARC-Profile"), lit(RevisitProfile))))
+          .otherwise(map_concat(baseExtra, map(lit("WARC-Payload-Digest"), col("__d")))))
+      .withColumn("rec_type", when(col("__rev"), lit("revisit")).otherwise(col("rec_type")))
       .withColumn("payload",
         when(col("__rev"), lit(Array.emptyByteArray)).otherwise(col("payload")))
       .drop("__d", "__seen", "__rev")

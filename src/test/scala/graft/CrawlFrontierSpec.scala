@@ -212,7 +212,18 @@ class CrawlFrontierSpec extends SparkSpec {
     val batch = (0 until 20).map(i => (s"http://b.com/$i", i)).toDF("url", "k")
     body(batch, 0L)
     assert(seen.sorted == (0 until 20).map(i => s"http://b.com/$i").sorted)
-    body(batch, 0L) // replay: everything already indexed → accept sees nothing
-    assert(seen.length == 20)
+    // replay of the SAME epoch (crash before the sink committed):
+    // the committed staging dir is RE-DELIVERED verbatim — never
+    // recomputed against the index that now contains the batch (which
+    // would silently deliver nothing: indexed-but-never-fetched)
+    body(batch, 0L)
+    assert(seen.length == 40)
+    assert(seen.toSet == (0 until 20).map(i => s"http://b.com/$i").toSet)
+    // a NEW epoch re-discovering the same urls is dropped by the probe
+    // (the index is the cross-epoch idempotence ledger) and older
+    // staging dirs are retired
+    body(batch, 1L)
+    assert(seen.length == 40)
+    assert(!new java.io.File(s"$dir/staging/epoch-0").exists())
   }
 }

@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.{col, concat, lit}
+
 import graft.sources.WarcIo
 import graft.sources.WarcIo.WarcRecord
 
@@ -218,6 +220,34 @@ class WarcIoSpec extends SparkSpec {
     assert(todayDigests.size == 10)
     assert(todayDigests.contains(WarcIo.payloadDigest("body 0 v1".getBytes(UTF_8))))
     assert(todayDigests.contains(WarcIo.payloadDigest("body 1 v2".getBytes(UTF_8))))
+  }
+
+  test("markRevisits preserves caller headers and never converts non-response records") {
+    import spark.implicits._
+    val payload = "shared body".getBytes(UTF_8)
+    val rows = Seq(
+      ("response", "http://a.org/1", Map("WARC-IP-Address" -> "10.0.0.1")),
+      ("metadata", "http://a.org/1", Map.empty[String, String]))
+      .toDF("rec_type", "target_uri", "extra")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("record_id", concat(lit("<urn:uuid:x-"), col("rec_type"), lit(">")))
+      .withColumn("content_type", lit("application/http; msgtype=response"))
+      .withColumn("payload", lit(payload))
+    val prior = Seq(WarcIo.payloadDigest(payload)).toDF("digest")
+    val out = WarcIo.markRevisits(rows, prior).collect()
+      .map(r => r.getAs[String]("rec_type") ->
+        (r.getAs[Map[String, String]]("extra"), r.getAs[Array[Byte]]("payload"))).toMap
+    // the response became a revisit AND kept its caller header
+    val (revExtra, revPayload) = out("revisit")
+    assert(revExtra("WARC-IP-Address") == "10.0.0.1")
+    assert(revExtra("WARC-Profile") == WarcIo.RevisitProfile)
+    assert(revExtra("WARC-Payload-Digest") == WarcIo.payloadDigest(payload))
+    assert(revPayload.isEmpty)
+    // the metadata record with a matching digest passes through intact
+    val (metaExtra, metaPayload) = out("metadata")
+    assert(java.util.Arrays.equals(metaPayload, payload))
+    assert(metaExtra("WARC-Payload-Digest") == WarcIo.payloadDigest(payload))
+    assert(!metaExtra.contains("WARC-Profile"))
   }
 
   test("writeWarc cleans stale parts from a previous wider job") {
