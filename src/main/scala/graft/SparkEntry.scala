@@ -3213,6 +3213,34 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "crawl_schedule_robots" -> ((s, dir) => {
+      // the robots → scheduler delay loop: each domain's REAL
+      // robots.txt text (Crawl-delay present for 2/3 of domains,
+      // absent → 1s default for the rest) is parsed by RobotsTxt and
+      // its delay drives the politeness slots — so green proves the
+      // Crawl-delay extraction AND the slot arithmetic agree
+      // cross-engine
+      import s.implicits._
+      val delays = s.range(12).map { k =>
+        val policy =
+          if (k % 3 == 0) "User-agent: *\nDisallow: /private/\n"
+          else s"User-agent: *\nCrawl-delay: ${1 + k % 5}\nDisallow: /private/\n"
+        val robots = graft.functions.RobotsTxt.parse(policy)
+        val delayMs = graft.functions.RobotsTxt.groupFor(robots, "graftbot")
+          .flatMap(_.crawlDelay).map(d => (d * 1000).toLong).getOrElse(1000L)
+        (s"cd$k.org", delayMs)
+      }.toDF("domain", "delay_ms")
+      val frontier = s.range(240).map { i =>
+        val k = i % 12
+        (s"cd$k.org", f"http://cd$k.org/p/${i / 12}%03d")
+      }.toDF("domain", "url")
+      graft.operators.CrawlScheduler.schedule(
+        frontier.join(broadcast(delays), Seq("domain")),
+        "domain", "url", 4, col("delay_ms"))
+        .select(col("url"), col("domain"), col("delay_ms"), col("fetcher"), col("slot_ms"))
+        .orderBy(col("url"))
+    }),
+
     "pipeline_crawl_loop" -> ((s, dir) => {
       // FLAGSHIP: one full turn of the production crawl loop, every
       // r13 piece composed — dirty outlinks normalize
@@ -7169,6 +7197,27 @@ object SparkEntry {
         |SELECT url, CAST(day AS BIGINT) AS last_crawl,
         |  CAST(day + 4 AS BIGINT) AS signal
         |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
+
+    // Crawl-delay is fixed per domain arm (absent → the 1s default),
+    // so the oracle states the delay and replays fetchers + slots
+    "crawl_schedule_robots" ->
+      """WITH doms AS (SELECT k,
+        |    'cd' || CAST(k AS VARCHAR) || '.org' AS domain,
+        |    CASE WHEN k % 3 = 0 THEN 1000 ELSE (1 + k % 5) * 1000 END AS delay_ms
+        |  FROM range(12) r(k)),
+        |u AS (SELECT d.domain, d.delay_ms,
+        |    'http://' || d.domain || '/p/' || lpad(CAST(i // 12 AS VARCHAR), 3, '0') AS url
+        |  FROM range(240) r(i) JOIN doms d ON d.k = i % 12),
+        |fa AS (SELECT domain,
+        |    arg_max(f, ('0x' || substr(md5(domain || '|' || CAST(f AS VARCHAR)), 1, 15))::BIGINT) AS fetcher
+        |  FROM (SELECT DISTINCT domain FROM u) CROSS JOIN range(4) r(f)
+        |  GROUP BY domain)
+        |SELECT u.url, u.domain, CAST(u.delay_ms AS BIGINT) AS delay_ms,
+        |  CAST(fa.fetcher AS INT) AS fetcher,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY u.domain ORDER BY u.url) - 1)
+        |    * u.delay_ms AS BIGINT) AS slot_ms
+        |FROM u JOIN fa USING (domain)
+        |ORDER BY url""".stripMargin,
 
     // the whole loop turn from formulas: normalization + redirect
     // finals by construction, the persisted seen-set as NOT IN over

@@ -51,7 +51,7 @@ QUERIES = [
     # WARC containers on disk under every seed)
     "url_psl_full", "pipeline_frontier_incremental", "frontier_recrawl",
     "frontier_redirects", "crawl_revisits", "crawl_schedule_capped",
-    "mm_flac_decode", "pipeline_crawl_loop",
+    "mm_flac_decode", "pipeline_crawl_loop", "crawl_schedule_robots",
 ]
 
 # events-only queries: gated when the adversarial events table is
