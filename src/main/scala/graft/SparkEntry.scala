@@ -3213,6 +3213,58 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "pipeline_wet" -> ((s, dir) => {
+      // WARC in, WET out — the standard crawl-text interchange as a
+      // first-class pipeline: documents → HTML → HTTP → .warc.gz on
+      // disk → readWarc → charset-aware decode → main-content extract
+      // → toWet conversion records (WARC-Refers-To riding the extra
+      // header map through writeWarc) → a REAL WET archive on disk →
+      // read back. The oracle rebuilds every conversion record's text
+      // from the raw documents alone via the escape→decode identity,
+      // so green proves the whole two-container round trip is
+      // byte-exact.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"),
+            lit("WET extraction heading for conversion records")).as("html"))
+      val warcDir = TempDirs.scratch("wet_src_")
+      val records = docs.repartition(8).as[(Long, String)]
+        .mapPartitions(_.map { case (id, html) =>
+          val uri = s"http://w${id % 23}.example.org/d/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("wetsrc:" + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarc(records, warcDir)
+      val wetDir = TempDirs.scratch("wet_out_")
+      val wetRecords = WarcIo.readWarc(s, warcDir + "/*.warc.gz")
+        .where(col("rec_type") === "response")
+        .select(col("target_uri"), col("warc_date"), col("record_id"), col("payload"))
+        .as[(String, String, String, Array[Byte])]
+        .mapPartitions(_.map { case (uri, date, rid, payload) =>
+          val http = WarcIo.parseHttpResponse(payload)
+          val html = WarcIo.decodeBody(http)
+          val text = HtmlExtract.content(html, 25, 0.33).map(_.text).mkString("\n")
+          val wet = WarcIo.toWet(
+            WarcIo.WarcRecord("response", uri, date, rid, "", Map.empty,
+              Array.emptyByteArray), text)
+          (wet.recordType, wet.targetUri, wet.date, wet.recordId,
+            wet.contentType, wet.payload, wet.extra)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload", "extra")
+      WarcIo.writeWarc(wetRecords, wetDir)
+      WarcIo.readWarc(s, wetDir + "/*.warc.gz")
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("rec_type"), col("content_type"),
+          length(decode(col("payload"), "UTF-8")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_schedule_robots" -> ((s, dir) => {
       // the robots → scheduler delay loop: each domain's REAL
       // robots.txt text (Crawl-delay present for 2/3 of domains,
@@ -7197,6 +7249,20 @@ object SparkEntry {
         |SELECT url, CAST(day AS BIGINT) AS last_crawl,
         |  CAST(day + 4 AS BIGINT) AS signal
         |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
+
+    // the conversion record's text is heading + newline + normalized
+    // doc text (the extractor's length gate keeps short bodies out) —
+    // all reconstructible from the raw documents via the
+    // escape→decode identity; length() counts code points both engines
+    "pipeline_wet" ->
+      """WITH d AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, 'conversion' AS rec_type, 'text/plain' AS content_type,
+        |  CAST(length('WET extraction heading for conversion records' ||
+        |    CASE WHEN length(nt) >= 25 THEN chr(10) || nt ELSE '' END) AS BIGINT)
+        |    AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Crawl-delay is fixed per domain arm (absent → the 1s default),
     // so the oracle states the delay and replays fetchers + slots
