@@ -3213,6 +3213,22 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "crawl_pagerank" -> ((s, dir) => {
+      // link-graph centrality, the frontier's priority signal:
+      // integer-micro-unit PageRank (LinkGraph.pageRank — truncating
+      // integer arithmetic precisely SO a distributed float-sum order
+      // can never flip ranks and the oracle can replay it exactly)
+      // over a formula host graph plus a dangling sink, three
+      // iterations unrolled in the oracle
+      import s.implicits._
+      val edges = s.range(200).map(i => (s"h${i % 20}", s"h${(i * 7 + 3) % 20}"))
+        .toDF("src", "dst")
+        .unionByName(Seq(("h3", "sink.example.org")).toDF("src", "dst"))
+      graft.operators.LinkGraph.pageRank(edges, "src", "dst", iterations = 3)
+        .withColumnRenamed("node", "host")
+        .orderBy(col("host"))
+    }),
+
     "pipeline_wet" -> ((s, dir) => {
       // WARC in, WET out — the standard crawl-text interchange as a
       // first-class pipeline: documents → HTML → HTTP → .warc.gz on
@@ -7249,6 +7265,31 @@ object SparkEntry {
         |SELECT url, CAST(day AS BIGINT) AS last_crawl,
         |  CAST(day + 4 AS BIGINT) AS signal
         |FROM h WHERE i % 3 = 0 ORDER BY url""".stripMargin,
+
+    // three power iterations unrolled: contributions are truncating
+    // integer divisions (DuckDB // == Spark div on positives), sums
+    // are BIGINT — bit-exact replay of the integer PageRank
+    "crawl_pagerank" ->
+      """WITH raw AS (SELECT DISTINCT 'h' || CAST(i % 20 AS VARCHAR) AS src,
+        |    'h' || CAST((i * 7 + 3) % 20 AS VARCHAR) AS dst FROM range(200) r(i)),
+        |edges AS (SELECT src, dst FROM raw
+        |  UNION ALL SELECT 'h3', 'sink.example.org'),
+        |outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS n, SUM(((r0.r * 850000) // 1000000) // outd.d) AS c
+        |  FROM edges e JOIN r0 ON r0.n = e.src JOIN outd ON outd.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.n, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.n = nodes.n),
+        |c2 AS (SELECT e.dst AS n, SUM(((r1.r * 850000) // 1000000) // outd.d) AS c
+        |  FROM edges e JOIN r1 ON r1.n = e.src JOIN outd ON outd.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.n, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.n = nodes.n),
+        |c3 AS (SELECT e.dst AS n, SUM(((r2.r * 850000) // 1000000) // outd.d) AS c
+        |  FROM edges e JOIN r2 ON r2.n = e.src JOIN outd ON outd.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.n, CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c3 ON c3.n = nodes.n)
+        |SELECT n AS host, r AS rank_micros FROM r3 ORDER BY host""".stripMargin,
 
     // the conversion record's text is heading + newline + normalized
     // doc text (the extractor's length gate keeps short bodies out) —

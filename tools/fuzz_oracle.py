@@ -52,7 +52,7 @@ QUERIES = [
     "url_psl_full", "pipeline_frontier_incremental", "frontier_recrawl",
     "frontier_redirects", "crawl_revisits", "crawl_schedule_capped",
     "mm_flac_decode", "pipeline_crawl_loop", "crawl_schedule_robots",
-    "pipeline_wet",
+    "pipeline_wet", "crawl_pagerank",
 ]
 
 # events-only queries: gated when the adversarial events table is
