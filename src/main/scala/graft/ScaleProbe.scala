@@ -554,6 +554,17 @@ object ScaleProbe {
           operators.CrawlFrontier.probeNew(spark, frontierDir, batch, "url")
         }
       }
+      time("crawl_pagerank", k) {
+        // host-graph centrality at k×100k edges over k×10k hosts
+        // (LCG-mixed destinations so edges stay distinct): five
+        // integer power iterations — per round one hash join + one
+        // hash agg on the host key
+        val n = lit(10000L * k)
+        val edges = spark.range(100000L * k).select(
+          concat(lit("h"), pmod(col("id"), n)).as("src"),
+          concat(lit("h"), pmod(col("id") * 1103515245L + 12345L, n)).as("dst"))
+        operators.LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
+      }
       time("crawl_schedule_skew", k) {
         // planted ~100:1 domain skew: the mega-domain owns half of all
         // rows while ~1k small domains share the rest. capPerDomain's

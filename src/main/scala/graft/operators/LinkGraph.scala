@@ -51,6 +51,17 @@ object LinkGraph {
     require(dampingMicros > 0 && dampingMicros < 1000000L,
       s"dampingMicros $dampingMicros out of (0, 1000000)")
     val teleport = 1000000L - dampingMicros
+    // damping as a REDUCED fraction: floor(r·d/10⁶) == floor(r·d'/m')
+    // when d/10⁶ = d'/m' exactly, but the intermediate product shrinks
+    // from r·d to r·d' — for the default 0.85 that is r·17 instead of
+    // r·850000, pushing the Long-overflow bound from ~10¹³ (a
+    // plausible mega-hub rank in a web-scale host graph, where wrapped
+    // arithmetic would rank the most-linked host LAST) past 5·10¹⁷,
+    // which total rank mass (≤ nodes·10⁶) cannot reach for any real
+    // graph.
+    val g = java.math.BigInteger.valueOf(dampingMicros)
+      .gcd(java.math.BigInteger.valueOf(1000000L)).longValueExact()
+    val (dNum, dDen) = (dampingMicros / g, 1000000L / g)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
@@ -67,15 +78,20 @@ object LinkGraph {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"),
-          expr(s"(rank_micros * $dampingMicros div 1000000) div outdeg").as("c"))
+          expr(s"(rank_micros * $dNum div $dDen) div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      val prev = ranks
       ranks = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank_micros"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before prev releases
+      prev.unpersist() // superseded checkpoint blocks must not pile up
       i += 1
     }
+    // the returned frame is its own checkpoint — the working tables
+    // can release now instead of squatting in executor storage
+    e.unpersist(); withDeg.unpersist(); nodes.unpersist()
     ranks
   }
 }

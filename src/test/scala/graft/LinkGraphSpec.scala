@@ -39,14 +39,14 @@ class LinkGraphSpec extends SparkSpec {
     val edges = Seq("a" -> "sink", "a" -> "sink", "b" -> "a").toDF("src", "dst")
     val r = LinkGraph.pageRank(edges, "src", "dst", iterations = 3)
       .as[(String, Long)].collect().toMap
-    // a's single outlink (dedup!) sends its full damped rank to sink
-    assert(r("sink") > r("b"))
-    assert(r("b") == 150000L)
-    // dedup check: with the duplicate edge honored twice, sink would
-    // receive double a's contribution; recompute expected by hand:
-    // iter1: a = 150000 + 0.85*1e6(from b? b rank 1e6 → (1e6*85e4 div 1e6) div 1 = 850000) = hmm —
-    // simpler invariant: sum of ranks never exceeds N * 1e6
-    assert(r.values.sum <= 3000000L)
+    // exact hand-computed fixpoints after 3 iterations (these values
+    // DISCRIMINATE dedup: with the duplicate edge honored, outdeg(a)=2
+    // halves-then-doubles each contribution and the iter-3 truncation
+    // lands sink at 385874, one micro-unit off):
+    //   iter1: a = 150000+850000(b) = 1000000; sink = 1000000; b = 150000
+    //   iter2: a = 150000+floor(150000·17/20) = 277500; sink = 1000000
+    //   iter3: sink = 150000+floor(277500·17/20) = 385875
+    assert(r == Map("a" -> 277500L, "b" -> 150000L, "sink" -> 385875L), s"got $r")
   }
 
   test("deterministic under repartitioning (integer sums are order-free)") {
