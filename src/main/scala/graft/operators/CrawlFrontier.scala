@@ -20,29 +20,50 @@ import org.apache.spark.sql.functions._
   * files under existing shard directories — no rewrite, no compaction
   * coupling.
   *
-  * `<dir>/bloom/` — parquet, ONE sketch row per build/append
-  * (`graft_bloom_agg` over `xxhash64(url)`, bytes ∝ `expectedItems`).
-  * Probes load the rows and `mergeInPlace` them through the public
-  * sketch API into one literal — sketches stay mergeable because the
-  * index pins `expectedItems` at build time (`<dir>/meta`).
+  * `<dir>/bloom/` — parquet, PER-SHARD sketch rows `(shard, bf)`: each
+  * build/append writes one `graft_bloom_agg` row per touched shard,
+  * sized `expectedItems / nShards`. Sharding the sketch is what keeps
+  * the tier alive at crawl scale — a single merged sketch for 10⁹–10¹⁰
+  * URLs is a multi-GB byte array (past ~2.3 B items it cannot even
+  * exist: JVM arrays cap at 2 GB) that would have to be driver-merged
+  * and shipped to every task as a plan literal. Per shard, every
+  * sketch stays `total/nShards` sized, merging is a distributed
+  * per-shard aggregate, and NOTHING sketch-like ever lands on the
+  * driver or in a literal, at any crawl size.
   *
-  * Probe ([[probeNew]]): candidates hit the merged Bloom literal in a
-  * codegen'd `graft_might_contain` — no false negatives, so the ~all
-  * genuinely-new URLs of a discovery batch that miss the sketch are
-  * ACCEPTED without touching the index at all. Only sketch hits
-  * (true dups + ~1% false positives) verify against the stored md5
-  * set, scanning only the shards the survivors actually hash into and
-  * joining shuffle-hash on the 128-bit key — so the result is
-  * bit-identical to the plain `left_anti` against the full crawled
-  * set (the oracle states exactly that), at a fraction of its IO and
-  * shuffle. Worst case (a replayed batch that is 100% seen) degrades
-  * to scanning the touched shards — still never a broadcast and never
-  * a driver-side set.
+  * Probe ([[probeNew]]): candidates compute their shard and join the
+  * per-shard sketch rows on it (shuffle-hash — the sketch side must
+  * never broadcast: its total bytes are crawl-proportional), then test
+  * membership via `graft_bloom_probe`, which deserializes each shard's
+  * sketch once per task ([[graft.plans.BloomShardProbe]]). No false
+  * negatives, so the ~all genuinely-new URLs of a discovery batch that
+  * miss their sketch are ACCEPTED without touching the index at all.
+  * Only sketch hits (true dups + ~1% false positives) verify against
+  * the stored md5 set, scanning only the shards the survivors actually
+  * hash into and joining shuffle-hash on the 128-bit key — so the
+  * result is bit-identical to the plain `left_anti` against the full
+  * crawled set (the oracle states exactly that), at a fraction of its
+  * IO and shuffle. Worst case (a replayed batch that is 100% seen)
+  * degrades to scanning the touched shards — still never a broadcast
+  * and never a driver-side set.
   *
   * Recrawl selection ([[recrawlDue]]): sitemap `lastmod` updates join
   * the SEEN side of the index (same pruned-shard probe) and return
   * URLs whose content changed after their stored `last_crawl` — the
   * age-based re-fetch feed that complements the new-URL feed.
+  *
+  * Concurrency contract: ONE writer at a time, enforced — every
+  * mutating entry point takes an exclusive `<dir>/_writer.lock` lease
+  * (atomic create-if-absent on HDFS and local filesystems; S3 has no
+  * atomic create, so run a single writer by construction there) and a
+  * second concurrent writer fails fast instead of silently corrupting
+  * the urls/bloom invariants. Probes may run concurrently with
+  * everything EXCEPT the tail of an [[appendBatch]]: between the urls
+  * write and the sketch write a probe can miss the in-flight batch and
+  * re-accept its URLs (a duplicate fetch, not corruption — membership
+  * never regresses because sketches only gain members). The streaming
+  * [[ingest]] loop serializes micro-batches, so it satisfies both
+  * clauses by construction.
   *
   * Reference behavior: dtle's incremental replication keeps a
   * persisted applied-GTID ledger consulted per batch rather than
@@ -54,6 +75,12 @@ object CrawlFrontier {
   private def shardCol(urlCol: String, nShards: Int): Column =
     pmod(xxhash64(col(urlCol)), lit(nShards.toLong)).cast("int")
 
+  /** Per-shard sketch capacity: the url hash is uniform, so shards fill
+    * evenly at `expectedItems / nShards` each.
+    */
+  private def perShardItems(expectedItems: Long, nShards: Int): Long =
+    math.max(expectedItems / nShards, 1L)
+
   /** Build (overwrite) the index from the crawled history.
     * `lastCrawlCol` is any orderable recrawl clock — epoch day, fetch
     * timestamp — stored per URL for [[recrawlDue]].
@@ -62,80 +89,102 @@ object CrawlFrontier {
       dir: String, nShards: Int = 64, expectedItems: Long = 4000000L): Unit = {
     require(nShards > 0, "nShards must be positive")
     val spark = crawled.sparkSession
-    // one row per url: a url re-crawled in history keeps its LATEST clock
-    val urls = crawled
-      .groupBy(col(urlCol).as("url"))
-      .agg(max(lastCrawlCol).as("last_crawl"))
-      .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
-        shardCol("url", nShards).as("shard"))
-    urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
-    writeBloom(spark, dir, urls.select(col("url")), expectedItems, overwrite = true)
-    spark.createDataFrame(Seq((nShards, expectedItems)))
-      .toDF("n_shards", "expected_items")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // BloomFilterAggregate silently CLAMPS its item estimate to this
+    // conf (default 4M) — a clamped sketch degrades the advertised fpp
+    // without any signal, so an over-capacity shard must fail loudly at
+    // build time. Sharding is also the fix: 10¹⁰ expected URLs at 4096
+    // shards is ~2.4M per shard, comfortably inside the engine cap.
+    val cap = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    require(perShardItems(expectedItems, nShards) <= cap,
+      s"per-shard sketch capacity ${perShardItems(expectedItems, nShards)} exceeds " +
+        s"the engine's bloom item cap $cap — raise nShards (preferred: " +
+        s"${math.ceil(expectedItems.toDouble / cap).toInt} shards minimum) or the " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems conf")
+    withWriterLock(spark, dir) {
+      // one row per url: a url re-crawled in history keeps its LATEST clock
+      val urls = crawled
+        .groupBy(col(urlCol).as("url"))
+        .agg(max(lastCrawlCol).as("last_crawl"))
+        .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
+          shardCol("url", nShards).as("shard"))
+      urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
+      writeBloom(spark, dir, urls.select(col("url")), nShards, expectedItems,
+        overwrite = true)
+      spark.createDataFrame(Seq((nShards, expectedItems)))
+        .toDF("n_shards", "expected_items")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** Append a newly-crawled batch: new files under the existing shard
-    * directories plus one more Bloom row — nothing is rewritten.
-    * Appending an already-indexed URL (a re-crawl recorded with a
-    * newer `lastCrawlCol`) adds a second row for that URL: membership
-    * probes dedup on the md5 ([[probeNew]]) and recrawl selection
-    * takes the LATEST clock ([[recrawlDue]]'s max), so duplicates are
-    * only a storage cost until a compaction pass rewrites the shard.
+    * directories plus one more sketch row per touched shard — nothing
+    * is rewritten (until the bounded sketch-table compaction; see
+    * [[compactBloom]]). Appending an already-indexed URL (a re-crawl
+    * recorded with a newer `lastCrawlCol`) adds a second row for that
+    * URL: membership probes dedup on the md5 ([[probeNew]]) and
+    * recrawl selection takes the LATEST clock ([[recrawlDue]]'s max),
+    * so duplicates are only a storage cost until a compaction pass
+    * rewrites the shard. Probing concurrently with the tail of an
+    * append can re-accept the in-flight batch's URLs (see the class
+    * doc) — callers needing strict once-delivery serialize probes
+    * against appends, as [[ingest]] does.
     */
   def appendBatch(newlyCrawled: DataFrame, urlCol: String, lastCrawlCol: Column,
       dir: String): Unit = {
     val spark = newlyCrawled.sparkSession
-    val (nShards, expectedItems) = readMeta(spark, dir)
-    val urls = newlyCrawled
-      .groupBy(col(urlCol).as("url"))
-      .agg(max(lastCrawlCol).as("last_crawl"))
-      .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
-        shardCol("url", nShards).as("shard"))
-    urls.write.mode("append").partitionBy("shard").parquet(s"$dir/urls")
-    writeBloom(spark, dir, urls.select(col("url")), expectedItems, overwrite = false)
-    compactBloom(spark, dir)
+    withWriterLock(spark, dir) {
+      val (nShards, expectedItems) = readMeta(spark, dir)
+      val urls = newlyCrawled
+        .groupBy(col(urlCol).as("url"))
+        .agg(max(lastCrawlCol).as("last_crawl"))
+        .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
+          shardCol("url", nShards).as("shard"))
+      urls.write.mode("append").partitionBy("shard").parquet(s"$dir/urls")
+      writeBloom(spark, dir, urls.select(col("url")), nShards, expectedItems,
+        overwrite = false)
+      compactBloom(spark, dir, nShards)
+    }
   }
 
-  /** Keep the sketch table bounded: every append adds one
-    * expectedItems-sized row, and probes merge ALL rows driver-side —
-    * without compaction a long-lived frontier's probe cost (and driver
-    * memory) would grow linearly with crawl age. Past `maxRows`, the
-    * rows merge into one (same m/k since `expectedItems` is pinned,
-    * so `mergeInPlace` is exact) and the dir is rewritten. Single
-    * writer assumed — the streaming [[ingest]] contract (micro-batches
-    * are sequential); concurrent batch writers should compact
-    * explicitly instead.
+  /** Keep the sketch table bounded: every append adds a row per touched
+    * shard, and probes pre-merge a shard's rows per batch — without
+    * compaction a long-lived frontier's probe-side merge work would
+    * grow linearly with crawl age. Past `2 * nShards` rows, the table
+    * rewrites to ONE row per shard via a DISTRIBUTED per-shard merge
+    * (`graft_bloom_merge` over `collect_list` — same m/k since
+    * `expectedItems` is pinned, so `mergeInPlace` is exact; the driver
+    * never touches sketch bytes). The rewrite goes through a staging
+    * dir and directory renames like [[compactIndex]], so a concurrent
+    * probe sees the OLD complete sketch table or the NEW one — never
+    * an empty dir mid-overwrite (which would read as "index empty" and
+    * re-accept every seen URL).
     */
-  private def compactBloom(spark: SparkSession, dir: String, maxRows: Int = 8): Unit = {
-    val rows = spark.read.parquet(s"$dir/bloom").select("bf").collect()
-    if (rows.length > maxRows) {
-      val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        rows.head.getAs[Array[Byte]](0))
-      rows.tail.foreach { r =>
-        merged.mergeInPlace(
-          org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]](0)))
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      merged.writeTo(out)
-      spark.createDataFrame(Seq(Tuple1(out.toByteArray))).toDF("bf")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+  private def compactBloom(spark: SparkSession, dir: String, nShards: Int): Unit = {
+    if (spark.read.parquet(s"$dir/bloom").count() > 2L * nShards) {
+      val staged = s"$dir/bloom_compact"
+      spark.read.parquet(s"$dir/bloom")
+        .groupBy(col("shard"))
+        .agg(call_function("graft_bloom_merge", collect_list(col("bf"))).as("bf"))
+        .filter(col("bf").isNotNull)
+        .write.mode("overwrite").parquet(staged)
+      swapDir(spark, staged, s"$dir/bloom", s"$dir/bloom_old")
     }
   }
 
   /** Rewrite the index with ONE row per URL (latest `last_crawl`) and
-    * ONE fresh Bloom sketch — the periodic maintenance pass that
-    * reclaims the storage growth [[appendBatch]] trades for
+    * one fresh sketch row per shard — the periodic maintenance pass
+    * that reclaims the storage growth [[appendBatch]] trades for
     * append-only writes (re-crawled URLs accumulate a row per crawl;
     * probes stay correct without compaction, this is purely a
     * storage/scan-cost pass). The rewrite goes through staging dirs
     * and directory renames: readers never see a MIX of old and new
     * rows — a crash mid-swap leaves the old tree parked at
     * `urls_old`/`bloom_old` (recover by renaming back) rather than a
-    * corrupted index. Single-writer assumed, like [[appendBatch]], and
-    * no concurrent probes during the swap window.
+    * corrupted index. Holds the writer lease like every mutator; no
+    * concurrent probes during the swap window.
     */
-  def compactIndex(spark: SparkSession, dir: String): Unit = {
+  def compactIndex(spark: SparkSession, dir: String): Unit = withWriterLock(spark, dir) {
     val (nShards, expectedItems) = readMeta(spark, dir)
     val urls = spark.read.parquet(s"$dir/urls")
       .groupBy(col("url_md5"), col("url"))
@@ -143,33 +192,23 @@ object CrawlFrontier {
       .withColumn("shard", shardCol("url", nShards))
     val staging = s"$dir/urls_compact"
     urls.write.mode("overwrite").partitionBy("shard").parquet(staging)
-    // one fresh sketch over the deduped set replaces the append trail
+    // fresh per-shard sketches over the deduped set replace the append trail
     val bloomStaging = s"$dir/bloom_compact"
-    spark.read.parquet(staging).select(xxhash64(col("url")).as("h"))
-      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
+    spark.read.parquet(staging)
+      .select(col("url"), shardCol("url", nShards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("url")),
+        lit(perShardItems(expectedItems, nShards))).as("bf"))
       .filter(col("bf").isNotNull)
-      .coalesce(1).write.mode("overwrite").parquet(bloomStaging)
-    // swaps go through the Hadoop FileSystem API like every other path
-    // here — the index may live on HDFS/S3A, not the driver's disk
-    val hconf = spark.sessionState.newHadoopConf()
-    def swap(staged: String, live: String, parked: String): Unit = {
-      val (sp, lp, pp) = (new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(parked))
-      val fs = lp.getFileSystem(hconf)
-      fs.delete(pp, true)
-      require(fs.rename(lp, pp), s"compactIndex: could not park $live")
-      require(fs.rename(sp, lp),
-        s"compactIndex: could not promote $staged (old tree parked at $parked)")
-      fs.delete(pp, true); ()
-    }
-    swap(staging, s"$dir/urls", s"$dir/urls_old")
-    swap(bloomStaging, s"$dir/bloom", s"$dir/bloom_old")
+      .write.mode("overwrite").parquet(bloomStaging)
+    swapDir(spark, staging, s"$dir/urls", s"$dir/urls_old")
+    swapDir(spark, bloomStaging, s"$dir/bloom", s"$dir/bloom_old")
   }
 
   /** The batch rows whose `urlCol` is NOT in the index — bit-identical
     * to `batch LEFT ANTI JOIN index ON url` (null URLs kept, as an
-    * anti-join would), via Bloom prefilter + pruned-shard md5 verify
-    * (see class doc). All columns of `batch` ride through.
+    * anti-join would), via per-shard Bloom prefilter + pruned-shard
+    * md5 verify (see class doc). All columns of `batch` ride through.
     *
     * Evaluation contract: the batch plan is consumed up to three
     * times (clear filter, shard discovery, verify join) — callers
@@ -180,21 +219,13 @@ object CrawlFrontier {
     */
   def probeNew(spark: SparkSession, dir: String, batch: DataFrame, urlCol: String): DataFrame = {
     val (nShards, _) = readMeta(spark, dir)
-    val bf = mergedBloom(spark, dir) match {
-      case Some(b) => b
+    val probed = bloomProbed(spark, dir, batch, urlCol, nShards) match {
+      case Some(p) => p
       case None => return batch // empty index: everything is new
     }
-    // null-url parity with the plain anti-join: a null key can never
-    // match the index, so it must be KEPT (might_contain yields null
-    // for null input, which would otherwise fail both filters and
-    // silently drop the row)
-    val probed = batch.withColumn("__hit",
-      coalesce(call_function("graft_might_contain", lit(bf), xxhash64(col(urlCol))),
-        lit(false)))
-    val clear = probed.filter(!col("__hit"))
+    val clear = probed.filter(!col("__hit")).drop("__shard")
     val candidates = probed.filter(col("__hit"))
       .withColumn("__md5", md5(col(urlCol)))
-      .withColumn("__shard", shardCol(urlCol, nShards))
     // shards the survivors actually occupy — ≤ nShards ints, driver-safe
     val shards = candidates.select(col("__shard")).distinct()
       .collect().map(_.getInt(0))
@@ -226,17 +257,15 @@ object CrawlFrontier {
   def recrawlDue(spark: SparkSession, dir: String, updates: DataFrame,
       urlCol: String, signalCol: Column): DataFrame = {
     val (nShards, _) = readMeta(spark, dir)
-    val bf = mergedBloom(spark, dir) match {
-      case Some(b) => b
+    val renamed = updates.select(col(urlCol).as("url"), signalCol.as("signal"))
+    val probed = bloomProbed(spark, dir, renamed, "url", nShards) match {
+      case Some(p) => p
       case None => // empty index: nothing was ever crawled, nothing is due
-        return updates.select(col(urlCol).as("url"), signalCol.as("last_crawl"),
-          signalCol.as("signal")).limit(0)
+        return renamed.select(col("url"), col("signal").as("last_crawl"),
+          col("signal")).limit(0)
     }
-    val candidates = updates
-      .select(col(urlCol).as("url"), signalCol.as("signal"))
-      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("url"))))
+    val candidates = probed.filter(col("__hit")).drop("__hit")
       .withColumn("__md5", md5(col("url")))
-      .withColumn("__shard", shardCol("url", nShards))
     val shards = candidates.select(col("__shard")).distinct()
       .collect().map(_.getInt(0))
     if (shards.isEmpty)
@@ -374,31 +403,101 @@ object CrawlFrontier {
     (m.getInt(0), m.getLong(1))
   }
 
+  /** One sketch row per TOUCHED shard: `(shard, bf)`, each sketch sized
+    * for its `expectedItems / nShards` slice. Sketches of the same
+    * shard across appends stay mergeable because `expectedItems` (and
+    * so m/k) is pinned per index in `<dir>/meta`.
+    */
   private def writeBloom(spark: SparkSession, dir: String, urls: DataFrame,
-      expectedItems: Long, overwrite: Boolean): Unit = {
+      nShards: Int, expectedItems: Long, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
-    urls.select(xxhash64(col("url")).as("h"))
-      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
+    urls.select(xxhash64(col("url")).as("h"), shardCol("url", nShards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(perShardItems(expectedItems, nShards))).as("bf"))
       .filter(col("bf").isNotNull) // empty batch → null sketch → nothing to append
       .write.mode(mode).parquet(s"$dir/bloom")
   }
 
-  /** All appended sketch rows merged into one — public sketch API,
-    * compatible because `expectedItems` is pinned per index. The
-    * merged literal is sketch-sized (≈1 MB default), never
-    * corpus-sized.
+  /** Attach `__shard` and `__hit` to `df`: each row joins its shard's
+    * (pre-merged) sketch and probes it via `graft_bloom_probe` — a
+    * keyed shuffle of the BATCH, never a broadcast or driver merge of
+    * the sketches (their total bytes grow with the crawl). Returns
+    * None when the index has no sketch rows (nothing ever indexed).
+    * Null-url parity with the plain anti-join: a null key can never
+    * match the index, so `__hit` coalesces to false and the row rides
+    * the clear path.
     */
-  private def mergedBloom(spark: SparkSession, dir: String): Option[Array[Byte]] = {
-    val rows = spark.read.parquet(s"$dir/bloom").select("bf").collect()
-    if (rows.isEmpty) return None
-    val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      rows.head.getAs[Array[Byte]](0))
-    rows.tail.foreach { r =>
-      merged.mergeInPlace(
-        org.apache.spark.util.sketch.BloomFilter.readFrom(r.getAs[Array[Byte]](0)))
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    merged.writeTo(out)
-    Some(out.toByteArray)
+  private def bloomProbed(spark: SparkSession, dir: String, df: DataFrame,
+      urlCol: String, nShards: Int): Option[DataFrame] = {
+    val sketchRows = spark.read.parquet(s"$dir/bloom")
+    if (sketchRows.isEmpty) return None
+    // ≤ a few rows per shard between compactions; merged per shard HERE,
+    // distributed, so the probe join sees exactly one sketch per shard
+    val sketches = sketchRows
+      .groupBy(col("shard").as("__shard"))
+      .agg(call_function("graft_bloom_merge", collect_list(col("bf"))).as("__bf"))
+    Some(df
+      .withColumn("__shard", shardCol(urlCol, nShards))
+      .join(sketches.hint("shuffle_hash"), Seq("__shard"), "left")
+      .withColumn("__hit",
+        coalesce(call_function("graft_bloom_probe",
+          col("__shard"), col("__bf"), xxhash64(col(urlCol))), lit(false)))
+      .drop("__bf"))
+  }
+
+  /** Promote a staged directory over a live one via Hadoop-FS renames
+    * (the index may live on HDFS/S3A, not the driver's disk): park the
+    * live tree, promote the staged one, drop the parked copy. A crash
+    * mid-swap leaves the old tree recoverable at `parked`.
+    */
+  private def swapDir(spark: SparkSession, staged: String, live: String,
+      parked: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val (sp, lp, pp) = (new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(parked))
+    val fs = lp.getFileSystem(hconf)
+    fs.delete(pp, true)
+    require(fs.rename(lp, pp), s"CrawlFrontier: could not park $live")
+    require(fs.rename(sp, lp),
+      s"CrawlFrontier: could not promote $staged (old tree parked at $parked)")
+    fs.delete(pp, true); ()
+  }
+
+  /** Exclusive writer lease: atomically create `<dir>/_writer.lock`,
+    * run `body`, delete the lease. A second concurrent writer gets a
+    * loud failure instead of silently interleaving writes into the
+    * urls/bloom dirs (which would corrupt membership). Create-if-absent
+    * is atomic on HDFS and local filesystems; object stores without
+    * atomic create (S3) need the single writer guaranteed by the
+    * deployment instead. A writer that died without cleanup leaves the
+    * lease behind — the error message carries the lease timestamp and
+    * the recovery step (delete the file) so misuse fails fast and
+    * diagnosable, never corrupting.
+    */
+  private def withWriterLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
+    val fs = lock.getFileSystem(hconf)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          val held = scala.util.Try {
+            val in = fs.open(lock)
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          }.getOrElse("unknown")
+          throw new IllegalStateException(
+            s"CrawlFrontier: another writer holds $lock (acquired: $held). The index " +
+              "is single-writer; if the previous writer crashed, delete the lock file " +
+              "to recover.", e)
+      }
+    try {
+      out.write(java.time.Instant.now().toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    try body finally fs.delete(lock, false)
   }
 }

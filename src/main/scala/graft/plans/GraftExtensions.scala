@@ -128,6 +128,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_merge"),
+      new ExpressionInfo(classOf[BloomSketchMerge].getName, "graft_bloom_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_bloom_merge(sketches) takes one array<binary> argument")
+        BloomSketchMerge(children.head)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[BloomShardProbe].getName, "graft_bloom_probe"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_probe(shard, sketch, h) takes an int, a binary, and a long column")
+        BloomShardProbe(children(0), children(1), children(2))
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_collect_capped"),
       new ExpressionInfo(classOf[graft.functions.BoundedCollectList].getName, "graft_collect_capped"),
       (children: Seq[Expression]) => {

@@ -108,6 +108,58 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(reprobe.toSeq == Seq("fresh"))
   }
 
+  test("a second concurrent writer fails fast on the lease instead of corrupting the index") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_lock")
+    CrawlFrontier.buildIndex(
+      (0 until 20).map(i => (s"http://lk.com/$i", 1L)).toDF("url", "day"),
+      "url", col("day"), dir, nShards = 4, expectedItems = 1000L)
+    // simulate a writer holding the lease (or a crashed one that left it)
+    val lock = new java.io.File(s"$dir/_writer.lock")
+    assert(!lock.exists(), "the lease must be released after a successful build")
+    java.nio.file.Files.write(lock.toPath, "2026-01-01T00:00:00Z".getBytes)
+    val e = intercept[IllegalStateException] {
+      CrawlFrontier.appendBatch(Seq(("http://lk.com/new", 2L)).toDF("url", "day"),
+        "url", col("day"), dir)
+    }
+    assert(e.getMessage.contains("another writer"))
+    assert(e.getMessage.contains("2026-01-01T00:00:00Z"), s"lease age missing: ${e.getMessage}")
+    // nothing was written under the held lease
+    assert(spark.read.parquet(s"$dir/urls").count() == 20)
+    // recovery: delete the lease, the writer proceeds
+    assert(lock.delete())
+    CrawlFrontier.appendBatch(Seq(("http://lk.com/new", 2L)).toDF("url", "day"),
+      "url", col("day"), dir)
+    assert(spark.read.parquet(s"$dir/urls").count() == 21)
+    assert(!lock.exists())
+    // compactIndex takes (and releases) the same lease
+    CrawlFrontier.compactIndex(spark, dir)
+    assert(!lock.exists())
+  }
+
+  test("the sketch tier is per-shard rows — no driver-merged literal, bounded per-shard bytes") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("frontier_shardbloom")
+    CrawlFrontier.buildIndex(
+      (0 until 300).map(i => (s"http://sb${i % 13}.com/$i", 1L)).toDF("url", "day"),
+      "url", col("day"), dir, nShards = 8, expectedItems = 80000L)
+    val sk = spark.read.parquet(s"$dir/bloom")
+      .select("shard", "bf").as[(Int, Array[Byte])].collect()
+    assert(sk.map(_._1).distinct.length == sk.length, "one sketch row per shard")
+    // each sketch is sized for expectedItems/nShards, NOT the whole index:
+    // 10k items ≈ 9.1 KB at the default 3% fpp — an order of magnitude under
+    // what an 80k-item monolith would need (~73 KB)
+    assert(sk.forall(_._2.length < 20000),
+      s"per-shard sketch unexpectedly large: ${sk.map(_._2.length).max} bytes")
+    // and the probe literal ceiling is gone: the physical plan carries no
+    // binary literal at all (the sketches ride a join, not lit())
+    val probePlan = CrawlFrontier.probeNew(spark, dir,
+      (0 until 50).map(i => (s"http://sb${i % 13}.com/$i", i)).toDF("url", "k"), "url")
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("graft_bloom_probe"), probePlan)
+    assert(!probePlan.contains("might_contain"), "the literal-based probe must be gone")
+  }
+
   test("resolveRedirects: chains of length exactly maxHops resolve; maxHops=1 works") {
     import spark.implicits._
     def chain(n: Int) = ((0 until n).map(i => (s"http://x.com/$i", Some(s"http://x.com/${i + 1}"))) :+
@@ -186,7 +238,11 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(rows.size == 30)
     assert(rows("http://cp.com/p/3") == 130L) // latest clock survives
     assert(rows("http://cp.com/p/15") == 100L)
-    assert(spark.read.parquet(s"$dir/bloom").count() == 1)
+    // fresh sketch table: exactly one row per OCCUPIED shard
+    val occupied = spark.read.parquet(s"$dir/urls")
+      .select("shard").distinct().count()
+    assert(spark.read.parquet(s"$dir/bloom").count() == occupied)
+    assert(spark.read.parquet(s"$dir/bloom").select("shard").distinct().count() == occupied)
     assert(!new java.io.File(s"$dir/urls_old").exists())
     // membership and recrawl behavior identical post-compaction
     val probe = CrawlFrontier.probeNew(spark, dir,

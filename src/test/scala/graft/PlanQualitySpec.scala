@@ -71,11 +71,11 @@ class PlanQualitySpec extends SparkSpec {
 
   test("frontier incremental probe: shard-pruned scan, shuffled verify join, no broadcast of the index") {
     val p = plan("pipeline_frontier_incremental")
-    assert(p.contains("might_contain"), "must probe the Bloom literal")
+    assert(p.contains("graft_bloom_probe"), "must probe the per-shard sketches")
     assert(p.contains("PartitionFilters") && p.contains("shard"),
       s"index scan must prune shards:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
-      s"the crawl-sized index side must never broadcast:\n$p")
+      s"neither the index nor the sketch table may broadcast:\n$p")
   }
 
   test("crawl_schedule_capped: bounded-heap cap, window only after the cap") {
