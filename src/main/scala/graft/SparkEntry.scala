@@ -2336,6 +2336,44 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_flac_lpc" -> ((s, dir) => {
+      // LPC subframes end to end: integer sine-table signals (two-pole
+      // spectra that polynomial FIXED predictors cannot model but
+      // order-8 quantized LPC predicts to ~quantization noise) are
+      // encoded with the LPC candidate enabled, decoded back, and the
+      // oracle re-derives every sample stat from the table formula.
+      // lpc_wins pins the cost contest: on tonal audio the LPC stream
+      // must come out strictly smaller than the FIXED-only encoding of
+      // the same samples — proof the LPC path actually ran, not just
+      // that the contest fell back to FIXED.
+      import s.implicits._
+      val sine16 = Array(0, 383, 707, 924, 1000, 924, 707, 383,
+        0, -383, -707, -924, -1000, -924, -707, -383)
+      s.range(18).map { i =>
+        val n = 600 + (i % 5).toInt * 40
+        val freq = 1 + 2 * (i % 3).toInt // odd → the phase walk covers all 16 cells
+        val amp = 1 + (i % 4).toInt
+        val samples = Array.tabulate[Short](n) { t =>
+          (sine16(((t * freq + i) % 16).toInt) * amp).toShort
+        }
+        (i,
+          graft.operators.multimodal.FlacCodec.encode(8000, 1, samples,
+            blockSize = 192, lpcOrder = 8),
+          graft.operators.multimodal.FlacCodec.encode(8000, 1, samples,
+            blockSize = 192).length)
+      }.mapPartitions(_.map { case (id, payload, fixedLen) =>
+        val (rate, _, dec) = graft.operators.multimodal.FlacCodec.decode(payload)
+        var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+        dec.foreach { v =>
+          sum += v; sumAbs += math.abs(v.toLong)
+          maxAbs = math.max(maxAbs, math.abs(v.toLong))
+        }
+        (id, rate, dec.length.toLong, sum, sumAbs, maxAbs, payload.length < fixedLen)
+      }).toDF("media_id", "sample_rate", "n_samples", "sum_v", "sum_abs",
+        "max_abs", "lpc_wins")
+        .orderBy(col("media_id"))
+    }),
+
     "mm_dhash_pairs" -> ((s, dir) => {
       // image near-dup dedup on REAL bytes ACROSS CONTAINERS: each id
       // encodes its pixels as PPM, BMP, or PNG by id%3 (the scraped-web
@@ -3135,9 +3173,10 @@ object SparkEntry {
     "pipeline_frontier_incremental" -> ((s, dir) => {
       // the PERSISTED frontier seen-set (CrawlFrontier): index built
       // once from the crawl history, then two discovery batches probed
-      // against it — Bloom prefilter + pruned-shard md5 verify, never
-      // a broadcast of the crawled set — with batch 1's accepted URLs
-      // appended before batch 2 probes. Bit-identical to the plain
+      // against it — PER-SHARD Bloom sketches joined after shard
+      // assignment (no driver merge, no plan literal) + pruned-shard
+      // md5 verify, never a broadcast of the crawled set — with batch
+      // 1's accepted URLs appended before batch 2 probes. Bit-identical to the plain
       // exact anti-joins the oracle states (Bloom has no false
       // negatives; the verify join is 128-bit-exact), which is the
       // whole point: the scale path changes the plan, not the answer.
@@ -3365,6 +3404,53 @@ object SparkEntry {
         batch, "domain", "url", col("priority"), 10)
       graft.operators.CrawlScheduler.schedule(capped, "domain", "url", 4, lit(500L))
         .select(col("url"), col("domain"), col("fetcher"), col("slot_ms"))
+        .orderBy(col("url"))
+    }),
+
+    "pipeline_crawl_loop_ranked" -> ((s, dir) => {
+      // the crawl loop with a REAL priority signal: pipeline_crawl_loop
+      // ranks by a regexp-extracted digit; here the frontier priority
+      // is integer PageRank over the hosts' own link graph
+      // (LinkGraph.pageRank, 3 iterations) joined onto the probe
+      // output — so the per-domain cap keeps the most-linked hosts'
+      // URLs, the production composition. The oracle replays the
+      // unrolled integer iterations AND the cap/schedule over the
+      // ranked priorities.
+      import s.implicits._
+      def hostOf(j: Column): Column =
+        when(j < 8, concat(lit("d"), j, lit(".shop.com")))
+          .when(j < 13, concat(lit("r"), j - 8, lit(".news.org")))
+          .otherwise(concat(lit("u"), j - 13, lit(".github.io")))
+      // quadratic-mixed link graph over the loop's 20 hosts: varied
+      // in-degrees → varied ranks (a permutation graph would rank
+      // every host identically and the cap would decay to url order)
+      val edges = s.range(200).select(
+        hostOf(pmod(col("id"), lit(20L))).as("src"),
+        hostOf(pmod(col("id") * col("id") + col("id") * 3L + 7L, lit(20L))).as("dst"))
+      val ranks = graft.operators.LinkGraph.pageRank(edges, "src", "dst", iterations = 3)
+        .withColumnRenamed("node", "host")
+      val history = s.range(200).map(i => (s"http://d${i % 8}.shop.com/p/$i", 100L))
+        .toDF("url", "day")
+      val idxDir = TempDirs.scratch("crawl_loop_rk_")
+      graft.operators.CrawlFrontier.buildIndex(history, "url", col("day"), idxDir,
+        nShards = 8, expectedItems = 10000L)
+      val discovered = s.range(240).map { i =>
+        (i % 3) match {
+          case 0 => s"http://d${i % 8}.shop.com/p/$i"
+          case 1 => s"http://r${i % 5}.news.org/new/$i"
+          case _ => s"http://u${i % 7}.github.io/post/$i"
+        }
+      }.toDF("url")
+      val batch = graft.operators.CrawlFrontier.probeNew(s, idxDir, discovered, "url")
+        .withColumn("host", call_function("graft_url_host", col("url")))
+        .withColumn("domain", call_function("graft_url_domain", col("host")))
+        .join(ranks, Seq("host"))
+        .select(col("domain"), col("url"), col("rank_micros"))
+      val capped = graft.operators.CrawlScheduler.capPerDomain(
+        batch, "domain", "url", col("rank_micros"), 10)
+      graft.operators.CrawlScheduler.schedule(capped, "domain", "url", 4, lit(500L),
+        tiebreak = Nil)
+        .select(col("url"), col("domain"), col("rank_micros"), col("fetcher"), col("slot_ms"))
         .orderBy(col("url"))
     }),
 
@@ -6539,6 +6625,28 @@ object SparkEntry {
         |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
         |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // sample stats replayed from the sine-table formula; lpc_wins=true
+    // pins the deterministic cost contest (a two-pole sinusoid is
+    // near-perfectly linearly predictable, so the LPC stream must be
+    // strictly smaller than FIXED-only)
+    "mm_flac_lpc" ->
+      """WITH s16(j, sv) AS (VALUES (0,0),(1,383),(2,707),(3,924),(4,1000),(5,924),
+        |    (6,707),(7,383),(8,0),(9,-383),(10,-707),(11,-924),(12,-1000),(13,-924),
+        |    (14,-707),(15,-383)),
+        |ids AS (SELECT i AS media_id, 600 + (i % 5) * 40 AS n,
+        |    1 + 2 * (i % 3) AS freq, 1 + (i % 4) AS amp FROM range(18) t(i)),
+        |sm AS (SELECT media_id, n, p, sv * amp AS v
+        |  FROM ids CROSS JOIN range(760) r(p)
+        |  JOIN s16 ON s16.j = (p * freq + media_id) % 16
+        |  WHERE p < n)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+        |  true AS lpc_wins
+        |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     // the oracle derives the sums from the pixel formula alone —
     // cross-engine proof the byte-level PPM decode is exact
     // dHash replay from the pixel formula: 9x8 nearest-resize source
@@ -7354,6 +7462,65 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT domain FROM capped) CROSS JOIN range(4) r(fch)
         |  GROUP BY domain)
         |SELECT c.url, c.domain, CAST(fa.fetcher AS INT) AS fetcher,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY c.domain ORDER BY c.url) - 1) * 500 AS BIGINT) AS slot_ms
+        |FROM capped c JOIN fa USING (domain)
+        |ORDER BY url""".stripMargin,
+
+    // the ranked loop: three integer PageRank iterations unrolled over
+    // the 20-host quadratic link graph (same truncating-division replay
+    // as crawl_pagerank), the seen-set as NOT IN, the cap as its window
+    // twin ordered by rank DESC, fetchers via the md5 arg_max chain
+    "pipeline_crawl_loop_ranked" ->
+      """WITH hosts AS (SELECT j,
+        |    CASE WHEN j < 8 THEN 'd' || CAST(j AS VARCHAR) || '.shop.com'
+        |         WHEN j < 13 THEN 'r' || CAST(j - 8 AS VARCHAR) || '.news.org'
+        |         ELSE 'u' || CAST(j - 13 AS VARCHAR) || '.github.io' END AS h
+        |  FROM range(20) t(j)),
+        |edges AS (SELECT DISTINCT hs.h AS src, hd.h AS dst
+        |  FROM range(200) r(i)
+        |  JOIN hosts hs ON hs.j = i % 20
+        |  JOIN hosts hd ON hd.j = (i * i + i * 3 + 7) % 20),
+        |outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS n, SUM(((r0.r * 850000) // 1000000) // outd.d) AS c
+        |  FROM edges e JOIN r0 ON r0.n = e.src JOIN outd ON outd.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.n, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.n = nodes.n),
+        |c2 AS (SELECT e.dst AS n, SUM(((r1.r * 850000) // 1000000) // outd.d) AS c
+        |  FROM edges e JOIN r1 ON r1.n = e.src JOIN outd ON outd.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.n, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.n = nodes.n),
+        |c3 AS (SELECT e.dst AS n, SUM(((r2.r * 850000) // 1000000) // outd.d) AS c
+        |  FROM edges e JOIN r2 ON r2.n = e.src JOIN outd ON outd.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.n, CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
+        |  FROM nodes LEFT JOIN c3 ON c3.n = nodes.n),
+        |f AS (
+        |  SELECT i, 'http://d' || CAST(i % 8 AS VARCHAR) || '.shop.com/p/' || CAST(i AS VARCHAR) AS url,
+        |         'd' || CAST(i % 8 AS VARCHAR) || '.shop.com' AS host, 'shop.com' AS domain
+        |  FROM range(240) r(i) WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT i, 'http://r' || CAST(i % 5 AS VARCHAR) || '.news.org/new/' || CAST(i AS VARCHAR),
+        |         'r' || CAST(i % 5 AS VARCHAR) || '.news.org', 'news.org'
+        |  FROM range(240) r(i) WHERE i % 3 = 1
+        |  UNION ALL
+        |  SELECT i, 'http://u' || CAST(i % 7 AS VARCHAR) || '.github.io/post/' || CAST(i AS VARCHAR),
+        |         'u' || CAST(i % 7 AS VARCHAR) || '.github.io',
+        |         'u' || CAST(i % 7 AS VARCHAR) || '.github.io'
+        |  FROM range(240) r(i) WHERE i % 3 = 2),
+        |hist AS (SELECT 'http://d' || CAST(i % 8 AS VARCHAR) || '.shop.com/p/' || CAST(i AS VARCHAR) AS url
+        |  FROM range(200) r(i)),
+        |newu AS (SELECT f.url, f.domain, r3.r AS pr FROM f JOIN r3 ON r3.n = f.host
+        |  WHERE f.url NOT IN (SELECT url FROM hist)),
+        |capped AS (SELECT url, domain, pr FROM (
+        |    SELECT url, domain, pr,
+        |      ROW_NUMBER() OVER (PARTITION BY domain ORDER BY pr DESC, url) AS rn
+        |    FROM newu) WHERE rn <= 10),
+        |fa AS (SELECT domain,
+        |    arg_max(fch, ('0x' || substr(md5(domain || '|' || CAST(fch AS VARCHAR)), 1, 15))::BIGINT) AS fetcher
+        |  FROM (SELECT DISTINCT domain FROM capped) CROSS JOIN range(4) r(fch)
+        |  GROUP BY domain)
+        |SELECT c.url, c.domain, c.pr AS rank_micros, CAST(fa.fetcher AS INT) AS fetcher,
         |  CAST((ROW_NUMBER() OVER (PARTITION BY c.domain ORDER BY c.url) - 1) * 500 AS BIGINT) AS slot_ms
         |FROM capped c JOIN fa USING (domain)
         |ORDER BY url""".stripMargin,

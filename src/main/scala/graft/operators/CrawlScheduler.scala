@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * max score wins. Unlike `hash(domain) % n`, resizing the fleet from
   * n to n+1 moves only ~1/(n+1) of domains — the property that keeps
   * per-host queues (and their politeness clocks) stable through
-  * scale-ups. Scored in one codegen'd higher-order expression per row:
-  * no explode, no shuffle, no fetcher table.
+  * scale-ups. The O(nFetchers) scoring fold runs once per DISTINCT
+  * domain and joins back — domains repeat heavily within a frontier
+  * batch (politeness caps rows per domain at k, but k·domains rows
+  * still re-derive nothing), so the fold's work drops by the
+  * per-domain multiplicity at zero semantic cost.
   *
   * Slotting is one window per domain partition: fetch k of a domain
   * gets start offset (k-1)·delay — the shuffle is keyed on the
@@ -26,22 +29,22 @@ object CrawlScheduler {
 
   /** Add an integer `fetcher` column (0-based) via rendezvous hashing
     * over `nFetchers` fetchers. Deterministic, cross-engine portable
-    * (the md5-prefix chain every sketch here uses).
+    * (the md5-prefix chain every sketch here uses). Scored on the
+    * distinct-domain side of a join (see class doc); a NULL domain
+    * surfaces as a NULL fetcher (the join can't match it), never a
+    * phantom queue id.
     */
   def assignFetchers(df: DataFrame, domainCol: String, nFetchers: Int): DataFrame = {
     require(nFetchers > 0, "need at least one fetcher")
-    // a NULL domain must surface as a NULL fetcher, not leak the -1
-    // accumulator seed as a phantom queue id (null md5 scores make
-    // every comparison null, so the fold would return the seed)
-    df.withColumn("fetcher",
-      when(col(domainCol).isNull, lit(null))
-        .otherwise(expr(
-          s"""aggregate(
-             |  transform(sequence(0, ${nFetchers - 1}),
-             |    f -> struct(graft_md5_60(concat($domainCol, '|', cast(f as string))) as s,
-             |                f as id)),
-             |  struct(cast(-1 as bigint) as s, cast(-1 as int) as id),
-             |  (acc, x) -> if(x.s > acc.s, x, acc)).id""".stripMargin)))
+    val scored = df.select(col(domainCol)).where(col(domainCol).isNotNull).distinct()
+      .withColumn("fetcher", expr(
+        s"""aggregate(
+           |  transform(sequence(0, ${nFetchers - 1}),
+           |    f -> struct(graft_md5_60(concat($domainCol, '|', cast(f as string))) as s,
+           |                f as id)),
+           |  struct(cast(-1 as bigint) as s, cast(-1 as int) as id),
+           |  (acc, x) -> if(x.s > acc.s, x, acc)).id""".stripMargin))
+    df.join(scored, Seq(domainCol), "left")
   }
 
   /** Politeness schedule: assign fetchers, then give fetch k of each
@@ -94,14 +97,21 @@ object CrawlScheduler {
     // flag makes non-null priorities beat null ones, matching the
     // window formulation's `ORDER BY priority DESC` NULLS LAST —
     // struct ordering alone sorts nulls FIRST and would let unscored
-    // rows win the cap. Negation stays in the column's OWN numeric
-    // type — a cast to double would silently collapse long priorities
-    // beyond 2^53 (epoch-micros recency, indegree counters) and break
-    // the documented window equivalence. (Long.MinValue priorities are
-    // out of contract: unary negation wraps; scores/counters/
-    // timestamps never carry it.)
+    // rows win the cap. A second flag handles NaN double priorities
+    // the same way: the window's DESC ordering places NaN FIRST (both
+    // engines order NaN above +Inf), while NaN·−1 = NaN would tie
+    // arbitrarily in the heap — the flag pins NaN rows as
+    // highest-priority, keeping the window equivalence total (the
+    // isnan probe runs on a double CAST, so non-floating priorities
+    // are unaffected: their flag is constant). Negation stays in the
+    // column's OWN numeric type — a cast to double would silently
+    // collapse long priorities beyond 2^53 (epoch-micros recency,
+    // indegree counters) and break the documented window equivalence.
+    // (Long.MinValue priorities are out of contract: unary negation
+    // wraps; scores/counters/timestamps never carry it.)
     val ranked = struct(
       priorityCol.isNull.as("__pnull") +:
+        coalesce(!isnan(priorityCol.cast("double")), lit(true)).as("__pnotnan") +:
         (priorityCol * lit(-1)).as("__negp") +:
         col(urlCol).as(urlCol) +:
         payload.filter(_ != urlCol).map(c => col(c).as(c)): _*)

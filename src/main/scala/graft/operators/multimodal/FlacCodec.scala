@@ -8,17 +8,28 @@ package graft.operators.multimodal
   *   - frames: fixed-blocksize strategy, UTF-8-coded frame numbers,
   *     16-bit samples, mono/stereo independent channels, CRC-8 header
   *     and CRC-16 frame checks (verified on decode, loud on mismatch);
-  *   - subframes: CONSTANT, VERBATIM, and FIXED predictors order 0–4
-  *     (the k-th-difference polynomial predictors) with Rice-coded
-  *     residuals (4-bit parameter, zigzag folding, escape-to-raw
-  *     supported on decode).
+  *   - subframes: CONSTANT, VERBATIM, FIXED predictors order 0–4
+  *     (the k-th-difference polynomial predictors), and LPC order
+  *     1–32 (quantized linear prediction: coefficient precision,
+  *     shift, and coefficients all read from the bitstream — decode
+  *     needs no tables, and the integer predictor is exact), all with
+  *     Rice-coded residuals (4-bit parameter, zigzag folding,
+  *     escape-to-raw supported on decode). The encoder's LPC path
+  *     ([[encode]]'s `lpcOrder`) estimates coefficients by
+  *     Levinson–Durbin over the block's autocorrelation, quantizes
+  *     them, and enters the candidate in the same exact-bit-cost
+  *     contest as FIXED/VERBATIM — floats touch only the coefficient
+  *     SEARCH; the emitted residuals and the decode are pure integer
+  *     arithmetic, so round-trips are bit-exact regardless of
+  *     estimation quality.
   *
-  * Everything here is exact integer arithmetic — no magic tables
-  * beyond the two published CRC polynomials (0x07, 0x8005) — so
-  * encode→decode round-trips are bit-exact and oracle-checkable
-  * (`mm_flac_decode` re-derives every decoded sample from the
-  * generator formula in SQL). LPC subframes and >2 channels are out
-  * of subset scope (decode fails loudly, never silently).
+  * Everything on the wire is exact integer arithmetic — no magic
+  * tables beyond the two published CRC polynomials (0x07, 0x8005) —
+  * so encode→decode round-trips are bit-exact and oracle-checkable
+  * (`mm_flac_decode`/`mm_flac_lpc` re-derive every decoded sample
+  * from the generator formula in SQL). >2 channels and negative LPC
+  * shifts are out of subset scope (decode fails loudly, never
+  * silently).
   *
   * Reference behavior: dtle ships typed column codecs for every wire
   * format it replicates (e.g. `drivers/mysql/binlog` value decoders);
@@ -192,12 +203,113 @@ object FlacCodec extends Multimodal.MediaCodec {
 
   // -------------------------------------------------------------- encode
 
+  /** Levinson–Durbin: prediction coefficients a(1..order) minimizing
+    * the least-squares error of x̂[i] = Σ a(j)·x[i−j] given the
+    * block's autocorrelation. Returns None when the block can't
+    * support the order (too short, all-zero, or the recursion loses
+    * positive-definiteness) — the caller just skips the LPC candidate.
+    * Textbook recursion; doubles are fine HERE because the
+    * coefficients only steer compression — exactness lives in the
+    * quantized-integer residual path.
+    */
+  private def levinsonDurbin(s: Array[Long], order: Int): Option[Array[Double]] = {
+    val n = s.length
+    if (n <= order) return None
+    // Welch window before autocorrelation: the rectangular window's
+    // edge bias scales with where the waveform happens to START (a
+    // block opening on a peak skews r(lag) by whole percent), which
+    // can make the estimated predictor worse than FIXED on exactly the
+    // tonal signals LPC exists for — tapering the edges is the
+    // standard cure (reference encoders window here too)
+    val ws = new Array[Double](n)
+    val half = (n - 1) / 2.0
+    var t = 0
+    while (t < n) {
+      val x = (t - half) / (half + 1.0)
+      ws(t) = s(t).toDouble * (1.0 - x * x)
+      t += 1
+    }
+    val r = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var acc = 0.0
+      var i = lag
+      while (i < n) { acc += ws(i) * ws(i - lag); i += 1 }
+      r(lag) = acc
+      lag += 1
+    }
+    if (r(0) <= 0.0) return None // silence: CONSTANT/FIXED handle it
+    val a = new Array[Double](order + 1)
+    var err = r(0)
+    var m = 1
+    // err hitting ~0 mid-recursion is CONVERGENCE, not failure: the
+    // signal is perfectly predicted at order m (a pure sinusoid
+    // converges at 2) and the remaining coefficients stay 0 — bailing
+    // out instead would drop the LPC candidate precisely on the
+    // signals it models best
+    var converged = false
+    while (m <= order && !converged) {
+      var acc = r(m)
+      var j = 1
+      while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+      val k = acc / err
+      if (!java.lang.Double.isFinite(k)) converged = true
+      else {
+        val prev = java.util.Arrays.copyOf(a, order + 1)
+        a(m) = k
+        j = 1
+        while (j < m) { a(j) = prev(j) - k * prev(m - j); j += 1 }
+        err *= (1 - k * k)
+        if (err <= r(0) * 1e-12) converged = true
+        m += 1
+      }
+    }
+    Some(java.util.Arrays.copyOfRange(a, 1, order + 1))
+  }
+
+  /** Quantize LPC coefficients to `precision`-bit integers with a
+    * shared left-shift: the largest shift in [0, 15] that keeps every
+    * rounded coefficient inside the signed `precision`-bit range.
+    */
+  private def quantizeLpc(coeffs: Array[Double], precision: Int): Option[(Array[Long], Int)] = {
+    val cmax = coeffs.map(math.abs).max
+    if (cmax == 0.0 || !java.lang.Double.isFinite(cmax)) return None
+    val lim = (1L << (precision - 1)) - 1
+    var shift = precision - 1 - (math.getExponent(cmax) + 1)
+    if (shift > 15) shift = 15
+    if (shift < 0) return None // coefficients too large for the subset's shift range
+    val q = coeffs.map(c => math.max(-lim - 1, math.min(lim, math.round(c * (1L << shift)))))
+    if (q.forall(_ == 0L)) None else Some((q, shift))
+  }
+
+  /** Exact integer LPC residuals: e[i] = s[i] − ((Σ q(j)·s[i−1−j]) >>
+    * shift) — the decoder inverts this with the same arithmetic, so
+    * the round trip is bit-exact for ANY (q, shift).
+    */
+  private def lpcResiduals(s: Array[Long], q: Array[Long], shift: Int): Array[Long] = {
+    val order = q.length
+    val out = new Array[Long](s.length - order)
+    var i = order
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += q(j) * s(i - 1 - j); j += 1 }
+      out(i - order) = s(i) - (acc >> shift)
+      i += 1
+    }
+    out
+  }
+
   /** Encode 16-bit PCM (interleaved when stereo) into a FLAC stream.
     * Per frame and channel the cheapest of CONSTANT / best FIXED
-    * order / VERBATIM is chosen by exact bit cost.
+    * order / VERBATIM — plus, when `lpcOrder` ≥ 1, a quantized-LPC
+    * candidate of that order (precision 14, Levinson–Durbin
+    * coefficients) — is chosen by exact bit cost. `lpcOrder = 0`
+    * (default) reproduces the FIXED-only encoder byte for byte.
     */
   def encode(sampleRate: Int, channels: Int, samples: Array[Short],
-      blockSize: Int = 4096): Array[Byte] = {
+      blockSize: Int = 4096, lpcOrder: Int = 0): Array[Byte] = {
+    require(lpcOrder >= 0 && lpcOrder <= 32, s"lpcOrder $lpcOrder out of [0, 32]")
     require(channels == 1 || channels == 2, "subset: mono or stereo")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(samples.length % channels == 0, "ragged interleave")
@@ -240,7 +352,7 @@ object FlacCodec extends Multimodal.MediaCodec {
         val s = new Array[Long](bs)
         var i = 0
         while (i < bs) { s(i) = samples((off + i) * channels + ch); i += 1 }
-        writeSubframe(w, s)
+        writeSubframe(w, s, lpcOrder)
         ch += 1
       }
       w.align()
@@ -278,7 +390,9 @@ object FlacCodec extends Multimodal.MediaCodec {
     out.toByteArray
   }
 
-  private def writeSubframe(w: BitWriter, s: Array[Long]): Unit = {
+  private val LpcPrecision = 14 // stored as precision−1 in the 4-bit field
+
+  private def writeSubframe(w: BitWriter, s: Array[Long], lpcOrder: Int): Unit = {
     val bs = s.length
     val constant = bs > 0 && s.forall(_ == s(0))
     if (constant) {
@@ -286,39 +400,70 @@ object FlacCodec extends Multimodal.MediaCodec {
       w.writeBits(s(0) & 0xffff, 16)
       return
     }
+    def bestRice(folded: Array[Long]): (Int, Long) = {
+      var bk = 0; var bb = Long.MaxValue
+      var k = 0
+      while (k <= 14) {
+        val bits = riceBits(folded, k)
+        if (bits < bb) { bb = bits; bk = k }
+        k += 1
+      }
+      (bk, bb)
+    }
     // best fixed order by exact cost; verbatim as the ceiling
     var bestOrder = -1
     var bestK = 0
     var bestBits = 16L * bs // verbatim cost
     var order = 0
     while (order <= math.min(4, bs - 1)) {
-      val res = residuals(s, order)
-      val folded = res.map(zigzag)
-      var k = 0
-      while (k <= 14) {
-        val bits = 16L * order + 2 + 4 + 4 + riceBits(folded, k)
-        if (bits < bestBits) { bestBits = bits; bestOrder = order; bestK = k }
-        k += 1
-      }
+      val folded = residuals(s, order).map(zigzag)
+      val (k, rb) = bestRice(folded)
+      val bits = 16L * order + 2 + 4 + 4 + rb
+      if (bits < bestBits) { bestBits = bits; bestOrder = order; bestK = k }
       order += 1
     }
-    if (bestOrder < 0) {
-      w.writeBits(0, 1); w.writeBits(1, 6); w.writeBits(0, 1) // VERBATIM
-      s.foreach(v => w.writeBits(v & 0xffff, 16))
-    } else {
-      w.writeBits(0, 1)
-      w.writeBits(8 | bestOrder, 6) // FIXED, 0b001xxx
-      w.writeBits(0, 1) // no wasted bits
-      var i = 0
-      while (i < bestOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+    // the LPC candidate: Levinson–Durbin coefficients, quantized, entered
+    // in the same exact-bit-cost contest (header size included)
+    val lpc =
+      if (lpcOrder < 1 || bs <= lpcOrder) None
+      else levinsonDurbin(s, lpcOrder).flatMap(quantizeLpc(_, LpcPrecision)).flatMap {
+        case (q, shift) =>
+          val folded = lpcResiduals(s, q, shift).map(zigzag)
+          val (k, rb) = bestRice(folded)
+          val bits = 16L * lpcOrder + 4 + 5 + lpcOrder.toLong * LpcPrecision + 2 + 4 + 4 + rb
+          if (bits < bestBits) Some((q, shift, k, bits)) else None
+      }
+    def writeResiduals(res: Array[Long], k: Int): Unit = {
       w.writeBits(0, 2) // residual method: 4-bit Rice
       w.writeBits(0, 4) // partition order 0
-      w.writeBits(bestK, 4)
-      residuals(s, bestOrder).foreach { r =>
+      w.writeBits(k, 4)
+      res.foreach { r =>
         val u = zigzag(r)
-        w.writeUnary(u >>> bestK)
-        if (bestK > 0) w.writeBits(u & ((1L << bestK) - 1), bestK)
+        w.writeUnary(u >>> k)
+        if (k > 0) w.writeBits(u & ((1L << k) - 1), k)
       }
+    }
+    lpc match {
+      case Some((q, shift, k, _)) =>
+        w.writeBits(0, 1)
+        w.writeBits(0x20 | (lpcOrder - 1), 6) // LPC, 0b1xxxxx
+        w.writeBits(0, 1) // no wasted bits
+        var i = 0
+        while (i < lpcOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+        w.writeBits(LpcPrecision - 1, 4)
+        w.writeBits(shift, 5) // non-negative by construction
+        q.foreach(c => w.writeBits(c & ((1L << LpcPrecision) - 1), LpcPrecision))
+        writeResiduals(lpcResiduals(s, q, shift), k)
+      case None if bestOrder < 0 =>
+        w.writeBits(0, 1); w.writeBits(1, 6); w.writeBits(0, 1) // VERBATIM
+        s.foreach(v => w.writeBits(v & 0xffff, 16))
+      case None =>
+        w.writeBits(0, 1)
+        w.writeBits(8 | bestOrder, 6) // FIXED, 0b001xxx
+        w.writeBits(0, 1) // no wasted bits
+        var i = 0
+        while (i < bestOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+        writeResiduals(residuals(s, bestOrder), bestK)
     }
   }
 
@@ -443,29 +588,7 @@ object FlacCodec extends Multimodal.MediaCodec {
       require(order <= 4, s"FLAC: bad fixed order $order")
       var i = 0
       while (i < order) { dst(i) = r.readSigned(16); i += 1 }
-      require(r.readBits(2) == 0, "subset: 4-bit Rice residual only")
-      val partOrder = r.readBits(4).toInt
-      val nParts = 1 << partOrder
-      require(bs % nParts == 0, "FLAC: partition size not integral")
-      var part = 0
-      var idx = order
-      while (part < nParts) {
-        val k = r.readBits(4).toInt
-        val count = (bs >> partOrder) - (if (part == 0) order else 0)
-        if (k == 15) { // escape: raw n-bit residuals
-          val raw = r.readBits(5).toInt
-          var j = 0
-          while (j < count) { dst(idx) = r.readSigned(raw); idx += 1; j += 1 }
-        } else {
-          var j = 0
-          while (j < count) {
-            val u = (r.readUnary() << k) | (if (k > 0) r.readBits(k) else 0L)
-            dst(idx) = unzigzag(u)
-            idx += 1; j += 1
-          }
-        }
-        part += 1
-      }
+      readResiduals(r, dst, bs, order)
       // undo the prediction
       i = order
       while (i < bs) {
@@ -478,7 +601,66 @@ object FlacCodec extends Multimodal.MediaCodec {
         }
         i += 1
       }
-    } else sys.error(s"subset: unsupported subframe type $ty (LPC out of scope)")
+    } else if ((ty & 0x20) == 0x20) { // LPC, order 1..32
+      val order = (ty & 0x1f) + 1
+      require(bs > order, s"FLAC: LPC order $order needs more than $order samples")
+      var i = 0
+      while (i < order) { dst(i) = r.readSigned(16); i += 1 }
+      val precRaw = r.readBits(4).toInt
+      require(precRaw != 15, "FLAC: invalid LPC coefficient precision 1111")
+      val precision = precRaw + 1
+      val shift = r.readSigned(5)
+      // the spec field is signed but a negative shift never occurs in
+      // practice (reference encoders clamp at 0) — fail loudly rather
+      // than guess left-shift semantics
+      require(shift >= 0, s"subset: negative LPC shift $shift unsupported")
+      val coef = new Array[Long](order)
+      i = 0
+      while (i < order) { coef(i) = r.readSigned(precision); i += 1 }
+      readResiduals(r, dst, bs, order)
+      // undo the prediction — exact integer arithmetic: coef(j) applies
+      // to the j-th most recent reconstructed sample, the accumulated
+      // product arithmetic-shifts right by `shift`
+      i = order
+      while (i < bs) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coef(j) * dst(i - 1 - j); j += 1 }
+        dst(i) += acc >> shift.toInt
+        i += 1
+      }
+    } else sys.error(s"subset: unsupported subframe type $ty")
+  }
+
+  /** Rice-partitioned residual block (shared by FIXED and LPC): 2-bit
+    * method (4-bit Rice only in subset), 4-bit partition order, per
+    * partition a 4-bit parameter with k=15 escaping to raw n-bit
+    * residuals.
+    */
+  private def readResiduals(r: BitReader, dst: Array[Long], bs: Int, order: Int): Unit = {
+    require(r.readBits(2) == 0, "subset: 4-bit Rice residual only")
+    val partOrder = r.readBits(4).toInt
+    val nParts = 1 << partOrder
+    require(bs % nParts == 0, "FLAC: partition size not integral")
+    var part = 0
+    var idx = order
+    while (part < nParts) {
+      val k = r.readBits(4).toInt
+      val count = (bs >> partOrder) - (if (part == 0) order else 0)
+      if (k == 15) { // escape: raw n-bit residuals
+        val raw = r.readBits(5).toInt
+        var j = 0
+        while (j < count) { dst(idx) = r.readSigned(raw); idx += 1; j += 1 }
+      } else {
+        var j = 0
+        while (j < count) {
+          val u = (r.readUnary() << k) | (if (k > 0) r.readBits(k) else 0L)
+          dst(idx) = unzigzag(u)
+          idx += 1; j += 1
+        }
+      }
+      part += 1
+    }
   }
 
   // ----------------------------------------------------- MediaCodec glue

@@ -161,8 +161,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_warc_digest"),
       new ExpressionInfo(classOf[WarcPayloadDigest].getName, "graft_warc_digest"),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_warc_digest(payload) takes one binary argument")
-        WarcPayloadDigest(children.head)
+        require(children.length == 1 || children.length == 2,
+          "graft_warc_digest(payload[, httpBody]) takes a binary column and an optional boolean literal")
+        val httpBody = children.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => sys.error(s"graft_warc_digest: httpBody must be a boolean literal, got $other")
+        }.getOrElse(false)
+        WarcPayloadDigest(children.head, httpBody)
       }
     ))
     ext.injectFunction((

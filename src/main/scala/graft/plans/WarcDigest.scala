@@ -12,6 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `revisit` records: a response whose payload digest matches a prior
   * crawl's is stored as a payload-free revisit instead of a duplicate
   * copy of the bytes.
+  *
+  * For `application/http` records the WARC spec's "payload" is the
+  * HTTP ENTITY BODY, not the whole record block — real corpora
+  * (Common Crawl, wget, warcio) digest the bytes AFTER the HTTP
+  * header block, as stored (chunked framing and content-encoding
+  * intact). [[WarcDigestUtil.httpPayloadDigest]] implements that;
+  * digesting the full block for an HTTP response would match nothing
+  * another tool produced.
   */
 object WarcDigestUtil {
   private val Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
@@ -41,12 +49,39 @@ object WarcDigestUtil {
     val md = java.security.MessageDigest.getInstance("SHA-1")
     UTF8String.fromString("sha1:" + base32(md.digest(payload)))
   }
+
+  /** Digest of the HTTP entity body: everything after the first
+    * CRLFCRLF (status line + headers end there), exactly as stored —
+    * NOT dechunked or content-decoded, matching what wget/warcio emit
+    * and Common Crawl archives carry. A block that carries no header/
+    * body separator is digested whole (the only consistent fallback
+    * for a malformed or non-HTTP payload a caller mislabeled).
+    */
+  def httpPayloadDigest(payload: Array[Byte]): UTF8String = {
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    if (split < 0) UTF8String.fromString("sha1:" + base32(md.digest(payload)))
+    else {
+      md.update(payload, split + 4, payload.length - split - 4)
+      UTF8String.fromString("sha1:" + base32(md.digest()))
+    }
+  }
 }
 
-/** `graft_warc_digest(payload)` — WARC-Payload-Digest of a binary
-  * column, inside whole-stage codegen.
+/** `graft_warc_digest(payload[, httpBody])` — WARC-Payload-Digest of a
+  * binary column, inside whole-stage codegen. With `httpBody = true`
+  * (a plan-time boolean literal) the digest covers only the HTTP
+  * entity body — the spelling that matches digests carried by real
+  * crawl archives for `application/http` response records.
   */
-case class WarcPayloadDigest(child: Expression) extends UnaryExpression {
+case class WarcPayloadDigest(child: Expression, httpBody: Boolean = false)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -55,9 +90,11 @@ case class WarcPayloadDigest(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_warc_digest"
   override def nullSafeEval(input: Any): Any =
-    WarcDigestUtil.digest(input.asInstanceOf[Array[Byte]])
+    if (httpBody) WarcDigestUtil.httpPayloadDigest(input.asInstanceOf[Array[Byte]])
+    else WarcDigestUtil.digest(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.WarcDigestUtil.digest($c)")
+    if (httpBody) defineCodeGen(ctx, ev, c => s"graft.plans.WarcDigestUtil.httpPayloadDigest($c)")
+    else defineCodeGen(ctx, ev, c => s"graft.plans.WarcDigestUtil.digest($c)")
   override protected def withNewChildInternal(newChild: Expression): WarcPayloadDigest =
     copy(child = newChild)
 }

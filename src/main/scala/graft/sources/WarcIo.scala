@@ -520,6 +520,17 @@ object WarcIo {
   def payloadDigest(payload: Array[Byte]): String =
     graft.plans.WarcDigestUtil.digest(payload).toString
 
+  /** Payload digest of an `application/http` record: per the WARC spec
+    * the payload is the HTTP ENTITY BODY, so the digest covers only
+    * the bytes after the header block — as stored, neither dechunked
+    * nor content-decoded, which is exactly what wget/warcio emit and
+    * Common Crawl archives carry. A record block with no header/body
+    * separator digests whole (the consistent fallback for a mislabeled
+    * payload). Columnar twin: `graft_warc_digest(payload, true)`.
+    */
+  def httpPayloadDigest(payload: Array[Byte]): String =
+    graft.plans.WarcDigestUtil.httpPayloadDigest(payload).toString
+
   /** Payload-free `revisit` record replacing a response whose payload
     * digest matches a prior crawl's copy — the WARC convention that
     * keeps re-crawls from storing every unchanged page again. The
@@ -551,50 +562,57 @@ object WarcIo {
     * layout minus file/rec_ix — in any order, plus optionally an
     * `extra` map column of additional WARC headers (the
     * [[markRevisits]] output shape: WARC-Payload-Digest,
-    * WARC-Profile). `dir` must be on a filesystem every executor can
-    * reach (shared mount or local mode).
+    * WARC-Profile). `dir` is any Hadoop-`FileSystem` location —
+    * HDFS, S3A, or a local path — resolved through the session's
+    * Hadoop configuration on the driver and each executor, the same
+    * way [[graft.operators.CrawlFrontier.compactIndex]] reaches its
+    * index: a crawl sink that could only commit to the driver's local
+    * disk would be undeployable on a real cluster.
     *
     * Attempt safety (the Hadoop output-committer discipline, scoped to
     * this sink): each task attempt writes to its OWN temp name
-    * (`part-NNNNN-attemptK.tmp`) and atomically renames into the final
+    * (`part-NNNNN-attemptK.tmp`) and renames into the final
     * `part-NNNNN.warc.gz` — so a speculative attempt or a zombie task
     * racing its retry can never interleave bytes into a live archive;
-    * whichever attempt renames last leaves one complete file. Stale
-    * part files from a previous call with more partitions are moved
-    * ASIDE (renamed `*.stale`) on the driver before the job — this
-    * sink owns the `part-*.warc.gz` namespace under `dir` — and
-    * deleted only AFTER the job commits, so a failed job leaves the
-    * previous archive recoverable (strip the `.stale` suffix) instead
-    * of destroyed, and `.stale` files never match a `*.warc.gz`
-    * reader glob meanwhile. Returns the committed archive paths,
-    * sorted — reported by the winning tasks themselves, never
+    * whichever attempt renames last leaves one complete file (on a
+    * filesystem with atomic rename — HDFS, POSIX. S3A renames are
+    * copy+delete, so there run without speculation or front a real
+    * committer). Stale part files from a previous call with more
+    * partitions are moved ASIDE (renamed `*.stale`) on the driver
+    * before the job — this sink owns the `part-*.warc.gz` namespace
+    * under `dir` — and deleted only AFTER the job commits, so a failed
+    * job leaves the previous archive recoverable (strip the `.stale`
+    * suffix) instead of destroyed, and `.stale` files never match a
+    * `*.warc.gz` reader glob meanwhile. Returns the committed archive
+    * paths, sorted — reported by the winning tasks themselves, never
     * reconstructed by listing the directory.
     */
   def writeWarc(rows: DataFrame, dir: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(p)
-    val parked = locally { // park stale parts; drop only orphaned temps
-      val ls = java.nio.file.Files.list(p)
-      try {
-        val aside = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        val it = ls.iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          val n = f.getFileName.toString
-          if (n.startsWith("part-")) {
-            if (n.endsWith(".tmp")) { java.nio.file.Files.deleteIfExists(f); () }
-            else if (n.endsWith(".warc.gz")) {
-              val s = f.resolveSibling(n + ".stale")
-              java.nio.file.Files.move(f, s,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              aside += s
-            }
+    val spark = rows.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    // local-FS runs must not scatter .crc sidecars through an archive
+    // dir readers glob; HDFS/S3A ignore the flag (no client sidecars)
+    fs.setWriteChecksum(false)
+    fs.mkdirs(dirPath)
+    val parked = { // park stale parts; drop only orphaned temps
+      val aside = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("part-")) {
+          if (n.endsWith(".tmp")) { fs.delete(st.getPath, false); () }
+          else if (n.endsWith(".warc.gz")) {
+            val s = new org.apache.hadoop.fs.Path(dirPath, n + ".stale")
+            fs.delete(s, false)
+            require(fs.rename(st.getPath, s),
+              s"writeWarc: could not park stale part ${st.getPath}")
+            aside += s
           }
         }
-        aside.toSeq
-      } finally ls.close()
+      }
+      aside.toSeq
     }
-    val spark = rows.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, typedLit}
     val withExtra =
@@ -603,6 +621,12 @@ object WarcIo {
     val cols = withExtra.select(col("rec_type"), col("target_uri"), col("warc_date"),
       col("record_id"), col("content_type"), col("payload"), col("extra"))
       .as[(String, String, String, String, String, Array[Byte], Map[String, String])]
+    // executors resolve the SAME filesystem from the session's Hadoop
+    // conf (kerberos, s3a credentials, …) — broadcast once, not per
+    // row; Configuration itself is a Writable, not Serializable, so it
+    // rides the public SerializableWritable wrapper
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(hconf))
     val committed = cols.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -611,11 +635,12 @@ object WarcIo {
         val recs = it.map { case (t, uri, date, rid, ct, payload, extra) =>
           WarcRecord(t, uri, date, rid, ct, extra, payload)
         }
-        Iterator.single(commitPartitionFile(dir, pid, tc.taskAttemptId(), recs))
+        Iterator.single(
+          commitPartitionFile(dir, pid, tc.taskAttemptId(), recs, bcConf.value.value))
       }
     }.collect().toSeq.distinct.sorted
     // job committed → the parked previous archive can go
-    parked.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    parked.foreach(f => fs.delete(f, false))
     committed
   }
 
@@ -626,6 +651,14 @@ object WarcIo {
     * else passes through. Every output row carries its digest in the
     * `extra` header map, so [[writeWarc]] emits WARC-Payload-Digest on
     * responses and revisits alike (revisits add WARC-Profile).
+    *
+    * Digest semantics (WARC spec): for `response` records the payload
+    * is the HTTP ENTITY BODY, so the digest covers only the bytes
+    * after the header block ([[httpPayloadDigest]]) — the spelling
+    * real archives (Common Crawl, wget, warcio) carry, so marking
+    * works against a prior crawl SOMEONE ELSE wrote, not just this
+    * repo's own output. Non-HTTP record types digest their whole
+    * block (documented fallback; they never convert anyway).
     *
     * Scale shape: the digest is the codegen'd `graft_warc_digest`
     * expression, and the membership check is ONE shuffle-hash left
@@ -651,7 +684,10 @@ object WarcIo {
       map_filter(raw, (k, _) =>
         k =!= "WARC-Payload-Digest" && k =!= "WARC-Profile")
     }
-    rows.withColumn("__d", call_function("graft_warc_digest", col("payload")))
+    rows.withColumn("__d",
+      when(col("rec_type") === "response",
+        call_function("graft_warc_digest", col("payload"), lit(true)))
+        .otherwise(call_function("graft_warc_digest", col("payload"))))
       .join(prior.hint("shuffle_hash"), Seq("__d"), "left")
       .withColumn("__rev",
         coalesce(col("__seen"), lit(false)) && col("rec_type") === "response")
@@ -669,7 +705,11 @@ object WarcIo {
   /** The digest set of a crawl — feed yesterday's archives in, get the
     * `digest` column [[markRevisits]] consumes. Revisit records
     * contribute the digest they already carry (their payload is
-    * empty); responses digest their payload.
+    * empty); responses digest their HTTP entity body — the same
+    * body-only spelling carried digests use in real corpora, so
+    * carried and computed digests COMPARE like for like (a block
+    * digest coalesced against body-only carried digests would match
+    * nothing); other record types digest their whole block.
     */
   def payloadDigests(warcRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -678,36 +718,45 @@ object WarcIo {
       else lit(null).cast("string")
     warcRows.select(
       coalesce(carried,
-        call_function("graft_warc_digest", col("payload"))).as("digest"))
+        when(col("rec_type") === "response",
+          call_function("graft_warc_digest", col("payload"), lit(true)))
+          .otherwise(call_function("graft_warc_digest", col("payload")))).as("digest"))
       .distinct()
   }
 
   /** One task attempt's write+commit: stream `recs` into
-    * `part-$pid-attempt$tag.tmp`, then atomically rename over the final
-    * `part-$pid.warc.gz` (REPLACE_EXISTING — last complete attempt
-    * wins). Returns the committed path. Factored out of [[writeWarc]]
+    * `part-$pid-attempt$tag.tmp`, then rename over the final
+    * `part-$pid.warc.gz` (last complete attempt wins). Runs entirely
+    * through the Hadoop `FileSystem` API so the sink commits to
+    * HDFS/S3A exactly like local disk. Hadoop's `rename` refuses an
+    * existing destination on most filesystems, so the replace case
+    * (only reachable when a racing attempt already committed this
+    * partition — both attempts hold complete, equivalent files)
+    * deletes-then-renames; the window between the two is the
+    * documented non-atomicity of that rare race, not of the normal
+    * commit. Returns the committed path. Factored out of [[writeWarc]]
     * so the two-attempts-one-partition race is testable without a
     * Spark speculation harness.
     */
   private[graft] def commitPartitionFile(dir: String, pid: Int, attemptTag: Long,
-      recs: Iterator[WarcRecord]): String = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val tmp = java.nio.file.Paths.get(dir, f"part-$pid%05d-attempt$attemptTag.tmp")
-    val fin = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz")
-    val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(tmp), 1 << 20)
+      recs: Iterator[WarcRecord],
+      hconf: org.apache.hadoop.conf.Configuration): String = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    fs.setWriteChecksum(false) // see writeWarc
+    fs.mkdirs(dirPath)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d-attempt$attemptTag.tmp")
+    val fin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.warc.gz")
+    val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
     try recs.foreach(r => out.write(gzipMember(writeRecord(r))))
     finally out.close()
-    try java.nio.file.Files.move(tmp, fin,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      // non-POSIX fallback: plain replace (still rename-based on
-      // every real filesystem Spark writes to)
-      java.nio.file.Files.move(tmp, fin,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!fs.rename(tmp, fin)) {
+      // a completed racing attempt holds the final name — replace it
+      fs.delete(fin, false)
+      require(fs.rename(tmp, fin),
+        s"writeWarc: could not commit $tmp over $fin")
     }
-    fin.toAbsolutePath.toString
+    fs.makeQualified(fin).toString
   }
 
   /** Wrap a raw archive stream in its decompressor (gzip sniffed from

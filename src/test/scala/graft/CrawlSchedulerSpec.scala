@@ -37,6 +37,54 @@ class CrawlSchedulerSpec extends SparkSpec {
     assert(movedWrong == 0, "an HRW reassignment can only target the added fetcher")
   }
 
+  test("the HRW fold scores once per DISTINCT domain and joins back; null domains stay null") {
+    import spark.implicits._
+    val urls = ((0 until 300).map(i => (s"d${i % 10}.com", s"http://d${i % 10}.com/$i")) :+
+      ((null: String, "http://orphan/"))).toDF("domain", "url")
+    val assigned = CrawlScheduler.assignFetchers(urls, "domain", 6)
+    // a null domain has no queue: fetcher must be null, not a phantom id
+    val orphan = assigned.filter(col("url") === "http://orphan/").select("fetcher").collect()
+    assert(orphan.length == 1 && orphan.head.isNullAt(0))
+    // plan shape: the O(nFetchers) scoring fold lives on the DISTINCT
+    // side of a join — never re-evaluated per frontier row
+    val lp = assigned.queryExecution.optimizedPlan
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, s"expected a distinct-domain join:\n$lp")
+    val scored = joins.head.right
+    assert(scored.toString.contains("graft_md5_60"),
+      s"the fold must sit on the joined (distinct) side:\n$lp")
+    assert(scored.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isDefined,
+      s"the fold's input must be the domain-distinct aggregate:\n$lp")
+    assert(!joins.head.left.toString.contains("graft_md5_60"),
+      s"no per-row fold on the frontier side:\n$lp")
+    // and the values are exactly the per-row formulation's
+    val perDomain = assigned.where(col("domain").isNotNull)
+      .groupBy("domain").agg(countDistinct(col("fetcher")).as("nf")).collect()
+    assert(perDomain.forall(_.getLong(1) == 1L))
+  }
+
+  test("capPerDomain: NaN priorities rank FIRST, exactly like the window's DESC ordering") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a.org", "http://a.org/nan1", Some(Double.NaN)),
+      ("a.org", "http://a.org/nan2", Some(Double.NaN)),
+      ("a.org", "http://a.org/hi", Some(99.0)),
+      ("a.org", "http://a.org/lo", Some(1.0)),
+      ("a.org", "http://a.org/null", None: Option[Double]))
+      .toDF("domain", "url", "priority")
+    val capped = CrawlScheduler.capPerDomain(rows, "domain", "url", col("priority"), 3)
+      .select("url").as[String].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain")).orderBy(col("priority").desc, col("url"))
+    val want = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("url").as[String].collect().toSet
+    assert(want == Set("http://a.org/nan1", "http://a.org/nan2", "http://a.org/hi"),
+      s"window twin drifted: $want") // Spark orders NaN above +Inf
+    assert(capped == want, s"cap $capped != window $want")
+  }
+
   test("capPerDomain keeps each domain's top-k by priority, identical to the window formulation") {
     import spark.implicits._
     // 100:1 skew: one mega-domain with 1000 urls, 20 small domains with ~10

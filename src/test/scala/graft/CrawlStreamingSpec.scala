@@ -106,6 +106,99 @@ class CrawlStreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 4L))
   }
 
+  test("FULL streaming crawl loop: ingest → cap → schedule → WARC sink, crash-replayed exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.scratch("crawl-loop-stream")
+    val ckpt = s"$dir/ckpt"
+    graft.operators.CrawlFrontier.buildIndex(
+      (0 until 20).map(i => (s"http://seen.com/p/$i", 100L)).toDF("url", "day"),
+      "url", col("day"), s"$dir/idx", nShards = 4, expectedItems = 10000L)
+
+    // (epoch, url, slot_ms) as delivered to the schedule — the
+    // exactly-once surface under test
+    val scheduled = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    @volatile var crashOnce = true
+    val loopBody = graft.operators.CrawlFrontier.ingest(s"$dir/idx", "url", lit(200L)) {
+      (accepted, epoch) =>
+        // planted crash BETWEEN appendBatch and delivery: the index now
+        // contains the batch, the consumer never saw it — the shape
+        // that silently loses data unless staging re-delivers
+        if (epoch == 1L && crashOnce) {
+          crashOnce = false
+          sys.error("planted crash between appendBatch and accept")
+        }
+        val batch = accepted
+          .withColumn("host", call_function("graft_url_host", col("url")))
+          .withColumn("domain", call_function("graft_url_domain", col("host")))
+          .withColumn("priority", regexp_extract(col("url"), "([0-9]+)$", 1).cast("double"))
+        val sched = graft.operators.CrawlScheduler.schedule(
+          graft.operators.CrawlScheduler.capPerDomain(batch, "domain", "url",
+            col("priority"), 2),
+          "domain", "url", 4, lit(1000L))
+        val rows = sched.select("url", "slot_ms").as[(String, Long)].collect()
+        scheduled.synchronized { scheduled ++= rows.map(r => (epoch, r._1, r._2)) }
+        // the epoch's fetch-request manifest lands as a REAL archive
+        val recs = rows.toSeq.map { case (u, _) =>
+          ("metadata", u, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("req:" + u),
+            "application/warc-fields", s"scheduled: $u".getBytes(UTF_8))
+        }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+        WarcIo.writeWarc(recs, s"$dir/warc/epoch-$epoch")
+        ()
+    }
+    val input = MemoryStream[String]
+    def startQuery() = input.toDS().toDF("url").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(loopBody).start()
+
+    var q = startQuery()
+    try {
+      // epoch 0: one seen url (index-dropped) + three new across two domains
+      input.addData("http://seen.com/p/1", "http://a.org/u/5", "http://a.org/u/7",
+        "http://b.org/u/3")
+      q.processAllAvailable()
+      // epoch 1: a re-discovery of epoch 0's url + a 3-url hot domain
+      // (cap k=2 must drop the lowest-priority one from the SCHEDULE
+      // while the index still records all three as crawled-frontier)
+      input.addData("http://a.org/u/5", "http://c.net/u/9", "http://c.net/u/11",
+        "http://c.net/u/2")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // restart from the checkpoint: epoch 1 REPLAYS, its committed
+    // staging re-delivers the same accepted set, the schedule sees it
+    // exactly once
+    q = startQuery()
+    try {
+      q.processAllAvailable()
+      // epoch 2: re-discoveries of epoch 1's urls die on the index
+      input.addData("http://c.net/u/9", "http://d.io/u/1")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byEpoch = scheduled.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byEpoch(0L) == Set(("http://a.org/u/5", 0L), ("http://a.org/u/7", 1000L),
+      ("http://b.org/u/3", 0L)), s"epoch 0: ${byEpoch.get(0L)}")
+    // exactly-once: the crashed epoch delivered ONCE, top-2 by priority
+    // ("u/11" sorts before "u/9" lexically → slot 0)
+    assert(byEpoch(1L) == Set(("http://c.net/u/11", 0L), ("http://c.net/u/9", 1000L)),
+      s"epoch 1: ${byEpoch.get(1L)}")
+    assert(byEpoch(2L) == Set(("http://d.io/u/1", 0L)), s"epoch 2: ${byEpoch.get(2L)}")
+    assert(scheduled.size == 6, s"duplicate or lost deliveries: $scheduled")
+    // the WARC sink holds each epoch's manifest exactly once
+    val e1 = WarcIo.readWarc(spark, s"$dir/warc/epoch-1/*.warc.gz").collect()
+    assert(e1.map(_.getAs[String]("target_uri")).toSet ==
+      Set("http://c.net/u/11", "http://c.net/u/9"))
+    // the index holds history + every ACCEPTED url exactly once logically
+    // (the replayed appendBatch may add duplicate rows; membership dedups)
+    val indexed = spark.read.parquet(s"$dir/idx/urls")
+      .select("url").distinct().as[String].collect().toSet
+    assert(indexed.size == 20 + 3 + 3 + 1, s"index size ${indexed.size}")
+    assert(indexed.contains("http://c.net/u/2"), "capped-from-schedule urls still index")
+  }
+
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -9,11 +9,79 @@ import graft.operators.multimodal.{FlacCodec, Multimodal}
   */
 class FlacCodecSpec extends AnyFunSuite {
 
-  private def roundTrip(rate: Int, ch: Int, s: Array[Short], bs: Int = 4096): Unit = {
-    val enc = FlacCodec.encode(rate, ch, s, bs)
+  private def roundTrip(rate: Int, ch: Int, s: Array[Short], bs: Int = 4096,
+      lpcOrder: Int = 0): Unit = {
+    val enc = FlacCodec.encode(rate, ch, s, bs, lpcOrder)
     val (r2, c2, s2) = FlacCodec.decode(enc)
     assert(r2 == rate && c2 == ch)
-    assert(java.util.Arrays.equals(s, s2), s"round trip lost samples (n=${s.length}, bs=$bs)")
+    assert(java.util.Arrays.equals(s, s2),
+      s"round trip lost samples (n=${s.length}, bs=$bs, lpcOrder=$lpcOrder)")
+  }
+
+  // sampled sinusoid: a 16-point integer sine table — exactly the shape
+  // LPC models (two poles on the unit circle) and polynomial FIXED
+  // predictors cannot (their residual keeps the sine's amplitude scale)
+  private val Sine16 = Array(0, 383, 707, 924, 1000, 924, 707, 383,
+    0, -383, -707, -924, -1000, -924, -707, -383)
+  private def tonal(n: Int, freq: Int = 1, amp: Int = 1): Array[Short] =
+    Array.tabulate(n)(t => (Sine16((t * freq) % 16) * amp).toShort)
+
+  test("LPC subframes round-trip bit-exactly and WIN the cost contest on tonal audio") {
+    // round trips at several orders, block sizes, frequencies, amplitudes
+    roundTrip(8000, 1, tonal(2000), lpcOrder = 2)
+    roundTrip(8000, 1, tonal(2000, freq = 3, amp = 4), lpcOrder = 8)
+    roundTrip(8000, 1, tonal(1537, freq = 5, amp = 2), bs = 192, lpcOrder = 12)
+    roundTrip(8000, 1, tonal(700).zipWithIndex.map { case (v, i) => // tonal + drift
+      (v + i / 10).toShort }, bs = 256, lpcOrder = 8)
+    // stereo: per-channel independent LPC subframes
+    roundTrip(8000, 2, Array.tabulate(2400)(i =>
+      (Sine16((i / 2 * (1 + i % 2 * 2)) % 16) * (1 + i % 2)).toShort), lpcOrder = 4)
+    // a two-pole sinusoid is near-perfectly linearly predictable: the
+    // LPC stream must be MUCH smaller than the best FIXED encoding
+    // (residual ~quantization noise vs ~7.6% of amplitude) — this
+    // proves the cost contest actually selected LPC subframes
+    val s = tonal(4000, freq = 1, amp = 4)
+    val fixedOnly = FlacCodec.encode(8000, 1, s, 4096, lpcOrder = 0)
+    val withLpc = FlacCodec.encode(8000, 1, s, 4096, lpcOrder = 2)
+    assert(withLpc.length < fixedOnly.length * 3 / 4,
+      s"LPC did not win on a sinusoid: ${withLpc.length} vs ${fixedOnly.length}")
+    assert(java.util.Arrays.equals(FlacCodec.decode(withLpc)._3, s))
+    // lpcOrder = 0 stays byte-identical to the historical encoder
+    assert(java.util.Arrays.equals(FlacCodec.encode(8000, 1, s, 4096),
+      FlacCodec.encode(8000, 1, s, 4096, lpcOrder = 0)))
+  }
+
+  test("LPC on noise never loses: the contest falls back when LPC doesn't pay") {
+    var x = 99L
+    val noise = Array.fill(1200) {
+      x = (x * 1103515245L + 12345L) & 0x7fffffffL; ((x % 50000) - 25000).toShort
+    }
+    // correctness is unconditional on the chosen subframe type
+    roundTrip(48000, 1, noise, lpcOrder = 8)
+    // and enabling LPC can only ever shrink-or-match the stream
+    assert(FlacCodec.encode(48000, 1, noise, 4096, lpcOrder = 8).length <=
+      FlacCodec.encode(48000, 1, noise, 4096).length)
+  }
+
+  test("malformed LPC streams fail loudly: negative shift, precision 1111, truncation") {
+    val good = FlacCodec.encode(8000, 1, tonal(300), 4096, lpcOrder = 2)
+    assert(java.util.Arrays.equals(FlacCodec.decode(good)._3, tonal(300)))
+    // stream layout (pinned): fLaC+STREAMINFO = 42 bytes, frame header
+    // 4 + utf8 frameno 1 + 16-bit blocksize 2 + crc8 1 = 8, so the
+    // subframe header byte sits at 50 (0b0_100001_0: LPC order 2) and
+    // the precision/shift byte at 55 (1101 = precision−1, 01100 =
+    // shift 12 → 0xD6 with the shift's sign bit at mask 0x08)
+    assert(good(50) == 0x42.toByte, f"layout drift: subframe byte ${good(50)}%02x")
+    assert(good(55) == 0xD6.toByte, f"layout drift: precision/shift byte ${good(55)}%02x")
+    val negShift = good.clone(); negShift(55) = (negShift(55) | 0x08).toByte
+    val e1 = intercept[IllegalArgumentException] { FlacCodec.decode(negShift) }
+    assert(e1.getMessage.contains("negative LPC shift"), e1.getMessage)
+    val badPrec = good.clone(); badPrec(55) = (badPrec(55) | 0xF0).toByte
+    val e2 = intercept[IllegalArgumentException] { FlacCodec.decode(badPrec) }
+    assert(e2.getMessage.contains("precision"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      FlacCodec.decode(good.take(60)) // truncated inside the LPC frame
+    }
   }
 
   test("round trips: constant, ramp, curved, pseudo-noise, negatives, stereo") {

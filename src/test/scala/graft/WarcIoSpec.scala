@@ -135,7 +135,11 @@ class WarcIoSpec extends SparkSpec {
       .repartition(4)
     val committed = WarcIo.writeWarc(rows, dir)
     assert(committed.length == 4)
-    assert(committed.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // paths come back FileSystem-qualified (the sink speaks Hadoop FS
+    // so it can commit to HDFS/S3A; local runs qualify as file:)
+    assert(committed.forall(_.startsWith("file:")))
+    assert(committed.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p.stripPrefix("file:")))))
     assert(committed.forall(_.endsWith(".warc.gz")))
     val back = WarcIo.readWarc(spark, dir + "/*.warc.gz").collect()
     assert(back.length == 40)
@@ -156,8 +160,9 @@ class WarcIoSpec extends SparkSpec {
     // zombie attempt 7 and its retry 8 race the same partition; the
     // retry commits last — exactly one final file, fully readable,
     // holding ONE attempt's records (never interleaved bytes)
-    val p1 = WarcIo.commitPartitionFile(dir, 3, 7L, recsOf("first"))
-    val p2 = WarcIo.commitPartitionFile(dir, 3, 8L, recsOf("second"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val p1 = WarcIo.commitPartitionFile(dir, 3, 7L, recsOf("first"), hconf)
+    val p2 = WarcIo.commitPartitionFile(dir, 3, 8L, recsOf("second"), hconf)
     assert(p1 == p2)
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     val names = try {
@@ -165,7 +170,8 @@ class WarcIoSpec extends SparkSpec {
       files.iterator().asScala.map(_.getFileName.toString).toList
     } finally files.close()
     assert(names == List("part-00003.warc.gz"), s"left on disk: $names") // no .tmp orphans
-    val back = WarcIo.readAll(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1)))
+    val back = WarcIo.readAll(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p1.stripPrefix("file:"))))
     assert(back.length == 5)
     assert(back.forall(r => new String(r.payload, UTF_8).startsWith("attempt second")))
   }
@@ -178,6 +184,36 @@ class WarcIoSpec extends SparkSpec {
       "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
     assert(WarcIo.payloadDigest("Hello WARC revisit".getBytes(UTF_8)) ==
       "sha1:5Y3KQBBXLN7TJ567JFVDG6OTWQ7OEAOB")
+  }
+
+  test("response digests cover the HTTP entity body only — interoperable with carried digests") {
+    import spark.implicits._
+    val body = "<html><body>stable page</body></html>".getBytes(UTF_8)
+    val msg = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html", "Server" -> "variant-A"), body)
+    // the spec's payload for application/http is the ENTITY BODY: the
+    // digest must equal sha1 of the body bytes alone, regardless of
+    // status line / header differences between captures
+    assert(WarcIo.httpPayloadDigest(msg) == WarcIo.payloadDigest(body))
+    val msgB = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html", "Server" -> "variant-B", "X-Extra" -> "hdr"), body)
+    assert(WarcIo.httpPayloadDigest(msgB) == WarcIo.httpPayloadDigest(msg),
+      "header drift must not change the payload digest")
+    // no header/body separator → whole-block fallback
+    assert(WarcIo.httpPayloadDigest(body) == WarcIo.payloadDigest(body))
+
+    // a PRIOR crawl that carries body-only digests (the Common Crawl
+    // shape) matches today's re-fetch even when response headers moved
+    val prior = Seq(WarcIo.payloadDigest(body)).toDF("digest")
+    val today = Seq(("response", "http://iv.org/p", msgB)).toDF("rec_type", "target_uri", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("record_id", lit("<urn:uuid:iv-1>"))
+      .withColumn("content_type", lit("application/http; msgtype=response"))
+    val out = WarcIo.markRevisits(today, prior).collect().head
+    assert(out.getAs[String]("rec_type") == "revisit",
+      "a body-identical re-fetch must revisit against a real corpus's carried digest")
+    assert(out.getAs[Map[String, String]]("extra")("WARC-Payload-Digest") ==
+      WarcIo.payloadDigest(body))
   }
 
   test("markRevisits: prior-digest matches become payload-free revisit records, round-tripped") {
