@@ -554,7 +554,7 @@ object ScaleProbe {
           operators.CrawlFrontier.probeNew(spark, frontierDir, batch, "url")
         }
       }
-      time("frontier_probe_xl", k) {
+      locally {
         // the Bloom tier pinned at web-crawl capacity: expectedItems =
         // k×10M (100M at the default k=10). The r13 design would merge
         // ~92 MB of sketch bytes onto the DRIVER per probe and embed
@@ -562,32 +562,39 @@ object ScaleProbe {
         // ~2.3 B items (a single JVM byte array caps at 2 GB). The
         // per-shard tier keeps every sketch at expectedItems/nShards
         // (~360 KB here), merges them distributed, and the driver
-        // never holds sketch bytes at any crawl size; heap delta
-        // across the probe is printed by the driver-memory line below.
-        val dir = TempDirs.scratch("probe_frontier_xl_")
-        val crawled = spark.range(1000000L).select(
-          concat(lit("http://x"), pmod(col("id"), lit(9973)),
-            lit(".com/p/"), col("id")).as("url"),
-          lit(100L).as("day"))
-        operators.CrawlFrontier.buildIndex(crawled, "url", col("day"), dir,
-          nShards = 256, expectedItems = 10000000L * k)
-        val rt = Runtime.getRuntime
-        System.gc()
-        val before = rt.totalMemory() - rt.freeMemory()
-        val batch = spark.range(200000L).select(
-          when(pmod(col("id"), lit(2)) === 0,
+        // never holds sketch bytes at any crawl size. Setup (index
+        // build) and the GC/heap bookkeeping sit OUTSIDE the timed
+        // block — the op times the PROBE, like its siblings.
+        var xlDir: String = null
+        def buildXl(): Unit = {
+          xlDir = TempDirs.scratch("probe_frontier_xl_")
+          val crawled = spark.range(1000000L).select(
             concat(lit("http://x"), pmod(col("id"), lit(9973)),
-              lit(".com/p/"), col("id")))
-            .otherwise(concat(lit("http://fresh"), col("id"), lit(".org/")))
-            .as("url"))
-        val out = operators.CrawlFrontier.probeNew(spark, dir, batch, "url")
-        out.write.format("noop").mode("overwrite").save()
-        System.gc()
-        val after = rt.totalMemory() - rt.freeMemory()
-        println(f"""{"op":"frontier_probe_xl_driver_heap","k":$k,""" +
-          f""""delta_mb":${(after - before) / 1048576.0}%.1f,""" +
-          f""""expected_items":${10000000L * k}}""")
-        spark.range(1).toDF("done")
+              lit(".com/p/"), col("id")).as("url"),
+            lit(100L).as("day"))
+          operators.CrawlFrontier.buildIndex(crawled, "url", col("day"), xlDir,
+            nShards = 256, expectedItems = 10000000L * k)
+        }
+        if (only.forall(_.contains("frontier_probe_xl"))) buildXl()
+        val rt = Runtime.getRuntime
+        if (xlDir != null) System.gc()
+        val before = if (xlDir == null) 0L else rt.totalMemory() - rt.freeMemory()
+        time("frontier_probe_xl", k) {
+          val batch = spark.range(200000L).select(
+            when(pmod(col("id"), lit(2)) === 0,
+              concat(lit("http://x"), pmod(col("id"), lit(9973)),
+                lit(".com/p/"), col("id")))
+              .otherwise(concat(lit("http://fresh"), col("id"), lit(".org/")))
+              .as("url"))
+          operators.CrawlFrontier.probeNew(spark, xlDir, batch, "url")
+        }
+        if (xlDir != null) {
+          System.gc()
+          val after = rt.totalMemory() - rt.freeMemory()
+          println(f"""{"op":"frontier_probe_xl_driver_heap","k":$k,""" +
+            f""""delta_mb":${(after - before) / 1048576.0}%.1f,""" +
+            f""""expected_items":${10000000L * k}}""")
+        }
       }
       time("crawl_pagerank", k) {
         // host-graph centrality at k×100k edges over k×10k hosts

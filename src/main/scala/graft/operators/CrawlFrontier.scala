@@ -54,14 +54,17 @@ import org.apache.spark.sql.functions._
   *
   * Concurrency contract: ONE writer at a time, enforced — every
   * mutating entry point takes an exclusive `<dir>/_writer.lock` lease
-  * (atomic create-if-absent on HDFS and local filesystems; S3 has no
-  * atomic create, so run a single writer by construction there) and a
-  * second concurrent writer fails fast instead of silently corrupting
-  * the urls/bloom invariants. Probes may run concurrently with
-  * everything EXCEPT the tail of an [[appendBatch]]: between the urls
-  * write and the sketch write a probe can miss the in-flight batch and
-  * re-accept its URLs (a duplicate fetch, not corruption — membership
-  * never regresses because sketches only gain members). The streaming
+  * (atomic create-if-absent: HDFS natively, `file://` via NIO's
+  * O_EXCL; S3 has no atomic create, so run a single writer by
+  * construction there) and a second concurrent writer fails fast
+  * instead of silently corrupting the urls/bloom invariants. Probes
+  * may run concurrently with builds and [[compactIndex]] (staged
+  * swaps) but NOT with an in-flight [[appendBatch]]: between the urls
+  * write and the sketch write a probe can miss the in-flight batch
+  * and re-accept its URLs (a duplicate fetch, not corruption —
+  * membership never regresses because sketches only gain members),
+  * and the bounded sketch-table compaction at the append's tail swaps
+  * directories a racing read could find mid-rename. The streaming
   * [[ingest]] loop serializes micro-batches, so it satisfies both
   * clauses by construction.
   *
@@ -89,18 +92,23 @@ object CrawlFrontier {
       dir: String, nShards: Int = 64, expectedItems: Long = 4000000L): Unit = {
     require(nShards > 0, "nShards must be positive")
     val spark = crawled.sparkSession
-    // BloomFilterAggregate silently CLAMPS its item estimate to this
-    // conf (default 4M) — a clamped sketch degrades the advertised fpp
-    // without any signal, so an over-capacity shard must fail loudly at
-    // build time. Sharding is also the fix: 10¹⁰ expected URLs at 4096
-    // shards is ~2.4M per shard, comfortably inside the engine cap.
-    val cap = spark.conf
+    // BloomFilterAggregate silently CLAMPS its item estimate to the
+    // maxNumItems conf (default 4M) AND its bit budget (items·8) to
+    // the maxNumBits conf (default 64Mi bits ≈ 8.4M items) — either
+    // clamp degrades the advertised fpp without any signal, so an
+    // over-capacity shard must fail loudly at build time. Raising
+    // nShards is the fix (NOT raising maxNumItems, which would just
+    // run into the bit clamp): 10¹⁰ expected URLs at 4096 shards is
+    // ~2.4M per shard, comfortably inside both engine caps.
+    val itemCap = spark.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val bitCap = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    val cap = math.min(itemCap, bitCap / 8)
     require(perShardItems(expectedItems, nShards) <= cap,
       s"per-shard sketch capacity ${perShardItems(expectedItems, nShards)} exceeds " +
-        s"the engine's bloom item cap $cap — raise nShards (preferred: " +
-        s"${math.ceil(expectedItems.toDouble / cap).toInt} shards minimum) or the " +
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems conf")
+        s"the engine's bloom caps (maxNumItems=$itemCap, maxNumBits/8=${bitCap / 8}) — " +
+        s"raise nShards to at least ${math.ceil(expectedItems.toDouble / cap).toInt}")
     withWriterLock(spark, dir) {
       // one row per url: a url re-crawled in history keeps its LATEST clock
       val urls = crawled
@@ -155,10 +163,14 @@ object CrawlFrontier {
     * (`graft_bloom_merge` over `collect_list` — same m/k since
     * `expectedItems` is pinned, so `mergeInPlace` is exact; the driver
     * never touches sketch bytes). The rewrite goes through a staging
-    * dir and directory renames like [[compactIndex]], so a concurrent
-    * probe sees the OLD complete sketch table or the NEW one — never
-    * an empty dir mid-overwrite (which would read as "index empty" and
-    * re-accept every seen URL).
+    * dir and directory renames like [[compactIndex]] — far narrower
+    * than a delete-then-write overwrite, but directory renames cannot
+    * replace atomically, so a probe racing the swap instant could
+    * still observe a missing dir (crash, or — under
+    * `ignoreMissingFiles` — an empty sketch read that re-accepts seen
+    * URLs). That race sits inside [[appendBatch]], whose contract
+    * (class doc) already excludes concurrent probes; the staging swap
+    * is defense in depth, not a concurrency license.
     */
   private def compactBloom(spark: SparkSession, dir: String, nShards: Int): Unit = {
     if (spark.read.parquet(s"$dir/bloom").count() > 2L * nShards) {
@@ -467,37 +479,59 @@ object CrawlFrontier {
   /** Exclusive writer lease: atomically create `<dir>/_writer.lock`,
     * run `body`, delete the lease. A second concurrent writer gets a
     * loud failure instead of silently interleaving writes into the
-    * urls/bloom dirs (which would corrupt membership). Create-if-absent
-    * is atomic on HDFS and local filesystems; object stores without
+    * urls/bloom dirs (which would corrupt membership). On `file://`
+    * the exclusive create goes through NIO (O_CREAT|O_EXCL) — Hadoop's
+    * local filesystem implements create-no-overwrite as a NON-atomic
+    * exists-then-open, which would let two racing writers both
+    * acquire; HDFS creates are natively atomic; object stores without
     * atomic create (S3) need the single writer guaranteed by the
-    * deployment instead. A writer that died without cleanup leaves the
-    * lease behind — the error message carries the lease timestamp and
-    * the recovery step (delete the file) so misuse fails fast and
-    * diagnosable, never corrupting.
+    * deployment instead. A transient failure while STAMPING the lease
+    * deletes it again (a wedged no-owner lock helps nobody); a writer
+    * that died mid-`body` leaves the lease behind — the error message
+    * carries the lease timestamp and the recovery step (delete the
+    * file) so misuse fails fast and diagnosable, never corrupting.
     */
   private def withWriterLock[T](spark: SparkSession, dir: String)(body: => T): T = {
     val hconf = spark.sessionState.newHadoopConf()
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
     val fs = lock.getFileSystem(hconf)
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          val held = scala.util.Try {
-            val in = fs.open(lock)
-            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim
-            finally in.close()
-          }.getOrElse("unknown")
-          throw new IllegalStateException(
-            s"CrawlFrontier: another writer holds $lock (acquired: $held). The index " +
-              "is single-writer; if the previous writer crashed, delete the lock file " +
-              "to recover.", e)
+    val stamp = java.time.Instant.now().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def alreadyHeld(cause: Throwable): Nothing = {
+      val held = scala.util.Try {
+        val in = fs.open(lock)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }.getOrElse("unknown")
+      throw new IllegalStateException(
+        s"CrawlFrontier: another writer holds $lock (acquired: $held). The index " +
+          "is single-writer; if the previous writer crashed, delete the lock file " +
+          "to recover.", cause)
+    }
+    // acquire + stamp; a failure while stamping releases the lease
+    // again — a wedged no-owner lock helps nobody
+    if (fs.getScheme == "file") {
+      // Hadoop's local FS implements create(overwrite=false) as a
+      // NON-atomic exists-then-open; NIO's createFile is O_EXCL
+      val nioLock = java.nio.file.Paths.get(lock.toUri.getPath)
+      java.nio.file.Files.createDirectories(nioLock.getParent)
+      try java.nio.file.Files.createFile(nioLock)
+      catch { case e: java.nio.file.FileAlreadyExistsException => alreadyHeld(e) }
+      try java.nio.file.Files.write(nioLock, stamp)
+      catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(nioLock); throw e }
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch { case e: java.io.IOException => alreadyHeld(e) }
+      try { out.write(stamp); out.close() }
+      catch { case e: Throwable =>
+        scala.util.Try(out.close())
+        fs.delete(lock, false)
+        throw e
       }
-    try {
-      out.write(java.time.Instant.now().toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
+    }
     try body finally fs.delete(lock, false)
   }
 }

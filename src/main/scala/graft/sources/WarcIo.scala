@@ -591,10 +591,8 @@ object WarcIo {
     val spark = rows.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(hconf)
-    // local-FS runs must not scatter .crc sidecars through an archive
-    // dir readers glob; HDFS/S3A ignore the flag (no client sidecars)
-    fs.setWriteChecksum(false)
+    val fs = warcFs(dirPath, hconf)
+    try {
     fs.mkdirs(dirPath)
     val parked = { // park stale parts; drop only orphaned temps
       val aside = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
@@ -642,6 +640,22 @@ object WarcIo {
     // job committed → the parked previous archive can go
     parked.foreach(f => fs.delete(f, false))
     committed
+    } finally fs.close() // private instance (see warcFs) — release it
+  }
+
+  /** A PRIVATE (non-cached) `FileSystem` handle for the archive sink,
+    * with checksum-sidecar writing off: local-FS runs must not scatter
+    * `.crc` files through a dir readers glob, and flipping the flag on
+    * the JVM-wide CACHED instance would silently disable checksums for
+    * every other Hadoop-FS user in the process — so the sink gets its
+    * own instance (callers close it). HDFS/S3A ignore the flag (no
+    * client sidecars).
+    */
+  private def warcFs(p: org.apache.hadoop.fs.Path,
+      hconf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem = {
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri, hconf)
+    fs.setWriteChecksum(false)
+    fs
   }
 
   /** Re-crawl dedup on WARC-Payload-Digest: response rows whose digest
@@ -742,21 +756,30 @@ object WarcIo {
       recs: Iterator[WarcRecord],
       hconf: org.apache.hadoop.conf.Configuration): String = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(hconf)
-    fs.setWriteChecksum(false) // see writeWarc
-    fs.mkdirs(dirPath)
-    val tmp = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d-attempt$attemptTag.tmp")
-    val fin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.warc.gz")
-    val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
-    try recs.foreach(r => out.write(gzipMember(writeRecord(r))))
-    finally out.close()
-    if (!fs.rename(tmp, fin)) {
-      // a completed racing attempt holds the final name — replace it
-      fs.delete(fin, false)
-      require(fs.rename(tmp, fin),
-        s"writeWarc: could not commit $tmp over $fin")
-    }
-    fs.makeQualified(fin).toString
+    val fs = warcFs(dirPath, hconf)
+    try {
+      fs.mkdirs(dirPath)
+      val tmp = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d-attempt$attemptTag.tmp")
+      val fin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.warc.gz")
+      val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
+      try recs.foreach(r => out.write(gzipMember(writeRecord(r))))
+      finally out.close()
+      if (!fs.rename(tmp, fin)) {
+        // replace is only legitimate when OUR temp still exists and the
+        // rename lost to a completed racing attempt holding the final
+        // name. A missing temp means this attempt was superseded (a
+        // newer job swept part-*.tmp) — deleting the final file then
+        // would destroy the NEW job's committed archive, so fail loudly
+        // without touching it.
+        require(fs.exists(tmp),
+          s"writeWarc: attempt temp $tmp vanished (superseded by a newer job?) — " +
+            s"refusing to touch $fin")
+        fs.delete(fin, false)
+        require(fs.rename(tmp, fin),
+          s"writeWarc: could not commit $tmp over $fin")
+      }
+      fs.makeQualified(fin).toString
+    } finally fs.close()
   }
 
   /** Wrap a raw archive stream in its decompressor (gzip sniffed from
