@@ -2374,6 +2374,49 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm_flac_stereo" -> ((s, dir) => {
+      // stereo decorrelation end to end: R tracks L with a small
+      // integer offset, so the per-frame channel-layout contest
+      // (independent vs left/side vs right/side vs mid/side, side at
+      // 17 bits) must pick a decorrelated layout and the stream must
+      // shrink vs independent coding — decorrelation_wins pins that —
+      // while decoding back bit-exactly to the L/R formulas the
+      // oracle replays.
+      import s.implicits._
+      val sine16 = Array(0, 383, 707, 924, 1000, 924, 707, 383,
+        0, -383, -707, -924, -1000, -924, -707, -383)
+      s.range(16).map { i =>
+        val n = 500 + (i % 4).toInt * 60
+        val amp = 2 + (i % 3).toInt
+        val inter = new Array[Short](2 * n)
+        var t = 0
+        while (t < n) {
+          val l = sine16(((t + i) % 16).toInt) * amp
+          inter(2 * t) = l.toShort
+          inter(2 * t + 1) = (l - ((t % 7) - 3)).toShort
+          t += 1
+        }
+        val dec = graft.operators.multimodal.FlacCodec.encode(8000, 2, inter,
+          blockSize = 256, lpcOrder = 4, decorrelate = true)
+        val ind = graft.operators.multimodal.FlacCodec.encode(8000, 2, inter,
+          blockSize = 256, lpcOrder = 4)
+        (i, dec, ind.length)
+      }.mapPartitions(_.map { case (id, payload, indLen) =>
+        val (rate, ch, out) = graft.operators.multimodal.FlacCodec.decode(payload)
+        var sumL = 0L; var sumR = 0L; var maxAbs = 0L
+        var j = 0
+        while (j < out.length) {
+          if (j % 2 == 0) sumL += out(j) else sumR += out(j)
+          maxAbs = math.max(maxAbs, math.abs(out(j).toLong))
+          j += 1
+        }
+        (id, rate, ch, (out.length / 2).toLong, sumL, sumR, maxAbs,
+          payload.length < indLen)
+      }).toDF("media_id", "sample_rate", "n_channels", "n_frames", "sum_l",
+        "sum_r", "max_abs", "decorrelation_wins")
+        .orderBy(col("media_id"))
+    }),
+
     "mm_dhash_pairs" -> ((s, dir) => {
       // image near-dup dedup on REAL bytes ACROSS CONTAINERS: each id
       // encodes its pixels as PPM, BMP, or PNG by id%3 (the scraped-web
@@ -6645,6 +6688,28 @@ object SparkEntry {
         |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
         |  true AS lpc_wins
+        |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // L/R stats replayed from the stereo formulas;
+    // decorrelation_wins=true pins the deterministic channel-layout
+    // contest (a near-identical R makes the side channel ~free)
+    "mm_flac_stereo" ->
+      """WITH s16(j, sv) AS (VALUES (0,0),(1,383),(2,707),(3,924),(4,1000),(5,924),
+        |    (6,707),(7,383),(8,0),(9,-383),(10,-707),(11,-924),(12,-1000),(13,-924),
+        |    (14,-707),(15,-383)),
+        |ids AS (SELECT i AS media_id, 500 + (i % 4) * 60 AS n,
+        |    2 + (i % 3) AS amp FROM range(16) t(i)),
+        |sm AS (SELECT media_id, n, p, sv * amp AS l,
+        |    sv * amp - ((p % 7) - 3) AS r
+        |  FROM ids CROSS JOIN range(680) q(p)
+        |  JOIN s16 ON s16.j = (p + media_id) % 16
+        |  WHERE p < n)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(2 AS INT) AS n_channels,
+        |  CAST(MAX(n) AS BIGINT) AS n_frames,
+        |  CAST(SUM(l) AS BIGINT) AS sum_l,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(MAX(GREATEST(ABS(l), ABS(r))) AS BIGINT) AS max_abs,
+        |  true AS decorrelation_wins
         |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // the oracle derives the sums from the pixel formula alone —

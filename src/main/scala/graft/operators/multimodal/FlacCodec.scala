@@ -6,8 +6,13 @@ package graft.operators.multimodal
   *   - container: `fLaC` magic + STREAMINFO metadata block (incl. the
   *     spec's MD5 of the unencoded audio, verified on decode);
   *   - frames: fixed-blocksize strategy, UTF-8-coded frame numbers,
-  *     16-bit samples, mono/stereo independent channels, CRC-8 header
-  *     and CRC-16 frame checks (verified on decode, loud on mismatch);
+  *     16-bit samples, mono/stereo with ALL four stereo layouts —
+  *     independent, left/side, right/side, mid/side (per-frame
+  *     assignment, side channel at 17 bits, chosen by exact bit cost
+  *     on encode when `decorrelate` is on) — CRC-8 header and CRC-16
+  *     frame checks (verified on decode, loud on mismatch);
+  *     wasted-bits subframes (shared trailing zero bits) encode
+  *     narrower and decode exactly;
   *   - subframes: CONSTANT, VERBATIM, FIXED predictors order 0–4
   *     (the k-th-difference polynomial predictors), and LPC order
   *     1–32 (quantized linear prediction: coefficient precision,
@@ -27,9 +32,9 @@ package graft.operators.multimodal
   * tables beyond the two published CRC polynomials (0x07, 0x8005) —
   * so encode→decode round-trips are bit-exact and oracle-checkable
   * (`mm_flac_decode`/`mm_flac_lpc` re-derive every decoded sample
-  * from the generator formula in SQL). >2 channels and negative LPC
-  * shifts are out of subset scope (decode fails loudly, never
-  * silently).
+  * from the generator formula in SQL). >2 channels, variable
+  * blocksize streams, and negative LPC shifts are out of subset scope
+  * (decode fails loudly, never silently).
   *
   * Reference behavior: dtle ships typed column codecs for every wire
   * format it replicates (e.g. `drivers/mysql/binlog` value decoders);
@@ -44,7 +49,10 @@ object FlacCodec extends Multimodal.MediaCodec {
     private val out = new java.io.ByteArrayOutputStream(1 << 14)
     private var cur = 0
     private var n = 0
+    private var nBits = 0L
+    def bitCount: Long = nBits
     def writeBits(value: Long, bits: Int): Unit = {
+      nBits += bits
       var i = bits - 1
       while (i >= 0) {
         cur = (cur << 1) | ((value >>> i) & 1L).toInt
@@ -304,11 +312,17 @@ object FlacCodec extends Multimodal.MediaCodec {
     * Per frame and channel the cheapest of CONSTANT / best FIXED
     * order / VERBATIM — plus, when `lpcOrder` ≥ 1, a quantized-LPC
     * candidate of that order (precision 14, Levinson–Durbin
-    * coefficients) — is chosen by exact bit cost. `lpcOrder = 0`
-    * (default) reproduces the FIXED-only encoder byte for byte.
+    * coefficients) — is chosen by exact bit cost; subframes whose
+    * samples share trailing zero bits use the spec's wasted-bits
+    * header and encode narrower. With `decorrelate = true` each
+    * STEREO frame additionally contests the four channel
+    * representations (independent, left/side, right/side, mid/side —
+    * the side channel at 17 bits per the spec) on exact subframe bit
+    * cost, the way real encoders exploit inter-channel redundancy.
     */
   def encode(sampleRate: Int, channels: Int, samples: Array[Short],
-      blockSize: Int = 4096, lpcOrder: Int = 0): Array[Byte] = {
+      blockSize: Int = 4096, lpcOrder: Int = 0,
+      decorrelate: Boolean = false): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 32, s"lpcOrder $lpcOrder out of [0, 32]")
     require(channels == 1 || channels == 2, "subset: mono or stereo")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
@@ -336,9 +350,32 @@ object FlacCodec extends Multimodal.MediaCodec {
       w.writeBits(0x3ffe, 14) // sync
       w.writeBits(0, 1) // reserved
       w.writeBits(0, 1) // fixed-blocksize strategy → frame number below
+      // per-frame channel layout: independent by default; a stereo
+      // frame under `decorrelate` picks the cheapest of the four
+      // spec representations by exact subframe bit cost
+      val perCh = Array.tabulate(channels) { ch =>
+        val s = new Array[Long](bs)
+        var i = 0
+        while (i < bs) { s(i) = samples((off + i) * channels + ch); i += 1 }
+        s
+      }
+      val (chAssign, subframes): (Int, Seq[(Array[Long], Int)]) =
+        if (channels == 2 && decorrelate) {
+          val l = perCh(0); val r = perCh(1)
+          val side = Array.tabulate(bs)(i => l(i) - r(i)) // 17-bit
+          val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+          val candidates = Seq(
+            (1, Seq((l, 16), (r, 16))), // independent
+            (8, Seq((l, 16), (side, 17))), // left/side
+            (9, Seq((side, 17), (r, 16))), // right/side
+            (10, Seq((mid, 16), (side, 17)))) // mid/side
+          candidates.minBy { case (_, sfs) =>
+            sfs.map { case (s, bps) => subframeBits(s, lpcOrder, bps) }.sum
+          }
+        } else (channels - 1, perCh.toSeq.map(s => (s, 16)))
       w.writeBits(0x7, 4) // blocksize: 16-bit field at header end
       w.writeBits(0x0, 4) // sample rate: from STREAMINFO
-      w.writeBits(channels - 1, 4) // independent channels
+      w.writeBits(chAssign, 4)
       w.writeBits(0x4, 3) // 16-bit samples
       w.writeBits(0, 1) // reserved
       writeUtf8Number(w, frameIx)
@@ -347,14 +384,7 @@ object FlacCodec extends Multimodal.MediaCodec {
       // CRC-8 over the header bytes written so far
       val headerCopy = w.bytes
       w.writeBits(crc8(headerCopy, 0, headerCopy.length), 8)
-      var ch = 0
-      while (ch < channels) {
-        val s = new Array[Long](bs)
-        var i = 0
-        while (i < bs) { s(i) = samples((off + i) * channels + ch); i += 1 }
-        writeSubframe(w, s, lpcOrder)
-        ch += 1
-      }
+      subframes.foreach { case (s, bps) => writeSubframe(w, s, lpcOrder, bps) }
       w.align()
       val body = w.bytes // byte-aligned by construction; CRC-16 is two
       val crc = crc16(body, 0, body.length) // whole bytes — append directly
@@ -392,14 +422,42 @@ object FlacCodec extends Multimodal.MediaCodec {
 
   private val LpcPrecision = 14 // stored as precision−1 in the 4-bit field
 
-  private def writeSubframe(w: BitWriter, s: Array[Long], lpcOrder: Int): Unit = {
+  /** Exact bit size of [[writeSubframe]] for `s` — encodes into a
+    * scratch writer; used by the stereo-decorrelation contest where
+    * four channel representations compete on true cost.
+    */
+  private def subframeBits(s: Array[Long], lpcOrder: Int, bps: Int): Long = {
+    val scratch = new BitWriter
+    writeSubframe(scratch, s, lpcOrder, bps)
+    scratch.bitCount
+  }
+
+  private def writeSubframe(w: BitWriter, s: Array[Long], lpcOrder: Int,
+      bps: Int = 16): Unit = {
     val bs = s.length
     val constant = bs > 0 && s.forall(_ == s(0))
     if (constant) {
       w.writeBits(0, 1); w.writeBits(0, 6); w.writeBits(0, 1)
-      w.writeBits(s(0) & 0xffff, 16)
+      w.writeBits(s(0) & ((1L << bps) - 1), bps)
       return
     }
+    // wasted bits: samples sharing w trailing zero bits encode at
+    // bps−w with the spec's flag+unary(w−1) header — near-silence and
+    // upscaled audio compress materially better, and the decode path
+    // gets exercised by round trips instead of only hand-built streams
+    val orAll = s.foldLeft(0L)(_ | _)
+    val wasted = math.min(java.lang.Long.numberOfTrailingZeros(orAll), bps - 1)
+    if (wasted > 0) {
+      val shifted = s.map(_ >> wasted)
+      writeSubframeBody(w, shifted, lpcOrder, bps - wasted, wasted)
+      return
+    }
+    writeSubframeBody(w, s, lpcOrder, bps, 0)
+  }
+
+  private def writeSubframeBody(w: BitWriter, s: Array[Long], lpcOrder: Int,
+      bps: Int, wasted: Int): Unit = {
+    val bs = s.length
     def bestRice(folded: Array[Long]): (Int, Long) = {
       var bk = 0; var bb = Long.MaxValue
       var k = 0
@@ -413,12 +471,12 @@ object FlacCodec extends Multimodal.MediaCodec {
     // best fixed order by exact cost; verbatim as the ceiling
     var bestOrder = -1
     var bestK = 0
-    var bestBits = 16L * bs // verbatim cost
+    var bestBits = bps.toLong * bs // verbatim cost
     var order = 0
     while (order <= math.min(4, bs - 1)) {
       val folded = residuals(s, order).map(zigzag)
       val (k, rb) = bestRice(folded)
-      val bits = 16L * order + 2 + 4 + 4 + rb
+      val bits = bps.toLong * order + 2 + 4 + 4 + rb
       if (bits < bestBits) { bestBits = bits; bestOrder = order; bestK = k }
       order += 1
     }
@@ -430,7 +488,7 @@ object FlacCodec extends Multimodal.MediaCodec {
         case (q, shift) =>
           val folded = lpcResiduals(s, q, shift).map(zigzag)
           val (k, rb) = bestRice(folded)
-          val bits = 16L * lpcOrder + 4 + 5 + lpcOrder.toLong * LpcPrecision + 2 + 4 + 4 + rb
+          val bits = bps.toLong * lpcOrder + 4 + 5 + lpcOrder.toLong * LpcPrecision + 2 + 4 + 4 + rb
           if (bits < bestBits) Some((q, shift, k, bits)) else None
       }
     def writeResiduals(res: Array[Long], k: Int): Unit = {
@@ -443,26 +501,31 @@ object FlacCodec extends Multimodal.MediaCodec {
         if (k > 0) w.writeBits(u & ((1L << k) - 1), k)
       }
     }
+    def writeWasted(): Unit =
+      if (wasted == 0) w.writeBits(0, 1)
+      else { w.writeBits(1, 1); w.writeUnary(wasted - 1) } // k wasted → k−1 zeros, 1
+    val mask = (1L << bps) - 1
     lpc match {
       case Some((q, shift, k, _)) =>
         w.writeBits(0, 1)
         w.writeBits(0x20 | (lpcOrder - 1), 6) // LPC, 0b1xxxxx
-        w.writeBits(0, 1) // no wasted bits
+        writeWasted()
         var i = 0
-        while (i < lpcOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+        while (i < lpcOrder) { w.writeBits(s(i) & mask, bps); i += 1 }
         w.writeBits(LpcPrecision - 1, 4)
         w.writeBits(shift, 5) // non-negative by construction
         q.foreach(c => w.writeBits(c & ((1L << LpcPrecision) - 1), LpcPrecision))
         writeResiduals(lpcResiduals(s, q, shift), k)
       case None if bestOrder < 0 =>
-        w.writeBits(0, 1); w.writeBits(1, 6); w.writeBits(0, 1) // VERBATIM
-        s.foreach(v => w.writeBits(v & 0xffff, 16))
+        w.writeBits(0, 1); w.writeBits(1, 6) // VERBATIM
+        writeWasted()
+        s.foreach(v => w.writeBits(v & mask, bps))
       case None =>
         w.writeBits(0, 1)
         w.writeBits(8 | bestOrder, 6) // FIXED, 0b001xxx
-        w.writeBits(0, 1) // no wasted bits
+        writeWasted()
         var i = 0
-        while (i < bestOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+        while (i < bestOrder) { w.writeBits(s(i) & mask, bps); i += 1 }
         writeResiduals(residuals(s, bestOrder), bestK)
     }
   }
@@ -513,8 +576,15 @@ object FlacCodec extends Multimodal.MediaCodec {
       val bsCode = r.readBits(4).toInt
       val srCode = r.readBits(4).toInt
       val chAssign = r.readBits(4).toInt
-      require(chAssign == channels - 1,
-        s"subset: independent channels only, got assignment $chAssign")
+      // 0..7 = independent (count−1); 8/9/10 = stereo decorrelation
+      // (left/side, right/side, mid/side — side at bps+1)
+      val decor = chAssign match {
+        case c if c <= 7 => require(c == channels - 1,
+          s"FLAC: frame has ${c + 1} channels, STREAMINFO says $channels"); 0
+        case c if c <= 10 => require(channels == 2,
+          s"FLAC: stereo decorrelation in a $channels-channel stream"); c - 7
+        case c => sys.error(s"FLAC: reserved channel assignment $c")
+      }
       val ssCode = r.readBits(3).toInt
       require(ssCode == 4, s"subset: 16-bit frames only, code $ssCode")
       r.readBits(1)
@@ -542,8 +612,31 @@ object FlacCodec extends Multimodal.MediaCodec {
       val chans = Array.ofDim[Long](channels, bs)
       var ch = 0
       while (ch < channels) {
-        readSubframe(r, chans(ch), bs)
+        // the side channel of a decorrelated pair carries one extra bit
+        val bps = decor match {
+          case 1 if ch == 1 => 17 // left/side
+          case 2 if ch == 0 => 17 // right(side first)/side
+          case 3 if ch == 1 => 17 // mid/side
+          case _ => 16
+        }
+        readSubframe(r, chans(ch), bs, bps)
         ch += 1
+      }
+      // undo inter-channel decorrelation — exact integer inverses
+      if (decor != 0) {
+        var i = 0
+        while (i < bs) {
+          decor match {
+            case 1 => chans(1)(i) = chans(0)(i) - chans(1)(i) // R = L − side
+            case 2 => chans(0)(i) = chans(1)(i) + chans(0)(i) // L = R + side
+            case _ => // mid/side: (L+R) parity rides in side's low bit
+              val side = chans(1)(i)
+              val m2 = (chans(0)(i) << 1) | (side & 1L)
+              chans(0)(i) = (m2 + side) >> 1
+              chans(1)(i) = (m2 - side) >> 1
+          }
+          i += 1
+        }
       }
       r.align()
       val bodyEnd = r.bytePos
@@ -572,22 +665,26 @@ object FlacCodec extends Multimodal.MediaCodec {
     (rate, channels, out)
   }
 
-  private def readSubframe(r: BitReader, dst: Array[Long], bs: Int): Unit = {
+  private def readSubframe(r: BitReader, dst: Array[Long], bs: Int,
+      frameBps: Int = 16): Unit = {
     require(r.readBits(1) == 0, "FLAC: subframe padding bit set")
     val ty = r.readBits(6).toInt
-    val wasted = r.readBits(1)
-    require(wasted == 0, "subset: wasted-bits subframes unsupported")
+    // wasted bits: flag, then unary (k−1 zeros and a 1) — samples are
+    // coded k bits narrower and shift back up after reconstruction
+    val wasted = if (r.readBits(1) == 0) 0 else (r.readUnary() + 1).toInt
+    require(wasted < frameBps, s"FLAC: $wasted wasted bits of $frameBps")
+    val bps = frameBps - wasted
     if (ty == 0) { // CONSTANT
-      val v = r.readSigned(16)
+      val v = r.readSigned(bps)
       java.util.Arrays.fill(dst, v)
     } else if (ty == 1) { // VERBATIM
       var i = 0
-      while (i < bs) { dst(i) = r.readSigned(16); i += 1 }
+      while (i < bs) { dst(i) = r.readSigned(bps); i += 1 }
     } else if ((ty & 0x38) == 0x08) { // FIXED
       val order = ty & 0x7
       require(order <= 4, s"FLAC: bad fixed order $order")
       var i = 0
-      while (i < order) { dst(i) = r.readSigned(16); i += 1 }
+      while (i < order) { dst(i) = r.readSigned(bps); i += 1 }
       readResiduals(r, dst, bs, order)
       // undo the prediction
       i = order
@@ -605,7 +702,7 @@ object FlacCodec extends Multimodal.MediaCodec {
       val order = (ty & 0x1f) + 1
       require(bs > order, s"FLAC: LPC order $order needs more than $order samples")
       var i = 0
-      while (i < order) { dst(i) = r.readSigned(16); i += 1 }
+      while (i < order) { dst(i) = r.readSigned(bps); i += 1 }
       val precRaw = r.readBits(4).toInt
       require(precRaw != 15, "FLAC: invalid LPC coefficient precision 1111")
       val precision = precRaw + 1
@@ -630,6 +727,10 @@ object FlacCodec extends Multimodal.MediaCodec {
         i += 1
       }
     } else sys.error(s"subset: unsupported subframe type $ty")
+    if (wasted > 0) {
+      var i = 0
+      while (i < bs) { dst(i) = dst(i) << wasted; i += 1 }
+    }
   }
 
   /** Rice-partitioned residual block (shared by FIXED and LPC): 2-bit

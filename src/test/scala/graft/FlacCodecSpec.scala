@@ -51,6 +51,68 @@ class FlacCodecSpec extends AnyFunSuite {
       FlacCodec.encode(8000, 1, s, 4096, lpcOrder = 0)))
   }
 
+  test("stereo decorrelation: all four channel layouts round-trip; correlated audio shrinks") {
+    // R tracks L with a small offset → the side channel is tiny and a
+    // decorrelated layout must win the per-frame contest
+    val n = 3000
+    val inter = new Array[Short](2 * n)
+    for (t <- 0 until n) {
+      val l = Sine16(t % 16) * 3
+      inter(2 * t) = l.toShort
+      inter(2 * t + 1) = (l - ((t % 7) - 3)).toShort
+    }
+    val indep = FlacCodec.encode(8000, 2, inter, 512, lpcOrder = 2)
+    val decor = FlacCodec.encode(8000, 2, inter, 512, lpcOrder = 2, decorrelate = true)
+    assert(decor.length < indep.length,
+      s"decorrelation must pay on correlated stereo: ${decor.length} vs ${indep.length}")
+    assert(java.util.Arrays.equals(FlacCodec.decode(decor)._3, inter))
+    assert(java.util.Arrays.equals(FlacCodec.decode(indep)._3, inter))
+    // adversarial side-channel extremes: force 17-bit side values
+    // (L=32767, R=-32768 → side=65535) through every layout
+    val extreme = Array.tabulate[Short](400)(i => (i % 4) match {
+      case 0 => Short.MaxValue
+      case 1 => Short.MinValue
+      case 2 => 0
+      case _ => (if (i % 8 < 4) Short.MinValue else Short.MaxValue)
+    })
+    val e = FlacCodec.encode(8000, 2, extreme, 100, lpcOrder = 4, decorrelate = true)
+    assert(java.util.Arrays.equals(FlacCodec.decode(e)._3, extreme))
+    // anticorrelated channels (R = −L): mid ≈ parity bits, side = 2L —
+    // whatever the contest picks must still be exact
+    val anti = new Array[Short](2 * n)
+    for (t <- 0 until n) {
+      val l = Sine16((t * 3) % 16) * 2 + (t % 3)
+      anti(2 * t) = l.toShort
+      anti(2 * t + 1) = (-l).toShort
+    }
+    val a = FlacCodec.encode(8000, 2, anti, 512, lpcOrder = 2, decorrelate = true)
+    assert(java.util.Arrays.equals(FlacCodec.decode(a)._3, anti))
+    // decorrelation never loses: the independent layout is in the contest
+    assert(a.length <= FlacCodec.encode(8000, 2, anti, 512, lpcOrder = 2).length)
+  }
+
+  test("wasted bits: shared trailing zeros encode narrower and decode exactly") {
+    val base = tonal(900, freq = 3, amp = 1)
+    val scaled = base.map(v => (v * 8).toShort) // 3 shared trailing zero bits
+    roundTrip(8000, 1, scaled, bs = 300)
+    roundTrip(8000, 1, scaled, bs = 300, lpcOrder = 4)
+    // ×8 costs ~3 extra bits/sample under plain Rice; wasted-bits
+    // coding shaves them — the scaled stream must stay within header
+    // pennies of the unscaled one instead of ~340 bytes above it
+    val lenBase = FlacCodec.encode(8000, 1, base, 300).length
+    val lenScaled = FlacCodec.encode(8000, 1, scaled, 300).length
+    assert(lenScaled <= lenBase + 16,
+      s"wasted-bits coding missing: $lenScaled vs $lenBase")
+    // mixed: one channel scaled, one not, under decorrelation
+    val mix = new Array[Short](1200)
+    for (t <- 0 until 600) {
+      mix(2 * t) = (Sine16(t % 16) * 4).toShort
+      mix(2 * t + 1) = (t % 3 - 1).toShort
+    }
+    val m = FlacCodec.encode(8000, 2, mix, 200, lpcOrder = 2, decorrelate = true)
+    assert(java.util.Arrays.equals(FlacCodec.decode(m)._3, mix))
+  }
+
   test("LPC on noise never loses: the contest falls back when LPC doesn't pay") {
     var x = 99L
     val noise = Array.fill(1200) {
