@@ -29,6 +29,11 @@ import graft.sources.{ChunkPlanner, WarcIo}
   */
 object SparkEntry {
 
+  // 16-point integer sine table shared by the FLAC LPC/stereo queries
+  // (their DuckDB oracles carry the same values as a VALUES list)
+  private val SineTable16 = Array(0, 383, 707, 924, 1000, 924, 707, 383,
+    0, -383, -707, -924, -1000, -924, -707, -383)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -2347,8 +2352,7 @@ object SparkEntry {
       // the same samples — proof the LPC path actually ran, not just
       // that the contest fell back to FIXED.
       import s.implicits._
-      val sine16 = Array(0, 383, 707, 924, 1000, 924, 707, 383,
-        0, -383, -707, -924, -1000, -924, -707, -383)
+      val sine16 = SineTable16
       s.range(18).map { i =>
         val n = 600 + (i % 5).toInt * 40
         val freq = 1 + 2 * (i % 3).toInt // odd → the phase walk covers all 16 cells
@@ -2383,8 +2387,7 @@ object SparkEntry {
       // while decoding back bit-exactly to the L/R formulas the
       // oracle replays.
       import s.implicits._
-      val sine16 = Array(0, 383, 707, 924, 1000, 924, 707, 383,
-        0, -383, -707, -924, -1000, -924, -707, -383)
+      val sine16 = SineTable16
       s.range(16).map { i =>
         val n = 500 + (i % 4).toInt * 60
         val amp = 2 + (i % 3).toInt

@@ -364,14 +364,20 @@ object FlacCodec extends Multimodal.MediaCodec {
           val l = perCh(0); val r = perCh(1)
           val side = Array.tabulate(bs)(i => l(i) - r(i)) // 17-bit
           val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+          // four DISTINCT subframe costs, computed once each (the four
+          // layouts share them pairwise — re-encoding per candidate
+          // would double the contest's CPU for identical output)
+          val cL = subframeBits(l, lpcOrder, 16)
+          val cR = subframeBits(r, lpcOrder, 16)
+          val cS = subframeBits(side, lpcOrder, 17)
+          val cM = subframeBits(mid, lpcOrder, 16)
           val candidates = Seq(
-            (1, Seq((l, 16), (r, 16))), // independent
-            (8, Seq((l, 16), (side, 17))), // left/side
-            (9, Seq((side, 17), (r, 16))), // right/side
-            (10, Seq((mid, 16), (side, 17)))) // mid/side
-          candidates.minBy { case (_, sfs) =>
-            sfs.map { case (s, bps) => subframeBits(s, lpcOrder, bps) }.sum
-          }
+            (1, cL + cR, Seq((l, 16), (r, 16))), // independent
+            (8, cL + cS, Seq((l, 16), (side, 17))), // left/side
+            (9, cS + cR, Seq((side, 17), (r, 16))), // right/side
+            (10, cM + cS, Seq((mid, 16), (side, 17)))) // mid/side
+          val best = candidates.minBy(_._2)
+          (best._1, best._3)
         } else (channels - 1, perCh.toSeq.map(s => (s, 16)))
       w.writeBits(0x7, 4) // blocksize: 16-bit field at header end
       w.writeBits(0x0, 4) // sample rate: from STREAMINFO
@@ -576,6 +582,7 @@ object FlacCodec extends Multimodal.MediaCodec {
       val bsCode = r.readBits(4).toInt
       val srCode = r.readBits(4).toInt
       val chAssign = r.readBits(4).toInt
+      Option(assignLog.get).foreach(_ += chAssign)
       // 0..7 = independent (count−1); 8/9/10 = stereo decorrelation
       // (left/side, right/side, mid/side — side at bps+1)
       val decor = chAssign match {
@@ -664,6 +671,22 @@ object FlacCodec extends Multimodal.MediaCodec {
       "FLAC: decoded audio MD5 does not match STREAMINFO")
     (rate, channels, out)
   }
+
+  /** Per-frame channel-assignment codes of a stereo stream — test
+    * hook for pinning which layout the encode contest chose (a suite
+    * that never checks this could leave a decorrelated decode branch
+    * unexercised while staying green on round trips that all picked
+    * independent). Decodes the stream fully, recording each frame's
+    * 4-bit assignment field.
+    */
+  private[graft] def frameChannelAssignments(payload: Array[Byte]): Seq[Int] = {
+    assignLog.set(scala.collection.mutable.ArrayBuffer.empty[Int])
+    try { decode(payload); assignLog.get.toSeq }
+    finally assignLog.remove()
+  }
+
+  private val assignLog =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Int]]
 
   private def readSubframe(r: BitReader, dst: Array[Long], bs: Int,
       frameBps: Int = 16): Unit = {

@@ -67,28 +67,68 @@ class FlacCodecSpec extends AnyFunSuite {
       s"decorrelation must pay on correlated stereo: ${decor.length} vs ${indep.length}")
     assert(java.util.Arrays.equals(FlacCodec.decode(decor)._3, inter))
     assert(java.util.Arrays.equals(FlacCodec.decode(indep)._3, inter))
-    // adversarial side-channel extremes: force 17-bit side values
-    // (L=32767, R=-32768 → side=65535) through every layout
-    val extreme = Array.tabulate[Short](400)(i => (i % 4) match {
-      case 0 => Short.MaxValue
-      case 1 => Short.MinValue
-      case 2 => 0
-      case _ => (if (i % 8 < 4) Short.MinValue else Short.MaxValue)
-    })
-    val e = FlacCodec.encode(8000, 2, extreme, 100, lpcOrder = 4, decorrelate = true)
-    assert(java.util.Arrays.equals(FlacCodec.decode(e)._3, extreme))
-    // anticorrelated channels (R = −L): mid ≈ parity bits, side = 2L —
-    // whatever the contest picks must still be exact
+    // the winning layout is PINNED per signal shape (via the frame
+    // header's assignment code), so every decorrelated decode branch
+    // is provably exercised — a suite asserting only round trips could
+    // go green while the contest quietly picked independent everywhere
+    assert(FlacCodec.frameChannelAssignments(decor).forall(Set(8, 9, 10)),
+      s"correlated stereo must pick a decorrelated layout: " +
+        s"${FlacCodec.frameChannelAssignments(decor)}")
+    assert(FlacCodec.frameChannelAssignments(indep).forall(_ == 1))
+
+    // anticorrelated loud channels (R = −L, amp ~30k): side = 2L NEEDS
+    // the 17th bit ON THE WIRE (|side| up to 60004) and mid collapses
+    // to near-silence → mid/side must win, and a masking bug in the
+    // 17-bit warm-up/verbatim path cannot hide
     val anti = new Array[Short](2 * n)
     for (t <- 0 until n) {
-      val l = Sine16((t * 3) % 16) * 2 + (t % 3)
+      val l = Sine16((t * 3) % 16) * 30 + (t % 3)
       anti(2 * t) = l.toShort
       anti(2 * t + 1) = (-l).toShort
     }
+    assert((0 until n).map(t => math.abs(anti(2 * t) - anti(2 * t + 1))).max > 32768,
+      "the anti signal must actually need 17-bit side samples")
     val a = FlacCodec.encode(8000, 2, anti, 512, lpcOrder = 2, decorrelate = true)
     assert(java.util.Arrays.equals(FlacCodec.decode(a)._3, anti))
+    assert(FlacCodec.frameChannelAssignments(a).forall(_ == 10),
+      s"mid/side must win on anticorrelated audio: ${FlacCodec.frameChannelAssignments(a)}")
     // decorrelation never loses: the independent layout is in the contest
     assert(a.length <= FlacCodec.encode(8000, 2, anti, 512, lpcOrder = 2).length)
+
+    // asymmetric noise: the noisy channel is shared, the tonal add-on
+    // sits on ONE side — side = ±tonal is the cheap subframe, and the
+    // pure-noise channel is cheaper than the noise+tonal one, so
+    // left/side wins when L is the quiet one and right/side when R is:
+    // both remaining decode branches run against real bitstreams
+    var x = 7L
+    def noise(): Int = {
+      x = (x * 1103515245L + 12345L) & 0x7fffffffL; ((x % 8000) - 4000).toInt
+    }
+    val m = 1000
+    val rsSig = new Array[Short](2 * m) // L carries the tonal → R/S
+    x = 7L
+    for (t <- 0 until m) {
+      val nz = noise()
+      rsSig(2 * t) = (nz + Sine16(t % 16) * 8).toShort
+      rsSig(2 * t + 1) = nz.toShort
+    }
+    val rs = FlacCodec.encode(8000, 2, rsSig, 4096, lpcOrder = 8, decorrelate = true)
+    assert(java.util.Arrays.equals(FlacCodec.decode(rs)._3, rsSig))
+    assert(FlacCodec.frameChannelAssignments(rs) == Seq(9),
+      s"right/side must win when R is the cheap channel: " +
+        s"${FlacCodec.frameChannelAssignments(rs)}")
+    val lsSig = new Array[Short](2 * m) // R carries the tonal → L/S
+    x = 7L
+    for (t <- 0 until m) {
+      val nz = noise()
+      lsSig(2 * t) = nz.toShort
+      lsSig(2 * t + 1) = (nz + Sine16(t % 16) * 8).toShort
+    }
+    val ls = FlacCodec.encode(8000, 2, lsSig, 4096, lpcOrder = 8, decorrelate = true)
+    assert(java.util.Arrays.equals(FlacCodec.decode(ls)._3, lsSig))
+    assert(FlacCodec.frameChannelAssignments(ls) == Seq(8),
+      s"left/side must win when L is the cheap channel: " +
+        s"${FlacCodec.frameChannelAssignments(ls)}")
   }
 
   test("wasted bits: shared trailing zeros encode narrower and decode exactly") {
