@@ -3366,6 +3366,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_wat" -> ((s, dir) => {
+      // the THIRD crawl container: WARC in, WAT out. Captured pages
+      // round-trip to real .warc.gz, each response distills to a
+      // deterministic JSON metadata envelope (WarcIo.toWat — status,
+      // header list, entity length, title, outlinks) written to a real
+      // WAT archive and read back; the fields are then extracted with
+      // SPARK'S OWN JSON parser (get_json_object — an independent
+      // implementation validating the envelope is real JSON), and the
+      // oracle reconstructs every value from the raw documents via the
+      // escape→byte-length identities. Green proves container → HTTP →
+      // HTML-signals → JSON serialization are all byte-exact.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"),
+            lit("WAT extraction heading")).as("html"))
+      val warcDir = TempDirs.scratch("wat_src_")
+      val records = docs.repartition(8).as[(Long, String)]
+        .mapPartitions(_.map { case (id, html) =>
+          val uri = s"http://wat${id % 19}.example.org/d/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("watsrc:" + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarc(records, warcDir)
+      val watDir = TempDirs.scratch("wat_out_")
+      val watRecords = WarcIo.readWarc(s, warcDir + "/*.warc.gz")
+        .where(col("rec_type") === "response")
+        .select(col("target_uri"), col("warc_date"), col("record_id"), col("payload"))
+        .as[(String, String, String, Array[Byte])]
+        .mapPartitions(_.map { case (uri, date, rid, payload) =>
+          val http = WarcIo.parseHttpResponse(payload)
+          val html = WarcIo.decodeBody(http)
+          val wat = WarcIo.toWat(
+            WarcIo.WarcRecord("response", uri, date, rid, "", Map.empty, payload),
+            http, HtmlExtract.title(html), HtmlExtract.links(html).map(_._1))
+          (wat.recordType, wat.targetUri, wat.date, wat.recordId,
+            wat.contentType, wat.payload, wat.extra)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload", "extra")
+      WarcIo.writeWarc(watRecords, watDir)
+      val base = "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+      WarcIo.readWarc(s, watDir + "/*.warc.gz")
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("rec_type"), col("content_type"),
+          decode(col("payload"), "UTF-8").as("j"))
+        .select(col("doc_id"), col("rec_type"), col("content_type"),
+          get_json_object(col("j"), s"$base['HTML-Metadata'].Title").as("title"),
+          get_json_object(col("j"), s"$base['Response-Message'].Status")
+            .cast("int").as("status"),
+          get_json_object(col("j"), s"$base['Entity-Length']")
+            .cast("long").as("entity_length"),
+          json_array_length(
+            get_json_object(col("j"), s"$base['HTML-Metadata'].Links")).as("n_links"),
+          get_json_object(col("j"), s"$base['HTML-Metadata'].Links[0].url").as("link0"),
+          get_json_object(col("j"), s"$base['HTML-Metadata'].Links[1].url").as("link1"),
+          get_json_object(col("j"),
+            "$.Envelope['WARC-Header-Metadata']['WARC-Type']").as("src_type"))
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_schedule_robots" -> ((s, dir) => {
       // the robots → scheduler delay loop: each domain's REAL
       // robots.txt text (Crawl-delay present for 2/3 of domains,
@@ -7480,6 +7545,29 @@ object SparkEntry {
         |    CASE WHEN length(nt) >= 25 THEN chr(10) || nt ELSE '' END) AS BIGINT)
         |    AS n_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // every WAT field reconstructs from the raw documents: the title
+    // and links come from the fixture scaffold, entity_length is the
+    // BYTE length of the page (strlen) with the html-escape chain
+    // replayed exactly, and the JSON layer cancels out because Spark
+    // re-parses the envelope with its own JSON parser
+    "pipeline_wat" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+        |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
+        |  '<h1>WAT extraction heading</h1><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
+        |  FROM d)
+        |SELECT doc_id, 'metadata' AS rec_type, 'application/json' AS content_type,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CAST(200 AS INT) AS status,
+        |  CAST(strlen(html) AS BIGINT) AS entity_length,
+        |  CAST(2 AS INT) AS n_links,
+        |  '/' AS link0, '/about' AS link1,
+        |  'response' AS src_type
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // Crawl-delay is fixed per domain arm (absent → the 1s default),
     // so the oracle states the delay and replays fetchers + slots

@@ -510,6 +510,66 @@ object WarcIo {
       extra = Map("WARC-Refers-To" -> source.recordId),
       payload = text.getBytes(UTF_8))
 
+  /** RFC 8259 string escape for the WAT JSON writer: quote, backslash,
+    * and control characters; everything else passes through (the
+    * envelope is UTF-8 like the WARC headers it mirrors).
+    */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  /** WAT-style metadata record: the third Common Crawl container
+    * (WARC = raw captures, WET = extracted text, WAT = per-record JSON
+    * metadata). The payload is a deterministic JSON envelope — fixed
+    * key order, no whitespace, RFC 8259 escaping — carrying the source
+    * record's header metadata, the HTTP response shape (status, header
+    * list in capture order, entity length), and the HTML signals a
+    * link-graph/indexing pipeline consumes (title, outlinks). Shaped
+    * after Common Crawl's WAT envelope (Envelope → WARC-Header-Metadata
+    * / Payload-Metadata → HTTP-Response-Metadata → HTML-Metadata), kept
+    * to the fields this engine extracts.
+    */
+  def toWat(source: WarcRecord, http: HttpResponse, title: Option[String],
+      links: Seq[String]): WarcRecord = {
+    val sb = new StringBuilder(512)
+    sb.append("{\"Envelope\":{\"WARC-Header-Metadata\":{")
+    sb.append("\"WARC-Target-URI\":").append(jsonStr(source.targetUri))
+    sb.append(",\"WARC-Type\":").append(jsonStr(source.recordType))
+    sb.append("},\"Payload-Metadata\":{")
+    sb.append("\"Actual-Content-Length\":").append(source.payload.length)
+    sb.append(",\"HTTP-Response-Metadata\":{")
+    sb.append("\"Entity-Length\":").append(http.body.length)
+    sb.append(",\"Headers\":{")
+    sb.append(http.headers.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString(","))
+    sb.append("},\"HTML-Metadata\":{\"Links\":[")
+    sb.append(links.map(u => "{\"url\":" + jsonStr(u) + "}").mkString(","))
+    sb.append("]")
+    title.foreach(t => sb.append(",\"Title\":").append(jsonStr(t)))
+    sb.append("},\"Response-Message\":{\"Status\":").append(http.status)
+    sb.append("}}}}}")
+    WarcRecord(
+      recordType = "metadata",
+      targetUri = source.targetUri,
+      date = source.date,
+      recordId = recordIdFor("wat:" + source.recordId),
+      contentType = "application/json",
+      extra = Map("WARC-Refers-To" -> source.recordId),
+      payload = sb.toString.getBytes(UTF_8))
+  }
+
   /** The WARC 1.0 revisit profile for payload-identical re-fetches. */
   val RevisitProfile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
 

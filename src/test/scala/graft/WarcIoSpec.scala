@@ -176,6 +176,37 @@ class WarcIoSpec extends SparkSpec {
     assert(back.forall(r => new String(r.payload, UTF_8).startsWith("attempt second")))
   }
 
+  test("toWat: deterministic JSON envelope, RFC 8259 escaping, refers back to the source") {
+    val body = "<html><body>x</body></html>".getBytes(UTF_8)
+    val payload = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html", "Server" -> "graft/1"), body)
+    val src = WarcIo.WarcRecord("response", "http://w.org/a", "2026-01-01T00:00:00Z",
+      "<urn:uuid:src-1>", "application/http; msgtype=response", Map.empty, payload)
+    val wat = WarcIo.toWat(src, WarcIo.parseHttpResponse(payload),
+      Some("A \"quoted\"\ttitle\\path"), Seq("/x", "http://o.org/?a=1&b=2"))
+    assert(wat.recordType == "metadata")
+    assert(wat.contentType == "application/json")
+    assert(wat.extra("WARC-Refers-To") == "<urn:uuid:src-1>")
+    val j = new String(wat.payload, UTF_8)
+    // the envelope is pinned byte-for-byte: fixed key order, no
+    // whitespace, escapes for quote/backslash/tab — drift here breaks
+    // cross-tool WAT consumers silently
+    assert(j ==
+      """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://w.org/a",""" +
+      """"WARC-Type":"response"},"Payload-Metadata":{"Actual-Content-Length":""" +
+      payload.length +
+      ""","HTTP-Response-Metadata":{"Entity-Length":""" + body.length +
+      ""","Headers":{"Content-Type":"text/html","Server":"graft/1",""" +
+      """"Content-Length":"""" + body.length + """"},""" +
+      """"HTML-Metadata":{"Links":[{"url":"/x"},{"url":"http://o.org/?a=1&b=2"}],""" +
+      """"Title":"A \"quoted\"\ttitle\\path"},"Response-Message":{"Status":200}}}}}""",
+      s"envelope drift:\n$j")
+    // no title, no links → Title omitted, Links empty — still valid JSON
+    val bare = new String(WarcIo.toWat(src, WarcIo.parseHttpResponse(payload),
+      None, Nil).payload, UTF_8)
+    assert(bare.contains("\"Links\":[]") && !bare.contains("\"Title\""))
+  }
+
   test("payloadDigest matches the published sha1/base32 spelling") {
     // vectors cross-checked against hashlib.sha1 + base64.b32encode
     assert(WarcIo.payloadDigest(Array.emptyByteArray) ==
