@@ -5,7 +5,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
@@ -29,6 +30,27 @@ object BloomOps {
     val out = new ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray
+  }
+}
+
+/** Per-task cache of deserialized sketches keyed by shard id — the
+  * piece that makes a per-ROW sketch column viable: after a
+  * shard-keyed shuffle a task sees few distinct shards, so each
+  * sketch's bytes are materialized and deserialized ONCE per task
+  * instead of per row. Serializable holder with transient state: the
+  * plan ships the (empty) holder, each task's deserialized copy fills
+  * its own map. A shard whose sketch column was null (join miss —
+  * nothing indexed there) caches a non-BloomFilter marker so the miss
+  * is remembered too.
+  */
+final class BloomProbeCache extends Serializable {
+  @transient private lazy val m =
+    new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+  def get(shard: Int): AnyRef = m.get(shard)
+  def put(shard: Int, bytes: Array[Byte]): AnyRef = {
+    val v: AnyRef = if (bytes == null) java.lang.Boolean.FALSE else BloomOps.read(bytes)
+    m.put(shard, v)
+    v
   }
 }
 
@@ -76,11 +98,12 @@ case class BloomSketchMerge(child: Expression)
   * join attached), which Spark's own `might_contain` refuses: it
   * demands a constant sketch precisely because deserializing per row
   * would be quadratic. This expression makes the join form viable by
-  * deserializing each shard's sketch ONCE per task: children are
-  * evaluated lazily — the (large) sketch bytes are only materialized on
-  * a shard-cache miss — and the decoded filter is cached keyed on the
-  * shard id, never on the bytes. After a shard-keyed shuffle a task
-  * sees few distinct shards, so the cache is small and hit-dominated.
+  * deserializing each shard's sketch ONCE per task: the sketch child
+  * is evaluated LAZILY — its (large) bytes are only materialized on a
+  * shard-cache miss, in both the interpreted and the GENERATED path
+  * (the sketch child's code is emitted inside the cache-miss branch,
+  * so the probe stays inside whole-stage codegen without paying the
+  * bytes-copy per row).
   *
   * Null semantics: null shard or null hash → null; a null sketch for a
   * cached-or-probed shard (the join missed: nothing indexed there) →
@@ -88,7 +111,7 @@ case class BloomSketchMerge(child: Expression)
   * exactly as with `might_contain`.
   */
 case class BloomShardProbe(shard: Expression, bloom: Expression, hash: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(shard, bloom, hash)
   override def dataType: DataType = BooleanType
@@ -103,14 +126,7 @@ case class BloomShardProbe(shard: Expression, bloom: Expression, hash: Expressio
           s"(${s.simpleString(10)}, ${b.simpleString(10)}, ${h.simpleString(10)})")
     }
 
-  // sentinel for "this shard has no sketch" — a miss must be cached too,
-  // or every row of an unindexed shard would re-evaluate the bytes child
-  private object NoSketch
-
-  // per-deserialized-instance (= per task) cache; ConcurrentHashMap out
-  // of caution should an executor ever share the tree across threads
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+  private val cache = new BloomProbeCache
 
   override def eval(input: InternalRow): Any = {
     val s = shard.eval(input)
@@ -121,12 +137,44 @@ case class BloomShardProbe(shard: Expression, bloom: Expression, hash: Expressio
     var bf = cache.get(key)
     if (bf == null) {
       val bytes = bloom.eval(input)
-      bf = if (bytes == null) NoSketch else BloomOps.read(bytes.asInstanceOf[Array[Byte]])
-      cache.put(key, bf)
+      bf = cache.put(key,
+        if (bytes == null) null else bytes.asInstanceOf[Array[Byte]])
     }
-    if (bf.asInstanceOf[AnyRef] eq NoSketch) null
-    else java.lang.Boolean.valueOf(
-      bf.asInstanceOf[BloomFilter].mightContainLong(h.asInstanceOf[Long]))
+    bf match {
+      case f: BloomFilter =>
+        java.lang.Boolean.valueOf(f.mightContainLong(h.asInstanceOf[Long]))
+      case _ => null // marker: this shard has no sketch
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shardGen = shard.genCode(ctx)
+    val hashGen = hash.genCode(ctx)
+    val bloomGen = bloom.genCode(ctx)
+    val cacheRef = ctx.addReferenceObj("bloomProbeCache", cache,
+      classOf[BloomProbeCache].getName)
+    val bfClass = classOf[BloomFilter].getName
+    val bfVar = ctx.freshName("bf")
+    ev.copy(code = code"""
+      ${shardGen.code}
+      boolean ${ev.isNull} = true;
+      boolean ${ev.value} = false;
+      if (!${shardGen.isNull}) {
+        ${hashGen.code}
+        if (!${hashGen.isNull}) {
+          Object $bfVar = $cacheRef.get(${shardGen.value});
+          if ($bfVar == null) {
+            // cache miss: ONLY here do the sketch bytes materialize
+            ${bloomGen.code}
+            $bfVar = $cacheRef.put(${shardGen.value},
+              ${bloomGen.isNull} ? null : ${bloomGen.value});
+          }
+          if ($bfVar instanceof $bfClass) {
+            ${ev.value} = (($bfClass) $bfVar).mightContainLong(${hashGen.value});
+            ${ev.isNull} = false;
+          }
+        }
+      }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -153,11 +153,22 @@ class CrawlFrontierSpec extends SparkSpec {
       s"per-shard sketch unexpectedly large: ${sk.map(_._2.length).max} bytes")
     // and the probe literal ceiling is gone: the physical plan carries no
     // binary literal at all (the sketches ride a join, not lit())
-    val probePlan = CrawlFrontier.probeNew(spark, dir,
+    val probed = CrawlFrontier.probeNew(spark, dir,
       (0 until 50).map(i => (s"http://sb${i % 13}.com/$i", i)).toDF("url", "k"), "url")
-      .queryExecution.executedPlan.toString
+    probed.collect() // finalize AQE so codegen stages are visible
+    val probePlan = probed.queryExecution.executedPlan.toString
     assert(probePlan.contains("graft_bloom_probe"), probePlan)
     assert(!probePlan.contains("might_contain"), "the literal-based probe must be gone")
+    // the probe expression generates code (lazy sketch eval inside the
+    // cache-miss branch) — the hot filter must stay INSIDE whole-stage
+    // codegen, not drop the stage to interpreted eval (inspect the AQE
+    // FINAL plan only; the echoed initial plan carries no stage marks)
+    val finalPlan = probePlan.split("== Initial Plan ==").head
+    val probeLines = finalPlan.linesIterator.filter(_.contains("graft_bloom_probe")).toSeq
+    // codegen'd operators carry the `*(stageId)` marker (tree-drawing
+    // prefixes like `:  +-` precede it, so match anywhere in the line)
+    assert(probeLines.nonEmpty && probeLines.forall(_.contains("*(")),
+      s"probe fell out of whole-stage codegen:\n$probePlan")
   }
 
   test("resolveRedirects: chains of length exactly maxHops resolve; maxHops=1 works") {
