@@ -3366,6 +3366,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_crawl_bootstrap" -> ((s, dir) => {
+      // the crawl-discovery BOOTSTRAP loop, composed end to end:
+      // robots.txt per domain → its `Sitemap:` directives (the field
+      // RobotsTxt collects globally) → sitemap XML fetched-by-formula
+      // and parsed (SitemapXml) → the entries split against the
+      // PERSISTED frontier: never-crawled locs ride the NEW feed
+      // (probeNew) while already-crawled locs whose <lastmod> beats
+      // the stored crawl clock ride the REFRESH feed (recrawlDue) —
+      // union, cap per domain by staleness, politeness-schedule. The
+      // oracle replays sitemap membership, the seen-set as IN/NOT IN,
+      // the due condition, the window cap, and the HRW chain.
+      import s.implicits._
+      val sitemapUrls = s.range(8).flatMap { k =>
+        val robots = "User-agent: *\nDisallow: /private/\n" +
+          s"Sitemap: https://bs$k.org/sitemap.xml\n" +
+          (if (k % 2 == 0) s"Sitemap: https://bs$k.org/sitemap2.xml\n" else "")
+        graft.functions.RobotsTxt.parse(robots).sitemaps.map(u => (k, u))
+      }.toDF("k", "sitemap_url")
+      val entries = sitemapUrls.as[(Long, String)].flatMap { case (k, u) =>
+        val second = u.endsWith("sitemap2.xml")
+        val n = if (second) 5 else 10
+        val xml = "<?xml version=\"1.0\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          (0 until n).map { j =>
+            val dd = if (j % 2 == 0) 15 else 5
+            val path = if (second) s"/q/$j" else s"/p/$j"
+            f"<url><loc>https://bs$k.org$path</loc><lastmod>2026-01-$dd%02d</lastmod></url>"
+          }.mkString + "</urlset>"
+        graft.sources.SitemapXml.parse(xml).entries.map(e => (k, e.loc, e.lastmod))
+      }.toDF("k", "url", "lastmod")
+        .withColumn("signal", lit(100L) + substring(col("lastmod"), 9, 2).cast("long"))
+      val history = s.range(8).flatMap(k =>
+        (0 until 6).map(j => (s"https://bs$k.org/p/$j", 110L))).toDF("url", "day")
+      val idxDir = TempDirs.scratch("crawl_boot_idx_")
+      graft.operators.CrawlFrontier.buildIndex(history, "url", col("day"), idxDir,
+        nShards = 8, expectedItems = 10000L)
+      val newFeed = graft.operators.CrawlFrontier
+        .probeNew(s, idxDir, entries, "url")
+        .select(col("url"), col("signal").as("priority"))
+      val dueFeed = graft.operators.CrawlFrontier
+        .recrawlDue(s, idxDir, entries, "url", col("signal"))
+        .select(col("url"), col("signal").as("priority"))
+      val feed = newFeed.unionByName(dueFeed)
+        .withColumn("domain",
+          call_function("graft_url_domain", call_function("graft_url_host", col("url"))))
+      val capped = graft.operators.CrawlScheduler.capPerDomain(
+        feed, "domain", "url", col("priority"), 6)
+      graft.operators.CrawlScheduler.schedule(capped, "domain", "url", 4, lit(1000L))
+        .select(col("url"), col("domain"), col("priority"), col("fetcher"), col("slot_ms"))
+        .orderBy(col("url"))
+    }),
+
     "pipeline_wat" -> ((s, dir) => {
       // the THIRD crawl container: WARC in, WAT out. Captured pages
       // round-trip to real .warc.gz, each response distills to a
@@ -7545,6 +7597,44 @@ object SparkEntry {
         |    CASE WHEN length(nt) >= 25 THEN chr(10) || nt ELSE '' END) AS BIGINT)
         |    AS n_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // sitemap membership (two sitemaps for even domains), the
+    // seen-set as IN/NOT IN over the history formula, due = signal
+    // beats the stored clock 110, cap by staleness then url, HRW +
+    // slots replayed
+    "pipeline_crawl_bootstrap" ->
+      """WITH doms AS (SELECT k, 'bs' || CAST(k AS VARCHAR) || '.org' AS domain
+        |  FROM range(8) t(k)),
+        |e AS (
+        |  SELECT k, domain,
+        |    'https://' || domain || '/p/' || CAST(j AS VARCHAR) AS url,
+        |    CASE WHEN j % 2 = 0 THEN 115 ELSE 105 END AS signal
+        |  FROM doms CROSS JOIN range(10) r(j)
+        |  UNION ALL
+        |  SELECT k, domain,
+        |    'https://' || domain || '/q/' || CAST(j AS VARCHAR),
+        |    CASE WHEN j % 2 = 0 THEN 115 ELSE 105 END
+        |  FROM doms CROSS JOIN range(5) r(j) WHERE k % 2 = 0),
+        |hist AS (SELECT 'https://bs' || CAST(k AS VARCHAR) || '.org/p/' || CAST(j AS VARCHAR) AS url
+        |  FROM range(8) t(k) CROSS JOIN range(6) r(j)),
+        |feed AS (
+        |  SELECT domain, url, CAST(signal AS BIGINT) AS priority FROM e
+        |  WHERE url NOT IN (SELECT url FROM hist)
+        |  UNION ALL
+        |  SELECT domain, url, CAST(signal AS BIGINT) FROM e
+        |  WHERE url IN (SELECT url FROM hist) AND signal > 110),
+        |capped AS (SELECT domain, url, priority FROM (
+        |    SELECT domain, url, priority,
+        |      ROW_NUMBER() OVER (PARTITION BY domain ORDER BY priority DESC, url) AS rn
+        |    FROM feed) WHERE rn <= 6),
+        |fa AS (SELECT domain,
+        |    arg_max(fch, ('0x' || substr(md5(domain || '|' || CAST(fch AS VARCHAR)), 1, 15))::BIGINT) AS fetcher
+        |  FROM (SELECT DISTINCT domain FROM capped) CROSS JOIN range(4) r(fch)
+        |  GROUP BY domain)
+        |SELECT c.url, c.domain, c.priority, CAST(fa.fetcher AS INT) AS fetcher,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY c.domain ORDER BY c.url) - 1) * 1000 AS BIGINT) AS slot_ms
+        |FROM capped c JOIN fa USING (domain)
+        |ORDER BY url""".stripMargin,
 
     // every WAT field reconstructs from the raw documents: the title
     // and links come from the fixture scaffold, entity_length is the
