@@ -291,7 +291,10 @@ object JsonBinary {
     }
   }
 
-  private def appendJsonString(s: String, sb: java.lang.StringBuilder): Unit = {
+  /** RFC 8259 string escape — shared by the JSONB renderer and the WAT
+    * envelope writer ([[WarcIo.toWat]]) so the two cannot drift.
+    */
+  private[sources] def appendJsonString(s: String, sb: java.lang.StringBuilder): Unit = {
     sb.append('"')
     var i = 0
     while (i < s.length) {

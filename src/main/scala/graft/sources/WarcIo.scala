@@ -510,23 +510,13 @@ object WarcIo {
       extra = Map("WARC-Refers-To" -> source.recordId),
       payload = text.getBytes(UTF_8))
 
-  /** RFC 8259 string escape for the WAT JSON writer: quote, backslash,
-    * and control characters; everything else passes through (the
-    * envelope is UTF-8 like the WARC headers it mirrors).
+  /** RFC 8259 string quoting for the WAT envelope — delegates to the
+    * shared escaper in [[JsonBinary]] so the two JSON writers in this
+    * package cannot drift.
     */
   private def jsonStr(s: String): String = {
-    val sb = new StringBuilder(s.length + 2)
-    sb.append('"')
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"')
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    JsonBinary.appendJsonString(s, sb)
     sb.toString
   }
 
@@ -552,7 +542,16 @@ object WarcIo {
     sb.append(",\"HTTP-Response-Metadata\":{")
     sb.append("\"Entity-Length\":").append(http.body.length)
     sb.append(",\"Headers\":{")
-    sb.append(http.headers.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+    // JSON objects need UNIQUE keys (RFC 8259; duplicate names make
+    // parsers keep an arbitrary one), but HTTP repeats field names —
+    // Set-Cookie above all — so repeated headers merge into one member
+    // with comma-joined values (RFC 9110 field-line combination),
+    // first-occurrence order preserved
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    http.headers.foreach { case (k, v) =>
+      merged.updateWith(k) { case Some(prev) => Some(prev + "," + v); case None => Some(v) }
+    }
+    sb.append(merged.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString(","))
     sb.append("},\"HTML-Metadata\":{\"Links\":[")
     sb.append(links.map(u => "{\"url\":" + jsonStr(u) + "}").mkString(","))

@@ -71,9 +71,9 @@ class FlacCodecSpec extends AnyFunSuite {
     // header's assignment code), so every decorrelated decode branch
     // is provably exercised — a suite asserting only round trips could
     // go green while the contest quietly picked independent everywhere
-    assert(FlacCodec.frameChannelAssignments(decor).forall(Set(8, 9, 10)),
-      s"correlated stereo must pick a decorrelated layout: " +
-        s"${FlacCodec.frameChannelAssignments(decor)}")
+    val decorAssigns = FlacCodec.frameChannelAssignments(decor)
+    assert(decorAssigns.forall(Set(8, 9, 10)),
+      s"correlated stereo must pick a decorrelated layout: $decorAssigns")
     assert(FlacCodec.frameChannelAssignments(indep).forall(_ == 1))
 
     // anticorrelated loud channels (R = −L, amp ~30k): side = 2L NEEDS
@@ -90,8 +90,9 @@ class FlacCodecSpec extends AnyFunSuite {
       "the anti signal must actually need 17-bit side samples")
     val a = FlacCodec.encode(8000, 2, anti, 512, lpcOrder = 2, decorrelate = true)
     assert(java.util.Arrays.equals(FlacCodec.decode(a)._3, anti))
-    assert(FlacCodec.frameChannelAssignments(a).forall(_ == 10),
-      s"mid/side must win on anticorrelated audio: ${FlacCodec.frameChannelAssignments(a)}")
+    val antiAssigns = FlacCodec.frameChannelAssignments(a)
+    assert(antiAssigns.forall(_ == 10),
+      s"mid/side must win on anticorrelated audio: $antiAssigns")
     // decorrelation never loses: the independent layout is in the contest
     assert(a.length <= FlacCodec.encode(8000, 2, anti, 512, lpcOrder = 2).length)
 
@@ -114,9 +115,9 @@ class FlacCodecSpec extends AnyFunSuite {
     }
     val rs = FlacCodec.encode(8000, 2, rsSig, 4096, lpcOrder = 8, decorrelate = true)
     assert(java.util.Arrays.equals(FlacCodec.decode(rs)._3, rsSig))
-    assert(FlacCodec.frameChannelAssignments(rs) == Seq(9),
-      s"right/side must win when R is the cheap channel: " +
-        s"${FlacCodec.frameChannelAssignments(rs)}")
+    val rsAssigns = FlacCodec.frameChannelAssignments(rs)
+    assert(rsAssigns == Seq(9),
+      s"right/side must win when R is the cheap channel: $rsAssigns")
     val lsSig = new Array[Short](2 * m) // R carries the tonal → L/S
     x = 7L
     for (t <- 0 until m) {
@@ -126,9 +127,36 @@ class FlacCodecSpec extends AnyFunSuite {
     }
     val ls = FlacCodec.encode(8000, 2, lsSig, 4096, lpcOrder = 8, decorrelate = true)
     assert(java.util.Arrays.equals(FlacCodec.decode(ls)._3, lsSig))
-    assert(FlacCodec.frameChannelAssignments(ls) == Seq(8),
-      s"left/side must win when L is the cheap channel: " +
-        s"${FlacCodec.frameChannelAssignments(ls)}")
+    val lsAssigns = FlacCodec.frameChannelAssignments(ls)
+    assert(lsAssigns == Seq(8),
+      s"left/side must win when L is the cheap channel: $lsAssigns")
+  }
+
+  test("the 17-bit side BOUNDARY (±65535) rides the wire through a decorrelated frame") {
+    // L pinned near +32767 and R near −32768 (and mirrored): their sum
+    // is the CONSTANT −1 (mid = −1 every sample) while side = ±65535 ∓
+    // 2a(t) sweeps the extreme of the 17-bit range — mid/side wins by
+    // construction, so the warm-up/verbatim/Rice paths carry true
+    // boundary side samples, where a 16-bit mask bug would corrupt
+    for (mirror <- Seq(false, true)) {
+      val n = 1200
+      val inter = new Array[Short](2 * n)
+      var sideMax = 0L
+      for (t <- 0 until n) {
+        val a = (Sine16(t % 16) + 1000) / 2 // 0..1000, hits 0 at t%16==12
+        val (l, r) = if (mirror) (-32768 + a, 32767 - a) else (32767 - a, -32768 + a)
+        inter(2 * t) = l.toShort
+        inter(2 * t + 1) = r.toShort
+        sideMax = math.max(sideMax, math.abs(l.toLong - r))
+      }
+      assert(sideMax == 65535L, s"fixture drift: max |side| $sideMax")
+      val e = FlacCodec.encode(8000, 2, inter, 256, lpcOrder = 2, decorrelate = true)
+      assert(java.util.Arrays.equals(FlacCodec.decode(e)._3, inter),
+        s"boundary side samples corrupted (mirror=$mirror)")
+      val assigns = FlacCodec.frameChannelAssignments(e)
+      assert(assigns.forall(_ == 10),
+        s"mid/side must win on the boundary fixture (mirror=$mirror): $assigns")
+    }
   }
 
   test("wasted bits: shared trailing zeros encode narrower and decode exactly") {

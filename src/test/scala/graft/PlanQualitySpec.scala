@@ -92,7 +92,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(pf.contains("BroadcastHashJoin") && pf.contains("LeftAnti"),
       "the seen-set anti-join must broadcast (the frontier side is the big one)")
     for (q <- Seq("pipeline_crawl", "text_html_blocks", "text_html_links",
-        "url_normalize", "url_domain_stats", "url_robots_filter")) {
+        "url_normalize", "url_domain_stats", "url_robots_filter",
+        "pipeline_crawl_loop_ranked", "pipeline_crawl_bootstrap")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
@@ -546,7 +547,8 @@ class PlanQualitySpec extends SparkSpec {
     cm.clearCache()
     for (q <- Seq("dedup_minhash", "dedup_minhash_md5", "dedup_minhash_incremental",
         "text_bm25_prf", "pipeline_curate",
-        "pipeline_frontier_incremental", "pipeline_crawl_loop", "crawl_revisits")) {
+        "pipeline_frontier_incremental", "pipeline_crawl_loop", "crawl_revisits",
+        "pipeline_crawl_loop_ranked", "pipeline_crawl_bootstrap", "pipeline_wat")) {
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       assert(cm.isEmpty, s"$q leaked a pinned Dataset into the session cache")
     }

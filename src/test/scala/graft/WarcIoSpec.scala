@@ -205,6 +205,17 @@ class WarcIoSpec extends SparkSpec {
     val bare = new String(WarcIo.toWat(src, WarcIo.parseHttpResponse(payload),
       None, Nil).payload, UTF_8)
     assert(bare.contains("\"Links\":[]") && !bare.contains("\"Title\""))
+    // repeated HTTP field names (Set-Cookie!) must NOT become duplicate
+    // JSON keys — they merge RFC-9110 style into one comma-joined
+    // member, first-occurrence order preserved
+    val dup = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Set-Cookie" -> "a=1", "Content-Type" -> "text/html", "Set-Cookie" -> "b=2"),
+      body)
+    val dupJ = new String(WarcIo.toWat(
+      src.copy(payload = dup), WarcIo.parseHttpResponse(dup), None, Nil).payload, UTF_8)
+    assert(dupJ.contains(
+      """"Headers":{"Set-Cookie":"a=1,b=2","Content-Type":"text/html","Content-Length":""""),
+      s"duplicate header keys leaked into the envelope:\n$dupJ")
   }
 
   test("payloadDigest matches the published sha1/base32 spelling") {
