@@ -596,6 +596,41 @@ object ScaleProbe {
             f""""expected_items":${10000000L * k}}""")
         }
       }
+      locally {
+        // CDX master index at k×1M captures over k×10k hosts: build the
+        // range-partitioned sorted table + cluster.idx once (untimed,
+        // like the frontier build), then time ONE host's lookup — the
+        // op must stay flat in k because the cluster consult bounds the
+        // scan to the intersecting shard(s); a full-scan formulation
+        // would grow linearly. Also prints how many of the shard files
+        // the lookup actually touched.
+        var cdxDir: String = null
+        def buildCdx(): Unit = {
+          cdxDir = TempDirs.scratch("probe_cdx_")
+          val host = pmod(col("id"), lit(10000L * k))
+          val cdx = spark.range(1000000L * k).select(
+            concat(lit("org,host"), host, lit(")/p/"), col("id")).as("surt"),
+            lpad(pmod(col("id"), lit(97)).cast("string"), 14, "0").as("ts"),
+            concat(lit("https://host"), host, lit(".org/p/"), col("id")).as("url"),
+            lit("text/html").as("mime"), lit(200).as("status"),
+            concat(lit("d"), col("id")).as("digest"),
+            (lit(100L) + pmod(col("id"), lit(9))).as("length"),
+            col("id").as("offset"),
+            concat(lit("f"), pmod(col("id"), lit(64)), lit(".warc.gz")).as("filename"))
+          sources.CdxIndex.buildTable(cdx, cdxDir, nShards = 64)
+        }
+        if (only.forall(_.contains("cdx_lookup_xl"))) buildCdx()
+        time("cdx_lookup_xl", k) {
+          sources.CdxIndex.lookupPrefix(spark, cdxDir, "org,host4242)")
+        }
+        if (cdxDir != null) {
+          val touched = sources.CdxIndex
+            .lookupPrefix(spark, cdxDir, "org,host4242)").inputFiles.length
+          val total = spark.read.parquet(cdxDir + "/cdx").inputFiles.length
+          println(s"""{"op":"cdx_lookup_xl_shards","k":$k,""" +
+            s""""touched":$touched,"total":$total}""")
+        }
+      }
       time("crawl_pagerank", k) {
         // host-graph centrality at k×100k edges over k×10k hosts
         // (LCG-mixed destinations so edges stay distinct): five

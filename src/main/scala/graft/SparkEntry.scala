@@ -3483,6 +3483,156 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "cdx_surt" -> ((s, dir) => {
+      // SURT key battery — the sort/lookup key of web-archive CDX
+      // indexes, one template per canonicalization rule: host-label
+      // reversal, www/wwwN strip (and the ≥2-labels-remain guard:
+      // www.ck keeps www), IPv4 literals unreversed, default-port drop
+      // vs non-default keep, dot-segment + unreserved-escape + tracking
+      // normalization feeding the key, query-param sort, whole-key
+      // case fold, trailing-dot strip, fragment drop, empty path → /.
+      // The oracle constructs the expected key per template, so green
+      // means every rule agrees cross-engine.
+      s.range(240).selectExpr("id",
+        """CASE CAST(id % 8 AS INT)
+          |  WHEN 0 THEN concat('HTTP://WWW.Example', id % 9, '.COM:80/A/./B/../Page', id,
+          |                     '.HTML?utm_source=x&b=2&a=1#f')
+          |  WHEN 1 THEN concat('https://www2.blog', id, '.example.org/')
+          |  WHEN 2 THEN concat('http://192.168.', id % 4, '.1:8080/x')
+          |  WHEN 3 THEN concat('https://Sub', id, '.Shop.co.uk/Items//List/?z=9&y=%41')
+          |  WHEN 4 THEN concat('http://www.ck/p', id)
+          |  WHEN 5 THEN concat('https://example', id, '.com./d')
+          |  WHEN 6 THEN concat('http://host', id, '.example.com:8443/p?q=', id)
+          |  ELSE concat('https://a', id, '.io#sec')
+          |END AS url""".stripMargin)
+        .select(col("id"), call_function("graft_surt", col("url")).as("surt"))
+        .orderBy(col("id"))
+    }),
+
+    "pipeline_cdx" -> ((s, dir) => {
+      // the FOURTH crawl container: WARC in, CDX out. Captured pages
+      // round-trip to real .warc.gz with the CDXJ sidecar committed
+      // alongside (writeWarcWithCdx), the sidecar parses back through
+      // readCdxj (Spark's own from_json — an independent parser
+      // validating the lines are real CDXJ), and the oracle
+      // reconstructs key, timestamp, mime and status per doc from the
+      // raw documents alone. The ranged-read pointer fields exist on
+      // every row (has_pointer) but their VALUES are compression
+      // output — CdxSpec proves them by seeking: offset/length frame
+      // exactly one gunzip-able record.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"), lit("CDX indexing heading")).as("html"))
+      val warcDir = TempDirs.scratch("cdx_src_")
+      val records = docs.repartition(8).as[(Long, String)]
+        .mapPartitions(_.map { case (id, html) =>
+          val uri = s"http://c${id % 13}.example.org/d/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("cdxsrc:" + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarcWithCdx(records, warcDir)
+      WarcIo.readCdxj(s, warcDir + "/part-*.cdx.gz")
+        .select(
+          substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+          col("surt"), col("ts"), col("mime"), col("status"),
+          (col("offset") >= 0 && col("length") > 0 &&
+            col("filename").endsWith(".warc.gz")).as("has_pointer"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "cdx_lookup" -> ((s, dir) => {
+      // the master-index lookup loop: a 4000-capture CDX corpus →
+      // CdxIndex.buildTable (range-partitioned by SURT, sorted within
+      // shards, cluster.idx analog of per-file key ranges) → ONE host's
+      // captures via lookupPrefix, which consults the cluster table and
+      // scans only the intersecting shards (CdxSpec pins the pruning;
+      // at archive scale this is the difference between a ranged read
+      // and a 100 TB scan). Every field is formula-constructed, so the
+      // oracle replays the whole build→prune→filter loop.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+        .select("surt", "ts", "url", "mime", "status", "digest",
+          "length", "offset", "filename")
+      val idxDir = TempDirs.scratch("cdx_tbl_")
+      graft.sources.CdxIndex.buildTable(cdx, idxDir, nShards = 12)
+      graft.sources.CdxIndex.lookupPrefix(s, idxDir, "org,site3,h17)")
+        .select(col("surt"), col("ts"), col("url"), col("offset"), col("length"))
+        .orderBy(col("surt"))
+    }),
+
+    "cdx_columnar" -> ((s, dir) => {
+      // the cc-index-table shape: CDX rows widened to typed URL columns
+      // (host, eTLD+1 via the PSL, TLD, path) and aggregated per
+      // registrable domain — "all captures of domain X" as a parquet
+      // predicate scan instead of SURT string games. Same formula
+      // corpus as cdx_lookup, so the oracle replays the host/domain
+      // derivation and the rollup.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      graft.sources.CdxIndex.toColumnar(cdx)
+        .groupBy(col("url_host_tld"), col("url_host_registered_domain"))
+        .agg(count(lit(1)).as("n_captures"),
+          countDistinct(col("url_host_name")).as("n_hosts"),
+          min(col("url_surtkey")).as("first_key"),
+          sum(col("warc_record_length")).as("total_bytes"))
+        .orderBy(col("url_host_registered_domain"))
+    }),
+
+    "pipeline_cdx_fetch" -> ((s, dir) => {
+      // the index's PAYOFF, composed end to end: archive + CDX sidecar
+      // on disk → master index (range-partitioned, cluster-pruned) →
+      // lookupPrefix of ONE host → fetchByCdx reads exactly those
+      // records by positioned (offset, length) reads — never scanning
+      // the archive — and the fetched HTTP entities replay from the
+      // raw documents via the escape→byte-length identity. Green
+      // proves pointer integrity through the full loop: write → index
+      // → prune → seek → gunzip → parse.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"), lit("CDX fetch heading")).as("html"))
+      val warcDir = TempDirs.scratch("cdxf_src_")
+      val records = docs.repartition(8).as[(Long, String)]
+        .mapPartitions(_.map { case (id, html) =>
+          val uri = s"http://c${id % 13}.example.org/d/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("cdxfsrc:" + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarcWithCdx(records, warcDir)
+      val idxDir = TempDirs.scratch("cdxf_idx_")
+      graft.sources.CdxIndex.buildTable(
+        WarcIo.readCdxj(s, warcDir + "/part-*.cdx.gz"), idxDir, nShards = 8)
+      val hit = graft.sources.CdxIndex.lookupPrefix(s, idxDir, "org,example,c5)")
+      WarcIo.fetchByCdx(hit, warcDir)
+        .select(col("target_uri"), col("payload"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (uri, payload) =>
+          val http = WarcIo.parseHttpResponse(payload)
+          (uri.substring(uri.lastIndexOf('/') + 1).toLong, http.status,
+            http.body.length.toLong)
+        }).toDF("doc_id", "status", "entity_length")
+        .orderBy(col("doc_id"))
+    }),
+
     "crawl_schedule_robots" -> ((s, dir) => {
       // the robots → scheduler delay loop: each domain's REAL
       // robots.txt text (Crawl-delay present for 2/3 of domains,
@@ -7657,6 +7807,74 @@ object SparkEntry {
         |  CAST(2 AS INT) AS n_links,
         |  '/' AS link0, '/about' AS link1,
         |  'response' AS src_type
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // every SURT canonicalization rule restated as string construction
+    "cdx_surt" ->
+      """WITH t AS (SELECT i, i % 8 AS m, CAST(i AS VARCHAR) AS si,
+        |    CAST(i % 9 AS VARCHAR) AS s9, CAST(i % 4 AS VARCHAR) AS s4 FROM range(240) r(i))
+        |SELECT i AS id,
+        |  CASE m
+        |    WHEN 0 THEN 'com,example' || s9 || ')/a/page' || si || '.html?a=1&b=2'
+        |    WHEN 1 THEN 'org,example,blog' || si || ')/'
+        |    WHEN 2 THEN '192.168.' || s4 || '.1:8080)/x'
+        |    WHEN 3 THEN 'uk,co,shop,sub' || si || ')/items//list/?y=a&z=9'
+        |    WHEN 4 THEN 'ck,www)/p' || si
+        |    WHEN 5 THEN 'com,example' || si || ')/d'
+        |    WHEN 6 THEN 'com,example,host' || si || ':8443)/p?q=' || si
+        |    ELSE 'io,a' || si || ')/' END AS surt
+        |FROM t ORDER BY id""".stripMargin,
+
+    // key/timestamp/mime/status reconstructed from the raw documents;
+    // the pointer fields' presence is stated (their values are
+    // compression output — CdxSpec proves them by ranged read)
+    "pipeline_cdx" ->
+      """SELECT doc_id,
+        |  'org,example,c' || CAST(doc_id % 13 AS VARCHAR) || ')/d/' ||
+        |    CAST(doc_id AS VARCHAR) AS surt,
+        |  '20260101000000' AS ts, 'text/html' AS mime,
+        |  CAST(200 AS INT) AS status, TRUE AS has_pointer
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // the build→prune→filter loop replayed as a plain filter over the
+    // formula corpus: the pruned shard scan must be invisible in the
+    // ANSWER (only in the plan/IO), so green pins bit-equality
+    "cdx_lookup" ->
+      """WITH t AS (SELECT i FROM range(4000) r(i) WHERE i % 40 = 17 AND i % 7 = 3)
+        |SELECT 'org,site3,h17)/p/' || CAST(i AS VARCHAR) AS surt,
+        |  lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |  'https://h17.site3.org/p/' || CAST(i AS VARCHAR) AS url,
+        |  i AS "offset", 100 + i % 9 AS "length"
+        |FROM t ORDER BY surt""".stripMargin,
+
+    // host/TLD/eTLD+1 derivation + per-domain rollup replayed from the
+    // same formulas
+    "cdx_columnar" ->
+      """WITH t AS (SELECT i, i % 7 AS k, i % 40 AS h FROM range(4000) r(i))
+        |SELECT 'org' AS url_host_tld,
+        |  'site' || CAST(k AS VARCHAR) || '.org' AS url_host_registered_domain,
+        |  COUNT(*) AS n_captures,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hosts,
+        |  MIN('org,site' || CAST(k AS VARCHAR) || ',h' || CAST(h AS VARCHAR)
+        |      || ')/p/' || CAST(i AS VARCHAR)) AS first_key,
+        |  CAST(SUM(100 + i % 9) AS BIGINT) AS total_bytes
+        |FROM t GROUP BY k ORDER BY url_host_registered_domain""".stripMargin,
+
+    // one host's entities reconstructed from the raw documents via the
+    // escape→byte-length identity (the pipeline_wat convention); the
+    // seek/gunzip mechanics are pinned byte-level in CdxSpec
+    "pipeline_cdx_fetch" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |    WHERE text IS NOT NULL AND doc_id % 13 = 5),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+        |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
+        |  '<h1>CDX fetch heading</h1><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
+        |  FROM d)
+        |SELECT doc_id, CAST(200 AS INT) AS status,
+        |  CAST(strlen(html) AS BIGINT) AS entity_length
         |FROM h ORDER BY doc_id""".stripMargin,
 
     // Crawl-delay is fixed per domain arm (absent → the 1s default),

@@ -357,4 +357,62 @@ object UrlOps extends Serializable {
     */
   def registrableDomain(host: String, suffixes: Set[String]): String =
     PublicSuffixList.fromSuffixes(suffixes).registrableDomain(host)
+
+  private val ipv4Re = "\\d{1,3}(\\.\\d{1,3}){3}".r
+  private val wwwLabelRe = "www\\d*".r
+
+  /** SURT key (Sort-friendly URI Reordering Transform) of an absolute
+    * URL — the sort/lookup key of web-archive CDX indexes: host labels
+    * reversed and comma-joined so one host's records (and one domain's
+    * hosts) are CONTIGUOUS under a lexicographic sort, which is what
+    * makes range-pruned index lookup work at archive scale.
+    *
+    * Built from [[normalize]]'s components, then canonicalized the way
+    * CDX writers (pywb / webarchive-commons) do:
+    *   - scheme dropped (http/https collide — same document);
+    *   - host IDNA-folded + lowercased, one trailing dot stripped, ONE
+    *     leading `www`/`www<digits>` label stripped when at least two
+    *     labels remain (`www.example.com` → `example.com`, but `www.ck`
+    *     keeps its only meaningful label); IPv4 literals keep their
+    *     byte order (reversing octets would scatter a subnet), other
+    *     hosts reverse label order joined by `,`;
+    *   - non-default port kept after the reversed host (`:8443`);
+    *   - path dot-segment-resolved, escape-normalized, then the whole
+    *     key LOWERCASED — CDX keys are case-folded so `/A` and `/a`
+    *     collide (the documented over-fold CDX accepts for dedup);
+    *   - query tracking-stripped ([[normalizeQuery]]), params sorted
+    *     byte-wise (`?b=2&a=1` and `?a=1&b=2` collide), empty query
+    *     dropped; fragment dropped.
+    *
+    * `com,example)/index.html?a=1` sorts between `com,example)/` and
+    * `com,example,sub)/` — a host prefix query is `key >= "com,example)"
+    * && key < "com,example*"` (`'*'` is `')'+1`).
+    */
+  def surtKey(url: String): String = {
+    val u = parse(url)
+    val port = if (u.port == defaultPort(u.scheme)) -1 else u.port
+    val host = {
+      val h = toAsciiHost(if (u.host.endsWith(".")) u.host.dropRight(1) else u.host)
+      require(h.nonEmpty, s"URL without host: '${url.take(60)}'")
+      h
+    }
+    val isIp = ipv4Re.matches(host)
+    val rev =
+      if (isIp) host
+      else {
+        val labels = host.split('.')
+        val kept =
+          if (labels.length >= 3 && wwwLabelRe.matches(labels.head)) labels.tail
+          else labels
+        kept.reverseIterator.mkString(",")
+      }
+    val path = normalizeEscapes(resolveDotSegments(u.path))
+    val q = normalizeQuery(u.query)
+    val sq = if (q.isEmpty) "" else q.split("&", -1).sorted.mkString("&")
+    val sb = new StringBuilder(rev)
+    if (port > 0) sb.append(':').append(port)
+    sb.append(')').append(path)
+    if (sq.nonEmpty) sb.append('?').append(sq)
+    sb.toString.toLowerCase(java.util.Locale.ROOT)
+  }
 }

@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_surt"),
+      new ExpressionInfo(classOf[UrlSurt].getName, "graft_surt"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_surt(url) takes one string argument")
+        UrlSurt(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_url_domain"),
       new ExpressionInfo(classOf[UrlDomain].getName, "graft_url_domain"),
       (children: Seq[Expression]) => {

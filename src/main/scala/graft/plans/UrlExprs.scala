@@ -34,6 +34,14 @@ object UrlUtil {
       graft.functions.UrlOps.toAsciiHost(graft.functions.UrlOps.parse(s.toString).host))
     catch { case _: IllegalArgumentException => null }
   }
+
+  /** CDX SURT key ([[graft.functions.UrlOps.surtKey]]); null when the
+    * input has no scheme/authority.
+    */
+  def surtOrNull(s: UTF8String): UTF8String = {
+    try UTF8String.fromString(graft.functions.UrlOps.surtKey(s.toString))
+    catch { case _: IllegalArgumentException => null }
+  }
 }
 
 abstract class UrlStringExpr extends UnaryExpression {
@@ -74,6 +82,24 @@ case class UrlHost(child: Expression) extends UrlStringExpr {
       s"""${ev.value} = graft.plans.UrlUtil.hostOrNull($c);
          |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+}
+
+/** `graft_surt(url)` — the CDX SURT sort key, null on malformed input.
+  * Codegen'd for the same reason as the other URL expressions: CDX
+  * generation runs once per archived record and the index build sorts
+  * on this column, so it must stay inside whole-stage codegen.
+  */
+case class UrlSurt(child: Expression) extends UrlStringExpr {
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_surt"
+  override def nullSafeEval(input: Any): Any =
+    UrlUtil.surtOrNull(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.UrlUtil.surtOrNull($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): UrlSurt =
     copy(child = newChild)
 }
 

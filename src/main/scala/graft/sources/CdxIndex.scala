@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The crawl's master URL index: CDX rows (from
+  * [[WarcIo.writeWarcWithCdx]] sidecars via [[WarcIo.readCdxj]], or any
+  * external CDX source) compacted into ONE globally range-sorted table
+  * keyed by SURT — the web-archive layout (Common Crawl's
+  * `cc-index`: sorted cdx-NNNNN shards + a `cluster.idx` that maps key
+  * ranges to shards) re-expressed on parquet.
+  *
+  * Layout written by [[buildTable]] under `dir`:
+  *   - `<dir>/cdx/` — the index rows, RANGE-partitioned by (surt, ts)
+  *     and sorted within each shard, so one host's (and one domain's)
+  *     captures are contiguous in ONE shard run;
+  *   - `<dir>/cluster/` — the cluster.idx analog: per shard FILE its
+  *     [first,last] SURT key and row count. Tiny (one row per shard),
+  *     read whole.
+  *
+  * Scale shape: a lookup ([[lookupPrefix]] / [[lookupRange]]) reads the
+  * cluster table (shard-count rows), picks the shard files whose key
+  * range intersects, and scans ONLY those — at Common Crawl scale
+  * (3×10⁹ captures, 300 shards) a host query touches 1–2 shards, and
+  * inside each shard parquet row-group stats on the sorted `surt`
+  * column prune further. Nothing index-sized is ever collected; the
+  * only driver materialization is the shard-file list (≤ nShards
+  * strings). Queries needing the reverse direction (url → archive
+  * bytes) get (`filename`, `offset`, `length`) for a single ranged
+  * read, which is the point of a CDX: fetch ONE page from a 100 TB
+  * archive without scanning it.
+  */
+object CdxIndex {
+
+  /** Write the sorted master index. `cdx` must carry at least
+    * (surt, ts); all columns are kept. Range partitioning samples the
+    * key distribution, so shard boundaries follow the data (a heavily
+    * crawled domain spreads over several shards instead of hot-spotting
+    * one writer).
+    */
+  def buildTable(cdx: DataFrame, dir: String, nShards: Int): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    cdx.repartitionByRange(nShards, col("surt"), col("ts"))
+      .sortWithinPartitions(col("surt"), col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/cdx")
+    // cluster.idx analog: one column-pruned pass over the shards just
+    // written (reads only `surt`), grouped by physical file
+    val spark = cdx.sparkSession
+    spark.read.parquet(s"$dir/cdx")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("surt")).as("lo"), max(col("surt")).as("hi"),
+        count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/cluster")
+  }
+
+  /** The shard files whose [lo,hi] key range intersects [from,to] —
+    * the cluster.idx consultation. Bounded: one row per shard file.
+    */
+  private def shardFiles(spark: SparkSession, dir: String,
+      from: String, to: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/cluster")
+      .filter(col("hi") >= from && col("lo") < to)
+      .select(col("file")).as[String].collect().toSeq.sorted
+  }
+
+  /** All index rows with `from <= surt < to`, scanning only the shards
+    * the cluster table says can hold them.
+    */
+  def lookupRange(spark: SparkSession, dir: String, from: String, to: String): DataFrame = {
+    val files = shardFiles(spark, dir, from, to)
+    if (files.isEmpty)
+      spark.read.parquet(s"$dir/cdx").limit(0)
+    else
+      spark.read.parquet(files: _*)
+        .filter(col("surt") >= from && col("surt") < to)
+  }
+
+  /** All captures under a SURT prefix — `"com,example)"` is one host,
+    * `"com,example"` a whole registrable domain and its subdomains
+    * (label-reversal makes both CONTIGUOUS key ranges; that is why the
+    * key exists). Implemented as [[lookupRange]] over
+    * [prefix, prefix+U+10FFFF).
+    */
+  def lookupPrefix(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    lookupRange(spark, dir, prefix, prefix + new String(Character.toChars(0x10FFFF)))
+
+  /** The cc-index-table shape: CDX rows widened with the typed URL
+    * columns a columnar query engine filters on (host, eTLD+1 via the
+    * embedded PSL, TLD, path) — so "all .org captures from domain X
+    * with status 200" is a parquet predicate-pushdown scan, no SURT
+    * string games. Column names follow the public cc-index-table
+    * convention (`url_surtkey`, `url_host_name`, …) so queries written
+    * against Common Crawl's index port over.
+    */
+  def toColumnar(cdx: DataFrame): DataFrame = {
+    val host = call_function("graft_url_host", col("url"))
+    cdx.select(
+      col("surt").as("url_surtkey"),
+      col("url"),
+      host.as("url_host_name"),
+      element_at(split(host, "\\."), -1).as("url_host_tld"),
+      call_function("graft_url_domain", host).as("url_host_registered_domain"),
+      regexp_extract(col("url"), "^[a-z]+://[^/?#]*(/[^?#]*)?", 1).as("url_path"),
+      col("ts").as("fetch_time"),
+      col("status").as("fetch_status"),
+      col("mime").as("content_mime_type"),
+      col("digest").as("content_digest"),
+      col("filename").as("warc_filename"),
+      col("offset").as("warc_record_offset"),
+      col("length").as("warc_record_length"))
+  }
+}

@@ -646,7 +646,26 @@ object WarcIo {
     * paths, sorted — reported by the winning tasks themselves, never
     * reconstructed by listing the directory.
     */
-  def writeWarc(rows: DataFrame, dir: String): Seq[String] = {
+  def writeWarc(rows: DataFrame, dir: String): Seq[String] =
+    writeArchive(rows, dir, withCdx = false).filter(_.endsWith(".warc.gz"))
+
+  /** [[writeWarc]] plus the CDX sidecar: each `part-N.warc.gz` commits
+    * together with a `part-N.cdx.gz` of CDXJ lines
+    * (`<surt-key> <ts14> {json}` — pywb's index interchange format)
+    * carrying the byte `offset`/`length` of every record's gzip member,
+    * so a reader can fetch ONE capture with a single ranged read +
+    * gunzip instead of scanning the archive ([[readCdxj]] parses them
+    * back; `CdxIndex.buildTable` turns them into the sorted,
+    * range-pruned master index). Returns (warc paths, cdx paths).
+    * Offsets are exact because the `.warc.gz` layout is one gzip
+    * member per record — the member boundary IS the record boundary.
+    */
+  def writeWarcWithCdx(rows: DataFrame, dir: String): (Seq[String], Seq[String]) = {
+    val all = writeArchive(rows, dir, withCdx = true)
+    (all.filter(_.endsWith(".warc.gz")), all.filter(_.endsWith(".cdx.gz")))
+  }
+
+  private def writeArchive(rows: DataFrame, dir: String, withCdx: Boolean): Seq[String] = {
     val spark = rows.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -659,7 +678,7 @@ object WarcIo {
         val n = st.getPath.getName
         if (n.startsWith("part-")) {
           if (n.endsWith(".tmp")) { fs.delete(st.getPath, false); () }
-          else if (n.endsWith(".warc.gz")) {
+          else if (n.endsWith(".warc.gz") || n.endsWith(".cdx.gz")) {
             val s = new org.apache.hadoop.fs.Path(dirPath, n + ".stale")
             fs.delete(s, false)
             require(fs.rename(st.getPath, s),
@@ -692,8 +711,8 @@ object WarcIo {
         val recs = it.map { case (t, uri, date, rid, ct, payload, extra) =>
           WarcRecord(t, uri, date, rid, ct, extra, payload)
         }
-        Iterator.single(
-          commitPartitionFile(dir, pid, tc.taskAttemptId(), recs, bcConf.value.value))
+        commitPartitionFiles(dir, pid, tc.taskAttemptId(), recs,
+          bcConf.value.value, withCdx).iterator
       }
     }.collect().toSeq.distinct.sorted
     // job committed → the parked previous archive can go
@@ -813,31 +832,146 @@ object WarcIo {
     */
   private[graft] def commitPartitionFile(dir: String, pid: Int, attemptTag: Long,
       recs: Iterator[WarcRecord],
-      hconf: org.apache.hadoop.conf.Configuration): String = {
+      hconf: org.apache.hadoop.conf.Configuration): String =
+    commitPartitionFiles(dir, pid, attemptTag, recs, hconf, withCdx = false).head
+
+  /** One CDXJ index line for a record at (`offset`, `length`) of
+    * `filename`: `<surt-key> <ts14> {json}` — the searchable-key /
+    * timestamp / JSON-block layout pywb and OutbackCDX interchange.
+    * JSON fields follow the CDX(J) convention: `url`, `mime` (HTTP
+    * Content-Type media type for responses, record Content-Type
+    * otherwise), `status` (responses only), `digest` (the same
+    * body-only-for-HTTP spelling [[payloadDigests]] uses, so a CDX row
+    * and a revisit check agree), and the ranged-read triple
+    * `length`/`offset`/`filename` — numbers as JSON strings, the
+    * CDXJ-on-the-wire convention. Records with no target URI
+    * (warcinfo) or an unSURTable one yield None: CDX indexes captures,
+    * not archive bookkeeping. A capture with a date that does not
+    * yield a 14-digit timestamp fails the write loudly — silently
+    * missing from the index means lost at re-processing time.
+    */
+  private[graft] def cdxjLine(r: WarcRecord, offset: Long, length: Long,
+      filename: String): Option[String] = {
+    if (r.targetUri.isEmpty) return None
+    val surt =
+      try graft.functions.UrlOps.surtKey(r.targetUri)
+      catch { case _: IllegalArgumentException => return None }
+    val ts = r.date.filter(_.isDigit).take(14)
+    // a capture silently missing from the index is a lost page at
+    // re-processing time — a malformed date fails the WRITE, loudly
+    require(ts.length == 14,
+      s"cdx: WARC-Date '${r.date}' of ${r.recordId} does not yield a 14-digit timestamp")
+    val (mime, status) =
+      if (r.recordType == "response")
+        (try {
+          val http = parseHttpResponse(r.payload)
+          (http.header("Content-Type").getOrElse("").takeWhile(_ != ';').trim,
+            Some(http.status))
+        } catch { case _: Exception => ("unk", None) })
+      else (r.contentType.takeWhile(_ != ';').trim, None)
+    val digest = r.extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
+    }.getOrElse {
+      if (r.recordType == "response") httpPayloadDigest(r.payload)
+      else payloadDigest(r.payload)
+    }
+    val sb = new StringBuilder(192)
+    sb.append(surt).append(' ').append(ts).append(" {")
+    sb.append("\"url\":").append(jsonStr(r.targetUri))
+    if (mime.nonEmpty) sb.append(",\"mime\":").append(jsonStr(mime))
+    status.foreach(s => sb.append(",\"status\":\"").append(s).append('"'))
+    sb.append(",\"digest\":").append(jsonStr(digest))
+    sb.append(",\"length\":\"").append(length).append('"')
+    sb.append(",\"offset\":\"").append(offset).append('"')
+    sb.append(",\"filename\":").append(jsonStr(filename))
+    sb.append('}')
+    Some(sb.toString)
+  }
+
+  /** Parse `.cdx(.gz)` CDXJ files back into rows — the inverse of the
+    * sidecar [[writeWarcWithCdx]] emits, and the ingest point for CDX
+    * files written by OTHER tools (pywb, cdxj-indexer). Fully columnar:
+    * one text scan, `split(limit=3)` for the two space-delimited key
+    * fields, `from_json` for the block — no JVM-object parse path.
+    * Output: (surt, ts, url, mime, status, digest, length, offset,
+    * filename) with the numeric fields cast.
+    */
+  def readCdxj(spark: SparkSession, glob: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val blockSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, mime STRING, status STRING, digest STRING, " +
+        "length STRING, offset STRING, filename STRING")
+    spark.read.textFile(glob).toDF("line")
+      .filter(length(trim(col("line"))) > 0)
+      .select(split(col("line"), " ", 3).as("f"))
+      .select(col("f").getItem(0).as("surt"), col("f").getItem(1).as("ts"),
+        from_json(col("f").getItem(2), blockSchema).as("j"))
+      .select(col("surt"), col("ts"),
+        col("j.url").as("url"), col("j.mime").as("mime"),
+        col("j.status").cast("int").as("status"), col("j.digest").as("digest"),
+        col("j.length").cast("long").as("length"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.filename").as("filename"))
+  }
+
+  /** Rename `tmp` over `fin` (last complete attempt wins). Hadoop's
+    * `rename` refuses an existing destination on most filesystems, so
+    * the replace case (only reachable when a racing attempt already
+    * committed this partition — both attempts hold complete, equivalent
+    * files) deletes-then-renames; the window between the two is the
+    * documented non-atomicity of that rare race, not of the normal
+    * commit. A missing temp means this attempt was superseded (a newer
+    * job swept part-*.tmp) — deleting the final file then would destroy
+    * the NEW job's committed archive, so fail loudly without touching it.
+    */
+  private def commitOne(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, fin: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.rename(tmp, fin)) {
+      require(fs.exists(tmp),
+        s"writeWarc: attempt temp $tmp vanished (superseded by a newer job?) — " +
+          s"refusing to touch $fin")
+      fs.delete(fin, false)
+      require(fs.rename(tmp, fin),
+        s"writeWarc: could not commit $tmp over $fin")
+    }
+  }
+
+  private[graft] def commitPartitionFiles(dir: String, pid: Int, attemptTag: Long,
+      recs: Iterator[WarcRecord],
+      hconf: org.apache.hadoop.conf.Configuration, withCdx: Boolean): Seq[String] = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = warcFs(dirPath, hconf)
     try {
       fs.mkdirs(dirPath)
+      val warcName = f"part-$pid%05d.warc.gz"
       val tmp = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d-attempt$attemptTag.tmp")
-      val fin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.warc.gz")
+      val fin = new org.apache.hadoop.fs.Path(dirPath, warcName)
+      // CDX lines accumulate per record while the members stream out —
+      // `offset` is the byte position of the record's OWN gzip member
+      // in the final file, known exactly at append time
+      val cdx = if (withCdx) new scala.collection.mutable.ArrayBuffer[String]() else null
+      var offset = 0L
       val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
-      try recs.foreach(r => out.write(gzipMember(writeRecord(r))))
-      finally out.close()
-      if (!fs.rename(tmp, fin)) {
-        // replace is only legitimate when OUR temp still exists and the
-        // rename lost to a completed racing attempt holding the final
-        // name. A missing temp means this attempt was superseded (a
-        // newer job swept part-*.tmp) — deleting the final file then
-        // would destroy the NEW job's committed archive, so fail loudly
-        // without touching it.
-        require(fs.exists(tmp),
-          s"writeWarc: attempt temp $tmp vanished (superseded by a newer job?) — " +
-            s"refusing to touch $fin")
-        fs.delete(fin, false)
-        require(fs.rename(tmp, fin),
-          s"writeWarc: could not commit $tmp over $fin")
+      try recs.foreach { r =>
+        val member = gzipMember(writeRecord(r))
+        out.write(member)
+        if (withCdx) cdxjLine(r, offset, member.length, warcName).foreach(cdx += _)
+        offset += member.length
+      } finally out.close()
+      commitOne(fs, tmp, fin)
+      val warcPath = fs.makeQualified(fin).toString
+      if (!withCdx) Seq(warcPath)
+      else {
+        val ctmp = new org.apache.hadoop.fs.Path(dirPath,
+          f"part-$pid%05d-attempt$attemptTag.cdx.tmp")
+        val cfin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.cdx.gz")
+        val cout = new GZIPOutputStream(
+          new java.io.BufferedOutputStream(fs.create(ctmp, true), 1 << 18))
+        try cdx.foreach(l => cout.write((l + "\n").getBytes(UTF_8)))
+        finally cout.close()
+        commitOne(fs, ctmp, cfin)
+        Seq(warcPath, fs.makeQualified(cfin).toString)
       }
-      fs.makeQualified(fin).toString
     } finally fs.close()
   }
 
@@ -920,6 +1054,73 @@ object WarcIo {
       }
     spark.createDataset(rows)
       .toDF("file", "rec_ix", "rec_type", "target_uri", "warc_date", "record_id",
+        "content_type", "content_length", "payload", "payload_digest")
+  }
+
+  /** Distributed RANGED fetch — the consumer side of the CDX pointers:
+    * given index rows carrying (`filename`, `offset`, `length`) (a
+    * `CdxIndex.lookupPrefix` result or [[readCdxj]] output), read ONLY
+    * those records from the archives under `dir`. Each row costs one
+    * positioned read of `length` bytes plus one gzip-member decode;
+    * rows are range-partitioned and sorted by (filename, offset) so a
+    * task walks each file forward with one stream open at a time and
+    * a hot file still splits across tasks. This is what the index is
+    * FOR at archive scale: "re-process host X" touches exactly host
+    * X's bytes, not the crawl. Output mirrors [[readWarc]] (filename +
+    * offset in place of file + rec_ix).
+    */
+  def fetchByCdx(cdx: DataFrame, dir: String,
+      maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = cdx.sparkSession
+    import spark.implicits._
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(spark.sessionState.newHadoopConf()))
+    cdx.select(col("filename"), col("offset"), col("length"))
+      .repartitionByRange(col("filename"), col("offset"))
+      .sortWithinPartitions(col("filename"), col("offset"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val conf = bcConf.value.value
+          val dirPath = new org.apache.hadoop.fs.Path(dir)
+          // cached read-side FileSystem (no flags mutated) — NOT closed
+          val fs = dirPath.getFileSystem(conf)
+          var openName: String = null
+          var openIn: org.apache.hadoop.fs.FSDataInputStream = null
+          def in(name: String): org.apache.hadoop.fs.FSDataInputStream = {
+            if (name != openName) {
+              if (openIn != null) openIn.close()
+              openIn = fs.open(new org.apache.hadoop.fs.Path(dirPath, name))
+              openName = name
+            }
+            openIn
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              if (openIn != null) { try openIn.close() catch { case _: Exception => () } }
+            })
+          it.map { case (name, off, len) =>
+            // a member holds one record + gzip framing; cap it by the
+            // same payload bound the parser enforces (plus header slack)
+            require(len > 0 && len <= maxPayloadBytes.toLong + (1L << 16),
+              s"fetchByCdx: implausible member length $len for $name @$off")
+            val buf = new Array[Byte](len.toInt)
+            in(name).readFully(off, buf, 0, buf.length)
+            val recs = readAll(buf, maxPayloadBytes)
+            require(recs.length == 1,
+              s"fetchByCdx: pointer $name @$off+$len framed ${recs.length} records")
+            val r = recs.head
+            val digest = r.extra.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
+            }.orNull
+            (name, off, r.recordType, r.targetUri, r.date, r.recordId,
+              r.contentType, r.payload.length.toLong, r.payload, digest)
+          }
+        }
+      }
+      .toDF("filename", "offset", "rec_type", "target_uri", "warc_date", "record_id",
         "content_type", "content_length", "payload", "payload_digest")
   }
 }

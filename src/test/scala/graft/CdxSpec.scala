@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlOps
+import graft.sources.{CdxIndex, WarcIo}
+import graft.sources.WarcIo.WarcRecord
+
+/** CDX: the archive URL index. SURT key rules, the CDXJ sidecar that
+  * [[WarcIo.writeWarcWithCdx]] commits next to each archive part, the
+  * ranged-read property those offsets promise (ONE seek + gunzip
+  * fetches ONE record), and the sorted master index with cluster-pruned
+  * lookup.
+  */
+private object CdxSpecFixtures extends Serializable {
+  def httpRec(i: Long, body: String): WarcRecord = {
+    val payload = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html; charset=utf-8"), body.getBytes(UTF_8))
+    WarcRecord("response", s"http://h${i % 5}.example.org/d/$i",
+      "2026-02-03T04:05:06Z", WarcIo.recordIdFor(s"cdx:$i"),
+      "application/http; msgtype=response", Map.empty, payload)
+  }
+}
+
+class CdxSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- SURT key
+
+  test("surtKey: host reversal, www strip, case fold, query sort") {
+    assert(UrlOps.surtKey("http://www.Example.COM/Path/Page?b=2&a=1") ==
+      "com,example)/path/page?a=1&b=2")
+    // www strip only when >= 2 labels remain; numbered www strips too
+    assert(UrlOps.surtKey("https://www2.blog.example.org/") == "org,example,blog)/")
+    assert(UrlOps.surtKey("http://www.ck/p") == "ck,www)/p")
+    // scheme never distinguishes
+    assert(UrlOps.surtKey("https://example.com/x") == UrlOps.surtKey("http://example.com/x"))
+  }
+
+  test("surtKey: IPv4 keeps octet order; non-default port kept") {
+    assert(UrlOps.surtKey("http://192.168.3.1:8080/x") == "192.168.3.1:8080)/x")
+    assert(UrlOps.surtKey("http://192.168.3.1/x") == "192.168.3.1)/x")
+    assert(UrlOps.surtKey("https://host.example.com:8443/p?q=1") ==
+      "com,example,host:8443)/p?q=1")
+    // default ports drop
+    assert(UrlOps.surtKey("http://a.org:80/") == "org,a)/")
+    assert(UrlOps.surtKey("https://a.org:443/") == "org,a)/")
+  }
+
+  test("surtKey: normalization feeds the key — dots, escapes, tracking, fragment") {
+    assert(UrlOps.surtKey("http://a.org/x/./y/../z?utm_source=t&id=7#frag") ==
+      "org,a)/x/z?id=7")
+    // kept escapes case-fold with the whole key; unreserved decode first
+    assert(UrlOps.surtKey("http://a.org/%41%2Fb") == "org,a)/a%2fb")
+    // empty path becomes "/", trailing host dot strips
+    assert(UrlOps.surtKey("https://sub.example.com.") == "com,example,sub)/")
+  }
+
+  test("surtKey: one domain's hosts are a contiguous key range") {
+    val keys = Seq(
+      UrlOps.surtKey("http://example.com/z"),
+      UrlOps.surtKey("http://a.example.com/a"),
+      UrlOps.surtKey("http://b.example.com/"),
+      UrlOps.surtKey("http://examplf.com/"), // lexicographic neighbor domain
+      UrlOps.surtKey("http://example.org/"))
+    val sorted = keys.sorted
+    val domainRun = sorted.filter(_.startsWith("com,example"))
+    // the three example.com keys are adjacent in the sorted order
+    val i = sorted.indexOf(domainRun.head)
+    assert(domainRun == sorted.slice(i, i + 3))
+  }
+
+  test("graft_surt native expression matches the JVM function; null on garbage") {
+    val df = spark.createDataFrame(Seq(
+      (1, "https://WWW.News.example.co.uk:443/A//B?z=2&y=1"),
+      (2, "relative/path"), (3, "http://192.168.0.9/q?b&a"))
+      .map(t => (t._1, t._2))).toDF("id", "url")
+      .select(col("id"), call_function("graft_surt", col("url")).as("k"))
+      .orderBy(col("id"))
+    val got = df.collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(got(0) == UrlOps.surtKey("https://WWW.News.example.co.uk:443/A//B?z=2&y=1"))
+    assert(got(1) == null)
+    assert(got(2) == UrlOps.surtKey("http://192.168.0.9/q?b&a"))
+  }
+
+  // --------------------------------------------------- CDXJ sidecar + seek
+
+  private def httpRec(i: Long, body: String): WarcRecord = CdxSpecFixtures.httpRec(i, body)
+
+  private def writeArchiveWithCdx(n: Int, parts: Int): (String, Seq[String], Seq[String]) = {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_arch_")
+    val rows = spark.range(n).repartition(parts).map { i =>
+      val r = CdxSpecFixtures.httpRec(i,
+        s"<html><body>doc $i ${"pad " * (i % 7).toInt}</body></html>")
+      (r.recordType, r.targetUri, r.date, r.recordId, r.contentType, r.payload)
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+    val (warcs, cdxs) = WarcIo.writeWarcWithCdx(rows, dir)
+    (dir, warcs, cdxs)
+  }
+
+  test("writeWarcWithCdx: a cdx sidecar commits per part and parses back") {
+    val (dir, warcs, cdxs) = writeArchiveWithCdx(40, 3)
+    assert(warcs.nonEmpty && warcs.size == cdxs.size)
+    val cdx = WarcIo.readCdxj(spark, dir + "/part-*.cdx.gz")
+    val rows = cdx.collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.getAs[String]("surt") == UrlOps.surtKey(r.getAs[String]("url")))
+      assert(r.getAs[String]("ts") == "20260203040506")
+      assert(r.getAs[String]("mime") == "text/html")
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[String]("digest").startsWith("sha1:"))
+      assert(r.getAs[Long]("length") > 0 && r.getAs[Long]("offset") >= 0)
+      assert(r.getAs[String]("filename").endsWith(".warc.gz"))
+    }
+  }
+
+  test("cdx offsets are exact: one ranged read + gunzip fetches exactly that record") {
+    val (dir, _, _) = writeArchiveWithCdx(25, 2)
+    val cdx = WarcIo.readCdxj(spark, dir + "/part-*.cdx.gz").collect()
+    // every record, via its own pointer — no archive scan
+    cdx.foreach { r =>
+      val path = java.nio.file.Paths.get(dir, r.getAs[String]("filename"))
+      val ch = java.nio.channels.FileChannel.open(path)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(r.getAs[Long]("length").toInt)
+        ch.position(r.getAs[Long]("offset"))
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        assert(!buf.hasRemaining, "short read — offset/length do not frame a member")
+        val recs = WarcIo.readAll(buf.array())
+        assert(recs.length == 1)
+        assert(recs.head.targetUri == r.getAs[String]("url"))
+      } finally ch.close()
+    }
+  }
+
+  test("cdx digest matches payloadDigests (body-only for responses); warcinfo skipped") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_dig_")
+    val resp = httpRec(1, "digest me")
+    val info = WarcRecord("warcinfo", "", "2026-02-03T04:05:06Z",
+      WarcIo.recordIdFor("cdx:info"), "application/warc-fields", Map.empty,
+      "software: graft\r\n".getBytes(UTF_8))
+    val rows = Seq(resp, info).map(r =>
+      (r.recordType, r.targetUri, r.date, r.recordId, r.contentType, r.payload))
+      .toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+    WarcIo.writeWarcWithCdx(rows, dir)
+    val cdx = WarcIo.readCdxj(spark, dir + "/part-*.cdx.gz").collect()
+    assert(cdx.length == 1, "warcinfo (no target URI) must not be indexed")
+    assert(cdx.head.getAs[String]("digest") == WarcIo.httpPayloadDigest(resp.payload))
+  }
+
+  test("a capture whose date yields no 14-digit timestamp fails the cdx write loudly") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_baddate_")
+    val r = httpRec(1, "x")
+    val rows = Seq((r.recordType, r.targetUri, "2026", r.recordId, r.contentType, r.payload))
+      .toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIo.writeWarcWithCdx(rows, dir)
+    }
+    assert(e.getMessage.contains("14-digit") || e.getCause != null)
+  }
+
+  // --------------------------------------------------------- master index
+
+  private def corpus(n: Int) = {
+    spark.range(n).selectExpr(
+      "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+      "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+      "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+      "'text/html' AS mime", "CAST(200 AS INT) AS status",
+      "concat('f', id % 16, '.warc.gz') AS filename")
+      .withColumn("surt", call_function("graft_surt", col("url")))
+      .select("surt", "ts", "url", "mime", "status", "digest", "length", "offset", "filename")
+  }
+
+  test("buildTable + lookupPrefix: pruned scan, identical to brute filter") {
+    val dir = TempDirs.scratch("cdx_idx_")
+    val cdx = corpus(4000)
+    CdxIndex.buildTable(cdx, dir, nShards = 12)
+    val prefix = "org,site3,h17)"
+    val got = CdxIndex.lookupPrefix(spark, dir, prefix)
+    // pruning: the lookup's scan touches a strict subset of the shards
+    val allFiles = spark.read.parquet(dir + "/cdx").inputFiles.toSet
+    val scanned = got.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(allFiles) && scanned.size < allFiles.size,
+      s"expected a pruned scan, got ${scanned.size} of ${allFiles.size} shards")
+    // identical answer to the unpruned filter
+    val brute = cdx.filter(col("surt").startsWith(prefix))
+      .orderBy("surt", "ts").collect().map(_.toSeq)
+    assert(got.orderBy("surt", "ts").collect().map(_.toSeq).toSeq == brute.toSeq)
+    assert(brute.nonEmpty)
+  }
+
+  test("lookupRange: half-open; lookupPrefix of a whole domain spans hosts") {
+    val dir = TempDirs.scratch("cdx_idx2_")
+    CdxIndex.buildTable(corpus(2000), dir, nShards = 8)
+    // whole registrable domain: every host of site5.org
+    val dom = CdxIndex.lookupPrefix(spark, dir, "org,site5")
+    assert(dom.count() == 2000 / 7 + (if (2000 % 7 > 5) 1 else 0))
+    assert(dom.select("url").collect().forall(_.getString(0).contains(".site5.org/")))
+    // miss: no shard intersects -> empty, same schema
+    val miss = CdxIndex.lookupPrefix(spark, dir, "zz,nowhere)")
+    assert(miss.count() == 0)
+    assert(miss.columns.sameElements(dom.columns))
+  }
+
+  test("fetchByCdx: ranged reads return exactly the looked-up records") {
+    val (dir, _, _) = writeArchiveWithCdx(60, 4)
+    val cdx = WarcIo.readCdxj(spark, dir + "/part-*.cdx.gz")
+    val idxDir = TempDirs.scratch("cdx_fetch_idx_")
+    CdxIndex.buildTable(cdx, idxDir, nShards = 6)
+    // one host of five → a fifth of the records, by pointer
+    val hit = CdxIndex.lookupPrefix(spark, idxDir, "org,example,h2)")
+    val fetched = WarcIo.fetchByCdx(hit, dir)
+    val rows = fetched.collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      assert(r.getAs[String]("rec_type") == "response")
+      assert(r.getAs[String]("target_uri").startsWith("http://h2.example.org/d/"))
+      val http = WarcIo.parseHttpResponse(r.getAs[Array[Byte]]("payload"))
+      assert(http.status == 200)
+      val id = r.getAs[String]("target_uri").split('/').last.toLong
+      assert(new String(http.body, UTF_8).contains(s"doc $id "))
+    }
+    // ids are exactly the i % 5 == 2 cohort
+    assert(rows.map(_.getAs[String]("target_uri").split('/').last.toLong).sorted.toSeq ==
+      (0L until 60L).filter(_ % 5 == 2))
+  }
+
+  test("fetchByCdx: a corrupt pointer fails loudly, not with a silent wrong record") {
+    val (dir, _, _) = writeArchiveWithCdx(10, 1)
+    val cdx = WarcIo.readCdxj(spark, dir + "/part-*.cdx.gz")
+    // shift every offset by one byte — gzip magic breaks
+    val bad = cdx.withColumn("offset", col("offset") + 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIo.fetchByCdx(bad, dir).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("toColumnar: cc-index-table columns derive from url + surt") {
+    val one = CdxIndex.toColumnar(corpus(50)).filter(col("url").endsWith("/p/17")).collect()
+    assert(one.length == 1)
+    val r = one.head
+    assert(r.getAs[String]("url_host_name") == "h17.site3.org")
+    assert(r.getAs[String]("url_host_tld") == "org")
+    assert(r.getAs[String]("url_host_registered_domain") == "site3.org")
+    assert(r.getAs[String]("url_path") == "/p/17")
+    assert(r.getAs[String]("url_surtkey").startsWith("org,site3,h17)"))
+    assert(r.getAs[Int]("fetch_status") == 200)
+  }
+}
