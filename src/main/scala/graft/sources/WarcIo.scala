@@ -520,6 +520,12 @@ object WarcIo {
     sb.toString
   }
 
+  /** Quote `s` straight into `sb` — the allocation-free form for the
+    * per-record envelope hot path (no throwaway builder per string).
+    */
+  private def appendJson(sb: StringBuilder, s: String): Unit =
+    JsonBinary.appendJsonString(s, sb.underlying)
+
   /** WAT-style metadata record: the third Common Crawl container
     * (WARC = raw captures, WET = extracted text, WAT = per-record JSON
     * metadata). The payload is a deterministic JSON envelope — fixed
@@ -544,19 +550,39 @@ object WarcIo {
     sb.append(",\"Headers\":{")
     // JSON objects need UNIQUE keys (RFC 8259; duplicate names make
     // parsers keep an arbitrary one), but HTTP repeats field names —
-    // Set-Cookie above all — so repeated headers merge into one member
-    // with comma-joined values (RFC 9110 field-line combination),
-    // first-occurrence order preserved
-    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // so repeats of one field (names case-insensitive, keyed folded,
+    // first-seen spelling kept) merge into one member. Most fields
+    // comma-join (RFC 9110 §5.3 field-line combination); Set-Cookie is
+    // the named exception there (its values contain commas — RFC 6265
+    // forbids folding), so repeated Set-Cookie becomes a JSON ARRAY —
+    // lossless, and unambiguous for cookie-analysis consumers.
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, (String, List[String])]
     http.headers.foreach { case (k, v) =>
-      merged.updateWith(k) { case Some(prev) => Some(prev + "," + v); case None => Some(v) }
+      merged.updateWith(k.toLowerCase(java.util.Locale.ROOT)) {
+        case Some((name, prev)) => Some((name, v :: prev))
+        case None => Some((k, v :: Nil))
+      }
     }
-    sb.append(merged.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
-      .mkString(","))
+    var firstH = true
+    merged.foreach { case (folded, (name, revVals)) =>
+      if (!firstH) sb.append(','); firstH = false
+      appendJson(sb, name); sb.append(':')
+      val vals = revVals.reverse
+      if (folded == "set-cookie" && vals.lengthCompare(1) > 0) {
+        sb.append('[')
+        vals.zipWithIndex.foreach { case (v, i) =>
+          if (i > 0) sb.append(','); appendJson(sb, v)
+        }
+        sb.append(']')
+      } else appendJson(sb, vals.mkString(","))
+    }
     sb.append("},\"HTML-Metadata\":{\"Links\":[")
-    sb.append(links.map(u => "{\"url\":" + jsonStr(u) + "}").mkString(","))
+    links.zipWithIndex.foreach { case (u, i) =>
+      if (i > 0) sb.append(',')
+      sb.append("{\"url\":"); appendJson(sb, u); sb.append('}')
+    }
     sb.append("]")
-    title.foreach(t => sb.append(",\"Title\":").append(jsonStr(t)))
+    title.foreach { t => sb.append(",\"Title\":"); appendJson(sb, t) }
     sb.append("},\"Response-Message\":{\"Status\":").append(http.status)
     sb.append("}}}}}")
     WarcRecord(

@@ -205,17 +205,29 @@ class WarcIoSpec extends SparkSpec {
     val bare = new String(WarcIo.toWat(src, WarcIo.parseHttpResponse(payload),
       None, Nil).payload, UTF_8)
     assert(bare.contains("\"Links\":[]") && !bare.contains("\"Title\""))
-    // repeated HTTP field names (Set-Cookie!) must NOT become duplicate
-    // JSON keys — they merge RFC-9110 style into one comma-joined
-    // member, first-occurrence order preserved
+    // repeated HTTP field names must NOT become duplicate JSON keys.
+    // Names are case-insensitive (first-seen spelling kept), ordinary
+    // repeats comma-join (RFC 9110 §5.3) — but Set-Cookie is RFC
+    // 9110's named exception (cookie values contain commas, RFC 6265
+    // forbids folding), so its repeats become a lossless JSON array.
     val dup = WarcIo.buildHttpResponse(200, "OK",
-      Seq("Set-Cookie" -> "a=1", "Content-Type" -> "text/html", "Set-Cookie" -> "b=2"),
+      Seq("Set-Cookie" -> "a=1; Expires=Wed, 21 Oct 2026 07:28:00 GMT",
+        "Content-Type" -> "text/html",
+        "set-cookie" -> "b=2",
+        "X-Trace" -> "t1", "x-trace" -> "t2"),
       body)
     val dupJ = new String(WarcIo.toWat(
       src.copy(payload = dup), WarcIo.parseHttpResponse(dup), None, Nil).payload, UTF_8)
     assert(dupJ.contains(
-      """"Headers":{"Set-Cookie":"a=1,b=2","Content-Type":"text/html","Content-Length":""""),
+      """"Headers":{"Set-Cookie":["a=1; Expires=Wed, 21 Oct 2026 07:28:00 GMT","b=2"],""" +
+        """"Content-Type":"text/html","X-Trace":"t1,t2","Content-Length":""""),
       s"duplicate header keys leaked into the envelope:\n$dupJ")
+    // a single Set-Cookie stays a plain string member
+    val one = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Set-Cookie" -> "a=1", "Content-Type" -> "text/html"), body)
+    val oneJ = new String(WarcIo.toWat(
+      src.copy(payload = one), WarcIo.parseHttpResponse(one), None, Nil).payload, UTF_8)
+    assert(oneJ.contains(""""Headers":{"Set-Cookie":"a=1","""))
   }
 
   test("payloadDigest matches the published sha1/base32 spelling") {
