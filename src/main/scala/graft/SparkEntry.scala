@@ -3489,12 +3489,13 @@ object SparkEntry {
       // reversal, www/wwwN strip (and the ≥2-labels-remain guard:
       // www.ck keeps www), IPv4 literals unreversed, default-port drop
       // vs non-default keep, dot-segment + unreserved-escape + tracking
-      // normalization feeding the key, query-param sort, whole-key
-      // case fold, trailing-dot strip, fragment drop, empty path → /.
-      // The oracle constructs the expected key per template, so green
-      // means every rule agrees cross-engine.
+      // normalization feeding the key, params folded-then-sorted,
+      // whole-key case fold, trailing-dot strip, fragment drop, empty
+      // path → /, userinfo drop, raw-space percent-encode. The oracle
+      // constructs the expected key per template, so green means every
+      // rule agrees cross-engine.
       s.range(240).selectExpr("id",
-        """CASE CAST(id % 8 AS INT)
+        """CASE CAST(id % 10 AS INT)
           |  WHEN 0 THEN concat('HTTP://WWW.Example', id % 9, '.COM:80/A/./B/../Page', id,
           |                     '.HTML?utm_source=x&b=2&a=1#f')
           |  WHEN 1 THEN concat('https://www2.blog', id, '.example.org/')
@@ -3503,7 +3504,9 @@ object SparkEntry {
           |  WHEN 4 THEN concat('http://www.ck/p', id)
           |  WHEN 5 THEN concat('https://example', id, '.com./d')
           |  WHEN 6 THEN concat('http://host', id, '.example.com:8443/p?q=', id)
-          |  ELSE concat('https://a', id, '.io#sec')
+          |  WHEN 7 THEN concat('https://a', id, '.io#sec')
+          |  WHEN 8 THEN concat('http://u', id, ':pw@Auth.example.com/s')
+          |  ELSE concat('https://sp', id, '.org/my doc?B=1&a=', id)
           |END AS url""".stripMargin)
         .select(col("id"), call_function("graft_surt", col("url")).as("surt"))
         .orderBy(col("id"))
@@ -7811,7 +7814,7 @@ object SparkEntry {
 
     // every SURT canonicalization rule restated as string construction
     "cdx_surt" ->
-      """WITH t AS (SELECT i, i % 8 AS m, CAST(i AS VARCHAR) AS si,
+      """WITH t AS (SELECT i, i % 10 AS m, CAST(i AS VARCHAR) AS si,
         |    CAST(i % 9 AS VARCHAR) AS s9, CAST(i % 4 AS VARCHAR) AS s4 FROM range(240) r(i))
         |SELECT i AS id,
         |  CASE m
@@ -7822,7 +7825,9 @@ object SparkEntry {
         |    WHEN 4 THEN 'ck,www)/p' || si
         |    WHEN 5 THEN 'com,example' || si || ')/d'
         |    WHEN 6 THEN 'com,example,host' || si || ':8443)/p?q=' || si
-        |    ELSE 'io,a' || si || ')/' END AS surt
+        |    WHEN 7 THEN 'io,a' || si || ')/'
+        |    WHEN 8 THEN 'com,example,auth)/s'
+        |    ELSE 'org,sp' || si || ')/my%20doc?a=' || si || '&b=1' END AS surt
         |FROM t ORDER BY id""".stripMargin,
 
     // key/timestamp/mime/status reconstructed from the raw documents;

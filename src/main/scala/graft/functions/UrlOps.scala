@@ -369,7 +369,9 @@ object UrlOps extends Serializable {
     *
     * Built from [[normalize]]'s components, then canonicalized the way
     * CDX writers (pywb / webarchive-commons) do:
-    *   - scheme dropped (http/https collide — same document);
+    *   - scheme dropped (http/https collide — same document); userinfo
+    *     (`user:pass@`) dropped — it is not part of the resource's
+    *     identity and would push the key outside its host's range;
     *   - host IDNA-folded + lowercased, one trailing dot stripped, ONE
     *     leading `www`/`www<digits>` label stripped when at least two
     *     labels remain (`www.example.com` → `example.com`, but `www.ck`
@@ -377,12 +379,17 @@ object UrlOps extends Serializable {
     *     byte order (reversing octets would scatter a subnet), other
     *     hosts reverse label order joined by `,`;
     *   - non-default port kept after the reversed host (`:8443`);
-    *   - path dot-segment-resolved, escape-normalized, then the whole
-    *     key LOWERCASED — CDX keys are case-folded so `/A` and `/a`
-    *     collide (the documented over-fold CDX accepts for dedup);
-    *   - query tracking-stripped ([[normalizeQuery]]), params sorted
-    *     byte-wise (`?b=2&a=1` and `?a=1&b=2` collide), empty query
-    *     dropped; fragment dropped.
+    *   - path dot-segment-resolved, escape-normalized, LOWERCASED —
+    *     CDX keys are case-folded so `/A` and `/a` collide (the
+    *     documented over-fold CDX accepts for dedup);
+    *   - query tracking-stripped ([[normalizeQuery]]), params
+    *     LOWERCASED first and then sorted byte-wise (`?B=2&a=1` and
+    *     `?a=1&b=2` collide — folding after sorting would give case
+    *     variants different orders), empty query dropped; fragment
+    *     dropped;
+    *   - any raw whitespace/control byte left in the path or query is
+    *     percent-encoded (`%20` …) — the key must survive
+    *     space-delimited index formats (CDXJ lines) verbatim.
     *
     * `com,example)/index.html?a=1` sorts between `com,example)/` and
     * `com,example,sub)/` — a host prefix query is `key >= "com,example)"
@@ -392,7 +399,8 @@ object UrlOps extends Serializable {
     val u = parse(url)
     val port = if (u.port == defaultPort(u.scheme)) -1 else u.port
     val host = {
-      val h = toAsciiHost(if (u.host.endsWith(".")) u.host.dropRight(1) else u.host)
+      val noUser = u.host.substring(u.host.lastIndexOf('@') + 1)
+      val h = toAsciiHost(if (noUser.endsWith(".")) noUser.dropRight(1) else noUser)
       require(h.nonEmpty, s"URL without host: '${url.take(60)}'")
       h
     }
@@ -406,13 +414,31 @@ object UrlOps extends Serializable {
           else labels
         kept.reverseIterator.mkString(",")
       }
-    val path = normalizeEscapes(resolveDotSegments(u.path))
+    def fold(s: String): String =
+      encodeKeyUnsafe(s.toLowerCase(java.util.Locale.ROOT))
+    val path = fold(normalizeEscapes(resolveDotSegments(u.path)))
     val q = normalizeQuery(u.query)
-    val sq = if (q.isEmpty) "" else q.split("&", -1).sorted.mkString("&")
+    val sq = if (q.isEmpty) "" else fold(q).split("&", -1).sorted.mkString("&")
     val sb = new StringBuilder(rev)
     if (port > 0) sb.append(':').append(port)
     sb.append(')').append(path)
     if (sq.nonEmpty) sb.append('?').append(sq)
-    sb.toString.toLowerCase(java.util.Locale.ROOT)
+    sb.toString
+  }
+
+  /** Percent-encode ASCII whitespace/control bytes (anything <= 0x20,
+    * plus DEL) so a SURT key is a single space-free token.
+    */
+  private def encodeKeyUnsafe(s: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) { if (s.charAt(i) <= ' ' || s.charAt(i) == 0x7f) clean = false; i += 1 }
+    if (clean) return s
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach { c =>
+      if (c <= ' ' || c == 0x7f) sb.append(f"%%${c.toInt}%02x")
+      else sb.append(c)
+    }
+    sb.toString
   }
 }

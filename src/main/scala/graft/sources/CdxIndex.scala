@@ -77,14 +77,32 @@ object CdxIndex {
         .filter(col("surt") >= from && col("surt") < to)
   }
 
-  /** All captures under a SURT prefix — `"com,example)"` is one host,
-    * `"com,example"` a whole registrable domain and its subdomains
-    * (label-reversal makes both CONTIGUOUS key ranges; that is why the
-    * key exists). Implemented as [[lookupRange]] over
-    * [prefix, prefix+U+10FFFF).
+  /** All captures under a raw SURT STRING prefix — `"com,example)"` is
+    * exactly one host (the `)` terminator excludes `com,examplez`).
+    * Implemented as [[lookupRange]] over [prefix, prefix+U+10FFFF).
+    * For registrable-DOMAIN semantics use [[lookupDomain]]: a bare
+    * `"com,example"` here is a string prefix and would also match the
+    * sibling domains `examples.com`, `examplefoo.com`, ….
     */
   def lookupPrefix(spark: SparkSession, dir: String, prefix: String): DataFrame =
     lookupRange(spark, dir, prefix, prefix + new String(Character.toChars(0x10FFFF)))
+
+  /** All captures of a registrable domain AND its subdomains —
+    * `lookupDomain(_, _, "com,example")` matches `com,example)…`
+    * (apex), `com,example:8080)…` (apex with port) and
+    * `com,example,sub)…` (subdomains) but NOT `com,examples)…`: after
+    * the domain's reversed labels only `)`/`:`/`,` can follow, so the
+    * domain is the union of those three narrow key ranges (digits sort
+    * between `,` and `:`, so one wide range would swallow
+    * `example2.com`). Each range prunes shards independently.
+    */
+  def lookupDomain(spark: SparkSession, dir: String, reversedDomain: String): DataFrame = {
+    require(!reversedDomain.endsWith(")") && !reversedDomain.endsWith(","),
+      s"lookupDomain takes the bare reversed domain (e.g. \"com,example\"), got '$reversedDomain'")
+    Seq(")", ":", ",")
+      .map(sep => lookupPrefix(spark, dir, reversedDomain + sep))
+      .reduce(_ unionByName _)
+  }
 
   /** The cc-index-table shape: CDX rows widened with the typed URL
     * columns a columnar query engine filters on (host, eTLD+1 via the

@@ -882,6 +882,11 @@ object WarcIo {
     val surt =
       try graft.functions.UrlOps.surtKey(r.targetUri)
       catch { case _: IllegalArgumentException => return None }
+    // surtKey percent-encodes ASCII whitespace/control bytes; anything
+    // still space-like would silently corrupt the space-delimited line
+    // at readCdxj's split — fail the WRITE instead
+    require(!surt.exists(c => c <= ' ' || c == 0x7f),
+      s"cdx: SURT key of ${r.targetUri.take(60)} is not a single token: '$surt'")
     val ts = r.date.filter(_.isDigit).take(14)
     // a capture silently missing from the index is a lost page at
     // re-processing time — a malformed date fails the WRITE, loudly
@@ -889,15 +894,9 @@ object WarcIo {
       s"cdx: WARC-Date '${r.date}' of ${r.recordId} does not yield a 14-digit timestamp")
     val (mime, status) =
       if (r.recordType == "response")
-        (try {
-          val http = parseHttpResponse(r.payload)
-          (http.header("Content-Type").getOrElse("").takeWhile(_ != ';').trim,
-            Some(http.status))
-        } catch { case _: Exception => ("unk", None) })
+        httpStatusMime(r.payload).getOrElse(("unk", None))
       else (r.contentType.takeWhile(_ != ';').trim, None)
-    val digest = r.extra.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
-    }.getOrElse {
+    val digest = carriedPayloadDigest(r).getOrElse {
       if (r.recordType == "response") httpPayloadDigest(r.payload)
       else payloadDigest(r.payload)
     }
@@ -913,6 +912,50 @@ object WarcIo {
     sb.append('}')
     Some(sb.toString)
   }
+
+  /** Header-only scan of an HTTP response payload: (media type,
+    * status) without copying the entity body — CDX generation reads
+    * two header fields per record and must not duplicate a
+    * possibly-64 MB payload per record on the archive write path
+    * ([[parseHttpResponse]] copies the body). None when the block has
+    * no CRLFCRLF separator or no parseable status line. Folded header
+    * continuations are not chased: a folded Content-Type yields its
+    * first-line prefix, which carries the media type.
+    */
+  private def httpStatusMime(payload: Array[Byte]): Option[(String, Option[Int])] = {
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(payload, 0, split, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n", -1)
+    val status = {
+      val p = lines.head.split(" ")
+      if (p.length >= 2 && p(0).startsWith("HTTP/") &&
+          p(1).nonEmpty && p(1).forall(_.isDigit) && p(1).length <= 3)
+        Some(p(1).toInt)
+      else None
+    }
+    if (status.isEmpty) return None
+    val ct = lines.iterator.drop(1).collectFirst {
+      case l if l.length > 13 && l.regionMatches(true, 0, "Content-Type:", 0, 13) =>
+        l.substring(13).trim.takeWhile(_ != ';').trim
+    }
+    Some((ct.getOrElse(""), status))
+  }
+
+  /** The digest a record already carries (`WARC-Payload-Digest`,
+    * case-insensitive) — ONE definition for the cdx row, [[readWarc]]
+    * and [[fetchByCdx]] surfaces, so the three cannot drift.
+    */
+  private[graft] def carriedPayloadDigest(r: WarcRecord): Option[String] =
+    r.extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
+    }
 
   /** Parse `.cdx(.gz)` CDXJ files back into rows — the inverse of the
     * sidecar [[writeWarcWithCdx]] emits, and the ingest point for CDX
@@ -984,10 +1027,15 @@ object WarcIo {
         if (withCdx) cdxjLine(r, offset, member.length, warcName).foreach(cdx += _)
         offset += member.length
       } finally out.close()
-      commitOne(fs, tmp, fin)
-      val warcPath = fs.makeQualified(fin).toString
-      if (!withCdx) Seq(warcPath)
-      else {
+      if (!withCdx) {
+        commitOne(fs, tmp, fin)
+        Seq(fs.makeQualified(fin).toString)
+      } else {
+        // BOTH temps exist before EITHER commit: a newer job's sweep
+        // (which deletes part-*.tmp before writing) therefore always
+        // leaves this attempt with at least one missing temp, and
+        // commitOne fails loudly on it — a superseded attempt can
+        // never pair its stale .cdx.gz with the newer job's archive
         val ctmp = new org.apache.hadoop.fs.Path(dirPath,
           f"part-$pid%05d-attempt$attemptTag.cdx.tmp")
         val cfin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.cdx.gz")
@@ -995,8 +1043,9 @@ object WarcIo {
           new java.io.BufferedOutputStream(fs.create(ctmp, true), 1 << 18))
         try cdx.foreach(l => cout.write((l + "\n").getBytes(UTF_8)))
         finally cout.close()
+        commitOne(fs, tmp, fin)
         commitOne(fs, ctmp, cfin)
-        Seq(warcPath, fs.makeQualified(cfin).toString)
+        Seq(fs.makeQualified(fin).toString, fs.makeQualified(cfin).toString)
       }
     } finally fs.close()
   }
@@ -1071,11 +1120,8 @@ object WarcIo {
           override def next(): WarcRecord = it.next()
         }
         closing.zipWithIndex.map { case (r, ix) =>
-          val digest = r.extra.collectFirst {
-            case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
-          }.orNull
           (file, ix, r.recordType, r.targetUri, r.date, r.recordId, r.contentType,
-            r.payload.length.toLong, r.payload, digest)
+            r.payload.length.toLong, r.payload, carriedPayloadDigest(r).orNull)
         }
       }
     spark.createDataset(rows)
@@ -1129,8 +1175,11 @@ object WarcIo {
             })
           it.map { case (name, off, len) =>
             // a member holds one record + gzip framing; cap it by the
-            // same payload bound the parser enforces (plus header slack)
-            require(len > 0 && len <= maxPayloadBytes.toLong + (1L << 16),
+            // same payload bound the parser enforces (plus header
+            // slack) AND the JVM array ceiling — a corrupt length must
+            // fail HERE, not as a NegativeArraySizeException below
+            require(len > 0 && len <= maxPayloadBytes.toLong + (1L << 16) &&
+                len <= Int.MaxValue.toLong - 8,
               s"fetchByCdx: implausible member length $len for $name @$off")
             val buf = new Array[Byte](len.toInt)
             in(name).readFully(off, buf, 0, buf.length)
@@ -1138,11 +1187,9 @@ object WarcIo {
             require(recs.length == 1,
               s"fetchByCdx: pointer $name @$off+$len framed ${recs.length} records")
             val r = recs.head
-            val digest = r.extra.collectFirst {
-              case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") => v
-            }.orNull
             (name, off, r.recordType, r.targetUri, r.date, r.recordId,
-              r.contentType, r.payload.length.toLong, r.payload, digest)
+              r.contentType, r.payload.length.toLong, r.payload,
+              carriedPayloadDigest(r).orNull)
           }
         }
       }

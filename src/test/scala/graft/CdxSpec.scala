@@ -57,6 +57,23 @@ class CdxSpec extends SparkSpec {
     assert(UrlOps.surtKey("https://sub.example.com.") == "com,example,sub)/")
   }
 
+  test("surtKey: userinfo drops, params fold before sorting, whitespace encodes") {
+    // userinfo is not resource identity — with it the key would leave
+    // the host's contiguous range
+    assert(UrlOps.surtKey("http://user@example.com/x") == "com,example)/x")
+    assert(UrlOps.surtKey("http://u:pw@example.com/x") == "com,example)/x")
+    // params lowercase BEFORE the byte-wise sort: case variants of the
+    // same canonical query must collide ('B' < 'a' would otherwise
+    // order them differently)
+    assert(UrlOps.surtKey("http://a.org/p?B=1&a=2") ==
+      UrlOps.surtKey("http://a.org/p?b=1&a=2"))
+    assert(UrlOps.surtKey("http://a.org/p?B=1&a=2") == "org,a)/p?a=2&b=1")
+    // raw space/control bytes percent-encode — the key must survive
+    // space-delimited CDXJ lines as one token
+    assert(UrlOps.surtKey("http://a.org/my doc.html") == "org,a)/my%20doc.html")
+    assert(UrlOps.surtKey("http://a.org/p?q=a b") == "org,a)/p?q=a%20b")
+  }
+
   test("surtKey: one domain's hosts are a contiguous key range") {
     val keys = Seq(
       UrlOps.surtKey("http://example.com/z"),
@@ -195,17 +212,40 @@ class CdxSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
-  test("lookupRange: half-open; lookupPrefix of a whole domain spans hosts") {
+  test("lookupRange half-open; lookupDomain spans hosts but NOT sibling domains") {
     val dir = TempDirs.scratch("cdx_idx2_")
     CdxIndex.buildTable(corpus(2000), dir, nShards = 8)
     // whole registrable domain: every host of site5.org
-    val dom = CdxIndex.lookupPrefix(spark, dir, "org,site5")
+    val dom = CdxIndex.lookupDomain(spark, dir, "org,site5")
     assert(dom.count() == 2000 / 7 + (if (2000 % 7 > 5) 1 else 0))
     assert(dom.select("url").collect().forall(_.getString(0).contains(".site5.org/")))
     // miss: no shard intersects -> empty, same schema
     val miss = CdxIndex.lookupPrefix(spark, dir, "zz,nowhere)")
     assert(miss.count() == 0)
     assert(miss.columns.sameElements(dom.columns))
+  }
+
+  test("lookupDomain excludes string-prefix sibling domains, includes apex/port/subs") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_idx3_")
+    // adversarial keyspace: example.com apex, apex:8080, subdomain —
+    // plus the SIBLINGS examples.com and example2.com whose keys are
+    // string-extensions of "com,example" (digits sort between ',' and
+    // ':', so a naive wide range would swallow example2.com)
+    val urls = Seq(
+      "https://example.com/a", "https://example.com:8080/b",
+      "https://sub.example.com/c", "https://examples.com/x",
+      "https://example2.com/y", "https://deep.sub.example.com/d")
+    val cdx = urls.zipWithIndex.toDF("url", "i").selectExpr(
+      "graft_surt(url) AS surt", "lpad(CAST(i AS STRING), 14, '0') AS ts",
+      "url", "'text/html' AS mime", "CAST(200 AS INT) AS status",
+      "concat('d', i) AS digest", "CAST(100 AS BIGINT) AS length",
+      "CAST(i AS BIGINT) AS offset", "'f.warc.gz' AS filename")
+    CdxIndex.buildTable(cdx, dir, nShards = 2)
+    val got = CdxIndex.lookupDomain(spark, dir, "com,example")
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("https://deep.sub.example.com/d", "https://example.com/a",
+      "https://example.com:8080/b", "https://sub.example.com/c"))
   }
 
   test("fetchByCdx: ranged reads return exactly the looked-up records") {
