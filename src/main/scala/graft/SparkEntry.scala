@@ -3596,6 +3596,65 @@ object SparkEntry {
         .orderBy(col("url_host_registered_domain"))
     }),
 
+    "cdx_change_rate" -> ((s, dir) => {
+      // cross-crawl change statistics — the adaptive-revisit signal:
+      // 1000 urls captured in THREE crawls; a quarter change content
+      // every crawl (rate 1.0), a quarter change once (0.5), the rest
+      // never (0.0). ONE hash agg over (surt), distinct digests
+      // counted map-side — no window, no collect; the oracle replays
+      // capture counts, version counts, fetch-time spans and the rate
+      // from the same formulas.
+      val cdx = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('2026010', crawl + 1, '000000') AS ts",
+          """CASE
+            |  WHEN base % 4 = 0 THEN concat('d', base, '-', crawl)
+            |  WHEN base % 4 = 1 THEN concat('d', base, '-',
+            |    CASE WHEN crawl = 2 THEN 1 ELSE 0 END)
+            |  ELSE concat('d', base) END AS digest""".stripMargin)
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      graft.sources.CdxIndex.changeStats(cdx)
+        .select(col("surt"), col("url"), col("n_captures"), col("n_versions"),
+          col("first_ts"), col("last_ts"), col("change_rate"))
+        .orderBy(col("surt"))
+    }),
+
+    "cdx_merge_stats" -> ((s, dir) => {
+      // the cross-crawl lifecycle composed: each crawl publishes its
+      // OWN sorted index dir (the publication unit); mergeTables
+      // re-sorts the union into one master table; changeStats over the
+      // merged view surfaces the urls whose content drifted between
+      // crawls. Green proves per-crawl build → merge → re-sort →
+      // aggregate preserves every row bit-exactly.
+      val byCrawl = (0 until 3).map { crawl =>
+        val cdx = s.range(1000).selectExpr("id AS base")
+          .selectExpr(
+            "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+            s"'2026010${crawl + 1}000000' AS ts",
+            s"""CASE
+               |  WHEN base % 4 = 0 THEN concat('d', base, '-', $crawl)
+               |  WHEN base % 4 = 1 THEN concat('d', base, '-',
+               |    ${if (crawl == 2) 1 else 0})
+               |  ELSE concat('d', base) END AS digest""".stripMargin)
+          .withColumn("surt", call_function("graft_surt", col("url")))
+          .selectExpr("surt", "ts", "url", "'text/html' AS mime",
+            "CAST(200 AS INT) AS status", "digest",
+            "CAST(100 AS BIGINT) AS length", "CAST(0 AS BIGINT) AS offset",
+            "'f.warc.gz' AS filename")
+        val d = TempDirs.scratch(s"cdx_crawl${crawl}_")
+        graft.sources.CdxIndex.buildTable(cdx, d, nShards = 4)
+        d
+      }
+      val merged = TempDirs.scratch("cdx_merged_")
+      graft.sources.CdxIndex.mergeTables(s, byCrawl, merged, nShards = 6)
+      graft.sources.CdxIndex.changeStats(s.read.parquet(merged + "/cdx"))
+        .filter(col("n_versions") > 1)
+        .select(col("surt"), col("n_captures"), col("n_versions"), col("change_rate"))
+        .orderBy(col("surt"))
+    }),
+
     "pipeline_cdx_fetch" -> ((s, dir) => {
       // the index's PAYOFF, composed end to end: archive + CDX sidecar
       // on disk → master index (range-partitioned, cluster-pruned) →
@@ -7864,6 +7923,32 @@ object SparkEntry {
         |      || ')/p/' || CAST(i AS VARCHAR)) AS first_key,
         |  CAST(SUM(100 + i % 9) AS BIGINT) AS total_bytes
         |FROM t GROUP BY k ORDER BY url_host_registered_domain""".stripMargin,
+
+    // capture/version counts, fetch-time span and the rate replayed
+    // from the same three-crawl digest formulas
+    "cdx_change_rate" ->
+      """WITH b AS (SELECT i AS base, CAST(i % 20 AS VARCHAR) AS h,
+        |    CAST(i AS VARCHAR) AS sb FROM range(1000) r(i))
+        |SELECT 'org,ex,h' || h || ')/p/' || sb AS surt,
+        |  'https://h' || h || '.ex.org/p/' || sb AS url,
+        |  CAST(3 AS BIGINT) AS n_captures,
+        |  CAST(CASE WHEN base % 4 = 0 THEN 3
+        |            WHEN base % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+        |  '20260101000000' AS first_ts, '20260103000000' AS last_ts,
+        |  CAST(CASE WHEN base % 4 = 0 THEN 1.0
+        |            WHEN base % 4 = 1 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS change_rate
+        |FROM b ORDER BY surt""".stripMargin,
+
+    // the drifted quarter + the changed-once quarter survive the
+    // per-crawl build → merge → re-sort → aggregate loop
+    "cdx_merge_stats" ->
+      """WITH b AS (SELECT i AS base, CAST(i % 20 AS VARCHAR) AS h,
+        |    CAST(i AS VARCHAR) AS sb FROM range(1000) r(i) WHERE i % 4 < 2)
+        |SELECT 'org,ex,h' || h || ')/p/' || sb AS surt,
+        |  CAST(3 AS BIGINT) AS n_captures,
+        |  CAST(CASE WHEN base % 4 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_versions,
+        |  CAST(CASE WHEN base % 4 = 0 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS change_rate
+        |FROM b ORDER BY surt""".stripMargin,
 
     // one host's entities reconstructed from the raw documents via the
     // escape→byte-length identity (the pipeline_wat convention); the

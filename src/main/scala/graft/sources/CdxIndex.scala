@@ -104,6 +104,40 @@ object CdxIndex {
       .reduce(_ unionByName _)
   }
 
+  /** Merge per-crawl indexes into one re-sorted master table — the
+    * cross-crawl view (one index per crawl is the publication unit;
+    * history queries span them). Plain union + [[buildTable]]: the
+    * range partitioner re-samples the combined key distribution, so
+    * shard boundaries follow the merged data.
+    */
+  def mergeTables(spark: SparkSession, dirs: Seq[String], out: String, nShards: Int): Unit = {
+    require(dirs.nonEmpty, "mergeTables needs at least one source index")
+    buildTable(dirs.map(d => spark.read.parquet(s"$d/cdx")).reduce(_ unionByName _),
+      out, nShards)
+  }
+
+  /** Per-URL change statistics across captures — the adaptive-revisit
+    * signal (Heritrix-style: pages observed to change re-crawl sooner).
+    * For each SURT key: capture count, distinct content versions
+    * (payload digests), first/last fetch time, and `change_rate` =
+    * (versions-1)/(captures-1) — 0.0 for never-changed, 1.0 for
+    * changed-every-visit, defined 0.0 at a single capture. ONE hash
+    * aggregation with map-side partial merge; no window, no collect —
+    * the output is frontier-priority input at any crawl size.
+    */
+  def changeStats(cdx: DataFrame): DataFrame =
+    cdx.groupBy(col("surt"))
+      .agg(
+        max(col("url")).as("url"),
+        count(lit(1)).as("n_captures"),
+        countDistinct(col("digest")).as("n_versions"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .withColumn("change_rate",
+        when(col("n_captures") > 1,
+          (col("n_versions") - 1).cast("double") / (col("n_captures") - 1))
+          .otherwise(lit(0.0)))
+
   /** The cc-index-table shape: CDX rows widened with the typed URL
     * columns a columnar query engine filters on (host, eTLD+1 via the
     * embedded PSL, TLD, path) — so "all .org captures from domain X

@@ -282,6 +282,31 @@ class CdxSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
+    import spark.implicits._
+    val mk = (url: String, ts: String, dg: String) =>
+      (UrlOps.surtKey(url), ts, url, "text/html", 200, dg, 100L, 0L, "f.warc.gz")
+    val crawl1 = Seq(
+      mk("https://a.org/only-once", "20260101000000", "d1"),
+      mk("https://a.org/stable", "20260101000000", "s1")).toDF(
+      "surt", "ts", "url", "mime", "status", "digest", "length", "offset", "filename")
+    val crawl2 = Seq(
+      mk("https://a.org/stable", "20260102000000", "s1")).toDF(
+      "surt", "ts", "url", "mime", "status", "digest", "length", "offset", "filename")
+    val (d1, d2, m) = (TempDirs.scratch("cdx_cs1_"), TempDirs.scratch("cdx_cs2_"),
+      TempDirs.scratch("cdx_csm_"))
+    CdxIndex.buildTable(crawl1, d1, 2)
+    CdxIndex.buildTable(crawl2, d2, 2)
+    CdxIndex.mergeTables(spark, Seq(d1, d2), m, 2)
+    val merged = spark.read.parquet(m + "/cdx")
+    assert(merged.count() == 3)
+    val stats = CdxIndex.changeStats(merged).collect()
+      .map(r => r.getAs[String]("surt") ->
+        (r.getAs[Long]("n_captures"), r.getAs[Double]("change_rate"))).toMap
+    assert(stats("org,a)/only-once") == ((1L, 0.0)))
+    assert(stats("org,a)/stable") == ((2L, 0.0)))
+  }
+
   test("toColumnar: cc-index-table columns derive from url + surt") {
     val one = CdxIndex.toColumnar(corpus(50)).filter(col("url").endsWith("/p/17")).collect()
     assert(one.length == 1)
