@@ -525,6 +525,65 @@ object ScaleProbe {
         }
       }
       locally {
+        // the CDX payoff, measured against crawl_extract's full scan:
+        // the same archives written WITH the CDXJ sidecar, compacted
+        // to the master index, then ONE host of the 997 re-processed
+        // via cluster-pruned lookup + positioned ranged reads. At any
+        // k the fetch touches ~1/997 of the records and none of the
+        // other 996 hosts' bytes — the full-scan extract grows with
+        // the corpus, the indexed fetch with the host.
+        var cdxWarcDir: String = null
+        var cdxIdxDir: String = null
+        def buildCdxArchives(): Unit = {
+          import spark.implicits._
+          cdxWarcDir = TempDirs.scratch("probe_cdxwarc")
+          val records = d.select(col("doc_id"), col("text"))
+            .filter(col("text").isNotNull)
+            .repartition(32)
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, text) =>
+              val esc = text.replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+              val html = "<html><body><h1>CDX fetch probe</h1><p>" + esc +
+                "</p></body></html>"
+              val payload = sources.WarcIo.buildHttpResponse(200, "OK",
+                Seq("Content-Type" -> "text/html; charset=utf-8"),
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              ("response", s"http://site${id % 997}.example.com/p/$id",
+                "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor("cdxprobe:" + id),
+                "application/http; msgtype=response", payload)
+            }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+              "content_type", "payload")
+          sources.WarcIo.writeWarcWithCdx(records, cdxWarcDir)
+          cdxIdxDir = TempDirs.scratch("probe_cdxidx")
+          sources.CdxIndex.buildTable(
+            sources.WarcIo.readCdxj(spark, cdxWarcDir + "/part-*.cdx.gz"),
+            cdxIdxDir, nShards = 32)
+        }
+        time("cdx_sidecar_build", k) {
+          buildCdxArchives() // archive + sidecar + master index, timed whole
+          d.limit(0)
+        }
+        if (cdxWarcDir == null && only.forall(_.contains("cdx_fetch_host")))
+          buildCdxArchives()
+        if (cdxWarcDir != null) time("cdx_fetch_host", k) {
+          import spark.implicits._
+          sources.WarcIo.fetchByCdx(
+            sources.CdxIndex.lookupPrefix(spark, cdxIdxDir, "com,example,site42)"),
+            cdxWarcDir)
+            .select(col("target_uri"), col("payload"))
+            .as[(String, Array[Byte])]
+            .mapPartitions(_.map { case (uri, payload) =>
+              val http = sources.WarcIo.parseHttpResponse(payload)
+              val html = sources.WarcIo.decodeBody(http)
+              (functions.UrlOps.registrableDomain(functions.UrlOps.parse(uri).host),
+                html.codePointCount(0, html.length).toLong)
+            }).toDF("domain", "n_chars")
+            .groupBy(col("domain"))
+            .agg(count(lit(1)).as("n_pages"), sum(col("n_chars")).as("total_chars"))
+        }
+      }
+      locally {
         // persisted frontier seen-set at k×100k urls: index build once,
         // then a 10%-of-index discovery batch (80% already seen — the
         // steady-state recrawl-discovery shape) probed against it.
