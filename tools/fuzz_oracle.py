@@ -53,6 +53,14 @@ QUERIES = [
     "frontier_redirects", "crawl_revisits", "crawl_schedule_capped",
     "mm_flac_decode", "pipeline_crawl_loop", "crawl_schedule_robots",
     "pipeline_wet", "crawl_pagerank",
+    # r14 CDX family: pipeline_cdx/pipeline_cdx_fetch escape every
+    # adversarial doc into HTML, write real WARC+CDXJ containers, and
+    # replay keys/timestamps/entity byte-lengths — the sidecar and the
+    # ranged-read loop must survive any text; the others are formula
+    # fixtures re-checked under every seed
+    "cdx_surt", "pipeline_cdx", "cdx_lookup", "cdx_columnar",
+    "pipeline_cdx_fetch", "cdx_change_rate", "cdx_merge_stats",
+    "pipeline_wat",
 ]
 
 # events-only queries: gated when the adversarial events table is
