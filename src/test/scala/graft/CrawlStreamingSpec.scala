@@ -144,7 +144,9 @@ class CrawlStreamingSpec extends SparkSpec {
           ("metadata", u, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("req:" + u),
             "application/warc-fields", s"scheduled: $u".getBytes(UTF_8))
         }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
-        WarcIo.writeWarc(recs, s"$dir/warc/epoch-$epoch")
+        // each epoch commits its archive WITH the CDXJ sidecar — the
+        // streaming loop produces indexable containers, not just bytes
+        WarcIo.writeWarcWithCdx(recs, s"$dir/warc/epoch-$epoch")
         ()
     }
     val input = MemoryStream[String]
@@ -197,6 +199,26 @@ class CrawlStreamingSpec extends SparkSpec {
       .select("url").distinct().as[String].collect().toSet
     assert(indexed.size == 20 + 3 + 3 + 1, s"index size ${indexed.size}")
     assert(indexed.contains("http://c.net/u/2"), "capped-from-schedule urls still index")
+    // the CDX sidecars ARE the exactly-once surface at the index level:
+    // the epochs' sidecars hold exactly the 6 deliveries, and the
+    // master index built from them resolves a host query to the right
+    // epoch archives
+    val cdx = WarcIo.readCdxj(spark, s"$dir/warc/epoch-*/part-*.cdx.gz")
+    val cdxRows = cdx.collect()
+    assert(cdxRows.length == 6, s"sidecar rows: ${cdxRows.length}")
+    assert(cdxRows.map(_.getAs[String]("url")).toSet ==
+      scheduled.map(_._2).toSet)
+    graft.sources.CdxIndex.buildTable(cdx, s"$dir/cdxidx", nShards = 2)
+    val cnet = graft.sources.CdxIndex.lookupDomain(spark, s"$dir/cdxidx", "net,c")
+      .collect()
+    assert(cnet.map(_.getAs[String]("url")).toSet ==
+      Set("http://c.net/u/11", "http://c.net/u/9"))
+    // and the pointers dereference: fetch one record back by range
+    val fetched = WarcIo.fetchByCdx(
+      cdx.filter(col("url") === "http://d.io/u/1"), s"$dir/warc/epoch-2").collect()
+    assert(fetched.length == 1 &&
+      new String(fetched.head.getAs[Array[Byte]]("payload"), UTF_8) ==
+        "scheduled: http://d.io/u/1")
   }
 
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
