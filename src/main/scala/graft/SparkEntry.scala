@@ -3616,7 +3616,7 @@ object SparkEntry {
             |  ELSE concat('d', base) END AS digest""".stripMargin)
         .withColumn("surt", call_function("graft_surt", col("url")))
       graft.sources.CdxIndex.changeStats(cdx)
-        .select(col("surt"), col("url"), col("n_captures"), col("n_versions"),
+        .select(col("surt"), col("n_captures"), col("n_versions"),
           col("first_ts"), col("last_ts"), col("change_rate"))
         .orderBy(col("surt"))
     }),
@@ -7930,7 +7930,6 @@ object SparkEntry {
       """WITH b AS (SELECT i AS base, CAST(i % 20 AS VARCHAR) AS h,
         |    CAST(i AS VARCHAR) AS sb FROM range(1000) r(i))
         |SELECT 'org,ex,h' || h || ')/p/' || sb AS surt,
-        |  'https://h' || h || '.ex.org/p/' || sb AS url,
         |  CAST(3 AS BIGINT) AS n_captures,
         |  CAST(CASE WHEN base % 4 = 0 THEN 3
         |            WHEN base % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,

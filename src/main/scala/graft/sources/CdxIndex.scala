@@ -121,22 +121,32 @@ object CdxIndex {
     * For each SURT key: capture count, distinct content versions
     * (payload digests), first/last fetch time, and `change_rate` =
     * (versions-1)/(captures-1) — 0.0 for never-changed, 1.0 for
-    * changed-every-visit, defined 0.0 at a single capture. ONE hash
-    * aggregation with map-side partial merge; no window, no collect —
-    * the output is frontier-priority input at any crawl size.
+    * changed-every-visit, defined 0.0 at a single capture.
+    *
+    * Shape: TWO hash aggregations, both with map-side partial merge —
+    * (surt, digest) collapses repeat captures of one version, then
+    * (surt) counts the versions. Deliberately NOT `countDistinct` +
+    * string min/max in one agg: a distinct over var-length buffers
+    * plans as a single partial-less SortAggregate, shuffling every
+    * index row unreduced (PlanQualitySpec pins the hash-agg form).
+    * Fetch times aggregate as the ts14 NUMBER (fixed-width buffer)
+    * and format back on output. No window, no collect — the output is
+    * frontier-priority input at any crawl size. Callers wanting a
+    * representative capture per key join the index back on `surt`.
     */
   def changeStats(cdx: DataFrame): DataFrame =
-    cdx.groupBy(col("surt"))
-      .agg(
-        max(col("url")).as("url"),
-        count(lit(1)).as("n_captures"),
-        countDistinct(col("digest")).as("n_versions"),
-        min(col("ts")).as("first_ts"),
-        max(col("ts")).as("last_ts"))
-      .withColumn("change_rate",
+    cdx.select(col("surt"), col("digest"), col("ts").cast("long").as("tsl"))
+      .groupBy(col("surt"), col("digest"))
+      .agg(count(lit(1)).as("n"), min(col("tsl")).as("f"), max(col("tsl")).as("l"))
+      .groupBy(col("surt"))
+      .agg(sum(col("n")).as("n_captures"), count(lit(1)).as("n_versions"),
+        min(col("f")).as("f"), max(col("l")).as("l"))
+      .select(col("surt"), col("n_captures"), col("n_versions"),
+        lpad(col("f").cast("string"), 14, "0").as("first_ts"),
+        lpad(col("l").cast("string"), 14, "0").as("last_ts"),
         when(col("n_captures") > 1,
           (col("n_versions") - 1).cast("double") / (col("n_captures") - 1))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(0.0)).as("change_rate"))
 
   /** The cc-index-table shape: CDX rows widened with the typed URL
     * columns a columnar query engine filters on (host, eTLD+1 via the

@@ -233,6 +233,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(finalPlan.contains("*("), "no WholeStageCodegen stages (\"*(n)\" markers) at all?")
   }
 
+  test("cdx_change_rate: ONE partial hash agg over surt; graft_surt codegen'd") {
+    // the adaptive-revisit signal must stay a map-side-combined single
+    // aggregation — a window or re-join formulation would shuffle the
+    // whole index per signal refresh
+    val df = SparkEntry.queries("cdx_change_rate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got:\n$p")
+    assert(!p.contains("Window"), "changeStats must not window")
+    assert(p.contains("graft_surt"), "native SURT expression missing from plan")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true") && finalPlan.contains("*("),
+      "SURT keying must run inside whole-stage codegen")
+  }
+
+  test("cdx_lookup scans only cluster-selected shard files; no index broadcast") {
+    // the pruning itself is pinned file-level in CdxSpec; here pin that
+    // the LOOKUP plan is a plain pruned scan + filter — no join against
+    // the cluster table (it is consulted driver-side, shard-count rows)
+    // and nothing broadcast
+    val p = plan("cdx_lookup")
+    assert(!p.contains("BroadcastExchange"), s"no broadcast expected in a pruned scan:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian in the lookup")
+  }
+
   test("stop-at-gtid filter is a pushable BETWEEN disjunction, not a UDF") {
     val p = plan("o11_stop_at_gtid")
     assert(!p.toLowerCase.contains("scalaudf"), "interval filter must not be a UDF")
