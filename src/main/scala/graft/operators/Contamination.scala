@@ -56,6 +56,15 @@ object Contamination {
     * sketch has no false negatives, and a false positive only creates a
     * single-side bucket the existing `size(evals) >= 1` filter drops —
     * so this shares `contamination`'s oracle bit-for-bit.
+    *
+    * The sketch IS a driver-built plan literal — deliberately, and
+    * safely: unlike a crawl-sized seen-set (the sharded frontier /
+    * incremental-dedup tier), the EVAL suite is fixed and small, so
+    * the literal is bounded by `expectedEvalShingles` (1M ≈ 1.2 MB at
+    * 3% fpp; even a 100M-shingle eval battery is ~120 MB, far from the
+    * 2 GB array ceiling) and buys a codegen'd constant filter INSIDE
+    * the train scan — a probe join here would shuffle the train side,
+    * which is the thing this function exists to avoid.
     */
   def evalOverlapBloom(train: DataFrame, eval: DataFrame,
                        idCol: String, textCol: String,

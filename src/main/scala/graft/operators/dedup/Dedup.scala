@@ -226,16 +226,34 @@ object Dedup {
     */
   def incrementalExactBloom(index: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String,
-                            expectedItems: Long = 4000000L): DataFrame = {
+                            expectedItems: Long = 4000000L,
+                            nShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions.call_function
     val h64 = xxhash64(normText(col(textCol)))
-    // one small binary (default sketch ≈ 1 MB) — driver-safe collect,
-    // inlined as a foldable literal so might_contain codegens against a
-    // constant (the same contract the runtime-filter optimizer uses)
-    val bfBytes = index.select(h64.as("h"))
-      .agg(call_function("graft_bloom_agg", col("h"), lit(expectedItems)).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val probed = batch.withColumn("__hit", call_function("graft_might_contain", lit(bfBytes), h64))
+    // per-shard sketches, built DISTRIBUTED and joined to the batch by
+    // shard — no driver collect, no plan literal. The index (and so
+    // total sketch bytes) grows with the corpus, and a driver-merged
+    // literal hits the JVM's 2 GB array ceiling exactly like the
+    // pre-r14 frontier tier did; the sharded join is the same fix
+    // (graft_bloom_probe's per-task shard cache amortizes the
+    // deserialization to once per shard per task). Null/absent text
+    // hashes to null → shard null → join miss → probe null →
+    // coalesce(false): the row rides the clear path, matching the
+    // exact anti-join (a null key never matches the index).
+    val perShard = math.max(expectedItems / nShards, 1L)
+    val sketches = index.select(h64.as("__h"))
+      .withColumn("__shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .groupBy(col("__shard"))
+      .agg(call_function("graft_bloom_agg", col("__h"), lit(perShard)).as("__bf"))
+      .filter(col("__bf").isNotNull)
+    val probed = batch
+      .withColumn("__h", h64)
+      .withColumn("__shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .join(sketches.hint("shuffle_hash"), Seq("__shard"), "left")
+      .withColumn("__hit",
+        coalesce(call_function("graft_bloom_probe",
+          col("__shard"), col("__bf"), col("__h")), lit(false)))
+      .drop("__bf", "__h", "__shard")
     val clear = probed.filter(!col("__hit"))
     val indexSet = index.select(md5(normText(col(textCol))).as("__md5")).distinct()
     val surviving = probed.filter(col("__hit"))

@@ -184,11 +184,16 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(viaBloom == truth)
     assert(truth.nonEmpty) // sf0.001 has no exact cross-split dups: all survive — equality above is the real check
-    // the probe is a codegen'd literal filter, and the verify join never
-    // broadcasts the corpus-sized index hash set
+    // the sketch tier is SHARDED like the frontier's: per-shard rows
+    // joined by shard (shuffle-hash, never broadcast), probed via
+    // graft_bloom_probe — no driver-merged might_contain literal that
+    // would cap out at the 2 GB array ceiling on a corpus-sized index
     val plan = Dedup.incrementalExactBloom(index, batch, "doc_id", "text", 10000L)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("graft_bloom_probe"), s"sharded bloom probe missing:\n$plan")
+    assert(!plan.contains("might_contain"), "driver-merged sketch literal crept back")
+    assert(plan.contains("ShuffledHashJoin [__shard"), s"sketch join must be shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), "nothing corpus-sized may broadcast")
   }
 
   test("MinHashSigAgg matches the declarative k-min formulation bit-for-bit") {
