@@ -463,7 +463,7 @@ object CrawlFrontier {
     * live tree, promote the staged one, drop the parked copy. A crash
     * mid-swap leaves the old tree recoverable at `parked`.
     */
-  private def swapDir(spark: SparkSession, staged: String, live: String,
+  private[graft] def swapDir(spark: SparkSession, staged: String, live: String,
       parked: String): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val (sp, lp, pp) = (new org.apache.hadoop.fs.Path(staged),

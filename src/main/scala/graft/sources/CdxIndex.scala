@@ -37,25 +37,48 @@ object CdxIndex {
     * key distribution, so shard boundaries follow the data (a heavily
     * crawled domain spreads over several shards instead of hot-spotting
     * one writer).
+    *
+    * The whole table (shards + cluster) builds under `<dir>__staging`
+    * and promotes by directory rename — a plain two-write overwrite
+    * would expose concurrent lookups to a half-rebuilt table (cdx
+    * shards live, cluster missing or stale). A crash mid-swap leaves
+    * the previous table recoverable at `<dir>__parked` (the
+    * CrawlFrontier.compactIndex convention). The cluster stores shard
+    * files by BASENAME, not absolute path, so the table survives the
+    * promote rename (and any later relocation of the index dir).
     */
   def buildTable(cdx: DataFrame, dir: String, nShards: Int): Unit = {
     require(nShards > 0, "nShards must be positive")
+    val spark = cdx.sparkSession
+    val staging = s"${dir}__staging"
+    val hconf = spark.sessionState.newHadoopConf()
+    val livePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = livePath.getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     cdx.repartitionByRange(nShards, col("surt"), col("ts"))
       .sortWithinPartitions(col("surt"), col("ts"))
-      .write.mode("overwrite").parquet(s"$dir/cdx")
+      .write.mode("overwrite").parquet(s"$staging/cdx")
     // cluster.idx analog: one column-pruned pass over the shards just
-    // written (reads only `surt`), grouped by physical file
-    val spark = cdx.sparkSession
-    spark.read.parquet(s"$dir/cdx")
-      .groupBy(input_file_name().as("file"))
+    // written (reads only `surt`), grouped by physical file basename
+    spark.read.parquet(s"$staging/cdx")
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
       .agg(min(col("surt")).as("lo"), max(col("surt")).as("hi"),
         count(lit(1)).as("n"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/cluster")
+      .write.mode("overwrite").parquet(s"$staging/cluster")
+    if (fs.exists(livePath))
+      graft.operators.CrawlFrontier.swapDir(spark, staging, dir, s"${dir}__parked")
+    else {
+      val parent = livePath.getParent
+      if (parent != null) fs.mkdirs(parent)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging), livePath),
+        s"CdxIndex: could not promote $staging to $dir")
+    }
   }
 
   /** The shard files whose [lo,hi] key range intersects [from,to] —
     * the cluster.idx consultation. Bounded: one row per shard file.
+    * Basenames resolve against the CURRENT table dir.
     */
   private def shardFiles(spark: SparkSession, dir: String,
       from: String, to: String): Seq[String] = {
@@ -63,6 +86,7 @@ object CdxIndex {
     spark.read.parquet(s"$dir/cluster")
       .filter(col("hi") >= from && col("lo") < to)
       .select(col("file")).as[String].collect().toSeq.sorted
+      .map(name => s"$dir/cdx/$name")
   }
 
   /** All index rows with `from <= surt < to`, scanning only the shards

@@ -307,6 +307,25 @@ class CdxSpec extends SparkSpec {
     assert(stats("org,a)/stable") == ((2L, 0.0)))
   }
 
+  test("buildTable rebuild is staged: no residue, lookups stay correct, names relative") {
+    val dir = TempDirs.scratch("cdx_swap_") + "/table"
+    CdxIndex.buildTable(corpus(500), dir, nShards = 4)
+    val before = CdxIndex.lookupPrefix(spark, dir, "org,site3,h17)").count()
+    // rebuild over the live table (the compaction path): staged swap,
+    // not delete-then-write
+    CdxIndex.buildTable(corpus(1000), dir, nShards = 4)
+    assert(CdxIndex.lookupPrefix(spark, dir, "org,site3,h17)").count() >= before)
+    val root = java.nio.file.Paths.get(dir).getParent
+    val residue = java.nio.file.Files.list(root).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (residue.hasNext) names += residue.next().getFileName.toString
+    assert(names.toSet == Set("table"), s"staging/parked residue left: $names")
+    // cluster rows carry basenames — the table survives relocation
+    val moved = root.resolve("moved").toString
+    assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
+    assert(CdxIndex.lookupPrefix(spark, moved, "org,site3,h17)").count() >= before)
+  }
+
   test("toColumnar: cc-index-table columns derive from url + surt") {
     val one = CdxIndex.toColumnar(corpus(50)).filter(col("url").endsWith("/p/17")).collect()
     assert(one.length == 1)
