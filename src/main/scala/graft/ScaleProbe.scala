@@ -472,31 +472,36 @@ object ScaleProbe {
       // HTTP parse → HTML extract → domain agg. Extract should track
       // archive bytes linearly; memory stays flat at any k because no
       // task ever holds an archive.
+      // one record-synthesis path for BOTH archive arms (plain write
+      // and CDX-sidecar write): the crawl_extract vs cdx_fetch_host
+      // comparison is only meaningful if the records are identical
+      def probeCrawlRecords(idPrefix: String): org.apache.spark.sql.DataFrame = {
+        import spark.implicits._
+        d.select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull)
+          .repartition(32)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val esc = text.replace("&", "&amp;")
+              .replace("<", "&lt;").replace(">", "&gt;")
+            val html = "<html><body><nav><a href='/'>Home</a></nav>" +
+              s"<h1>Shared heading for the crawl probe</h1><p>$esc</p></body></html>"
+            val payload = sources.WarcIo.buildHttpResponse(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8"),
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ("response", s"http://site${id % 997}.example.com/p/$id",
+              "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor(idPrefix + id),
+              "application/http; msgtype=response", payload)
+          }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+            "content_type", "payload")
+      }
       locally {
         var warcDir: String = null
         // the build is the same writeWarc sink production uses — the
         // probe must not maintain a second archive writer
         def buildArchives(): Unit = {
-          import spark.implicits._
           warcDir = TempDirs.scratch("probe_warc")
-          val records = d.select(col("doc_id"), col("text"))
-            .filter(col("text").isNotNull)
-            .repartition(32)
-            .as[(Long, String)]
-            .mapPartitions(_.map { case (id, text) =>
-              val esc = text.replace("&", "&amp;")
-                .replace("<", "&lt;").replace(">", "&gt;")
-              val html = "<html><body><nav><a href='/'>Home</a></nav>" +
-                s"<h1>Shared heading for the crawl probe</h1><p>$esc</p></body></html>"
-              val payload = sources.WarcIo.buildHttpResponse(200, "OK",
-                Seq("Content-Type" -> "text/html; charset=utf-8"),
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              ("response", s"http://site${id % 997}.example.com/p/$id",
-                "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor("probe:" + id),
-                "application/http; msgtype=response", payload)
-            }).toDF("rec_type", "target_uri", "warc_date", "record_id",
-              "content_type", "payload")
-          sources.WarcIo.writeWarc(records, warcDir)
+          sources.WarcIo.writeWarc(probeCrawlRecords("probe:"), warcDir)
         }
         time("crawl_warc_build", k) {
           buildArchives()
@@ -535,26 +540,8 @@ object ScaleProbe {
         var cdxWarcDir: String = null
         var cdxIdxDir: String = null
         def buildCdxArchives(): Unit = {
-          import spark.implicits._
           cdxWarcDir = TempDirs.scratch("probe_cdxwarc")
-          val records = d.select(col("doc_id"), col("text"))
-            .filter(col("text").isNotNull)
-            .repartition(32)
-            .as[(Long, String)]
-            .mapPartitions(_.map { case (id, text) =>
-              val esc = text.replace("&", "&amp;")
-                .replace("<", "&lt;").replace(">", "&gt;")
-              val html = "<html><body><h1>CDX fetch probe</h1><p>" + esc +
-                "</p></body></html>"
-              val payload = sources.WarcIo.buildHttpResponse(200, "OK",
-                Seq("Content-Type" -> "text/html; charset=utf-8"),
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              ("response", s"http://site${id % 997}.example.com/p/$id",
-                "2026-01-01T00:00:00Z", sources.WarcIo.recordIdFor("cdxprobe:" + id),
-                "application/http; msgtype=response", payload)
-            }).toDF("rec_type", "target_uri", "warc_date", "record_id",
-              "content_type", "payload")
-          sources.WarcIo.writeWarcWithCdx(records, cdxWarcDir)
+          sources.WarcIo.writeWarcWithCdx(probeCrawlRecords("cdxprobe:"), cdxWarcDir)
           cdxIdxDir = TempDirs.scratch("probe_cdxidx")
           sources.CdxIndex.buildTable(
             sources.WarcIo.readCdxj(spark, cdxWarcDir + "/part-*.cdx.gz"),
@@ -568,6 +555,9 @@ object ScaleProbe {
           buildCdxArchives()
         if (cdxWarcDir != null) time("cdx_fetch_host", k) {
           import spark.implicits._
+          // IDENTICAL per-record work to crawl_extract (parse → decode
+          // → main-content extract → domain agg) so the delta measures
+          // the access path, not skipped extraction
           sources.WarcIo.fetchByCdx(
             sources.CdxIndex.lookupPrefix(spark, cdxIdxDir, "com,example,site42)"),
             cdxWarcDir)
@@ -576,8 +566,10 @@ object ScaleProbe {
             .mapPartitions(_.map { case (uri, payload) =>
               val http = sources.WarcIo.parseHttpResponse(payload)
               val html = sources.WarcIo.decodeBody(http)
+              val etext = operators.text.HtmlExtract.content(html, 25, 0.33)
+                .map(_.text).mkString("\n")
               (functions.UrlOps.registrableDomain(functions.UrlOps.parse(uri).host),
-                html.codePointCount(0, html.length).toLong)
+                etext.codePointCount(0, etext.length).toLong)
             }).toDF("domain", "n_chars")
             .groupBy(col("domain"))
             .agg(count(lit(1)).as("n_pages"), sum(col("n_chars")).as("total_chars"))

@@ -236,10 +236,14 @@ object Dedup {
     // literal hits the JVM's 2 GB array ceiling exactly like the
     // pre-r14 frontier tier did; the sharded join is the same fix
     // (graft_bloom_probe's per-task shard cache amortizes the
-    // deserialization to once per shard per task). Null/absent text
-    // hashes to null → shard null → join miss → probe null →
-    // coalesce(false): the row rides the clear path, matching the
-    // exact anti-join (a null key never matches the index).
+    // deserialization to once per shard per task). Null/absent text:
+    // Spark's xxhash64 maps a null input to the SEED constant, so
+    // null-text rows hash like any value and may ride either branch —
+    // exactness does not depend on the sketch for them (or anyone):
+    // the md5 verify join decides, and md5(null) is null, which a
+    // left_anti never matches — null-text batch rows always survive,
+    // exactly like the plain anti-join. The coalesce(false) below only
+    // covers a shard with NO sketch row (empty index side).
     val perShard = math.max(expectedItems / nShards, 1L)
     val sketches = index.select(h64.as("__h"))
       .withColumn("__shard", pmod(col("__h"), lit(nShards)).cast("int"))

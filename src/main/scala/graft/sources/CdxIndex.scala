@@ -40,10 +40,15 @@ object CdxIndex {
     *
     * The whole table (shards + cluster) builds under `<dir>__staging`
     * and promotes by directory rename — a plain two-write overwrite
-    * would expose concurrent lookups to a half-rebuilt table (cdx
-    * shards live, cluster missing or stale). A crash mid-swap leaves
-    * the previous table recoverable at `<dir>__parked` (the
-    * CrawlFrontier.compactIndex convention). The cluster stores shard
+    * would leave a half-rebuilt table on disk (cdx shards live,
+    * cluster missing or stale) for a crash OR for any reader starting
+    * mid-write. The swap's contract is crash-safety (the previous
+    * table parks at `<dir>__parked`, the CrawlFrontier.compactIndex
+    * convention) and consistency for lookups STARTING after the swap;
+    * a lookup in flight ACROSS a rebuild (cluster consulted before,
+    * shards read after) fails loudly on the renamed-away files — same
+    * single-writer/no-concurrent-probe discipline the frontier
+    * documents, not silent wrong answers. The cluster stores shard
     * files by BASENAME, not absolute path, so the table survives the
     * promote rename (and any later relocation of the index dir).
     */
@@ -86,7 +91,10 @@ object CdxIndex {
     spark.read.parquet(s"$dir/cluster")
       .filter(col("hi") >= from && col("lo") < to)
       .select(col("file")).as[String].collect().toSeq.sorted
-      .map(name => s"$dir/cdx/$name")
+      // basename rows resolve against the CURRENT table dir; a row
+      // carrying a full URI (a table written by an older build that
+      // stored absolute input_file_name()s) passes through as-is
+      .map(name => if (name.contains("/")) name else s"$dir/cdx/$name")
   }
 
   /** All index rows with `from <= surt < to`, scanning only the shards
@@ -157,19 +165,29 @@ object CdxIndex {
     * and format back on output. No window, no collect — the output is
     * frontier-priority input at any crawl size. Callers wanting a
     * representative capture per key join the index back on `surt`.
+    *
+    * External-index hygiene (readCdxj ingests files OTHER tools
+    * wrote): a capture with a NULL digest counts toward `n_captures`
+    * but never toward `n_versions` (the `countDistinct` null rule —
+    * an unknown content hash is not evidence of change, and counting
+    * it would schedule needless re-crawls); a non-numeric `ts` fails
+    * LOUDLY per row rather than silently nulling the fetch-time span.
     */
   def changeStats(cdx: DataFrame): DataFrame =
-    cdx.select(col("surt"), col("digest"), col("ts").cast("long").as("tsl"))
+    cdx.select(col("surt"), col("digest"),
+        when(col("ts").cast("long").isNotNull, col("ts").cast("long"))
+          .otherwise(raise_error(concat(lit("changeStats: ts14 expected, got '"),
+            coalesce(col("ts"), lit("NULL")), lit("'"))).cast("long")).as("tsl"))
       .groupBy(col("surt"), col("digest"))
       .agg(count(lit(1)).as("n"), min(col("tsl")).as("f"), max(col("tsl")).as("l"))
       .groupBy(col("surt"))
-      .agg(sum(col("n")).as("n_captures"), count(lit(1)).as("n_versions"),
+      .agg(sum(col("n")).as("n_captures"), count(col("digest")).as("n_versions"),
         min(col("f")).as("f"), max(col("l")).as("l"))
       .select(col("surt"), col("n_captures"), col("n_versions"),
         lpad(col("f").cast("string"), 14, "0").as("first_ts"),
         lpad(col("l").cast("string"), 14, "0").as("last_ts"),
         when(col("n_captures") > 1,
-          (col("n_versions") - 1).cast("double") / (col("n_captures") - 1))
+          greatest(col("n_versions") - 1, lit(0L)).cast("double") / (col("n_captures") - 1))
           .otherwise(lit(0.0)).as("change_rate"))
 
   /** The cc-index-table shape: CDX rows widened with the typed URL

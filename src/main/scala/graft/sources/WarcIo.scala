@@ -685,13 +685,24 @@ object WarcIo {
     * range-pruned master index). Returns (warc paths, cdx paths).
     * Offsets are exact because the `.warc.gz` layout is one gzip
     * member per record — the member boundary IS the record boundary.
+    *
+    * `filenamePrefix` is prepended to the `filename` each CDX row
+    * carries — the Common Crawl convention of a COLLECTION-RELATIVE
+    * path (`crawl-2026-01/epoch-3/`). A master index over many archive
+    * dirs (per-epoch, per-crawl) needs it: every dir names its parts
+    * `part-NNNNN.warc.gz`, so bare basenames collide across dirs and
+    * [[fetchByCdx]] could not resolve rows from a merged index. Pass
+    * the dir's path relative to the fetch root; "" keeps plain
+    * basenames for single-dir archives.
     */
-  def writeWarcWithCdx(rows: DataFrame, dir: String): (Seq[String], Seq[String]) = {
-    val all = writeArchive(rows, dir, withCdx = true)
+  def writeWarcWithCdx(rows: DataFrame, dir: String,
+      filenamePrefix: String = ""): (Seq[String], Seq[String]) = {
+    val all = writeArchive(rows, dir, withCdx = true, filenamePrefix)
     (all.filter(_.endsWith(".warc.gz")), all.filter(_.endsWith(".cdx.gz")))
   }
 
-  private def writeArchive(rows: DataFrame, dir: String, withCdx: Boolean): Seq[String] = {
+  private def writeArchive(rows: DataFrame, dir: String, withCdx: Boolean,
+      filenamePrefix: String = ""): Seq[String] = {
     val spark = rows.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -738,7 +749,7 @@ object WarcIo {
           WarcRecord(t, uri, date, rid, ct, extra, payload)
         }
         commitPartitionFiles(dir, pid, tc.taskAttemptId(), recs,
-          bcConf.value.value, withCdx).iterator
+          bcConf.value.value, withCdx, filenamePrefix).iterator
       }
     }.collect().toSeq.distinct.sorted
     // job committed → the parked previous archive can go
@@ -1007,7 +1018,8 @@ object WarcIo {
 
   private[graft] def commitPartitionFiles(dir: String, pid: Int, attemptTag: Long,
       recs: Iterator[WarcRecord],
-      hconf: org.apache.hadoop.conf.Configuration, withCdx: Boolean): Seq[String] = {
+      hconf: org.apache.hadoop.conf.Configuration, withCdx: Boolean,
+      filenamePrefix: String = ""): Seq[String] = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = warcFs(dirPath, hconf)
     try {
@@ -1024,7 +1036,8 @@ object WarcIo {
       try recs.foreach { r =>
         val member = gzipMember(writeRecord(r))
         out.write(member)
-        if (withCdx) cdxjLine(r, offset, member.length, warcName).foreach(cdx += _)
+        if (withCdx)
+          cdxjLine(r, offset, member.length, filenamePrefix + warcName).foreach(cdx += _)
         offset += member.length
       } finally out.close()
       if (!withCdx) {

@@ -21,8 +21,15 @@ class AggAuditSpec extends SparkSpec {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       if (p.contains("CartesianProduct")) offenders += s"$n: CartesianProduct"
-      val sortAggs = p.linesIterator.count(_.contains("SortAggregate"))
-      if (sortAggs == 1) offenders += s"$n: single-stage SortAggregate (no partial)"
+      // a final-mode SortAggregate (functions=[min(...)]) must be fed
+      // by at least as many partial-mode ones (functions=[partial_...]);
+      // counting LINES by mode — not a global line count, which lets a
+      // healthy pair mask a partial-less aggregate elsewhere in the plan
+      val sortAggLines = p.linesIterator.filter(_.contains("SortAggregate")).toSeq
+      val partialSort = sortAggLines.count(_.contains("partial_"))
+      val finalSort = sortAggLines.length - partialSort
+      if (finalSort > partialSort)
+        offenders += s"$n: $finalSort final SortAggregate(s) vs $partialSort partial"
       if (!evalBoundedLiteral(n) && p.linesIterator.exists(_.length > (4 << 20)))
         offenders += s"$n: >4MB plan line (embedded literal?)"
     }

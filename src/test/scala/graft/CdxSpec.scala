@@ -305,6 +305,25 @@ class CdxSpec extends SparkSpec {
         (r.getAs[Long]("n_captures"), r.getAs[Double]("change_rate"))).toMap
     assert(stats("org,a)/only-once") == ((1L, 0.0)))
     assert(stats("org,a)/stable") == ((2L, 0.0)))
+    // a NULL digest counts as a capture but never as a version (an
+    // unknown hash is not evidence of change), and a garbage ts fails
+    // loudly instead of nulling the span
+    val withNull = merged.unionByName(
+      Seq((UrlOps.surtKey("https://a.org/stable"), "20260103000000",
+        "https://a.org/stable", "text/html", 200, null.asInstanceOf[String],
+        100L, 0L, "f.warc.gz")).toDF(
+        "surt", "ts", "url", "mime", "status", "digest", "length", "offset", "filename"))
+    val st = CdxIndex.changeStats(withNull)
+      .filter(col("surt") === "org,a)/stable").collect().head
+    assert(st.getAs[Long]("n_captures") == 3L && st.getAs[Long]("n_versions") == 1L &&
+      st.getAs[Double]("change_rate") == 0.0)
+    val bad = merged.withColumn("ts",
+      when(col("url") === "https://a.org/only-once", lit("2026-01-01T00:00:00Z"))
+        .otherwise(col("ts")))
+    val e = intercept[Exception] { // SparkRuntimeException from raise_error
+      CdxIndex.changeStats(bad).collect()
+    }
+    assert(e.toString.contains("ts14") || e.getCause != null)
   }
 
   test("buildTable rebuild is staged: no residue, lookups stay correct, names relative") {
@@ -316,9 +335,13 @@ class CdxSpec extends SparkSpec {
     CdxIndex.buildTable(corpus(1000), dir, nShards = 4)
     assert(CdxIndex.lookupPrefix(spark, dir, "org,site3,h17)").count() >= before)
     val root = java.nio.file.Paths.get(dir).getParent
-    val residue = java.nio.file.Files.list(root).iterator()
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (residue.hasNext) names += residue.next().getFileName.toString
+    val listing = java.nio.file.Files.list(root)
+    val names =
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        listing.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        b
+      } finally listing.close()
     assert(names.toSet == Set("table"), s"staging/parked residue left: $names")
     // cluster rows carry basenames — the table survives relocation
     val moved = root.resolve("moved").toString

@@ -145,8 +145,11 @@ class CrawlStreamingSpec extends SparkSpec {
             "application/warc-fields", s"scheduled: $u".getBytes(UTF_8))
         }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
         // each epoch commits its archive WITH the CDXJ sidecar — the
-        // streaming loop produces indexable containers, not just bytes
-        WarcIo.writeWarcWithCdx(recs, s"$dir/warc/epoch-$epoch")
+        // streaming loop produces indexable containers, not just bytes.
+        // The collection-relative filename prefix is what lets ONE
+        // master index span every epoch dir (bare part basenames
+        // collide across epochs).
+        WarcIo.writeWarcWithCdx(recs, s"$dir/warc/epoch-$epoch", s"epoch-$epoch/")
         ()
     }
     val input = MemoryStream[String]
@@ -213,12 +216,16 @@ class CrawlStreamingSpec extends SparkSpec {
       .collect()
     assert(cnet.map(_.getAs[String]("url")).toSet ==
       Set("http://c.net/u/11", "http://c.net/u/9"))
-    // and the pointers dereference: fetch one record back by range
-    val fetched = WarcIo.fetchByCdx(
-      cdx.filter(col("url") === "http://d.io/u/1"), s"$dir/warc/epoch-2").collect()
-    assert(fetched.length == 1 &&
-      new String(fetched.head.getAs[Array[Byte]]("payload"), UTF_8) ==
-        "scheduled: http://d.io/u/1")
+    assert(cnet.forall(_.getAs[String]("filename").startsWith("epoch-")),
+      "sidecar rows must carry collection-relative filenames")
+    // and EVERY pointer dereferences across epoch dirs from the one
+    // collection root — the merged index's whole point
+    val fetched = WarcIo.fetchByCdx(cdx, s"$dir/warc").collect()
+    assert(fetched.length == 6)
+    fetched.foreach { r =>
+      assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
+        "scheduled: " + r.getAs[String]("target_uri"))
+    }
   }
 
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
