@@ -3899,6 +3899,78 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "crawl_revisits_cdx" -> ((s, dir) => {
+      // revisit marking fed by the INDEX instead of an archive scan:
+      // yesterday's crawl commits WITH its CDX sidecar, and today's
+      // dedup reads the prior digest set from the sidecar rows — a
+      // tiny column scan — never touching yesterday's archive bytes
+      // (cdxjLine computes the same body-only/whole-block digest
+      // spelling payloadDigests does, so the two sources are
+      // interchangeable; this query shares crawl_revisits' oracle
+      // SHAPE with the digest set swapped to the index).
+      import s.implicits._
+      def rows(texts: org.apache.spark.sql.Dataset[(Long, String)]) =
+        texts.toDF("id", "text").selectExpr(
+          "'response' as rec_type",
+          "concat('http://rvc.example.com/p/', id) as target_uri",
+          "'2026-01-01T00:00:00Z' as warc_date",
+          "concat('<urn:uuid:rvc-', id, '>') as record_id",
+          "'application/http; msgtype=response' as content_type",
+          "cast(text as binary) as payload")
+      val yesterday = rows(s.range(120).map(i => (i, s"doc $i body v1")))
+      val yDir = TempDirs.scratch("revisitc_y_")
+      WarcIo.writeWarcWithCdx(yesterday, yDir)
+      val prior = WarcIo.readCdxj(s, yDir + "/part-*.cdx.gz")
+        .select(col("digest")).distinct()
+      val today = rows(s.range(120).map(i =>
+        (i, if (i % 3 == 0) s"doc $i body v1" else s"doc $i body v2")))
+      val tDir = TempDirs.scratch("revisitc_t_")
+      WarcIo.writeWarc(WarcIo.markRevisits(today, prior), tDir)
+      WarcIo.readWarc(s, tDir + "/*.warc.gz")
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("id"),
+          col("rec_type"),
+          col("content_length").as("n_bytes"),
+          col("payload_digest").isNotNull.as("digested"))
+        .orderBy(col("id"))
+    }),
+
+    "pipeline_recrawl_adaptive" -> ((s, dir) => {
+      // the adaptive-revisit policy CLOSED INTO the scheduler: three
+      // crawls of capture history → changeStats → priority =
+      // staleness × change-weight (pages observed to change re-crawl
+      // sooner; never-changed pages fall behind) → bounded per-host
+      // cap. The oracle replays the version counts, the integer
+      // priority formula, and the cap's window twin — green proves
+      // the change signal actually drives what gets fetched next.
+      val cdx = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('2026010', crawl + 1, '000000') AS ts",
+          // change class varies WITHIN each host (j = base DIV 20):
+          // every-crawl drift, changed-once, stable — so the cap's
+          // keep/drop decisions are visibly change-driven per host
+          """CASE
+            |  WHEN (base DIV 20) % 4 = 0 THEN concat('d', base, '-', crawl)
+            |  WHEN (base DIV 20) % 4 = 1 THEN concat('d', base, '-',
+            |    CASE WHEN crawl = 2 THEN 1 ELSE 0 END)
+            |  ELSE concat('d', base) END AS digest""".stripMargin)
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val feed = graft.sources.CdxIndex.changeStats(cdx)
+        .withColumn("rhost", substring_index(col("surt"), ")", 1))
+        .withColumn("staleness",
+          lit(10L) - substring(col("last_ts"), 7, 2).cast("long"))
+        .withColumn("priority",
+          (col("staleness") *
+            (lit(1L) + round(col("change_rate") * 100).cast("long"))).cast("double"))
+      graft.operators.CrawlScheduler.capPerDomain(
+          feed.select(col("rhost"), col("surt"), col("priority")),
+          "rhost", "surt", col("priority"), 30)
+        .select(col("rhost"), col("surt"), col("priority"))
+        .orderBy(col("rhost"), col("surt"))
+    }),
+
     "url_robots_filter" -> ((s, dir) => {
       // RFC 9309 politeness gate over a formula frontier: 8 path
       // shapes × 2 crawler tokens against one policy exercising group
@@ -8117,6 +8189,31 @@ object SparkEntry {
         |       ELSE length('doc ' || si || ' body v2') END AS BIGINT) AS n_bytes,
         |  true AS digested
         |FROM t ORDER BY id""".stripMargin,
+
+    // index-sourced digests mark the same revisits byte-for-byte
+    "crawl_revisits_cdx" ->
+      """WITH t AS (SELECT i, CAST(i AS VARCHAR) AS si FROM range(120) r(i))
+        |SELECT i AS id,
+        |  CASE WHEN i % 3 = 0 THEN 'revisit' ELSE 'response' END AS rec_type,
+        |  CAST(CASE WHEN i % 3 = 0 THEN 0
+        |       ELSE length('doc ' || si || ' body v2') END AS BIGINT) AS n_bytes,
+        |  true AS digested
+        |FROM t ORDER BY id""".stripMargin,
+
+    // version counts → integer priority formula → the cap's window twin
+    "pipeline_recrawl_adaptive" ->
+      """WITH b AS (SELECT i AS base, i % 20 AS h, (i // 20) % 4 AS arm
+        |    FROM range(1000) r(i)),
+        |p AS (SELECT 'org,ex,h' || CAST(h AS VARCHAR) AS rhost,
+        |    'org,ex,h' || CAST(h AS VARCHAR) || ')/p/' || CAST(base AS VARCHAR) AS surt,
+        |    CAST(7 * (1 + CASE WHEN arm = 0 THEN 100
+        |                      WHEN arm = 1 THEN 50 ELSE 0 END) AS DOUBLE) AS priority
+        |  FROM b),
+        |c AS (SELECT rhost, surt, priority,
+        |    ROW_NUMBER() OVER (PARTITION BY rhost ORDER BY priority DESC, surt) AS rn
+        |  FROM p)
+        |SELECT rhost, surt, priority FROM c WHERE rn <= 30
+        |ORDER BY rhost, surt""".stripMargin,
 
     // the bounded-heap cap == the window formulation on the same total
     // order (priority DESC, url ASC); fetchers and slots then follow

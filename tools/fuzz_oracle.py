@@ -60,7 +60,7 @@ QUERIES = [
     # fixtures re-checked under every seed
     "cdx_surt", "pipeline_cdx", "cdx_lookup", "cdx_columnar",
     "pipeline_cdx_fetch", "cdx_change_rate", "cdx_merge_stats",
-    "pipeline_wat",
+    "pipeline_wat", "crawl_revisits_cdx", "pipeline_recrawl_adaptive",
 ]
 
 # events-only queries: gated when the adversarial events table is
