@@ -3899,6 +3899,31 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "cdx_classic_ingest" -> ((s, dir) => {
+      // legacy interchange: 300 classic 11-field CDX lines (the
+      // wayback `CDX N b a m s k r M S V g` layout, `-` for absent
+      // fields, bare-Base32 digests) written as real text files, read
+      // back through readCdxClassic into the CDXJ schema. The oracle
+      // reconstructs every projected field from the same formulas —
+      // green proves field order, null mapping, digest prefixing and
+      // the numeric casts agree cross-engine.
+      val outDir = TempDirs.scratch("cdx_classic_q_")
+      s.range(300).selectExpr(
+        """concat('org,cl', id % 9, ')/p/', id, ' ',
+          |  '202601', lpad(CAST(1 + id % 28 AS STRING), 2, '0'), '000000 ',
+          |  'http://cl', id % 9, '.org/p/', id, ' ',
+          |  CASE WHEN id % 5 = 0 THEN '-' ELSE 'text/html' END, ' ',
+          |  CASE WHEN id % 5 = 0 THEN '-' ELSE '200' END, ' ',
+          |  CASE WHEN id % 7 = 0 THEN '-' ELSE concat('DIGEST', id) END,
+          |  ' - - ', 400 + id % 13, ' ', id * 512, ' f', id % 4, '.warc.gz')
+          |AS value""".stripMargin)
+        .coalesce(1).write.mode("overwrite").text(outDir)
+      WarcIo.readCdxClassic(s, outDir + "/part-*")
+        .select(col("surt"), col("ts"), col("url"), col("mime"), col("status"),
+          col("digest"), col("length"), col("offset"), col("filename"))
+        .orderBy(col("surt"))
+    }),
+
     "crawl_revisits_cdx" -> ((s, dir) => {
       // revisit marking fed by the INDEX instead of an archive scan:
       // yesterday's crawl commits WITH its CDX sidecar, and today's
@@ -8189,6 +8214,22 @@ object SparkEntry {
         |       ELSE length('doc ' || si || ' body v2') END AS BIGINT) AS n_bytes,
         |  true AS digested
         |FROM t ORDER BY id""".stripMargin,
+
+    // field order, '-' null mapping, digest prefixing and the casts
+    // restated from the same line formulas
+    "cdx_classic_ingest" ->
+      """WITH t AS (SELECT i, CAST(i AS VARCHAR) AS si,
+        |    CAST(i % 9 AS VARCHAR) AS h FROM range(300) r(i))
+        |SELECT 'org,cl' || h || ')/p/' || si AS surt,
+        |  '202601' || lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0') || '000000' AS ts,
+        |  'http://cl' || h || '.org/p/' || si AS url,
+        |  CASE WHEN i % 5 = 0 THEN NULL ELSE 'text/html' END AS mime,
+        |  CAST(CASE WHEN i % 5 = 0 THEN NULL ELSE 200 END AS INT) AS status,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE 'sha1:DIGEST' || si END AS digest,
+        |  CAST(400 + i % 13 AS BIGINT) AS "length",
+        |  CAST(i * 512 AS BIGINT) AS "offset",
+        |  'f' || CAST(i % 4 AS VARCHAR) || '.warc.gz' AS filename
+        |FROM t ORDER BY surt""".stripMargin,
 
     // index-sourced digests mark the same revisits byte-for-byte
     "crawl_revisits_cdx" ->

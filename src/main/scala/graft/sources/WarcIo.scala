@@ -994,6 +994,37 @@ object WarcIo {
         col("j.filename").as("filename"))
   }
 
+  /** Parse CLASSIC space-delimited CDX files (the `CDX N b a m s k r M
+    * S V g` 11-field layout wayback/OpenWayback tooling emits:
+    * urlkey, timestamp, original url, mimetype, statuscode, digest,
+    * redirect, metatags, compressed length, offset, filename) into
+    * the SAME schema [[readCdxj]] produces, so legacy index files
+    * feed `CdxIndex.buildTable`/`fetchByCdx` unchanged. `-` fields
+    * null out; the classic bare-Base32 digest gains the `sha1:`
+    * prefix this pipeline's digests carry (so revisit marking
+    * compares like for like). Header lines (` CDX ...`) and blanks
+    * are dropped. Fully columnar — one split per line.
+    */
+  def readCdxClassic(spark: SparkSession, glob: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def nn(c: org.apache.spark.sql.Column) = when(c === "-", lit(null)).otherwise(c)
+    spark.read.textFile(glob).toDF("line")
+      .filter(length(trim(col("line"))) > 0 && !col("line").startsWith(" CDX") &&
+        !col("line").startsWith("CDX "))
+      .select(split(col("line"), " ").as("f"))
+      .filter(size(col("f")) >= 11)
+      .select(
+        col("f").getItem(0).as("surt"), col("f").getItem(1).as("ts"),
+        col("f").getItem(2).as("url"), nn(col("f").getItem(3)).as("mime"),
+        nn(col("f").getItem(4)).cast("int").as("status"),
+        when(col("f").getItem(5) === "-", lit(null))
+          .when(col("f").getItem(5).contains(":"), col("f").getItem(5))
+          .otherwise(concat(lit("sha1:"), col("f").getItem(5))).as("digest"),
+        nn(col("f").getItem(8)).cast("long").as("length"),
+        nn(col("f").getItem(9)).cast("long").as("offset"),
+        nn(col("f").getItem(10)).as("filename"))
+  }
+
   /** Rename `tmp` over `fin` (last complete attempt wins). Hadoop's
     * `rename` refuses an existing destination on most filesystems, so
     * the replace case (only reachable when a racing attempt already

@@ -181,6 +181,47 @@ class CdxSpec extends SparkSpec {
     assert(e.getMessage.contains("14-digit") || e.getCause != null)
   }
 
+  test("readCdxClassic: the 11-field legacy layout lands in the CDXJ schema") {
+    val dir = TempDirs.scratch("cdx_classic_")
+    val lines = Seq(
+      " CDX N b a m s k r M S V g", // header — dropped
+      "org,example)/p/1 20260101000000 http://example.org/p/1 text/html 200 " +
+        "VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5 - - 451 0 part-00000.warc.gz",
+      "org,example)/p/2 20260101000001 http://example.org/p/2 - - - - - - 451 part-00000.warc.gz",
+      "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "idx.cdx"),
+      lines.mkString("\n").getBytes(UTF_8))
+    val rows = WarcIo.readCdxClassic(spark, dir + "/*.cdx")
+      .orderBy("surt").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("surt") == "org,example)/p/1")
+    assert(r1.getAs[String]("ts") == "20260101000000")
+    assert(r1.getAs[String]("digest") == "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5",
+      "classic bare-Base32 digests gain the sha1: prefix")
+    assert(r1.getAs[Int]("status") == 200 && r1.getAs[Long]("length") == 451L)
+    val r2 = rows(1)
+    assert(r2.isNullAt(r2.fieldIndex("mime")) && r2.isNullAt(r2.fieldIndex("status")) &&
+      r2.isNullAt(r2.fieldIndex("digest")) && r2.isNullAt(r2.fieldIndex("length")))
+    assert(r2.getAs[Long]("offset") == 451L)
+    // same schema as readCdxj -> legacy files feed the same master index
+    val (adir, _, _) = writeArchiveWithCdx(5, 1)
+    val modern = WarcIo.readCdxj(spark, adir + "/part-*.cdx.gz")
+    assert(modern.columns.sameElements(
+      WarcIo.readCdxClassic(spark, dir + "/*.cdx").columns))
+    val merged = modern.unionByName(WarcIo.readCdxClassic(spark, dir + "/*.cdx"))
+    val idxDir = TempDirs.scratch("cdx_classic_idx_")
+    CdxIndex.buildTable(merged, idxDir, 2)
+    assert(CdxIndex.lookupPrefix(spark, idxDir, "org,example)").count() == 2)
+  }
+
+  test("surtKey: IPv6 literals stay bracketed and unreversed") {
+    // not an IPv4 literal, single bracketed label — no reversal or www
+    // logic applies; the key stays one token with its port
+    assert(UrlOps.surtKey("http://[2001:db8::1]/x") == "[2001:db8::1])/x")
+    assert(UrlOps.surtKey("http://[::1]:8080/x") == "[::1]:8080)/x")
+  }
+
   // --------------------------------------------------------- master index
 
   private def corpus(n: Int) = {
