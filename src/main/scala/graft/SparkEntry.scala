@@ -3899,6 +3899,35 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "cdx_asof_lookup" -> ((s, dir) => {
+      // wayback-style time travel, batch form: 1000 requested (url,
+      // as-of instant) pairs each resolve to the LATEST capture at or
+      // before that instant — which is exactly the engine's as-of
+      // join, run against index rows (ts14 strings compare
+      // lexicographically = chronologically, so no cast crosses the
+      // join). Day-4 requests fall back to the last crawl; day-1
+      // requests must not see later captures. The oracle replays the
+      // least(want_day, 3) resolution and the digest of the resolved
+      // crawl.
+      val cdx = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('2026010', crawl + 1, '000000') AS ts",
+          "concat('d', base, '-', crawl) AS digest")
+        .withColumn("rsurt", call_function("graft_surt", col("url")))
+        .select("rsurt", "ts", "digest")
+      val wants = s.range(1000).selectExpr(
+        "concat('https://h', id % 20, '.ex.org/p/', id) AS url",
+        "concat('2026010', 1 + id % 4, '120000') AS want_ts")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+        .select("surt", "want_ts")
+      AsOfJoin.asOf(wants, cdx, "surt", "rsurt", "want_ts", "ts",
+          payload = Seq("ts", "digest"))
+        .select(col("surt"), col("want_ts"), col("ts").as("capture_ts"), col("digest"))
+        .orderBy(col("surt"), col("want_ts"))
+    }),
+
     "cdx_classic_ingest" -> ((s, dir) => {
       // legacy interchange: 300 classic 11-field CDX lines (the
       // wayback `CDX N b a m s k r M S V g` layout, `-` for absent
@@ -8214,6 +8243,18 @@ object SparkEntry {
         |       ELSE length('doc ' || si || ' body v2') END AS BIGINT) AS n_bytes,
         |  true AS digested
         |FROM t ORDER BY id""".stripMargin,
+
+    // the at-or-before resolution and the resolved crawl's digest,
+    // replayed from the day formulas
+    "cdx_asof_lookup" ->
+      """WITH b AS (SELECT i AS base, CAST(i AS VARCHAR) AS si,
+        |    CAST(i % 20 AS VARCHAR) AS h,
+        |    least(1 + i % 4, 3) AS cd FROM range(1000) r(i))
+        |SELECT 'org,ex,h' || h || ')/p/' || si AS surt,
+        |  '2026010' || CAST(1 + base % 4 AS VARCHAR) || '120000' AS want_ts,
+        |  '2026010' || CAST(cd AS VARCHAR) || '000000' AS capture_ts,
+        |  'd' || si || '-' || CAST(cd - 1 AS VARCHAR) AS digest
+        |FROM b ORDER BY surt, want_ts""".stripMargin,
 
     // field order, '-' null mapping, digest prefixing and the casts
     // restated from the same line formulas

@@ -61,7 +61,7 @@ QUERIES = [
     "cdx_surt", "pipeline_cdx", "cdx_lookup", "cdx_columnar",
     "pipeline_cdx_fetch", "cdx_change_rate", "cdx_merge_stats",
     "pipeline_wat", "crawl_revisits_cdx", "pipeline_recrawl_adaptive",
-    "cdx_classic_ingest",
+    "cdx_classic_ingest", "cdx_asof_lookup",
 ]
 
 # events-only queries: gated when the adversarial events table is
