@@ -70,6 +70,36 @@ object SparkEntry {
       lit("<h1>"), heading, lit("</h1><p>"), escHtml(text),
       lit("</p><footer>(c) graft corpus</footer></body></html>"))
 
+  /** 120-row revisit fixture shared by `crawl_revisits` (archive-scan
+    * digests) and `crawl_revisits_cdx` (sidecar digests) — ONE builder
+    * so the two queries that share an oracle shape cannot drift;
+    * `prefix` keeps their URLs/record-ids distinct on disk.
+    */
+  private def revisitRows(texts: org.apache.spark.sql.Dataset[(Long, String)],
+      prefix: String): DataFrame =
+    texts.toDF("id", "text").selectExpr(
+      "'response' as rec_type",
+      s"concat('http://$prefix.example.com/p/', id) as target_uri",
+      "'2026-01-01T00:00:00Z' as warc_date",
+      s"concat('<urn:uuid:$prefix-', id, '>') as record_id",
+      "'application/http; msgtype=response' as content_type",
+      "cast(text as binary) as payload")
+
+  /** 3-crawl × 1000-url capture-history fixture (surt/ts/url formulas
+    * shared verbatim with the DuckDB oracle restatements); `digestExpr`
+    * picks the change pattern a consumer exercises. One builder for
+    * cdx_change_rate / pipeline_recrawl_adaptive / cdx_asof_lookup so
+    * the formulas and their oracle twins stay in one place.
+    */
+  private def captureHistory(s: SparkSession, digestExpr: String): DataFrame =
+    s.range(3000).selectExpr(
+      "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+      .selectExpr(
+        "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+        "concat('2026010', crawl + 1, '000000') AS ts",
+        s"$digestExpr AS digest")
+      .withColumn("surt", call_function("graft_surt", col("url")))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Exercises
     * scan → broadcast join → decimal-exact aggregation.
     */
@@ -3604,17 +3634,12 @@ object SparkEntry {
       // counted map-side — no window, no collect; the oracle replays
       // capture counts, version counts, fetch-time spans and the rate
       // from the same formulas.
-      val cdx = s.range(3000).selectExpr(
-        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
-        .selectExpr(
-          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
-          "concat('2026010', crawl + 1, '000000') AS ts",
-          """CASE
-            |  WHEN base % 4 = 0 THEN concat('d', base, '-', crawl)
-            |  WHEN base % 4 = 1 THEN concat('d', base, '-',
-            |    CASE WHEN crawl = 2 THEN 1 ELSE 0 END)
-            |  ELSE concat('d', base) END AS digest""".stripMargin)
-        .withColumn("surt", call_function("graft_surt", col("url")))
+      val cdx = captureHistory(s,
+        """CASE
+          |  WHEN base % 4 = 0 THEN concat('d', base, '-', crawl)
+          |  WHEN base % 4 = 1 THEN concat('d', base, '-',
+          |    CASE WHEN crawl = 2 THEN 1 ELSE 0 END)
+          |  ELSE concat('d', base) END""".stripMargin)
       graft.sources.CdxIndex.changeStats(cdx)
         .select(col("surt"), col("n_captures"), col("n_versions"),
           col("first_ts"), col("last_ts"), col("change_rate"))
@@ -3874,20 +3899,12 @@ object SparkEntry {
       // green proves digesting, marking, and the revisit container
       // round-trip are all byte-exact.
       import s.implicits._
-      def rows(texts: org.apache.spark.sql.Dataset[(Long, String)]) =
-        texts.toDF("id", "text").selectExpr(
-          "'response' as rec_type",
-          "concat('http://rv.example.com/p/', id) as target_uri",
-          "'2026-01-01T00:00:00Z' as warc_date",
-          "concat('<urn:uuid:rv-', id, '>') as record_id",
-          "'application/http; msgtype=response' as content_type",
-          "cast(text as binary) as payload")
-      val yesterday = rows(s.range(120).map(i => (i, s"doc $i body v1")))
+      val yesterday = revisitRows(s.range(120).map(i => (i, s"doc $i body v1")), "rv")
       val yDir = TempDirs.scratch("revisit_y_")
       WarcIo.writeWarc(yesterday, yDir)
       val prior = WarcIo.payloadDigests(WarcIo.readWarc(s, yDir + "/*.warc.gz"))
-      val today = rows(s.range(120).map(i =>
-        (i, if (i % 3 == 0) s"doc $i body v1" else s"doc $i body v2")))
+      val today = revisitRows(s.range(120).map(i =>
+        (i, if (i % 3 == 0) s"doc $i body v1" else s"doc $i body v2")), "rv")
       val tDir = TempDirs.scratch("revisit_t_")
       WarcIo.writeWarc(WarcIo.markRevisits(today, prior), tDir)
       WarcIo.readWarc(s, tDir + "/*.warc.gz")
@@ -3909,13 +3926,8 @@ object SparkEntry {
       // requests must not see later captures. The oracle replays the
       // least(want_day, 3) resolution and the digest of the resolved
       // crawl.
-      val cdx = s.range(3000).selectExpr(
-        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
-        .selectExpr(
-          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
-          "concat('2026010', crawl + 1, '000000') AS ts",
-          "concat('d', base, '-', crawl) AS digest")
-        .withColumn("rsurt", call_function("graft_surt", col("url")))
+      val cdx = captureHistory(s, "concat('d', base, '-', crawl)")
+        .withColumnRenamed("surt", "rsurt")
         .select("rsurt", "ts", "digest")
       val wants = s.range(1000).selectExpr(
         "concat('https://h', id % 20, '.ex.org/p/', id) AS url",
@@ -3963,21 +3975,13 @@ object SparkEntry {
       // interchangeable; this query shares crawl_revisits' oracle
       // SHAPE with the digest set swapped to the index).
       import s.implicits._
-      def rows(texts: org.apache.spark.sql.Dataset[(Long, String)]) =
-        texts.toDF("id", "text").selectExpr(
-          "'response' as rec_type",
-          "concat('http://rvc.example.com/p/', id) as target_uri",
-          "'2026-01-01T00:00:00Z' as warc_date",
-          "concat('<urn:uuid:rvc-', id, '>') as record_id",
-          "'application/http; msgtype=response' as content_type",
-          "cast(text as binary) as payload")
-      val yesterday = rows(s.range(120).map(i => (i, s"doc $i body v1")))
+      val yesterday = revisitRows(s.range(120).map(i => (i, s"doc $i body v1")), "rvc")
       val yDir = TempDirs.scratch("revisitc_y_")
       WarcIo.writeWarcWithCdx(yesterday, yDir)
       val prior = WarcIo.readCdxj(s, yDir + "/part-*.cdx.gz")
         .select(col("digest")).distinct()
-      val today = rows(s.range(120).map(i =>
-        (i, if (i % 3 == 0) s"doc $i body v1" else s"doc $i body v2")))
+      val today = revisitRows(s.range(120).map(i =>
+        (i, if (i % 3 == 0) s"doc $i body v1" else s"doc $i body v2")), "rvc")
       val tDir = TempDirs.scratch("revisitc_t_")
       WarcIo.writeWarc(WarcIo.markRevisits(today, prior), tDir)
       WarcIo.readWarc(s, tDir + "/*.warc.gz")
@@ -3997,20 +4001,15 @@ object SparkEntry {
       // cap. The oracle replays the version counts, the integer
       // priority formula, and the cap's window twin — green proves
       // the change signal actually drives what gets fetched next.
-      val cdx = s.range(3000).selectExpr(
-        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
-        .selectExpr(
-          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
-          "concat('2026010', crawl + 1, '000000') AS ts",
-          // change class varies WITHIN each host (j = base DIV 20):
-          // every-crawl drift, changed-once, stable — so the cap's
-          // keep/drop decisions are visibly change-driven per host
-          """CASE
-            |  WHEN (base DIV 20) % 4 = 0 THEN concat('d', base, '-', crawl)
-            |  WHEN (base DIV 20) % 4 = 1 THEN concat('d', base, '-',
-            |    CASE WHEN crawl = 2 THEN 1 ELSE 0 END)
-            |  ELSE concat('d', base) END AS digest""".stripMargin)
-        .withColumn("surt", call_function("graft_surt", col("url")))
+      // change class varies WITHIN each host (j = base DIV 20):
+      // every-crawl drift, changed-once, stable — so the cap's
+      // keep/drop decisions are visibly change-driven per host
+      val cdx = captureHistory(s,
+        """CASE
+          |  WHEN (base DIV 20) % 4 = 0 THEN concat('d', base, '-', crawl)
+          |  WHEN (base DIV 20) % 4 = 1 THEN concat('d', base, '-',
+          |    CASE WHEN crawl = 2 THEN 1 ELSE 0 END)
+          |  ELSE concat('d', base) END""".stripMargin)
       val feed = graft.sources.CdxIndex.changeStats(cdx)
         .withColumn("rhost", substring_index(col("surt"), ")", 1))
         .withColumn("staleness",

@@ -1002,17 +1002,34 @@ object WarcIo {
     * feed `CdxIndex.buildTable`/`fetchByCdx` unchanged. `-` fields
     * null out; the classic bare-Base32 digest gains the `sha1:`
     * prefix this pipeline's digests carry (so revisit marking
-    * compares like for like). Header lines (` CDX ...`) and blanks
-    * are dropped. Fully columnar — one split per line.
+    * compares like for like). Blanks drop; a ` CDX ...` header line
+    * is VALIDATED against the supported layout (other layouts — the
+    * 9-field or 15-field variants — reorder the ranged-read triple,
+    * so accepting them would seek wrong byte ranges), and any data
+    * line that is not exactly 11 fields fails loudly: a capture
+    * silently missing or misparsed is a lost page at re-processing
+    * time. Fully columnar — one split per line.
     */
   def readCdxClassic(spark: SparkSession, glob: String): DataFrame = {
     import org.apache.spark.sql.functions._
     def nn(c: org.apache.spark.sql.Column) = when(c === "-", lit(null)).otherwise(c)
     spark.read.textFile(glob).toDF("line")
-      .filter(length(trim(col("line"))) > 0 && !col("line").startsWith(" CDX") &&
-        !col("line").startsWith("CDX "))
-      .select(split(col("line"), " ").as("f"))
-      .filter(size(col("f")) >= 11)
+      .filter(length(trim(col("line"))) > 0)
+      .select(
+        when(trim(col("line")).startsWith("CDX "),
+          when(trim(col("line")) === "CDX N b a m s k r M S V g",
+            lit(null).cast("string"))
+            .otherwise(raise_error(concat(
+              lit("readCdxClassic: unsupported CDX layout header '"),
+              trim(col("line")), lit("' (supported: CDX N b a m s k r M S V g)")))))
+          .otherwise(col("line")).as("line"))
+      .filter(col("line").isNotNull)
+      .select(split(col("line"), " ").as("f"), col("line"))
+      .select(when(size(col("f")) === 11, col("f"))
+        .otherwise(raise_error(concat(
+          lit("readCdxClassic: expected 11 fields, got "),
+          size(col("f")).cast("string"), lit(" in '"), col("line"), lit("'"))))
+        .as("f"))
       .select(
         col("f").getItem(0).as("surt"), col("f").getItem(1).as("ts"),
         col("f").getItem(2).as("url"), nn(col("f").getItem(3)).as("mime"),

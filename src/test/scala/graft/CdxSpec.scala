@@ -215,6 +215,28 @@ class CdxSpec extends SparkSpec {
     assert(CdxIndex.lookupPrefix(spark, idxDir, "org,example)").count() == 2)
   }
 
+  test("readCdxClassic: other layouts fail loudly, never misparse silently") {
+    // a 9-field layout would silently drop every line; a 15-field one
+    // would read the wrong columns into the ranged-read triple — both
+    // must abort, not degrade
+    val dir = TempDirs.scratch("cdx_classic_bad_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nine.cdx"),
+      (" CDX N b a m s k r V g\n" +
+        "org,x)/p 20260101000000 http://x.org/p text/html 200 ABC 451 0 f.warc.gz\n")
+        .getBytes(UTF_8))
+    val e1 = intercept[Exception] {
+      WarcIo.readCdxClassic(spark, dir + "/nine.cdx").collect()
+    }
+    assert(e1.toString.contains("unsupported CDX layout") || e1.getCause != null)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "short.cdx"),
+      "org,x)/p 20260101000000 http://x.org/p text/html 200 ABC 451 0 f.warc.gz\n"
+        .getBytes(UTF_8))
+    val e2 = intercept[Exception] {
+      WarcIo.readCdxClassic(spark, dir + "/short.cdx").collect()
+    }
+    assert(e2.toString.contains("11 fields") || e2.getCause != null)
+  }
+
   test("surtKey: IPv6 literals stay bracketed and unreversed") {
     // not an IPv4 literal, single bracketed label — no reversal or www
     // logic applies; the key stays one token with its port
