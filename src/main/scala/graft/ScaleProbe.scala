@@ -681,6 +681,12 @@ object ScaleProbe {
           println(s"""{"op":"cdx_lookup_xl_shards","k":$k,""" +
             s""""touched":$touched,"total":$total}""")
         }
+        if (cdxDir != null) time("cdx_change_stats_xl", k) {
+          // the adaptive-revisit signal over the SAME k×1M-capture
+          // table: two partial hash aggs end to end — must scale
+          // linearly in captures with no window, no driver state
+          sources.CdxIndex.changeStats(spark.read.parquet(cdxDir + "/cdx"))
+        }
       }
       time("crawl_pagerank", k) {
         // host-graph centrality at k×100k edges over k×10k hosts

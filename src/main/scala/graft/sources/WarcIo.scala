@@ -1209,7 +1209,16 @@ object WarcIo {
     import spark.implicits._
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(spark.sessionState.newHadoopConf()))
-    cdx.select(col("filename"), col("offset"), col("length"))
+    // accept both pointer spellings: the CDXJ schema (filename/offset/
+    // length) and CdxIndex.toColumnar's public cc-index-table names
+    // (warc_filename/warc_record_offset/warc_record_length)
+    val ptr =
+      if (cdx.columns.contains("warc_filename"))
+        cdx.select(col("warc_filename").as("filename"),
+          col("warc_record_offset").as("offset"),
+          col("warc_record_length").as("length"))
+      else cdx
+    ptr.select(col("filename"), col("offset"), col("length"))
       .repartitionByRange(col("filename"), col("offset"))
       .sortWithinPartitions(col("filename"), col("offset"))
       .as[(String, Long, Long)]

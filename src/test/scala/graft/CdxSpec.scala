@@ -332,6 +332,10 @@ class CdxSpec extends SparkSpec {
     // ids are exactly the i % 5 == 2 cohort
     assert(rows.map(_.getAs[String]("target_uri").split('/').last.toLong).sorted.toSeq ==
       (0L until 60L).filter(_ % 5 == 2))
+    // the cc-index-table column spelling resolves to the same records
+    val viaColumnar = WarcIo.fetchByCdx(CdxIndex.toColumnar(hit), dir).collect()
+    assert(viaColumnar.map(_.getAs[String]("target_uri")).sorted.toSeq ==
+      rows.map(_.getAs[String]("target_uri")).sorted.toSeq)
   }
 
   test("fetchByCdx: a corrupt pointer fails loudly, not with a silent wrong record") {
