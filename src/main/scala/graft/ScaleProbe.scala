@@ -553,6 +553,18 @@ object ScaleProbe {
         }
         if (cdxWarcDir == null && only.forall(_.contains("cdx_fetch_host")))
           buildCdxArchives()
+        if (cdxWarcDir != null) time("cdx_fetch_bulk", k) {
+          // bulk ranged-read throughput: every 10th record across ALL
+          // hosts by pointer — the "re-tokenize a sample of the crawl"
+          // shape. Sorted (filename, offset) walks inside fetchByCdx
+          // keep per-file reads forward-sequential even at this volume
+          sources.WarcIo.fetchByCdx(
+            sources.WarcIo.readCdxj(spark, cdxWarcDir + "/part-*.cdx.gz")
+              .filter(substring_index(col("url"), "/", -1).cast("long") % 10 === 0),
+            cdxWarcDir)
+            .select(count(col("offset")).as("n"),
+              sum(col("content_length")).as("bytes"))
+        }
         if (cdxWarcDir != null) time("cdx_fetch_host", k) {
           import spark.implicits._
           // IDENTICAL per-record work to crawl_extract (parse → decode

@@ -288,6 +288,19 @@ class CdxSpec extends SparkSpec {
     assert(miss.columns.sameElements(dom.columns))
   }
 
+  test("lookupUrl: exact key, canonicalization folds spelling variants, no prefix bleed") {
+    val dir = TempDirs.scratch("cdx_url_")
+    CdxIndex.buildTable(corpus(500), dir, nShards = 4)
+    // /p/1 must not return /p/10..19, /p/100.. (they share the string prefix)
+    val one = CdxIndex.lookupUrl(spark, dir, "https://h1.site1.org/p/1")
+    assert(one.count() == 1)
+    assert(one.collect().head.getAs[String]("url") == "https://h1.site1.org/p/1")
+    // spelling variants resolve to the same capture
+    val variant = CdxIndex.lookupUrl(spark, dir,
+      "HTTPS://H1.Site1.ORG:443/p/1?utm_source=x")
+    assert(variant.count() == 1)
+  }
+
   test("lookupDomain excludes string-prefix sibling domains, includes apex/port/subs") {
     import spark.implicits._
     val dir = TempDirs.scratch("cdx_idx3_")
