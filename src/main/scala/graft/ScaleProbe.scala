@@ -551,7 +551,8 @@ object ScaleProbe {
           buildCdxArchives() // archive + sidecar + master index, timed whole
           d.limit(0)
         }
-        if (cdxWarcDir == null && only.forall(_.contains("cdx_fetch_host")))
+        if (cdxWarcDir == null && only.forall(f =>
+            f.contains("cdx_fetch_host") || f.contains("cdx_fetch_bulk")))
           buildCdxArchives()
         if (cdxWarcDir != null) time("cdx_fetch_bulk", k) {
           // bulk ranged-read throughput: every 10th record across ALL
@@ -682,7 +683,9 @@ object ScaleProbe {
             concat(lit("f"), pmod(col("id"), lit(64)), lit(".warc.gz")).as("filename"))
           sources.CdxIndex.buildTable(cdx, cdxDir, nShards = 64)
         }
-        if (only.forall(_.contains("cdx_lookup_xl"))) buildCdx()
+        if (only.forall(f =>
+            f.contains("cdx_lookup_xl") || f.contains("cdx_change_stats_xl")))
+          buildCdx()
         time("cdx_lookup_xl", k) {
           sources.CdxIndex.lookupPrefix(spark, cdxDir, "org,host4242)")
         }

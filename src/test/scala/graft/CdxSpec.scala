@@ -295,10 +295,11 @@ class CdxSpec extends SparkSpec {
     val one = CdxIndex.lookupUrl(spark, dir, "https://h1.site1.org/p/1")
     assert(one.count() == 1)
     assert(one.collect().head.getAs[String]("url") == "https://h1.site1.org/p/1")
-    // spelling variants resolve to the same capture
+    // spelling variants resolve to the SAME capture, not merely some capture
     val variant = CdxIndex.lookupUrl(spark, dir,
-      "HTTPS://H1.Site1.ORG:443/p/1?utm_source=x")
-    assert(variant.count() == 1)
+      "HTTPS://H1.Site1.ORG:443/p/1?utm_source=x").collect()
+    assert(variant.length == 1 &&
+      variant.head.getAs[String]("url") == "https://h1.site1.org/p/1")
   }
 
   test("lookupDomain excludes string-prefix sibling domains, includes apex/port/subs") {
