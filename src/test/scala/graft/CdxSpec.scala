@@ -74,6 +74,28 @@ class CdxSpec extends SparkSpec {
     assert(UrlOps.surtKey("http://a.org/p?q=a b") == "org,a)/p?q=a%20b")
   }
 
+  test("surtKey: spelling-variant invariance holds across the corpus shapes") {
+    // the key exists so that EVERY spelling of one resource collides;
+    // check the full variant battery against a spread of base URLs
+    val bases = Seq(
+      "http://example.com/", "http://a.b.example.co.uk/path/page.html",
+      "http://192.168.0.1/x", "http://h9.site3.org/p/7?a=1",
+      "https://x.io/d/e/f?k=v&a=b")
+    for (base <- bases) {
+      val key = UrlOps.surtKey(base)
+      def same(variant: String): Unit =
+        assert(UrlOps.surtKey(variant) == key, s"'$variant' diverged from '$base'")
+      val u = UrlOps.parse(base)
+      val hostUp = u.host.toUpperCase
+      val rest = base.substring(base.indexOf(u.host) + u.host.length)
+      same(s"${u.scheme.toUpperCase}://$hostUp$rest")          // case
+      same(s"https://${u.host}:443$rest")                      // scheme+default port
+      same(s"http://user:pw@${u.host}$rest")                   // userinfo
+      same(base + "#fragment")                                 // fragment
+      same(base + (if (u.query.isEmpty) "?utm_source=t" else "&utm_campaign=c"))
+    }
+  }
+
   test("surtKey: one domain's hosts are a contiguous key range") {
     val keys = Seq(
       UrlOps.surtKey("http://example.com/z"),
