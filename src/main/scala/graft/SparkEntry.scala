@@ -3841,10 +3841,18 @@ object SparkEntry {
           case _ => s"http://u${i % 7}.github.io/post/$i"
         }
       }.toDF("url")
+        // twelve URLs on hosts the link graph has NEVER seen — a real
+        // discovery batch always carries brand-new hosts, and they must
+        // enter the loop at default priority, not silently vanish
+        .unionByName(s.range(240, 252)
+          .map(i => s"http://x${i % 3}.fresh.net/post/$i").toDF("url"))
       val batch = graft.operators.CrawlFrontier.probeNew(s, idxDir, discovered, "url")
         .withColumn("host", call_function("graft_url_host", col("url")))
         .withColumn("domain", call_function("graft_url_domain", col("host")))
-        .join(ranks, Seq("host"))
+        // LEFT join + default 0: an unlinked new host has no rank row;
+        // an inner join here would drop it from the crawl entirely
+        .join(ranks, Seq("host"), "left")
+        .withColumn("rank_micros", coalesce(col("rank_micros"), lit(0L)))
         .select(col("domain"), col("url"), col("rank_micros"))
       val capped = graft.operators.CrawlScheduler.capPerDomain(
         batch, "domain", "url", col("rank_micros"), 10)
@@ -8185,10 +8193,15 @@ object SparkEntry {
         |  SELECT i, 'http://u' || CAST(i % 7 AS VARCHAR) || '.github.io/post/' || CAST(i AS VARCHAR),
         |         'u' || CAST(i % 7 AS VARCHAR) || '.github.io',
         |         'u' || CAST(i % 7 AS VARCHAR) || '.github.io'
-        |  FROM range(240) r(i) WHERE i % 3 = 2),
+        |  FROM range(240) r(i) WHERE i % 3 = 2
+        |  UNION ALL
+        |  SELECT i, 'http://x' || CAST(i % 3 AS VARCHAR) || '.fresh.net/post/' || CAST(i AS VARCHAR),
+        |         'x' || CAST(i % 3 AS VARCHAR) || '.fresh.net', 'fresh.net'
+        |  FROM range(240, 252) r(i)),
         |hist AS (SELECT 'http://d' || CAST(i % 8 AS VARCHAR) || '.shop.com/p/' || CAST(i AS VARCHAR) AS url
         |  FROM range(200) r(i)),
-        |newu AS (SELECT f.url, f.domain, r3.r AS pr FROM f JOIN r3 ON r3.n = f.host
+        |newu AS (SELECT f.url, f.domain, COALESCE(r3.r, 0) AS pr
+        |  FROM f LEFT JOIN r3 ON r3.n = f.host
         |  WHERE f.url NOT IN (SELECT url FROM hist)),
         |capped AS (SELECT url, domain, pr FROM (
         |    SELECT url, domain, pr,

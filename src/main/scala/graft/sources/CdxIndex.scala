@@ -81,33 +81,47 @@ object CdxIndex {
     }
   }
 
-  /** The shard files whose [lo,hi] key range intersects [from,to] —
-    * the cluster.idx consultation. Bounded: one row per shard file.
-    * Basenames resolve against the CURRENT table dir.
+  /** The shard files whose [lo,hi] key range intersects ANY of the
+    * requested [from,to) ranges — the cluster.idx consultation, ONE
+    * pass for however many ranges the caller needs ([[lookupDomain]]
+    * probes three). Bounded: one row per shard file. Basenames resolve
+    * against the CURRENT table dir.
     */
   private def shardFiles(spark: SparkSession, dir: String,
-      from: String, to: String): Seq[String] = {
+      ranges: Seq[(String, String)]): Seq[String] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/cluster")
-      .filter(col("hi") >= from && col("lo") < to)
-      .select(col("file")).as[String].collect().toSeq.sorted
+      .filter(ranges.map { case (from, to) => col("hi") >= from && col("lo") < to }
+        .reduce(_ || _))
+      .select(col("file")).as[String].collect().toSeq.distinct.sorted
       // basename rows resolve against the CURRENT table dir; a row
       // carrying a full URI (a table written by an older build that
       // stored absolute input_file_name()s) passes through as-is
       .map(name => if (name.contains("/")) name else s"$dir/cdx/$name")
   }
 
-  /** All index rows with `from <= surt < to`, scanning only the shards
-    * the cluster table says can hold them.
+  /** All index rows whose `surt` falls in any of the half-open
+    * `ranges`, scanning only the shards the cluster table says can
+    * hold them — ONE cluster read and ONE pruned scan regardless of
+    * how many ranges are probed.
     */
-  def lookupRange(spark: SparkSession, dir: String, from: String, to: String): DataFrame = {
-    val files = shardFiles(spark, dir, from, to)
+  def lookupRanges(spark: SparkSession, dir: String,
+      ranges: Seq[(String, String)]): DataFrame = {
+    require(ranges.nonEmpty, "lookupRanges needs at least one range")
+    val files = shardFiles(spark, dir, ranges)
     if (files.isEmpty)
       spark.read.parquet(s"$dir/cdx").limit(0)
     else
       spark.read.parquet(files: _*)
-        .filter(col("surt") >= from && col("surt") < to)
+        .filter(ranges.map { case (from, to) => col("surt") >= from && col("surt") < to }
+          .reduce(_ || _))
   }
+
+  /** All index rows with `from <= surt < to`, scanning only the shards
+    * the cluster table says can hold them.
+    */
+  def lookupRange(spark: SparkSession, dir: String, from: String, to: String): DataFrame =
+    lookupRanges(spark, dir, Seq((from, to)))
 
   /** All captures under a raw SURT STRING prefix — `"com,example)"` is
     * exactly one host (the `)` terminator excludes `com,examplez`).
@@ -126,14 +140,17 @@ object CdxIndex {
     * the domain's reversed labels only `)`/`:`/`,` can follow, so the
     * domain is the union of those three narrow key ranges (digits sort
     * between `,` and `:`, so one wide range would swallow
-    * `example2.com`). Each range prunes shards independently.
+    * `example2.com`). The three ranges prune in ONE cluster pass and
+    * scan ONE union of pruned files ([[lookupRanges]]) — not three
+    * separate cluster reads and scans.
     */
   def lookupDomain(spark: SparkSession, dir: String, reversedDomain: String): DataFrame = {
     require(!reversedDomain.endsWith(")") && !reversedDomain.endsWith(","),
       s"lookupDomain takes the bare reversed domain (e.g. \"com,example\"), got '$reversedDomain'")
-    Seq(")", ":", ",")
-      .map(sep => lookupPrefix(spark, dir, reversedDomain + sep))
-      .reduce(_ unionByName _)
+    val hi = new String(Character.toChars(0x10FFFF))
+    lookupRanges(spark, dir,
+      Seq(")", ":", ",").map(sep =>
+        (reversedDomain + sep, reversedDomain + sep + hi)))
   }
 
   /** All captures of ONE URL — the convenience spelling of
@@ -223,7 +240,9 @@ object CdxIndex {
       host.as("url_host_name"),
       element_at(split(host, "\\."), -1).as("url_host_tld"),
       call_function("graft_url_domain", host).as("url_host_registered_domain"),
-      regexp_extract(col("url"), "^[a-z]+://[^/?#]*(/[^?#]*)?", 1).as("url_path"),
+      // (?i): external CDX rows keep the original URL spelling —
+      // 'HTTP://host/path' must still yield its path
+      regexp_extract(col("url"), "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1).as("url_path"),
       col("ts").as("fetch_time"),
       col("status").as("fetch_status"),
       col("mime").as("content_mime_type"),

@@ -981,6 +981,18 @@ object WarcIo {
     val blockSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "url STRING, mime STRING, status STRING, digest STRING, " +
         "length STRING, offset STRING, filename STRING")
+    // external-file hygiene (this is also the ingest point for CDXJ
+    // OTHER tools wrote): a present-but-non-numeric offset/length/
+    // status fails LOUDLY per row — a silent null from the cast would
+    // surface later as an opaque encoding failure (or a dropped
+    // pointer) in fetchByCdx, the same fail-loud discipline
+    // readCdxClassic and CdxIndex.changeStats apply
+    def num(c: org.apache.spark.sql.Column, t: String,
+        what: String): org.apache.spark.sql.Column =
+      when(c.isNotNull && c.cast(t).isNull,
+        raise_error(concat(lit(s"readCdxj: non-numeric $what '"), c, lit("'")))
+          .cast(t))
+        .otherwise(c.cast(t))
     spark.read.textFile(glob).toDF("line")
       .filter(length(trim(col("line"))) > 0)
       .select(split(col("line"), " ", 3).as("f"))
@@ -988,9 +1000,10 @@ object WarcIo {
         from_json(col("f").getItem(2), blockSchema).as("j"))
       .select(col("surt"), col("ts"),
         col("j.url").as("url"), col("j.mime").as("mime"),
-        col("j.status").cast("int").as("status"), col("j.digest").as("digest"),
-        col("j.length").cast("long").as("length"),
-        col("j.offset").cast("long").as("offset"),
+        num(col("j.status"), "int", "status").as("status"),
+        col("j.digest").as("digest"),
+        num(col("j.length"), "long", "length").as("length"),
+        num(col("j.offset"), "long", "offset").as("offset"),
         col("j.filename").as("filename"))
   }
 
@@ -1075,37 +1088,88 @@ object WarcIo {
       val warcName = f"part-$pid%05d.warc.gz"
       val tmp = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d-attempt$attemptTag.tmp")
       val fin = new org.apache.hadoop.fs.Path(dirPath, warcName)
-      // CDX lines accumulate per record while the members stream out —
-      // `offset` is the byte position of the record's OWN gzip member
-      // in the final file, known exactly at append time
-      val cdx = if (withCdx) new scala.collection.mutable.ArrayBuffer[String]() else null
+      // BOTH temps exist before EITHER commit: a newer job's sweep
+      // (which deletes part-*.tmp before writing) therefore always
+      // leaves this attempt with at least one missing temp, and
+      // commitOne fails loudly on it — a superseded attempt can
+      // never pair its stale .cdx.gz with the newer job's archive
+      val ctmp = new org.apache.hadoop.fs.Path(dirPath,
+        f"part-$pid%05d-attempt$attemptTag.cdx.tmp")
+      val cfin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.cdx.gz")
+      // the CDX sidecar streams ALONGSIDE the archive: each record's
+      // index line (its `offset` is the byte position of the record's
+      // OWN gzip member, known exactly at append time) is appended to
+      // the sidecar temp as the member is written — task residency
+      // stays ONE record; a ~1 GB part of small records must not hold
+      // hundreds of MB of buffered index lines in heap
       var offset = 0L
       val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
+      val cout =
+        if (withCdx) new GZIPOutputStream(
+          new java.io.BufferedOutputStream(fs.create(ctmp, true), 1 << 18))
+        else null
       try recs.foreach { r =>
         val member = gzipMember(writeRecord(r))
         out.write(member)
         if (withCdx)
-          cdxjLine(r, offset, member.length, filenamePrefix + warcName).foreach(cdx += _)
+          cdxjLine(r, offset, member.length, filenamePrefix + warcName)
+            .foreach(l => cout.write((l + "\n").getBytes(UTF_8)))
         offset += member.length
-      } finally out.close()
+      } finally {
+        out.close()
+        if (cout != null) cout.close()
+      }
       if (!withCdx) {
         commitOne(fs, tmp, fin)
         Seq(fs.makeQualified(fin).toString)
       } else {
-        // BOTH temps exist before EITHER commit: a newer job's sweep
-        // (which deletes part-*.tmp before writing) therefore always
-        // leaves this attempt with at least one missing temp, and
-        // commitOne fails loudly on it — a superseded attempt can
-        // never pair its stale .cdx.gz with the newer job's archive
-        val ctmp = new org.apache.hadoop.fs.Path(dirPath,
-          f"part-$pid%05d-attempt$attemptTag.cdx.tmp")
-        val cfin = new org.apache.hadoop.fs.Path(dirPath, f"part-$pid%05d.cdx.gz")
-        val cout = new GZIPOutputStream(
-          new java.io.BufferedOutputStream(fs.create(ctmp, true), 1 << 18))
-        try cdx.foreach(l => cout.write((l + "\n").getBytes(UTF_8)))
-        finally cout.close()
+        // PAIR commit: a part's archive and sidecar must come from ONE
+        // attempt — sidecar offsets from attempt A pointing into
+        // attempt B's archive would break every ranged fetch for the
+        // part. Two separate renames cannot be atomic together, so the
+        // protocol narrows the exposure to byte-identical attempts:
+        //   1. commit the warc;
+        //   2. before committing the sidecar, re-stat the live warc —
+        //      if its length is not THIS attempt's byte count, a
+        //      racing attempt's archive went live after ours, so WE
+        //      withdraw (drop our sidecar temp; the racing attempt,
+        //      which observed its own length, commits the matching
+        //      sidecar);
+        //   3. after committing the sidecar, verify the live pair's
+        //      lengths again and fail the TASK loudly on mismatch —
+        //      the retry rewrites both files with no competitor left.
+        // The residual undetectable case is two attempts whose outputs
+        // differ at EQUAL byte length; partition content is
+        // deterministic (same rows, same serialization), so racing
+        // attempts produce byte-identical files and any length skew
+        // means a real foreign interleave. Readers get one more gate:
+        // the job manifest ([[writeManifest]]) records the winning
+        // sizes, and manifest-resolved reads verify against them.
+        val warcLen = offset
+        val cdxLen = fs.getFileStatus(ctmp).getLen
         commitOne(fs, tmp, fin)
-        commitOne(fs, ctmp, cfin)
+        val liveWarcLen = fs.getFileStatus(fin).getLen
+        if (liveWarcLen != warcLen) {
+          fs.delete(ctmp, false) // superseded: the newer attempt pairs itself
+        } else {
+          commitOne(fs, ctmp, cfin)
+          val (w, c) = (fs.getFileStatus(fin).getLen, fs.getFileStatus(cfin).getLen)
+          if (w == warcLen)
+            // our warc is live: a foreign sidecar over it is a real
+            // interleave — fail the TASK; the retry rewrites both
+            // files with no competitor left
+            require(c == cdxLen,
+              s"writeWarc: archive/sidecar pair for $fin interleaved across attempts " +
+                s"(cdx $c vs $cdxLen) — failing the task; retry rewrites the pair")
+          else if (c == cdxLen)
+            // a newer warc went live after our step-2 check and OUR
+            // stale sidecar may sit over it: withdraw it. The newer
+            // attempt either commits its own sidecar afterwards
+            // (clean pair) or already did (its pair then misses the
+            // sidecar — a LOUD FileNotFound at read, never silently
+            // wrong offsets)
+            fs.delete(cfin, false)
+        }
         Seq(fs.makeQualified(fin).toString, fs.makeQualified(cfin).toString)
       }
     } finally fs.close()

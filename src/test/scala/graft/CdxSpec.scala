@@ -452,6 +452,54 @@ class CdxSpec extends SparkSpec {
     assert(CdxIndex.lookupPrefix(spark, moved, "org,site3,h17)").count() >= before)
   }
 
+  test("lookupDomain: one cluster pass, one pruned scan — not three") {
+    val dir = TempDirs.scratch("cdx_dom1_")
+    CdxIndex.buildTable(corpus(2000), dir, nShards = 8)
+    val dom = CdxIndex.lookupDomain(spark, dir, "org,site5")
+    // the three SURT ranges resolve through ONE union of pruned files:
+    // the plan holds exactly one parquet scan (the old per-range
+    // spelling unioned three), and it still prunes
+    val scans = dom.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected one pruned scan, got ${scans.length}")
+    val allFiles = spark.read.parquet(dir + "/cdx").inputFiles.toSet
+    assert(dom.inputFiles.toSet.subsetOf(allFiles))
+    assert(dom.count() == 2000 / 7 + (if (2000 % 7 > 5) 1 else 0))
+  }
+
+  test("readCdxj: a present-but-non-numeric pointer field fails loudly, never nulls") {
+    val dir = TempDirs.scratch("cdx_badj_")
+    val good = """org,ok)/a 20260101000000 {"url":"http://ok.org/a","offset":"12","length":"34","filename":"f.warc.gz"}"""
+    val bad = """org,bad)/b 20260101000000 {"url":"http://bad.org/b","offset":"12kb","length":"34","filename":"f.warc.gz"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "x.cdx"),
+      (good + "\n" + bad + "\n").getBytes(UTF_8))
+    val e = intercept[Exception] {
+      WarcIo.readCdxj(spark, dir + "/*.cdx").collect()
+    }
+    assert(e.toString.contains("non-numeric") ||
+      Option(e.getCause).exists(_.toString.contains("non-numeric")))
+    // absent fields still null quietly (warcinfo-free CDXJ variants
+    // legitimately omit status); only present-but-garbage is loud
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "x.cdx"),
+      (good + "\n").getBytes(UTF_8))
+    val row = WarcIo.readCdxj(spark, dir + "/*.cdx").collect().head
+    assert(row.isNullAt(row.fieldIndex("status")) && row.getAs[Long]("offset") == 12L)
+  }
+
+  test("toColumnar: url_path survives the original URL's scheme/host spelling") {
+    import spark.implicits._
+    val cdx = Seq(("HTTP://Host.Example.ORG/Deep/Path?q=1", "org,example,host)/deep/path?q=1"))
+      .toDF("url", "surt")
+      .selectExpr("surt", "'20260101000000' AS ts", "url", "'text/html' AS mime",
+        "CAST(200 AS INT) AS status", "'d' AS digest", "CAST(10 AS BIGINT) AS length",
+        "CAST(0 AS BIGINT) AS offset", "'f.warc.gz' AS filename")
+    val r = CdxIndex.toColumnar(cdx).collect().head
+    // external CDX rows keep the original spelling — an anchored
+    // lowercase scheme regex would silently yield an empty path
+    assert(r.getAs[String]("url_path") == "/Deep/Path")
+  }
+
   test("toColumnar: cc-index-table columns derive from url + surt") {
     val one = CdxIndex.toColumnar(corpus(50)).filter(col("url").endsWith("/p/17")).collect()
     assert(one.length == 1)

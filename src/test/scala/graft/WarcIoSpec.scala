@@ -176,6 +176,39 @@ class WarcIoSpec extends SparkSpec {
     assert(back.forall(r => new String(r.payload, UTF_8).startsWith("attempt second")))
   }
 
+  test("withCdx attempt race: the committed archive/sidecar pair is from ONE attempt") {
+    val dir = TempDirs.scratch("warcattc")
+    def recsOf(tag: String, bodyLen: Int) = (0 until 5).iterator.map { i =>
+      val body = (s"attempt $tag payload $i ").padTo(bodyLen, 'x')
+      WarcIo.WarcRecord("response", s"http://example.org/a/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"ac:$tag:$i"), "application/http; msgtype=response", Map.empty,
+        WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          body.getBytes(UTF_8)))
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    // a zombie attempt and its retry commit back-to-back with DIFFERENT
+    // record sizes — whatever ends live, the sidecar's offsets must
+    // frame the live archive's bytes (a cross-attempt pair would break
+    // every ranged fetch for the part)
+    WarcIo.commitPartitionFiles(dir, 2, 11L, recsOf("first", 40), hconf, withCdx = true)
+    WarcIo.commitPartitionFiles(dir, 2, 12L, recsOf("second", 90), hconf, withCdx = true)
+    val cdx = WarcIo.readCdxj(spark, dir + "/part-*.cdx.gz")
+    assert(cdx.count() == 5)
+    val fetched = WarcIo.fetchByCdx(cdx, dir).collect()
+    assert(fetched.length == 5)
+    fetched.foreach { r =>
+      val http = WarcIo.parseHttpResponse(r.getAs[Array[Byte]]("payload"))
+      assert(new String(http.body, UTF_8).startsWith("attempt second"))
+    }
+    // no temp orphans; exactly the committed pair remains
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.map(_.getFileName.toString).toList.sorted
+    } finally files.close()
+    assert(names == List("part-00002.cdx.gz", "part-00002.warc.gz"), s"left: $names")
+  }
+
   test("toWat: deterministic JSON envelope, RFC 8259 escaping, refers back to the source") {
     val body = "<html><body>x</body></html>".getBytes(UTF_8)
     val payload = WarcIo.buildHttpResponse(200, "OK",
