@@ -703,6 +703,51 @@ object ScaleProbe {
           sources.CdxIndex.changeStats(spark.read.parquet(cdxDir + "/cdx"))
         }
       }
+      locally {
+        // LSM master maintenance at a k×1M-capture base: each append
+        // lands a FIXED 100k-capture crawl as its own generation, so
+        // the timed append must stay FLAT in k (cost tracks the new
+        // crawl, not the archive — the mergeTables full re-sort this
+        // layout replaces grows with k); the lookup then spans the
+        // base + three un-compacted generations and must stay flat
+        // too (every generation's cluster prunes independently).
+        def cdxRows(from: Long, n: Long, ts: String): DataFrame = {
+          val host = pmod(col("id"), lit(10000L * k))
+          spark.range(from, from + n).select(
+            concat(lit("org,host"), host, lit(")/p/"), col("id")).as("surt"),
+            lit(ts).as("ts"),
+            concat(lit("https://host"), host, lit(".org/p/"), col("id")).as("url"),
+            lit("text/html").as("mime"), lit(200).as("status"),
+            concat(lit("d"), col("id")).as("digest"),
+            (lit(100L) + pmod(col("id"), lit(9))).as("length"),
+            col("id").as("offset"),
+            concat(lit("f"), pmod(col("id"), lit(64)), lit(".warc.gz")).as("filename"))
+        }
+        var lsmDir: String = null
+        if (only.forall(_.exists(_.startsWith("cdx_lsm")))) {
+          lsmDir = TempDirs.scratch("probe_cdxlsm_")
+          sources.CdxIndex.initMaster(cdxRows(0L, 1000000L * k, "20260101000000"),
+            lsmDir, nShards = 64) // the base archive (untimed, like other builds)
+          (1 to 3).foreach { g =>
+            val t0 = System.nanoTime()
+            sources.CdxIndex.appendCrawl(
+              cdxRows(1000000L * k + 100000L * (g - 1), 100000L, s"2026010${g + 1}000000"),
+              lsmDir, nShards = 64)
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"""{"op":"cdx_lsm_append_xl","k":$k,"gen":$g,"sec":$sec%.2f}""")
+          }
+        }
+        time("cdx_lsm_lookup_xl", k) {
+          sources.CdxIndex.lookupPrefix(spark, lsmDir, "org,host4242)")
+        }
+        if (lsmDir != null) {
+          val touched = sources.CdxIndex
+            .lookupPrefix(spark, lsmDir, "org,host4242)").inputFiles.length
+          val total = sources.CdxIndex.readMaster(spark, lsmDir).inputFiles.length
+          println(s"""{"op":"cdx_lsm_lookup_xl_shards","k":$k,""" +
+            s""""touched":$touched,"total":$total,"generations":4}""")
+        }
+      }
       time("crawl_pagerank", k) {
         // host-graph centrality at k×100k edges over k×10k hosts
         // (LCG-mixed destinations so edges stay distinct): five

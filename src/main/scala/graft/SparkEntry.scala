@@ -3579,14 +3579,16 @@ object SparkEntry {
     }),
 
     "cdx_lookup" -> ((s, dir) => {
-      // the master-index lookup loop: a 4000-capture CDX corpus →
-      // CdxIndex.buildTable (range-partitioned by SURT, sorted within
-      // shards, cluster.idx analog of per-file key ranges) → ONE host's
-      // captures via lookupPrefix, which consults the cluster table and
-      // scans only the intersecting shards (CdxSpec pins the pruning;
-      // at archive scale this is the difference between a ranged read
+      // the master-index lookup loop over the INCREMENTALLY-MAINTAINED
+      // master: the 4000-capture corpus arrives as three crawls —
+      // initMaster + two appendCrawl generations, each sorted alone
+      // (O(new), never re-sorting history) — and lookupPrefix resolves
+      // the manifest, consults every generation's cluster rows in one
+      // scan, and reads only the intersecting shard files across all
+      // three un-compacted generations (CdxSpec pins the pruning; at
+      // archive scale this is the difference between a ranged read
       // and a 100 TB scan). Every field is formula-constructed, so the
-      // oracle replays the whole build→prune→filter loop.
+      // oracle replays the whole build→append→prune→filter loop.
       val cdx = s.range(4000).selectExpr(
         "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
         "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
@@ -3597,10 +3599,67 @@ object SparkEntry {
         .select("surt", "ts", "url", "mime", "status", "digest",
           "length", "offset", "filename")
       val idxDir = TempDirs.scratch("cdx_tbl_")
-      graft.sources.CdxIndex.buildTable(cdx, idxDir, nShards = 12)
+      graft.sources.CdxIndex.initMaster(cdx.filter(col("offset") < 1500), idxDir, nShards = 12)
+      graft.sources.CdxIndex.appendCrawl(
+        cdx.filter(col("offset") >= 1500 && col("offset") < 3000), idxDir, nShards = 12)
+      graft.sources.CdxIndex.appendCrawl(
+        cdx.filter(col("offset") >= 3000), idxDir, nShards = 12)
       graft.sources.CdxIndex.lookupPrefix(s, idxDir, "org,site3,h17)")
         .select(col("surt"), col("ts"), col("url"), col("offset"), col("length"))
         .orderBy(col("surt"))
+    }),
+
+    "cdx_compact_lookup" -> ((s, dir) => {
+      // the OTHER half of the LSM lifecycle: the same three-crawl
+      // master as cdx_lookup, then the periodic leveled compaction
+      // folds the generations back to one and vacuum reclaims the
+      // unreferenced ones (keeping the previous manifest's for pinned
+      // readers) — and the lookup answer is bit-identical to the
+      // un-compacted master's. Green proves compaction moves bytes,
+      // never answers.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+        .select("surt", "ts", "url", "mime", "status", "digest",
+          "length", "offset", "filename")
+      val idxDir = TempDirs.scratch("cdx_cmp_")
+      graft.sources.CdxIndex.initMaster(cdx.filter(col("offset") < 1500), idxDir, nShards = 12)
+      graft.sources.CdxIndex.appendCrawl(
+        cdx.filter(col("offset") >= 1500 && col("offset") < 3000), idxDir, nShards = 12)
+      graft.sources.CdxIndex.appendCrawl(
+        cdx.filter(col("offset") >= 3000), idxDir, nShards = 12)
+      graft.sources.CdxIndex.compact(s, idxDir, nShards = 12)
+      graft.sources.CdxIndex.vacuum(s, idxDir)
+      graft.sources.CdxIndex.lookupPrefix(s, idxDir, "org,site3,h17)")
+        .select(col("surt"), col("ts"), col("url"), col("offset"), col("length"))
+        .orderBy(col("surt"))
+    }),
+
+    "cdx_digest_lookup" -> ((s, dir) => {
+      // the digest-keyed REVERSE index: identical content planted
+      // across 8 hosts each (digest = d(id % 500), so every digest has
+      // captures on different hosts/pages) → buildDigestIndex
+      // (range-partitioned and cluster-pruned by digest) →
+      // lookupDigest reconstructs ONE content's full capture set with
+      // a pruned ranged scan — provenance / storage-dedup accounting /
+      // takedown sweeps without touching the rest of the index. The
+      // oracle replays the capture set from the planting formula.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id % 500) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val idxDir = TempDirs.scratch("cdx_dig_")
+      graft.sources.CdxIndex.buildDigestIndex(cdx, idxDir, nShards = 12)
+      graft.sources.CdxIndex.lookupDigest(s, idxDir, "d137")
+        .select(col("digest"), col("surt"), col("ts"), col("url"), col("offset"))
+        .orderBy(col("surt"), col("ts"))
     }),
 
     "cdx_columnar" -> ((s, dir) => {
@@ -3647,13 +3706,16 @@ object SparkEntry {
     }),
 
     "cdx_merge_stats" -> ((s, dir) => {
-      // the cross-crawl lifecycle composed: each crawl publishes its
-      // OWN sorted index dir (the publication unit); mergeTables
-      // re-sorts the union into one master table; changeStats over the
-      // merged view surfaces the urls whose content drifted between
-      // crawls. Green proves per-crawl build → merge → re-sort →
-      // aggregate preserves every row bit-exactly.
-      val byCrawl = (0 until 3).map { crawl =>
+      // the cross-crawl lifecycle composed over the LSM master: crawl 0
+      // founds the master (initMaster), crawls 1 and 2 land as their
+      // own generations (appendCrawl — each pass sorts only ITS crawl,
+      // never re-sorting history), and changeStats runs over the
+      // merge-on-read view of all three generations. Green proves
+      // init → append → append → merge-on-read → aggregate preserves
+      // every row bit-exactly across an incrementally-maintained
+      // master.
+      val master = TempDirs.scratch("cdx_master_")
+      (0 until 3).foreach { crawl =>
         val cdx = s.range(1000).selectExpr("id AS base")
           .selectExpr(
             "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
@@ -3668,13 +3730,10 @@ object SparkEntry {
             "CAST(200 AS INT) AS status", "digest",
             "CAST(100 AS BIGINT) AS length", "CAST(0 AS BIGINT) AS offset",
             "'f.warc.gz' AS filename")
-        val d = TempDirs.scratch(s"cdx_crawl${crawl}_")
-        graft.sources.CdxIndex.buildTable(cdx, d, nShards = 4)
-        d
+        if (crawl == 0) graft.sources.CdxIndex.initMaster(cdx, master, nShards = 4)
+        else graft.sources.CdxIndex.appendCrawl(cdx, master, nShards = 4)
       }
-      val merged = TempDirs.scratch("cdx_merged_")
-      graft.sources.CdxIndex.mergeTables(s, byCrawl, merged, nShards = 6)
-      graft.sources.CdxIndex.changeStats(s.read.parquet(merged + "/cdx"))
+      graft.sources.CdxIndex.changeStats(graft.sources.CdxIndex.readMaster(s, master))
         .filter(col("n_versions") > 1)
         .select(col("surt"), col("n_captures"), col("n_versions"), col("change_rate"))
         .orderBy(col("surt"))
@@ -3717,6 +3776,66 @@ object SparkEntry {
           (uri.substring(uri.lastIndexOf('/') + 1).toLong, http.status,
             http.body.length.toLong)
         }).toDF("doc_id", "status", "entity_length")
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_wayback" -> ((s, dir) => {
+      // wayback replay END TO END: two crawls commit with CDX sidecars
+      // (crawl 2 marked against crawl 1's digests, so unchanged pages
+      // land as payload-free revisits); (url, instant) requests
+      // as-of-resolve to the day-2 captures; replay() fetches them by
+      // pointer and follows each revisit's identical-payload-digest
+      // indirection back to the crawl-1 ORIGINAL's bytes with a second
+      // ranged read. The oracle replays record types, the replay flag,
+      // and the exact entity byte length per doc (revisits must serve
+      // the V1 body; changed pages the LONGER V2 body) from the raw
+      // documents alone — a replay that served the revisit's empty
+      // payload, or the wrong version's bytes, hash-mismatches.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val root = TempDirs.scratch("wayback_")
+      def records(html: DataFrame, date: String, idp: String): DataFrame =
+        html.repartition(8).as[(Long, String)].mapPartitions(_.map { case (id, h) =>
+          val uri = s"http://c${id % 13}.example.org/d/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, date, WarcIo.recordIdFor(idp + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      val v1 = docs.select(col("doc_id"),
+        crawlHtml(col("doc_id"), col("text"), lit("Wayback v1")).as("html"))
+      WarcIo.writeWarcWithCdx(records(v1, "2026-01-01T00:00:00Z", "wb1:"),
+        root + "/crawl1", "crawl1/")
+      val v2 = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          crawlHtml(col("doc_id"), col("text"), lit("Wayback v1")))
+          .otherwise(crawlHtml(col("doc_id"), col("text"), lit("Wayback v2 changed")))
+          .as("html"))
+      val prior = WarcIo.readCdxj(s, root + "/crawl1/part-*.cdx.gz")
+        .select(col("digest")).distinct()
+      WarcIo.writeWarcWithCdx(
+        WarcIo.markRevisits(records(v2, "2026-01-02T00:00:00Z", "wb2:"), prior),
+        root + "/crawl2", "crawl2/")
+      val index = WarcIo.readCdxj(s, root + "/crawl*/part-*.cdx.gz")
+      val wants = docs.select(
+        call_function("graft_surt",
+          concat(lit("http://c"), pmod(col("doc_id"), lit(13)).cast("string"),
+            lit(".example.org/d/"), col("doc_id").cast("string"))).as("surt"),
+        lit("20260102120000").as("want_ts"))
+      val rIdx = index.select(col("surt").as("rsurt"), col("ts"),
+        col("filename"), col("offset"), col("length"))
+      val resolved = AsOfJoin.asOf(wants, rIdx, "surt", "rsurt", "want_ts", "ts",
+        payload = Seq("filename", "offset", "length"))
+      WarcIo.replay(resolved.select("filename", "offset", "length"), index, root)
+        .select(col("target_uri"), col("rec_type"), col("replayed"), col("payload"))
+        .as[(String, String, Boolean, Array[Byte])]
+        .mapPartitions(_.map { case (uri, rt, rp, payload) =>
+          val http = WarcIo.parseHttpResponse(payload)
+          (uri.substring(uri.lastIndexOf('/') + 1).toLong, rt, rp, http.body.length.toLong)
+        }).toDF("doc_id", "rec_type", "replayed", "entity_length")
         .orderBy(col("doc_id"))
     }),
 
@@ -8044,6 +8163,29 @@ object SparkEntry {
         |  i AS "offset", 100 + i % 9 AS "length"
         |FROM t ORDER BY surt""".stripMargin,
 
+    // compaction + vacuum must not change a single answer bit: the
+    // same replay as cdx_lookup
+    "cdx_compact_lookup" ->
+      """WITH t AS (SELECT i FROM range(4000) r(i) WHERE i % 40 = 17 AND i % 7 = 3)
+        |SELECT 'org,site3,h17)/p/' || CAST(i AS VARCHAR) AS surt,
+        |  lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |  'https://h17.site3.org/p/' || CAST(i AS VARCHAR) AS url,
+        |  i AS "offset", 100 + i % 9 AS "length"
+        |FROM t ORDER BY surt""".stripMargin,
+
+    // one planted content's capture set replayed from the
+    // digest-planting formula
+    "cdx_digest_lookup" ->
+      """WITH t AS (SELECT i FROM range(4000) r(i) WHERE i % 500 = 137)
+        |SELECT 'd137' AS digest,
+        |  'org,site' || CAST(i % 7 AS VARCHAR) || ',h' || CAST(i % 40 AS VARCHAR)
+        |    || ')/p/' || CAST(i AS VARCHAR) AS surt,
+        |  lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |  'https://h' || CAST(i % 40 AS VARCHAR) || '.site' || CAST(i % 7 AS VARCHAR)
+        |    || '.org/p/' || CAST(i AS VARCHAR) AS url,
+        |  i AS "offset"
+        |FROM t ORDER BY surt, ts""".stripMargin,
+
     // host/TLD/eTLD+1 derivation + per-domain rollup replayed from the
     // same formulas
     "cdx_columnar" ->
@@ -8072,7 +8214,7 @@ object SparkEntry {
         |FROM b ORDER BY surt""".stripMargin,
 
     // the drifted quarter + the changed-once quarter survive the
-    // per-crawl build → merge → re-sort → aggregate loop
+    // init → append → append → merge-on-read → aggregate loop
     "cdx_merge_stats" ->
       """WITH b AS (SELECT i AS base, CAST(i % 20 AS VARCHAR) AS h,
         |    CAST(i AS VARCHAR) AS sb FROM range(1000) r(i) WHERE i % 4 < 2)
@@ -8096,6 +8238,25 @@ object SparkEntry {
         |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
         |  FROM d)
         |SELECT doc_id, CAST(200 AS INT) AS status,
+        |  CAST(strlen(html) AS BIGINT) AS entity_length
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // record types, the replay flag and the exact served byte length
+    // per doc, replayed from the raw documents: revisits (doc_id%3=0)
+    // serve the V1 body, changed pages the longer V2 body
+    "pipeline_wayback" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+        |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
+        |  '<h1>' || CASE WHEN doc_id % 3 = 0 THEN 'Wayback v1' ELSE 'Wayback v2 changed' END ||
+        |  '</h1><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'revisit' ELSE 'response' END AS rec_type,
+        |  doc_id % 3 = 0 AS replayed,
         |  CAST(strlen(html) AS BIGINT) AS entity_length
         |FROM h ORDER BY doc_id""".stripMargin,
 

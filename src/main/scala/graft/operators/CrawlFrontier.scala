@@ -491,7 +491,7 @@ object CrawlFrontier {
     * carries the lease timestamp and the recovery step (delete the
     * file) so misuse fails fast and diagnosable, never corrupting.
     */
-  private def withWriterLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+  private[graft] def withWriterLock[T](spark: SparkSession, dir: String)(body: => T): T = {
     val hconf = spark.sessionState.newHadoopConf()
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
     val fs = lock.getFileSystem(hconf)

@@ -52,22 +52,32 @@ object CdxIndex {
     * files by BASENAME, not absolute path, so the table survives the
     * promote rename (and any later relocation of the index dir).
     */
-  def buildTable(cdx: DataFrame, dir: String, nShards: Int): Unit = {
+  def buildTable(cdx: DataFrame, dir: String, nShards: Int): Unit =
+    buildTableKeyed(cdx, dir, nShards, Seq("surt", "ts"))
+
+  /** [[buildTable]] generalized over the sort key — `sortCols.head` is
+    * the cluster-pruned lookup key; the rest order rows within it.
+    * The primary index keys on (surt, ts); the digest reverse index
+    * ([[buildDigestIndex]]) keys on (digest, surt, ts).
+    */
+  private def buildTableKeyed(cdx: DataFrame, dir: String, nShards: Int,
+      sortCols: Seq[String]): Unit = {
     require(nShards > 0, "nShards must be positive")
+    val key = sortCols.head
     val spark = cdx.sparkSession
     val staging = s"${dir}__staging"
     val hconf = spark.sessionState.newHadoopConf()
     val livePath = new org.apache.hadoop.fs.Path(dir)
     val fs = livePath.getFileSystem(hconf)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    cdx.repartitionByRange(nShards, col("surt"), col("ts"))
-      .sortWithinPartitions(col("surt"), col("ts"))
+    cdx.repartitionByRange(nShards, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$staging/cdx")
     // cluster.idx analog: one column-pruned pass over the shards just
-    // written (reads only `surt`), grouped by physical file basename
+    // written (reads only the key), grouped by physical file basename
     spark.read.parquet(s"$staging/cdx")
       .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
-      .agg(min(col("surt")).as("lo"), max(col("surt")).as("hi"),
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
         count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/cluster")
@@ -81,39 +91,251 @@ object CdxIndex {
     }
   }
 
-  /** The shard files whose [lo,hi] key range intersects ANY of the
-    * requested [from,to) ranges — the cluster.idx consultation, ONE
-    * pass for however many ranges the caller needs ([[lookupDomain]]
-    * probes three). Bounded: one row per shard file. Basenames resolve
-    * against the CURRENT table dir.
+  /** The digest-keyed REVERSE index: the same CDX rows
+    * range-partitioned and cluster-pruned by `digest` instead of
+    * `surt` — "find every capture of this content" (provenance, storage
+    * dedup accounting, takedown sweeps) as a pruned ranged lookup
+    * instead of a full index scan. Rows with a NULL digest (external
+    * CDX rows can carry them) are excluded — they are unaddressable by
+    * content and a null range key would hot-spot one shard.
     */
-  private def shardFiles(spark: SparkSession, dir: String,
+  def buildDigestIndex(cdx: DataFrame, dir: String, nShards: Int): Unit =
+    buildTableKeyed(cdx.filter(col("digest").isNotNull), dir, nShards,
+      Seq("digest", "surt", "ts"))
+
+  /** Every capture of one content digest, scanning only the shards the
+    * digest index's cluster table admits. Exact key: digests are
+    * `sha1:BASE32` (no NUL), so [d, d+"\u0000") admits d alone.
+    */
+  def lookupDigest(spark: SparkSession, dir: String, digest: String): DataFrame =
+    lookupRangesKeyed(spark, dir, "digest", Seq((digest, digest + "\u0000")))
+
+  // -------------------------------------------------- generational master
+
+  /** The LSM-style master layout: instead of re-sorting ALL history on
+    * every crawl merge ([[mergeTables]] — O(archive) maintenance), the
+    * master dir holds IMMUTABLE per-crawl generations plus a tiny
+    * manifest naming the live ones:
+    *
+    *   - `<dir>/gen-NNNNNNNN/` — one [[buildTable]] layout each
+    *     (cdx shards + cluster), never modified after publication;
+    *   - `<dir>/manifest-NNNNNNNN` — one generation BASENAME per line,
+    *     oldest first; the highest-numbered manifest is current.
+    *     Published atomically (write `.tmp`, rename) so a reader lists
+    *     only complete manifests.
+    *
+    * Maintenance cost: [[appendCrawl]] sorts ONLY the new crawl —
+    * O(new), not O(archive); [[compact]] is the periodic leveled merge
+    * that folds the generations back to one (run it when lookups span
+    * too many generations — each generation adds one cluster row-set
+    * and its own pruned shard files to a lookup, exactly the
+    * [[graft.operators.CrawlFrontier.compactIndex]] append/compact
+    * discipline).
+    *
+    * Generation-pinned reads: a lookup resolves the manifest ONCE at
+    * DataFrame construction and scans only the concrete files that
+    * manifest names. Generations are immutable and [[vacuum]] retains
+    * every generation the last `keepManifests` manifests reference, so
+    * a lookup in flight ACROSS an append/compact completes with the
+    * pinned manifest's (correct, slightly stale) answer instead of
+    * failing on renamed-away files — the availability the legacy
+    * single-table rebuild cannot give.
+    *
+    * All mutators hold the same exclusive `_writer.lock` lease the
+    * crawl frontier uses: single writer, loud second-writer failure.
+    */
+  private def masterFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p, p.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(dirPath)) Seq.empty
+    else fs.listStatus(dirPath).map(_.getPath)
+      .filter(p => p.getName.matches("manifest-\\d{8}")).sortBy(_.getName).toSeq
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Publish the next manifest (gen basenames, oldest first) — write
+    * the temp, rename into the numbered name. Returns the new id.
+    */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, gens: Seq[String]): Int = {
+    val id = manifestFiles(fs, dirPath).lastOption
+      .map(_.getName.stripPrefix("manifest-").toInt).getOrElse(0) + 1
+    val fin = new org.apache.hadoop.fs.Path(dirPath, f"manifest-$id%08d")
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, f"manifest-$id%08d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((gens.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, fin), s"CdxIndex: could not publish $fin")
+    id
+  }
+
+  /** The current generation dirs (absolute), pinned to the NEWEST
+    * manifest — or, when no manifest exists, the legacy single-table
+    * layout (`dir` itself holds cdx/ + cluster/). Loud when neither
+    * layout is present.
+    */
+  private def resolveGens(spark: SparkSession, dir: String): Seq[String] = {
+    val (dirPath, fs) = masterFs(spark, dir)
+    manifestFiles(fs, dirPath).lastOption match {
+      case Some(m) => readManifest(fs, m).map(g => s"$dir/$g")
+      case None =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cluster")),
+          s"CdxIndex: $dir holds neither a manifest (generational layout) nor " +
+            "a cluster dir (single-table layout)")
+        Seq(dir)
+    }
+  }
+
+  /** Create a generational master from the first crawl's CDX rows.
+    * `dir` must not already hold an index.
+    */
+  def initMaster(cdx: DataFrame, dir: String, nShards: Int): Unit = {
+    val spark = cdx.sparkSession
+    val (dirPath, fs) = masterFs(spark, dir)
+    require(manifestFiles(fs, dirPath).isEmpty &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cluster")),
+      s"CdxIndex: $dir already holds an index — use appendCrawl")
+    fs.mkdirs(dirPath)
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      val gen = "gen-00000001"
+      buildTable(cdx, s"$dir/$gen", nShards)
+      publishManifest(fs, dirPath, Seq(gen)); ()
+    }
+  }
+
+  /** Append one crawl's CDX rows as a NEW generation: sorts only the
+    * new rows — maintenance cost tracks the new crawl's size, not the
+    * archive's. Lookups immediately span the new generation; in-flight
+    * lookups complete against their pinned manifest.
+    */
+  def appendCrawl(cdx: DataFrame, dir: String, nShards: Int): Unit = {
+    val spark = cdx.sparkSession
+    val (dirPath, fs) = masterFs(spark, dir)
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      val prev = manifestFiles(fs, dirPath).lastOption match {
+        case Some(m) => readManifest(fs, m)
+        case None => throw new IllegalStateException(
+          s"CdxIndex: $dir has no manifest — initMaster first (or keep using " +
+            "buildTable for the single-table layout)")
+      }
+      val id = prev.map(_.stripPrefix("gen-").toInt).max + 1
+      val gen = f"gen-$id%08d"
+      buildTable(cdx, s"$dir/$gen", nShards)
+      publishManifest(fs, dirPath, prev :+ gen); ()
+    }
+  }
+
+  /** The periodic leveled compaction: fold every live generation into
+    * ONE freshly range-partitioned generation (this is the only
+    * O(archive) pass, run on YOUR schedule instead of on every merge)
+    * and publish a manifest naming just it. Old generations stay on
+    * disk for pinned readers until [[vacuum]].
+    */
+  def compact(spark: SparkSession, dir: String, nShards: Int): Unit = {
+    val (dirPath, fs) = masterFs(spark, dir)
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
+        throw new IllegalStateException(s"CdxIndex: $dir has no manifest to compact"))
+      val prev = readManifest(fs, m)
+      val id = prev.map(_.stripPrefix("gen-").toInt).max + 1
+      val gen = f"gen-$id%08d"
+      buildTable(
+        prev.map(g => spark.read.parquet(s"$dir/$g/cdx")).reduce(_ unionByName _),
+        s"$dir/$gen", nShards)
+      publishManifest(fs, dirPath, Seq(gen)); ()
+    }
+  }
+
+  /** Reclaim generations no longer reachable: keep the newest
+    * `keepManifests` manifests and every generation they reference;
+    * delete older manifests and unreferenced `gen-*` dirs (including
+    * crashed staging residue). `keepManifests >= 2` preserves the
+    * previous manifest's generations so lookups pinned just before the
+    * latest publication still complete.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2): Unit = {
+    require(keepManifests >= 1, "vacuum must keep at least the current manifest")
+    val (dirPath, fs) = masterFs(spark, dir)
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      val manifests = manifestFiles(fs, dirPath)
+      val (drop, keep) = manifests.splitAt((manifests.size - keepManifests).max(0))
+      val live = keep.flatMap(readManifest(fs, _)).toSet
+      drop.foreach(fs.delete(_, false))
+      fs.listStatus(dirPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("gen-") && !live.contains(p.getName))
+        .foreach(fs.delete(_, true))
+    }
+  }
+
+  /** The full merge-on-read view: every live generation's rows, one
+    * scan. Feed [[changeStats]] or any whole-index aggregate.
+    */
+  def readMaster(spark: SparkSession, dir: String): DataFrame = {
+    val gens = resolveGens(spark, dir)
+    spark.read.parquet(gens.map(g => s"$g/cdx"): _*)
+  }
+
+  /** The shard files whose [lo,hi] key range intersects ANY of the
+    * requested [from,to) ranges — the cluster.idx consultation across
+    * every live generation, ONE scan for however many ranges the
+    * caller needs ([[lookupDomain]] probes three). Bounded: one row
+    * per shard file per generation. Basenames resolve against the
+    * generation that published them (recovered from the cluster file's
+    * own path, so the table survives relocation).
+    */
+  private def shardFiles(spark: SparkSession, gens: Seq[String],
       ranges: Seq[(String, String)]): Seq[String] = {
-    import spark.implicits._
-    spark.read.parquet(s"$dir/cluster")
+    spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
       .filter(ranges.map { case (from, to) => col("hi") >= from && col("lo") < to }
         .reduce(_ || _))
-      .select(col("file")).as[String].collect().toSeq.distinct.sorted
-      // basename rows resolve against the CURRENT table dir; a row
-      // carrying a full URI (a table written by an older build that
-      // stored absolute input_file_name()s) passes through as-is
-      .map(name => if (name.contains("/")) name else s"$dir/cdx/$name")
+      .select(col("file"), input_file_name().as("cf"))
+      .collect().toSeq
+      .map { r =>
+        val (name, cf) = (r.getString(0), r.getString(1))
+        // a row carrying a full URI (a table written by an older build
+        // that stored absolute input_file_name()s) passes through as-is
+        if (name.contains("/")) name
+        else cf.substring(0, cf.lastIndexOf("/cluster/")) + s"/cdx/$name"
+      }.distinct.sorted
   }
 
   /** All index rows whose `surt` falls in any of the half-open
-    * `ranges`, scanning only the shards the cluster table says can
-    * hold them — ONE cluster read and ONE pruned scan regardless of
-    * how many ranges are probed.
+    * `ranges`, scanning only the shards the generations' cluster
+    * tables say can hold them — ONE cluster read and ONE pruned scan
+    * regardless of how many ranges are probed or how many generations
+    * are live. The manifest is pinned here, at construction.
     */
   def lookupRanges(spark: SparkSession, dir: String,
+      ranges: Seq[(String, String)]): DataFrame =
+    lookupRangesKeyed(spark, dir, "surt", ranges)
+
+  /** [[lookupRanges]] generalized over the index's range key — the
+    * digest reverse index ([[buildDigestIndex]]) prunes on `digest`
+    * with the identical cluster machinery.
+    */
+  private def lookupRangesKeyed(spark: SparkSession, dir: String, keyCol: String,
       ranges: Seq[(String, String)]): DataFrame = {
     require(ranges.nonEmpty, "lookupRanges needs at least one range")
-    val files = shardFiles(spark, dir, ranges)
+    val gens = resolveGens(spark, dir)
+    val files = shardFiles(spark, gens, ranges)
     if (files.isEmpty)
-      spark.read.parquet(s"$dir/cdx").limit(0)
+      spark.read.parquet(s"${gens.head}/cdx").limit(0)
     else
       spark.read.parquet(files: _*)
-        .filter(ranges.map { case (from, to) => col("surt") >= from && col("surt") < to }
+        .filter(ranges.map { case (from, to) => col(keyCol) >= from && col(keyCol) < to }
           .reduce(_ || _))
   }
 
@@ -171,10 +393,12 @@ object CdxIndex {
   }
 
   /** Merge per-crawl indexes into one re-sorted master table — the
-    * cross-crawl view (one index per crawl is the publication unit;
-    * history queries span them). Plain union + [[buildTable]]: the
-    * range partitioner re-samples the combined key distribution, so
-    * shard boundaries follow the merged data.
+    * ONE-SHOT batch spelling (plain union + [[buildTable]]: the range
+    * partitioner re-samples the combined key distribution). Its cost
+    * is O(total archive) per merge, so for a LIVING master maintained
+    * crawl after crawl use the generational layout instead
+    * ([[initMaster]]/[[appendCrawl]]/[[compact]]): appends cost
+    * O(new crawl) and the full re-sort runs only at compaction.
     */
   def mergeTables(spark: SparkSession, dirs: Seq[String], out: String, nShards: Int): Unit = {
     require(dirs.nonEmpty, "mergeTables needs at least one source index")

@@ -709,6 +709,13 @@ object WarcIo {
     val fs = warcFs(dirPath, hconf)
     try {
     fs.mkdirs(dirPath)
+    // the manifest gates COMMITTED readers ([[readWarcCommitted]] /
+    // [[readCdxjCommitted]] / manifest-aware [[fetchByCdx]]): it is
+    // deleted FIRST and re-written LAST, so on a filesystem whose
+    // rename is not atomic (S3A copy+delete) a crashed or in-flight
+    // job leaves a dir with parts but NO manifest — gated readers
+    // fail loudly instead of consuming a half-committed directory
+    fs.delete(new org.apache.hadoop.fs.Path(dirPath, ManifestName), false)
     val parked = { // park stale parts; drop only orphaned temps
       val aside = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
       fs.listStatus(dirPath).foreach { st =>
@@ -752,11 +759,102 @@ object WarcIo {
           bcConf.value.value, withCdx, filenamePrefix).iterator
       }
     }.collect().toSeq.distinct.sorted
-    // job committed → the parked previous archive can go
+    // every part committed → publish the manifest, THEN drop the
+    // parked previous archive (a crash between the two leaves a
+    // valid manifest plus recoverable .stale files, never less)
+    writeManifest(fs, dirPath, committed)
     parked.foreach(f => fs.delete(f, false))
     committed
     } finally fs.close() // private instance (see warcFs) — release it
   }
+
+  /** The archive dir's commit marker. A `_`-prefixed name: Spark's
+    * file listings skip it and no `part-*` reader glob matches it.
+    */
+  private[graft] val ManifestName = "_manifest"
+
+  /** Publish the commit manifest: one `name\tsize` line per committed
+    * file, written to a temp and renamed into place. On S3A the
+    * final object is one small PUT, so readers observe it atomically
+    * even though the part renames above are copy+delete — this is the
+    * marker that closes the non-atomic-rename window the part files
+    * themselves cannot close.
+    */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, committed: Seq[String]): Unit = {
+    val lines = committed.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      s"${path.getName}\t${fs.getFileStatus(path).getLen}"
+    }
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, ManifestName + ".tmp")
+    val fin = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, fin), s"writeWarc: could not publish manifest $fin")
+  }
+
+  /** The dir's committed (name → size) map, if a manifest is present.
+    * None means the dir was written by a pre-manifest writer or an
+    * external tool — readers that can proceed un-gated do; gated
+    * readers fail loudly.
+    */
+  private[graft] def readManifestMap(spark: SparkSession,
+      dir: String): Option[Map[String, Long]] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      Some(new String(bytes, UTF_8).split("\n").filter(_.nonEmpty).map { line =>
+        val cut = line.lastIndexOf('\t')
+        require(cut > 0, s"writeWarc: malformed manifest line '$line' in $m")
+        line.substring(0, cut) -> line.substring(cut + 1).toLong
+      }.toMap)
+    }
+  }
+
+  /** The manifest-resolved committed files of `dir` with the given
+    * suffix, each verified present at its recorded size (a size skew
+    * means a foreign attempt's file or post-commit tampering — loud).
+    * LOUD when no manifest exists: a gated reader must never consume
+    * a half-committed directory; read pre-manifest/external dirs with
+    * the glob-based [[readWarc]]/[[readCdxj]] instead.
+    */
+  def committedFiles(spark: SparkSession, dir: String, suffix: String): Seq[String] = {
+    val entries = readManifestMap(spark, dir).getOrElse(throw new IllegalStateException(
+      s"WarcIo: $dir has no $ManifestName — the archive job did not complete its " +
+        "commit (or predates manifests); refusing the gated read. Use the " +
+        "glob-based readers to consume un-gated."))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    entries.toSeq.filter(_._1.endsWith(suffix)).sortBy(_._1).map { case (name, size) =>
+      val p = new org.apache.hadoop.fs.Path(dirPath, name)
+      val st = fs.getFileStatus(p) // throws FileNotFound loudly — correct
+      require(st.getLen == size,
+        s"WarcIo: committed file $p is ${st.getLen} bytes, manifest says $size — " +
+          "the directory was modified after commit")
+      fs.makeQualified(p).toString
+    }
+  }
+
+  /** [[readWarc]] gated on the commit manifest: reads EXACTLY the
+    * files the completed job published, failing loudly on a dir whose
+    * job never finished (no manifest) or whose files drifted from
+    * their recorded sizes. This is the reader for object-store
+    * deployments where rename-based part commits are not atomic.
+    */
+  def readWarcCommitted(spark: SparkSession, dir: String,
+      maxPayloadBytes: Int = 64 << 20): DataFrame =
+    readWarc(spark, committedFiles(spark, dir, ".warc.gz").mkString(","), maxPayloadBytes)
+
+  /** [[readCdxj]] gated on the commit manifest — see [[readWarcCommitted]]. */
+  def readCdxjCommitted(spark: SparkSession, dir: String): DataFrame =
+    readCdxj(spark, committedFiles(spark, dir, ".cdx.gz"))
 
   /** A PRIVATE (non-cached) `FileSystem` handle for the archive sink,
     * with checksum-sidecar writing off: local-FS runs must not scatter
@@ -906,6 +1004,11 @@ object WarcIo {
     val (mime, status) =
       if (r.recordType == "response")
         httpStatusMime(r.payload).getOrElse(("unk", None))
+      // `warc/revisit` is the CDX convention pywb and the Common Crawl
+      // index use for revisit records — it is also what lets [[replay]]
+      // (and any wayback implementation) route a capture through the
+      // identical-payload-digest indirection without fetching it first
+      else if (r.recordType == "revisit") ("warc/revisit", None)
       else (r.contentType.takeWhile(_ != ';').trim, None)
     val digest = carriedPayloadDigest(r).getOrElse {
       if (r.recordType == "response") httpPayloadDigest(r.payload)
@@ -976,7 +1079,13 @@ object WarcIo {
     * Output: (surt, ts, url, mime, status, digest, length, offset,
     * filename) with the numeric fields cast.
     */
-  def readCdxj(spark: SparkSession, glob: String): DataFrame = {
+  def readCdxj(spark: SparkSession, glob: String): DataFrame =
+    readCdxj(spark, Seq(glob))
+
+  /** [[readCdxj]] over an explicit file list (the manifest-gated
+    * reader's spelling — no glob re-listing between gate and read).
+    */
+  def readCdxj(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val blockSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "url STRING, mime STRING, status STRING, digest STRING, " +
@@ -993,7 +1102,7 @@ object WarcIo {
         raise_error(concat(lit(s"readCdxj: non-numeric $what '"), c, lit("'")))
           .cast(t))
         .otherwise(c.cast(t))
-    spark.read.textFile(glob).toDF("line")
+    spark.read.textFile(paths: _*).toDF("line")
       .filter(length(trim(col("line"))) > 0)
       .select(split(col("line"), " ", 3).as("f"))
       .select(col("f").getItem(0).as("surt"), col("f").getItem(1).as("ts"),
@@ -1266,6 +1375,73 @@ object WarcIo {
     * X's bytes, not the crawl. Output mirrors [[readWarc]] (filename +
     * offset in place of file + rec_ix).
     */
+  /** Wayback replay, batch form — the consumer loop a web archive
+    * actually runs: `resolved` CDX rows (typically a
+    * `CdxIndex`/`AsOfJoin` resolution of (url, instant) requests) are
+    * fetched by pointer, and any capture that turns out to be a
+    * payload-free `revisit` record follows the
+    * identical-payload-digest indirection back to the ORIGINAL
+    * response's bytes: the original is the latest non-revisit capture
+    * of the SAME surt with the SAME payload digest at or before the
+    * revisit's timestamp, resolved against `index` (the master CDX
+    * rows) with the engine's own as-of join and fetched with a second
+    * ranged read. A revisit whose original cannot be found in `index`
+    * fails LOUDLY — replaying an empty body as if it were the page is
+    * the silent-corruption case.
+    *
+    * Output mirrors [[fetchByCdx]] plus a `replayed` flag; for revisit
+    * rows `payload`/`content_length` carry the ORIGINAL's bytes while
+    * `rec_type`/`record_id`/`warc_date` keep the resolved capture's
+    * identity (what was requested vs what bytes serve it).
+    *
+    * Scale shape: one ranged fetch for the request set, one as-of join
+    * keyed on (surt, digest) against the index (revisit rows only —
+    * typically the small minority), one ranged fetch of the DISTINCT
+    * original pointers, one hash join to stitch payloads back. No
+    * archive scan anywhere.
+    */
+  def replay(resolved: DataFrame, index: DataFrame, dir: String,
+      maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outCols = Seq("filename", "offset", "rec_type", "target_uri", "warc_date",
+      "record_id", "content_type", "content_length", "payload", "payload_digest")
+      .map(col) :+ col("replayed")
+    val fetched = fetchByCdx(resolved, dir, maxPayloadBytes)
+    val direct = fetched.filter(col("rec_type") =!= "revisit")
+      .withColumn("replayed", lit(false))
+    val revisits = fetched.filter(col("rec_type") === "revisit")
+      .withColumn("__k", concat_ws("|",
+        call_function("graft_surt", col("target_uri")), col("payload_digest")))
+      .withColumn("__ts", substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14))
+    // originals only: the non-revisit captures with a digest to match
+    val originals = index
+      .filter((col("mime").isNull || col("mime") =!= "warc/revisit") &&
+        col("digest").isNotNull)
+      .select(concat_ws("|", col("surt"), col("digest")).as("__rk"),
+        col("ts").as("__rts"), col("filename"), col("offset"), col("length"))
+    val located = graft.operators.AsOfJoin.asOf(
+      revisits.drop("filename", "offset"), originals,
+      "__k", "__rk", "__ts", "__rts",
+      payload = Seq("filename", "offset", "length"))
+      .withColumn("offset",
+        when(col("offset").isNull, raise_error(concat(
+          lit("replay: no original capture for revisit of "), col("target_uri"),
+          lit(" digest "), coalesce(col("payload_digest"), lit("NULL")),
+          lit(" at or before "), col("__ts"))).cast("long"))
+          .otherwise(col("offset")))
+    val origPtrs = located.select(col("filename"), col("offset"), col("length")).distinct()
+    val origBytes = fetchByCdx(origPtrs, dir, maxPayloadBytes)
+      .select(col("filename"), col("offset"),
+        col("payload").as("__orig_payload"),
+        col("content_length").as("__orig_len"))
+    val stitched = located
+      .join(origBytes.hint("shuffle_hash"), Seq("filename", "offset"))
+      .withColumn("payload", col("__orig_payload"))
+      .withColumn("content_length", col("__orig_len"))
+      .withColumn("replayed", lit(true))
+    direct.select(outCols: _*).unionByName(stitched.select(outCols: _*))
+  }
+
   def fetchByCdx(cdx: DataFrame, dir: String,
       maxPayloadBytes: Int = 64 << 20): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1273,6 +1449,14 @@ object WarcIo {
     import spark.implicits._
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(spark.sessionState.newHadoopConf()))
+    // when the dir carries a commit manifest, every pointer is gated
+    // against it in-task: the file must be a committed one and the
+    // (offset, length) window must lie inside its committed size — a
+    // pointer into a half-committed or foreign-attempt file fails
+    // LOUDLY before the read. Manifest-less dirs (external archives,
+    // pre-manifest writers) fetch un-gated as before. The map is one
+    // small entry per part file; it rides the closure.
+    val manifest: Option[Map[String, Long]] = readManifestMap(spark, dir)
     // accept both pointer spellings: the CDXJ schema (filename/offset/
     // length) and CdxIndex.toColumnar's public cc-index-table names
     // (warc_filename/warc_record_offset/warc_record_length)
@@ -1315,6 +1499,14 @@ object WarcIo {
             require(len > 0 && len <= maxPayloadBytes.toLong + (1L << 16) &&
                 len <= Int.MaxValue.toLong - 8,
               s"fetchByCdx: implausible member length $len for $name @$off")
+            manifest.foreach { m =>
+              val size = m.getOrElse(name, throw new IllegalStateException(
+                s"fetchByCdx: $name is not in $dir's commit manifest — the pointer " +
+                  "references an uncommitted or foreign file"))
+              require(off >= 0 && off + len <= size,
+                s"fetchByCdx: pointer $name @$off+$len exceeds the committed " +
+                  s"size $size — index and archive are from different commits")
+            }
             val buf = new Array[Byte](len.toInt)
             in(name).readFully(off, buf, 0, buf.length)
             val recs = readAll(buf, maxPayloadBytes)

@@ -385,6 +385,52 @@ class CdxSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("replay: a revisit capture serves the ORIGINAL's bytes; no original is loud") {
+    import spark.implicits._
+    val root = TempDirs.scratch("cdx_replay_")
+    def recs(date: String, idp: String, body: Long => String) =
+      spark.range(6).map { i =>
+        val payload = WarcIo.buildHttpResponse(200, "OK",
+          Seq("Content-Type" -> "text/plain"), body(i).getBytes(UTF_8))
+        ("response", s"http://w${i % 2}.example.org/p/$i", date,
+          WarcIo.recordIdFor(idp + i), "application/http; msgtype=response", payload)
+      }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+    WarcIo.writeWarcWithCdx(recs("2026-01-01T00:00:00Z", "rp1:", i => s"original body $i"),
+      root + "/c1", "c1/")
+    val prior = WarcIo.readCdxj(spark, root + "/c1/part-*.cdx.gz")
+      .select(col("digest")).distinct()
+    // day 2: even ids unchanged (→ revisit), odd ids changed
+    WarcIo.writeWarcWithCdx(WarcIo.markRevisits(
+      recs("2026-01-02T00:00:00Z", "rp2:",
+        i => if (i % 2 == 0) s"original body $i" else s"changed body $i"), prior),
+      root + "/c2", "c2/")
+    val index = WarcIo.readCdxj(spark, root + "/c*/part-*.cdx.gz")
+    // revisit rows carry the warc/revisit mime convention in the sidecar
+    assert(index.filter(col("mime") === "warc/revisit").count() == 3)
+    val day2 = index.filter(col("filename").startsWith("c2/"))
+    val out = WarcIo.replay(day2.select("filename", "offset", "length"), index, root)
+      .collect().map { r =>
+        val id = r.getAs[String]("target_uri").split('/').last.toLong
+        val body = new String(WarcIo.parseHttpResponse(
+          r.getAs[Array[Byte]]("payload")).body, UTF_8)
+        id -> ((r.getAs[String]("rec_type"), r.getAs[Boolean]("replayed"), body))
+      }.toMap
+    assert(out.size == 6)
+    (0L until 6L).foreach { i =>
+      if (i % 2 == 0) // the revisit replays the ORIGINAL payload bytes
+        assert(out(i) == (("revisit", true, s"original body $i")), s"id $i: ${out(i)}")
+      else
+        assert(out(i) == (("response", false, s"changed body $i")), s"id $i: ${out(i)}")
+    }
+    // an index with the originals missing fails LOUDLY (a wayback that
+    // serves a revisit's empty payload is the silent-corruption case)
+    val e = intercept[Exception] {
+      WarcIo.replay(day2.select("filename", "offset", "length"), day2, root).collect()
+    }
+    assert(e.toString.contains("no original capture") ||
+      Option(e.getCause).exists(_.toString.contains("no original capture")))
+  }
+
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
     import spark.implicits._
     val mk = (url: String, ts: String, dg: String) =>
@@ -450,6 +496,113 @@ class CdxSpec extends SparkSpec {
     val moved = root.resolve("moved").toString
     assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
     assert(CdxIndex.lookupPrefix(spark, moved, "org,site3,h17)").count() >= before)
+  }
+
+  test("LSM master: append spans generations, answers equal the single-table build") {
+    val dir = TempDirs.scratch("cdx_lsm_")
+    val cdx = corpus(3000)
+    CdxIndex.initMaster(cdx.filter(col("offset") < 1000), dir, nShards = 6)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 1000 && col("offset") < 2000),
+      dir, nShards = 6)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 2000), dir, nShards = 6)
+    // three live generations
+    assert(new java.io.File(dir).list().count(_.matches("gen-\\d{8}")) == 3)
+    val prefix = "org,site3,h17)"
+    val got = CdxIndex.lookupPrefix(spark, dir, prefix)
+    val brute = cdx.filter(col("surt").startsWith(prefix))
+      .orderBy("surt", "ts").collect().map(_.toSeq).toSeq
+    assert(got.orderBy("surt", "ts").collect().map(_.toSeq).toSeq == brute && brute.nonEmpty)
+    // still ONE scan, still pruned: a strict subset of all shard files
+    val scans = got.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.length == 1)
+    val allFiles = CdxIndex.readMaster(spark, dir).inputFiles.toSet
+    val scanned = got.inputFiles.toSet
+    assert(scanned.subsetOf(allFiles) && scanned.size < allFiles.size)
+    // readMaster sees every row once
+    assert(CdxIndex.readMaster(spark, dir).count() == 3000)
+    // lookupUrl / lookupDomain resolve through the same generational path
+    assert(CdxIndex.lookupUrl(spark, dir, "https://h17.site3.org/p/17").count() == 1)
+  }
+
+  test("LSM master: compact folds generations; vacuum keeps pinned readers alive") {
+    val dir = TempDirs.scratch("cdx_lsm2_")
+    val cdx = corpus(1200)
+    CdxIndex.initMaster(cdx.filter(col("offset") < 600), dir, nShards = 4)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 600), dir, nShards = 4)
+    // PIN a lookup before the rebuild: the manifest (and the concrete
+    // shard files) resolve NOW, at construction
+    val pinned = CdxIndex.lookupPrefix(spark, dir, "org,site3,h17)")
+    val expected = cdx.filter(col("surt").startsWith("org,site3,h17)"))
+      .orderBy("surt", "ts").collect().map(_.toSeq).toSeq
+    CdxIndex.compact(spark, dir, nShards = 4)
+    CdxIndex.vacuum(spark, dir) // keeps the previous manifest's gens
+    // the pinned lookup completes with the OLD generations' (correct)
+    // answer — availability across rebuilds, not a loud failure
+    assert(pinned.orderBy("surt", "ts").collect().map(_.toSeq).toSeq == expected)
+    // a fresh lookup resolves the compacted single generation and agrees
+    val fresh = CdxIndex.lookupPrefix(spark, dir, "org,site3,h17)")
+    assert(fresh.orderBy("surt", "ts").collect().map(_.toSeq).toSeq == expected)
+    assert(new java.io.File(dir).list().count(_.matches("gen-\\d{8}")) == 3)
+    // one more cycle: append + vacuum — the pre-compaction gens age out
+    CdxIndex.appendCrawl(cdx.limit(0), dir, nShards = 4)
+    CdxIndex.vacuum(spark, dir)
+    val gens = new java.io.File(dir).list().filter(_.matches("gen-\\d{8}")).sorted
+    assert(gens.length == 2, s"expected the 2 newest-manifest gens, got ${gens.toSeq}")
+    assert(CdxIndex.readMaster(spark, dir).count() == 1200)
+    // single-writer discipline: no lock residue after the mutators
+    assert(!new java.io.File(dir, "_writer.lock").exists())
+  }
+
+  test("LSM master: initMaster refuses an existing index; appendCrawl needs one") {
+    val dir = TempDirs.scratch("cdx_lsm3_")
+    intercept[IllegalStateException] {
+      CdxIndex.appendCrawl(corpus(10), dir, nShards = 2)
+    }
+    CdxIndex.initMaster(corpus(10), dir, nShards = 2)
+    intercept[IllegalArgumentException] {
+      CdxIndex.initMaster(corpus(10), dir, nShards = 2)
+    }
+    // legacy single-table dirs are likewise not re-initializable
+    val legacy = TempDirs.scratch("cdx_lsm4_")
+    CdxIndex.buildTable(corpus(10), legacy, nShards = 2)
+    intercept[IllegalArgumentException] {
+      CdxIndex.initMaster(corpus(10), legacy, nShards = 2)
+    }
+  }
+
+  test("digest reverse index: exact-key capture set, pruned, nulls excluded") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_dig_")
+    val base = corpus(2000)
+    // plant: ids ≡ 3 (mod 400) share one content; one row with a NULL
+    // digest (external CDX rows carry them) must not enter the index
+    val planted = base
+      .withColumn("digest",
+        when(col("offset") % 400 === 3, lit("sha1:SAMECONTENT"))
+          .when(col("offset") === 7, lit(null).cast("string"))
+          .otherwise(col("digest")))
+    CdxIndex.buildDigestIndex(planted, dir, nShards = 6)
+    val got = CdxIndex.lookupDigest(spark, dir, "sha1:SAMECONTENT")
+    assert(got.count() == 5) // 3, 403, 803, 1203, 1603
+    assert(got.select("url").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq(3L, 403L, 803L, 1203L, 1603L)
+        .map(i => s"https://h${i % 40}.site${i % 7}.org/p/$i").sorted)
+    // pruned: the lookup touches a strict subset of shard files
+    val allFiles = spark.read.parquet(dir + "/cdx").inputFiles.toSet
+    val scanned = got.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(allFiles) && scanned.size < allFiles.size)
+    // the null-digest row is not in the index at all
+    assert(spark.read.parquet(dir + "/cdx").filter(col("digest").isNull).count() == 0)
+    // exact key: a digest that PREFIXES another must not bleed into it
+    val dir2 = TempDirs.scratch("cdx_dig3_")
+    CdxIndex.buildDigestIndex(
+      base.withColumn("digest",
+        when(col("offset") === 1, lit("sha1:AB"))
+          .when(col("offset") === 2, lit("sha1:ABC")).otherwise(col("digest"))),
+      dir2, nShards = 2)
+    assert(CdxIndex.lookupDigest(spark, dir2, "sha1:AB").count() == 1)
   }
 
   test("lookupDomain: one cluster pass, one pruned scan — not three") {

@@ -209,6 +209,57 @@ class WarcIoSpec extends SparkSpec {
     assert(names == List("part-00002.cdx.gz", "part-00002.warc.gz"), s"left: $names")
   }
 
+  test("manifest gate: a half-committed dir (no manifest) is hidden from gated readers") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("warcman")
+    val rows = spark.range(24).mapPartitions(_.map { i =>
+      ("response", s"http://example.org/m/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"m:$i"),
+        "application/http; msgtype=response",
+        WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          s"manifest payload $i".getBytes(UTF_8)))
+    }).toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(3)
+    WarcIo.writeWarcWithCdx(rows, dir)
+    // committed job: manifest present, gated readers resolve through it
+    assert(new java.io.File(dir, "_manifest").exists())
+    assert(WarcIo.readWarcCommitted(spark, dir).count() == 24)
+    assert(WarcIo.readCdxjCommitted(spark, dir).count() == 24)
+    // gated fetch: pointers verify against the committed sizes
+    val cdx = WarcIo.readCdxjCommitted(spark, dir)
+    assert(WarcIo.fetchByCdx(cdx, dir).count() == 24)
+    // a pointer past the committed size fails with the manifest message,
+    // not a generic decode error
+    val past = cdx.limit(1).withColumn("offset", col("offset") + 100000000L)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      WarcIo.fetchByCdx(past, dir).collect()
+    }
+    assert(e1.getMessage.contains("committed size") ||
+      Option(e1.getCause).exists(_.getMessage.contains("committed size")))
+    // a pointer at an uncommitted filename fails as foreign
+    val foreign = cdx.limit(1).withColumn("filename", lit("part-99999.warc.gz"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      WarcIo.fetchByCdx(foreign, dir).collect()
+    }
+    assert(e2.getMessage.contains("commit manifest") ||
+      Option(e2.getCause).exists(_.getMessage.contains("commit manifest")))
+    // simulate the crash-before-publish window: parts on disk, no
+    // manifest — the GATED readers refuse; the glob readers (documented
+    // un-gated, for external/pre-manifest archives) still read
+    assert(new java.io.File(dir, "_manifest").delete())
+    intercept[IllegalStateException] { WarcIo.readWarcCommitted(spark, dir) }
+    intercept[IllegalStateException] { WarcIo.readCdxjCommitted(spark, dir) }
+    assert(WarcIo.readWarc(spark, dir + "/*.warc.gz").count() == 24)
+    // size drift after commit (foreign attempt / tampering) is loud too
+    WarcIo.writeWarcWithCdx(rows, dir) // re-commit to restore the manifest
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val outS = new java.io.FileOutputStream(part, true)
+    try outS.write(Array[Byte](0x1f, 0x8b.toByte)) finally outS.close()
+    intercept[IllegalArgumentException] {
+      WarcIo.committedFiles(spark, dir, ".warc.gz")
+    }
+  }
+
   test("toWat: deterministic JSON envelope, RFC 8259 escaping, refers back to the source") {
     val body = "<html><body>x</body></html>".getBytes(UTF_8)
     val payload = WarcIo.buildHttpResponse(200, "OK",
