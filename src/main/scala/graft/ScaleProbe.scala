@@ -724,6 +724,10 @@ object ScaleProbe {
             concat(lit("f"), pmod(col("id"), lit(64)), lit(".warc.gz")).as("filename"))
         }
         var lsmDir: String = null
+        // not time()-gated (appends print their own per-gen lines) but
+        // still a REQUESTABLE op: register it so a filtered run does
+        // not end with a spurious names-no-known-op warning
+        seenOps += "cdx_lsm_append_xl"
         if (only.forall(_.exists(_.startsWith("cdx_lsm")))) {
           lsmDir = TempDirs.scratch("probe_cdxlsm_")
           sources.CdxIndex.initMaster(cdxRows(0L, 1000000L * k, "20260101000000"),
@@ -746,6 +750,28 @@ object ScaleProbe {
           val total = sources.CdxIndex.readMaster(spark, lsmDir).inputFiles.length
           println(s"""{"op":"cdx_lsm_lookup_xl_shards","k":$k,""" +
             s""""touched":$touched,"total":$total,"generations":4}""")
+        }
+        // digest REVERSE index at k×1M captures with ~10 captures per
+        // content (planted duplicates): one content's capture set must
+        // come back flat in k via cluster pruning on the digest key —
+        // the provenance/takedown query at archive scale
+        var digDir: String = null
+        if (only.forall(_.exists(_.startsWith("cdx_digest")))) {
+          digDir = TempDirs.scratch("probe_cdxdig_")
+          sources.CdxIndex.buildDigestIndex(
+            cdxRows(0L, 1000000L * k, "20260101000000")
+              .withColumn("digest",
+                concat(lit("d"), pmod(col("offset"), lit(100000L * k)))),
+            digDir, nShards = 64)
+        }
+        time("cdx_digest_lookup_xl", k) {
+          sources.CdxIndex.lookupDigest(spark, digDir, "d42421")
+        }
+        if (digDir != null) {
+          val got = sources.CdxIndex.lookupDigest(spark, digDir, "d42421")
+          println(s"""{"op":"cdx_digest_lookup_xl_shards","k":$k,""" +
+            s""""rows":${got.count()},"touched":${got.inputFiles.length},""" +
+            s""""total":${spark.read.parquet(digDir + "/cdx").inputFiles.length}}""")
         }
       }
       time("crawl_pagerank", k) {

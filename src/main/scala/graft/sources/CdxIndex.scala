@@ -205,11 +205,15 @@ object CdxIndex {
   def initMaster(cdx: DataFrame, dir: String, nShards: Int): Unit = {
     val spark = cdx.sparkSession
     val (dirPath, fs) = masterFs(spark, dir)
-    require(manifestFiles(fs, dirPath).isEmpty &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cluster")),
-      s"CdxIndex: $dir already holds an index — use appendCrawl")
     fs.mkdirs(dirPath)
     graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      // the already-an-index check runs INSIDE the lease: two racing
+      // initMaster calls must serialize into one winner and one loud
+      // failure, never a silent rebuild of gen-00000001 over the
+      // winner's data
+      require(manifestFiles(fs, dirPath).isEmpty &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cluster")),
+        s"CdxIndex: $dir already holds an index — use appendCrawl")
       val gen = "gen-00000001"
       buildTable(cdx, s"$dir/$gen", nShards)
       publishManifest(fs, dirPath, Seq(gen)); ()

@@ -802,7 +802,15 @@ object WarcIo {
   private[graft] def readManifestMap(spark: SparkSession,
       dir: String): Option[Map[String, Long]] = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    readManifestMapFs(dirPath.getFileSystem(spark.sessionState.newHadoopConf()), dirPath)
+  }
+
+  /** [[readManifestMap]] over an already-resolved FileSystem — the
+    * task-side spelling ([[fetchByCdx]] resolves manifests per
+    * subdirectory inside executors).
+    */
+  private def readManifestMapFs(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Option[Map[String, Long]] = {
     val m = new org.apache.hadoop.fs.Path(dirPath, ManifestName)
     if (!fs.exists(m)) None
     else {
@@ -849,8 +857,15 @@ object WarcIo {
     * deployments where rename-based part commits are not atomic.
     */
   def readWarcCommitted(spark: SparkSession, dir: String,
-      maxPayloadBytes: Int = 64 << 20): DataFrame =
-    readWarc(spark, committedFiles(spark, dir, ".warc.gz").mkString(","), maxPayloadBytes)
+      maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    val files = committedFiles(spark, dir, ".warc.gz")
+    // a crawl whose every partition was empty publishes a valid empty
+    // manifest — that reads as ZERO records, not as an empty-path crash
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readWarc(spark, dir + "/*.warc.gz", maxPayloadBytes).schema)
+    else readWarc(spark, files.mkString(","), maxPayloadBytes)
+  }
 
   /** [[readCdxj]] gated on the commit manifest — see [[readWarcCommitted]]. */
   def readCdxjCommitted(spark: SparkSession, dir: String): DataFrame =
@@ -1225,8 +1240,10 @@ object WarcIo {
             .foreach(l => cout.write((l + "\n").getBytes(UTF_8)))
         offset += member.length
       } finally {
-        out.close()
-        if (cout != null) cout.close()
+        // nested finally: an out.close() failure (ENOSPC at the final
+        // flush) must not leak the sidecar stream's fd + Deflater
+        try out.close()
+        finally if (cout != null) cout.close()
       }
       if (!withCdx) {
         commitOne(fs, tmp, fin)
@@ -1430,9 +1447,24 @@ object WarcIo {
           lit(" at or before "), col("__ts"))).cast("long"))
           .otherwise(col("offset")))
     val origPtrs = located.select(col("filename"), col("offset"), col("length")).distinct()
+    // the resolved pointer must fetch a REAL original: against an index
+    // whose revisit rows lack the `warc/revisit` mime (pre-r15 sidecars
+    // record the record Content-Type; external CDX can carry null
+    // mimes) the as-of match can land on another revisit — including
+    // the requested capture ITSELF at equal (surt, digest, ts) — and
+    // serving its empty payload as the page is the silent-corruption
+    // case. Verify the fetched record type and fail LOUDLY instead.
+    // the check rides the KEPT payload column (a checked-then-dropped
+    // column would be pruned away unevaluated by the optimizer)
     val origBytes = fetchByCdx(origPtrs, dir, maxPayloadBytes)
       .select(col("filename"), col("offset"),
-        col("payload").as("__orig_payload"),
+        when(col("rec_type") === "revisit", raise_error(concat(
+          lit("replay: resolved 'original' "), col("filename"),
+          lit(" @"), col("offset").cast("string"),
+          lit(" is itself a revisit — the index does not distinguish revisit "),
+          lit("captures (no warc/revisit mime); rebuild it from sidecars that do")))
+          .cast("binary"))
+          .otherwise(col("payload")).as("__orig_payload"),
         col("content_length").as("__orig_len"))
     val stitched = located
       .join(origBytes.hint("shuffle_hash"), Seq("filename", "offset"))
@@ -1449,14 +1481,6 @@ object WarcIo {
     import spark.implicits._
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(spark.sessionState.newHadoopConf()))
-    // when the dir carries a commit manifest, every pointer is gated
-    // against it in-task: the file must be a committed one and the
-    // (offset, length) window must lie inside its committed size — a
-    // pointer into a half-committed or foreign-attempt file fails
-    // LOUDLY before the read. Manifest-less dirs (external archives,
-    // pre-manifest writers) fetch un-gated as before. The map is one
-    // small entry per part file; it rides the closure.
-    val manifest: Option[Map[String, Long]] = readManifestMap(spark, dir)
     // accept both pointer spellings: the CDXJ schema (filename/offset/
     // length) and CdxIndex.toColumnar's public cc-index-table names
     // (warc_filename/warc_record_offset/warc_record_length)
@@ -1491,6 +1515,35 @@ object WarcIo {
             _.addTaskCompletionListener[Unit] { _ =>
               if (openIn != null) { try openIn.close() catch { case _: Exception => () } }
             })
+          // manifest gate, resolved PER DIRECTORY: a pointer's filename
+          // may carry a collection-relative prefix ('crawl1/part-N
+          // .warc.gz' — the merged-master layout), and each archive dir
+          // publishes its OWN manifest, so the gate resolves the
+          // manifest of the pointer's directory (memoized per task —
+          // rows are sorted by filename, so this is one FS stat per
+          // directory per task). When a dir has a manifest, the file
+          // must be committed and the (offset, length) window must lie
+          // inside its committed size — a pointer into a half-committed
+          // or foreign-attempt file fails LOUDLY before the read.
+          // Manifest-less dirs (external archives, pre-manifest
+          // writers) fetch un-gated as before.
+          val manifests = scala.collection.mutable.HashMap
+            .empty[String, Option[Map[String, Long]]]
+          def gate(name: String, off: Long, len: Long): Unit = {
+            val cut = name.lastIndexOf('/')
+            val (sub, base) =
+              if (cut < 0) ("", name) else (name.substring(0, cut), name.substring(cut + 1))
+            manifests.getOrElseUpdate(sub, readManifestMapFs(fs,
+              if (sub.isEmpty) dirPath else new org.apache.hadoop.fs.Path(dirPath, sub)))
+              .foreach { m =>
+                val size = m.getOrElse(base, throw new IllegalStateException(
+                  s"fetchByCdx: $name is not in its directory's commit manifest — the " +
+                    "pointer references an uncommitted or foreign file"))
+                require(off >= 0 && off + len <= size,
+                  s"fetchByCdx: pointer $name @$off+$len exceeds the committed " +
+                    s"size $size — index and archive are from different commits")
+              }
+          }
           it.map { case (name, off, len) =>
             // a member holds one record + gzip framing; cap it by the
             // same payload bound the parser enforces (plus header
@@ -1499,14 +1552,7 @@ object WarcIo {
             require(len > 0 && len <= maxPayloadBytes.toLong + (1L << 16) &&
                 len <= Int.MaxValue.toLong - 8,
               s"fetchByCdx: implausible member length $len for $name @$off")
-            manifest.foreach { m =>
-              val size = m.getOrElse(name, throw new IllegalStateException(
-                s"fetchByCdx: $name is not in $dir's commit manifest — the pointer " +
-                  "references an uncommitted or foreign file"))
-              require(off >= 0 && off + len <= size,
-                s"fetchByCdx: pointer $name @$off+$len exceeds the committed " +
-                  s"size $size — index and archive are from different commits")
-            }
+            gate(name, off, len)
             val buf = new Array[Byte](len.toInt)
             in(name).readFully(off, buf, 0, buf.length)
             val recs = readAll(buf, maxPayloadBytes)

@@ -429,6 +429,15 @@ class CdxSpec extends SparkSpec {
     }
     assert(e.toString.contains("no original capture") ||
       Option(e.getCause).exists(_.toString.contains("no original capture")))
+    // an index that does NOT mark revisits (null mimes — external CDX,
+    // pre-convention sidecars) lets the as-of land on a revisit row —
+    // possibly the request itself; the fetched-record check catches it
+    val blind = index.withColumn("mime", lit(null).cast("string"))
+    val e2 = intercept[Exception] {
+      WarcIo.replay(day2.select("filename", "offset", "length"), blind, root).collect()
+    }
+    assert(e2.toString.contains("is itself a revisit") ||
+      Option(e2.getCause).exists(_.toString.contains("is itself a revisit")))
   }
 
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {

@@ -260,6 +260,53 @@ class WarcIoSpec extends SparkSpec {
     }
   }
 
+  test("manifest gate resolves PER DIRECTORY for prefixed pointers; empty commit reads as zero") {
+    import spark.implicits._
+    val root = TempDirs.scratch("warcman2")
+    def rows(n: Int, idp: String) = spark.range(n).mapPartitions(_.map { i =>
+      ("response", s"http://example.org/pd/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(idp + i), "application/http; msgtype=response",
+        WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          s"pd payload $i".getBytes(UTF_8)))
+    }).toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(2)
+    // the merged-master layout: per-crawl subdirs, collection-relative
+    // filenames; each subdir publishes its OWN manifest
+    WarcIo.writeWarcWithCdx(rows(8, "pd1:"), root + "/c1", "c1/")
+    WarcIo.writeWarcWithCdx(rows(8, "pd2:"), root + "/c2", "c2/")
+    val merged = WarcIo.readCdxj(spark, root + "/c*/part-*.cdx.gz")
+    // prefixed pointers gate against THEIR directory's manifest and fetch
+    assert(WarcIo.fetchByCdx(merged, root).count() == 16)
+    // corrupting one subdir's committed file makes ITS pointers loud
+    val part = new java.io.File(root + "/c2").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val outS = new java.io.FileOutputStream(part, true)
+    try outS.write("xx".getBytes(UTF_8)) finally outS.close()
+    // the appended junk shifts the committed size: any c2/ pointer now
+    // fails the size gate... only offsets near the tail would exceed,
+    // so corrupt the MANIFEST's recorded size instead (same gate)
+    val mPath = java.nio.file.Paths.get(root + "/c2", "_manifest")
+    val doctored = new String(java.nio.file.Files.readAllBytes(mPath), UTF_8)
+      .linesIterator.map { l =>
+        if (l.endsWith(".warc.gz\t" + (part.length - 2)) ||
+            l.split('\t').head == part.getName)
+          l.split('\t').head + "\t1"
+        else l
+      }.mkString("\n") + "\n"
+    java.nio.file.Files.write(mPath, doctored.getBytes(UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIo.fetchByCdx(merged.filter(col("filename").startsWith("c2/")), root).collect()
+    }
+    assert(e.getMessage.contains("committed size") ||
+      Option(e.getCause).exists(_.getMessage.contains("committed size")))
+    // an all-empty crawl publishes an empty manifest that READS as empty
+    val emptyDir = TempDirs.scratch("warcman3")
+    WarcIo.writeWarcWithCdx(rows(8, "pd3:").filter(lit(false)), emptyDir)
+    assert(new java.io.File(emptyDir, "_manifest").exists())
+    assert(WarcIo.readWarcCommitted(spark, emptyDir).count() == 0)
+    assert(WarcIo.readCdxjCommitted(spark, emptyDir).count() == 0)
+  }
+
   test("toWat: deterministic JSON envelope, RFC 8259 escaping, refers back to the source") {
     val body = "<html><body>x</body></html>".getBytes(UTF_8)
     val payload = WarcIo.buildHttpResponse(200, "OK",

@@ -62,6 +62,13 @@ QUERIES = [
     "pipeline_cdx_fetch", "cdx_change_rate", "cdx_merge_stats",
     "pipeline_wat", "crawl_revisits_cdx", "pipeline_recrawl_adaptive",
     "cdx_classic_ingest", "cdx_asof_lookup",
+    # r15 LSM/wayback family: pipeline_wayback escapes every adversarial
+    # doc into TWO crawls of HTML (revisit-marked), resolves as-of, and
+    # replays entity byte-lengths through the revisit indirection — the
+    # digest marking, sidecar, and double ranged-read loop must survive
+    # any text; the two lookups are formula fixtures over the
+    # generational master re-checked under every seed
+    "pipeline_wayback", "cdx_compact_lookup", "cdx_digest_lookup",
 ]
 
 # events-only queries: gated when the adversarial events table is
