@@ -58,15 +58,20 @@ import org.apache.spark.sql.functions._
   * O_EXCL; S3 has no atomic create, so run a single writer by
   * construction there) and a second concurrent writer fails fast
   * instead of silently corrupting the urls/bloom invariants. Probes
-  * may run concurrently with builds and [[compactIndex]] (staged
-  * swaps) but NOT with an in-flight [[appendBatch]]: between the urls
-  * write and the sketch write a probe can miss the in-flight batch
-  * and re-accept its URLs (a duplicate fetch, not corruption —
-  * membership never regresses because sketches only gain members),
-  * and the bounded sketch-table compaction at the append's tail swaps
-  * directories a racing read could find mid-rename. The streaming
-  * [[ingest]] loop serializes micro-batches, so it satisfies both
-  * clauses by construction.
+  * may run concurrently with every maintenance pass: compactions
+  * ([[compactIndex]], the bounded sketch compaction inside
+  * [[appendBatch]]) publish NEW versioned dirs through the `CURRENT`
+  * pointer and retain the previous generation until the next pass, so
+  * a probe resolves one complete generation and completes against it
+  * ([[resolveDirs]]) — never a mid-rename mix or a missing dir. The
+  * remaining caveat is an in-flight [[appendBatch]]'s tail: between
+  * the urls write and the sketch write a concurrent probe can miss
+  * the in-flight batch and re-accept its URLs (a duplicate fetch, not
+  * corruption — membership never regresses because sketches only gain
+  * members). [[buildIndex]] is construction, not maintenance: it
+  * resets the layout in place and offers no concurrent-probe
+  * guarantee. The streaming [[ingest]] loop serializes micro-batches,
+  * so it satisfies every clause by construction.
   *
   * Reference behavior: dtle's incremental replication keeps a
   * persisted applied-GTID ledger consulted per batch rather than
@@ -110,6 +115,18 @@ object CrawlFrontier {
         s"the engine's bloom caps (maxNumItems=$itemCap, maxNumBits/8=${bitCap / 8}) — " +
         s"raise nShards to at least ${math.ceil(expectedItems.toDouble / cap).toInt}")
     withWriterLock(spark, dir) {
+      // a REBUILD is construction, not maintenance: reset any
+      // versioned layout a previous life left (a stale CURRENT
+      // pointing past the legacy names would silently serve the OLD
+      // index to every reader after this overwrite)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dirPath)) {
+        fs.listStatus(dirPath).map(_.getPath)
+          .filter(p => p.getName.matches("(urls|bloom)-\\d{8}") ||
+            p.getName.matches("current-\\d{8}(\\.tmp)?"))
+          .foreach(fs.delete(_, true))
+      }
       // one row per url: a url re-crawled in history keeps its LATEST clock
       val urls = crawled
         .groupBy(col(urlCol).as("url"))
@@ -117,7 +134,7 @@ object CrawlFrontier {
         .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
           shardCol("url", nShards).as("shard"))
       urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
-      writeBloom(spark, dir, urls.select(col("url")), nShards, expectedItems,
+      writeBloom(spark, s"$dir/bloom", urls.select(col("url")), nShards, expectedItems,
         overwrite = true)
       spark.createDataFrame(Seq((nShards, expectedItems)))
         .toDF("n_shards", "expected_items")
@@ -136,20 +153,23 @@ object CrawlFrontier {
     * rewrites the shard. Probing concurrently with the tail of an
     * append can re-accept the in-flight batch's URLs (see the class
     * doc) — callers needing strict once-delivery serialize probes
-    * against appends, as [[ingest]] does.
+    * against appends, as [[ingest]] does. The appended files land in
+    * the CURRENT generation's dirs ([[resolveDirs]]); a probe pinned
+    * to the previous generation simply does not see them yet.
     */
   def appendBatch(newlyCrawled: DataFrame, urlCol: String, lastCrawlCol: Column,
       dir: String): Unit = {
     val spark = newlyCrawled.sparkSession
     withWriterLock(spark, dir) {
       val (nShards, expectedItems) = readMeta(spark, dir)
+      val (urlsDir, bloomDir) = resolveDirs(spark, dir)
       val urls = newlyCrawled
         .groupBy(col(urlCol).as("url"))
         .agg(max(lastCrawlCol).as("last_crawl"))
         .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
           shardCol("url", nShards).as("shard"))
-      urls.write.mode("append").partitionBy("shard").parquet(s"$dir/urls")
-      writeBloom(spark, dir, urls.select(col("url")), nShards, expectedItems,
+      urls.write.mode("append").partitionBy("shard").parquet(urlsDir)
+      writeBloom(spark, bloomDir, urls.select(col("url")), nShards, expectedItems,
         overwrite = false)
       compactBloom(spark, dir, nShards)
     }
@@ -162,25 +182,29 @@ object CrawlFrontier {
     * rewrites to ONE row per shard via a DISTRIBUTED per-shard merge
     * (`graft_bloom_merge` over `collect_list` — same m/k since
     * `expectedItems` is pinned, so `mergeInPlace` is exact; the driver
-    * never touches sketch bytes). The rewrite goes through a staging
-    * dir and directory renames like [[compactIndex]] — far narrower
-    * than a delete-then-write overwrite, but directory renames cannot
-    * replace atomically, so a probe racing the swap instant could
-    * still observe a missing dir (crash, or — under
-    * `ignoreMissingFiles` — an empty sketch read that re-accepts seen
-    * URLs). That race sits inside [[appendBatch]], whose contract
-    * (class doc) already excludes concurrent probes; the staging swap
-    * is defense in depth, not a concurrency license.
+    * never touches sketch bytes). The rewrite lands in a NEW versioned
+    * dir published through the CURRENT pointer ([[publishCurrent]]),
+    * retaining the previous sketch dir one generation — a probe that
+    * resolved before this compaction reads its pinned (complete,
+    * slightly staler) sketch table instead of racing a directory
+    * rename; membership never regresses because the retained table
+    * covers the same URL set minus at most the in-flight append, whose
+    * probe-concurrency caveat the class doc already documents.
     */
   private def compactBloom(spark: SparkSession, dir: String, nShards: Int): Unit = {
-    if (spark.read.parquet(s"$dir/bloom").count() > 2L * nShards) {
-      val staged = s"$dir/bloom_compact"
-      spark.read.parquet(s"$dir/bloom")
+    val (urlsDir, bloomDir) = resolveDirs(spark, dir)
+    if (spark.read.parquet(bloomDir).count() > 2L * nShards) {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val next = f"bloom-${nextVersion(fs, dirPath)}%08d"
+      spark.read.parquet(bloomDir)
         .groupBy(col("shard"))
         .agg(call_function("graft_bloom_merge", collect_list(col("bf"))).as("bf"))
         .filter(col("bf").isNotNull)
-        .write.mode("overwrite").parquet(staged)
-      swapDir(spark, staged, s"$dir/bloom", s"$dir/bloom_old")
+        .write.mode("overwrite").parquet(s"$dir/$next")
+      val urlsName = new org.apache.hadoop.fs.Path(urlsDir).getName
+      publishCurrent(fs, dirPath, urlsName, next,
+        retain = Set(urlsName, new org.apache.hadoop.fs.Path(bloomDir).getName))
     }
   }
 
@@ -189,32 +213,40 @@ object CrawlFrontier {
     * that reclaims the storage growth [[appendBatch]] trades for
     * append-only writes (re-crawled URLs accumulate a row per crawl;
     * probes stay correct without compaction, this is purely a
-    * storage/scan-cost pass). The rewrite goes through staging dirs
-    * and directory renames: readers never see a MIX of old and new
-    * rows — a crash mid-swap leaves the old tree parked at
-    * `urls_old`/`bloom_old` (recover by renaming back) rather than a
-    * corrupted index. Holds the writer lease like every mutator; no
-    * concurrent probes during the swap window.
+    * storage/scan-cost pass). The rewrite lands in NEW versioned dirs
+    * (`urls-NNNNNNNN`/`bloom-NNNNNNNN`) published atomically through
+    * the `CURRENT` pointer, and the PREVIOUS generation's dirs are
+    * retained until the next compaction — readers never see a MIX of
+    * old and new rows, a crash before the publish leaves the old
+    * generation live and complete, and a probe in flight ACROSS the
+    * compaction completes against its pinned generation (the same
+    * availability contract as `CdxIndex`'s manifest; the old staged-
+    * rename design failed such probes loudly on renamed-away files).
+    * Holds the writer lease like every mutator.
     */
   def compactIndex(spark: SparkSession, dir: String): Unit = withWriterLock(spark, dir) {
     val (nShards, expectedItems) = readMeta(spark, dir)
-    val urls = spark.read.parquet(s"$dir/urls")
+    val (urlsDir, bloomDir) = resolveDirs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = nextVersion(fs, dirPath)
+    val (newUrls, newBloom) = (f"urls-$v%08d", f"bloom-$v%08d")
+    val urls = spark.read.parquet(urlsDir)
       .groupBy(col("url_md5"), col("url"))
       .agg(max(col("last_crawl")).as("last_crawl"))
       .withColumn("shard", shardCol("url", nShards))
-    val staging = s"$dir/urls_compact"
-    urls.write.mode("overwrite").partitionBy("shard").parquet(staging)
+    urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/$newUrls")
     // fresh per-shard sketches over the deduped set replace the append trail
-    val bloomStaging = s"$dir/bloom_compact"
-    spark.read.parquet(staging)
+    spark.read.parquet(s"$dir/$newUrls")
       .select(col("url"), shardCol("url", nShards).as("shard"))
       .groupBy(col("shard"))
       .agg(call_function("graft_bloom_agg", xxhash64(col("url")),
         lit(perShardItems(expectedItems, nShards))).as("bf"))
       .filter(col("bf").isNotNull)
-      .write.mode("overwrite").parquet(bloomStaging)
-    swapDir(spark, staging, s"$dir/urls", s"$dir/urls_old")
-    swapDir(spark, bloomStaging, s"$dir/bloom", s"$dir/bloom_old")
+      .write.mode("overwrite").parquet(s"$dir/$newBloom")
+    publishCurrent(fs, dirPath, newUrls, newBloom,
+      retain = Set(new org.apache.hadoop.fs.Path(urlsDir).getName,
+        new org.apache.hadoop.fs.Path(bloomDir).getName))
   }
 
   /** The batch rows whose `urlCol` is NOT in the index — bit-identical
@@ -231,7 +263,11 @@ object CrawlFrontier {
     */
   def probeNew(spark: SparkSession, dir: String, batch: DataFrame, urlCol: String): DataFrame = {
     val (nShards, _) = readMeta(spark, dir)
-    val probed = bloomProbed(spark, dir, batch, urlCol, nShards) match {
+    // ONE generation resolution for the whole probe: sketch prefilter
+    // and md5 verify read the SAME pinned (urls, bloom) pair, so a
+    // compaction publishing mid-probe cannot mix generations
+    val (urlsDir, bloomDir) = resolveDirs(spark, dir)
+    val probed = bloomProbed(spark, bloomDir, batch, urlCol, nShards) match {
       case Some(p) => p
       case None => return batch // empty index: everything is new
     }
@@ -248,7 +284,7 @@ object CrawlFrontier {
         // the touched directories are read; the anti-join shuffles on
         // the 128-bit key, shuffle_hash pinned (the index side must
         // never be broadcast — it is crawl-sized)
-        val seen = spark.read.parquet(s"$dir/urls")
+        val seen = spark.read.parquet(urlsDir)
           .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
           .select(col("url_md5").as("__md5")).distinct()
         candidates.join(seen.hint("shuffle_hash"), Seq("__md5"), "left_anti")
@@ -269,8 +305,9 @@ object CrawlFrontier {
   def recrawlDue(spark: SparkSession, dir: String, updates: DataFrame,
       urlCol: String, signalCol: Column): DataFrame = {
     val (nShards, _) = readMeta(spark, dir)
+    val (urlsDir, bloomDir) = resolveDirs(spark, dir)
     val renamed = updates.select(col(urlCol).as("url"), signalCol.as("signal"))
-    val probed = bloomProbed(spark, dir, renamed, "url", nShards) match {
+    val probed = bloomProbed(spark, bloomDir, renamed, "url", nShards) match {
       case Some(p) => p
       case None => // empty index: nothing was ever crawled, nothing is due
         return renamed.select(col("url"), col("signal").as("last_crawl"),
@@ -290,7 +327,7 @@ object CrawlFrontier {
     // LATEST one, and without the max() the join would emit duplicate
     // dues against stale clocks.
     val sigType = updates.select(signalCol).schema.head.dataType
-    val seen = spark.read.parquet(s"$dir/urls")
+    val seen = spark.read.parquet(urlsDir)
       .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
       .groupBy(col("url_md5").as("__md5"))
       .agg(max(col("last_crawl")).cast(sigType).as("last_crawl"))
@@ -410,6 +447,87 @@ object CrawlFrontier {
 
   // ---- internals ----
 
+  /** Resolve the index's live (urls, bloom) directories. A compacted
+    * index carries numbered `current-NNNNNNNN` pointer files naming
+    * the live VERSIONED dirs (`urls-NNNNNNNN bloom-NNNNNNNN`; the
+    * highest-numbered pointer wins); an index that was never
+    * compacted uses the legacy fixed names. Readers resolve
+    * ONCE per operation, and compactions retain the previous
+    * generation's dirs until the NEXT compaction — so a probe in
+    * flight across [[compactIndex]]/[[compactBloom]] completes with
+    * its pinned generation's correct answer instead of failing on
+    * renamed-away files (the same availability contract as
+    * `CdxIndex`'s manifest). [[appendBatch]] appends INTO the resolved
+    * dirs (new files only), which is reader-safe by construction.
+    */
+  private def pointerFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(dirPath)) Seq.empty
+    else fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.matches("current-\\d{8}")).sortBy(_.getName).toSeq
+
+  private[graft] def resolveDirs(spark: SparkSession, dir: String): (String, String) = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    pointerFiles(fs, dirPath).lastOption match {
+      case None => (s"$dir/urls", s"$dir/bloom")
+      case Some(p) =>
+        val in = fs.open(p)
+        val txt =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        val parts = txt.split("\\s+")
+        require(parts.length == 2 && parts(0).startsWith("urls") && parts(1).startsWith("bloom"),
+          s"CrawlFrontier: malformed pointer '$txt' in $p")
+        (s"$dir/${parts(0)}", s"$dir/${parts(1)}")
+    }
+  }
+
+  /** Next version number for a compaction output dir: one past the
+    * highest suffix any versioned urls/bloom dir under `dir` carries.
+    */
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Int = {
+    val vs = fs.listStatus(dirPath).map(_.getPath.getName).collect {
+      case n if n.matches("(urls|bloom)-\\d{8}") => n.substring(n.length - 8).toInt
+    }
+    (if (vs.isEmpty) 0 else vs.max) + 1
+  }
+
+  /** Publish the next numbered pointer file (`current-NNNNNNNN`,
+    * highest wins — written to a temp and renamed into a FRESH name,
+    * so there is never a replace window where no pointer exists) and
+    * reclaim every urls/bloom dir not referenced by the NEW pointer or
+    * the generation live when the mutation began (`retain`) — exactly
+    * one previous generation survives for readers pinned before the
+    * swap. Older pointer files beyond the previous one go too. Runs
+    * under the writer lease (all callers are mutators).
+    */
+  private def publishCurrent(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, urlsName: String, bloomName: String,
+      retain: Set[String]): Unit = {
+    val id = pointerFiles(fs, dirPath).lastOption
+      .map(_.getName.stripPrefix("current-").toInt).getOrElse(0) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, f"current-$id%08d.tmp")
+    val fin = new org.apache.hadoop.fs.Path(dirPath, f"current-$id%08d")
+    val out = fs.create(tmp, true)
+    try out.write(s"$urlsName $bloomName\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, fin), s"CrawlFrontier: could not publish $fin")
+    val live = Set(urlsName, bloomName) ++ retain
+    fs.listStatus(dirPath).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if ((n == "urls" || n == "bloom" || n.matches("(urls|bloom)-\\d{8}")) &&
+          !live.contains(n))
+        fs.delete(p, true)
+      else if (n.matches("current-\\d{8}") &&
+          n.stripPrefix("current-").toInt < id - 1)
+        fs.delete(p, false)
+    }
+  }
+
   private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {
     val m = spark.read.parquet(s"$dir/meta").select("n_shards", "expected_items").head()
     (m.getInt(0), m.getLong(1))
@@ -420,7 +538,7 @@ object CrawlFrontier {
     * shard across appends stay mergeable because `expectedItems` (and
     * so m/k) is pinned per index in `<dir>/meta`.
     */
-  private def writeBloom(spark: SparkSession, dir: String, urls: DataFrame,
+  private def writeBloom(spark: SparkSession, bloomDir: String, urls: DataFrame,
       nShards: Int, expectedItems: Long, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     urls.select(xxhash64(col("url")).as("h"), shardCol("url", nShards).as("shard"))
@@ -428,7 +546,7 @@ object CrawlFrontier {
       .agg(call_function("graft_bloom_agg", col("h"),
         lit(perShardItems(expectedItems, nShards))).as("bf"))
       .filter(col("bf").isNotNull) // empty batch → null sketch → nothing to append
-      .write.mode(mode).parquet(s"$dir/bloom")
+      .write.mode(mode).parquet(bloomDir)
   }
 
   /** Attach `__shard` and `__hit` to `df`: each row joins its shard's
@@ -440,9 +558,9 @@ object CrawlFrontier {
     * match the index, so `__hit` coalesces to false and the row rides
     * the clear path.
     */
-  private def bloomProbed(spark: SparkSession, dir: String, df: DataFrame,
+  private def bloomProbed(spark: SparkSession, bloomDir: String, df: DataFrame,
       urlCol: String, nShards: Int): Option[DataFrame] = {
-    val sketchRows = spark.read.parquet(s"$dir/bloom")
+    val sketchRows = spark.read.parquet(bloomDir)
     if (sketchRows.isEmpty) return None
     // ≤ a few rows per shard between compactions; merged per shard HERE,
     // distributed, so the probe join sees exactly one sketch per shard

@@ -100,7 +100,7 @@ class CrawlFrontierSpec extends SparkSpec {
         (0 until 10).map(i => (s"http://b$b.com/$i", 2L)).toDF("url", "day"),
         "url", col("day"), dir)
     }
-    assert(spark.read.parquet(s"$dir/bloom").count() <= 8)
+    assert(spark.read.parquet(CrawlFrontier.resolveDirs(spark, dir)._2).count() <= 8)
     val reprobe = CrawlFrontier.probeNew(spark, dir,
       ((0 until 12).map(b => (s"http://b$b.com/3", "old")) :+ (("http://c.com/z", "fresh")))
         .toDF("url", "meta"), "url")
@@ -243,18 +243,38 @@ class CrawlFrontierSpec extends SparkSpec {
         "url", col("day"), dir)
     }
     assert(spark.read.parquet(s"$dir/urls").count() == 60)
+    // pin a probe BEFORE the compaction: it must complete against its
+    // resolved generation after the pointer swap (availability, not a
+    // loud failure on renamed-away files)
+    val pinned = CrawlFrontier.probeNew(spark, dir,
+      Seq(("http://cp.com/p/3", "seen"), ("http://pinned.org/x", "new")).toDF("url", "meta"),
+      "url")
     CrawlFrontier.compactIndex(spark, dir)
-    val rows = spark.read.parquet(s"$dir/urls")
+    assert(pinned.select("meta").as[String].collect().toSeq == Seq("new"))
+    // compaction publishes VERSIONED dirs via the CURRENT pointer; the
+    // previous generation (the legacy names) is retained one cycle
+    val (urlsDir, bloomDir) = CrawlFrontier.resolveDirs(spark, dir)
+    assert(urlsDir.matches(".*/urls-\\d{8}") && bloomDir.matches(".*/bloom-\\d{8}"))
+    assert(new java.io.File(s"$dir/urls").exists(), "previous generation retained")
+    val rows = spark.read.parquet(urlsDir)
       .select("url", "last_crawl").as[(String, Long)].collect().toMap
     assert(rows.size == 30)
     assert(rows("http://cp.com/p/3") == 130L) // latest clock survives
     assert(rows("http://cp.com/p/15") == 100L)
     // fresh sketch table: exactly one row per OCCUPIED shard
-    val occupied = spark.read.parquet(s"$dir/urls")
+    val occupied = spark.read.parquet(urlsDir)
       .select("shard").distinct().count()
-    assert(spark.read.parquet(s"$dir/bloom").count() == occupied)
-    assert(spark.read.parquet(s"$dir/bloom").select("shard").distinct().count() == occupied)
-    assert(!new java.io.File(s"$dir/urls_old").exists())
+    assert(spark.read.parquet(bloomDir).count() == occupied)
+    assert(spark.read.parquet(bloomDir).select("shard").distinct().count() == occupied)
+    // a SECOND compaction ages the legacy generation out — the dir
+    // count stays bounded at current + previous
+    CrawlFrontier.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/urls").exists(), "two-generations retention bound")
+    assert(new java.io.File(urlsDir).exists(), "immediately-previous generation retained")
+    val (u2, b2) = CrawlFrontier.resolveDirs(spark, dir)
+    assert(u2 != urlsDir && u2.matches(".*/urls-\\d{8}") && b2.matches(".*/bloom-\\d{8}"))
+    assert(new java.io.File(dir).list()
+      .count(_.matches("urls(-\\d{8})?")) == 2, "at most current + previous urls dirs")
     // membership and recrawl behavior identical post-compaction
     val probe = CrawlFrontier.probeNew(spark, dir,
       Seq(("http://cp.com/p/3", "seen"), ("http://other.org/x", "new")).toDF("url", "meta"),
