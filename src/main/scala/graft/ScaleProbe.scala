@@ -589,6 +589,25 @@ object ScaleProbe {
         }
       }
       locally {
+        // small-file compaction throughput: 32 streaming-epoch-sized
+        // parts byte-concatenate into ~4 with arithmetically rewritten
+        // sidecars — pure sequential IO, ZERO gzip work, so the time
+        // must track archive BYTES (a decode/re-encode compactor would
+        // burn ~10× the CPU on the same bytes)
+        var cmpDir: String = null
+        if (only.forall(_.contains("warc_compact_xl"))) {
+          cmpDir = TempDirs.scratch("probe_warccmp")
+          sources.WarcIo.writeWarcWithCdx(probeCrawlRecords("cmpprobe:"), cmpDir)
+        }
+        time("warc_compact_xl", k) {
+          val total = sources.WarcIo.committedFiles(spark, cmpDir, ".warc.gz")
+            .map(p => new java.io.File(new java.net.URI(p)).length).sum
+          sources.WarcIo.compactArchives(spark, cmpDir, targetBytes = total / 4 + 1)
+          println(s"""{"op":"warc_compact_xl_bytes","k":$k,"bytes":$total}""")
+          d.limit(0) // compaction above; noop write below
+        }
+      }
+      locally {
         // persisted frontier seen-set at k×100k urls: index build once,
         // then a 10%-of-index discovery batch (80% already seen — the
         // steady-state recrawl-discovery shape) probed against it.

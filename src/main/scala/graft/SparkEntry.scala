@@ -3779,6 +3779,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_archive_compact" -> ((s, dir) => {
+      // the small-file maintenance loop: a streaming crawl's 16 tiny
+      // parts compact into ~2 by BYTE-concatenating gzip members (no
+      // re-encoding) with the sidecar offsets shifted arithmetically —
+      // then the master index rebuilds from the REWRITTEN sidecars and
+      // one host's entities fetch by the new pointers. Green proves
+      // the compaction moved bytes and rewrote pointers without
+      // touching a single record: the fetched entities replay from the
+      // raw documents via the escape→byte-length identity.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"), lit("Compacted archive")).as("html"))
+      val warcDir = TempDirs.scratch("cmp_src_")
+      val records = docs.repartition(16).as[(Long, String)]
+        .mapPartitions(_.map { case (id, html) =>
+          val uri = s"http://c${id % 13}.example.org/d/$id"
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("cmpsrc:" + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarcWithCdx(records, warcDir)
+      val total = WarcIo.committedFiles(s, warcDir, ".warc.gz")
+        .map(p => new java.io.File(new java.net.URI(p)).length).sum
+      WarcIo.compactArchives(s, warcDir, targetBytes = total / 2 + 1)
+      val idxDir = TempDirs.scratch("cmp_idx_")
+      graft.sources.CdxIndex.buildTable(
+        WarcIo.readCdxjCommitted(s, warcDir), idxDir, nShards = 8)
+      val hit = graft.sources.CdxIndex.lookupPrefix(s, idxDir, "org,example,c5)")
+      WarcIo.fetchByCdx(hit, warcDir)
+        .select(col("target_uri"), col("payload"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (uri, payload) =>
+          val http = WarcIo.parseHttpResponse(payload)
+          (uri.substring(uri.lastIndexOf('/') + 1).toLong, http.status,
+            http.body.length.toLong)
+        }).toDF("doc_id", "status", "entity_length")
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_wayback" -> ((s, dir) => {
       // wayback replay END TO END: two crawls commit with CDX sidecars
       // (crawl 2 marked against crawl 1's digests, so unchanged pages
@@ -8234,6 +8277,23 @@ object SparkEntry {
         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
         |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
         |  '<h1>CDX fetch heading</h1><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
+        |  FROM d)
+        |SELECT doc_id, CAST(200 AS INT) AS status,
+        |  CAST(strlen(html) AS BIGINT) AS entity_length
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // compaction must be invisible in the answer: one host's entities
+    // reconstructed from the raw documents via the escape→byte-length
+    // identity, fetched through REWRITTEN pointers
+    "pipeline_archive_compact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |    WHERE text IS NOT NULL AND doc_id % 13 = 5),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+        |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
+        |  '<h1>Compacted archive</h1><p>' ||
         |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
         |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
         |  FROM d)

@@ -871,6 +871,173 @@ object WarcIo {
   def readCdxjCommitted(spark: SparkSession, dir: String): DataFrame =
     readCdxj(spark, committedFiles(spark, dir, ".cdx.gz"))
 
+  /** Consolidate an archive dir's small parts into ~`targetBytes`
+    * parts — the small-file maintenance pass a streaming crawl needs
+    * (each epoch commits a part per partition; a year of micro-batches
+    * is millions of tiny files whose per-file open/list overhead
+    * eventually dominates every scan).
+    *
+    * Scale design — BYTE concatenation, not re-encoding: the
+    * `.warc.gz` layout is one INDEPENDENT gzip member per record, so
+    * concatenating whole part files yields a valid archive with every
+    * record's bytes unchanged, and each record's new offset is its old
+    * offset plus the byte length of the parts copied before its part.
+    * Compaction is therefore pure sequential IO (one read + one write
+    * of the archive bytes, distributed one task per output part) with
+    * ZERO gzip work, and the sidecars are rewritten arithmetically —
+    * each CDXJ line's `offset` field is shifted by its part's base —
+    * never re-derived from payloads. Groups are planned driver-side by
+    * first-fit over the part sizes (bounded: one (name, size) pair per
+    * part).
+    *
+    * Commit discipline mirrors [[writeWarc]]: sources are parked
+    * (`.stale`) under the job, outputs commit by rename into the fresh
+    * `part-*` namespace, the manifest is deleted first and re-written
+    * last (gated readers refuse the dir mid-compaction rather than mix
+    * generations), and the parked sources are deleted only after the
+    * manifest publishes. A crash leaves either the old manifest-less
+    * dir recoverable from `.stale` files, never a mix.
+    *
+    * Offsets in OTHER indexes (a CdxIndex built from the old sidecars)
+    * are invalidated by design — rebuild from the new sidecars, the
+    * same contract every physical-layout compactor has. Sidecar lines
+    * must carry the engine's `"offset":"N"` spelling ([[cdxjLine]] or
+    * [[readCdxClassic]]-shaped ingest both do); a line without it
+    * fails the job loudly rather than committing a silently stale
+    * pointer.
+    */
+  def compactArchives(spark: SparkSession, dir: String, targetBytes: Long,
+      filenamePrefix: String = ""): (Seq[String], Seq[String]) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hconf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = warcFs(dirPath, hconf)
+    try {
+      // plan: committed (name, size) pairs — manifest when present,
+      // listing otherwise; sidecars pair by basename
+      val parts = readManifestMap(spark, dir) match {
+        case Some(m) => m.toSeq
+        case None => fs.listStatus(dirPath).map(st => st.getPath.getName -> st.getLen)
+          .filter(p => p._1.startsWith("part-") &&
+            (p._1.endsWith(".warc.gz") || p._1.endsWith(".cdx.gz"))).toSeq
+      }
+      val warcs = parts.filter(_._1.endsWith(".warc.gz")).sortBy(_._1)
+      val cdxNames = parts.collect { case (n, _) if n.endsWith(".cdx.gz") => n }.toSet
+      require(warcs.forall(w => cdxNames.contains(w._1.stripSuffix(".warc.gz") + ".cdx.gz")),
+        s"compactArchives: $dir has archive parts without sidecars — compact only " +
+          "writeWarcWithCdx output (pointers must be rewritable)")
+      if (warcs.isEmpty) return (Seq.empty, Seq.empty)
+      // first-fit groups of whole parts; a part already ≥ target rides alone.
+      // Each group = one output part: (sources in order, each with its base)
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long)]]
+      var cur = Vector.empty[(String, Long)]
+      var curBytes = 0L
+      warcs.foreach { case (name, size) =>
+        if (cur.nonEmpty && curBytes + size > targetBytes) {
+          groups += cur; cur = Vector.empty; curBytes = 0L
+        }
+        cur :+= (name -> curBytes) // base offset of this source in the output
+        curBytes += size
+      }
+      if (cur.nonEmpty) groups += cur
+      // gate readers for the rewrite window (the writeWarc discipline)
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, ManifestName), false)
+      // park every source pair; tasks read the parked names
+      val parked = (warcs.map(_._1) ++ warcs.map(_._1.stripSuffix(".warc.gz") + ".cdx.gz"))
+        .map { n =>
+          val from = new org.apache.hadoop.fs.Path(dirPath, n)
+          val to = new org.apache.hadoop.fs.Path(dirPath, n + ".stale")
+          fs.delete(to, false)
+          require(fs.rename(from, to), s"compactArchives: could not park $from")
+          to
+        }
+      val bcConf = spark.sparkContext.broadcast(
+        new org.apache.spark.SerializableWritable(hconf))
+      val plan = groups.toSeq.zipWithIndex
+      val committed = spark.sparkContext
+        .parallelize(plan, plan.size)
+        .map { case (sources, gix) =>
+          val conf = bcConf.value.value
+          val dp = new org.apache.hadoop.fs.Path(dir)
+          val gfs = org.apache.hadoop.fs.FileSystem.newInstance(dp.toUri, conf)
+          gfs.setWriteChecksum(false)
+          try {
+            val tc = org.apache.spark.TaskContext.get()
+            val warcName = f"part-$gix%05d.warc.gz"
+            val tag = if (tc == null) 0L else tc.taskAttemptId()
+            val wtmp = new org.apache.hadoop.fs.Path(dp, f"part-$gix%05d-attempt$tag.tmp")
+            val ctmp = new org.apache.hadoop.fs.Path(dp, f"part-$gix%05d-attempt$tag.cdx.tmp")
+            val wout = new java.io.BufferedOutputStream(gfs.create(wtmp, true), 1 << 20)
+            val cout = new GZIPOutputStream(
+              new java.io.BufferedOutputStream(gfs.create(ctmp, true), 1 << 18))
+            try {
+              val buf = new Array[Byte](1 << 20)
+              sources.foreach { case (srcName, base) =>
+                // archive bytes: straight copy (members are independent)
+                val in = gfs.open(new org.apache.hadoop.fs.Path(dp, srcName + ".stale"))
+                try {
+                  var n = in.read(buf)
+                  while (n >= 0) { if (n > 0) wout.write(buf, 0, n); n = in.read(buf) }
+                } finally in.close()
+                // sidecar lines: shift each offset by this source's base
+                val cin = new java.io.BufferedReader(new java.io.InputStreamReader(
+                  new GZIPInputStream(gfs.open(new org.apache.hadoop.fs.Path(dp,
+                    srcName.stripSuffix(".warc.gz") + ".cdx.gz.stale"))), UTF_8))
+                try {
+                  var line = cin.readLine()
+                  while (line != null) {
+                    if (line.nonEmpty)
+                      cout.write((shiftCdxjLine(line, base, filenamePrefix + warcName) + "\n")
+                        .getBytes(UTF_8))
+                    line = cin.readLine()
+                  }
+                } finally cin.close()
+              }
+            } finally {
+              try wout.close()
+              finally cout.close()
+            }
+            val wfin = new org.apache.hadoop.fs.Path(dp, warcName)
+            val cfin = new org.apache.hadoop.fs.Path(dp, f"part-$gix%05d.cdx.gz")
+            commitOne(gfs, wtmp, wfin)
+            commitOne(gfs, ctmp, cfin)
+            Seq(gfs.makeQualified(wfin).toString, gfs.makeQualified(cfin).toString)
+          } finally gfs.close()
+        }
+        .collect().toSeq.flatten.distinct.sorted
+      writeManifest(fs, dirPath, committed)
+      parked.foreach(fs.delete(_, false))
+      (committed.filter(_.endsWith(".warc.gz")), committed.filter(_.endsWith(".cdx.gz")))
+    } finally fs.close()
+  }
+
+  /** Rewrite one CDXJ line for a compaction move: `offset` shifts by
+    * `base`, `filename` becomes the new part. Loud when the line does
+    * not carry the engine's `"offset":"N"` / `"filename":"…"` fields —
+    * committing a pointer we could not rewrite would serve wrong bytes
+    * forever.
+    */
+  private[graft] def shiftCdxjLine(line: String, base: Long, newFilename: String): String = {
+    val offRe = "\"offset\":\"(\\d+)\"".r
+    val fileRe = "\"filename\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val shifted = offRe.findFirstMatchIn(line) match {
+      case Some(m) =>
+        line.substring(0, m.start) + s""""offset":"${m.group(1).toLong + base}"""" +
+          line.substring(m.end)
+      case None => throw new IllegalArgumentException(
+        s"compactArchives: sidecar line carries no rewritable offset: ${line.take(120)}")
+    }
+    fileRe.findFirstMatchIn(shifted) match {
+      case Some(m) =>
+        val sb = new java.lang.StringBuilder(newFilename.length + 2)
+        JsonBinary.appendJsonString(newFilename, sb)
+        shifted.substring(0, m.start) + s""""filename":${sb.toString}""" +
+          shifted.substring(m.end)
+      case None => throw new IllegalArgumentException(
+        s"compactArchives: sidecar line carries no rewritable filename: ${line.take(120)}")
+    }
+  }
+
   /** A PRIVATE (non-cached) `FileSystem` handle for the archive sink,
     * with checksum-sidecar writing off: local-FS runs must not scatter
     * `.crc` files through a dir readers glob, and flipping the flag on

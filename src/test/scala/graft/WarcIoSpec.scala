@@ -307,6 +307,62 @@ class WarcIoSpec extends SparkSpec {
     assert(WarcIo.readCdxjCommitted(spark, emptyDir).count() == 0)
   }
 
+  test("compactArchives: byte-identical records, valid rewritten pointers, fewer parts") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("warccmp")
+    val rows = spark.range(40).map { i =>
+      ("response", s"http://example.org/cc/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"cc:$i"), "application/http; msgtype=response",
+        WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          (s"compact payload $i " * (1 + (i % 5).toInt)).getBytes(UTF_8)))
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(8)
+    WarcIo.writeWarcWithCdx(rows, dir)
+    val before = WarcIo.readWarcCommitted(spark, dir).collect()
+      .map(r => r.getAs[String]("record_id") ->
+        r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(before.size == 40)
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length).sum
+    val (warcs, cdxs) = WarcIo.compactArchives(spark, dir, targetBytes = total / 2 + 1)
+    assert(warcs.length < 8 && warcs.length >= 2 && cdxs.length == warcs.length,
+      s"expected consolidation, got ${warcs.length} parts")
+    // no stale residue; manifest republished over exactly the new parts
+    val names = new java.io.File(dir).list().sorted.toSeq
+    assert(!names.exists(_.endsWith(".stale")), s"stale residue: $names")
+    assert(names.count(_.endsWith(".warc.gz")) == warcs.length)
+    // every record survives byte-identically (gzip members were COPIED)
+    val after = WarcIo.readWarcCommitted(spark, dir).collect()
+      .map(r => r.getAs[String]("record_id") ->
+        r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(after == before)
+    // the rewritten sidecars point into the new parts exactly: every
+    // record fetches by pointer through the manifest-gated path
+    val cdx = WarcIo.readCdxjCommitted(spark, dir)
+    assert(cdx.count() == 40)
+    assert(cdx.select("filename").distinct().collect()
+      .forall(r => warcs.exists(_.endsWith(r.getString(0)))))
+    val fetched = WarcIo.fetchByCdx(cdx, dir).collect()
+    assert(fetched.length == 40)
+    fetched.foreach { r =>
+      val id = r.getAs[String]("target_uri").split('/').last.toLong
+      val body = new String(WarcIo.parseHttpResponse(
+        r.getAs[Array[Byte]]("payload")).body, UTF_8)
+      assert(body.startsWith(s"compact payload $id "))
+    }
+    // a second compaction at a huge target folds to ONE part, same records
+    val (w2, _) = WarcIo.compactArchives(spark, dir, targetBytes = Long.MaxValue)
+    assert(w2.length == 1)
+    assert(WarcIo.readWarcCommitted(spark, dir).count() == 40)
+    // a sidecar line we cannot rewrite fails loudly, never commits stale
+    intercept[IllegalArgumentException] {
+      WarcIo.shiftCdxjLine("""org,x)/a 20260101000000 {"url":"http://x/a"}""", 10L, "p.warc.gz")
+    }
+    assert(WarcIo.shiftCdxjLine(
+      """org,x)/a 20260101000000 {"url":"http://x/a","offset":"5","filename":"old.warc.gz"}""",
+      100L, "new.warc.gz").contains(""""offset":"105""""))
+  }
+
   test("toWat: deterministic JSON envelope, RFC 8259 escaping, refers back to the source") {
     val body = "<html><body>x</body></html>".getBytes(UTF_8)
     val payload = WarcIo.buildHttpResponse(200, "OK",

@@ -69,6 +69,9 @@ QUERIES = [
     # any text; the two lookups are formula fixtures over the
     # generational master re-checked under every seed
     "pipeline_wayback", "cdx_compact_lookup", "cdx_digest_lookup",
+    # archive compaction: byte-concatenated members + arithmetically
+    # rewritten pointers must serve every adversarial doc unchanged
+    "pipeline_archive_compact",
 ]
 
 # events-only queries: gated when the adversarial events table is
