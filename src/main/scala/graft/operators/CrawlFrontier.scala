@@ -58,13 +58,19 @@ import org.apache.spark.sql.functions._
   * O_EXCL; S3 has no atomic create, so run a single writer by
   * construction there) and a second concurrent writer fails fast
   * instead of silently corrupting the urls/bloom invariants. Probes
-  * may run concurrently with every maintenance pass: compactions
+  * may run concurrently with a maintenance pass: compactions
   * ([[compactIndex]], the bounded sketch compaction inside
-  * [[appendBatch]]) publish NEW versioned dirs through the `CURRENT`
-  * pointer and retain the previous generation until the next pass, so
-  * a probe resolves one complete generation and completes against it
-  * ([[resolveDirs]]) — never a mid-rename mix or a missing dir. The
-  * remaining caveat is an in-flight [[appendBatch]]'s tail: between
+  * [[appendBatch]]) publish NEW versioned dirs through numbered
+  * pointer files and retain the previous generation until the next
+  * pass, so a probe resolves one complete generation and completes
+  * against it ([[resolveDirs]]) — never a mid-rename mix. The
+  * retention bound is ONE generation: a probe still in flight after
+  * TWO subsequent maintenance publications can find its pinned dirs
+  * reclaimed (a loud missing-file failure, the same
+  * `keepManifests`-style bound `CdxIndex` documents) — serialize
+  * probes against repeated maintenance if they can straddle two
+  * passes. The other caveat is an in-flight [[appendBatch]]'s tail:
+  * between
   * the urls write and the sketch write a concurrent probe can miss
   * the in-flight batch and re-accept its URLs (a duplicate fetch, not
   * corruption — membership never regresses because sketches only gain

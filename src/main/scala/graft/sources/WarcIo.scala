@@ -913,11 +913,33 @@ object WarcIo {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = warcFs(dirPath, hconf)
     try {
-      // plan: committed (name, size) pairs — manifest when present,
-      // listing otherwise; sidecars pair by basename
+      // a previous maintenance run that crashed mid-commit leaves
+      // parked sources (.stale) and possibly no manifest — compacting
+      // the partial output subset and publishing a FRESH manifest over
+      // it would launder the half-committed state every gated reader
+      // refuses into a "committed" dir missing the parked records.
+      // Refuse loudly; recovery is explicit (strip .stale, or delete
+      // the partial outputs and strip .stale).
+      val listing = fs.listStatus(dirPath).map(st => st.getPath.getName -> st.getLen)
+      require(!listing.exists(_._1.endsWith(".stale")),
+        s"compactArchives: $dir holds parked .stale sources from an incomplete " +
+          "maintenance run — recover them (strip the .stale suffix after removing " +
+          "partial outputs) before compacting")
+      // plan: committed (name, size) pairs — manifest names when
+      // present, listing otherwise; sizes ALWAYS from the live files
+      // (base offsets must match the bytes actually copied), verified
+      // against the manifest's record like committedFiles does
+      val onDisk = listing.toMap
       val parts = readManifestMap(spark, dir) match {
-        case Some(m) => m.toSeq
-        case None => fs.listStatus(dirPath).map(st => st.getPath.getName -> st.getLen)
+        case Some(m) => m.toSeq.map { case (name, recorded) =>
+          val actual = onDisk.getOrElse(name, throw new IllegalStateException(
+            s"compactArchives: committed file $name missing from $dir"))
+          require(actual == recorded,
+            s"compactArchives: $name is $actual bytes, manifest says $recorded — " +
+              "the directory was modified after commit")
+          name -> actual
+        }
+        case None => listing
           .filter(p => p._1.startsWith("part-") &&
             (p._1.endsWith(".warc.gz") || p._1.endsWith(".cdx.gz"))).toSeq
       }
@@ -940,8 +962,23 @@ object WarcIo {
         curBytes += size
       }
       if (cur.nonEmpty) groups += cur
-      // gate readers for the rewrite window (the writeWarc discipline)
+      // already compact (every group is one source): a rewrite would
+      // read+write the whole archive for zero consolidation — periodic
+      // maintenance on a settled dir must be free
+      if (groups.forall(_.size == 1)) {
+        val keepW = warcs.map(w =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(dirPath, w._1)).toString)
+        val keepC = warcs.map(w => fs.makeQualified(new org.apache.hadoop.fs.Path(
+          dirPath, w._1.stripSuffix(".warc.gz") + ".cdx.gz")).toString)
+        return (keepW, keepC)
+      }
+      // gate readers for the rewrite window (the writeWarc discipline),
+      // and sweep attempt-temp residue a crashed task may have left —
+      // orphan multi-hundred-MB temps must not accumulate across
+      // maintenance cycles
       fs.delete(new org.apache.hadoop.fs.Path(dirPath, ManifestName), false)
+      listing.map(_._1).filter(n => n.startsWith("part-") && n.endsWith(".tmp"))
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dirPath, n), false))
       // park every source pair; tasks read the parked names
       val parked = (warcs.map(_._1) ++ warcs.map(_._1.stripSuffix(".warc.gz") + ".cdx.gz"))
         .map { n =>
@@ -959,8 +996,7 @@ object WarcIo {
         .map { case (sources, gix) =>
           val conf = bcConf.value.value
           val dp = new org.apache.hadoop.fs.Path(dir)
-          val gfs = org.apache.hadoop.fs.FileSystem.newInstance(dp.toUri, conf)
-          gfs.setWriteChecksum(false)
+          val gfs = warcFs(dp, conf) // same private checksum-off handle as the writer
           try {
             val tc = org.apache.spark.TaskContext.get()
             val warcName = f"part-$gix%05d.warc.gz"
@@ -1018,16 +1054,28 @@ object WarcIo {
     * forever.
     */
   private[graft] def shiftCdxjLine(line: String, base: Long, newFilename: String): String = {
+    // rewrite ONLY inside the JSON block: a SURT key can legally carry
+    // double quotes (surtKey percent-encodes only control bytes), so a
+    // crafted URL could place a fake "offset":"0" in the KEY — matching
+    // the whole line would rewrite the key and leave the real pointer
+    // stale. The block starts at the first '{' (keys cannot contain
+    // '{' before the json: cdxjLine rejects non-single-token keys, and
+    // a '{' in a key would still put the REAL fields later — matching
+    // the LAST occurrence of each field keeps even that case honest).
+    val blockAt = line.indexOf('{')
+    require(blockAt >= 0,
+      s"compactArchives: sidecar line carries no JSON block: ${line.take(120)}")
+    val (head, block) = (line.substring(0, blockAt), line.substring(blockAt))
     val offRe = "\"offset\":\"(\\d+)\"".r
     val fileRe = "\"filename\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    val shifted = offRe.findFirstMatchIn(line) match {
+    val shifted = offRe.findAllMatchIn(block).toSeq.lastOption match {
       case Some(m) =>
-        line.substring(0, m.start) + s""""offset":"${m.group(1).toLong + base}"""" +
-          line.substring(m.end)
+        block.substring(0, m.start) + s""""offset":"${m.group(1).toLong + base}"""" +
+          block.substring(m.end)
       case None => throw new IllegalArgumentException(
         s"compactArchives: sidecar line carries no rewritable offset: ${line.take(120)}")
     }
-    fileRe.findFirstMatchIn(shifted) match {
+    val renamed = fileRe.findAllMatchIn(shifted).toSeq.lastOption match {
       case Some(m) =>
         val sb = new java.lang.StringBuilder(newFilename.length + 2)
         JsonBinary.appendJsonString(newFilename, sb)
@@ -1036,6 +1084,7 @@ object WarcIo {
       case None => throw new IllegalArgumentException(
         s"compactArchives: sidecar line carries no rewritable filename: ${line.take(120)}")
     }
+    head + renamed
   }
 
   /** A PRIVATE (non-cached) `FileSystem` handle for the archive sink,

@@ -354,6 +354,26 @@ class WarcIoSpec extends SparkSpec {
     val (w2, _) = WarcIo.compactArchives(spark, dir, targetBytes = Long.MaxValue)
     assert(w2.length == 1)
     assert(WarcIo.readWarcCommitted(spark, dir).count() == 40)
+    // a settled dir is a FREE no-op: every group rides alone, so no
+    // byte is moved and the committed paths come back unchanged
+    val manifestBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest"))
+    val (w3, c3) = WarcIo.compactArchives(spark, dir, targetBytes = Long.MaxValue)
+    assert(w3 == w2 && c3.length == 1)
+    assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_manifest"))
+      .sameElements(manifestBytes), "no-op compaction must not republish")
+    // a crashed maintenance run (parked .stale sources present) REFUSES
+    // to compact — re-running over the partial outputs would publish a
+    // manifest that silently drops the parked records
+    val anyPart = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    java.nio.file.Files.copy(anyPart.toPath,
+      java.nio.file.Paths.get(dir, "part-99990.warc.gz.stale"))
+    val eStale = intercept[IllegalArgumentException] {
+      WarcIo.compactArchives(spark, dir, targetBytes = 1000L)
+    }
+    assert(eStale.getMessage.contains(".stale"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "part-99990.warc.gz.stale"))
     // a sidecar line we cannot rewrite fails loudly, never commits stale
     intercept[IllegalArgumentException] {
       WarcIo.shiftCdxjLine("""org,x)/a 20260101000000 {"url":"http://x/a"}""", 10L, "p.warc.gz")
