@@ -3639,6 +3639,36 @@ object SparkEntry {
         .orderBy(col("surt"))
     }),
 
+    "cdx_batch_lookup" -> ((s, dir) => {
+      // the "re-process THESE urls" shape: a request SET (every 9th
+      // page, plus 100 urls the archive never captured) resolves
+      // against the 3-generation LSM master in one pruned pass — the
+      // tiny cluster broadcasts onto the keys to pick shard files, the
+      // scan semi-joins the keys exactly (misses match nothing,
+      // duplicates do not duplicate). The oracle replays the
+      // intersection from the construction formulas.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val idxDir = TempDirs.scratch("cdx_batch_")
+      graft.sources.CdxIndex.initMaster(cdx.filter(col("offset") < 1500), idxDir, nShards = 12)
+      graft.sources.CdxIndex.appendCrawl(
+        cdx.filter(col("offset") >= 1500 && col("offset") < 3000), idxDir, nShards = 12)
+      graft.sources.CdxIndex.appendCrawl(
+        cdx.filter(col("offset") >= 3000), idxDir, nShards = 12)
+      val wanted = s.range(4100).filter(col("id") % 9 === 0).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+        .select("surt")
+      graft.sources.CdxIndex.lookupBatch(s, idxDir, wanted)
+        .select(col("surt"), col("ts"), col("url"), col("offset"))
+        .orderBy(col("surt"))
+    }),
+
     "cdx_digest_lookup" -> ((s, dir) => {
       // the digest-keyed REVERSE index: identical content planted
       // across 8 hosts each (digest = d(id % 500), so every digest has
@@ -8214,6 +8244,18 @@ object SparkEntry {
         |  lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
         |  'https://h17.site3.org/p/' || CAST(i AS VARCHAR) AS url,
         |  i AS "offset", 100 + i % 9 AS "length"
+        |FROM t ORDER BY surt""".stripMargin,
+
+    // the request-set intersection replayed: ids ≡ 0 (mod 9) below
+    // 4000 hit; 4000-4099 were never captured and match nothing
+    "cdx_batch_lookup" ->
+      """WITH t AS (SELECT i FROM range(4000) r(i) WHERE i % 9 = 0)
+        |SELECT 'org,site' || CAST(i % 7 AS VARCHAR) || ',h' || CAST(i % 40 AS VARCHAR)
+        |    || ')/p/' || CAST(i AS VARCHAR) AS surt,
+        |  lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |  'https://h' || CAST(i % 40 AS VARCHAR) || '.site' || CAST(i % 7 AS VARCHAR)
+        |    || '.org/p/' || CAST(i AS VARCHAR) AS url,
+        |  i AS "offset"
         |FROM t ORDER BY surt""".stripMargin,
 
     // one planted content's capture set replayed from the

@@ -349,6 +349,46 @@ object CdxIndex {
   def lookupRange(spark: SparkSession, dir: String, from: String, to: String): DataFrame =
     lookupRanges(spark, dir, Seq((from, to)))
 
+  /** BATCH lookup: every index row whose `surt` equals a key in
+    * `keys` (a DataFrame with a `surt` column — derive it from URLs
+    * with `graft_surt`). This is the "re-process THESE 10M URLs"
+    * shape: the request set is itself data-sized, so nothing
+    * request-sized ever lands on the driver —
+    *
+    *   1. the cluster tables (one tiny row per shard file per
+    *      generation) BROADCAST against the keys to find the shard
+    *      files any requested key lands in; only the DISTINCT FILE
+    *      list is collected (bounded by shards × generations, like
+    *      every lookup here);
+    *   2. the pruned scan then LEFT SEMI joins the keys on the exact
+    *      `surt` — shuffle-hash, both sides may be large, the index
+    *      side is never broadcast.
+    *
+    * Keys absent from the index simply match nothing (membership
+    * checks read the output count); duplicate keys do not duplicate
+    * output rows (semi-join semantics). The manifest is pinned at
+    * construction like every lookup.
+    */
+  def lookupBatch(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
+    val gens = resolveGens(spark, dir)
+    val clusters = spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
+      .select(col("file"), col("lo"), col("hi"), input_file_name().as("cf"))
+    val files = keys.select(col("surt").as("__k"))
+      .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
+      .select(col("file"), col("cf")).distinct()
+      .collect().toSeq
+      .map { r =>
+        val (name, cf) = (r.getString(0), r.getString(1))
+        if (name.contains("/")) name
+        else cf.substring(0, cf.lastIndexOf("/cluster/")) + s"/cdx/$name"
+      }.distinct.sorted
+    if (files.isEmpty)
+      spark.read.parquet(s"${gens.head}/cdx").limit(0)
+    else
+      spark.read.parquet(files: _*)
+        .join(keys.select(col("surt")).hint("shuffle_hash"), Seq("surt"), "left_semi")
+  }
+
   /** All captures under a raw SURT STRING prefix — `"com,example)"` is
     * exactly one host (the `)` terminator excludes `com,examplez`).
     * Implemented as [[lookupRange]] over [prefix, prefix+U+10FFFF).

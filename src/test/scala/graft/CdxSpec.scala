@@ -581,6 +581,35 @@ class CdxSpec extends SparkSpec {
     }
   }
 
+  test("lookupBatch: pruned request-set lookup; index side never broadcasts") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_batch_")
+    val cdx = corpus(3000)
+    CdxIndex.initMaster(cdx.filter(col("offset") < 1500), dir, nShards = 8)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 1500), dir, nShards = 8)
+    // requests: one host's pages + duplicates + definite misses
+    val keys = ((0 until 3000 by 7).map(i => s"https://h${i % 40}.site${i % 7}.org/p/$i")
+      ++ Seq("https://h8.site1.org/p/8", "https://h8.site1.org/p/8", // dup
+        "https://nowhere.example/x", "https://h1.site1.org/p/99999")) // misses
+      .toDF("url").selectExpr("graft_surt(url) AS surt")
+    val got = CdxIndex.lookupBatch(spark, dir, keys)
+    // exactly the present keys' rows, once each (semi-join semantics)
+    val expect = cdx.filter(col("offset") % 7 === 0 || col("offset") === 8)
+      .select("surt").collect().map(_.getString(0)).toSet
+    val gotKeys = got.select("surt").collect().map(_.getString(0))
+    assert(gotKeys.length == gotKeys.distinct.length, "duplicate output rows")
+    assert(gotKeys.toSet == expect)
+    // plan shape: ONLY the tiny cluster broadcasts; the index↔keys join
+    // is a shuffle-hash LeftSemi, and the scan is pruned
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), s"expected a semi join:\n$phys")
+    assert(!phys.contains("BroadcastHashJoin LeftSemi") &&
+      !phys.contains("BroadcastNestedLoopJoin BuildLeft, LeftSemi"),
+      "the index/keys join must not broadcast either large side")
+    val allFiles = CdxIndex.readMaster(spark, dir).inputFiles.toSet
+    assert(got.inputFiles.toSet.subsetOf(allFiles))
+  }
+
   test("digest reverse index: exact-key capture set, pruned, nulls excluded") {
     import spark.implicits._
     val dir = TempDirs.scratch("cdx_dig_")

@@ -71,7 +71,7 @@ QUERIES = [
     "pipeline_wayback", "cdx_compact_lookup", "cdx_digest_lookup",
     # archive compaction: byte-concatenated members + arithmetically
     # rewritten pointers must serve every adversarial doc unchanged
-    "pipeline_archive_compact",
+    "pipeline_archive_compact", "cdx_batch_lookup",
 ]
 
 # events-only queries: gated when the adversarial events table is
