@@ -98,10 +98,18 @@ object CdxIndex {
     * instead of a full index scan. Rows with a NULL digest (external
     * CDX rows can carry them) are excluded — they are unaddressable by
     * content and a null range key would hot-spot one shard.
+    *
+    * This is the one-shot batch build (O(total) per rebuild). A LIVING
+    * digest master maintains incrementally exactly like the primary:
+    * `initMaster(rows, dir, n, sortCols = DigestKey)` +
+    * `appendCrawl(newRows, dir, n, DigestKey)` — filter NULL digests
+    * yourself on that path; [[lookupDigest]] resolves generations
+    * like every lookup here.
     */
+  val DigestKey: Seq[String] = Seq("digest", "surt", "ts")
+
   def buildDigestIndex(cdx: DataFrame, dir: String, nShards: Int): Unit =
-    buildTableKeyed(cdx.filter(col("digest").isNotNull), dir, nShards,
-      Seq("digest", "surt", "ts"))
+    buildTableKeyed(cdx.filter(col("digest").isNotNull), dir, nShards, DigestKey)
 
   /** Every capture of one content digest, scanning only the shards the
     * digest index's cluster table admits. Exact key: digests are
@@ -200,9 +208,18 @@ object CdxIndex {
   }
 
   /** Create a generational master from the first crawl's CDX rows.
-    * `dir` must not already hold an index.
+    * `dir` must not already hold an index. `sortCols.head` is the
+    * master's cluster-pruned range key — the default builds the
+    * primary (surt, ts) index; pass `Seq("digest", "surt", "ts")` for
+    * an incrementally-maintained DIGEST reverse master
+    * ([[lookupDigest]] resolves generations like every lookup). The
+    * key is recorded in `<dir>/_key` and every later [[appendCrawl]]/
+    * [[compact]] must sort the same way — a generation sorted on a
+    * different key would silently break cluster pruning, so the
+    * mismatch fails loudly instead.
     */
-  def initMaster(cdx: DataFrame, dir: String, nShards: Int): Unit = {
+  def initMaster(cdx: DataFrame, dir: String, nShards: Int,
+      sortCols: Seq[String] = Seq("surt", "ts")): Unit = {
     val spark = cdx.sparkSession
     val (dirPath, fs) = masterFs(spark, dir)
     fs.mkdirs(dirPath)
@@ -214,10 +231,45 @@ object CdxIndex {
       require(manifestFiles(fs, dirPath).isEmpty &&
         !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cluster")),
         s"CdxIndex: $dir already holds an index — use appendCrawl")
+      writeKeyFile(fs, dirPath, sortCols)
       val gen = "gen-00000001"
-      buildTable(cdx, s"$dir/$gen", nShards)
+      buildTableKeyed(cdx, s"$dir/$gen", nShards, sortCols)
       publishManifest(fs, dirPath, Seq(gen)); ()
     }
+  }
+
+  /** Record / verify the master's sort key (`<dir>/_key`, one column
+    * per line) so generations can never mix range keys.
+    */
+  private def writeKeyFile(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, sortCols: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, "_key"), true)
+    try out.write((sortCols.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readKeyFile(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, "_key")
+    // pre-_key masters were always (surt, ts) — the only spelling the
+    // old initMaster could write
+    if (!fs.exists(p)) return Seq("surt", "ts")
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def requireSameKey(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, sortCols: Seq[String]): Unit = {
+    val stored = readKeyFile(fs, dirPath)
+    require(stored == sortCols,
+      s"CdxIndex: $dirPath is keyed on (${stored.mkString(", ")}) but this pass " +
+        s"sorts (${sortCols.mkString(", ")}) — mixed-key generations would " +
+        "silently break cluster pruning")
   }
 
   /** Append one crawl's CDX rows as a NEW generation: sorts only the
@@ -225,7 +277,8 @@ object CdxIndex {
     * archive's. Lookups immediately span the new generation; in-flight
     * lookups complete against their pinned manifest.
     */
-  def appendCrawl(cdx: DataFrame, dir: String, nShards: Int): Unit = {
+  def appendCrawl(cdx: DataFrame, dir: String, nShards: Int,
+      sortCols: Seq[String] = Seq("surt", "ts")): Unit = {
     val spark = cdx.sparkSession
     val (dirPath, fs) = masterFs(spark, dir)
     graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
@@ -235,9 +288,10 @@ object CdxIndex {
           s"CdxIndex: $dir has no manifest — initMaster first (or keep using " +
             "buildTable for the single-table layout)")
       }
+      requireSameKey(fs, dirPath, sortCols)
       val id = prev.map(_.stripPrefix("gen-").toInt).max + 1
       val gen = f"gen-$id%08d"
-      buildTable(cdx, s"$dir/$gen", nShards)
+      buildTableKeyed(cdx, s"$dir/$gen", nShards, sortCols)
       publishManifest(fs, dirPath, prev :+ gen); ()
     }
   }
@@ -256,9 +310,9 @@ object CdxIndex {
       val prev = readManifest(fs, m)
       val id = prev.map(_.stripPrefix("gen-").toInt).max + 1
       val gen = f"gen-$id%08d"
-      buildTable(
+      buildTableKeyed(
         prev.map(g => spark.read.parquet(s"$dir/$g/cdx")).reduce(_ unionByName _),
-        s"$dir/$gen", nShards)
+        s"$dir/$gen", nShards, readKeyFile(fs, dirPath))
       publishManifest(fs, dirPath, Seq(gen)); ()
     }
   }

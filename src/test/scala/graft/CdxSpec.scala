@@ -581,6 +581,37 @@ class CdxSpec extends SparkSpec {
     }
   }
 
+  test("generational DIGEST master: incremental appends, pruned lookup, key pinning") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_digm_")
+    val cdx = corpus(2000)
+      // plant one content across BOTH crawls (ids ≡ 5 mod 500)
+      .withColumn("digest",
+        when(col("offset") % 500 === 5, lit("sha1:CROSSGEN")).otherwise(col("digest")))
+    CdxIndex.initMaster(cdx.filter(col("offset") < 1000), dir, nShards = 4,
+      sortCols = CdxIndex.DigestKey)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 1000), dir, nShards = 4,
+      sortCols = CdxIndex.DigestKey)
+    // the capture set spans generations; the scan is pruned
+    val got = CdxIndex.lookupDigest(spark, dir, "sha1:CROSSGEN")
+    assert(got.count() == 4) // ids 5, 505, 1005, 1505
+    assert(got.select("offset").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 505L, 1005L, 1505L))
+    val allFiles = CdxIndex.readMaster(spark, dir).inputFiles.toSet
+    assert(got.inputFiles.toSet.subsetOf(allFiles) &&
+      got.inputFiles.length < allFiles.size)
+    // appending with the DEFAULT (surt) key against a digest-keyed
+    // master fails loudly — mixed-key generations would silently break
+    // cluster pruning
+    val e = intercept[IllegalArgumentException] {
+      CdxIndex.appendCrawl(cdx.limit(10), dir, nShards = 4)
+    }
+    assert(e.getMessage.contains("keyed on"))
+    // compact folds generations preserving the digest key
+    CdxIndex.compact(spark, dir, nShards = 4)
+    assert(CdxIndex.lookupDigest(spark, dir, "sha1:CROSSGEN").count() == 4)
+  }
+
   test("lookupBatch: pruned request-set lookup; index side never broadcasts") {
     import spark.implicits._
     val dir = TempDirs.scratch("cdx_batch_")
