@@ -3641,7 +3641,8 @@ object SparkEntry {
 
     "cdx_batch_lookup" -> ((s, dir) => {
       // the "re-process THESE urls" shape: a request SET (every 9th
-      // page, plus 100 urls the archive never captured) resolves
+      // page, plus the 11 ids in 4000..4099 the archive never
+      // captured) resolves
       // against the 3-generation LSM master in one pruned pass — the
       // tiny cluster broadcasts onto the keys to pick shard files, the
       // scan semi-joins the keys exactly (misses match nothing,

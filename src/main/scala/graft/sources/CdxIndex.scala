@@ -272,6 +272,25 @@ object CdxIndex {
         "silently break cluster pruning")
   }
 
+  /** Lookup-side twin of [[requireSameKey]]: a GENERATIONAL master
+    * records its range key, and probing it with a different key column
+    * would compare apples to digests against the cluster bounds and
+    * silently return an arbitrary subset — fail loudly instead.
+    * Legacy single-table dirs carry no key record; their lookups stay
+    * caller-disciplined as before (buildDigestIndex output is looked
+    * up with lookupDigest by construction).
+    */
+  private def requireLookupKey(spark: SparkSession, dir: String, keyCol: String): Unit = {
+    val (dirPath, fs) = masterFs(spark, dir)
+    if (manifestFiles(fs, dirPath).nonEmpty) {
+      val stored = readKeyFile(fs, dirPath)
+      require(stored.head == keyCol,
+        s"CdxIndex: $dir is a generational master keyed on '${stored.head}' — " +
+          s"a '$keyCol' lookup against it would prune against the wrong bounds " +
+          "and silently miss rows")
+    }
+  }
+
   /** Append one crawl's CDX rows as a NEW generation: sorts only the
     * new rows — maintenance cost tracks the new crawl's size, not the
     * archive's. Lookups immediately span the new generation; in-flight
@@ -361,14 +380,20 @@ object CdxIndex {
         .reduce(_ || _))
       .select(col("file"), input_file_name().as("cf"))
       .collect().toSeq
-      .map { r =>
-        val (name, cf) = (r.getString(0), r.getString(1))
-        // a row carrying a full URI (a table written by an older build
-        // that stored absolute input_file_name()s) passes through as-is
-        if (name.contains("/")) name
-        else cf.substring(0, cf.lastIndexOf("/cluster/")) + s"/cdx/$name"
-      }.distinct.sorted
+      .map(r => resolveShardPath(r.getString(0), r.getString(1)))
+      .distinct.sorted
   }
+
+  /** Resolve one cluster row's shard-file reference: basenames resolve
+    * against the generation that published them (recovered from the
+    * cluster file's own path, so tables survive relocation); a row
+    * carrying a full URI (a table written by an older build that
+    * stored absolute input_file_name()s) passes through as-is. ONE
+    * definition for every lookup family.
+    */
+  private def resolveShardPath(name: String, clusterFile: String): String =
+    if (name.contains("/")) name
+    else clusterFile.substring(0, clusterFile.lastIndexOf("/cluster/")) + s"/cdx/$name"
 
   /** All index rows whose `surt` falls in any of the half-open
     * `ranges`, scanning only the shards the generations' cluster
@@ -387,6 +412,7 @@ object CdxIndex {
   private def lookupRangesKeyed(spark: SparkSession, dir: String, keyCol: String,
       ranges: Seq[(String, String)]): DataFrame = {
     require(ranges.nonEmpty, "lookupRanges needs at least one range")
+    requireLookupKey(spark, dir, keyCol)
     val gens = resolveGens(spark, dir)
     val files = shardFiles(spark, gens, ranges)
     if (files.isEmpty)
@@ -424,6 +450,12 @@ object CdxIndex {
     * construction like every lookup.
     */
   def lookupBatch(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
+    // evaluation contract (the probeNew trade): the keys plan runs
+    // TWICE — once for shard discovery, once in the semi join — so
+    // callers with an expensive or NON-DETERMINISTIC upstream must
+    // pass a persisted frame (a key materializing only in the second
+    // run would scan files the pruning pass never admitted)
+    requireLookupKey(spark, dir, "surt")
     val gens = resolveGens(spark, dir)
     val clusters = spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
       .select(col("file"), col("lo"), col("hi"), input_file_name().as("cf"))
@@ -431,11 +463,8 @@ object CdxIndex {
       .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
       .select(col("file"), col("cf")).distinct()
       .collect().toSeq
-      .map { r =>
-        val (name, cf) = (r.getString(0), r.getString(1))
-        if (name.contains("/")) name
-        else cf.substring(0, cf.lastIndexOf("/cluster/")) + s"/cdx/$name"
-      }.distinct.sorted
+      .map(r => resolveShardPath(r.getString(0), r.getString(1)))
+      .distinct.sorted
     if (files.isEmpty)
       spark.read.parquet(s"${gens.head}/cdx").limit(0)
     else

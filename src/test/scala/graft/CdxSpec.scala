@@ -607,6 +607,16 @@ class CdxSpec extends SparkSpec {
       CdxIndex.appendCrawl(cdx.limit(10), dir, nShards = 4)
     }
     assert(e.getMessage.contains("keyed on"))
+    // and so does a surt-keyed LOOKUP against it: pruning surt strings
+    // against digest cluster bounds would silently miss rows
+    val e2 = intercept[IllegalArgumentException] {
+      CdxIndex.lookupPrefix(spark, dir, "org,site1,h8)")
+    }
+    assert(e2.getMessage.contains("wrong bounds"))
+    val e3 = intercept[IllegalArgumentException] {
+      CdxIndex.lookupBatch(spark, dir, cdx.select("surt").limit(5))
+    }
+    assert(e3.getMessage.contains("wrong bounds"))
     // compact folds generations preserving the digest key
     CdxIndex.compact(spark, dir, nShards = 4)
     assert(CdxIndex.lookupDigest(spark, dir, "sha1:CROSSGEN").count() == 4)
@@ -630,13 +640,16 @@ class CdxSpec extends SparkSpec {
     val gotKeys = got.select("surt").collect().map(_.getString(0))
     assert(gotKeys.length == gotKeys.distinct.length, "duplicate output rows")
     assert(gotKeys.toSet == expect)
-    // plan shape: ONLY the tiny cluster broadcasts; the index↔keys join
-    // is a shuffle-hash LeftSemi, and the scan is pruned
+    // plan shape: the returned plan holds NO broadcast at all (the
+    // cluster consult collects eagerly inside lookupBatch, before this
+    // plan) — the index↔keys semi join must be shuffle-hash, never a
+    // broadcast of either large side
     val phys = got.queryExecution.executedPlan.toString
     assert(phys.contains("LeftSemi"), s"expected a semi join:\n$phys")
-    assert(!phys.contains("BroadcastHashJoin LeftSemi") &&
-      !phys.contains("BroadcastNestedLoopJoin BuildLeft, LeftSemi"),
-      "the index/keys join must not broadcast either large side")
+    assert(!phys.contains("BroadcastHashJoin") &&
+      !phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("BroadcastExchange"),
+      s"the index/keys join must not broadcast either large side:\n$phys")
     val allFiles = CdxIndex.readMaster(spark, dir).inputFiles.toSet
     assert(got.inputFiles.toSet.subsetOf(allFiles))
   }
