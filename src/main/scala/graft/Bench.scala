@@ -11,18 +11,21 @@ object Bench {
     val spark = GraftSession.build()
     // headline set: scan-agg, shuffle join, window, CDC apply, dedup
     // sketches, ANN, text profiling — the engine's load-bearing paths.
-    // The last four arms (r15) gate the crawl/CDX/retrieval/ANN-index
+    // The four r15 arms gate the crawl/CDX/retrieval/ANN-index
     // families that had only ad-hoc ScaleProbe coverage before: the
     // ranked crawl-loop turn, the LSM master-index build+append+lookup
-    // loop, BM25 retrieval, and IVF-PQ search — a regression in any of
-    // those surfaces now moves the committed BENCH series.
+    // loop, BM25 retrieval, and IVF-PQ search. The r16 arm
+    // (pipeline_wayback) gates the replay family — two crawl commits,
+    // as-of resolution, and the revisit double-ranged-fetch — a
+    // regression in any of those surfaces now moves the committed
+    // BENCH series.
     val headline = Seq(
       "q1_agg", "q2_join_enrich", "q3_window_topn", "k2_cdc_apply",
       "s2_tx_assembly", "a5_gtid_set", "dedup_exact", "dedup_minhash",
       "dedup_ngram", "sim_topk", "text_profile", "c_type_matrix",
       "pack_sequences", "contamination", "emb_quantize",
       "pipeline_crawl_loop_ranked", "cdx_lookup", "text_bm25_topk",
-      "sim_ivf_pq_topk"
+      "sim_ivf_pq_topk", "pipeline_wayback"
     )
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm FS/codec paths
     // warm the JVM's query-shaped one-time costs (codegen classloading,

@@ -770,6 +770,15 @@ object ScaleProbe {
           println(s"""{"op":"cdx_lsm_lookup_xl_shards","k":$k,""" +
             s""""touched":$touched,"total":$total,"generations":4}""")
         }
+        // SIZE-TIERED compaction over the same master: folds ONLY the
+        // three 100k-capture appends (the smallest generations) into
+        // one — the timed pass must stay FLAT in k because the k×1M
+        // base generation is never read or rewritten; the full
+        // compact() would grow linearly with the base
+        time("cdx_lsm_tiered_compact_xl", k) {
+          sources.CdxIndex.compact(spark, lsmDir, nShards = 64, maxGens = 2)
+          sources.CdxIndex.lookupPrefix(spark, lsmDir, "org,host4242)")
+        }
         // digest REVERSE index at k×1M captures with ~10 captures per
         // content (planted duplicates): one content's capture set must
         // come back flat in k via cluster pruning on the digest key —

@@ -3693,6 +3693,47 @@ object SparkEntry {
         .orderBy(col("surt"), col("ts"))
     }),
 
+    "pipeline_crawl_stream_index" -> ((s, dir) => {
+      // the STREAMING maintenance loop's exactly-once surface,
+      // replayed deterministically: the 4000-capture corpus arrives as
+      // three epochs appended to BOTH living masters (primary and
+      // digest reverse) via appendEpoch — epoch 1 is delivered TWICE
+      // (the foreachBatch crash-replay shape; the manifest-tag ledger
+      // makes the second delivery a no-op) — then the SIZE-TIERED
+      // compaction folds the two smallest generations while the base
+      // stays untouched. A double-counted epoch, a lost append, or a
+      // tier fold that dropped rows would change the answer and
+      // hash-mismatch. Output: a host lookup against the primary
+      // master UNION one content's capture set from the digest master.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id % 500) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val pDir = TempDirs.scratch("cdx_stream_p_")
+      val dDir = TempDirs.scratch("cdx_stream_d_")
+      def epoch(lo: Long, hi: Long) =
+        cdx.filter(col("offset") >= lo && col("offset") < hi)
+      Seq((0L, 1500L, "epoch-0"), (1500L, 3000L, "epoch-1"),
+          (1500L, 3000L, "epoch-1"), // the crash-replayed delivery: must no-op
+          (3000L, 4000L, "epoch-2")).foreach { case (lo, hi, tag) =>
+        graft.sources.CdxIndex.appendEpoch(epoch(lo, hi), pDir, nShards = 12, tag)
+        graft.sources.CdxIndex.appendEpoch(epoch(lo, hi), dDir, nShards = 12, tag,
+          graft.sources.CdxIndex.DigestKey)
+      }
+      graft.sources.CdxIndex.compact(s, pDir, nShards = 12, maxGens = 2)
+      graft.sources.CdxIndex.compact(s, dDir, nShards = 12, maxGens = 2)
+      graft.sources.CdxIndex.lookupPrefix(s, pDir, "org,site3,h17)")
+        .select(lit("host").as("kind"), col("surt"), col("ts"), col("url"), col("offset"))
+        .unionByName(
+          graft.sources.CdxIndex.lookupDigest(s, dDir, "d137")
+            .select(lit("digest").as("kind"), col("surt"), col("ts"),
+              col("url"), col("offset")))
+        .orderBy(col("kind"), col("surt"), col("ts"))
+    }),
+
     "cdx_columnar" -> ((s, dir) => {
       // the cc-index-table shape: CDX rows widened to typed URL columns
       // (host, eTLD+1 via the PSL, TLD, path) and aggregated per
@@ -3811,14 +3852,18 @@ object SparkEntry {
     }),
 
     "pipeline_archive_compact" -> ((s, dir) => {
-      // the small-file maintenance loop: a streaming crawl's 16 tiny
-      // parts compact into ~2 by BYTE-concatenating gzip members (no
-      // re-encoding) with the sidecar offsets shifted arithmetically —
-      // then the master index rebuilds from the REWRITTEN sidecars and
-      // one host's entities fetch by the new pointers. Green proves
-      // the compaction moved bytes and rewrote pointers without
-      // touching a single record: the fetched entities replay from the
-      // raw documents via the escape→byte-length identity.
+      // the small-file maintenance loop AS ONE MAINTAINED FLOW: the
+      // master index exists BEFORE the compaction (initMaster from the
+      // first commit's sidecars), the 16 tiny parts compact into ~2 by
+      // BYTE-concatenating gzip members (no re-encoding) with the
+      // sidecar offsets shifted arithmetically, and refreshFromArchive
+      // republishes the master from the REWRITTEN sidecars in the same
+      // pass — closing the pointer-invalidation window by construction.
+      // One host's entities then fetch by the refreshed pointers.
+      // Green proves the compaction moved bytes and the refresh
+      // repointed the master without touching a single record: the
+      // fetched entities replay from the raw documents via the
+      // escape→byte-length identity.
       import s.implicits._
       val docs = t(s, dir, "documents").where(col("text").isNotNull)
         .select(col("doc_id"),
@@ -3835,12 +3880,13 @@ object SparkEntry {
         }).toDF("rec_type", "target_uri", "warc_date", "record_id",
           "content_type", "payload")
       WarcIo.writeWarcWithCdx(records, warcDir)
+      val idxDir = TempDirs.scratch("cmp_idx_")
+      graft.sources.CdxIndex.initMaster(
+        WarcIo.readCdxjCommitted(s, warcDir), idxDir, nShards = 8)
       val total = WarcIo.committedFiles(s, warcDir, ".warc.gz")
         .map(p => new java.io.File(new java.net.URI(p)).length).sum
       WarcIo.compactArchives(s, warcDir, targetBytes = total / 2 + 1)
-      val idxDir = TempDirs.scratch("cmp_idx_")
-      graft.sources.CdxIndex.buildTable(
-        WarcIo.readCdxjCommitted(s, warcDir), idxDir, nShards = 8)
+      graft.sources.CdxIndex.refreshFromArchive(s, warcDir, idxDir, nShards = 8)
       val hit = graft.sources.CdxIndex.lookupPrefix(s, idxDir, "org,example,c5)")
       WarcIo.fetchByCdx(hit, warcDir)
         .select(col("target_uri"), col("payload"))
@@ -3910,6 +3956,78 @@ object SparkEntry {
           val http = WarcIo.parseHttpResponse(payload)
           (uri.substring(uri.lastIndexOf('/') + 1).toLong, rt, rp, http.body.length.toLong)
         }).toDF("doc_id", "rec_type", "replayed", "entity_length")
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_wayback_redirects" -> ((s, dir) => {
+      // wayback replay ACROSS 3xx chains: each doc's terminal page is
+      // captured once; a quarter of requests enter at a single 301
+      // (RELATIVE Location — resolution against the capture url is
+      // under test), a quarter at a 2-hop chain (absolute then
+      // relative), a quarter at a planted 2-cycle, the rest directly.
+      // replayRedirects builds the archive's redirect graph from the
+      // index's 3xx captures alone, resolves every edge with one as-of
+      // join at the source capture's instant, pointer-doubles to
+      // terminals, and serves the terminal page's bytes; cycles come
+      // back resolved=false with the last-reached redirect's bytes
+      // (all redirect bodies are the 5-byte 'moved', so the cycle arm
+      // is deterministic). The oracle replays the resolved flag, the
+      // hop count and the exact served byte length per doc.
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val root = TempDirs.scratch("wayredir_")
+      val recs = docs.select(col("doc_id"),
+          crawlHtml(col("doc_id"), col("text"), lit("Redirect target")).as("html"))
+        .repartition(8).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, html) =>
+          val host = s"http://c${id % 13}.example.org"
+          def resp(path: String, payload: Array[Byte], tag: String) =
+            ("response", s"$host$path", "2026-01-01T00:00:00Z",
+              WarcIo.recordIdFor(tag + id), "application/http; msgtype=response",
+              payload)
+          val page = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def redir(path: String, loc: String, tag: String) =
+            resp(path, WarcIo.buildHttpResponse(301, "Moved Permanently",
+              Seq("Content-Type" -> "text/html", "Location" -> loc),
+              "moved".getBytes(java.nio.charset.StandardCharsets.UTF_8)), tag)
+          val extra = (id % 4) match {
+            case 1 => Seq(redir(s"/r1/$id", s"/d/$id", "wr1:"))
+            case 2 => Seq(redir(s"/r2/$id", s"$host/r1b/$id", "wr2:"),
+              redir(s"/r1b/$id", s"/d/$id", "wr2b:"))
+            case 3 => Seq(redir(s"/c/$id", s"/c2/$id", "wc1:"),
+              redir(s"/c2/$id", s"/c/$id", "wc2:"))
+            case _ => Seq.empty
+          }
+          (resp(s"/d/$id", page, "wrt:") +: extra).iterator
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      WarcIo.writeWarcWithCdx(recs, root)
+      val index = WarcIo.readCdxjCommitted(s, root)
+      val entry = docs.select(col("doc_id"),
+        call_function("graft_surt", concat(lit("http://c"),
+          pmod(col("doc_id"), lit(13)).cast("string"), lit(".example.org/"),
+          when(pmod(col("doc_id"), lit(4)) === 1, lit("r1"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("r2"))
+            .when(pmod(col("doc_id"), lit(4)) === 3, lit("c"))
+            .otherwise(lit("d")),
+          lit("/"), col("doc_id").cast("string"))).as("surt"))
+      val requests = entry
+        .join(index.select(col("surt"), col("filename"), col("offset"))
+          .hint("shuffle_hash"), Seq("surt"))
+      WarcIo.replayRedirects(requests.select(col("filename"), col("offset")), index, root)
+        .join(requests.select(col("doc_id"), col("filename").as("src_filename"),
+          col("offset").as("src_offset")).hint("shuffle_hash"),
+          Seq("src_filename", "src_offset"))
+        .select(col("doc_id"), col("resolved"),
+          when(col("resolved"), col("hops")).otherwise(lit(-1L)).as("hops"),
+          col("payload"))
+        .as[(Long, Boolean, Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, res, hops, payload) =>
+          (id, res, hops, WarcIo.parseHttpResponse(payload).body.length.toLong)
+        }).toDF("doc_id", "resolved", "hops", "entity_length")
         .orderBy(col("doc_id"))
     }),
 
@@ -8272,6 +8390,29 @@ object SparkEntry {
         |  i AS "offset"
         |FROM t ORDER BY surt, ts""".stripMargin,
 
+    // the exactly-once streamed-master surface replayed: host captures
+    // from the primary master (each exactly once despite the doubled
+    // epoch-1 delivery and the tiered fold) UNION one content's
+    // capture set from the digest master
+    "pipeline_crawl_stream_index" ->
+      """WITH a AS (
+        |  SELECT 'host' AS kind,
+        |    'org,site3,h17)/p/' || CAST(i AS VARCHAR) AS surt,
+        |    lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |    'https://h17.site3.org/p/' || CAST(i AS VARCHAR) AS url,
+        |    i AS "offset"
+        |  FROM range(4000) r(i) WHERE i % 40 = 17 AND i % 7 = 3
+        |  UNION ALL
+        |  SELECT 'digest',
+        |    'org,site' || CAST(i % 7 AS VARCHAR) || ',h' || CAST(i % 40 AS VARCHAR)
+        |      || ')/p/' || CAST(i AS VARCHAR),
+        |    lpad(CAST(i % 97 AS VARCHAR), 14, '0'),
+        |    'https://h' || CAST(i % 40 AS VARCHAR) || '.site' || CAST(i % 7 AS VARCHAR)
+        |      || '.org/p/' || CAST(i AS VARCHAR),
+        |    i
+        |  FROM range(4000) r(i) WHERE i % 500 = 137)
+        |SELECT kind, surt, ts, url, "offset" FROM a ORDER BY kind, surt, ts""".stripMargin,
+
     // host/TLD/eTLD+1 derivation + per-domain rollup replayed from the
     // same formulas
     "cdx_columnar" ->
@@ -8361,6 +8502,25 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'revisit' ELSE 'response' END AS rec_type,
         |  doc_id % 3 = 0 AS replayed,
         |  CAST(strlen(html) AS BIGINT) AS entity_length
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the chain arms replayed from the planting formulas: direct 0
+    // hops, single-301 1 hop, 2-chain 2 hops, cycles unresolved (-1)
+    // serving the 5-byte redirect body; resolved arms serve the
+    // terminal page's exact byte length
+    "pipeline_wayback_redirects" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+        |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>' ||
+        |  '<h1>Redirect target</h1><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><footer>(c) graft corpus</footer></body></html>' AS html
+        |  FROM d)
+        |SELECT doc_id,
+        |  doc_id % 4 <> 3 AS resolved,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE doc_id % 4 END AS BIGINT) AS hops,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 5 ELSE strlen(html) END AS BIGINT) AS entity_length
         |FROM h ORDER BY doc_id""".stripMargin,
 
     // Crawl-delay is fixed per domain arm (absent → the 1s default),

@@ -70,7 +70,13 @@ object CdxIndex {
     val livePath = new org.apache.hadoop.fs.Path(dir)
     val fs = livePath.getFileSystem(hconf)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    cdx.repartitionByRange(nShards, sortCols.map(col): _*)
+    // a NULL range key is unaddressable by this index (and the cluster
+    // lo/hi — min/max skip nulls — could not admit it anyway): drop it
+    // HERE so every entry point (buildTable, buildDigestIndex,
+    // initMaster/appendCrawl with any key) behaves identically instead
+    // of leaving the digest-master incremental path caller-disciplined
+    cdx.filter(col(key).isNotNull)
+      .repartitionByRange(nShards, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$staging/cdx")
     // cluster.idx analog: one column-pruned pass over the shards just
@@ -109,7 +115,7 @@ object CdxIndex {
   val DigestKey: Seq[String] = Seq("digest", "surt", "ts")
 
   def buildDigestIndex(cdx: DataFrame, dir: String, nShards: Int): Unit =
-    buildTableKeyed(cdx.filter(col("digest").isNotNull), dir, nShards, DigestKey)
+    buildTableKeyed(cdx, dir, nShards, DigestKey) // null digests drop in buildTableKeyed
 
   /** Every capture of one content digest, scanning only the shards the
     * digest index's cluster table admits. Exact key: digests are
@@ -163,27 +169,52 @@ object CdxIndex {
     else fs.listStatus(dirPath).map(_.getPath)
       .filter(p => p.getName.matches("manifest-\\d{8}")).sortBy(_.getName).toSeq
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Seq[String] = {
+  /** One manifest line: the generation basename plus the EPOCH TAGS it
+    * covers (comma-joined after a tab; absent for untagged batch
+    * appends). Tags are the exactly-once ledger for streaming appends
+    * ([[appendEpoch]]): they ride the manifest line so the
+    * "generation published" and "epoch recorded" facts commit in ONE
+    * atomic rename — a separate ledger file would leave a crash window
+    * on either side (recorded-but-unpublished loses captures,
+    * published-but-unrecorded double-counts them on replay).
+    * Compactions carry the folded generations' tags onto the output
+    * generation, so a late replay of a long-compacted epoch still
+    * no-ops.
+    */
+  private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Seq[String])] = {
     val in = fs.open(p)
     val bytes =
       try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       finally in.close()
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { line =>
+        val cut = line.indexOf('\t')
+        if (cut < 0) (line, Seq.empty)
+        else (line.substring(0, cut),
+          line.substring(cut + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      }
   }
 
-  /** Publish the next manifest (gen basenames, oldest first) — write
-    * the temp, rename into the numbered name. Returns the new id.
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    readManifestEntries(fs, p).map(_._1)
+
+  /** Publish the next manifest (generation entries, oldest first) —
+    * write the temp, rename into the numbered name. Returns the new id.
     */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dirPath: org.apache.hadoop.fs.Path, gens: Seq[String]): Int = {
+      dirPath: org.apache.hadoop.fs.Path, entries: Seq[(String, Seq[String])]): Int = {
     val id = manifestFiles(fs, dirPath).lastOption
       .map(_.getName.stripPrefix("manifest-").toInt).getOrElse(0) + 1
     val fin = new org.apache.hadoop.fs.Path(dirPath, f"manifest-$id%08d")
     val tmp = new org.apache.hadoop.fs.Path(dirPath, f"manifest-$id%08d.tmp")
+    val lines = entries.map { case (gen, tags) =>
+      if (tags.isEmpty) gen else gen + "\t" + tags.mkString(",")
+    }
     val out = fs.create(tmp, true)
-    try out.write((gens.mkString("\n") + "\n")
+    try out.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, fin), s"CdxIndex: could not publish $fin")
@@ -234,7 +265,7 @@ object CdxIndex {
       writeKeyFile(fs, dirPath, sortCols)
       val gen = "gen-00000001"
       buildTableKeyed(cdx, s"$dir/$gen", nShards, sortCols)
-      publishManifest(fs, dirPath, Seq(gen)); ()
+      publishManifest(fs, dirPath, Seq(gen -> Seq.empty)); ()
     }
   }
 
@@ -298,41 +329,179 @@ object CdxIndex {
     */
   def appendCrawl(cdx: DataFrame, dir: String, nShards: Int,
       sortCols: Seq[String] = Seq("surt", "ts")): Unit = {
+    val appended = appendTagged(cdx, dir, nShards, sortCols, None)
+    assert(appended, "untagged appends always append") // tag-gating is the only no-op path
+  }
+
+  /** EXACTLY-ONCE append for streaming maintenance: appends `cdx` as a
+    * new generation TAGGED with `epochTag` — a replay of an
+    * already-appended tag is a no-op (returns false), so a
+    * `foreachBatch` crash-replay cannot double-count an epoch's
+    * captures. The tag and the generation publish in ONE manifest
+    * rename (see [[readManifestEntries]]); [[compact]] carries folded
+    * tags forward, so the guarantee survives compactions. The first
+    * epoch CREATES the master (recording `sortCols` as its key) — one
+    * code path for the whole stream, no out-of-band initMaster step.
+    *
+    * This is the `foreachBatch` twin of
+    * [[graft.operators.CrawlFrontier.ingest]]'s staged-idempotence
+    * discipline: the crash window between generation promote and
+    * manifest publish leaves only an ORPHAN generation dir (never
+    * referenced, reclaimed by [[vacuum]]) — the replay appends afresh
+    * and the master holds the epoch exactly once.
+    */
+  def appendEpoch(cdx: DataFrame, dir: String, nShards: Int, epochTag: String,
+      sortCols: Seq[String] = Seq("surt", "ts")): Boolean = {
+    require(epochTag.nonEmpty && epochTag.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == ':'),
+      s"CdxIndex: epoch tag '$epochTag' must be a plain token (it rides a " +
+        "tab/comma-delimited manifest line)")
+    appendTagged(cdx, dir, nShards, sortCols, Some(epochTag))
+  }
+
+  private def appendTagged(cdx: DataFrame, dir: String, nShards: Int,
+      sortCols: Seq[String], tag: Option[String]): Boolean = {
     val spark = cdx.sparkSession
     val (dirPath, fs) = masterFs(spark, dir)
+    fs.mkdirs(dirPath)
     graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
       val prev = manifestFiles(fs, dirPath).lastOption match {
-        case Some(m) => readManifest(fs, m)
+        case Some(m) => Some(readManifestEntries(fs, m))
+        case None if tag.isDefined =>
+          // first epoch of a stream: create the master in-line (the
+          // same already-an-index check initMaster runs, inside the
+          // same lease)
+          require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cluster")),
+            s"CdxIndex: $dir holds a single-table index — appendEpoch needs the " +
+              "generational layout")
+          writeKeyFile(fs, dirPath, sortCols)
+          None
         case None => throw new IllegalStateException(
           s"CdxIndex: $dir has no manifest — initMaster first (or keep using " +
             "buildTable for the single-table layout)")
       }
-      requireSameKey(fs, dirPath, sortCols)
-      val id = prev.map(_.stripPrefix("gen-").toInt).max + 1
-      val gen = f"gen-$id%08d"
-      buildTableKeyed(cdx, s"$dir/$gen", nShards, sortCols)
-      publishManifest(fs, dirPath, prev :+ gen); ()
+      if (tag.exists(t => prev.exists(_.exists(_._2.contains(t))))) false
+      else {
+        requireSameKey(fs, dirPath, sortCols)
+        val entries = prev.getOrElse(Seq.empty)
+        val id = entries.map(_._1.stripPrefix("gen-").toInt).foldLeft(0)(_ max _) + 1
+        val gen = f"gen-$id%08d"
+        buildTableKeyed(cdx, s"$dir/$gen", nShards, sortCols)
+        publishManifest(fs, dirPath, entries :+ (gen -> tag.toSeq))
+        true
+      }
     }
   }
 
-  /** The periodic leveled compaction: fold every live generation into
-    * ONE freshly range-partitioned generation (this is the only
-    * O(archive) pass, run on YOUR schedule instead of on every merge)
-    * and publish a manifest naming just it. Old generations stay on
-    * disk for pinned readers until [[vacuum]].
+  /** The FULL compaction: fold every live generation into ONE freshly
+    * range-partitioned generation (the only O(archive) pass, run on
+    * YOUR schedule instead of on every merge) and publish a manifest
+    * naming just it. Old generations stay on disk for pinned readers
+    * until [[vacuum]]. Folded epoch tags carry onto the output
+    * generation, so [[appendEpoch]]'s replay guarantee survives. For
+    * the bounded variant that never rewrites the big base generation,
+    * pass `maxGens` (the size-tiered overload below).
     */
-  def compact(spark: SparkSession, dir: String, nShards: Int): Unit = {
+  def compact(spark: SparkSession, dir: String, nShards: Int): Unit =
+    compactGens(spark, dir, nShards, all => all)
+
+  /** SIZE-TIERED compaction: when more than `maxGens` generations are
+    * live, fold only the SMALLEST `liveCount - maxGens + 1` of them
+    * (by on-disk bytes) into one — the LSM discipline that bounds each
+    * maintenance pass's IO to the small generations it folds instead
+    * of rewriting the whole archive every time. Repeated appends +
+    * tiered passes keep the generation count ≤ `maxGens` while the big
+    * base generation is rewritten only when it is itself among the
+    * smallest (i.e. O(log archive) times over the archive's life —
+    * the same incremental-ledger shape as the reference's GTID
+    * compaction, dtle `driver/mysql/applier_gtid_executed.go:248-291`,
+    * which folds every 2048 rows per SID and never rewrites the whole
+    * ledger). At or under `maxGens` the pass is a FREE no-op (no
+    * manifest republish). Lookups are unaffected either way: answers
+    * are generation-order-independent (captures only accumulate), and
+    * in-flight readers hold their pinned manifest.
+    */
+  def compact(spark: SparkSession, dir: String, nShards: Int, maxGens: Int): Unit = {
+    require(maxGens >= 1, "maxGens must be at least 1")
+    compactGens(spark, dir, nShards, { entries =>
+      if (entries.size <= maxGens) Seq.empty
+      else {
+        val (_, fs) = masterFs(spark, dir)
+        val sized = entries.map { case e @ (gen, _) =>
+          e -> fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$dir/$gen")).getLength
+        }
+        sized.sortBy(_._2).take(entries.size - maxGens + 1).map(_._1)
+      }
+    })
+  }
+
+  /** Shared fold: `pick` chooses which live entries fold (all of them,
+    * or the size-tiered smallest); picking none (or one) is a no-op.
+    * The output generation replaces the folded entries at the END of
+    * the manifest and inherits their tags, unfolded entries keep their
+    * order — order never affects answers, only which bytes the next
+    * tiered pass weighs.
+    */
+  private def compactGens(spark: SparkSession, dir: String, nShards: Int,
+      pick: Seq[(String, Seq[String])] => Seq[(String, Seq[String])]): Unit = {
     val (dirPath, fs) = masterFs(spark, dir)
     graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
       val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
         throw new IllegalStateException(s"CdxIndex: $dir has no manifest to compact"))
-      val prev = readManifest(fs, m)
-      val id = prev.map(_.stripPrefix("gen-").toInt).max + 1
+      val entries = readManifestEntries(fs, m)
+      val fold = pick(entries)
+      if (fold.size > 1) {
+        val foldSet = fold.map(_._1).toSet
+        val keep = entries.filterNot(e => foldSet.contains(e._1))
+        val id = entries.map(_._1.stripPrefix("gen-").toInt).max + 1
+        val gen = f"gen-$id%08d"
+        buildTableKeyed(
+          fold.map(e => spark.read.parquet(s"$dir/${e._1}/cdx")).reduce(_ unionByName _),
+          s"$dir/$gen", nShards, readKeyFile(fs, dirPath))
+        publishManifest(fs, dirPath,
+          keep :+ (gen -> fold.flatMap(_._2).distinct)); ()
+      }
+    }
+  }
+
+  /** The companion maintenance step to [[WarcIo.compactArchives]]:
+    * that pass rewrites the archive's physical layout (new part files,
+    * shifted offsets) and thereby invalidates every pointer a master
+    * built from the OLD sidecars carries — this helper closes that
+    * window by construction instead of by operator discipline: it
+    * rebuilds the master from the archive dir's REWRITTEN committed
+    * sidecars as one fresh generation and publishes a manifest naming
+    * just it. Every epoch tag the previous manifest carried rides onto
+    * the new generation (the rebuilt sidecars COVER those epochs'
+    * captures — post-compaction they are indistinguishable parts of
+    * the one archive), so a late streaming replay still no-ops. Old
+    * generations stay for manifest-pinned readers until [[vacuum]] —
+    * their index ROWS stay correct; only their archive pointers are
+    * stale, which the per-dir manifest gate in `fetchByCdx` catches
+    * loudly. Run the pair back-to-back:
+    * {{{
+    *   WarcIo.compactArchives(spark, warcDir, targetBytes)
+    *   CdxIndex.refreshFromArchive(spark, warcDir, masterDir, nShards)
+    * }}}
+    * The master keeps its recorded sort key (primary or digest), so
+    * one archive can refresh both masters.
+    */
+  def refreshFromArchive(spark: SparkSession, archiveDir: String,
+      masterDir: String, nShards: Int): Unit = {
+    val (dirPath, fs) = masterFs(spark, masterDir)
+    graft.operators.CrawlFrontier.withWriterLock(spark, masterDir) {
+      val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"CdxIndex: $masterDir has no manifest — refreshFromArchive maintains an " +
+            "existing generational master; initMaster first"))
+      val tags = readManifestEntries(fs, m).flatMap(_._2).distinct
+      val id = manifestFiles(fs, dirPath)
+        .flatMap(readManifest(fs, _)).map(_.stripPrefix("gen-").toInt)
+        .foldLeft(0)(_ max _) + 1
       val gen = f"gen-$id%08d"
-      buildTableKeyed(
-        prev.map(g => spark.read.parquet(s"$dir/$g/cdx")).reduce(_ unionByName _),
-        s"$dir/$gen", nShards, readKeyFile(fs, dirPath))
-      publishManifest(fs, dirPath, Seq(gen)); ()
+      buildTableKeyed(WarcIo.readCdxjCommitted(spark, archiveDir),
+        s"$masterDir/$gen", nShards, readKeyFile(fs, dirPath))
+      publishManifest(fs, dirPath, Seq(gen -> tags)); ()
     }
   }
 
@@ -450,16 +619,20 @@ object CdxIndex {
     * construction like every lookup.
     */
   def lookupBatch(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
-    // evaluation contract (the probeNew trade): the keys plan runs
-    // TWICE — once for shard discovery, once in the semi join — so
-    // callers with an expensive or NON-DETERMINISTIC upstream must
-    // pass a persisted frame (a key materializing only in the second
-    // run would scan files the pruning pass never admitted)
     requireLookupKey(spark, dir, "surt")
     val gens = resolveGens(spark, dir)
+    // the keys plan is consumed TWICE — once for shard discovery, once
+    // in the semi join — so it is MATERIALIZED here (localCheckpoint:
+    // lineage truncated, blocks pinned) before either pass reads it. A
+    // non-deterministic or expensive upstream therefore cannot desync
+    // the two passes (a key materializing only in the second run would
+    // scan files the pruning pass never admitted → silent misses); if
+    // the checkpointed blocks are lost the job fails LOUDLY instead of
+    // recomputing divergent keys.
+    val pinned = keys.select(col("surt")).localCheckpoint()
     val clusters = spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
       .select(col("file"), col("lo"), col("hi"), input_file_name().as("cf"))
-    val files = keys.select(col("surt").as("__k"))
+    val files = pinned.select(col("surt").as("__k"))
       .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
       .select(col("file"), col("cf")).distinct()
       .collect().toSeq
@@ -469,7 +642,7 @@ object CdxIndex {
       spark.read.parquet(s"${gens.head}/cdx").limit(0)
     else
       spark.read.parquet(files: _*)
-        .join(keys.select(col("surt")).hint("shuffle_hash"), Seq("surt"), "left_semi")
+        .join(pinned.hint("shuffle_hash"), Seq("surt"), "left_semi")
   }
 
   /** All captures under a raw SURT STRING prefix — `"com,example)"` is

@@ -899,16 +899,30 @@ object WarcIo {
     * dir recoverable from `.stale` files, never a mix.
     *
     * Offsets in OTHER indexes (a CdxIndex built from the old sidecars)
-    * are invalidated by design — rebuild from the new sidecars, the
-    * same contract every physical-layout compactor has. Sidecar lines
-    * must carry the engine's `"offset":"N"` spelling ([[cdxjLine]] or
-    * [[readCdxClassic]]-shaped ingest both do); a line without it
-    * fails the job loudly rather than committing a silently stale
-    * pointer.
+    * are invalidated by design — rebuild from the new sidecars
+    * ([[graft.sources.CdxIndex.refreshFromArchive]] does it in the
+    * same maintenance pass), the same contract every physical-layout
+    * compactor has. Sidecar lines must carry the engine's
+    * `"offset":"N"` spelling ([[cdxjLine]] or [[readCdxClassic]]-shaped
+    * ingest both do); a line without it fails the job loudly rather
+    * than committing a silently stale pointer. A collection-relative
+    * filename prefix (`crawl1/part-N.warc.gz`, the merged-master
+    * layout) is DERIVED per line from the existing filename field —
+    * never caller-supplied, so compacting a prefixed collection cannot
+    * silently strip the prefix and repoint a merged index at the wrong
+    * directory.
+    *
+    * Destructive mutator discipline: the whole pass runs under the
+    * same exclusive `_writer.lock` lease every other mutator holds
+    * (CdxIndex.initMaster/appendCrawl/compact/vacuum, the frontier) —
+    * two concurrent compactions, or a concurrent [[writeWarc]] on the
+    * same dir, fail loudly instead of interleaving beyond the
+    * documented crash-recovery cases.
     */
-  def compactArchives(spark: SparkSession, dir: String, targetBytes: Long,
-      filenamePrefix: String = ""): (Seq[String], Seq[String]) = {
+  def compactArchives(spark: SparkSession, dir: String,
+      targetBytes: Long): (Seq[String], Seq[String]) = {
     require(targetBytes > 0, "targetBytes must be positive")
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
     val hconf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = warcFs(dirPath, hconf)
@@ -948,7 +962,6 @@ object WarcIo {
       require(warcs.forall(w => cdxNames.contains(w._1.stripSuffix(".warc.gz") + ".cdx.gz")),
         s"compactArchives: $dir has archive parts without sidecars — compact only " +
           "writeWarcWithCdx output (pointers must be rewritable)")
-      if (warcs.isEmpty) return (Seq.empty, Seq.empty)
       // first-fit groups of whole parts; a part already ≥ target rides alone.
       // Each group = one output part: (sources in order, each with its base)
       val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long)]]
@@ -962,16 +975,17 @@ object WarcIo {
         curBytes += size
       }
       if (cur.nonEmpty) groups += cur
+      if (warcs.isEmpty) (Seq.empty, Seq.empty)
       // already compact (every group is one source): a rewrite would
       // read+write the whole archive for zero consolidation — periodic
       // maintenance on a settled dir must be free
-      if (groups.forall(_.size == 1)) {
+      else if (groups.forall(_.size == 1)) {
         val keepW = warcs.map(w =>
           fs.makeQualified(new org.apache.hadoop.fs.Path(dirPath, w._1)).toString)
         val keepC = warcs.map(w => fs.makeQualified(new org.apache.hadoop.fs.Path(
           dirPath, w._1.stripSuffix(".warc.gz") + ".cdx.gz")).toString)
-        return (keepW, keepC)
-      }
+        (keepW, keepC)
+      } else {
       // gate readers for the rewrite window (the writeWarc discipline),
       // and sweep attempt-temp residue a crashed task may have left —
       // orphan multi-hundred-MB temps must not accumulate across
@@ -1023,7 +1037,7 @@ object WarcIo {
                   var line = cin.readLine()
                   while (line != null) {
                     if (line.nonEmpty)
-                      cout.write((shiftCdxjLine(line, base, filenamePrefix + warcName) + "\n")
+                      cout.write((shiftCdxjLine(line, base, warcName) + "\n")
                         .getBytes(UTF_8))
                     line = cin.readLine()
                   }
@@ -1044,16 +1058,23 @@ object WarcIo {
       writeManifest(fs, dirPath, committed)
       parked.foreach(fs.delete(_, false))
       (committed.filter(_.endsWith(".warc.gz")), committed.filter(_.endsWith(".cdx.gz")))
+      }
     } finally fs.close()
+    }
   }
 
   /** Rewrite one CDXJ line for a compaction move: `offset` shifts by
-    * `base`, `filename` becomes the new part. Loud when the line does
-    * not carry the engine's `"offset":"N"` / `"filename":"…"` fields —
-    * committing a pointer we could not rewrite would serve wrong bytes
-    * forever.
+    * `base`, `filename` becomes the new part BASENAME under the
+    * source's own collection-relative prefix — the prefix (everything
+    * through the old value's last `/`, preserved in its original JSON
+    * escaping) is derived from the line itself, never caller-supplied,
+    * so a prefixed collection (`crawl1/part-N.warc.gz`) keeps resolving
+    * against the right directory after compaction. Loud when the line
+    * does not carry the engine's `"offset":"N"` / `"filename":"…"`
+    * fields — committing a pointer we could not rewrite would serve
+    * wrong bytes forever.
     */
-  private[graft] def shiftCdxjLine(line: String, base: Long, newFilename: String): String = {
+  private[graft] def shiftCdxjLine(line: String, base: Long, newBasename: String): String = {
     // rewrite ONLY inside the JSON block: a SURT key can legally carry
     // double quotes (surtKey percent-encodes only control bytes), so a
     // crafted URL could place a fake "offset":"0" in the KEY — matching
@@ -1077,9 +1098,13 @@ object WarcIo {
     }
     val renamed = fileRe.findAllMatchIn(shifted).toSeq.lastOption match {
       case Some(m) =>
-        val sb = new java.lang.StringBuilder(newFilename.length + 2)
-        JsonBinary.appendJsonString(newFilename, sb)
-        shifted.substring(0, m.start) + s""""filename":${sb.toString}""" +
+        // the old value's escaped text up to and including its last
+        // '/' passes through VERBATIM (already-valid JSON escapes, and
+        // an escaped "\/" still ends in '/'); the basename is the
+        // engine's part-NNNNN spelling, escape-free by construction
+        val oldEscaped = m.group(1)
+        val prefix = oldEscaped.substring(0, oldEscaped.lastIndexOf('/') + 1)
+        shifted.substring(0, m.start) + s""""filename":"$prefix$newBasename"""" +
           shifted.substring(m.end)
       case None => throw new IllegalArgumentException(
         s"compactArchives: sidecar line carries no rewritable filename: ${line.take(120)}")
@@ -1326,12 +1351,17 @@ object WarcIo {
     // status fails LOUDLY per row — a silent null from the cast would
     // surface later as an opaque encoding failure (or a dropped
     // pointer) in fetchByCdx, the same fail-loud discipline
-    // readCdxClassic and CdxIndex.changeStats apply
+    // readCdxClassic and CdxIndex.changeStats apply. The ONE exception
+    // is the literal '-': classic CDX tooling's null placeholder,
+    // which some indexers carry into CDXJ (revisit rows especially) —
+    // it nulls out like readCdxClassic's fields do, so external files
+    // ingest instead of aborting the whole read.
     def num(c: org.apache.spark.sql.Column, t: String,
         what: String): org.apache.spark.sql.Column =
-      when(c.isNotNull && c.cast(t).isNull,
-        raise_error(concat(lit(s"readCdxj: non-numeric $what '"), c, lit("'")))
-          .cast(t))
+      when(c === "-", lit(null).cast(t))
+        .when(c.isNotNull && c.cast(t).isNull,
+          raise_error(concat(lit(s"readCdxj: non-numeric $what '"), c, lit("'")))
+            .cast(t))
         .otherwise(c.cast(t))
     spark.read.textFile(paths: _*).toDF("line")
       .filter(length(trim(col("line"))) > 0)
@@ -1623,9 +1653,13 @@ object WarcIo {
     * the silent-corruption case.
     *
     * Output mirrors [[fetchByCdx]] plus a `replayed` flag; for revisit
-    * rows `payload`/`content_length` carry the ORIGINAL's bytes while
+    * rows `payload`/`content_length` carry the ORIGINAL's bytes (and
+    * `filename`/`offset` the original's pointer) while
     * `rec_type`/`record_id`/`warc_date` keep the resolved capture's
     * identity (what was requested vs what bytes serve it).
+    * `src_filename`/`src_offset` always carry the REQUESTED pointer —
+    * the stable join-back identity for callers stitching replayed
+    * bytes to their request rows ([[replayRedirects]] does).
     *
     * Scale shape: one ranged fetch for the request set, one as-of join
     * keyed on (surt, digest) against the index (revisit rows only —
@@ -1638,8 +1672,10 @@ object WarcIo {
     import org.apache.spark.sql.functions._
     val outCols = Seq("filename", "offset", "rec_type", "target_uri", "warc_date",
       "record_id", "content_type", "content_length", "payload", "payload_digest")
-      .map(col) :+ col("replayed")
+      .map(col) ++ Seq(col("replayed"), col("src_filename"), col("src_offset"))
     val fetched = fetchByCdx(resolved, dir, maxPayloadBytes)
+      .withColumn("src_filename", col("filename"))
+      .withColumn("src_offset", col("offset"))
     val direct = fetched.filter(col("rec_type") =!= "revisit")
       .withColumn("replayed", lit(false))
     val revisits = fetched.filter(col("rec_type") === "revisit")
@@ -1688,6 +1724,130 @@ object WarcIo {
       .withColumn("content_length", col("__orig_len"))
       .withColumn("replayed", lit(true))
     direct.select(outCols: _*).unionByName(stitched.select(outCols: _*))
+  }
+
+  /** Resolve an HTTP `Location` reference against the request URL —
+    * RFC 3986 reference resolution (absolute refs pass through;
+    * protocol-relative, path-absolute and relative refs resolve
+    * against the base). None when the reference cannot be parsed — a
+    * malformed Location is a MISSING TARGET for [[replayRedirects]]
+    * (loud only when a requested chain actually crosses it), never a
+    * whole-job crash on one bad capture.
+    */
+  private[graft] def resolveLocation(base: String, ref: String): Option[String] = {
+    val r = ref.trim
+    if (r.isEmpty) None
+    else try {
+      val refU = new java.net.URI(r)
+      if (refU.isAbsolute) Some(refU.toString)
+      else Some(new java.net.URI(base).resolve(refU).toString)
+    } catch { case _: Exception => None }
+  }
+
+  /** [[replay]] OVER REDIRECTS — the full wayback consumer loop: a
+    * captured 3xx must not dead-end at its own bytes; real replay
+    * follows the Location header to the capture of the TARGET url at
+    * the same instant, across chains, with a hop bound.
+    *
+    * Scale shape — the redirect graph is an INDEX asset, not a
+    * per-request walk: every 3xx capture the index knows (status
+    * 300–399; the small minority of an archive) is ranged-fetched ONCE
+    * to extract its Location, each edge's destination resolves with
+    * one as-of join (the capture of the target surt at or before the
+    * SOURCE capture's own instant — the crawl's temporal coherence),
+    * and the whole graph collapses to terminals by
+    * [[graft.operators.CrawlFrontier.resolveRedirects]]'s pointer
+    * doubling — ⌈log₂(maxHops+1)⌉ hash-join rounds bound `maxHops`-long
+    * chains, never maxHops sequential joins. Requests then route
+    * through the jump table with one hash join, terminals fetch via
+    * [[replay]] (revisit indirection included). Nothing is collected;
+    * nothing request-sized or index-sized lands on the driver.
+    *
+    * Contract: a requested chain reaching a target with NO capture at
+    * or before the hop's instant fails LOUDLY (serving the 3xx page as
+    * if it were the content is the silent-corruption case); a cycle
+    * (or a chain past `maxHops`) comes back `resolved = false` with
+    * the last-reached redirect capture's bytes, so the caller can
+    * surface it. A 3xx that carries no (parseable) Location is
+    * TERMINAL — its own bytes serve. Output mirrors [[replay]] with
+    * `src_filename`/`src_offset` = the REQUESTED pointer,
+    * `filename`/`offset` = the pointer whose bytes serve, plus `hops`
+    * and `resolved`.
+    */
+  def replayRedirects(requests: DataFrame, index: DataFrame, dir: String,
+      maxHops: Int = 8, maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = requests.sparkSession
+    import spark.implicits._
+    require(maxHops >= 1, "maxHops must be at least 1")
+    def node(f: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column) =
+      concat(f, lit("|"), o.cast("string"))
+    // the archive's redirect graph: every 3xx capture with a pointer
+    // (revisit rows are payload-free — no Location to read; their
+    // originals are reachable as captures of the same surt)
+    val threes = index.filter(col("status").isNotNull &&
+        col("status").between(300, 399) &&
+        (col("mime").isNull || col("mime") =!= "warc/revisit") &&
+        col("filename").isNotNull && col("offset").isNotNull && col("length").isNotNull)
+      .select(col("filename"), col("offset"), col("length")).distinct()
+    val hops3 = fetchByCdx(threes, dir, maxPayloadBytes)
+      .select(col("filename"), col("offset"), col("target_uri"),
+        col("warc_date"), col("payload"))
+      .as[(String, Long, String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (f, o, uri, date, payload) =>
+        parseHttpResponse(payload).header("Location")
+          .flatMap(l => resolveLocation(uri, l))
+          .map(abs => (f, o, abs, date.filter(_.isDigit).take(14)))
+      }).toDF("filename", "offset", "loc_url", "src_ts")
+      .withColumn("loc_surt", call_function("graft_surt", col("loc_url")))
+    // each edge's destination: the captured target as of the SOURCE
+    // capture's own instant; a miss becomes a 'missing|<surt>' sentinel
+    // node — terminal in the walk, loud only if a request reaches it
+    val targets = index
+      .filter(col("filename").isNotNull && col("offset").isNotNull)
+      .select(col("surt").as("t_surt"), col("ts").as("t_ts"),
+        col("filename").as("t_f"), col("offset").as("t_o"))
+    val edges = graft.operators.AsOfJoin.asOf(hops3, targets,
+      "loc_surt", "t_surt", "src_ts", "t_ts", payload = Seq("t_f", "t_o"))
+      .select(node(col("filename"), col("offset")).as("url"),
+        when(col("t_f").isNotNull, node(col("t_f"), col("t_o")))
+          .otherwise(concat(lit("missing|"), col("loc_surt"))).as("location"))
+    val jumps = graft.operators.CrawlFrontier
+      .resolveRedirects(edges, "url", "location", maxHops)
+      .select(col("url").as("__n"), col("final_url").as("__t"),
+        col("hops"), col("resolved"))
+    // route the request set: non-3xx entries are not in the jump table
+    // and terminate at themselves (hops 0)
+    val routed = requests.select(col("filename"), col("offset"))
+      .withColumn("__n", node(col("filename"), col("offset")))
+      .join(jumps.hint("shuffle_hash"), Seq("__n"), "left")
+      .select(col("filename").as("src_filename"), col("offset").as("src_offset"),
+        coalesce(col("__t"), col("__n")).as("__t"),
+        coalesce(col("hops"), lit(0L)).as("hops"),
+        coalesce(col("resolved"), lit(true)).as("resolved"))
+      .withColumn("__t",
+        when(col("__t").startsWith("missing|"),
+          raise_error(concat(lit("replayRedirects: no capture of redirect target "),
+            substring(col("__t"), 9, 1 << 20),
+            lit(" at or before the redirecting capture's instant")))
+            .cast("string"))
+          .otherwise(col("__t")))
+    // terminal pointers (offset = the node id's LAST |-segment, so a
+    // '|' in a filename cannot misparse) recover their length from the
+    // index and fetch through replay — revisit terminals follow the
+    // digest indirection like any other replay
+    val termPtrs = routed.select(col("__t")).distinct()
+      .withColumn("offset", substring_index(col("__t"), "|", -1).cast("long"))
+      .withColumn("filename", expr(
+        "substring(__t, 1, length(__t) - length(substring_index(__t, '|', -1)) - 1)"))
+      .join(index.select(col("filename"), col("offset"), col("length")).distinct(),
+        Seq("filename", "offset"))
+    val served = replay(termPtrs.select(col("filename"), col("offset"), col("length")),
+      index, dir, maxPayloadBytes)
+      .withColumn("__t", node(col("src_filename"), col("src_offset")))
+      .drop("src_filename", "src_offset")
+    routed.join(served.hint("shuffle_hash"), Seq("__t"))
+      .drop("__t")
   }
 
   def fetchByCdx(cdx: DataFrame, dir: String,

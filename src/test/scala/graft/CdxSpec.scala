@@ -440,6 +440,56 @@ class CdxSpec extends SparkSpec {
       Option(e2.getCause).exists(_.toString.contains("is itself a revisit")))
   }
 
+  test("replayRedirects: chains resolve to terminal bytes; cycles unresolved; missing loud") {
+    import spark.implicits._
+    val root = TempDirs.scratch("cdx_redir_")
+    def http200(body: String) = WarcIo.buildHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/plain"), body.getBytes(UTF_8))
+    def http301(loc: Option[String]) = WarcIo.buildHttpResponse(301, "Moved",
+      Seq("Content-Type" -> "text/html") ++ loc.map("Location" -> _),
+      "moved".getBytes(UTF_8))
+    val rows = Seq(
+      "/d/1" -> http200("terminal one"),
+      "/r/1" -> http301(Some("/d/1")), // RELATIVE Location
+      "/q/5" -> http301(Some("http://rd.example.org/r/1")), // 2-hop entry
+      "/r/2" -> http301(Some("/m/2")), // target NEVER captured
+      "/a/3" -> http301(Some("/b/3")), // 2-cycle
+      "/b/3" -> http301(Some("/a/3")),
+      "/n/4" -> http301(None) // a 3xx with no Location is terminal
+    ).map { case (p, payload) =>
+      ("response", s"http://rd.example.org$p", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor("rr:" + p), "application/http; msgtype=response", payload)
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+    WarcIo.writeWarcWithCdx(rows, root)
+    val index = WarcIo.readCdxjCommitted(spark, root)
+    def req(paths: String*) = index
+      .filter(col("url").isin(paths.map(p => s"http://rd.example.org$p"): _*))
+      .select(col("filename"), col("offset"))
+    def run(paths: String*) = WarcIo.replayRedirects(req(paths: _*), index, root)
+      .collect().map { r =>
+        val body = new String(WarcIo.parseHttpResponse(
+          r.getAs[Array[Byte]]("payload")).body, UTF_8)
+        (r.getAs[Long]("hops"), r.getAs[Boolean]("resolved"), body,
+          r.getAs[String]("target_uri"))
+      }.toSeq
+    // direct (0 hops), one RELATIVE hop, a 2-hop chain — all serve the
+    // terminal page's bytes and report their hop counts
+    assert(run("/d/1") == Seq((0L, true, "terminal one", "http://rd.example.org/d/1")))
+    assert(run("/r/1") == Seq((1L, true, "terminal one", "http://rd.example.org/d/1")))
+    assert(run("/q/5") == Seq((2L, true, "terminal one", "http://rd.example.org/d/1")))
+    // a Location-less 3xx terminates at its own bytes
+    assert(run("/n/4") == Seq((0L, true, "moved", "http://rd.example.org/n/4")))
+    // cycles come back resolved=false with a redirect capture's bytes
+    val cyc = run("/a/3", "/b/3")
+    assert(cyc.length == 2 && cyc.forall(t => !t._2 && t._3 == "moved"), s"got $cyc")
+    // a requested chain into an UNCAPTURED target is loud — and the
+    // loudness is per-request: the healthy chains above already ran
+    // against the same index (which contains the dangling edge)
+    val e = intercept[Exception] { run("/r/2") }
+    assert(e.toString.contains("no capture of redirect target") ||
+      Option(e.getCause).exists(_.toString.contains("no capture of redirect target")))
+  }
+
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
     import spark.implicits._
     val mk = (url: String, ts: String, dg: String) =>
@@ -562,6 +612,146 @@ class CdxSpec extends SparkSpec {
     assert(CdxIndex.readMaster(spark, dir).count() == 1200)
     // single-writer discipline: no lock residue after the mutators
     assert(!new java.io.File(dir, "_writer.lock").exists())
+  }
+
+  test("LSM master: size-tiered compact folds only the smallest generations") {
+    val dir = TempDirs.scratch("cdx_tier_")
+    val cdx = corpus(3000)
+    // one BIG base crawl + three small appends
+    CdxIndex.initMaster(cdx.filter(col("offset") < 2400), dir, nShards = 6)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 2400 && col("offset") < 2600),
+      dir, nShards = 2)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 2600 && col("offset") < 2800),
+      dir, nShards = 2)
+    CdxIndex.appendCrawl(cdx.filter(col("offset") >= 2800), dir, nShards = 2)
+    val baseDir = new java.io.File(dir, "gen-00000001/cdx")
+    val baseBefore = baseDir.listFiles().map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+    val manifestsBefore = new java.io.File(dir).list().count(_.matches("manifest-\\d{8}"))
+    // fold down to 2 generations: the three small appends merge, the
+    // big base generation's bytes are NEVER read or rewritten
+    CdxIndex.compact(spark, dir, nShards = 4, maxGens = 2)
+    assert(baseDir.listFiles().map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+      == baseBefore, "the base generation must ride through a tiered pass untouched")
+    CdxIndex.vacuum(spark, dir, keepManifests = 1)
+    val gens = new java.io.File(dir).list().filter(_.matches("gen-\\d{8}")).sorted
+    assert(gens.length == 2 && gens.head == "gen-00000001",
+      s"expected base + one folded generation, got ${gens.toSeq}")
+    // answers unchanged: every row exactly once, lookups identical to brute
+    assert(CdxIndex.readMaster(spark, dir).count() == 3000)
+    val prefix = "org,site3,h17)"
+    assert(CdxIndex.lookupPrefix(spark, dir, prefix)
+      .orderBy("surt", "ts").collect().map(_.toSeq).toSeq ==
+      cdx.filter(col("surt").startsWith(prefix))
+        .orderBy("surt", "ts").collect().map(_.toSeq).toSeq)
+    // at or under maxGens the pass is a FREE no-op: no manifest republish
+    val manifestsAfter = new java.io.File(dir).list().count(_.matches("manifest-\\d{8}"))
+    CdxIndex.compact(spark, dir, nShards = 4, maxGens = 2)
+    assert(new java.io.File(dir).list().count(_.matches("manifest-\\d{8}")) == manifestsAfter)
+    assert(manifestsAfter <= manifestsBefore + 1) // tiered pass published exactly one
+  }
+
+  test("appendEpoch: a replayed epoch no-ops; tags survive both compaction shapes") {
+    val dir = TempDirs.scratch("cdx_epoch_")
+    val cdx = corpus(900)
+    // the first epoch CREATES the master (one code path for the stream)
+    assert(CdxIndex.appendEpoch(cdx.filter(col("offset") < 300), dir, 4, "epoch-0"))
+    assert(CdxIndex.appendEpoch(
+      cdx.filter(col("offset") >= 300 && col("offset") < 600), dir, 4, "epoch-1"))
+    // the foreachBatch crash-replay: the SAME epoch delivered again is
+    // a no-op — the master holds its captures exactly once
+    assert(!CdxIndex.appendEpoch(
+      cdx.filter(col("offset") >= 300 && col("offset") < 600), dir, 4, "epoch-1"))
+    assert(CdxIndex.readMaster(spark, dir).count() == 600)
+    assert(CdxIndex.appendEpoch(cdx.filter(col("offset") >= 600), dir, 4, "epoch-2"))
+    // tags ride the FULL compaction onto the folded generation: a very
+    // late replay of a long-compacted epoch still no-ops
+    CdxIndex.compact(spark, dir, nShards = 4)
+    assert(!CdxIndex.appendEpoch(cdx.filter(col("offset") < 300), dir, 4, "epoch-0"))
+    assert(CdxIndex.readMaster(spark, dir).count() == 900)
+    // and the SIZE-TIERED shape folds tags the same way
+    assert(CdxIndex.appendEpoch(cdx.filter(col("offset") < 50), dir, 2, "epoch-3"))
+    assert(CdxIndex.appendEpoch(cdx.filter(col("offset") < 10), dir, 2, "epoch-4"))
+    CdxIndex.compact(spark, dir, nShards = 4, maxGens = 2)
+    assert(!CdxIndex.appendEpoch(cdx.filter(col("offset") < 50), dir, 2, "epoch-3"))
+    assert(!CdxIndex.appendEpoch(cdx.filter(col("offset") < 10), dir, 2, "epoch-4"))
+    assert(CdxIndex.readMaster(spark, dir).count() == 960)
+    // a tag that could corrupt the manifest line is refused up front
+    intercept[IllegalArgumentException] {
+      CdxIndex.appendEpoch(cdx.limit(1), dir, 2, "bad tag")
+    }
+    // untagged appendCrawl still interleaves freely with epochs
+    CdxIndex.appendCrawl(cdx.filter(col("offset") < 5), dir, nShards = 2)
+    assert(CdxIndex.readMaster(spark, dir).count() == 965)
+  }
+
+  test("lookupBatch: a non-deterministic keys frame answers consistently (keys pinned)") {
+    val dir = TempDirs.scratch("cdx_batchnd_")
+    // three captures of EVERY surt, one per generation — a keys plan
+    // that desynced between the shard-discovery pass and the semi join
+    // would return PARTIAL capture sets for some keys
+    def crawl(g: Int) = corpus(1200).withColumn("ts", lpad(lit(g.toString), 14, "0"))
+    CdxIndex.initMaster(crawl(1), dir, nShards = 8)
+    CdxIndex.appendCrawl(crawl(2), dir, nShards = 8)
+    CdxIndex.appendCrawl(crawl(3), dir, nShards = 8)
+    val keys = corpus(1200).select("surt").filter(rand() < 0.3)
+    val got = CdxIndex.lookupBatch(spark, dir, keys)
+      .groupBy("surt").count().collect()
+    assert(got.nonEmpty && got.length < 1200)
+    assert(got.forall(_.getLong(1) == 3),
+      s"partial capture sets — the keys plan desynced between the two passes: " +
+        got.filter(_.getLong(1) != 3).take(5).mkString(", "))
+  }
+
+  test("refreshFromArchive: compaction + refresh serve byte-identical content") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_refr_")
+    val rows = spark.range(30).map { i =>
+      ("response", s"http://rx.example.org/p/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"rfx:$i"), "application/http; msgtype=response",
+        WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          (s"refresh body $i " * (1 + (i % 3).toInt)).getBytes(UTF_8)))
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(8)
+    WarcIo.writeWarcWithCdx(rows, dir)
+    val master = TempDirs.scratch("cdx_refrm_")
+    // master created by the STREAMING path so the refresh must carry
+    // the epoch tag forward
+    assert(CdxIndex.appendEpoch(WarcIo.readCdxjCommitted(spark, dir), master,
+      4, "epoch-0"))
+    def viaMaster() = WarcIo.fetchByCdx(
+      CdxIndex.lookupPrefix(spark, master, "org,example,rx)"), dir)
+      .select("target_uri", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val before = viaMaster()
+    assert(before.size == 30)
+    val pinned = CdxIndex.lookupPrefix(spark, master, "org,example,rx)")
+    val total = WarcIo.committedFiles(spark, dir, ".warc.gz")
+      .map(p => new java.io.File(new java.net.URI(p)).length).sum
+    WarcIo.compactArchives(spark, dir, targetBytes = total / 2 + 1)
+    CdxIndex.refreshFromArchive(spark, dir, master, nShards = 4)
+    // post-refresh lookups fetch byte-exactly what the old master served
+    assert(viaMaster() == before)
+    // the pinned pre-refresh lookup still answers with correct INDEX
+    // rows (generation availability)...
+    assert(pinned.select("surt", "ts", "digest").collect().map(_.toSeq).toSet ==
+      CdxIndex.lookupPrefix(spark, master, "org,example,rx)")
+        .select("surt", "ts", "digest").collect().map(_.toSeq).toSet)
+    // ...and its STALE pointers can only fail loudly at fetch time
+    // (manifest gate / framing), never serve silently wrong bytes
+    val staleFetch = scala.util.Try(
+      WarcIo.fetchByCdx(pinned, dir).select("target_uri", "payload").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap)
+    staleFetch match {
+      case scala.util.Success(m) => assert(m == before) // only if every window survived
+      case scala.util.Failure(_) => () // loud is the contract
+    }
+    // the refresh carried the epoch ledger: a late replay still no-ops
+    assert(!CdxIndex.appendEpoch(WarcIo.readCdxjCommitted(spark, dir), master,
+      4, "epoch-0"))
+    // refresh against a never-initialized master is loud
+    intercept[IllegalStateException] {
+      CdxIndex.refreshFromArchive(spark, dir, TempDirs.scratch("cdx_refrx_"), 2)
+    }
   }
 
   test("LSM master: initMaster refuses an existing index; appendCrawl needs one") {

@@ -120,6 +120,7 @@ class CrawlStreamingSpec extends SparkSpec {
     // exactly-once surface under test
     val scheduled = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     @volatile var crashOnce = true
+    @volatile var crashTwice = true
     val loopBody = graft.operators.CrawlFrontier.ingest(s"$dir/idx", "url", lit(200L)) {
       (accepted, epoch) =>
         // planted crash BETWEEN appendBatch and delivery: the index now
@@ -138,7 +139,6 @@ class CrawlStreamingSpec extends SparkSpec {
             col("priority"), 2),
           "domain", "url", 4, lit(1000L))
         val rows = sched.select("url", "slot_ms").as[(String, Long)].collect()
-        scheduled.synchronized { scheduled ++= rows.map(r => (epoch, r._1, r._2)) }
         // the epoch's fetch-request manifest lands as a REAL archive
         val recs = rows.toSeq.map { case (u, _) =>
           ("metadata", u, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("req:" + u),
@@ -150,6 +150,25 @@ class CrawlStreamingSpec extends SparkSpec {
         // master index span every epoch dir (bare part basenames
         // collide across epochs).
         WarcIo.writeWarcWithCdx(recs, s"$dir/warc/epoch-$epoch", s"epoch-$epoch/")
+        // LSM master maintenance IN the loop: the epoch's committed
+        // sidecar rows (re-read from the archive, so a replay appends
+        // byte-stable rows) append to the primary AND digest-reverse
+        // masters — appendEpoch's manifest-tag ledger makes a replayed
+        // epoch a no-op, so a crash anywhere in this body cannot
+        // double-count captures
+        val sp = accepted.sparkSession
+        val epochCdx = WarcIo.readCdxjCommitted(sp, s"$dir/warc/epoch-$epoch")
+        graft.sources.CdxIndex.appendEpoch(epochCdx, s"$dir/master", 2, s"epoch-$epoch")
+        // planted crash BETWEEN the two master appends: the primary
+        // holds the epoch, the digest master does not yet — the replay
+        // must no-op the first and complete the second
+        if (epoch == 2L && crashTwice) {
+          crashTwice = false
+          sys.error("planted crash between the primary and digest master appends")
+        }
+        graft.sources.CdxIndex.appendEpoch(epochCdx, s"$dir/digest", 2, s"epoch-$epoch",
+          graft.sources.CdxIndex.DigestKey)
+        scheduled.synchronized { scheduled ++= rows.map(r => (epoch, r._1, r._2)) }
         ()
     }
     val input = MemoryStream[String]
@@ -178,10 +197,18 @@ class CrawlStreamingSpec extends SparkSpec {
     q = startQuery()
     try {
       q.processAllAvailable()
-      // epoch 2: re-discoveries of epoch 1's urls die on the index
+      // epoch 2: re-discoveries of epoch 1's urls die on the index —
+      // and the SECOND planted crash fires between the master appends
       input.addData("http://c.net/u/9", "http://d.io/u/1")
-      q.processAllAvailable()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
     } finally q.stop()
+    // third start: epoch 2 replays — the WARC dir rewrites
+    // byte-identically, the primary master append NO-OPS on its tag,
+    // the digest append completes, the schedule sees the epoch once
+    q = startQuery()
+    try q.processAllAvailable() finally q.stop()
 
     val byEpoch = scheduled.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
     assert(byEpoch(0L) == Set(("http://a.org/u/5", 0L), ("http://a.org/u/7", 1000L),
@@ -226,6 +253,28 @@ class CrawlStreamingSpec extends SparkSpec {
       assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
         "scheduled: " + r.getAs[String]("target_uri"))
     }
+    // the STREAMED LSM master holds each capture EXACTLY ONCE across
+    // both crash replays (epoch 1 replayed whole; epoch 2 replayed
+    // after its primary append already committed)
+    val master = graft.sources.CdxIndex.readMaster(spark, s"$dir/master")
+    assert(master.count() == 6, s"master rows: ${master.count()}")
+    assert(master.select("surt").distinct().count() == 6)
+    val cnetM = graft.sources.CdxIndex.lookupDomain(spark, s"$dir/master", "net,c")
+      .collect()
+    assert(cnetM.map(_.getAs[String]("url")).toSet ==
+      Set("http://c.net/u/11", "http://c.net/u/9"))
+    // the digest-reverse master stayed in lockstep: exactly once each,
+    // and provenance lookup resolves the LATEST epoch's capture
+    val dm = graft.sources.CdxIndex.readMaster(spark, s"$dir/digest")
+    assert(dm.count() == 6, s"digest master rows: ${dm.count()}")
+    val dg = dm.filter(col("url") === "http://d.io/u/1")
+      .select("digest").collect().map(_.getString(0))
+    assert(dg.length == 1)
+    val prov = graft.sources.CdxIndex.lookupDigest(spark, s"$dir/digest", dg.head)
+      .collect()
+    assert(prov.length == 1 && prov.head.getAs[String]("url") == "http://d.io/u/1")
+    // every master pointer fetches from the collection root too
+    assert(WarcIo.fetchByCdx(master, s"$dir/warc").count() == 6)
   }
 
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {

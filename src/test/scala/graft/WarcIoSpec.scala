@@ -381,6 +381,58 @@ class WarcIoSpec extends SparkSpec {
     assert(WarcIo.shiftCdxjLine(
       """org,x)/a 20260101000000 {"url":"http://x/a","offset":"5","filename":"old.warc.gz"}""",
       100L, "new.warc.gz").contains(""""offset":"105""""))
+    // the collection-relative prefix is DERIVED from the line itself,
+    // never caller-supplied — compacting a prefixed collection cannot
+    // silently strip it
+    assert(WarcIo.shiftCdxjLine(
+      """org,x)/a 20260101000000 {"url":"http://x/a","offset":"5","filename":"crawl1/old.warc.gz"}""",
+      100L, "new.warc.gz").contains(""""filename":"crawl1/new.warc.gz""""))
+  }
+
+  test("compactArchives: a prefixed collection keeps its prefix; the master refresh resolves it") {
+    import spark.implicits._
+    val root = TempDirs.scratch("warccmpp")
+    val rows = spark.range(24).map { i =>
+      ("response", s"http://pfx.example.org/p/$i", "2026-01-01T00:00:00Z",
+        WarcIo.recordIdFor(s"pfx:$i"), "application/http; msgtype=response",
+        WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          s"prefixed payload $i".getBytes(UTF_8)))
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .repartition(6)
+    WarcIo.writeWarcWithCdx(rows, s"$root/crawl1", "crawl1/")
+    val total = WarcIo.committedFiles(spark, s"$root/crawl1", ".warc.gz")
+      .map(p => new java.io.File(new java.net.URI(p)).length).sum
+    WarcIo.compactArchives(spark, s"$root/crawl1", targetBytes = total / 2 + 1)
+    val cdx = WarcIo.readCdxjCommitted(spark, s"$root/crawl1")
+    assert(cdx.count() == 24)
+    // every rewritten pointer still carries the collection prefix and
+    // dereferences from the COLLECTION ROOT (the merged-master layout)
+    assert(cdx.select("filename").collect()
+      .forall(_.getString(0).startsWith("crawl1/part-")))
+    val fetched = WarcIo.fetchByCdx(cdx, root).collect()
+    assert(fetched.length == 24)
+    fetched.foreach { r =>
+      val id = r.getAs[String]("target_uri").split('/').last
+      assert(new String(WarcIo.parseHttpResponse(
+        r.getAs[Array[Byte]]("payload")).body, UTF_8) == s"prefixed payload $id")
+    }
+  }
+
+  test("readCdxj: the classic '-' null placeholder nulls numeric fields, never aborts") {
+    val dir = TempDirs.scratch("warcdash")
+    // the revisit-row shape some external indexers emit: '-' status and
+    // length, a real pointer — must ingest with nulls, like readCdxClassic
+    val lines = Seq(
+      """org,ex)/a 20260101000000 {"url":"http://ex.org/a","status":"-","length":"-","offset":"7","filename":"f.warc.gz"}""",
+      """org,ex)/b 20260101000000 {"url":"http://ex.org/b","status":"200","length":"34","offset":"0","filename":"f.warc.gz"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "x.cdx"),
+      (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    val got = WarcIo.readCdxj(spark, dir + "/*.cdx").orderBy("surt").collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(got(0).fieldIndex("status")) &&
+      got(0).isNullAt(got(0).fieldIndex("length")) &&
+      got(0).getAs[Long]("offset") == 7L)
+    assert(got(1).getAs[Int]("status") == 200 && got(1).getAs[Long]("length") == 34L)
   }
 
   test("toWat: deterministic JSON envelope, RFC 8259 escaping, refers back to the source") {

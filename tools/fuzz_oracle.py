@@ -71,7 +71,14 @@ QUERIES = [
     "pipeline_wayback", "cdx_compact_lookup", "cdx_digest_lookup",
     # archive compaction: byte-concatenated members + arithmetically
     # rewritten pointers must serve every adversarial doc unchanged
+    # (r16: the flow now refreshes a generational master in-pass)
     "pipeline_archive_compact", "cdx_batch_lookup",
+    # r16 redirects/stream family: pipeline_wayback_redirects escapes
+    # every adversarial doc into a terminal page behind planted 3xx
+    # chains and replays hop counts + served byte lengths through the
+    # redirect graph; the stream-index query is a formula fixture over
+    # the epoch-tagged masters re-checked under every seed
+    "pipeline_wayback_redirects", "pipeline_crawl_stream_index",
 ]
 
 # events-only queries: gated when the adversarial events table is
