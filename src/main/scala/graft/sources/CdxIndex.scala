@@ -363,7 +363,10 @@ object CdxIndex {
       sortCols: Seq[String], tag: Option[String]): Boolean = {
     val spark = cdx.sparkSession
     val (dirPath, fs) = masterFs(spark, dir)
-    fs.mkdirs(dirPath)
+    // no mkdirs here: withWriterLock's lease create makes the dir when
+    // the first epoch initializes a fresh master, and an untagged
+    // append to a mistyped path should fail on "no manifest" without
+    // littering more than the (removed-in-finally) lease
     graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
       val prev = manifestFiles(fs, dirPath).lastOption match {
         case Some(m) => Some(readManifestEntries(fs, m))
@@ -380,9 +383,12 @@ object CdxIndex {
           s"CdxIndex: $dir has no manifest — initMaster first (or keep using " +
             "buildTable for the single-table layout)")
       }
+      // key check BEFORE the tag no-op: a replay that passes the wrong
+      // sort key is a caller bug and must fail loudly, not silently
+      // skip as "already appended"
+      requireSameKey(fs, dirPath, sortCols)
       if (tag.exists(t => prev.exists(_.exists(_._2.contains(t))))) false
       else {
-        requireSameKey(fs, dirPath, sortCols)
         val entries = prev.getOrElse(Seq.empty)
         val id = entries.map(_._1.stripPrefix("gen-").toInt).foldLeft(0)(_ max _) + 1
         val gen = f"gen-$id%08d"
@@ -628,7 +634,11 @@ object CdxIndex {
     // the two passes (a key materializing only in the second run would
     // scan files the pruning pass never admitted → silent misses); if
     // the checkpointed blocks are lost the job fails LOUDLY instead of
-    // recomputing divergent keys.
+    // recomputing divergent keys. Lifecycle: the pinned blocks free
+    // when the returned frame's RDD is GC'd (ContextCleaner) — the
+    // same per-call checkpoint discipline as resolveRedirects' rounds;
+    // a driver loop issuing many batch lookups should drop each result
+    // frame before the next call rather than accumulate references.
     val pinned = keys.select(col("surt")).localCheckpoint()
     val clusters = spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
       .select(col("file"), col("lo"), col("hi"), input_file_name().as("cf"))

@@ -913,11 +913,17 @@ object WarcIo {
     * directory.
     *
     * Destructive mutator discipline: the whole pass runs under the
-    * same exclusive `_writer.lock` lease every other mutator holds
-    * (CdxIndex.initMaster/appendCrawl/compact/vacuum, the frontier) —
-    * two concurrent compactions, or a concurrent [[writeWarc]] on the
-    * same dir, fail loudly instead of interleaving beyond the
-    * documented crash-recovery cases.
+    * same exclusive `_writer.lock` lease every other MAINTENANCE
+    * mutator holds (CdxIndex.initMaster/appendCrawl/compact/vacuum,
+    * the frontier) — two concurrent compactions fail loudly instead
+    * of interleaving beyond the documented crash-recovery cases.
+    * [[writeWarc]] itself stays lease-free by design (its commit
+    * protocol is last-complete-attempt-wins with temp sweeping, which
+    * a lock would break), so "no writeWarc during compaction" remains
+    * a scheduling responsibility: gated readers DO refuse the
+    * manifest-less window either job leaves, but interleaving the two
+    * writers can lose parts — run compaction when the dir's crawl is
+    * quiesced, like every physical-layout compactor.
     */
   def compactArchives(spark: SparkSession, dir: String,
       targetBytes: Long): (Seq[String], Seq[String]) = {
@@ -1729,10 +1735,13 @@ object WarcIo {
   /** Resolve an HTTP `Location` reference against the request URL —
     * RFC 3986 reference resolution (absolute refs pass through;
     * protocol-relative, path-absolute and relative refs resolve
-    * against the base). None when the reference cannot be parsed — a
-    * malformed Location is a MISSING TARGET for [[replayRedirects]]
-    * (loud only when a requested chain actually crosses it), never a
-    * whole-job crash on one bad capture.
+    * against the base). None when the reference cannot be parsed — an
+    * unparseable Location makes the capture TERMINAL in
+    * [[replayRedirects]] (it serves its own bytes, exactly like a
+    * Location-less 3xx: there is no target to follow), never a
+    * whole-job crash on one bad capture. Callers needing to surface
+    * unfollowed redirects filter the OUTPUT's 3xx statuses — a served
+    * terminal that is itself a 3xx is by construction one of these.
     */
   private[graft] def resolveLocation(base: String, ref: String): Option[String] = {
     val r = ref.trim
@@ -1765,11 +1774,17 @@ object WarcIo {
     *
     * Contract: a requested chain reaching a target with NO capture at
     * or before the hop's instant fails LOUDLY (serving the 3xx page as
-    * if it were the content is the silent-corruption case); a cycle
-    * (or a chain past `maxHops`) comes back `resolved = false` with
-    * the last-reached redirect capture's bytes, so the caller can
-    * surface it. A 3xx that carries no (parseable) Location is
-    * TERMINAL — its own bytes serve. Output mirrors [[replay]] with
+    * if it were the content is the silent-corruption case), and so
+    * does a request/terminal pointer absent from `index` (the
+    * stale-snapshot shape — rows silently dropping would lose
+    * documents); a cycle (or a chain past `maxHops`) comes back
+    * `resolved = false` with the last-reached redirect capture's
+    * bytes, so the caller can surface it. A 3xx that carries no
+    * (parseable) Location is TERMINAL — its own bytes serve. A REVISIT
+    * of a 3xx follows its original's Location (the same
+    * identical-payload-digest indirection [[replay]] uses), resolved
+    * at the revisit's own instant — a redirect re-captured unchanged
+    * must redirect, not dead-end. Output mirrors [[replay]] with
     * `src_filename`/`src_offset` = the REQUESTED pointer,
     * `filename`/`offset` = the pointer whose bytes serve, plus `hops`
     * and `resolved`.
@@ -1782,9 +1797,11 @@ object WarcIo {
     require(maxHops >= 1, "maxHops must be at least 1")
     def node(f: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column) =
       concat(f, lit("|"), o.cast("string"))
-    // the archive's redirect graph: every 3xx capture with a pointer
-    // (revisit rows are payload-free — no Location to read; their
-    // originals are reachable as captures of the same surt)
+    // the archive's redirect graph: every 3xx capture with a pointer.
+    // Revisit rows are payload-free (no Location to read here), so
+    // each revisit INHERITS its original's Location below — a 301
+    // re-captured unchanged must still follow the redirect, never
+    // dead-end serving the redirect body as if it were the page.
     val threes = index.filter(col("status").isNotNull &&
         col("status").between(300, 399) &&
         (col("mime").isNull || col("mime") =!= "warc/revisit") &&
@@ -1792,13 +1809,40 @@ object WarcIo {
       .select(col("filename"), col("offset"), col("length")).distinct()
     val hops3 = fetchByCdx(threes, dir, maxPayloadBytes)
       .select(col("filename"), col("offset"), col("target_uri"),
-        col("warc_date"), col("payload"))
-      .as[(String, Long, String, String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (f, o, uri, date, payload) =>
+        col("warc_date"), col("payload_digest"), col("payload"))
+      .as[(String, Long, String, String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (f, o, uri, date, dg, payload) =>
+        // digest via the cdxjLine rule (carried header, else computed
+        // over the HTTP entity) so it matches what the revisit rows'
+        // index digests were derived from
         parseHttpResponse(payload).header("Location")
           .flatMap(l => resolveLocation(uri, l))
-          .map(abs => (f, o, abs, date.filter(_.isDigit).take(14)))
-      }).toDF("filename", "offset", "loc_url", "src_ts")
+          .map(abs => (f, o, abs, date.filter(_.isDigit).take(14), uri,
+            Option(dg).getOrElse(httpPayloadDigest(payload))))
+      }).toDF("filename", "offset", "loc_url", "src_ts", "src_uri", "src_digest")
+    // revisit captures of a 3xx inherit the ORIGINAL's Location via the
+    // same identical-payload-digest indirection replay() uses (latest
+    // original of the same surt+digest at or before the revisit) — the
+    // edge then resolves at the REVISIT's own instant. Revisits of
+    // non-3xx (or Location-less) originals match nothing and stay
+    // terminal, which replay() serves correctly.
+    val revisit3xx = index.filter(col("mime") === "warc/revisit" &&
+        col("digest").isNotNull &&
+        col("filename").isNotNull && col("offset").isNotNull)
+      .select(concat_ws("|", col("surt"), col("digest")).as("__rk"),
+        col("ts").as("rev_ts"), col("filename").as("rf"), col("offset").as("ro"))
+    val origEdges = hops3.select(
+      concat_ws("|", call_function("graft_surt", col("src_uri")),
+        col("src_digest")).as("__ok"),
+      col("src_ts").as("__ots"), col("loc_url"))
+    val inherited = graft.operators.AsOfJoin.asOf(revisit3xx, origEdges,
+      "__rk", "__ok", "rev_ts", "__ots", payload = Seq("loc_url"))
+      .filter(col("loc_url").isNotNull)
+      .select(col("rf").as("filename"), col("ro").as("offset"),
+        col("loc_url"), col("rev_ts").as("src_ts"))
+    val allEdges = hops3.select(col("filename"), col("offset"),
+        col("loc_url"), col("src_ts"))
+      .unionByName(inherited)
       .withColumn("loc_surt", call_function("graft_surt", col("loc_url")))
     // each edge's destination: the captured target as of the SOURCE
     // capture's own instant; a miss becomes a 'missing|<surt>' sentinel
@@ -1807,7 +1851,7 @@ object WarcIo {
       .filter(col("filename").isNotNull && col("offset").isNotNull)
       .select(col("surt").as("t_surt"), col("ts").as("t_ts"),
         col("filename").as("t_f"), col("offset").as("t_o"))
-    val edges = graft.operators.AsOfJoin.asOf(hops3, targets,
+    val edges = graft.operators.AsOfJoin.asOf(allEdges, targets,
       "loc_surt", "t_surt", "src_ts", "t_ts", payload = Seq("t_f", "t_o"))
       .select(node(col("filename"), col("offset")).as("url"),
         when(col("t_f").isNotNull, node(col("t_f"), col("t_o")))
@@ -1846,7 +1890,19 @@ object WarcIo {
       index, dir, maxPayloadBytes)
       .withColumn("__t", node(col("src_filename"), col("src_offset")))
       .drop("src_filename", "src_offset")
-    routed.join(served.hint("shuffle_hash"), Seq("__t"))
+    // LEFT join + loud: a request (or terminal) pointer that is not in
+    // the supplied index has no length to fetch with — dropping the
+    // row would silently lose the document (the stale-snapshot shape:
+    // pointers from a pre-refresh master against a compacted archive).
+    // The check rides the KEPT payload column so the optimizer cannot
+    // prune it away unevaluated.
+    routed.join(served.hint("shuffle_hash"), Seq("__t"), "left")
+      .withColumn("payload",
+        when(col("rec_type").isNull, raise_error(concat(
+          lit("replayRedirects: pointer "), col("__t"),
+          lit(" is not in the supplied index — the request set and the index are "),
+          lit("from different snapshots"))).cast("binary"))
+          .otherwise(col("payload")))
       .drop("__t")
   }
 

@@ -488,6 +488,55 @@ class CdxSpec extends SparkSpec {
     val e = intercept[Exception] { run("/r/2") }
     assert(e.toString.contains("no capture of redirect target") ||
       Option(e.getCause).exists(_.toString.contains("no capture of redirect target")))
+    // a request whose pointer is NOT in the supplied index must fail
+    // loudly too (the stale-snapshot shape) — never silently drop
+    val eStale = intercept[Exception] {
+      WarcIo.replayRedirects(
+        Seq(("zzz-not-there.warc.gz", 0L)).toDF("filename", "offset"),
+        index, root).collect()
+    }
+    assert(eStale.toString.contains("not in the supplied index") ||
+      Option(eStale.getCause).exists(_.toString.contains("not in the supplied index")))
+  }
+
+  test("replayRedirects: a REVISIT of a 3xx inherits the original's Location") {
+    import spark.implicits._
+    val root = TempDirs.scratch("cdx_redirrev_")
+    def recs(date: String, idp: String) = Seq(
+      ("d", WarcIo.buildHttpResponse(200, "OK",
+        Seq("Content-Type" -> "text/plain"), "terminal nine".getBytes(UTF_8))),
+      ("r", WarcIo.buildHttpResponse(301, "Moved",
+        Seq("Content-Type" -> "text/html", "Location" -> "/d/9"),
+        "moved".getBytes(UTF_8)))
+    ).map { case (p, payload) =>
+      ("response", s"http://rv.example.org/$p/9", date,
+        WarcIo.recordIdFor(idp + p), "application/http; msgtype=response", payload)
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+    WarcIo.writeWarcWithCdx(recs("2026-01-01T00:00:00Z", "rv1:"), s"$root/c1", "c1/")
+    val prior = WarcIo.readCdxj(spark, s"$root/c1/part-*.cdx.gz")
+      .select(col("digest")).distinct()
+    // day 2 re-captures BOTH pages unchanged → both land as revisits
+    WarcIo.writeWarcWithCdx(
+      WarcIo.markRevisits(recs("2026-01-02T00:00:00Z", "rv2:"), prior),
+      s"$root/c2", "c2/")
+    val index = WarcIo.readCdxj(spark, s"$root/c*/part-*.cdx.gz")
+    assert(index.filter(col("mime") === "warc/revisit").count() == 2)
+    // request the day-2 REVISIT of the 301: it must follow the
+    // original's Location (at the revisit's instant, which resolves to
+    // the day-2 /d/9 revisit, whose bytes replay() stitches from day
+    // 1) — never dead-end serving the 5-byte redirect body
+    val req = index.filter(col("filename").startsWith("c2/") &&
+      col("url") === "http://rv.example.org/r/9").select("filename", "offset")
+    assert(req.count() == 1)
+    val out = WarcIo.replayRedirects(req, index, root).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Boolean]("resolved") && r.getAs[Long]("hops") == 1L,
+      s"hops=${r.getAs[Long]("hops")} resolved=${r.getAs[Boolean]("resolved")}")
+    assert(new String(WarcIo.parseHttpResponse(
+      r.getAs[Array[Byte]]("payload")).body, UTF_8) == "terminal nine")
+    assert(r.getAs[Boolean]("replayed"), "the terminal was itself a revisit — " +
+      "its bytes must come from the day-1 original via replay()")
   }
 
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
