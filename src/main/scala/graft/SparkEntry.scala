@@ -3734,6 +3734,37 @@ object SparkEntry {
         .orderBy(col("kind"), col("surt"), col("ts"))
     }),
 
+    "cdx_nearest_lookup" -> ((s, dir) => {
+      // memento-style TimeGate resolution: 1000 urls captured in three
+      // crawls (Jan 1/2/3); requests probe BEFORE every capture
+      // (forward match), nearer-backward, the exact midpoint (tie →
+      // the EARLIER capture), and a nearer-forward instant — two as-of
+      // passes (backward + forward, each the single-shuffle spine
+      // join) and a row-level epoch-seconds pick. The oracle replays
+      // each arm's expected capture from the planting formulas.
+      val caps = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('2026010', crawl + 1, '000000') AS ts",
+          "concat('f', crawl, '.warc.gz') AS filename",
+          "base AS offset", "CAST(100 AS BIGINT) AS length")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val reqs = s.range(1000).selectExpr(
+        "id AS base",
+        """CASE CAST(id % 4 AS INT)
+          |  WHEN 0 THEN '20251230000000'
+          |  WHEN 1 THEN '20260101060000'
+          |  WHEN 2 THEN '20260101120000'
+          |  ELSE '20260102200000' END AS want_ts""".stripMargin)
+        .selectExpr(
+          "graft_surt(concat('https://h', base % 20, '.ex.org/p/', base)) AS surt",
+          "want_ts")
+      graft.sources.CdxIndex.resolveNearest(reqs, caps)
+        .select(col("surt"), col("want_ts"), col("ts"), col("filename"), col("offset"))
+        .orderBy(col("surt"))
+    }),
+
     "cdx_columnar" -> ((s, dir) => {
       // the cc-index-table shape: CDX rows widened to typed URL columns
       // (host, eTLD+1 via the PSL, TLD, path) and aggregated per
@@ -8412,6 +8443,26 @@ object SparkEntry {
         |    i
         |  FROM range(4000) r(i) WHERE i % 500 = 137)
         |SELECT kind, surt, ts, url, "offset" FROM a ORDER BY kind, surt, ts""".stripMargin,
+
+    // each request arm's nearest capture replayed from the planting
+    // formulas: before-first → forward to crawl 1; 6 h after crawl 1 →
+    // crawl 1; the exact 12 h midpoint ties to the EARLIER crawl 1;
+    // 20 h after crawl 2 (4 h before crawl 3) → crawl 3
+    "cdx_nearest_lookup" ->
+      """WITH b AS (SELECT i AS base, CAST(i % 20 AS VARCHAR) AS h,
+        |    CAST(i AS VARCHAR) AS sb FROM range(1000) r(i))
+        |SELECT 'org,ex,h' || h || ')/p/' || sb AS surt,
+        |  CASE CAST(base % 4 AS INT)
+        |    WHEN 0 THEN '20251230000000'
+        |    WHEN 1 THEN '20260101060000'
+        |    WHEN 2 THEN '20260101120000'
+        |    ELSE '20260102200000' END AS want_ts,
+        |  CASE WHEN base % 4 = 3 THEN '20260103000000'
+        |       ELSE '20260101000000' END AS ts,
+        |  CASE WHEN base % 4 = 3 THEN 'f2.warc.gz'
+        |       ELSE 'f0.warc.gz' END AS filename,
+        |  base AS "offset"
+        |FROM b ORDER BY surt""".stripMargin,
 
     // host/TLD/eTLD+1 derivation + per-domain rollup replayed from the
     // same formulas

@@ -702,6 +702,67 @@ object CdxIndex {
     lookupRange(spark, dir, key, key + "\u0000")
   }
 
+  /** Memento-style NEAREST-capture resolution — the semantics a
+    * wayback front-end actually serves (RFC 7089 TimeGate): each
+    * request row's (`surt`, `want_ts`) resolves to the index capture
+    * minimizing the TIME distance |capture − want| — before OR after
+    * the instant — with ties going to the earlier capture (the stable
+    * choice). This is the two-sided twin of the as-of resolution
+    * `pipeline_wayback` uses (latest at-or-before): a request an hour
+    * before a page's only capture must serve that capture, not null.
+    *
+    * Distance compares EPOCH SECONDS, not ts14 numerics — the digit
+    * string is not time-linear across month/year boundaries
+    * (20251231235959 is one second before 20260101000000 but
+    * numerically ~10^10 away), so a numeric diff would mis-rank
+    * captures straddling a boundary.
+    *
+    * Scale shape: TWO as-of passes (backward + forward — each the
+    * single-shuffle spine join, no range join, no per-key collect) and
+    * one row-level pick. Requests with no capture on either side come
+    * back with null match columns (callers filter or escalate); a
+    * malformed `want_ts` fails loudly per row. `index` is index ROWS
+    * (readMaster / a pruned lookup result), so callers prune first —
+    * lookupBatch the request surts, then resolve nearest over the
+    * pruned subset.
+    *
+    * Output: every request column plus the matched capture's
+    * (`ts`, `filename`, `offset`, `length`).
+    */
+  def resolveNearest(requests: DataFrame, index: DataFrame): DataFrame = {
+    val added = Seq("ts", "filename", "offset", "length")
+    require(!requests.columns.exists(added.contains),
+      s"resolveNearest adds ${added.mkString(", ")} — rename the request " +
+        "columns that collide")
+    require(requests.columns.contains("surt") && requests.columns.contains("want_ts"),
+      "resolveNearest needs (surt, want_ts) request columns")
+    def ep(c: Column) = unix_timestamp(to_timestamp(c, "yyyyMMddHHmmss"))
+    // validate ONCE on the request side: a malformed instant must fail
+    // loudly, never silently resolve to nothing
+    val reqs = requests.withColumn("want_ts",
+      when(to_timestamp(col("want_ts"), "yyyyMMddHHmmss").isNull,
+        raise_error(concat(lit("resolveNearest: want_ts is not a ts14 instant: '"),
+          coalesce(col("want_ts"), lit("NULL")), lit("'"))).cast("string"))
+        .otherwise(col("want_ts")))
+    def caps(sfx: String) = index
+      .filter(col("surt").isNotNull && col("ts").isNotNull)
+      .select(col("surt").as("__cs" + sfx), col("ts").as("__ct" + sfx),
+        col("ts").as("ts" + sfx), col("filename").as("filename" + sfx),
+        col("offset").as("offset" + sfx), col("length").as("length" + sfx))
+    val back = graft.operators.AsOfJoin.asOf(reqs, caps("_b"),
+      "surt", "__cs_b", "want_ts", "__ct_b",
+      payload = Seq("ts_b", "filename_b", "offset_b", "length_b"))
+    val both = graft.operators.AsOfJoin.asOf(back, caps("_f"),
+      "surt", "__cs_f", "want_ts", "__ct_f",
+      payload = Seq("ts_f", "filename_f", "offset_f", "length_f"), forward = true)
+    val w = ep(col("want_ts"))
+    val useBack = col("ts_f").isNull ||
+      (col("ts_b").isNotNull && (w - ep(col("ts_b"))) <= (ep(col("ts_f")) - w))
+    def pick(name: String) =
+      when(useBack, col(name + "_b")).otherwise(col(name + "_f")).as(name)
+    both.select(requests.columns.map(col) ++ added.map(pick): _*)
+  }
+
   /** Merge per-crawl indexes into one re-sorted master table — the
     * ONE-SHOT batch spelling (plain union + [[buildTable]]: the range
     * partitioner re-samples the combined key distribution). Its cost

@@ -871,6 +871,35 @@ object WarcIo {
   def readCdxjCommitted(spark: SparkSession, dir: String): DataFrame =
     readCdxj(spark, committedFiles(spark, dir, ".cdx.gz"))
 
+  /** ONE-CALL archival epoch sink for `writeStream.foreachBatch`: each
+    * micro-batch's records commit as this epoch's WARC+CDXJ collection
+    * SUBDIRECTORY (`<collectionRoot>/epoch-N/`, collection-relative
+    * filenames so one master index — and [[fetchByCdx]] from the
+    * collection root — spans every epoch), then the COMMITTED sidecar
+    * rows append to the primary (and optionally the digest-reverse)
+    * LSM master exactly-once via [[CdxIndex.appendEpoch]]'s
+    * manifest-tag ledger. Crash-replay safety is end to end: the epoch
+    * dir rewrites byte-identically (deterministic micro-batch, the
+    * foreachBatch contract), the sidecar rows re-read from the fresh
+    * commit, and an append the crashed run already published no-ops on
+    * its tag — the masters hold each capture exactly once.
+    * `records` must carry the [[writeWarc]] schema (rec_type,
+    * target_uri, warc_date, record_id, content_type, payload
+    * [, extra]). The first epoch CREATES the masters.
+    */
+  def archiveEpochSink(collectionRoot: String, masterDir: String, nShards: Int,
+      digestDir: Option[String] = None): (DataFrame, Long) => Unit =
+    (records: DataFrame, epochId: Long) => {
+      val sub = s"epoch-$epochId"
+      writeWarcWithCdx(records, s"$collectionRoot/$sub", s"$sub/")
+      val spark = records.sparkSession
+      val cdx = readCdxjCommitted(spark, s"$collectionRoot/$sub")
+      CdxIndex.appendEpoch(cdx, masterDir, nShards, sub)
+      digestDir.foreach(d =>
+        CdxIndex.appendEpoch(cdx, d, nShards, sub, CdxIndex.DigestKey))
+      ()
+    }
+
   /** Consolidate an archive dir's small parts into ~`targetBytes`
     * parts — the small-file maintenance pass a streaming crawl needs
     * (each epoch commits a part per partition; a year of micro-batches

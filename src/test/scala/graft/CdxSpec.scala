@@ -539,6 +539,45 @@ class CdxSpec extends SparkSpec {
       "its bytes must come from the day-1 original via replay()")
   }
 
+  test("resolveNearest: memento semantics — either side, epoch distance, tie to earlier") {
+    import spark.implicits._
+    // one surt captured three times; the Dec 31 23:59:59 capture is the
+    // boundary trap: ts14 NUMERIC distance would mis-rank it against a
+    // Jan 2 capture for a Jan 1 00:00:30 request
+    val idx = Seq(
+      ("org,nr)/p", "20251231235959", "fA.warc.gz", 1L, 10L),
+      ("org,nr)/p", "20260102000000", "fB.warc.gz", 2L, 10L),
+      ("org,nr)/p", "20260105000000", "fC.warc.gz", 3L, 10L)
+    ).toDF("surt", "ts", "filename", "offset", "length")
+    def ask(want: String) = graft.sources.CdxIndex.resolveNearest(
+      Seq(("org,nr)/p", want)).toDF("surt", "want_ts"), idx)
+      .select("ts", "filename").collect().map(r => (r.getString(0), r.getString(1)))
+    // 30 s after the boundary capture: epoch distance picks it — a
+    // numeric ts14 diff would have picked Jan 2
+    assert(ask("20260101000030").head == ("20251231235959", "fA.warc.gz"))
+    // before every capture → the forward match
+    assert(ask("20251001000000").head == ("20251231235959", "fA.warc.gz"))
+    // after every capture → the backward match
+    assert(ask("20270101000000").head == ("20260105000000", "fC.warc.gz"))
+    // exact midpoint of Jan 2 and Jan 6? use Jan 3 12:00 → 36h/36h? no:
+    // Jan 2 00:00 and Jan 5 00:00 midpoint = Jan 3 12:00 — tie goes to
+    // the EARLIER capture
+    assert(ask("20260103120000").head == ("20260102000000", "fB.warc.gz"))
+    // strictly nearer-forward wins
+    assert(ask("20260104000000").head == ("20260105000000", "fC.warc.gz"))
+    // an unindexed surt resolves to null match columns, not a crash
+    val miss = graft.sources.CdxIndex.resolveNearest(
+      Seq(("org,zz)/q", "20260101000000")).toDF("surt", "want_ts"), idx).collect()
+    assert(miss.length == 1 && miss.head.isNullAt(miss.head.fieldIndex("ts")))
+    // a malformed instant is loud, never a silent non-match
+    val e = intercept[Exception] {
+      graft.sources.CdxIndex.resolveNearest(
+        Seq(("org,nr)/p", "not-a-ts")).toDF("surt", "want_ts"), idx).collect()
+    }
+    assert(e.toString.contains("ts14 instant") ||
+      Option(e.getCause).exists(_.toString.contains("ts14 instant")))
+  }
+
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
     import spark.implicits._
     val mk = (url: String, ts: String, dg: String) =>

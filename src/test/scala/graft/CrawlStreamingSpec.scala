@@ -277,6 +277,55 @@ class CrawlStreamingSpec extends SparkSpec {
     assert(WarcIo.fetchByCdx(master, s"$dir/warc").count() == 6)
   }
 
+  test("archiveEpochSink: one call archives each epoch and maintains both masters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.scratch("epoch-sink")
+    val sink = WarcIo.archiveEpochSink(s"$dir/warc", s"$dir/master", 2,
+      digestDir = Some(s"$dir/digest"))
+    val input = MemoryStream[String]
+    val q = input.toDS().map { u =>
+      ("metadata", u, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("es:" + u),
+        "application/warc-fields", ("fetched: " + u).getBytes(UTF_8))
+    }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      input.addData("http://a.one/x/1", "http://b.two/y/2")
+      q.processAllAvailable()
+      input.addData("http://c.three/z/3")
+      q.processAllAvailable()
+    } finally q.stop()
+    // both masters hold every capture exactly once, across two epochs
+    val master = graft.sources.CdxIndex.readMaster(spark, s"$dir/master")
+    assert(master.count() == 3)
+    val dm = graft.sources.CdxIndex.readMaster(spark, s"$dir/digest")
+    assert(dm.count() == 3)
+    // a URL lookup resolves through the master and the pointer fetches
+    // from the COLLECTION ROOT across epoch subdirectories
+    val hit = graft.sources.CdxIndex.lookupUrl(spark, s"$dir/master",
+      "http://c.three/z/3")
+    assert(hit.count() == 1)
+    assert(hit.select("filename").head.getString(0).startsWith("epoch-1/"))
+    val fetched = WarcIo.fetchByCdx(
+      graft.sources.CdxIndex.readMaster(spark, s"$dir/master"), s"$dir/warc")
+      .collect()
+    assert(fetched.length == 3)
+    fetched.foreach { r =>
+      assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
+        "fetched: " + r.getAs[String]("target_uri"))
+    }
+    // re-delivering an epoch out-of-band (the crash-replay shape the
+    // sink promises to absorb) neither duplicates nor errors
+    sink((0 until 1).map(_ => ("metadata", "http://c.three/z/3",
+      "2026-01-01T00:00:00Z", WarcIo.recordIdFor("es:http://c.three/z/3"),
+      "application/warc-fields", "fetched: http://c.three/z/3".getBytes(UTF_8)))
+      .toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload"),
+      1L)
+    assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/master").count() == 3)
+    assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/digest").count() == 3)
+  }
+
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
