@@ -886,9 +886,20 @@ object WarcIo {
     * `records` must carry the [[writeWarc]] schema (rec_type,
     * target_uri, warc_date, record_id, content_type, payload
     * [, extra]). The first epoch CREATES the masters.
+    *
+    * `maxGens` makes the sink SELF-MAINTAINING: after each epoch's
+    * appends, the size-tiered [[CdxIndex.compact]] folds the smallest
+    * generations whenever the count exceeds the bound (a free no-op
+    * otherwise — most epochs), and [[CdxIndex.vacuum]] (keep = 2, so
+    * manifest-pinned readers survive) reclaims unreferenced ones —
+    * generation count, lookup fan-out AND disk stay bounded over an
+    * unbounded stream with no out-of-band maintenance job. Replays
+    * stay safe: folded epoch tags ride the compaction, so the
+    * exactly-once ledger survives the folds.
     */
   def archiveEpochSink(collectionRoot: String, masterDir: String, nShards: Int,
-      digestDir: Option[String] = None): (DataFrame, Long) => Unit =
+      digestDir: Option[String] = None,
+      maxGens: Option[Int] = None): (DataFrame, Long) => Unit =
     (records: DataFrame, epochId: Long) => {
       val sub = s"epoch-$epochId"
       writeWarcWithCdx(records, s"$collectionRoot/$sub", s"$sub/")
@@ -897,6 +908,12 @@ object WarcIo {
       CdxIndex.appendEpoch(cdx, masterDir, nShards, sub)
       digestDir.foreach(d =>
         CdxIndex.appendEpoch(cdx, d, nShards, sub, CdxIndex.DigestKey))
+      maxGens.foreach { m =>
+        (Seq(masterDir) ++ digestDir).foreach { d =>
+          CdxIndex.compact(spark, d, nShards, m)
+          CdxIndex.vacuum(spark, d)
+        }
+      }
       ()
     }
 

@@ -282,8 +282,10 @@ class CrawlStreamingSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val dir = TempDirs.scratch("epoch-sink")
+    // self-maintaining: the tiered compaction + vacuum keep generation
+    // count and disk bounded as epochs accumulate
     val sink = WarcIo.archiveEpochSink(s"$dir/warc", s"$dir/master", 2,
-      digestDir = Some(s"$dir/digest"))
+      digestDir = Some(s"$dir/digest"), maxGens = Some(2))
     val input = MemoryStream[String]
     val q = input.toDS().map { u =>
       ("metadata", u, "2026-01-01T00:00:00Z", WarcIo.recordIdFor("es:" + u),
@@ -295,12 +297,27 @@ class CrawlStreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData("http://c.three/z/3")
       q.processAllAvailable()
+      input.addData("http://d.four/w/4")
+      q.processAllAvailable()
     } finally q.stop()
-    // both masters hold every capture exactly once, across two epochs
+    // both masters hold every capture exactly once, across three
+    // epochs, and the in-sink maintenance bounded the generations
     val master = graft.sources.CdxIndex.readMaster(spark, s"$dir/master")
-    assert(master.count() == 3)
+    assert(master.count() == 4)
     val dm = graft.sources.CdxIndex.readMaster(spark, s"$dir/digest")
-    assert(dm.count() == 3)
+    assert(dm.count() == 4)
+    // LIVE generations (newest manifest) stay ≤ maxGens; on-disk dirs
+    // additionally hold the PREVIOUS manifest's generations for pinned
+    // readers (vacuum keep=2), so the disk bound is maxGens + the
+    // just-folded generations — constant per epoch, never growing
+    Seq("master", "digest").foreach { m =>
+      val gens = new java.io.File(s"$dir/$m").list().count(_.matches("gen-\\d{8}"))
+      assert(gens <= 4, s"$m generations unbounded: $gens")
+      val lookupFan = graft.sources.CdxIndex
+        .readMaster(spark, s"$dir/$m").inputFiles
+        .map(_.replaceAll("/cdx/.*$", "")).distinct.length
+      assert(lookupFan <= 2, s"$m live generations exceed maxGens: $lookupFan")
+    }
     // a URL lookup resolves through the master and the pointer fetches
     // from the COLLECTION ROOT across epoch subdirectories
     val hit = graft.sources.CdxIndex.lookupUrl(spark, s"$dir/master",
@@ -310,20 +327,22 @@ class CrawlStreamingSpec extends SparkSpec {
     val fetched = WarcIo.fetchByCdx(
       graft.sources.CdxIndex.readMaster(spark, s"$dir/master"), s"$dir/warc")
       .collect()
-    assert(fetched.length == 3)
+    assert(fetched.length == 4)
     fetched.foreach { r =>
       assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
         "fetched: " + r.getAs[String]("target_uri"))
     }
     // re-delivering an epoch out-of-band (the crash-replay shape the
-    // sink promises to absorb) neither duplicates nor errors
+    // sink promises to absorb) neither duplicates nor errors — even
+    // though that epoch's generation was long folded by the tiered
+    // compaction (its tag rode onto the folded generation)
     sink((0 until 1).map(_ => ("metadata", "http://c.three/z/3",
       "2026-01-01T00:00:00Z", WarcIo.recordIdFor("es:http://c.three/z/3"),
       "application/warc-fields", "fetched: http://c.three/z/3".getBytes(UTF_8)))
       .toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload"),
       1L)
-    assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/master").count() == 3)
-    assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/digest").count() == 3)
+    assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/master").count() == 4)
+    assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/digest").count() == 4)
   }
 
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
