@@ -3734,6 +3734,33 @@ object SparkEntry {
         .orderBy(col("kind"), col("surt"), col("ts"))
     }),
 
+    "cdx_digest_batch" -> ((s, dir) => {
+      // the BATCH takedown/provenance sweep: a request SET of content
+      // hashes (every 37th planted digest, including never-captured
+      // ones ≥ d500, each requested TWICE) resolves against a
+      // 2-generation digest master in one pruned pass — the cluster
+      // broadcasts onto the keys, the scan semi-joins them exactly
+      // (misses match nothing, duplicates do not duplicate). The
+      // oracle replays the intersection from the planting formulas.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id % 500) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val dDir = TempDirs.scratch("cdx_digb_")
+      graft.sources.CdxIndex.appendEpoch(cdx.filter(col("offset") < 2000),
+        dDir, nShards = 12, "epoch-0", graft.sources.CdxIndex.DigestKey)
+      graft.sources.CdxIndex.appendEpoch(cdx.filter(col("offset") >= 2000),
+        dDir, nShards = 12, "epoch-1", graft.sources.CdxIndex.DigestKey)
+      val wanted = s.range(1200).filter(expr("(id % 600) % 37 = 0"))
+        .selectExpr("concat('d', id % 600) AS digest")
+      graft.sources.CdxIndex.lookupDigestBatch(s, dDir, wanted)
+        .select(col("digest"), col("surt"), col("ts"), col("url"), col("offset"))
+        .orderBy(col("digest"), col("surt"))
+    }),
+
     "cdx_nearest_lookup" -> ((s, dir) => {
       // memento-style TimeGate resolution: 1000 urls captured in three
       // crawls (Jan 1/2/3); requests probe BEFORE every capture
@@ -8443,6 +8470,21 @@ object SparkEntry {
         |    i
         |  FROM range(4000) r(i) WHERE i % 500 = 137)
         |SELECT kind, surt, ts, url, "offset" FROM a ORDER BY kind, surt, ts""".stripMargin,
+
+    // the digest-set intersection replayed: captures whose planted
+    // digest index is ≡ 0 (mod 37) hit; requested hashes d500–d599
+    // were never planted and match nothing; doubled requests do not
+    // duplicate rows
+    "cdx_digest_batch" ->
+      """WITH t AS (SELECT i FROM range(4000) r(i) WHERE (i % 500) % 37 = 0)
+        |SELECT 'd' || CAST(i % 500 AS VARCHAR) AS digest,
+        |  'org,site' || CAST(i % 7 AS VARCHAR) || ',h' || CAST(i % 40 AS VARCHAR)
+        |    || ')/p/' || CAST(i AS VARCHAR) AS surt,
+        |  lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |  'https://h' || CAST(i % 40 AS VARCHAR) || '.site' || CAST(i % 7 AS VARCHAR)
+        |    || '.org/p/' || CAST(i AS VARCHAR) AS url,
+        |  i AS "offset"
+        |FROM t ORDER BY digest, surt""".stripMargin,
 
     // each request arm's nearest capture replayed from the planting
     // formulas: before-first → forward to crawl 1; 6 h after crawl 1 →

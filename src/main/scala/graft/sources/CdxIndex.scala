@@ -493,7 +493,22 @@ object CdxIndex {
     * one archive can refresh both masters.
     */
   def refreshFromArchive(spark: SparkSession, archiveDir: String,
+      masterDir: String, nShards: Int): Unit =
+    refreshFromArchives(spark, Seq(archiveDir), masterDir, nShards)
+
+  /** [[refreshFromArchive]] over a MULTI-DIRECTORY collection — the
+    * streaming shape, where a master spans one epoch subdirectory per
+    * micro-batch ([[WarcIo.archiveEpochSink]]) and a maintenance pass
+    * compacts SOME of them: the master must republish from EVERY
+    * directory's committed sidecars, compacted or not, or it silently
+    * shrinks to the dirs it was refreshed from. `archiveDirs` is the
+    * complete collection (list the collection root's subdirs); each
+    * dir's sidecars already carry their collection-relative prefixes,
+    * so the rebuilt pointers keep resolving from the collection root.
+    */
+  def refreshFromArchives(spark: SparkSession, archiveDirs: Seq[String],
       masterDir: String, nShards: Int): Unit = {
+    require(archiveDirs.nonEmpty, "refreshFromArchives needs at least one archive dir")
     val (dirPath, fs) = masterFs(spark, masterDir)
     graft.operators.CrawlFrontier.withWriterLock(spark, masterDir) {
       val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
@@ -505,7 +520,9 @@ object CdxIndex {
         .flatMap(readManifest(fs, _)).map(_.stripPrefix("gen-").toInt)
         .foldLeft(0)(_ max _) + 1
       val gen = f"gen-$id%08d"
-      buildTableKeyed(WarcIo.readCdxjCommitted(spark, archiveDir),
+      buildTableKeyed(
+        archiveDirs.map(d => WarcIo.readCdxjCommitted(spark, d))
+          .reduce(_ unionByName _),
         s"$masterDir/$gen", nShards, readKeyFile(fs, dirPath))
       publishManifest(fs, dirPath, Seq(gen -> tags)); ()
     }
@@ -624,8 +641,20 @@ object CdxIndex {
     * output rows (semi-join semantics). The manifest is pinned at
     * construction like every lookup.
     */
-  def lookupBatch(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
-    requireLookupKey(spark, dir, "surt")
+  def lookupBatch(spark: SparkSession, dir: String, keys: DataFrame): DataFrame =
+    lookupBatchKeyed(spark, dir, keys, "surt")
+
+  /** [[lookupBatch]] against the DIGEST reverse master: every capture
+    * of every content hash in `keys` (a DataFrame with a `digest`
+    * column) — the batch takedown/provenance sweep ("purge THESE 10M
+    * hashes") with nothing request-sized on the driver.
+    */
+  def lookupDigestBatch(spark: SparkSession, dir: String, keys: DataFrame): DataFrame =
+    lookupBatchKeyed(spark, dir, keys, "digest")
+
+  private def lookupBatchKeyed(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    requireLookupKey(spark, dir, keyCol)
     val gens = resolveGens(spark, dir)
     // the keys plan is consumed TWICE — once for shard discovery, once
     // in the semi join — so it is MATERIALIZED here (localCheckpoint:
@@ -639,10 +668,10 @@ object CdxIndex {
     // same per-call checkpoint discipline as resolveRedirects' rounds;
     // a driver loop issuing many batch lookups should drop each result
     // frame before the next call rather than accumulate references.
-    val pinned = keys.select(col("surt")).localCheckpoint()
+    val pinned = keys.select(col(keyCol)).localCheckpoint()
     val clusters = spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
       .select(col("file"), col("lo"), col("hi"), input_file_name().as("cf"))
-    val files = pinned.select(col("surt").as("__k"))
+    val files = pinned.select(col(keyCol).as("__k"))
       .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
       .select(col("file"), col("cf")).distinct()
       .collect().toSeq
@@ -652,7 +681,7 @@ object CdxIndex {
       spark.read.parquet(s"${gens.head}/cdx").limit(0)
     else
       spark.read.parquet(files: _*)
-        .join(pinned.hint("shuffle_hash"), Seq("surt"), "left_semi")
+        .join(pinned.hint("shuffle_hash"), Seq(keyCol), "left_semi")
   }
 
   /** All captures under a raw SURT STRING prefix — `"com,example)"` is

@@ -898,6 +898,59 @@ class CdxSpec extends SparkSpec {
     // compact folds generations preserving the digest key
     CdxIndex.compact(spark, dir, nShards = 4)
     assert(CdxIndex.lookupDigest(spark, dir, "sha1:CROSSGEN").count() == 4)
+    // BATCH digest sweep: a request set (the planted hash twice + a
+    // miss) returns the full capture set once — and keys the pruning
+    // on the digest bounds, which the primary-keyed batch cannot
+    val sweep = CdxIndex.lookupDigestBatch(spark, dir,
+      Seq("sha1:CROSSGEN", "sha1:CROSSGEN", "sha1:NEVERSEEN").toDF("digest"))
+    assert(sweep.count() == 4)
+    assert(sweep.select("offset").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 505L, 1005L, 1505L))
+    val e4 = intercept[IllegalArgumentException] {
+      CdxIndex.lookupDigestBatch(spark, TempDirs.scratch("cdx_digm2_") + "/none",
+        Seq("x").toDF("digest"))
+    }
+    // (missing dir fails on resolveGens' layout check — loud, not empty)
+    assert(e4.getMessage.contains("neither a manifest"))
+  }
+
+  test("refreshFromArchives: a multi-dir collection master republishes from EVERY dir") {
+    import spark.implicits._
+    val root = TempDirs.scratch("cdx_refrmulti_")
+    def epoch(e: Int): Unit = {
+      val rows = spark.range(12).map { i =>
+        ("response", s"http://mc.example.org/e$e/$i", "2026-01-01T00:00:00Z",
+          WarcIo.recordIdFor(s"mc$e:$i"), "application/http; msgtype=response",
+          WarcIo.buildHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+            s"collection body $e-$i".getBytes(UTF_8)))
+      }.toDF("rec_type", "target_uri", "warc_date", "record_id", "content_type", "payload")
+        .repartition(4)
+      WarcIo.writeWarcWithCdx(rows, s"$root/warc/epoch-$e", s"epoch-$e/")
+    }
+    epoch(0); epoch(1)
+    val master = s"$root/master"
+    CdxIndex.appendEpoch(WarcIo.readCdxjCommitted(spark, s"$root/warc/epoch-0"),
+      master, 4, "epoch-0")
+    CdxIndex.appendEpoch(WarcIo.readCdxjCommitted(spark, s"$root/warc/epoch-1"),
+      master, 4, "epoch-1")
+    def fetchAll() = WarcIo.fetchByCdx(CdxIndex.readMaster(spark, master), s"$root/warc")
+      .select("target_uri", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val before = fetchAll()
+    assert(before.size == 24)
+    // compact ONLY epoch-0's parts; the refresh must still cover BOTH
+    // dirs or the master silently shrinks to the refreshed one
+    WarcIo.compactArchives(spark, s"$root/warc/epoch-0", targetBytes = Long.MaxValue)
+    CdxIndex.refreshFromArchives(spark,
+      Seq(s"$root/warc/epoch-0", s"$root/warc/epoch-1"), master, 4)
+    assert(CdxIndex.readMaster(spark, master).count() == 24)
+    assert(fetchAll() == before)
+    // the rebuilt pointers kept their collection-relative prefixes
+    assert(CdxIndex.readMaster(spark, master).select("filename").collect()
+      .forall(_.getString(0).matches("epoch-[01]/part-.*\\.warc\\.gz")))
+    // the epoch ledger survived the refresh
+    assert(!CdxIndex.appendEpoch(WarcIo.readCdxjCommitted(spark, s"$root/warc/epoch-1"),
+      master, 4, "epoch-1"))
   }
 
   test("lookupBatch: pruned request-set lookup; index side never broadcasts") {

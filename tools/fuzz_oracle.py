@@ -79,7 +79,7 @@ QUERIES = [
     # redirect graph; the stream-index query is a formula fixture over
     # the epoch-tagged masters re-checked under every seed
     "pipeline_wayback_redirects", "pipeline_crawl_stream_index",
-    "cdx_nearest_lookup",
+    "cdx_nearest_lookup", "cdx_digest_batch",
 ]
 
 # events-only queries: gated when the adversarial events table is
