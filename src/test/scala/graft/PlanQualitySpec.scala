@@ -259,6 +259,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), "no cartesian in the lookup")
   }
 
+  test("cdx_digest_batch: pruned scan semi-joins the request set shuffle-hash, never broadcast") {
+    // the request set is data-sized by contract — neither it nor the
+    // index side may ever broadcast; the only broadcast in lookupBatch
+    // is the cluster consult, which collects driver-side BEFORE this
+    // plan exists
+    val p = plan("cdx_digest_batch")
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("BroadcastExchange"),
+      s"the index/keys join must not broadcast either large side:\n$p")
+  }
+
+  test("cdx_nearest_lookup: two as-of spines, no range-join fallback, no cartesian") {
+    // nearest = backward + forward as-of — each the single-shuffle
+    // window spine; a range-join formulation would fall back to
+    // BroadcastNestedLoop/cartesian and go quadratic in captures
+    val p = plan("cdx_nearest_lookup")
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest resolution must not fall back to a range join:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 2,
+      s"expected the backward AND forward as-of window spines:\n$p")
+  }
+
   test("stop-at-gtid filter is a pushable BETWEEN disjunction, not a UDF") {
     val p = plan("o11_stop_at_gtid")
     assert(!p.toLowerCase.contains("scalaudf"), "interval filter must not be a UDF")
