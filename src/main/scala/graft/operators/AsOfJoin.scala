@@ -90,4 +90,62 @@ object AsOfJoin {
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col("_p." + p).as(p)): _*)
   }
+
+  /** BOTH directions over ONE spine: each left row picks up the latest
+    * right row at-or-BEFORE its time AND the earliest at-or-AFTER it —
+    * the "nearest capture / nearest event" primitive (the caller
+    * compares the two distances). Payload columns come back suffixed
+    * `_before` / `_after`, null on a side with no right row.
+    *
+    * Scale shape: the two directions share the union spine and its ONE
+    * hash Exchange — running [[asOf]] twice would shuffle the right
+    * side (the big side: an archive index, an event log) twice and
+    * re-shuffle the half-joined left a third time. The two window
+    * passes order the same partitions opposite ways, so Spark reuses
+    * the exchange and pays only the second in-partition sort. Tie
+    * rules match [[asOf]] exactly in both directions (equal-time right
+    * rows are inclusive on BOTH sides; `rightTiebreak`'s max wins).
+    */
+  def asOfBoth(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String],
+               rightTiebreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val suffixed = payload.flatMap(p => Seq(p + "_before", p + "_after"))
+    require(leftCols.intersect(suffixed).isEmpty,
+      s"suffixed payload ${suffixed.intersect(leftCols)} collides with left columns")
+    val reserved = Seq("_k", "_t", "_side", "_tb", "_p", "_pb", "_pf")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns ${leftCols.intersect(reserved)} collide with as-of internals")
+    val tb = rightTiebreak.map(col).getOrElse(lit(0L))
+    val tbLeft = rightTiebreak
+      .map(c => lit(null).cast(right.schema(c).dataType))
+      .getOrElse(lit(0L))
+    val r = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull).select(
+      (Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+        tb.as("_tb"), struct(payload.map(col): _*).as("_p")) ++
+        leftCols.map(c => lit(null).as(c))): _*)
+    val l = left.select(
+      (Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+        tbLeft.as("_tb"), lit(null).cast(r.schema("_p").dataType).as("_p")) ++
+        leftCols.map(col)): _*)
+    // same partitioning, opposite in-partition orders — the asc pass is
+    // asOf's backward walk, the desc pass its forward walk; both keep
+    // right rows BEFORE left rows at equal time (inclusive matches)
+    val wBack = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc_nulls_first, col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").desc_nulls_first, col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_pb", last(col("_p"), ignoreNulls = true).over(wBack))
+      .withColumn("_pf", last(col("_p"), ignoreNulls = true).over(wFwd))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_pb." + p).as(p + "_before")) ++
+        payload.map(p => col("_pf." + p).as(p + "_after")): _*)
+  }
 }

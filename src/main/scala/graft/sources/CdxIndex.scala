@@ -359,6 +359,20 @@ object CdxIndex {
     appendTagged(cdx, dir, nShards, sortCols, Some(epochTag))
   }
 
+  /** Whether the master's CURRENT manifest already records `epochTag`
+    * — the read-only twin of [[appendEpoch]]'s no-op check, for
+    * callers that must decide BEFORE doing epoch work whether a replay
+    * is re-running an already-published epoch
+    * ([[WarcIo.archiveEpochSink]] skips the archive rewrite on it: the
+    * masters' pointers into the committed dir must not be stranded by
+    * a repartitioned re-write). False when no manifest exists.
+    */
+  def hasEpoch(spark: SparkSession, dir: String, epochTag: String): Boolean = {
+    val (dirPath, fs) = masterFs(spark, dir)
+    manifestFiles(fs, dirPath).lastOption
+      .exists(m => readManifestEntries(fs, m).exists(_._2.contains(epochTag)))
+  }
+
   private def appendTagged(cdx: DataFrame, dir: String, nShards: Int,
       sortCols: Seq[String], tag: Option[String]): Boolean = {
     val spark = cdx.sparkSession
@@ -520,9 +534,12 @@ object CdxIndex {
         .flatMap(readManifest(fs, _)).map(_.stripPrefix("gen-").toInt)
         .foldLeft(0)(_ max _) + 1
       val gen = f"gen-$id%08d"
+      // ONE flat manifest-gated text scan over every dir's committed
+      // sidecars — an N-way Union plan over thousands of epoch dirs
+      // would cost super-linear analysis time on every refresh
       buildTableKeyed(
-        archiveDirs.map(d => WarcIo.readCdxjCommitted(spark, d))
-          .reduce(_ unionByName _),
+        WarcIo.readCdxj(spark,
+          archiveDirs.flatMap(d => WarcIo.committedFiles(spark, d, ".cdx.gz"))),
         s"$masterDir/$gen", nShards, readKeyFile(fs, dirPath))
       publishManifest(fs, dirPath, Seq(gen -> tags)); ()
     }
@@ -746,11 +763,16 @@ object CdxIndex {
     * numerically ~10^10 away), so a numeric diff would mis-rank
     * captures straddling a boundary.
     *
-    * Scale shape: TWO as-of passes (backward + forward — each the
-    * single-shuffle spine join, no range join, no per-key collect) and
-    * one row-level pick. Requests with no capture on either side come
-    * back with null match columns (callers filter or escalate); a
-    * malformed `want_ts` fails loudly per row. `index` is index ROWS
+    * Scale shape: ONE spine — [[graft.operators.AsOfJoin.asOfBoth]]
+    * resolves the backward AND forward matches over a single hash
+    * Exchange (two in-partition window passes), then a row-level pick
+    * compares the two distances; no range join, no per-key collect,
+    * and the index never shuffles twice. Equal-(surt, ts) captures
+    * pick DETERMINISTICALLY (the max (filename, offset) tiebreak —
+    * duplicate captures from parallel crawlers are common in real
+    * CDX). Requests with no capture on either side come back with
+    * null match columns (callers filter or escalate); a malformed
+    * `want_ts` fails loudly per row. `index` is index ROWS
     * (readMaster / a pruned lookup result), so callers prune first —
     * lookupBatch the request surts, then resolve nearest over the
     * pruned subset.
@@ -773,22 +795,20 @@ object CdxIndex {
         raise_error(concat(lit("resolveNearest: want_ts is not a ts14 instant: '"),
           coalesce(col("want_ts"), lit("NULL")), lit("'"))).cast("string"))
         .otherwise(col("want_ts")))
-    def caps(sfx: String) = index
+    val caps = index
       .filter(col("surt").isNotNull && col("ts").isNotNull)
-      .select(col("surt").as("__cs" + sfx), col("ts").as("__ct" + sfx),
-        col("ts").as("ts" + sfx), col("filename").as("filename" + sfx),
-        col("offset").as("offset" + sfx), col("length").as("length" + sfx))
-    val back = graft.operators.AsOfJoin.asOf(reqs, caps("_b"),
-      "surt", "__cs_b", "want_ts", "__ct_b",
-      payload = Seq("ts_b", "filename_b", "offset_b", "length_b"))
-    val both = graft.operators.AsOfJoin.asOf(back, caps("_f"),
-      "surt", "__cs_f", "want_ts", "__ct_f",
-      payload = Seq("ts_f", "filename_f", "offset_f", "length_f"), forward = true)
+      .select(col("surt").as("__cs"), col("ts").as("__ct"),
+        col("ts"), col("filename"), col("offset"), col("length"),
+        concat_ws("|", col("filename"), col("offset")).as("__tb"))
+    val both = graft.operators.AsOfJoin.asOfBoth(reqs, caps,
+      "surt", "__cs", "want_ts", "__ct",
+      payload = added, rightTiebreak = Some("__tb"))
     val w = ep(col("want_ts"))
-    val useBack = col("ts_f").isNull ||
-      (col("ts_b").isNotNull && (w - ep(col("ts_b"))) <= (ep(col("ts_f")) - w))
+    val useBack = col("ts_after").isNull ||
+      (col("ts_before").isNotNull &&
+        (w - ep(col("ts_before"))) <= (ep(col("ts_after")) - w))
     def pick(name: String) =
-      when(useBack, col(name + "_b")).otherwise(col(name + "_f")).as(name)
+      when(useBack, col(name + "_before")).otherwise(col(name + "_after")).as(name)
     both.select(requests.columns.map(col) ++ added.map(pick): _*)
   }
 

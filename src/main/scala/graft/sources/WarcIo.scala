@@ -902,9 +902,20 @@ object WarcIo {
       maxGens: Option[Int] = None): (DataFrame, Long) => Unit =
     (records: DataFrame, epochId: Long) => {
       val sub = s"epoch-$epochId"
-      writeWarcWithCdx(records, s"$collectionRoot/$sub", s"$sub/")
       val spark = records.sparkSession
-      val cdx = readCdxjCommitted(spark, s"$collectionRoot/$sub")
+      // replay guard: once the PRIMARY master records this epoch's tag,
+      // the epoch dir is treated as IMMUTABLE — a re-write could land
+      // the replayed records in different part files (partitioning is
+      // not part of the foreachBatch replay contract) and strand the
+      // already-published pointers at deleted names/shifted offsets.
+      // The committed sidecars re-read as-is and the appends below
+      // complete whatever a crash left undone (e.g. the digest append).
+      if (!CdxIndex.hasEpoch(spark, masterDir, sub))
+        writeWarcWithCdx(records, s"$collectionRoot/$sub", s"$sub/")
+      // materialized once: the same parsed rows feed both masters (the
+      // lookupBatch discipline — re-parsing the gzip/JSON sidecars per
+      // append would double the hot path's ingest work)
+      val cdx = readCdxjCommitted(spark, s"$collectionRoot/$sub").localCheckpoint()
       CdxIndex.appendEpoch(cdx, masterDir, nShards, sub)
       digestDir.foreach(d =>
         CdxIndex.appendEpoch(cdx, d, nShards, sub, CdxIndex.DigestKey))

@@ -102,6 +102,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 12L, "k", 200L, null)))
   }
 
+  test("asOfBoth: backward AND forward matches over one spine, tie rules match asOf") {
+    val both = AsOfJoin.asOfBoth(left, right, "k", "k", "t", "rt",
+      payload = Seq("ord", "tag"), rightTiebreak = Some("ord"))
+      .orderBy("id").collect()
+    assert(both.toSeq === Seq(
+      // t=10: inclusive on BOTH sides (r@10 is at-or-before AND at-or-after)
+      Row(1L, 10L, "k1", 200L, "b", 200L, "b"),
+      // t=7: before=r@5, after=r@10
+      Row(2L, 7L, "k1", 100L, "a", 200L, "b"),
+      // t=4: nothing before, r@5 after
+      Row(3L, 4L, "k1", null, null, 100L, "a"),
+      // no right rows for k2 at all
+      Row(4L, 99L, "k2", null, null, null, null),
+      // equal-(key,time) right ties: max tiebreak wins in BOTH directions
+      Row(5L, 10L, "k3", 400L, "d", 400L, "d")
+    ))
+    // agreement witness: asOfBoth's two sides equal two separate asOf passes
+    val b = AsOfJoin.asOf(left, right, "k", "k", "t", "rt",
+      payload = Seq("ord"), rightTiebreak = Some("ord")).orderBy("id")
+      .collect().map(_.getAs[Any]("ord")).toSeq
+    val f = AsOfJoin.asOf(left, right, "k", "k", "t", "rt",
+      payload = Seq("ord"), rightTiebreak = Some("ord"), forward = true).orderBy("id")
+      .collect().map(_.getAs[Any]("ord")).toSeq
+    assert(both.map(_.getAs[Any]("ord_before")).toSeq === b)
+    assert(both.map(_.getAs[Any]("ord_after")).toSeq === f)
+    // ONE exchange total: both window passes share the spine's shuffle
+    val plan = AsOfJoin.asOfBoth(left, right, "k", "k", "t", "rt",
+      payload = Seq("ord"), rightTiebreak = Some("ord"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"the two directions must share the spine shuffle:\n$plan")
+  }
+
   test("matches a sort-merge left join computed the quadratic way") {
     // independent witness on fixture data: per-event argmax via window
     val ev = Tables.load(spark, sf, "events")

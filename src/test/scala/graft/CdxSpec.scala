@@ -569,6 +569,17 @@ class CdxSpec extends SparkSpec {
     val miss = graft.sources.CdxIndex.resolveNearest(
       Seq(("org,zz)/q", "20260101000000")).toDF("surt", "want_ts"), idx).collect()
     assert(miss.length == 1 && miss.head.isNullAt(miss.head.fieldIndex("ts")))
+    // equal-(surt, ts) duplicate captures (parallel crawlers) pick
+    // DETERMINISTICALLY: the max (filename, offset) tiebreak
+    val dup = idx.unionByName(
+      Seq(("org,nr)/p", "20260102000000", "fB2.warc.gz", 9L, 10L))
+        .toDF("surt", "ts", "filename", "offset", "length"))
+    (1 to 3).foreach { _ =>
+      val got = graft.sources.CdxIndex.resolveNearest(
+        Seq(("org,nr)/p", "20260102000000")).toDF("surt", "want_ts"),
+        dup.repartition(7)).select("filename").head.getString(0)
+      assert(got == "fB2.warc.gz", s"nondeterministic duplicate pick: $got")
+    }
     // a malformed instant is loud, never a silent non-match
     val e = intercept[Exception] {
       graft.sources.CdxIndex.resolveNearest(

@@ -343,6 +343,17 @@ class CrawlStreamingSpec extends SparkSpec {
       1L)
     assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/master").count() == 4)
     assert(graft.sources.CdxIndex.readMaster(spark, s"$dir/digest").count() == 4)
+    // ...and EVERY master pointer still dereferences byte-exactly: the
+    // re-delivery (here deliberately at a DIFFERENT partitioning — one
+    // local row instead of the stream's layout) must not have rewritten
+    // the epoch dir under the published pointers
+    val refetched = WarcIo.fetchByCdx(
+      graft.sources.CdxIndex.readMaster(spark, s"$dir/master"), s"$dir/warc").collect()
+    assert(refetched.length == 4)
+    refetched.foreach { r =>
+      assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
+        "fetched: " + r.getAs[String]("target_uri"))
+    }
   }
 
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {
