@@ -779,6 +779,19 @@ object ScaleProbe {
           sources.CdxIndex.compact(spark, lsmDir, nShards = 64, maxGens = 2)
           sources.CdxIndex.lookupPrefix(spark, lsmDir, "org,host4242)")
         }
+        // memento NEAREST resolution of a 100k-request set against the
+        // whole k×1M master: one spine exchange carries BOTH directions,
+        // so the op must scale ~linearly in captures (sort-bound) — a
+        // range-join formulation would go quadratic and a two-pass
+        // formulation would shuffle the index twice
+        time("cdx_lsm_nearest_xl", k) {
+          sources.CdxIndex.resolveNearest(
+            spark.range(100000L).select(
+              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
+                lit(")/p/"), col("id")).as("surt"),
+              lit("20260101120000").as("want_ts")),
+            sources.CdxIndex.readMaster(spark, lsmDir))
+        }
         // digest REVERSE index at k×1M captures with ~10 captures per
         // content (planted duplicates): one content's capture set must
         // come back flat in k via cluster pruning on the digest key —
