@@ -780,17 +780,33 @@ object ScaleProbe {
           sources.CdxIndex.lookupPrefix(spark, lsmDir, "org,host4242)")
         }
         // memento NEAREST resolution of a 100k-request set against the
-        // whole k×1M master: one spine exchange carries BOTH directions,
-        // so the op must scale ~linearly in captures (sort-bound) — a
-        // range-join formulation would go quadratic and a two-pass
-        // formulation would shuffle the index twice
+        // whole k×1M master through the ENGINE-COMPOSED entry point:
+        // the request surts prune the scan (cluster-broadcast + semi
+        // join — the spine carries ~200k rows however big the master
+        // is), then ONE exchange resolves both directions. The raw
+        // resolveNearest(readMaster) formulation rode the ENTIRE
+        // master on the spine and spilled at the 30M point
+        // (BUILD_EVIDENCE_r16 §2); this must stay flat-in-k modulo the
+        // linear semi-join scan.
         time("cdx_lsm_nearest_xl", k) {
-          sources.CdxIndex.resolveNearest(
+          sources.CdxIndex.resolveNearestAt(spark, lsmDir,
             spark.range(100000L).select(
               concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
                 lit(")/p/"), col("id")).as("surt"),
-              lit("20260101120000").as("want_ts")),
-            sources.CdxIndex.readMaster(spark, lsmDir))
+              lit("20260101120000").as("want_ts")))
+        }
+        if (lsmDir != null) {
+          // admission telemetry: with the probe instant off every
+          // generation's window, wave 1 degenerates to all candidates
+          // (key-pruning still bounds the spine); the δ-feedback pass
+          // must then find nothing to re-admit
+          val (_, w1, w2) = sources.CdxIndex.resolveNearestAtPlanned(spark, lsmDir,
+            spark.range(1000L).select(
+              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
+                lit(")/p/"), col("id")).as("surt"),
+              lit("20260101120000").as("want_ts")))
+          println(s"""{"op":"cdx_lsm_nearest_xl_waves","k":$k,""" +
+            s""""wave1":${w1.size},"wave2":${w2.size}}""")
         }
         // digest REVERSE index at k×1M captures with ~10 captures per
         // content (planted duplicates): one content's capture set must

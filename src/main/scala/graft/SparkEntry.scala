@@ -3792,6 +3792,109 @@ object SparkEntry {
         .orderBy(col("surt"))
     }),
 
+    "cdx_nearest_at" -> ((s, dir) => {
+      // the ENGINE-COMPOSED TimeGate: the same memento arms as
+      // cdx_nearest_lookup, but resolved against a STORED
+      // three-generation master via resolveNearestAt — the request
+      // surts prune the scan to their shard files (the lookupBatch
+      // discipline: nothing request-sized on the driver, the spine
+      // carries only requested keys' captures) and the per-file ts
+      // windows skip the crawl-3 generation in wave 1 (its window
+      // sits past the request span), re-admitting it in the
+      // δ-feedback pass because the 20:00 arm's achieved distance
+      // still reaches it. A wrong admission decision, a lost wave, or
+      // a pruning miss changes the answer and hash-mismatches. Oracle
+      // = the cdx_nearest_lookup arms replayed from the formulas.
+      val caps = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('2026010', crawl + 1, '000000') AS ts",
+          "concat('f', crawl, '.warc.gz') AS filename",
+          "base AS offset", "CAST(100 AS BIGINT) AS length",
+          "crawl")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_near_at_")
+      (0 to 2).foreach { c =>
+        graft.sources.CdxIndex.appendEpoch(
+          caps.filter(col("crawl") === c).drop("crawl"), mDir, nShards = 8, s"crawl-$c")
+      }
+      val reqs = s.range(1000).selectExpr(
+        "id AS base",
+        """CASE CAST(id % 4 AS INT)
+          |  WHEN 0 THEN '20251230000000'
+          |  WHEN 1 THEN '20260101060000'
+          |  WHEN 2 THEN '20260101120000'
+          |  ELSE '20260102200000' END AS want_ts""".stripMargin)
+        .selectExpr(
+          "graft_surt(concat('https://h', base % 20, '.ex.org/p/', base)) AS surt",
+          "want_ts")
+      graft.sources.CdxIndex.resolveNearestAt(s, mDir, reqs)
+        .select(col("surt"), col("want_ts"), col("ts"), col("filename"), col("offset"))
+        .orderBy(col("surt"))
+    }),
+
+    "cdx_timemap" -> ((s, dir) => {
+      // RFC 7089 TimeMap — ONE URI's full capture timeline, paged: 40
+      // urls × 10 captures each (5 distinct instants visited TWICE, so
+      // duplicate-instant ordering must fall back to the (filename,
+      // offset) tiebreak deterministically) land as two appendEpoch
+      // generations; timeMap prunes to the one url's shard files and
+      // pages the timeline at 3 captures per page. The oracle replays
+      // the ordering, seq and page arithmetic from the formulas.
+      val cdx = s.range(400).selectExpr(
+        "concat('https://h', id % 40, '.ex.org/p/', id % 40) AS url",
+        "concat('202601', lpad(CAST(1 + (id DIV 40) % 5 AS STRING), 2, '0'), '000000') AS ts",
+        "concat('d', id % 5) AS digest", "id AS offset",
+        "CAST(100 + id % 9 AS BIGINT) AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 3, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_tmap_")
+      graft.sources.CdxIndex.appendEpoch(
+        cdx.filter(col("offset") < 200), mDir, nShards = 6, "epoch-0")
+      graft.sources.CdxIndex.appendEpoch(
+        cdx.filter(col("offset") >= 200), mDir, nShards = 6, "epoch-1")
+      graft.sources.CdxIndex.timeMap(s, mDir, "https://h7.ex.org/p/7", pageSize = 3)
+        .orderBy(col("seq"))
+    }),
+
+    "cdx_epoch_metrics" -> ((s, dir) => {
+      // the archival loop's telemetry: three epochs (20/30/40 pages)
+      // flow through the SELF-MAINTAINING sink — epoch 1 delivered
+      // TWICE (the crash-replay shape: the tag ledger no-ops it and
+      // the metrics table must gain NO row) — and the per-epoch
+      // metrics rows record rows appended and the generation counts
+      // around the size-tiered fold (epoch 2 pushes the master past
+      // maxGens = 2, folding the two smallest generations). The
+      // oracle states the expected ledger outright; a double-counted
+      // replay, a missed fold, or a miscounted append changes it.
+      import s.implicits._
+      val root = TempDirs.scratch("cdx_met_root_")
+      val mDir = TempDirs.scratch("cdx_met_idx_")
+      val sink = WarcIo.archiveEpochSink(root, mDir, nShards = 4,
+        maxGens = Some(2), tagHorizon = Some(8))
+      def records(e: Int, n: Int): DataFrame = s.range(n).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            s"<html>metrics $e/$id</html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", s"http://m$e.example.org/p/$id", "2026-01-01T00:00:00Z",
+            WarcIo.recordIdFor(s"met:$e:$id"),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      sink(records(0, 20), 0L)
+      sink(records(1, 30), 1L)
+      sink(records(1, 30), 1L) // crash-replayed delivery: must add NO row
+      sink(records(2, 40), 2L)
+      graft.sources.CdxIndex.epochMetrics(s, mDir)
+        .select(col("epoch"), col("rows"), col("gens_before"), col("gens_after"),
+          col("gens_folded"))
+        .orderBy(col("epoch"))
+    }),
+
     "cdx_columnar" -> ((s, dir) => {
       // the cc-index-table shape: CDX rows widened to typed URL columns
       // (host, eTLD+1 via the PSL, TLD, path) and aggregated per
@@ -8505,6 +8608,58 @@ object SparkEntry {
         |       ELSE 'f0.warc.gz' END AS filename,
         |  base AS "offset"
         |FROM b ORDER BY surt""".stripMargin,
+
+    // the same nearest arms, resolved through the engine-composed
+    // prune-then-resolve path against the stored 3-generation master —
+    // the answer must be identical to the raw spine's
+    "cdx_nearest_at" ->
+      """WITH b AS (SELECT i AS base, CAST(i % 20 AS VARCHAR) AS h,
+        |    CAST(i AS VARCHAR) AS sb FROM range(1000) r(i))
+        |SELECT 'org,ex,h' || h || ')/p/' || sb AS surt,
+        |  CASE CAST(base % 4 AS INT)
+        |    WHEN 0 THEN '20251230000000'
+        |    WHEN 1 THEN '20260101060000'
+        |    WHEN 2 THEN '20260101120000'
+        |    ELSE '20260102200000' END AS want_ts,
+        |  CASE WHEN base % 4 = 3 THEN '20260103000000'
+        |       ELSE '20260101000000' END AS ts,
+        |  CASE WHEN base % 4 = 3 THEN 'f2.warc.gz'
+        |       ELSE 'f0.warc.gz' END AS filename,
+        |  base AS "offset"
+        |FROM b ORDER BY surt""".stripMargin,
+
+    // one URI's timeline replayed: captures with i % 40 = 7, ordered
+    // (ts, filename, offset) — duplicate instants fall to the pointer
+    // tiebreak — then seq/page arithmetic at pageSize 3
+    "cdx_timemap" ->
+      """WITH t AS (SELECT i, 1 + (i // 40) % 5 AS day
+        |    FROM range(400) r(i) WHERE i % 40 = 7),
+        |  o AS (SELECT
+        |    '202601' || lpad(CAST(day AS VARCHAR), 2, '0') || '000000' AS ts,
+        |    'https://h7.ex.org/p/7' AS url,
+        |    'd' || CAST(i % 5 AS VARCHAR) AS digest,
+        |    'f' || CAST(i % 3 AS VARCHAR) || '.warc.gz' AS filename,
+        |    i AS "offset", CAST(100 + i % 9 AS BIGINT) AS length
+        |  FROM t)
+        |SELECT CAST((ROW_NUMBER() OVER w - 1) // 3 AS BIGINT) AS page,
+        |  CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS seq,
+        |  ts, url, digest, filename, "offset", length
+        |FROM o WINDOW w AS (ORDER BY ts, filename, "offset")
+        |ORDER BY seq""".stripMargin,
+
+    // the maintenance ledger stated outright: rows per epoch, the
+    // generation counts around the size-tiered fold at maxGens = 2,
+    // and NO row for the replayed delivery of epoch 1
+    "cdx_epoch_metrics" ->
+      """SELECT * FROM (VALUES
+        |  ('epoch-0', CAST(20 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS INTEGER),
+        |    CAST(0 AS INTEGER)),
+        |  ('epoch-1', CAST(30 AS BIGINT), CAST(2 AS INTEGER), CAST(2 AS INTEGER),
+        |    CAST(0 AS INTEGER)),
+        |  ('epoch-2', CAST(40 AS BIGINT), CAST(3 AS INTEGER), CAST(2 AS INTEGER),
+        |    CAST(2 AS INTEGER)))
+        |  t(epoch, "rows", gens_before, gens_after, gens_folded)
+        |ORDER BY epoch""".stripMargin,
 
     // host/TLD/eTLD+1 derivation + per-domain rollup replayed from the
     // same formulas

@@ -612,50 +612,111 @@ object CrawlFrontier {
     * deployment instead. A transient failure while STAMPING the lease
     * deletes it again (a wedged no-owner lock helps nobody); a writer
     * that died mid-`body` leaves the lease behind — the error message
-    * carries the lease timestamp and the recovery step (delete the
-    * file) so misuse fails fast and diagnosable, never corrupting.
+    * carries the lease timestamp and the recovery step so misuse fails
+    * fast and diagnosable, never corrupting.
+    *
+    * LIVENESS — stamped-TTL takeover: by default a crashed writer's
+    * lease blocks every later mutator until an operator deletes the
+    * file. Passing `stealAfter` (or setting the session conf
+    * `graft.writerLease.stealAfterSeconds` — the operator knob for
+    * re-running a wedged maintenance job without a code change) lets a
+    * mutator STEAL a lease whose stamp is older than the bound: it
+    * re-reads the stamp, deletes the stale file, re-acquires through
+    * the same exclusive create, and after stamping RE-READS its own
+    * unique stamp back — two racing stealers collapse to one winner
+    * (the loser fails on the exclusive create against the winner's
+    * FRESH lease, or on the stamp re-read in the narrow delete/create
+    * interleave window). The TTL must exceed the longest legitimate
+    * maintenance pass — a steal from a LIVE writer corrupts exactly
+    * like two unlocked writers, which is why there is no default.
+    * An unparseable stamp never steals (conservative, loud).
     */
-  private[graft] def withWriterLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+  private[graft] def withWriterLock[T](spark: SparkSession, dir: String,
+      stealAfter: Option[java.time.Duration] = None)(body: => T): T = {
     val hconf = spark.sessionState.newHadoopConf()
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
     val fs = lock.getFileSystem(hconf)
-    val stamp = java.time.Instant.now().toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def alreadyHeld(cause: Throwable): Nothing = {
-      val held = scala.util.Try {
-        val in = fs.open(lock)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }.getOrElse("unknown")
+    // unique stamp: instant (the TTL axis) + nonce (the steal-race
+    // detector; Instant alone can collide across two racing stealers)
+    val stampStr = java.time.Instant.now().toString + " " +
+      java.util.UUID.randomUUID().toString
+    val stamp = stampStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ttl = stealAfter.orElse(
+      spark.conf.getOption("graft.writerLease.stealAfterSeconds")
+        .map(s => java.time.Duration.ofSeconds(s.toLong)))
+    def readStamp(): Option[String] = scala.util.Try {
+      val in = fs.open(lock)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }.toOption
+    def alreadyHeld(cause: Throwable): Nothing =
       throw new IllegalStateException(
-        s"CrawlFrontier: another writer holds $lock (acquired: $held). The index " +
-          "is single-writer; if the previous writer crashed, delete the lock file " +
-          "to recover.", cause)
+        s"CrawlFrontier: another writer holds $lock (acquired: " +
+          s"${readStamp().getOrElse("unknown")}). The index is single-writer; if " +
+          "the previous writer crashed, delete the lock file to recover (or set " +
+          "graft.writerLease.stealAfterSeconds to allow stamped-TTL takeover).",
+        cause)
+    // a held lease is stealable iff its stamp parses and is older than
+    // the TTL; pre-nonce stamps (a bare Instant) parse the same way
+    def stealable(): Boolean = ttl.exists { t =>
+      readStamp().flatMap(s =>
+        scala.util.Try(java.time.Instant.parse(s.split("\\s+").head)).toOption)
+        .exists(at => java.time.Duration.between(at, java.time.Instant.now())
+          .compareTo(t) > 0)
     }
     // acquire + stamp; a failure while stamping releases the lease
-    // again — a wedged no-owner lock helps nobody
-    if (fs.getScheme == "file") {
-      // Hadoop's local FS implements create(overwrite=false) as a
-      // NON-atomic exists-then-open; NIO's createFile is O_EXCL
-      val nioLock = java.nio.file.Paths.get(lock.toUri.getPath)
-      java.nio.file.Files.createDirectories(nioLock.getParent)
-      try java.nio.file.Files.createFile(nioLock)
-      catch { case e: java.nio.file.FileAlreadyExistsException => alreadyHeld(e) }
-      try java.nio.file.Files.write(nioLock, stamp)
-      catch { case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(nioLock); throw e }
-    } else {
-      val out =
-        try fs.create(lock, false)
-        catch { case e: java.io.IOException => alreadyHeld(e) }
-      try { out.write(stamp); out.close() }
-      catch { case e: Throwable =>
-        scala.util.Try(out.close())
-        fs.delete(lock, false)
-        throw e
+    // again — a wedged no-owner lock helps nobody. `canSteal` is one
+    // shot: a loser against a freshly-stolen (young) lease must block,
+    // never re-steal.
+    def acquire(canSteal: Boolean): Unit =
+      if (fs.getScheme == "file") {
+        // Hadoop's local FS implements create(overwrite=false) as a
+        // NON-atomic exists-then-open; NIO's createFile is O_EXCL
+        val nioLock = java.nio.file.Paths.get(lock.toUri.getPath)
+        java.nio.file.Files.createDirectories(nioLock.getParent)
+        val created =
+          try { java.nio.file.Files.createFile(nioLock); true }
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              if (canSteal && stealable()) false else alreadyHeld(e)
+          }
+        if (created) {
+          try java.nio.file.Files.write(nioLock, stamp)
+          catch { case e: Throwable =>
+            java.nio.file.Files.deleteIfExists(nioLock); throw e }
+        } else {
+          java.nio.file.Files.deleteIfExists(nioLock)
+          acquire(canSteal = false)
+        }
+      } else {
+        val out =
+          try Some(fs.create(lock, false))
+          catch {
+            case e: java.io.IOException =>
+              if (canSteal && stealable()) None else alreadyHeld(e)
+          }
+        out match {
+          case Some(o) =>
+            try { o.write(stamp); o.close() }
+            catch { case e: Throwable =>
+              scala.util.Try(o.close())
+              fs.delete(lock, false)
+              throw e
+            }
+          case None =>
+            fs.delete(lock, false)
+            acquire(canSteal = false)
+        }
       }
-    }
+    acquire(canSteal = true)
+    // steal-race re-verify: if another stealer deleted/recreated the
+    // lease in the delete→create window, the stamp on disk is theirs —
+    // back off loudly WITHOUT deleting (the lease is the winner's now)
+    if (ttl.isDefined && !readStamp().contains(stampStr))
+      throw new IllegalStateException(
+        s"CrawlFrontier: lost the lease-steal race on $lock — another writer's " +
+          "stamp landed after this one; backing off.")
     try body finally fs.delete(lock, false)
   }
 }

@@ -80,11 +80,21 @@ object CdxIndex {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$staging/cdx")
     // cluster.idx analog: one column-pruned pass over the shards just
-    // written (reads only the key), grouped by physical file basename
-    spark.read.parquet(s"$staging/cdx")
+    // written (reads only the key + ts), grouped by physical file
+    // basename. The per-file ts window (ts_lo/ts_hi — lexicographic
+    // min/max of the fixed-width ts14 string = chronological) lets the
+    // nearest-capture family skip generations whose captures provably
+    // cannot beat an already-admitted one (resolveNearestAt); tables
+    // without a ts column record NULL windows (always admitted).
+    val shards = spark.read.parquet(s"$staging/cdx")
+    val tsCol =
+      if (shards.columns.contains("ts")) col("ts").cast("string")
+      else lit(null).cast("string")
+    shards
       .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        min(tsCol).as("ts_lo"), max(tsCol).as("ts_hi"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staging/cluster")
     if (fs.exists(livePath))
@@ -330,7 +340,10 @@ object CdxIndex {
   def appendCrawl(cdx: DataFrame, dir: String, nShards: Int,
       sortCols: Seq[String] = Seq("surt", "ts")): Unit = {
     val appended = appendTagged(cdx, dir, nShards, sortCols, None)
-    assert(appended, "untagged appends always append") // tag-gating is the only no-op path
+    // tag-gating is the only no-op path; require (not assert — elided
+    // under -Xdisable-assertions) like every other invariant here
+    if (!appended) throw new IllegalStateException(
+      "CdxIndex: untagged append reported a no-op — appendTagged's tag gate broke")
   }
 
   /** EXACTLY-ONCE append for streaming maintenance: appends `cdx` as a
@@ -519,9 +532,20 @@ object CdxIndex {
     * complete collection (list the collection root's subdirs); each
     * dir's sidecars already carry their collection-relative prefixes,
     * so the rebuilt pointers keep resolving from the collection root.
+    *
+    * `tagFromDirNames` closes the crash window a SINK-maintained
+    * collection has around this pass: [[WarcIo.archiveEpochSink]]
+    * names each epoch's directory by its epoch tag, and a crash
+    * between the epoch dir's commit and its master append leaves a
+    * committed dir whose tag the manifest does not carry — a refresh
+    * rebuilds that dir's rows into the new generation, and a later
+    * replay of the epoch would then append them a SECOND time. With
+    * `tagFromDirNames = true` every rebuilt dir's BASENAME is recorded
+    * as an epoch tag alongside the carried ones, so the replay no-ops.
+    * Leave false for collections whose dir names are not epoch tags.
     */
   def refreshFromArchives(spark: SparkSession, archiveDirs: Seq[String],
-      masterDir: String, nShards: Int): Unit = {
+      masterDir: String, nShards: Int, tagFromDirNames: Boolean = false): Unit = {
     require(archiveDirs.nonEmpty, "refreshFromArchives needs at least one archive dir")
     val (dirPath, fs) = masterFs(spark, masterDir)
     graft.operators.CrawlFrontier.withWriterLock(spark, masterDir) {
@@ -529,7 +553,11 @@ object CdxIndex {
         throw new IllegalStateException(
           s"CdxIndex: $masterDir has no manifest — refreshFromArchive maintains an " +
             "existing generational master; initMaster first"))
-      val tags = readManifestEntries(fs, m).flatMap(_._2).distinct
+      val dirTags =
+        if (tagFromDirNames)
+          archiveDirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+        else Seq.empty
+      val tags = (readManifestEntries(fs, m).flatMap(_._2) ++ dirTags).distinct
       val id = manifestFiles(fs, dirPath)
         .flatMap(readManifest(fs, _)).map(_.stripPrefix("gen-").toInt)
         .foldLeft(0)(_ max _) + 1
@@ -565,6 +593,64 @@ object CdxIndex {
         .foreach(fs.delete(_, true))
     }
   }
+
+  /** Bound the manifest's epoch-tag ledger: keep only the LAST
+    * `keepTags` tags in manifest (delivery) order and republish.
+    * Unpruned, the ledger grows one tag per epoch forever, so every
+    * manifest rewrite and [[hasEpoch]] scan is O(total epochs) — over
+    * [[WarcIo.archiveEpochSink]]'s unbounded stream that linear term
+    * eventually dominates the per-epoch work. Pruning bounds it at the
+    * cost of a REPLAY HORIZON: a replay of a PRUNED tag re-appends its
+    * epoch (double-counting its captures), so `keepTags` must exceed
+    * the deepest replay the delivery mechanism can produce —
+    * structured streaming's foreachBatch replays only the most recent
+    * uncommitted epoch, so any `keepTags >= 2` is already generous
+    * there. Leave unpruned (the default everywhere) when replays can
+    * reach arbitrarily far back.
+    */
+  def pruneEpochTags(spark: SparkSession, dir: String, keepTags: Int): Unit = {
+    require(keepTags >= 1, "pruneEpochTags must keep at least one tag")
+    val (dirPath, fs) = masterFs(spark, dir)
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
+        throw new IllegalStateException(s"CdxIndex: $dir has no manifest to prune"))
+      val entries = readManifestEntries(fs, m)
+      val total = entries.map(_._2.size).sum
+      if (total > keepTags) {
+        // entries are oldest-first and a compaction concatenates its
+        // folded generations' tags in that same order, so dropping
+        // from the FRONT drops the oldest deliveries
+        var drop = total - keepTags
+        val pruned = entries.map { case (gen, tags) =>
+          val d = math.min(drop, tags.size); drop -= d
+          (gen, tags.drop(d))
+        }
+        publishManifest(fs, dirPath, pruned); ()
+      }
+    }
+  }
+
+  /** The current manifest's live generation basenames, oldest first
+    * (empty when no manifest exists) — bounded maintenance telemetry;
+    * [[WarcIo.archiveEpochSink]]'s per-epoch metrics row records the
+    * count before and after its maintenance steps.
+    */
+  def liveGenerations(spark: SparkSession, dir: String): Seq[String] = {
+    val (dirPath, fs) = masterFs(spark, dir)
+    manifestFiles(fs, dirPath).lastOption.map(readManifest(fs, _)).getOrElse(Seq.empty)
+  }
+
+  /** The per-epoch maintenance metrics [[WarcIo.archiveEpochSink]]
+    * appends under `<masterDir>/_metrics` — the archival loop's
+    * lag/health surface (rows appended, generation counts before and
+    * after maintenance, epoch archive bytes, wall time). At most one
+    * row per epoch: replays that no-op on the tag ledger add no row
+    * (never a duplicate; a crash between append and metrics write can
+    * lose a row — telemetry, not a ledger). [[vacuum]] never touches
+    * it (it reclaims only manifests and `gen-*` dirs).
+    */
+  def epochMetrics(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/_metrics")
 
   /** The full merge-on-read view: every live generation's rows, one
     * scan. Feed [[changeStats]] or any whole-index aggregate.
@@ -748,6 +834,41 @@ object CdxIndex {
     lookupRange(spark, dir, key, key + "\u0000")
   }
 
+  // ---------------------------------------------------------- ts14 time axis
+
+  /** ts14 → epoch seconds, parsed under an EXPLICIT UTC zone (CDX
+    * timestamps are UTC by convention). A `to_timestamp`-based parse
+    * would interpret the digits in the SESSION time zone, where the
+    * local axis is non-linear across DST transitions — two captures
+    * straddling a fall-back hour would mis-distance by 3600 s and a
+    * near-tie nearest pick could flip with
+    * `spark.sql.session.timeZone`. NULL for anything that is not a
+    * valid 14-digit instant (month 13, Feb 30, trailing junk), so
+    * callers can route malformed values loudly.
+    */
+  private def ts14Epoch(c: Column): Column =
+    when(c.rlike("^\\d{14}$"),
+      unix_timestamp(call_function("make_timestamp",
+        substring(c, 1, 4).cast("int"), substring(c, 5, 2).cast("int"),
+        substring(c, 7, 2).cast("int"), substring(c, 9, 2).cast("int"),
+        substring(c, 11, 2).cast("int"),
+        substring(c, 13, 2).cast("decimal(16,6)"), lit("UTC"))))
+
+  private val Ts14Fmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuuMMddHHmmss")
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+
+  /** Driver-side twin of [[ts14Epoch]] (same UTC pin), for the bounded
+    * cluster ts windows [[resolveNearestAt]] weighs. None on anything
+    * this stricter parser rejects — an unknowable window conservatively
+    * ADMITS its files (never skips), and a junk capture ts then fails
+    * loudly inside [[resolveNearest]] itself.
+    */
+  private def ts14EpochOpt(s: String): Option[Long] =
+    if (s == null || s.length != 14 || !s.forall(_.isDigit)) None
+    else scala.util.Try(java.time.LocalDateTime.parse(s, Ts14Fmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC)).toOption
+
   /** Memento-style NEAREST-capture resolution — the semantics a
     * wayback front-end actually serves (RFC 7089 TimeGate): each
     * request row's (`surt`, `want_ts`) resolves to the index capture
@@ -761,7 +882,17 @@ object CdxIndex {
     * string is not time-linear across month/year boundaries
     * (20251231235959 is one second before 20260101000000 but
     * numerically ~10^10 away), so a numeric diff would mis-rank
-    * captures straddling a boundary.
+    * captures straddling a boundary. Epochs come from the UTC-pinned
+    * [[ts14Epoch]], so distances and tie decisions are invariant to
+    * `spark.sql.session.timeZone` (a session-zone parse would warp the
+    * axis across that zone's DST transitions).
+    *
+    * Fail-loud symmetry: a malformed `want_ts` raises per request row,
+    * and a NON-NULL index `ts` that is not a ts14 instant raises per
+    * capture row (silently treating it as "no capture on this side"
+    * would flip the pick toward the other side); captures with a NULL
+    * `ts` are not on the time axis at all and are dropped like
+    * null-surt rows.
     *
     * Scale shape: ONE spine — [[graft.operators.AsOfJoin.asOfBoth]]
     * resolves the backward AND forward matches over a single hash
@@ -773,9 +904,10 @@ object CdxIndex {
     * CDX). Requests with no capture on either side come back with
     * null match columns (callers filter or escalate); a malformed
     * `want_ts` fails loudly per row. `index` is index ROWS
-    * (readMaster / a pruned lookup result), so callers prune first —
-    * lookupBatch the request surts, then resolve nearest over the
-    * pruned subset.
+    * (readMaster / a pruned lookup result). Against a STORED master,
+    * use [[resolveNearestAt]] — it prunes to the request keys' shard
+    * files in the engine (and skips provably-irrelevant generations),
+    * so the whole archive never rides the spine.
     *
     * Output: every request column plus the matched capture's
     * (`ts`, `filename`, `offset`, `length`).
@@ -787,18 +919,24 @@ object CdxIndex {
         "columns that collide")
     require(requests.columns.contains("surt") && requests.columns.contains("want_ts"),
       "resolveNearest needs (surt, want_ts) request columns")
-    def ep(c: Column) = unix_timestamp(to_timestamp(c, "yyyyMMddHHmmss"))
-    // validate ONCE on the request side: a malformed instant must fail
-    // loudly, never silently resolve to nothing
+    def ep(c: Column) = ts14Epoch(c)
+    // validate ONCE per side: a malformed instant must fail loudly —
+    // on the request side it would silently resolve to nothing, on the
+    // capture side it would silently hand the pick to the other
+    // direction (ep(null) poisons the distance comparison)
     val reqs = requests.withColumn("want_ts",
-      when(to_timestamp(col("want_ts"), "yyyyMMddHHmmss").isNull,
+      when(ep(col("want_ts")).isNull,
         raise_error(concat(lit("resolveNearest: want_ts is not a ts14 instant: '"),
           coalesce(col("want_ts"), lit("NULL")), lit("'"))).cast("string"))
         .otherwise(col("want_ts")))
+    val capTs = when(ep(col("ts")).isNull,
+      raise_error(concat(lit("resolveNearest: index ts is not a ts14 instant: '"),
+        col("ts"), lit("'"))).cast("string"))
+      .otherwise(col("ts"))
     val caps = index
       .filter(col("surt").isNotNull && col("ts").isNotNull)
-      .select(col("surt").as("__cs"), col("ts").as("__ct"),
-        col("ts"), col("filename"), col("offset"), col("length"),
+      .select(col("surt").as("__cs"), capTs.as("__ct"),
+        capTs.as("ts"), col("filename"), col("offset"), col("length"),
         concat_ws("|", col("filename"), col("offset")).as("__tb"))
     val both = graft.operators.AsOfJoin.asOfBoth(reqs, caps,
       "surt", "__cs", "want_ts", "__ct",
@@ -810,6 +948,164 @@ object CdxIndex {
     def pick(name: String) =
       when(useBack, col(name + "_before")).otherwise(col(name + "_after")).as(name)
     both.select(requests.columns.map(col) ++ added.map(pick): _*)
+  }
+
+  /** [[resolveNearest]] AS AN ENGINE-COMPOSED LOOKUP against a stored
+    * master — the scale-safe TimeGate entry point. Two disciplines the
+    * raw form leaves to callers are built in:
+    *
+    *   1. KEY pruning ([[lookupBatch]]'s shape): the bounded cluster
+    *      rows broadcast against the request surts to pick the shard
+    *      files any requested key lands in, and the pruned scan LEFT
+    *      SEMI joins the keys — the spine carries only the requested
+    *      keys' captures, never the whole master (nothing
+    *      request-sized lands on the driver).
+    *   2. TIME pruning over the per-file ts windows the cluster rows
+    *      record ([[buildTable]]): wave 1 admits the key-matched files
+    *      whose window overlaps the request instants' span (files with
+    *      no recorded window — pre-ts-window tables — always admit;
+    *      when nothing overlaps, every candidate admits). The wave-1
+    *      resolve yields each request's achieved distance δ; a skipped
+    *      file is NEEDED only if its window could reach distance ≤ δ
+    *      for some request its key range covers (a strictly-farther
+    *      window cannot even tie — the tiebreak would need an equal-ts
+    *      capture it provably does not hold, and a request wave 1 left
+    *      unmatched keeps δ = ∞, re-admitting all its files). If any
+    *      file is needed, ONE second pass re-resolves over the widened
+    *      set; otherwise the out-of-window generations were never read
+    *      — the wayback-CDX-server property that a probe near "now"
+    *      does not scan a years-deep base generation.
+    *
+    * Exact by construction: the answer equals
+    * `resolveNearest(requests, readMaster(dir))` row for row; only the
+    * bytes read differ. Output/contract match [[resolveNearest]].
+    */
+  def resolveNearestAt(spark: SparkSession, dir: String, requests: DataFrame): DataFrame =
+    resolveNearestAtPlanned(spark, dir, requests)._1
+
+  /** [[resolveNearestAt]] exposing the admission decision for tests:
+    * (result, wave-1 files, wave-2 files — empty when the ts windows
+    * proved the rest of the archive irrelevant).
+    */
+  private[graft] def resolveNearestAtPlanned(spark: SparkSession, dir: String,
+      requests: DataFrame): (DataFrame, Seq[String], Seq[String]) = {
+    requireLookupKey(spark, dir, "surt")
+    require(requests.columns.contains("surt") && requests.columns.contains("want_ts"),
+      "resolveNearestAt needs (surt, want_ts) request columns")
+    val reserved = Seq("__path", "__klo", "__khi", "__tlo", "__thi")
+    require(!requests.columns.exists(reserved.contains),
+      s"request columns ${requests.columns.toSeq.intersect(reserved)} collide " +
+        "with resolveNearestAt internals")
+    val gens = resolveGens(spark, dir)
+    // requests feed ≥3 passes (span agg, candidate discovery, the
+    // resolve(s)) — pin them once, the lookupBatch discipline: a
+    // non-deterministic upstream cannot desync the passes, and lost
+    // blocks fail loudly instead of recomputing divergent keys
+    val pinned = requests.localCheckpoint()
+    val keys = pinned.select(col("surt")).distinct()
+    def scanPruned(files: Seq[String]): DataFrame =
+      if (files.isEmpty) spark.read.parquet(s"${gens.head}/cdx").limit(0)
+      else spark.read.parquet(files: _*)
+        .join(keys.hint("shuffle_hash"), Seq("surt"), "left_semi")
+    // candidate shard files: cluster rows (bounded — one per shard
+    // file per generation) broadcast AGAINST the keys; per-generation
+    // reads union with explicit null windows so pre-ts-window cluster
+    // tables stay readable
+    val clusters = gens.map { g =>
+        val c = spark.read.parquet(s"$g/cluster")
+        val withTs =
+          if (c.columns.contains("ts_lo")) c
+          else c.withColumn("ts_lo", lit(null).cast("string"))
+            .withColumn("ts_hi", lit(null).cast("string"))
+        withTs.select(col("file"), col("lo"), col("hi"),
+          col("ts_lo"), col("ts_hi"), input_file_name().as("cf"))
+      }.reduce(_ unionByName _)
+    val cands = keys.select(col("surt").as("__k"))
+      .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
+      .select(col("file"), col("cf"), col("lo"), col("hi"), col("ts_lo"), col("ts_hi"))
+      .distinct().collect().toSeq
+      .map(r => (resolveShardPath(r.getString(0), r.getString(1)),
+        r.getString(2), r.getString(3),
+        ts14EpochOpt(r.getString(4)), ts14EpochOpt(r.getString(5))))
+    // the request instants' span (two strings; the min rides the same
+    // loud validation resolveNearest applies, so a malformed instant
+    // fails BEFORE any admission decision is built on it)
+    val span = pinned.agg(
+      min(when(ts14Epoch(col("want_ts")).isNull,
+        raise_error(concat(lit("resolveNearestAt: want_ts is not a ts14 instant: '"),
+          coalesce(col("want_ts"), lit("NULL")), lit("'"))).cast("string"))
+        .otherwise(col("want_ts"))).as("lo"),
+      max(col("want_ts")).as("hi")).head
+    val spanEp =
+      if (cands.isEmpty || span.isNullAt(0)) None
+      else ts14EpochOpt(span.getString(0)).zip(ts14EpochOpt(span.getString(1)))
+    spanEp match {
+      case None =>
+        // no candidate files / no requests / a span instant only the
+        // engine-side parser accepts (e.g. a leap second) — resolve
+        // over every candidate, conservatively unpruned
+        val all = cands.map(_._1).sorted
+        (resolveNearest(pinned, scanPruned(all)), all, Nil)
+      case Some((wlo, whi)) =>
+        val (overlap, rest) = cands.partition { case (_, _, _, tsLo, tsHi) =>
+          tsLo.isEmpty || tsHi.isEmpty || (tsHi.get >= wlo && tsLo.get <= whi)
+        }
+        val wave1 = (if (overlap.isEmpty) cands else overlap).map(_._1).sorted
+        val rest1 = if (overlap.isEmpty) Nil else rest
+        val r1 = resolveNearest(pinned, scanPruned(wave1))
+        if (rest1.isEmpty) (r1, wave1, Nil)
+        else {
+          import spark.implicits._
+          // δ-feedback over the wave-1 result (cached — the decision
+          // action below computes it once and the returned frame
+          // reuses the blocks; lineage stays intact for plan audits)
+          val r1p = r1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val bdf = rest1.map { case (p, klo, khi, tsLo, tsHi) =>
+            (p, klo, khi, tsLo.get, tsHi.get)
+          }.toDF("__path", "__klo", "__khi", "__tlo", "__thi")
+          val w = ts14Epoch(col("want_ts"))
+          val delta = when(col("ts").isNotNull, abs(ts14Epoch(col("ts")) - w))
+          val mindist = when(w.between(col("__tlo"), col("__thi")), lit(0L))
+            .otherwise(least(abs(w - col("__tlo")), abs(w - col("__thi"))))
+          val needed = r1p.join(broadcast(bdf),
+              col("surt") >= col("__klo") && col("surt") <= col("__khi") &&
+                (delta.isNull || mindist <= delta))
+            .select(col("__path")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          if (needed.isEmpty) (r1p, wave1, Nil)
+          else {
+            r1p.unpersist()
+            (resolveNearest(pinned, scanPruned((wave1 ++ needed).sorted)),
+              wave1, needed)
+          }
+        }
+    }
+  }
+
+  /** RFC 7089 TimeMap: ONE URI's complete capture timeline, paged —
+    * the enumeration half of [[resolveNearestAt]]'s TimeGate. The url
+    * canonicalizes through the same surtKey as [[lookupUrl]], the
+    * master prunes to that one key's shard files, and each capture
+    * lands on a page: `page` = ⌊seq / pageSize⌋ with `seq` the 0-based
+    * position in (ts, filename, offset) order — ascending datetime as
+    * the RFC serializes a timemap, duplicate-instant captures ordered
+    * deterministically by pointer (the [[resolveNearest]] tiebreak
+    * axis). One URI's captures form a single bounded partition (the
+    * window partitions on the constant key), so the sort never
+    * shuffles more than that key's pruned run. Output:
+    * (page, seq, ts, url, digest, filename, offset, length).
+    */
+  def timeMap(spark: SparkSession, dir: String, url: String, pageSize: Int): DataFrame = {
+    require(pageSize > 0, "timeMap pageSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("ts"), col("filename"), col("offset"))
+    lookupUrl(spark, dir, url)
+      .select(col("ts"), col("url"), col("digest"),
+        col("filename"), col("offset"), col("length"))
+      .withColumn("seq", row_number().over(w).cast("long") - 1)
+      .withColumn("page", floor(col("seq") / pageSize).cast("long"))
+      .select(col("page"), col("seq"), col("ts"), col("url"), col("digest"),
+        col("filename"), col("offset"), col("length"))
   }
 
   /** Merge per-crawl indexes into one re-sorted master table — the

@@ -896,11 +896,30 @@ object WarcIo {
     * unbounded stream with no out-of-band maintenance job. Replays
     * stay safe: folded epoch tags ride the compaction, so the
     * exactly-once ledger survives the folds.
+    *
+    * `tagHorizon` bounds the ONE remaining per-epoch linear term, the
+    * manifest's tag ledger itself ([[CdxIndex.pruneEpochTags]] — every
+    * manifest rewrite and hasEpoch scan otherwise grows O(total
+    * epochs)). foreachBatch replays only the most recent uncommitted
+    * epoch, so any horizon ≥ 2 is generous; None (the default) keeps
+    * the full ledger for delivery mechanisms with deeper replays.
+    *
+    * Each APPLIED epoch also appends one bounded METRICS row under
+    * `<masterDir>/_metrics` ([[CdxIndex.epochMetrics]]): epoch tag,
+    * rows appended, generation counts before/after maintenance, the
+    * epoch dir's archive bytes, and wall time — the archival loop's
+    * lag/health surface (the A3-lag analog). Replays that no-op on the
+    * tag ledger add no row (never a duplicate); a crash in the window
+    * between the master append and the metrics write loses that one
+    * epoch's row on replay — metrics are telemetry, the manifest tags
+    * remain the ledger of record.
     */
   def archiveEpochSink(collectionRoot: String, masterDir: String, nShards: Int,
       digestDir: Option[String] = None,
-      maxGens: Option[Int] = None): (DataFrame, Long) => Unit =
+      maxGens: Option[Int] = None,
+      tagHorizon: Option[Int] = None): (DataFrame, Long) => Unit =
     (records: DataFrame, epochId: Long) => {
+      val t0 = System.nanoTime()
       val sub = s"epoch-$epochId"
       val spark = records.sparkSession
       // replay guard: once the PRIMARY master records this epoch's tag,
@@ -916,14 +935,34 @@ object WarcIo {
       // lookupBatch discipline — re-parsing the gzip/JSON sidecars per
       // append would double the hot path's ingest work)
       val cdx = readCdxjCommitted(spark, s"$collectionRoot/$sub").localCheckpoint()
-      CdxIndex.appendEpoch(cdx, masterDir, nShards, sub)
+      val appended = CdxIndex.appendEpoch(cdx, masterDir, nShards, sub)
       digestDir.foreach(d =>
         CdxIndex.appendEpoch(cdx, d, nShards, sub, CdxIndex.DigestKey))
+      val gensBefore = CdxIndex.liveGenerations(spark, masterDir).size
       maxGens.foreach { m =>
         (Seq(masterDir) ++ digestDir).foreach { d =>
           CdxIndex.compact(spark, d, nShards, m)
           CdxIndex.vacuum(spark, d)
         }
+      }
+      tagHorizon.foreach { h =>
+        (Seq(masterDir) ++ digestDir).foreach(CdxIndex.pruneEpochTags(spark, _, h))
+      }
+      if (appended) {
+        // one bounded row per applied epoch; a replay that no-op'd on
+        // the ledger records nothing (the epoch's row already exists)
+        val gensAfter = CdxIndex.liveGenerations(spark, masterDir).size
+        val epochPath = new org.apache.hadoop.fs.Path(s"$collectionRoot/$sub")
+        val bytes = epochPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(epochPath).getLength
+        val foldedGens = if (gensAfter < gensBefore) gensBefore - gensAfter + 1 else 0
+        import spark.implicits._
+        Seq((sub, cdx.count(), gensBefore, gensAfter, foldedGens, bytes,
+            (System.nanoTime() - t0) / 1000000L))
+          .toDF("epoch", "rows", "gens_before", "gens_after", "gens_folded",
+            "archive_bytes", "wall_ms")
+          .coalesce(1)
+          .write.mode("append").parquet(s"$masterDir/_metrics")
       }
       ()
     }
@@ -1750,11 +1789,16 @@ object WarcIo {
       .filter((col("mime").isNull || col("mime") =!= "warc/revisit") &&
         col("digest").isNotNull)
       .select(concat_ws("|", col("surt"), col("digest")).as("__rk"),
-        col("ts").as("__rts"), col("filename"), col("offset"), col("length"))
+        col("ts").as("__rts"), col("filename"), col("offset"), col("length"),
+        // equal-(surt, digest, ts) duplicate originals (parallel
+        // crawlers) serve identical bytes, but the OUTPUT pointer must
+        // still pick deterministically — the resolveNearest tiebreak
+        concat_ws("|", col("filename"), col("offset")).as("__rtb"))
     val located = graft.operators.AsOfJoin.asOf(
       revisits.drop("filename", "offset"), originals,
       "__k", "__rk", "__ts", "__rts",
-      payload = Seq("filename", "offset", "length"))
+      payload = Seq("filename", "offset", "length"),
+      rightTiebreak = Some("__rtb"))
       .withColumn("offset",
         when(col("offset").isNull, raise_error(concat(
           lit("replay: no original capture for revisit of "), col("target_uri"),
@@ -1891,9 +1935,14 @@ object WarcIo {
     val origEdges = hops3.select(
       concat_ws("|", call_function("graft_surt", col("src_uri")),
         col("src_digest")).as("__ok"),
-      col("src_ts").as("__ots"), col("loc_url"))
+      col("src_ts").as("__ots"), col("loc_url"),
+      // duplicate equal-(surt, digest, ts) originals: identical payload
+      // bytes imply an identical Location, but pick deterministically
+      // anyway (the resolveNearest tiebreak axis)
+      concat_ws("|", col("filename"), col("offset")).as("__otb"))
     val inherited = graft.operators.AsOfJoin.asOf(revisit3xx, origEdges,
-      "__rk", "__ok", "rev_ts", "__ots", payload = Seq("loc_url"))
+      "__rk", "__ok", "rev_ts", "__ots", payload = Seq("loc_url"),
+      rightTiebreak = Some("__otb"))
       .filter(col("loc_url").isNotNull)
       .select(col("rf").as("filename"), col("ro").as("offset"),
         col("loc_url"), col("rev_ts").as("src_ts"))
@@ -1907,9 +1956,14 @@ object WarcIo {
     val targets = index
       .filter(col("filename").isNotNull && col("offset").isNotNull)
       .select(col("surt").as("t_surt"), col("ts").as("t_ts"),
-        col("filename").as("t_f"), col("offset").as("t_o"))
+        col("filename").as("t_f"), col("offset").as("t_o"),
+        // equal-(surt, ts) duplicate captures of the redirect TARGET:
+        // resolve the edge deterministically (max (filename, offset)
+        // wins — the same tiebreak every capture pick here uses)
+        concat_ws("|", col("filename"), col("offset")).as("__ttb"))
     val edges = graft.operators.AsOfJoin.asOf(allEdges, targets,
-      "loc_surt", "t_surt", "src_ts", "t_ts", payload = Seq("t_f", "t_o"))
+      "loc_surt", "t_surt", "src_ts", "t_ts", payload = Seq("t_f", "t_o"),
+      rightTiebreak = Some("__ttb"))
       .select(node(col("filename"), col("offset")).as("url"),
         when(col("t_f").isNotNull, node(col("t_f"), col("t_o")))
           .otherwise(concat(lit("missing|"), col("loc_surt"))).as("location"))

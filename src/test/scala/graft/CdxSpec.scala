@@ -589,6 +589,171 @@ class CdxSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("ts14 instant")))
   }
 
+  test("resolveNearest: ts14 parses as UTC — a session-tz DST fold cannot flip a pick") {
+    import spark.implicits._
+    // America/New_York falls back 2026-11-01: local 01:00 is ambiguous
+    // (EDT −4 vs EST −5). As UTC instants: A=01:00Z, want=02:20Z,
+    // B=04:00Z → A wins (80 < 100 min). A session-zone parse maps A
+    // through the EDT offset (05:00Z) but want/B through EST, warping
+    // A's distance to 140 min and flipping the pick to B.
+    val caps = Seq(
+      ("org,ex)/p", "20261101010000", "fA.warc.gz", 0L, 100L),
+      ("org,ex)/p", "20261101040000", "fB.warc.gz", 1L, 100L))
+      .toDF("surt", "ts", "filename", "offset", "length")
+    val reqs = Seq(("org,ex)/p", "20261101022000")).toDF("surt", "want_ts")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = graft.sources.CdxIndex.resolveNearest(reqs, caps).collect().head
+      assert(got.getAs[String]("filename") == "fA.warc.gz",
+        s"session-tz parse warped the time axis: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("resolveNearest: a non-ts14 INDEX ts is loud; a NULL ts drops off the axis") {
+    import spark.implicits._
+    val reqs = Seq(("org,ex)/p", "20260101000000")).toDF("surt", "want_ts")
+    // junk on the capture side must raise — silently nulling it would
+    // hand the pick to the other direction
+    val junk = Seq(("org,ex)/p", "2026-01-01T00:00:00Z", "f.warc.gz", 0L, 100L))
+      .toDF("surt", "ts", "filename", "offset", "length")
+    val e = intercept[Exception] {
+      graft.sources.CdxIndex.resolveNearest(reqs, junk).collect()
+    }
+    assert(e.toString.contains("index ts is not a ts14 instant") ||
+      Option(e.getCause).exists(_.toString.contains("index ts is not a ts14 instant")))
+    // a NULL ts is "not on the time axis": dropped like a null surt
+    val got = graft.sources.CdxIndex.resolveNearest(reqs, Seq(
+      ("org,ex)/p", null.asInstanceOf[String], "f.warc.gz", 0L, 100L),
+      ("org,ex)/p", "20260102000000", "g.warc.gz", 1L, 100L))
+      .toDF("surt", "ts", "filename", "offset", "length")).collect().head
+    assert(got.getAs[String]("ts") == "20260102000000")
+  }
+
+  private def nearestGen(year: Int) = spark.range(200).selectExpr(
+    "concat('https://h', id % 10, '.ex.org/p/', id % 50) AS url",
+    s"concat('$year', '01', lpad(CAST(1 + id % 25 AS STRING), 2, '0'), '000000') AS ts",
+    "concat('f', id, '.warc.gz') AS filename", "id AS offset",
+    "CAST(100 AS BIGINT) AS length")
+    .withColumn("surt", call_function("graft_surt", col("url")))
+
+  test("resolveNearestAt: equals the raw spine; out-of-window generations never read") {
+    val dir = TempDirs.scratch("cdx_nat_")
+    // three year-apart generations; requests live inside 2028's window
+    Seq(2026, 2027, 2028).foreach(y =>
+      CdxIndex.appendEpoch(nearestGen(y), dir, nShards = 4, s"y$y"))
+    val reqs = spark.range(80).selectExpr(
+      "graft_surt(concat('https://h', id % 10, '.ex.org/p/', id % 50)) AS surt",
+      "concat('202801', lpad(CAST(1 + id % 28 AS STRING), 2, '0'), '120000') AS want_ts")
+    val (got, wave1, wave2) = CdxIndex.resolveNearestAtPlanned(spark, dir, reqs)
+    val brute = CdxIndex.resolveNearest(reqs, CdxIndex.readMaster(spark, dir))
+    assert(got.orderBy("surt", "want_ts", "ts").collect().map(_.toSeq).toSeq ==
+      brute.orderBy("surt", "want_ts", "ts").collect().map(_.toSeq).toSeq)
+    // the pruning pin: every admitted file is 2028's generation; the
+    // δ-feedback pass proved 2026/2027 irrelevant without reading them
+    assert(wave1.nonEmpty && wave1.forall(_.contains("/gen-00000003/")),
+      s"out-of-window generations admitted: $wave1")
+    assert(wave2.isEmpty, s"wave 2 re-admitted files needlessly: $wave2")
+  }
+
+  test("resolveNearestAt: a key missing from the hot generation re-admits its history") {
+    val dir = TempDirs.scratch("cdx_nat2_")
+    CdxIndex.appendEpoch(nearestGen(2026), dir, nShards = 4, "y2026")
+    // key p/7 is absent from the 2028 generation — its wave-1 δ is ∞,
+    // so the second wave must reach back to 2026 for it
+    CdxIndex.appendEpoch(
+      nearestGen(2028).filter(!col("url").endsWith("/p/7")), dir, nShards = 4, "y2028")
+    val reqs = spark.range(50).selectExpr(
+      "graft_surt(concat('https://h', id % 10, '.ex.org/p/', id % 50)) AS surt",
+      "'20280115120000' AS want_ts")
+    val (got, _, wave2) = CdxIndex.resolveNearestAtPlanned(spark, dir, reqs)
+    val brute = CdxIndex.resolveNearest(reqs, CdxIndex.readMaster(spark, dir))
+    assert(got.orderBy("surt", "ts").collect().map(_.toSeq).toSeq ==
+      brute.orderBy("surt", "ts").collect().map(_.toSeq).toSeq)
+    assert(wave2.nonEmpty && wave2.forall(_.contains("/gen-00000001/")),
+      s"expected a second wave into the 2026 generation: $wave2")
+    val p7 = got.filter(col("surt") === graft.functions.UrlOps.surtKey(
+      "https://h7.ex.org/p/7")).collect()
+    assert(p7.nonEmpty && p7.forall(_.getAs[String]("ts").startsWith("2026")))
+  }
+
+  test("resolveNearestAt: pre-ts-window cluster tables stay correct (always admitted)") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_nat3_")
+    Seq(2026, 2028).foreach(y =>
+      CdxIndex.appendEpoch(nearestGen(y), dir, nShards = 4, s"y$y"))
+    // strip the ts window from 2026's cluster — the pre-r17 layout
+    val cl = s"$dir/gen-00000001/cluster"
+    val legacy = spark.read.parquet(cl).drop("ts_lo", "ts_hi").collect()
+    val schema = spark.read.parquet(cl).drop("ts_lo", "ts_hi").schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.toSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(cl)
+    val reqs = spark.range(30).selectExpr(
+      "graft_surt(concat('https://h', id % 10, '.ex.org/p/', id % 50)) AS surt",
+      "'20280110120000' AS want_ts")
+    val (got, wave1, _) = CdxIndex.resolveNearestAtPlanned(spark, dir, reqs)
+    val brute = CdxIndex.resolveNearest(reqs, CdxIndex.readMaster(spark, dir))
+    assert(got.orderBy("surt", "ts").collect().map(_.toSeq).toSeq ==
+      brute.orderBy("surt", "ts").collect().map(_.toSeq).toSeq)
+    // no window recorded → conservatively admitted in wave 1
+    assert(wave1.exists(_.contains("/gen-00000001/")),
+      "windowless legacy files must always admit")
+  }
+
+  test("buildTable records per-file ts windows in the cluster rows") {
+    val dir = TempDirs.scratch("cdx_tswin_")
+    CdxIndex.buildTable(corpus(500), dir, nShards = 4)
+    val cl = spark.read.parquet(dir + "/cluster")
+    assert(cl.columns.contains("ts_lo") && cl.columns.contains("ts_hi"))
+    assert(cl.filter(col("ts_lo").isNull || col("ts_hi") < col("ts_lo")).count() == 0)
+  }
+
+  test("timeMap: ascending pages, duplicate-instant tiebreak, exact-key pruning") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_tm_")
+    // 9 captures of one url (3 instants × 3 duplicate pointers) plus a
+    // sibling /p/10 that must not bleed into /p/1's timeline
+    val rows = (0 until 9).map { i =>
+      ("https://tm.ex.org/p/1", s"2026010${1 + i % 3}000000", s"f${i % 4}.warc.gz",
+        i.toLong, 100L, s"d${i % 2}")
+    } ++ Seq(("https://tm.ex.org/p/10", "20260101000000", "fx.warc.gz", 99L, 100L, "dx"))
+    val cdx = rows.toDF("url", "ts", "filename", "offset", "length", "digest")
+      .withColumn("surt", call_function("graft_surt", col("url")))
+    CdxIndex.buildTable(cdx, dir, nShards = 2)
+    // spelling variant resolves through the same canonicalization
+    val got = CdxIndex.timeMap(spark, dir, "https://TM.ex.org/p/1", pageSize = 4)
+      .collect().sortBy(_.getAs[Long]("seq"))
+    assert(got.length == 9, "sibling /p/10 bled into the timeline")
+    assert(got.map(_.getAs[Long]("seq")).toSeq == (0L until 9L).toSeq)
+    assert(got.map(_.getAs[Long]("page")).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L))
+    val order = got.map(r => (r.getAs[String]("ts"), r.getAs[String]("filename"),
+      r.getAs[Long]("offset"))).toSeq
+    assert(order == order.sorted, s"timeline not in (ts, filename, offset) order: $order")
+    intercept[IllegalArgumentException] { CdxIndex.timeMap(spark, dir, "x", 0) }
+  }
+
+  test("pruneEpochTags: oldest tags drop first; a pruned tag CAN replay (the horizon)") {
+    val dir = TempDirs.scratch("cdx_prune_")
+    val cdx = corpus(300)
+    Seq("e0", "e1", "e2", "e3").zipWithIndex.foreach { case (t, i) =>
+      CdxIndex.appendEpoch(cdx.filter(col("offset") % 4 === i), dir, nShards = 2, t)
+    }
+    assert(CdxIndex.hasEpoch(spark, dir, "e0"))
+    CdxIndex.pruneEpochTags(spark, dir, keepTags = 2)
+    assert(!CdxIndex.hasEpoch(spark, dir, "e0") && !CdxIndex.hasEpoch(spark, dir, "e1"))
+    assert(CdxIndex.hasEpoch(spark, dir, "e2") && CdxIndex.hasEpoch(spark, dir, "e3"))
+    // pruning moves no rows
+    assert(CdxIndex.readMaster(spark, dir).count() == 300)
+    // the documented hazard: a replay of a PRUNED tag re-appends — the
+    // horizon must exceed the delivery mechanism's replay depth
+    assert(CdxIndex.appendEpoch(cdx.filter(col("offset") % 4 === 0), dir, nShards = 2, "e0"))
+    assert(CdxIndex.readMaster(spark, dir).count() == 375)
+    // at or under the bound the pass is a free no-op
+    CdxIndex.pruneEpochTags(spark, dir, keepTags = 10)
+    assert(CdxIndex.hasEpoch(spark, dir, "e2") && CdxIndex.hasEpoch(spark, dir, "e0"))
+  }
+
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
     import spark.implicits._
     val mk = (url: String, ts: String, dg: String) =>

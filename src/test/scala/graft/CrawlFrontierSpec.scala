@@ -137,6 +137,49 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  test("writer lease: stamped-TTL takeover — fresh blocks, stale steals exactly once") {
+    val dir = TempDirs.scratch("lease_ttl")
+    val lock = java.nio.file.Paths.get(dir, "_writer.lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    val ttl = Some(java.time.Duration.ofMinutes(10))
+    // a FRESH foreign lease blocks even with a TTL configured
+    java.nio.file.Files.write(lock,
+      (java.time.Instant.now().toString + " live-writer").getBytes)
+    intercept[IllegalStateException] {
+      CrawlFrontier.withWriterLock(spark, dir, ttl) { () }
+    }
+    assert(java.nio.file.Files.exists(lock), "a blocked acquirer must not delete the lease")
+    // a STALE lease steals; while held (freshly re-stamped), a second
+    // would-be stealer blocks — exactly one winner
+    java.nio.file.Files.write(lock,
+      (java.time.Instant.now().minusSeconds(3600).toString + " dead-writer").getBytes)
+    var ran = false
+    CrawlFrontier.withWriterLock(spark, dir, ttl) {
+      ran = true
+      intercept[IllegalStateException] {
+        CrawlFrontier.withWriterLock(spark, dir, ttl) { () }
+      }
+    }
+    assert(ran && !java.nio.file.Files.exists(lock))
+    // default (no TTL anywhere): even an ancient lease blocks
+    java.nio.file.Files.write(lock,
+      java.time.Instant.now().minusSeconds(3600).toString.getBytes)
+    intercept[IllegalStateException] { CrawlFrontier.withWriterLock(spark, dir) { () } }
+    // the session-conf knob (the operator's no-code-change recovery)
+    spark.conf.set("graft.writerLease.stealAfterSeconds", "60")
+    try {
+      var ran2 = false
+      CrawlFrontier.withWriterLock(spark, dir) { ran2 = true }
+      assert(ran2 && !java.nio.file.Files.exists(lock))
+    } finally spark.conf.unset("graft.writerLease.stealAfterSeconds")
+    // an unparseable stamp never steals (conservative, loud)
+    java.nio.file.Files.write(lock, "garbage-stamp with spaces".getBytes)
+    intercept[IllegalStateException] {
+      CrawlFrontier.withWriterLock(spark, dir, Some(java.time.Duration.ofSeconds(1))) { () }
+    }
+    java.nio.file.Files.delete(lock)
+  }
+
   test("the sketch tier is per-shard rows — no driver-merged literal, bounded per-shard bytes") {
     import spark.implicits._
     val dir = TempDirs.scratch("frontier_shardbloom")

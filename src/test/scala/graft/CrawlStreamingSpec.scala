@@ -354,6 +354,18 @@ class CrawlStreamingSpec extends SparkSpec {
       assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
         "fetched: " + r.getAs[String]("target_uri"))
     }
+    // the per-epoch metrics ledger: one row per APPLIED epoch, NONE for
+    // the replay (it no-op'd on the tag ledger); counters match the
+    // deliveries and stay inside the maintenance bounds
+    val met = graft.sources.CdxIndex.epochMetrics(spark, s"$dir/master")
+      .orderBy("epoch").collect()
+    assert(met.map(_.getAs[String]("epoch")).toSeq ==
+      Seq("epoch-0", "epoch-1", "epoch-2"), s"metrics ledger: ${met.toSeq}")
+    assert(met.map(_.getAs[Long]("rows")).toSeq == Seq(2L, 1L, 1L))
+    met.foreach { r =>
+      assert(r.getAs[Long]("archive_bytes") > 0 && r.getAs[Long]("wall_ms") >= 0)
+      assert(r.getAs[Int]("gens_before") >= 1 && r.getAs[Int]("gens_after") <= 2)
+    }
   }
 
   test("URL stream → persisted frontier seen-set: two micro-batches, index-gated, replay-safe") {

@@ -282,6 +282,21 @@ class PlanQualitySpec extends SparkSpec {
       s"expected the backward AND forward as-of window spines:\n$p")
   }
 
+  test("cdx_nearest_at: pruned scan semi-joins the requests into one spine, no range join") {
+    // the engine-composed TimeGate: the master scan is pruned to the
+    // request keys' shard files (candidate discovery collected its
+    // bounded cluster rows BEFORE this plan exists), the pruned scan
+    // LEFT SEMI joins the keys (never broadcasting the index side),
+    // and the nearest pick rides the asOfBoth spine — two window
+    // passes, no range-join fallback
+    val p = plan("cdx_nearest_at")
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest resolution must not fall back to a range join:\n$p")
+    assert(p.contains("LeftSemi"), s"expected the key semi-join prune:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 2,
+      s"expected the backward AND forward as-of window spines:\n$p")
+  }
+
   test("stop-at-gtid filter is a pushable BETWEEN disjunction, not a UDF") {
     val p = plan("o11_stop_at_gtid")
     assert(!p.toLowerCase.contains("scalaudf"), "interval filter must not be a UDF")

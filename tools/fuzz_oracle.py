@@ -80,6 +80,12 @@ QUERIES = [
     # the epoch-tagged masters re-checked under every seed
     "pipeline_wayback_redirects", "pipeline_crawl_stream_index",
     "cdx_nearest_lookup", "cdx_digest_batch",
+    # r17 TimeGate/TimeMap/metrics family: formula fixtures over the
+    # generational master — the engine-composed prune-then-resolve
+    # path (incl. its δ-feedback second wave), the paged per-URI
+    # timeline, and the self-maintaining sink's metrics ledger
+    # re-checked under every seed
+    "cdx_nearest_at", "cdx_timemap", "cdx_epoch_metrics",
 ]
 
 # events-only queries: gated when the adversarial events table is
