@@ -658,12 +658,25 @@ object CrawlFrontier {
           "graft.writerLease.stealAfterSeconds to allow stamped-TTL takeover).",
         cause)
     // a held lease is stealable iff its stamp parses and is older than
-    // the TTL; pre-nonce stamps (a bare Instant) parse the same way
-    def stealable(): Boolean = ttl.exists { t =>
-      readStamp().flatMap(s =>
-        scala.util.Try(java.time.Instant.parse(s.split("\\s+").head)).toOption)
-        .exists(at => java.time.Duration.between(at, java.time.Instant.now())
-          .compareTo(t) > 0)
+    // the TTL; pre-nonce stamps (a bare Instant) parse the same way.
+    // Returns the stale stamp OBSERVED so the steal can re-check it is
+    // unchanged immediately before deleting.
+    def staleStamp(): Option[String] = ttl.flatMap { t =>
+      readStamp().filter(s =>
+        scala.util.Try(java.time.Instant.parse(s.split("\\s+").head)).toOption
+          .exists(at => java.time.Duration.between(at, java.time.Instant.now())
+            .compareTo(t) > 0))
+    }
+    var stole = false
+    // steal only while the on-disk stamp is STILL the stale one first
+    // judged — a racer that already re-stamped a fresh lease in the
+    // window must not have it deleted. Narrows (file systems without
+    // an atomic compare-and-delete cannot fully close) the two-stealer
+    // window; the post-steal grace re-verify below narrows it further.
+    def stealDelete(observed: String, cause: Throwable): Unit = {
+      if (!readStamp().contains(observed)) alreadyHeld(cause)
+      stole = true
+      fs.delete(lock, false); ()
     }
     // acquire + stamp; a failure while stamping releases the lease
     // again — a wedged no-owner lock helps nobody. `canSteal` is one
@@ -675,26 +688,31 @@ object CrawlFrontier {
         // NON-atomic exists-then-open; NIO's createFile is O_EXCL
         val nioLock = java.nio.file.Paths.get(lock.toUri.getPath)
         java.nio.file.Files.createDirectories(nioLock.getParent)
-        val created =
-          try { java.nio.file.Files.createFile(nioLock); true }
+        val steal =
+          try { java.nio.file.Files.createFile(nioLock); None }
           catch {
             case e: java.nio.file.FileAlreadyExistsException =>
-              if (canSteal && stealable()) false else alreadyHeld(e)
+              if (canSteal) staleStamp().map(s => (s, e)).orElse(alreadyHeld(e))
+              else alreadyHeld(e)
           }
-        if (created) {
-          try java.nio.file.Files.write(nioLock, stamp)
-          catch { case e: Throwable =>
-            java.nio.file.Files.deleteIfExists(nioLock); throw e }
-        } else {
-          java.nio.file.Files.deleteIfExists(nioLock)
-          acquire(canSteal = false)
+        steal match {
+          case None =>
+            try java.nio.file.Files.write(nioLock, stamp)
+            catch { case e: Throwable =>
+              java.nio.file.Files.deleteIfExists(nioLock); throw e }
+          case Some((observed, cause)) =>
+            stealDelete(observed, cause)
+            acquire(canSteal = false)
         }
       } else {
         val out =
           try Some(fs.create(lock, false))
           catch {
             case e: java.io.IOException =>
-              if (canSteal && stealable()) None else alreadyHeld(e)
+              (if (canSteal) staleStamp() else None) match {
+                case Some(observed) => stealDelete(observed, e); None
+                case None => alreadyHeld(e)
+              }
           }
         out match {
           case Some(o) =>
@@ -704,19 +722,25 @@ object CrawlFrontier {
               fs.delete(lock, false)
               throw e
             }
-          case None =>
-            fs.delete(lock, false)
-            acquire(canSteal = false)
+          case None => acquire(canSteal = false)
         }
       }
     acquire(canSteal = true)
-    // steal-race re-verify: if another stealer deleted/recreated the
-    // lease in the delete→create window, the stamp on disk is theirs —
-    // back off loudly WITHOUT deleting (the lease is the winner's now)
-    if (ttl.isDefined && !readStamp().contains(stampStr))
-      throw new IllegalStateException(
-        s"CrawlFrontier: lost the lease-steal race on $lock — another writer's " +
-          "stamp landed after this one; backing off.")
+    // steal-race re-verify, AFTER a grace pause and only when a steal
+    // actually happened (an uncontended acquire must never risk
+    // abandoning its own lease on a transient read error): a slower
+    // stealer that deleted this winner's fresh lease has re-stamped by
+    // now and is caught here — back off loudly WITHOUT deleting (the
+    // lease is the other writer's now). Transient read failures retry
+    // before concluding anything.
+    if (stole) {
+      Thread.sleep(100)
+      val seen = (0 until 3).iterator.map(_ => readStamp()).find(_.isDefined).flatten
+      if (!seen.contains(stampStr))
+        throw new IllegalStateException(
+          s"CrawlFrontier: lost the lease-steal race on $lock — another writer's " +
+            "stamp landed after this one (or the stamp is unreadable); backing off.")
+    }
     try body finally fs.delete(lock, false)
   }
 }

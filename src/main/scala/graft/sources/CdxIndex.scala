@@ -190,38 +190,67 @@ object CdxIndex {
     * Compactions carry the folded generations' tags onto the output
     * generation, so a late replay of a long-compacted epoch still
     * no-ops.
+    *
+    * Each tag serializes as `name@seq`, where `seq` is the id of the
+    * manifest that FIRST recorded it — the delivery order
+    * [[pruneEpochTags]] prunes by. Manifest flatten order cannot serve
+    * that role: a compaction re-homes the folded (oldest) tags onto
+    * the NEWEST generation at the end of the manifest, so after any
+    * fold the flatten order would call the newest delivery "oldest"
+    * and a horizon prune would drop exactly the tag a crash-replay is
+    * about to probe. '@' is outside [[appendEpoch]]'s tag charset, so
+    * the split is unambiguous; legacy bare tags read back with their
+    * flatten position as the sequence (monotone within a pre-seq
+    * manifest, and always below any new manifest id — ids count
+    * publishes, which the tag count never exceeds).
     */
   private def readManifestEntries(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Seq[(String, Seq[String])] = {
+      p: org.apache.hadoop.fs.Path): Seq[(String, Seq[(String, Long)])] = {
     val in = fs.open(p)
     val bytes =
       try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       finally in.close()
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       .map { line =>
         val cut = line.indexOf('\t')
-        if (cut < 0) (line, Seq.empty)
+        if (cut < 0) (line, Seq.empty[String])
         else (line.substring(0, cut),
           line.substring(cut + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       }
+    var pos = -1L // flatten position: the legacy-tag sequence fallback
+    raw.map { case (gen, tags) =>
+      gen -> tags.map { t =>
+        pos += 1
+        val at = t.lastIndexOf('@')
+        if (at > 0 && at < t.length - 1 && t.substring(at + 1).forall(_.isDigit))
+          (t.substring(0, at), t.substring(at + 1).toLong)
+        else (t, pos)
+      }
+    }
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] =
     readManifestEntries(fs, p).map(_._1)
 
+  private def nextManifestId(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Int =
+    manifestFiles(fs, dirPath).lastOption
+      .map(_.getName.stripPrefix("manifest-").toInt).getOrElse(0) + 1
+
   /** Publish the next manifest (generation entries, oldest first) —
     * write the temp, rename into the numbered name. Returns the new id.
     */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dirPath: org.apache.hadoop.fs.Path, entries: Seq[(String, Seq[String])]): Int = {
-    val id = manifestFiles(fs, dirPath).lastOption
-      .map(_.getName.stripPrefix("manifest-").toInt).getOrElse(0) + 1
+      dirPath: org.apache.hadoop.fs.Path,
+      entries: Seq[(String, Seq[(String, Long)])]): Int = {
+    val id = nextManifestId(fs, dirPath)
     val fin = new org.apache.hadoop.fs.Path(dirPath, f"manifest-$id%08d")
     val tmp = new org.apache.hadoop.fs.Path(dirPath, f"manifest-$id%08d.tmp")
     val lines = entries.map { case (gen, tags) =>
-      if (tags.isEmpty) gen else gen + "\t" + tags.mkString(",")
+      if (tags.isEmpty) gen
+      else gen + "\t" + tags.map { case (n, s) => s"$n@$s" }.mkString(",")
     }
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n")
@@ -383,7 +412,7 @@ object CdxIndex {
   def hasEpoch(spark: SparkSession, dir: String, epochTag: String): Boolean = {
     val (dirPath, fs) = masterFs(spark, dir)
     manifestFiles(fs, dirPath).lastOption
-      .exists(m => readManifestEntries(fs, m).exists(_._2.contains(epochTag)))
+      .exists(m => readManifestEntries(fs, m).exists(_._2.exists(_._1 == epochTag)))
   }
 
   private def appendTagged(cdx: DataFrame, dir: String, nShards: Int,
@@ -414,13 +443,17 @@ object CdxIndex {
       // sort key is a caller bug and must fail loudly, not silently
       // skip as "already appended"
       requireSameKey(fs, dirPath, sortCols)
-      if (tag.exists(t => prev.exists(_.exists(_._2.contains(t))))) false
+      if (tag.exists(t => prev.exists(_.exists(_._2.exists(_._1 == t))))) false
       else {
         val entries = prev.getOrElse(Seq.empty)
         val id = entries.map(_._1.stripPrefix("gen-").toInt).foldLeft(0)(_ max _) + 1
         val gen = f"gen-$id%08d"
         buildTableKeyed(cdx, s"$dir/$gen", nShards, sortCols)
-        publishManifest(fs, dirPath, entries :+ (gen -> tag.toSeq))
+        // the tag's sequence = the id this publish will take (nothing
+        // else publishes under the lease) — the delivery order
+        // pruneEpochTags prunes by
+        val seq = nextManifestId(fs, dirPath).toLong
+        publishManifest(fs, dirPath, entries :+ (gen -> tag.map(t => (t, seq)).toSeq))
         true
       }
     }
@@ -476,7 +509,7 @@ object CdxIndex {
     * tiered pass weighs.
     */
   private def compactGens(spark: SparkSession, dir: String, nShards: Int,
-      pick: Seq[(String, Seq[String])] => Seq[(String, Seq[String])]): Unit = {
+      pick: Seq[(String, Seq[(String, Long)])] => Seq[(String, Seq[(String, Long)])]): Unit = {
     val (dirPath, fs) = masterFs(spark, dir)
     graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
       val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
@@ -553,11 +586,14 @@ object CdxIndex {
         throw new IllegalStateException(
           s"CdxIndex: $masterDir has no manifest — refreshFromArchive maintains an " +
             "existing generational master; initMaster first"))
+      val newSeq = nextManifestId(fs, dirPath).toLong
       val dirTags =
         if (tagFromDirNames)
-          archiveDirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+          archiveDirs.map(d => (new org.apache.hadoop.fs.Path(d).getName, newSeq))
         else Seq.empty
-      val tags = (readManifestEntries(fs, m).flatMap(_._2) ++ dirTags).distinct
+      // carried tags keep their recorded delivery sequence; dir names
+      // not already recorded enter at THIS publish's sequence
+      val tags = (readManifestEntries(fs, m).flatMap(_._2) ++ dirTags).distinctBy(_._1)
       val id = manifestFiles(fs, dirPath)
         .flatMap(readManifest(fs, _)).map(_.stripPrefix("gen-").toInt)
         .foldLeft(0)(_ max _) + 1
@@ -595,18 +631,20 @@ object CdxIndex {
   }
 
   /** Bound the manifest's epoch-tag ledger: keep only the LAST
-    * `keepTags` tags in manifest (delivery) order and republish.
-    * Unpruned, the ledger grows one tag per epoch forever, so every
-    * manifest rewrite and [[hasEpoch]] scan is O(total epochs) — over
-    * [[WarcIo.archiveEpochSink]]'s unbounded stream that linear term
-    * eventually dominates the per-epoch work. Pruning bounds it at the
-    * cost of a REPLAY HORIZON: a replay of a PRUNED tag re-appends its
-    * epoch (double-counting its captures), so `keepTags` must exceed
-    * the deepest replay the delivery mechanism can produce —
-    * structured streaming's foreachBatch replays only the most recent
-    * uncommitted epoch, so any `keepTags >= 2` is already generous
-    * there. Leave unpruned (the default everywhere) when replays can
-    * reach arbitrarily far back.
+    * `keepTags` tags in DELIVERY order (each tag's recorded manifest
+    * sequence — see [[readManifestEntries]]; manifest flatten order
+    * does not survive compactions re-homing old tags onto the newest
+    * generation) and republish. Unpruned, the ledger grows one tag per
+    * epoch forever, so every manifest rewrite and [[hasEpoch]] scan is
+    * O(total epochs) — over [[WarcIo.archiveEpochSink]]'s unbounded
+    * stream that linear term eventually dominates the per-epoch work.
+    * Pruning bounds it at the cost of a REPLAY HORIZON: a replay of a
+    * PRUNED tag re-appends its epoch (double-counting its captures),
+    * so `keepTags` must exceed the deepest replay the delivery
+    * mechanism can produce — structured streaming's foreachBatch
+    * replays only the most recent uncommitted epoch, so any
+    * `keepTags >= 2` is already generous there. Leave unpruned (the
+    * default everywhere) when replays can reach arbitrarily far back.
     */
   def pruneEpochTags(spark: SparkSession, dir: String, keepTags: Int): Unit = {
     require(keepTags >= 1, "pruneEpochTags must keep at least one tag")
@@ -615,17 +653,16 @@ object CdxIndex {
       val m = manifestFiles(fs, dirPath).lastOption.getOrElse(
         throw new IllegalStateException(s"CdxIndex: $dir has no manifest to prune"))
       val entries = readManifestEntries(fs, m)
-      val total = entries.map(_._2.size).sum
-      if (total > keepTags) {
-        // entries are oldest-first and a compaction concatenates its
-        // folded generations' tags in that same order, so dropping
-        // from the FRONT drops the oldest deliveries
-        var drop = total - keepTags
-        val pruned = entries.map { case (gen, tags) =>
-          val d = math.min(drop, tags.size); drop -= d
-          (gen, tags.drop(d))
-        }
-        publishManifest(fs, dirPath, pruned); ()
+      val flat = entries.flatMap(_._2)
+      if (flat.size > keepTags) {
+        // newest keepTags deliveries by recorded sequence; flatten
+        // position breaks ties (legacy manifests and batch refreshes
+        // can record several tags at one sequence)
+        val keep = flat.zipWithIndex
+          .sortBy { case ((_, seq), posn) => (seq, posn.toLong) }
+          .takeRight(keepTags).map(_._1._1).toSet
+        publishManifest(fs, dirPath,
+          entries.map { case (gen, tags) => (gen, tags.filter(t => keep(t._1))) }); ()
       }
     }
   }
@@ -649,8 +686,20 @@ object CdxIndex {
     * lose a row — telemetry, not a ledger). [[vacuum]] never touches
     * it (it reclaims only manifests and `gen-*` dirs).
     */
-  def epochMetrics(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/_metrics")
+  def epochMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_metrics")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else {
+      // no epoch APPLIED yet (fresh master, or deliveries so far all
+      // no-op'd on the tag ledger): "no rows yet", never a crash in
+      // the monitoring poller
+      import spark.implicits._
+      Seq.empty[(String, Long, Int, Int, Int, Long, Long)]
+        .toDF("epoch", "rows", "gens_before", "gens_after", "gens_folded",
+          "archive_bytes", "wall_ms")
+    }
+  }
 
   /** The full merge-on-read view: every live generation's rows, one
     * scan. Feed [[changeStats]] or any whole-index aggregate.
@@ -937,7 +986,11 @@ object CdxIndex {
       .filter(col("surt").isNotNull && col("ts").isNotNull)
       .select(col("surt").as("__cs"), capTs.as("__ct"),
         capTs.as("ts"), col("filename"), col("offset"), col("length"),
-        concat_ws("|", col("filename"), col("offset")).as("__tb"))
+        // zero-padded offset so the STRING max equals the (filename,
+        // numeric offset) tuple max — the same duplicate order timeMap
+        // serializes ("f|9" would otherwise beat "f|10")
+        concat_ws("|", col("filename"),
+          lpad(col("offset").cast("string"), 20, "0")).as("__tb"))
     val both = graft.operators.AsOfJoin.asOfBoth(reqs, caps,
       "surt", "__cs", "want_ts", "__ct",
       payload = added, rightTiebreak = Some("__tb"))

@@ -580,6 +580,16 @@ class CdxSpec extends SparkSpec {
         dup.repartition(7)).select("filename").head.getString(0)
       assert(got == "fB2.warc.gz", s"nondeterministic duplicate pick: $got")
     }
+    // same-filename duplicates order NUMERICALLY (zero-padded offset
+    // in the tiebreak): offset 10 beats 9, though "9" > "10" as strings
+    val dupNum = Seq(
+      ("org,nr)/p", "20260102000000", "fZ.warc.gz", 9L, 10L),
+      ("org,nr)/p", "20260102000000", "fZ.warc.gz", 10L, 10L))
+      .toDF("surt", "ts", "filename", "offset", "length")
+    val pick = graft.sources.CdxIndex.resolveNearest(
+      Seq(("org,nr)/p", "20260102000000")).toDF("surt", "want_ts"), dupNum)
+      .select("offset").head.getLong(0)
+    assert(pick == 10L, s"duplicate tiebreak must be numeric on offset: got $pick")
     // a malformed instant is loud, never a silent non-match
     val e = intercept[Exception] {
       graft.sources.CdxIndex.resolveNearest(
@@ -752,6 +762,36 @@ class CdxSpec extends SparkSpec {
     // at or under the bound the pass is a free no-op
     CdxIndex.pruneEpochTags(spark, dir, keepTags = 10)
     assert(CdxIndex.hasEpoch(spark, dir, "e2") && CdxIndex.hasEpoch(spark, dir, "e0"))
+  }
+
+  test("pruneEpochTags prunes by DELIVERY order even after a fold re-homes old tags") {
+    // a size-tiered fold moves the OLDEST tags onto the NEWEST
+    // generation at the END of the manifest — pruning by flatten order
+    // would then drop the newest delivery's tag (exactly the one a
+    // crash-replay probes next) and double-count its epoch on replay
+    val dir = TempDirs.scratch("cdx_prunefold_")
+    val cdx = corpus(400)
+    Seq("e0", "e1", "e2", "e3").zipWithIndex.foreach { case (t, i) =>
+      CdxIndex.appendEpoch(cdx.filter(col("offset") % 4 === i), dir, nShards = 2, t)
+    }
+    // folds the three smallest (equal-sized → oldest-listed) gens; the
+    // folded output carries e0..e2 and lands AFTER e3's generation
+    CdxIndex.compact(spark, dir, nShards = 2, maxGens = 2)
+    CdxIndex.pruneEpochTags(spark, dir, keepTags = 2)
+    assert(CdxIndex.hasEpoch(spark, dir, "e2") && CdxIndex.hasEpoch(spark, dir, "e3"),
+      "the two NEWEST deliveries must survive the prune")
+    assert(!CdxIndex.hasEpoch(spark, dir, "e0") && !CdxIndex.hasEpoch(spark, dir, "e1"))
+    // the replay the horizon promises to absorb still no-ops
+    assert(!CdxIndex.appendEpoch(cdx.filter(col("offset") % 4 === 3), dir, nShards = 2, "e3"))
+    assert(CdxIndex.readMaster(spark, dir).count() == 400)
+  }
+
+  test("epochMetrics on a master with no applied epoch is empty, not a crash") {
+    val dir = TempDirs.scratch("cdx_nomet_")
+    val met = CdxIndex.epochMetrics(spark, dir)
+    assert(met.count() == 0)
+    assert(met.columns.toSeq == Seq("epoch", "rows", "gens_before", "gens_after",
+      "gens_folded", "archive_bytes", "wall_ms"))
   }
 
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
