@@ -796,10 +796,11 @@ object ScaleProbe {
               lit("20260101120000").as("want_ts")))
         }
         if (lsmDir != null) {
-          // admission telemetry: with the probe instant off every
-          // generation's window, wave 1 degenerates to all candidates
-          // (key-pruning still bounds the spine); the δ-feedback pass
-          // must then find nothing to re-admit
+          // admission telemetry: the probe instant sits 12 h from the
+          // base's window AND 12 h from the folded appends' window —
+          // per-key wave-1 seeding admits both tying sides (key-pruning
+          // still bounds the spine); the δ-feedback pass must then find
+          // nothing more to re-admit
           val (_, w1, w2) = sources.CdxIndex.resolveNearestAtPlanned(spark, lsmDir,
             spark.range(1000L).select(
               concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
@@ -807,6 +808,31 @@ object ScaleProbe {
               lit("20260101120000").as("want_ts")))
           println(s"""{"op":"cdx_lsm_nearest_xl_waves","k":$k,""" +
             s""""wave1":${w1.size},"wave2":${w2.size}}""")
+        }
+        // the TimeGate's common production shape: requests probe pages
+        // the RECENT crawls captured, at an instant inside their ts
+        // window — the k×1M base generation's window (a day earlier)
+        // can never beat the achieved distances, so its files must be
+        // SKIPPED outright (wave 1 admits only the recent generations,
+        // the δ-feedback pass re-admits nothing) and the op must stay
+        // flat in k because nothing scales with the base at all
+        time("cdx_lsm_nearest_recent_xl", k) {
+          sources.CdxIndex.resolveNearestAt(spark, lsmDir,
+            spark.range(1000000L * k, 1000000L * k + 100000L).select(
+              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
+                lit(")/p/"), col("id")).as("surt"),
+              lit("20260102120000").as("want_ts")))
+        }
+        if (lsmDir != null) {
+          val (_, rw1, rw2) = sources.CdxIndex.resolveNearestAtPlanned(spark, lsmDir,
+            spark.range(1000000L * k, 1000000L * k + 1000L).select(
+              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
+                lit(")/p/"), col("id")).as("surt"),
+              lit("20260102120000").as("want_ts")))
+          val baseRead = rw1.exists(_.contains("/gen-00000001/")) ||
+            rw2.exists(_.contains("/gen-00000001/"))
+          println(s"""{"op":"cdx_lsm_nearest_recent_xl_waves","k":$k,""" +
+            s""""wave1":${rw1.size},"wave2":${rw2.size},"base_read":$baseRead}""")
         }
         // digest REVERSE index at k×1M captures with ~10 captures per
         // content (planted duplicates): one content's capture set must

@@ -1014,20 +1014,25 @@ object CdxIndex {
     *      keys' captures, never the whole master (nothing
     *      request-sized lands on the driver).
     *   2. TIME pruning over the per-file ts windows the cluster rows
-    *      record ([[buildTable]]): wave 1 admits the key-matched files
-    *      whose window overlaps the request instants' span (files with
-    *      no recorded window — pre-ts-window tables — always admit;
-    *      when nothing overlaps, every candidate admits). The wave-1
-    *      resolve yields each request's achieved distance δ; a skipped
-    *      file is NEEDED only if its window could reach distance ≤ δ
-    *      for some request its key range covers (a strictly-farther
-    *      window cannot even tie — the tiebreak would need an equal-ts
-    *      capture it provably does not hold, and a request wave 1 left
-    *      unmatched keeps δ = ∞, re-admitting all its files). If any
-    *      file is needed, ONE second pass re-resolves over the widened
-    *      set; otherwise the out-of-window generations were never read
-    *      — the wayback-CDX-server property that a probe near "now"
-    *      does not scan a years-deep base generation.
+    *      record ([[buildTable]]): wave 1 admits, PER KEY, the
+    *      candidate files whose window sits nearest the request span —
+    *      every file tying the key's minimum window distance (files
+    *      with no recorded window — pre-ts-window tables — count as
+    *      distance 0 and always admit). Per-key seeding matters: a
+    *      batch-level "overlaps the span" rule under-admits when
+    *      crawls cover disjoint key ranges on different days, leaving
+    *      keys unmatched in wave 1 and forcing the fallback to re-read
+    *      everything. The wave-1 resolve yields each request's
+    *      achieved distance δ; a skipped file is NEEDED only if its
+    *      window could reach distance ≤ δ for some request its key
+    *      range covers (a strictly-farther window cannot even tie —
+    *      the tiebreak would need an equal-ts capture it provably does
+    *      not hold, and a request wave 1 left unmatched keeps δ = ∞,
+    *      re-admitting all its files). If any file is needed, ONE
+    *      second pass re-resolves over the widened set; otherwise the
+    *      out-of-window generations were never read — the
+    *      wayback-CDX-server property that a probe near "now" does not
+    *      scan a years-deep base generation.
     *
     * Exact by construction: the answer equals
     * `resolveNearest(requests, readMaster(dir))` row for row; only the
@@ -1073,13 +1078,6 @@ object CdxIndex {
         withTs.select(col("file"), col("lo"), col("hi"),
           col("ts_lo"), col("ts_hi"), input_file_name().as("cf"))
       }.reduce(_ unionByName _)
-    val cands = keys.select(col("surt").as("__k"))
-      .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
-      .select(col("file"), col("cf"), col("lo"), col("hi"), col("ts_lo"), col("ts_hi"))
-      .distinct().collect().toSeq
-      .map(r => (resolveShardPath(r.getString(0), r.getString(1)),
-        r.getString(2), r.getString(3),
-        ts14EpochOpt(r.getString(4)), ts14EpochOpt(r.getString(5))))
     // the request instants' span (two strings; the min rides the same
     // loud validation resolveNearest applies, so a malformed instant
     // fails BEFORE any admission decision is built on it)
@@ -1090,48 +1088,83 @@ object CdxIndex {
         .otherwise(col("want_ts"))).as("lo"),
       max(col("want_ts")).as("hi")).head
     val spanEp =
-      if (cands.isEmpty || span.isNullAt(0)) None
+      if (span.isNullAt(0)) None
       else ts14EpochOpt(span.getString(0)).zip(ts14EpochOpt(span.getString(1)))
-    spanEp match {
-      case None =>
-        // no candidate files / no requests / a span instant only the
-        // engine-side parser accepts (e.g. a leap second) — resolve
-        // over every candidate, conservatively unpruned
-        val all = cands.map(_._1).sorted
-        (resolveNearest(pinned, scanPruned(all)), all, Nil)
+    // candidate discovery + PER-KEY wave-1 seeding in ONE distributed
+    // pass: each key joins ~one cluster row per generation (ranges
+    // within a generation are disjoint), so the join output is
+    // |keys| × generations rows — never keys × files; the window-min
+    // marks, per key, every file tying its minimum window distance
+    // (span-overlapping and windowless files are distance 0). Only the
+    // bounded per-file summary (path, window, seeded-anywhere flag)
+    // lands on the driver. Per-key seeding matters: a batch-level
+    // "window overlaps the span" rule under-admits when crawls cover
+    // disjoint key ranges on different days — the unmatched keys would
+    // null their δ and drag EVERYTHING their ranges cover, deep base
+    // included, into wave 2.
+    val joined = keys.select(col("surt").as("__k"))
+      .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
+    val distCol = spanEp match {
       case Some((wlo, whi)) =>
-        val (overlap, rest) = cands.partition { case (_, _, _, tsLo, tsHi) =>
-          tsLo.isEmpty || tsHi.isEmpty || (tsHi.get >= wlo && tsLo.get <= whi)
-        }
-        val wave1 = (if (overlap.isEmpty) cands else overlap).map(_._1).sorted
-        val rest1 = if (overlap.isEmpty) Nil else rest
-        val r1 = resolveNearest(pinned, scanPruned(wave1))
-        if (rest1.isEmpty) (r1, wave1, Nil)
-        else {
-          import spark.implicits._
-          // δ-feedback over the wave-1 result (cached — the decision
-          // action below computes it once and the returned frame
-          // reuses the blocks; lineage stays intact for plan audits)
-          val r1p = r1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val bdf = rest1.map { case (p, klo, khi, tsLo, tsHi) =>
-            (p, klo, khi, tsLo.get, tsHi.get)
-          }.toDF("__path", "__klo", "__khi", "__tlo", "__thi")
-          val w = ts14Epoch(col("want_ts"))
-          val delta = when(col("ts").isNotNull, abs(ts14Epoch(col("ts")) - w))
-          val mindist = when(w.between(col("__tlo"), col("__thi")), lit(0L))
-            .otherwise(least(abs(w - col("__tlo")), abs(w - col("__thi"))))
-          val needed = r1p.join(broadcast(bdf),
-              col("surt") >= col("__klo") && col("surt") <= col("__khi") &&
-                (delta.isNull || mindist <= delta))
-            .select(col("__path")).distinct()
-            .collect().map(_.getString(0)).toSeq.sorted
-          if (needed.isEmpty) (r1p, wave1, Nil)
-          else {
-            r1p.unpersist()
-            (resolveNearest(pinned, scanPruned((wave1 ++ needed).sorted)),
-              wave1, needed)
-          }
-        }
+        val tlo = ts14Epoch(col("ts_lo")); val thi = ts14Epoch(col("ts_hi"))
+        when(tlo.isNull || thi.isNull, lit(0L))
+          .when(thi >= wlo && tlo <= whi, lit(0L))
+          .otherwise(least(abs(lit(wlo) - thi), abs(tlo - lit(whi))))
+      case None =>
+        // no requests / a span instant only the engine-side parser
+        // accepts (e.g. a leap second): conservatively unpruned —
+        // every candidate seeds wave 1
+        lit(0L)
+    }
+    val keyMin = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    val cands = joined
+      .withColumn("__d", distCol)
+      .withColumn("__md", min(col("__d")).over(keyMin))
+      .groupBy(col("file"), col("cf"), col("lo"), col("hi"),
+        col("ts_lo"), col("ts_hi"))
+      .agg(max(when(col("__d") === col("__md"), 1).otherwise(0)).as("__seed"))
+      .collect().toSeq
+      .map { r =>
+        val tsLo = ts14EpochOpt(r.getString(4))
+        val tsHi = ts14EpochOpt(r.getString(5))
+        // a window only the engine-side parser accepts (e.g. a leap
+        // second) admits unconditionally — the δ-feedback pass below
+        // needs concrete driver-side epochs for every skipped file
+        (resolveShardPath(r.getString(0), r.getString(1)),
+          r.getString(2), r.getString(3), tsLo, tsHi,
+          r.getInt(6) == 1 || tsLo.isEmpty || tsHi.isEmpty)
+      }
+    val wave1 = cands.filter(_._6).map(_._1).sorted
+    // the skipped files keep their windows for the δ-feedback pass;
+    // windowless and driver-unparseable windows always seed wave 1,
+    // so they never appear here (the .get below is total)
+    val rest1 = cands.filterNot(_._6)
+    val r1 = resolveNearest(pinned, scanPruned(wave1))
+    if (rest1.isEmpty) (r1, wave1, Nil)
+    else {
+      import spark.implicits._
+      // δ-feedback over the wave-1 result (cached — the decision
+      // action below computes it once and the returned frame
+      // reuses the blocks; lineage stays intact for plan audits)
+      val r1p = r1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bdf = rest1.map { case (p, klo, khi, tsLo, tsHi, _) =>
+        (p, klo, khi, tsLo.get, tsHi.get)
+      }.toDF("__path", "__klo", "__khi", "__tlo", "__thi")
+      val w = ts14Epoch(col("want_ts"))
+      val delta = when(col("ts").isNotNull, abs(ts14Epoch(col("ts")) - w))
+      val mindist = when(w.between(col("__tlo"), col("__thi")), lit(0L))
+        .otherwise(least(abs(w - col("__tlo")), abs(w - col("__thi"))))
+      val needed = r1p.join(broadcast(bdf),
+          col("surt") >= col("__klo") && col("surt") <= col("__khi") &&
+            (delta.isNull || mindist <= delta))
+        .select(col("__path")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (needed.isEmpty) (r1p, wave1, Nil)
+      else {
+        r1p.unpersist()
+        (resolveNearest(pinned, scanPruned((wave1 ++ needed).sorted)),
+          wave1, needed)
+      }
     }
   }
 
