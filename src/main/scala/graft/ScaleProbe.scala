@@ -788,24 +788,26 @@ object ScaleProbe {
         // master on the spine and spilled at the 30M point
         // (BUILD_EVIDENCE_r16 §2); this must stay flat-in-k modulo the
         // linear semi-join scan.
+        // ONE builder for every nearest-request set: the surt formula
+        // must stay byte-identical to cdxRows' key or the probes
+        // silently measure misses instead of resolutions
+        def nearestReqs(from: Long, n: Long, want: String): DataFrame =
+          spark.range(from, from + n).select(
+            concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
+              lit(")/p/"), col("id")).as("surt"),
+            lit(want).as("want_ts"))
         time("cdx_lsm_nearest_xl", k) {
           sources.CdxIndex.resolveNearestAt(spark, lsmDir,
-            spark.range(100000L).select(
-              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
-                lit(")/p/"), col("id")).as("surt"),
-              lit("20260101120000").as("want_ts")))
+            nearestReqs(0L, 100000L, "20260101120000"))
         }
-        if (lsmDir != null) {
+        if (lsmDir != null && only.forall(_.contains("cdx_lsm_nearest_xl"))) {
           // admission telemetry: the probe instant sits 12 h from the
           // base's window AND 12 h from the folded appends' window —
           // per-key wave-1 seeding admits both tying sides (key-pruning
           // still bounds the spine); the δ-feedback pass must then find
           // nothing more to re-admit
           val (_, w1, w2) = sources.CdxIndex.resolveNearestAtPlanned(spark, lsmDir,
-            spark.range(1000L).select(
-              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
-                lit(")/p/"), col("id")).as("surt"),
-              lit("20260101120000").as("want_ts")))
+            nearestReqs(0L, 1000L, "20260101120000"))
           println(s"""{"op":"cdx_lsm_nearest_xl_waves","k":$k,""" +
             s""""wave1":${w1.size},"wave2":${w2.size}}""")
         }
@@ -818,17 +820,11 @@ object ScaleProbe {
         // flat in k because nothing scales with the base at all
         time("cdx_lsm_nearest_recent_xl", k) {
           sources.CdxIndex.resolveNearestAt(spark, lsmDir,
-            spark.range(1000000L * k, 1000000L * k + 100000L).select(
-              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
-                lit(")/p/"), col("id")).as("surt"),
-              lit("20260102120000").as("want_ts")))
+            nearestReqs(1000000L * k, 100000L, "20260102120000"))
         }
-        if (lsmDir != null) {
+        if (lsmDir != null && only.forall(_.contains("cdx_lsm_nearest_recent_xl"))) {
           val (_, rw1, rw2) = sources.CdxIndex.resolveNearestAtPlanned(spark, lsmDir,
-            spark.range(1000000L * k, 1000000L * k + 1000L).select(
-              concat(lit("org,host"), pmod(col("id"), lit(10000L * k)),
-                lit(")/p/"), col("id")).as("surt"),
-              lit("20260102120000").as("want_ts")))
+            nearestReqs(1000000L * k, 1000L, "20260102120000"))
           val baseRead = rw1.exists(_.contains("/gen-00000001/")) ||
             rw2.exists(_.contains("/gen-00000001/"))
           println(s"""{"op":"cdx_lsm_nearest_recent_xl_waves","k":$k,""" +

@@ -1143,28 +1143,33 @@ object CdxIndex {
     if (rest1.isEmpty) (r1, wave1, Nil)
     else {
       import spark.implicits._
-      // δ-feedback over the wave-1 result (cached — the decision
-      // action below computes it once and the returned frame
-      // reuses the blocks; lineage stays intact for plan audits)
+      // δ-feedback over the wave-1 result. The decision collect below
+      // computes the resolve once; the cache is DROPPED again before
+      // returning (blocking = false), so the caller's action recomputes
+      // the pruned resolve instead of this call leaking one cached
+      // request-sized result per TimeGate batch into executor storage —
+      // with per-key seeding, "rest non-empty, nothing needed" is the
+      // COMMON production shape, and ContextCleaner-freed pins would
+      // accumulate for as long as the driver skips a GC.
       val r1p = r1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bdf = rest1.map { case (p, klo, khi, tsLo, tsHi, _) =>
-        (p, klo, khi, tsLo.get, tsHi.get)
-      }.toDF("__path", "__klo", "__khi", "__tlo", "__thi")
-      val w = ts14Epoch(col("want_ts"))
-      val delta = when(col("ts").isNotNull, abs(ts14Epoch(col("ts")) - w))
-      val mindist = when(w.between(col("__tlo"), col("__thi")), lit(0L))
-        .otherwise(least(abs(w - col("__tlo")), abs(w - col("__thi"))))
-      val needed = r1p.join(broadcast(bdf),
-          col("surt") >= col("__klo") && col("surt") <= col("__khi") &&
-            (delta.isNull || mindist <= delta))
-        .select(col("__path")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      if (needed.isEmpty) (r1p, wave1, Nil)
-      else {
-        r1p.unpersist()
-        (resolveNearest(pinned, scanPruned((wave1 ++ needed).sorted)),
-          wave1, needed)
-      }
+      try {
+        val bdf = rest1.map { case (p, klo, khi, tsLo, tsHi, _) =>
+          (p, klo, khi, tsLo.get, tsHi.get)
+        }.toDF("__path", "__klo", "__khi", "__tlo", "__thi")
+        val w = ts14Epoch(col("want_ts"))
+        val delta = when(col("ts").isNotNull, abs(ts14Epoch(col("ts")) - w))
+        val mindist = when(w.between(col("__tlo"), col("__thi")), lit(0L))
+          .otherwise(least(abs(w - col("__tlo")), abs(w - col("__thi"))))
+        val needed = r1p.join(broadcast(bdf),
+            col("surt") >= col("__klo") && col("surt") <= col("__khi") &&
+              (delta.isNull || mindist <= delta))
+          .select(col("__path")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (needed.isEmpty) (r1, wave1, Nil)
+        else
+          (resolveNearest(pinned, scanPruned((wave1 ++ needed).sorted)),
+            wave1, needed)
+      } finally { r1p.unpersist(false); () }
     }
   }
 
