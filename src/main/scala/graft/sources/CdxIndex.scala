@@ -701,6 +701,37 @@ object CdxIndex {
     }
   }
 
+  /** Fold `<dir>/_metrics`' per-epoch part files into one —
+    * [[WarcIo.archiveEpochSink]] appends one tiny parquet part per
+    * applied epoch, and over an unbounded stream the file COUNT (not
+    * the bytes — rows are bounded telemetry) would become the cost of
+    * every metrics read: the same small-file failure mode
+    * [[WarcIo.compactArchives]] closes for archive parts. The rewrite
+    * stages under `_metrics__staging` and promotes by directory
+    * rename (the compactIndex convention — a crash parks the old tree
+    * at `_metrics__parked`), under the master's exclusive writer
+    * lease like every other maintenance mutator. A FREE no-op at or
+    * under `minFiles` parts, so the sink can call it every epoch.
+    */
+  def compactEpochMetrics(spark: SparkSession, dir: String, minFiles: Int = 64): Unit = {
+    require(minFiles >= 1, "minFiles must be positive")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_metrics")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+        val parts = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+        if (parts > minFiles) {
+          val staging = s"$dir/_metrics__staging"
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+          spark.read.parquet(p.toString)
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+          graft.operators.CrawlFrontier.swapDir(spark, staging, p.toString,
+            s"$dir/_metrics__parked")
+        }
+      }
+    }
+  }
+
   /** The full merge-on-read view: every live generation's rows, one
     * scan. Feed [[changeStats]] or any whole-index aggregate.
     */

@@ -963,6 +963,10 @@ object WarcIo {
             "archive_bytes", "wall_ms")
           .coalesce(1)
           .write.mode("append").parquet(s"$masterDir/_metrics")
+        // each append lands one tiny part file; fold them periodically
+        // so the metrics table's FILE COUNT stays bounded over an
+        // unbounded stream (a free no-op below the threshold)
+        CdxIndex.compactEpochMetrics(spark, masterDir)
       }
       ()
     }

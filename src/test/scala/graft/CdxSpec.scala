@@ -792,6 +792,30 @@ class CdxSpec extends SparkSpec {
     assert(met.count() == 0)
     assert(met.columns.toSeq == Seq("epoch", "rows", "gens_before", "gens_after",
       "gens_folded", "archive_bytes", "wall_ms"))
+    // compacting a metrics-less master is a no-op, not a crash
+    CdxIndex.compactEpochMetrics(spark, dir)
+  }
+
+  test("compactEpochMetrics folds the per-epoch part files; rows identical") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_metfold_")
+    def row(e: Int) = Seq((s"epoch-$e", 5L, 1, 1, 0, 100L, 1L))
+      .toDF("epoch", "rows", "gens_before", "gens_after", "gens_folded",
+        "archive_bytes", "wall_ms")
+    (0 until 5).foreach(e =>
+      row(e).coalesce(1).write.mode("append").parquet(s"$dir/_metrics"))
+    def partCount = new java.io.File(s"$dir/_metrics").list()
+      .count(_.endsWith(".parquet"))
+    assert(partCount == 5)
+    CdxIndex.compactEpochMetrics(spark, dir, minFiles = 8) // under threshold: no-op
+    assert(partCount == 5)
+    CdxIndex.compactEpochMetrics(spark, dir, minFiles = 2)
+    assert(partCount == 1, s"expected one folded part, got $partCount")
+    val met = CdxIndex.epochMetrics(spark, dir).orderBy("epoch").collect()
+    assert(met.map(_.getAs[String]("epoch")).toSeq == (0 until 5).map(e => s"epoch-$e"))
+    assert(met.forall(_.getAs[Long]("rows") == 5L))
+    // the writer lease released
+    assert(!new java.io.File(s"$dir/_writer.lock").exists())
   }
 
   test("changeStats: single capture is rate 0.0, not 0/0; merge conserves rows") {
