@@ -3895,6 +3895,44 @@ object SparkEntry {
         .orderBy(col("epoch"))
     }),
 
+    "cdx_resume_page" -> ((s, dir) => {
+      // CDX-server pagination: one host's 15-capture listing walked in
+      // FOUR resume-key pages of 4 against the 2-generation master —
+      // each page is a range-pruned scan + TakeOrdered cut, the next
+      // page addressed by the previous page's last (surt, ts,
+      // filename, offset) — then reassembled with page indexes. A
+      // capture skipped or repeated at any page boundary changes the
+      // rows and hash-mismatches. The oracle replays the row_number /
+      // page arithmetic from the planting formulas.
+      val cdx = s.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_page_")
+      graft.sources.CdxIndex.appendEpoch(
+        cdx.filter(col("offset") < 2000), mDir, nShards = 8, "epoch-0")
+      graft.sources.CdxIndex.appendEpoch(
+        cdx.filter(col("offset") >= 2000), mDir, nShards = 8, "epoch-1")
+      val prefix = "org,site3,h17)"
+      var resume: Option[(String, String, String, Long)] = None
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      (0 until 4).foreach { p =>
+        val rows = graft.sources.CdxIndex
+          .lookupPrefixPage(s, mDir, prefix, limit = 4, resumeAfter = resume)
+          .collect()
+        rows.foreach(r => buf += ((p, r.getAs[String]("surt"), r.getAs[String]("ts"),
+          r.getAs[String]("url"), r.getAs[Long]("offset"))))
+        rows.lastOption.foreach(r => resume = Some((r.getAs[String]("surt"),
+          r.getAs[String]("ts"), r.getAs[String]("filename"), r.getAs[Long]("offset"))))
+      }
+      import s.implicits._
+      buf.toSeq.toDF("page", "surt", "ts", "url", "offset")
+        .orderBy(col("page"), col("surt"), col("ts"), col("offset"))
+    }),
+
     "cdx_columnar" -> ((s, dir) => {
       // the cc-index-table shape: CDX rows widened to typed URL columns
       // (host, eTLD+1 via the PSL, TLD, path) and aggregated per
@@ -8660,6 +8698,23 @@ object SparkEntry {
         |    CAST(2 AS INTEGER)))
         |  t(epoch, "rows", gens_before, gens_after, gens_folded)
         |ORDER BY epoch""".stripMargin,
+
+    // the resume-key page walk replayed: the host's captures in
+    // (surt, ts, filename, offset) order, row_number split into pages
+    // of 4 — any boundary skip/repeat diverges
+    "cdx_resume_page" ->
+      """WITH t AS (SELECT i FROM range(4000) r(i) WHERE i % 40 = 17 AND i % 7 = 3),
+        |  o AS (SELECT
+        |    'org,site3,h17)/p/' || CAST(i AS VARCHAR) AS surt,
+        |    lpad(CAST(i % 97 AS VARCHAR), 14, '0') AS ts,
+        |    'https://h17.site3.org/p/' || CAST(i AS VARCHAR) AS url,
+        |    'f' || CAST(i % 16 AS VARCHAR) || '.warc.gz' AS filename,
+        |    i AS "offset"
+        |  FROM t)
+        |SELECT CAST((ROW_NUMBER() OVER w - 1) // 4 AS INTEGER) AS page,
+        |  surt, ts, url, "offset"
+        |FROM o WINDOW w AS (ORDER BY surt, ts, filename, "offset")
+        |ORDER BY page, surt, ts, "offset"""".stripMargin,
 
     // host/TLD/eTLD+1 derivation + per-domain rollup replayed from the
     // same formulas

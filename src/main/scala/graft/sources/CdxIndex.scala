@@ -867,6 +867,55 @@ object CdxIndex {
         .join(pinned.hint("shuffle_hash"), Seq(keyCol), "left_semi")
   }
 
+  /** CDX-server style RESUME-KEY pagination over a key range: the
+    * first `limit` captures of `[from, to)` in (surt, ts, filename,
+    * offset) order STRICTLY AFTER the resume position — the pagination
+    * contract wayback CDX servers expose, and the scale-correct one: a
+    * page is a range-pruned scan plus a TakeOrdered cut at `limit`,
+    * never a global row_number over the whole listing, and the resume
+    * KEY (not a page number) addresses the next page, so the key-range
+    * prune advances with the walk — deep pages skip their
+    * predecessors' shard files instead of re-sorting them. A
+    * million-capture domain lists at the same per-page cost as a
+    * ten-capture one.
+    *
+    * `resumeAfter` is None for the first page, else the (surt, ts,
+    * filename, offset) of the LAST row the previous page returned
+    * (duplicate-instant captures order by pointer, the
+    * [[resolveNearest]]/[[timeMap]] axis, so a page boundary inside a
+    * duplicate run cannot skip or repeat a capture). Callers detect
+    * the end by a short (or empty) page.
+    */
+  def lookupRangePage(spark: SparkSession, dir: String, from: String, to: String,
+      limit: Int, resumeAfter: Option[(String, String, String, Long)] = None): DataFrame = {
+    require(limit > 0, "lookupRangePage limit must be positive")
+    val pruned = resumeAfter match {
+      case None => lookupRange(spark, dir, from, to)
+      case Some((rs, rt, rf, ro)) =>
+        require(rs >= from && rs < to,
+          s"resume key '$rs' lies outside the page range [$from, $to)")
+        // the resume surt tightens the PRUNE (shards wholly before it
+        // are never read); the strict-after tuple predicate then drops
+        // the already-served head of the resume surt's own run
+        lookupRange(spark, dir, rs, to)
+          .filter(col("surt") > rs || (col("surt") === rs &&
+            (col("ts") > rt || (col("ts") === rt &&
+              (col("filename") > rf || (col("filename") === rf &&
+                col("offset") > ro))))))
+    }
+    pruned.orderBy(col("surt"), col("ts"), col("filename"), col("offset"))
+      .limit(limit)
+  }
+
+  /** [[lookupRangePage]] over a SURT prefix — one page of a host (or
+    * any prefix) listing; see [[lookupPrefix]] for the prefix
+    * semantics.
+    */
+  def lookupPrefixPage(spark: SparkSession, dir: String, prefix: String,
+      limit: Int, resumeAfter: Option[(String, String, String, Long)] = None): DataFrame =
+    lookupRangePage(spark, dir, prefix,
+      prefix + new String(Character.toChars(0x10FFFF)), limit, resumeAfter)
+
   /** All captures under a raw SURT STRING prefix — `"com,example)"` is
     * exactly one host (the `)` terminator excludes `com,examplez`).
     * Implemented as [[lookupRange]] over [prefix, prefix+U+10FFFF).

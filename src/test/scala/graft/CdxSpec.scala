@@ -711,6 +711,72 @@ class CdxSpec extends SparkSpec {
       "windowless legacy files must always admit")
   }
 
+  test("resolveNearestAt works against the LEGACY single-table layout too") {
+    val dir = TempDirs.scratch("cdx_nat_legacy_")
+    CdxIndex.buildTable(nearestGen(2026), dir, nShards = 4)
+    val reqs = spark.range(40).selectExpr(
+      "graft_surt(concat('https://h', id % 10, '.ex.org/p/', id % 50)) AS surt",
+      "'20260112090000' AS want_ts")
+    val got = CdxIndex.resolveNearestAt(spark, dir, reqs)
+    val brute = CdxIndex.resolveNearest(reqs, spark.read.parquet(s"$dir/cdx"))
+    assert(got.orderBy("surt", "ts").collect().map(_.toSeq).toSeq ==
+      brute.orderBy("surt", "ts").collect().map(_.toSeq).toSeq)
+  }
+
+  test("lookupPrefixPage: resume-key pages tile the listing exactly; pruned TakeOrdered") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_pages_")
+    // 30 captures of one host incl. DUPLICATE (surt, ts) runs that a
+    // page boundary must split without skipping or repeating; plus
+    // sibling-host noise that must never appear
+    // day pattern 1,2,1 over the three visits → every url's day-1
+    // capture is DUPLICATED at two pointers
+    val rows = (0 until 30).map { i =>
+      (s"https://pg.ex.org/p/${i % 10}", s"2026010${1 + (i / 10) % 2}000000",
+        s"f${i % 2}.warc.gz", i.toLong, 100L, s"d$i")
+    } ++ (0 until 20).map { i =>
+      (s"https://other.ex.org/p/$i", "20260101000000", "fx.warc.gz",
+        100L + i, 100L, s"e$i")
+    }
+    val cdx = rows.toDF("url", "ts", "filename", "offset", "length", "digest")
+      .withColumn("surt", call_function("graft_surt", col("url")))
+    CdxIndex.buildTable(cdx, dir, nShards = 3)
+    val prefix = "org,ex,pg)"
+    val brute = cdx.filter(col("surt").startsWith(prefix))
+      .orderBy("surt", "ts", "filename", "offset")
+      .select("surt", "ts", "filename", "offset").collect().map(_.toSeq).toSeq
+    // walk with a page size that lands boundaries inside duplicate runs
+    var resume: Option[(String, String, String, Long)] = None
+    val walked = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val page = CdxIndex.lookupPrefixPage(spark, dir, prefix, limit = 7, resume)
+        .select("surt", "ts", "filename", "offset").collect()
+      walked ++= page.map(_.toSeq)
+      pages += 1
+      if (page.length < 7) done = true
+      else resume = Some((page.last.getString(0), page.last.getString(1),
+        page.last.getString(2), page.last.getLong(3)))
+      assert(pages <= 10, "pagination did not terminate")
+    }
+    assert(walked.toSeq == brute, "pages must tile the ordered listing exactly")
+    assert(pages == 5, s"30 rows at limit 7 = 5 pages (last short), got $pages")
+    // each page is a TakeOrdered cut over a PRUNED scan — never a
+    // global sort of the listing
+    val p = CdxIndex.lookupPrefixPage(spark, dir, prefix, 7, None)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected a top-k cut:\n$p")
+    // misuse is loud
+    intercept[IllegalArgumentException] {
+      CdxIndex.lookupPrefixPage(spark, dir, prefix, 0, None)
+    }
+    intercept[IllegalArgumentException] {
+      CdxIndex.lookupRangePage(spark, dir, "a", "b", 5,
+        Some(("zzz", "0", "f", 0L))) // resume key outside the range
+    }
+  }
+
   test("buildTable records per-file ts windows in the cluster rows") {
     val dir = TempDirs.scratch("cdx_tswin_")
     CdxIndex.buildTable(corpus(500), dir, nShards = 4)

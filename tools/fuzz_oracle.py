@@ -86,6 +86,7 @@ QUERIES = [
     # timeline, and the self-maintaining sink's metrics ledger
     # re-checked under every seed
     "cdx_nearest_at", "cdx_timemap", "cdx_epoch_metrics",
+    "cdx_resume_page",
 ]
 
 # events-only queries: gated when the adversarial events table is
