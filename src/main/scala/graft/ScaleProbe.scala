@@ -830,6 +830,15 @@ object ScaleProbe {
           println(s"""{"op":"cdx_lsm_nearest_recent_xl_waves","k":$k,""" +
             s""""wave1":${rw1.size},"wave2":${rw2.size},"base_read":$baseRead}""")
         }
+        // the archive-wide banner: latest capture of EVERY key across
+        // base + appends — one max_by hash agg with map-side partial
+        // merge, so the pass must scale linearly in captures (a full
+        // scan by construction) with NO window sort and NO spill: each
+        // map task reduces to its distinct keys before the exchange
+        time("cdx_lsm_latest_xl", k) {
+          sources.CdxIndex.latestCaptures(
+            sources.CdxIndex.readMaster(spark, lsmDir))
+        }
         // digest REVERSE index at k×1M captures with ~10 captures per
         // content (planted duplicates): one content's capture set must
         // come back flat in k via cluster pruning on the digest key —

@@ -3895,6 +3895,85 @@ object SparkEntry {
         .orderBy(col("epoch"))
     }),
 
+    "cdx_lookup_timebound" -> ((s, dir) => {
+      // the era-bound listing: three year-apart crawls land as three
+      // generations, and "this host's 2027 captures" must come back
+      // from the 2027 generation alone — the per-file ts windows in
+      // the cluster rows prune the other eras' files before any scan
+      // (CdxSpec pins the file-level skip; here the ANSWER is oracled:
+      // exactly the middle crawl's captures of the probed host, with
+      // partial-prefix bounds the way wayback CDX queries spell them).
+      val caps = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('202', 6 + crawl, '0101000000') AS ts",
+          "concat('f', crawl, '.warc.gz') AS filename",
+          "base AS offset", "CAST(100 AS BIGINT) AS length",
+          "crawl")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_tb_")
+      (0 to 2).foreach { c =>
+        graft.sources.CdxIndex.appendEpoch(
+          caps.filter(col("crawl") === c).drop("crawl"), mDir, nShards = 8, s"era-$c")
+      }
+      graft.sources.CdxIndex.lookupPrefixBetween(s, mDir, "org,ex,h7)", "2027", "2028")
+        .select(col("surt"), col("ts"), col("url"), col("filename"), col("offset"))
+        .orderBy(col("surt"))
+    }),
+
+    "cdx_collapse" -> ((s, dir) => {
+      // CDX-server collapse=timestamp:6 thinning: 100 URLs × 6
+      // captures (2 per month over 3 months) stored as a master;
+      // "one capture per URL per month" must keep exactly the first
+      // of each month pair — and a digest collapse over the same rows
+      // must keep the version CHANGES (adjacency, not distinct).
+      val caps = s.range(600).selectExpr(
+        "id % 100 AS base", "CAST(id DIV 100 AS INT) AS c")
+        .selectExpr(
+          "concat('https://h', base % 5, '.ex.org/p/', base) AS url",
+          "concat('2026', lpad(CAST(1 + c DIV 2 AS STRING), 2, '0'), " +
+            "lpad(CAST(1 + c AS STRING), 2, '0'), '000000') AS ts",
+          "concat('f', c, '.warc.gz') AS filename", "base AS offset",
+          "CAST(100 AS BIGINT) AS length",
+          "concat('d', base, '_', c DIV 3) AS digest")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_col_")
+      graft.sources.CdxIndex.appendEpoch(caps, mDir, nShards = 8, "one")
+      val host = graft.sources.CdxIndex.lookupPrefix(s, mDir, "org,ex,h3)")
+      graft.sources.CdxIndex.collapseCaptures(host, "ts", 6)
+        .select(col("surt"), col("ts"), col("digest"))
+        .unionByName(
+          graft.sources.CdxIndex.collapseCaptures(host, "digest", 99)
+            .select(col("surt"), col("ts"),
+              concat(lit("chg:"), col("digest")).as("digest")))
+        .orderBy(col("surt"), col("ts"), col("digest"))
+    }),
+
+    "cdx_latest" -> ((s, dir) => {
+      // wayback's limit=-1 banner: latest capture per URL across TWO
+      // generations — every key re-captured in gen 2, so the winner
+      // set is exactly the second crawl's rows (one hash agg, max_by
+      // over the pointer axis; no window, no unreduced shuffle).
+      val caps = s.range(400).selectExpr(
+        "id % 200 AS base", "CAST(id DIV 200 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 10, '.ex.org/p/', base) AS url",
+          "concat('202', 6 + crawl, '01', lpad(CAST(1 + base % 28 AS STRING), 2, '0'), '000000') AS ts",
+          "concat('f', crawl, '.warc.gz') AS filename",
+          "base AS offset", "CAST(100 AS BIGINT) AS length",
+          "concat('d', base, '_', crawl) AS digest", "crawl")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_lat_")
+      (0 to 1).foreach { c =>
+        graft.sources.CdxIndex.appendEpoch(
+          caps.filter(col("crawl") === c).drop("crawl"), mDir, nShards = 8, s"g-$c")
+      }
+      graft.sources.CdxIndex.lookupLatest(s, mDir, "org,ex,h7)")
+        .select(col("surt"), col("ts"), col("url"), col("digest"), col("offset"))
+        .orderBy(col("surt"))
+    }),
+
     "cdx_resume_page" -> ((s, dir) => {
       // CDX-server pagination: one host's 15-capture listing walked in
       // FOUR resume-key pages of 4 against the 2-generation master —
@@ -8698,6 +8777,49 @@ object SparkEntry {
         |    CAST(2 AS INTEGER)))
         |  t(epoch, "rows", gens_before, gens_after, gens_folded)
         |ORDER BY epoch""".stripMargin,
+
+    // the era-bound listing replayed: host h7's middle-crawl captures
+    // only (base % 20 = 7, crawl 1 → year 2027)
+    "cdx_lookup_timebound" ->
+      """WITH b AS (SELECT i AS base FROM range(1000) r(i) WHERE i % 20 = 7)
+        |SELECT 'org,ex,h7)/p/' || CAST(base AS VARCHAR) AS surt,
+        |  '20270101000000' AS ts,
+        |  'https://h7.ex.org/p/' || CAST(base AS VARCHAR) AS url,
+        |  'f1.warc.gz' AS filename,
+        |  base AS "offset"
+        |FROM b ORDER BY surt""".stripMargin,
+
+    // the collapse thinning replayed: per URL of host h3, the ts:6
+    // collapse keeps the first capture of each month (c ∈ {0,2,4});
+    // the digest collapse keeps the version CHANGES (c ∈ {0,3})
+    "cdx_collapse" ->
+      """WITH b AS (SELECT i AS base FROM range(100) r(i) WHERE i % 5 = 3),
+        |c AS (SELECT base, j AS c FROM b, range(6) r2(j)),
+        |rows_ts AS (
+        |  SELECT 'org,ex,h3)/p/' || CAST(base AS VARCHAR) AS surt,
+        |    '2026' || lpad(CAST(1 + c // 2 AS VARCHAR), 2, '0')
+        |      || lpad(CAST(1 + c AS VARCHAR), 2, '0') || '000000' AS ts,
+        |    'd' || CAST(base AS VARCHAR) || '_' || CAST(c // 3 AS VARCHAR) AS digest
+        |  FROM c WHERE c IN (0, 2, 4)),
+        |rows_chg AS (
+        |  SELECT 'org,ex,h3)/p/' || CAST(base AS VARCHAR) AS surt,
+        |    '2026' || lpad(CAST(1 + c // 2 AS VARCHAR), 2, '0')
+        |      || lpad(CAST(1 + c AS VARCHAR), 2, '0') || '000000' AS ts,
+        |    'chg:d' || CAST(base AS VARCHAR) || '_' || CAST(c // 3 AS VARCHAR) AS digest
+        |  FROM c WHERE c IN (0, 3))
+        |SELECT * FROM rows_ts UNION ALL SELECT * FROM rows_chg
+        |ORDER BY surt, ts, digest""".stripMargin,
+
+    // the latest-per-URL banner replayed: every h7 key re-captured in
+    // crawl 1, so the winner set is exactly the 2027 rows
+    "cdx_latest" ->
+      """WITH b AS (SELECT i AS base FROM range(200) r(i) WHERE i % 10 = 7)
+        |SELECT 'org,ex,h7)/p/' || CAST(base AS VARCHAR) AS surt,
+        |  '202701' || lpad(CAST(1 + base % 28 AS VARCHAR), 2, '0') || '000000' AS ts,
+        |  'https://h7.ex.org/p/' || CAST(base AS VARCHAR) AS url,
+        |  'd' || CAST(base AS VARCHAR) || '_1' AS digest,
+        |  base AS "offset"
+        |FROM b ORDER BY surt""".stripMargin,
 
     // the resume-key page walk replayed: the host's captures in
     // (surt, ts, filename, offset) order, row_number split into pages

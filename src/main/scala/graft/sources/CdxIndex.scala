@@ -740,6 +740,22 @@ object CdxIndex {
     spark.read.parquet(gens.map(g => s"$g/cdx"): _*)
   }
 
+  /** Every generation's cluster rows with a UNIFORM schema: pre-
+    * ts-window tables (no `ts_lo`/`ts_hi` columns) read back with null
+    * windows, which every consumer treats as "always admit". Bounded:
+    * one row per shard file per generation.
+    */
+  private def clusterRows(spark: SparkSession, gens: Seq[String]): DataFrame =
+    gens.map { g =>
+      val c = spark.read.parquet(s"$g/cluster")
+      val withTs =
+        if (c.columns.contains("ts_lo")) c
+        else c.withColumn("ts_lo", lit(null).cast("string"))
+          .withColumn("ts_hi", lit(null).cast("string"))
+      withTs.select(col("file"), col("lo"), col("hi"),
+        col("ts_lo"), col("ts_hi"), input_file_name().as("cf"))
+    }.reduce(_ unionByName _)
+
   /** The shard files whose [lo,hi] key range intersects ANY of the
     * requested [from,to) ranges — the cluster.idx consultation across
     * every live generation, ONE scan for however many ranges the
@@ -803,6 +819,48 @@ object CdxIndex {
     */
   def lookupRange(spark: SparkSession, dir: String, from: String, to: String): DataFrame =
     lookupRanges(spark, dir, Seq((from, to)))
+
+  /** [[lookupRange]] bounded to a capture-time window
+    * `[tsFrom, tsTo)` — ts14 compares lexicographically, so PARTIAL
+    * bounds work the way wayback CDX queries spell them ("2026" to
+    * "2027" = the year 2026). The per-file ts windows the cluster rows
+    * record ([[buildTable]]) prune GENERATIONS as well as key ranges:
+    * against a years-deep master, "this host's 2026 captures" reads
+    * only the shard files whose window intersects 2026 — an era-bound
+    * probe never opens the other eras' generations, the same skip
+    * [[resolveNearestAt]] gets from the δ-feedback. Files with no
+    * recorded window (pre-ts-window tables) always admit, and the
+    * row-level filter makes the answer exact either way.
+    */
+  def lookupRangeBetween(spark: SparkSession, dir: String, from: String, to: String,
+      tsFrom: String, tsTo: String): DataFrame = {
+    require(tsFrom.nonEmpty && tsTo.nonEmpty && tsFrom < tsTo,
+      s"lookupRangeBetween needs a non-empty half-open ts window, got [$tsFrom, $tsTo)")
+    requireLookupKey(spark, dir, "surt")
+    val gens = resolveGens(spark, dir)
+    val files = clusterRows(spark, gens)
+      .filter(col("hi") >= from && col("lo") < to &&
+        (col("ts_lo").isNull || col("ts_hi").isNull ||
+          (col("ts_hi") >= tsFrom && col("ts_lo") < tsTo)))
+      .select(col("file"), col("cf"))
+      .collect().toSeq
+      .map(r => resolveShardPath(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    if (files.isEmpty)
+      spark.read.parquet(s"${gens.head}/cdx").limit(0)
+    else
+      spark.read.parquet(files: _*)
+        .filter(col("surt") >= from && col("surt") < to &&
+          col("ts") >= tsFrom && col("ts") < tsTo)
+  }
+
+  /** [[lookupRangeBetween]] over a SURT prefix — see [[lookupPrefix]]
+    * for the prefix semantics.
+    */
+  def lookupPrefixBetween(spark: SparkSession, dir: String, prefix: String,
+      tsFrom: String, tsTo: String): DataFrame =
+    lookupRangeBetween(spark, dir, prefix,
+      prefix + new String(Character.toChars(0x10FFFF)), tsFrom, tsTo)
 
   /** BATCH lookup: every index row whose `surt` equals a key in
     * `keys` (a DataFrame with a `surt` column — derive it from URLs
@@ -1146,18 +1204,8 @@ object CdxIndex {
       else spark.read.parquet(files: _*)
         .join(keys.hint("shuffle_hash"), Seq("surt"), "left_semi")
     // candidate shard files: cluster rows (bounded — one per shard
-    // file per generation) broadcast AGAINST the keys; per-generation
-    // reads union with explicit null windows so pre-ts-window cluster
-    // tables stay readable
-    val clusters = gens.map { g =>
-        val c = spark.read.parquet(s"$g/cluster")
-        val withTs =
-          if (c.columns.contains("ts_lo")) c
-          else c.withColumn("ts_lo", lit(null).cast("string"))
-            .withColumn("ts_hi", lit(null).cast("string"))
-        withTs.select(col("file"), col("lo"), col("hi"),
-          col("ts_lo"), col("ts_hi"), input_file_name().as("cf"))
-      }.reduce(_ unionByName _)
+    // file per generation) broadcast AGAINST the keys
+    val clusters = clusterRows(spark, gens)
     // the request instants' span (two strings; the min rides the same
     // loud validation resolveNearest applies, so a malformed instant
     // fails BEFORE any admission decision is built on it)
@@ -1278,6 +1326,77 @@ object CdxIndex {
       .select(col("page"), col("seq"), col("ts"), col("url"), col("digest"),
         col("filename"), col("offset"), col("length"))
   }
+
+  /** CDX-server `collapse=field:N` thinning: within each URL's
+    * timeline (per-`surt`, in the (ts, filename, offset) pointer
+    * order every listing surface here serializes), keep only the
+    * FIRST capture of each adjacent run whose first `prefixLen` chars
+    * of `field` repeat — `collapseCaptures(cdx, "ts", 6)` is wayback's
+    * "one capture per URL per month", `("digest", big)` is "only rows
+    * where the content changed since the previous fetch". Adjacency,
+    * not group-by: a URL that flips A→B→A keeps all three under a
+    * digest collapse (the wayback contract — collapse compares each
+    * row to its PREDECESSOR, so reversions survive where a distinct
+    * would swallow them).
+    *
+    * Shape: one window per `surt` key (hash exchange + in-partition
+    * sort — no global ordering, a key's run is bounded by its own
+    * capture count), `lag` + one comparison. NULL field values never
+    * equal anything (SQL null semantics) so rows with an unknown
+    * digest always survive — thinning is a display aid, silently
+    * dropping a capture because its hash is missing would not be.
+    */
+  def collapseCaptures(cdx: DataFrame, field: String, prefixLen: Int): DataFrame = {
+    require(prefixLen > 0, "collapseCaptures prefixLen must be positive")
+    require(cdx.columns.contains(field),
+      s"collapseCaptures: no '$field' column in ${cdx.columns.mkString("(", ", ", ")")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("surt")).orderBy(col("ts"), col("filename"),
+        lpad(col("offset").cast("string"), 20, "0"))
+    val key = substring(col(field).cast("string"), 1, prefixLen)
+    cdx.withColumn("__prev", lag(key, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= key)
+      .drop("__prev")
+  }
+
+  /** The LATEST capture of every URL in `cdx` — wayback's `limit=-1`
+    * banner query ("what does the archive currently hold for each
+    * page of this host"), and the row set a replay front-end serves
+    * when no datetime is asked for. One capture per `surt`: the max
+    * of the (ts, zero-padded pointer) tuple, duplicate-instant
+    * captures resolved by the same deterministic pointer tiebreak as
+    * [[resolveNearest]]/[[timeMap]].
+    *
+    * Shape: ONE hash aggregation with map-side partial merge —
+    * `max_by` over the concatenated tiebreak string, NOT a row_number
+    * window: the agg reduces each key to one row before the exchange
+    * (a window would shuffle every capture unreduced, then sort whole
+    * partitions just to take row 1). Fixed-width padding makes the
+    * string max the tuple max.
+    */
+  def latestCaptures(cdx: DataFrame): DataFrame = {
+    Seq("surt", "ts", "filename", "offset").foreach(c =>
+      require(cdx.columns.contains(c),
+        s"latestCaptures needs a '$c' column, got ${cdx.columns.mkString("(", ", ", ")")}"))
+    val axis = concat(col("ts"), lit("|"), col("filename"), lit("|"),
+      lpad(col("offset").cast("string"), 20, "0"))
+    // every non-key column rides the winner row — index schemas vary
+    // (externally-ingested CDXJ carries mime/status, a bare crawl
+    // sidecar may not carry a digest), and the banner must return
+    // whatever the archive recorded for the chosen capture
+    val rest = cdx.columns.filter(_ != "surt").toSeq
+    cdx.groupBy(col("surt"))
+      .agg(max_by(struct(rest.map(col): _*), axis).as("__top"))
+      .select(col("surt") +: rest.map(c => col(s"__top.$c").as(c)): _*)
+  }
+
+  /** [[latestCaptures]] over a stored master's SURT prefix — the
+    * pruned spelling: only the prefix's shard files are read (every
+    * live generation consulted, so an URL re-captured since the last
+    * compaction resolves to the NEW generation's row).
+    */
+  def lookupLatest(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    latestCaptures(lookupPrefix(spark, dir, prefix))
 
   /** Merge per-crawl indexes into one re-sorted master table — the
     * ONE-SHOT batch spelling (plain union + [[buildTable]]: the range

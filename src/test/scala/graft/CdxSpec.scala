@@ -777,6 +777,99 @@ class CdxSpec extends SparkSpec {
     }
   }
 
+  test("lookupPrefixBetween: era bounds prune out-of-window generations' files") {
+    val dir = TempDirs.scratch("cdx_tbound_")
+    Seq(2026, 2027, 2028).foreach(y =>
+      CdxIndex.appendEpoch(nearestGen(y), dir, nShards = 4, s"y$y"))
+    val got = CdxIndex.lookupPrefixBetween(spark, dir, "org,ex,h3)", "2027", "2028")
+    // answer == the brute time-filtered listing
+    val brute = CdxIndex.readMaster(spark, dir)
+      .filter(col("surt").startsWith("org,ex,h3)") &&
+        col("ts") >= "2027" && col("ts") < "2028")
+      .orderBy("surt", "ts", "offset").collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty &&
+      got.orderBy("surt", "ts", "offset").collect().map(_.toSeq).toSeq == brute)
+    // file-level pin: only the 2027 generation's shards were admitted
+    val scanned = got.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/gen-00000002/")),
+      s"out-of-era generations read: $scanned")
+    // misuse is loud; an empty window of a real master is empty, not a crash
+    intercept[IllegalArgumentException] {
+      CdxIndex.lookupPrefixBetween(spark, dir, "org,ex,h3)", "2028", "2027")
+    }
+    assert(CdxIndex.lookupPrefixBetween(spark, dir, "org,ex,h3)", "1999", "2000")
+      .count() == 0)
+  }
+
+  test("collapseCaptures: adjacency thinning — month buckets, reversions, null survival") {
+    // 3 URLs × 12 captures spread over 4 months, duplicate-heavy
+    val cdx = spark.range(36).selectExpr(
+      "concat('https://h', id % 3, '.ex.org/') AS url",
+      "concat('2026', lpad(CAST(1 + (id DIV 3) % 4 AS STRING), 2, '0'), " +
+        "lpad(CAST(1 + id AS STRING), 2, '0'), '000000') AS ts",
+      "concat('f', id % 2, '.warc.gz') AS filename", "id AS offset",
+      "CAST(100 AS BIGINT) AS length", "concat('d', id % 5) AS digest")
+      .withColumn("surt", call_function("graft_surt", col("url")))
+    val got = CdxIndex.collapseCaptures(cdx, "ts", 6)
+      .orderBy("surt", "ts", "offset").collect().map(_.toSeq).toSeq
+    // ts prefixes are monotonic within each key's order, so adjacency
+    // collapse == first capture per (surt, month) — the brute form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("surt"), substring(col("ts"), 1, 6))
+      .orderBy(col("ts"), col("filename"), lpad(col("offset").cast("string"), 20, "0"))
+    val brute = cdx.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn").orderBy("surt", "ts", "offset").collect().map(_.toSeq).toSeq
+    assert(got == brute && got.size == 12)
+
+    // digest collapse is ADJACENCY, not distinct: A→B→A keeps all three
+    val rev = spark.createDataFrame(Seq(
+      ("org,ex)/", "20260101000000", "https://ex.org/", "f.warc.gz", 0L, 100L, "A"),
+      ("org,ex)/", "20260201000000", "https://ex.org/", "f.warc.gz", 1L, 100L, "B"),
+      ("org,ex)/", "20260301000000", "https://ex.org/", "f.warc.gz", 2L, 100L, "A"),
+      ("org,ex)/", "20260401000000", "https://ex.org/", "f.warc.gz", 3L, 100L, "A")))
+      .toDF("surt", "ts", "url", "filename", "offset", "length", "digest")
+    assert(CdxIndex.collapseCaptures(rev, "digest", 99)
+      .select("digest").orderBy("ts").collect().map(_.getString(0)).toSeq ==
+      Seq("A", "B", "A"))
+    // null field values never match — unknown digests all survive
+    val nulls = rev.withColumn("digest", lit(null).cast("string"))
+    assert(CdxIndex.collapseCaptures(nulls, "digest", 99).count() == 4)
+    // misuse is loud
+    intercept[IllegalArgumentException] { CdxIndex.collapseCaptures(rev, "nope", 4) }
+    intercept[IllegalArgumentException] { CdxIndex.collapseCaptures(rev, "ts", 0) }
+  }
+
+  test("latestCaptures/lookupLatest: max per key, pointer tiebreak, fresh generation wins") {
+    val dir = TempDirs.scratch("cdx_latest_")
+    Seq(2026, 2027).foreach(y =>
+      CdxIndex.appendEpoch(nearestGen(y), dir, nShards = 4, s"y$y"))
+    val got = CdxIndex.lookupLatest(spark, dir, "org,ex,h3)")
+      .select("surt", "ts", "url", "filename", "offset", "length")
+      .orderBy("surt").collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("surt"))
+      .orderBy(col("ts").desc, col("filename").desc,
+        lpad(col("offset").cast("string"), 20, "0").desc)
+    val brute = CdxIndex.readMaster(spark, dir)
+      .filter(col("surt").startsWith("org,ex,h3)"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("surt", "ts", "url", "filename", "offset", "length")
+      .orderBy("surt").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == brute)
+    // every winner comes from the 2027 generation (every key re-captured)
+    assert(got.forall(_(1).toString.startsWith("2027")))
+    // a schema without the pointer axis is loud
+    intercept[IllegalArgumentException] {
+      CdxIndex.latestCaptures(nearestGen(2026).drop("filename"))
+    }
+    // duplicate-instant tiebreak: offset 10 beats 9 NUMERICALLY
+    val dup = spark.createDataFrame(Seq(
+      ("org,ex)/", "20260101000000", "https://ex.org/", "d1", "f.warc.gz", 9L, 100L),
+      ("org,ex)/", "20260101000000", "https://ex.org/", "d2", "f.warc.gz", 10L, 100L)))
+      .toDF("surt", "ts", "url", "digest", "filename", "offset", "length")
+    assert(CdxIndex.latestCaptures(dup).select("offset").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
   test("buildTable records per-file ts windows in the cluster rows") {
     val dir = TempDirs.scratch("cdx_tswin_")
     CdxIndex.buildTable(corpus(500), dir, nShards = 4)

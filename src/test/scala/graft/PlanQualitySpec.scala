@@ -249,6 +249,21 @@ class PlanQualitySpec extends SparkSpec {
       "SURT keying must run inside whole-stage codegen")
   }
 
+  test("cdx_latest: max_by hash agg with map-side partial, never a window") {
+    // the latest-per-URL banner must reduce each key BEFORE the
+    // exchange — a row_number window would shuffle every capture of
+    // the listing unreduced and sort whole partitions to take row 1
+    val df = SparkEntry.queries("cdx_latest")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("ObjectHashAggregate") ||
+        l.contains("SortAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair, got:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial"),
+      s"no map-side partial aggregation in:\n$p")
+    assert(!p.contains("Window"), "latestCaptures must not window")
+  }
+
   test("cdx_lookup scans only cluster-selected shard files; no index broadcast") {
     // the pruning itself is pinned file-level in CdxSpec; here pin that
     // the LOOKUP plan is a plain pruned scan + filter — no join against

@@ -86,7 +86,8 @@ QUERIES = [
     # timeline, and the self-maintaining sink's metrics ledger
     # re-checked under every seed
     "cdx_nearest_at", "cdx_timemap", "cdx_epoch_metrics",
-    "cdx_resume_page",
+    "cdx_resume_page", "cdx_lookup_timebound", "cdx_collapse",
+    "cdx_latest",
 ]
 
 # events-only queries: gated when the adversarial events table is
