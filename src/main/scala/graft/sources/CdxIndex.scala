@@ -688,8 +688,18 @@ object CdxIndex {
     */
   def epochMetrics(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_metrics")
+    val parked = new org.apache.hadoop.fs.Path(s"$dir/_metrics__parked")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(p.toString)
+    // dedupe on `epoch` (unique by the sink's ledger): the fold below
+    // is non-destructive — its one crash window (compacted part moved
+    // in, folded sources not yet deleted) leaves DUPLICATE rows, never
+    // missing ones, and the read masks exactly that. A legacy
+    // `_metrics__parked` tree (an older build's fold crashed mid-swap)
+    // reads in too, so no crash state hides history.
+    val dirs = Seq(p, parked).filter(fs.exists).map(_.toString)
+    if (dirs.nonEmpty)
+      dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .dropDuplicates("epoch")
     else {
       // no epoch APPLIED yet (fresh master, or deliveries so far all
       // no-op'd on the tag ledger): "no rows yet", never a crash in
@@ -706,28 +716,57 @@ object CdxIndex {
     * applied epoch, and over an unbounded stream the file COUNT (not
     * the bytes — rows are bounded telemetry) would become the cost of
     * every metrics read: the same small-file failure mode
-    * [[WarcIo.compactArchives]] closes for archive parts. The rewrite
-    * stages under `_metrics__staging` and promotes by directory
-    * rename (the compactIndex convention — a crash parks the old tree
-    * at `_metrics__parked`), under the master's exclusive writer
-    * lease like every other maintenance mutator. A FREE no-op at or
-    * under `minFiles` parts, so the sink can call it every epoch.
+    * [[WarcIo.compactArchives]] closes for archive parts.
+    *
+    * Fold IN, never swap: the deduplicated fold of the CURRENT part
+    * files (plus any legacy `_metrics__parked` tree an older build's
+    * crashed swap left) stages under `_metrics__staging`, renames into
+    * the live dir under a fresh unique name BESIDE the parts it read,
+    * and only then deletes exactly those source parts. Every crash
+    * point therefore leaves every row present somewhere (worst case
+    * DUPLICATED, which [[epochMetrics]] dedupes and the next fold
+    * removes) — there is no state in which history is lost. And
+    * because the fold never deletes a part it did not read, a
+    * concurrent sink APPEND (which does not take the lease) commutes
+    * with it by construction; the lease serializes fold-vs-fold only.
+    *
+    * The common per-epoch call is a lock-FREE no-op at or under
+    * `minFiles` parts (two namenode calls) — acquiring the lease every
+    * epoch would fail the streaming batch whenever an operator's
+    * maintenance pass transiently holds it, AFTER the epoch applied.
     */
   def compactEpochMetrics(spark: SparkSession, dir: String, minFiles: Int = 64): Unit = {
     require(minFiles >= 1, "minFiles must be positive")
     val p = new org.apache.hadoop.fs.Path(s"$dir/_metrics")
+    val parked = new org.apache.hadoop.fs.Path(s"$dir/_metrics__parked")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
-        val parts = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-        if (parts > minFiles) {
-          val staging = s"$dir/_metrics__staging"
-          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-          spark.read.parquet(p.toString)
-            .coalesce(1).write.mode("overwrite").parquet(staging)
-          graft.operators.CrawlFrontier.swapDir(spark, staging, p.toString,
-            s"$dir/_metrics__parked")
-        }
+    def parts(): Seq[org.apache.hadoop.fs.Path] =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      else Seq.empty
+    if (!fs.exists(parked) && parts().size <= minFiles) return
+    graft.operators.CrawlFrontier.withWriterLock(spark, dir) {
+      val src = parts() // re-list under the lease (fold-vs-fold)
+      val legacy = fs.exists(parked)
+      if (legacy || src.size > minFiles) {
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/_metrics__staging")
+        fs.delete(staging, true)
+        val srcDfs =
+          (if (src.nonEmpty) Seq(spark.read.parquet(src.map(_.toString): _*)) else Nil) ++
+            (if (legacy) Seq(spark.read.parquet(parked.toString)) else Nil)
+        srcDfs.reduce(_ unionByName _).dropDuplicates("epoch")
+          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        fs.mkdirs(p) // live dir may be absent in the legacy-parked-only state
+        fs.listStatus(staging).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val in = new org.apache.hadoop.fs.Path(p,
+              s"part-folded-${java.util.UUID.randomUUID()}.parquet")
+            require(fs.rename(f, in), s"compactEpochMetrics: could not move $f to $in")
+          }
+        src.foreach(fs.delete(_, false))
+        fs.delete(parked, true)
+        fs.delete(staging, true); ()
       }
     }
   }
@@ -765,11 +804,21 @@ object CdxIndex {
     * own path, so the table survives relocation).
     */
   private def shardFiles(spark: SparkSession, gens: Seq[String],
-      ranges: Seq[(String, String)]): Seq[String] = {
-    spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
-      .filter(ranges.map { case (from, to) => col("hi") >= from && col("lo") < to }
-        .reduce(_ || _))
-      .select(col("file"), input_file_name().as("cf"))
+      ranges: Seq[(String, String)],
+      tsWindow: Option[(String, String)] = None): Seq[String] = {
+    val rangePred = ranges
+      .map { case (from, to) => col("hi") >= from && col("lo") < to }
+      .reduce(_ || _)
+    // a ts window additionally skips files whose recorded capture-time
+    // window cannot intersect it — on a years-deep master this prunes
+    // whole GENERATIONS; files with no recorded window (pre-ts-window
+    // tables) always admit, the row-level filter keeps answers exact
+    val pred = tsWindow.fold(rangePred) { case (tsFrom, tsTo) =>
+      rangePred && (col("ts_lo").isNull || col("ts_hi").isNull ||
+        (col("ts_hi") >= tsFrom && col("ts_lo") < tsTo))
+    }
+    clusterRows(spark, gens).filter(pred)
+      .select(col("file"), col("cf"))
       .collect().toSeq
       .map(r => resolveShardPath(r.getString(0), r.getString(1)))
       .distinct.sorted
@@ -801,17 +850,22 @@ object CdxIndex {
     * with the identical cluster machinery.
     */
   private def lookupRangesKeyed(spark: SparkSession, dir: String, keyCol: String,
-      ranges: Seq[(String, String)]): DataFrame = {
+      ranges: Seq[(String, String)],
+      tsWindow: Option[(String, String)] = None): DataFrame = {
     require(ranges.nonEmpty, "lookupRanges needs at least one range")
     requireLookupKey(spark, dir, keyCol)
     val gens = resolveGens(spark, dir)
-    val files = shardFiles(spark, gens, ranges)
+    val files = shardFiles(spark, gens, ranges, tsWindow)
     if (files.isEmpty)
       spark.read.parquet(s"${gens.head}/cdx").limit(0)
-    else
-      spark.read.parquet(files: _*)
+    else {
+      val inRange = spark.read.parquet(files: _*)
         .filter(ranges.map { case (from, to) => col(keyCol) >= from && col(keyCol) < to }
           .reduce(_ || _))
+      tsWindow.fold(inRange) { case (tsFrom, tsTo) =>
+        inRange.filter(col("ts") >= tsFrom && col("ts") < tsTo)
+      }
+    }
   }
 
   /** All index rows with `from <= surt < to`, scanning only the shards
@@ -836,22 +890,7 @@ object CdxIndex {
       tsFrom: String, tsTo: String): DataFrame = {
     require(tsFrom.nonEmpty && tsTo.nonEmpty && tsFrom < tsTo,
       s"lookupRangeBetween needs a non-empty half-open ts window, got [$tsFrom, $tsTo)")
-    requireLookupKey(spark, dir, "surt")
-    val gens = resolveGens(spark, dir)
-    val files = clusterRows(spark, gens)
-      .filter(col("hi") >= from && col("lo") < to &&
-        (col("ts_lo").isNull || col("ts_hi").isNull ||
-          (col("ts_hi") >= tsFrom && col("ts_lo") < tsTo)))
-      .select(col("file"), col("cf"))
-      .collect().toSeq
-      .map(r => resolveShardPath(r.getString(0), r.getString(1)))
-      .distinct.sorted
-    if (files.isEmpty)
-      spark.read.parquet(s"${gens.head}/cdx").limit(0)
-    else
-      spark.read.parquet(files: _*)
-        .filter(col("surt") >= from && col("surt") < to &&
-          col("ts") >= tsFrom && col("ts") < tsTo)
+    lookupRangesKeyed(spark, dir, "surt", Seq((from, to)), Some((tsFrom, tsTo)))
   }
 
   /** [[lookupRangeBetween]] over a SURT prefix — see [[lookupPrefix]]
@@ -1124,11 +1163,10 @@ object CdxIndex {
       .filter(col("surt").isNotNull && col("ts").isNotNull)
       .select(col("surt").as("__cs"), capTs.as("__ct"),
         capTs.as("ts"), col("filename"), col("offset"), col("length"),
-        // zero-padded offset so the STRING max equals the (filename,
-        // numeric offset) tuple max — the same duplicate order timeMap
-        // serializes ("f|9" would otherwise beat "f|10")
-        concat_ws("|", col("filename"),
-          lpad(col("offset").cast("string"), 20, "0")).as("__tb"))
+        // true (filename, numeric offset) tuple order — the same
+        // duplicate order timeMap serializes ("f" at offset 9 loses to
+        // offset 10, and a filename never outranks its own extension)
+        struct(col("filename"), col("offset")).as("__tb"))
     val both = graft.operators.AsOfJoin.asOfBoth(reqs, caps,
       "surt", "__cs", "want_ts", "__ct",
       payload = added, rightTiebreak = Some("__tb"))
@@ -1351,11 +1389,14 @@ object CdxIndex {
     require(cdx.columns.contains(field),
       s"collapseCaptures: no '$field' column in ${cdx.columns.mkString("(", ", ", ")")}")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("surt")).orderBy(col("ts"), col("filename"),
-        lpad(col("offset").cast("string"), 20, "0"))
+      .partitionBy(col("surt"))
+      .orderBy(col("ts"), col("filename"), col("offset"))
     val key = substring(col(field).cast("string"), 1, prefixLen)
+    // three-valued logic spelled out: a NULL on EITHER side of the
+    // comparison keeps the row (a bare =!= returns null — which filter
+    // DROPS — when a null-field capture follows a non-null one)
     cdx.withColumn("__prev", lag(key, 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= key)
+      .filter(key.isNull || col("__prev").isNull || col("__prev") =!= key)
       .drop("__prev")
   }
 
@@ -1368,18 +1409,19 @@ object CdxIndex {
     * [[resolveNearest]]/[[timeMap]].
     *
     * Shape: ONE hash aggregation with map-side partial merge —
-    * `max_by` over the concatenated tiebreak string, NOT a row_number
+    * `max_by` over the (ts, filename, offset) STRUCT, NOT a row_number
     * window: the agg reduces each key to one row before the exchange
     * (a window would shuffle every capture unreduced, then sort whole
-    * partitions just to take row 1). Fixed-width padding makes the
-    * string max the tuple max.
+    * partitions just to take row 1). The struct compares as the true
+    * tuple — a concatenated-string axis would mis-rank equal-ts
+    * captures whose one filename prefixes the other (the separator
+    * byte outranks the longer name's next char).
     */
   def latestCaptures(cdx: DataFrame): DataFrame = {
     Seq("surt", "ts", "filename", "offset").foreach(c =>
       require(cdx.columns.contains(c),
         s"latestCaptures needs a '$c' column, got ${cdx.columns.mkString("(", ", ", ")")}"))
-    val axis = concat(col("ts"), lit("|"), col("filename"), lit("|"),
-      lpad(col("offset").cast("string"), 20, "0"))
+    val axis = struct(col("ts"), col("filename"), col("offset"))
     // every non-key column rides the winner row — index schemas vary
     // (externally-ingested CDXJ carries mime/status, a bare crawl
     // sidecar may not carry a digest), and the banner must return

@@ -1797,10 +1797,9 @@ object WarcIo {
         // equal-(surt, digest, ts) duplicate originals (parallel
         // crawlers) serve identical bytes, but the OUTPUT pointer must
         // still pick deterministically — the resolveNearest tiebreak:
-        // max (filename, numeric offset), offset zero-padded so the
-        // string order equals the tuple order
-        concat_ws("|", col("filename"),
-          lpad(col("offset").cast("string"), 20, "0")).as("__rtb"))
+        // max (filename, numeric offset) — the true tuple order every
+        // capture pick uses
+        struct(col("filename"), col("offset")).as("__rtb"))
     val located = graft.operators.AsOfJoin.asOf(
       revisits.drop("filename", "offset"), originals,
       "__k", "__rk", "__ts", "__rts",
@@ -1945,9 +1944,8 @@ object WarcIo {
       col("src_ts").as("__ots"), col("loc_url"),
       // duplicate equal-(surt, digest, ts) originals: identical payload
       // bytes imply an identical Location, but pick deterministically
-      // anyway (the resolveNearest tiebreak axis — zero-padded offset)
-      concat_ws("|", col("filename"),
-        lpad(col("offset").cast("string"), 20, "0")).as("__otb"))
+      // anyway (the resolveNearest tiebreak axis — the tuple itself)
+      struct(col("filename"), col("offset")).as("__otb"))
     val inherited = graft.operators.AsOfJoin.asOf(revisit3xx, origEdges,
       "__rk", "__ok", "rev_ts", "__ots", payload = Seq("loc_url"),
       rightTiebreak = Some("__otb"))
@@ -1967,10 +1965,9 @@ object WarcIo {
         col("filename").as("t_f"), col("offset").as("t_o"),
         // equal-(surt, ts) duplicate captures of the redirect TARGET:
         // resolve the edge deterministically (max (filename, numeric
-        // offset) wins — the zero-pad makes the string order equal the
-        // tuple order, the same tiebreak every capture pick here uses)
-        concat_ws("|", col("filename"),
-          lpad(col("offset").cast("string"), 20, "0")).as("__ttb"))
+        // offset) tuple wins — the same tiebreak every capture pick
+        // here uses)
+        struct(col("filename"), col("offset")).as("__ttb"))
     val edges = graft.operators.AsOfJoin.asOf(allEdges, targets,
       "loc_surt", "t_surt", "src_ts", "t_ts", payload = Seq("t_f", "t_o"),
       rightTiebreak = Some("__ttb"))

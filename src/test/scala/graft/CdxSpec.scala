@@ -834,6 +834,14 @@ class CdxSpec extends SparkSpec {
     // null field values never match — unknown digests all survive
     val nulls = rev.withColumn("digest", lit(null).cast("string"))
     assert(CdxIndex.collapseCaptures(nulls, "digest", 99).count() == 4)
+    // ... including a null FOLLOWING a non-null (the =!= three-valued
+    // trap: "A" =!= null is null, which a bare filter would DROP) and
+    // a non-null following a null; digests A, null, A, A keep 0/1/2
+    val mixed = rev.withColumn("digest",
+      when(col("offset") === 1, lit(null).cast("string")).otherwise(lit("A")))
+    assert(CdxIndex.collapseCaptures(mixed, "digest", 99)
+      .select("offset").orderBy("ts").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L))
     // misuse is loud
     intercept[IllegalArgumentException] { CdxIndex.collapseCaptures(rev, "nope", 4) }
     intercept[IllegalArgumentException] { CdxIndex.collapseCaptures(rev, "ts", 0) }
@@ -868,6 +876,16 @@ class CdxSpec extends SparkSpec {
       .toDF("surt", "ts", "url", "digest", "filename", "offset", "length")
     assert(CdxIndex.latestCaptures(dup).select("offset").collect()
       .map(_.getLong(0)).toSeq == Seq(10L))
+    // filename-prefix tiebreak: TUPLE order, not separator-string
+    // order — "f.warc.gz" outranks "f.warc" at an equal ts (a '|'-glued
+    // axis would rank the shorter name above its own extension, making
+    // the banner disagree with the final row of the same URI's timeMap)
+    val pfx = spark.createDataFrame(Seq(
+      ("org,ex)/", "20260101000000", "https://ex.org/", "d1", "f.warc", 99L, 100L),
+      ("org,ex)/", "20260101000000", "https://ex.org/", "d2", "f.warc.gz", 1L, 100L)))
+      .toDF("surt", "ts", "url", "digest", "filename", "offset", "length")
+    assert(CdxIndex.latestCaptures(pfx).select("filename").collect()
+      .map(_.getString(0)).toSeq == Seq("f.warc.gz"))
   }
 
   test("buildTable records per-file ts windows in the cluster rows") {
@@ -974,6 +992,46 @@ class CdxSpec extends SparkSpec {
     assert(met.map(_.getAs[String]("epoch")).toSeq == (0 until 5).map(e => s"epoch-$e"))
     assert(met.forall(_.getAs[Long]("rows") == 5L))
     // the writer lease released
+    assert(!new java.io.File(s"$dir/_writer.lock").exists())
+  }
+
+  test("compactEpochMetrics: crash windows duplicate, never lose; legacy parked recovers") {
+    import spark.implicits._
+    val dir = TempDirs.scratch("cdx_metcrash_")
+    def row(e: Int) = Seq((s"epoch-$e", 5L, 1, 1, 0, 100L, 1L))
+      .toDF("epoch", "rows", "gens_before", "gens_after", "gens_folded",
+        "archive_bytes", "wall_ms")
+    (0 until 4).foreach(e =>
+      row(e).coalesce(1).write.mode("append").parquet(s"$dir/_metrics"))
+    val live = new java.io.File(s"$dir/_metrics")
+    // 1) mid-fold crash: the compacted part was moved in BESIDE the
+    //    sources, which were not yet deleted — rows exist twice on
+    //    disk; the read dedupes on epoch and the next fold converges
+    CdxIndex.epochMetrics(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_metrics__staging")
+    val part = new java.io.File(s"$dir/_metrics__staging").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(live, "part-folded-crash.parquet").toPath)
+    assert(CdxIndex.epochMetrics(spark, dir).count() == 4)
+    CdxIndex.compactEpochMetrics(spark, dir, minFiles = 1)
+    assert(live.list().count(_.endsWith(".parquet")) == 1)
+    assert(CdxIndex.epochMetrics(spark, dir).orderBy("epoch").collect()
+      .map(_.getString(0)).toSeq == (0 until 4).map(e => s"epoch-$e"))
+    // 2) legacy parked crash (an older build's swap died between park
+    //    and promote): live gone, history parked — the read still sees
+    //    it, a post-crash sink APPEND beside it loses nothing, and the
+    //    next fold merges both and clears the parked tree
+    val parked = new java.io.File(s"$dir/_metrics__parked")
+    assert(live.renameTo(parked))
+    assert(CdxIndex.epochMetrics(spark, dir).count() == 4)
+    row(9).coalesce(1).write.mode("append").parquet(s"$dir/_metrics")
+    assert(CdxIndex.epochMetrics(spark, dir).count() == 5)
+    CdxIndex.compactEpochMetrics(spark, dir, minFiles = 1)
+    assert(!parked.exists())
+    assert(CdxIndex.epochMetrics(spark, dir).orderBy("epoch").collect()
+      .map(_.getString(0)).toSeq ==
+      ((0 until 4).map(e => s"epoch-$e") :+ "epoch-9"))
     assert(!new java.io.File(s"$dir/_writer.lock").exists())
   }
 

@@ -259,8 +259,8 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("HashAggregate") || l.contains("ObjectHashAggregate") ||
         l.contains("SortAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregate pair, got:\n$p")
-    assert(p.contains("partial_max_by") || p.contains("partial"),
-      s"no map-side partial aggregation in:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"max_by must aggregate map-side (partial_max_by) in:\n$p")
     assert(!p.contains("Window"), "latestCaptures must not window")
   }
 
