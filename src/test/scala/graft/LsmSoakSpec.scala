@@ -22,6 +22,12 @@ import graft.sources.{CdxIndex, WarcIo}
   *   - "unpublished append" deletes the primary's newest manifest
   *     right after a full delivery — the build→publish window, leaving
   *     an orphan generation dir for vacuum; a later replay re-appends.
+  *   - "metrics crash" plants the epoch-metrics fold's two crash
+  *     states (compacted part moved in with the folded sources still
+  *     present; the legacy live-parked-away state) — the ledger must
+  *     read exactly one row per sink-applied epoch through both, and
+  *     the next fold (random-threshold or the sink's own in-flow one)
+  *     must converge the debris away.
   */
 class LsmSoakSpec extends SparkSpec {
 
@@ -48,6 +54,11 @@ class LsmSoakSpec extends SparkSpec {
     val committed = scala.collection.mutable.ArrayBuffer.empty[Int] // epoch dir exists
     val inPrimary = scala.collection.mutable.Set.empty[Int]
     val inDigest = scala.collection.mutable.Set.empty[Int]
+    // epochs whose SINK delivery appended to the primary — exactly the
+    // rows the metrics ledger must hold (a halfDeliver bypasses the
+    // sink so it never records; a replay records only when it actually
+    // re-appends, i.e. the epoch's manifest publish had been undone)
+    val inMetrics = scala.collection.mutable.Set.empty[Int]
 
     def expected(epochs: Set[Int]): Set[String] =
       epochs.flatMap(e => (0 until 5).map(i => url(e, i)))
@@ -64,18 +75,29 @@ class LsmSoakSpec extends SparkSpec {
         assert(a.size == inDigest.size * 5 && a.toSet == expected(inDigest.toSet),
           s"step $step ($op): digest diverged — ${a.size} rows vs ${inDigest.size * 5}")
       }
+      if (inMetrics.nonEmpty) {
+        // the ledger survives folds, fold crashes and parked trees:
+        // one row per sink-applied epoch, deduplicated on read
+        val m = CdxIndex.epochMetrics(spark, master)
+          .select("epoch").collect().map(_.getString(0)).toSeq
+        assert(m.size == inMetrics.size &&
+          m.toSet == inMetrics.map(e => s"epoch-$e").toSet,
+          s"step $step ($op): metrics ledger diverged — ${m.size} rows vs ${inMetrics.size}")
+      }
     }
 
     def deliver(): String = {
       val e = nextEpoch; nextEpoch += 1
       sink(records(e), e.toLong)
-      committed += e; inPrimary += e; inDigest += e
+      committed += e; inPrimary += e; inDigest += e; inMetrics += e
       s"deliver($e)"
     }
     def replay(): String = {
       val e = committed(rnd.nextInt(committed.size))
+      val reappends = !inPrimary(e) // manifest publish was undone → the sink re-appends
       sink(records(e), e.toLong) // exactly-once: completes whatever a crash left undone
       inPrimary += e; inDigest += e
+      if (reappends) inMetrics += e
       s"replay($e)"
     }
     def halfDeliver(): String = {
@@ -97,7 +119,10 @@ class LsmSoakSpec extends SparkSpec {
       val newest = new java.io.File(master).listFiles()
         .filter(_.getName.matches("manifest-\\d{8}")).maxBy(_.getName)
       assert(newest.delete(), s"could not plant the crash at $newest")
-      committed += e; inDigest += e
+      // the sink ran to completion before the plant, so its metrics row
+      // IS on disk (and stays — the ledger records deliveries, and the
+      // later replay's re-append dedupes against it on read)
+      committed += e; inDigest += e; inMetrics += e
       s"unpublishedAppend($e)"
     }
     def tieredCompact(): String = {
@@ -137,20 +162,53 @@ class LsmSoakSpec extends SparkSpec {
       inPrimary ++= committed; inDigest ++= committed
       "refresh"
     }
+    def metricsCrash(): String = {
+      // the metrics fold's two crash states, planted mid-schedule: the
+      // ledger must stay exact through either (and through the sink's
+      // own in-flow fold that eventually folds the debris away)
+      val live = new java.io.File(s"$master/_metrics")
+      val parked = new java.io.File(s"$master/_metrics__parked")
+      if (!live.exists()) deliver()
+      else if (rnd.nextBoolean()) {
+        // mid-fold crash: the compacted part moved in, sources not yet
+        // deleted — every ledger row now exists twice on disk
+        val staging = s"$master/_metrics__staging"
+        CdxIndex.epochMetrics(spark, master).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, new java.io.File(live,
+          s"part-folded-${java.util.UUID.randomUUID()}.parquet").toPath)
+        "metricsCrash(midFold)"
+      } else if (!parked.exists()) {
+        // legacy parked crash: history parked, live gone — the next
+        // sink delivery recreates a fresh live BESIDE it (the exact
+        // state the old swap-based fold silently destroyed)
+        assert(live.renameTo(parked), "could not plant the parked state")
+        "metricsCrash(parked)"
+      } else "metricsCrash(skip)"
+    }
+    def metricsFold(): String = {
+      val m = 1 + rnd.nextInt(8)
+      CdxIndex.compactEpochMetrics(spark, master, minFiles = m)
+      s"metricsFold($m)"
+    }
 
     deliver(); check(0, "deliver(0)")
     for (step <- 1 until 205) {
       val roll = rnd.nextInt(100)
       val op =
-        if (roll < 30) deliver()
-        else if (roll < 50) replay()
-        else if (roll < 60) halfDeliver()
-        else if (roll < 70) { if (inPrimary.nonEmpty) unpublishedAppend() else deliver() }
-        else if (roll < 84) tieredCompact()
-        else if (roll < 89) fullCompact()
-        else if (roll < 94) vacuum()
-        else if (roll < 97) archiveCompact()
-        else refresh()
+        if (roll < 26) deliver()
+        else if (roll < 44) replay()
+        else if (roll < 54) halfDeliver()
+        else if (roll < 63) { if (inPrimary.nonEmpty) unpublishedAppend() else deliver() }
+        else if (roll < 75) tieredCompact()
+        else if (roll < 80) fullCompact()
+        else if (roll < 85) vacuum()
+        else if (roll < 88) archiveCompact()
+        else if (roll < 91) refresh()
+        else if (roll < 96) metricsCrash()
+        else metricsFold()
       check(step, op)
     }
     // end state sanity: a final refresh reconciles everything ever
