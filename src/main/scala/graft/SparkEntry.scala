@@ -3922,6 +3922,30 @@ object SparkEntry {
         .orderBy(col("surt"))
     }),
 
+    "cdx_domain_timebound" -> ((s, dir) => {
+      // the era-bound DOMAIN sweep: same three-crawl master as
+      // cdx_lookup_timebound, probed by registrable domain — all 20
+      // hosts' 2027 captures, through the domain's three key ranges
+      // and the ts window in one cluster pass
+      val caps = s.range(3000).selectExpr(
+        "id % 1000 AS base", "CAST(id DIV 1000 AS INT) AS crawl")
+        .selectExpr(
+          "concat('https://h', base % 20, '.ex.org/p/', base) AS url",
+          "concat('202', 6 + crawl, '0101000000') AS ts",
+          "concat('f', crawl, '.warc.gz') AS filename",
+          "base AS offset", "CAST(100 AS BIGINT) AS length",
+          "crawl")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+      val mDir = TempDirs.scratch("cdx_dtb_")
+      (0 to 2).foreach { c =>
+        graft.sources.CdxIndex.appendEpoch(
+          caps.filter(col("crawl") === c).drop("crawl"), mDir, nShards = 8, s"era-$c")
+      }
+      graft.sources.CdxIndex.lookupDomainBetween(s, mDir, "org,ex", "2027", "2028")
+        .select(col("surt"), col("ts"), col("url"), col("offset"))
+        .orderBy(col("surt"))
+    }),
+
     "cdx_collapse" -> ((s, dir) => {
       // CDX-server collapse=timestamp:6 thinning: 100 URLs × 6
       // captures (2 per month over 3 months) stored as a master;
@@ -8788,6 +8812,15 @@ object SparkEntry {
         |  'f1.warc.gz' AS filename,
         |  base AS "offset"
         |FROM b ORDER BY surt""".stripMargin,
+
+    // the era-bound domain sweep replayed: every host's middle-crawl
+    // captures (crawl 1 → year 2027), all 1000 URLs
+    "cdx_domain_timebound" ->
+      """SELECT 'org,ex,h' || CAST(i % 20 AS VARCHAR) || ')/p/' || CAST(i AS VARCHAR) AS surt,
+        |  '20270101000000' AS ts,
+        |  'https://h' || CAST(i % 20 AS VARCHAR) || '.ex.org/p/' || CAST(i AS VARCHAR) AS url,
+        |  i AS "offset"
+        |FROM range(1000) r(i) ORDER BY surt""".stripMargin,
 
     // the collapse thinning replayed: per URL of host h3, the ts:6
     // collapse keeps the first capture of each month (c ∈ {0,2,4});

@@ -901,6 +901,26 @@ object CdxIndex {
     lookupRangeBetween(spark, dir, prefix,
       prefix + new String(Character.toChars(0x10FFFF)), tsFrom, tsTo)
 
+  /** [[lookupDomain]] bounded to a capture-time window — "everything
+    * this registrable domain (and its subdomains) published in 2026":
+    * the domain's three key ranges and the ts window prune in the same
+    * ONE cluster pass, so an era-bound domain sweep against a
+    * years-deep master opens only the intersecting generations' files.
+    */
+  def lookupDomainBetween(spark: SparkSession, dir: String, reversedDomain: String,
+      tsFrom: String, tsTo: String): DataFrame = {
+    require(!reversedDomain.endsWith(")") && !reversedDomain.endsWith(","),
+      s"lookupDomainBetween takes the bare reversed domain (e.g. \"com,example\"), " +
+        s"got '$reversedDomain'")
+    require(tsFrom.nonEmpty && tsTo.nonEmpty && tsFrom < tsTo,
+      s"lookupDomainBetween needs a non-empty half-open ts window, got [$tsFrom, $tsTo)")
+    val hi = new String(Character.toChars(0x10FFFF))
+    lookupRangesKeyed(spark, dir, "surt",
+      Seq(")", ":", ",").map(sep =>
+        (reversedDomain + sep, reversedDomain + sep + hi)),
+      Some((tsFrom, tsTo)))
+  }
+
   /** BATCH lookup: every index row whose `surt` equals a key in
     * `keys` (a DataFrame with a `surt` column — derive it from URLs
     * with `graft_surt`). This is the "re-process THESE 10M URLs"

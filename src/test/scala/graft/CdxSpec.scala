@@ -799,6 +799,14 @@ class CdxSpec extends SparkSpec {
     }
     assert(CdxIndex.lookupPrefixBetween(spark, dir, "org,ex,h3)", "1999", "2000")
       .count() == 0)
+    // the domain spelling: same window over the whole registrable
+    // domain = exactly the middle generation's rows, same file prune
+    val dom = CdxIndex.lookupDomainBetween(spark, dir, "org,ex", "2027", "2028")
+    assert(dom.count() == 200 &&
+      dom.inputFiles.toSet.forall(_.contains("/gen-00000002/")))
+    intercept[IllegalArgumentException] {
+      CdxIndex.lookupDomainBetween(spark, dir, "org,ex,", "2027", "2028")
+    }
   }
 
   test("collapseCaptures: adjacency thinning — month buckets, reversions, null survival") {

@@ -87,7 +87,7 @@ QUERIES = [
     # re-checked under every seed
     "cdx_nearest_at", "cdx_timemap", "cdx_epoch_metrics",
     "cdx_resume_page", "cdx_lookup_timebound", "cdx_collapse",
-    "cdx_latest",
+    "cdx_latest", "cdx_domain_timebound",
 ]
 
 # events-only queries: gated when the adversarial events table is
