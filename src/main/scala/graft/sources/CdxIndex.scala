@@ -695,10 +695,21 @@ object CdxIndex {
     // in, folded sources not yet deleted) leaves DUPLICATE rows, never
     // missing ones, and the read masks exactly that. A legacy
     // `_metrics__parked` tree (an older build's fold crashed mid-swap)
-    // reads in too, so no crash state hides history.
-    val dirs = Seq(p, parked).filter(fs.exists).map(_.toString)
+    // reads in too, so no crash state hides history. Admit only dirs
+    // that HOLD parts (the legacy-recovery window can leave `_metrics`
+    // freshly mkdir'd and empty — a bare-exists read would crash the
+    // poller on schema inference), and tolerate parts a concurrently
+    // RUNNING fold deletes between this plan and its execution
+    // (`ignoreMissingFiles` — the read completes instead of dying
+    // mid-job; a poll racing the fold that closely may observe a
+    // subset snapshot for that one read, but the rows are on disk in
+    // the fold's moved-in output and the next poll sees them).
+    def hasParts(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(d) && fs.listStatus(d).exists(_.getPath.getName.endsWith(".parquet"))
+    val dirs = Seq(p, parked).filter(hasParts).map(_.toString)
     if (dirs.nonEmpty)
-      dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      dirs.map(spark.read.option("ignoreMissingFiles", "true").parquet(_))
+        .reduce(_ unionByName _)
         .dropDuplicates("epoch")
     else {
       // no epoch APPLIED yet (fresh master, or deliveries so far all
@@ -909,15 +920,9 @@ object CdxIndex {
     */
   def lookupDomainBetween(spark: SparkSession, dir: String, reversedDomain: String,
       tsFrom: String, tsTo: String): DataFrame = {
-    require(!reversedDomain.endsWith(")") && !reversedDomain.endsWith(","),
-      s"lookupDomainBetween takes the bare reversed domain (e.g. \"com,example\"), " +
-        s"got '$reversedDomain'")
     require(tsFrom.nonEmpty && tsTo.nonEmpty && tsFrom < tsTo,
       s"lookupDomainBetween needs a non-empty half-open ts window, got [$tsFrom, $tsTo)")
-    val hi = new String(Character.toChars(0x10FFFF))
-    lookupRangesKeyed(spark, dir, "surt",
-      Seq(")", ":", ",").map(sep =>
-        (reversedDomain + sep, reversedDomain + sep + hi)),
+    lookupRangesKeyed(spark, dir, "surt", domainRanges(reversedDomain),
       Some((tsFrom, tsTo)))
   }
 
@@ -1054,13 +1059,21 @@ object CdxIndex {
     * scan ONE union of pruned files ([[lookupRanges]]) — not three
     * separate cluster reads and scans.
     */
-  def lookupDomain(spark: SparkSession, dir: String, reversedDomain: String): DataFrame = {
+  def lookupDomain(spark: SparkSession, dir: String, reversedDomain: String): DataFrame =
+    lookupRanges(spark, dir, domainRanges(reversedDomain))
+
+  /** The registrable domain's three half-open key ranges (apex,
+    * apex-with-port, subdomains) — ONE definition for every domain
+    * lookup spelling, so the separator set and the bare-domain
+    * contract cannot diverge between them.
+    */
+  private def domainRanges(reversedDomain: String): Seq[(String, String)] = {
     require(!reversedDomain.endsWith(")") && !reversedDomain.endsWith(","),
-      s"lookupDomain takes the bare reversed domain (e.g. \"com,example\"), got '$reversedDomain'")
+      s"domain lookups take the bare reversed domain (e.g. \"com,example\"), " +
+        s"got '$reversedDomain'")
     val hi = new String(Character.toChars(0x10FFFF))
-    lookupRanges(spark, dir,
-      Seq(")", ":", ",").map(sep =>
-        (reversedDomain + sep, reversedDomain + sep + hi)))
+    Seq(")", ":", ",").map(sep =>
+      (reversedDomain + sep, reversedDomain + sep + hi))
   }
 
   /** All captures of ONE URL — the convenience spelling of
@@ -1424,8 +1437,8 @@ object CdxIndex {
     * banner query ("what does the archive currently hold for each
     * page of this host"), and the row set a replay front-end serves
     * when no datetime is asked for. One capture per `surt`: the max
-    * of the (ts, zero-padded pointer) tuple, duplicate-instant
-    * captures resolved by the same deterministic pointer tiebreak as
+    * of the (ts, filename, offset) tuple, duplicate-instant captures
+    * resolved by the same deterministic pointer tiebreak as
     * [[resolveNearest]]/[[timeMap]].
     *
     * Shape: ONE hash aggregation with map-side partial merge —
