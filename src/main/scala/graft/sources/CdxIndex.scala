@@ -350,6 +350,19 @@ object CdxIndex {
     * caller-disciplined as before (buildDigestIndex output is looked
     * up with lookupDigest by construction).
     */
+  /** The (filename, numeric offset) pointer tuple as ONE sortable
+    * string: filename + NUL + zero-padded offset. NUL (0x00) cannot
+    * occur in an archive filename and sorts below every real char, so
+    * the string order equals the TUPLE order even when one filename
+    * prefixes another ("f.warc" sorts before "f.warc.gz", where a
+    * visible separator like '|' would invert them). A struct key would
+    * be exact too, but its interpreted per-row comparison measurably
+    * slows the sort-heavy as-of spine; strings stay on the binary
+    * comparator. ONE definition for every capture-pick surface.
+    */
+  private[sources] def ptrTiebreak(filename: Column, offset: Column): Column =
+    concat(filename, lit(0.toChar.toString), lpad(offset.cast("string"), 20, "0"))
+
   private def requireLookupKey(spark: SparkSession, dir: String, keyCol: String): Unit = {
     val (dirPath, fs) = masterFs(spark, dir)
     if (manifestFiles(fs, dirPath).nonEmpty) {
@@ -1196,10 +1209,15 @@ object CdxIndex {
       .filter(col("surt").isNotNull && col("ts").isNotNull)
       .select(col("surt").as("__cs"), capTs.as("__ct"),
         capTs.as("ts"), col("filename"), col("offset"), col("length"),
-        // true (filename, numeric offset) tuple order — the same
-        // duplicate order timeMap serializes ("f" at offset 9 loses to
-        // offset 10, and a filename never outranks its own extension)
-        struct(col("filename"), col("offset")).as("__tb"))
+        // true (filename, numeric offset) tuple order as ONE string —
+        // the same duplicate order timeMap serializes ("f" at offset 9
+        // loses to offset 10, and a filename never outranks its own
+        // extension: NUL sorts below every filename char, so the
+        // string order IS the tuple order — a visible separator like
+        // '|' would rank "f.warc" above "f.warc.gz"; a struct key
+        // would be exact too but its interpreted per-row comparison
+        // measurably slows the spine sort at archive scale)
+        ptrTiebreak(col("filename"), col("offset")).as("__tb"))
     val both = graft.operators.AsOfJoin.asOfBoth(reqs, caps,
       "surt", "__cs", "want_ts", "__ct",
       payload = added, rightTiebreak = Some("__tb"))
@@ -1442,19 +1460,19 @@ object CdxIndex {
     * [[resolveNearest]]/[[timeMap]].
     *
     * Shape: ONE hash aggregation with map-side partial merge —
-    * `max_by` over the (ts, filename, offset) STRUCT, NOT a row_number
-    * window: the agg reduces each key to one row before the exchange
-    * (a window would shuffle every capture unreduced, then sort whole
-    * partitions just to take row 1). The struct compares as the true
-    * tuple — a concatenated-string axis would mis-rank equal-ts
-    * captures whose one filename prefixes the other (the separator
-    * byte outranks the longer name's next char).
+    * `max_by` over the NUL-joined (ts, filename, offset) axis
+    * ([[ptrTiebreak]] — string order equals tuple order, and string
+    * keys keep the agg's comparisons on the binary comparator), NOT a
+    * row_number window: the agg reduces each key to one row before
+    * the exchange (a window would shuffle every capture unreduced,
+    * then sort whole partitions just to take row 1).
     */
   def latestCaptures(cdx: DataFrame): DataFrame = {
     Seq("surt", "ts", "filename", "offset").foreach(c =>
       require(cdx.columns.contains(c),
         s"latestCaptures needs a '$c' column, got ${cdx.columns.mkString("(", ", ", ")")}"))
-    val axis = struct(col("ts"), col("filename"), col("offset"))
+    val axis = concat(col("ts"), lit(0.toChar.toString),
+      ptrTiebreak(col("filename"), col("offset")))
     // every non-key column rides the winner row — index schemas vary
     // (externally-ingested CDXJ carries mime/status, a bare crawl
     // sidecar may not carry a digest), and the banner must return

@@ -1798,8 +1798,8 @@ object WarcIo {
         // crawlers) serve identical bytes, but the OUTPUT pointer must
         // still pick deterministically — the resolveNearest tiebreak:
         // max (filename, numeric offset) — the true tuple order every
-        // capture pick uses
-        struct(col("filename"), col("offset")).as("__rtb"))
+        // capture pick uses, as the sort-fast NUL-joined string
+        CdxIndex.ptrTiebreak(col("filename"), col("offset")).as("__rtb"))
     val located = graft.operators.AsOfJoin.asOf(
       revisits.drop("filename", "offset"), originals,
       "__k", "__rk", "__ts", "__rts",
@@ -1944,8 +1944,8 @@ object WarcIo {
       col("src_ts").as("__ots"), col("loc_url"),
       // duplicate equal-(surt, digest, ts) originals: identical payload
       // bytes imply an identical Location, but pick deterministically
-      // anyway (the resolveNearest tiebreak axis — the tuple itself)
-      struct(col("filename"), col("offset")).as("__otb"))
+      // anyway (the resolveNearest tiebreak axis)
+      CdxIndex.ptrTiebreak(col("filename"), col("offset")).as("__otb"))
     val inherited = graft.operators.AsOfJoin.asOf(revisit3xx, origEdges,
       "__rk", "__ok", "rev_ts", "__ots", payload = Seq("loc_url"),
       rightTiebreak = Some("__otb"))
@@ -1967,7 +1967,7 @@ object WarcIo {
         // resolve the edge deterministically (max (filename, numeric
         // offset) tuple wins — the same tiebreak every capture pick
         // here uses)
-        struct(col("filename"), col("offset")).as("__ttb"))
+        CdxIndex.ptrTiebreak(col("filename"), col("offset")).as("__ttb"))
     val edges = graft.operators.AsOfJoin.asOf(allEdges, targets,
       "loc_surt", "t_surt", "src_ts", "t_ts", payload = Seq("t_f", "t_o"),
       rightTiebreak = Some("__ttb"))
