@@ -1779,9 +1779,21 @@ object WarcIo {
     val outCols = Seq("filename", "offset", "rec_type", "target_uri", "warc_date",
       "record_id", "content_type", "content_length", "payload", "payload_digest")
       .map(col) ++ Seq(col("replayed"), col("src_filename"), col("src_offset"))
+    // `fetched` feeds BOTH output branches (direct + revisit) and
+    // `located` below feeds both the original-pointer fetch and the
+    // stitch join — Catalyst does not share duplicate subtrees, so
+    // without materialization the request resolution upstream of
+    // `resolved`, the index derivation AND the ranged fetch itself
+    // re-execute once per consumer. Both tables are REQUEST-sized, so
+    // the eager localCheckpoint contract applies (truncated lineage is
+    // acceptable for output-bound tables — Partitioning.releasePinsAfter
+    // scaladoc): one job each, blocks reaped by the ContextCleaner when
+    // the frames are collected, no unpersist protocol leaking pins
+    // across calls.
     val fetched = fetchByCdx(resolved, dir, maxPayloadBytes)
       .withColumn("src_filename", col("filename"))
       .withColumn("src_offset", col("offset"))
+      .localCheckpoint(true)
     val direct = fetched.filter(col("rec_type") =!= "revisit")
       .withColumn("replayed", lit(false))
     val revisits = fetched.filter(col("rec_type") === "revisit")
@@ -1800,17 +1812,21 @@ object WarcIo {
         // max (filename, numeric offset) — the true tuple order every
         // capture pick uses, as the sort-fast NUL-joined string
         CdxIndex.ptrTiebreak(col("filename"), col("offset")).as("__rtb"))
+    // materialized: consumed by the distinct original-pointer fetch
+    // AND the stitch join — recomputing it would run the (surt, digest)
+    // as-of against the index twice (same rationale as `fetched`)
     val located = graft.operators.AsOfJoin.asOf(
-      revisits.drop("filename", "offset"), originals,
-      "__k", "__rk", "__ts", "__rts",
-      payload = Seq("filename", "offset", "length"),
-      rightTiebreak = Some("__rtb"))
+        revisits.drop("filename", "offset"), originals,
+        "__k", "__rk", "__ts", "__rts",
+        payload = Seq("filename", "offset", "length"),
+        rightTiebreak = Some("__rtb"))
       .withColumn("offset",
         when(col("offset").isNull, raise_error(concat(
           lit("replay: no original capture for revisit of "), col("target_uri"),
           lit(" digest "), coalesce(col("payload_digest"), lit("NULL")),
           lit(" at or before "), col("__ts"))).cast("long"))
           .otherwise(col("offset")))
+      .localCheckpoint(true)
     val origPtrs = located.select(col("filename"), col("offset"), col("length")).distinct()
     // the resolved pointer must fetch a REAL original: against an index
     // whose revisit rows lack the `warc/revisit` mime (pre-r15 sidecars
@@ -2026,7 +2042,7 @@ object WarcIo {
 
   def fetchByCdx(cdx: DataFrame, dir: String,
       maxPayloadBytes: Int = 64 << 20): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, floor, lit}
     val spark = cdx.sparkSession
     import spark.implicits._
     val bcConf = spark.sparkContext.broadcast(
@@ -2040,8 +2056,16 @@ object WarcIo {
           col("warc_record_offset").as("offset"),
           col("warc_record_length").as("length"))
       else cdx
+    // hash-partition on (filename, 64 MB offset window), NOT
+    // repartitionByRange: range partitioning SAMPLES its input — an
+    // extra pass that re-executes the (often join-heavy) pointer
+    // resolution upstream — while the hash key is computed in one pass
+    // and is deterministic under task retry. Locality is preserved
+    // where it matters: a task still owns whole 64 MB regions of a
+    // file (sorted below, so it walks them forward with one open
+    // stream), and a hot file still spreads across tasks by window.
     ptr.select(col("filename"), col("offset"), col("length"))
-      .repartitionByRange(col("filename"), col("offset"))
+      .repartition(col("filename"), floor(col("offset") / lit(64L << 20)))
       .sortWithinPartitions(col("filename"), col("offset"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>

@@ -1,0 +1,263 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Round-17 optimization probe: times each expensive bench arm's
+  * sub-phases in isolation (noop-sink actions, min of 3) so the
+  * optimization targets the measured cost, and dumps
+  * `.explain("formatted")` for every headline arm into `plans/r17/`.
+  */
+object Profile17 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.build()
+    val sections = if (args.isEmpty) Set("wayback", "cdx", "crawl", "plans") else args.toSet
+
+    def noop(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+    // job/task accounting: how many Spark jobs an operation launches and
+    // how much executor task time they burn — separates fixed job
+    // overhead from real work
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          taskMs.addAndGet(te.taskMetrics.executorRunTime); ()
+        }
+    })
+    def time(label: String, rounds: Int = 3)(f: => Any): Unit = {
+      val stats = (1 to rounds).map { _ =>
+        val (j0, t0, n0) = (jobs.get(), System.nanoTime(), taskMs.get())
+        f
+        Thread.sleep(250) // let the listener bus drain
+        ((System.nanoTime() - t0) / 1e9 - 0.25, jobs.get() - j0, taskMs.get() - n0)
+      }
+      val best = stats.minBy(_._1)
+      println(f"PROBE17 $label%-36s min=${best._1}%7.3f med=${stats.map(_._1).sorted.apply(stats.length / 2)}%7.3f s jobs=${best._2}%3d taskSec=${best._3 / 1000.0}%7.2f")
+    }
+
+    val docsRaw = graft.Tables.load(spark, sfDir, "documents")
+
+    if (sections("wayback")) {
+      import spark.implicits._
+      val docs = docsRaw.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      println(s"docs rows = ${docs.count()}")
+      def escHtml(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val crawlHtml = (id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+                       tag: org.apache.spark.sql.Column) =>
+        concat(
+          lit("<html><head><title>Doc "), id.cast("string"), lit("</title></head><body>"),
+          lit("<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About</a></li></ul></nav>"),
+          lit("<h1>"), tag, lit("</h1><p>"), escHtml(text),
+          lit("</p><footer>(c) graft corpus</footer></body></html>"))
+      def records(html: DataFrame, date: String, idp: String): DataFrame =
+        html.repartition(8).as[(Long, String)].mapPartitions(_.map { case (id, h) =>
+          val uri = s"http://c${id % 13}.example.org/d/$id"
+          val payload = graft.sources.WarcIo.buildHttpResponse(200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"),
+            h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ("response", uri, date, graft.sources.WarcIo.recordIdFor(idp + id),
+            "application/http; msgtype=response", payload)
+        }).toDF("rec_type", "target_uri", "warc_date", "record_id",
+          "content_type", "payload")
+      val v1 = docs.select(col("doc_id"),
+        crawlHtml(col("doc_id"), col("text"), lit("Wayback v1")).as("html"))
+      // phase 1: write crawl1 with cdx
+      var root: String = null
+      time("wb_write_crawl1", 3) {
+        root = graft.TempDirs.scratch("p17_wayback_")
+        graft.sources.WarcIo.writeWarcWithCdx(records(v1, "2026-01-01T00:00:00Z", "wb1:"),
+          root + "/crawl1", "crawl1/")
+      }
+      // phase 2: read sidecar + distinct digests
+      time("wb_read_prior_digests") {
+        noop(graft.sources.WarcIo.readCdxj(spark, root + "/crawl1/part-*.cdx.gz")
+          .select(col("digest")).distinct())
+      }
+      val v2 = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          crawlHtml(col("doc_id"), col("text"), lit("Wayback v1")))
+          .otherwise(crawlHtml(col("doc_id"), col("text"), lit("Wayback v2 changed")))
+          .as("html"))
+      val prior = graft.sources.WarcIo.readCdxj(spark, root + "/crawl1/part-*.cdx.gz")
+        .select(col("digest")).distinct()
+      time("wb_mark_write_crawl2", 3) {
+        graft.sources.WarcIo.writeWarcWithCdx(
+          graft.sources.WarcIo.markRevisits(
+            records(v2, "2026-01-02T00:00:00Z", "wb2:"), prior),
+          root + "/crawl2", "crawl2/")
+      }
+      val index = graft.sources.WarcIo.readCdxj(spark, root + "/crawl*/part-*.cdx.gz")
+      val wants = docs.select(
+        call_function("graft_surt",
+          concat(lit("http://c"), pmod(col("doc_id"), lit(13)).cast("string"),
+            lit(".example.org/d/"), col("doc_id").cast("string"))).as("surt"),
+        lit("20260102120000").as("want_ts"))
+      val rIdx = index.select(col("surt").as("rsurt"), col("ts"),
+        col("filename"), col("offset"), col("length"))
+      val resolved = graft.operators.AsOfJoin.asOf(wants, rIdx, "surt", "rsurt",
+        "want_ts", "ts", payload = Seq("filename", "offset", "length"))
+      time("wb_asof_resolve") { noop(resolved) }
+      time("wb_fetch1_only") {
+        noop(graft.sources.WarcIo.fetchByCdx(
+          resolved.select("filename", "offset", "length"), root))
+      }
+      time("wb_replay_full") {
+        noop(graft.sources.WarcIo.replay(
+            resolved.select("filename", "offset", "length"), index, root)
+          .select(col("target_uri"), col("rec_type"), col("replayed"), col("payload")))
+      }
+      // replicate replay's internals to see where its task time goes
+      locally {
+        import graft.sources.WarcIo
+        import graft.operators.Partitioning
+        val ptrs = resolved.select("filename", "offset", "length")
+        var fetched: DataFrame = null
+        time("wbr_1_fetch_mat") {
+          if (fetched != null) fetched.unpersist(true)
+          fetched = Partitioning.materializeOnce(
+            WarcIo.fetchByCdx(ptrs, root)
+              .withColumn("src_filename", col("filename"))
+              .withColumn("src_offset", col("offset")))
+        }
+        val revisits = fetched.filter(col("rec_type") === "revisit")
+          .withColumn("__k", concat_ws("|",
+            call_function("graft_surt", col("target_uri")), col("payload_digest")))
+          .withColumn("__ts", substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14))
+        val originals = index
+          .filter((col("mime").isNull || col("mime") =!= "warc/revisit") &&
+            col("digest").isNotNull)
+          .select(concat_ws("|", col("surt"), col("digest")).as("__rk"),
+            col("ts").as("__rts"), col("filename"), col("offset"), col("length"),
+            concat(col("filename"), lit(0.toChar.toString),
+              lpad(col("offset").cast("string"), 20, "0")).as("__rtb"))
+        var located: DataFrame = null
+        time("wbr_2_located_mat") {
+          if (located != null) located.unpersist(true)
+          located = Partitioning.materializeOnce(
+            graft.operators.AsOfJoin.asOf(
+              revisits.drop("filename", "offset"), originals,
+              "__k", "__rk", "__ts", "__rts",
+              payload = Seq("filename", "offset", "length"),
+              rightTiebreak = Some("__rtb")))
+        }
+        val origPtrs = located.select(col("filename"), col("offset"), col("length")).distinct()
+        time("wbr_3_origbytes") {
+          noop(WarcIo.fetchByCdx(origPtrs, root))
+        }
+        val origBytes = WarcIo.fetchByCdx(origPtrs, root)
+          .select(col("filename"), col("offset"),
+            col("payload").as("__orig_payload"),
+            col("content_length").as("__orig_len"))
+        val stitched = located
+          .join(origBytes.hint("shuffle_hash"), Seq("filename", "offset"))
+          .withColumn("payload", col("__orig_payload"))
+          .withColumn("content_length", col("__orig_len"))
+          .withColumn("replayed", lit(true))
+        time("wbr_4_stitch_union_ckpt") {
+          val direct = fetched.filter(col("rec_type") =!= "revisit")
+            .withColumn("replayed", lit(false))
+          val outCols = Seq("filename", "offset", "rec_type", "target_uri", "warc_date",
+            "record_id", "content_type", "content_length", "payload", "payload_digest")
+            .map(col) ++ Seq(col("replayed"), col("src_filename"), col("src_offset"))
+          noop(direct.select(outCols: _*).unionByName(stitched.select(outCols: _*)))
+        }
+      }
+      val arm = graft.SparkEntry.queries("pipeline_wayback")
+      time("wb_arm_end_to_end") { noop(arm(spark, sfDir)) }
+    }
+
+    if (sections("cdx")) {
+      val cdx = spark.range(4000).selectExpr(
+        "concat('https://h', id % 40, '.site', id % 7, '.org/p/', id) AS url",
+        "lpad(CAST(id % 97 AS STRING), 14, '0') AS ts",
+        "concat('d', id) AS digest", "id AS offset", "100 + id % 9 AS length",
+        "'text/html' AS mime", "CAST(200 AS INT) AS status",
+        "concat('f', id % 16, '.warc.gz') AS filename")
+        .withColumn("surt", call_function("graft_surt", col("url")))
+        .select("surt", "ts", "url", "mime", "status", "digest",
+          "length", "offset", "filename")
+      var idxDir: String = null
+      time("cdx_initMaster", 3) {
+        idxDir = graft.TempDirs.scratch("p17_cdx_")
+        graft.sources.CdxIndex.initMaster(cdx.filter(col("offset") < 1500), idxDir, nShards = 12)
+      }
+      time("cdx_appendCrawl", 3) {
+        graft.sources.CdxIndex.appendCrawl(
+          cdx.filter(col("offset") >= 1500 && col("offset") < 3000), idxDir, nShards = 12)
+      }
+      time("cdx_lookupPrefix", 3) {
+        noop(graft.sources.CdxIndex.lookupPrefix(spark, idxDir, "org,site3,h17)")
+          .select(col("surt"), col("ts"), col("url"), col("offset"), col("length"))
+          .orderBy(col("surt")))
+      }
+    }
+
+    if (sections("crawl")) {
+      // pipeline_crawl_loop_ranked phases
+      import spark.implicits._
+      def hostOf(j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(j < 8, concat(lit("d"), j, lit(".shop.com")))
+          .when(j < 13, concat(lit("r"), j - 8, lit(".news.org")))
+          .otherwise(concat(lit("u"), j - 13, lit(".github.io")))
+      val edges = spark.range(200).select(
+        hostOf(pmod(col("id"), lit(20L))).as("src"),
+        hostOf(pmod(col("id") * col("id") + col("id") * 3L + 7L, lit(20L))).as("dst"))
+      time("crawl_pagerank3") {
+        noop(graft.operators.LinkGraph.pageRank(edges, "src", "dst", iterations = 3))
+      }
+      val history = spark.range(200).map(i => (s"http://d${i % 8}.shop.com/p/$i", 100L))
+        .toDF("url", "day")
+      var idxDir: String = null
+      time("crawl_buildIndex", 3) {
+        idxDir = graft.TempDirs.scratch("p17_crawl_idx_")
+        graft.operators.CrawlFrontier.buildIndex(history, "url", col("day"), idxDir,
+          nShards = 8, expectedItems = 10000L)
+      }
+      val discovered = spark.range(240).map { i =>
+        (i, (i % 3).toInt, (i % 3) match {
+          case 0 => s"HTTP://D${i % 8}.SHOP.COM:80/p/$i?utm_source=z"
+          case 1 => s"http://r${i % 5}.news.org/old/$i"
+          case _ => s"http://u${i % 7}.github.io/post/$i"
+        })
+      }.toDF("i", "arm", "raw")
+        .withColumn("url", call_function("graft_url_normalize", col("raw")))
+      val finals = discovered.filter(col("arm") =!= 1).select(col("url"))
+      time("crawl_probeNew") {
+        noop(graft.operators.CrawlFrontier.probeNew(spark, idxDir, finals, "url"))
+      }
+    }
+
+    if (sections("plans")) {
+      val headline = Seq(
+        "q1_agg", "q2_join_enrich", "q3_window_topn", "k2_cdc_apply",
+        "s2_tx_assembly", "a5_gtid_set", "dedup_exact", "dedup_minhash",
+        "dedup_ngram", "sim_topk", "text_profile", "c_type_matrix",
+        "pack_sequences", "contamination", "emb_quantize",
+        "pipeline_crawl_loop_ranked", "cdx_lookup", "text_bm25_topk",
+        "sim_ivf_pq_topk", "pipeline_wayback")
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("P17_PLANS_DIR", "plans/r17"))
+      java.nio.file.Files.createDirectories(outDir)
+      val tag = sys.env.getOrElse("P17_PLAN_TAG", "before")
+      headline.foreach { name =>
+        try {
+          val df = graft.SparkEntry.queries(name)(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"), plan)
+          println(s"PLAN17 wrote ${name}_$tag.txt")
+        } catch { case e: Throwable =>
+          println(s"PLAN17 $name FAILED: ${e.getMessage}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
