@@ -803,21 +803,84 @@ object CdxIndex {
     spark.read.parquet(gens.map(g => s"$g/cdx"): _*)
   }
 
-  /** Every generation's cluster rows with a UNIFORM schema: pre-
-    * ts-window tables (no `ts_lo`/`ts_hi` columns) read back with null
-    * windows, which every consumer treats as "always admit". Bounded:
-    * one row per shard file per generation.
+  /** One cluster row: per shard file its key range, optional capture-
+    * time window, and the cluster file that published it (shard
+    * basenames resolve against it — [[resolveShardPath]]).
     */
-  private def clusterRows(spark: SparkSession, gens: Seq[String]): DataFrame =
-    gens.map { g =>
-      val c = spark.read.parquet(s"$g/cluster")
-      val withTs =
-        if (c.columns.contains("ts_lo")) c
-        else c.withColumn("ts_lo", lit(null).cast("string"))
-          .withColumn("ts_hi", lit(null).cast("string"))
-      withTs.select(col("file"), col("lo"), col("hi"),
-        col("ts_lo"), col("ts_hi"), input_file_name().as("cf"))
-    }.reduce(_ unionByName _)
+  private[sources] final case class ClusterEntry(file: String, lo: String,
+      hi: String, tsLo: Option[String], tsHi: Option[String], cf: String)
+
+  /** Every generation's cluster rows read DIRECTLY on the driver
+    * (parquet-mr row reader) — the cluster is bounded metadata (one
+    * tiny row per shard file per generation) and every lookup consults
+    * it, so reading it through a distributed scan job paid a full
+    * job's scheduling latency per lookup for microseconds of work
+    * (measured: 9 jobs / 0.1 task-seconds for one lookupPrefix at
+    * sf0.1). Pre-ts-window tables (no `ts_lo`/`ts_hi` columns) read
+    * back with None windows, which every consumer treats as "always
+    * admit"; rows with a null key bound cannot satisfy any range
+    * predicate (SQL null semantics) and are dropped here, exactly as
+    * the former DataFrame filter did.
+    */
+  private def clusterRowsLocal(spark: SparkSession, gens: Seq[String]): Seq[ClusterEntry] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    gens.flatMap { g =>
+      val cdir = new org.apache.hadoop.fs.Path(s"$g/cluster")
+      val fs = cdir.getFileSystem(hconf)
+      fs.listStatus(cdir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .sortBy(_.getName)
+        .flatMap { p =>
+          val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+            .withConf(hconf).build()
+          try {
+            val buf = Seq.newBuilder[ClusterEntry]
+            var grp = rd.read()
+            while (grp != null) {
+              def strOpt(f: String): Option[String] =
+                if (!grp.getType.containsField(f) ||
+                    grp.getFieldRepetitionCount(f) == 0) None
+                else Some(grp.getString(f, 0))
+              (strOpt("file"), strOpt("lo"), strOpt("hi")) match {
+                case (Some(fl), Some(lo), Some(hi)) =>
+                  buf += ClusterEntry(fl, lo, hi, strOpt("ts_lo"), strOpt("ts_hi"),
+                    p.toString)
+                case _ => () // null key bound: unmatchable by any range
+              }
+              grp = rd.read()
+            }
+            buf.result()
+          } finally rd.close()
+        }
+    }
+  }
+
+  /** Spark's string comparison is UTF-8 BINARY order (UTF8String);
+    * Java's String.compareTo is UTF-16 code-unit order — they diverge
+    * between supplementary characters and [U+E000, U+FFFF]. Driver-side
+    * cluster pruning must reproduce the engine's order exactly or a
+    * boundary key could skip a shard file the scan needs.
+    */
+  private def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Every generation's cluster rows as a DataFrame (LocalRelation —
+    * no scan job; broadcast-joinable) with the UNIFORM schema the
+    * batch lookups expect. Bounded: one row per shard file per
+    * generation.
+    */
+  private def clusterRows(spark: SparkSession, gens: Seq[String]): DataFrame = {
+    import spark.implicits._
+    clusterRowsLocal(spark, gens)
+      .map(e => (e.file, e.lo, e.hi, e.tsLo.orNull, e.tsHi.orNull, e.cf))
+      .toDF("file", "lo", "hi", "ts_lo", "ts_hi", "cf")
+  }
 
   /** The shard files whose [lo,hi] key range intersects ANY of the
     * requested [from,to) ranges — the cluster.idx consultation across
@@ -830,21 +893,23 @@ object CdxIndex {
   private def shardFiles(spark: SparkSession, gens: Seq[String],
       ranges: Seq[(String, String)],
       tsWindow: Option[(String, String)] = None): Seq[String] = {
-    val rangePred = ranges
-      .map { case (from, to) => col("hi") >= from && col("lo") < to }
-      .reduce(_ || _)
-    // a ts window additionally skips files whose recorded capture-time
+    // pure driver-side consultation (the rows were already collect()ed
+    // before — now they never ride a Spark job at all); comparisons use
+    // UTF-8 byte order to match the engine's string semantics exactly.
+    // A ts window additionally skips files whose recorded capture-time
     // window cannot intersect it — on a years-deep master this prunes
     // whole GENERATIONS; files with no recorded window (pre-ts-window
     // tables) always admit, the row-level filter keeps answers exact
-    val pred = tsWindow.fold(rangePred) { case (tsFrom, tsTo) =>
-      rangePred && (col("ts_lo").isNull || col("ts_hi").isNull ||
-        (col("ts_hi") >= tsFrom && col("ts_lo") < tsTo))
-    }
-    clusterRows(spark, gens).filter(pred)
-      .select(col("file"), col("cf"))
-      .collect().toSeq
-      .map(r => resolveShardPath(r.getString(0), r.getString(1)))
+    clusterRowsLocal(spark, gens)
+      .filter { e =>
+        ranges.exists { case (from, to) =>
+          cmpUtf8(e.hi, from) >= 0 && cmpUtf8(e.lo, to) < 0
+        } && tsWindow.forall { case (tsFrom, tsTo) =>
+          e.tsLo.isEmpty || e.tsHi.isEmpty ||
+            (cmpUtf8(e.tsHi.get, tsFrom) >= 0 && cmpUtf8(e.tsLo.get, tsTo) < 0)
+        }
+      }
+      .map(e => resolveShardPath(e.file, e.cf))
       .distinct.sorted
   }
 
@@ -987,8 +1052,10 @@ object CdxIndex {
     // a driver loop issuing many batch lookups should drop each result
     // frame before the next call rather than accumulate references.
     val pinned = keys.select(col(keyCol)).localCheckpoint()
-    val clusters = spark.read.parquet(gens.map(g => s"$g/cluster"): _*)
-      .select(col("file"), col("lo"), col("hi"), input_file_name().as("cf"))
+    // LocalRelation (driver-read cluster rows): no scan job, and the
+    // broadcast below ships the same tiny table it always did
+    val clusters = clusterRows(spark, gens)
+      .select(col("file"), col("lo"), col("hi"), col("cf"))
     val files = pinned.select(col(keyCol).as("__k"))
       .join(broadcast(clusters), col("__k") >= col("lo") && col("__k") <= col("hi"))
       .select(col("file"), col("cf")).distinct()

@@ -1930,6 +1930,11 @@ object WarcIo {
         (col("mime").isNull || col("mime") =!= "warc/revisit") &&
         col("filename").isNotNull && col("offset").isNotNull && col("length").isNotNull)
       .select(col("filename"), col("offset"), col("length")).distinct()
+    // eager-checkpointed: consumed by BOTH the direct edge list and the
+    // revisit-inheritance as-of below — without it the 3xx ranged fetch
+    // and Location parse run once per consumer (3xx captures are the
+    // small minority of an archive, so this is bounded; same
+    // request-sized-checkpoint rationale as [[replay]])
     val hops3 = fetchByCdx(threes, dir, maxPayloadBytes)
       .select(col("filename"), col("offset"), col("target_uri"),
         col("warc_date"), col("payload_digest"), col("payload"))
@@ -1943,6 +1948,7 @@ object WarcIo {
           .map(abs => (f, o, abs, date.filter(_.isDigit).take(14), uri,
             Option(dg).getOrElse(httpPayloadDigest(payload))))
       }).toDF("filename", "offset", "loc_url", "src_ts", "src_uri", "src_digest")
+      .localCheckpoint(true)
     // revisit captures of a 3xx inherit the ORIGINAL's Location via the
     // same identical-payload-digest indirection replay() uses (latest
     // original of the same surt+digest at or before the revisit) — the
@@ -2010,6 +2016,10 @@ object WarcIo {
             lit(" at or before the redirecting capture's instant")))
             .cast("string"))
           .otherwise(col("__t")))
+      // request-sized; consumed by the terminal-pointer distinct AND the
+      // final stitch join — checkpoint or the jump-table walk (log2
+      // maxHops join rounds) re-executes per consumer
+      .localCheckpoint(true)
     // terminal pointers (offset = the node id's LAST |-segment, so a
     // '|' in a filename cannot misparse) recover their length from the
     // index and fetch through replay — revisit terminals follow the
