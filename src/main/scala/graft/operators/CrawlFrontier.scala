@@ -199,7 +199,7 @@ object CrawlFrontier {
     */
   private def compactBloom(spark: SparkSession, dir: String, nShards: Int): Unit = {
     val (urlsDir, bloomDir) = resolveDirs(spark, dir)
-    if (spark.read.parquet(bloomDir).count() > 2L * nShards) {
+    if (parquetRowCount(spark, bloomDir) > 2L * nShards) {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
       val next = f"bloom-${nextVersion(fs, dirPath)}%08d"
@@ -534,10 +534,52 @@ object CrawlFrontier {
     }
   }
 
+  /** The one-row meta table, read DIRECTLY on the driver (parquet-mr
+    * row reader): every probe/append resolves it, and a distributed
+    * head() job paid a full job's scheduling latency for two fields of
+    * fixed metadata — the same bounded-metadata rule as CdxIndex's
+    * driver-side cluster consultation.
+    */
   private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {
-    val m = spark.read.parquet(s"$dir/meta").select("n_shards", "expected_items").head()
-    (m.getInt(0), m.getLong(1))
+    val hconf = spark.sessionState.newHadoopConf()
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = mdir.getFileSystem(hconf)
+    val part = fs.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"CrawlFrontier: $dir/meta holds no parquet part — not a frontier index"))
+    val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
+      .withConf(hconf).build()
+    try {
+      val g = rd.read()
+      require(g != null, s"CrawlFrontier: $dir/meta is empty — not a frontier index")
+      (g.getInteger("n_shards", 0), g.getLong("expected_items", 0))
+    } finally rd.close()
   }
+
+  /** Total row count of a parquet dir from the part FOOTERS — O(files)
+    * driver-side metadata, not a distributed count job.
+    */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) return 0L
+    import scala.jdk.CollectionConverters._
+    fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+        try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally rd.close()
+      }.sum
+  }
+
+  private def parquetDirEmpty(spark: SparkSession, dir: String): Boolean =
+    parquetRowCount(spark, dir) == 0L
 
   /** One sketch row per TOUCHED shard: `(shard, bf)`, each sketch sized
     * for its `expectedItems / nShards` slice. Sketches of the same
@@ -566,8 +608,8 @@ object CrawlFrontier {
     */
   private def bloomProbed(spark: SparkSession, bloomDir: String, df: DataFrame,
       urlCol: String, nShards: Int): Option[DataFrame] = {
+    if (parquetDirEmpty(spark, bloomDir)) return None // footer check, no job
     val sketchRows = spark.read.parquet(bloomDir)
-    if (sketchRows.isEmpty) return None
     // ≤ a few rows per shard between compactions; merged per shard HERE,
     // distributed, so the probe join sees exactly one sketch per shard
     val sketches = sketchRows

@@ -79,24 +79,33 @@ object CdxIndex {
       .repartitionByRange(nShards, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$staging/cdx")
-    // cluster.idx analog: one column-pruned pass over the shards just
-    // written (reads only the key + ts), grouped by physical file
-    // basename. The per-file ts window (ts_lo/ts_hi — lexicographic
-    // min/max of the fixed-width ts14 string = chronological) lets the
-    // nearest-capture family skip generations whose captures provably
-    // cannot beat an already-admitted one (resolveNearestAt); tables
-    // without a ts column record NULL windows (always admitted).
-    val shards = spark.read.parquet(s"$staging/cdx")
-    val tsCol =
-      if (shards.columns.contains("ts")) col("ts").cast("string")
-      else lit(null).cast("string")
-    shards
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
-      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
-        count(lit(1)).as("n"),
-        min(tsCol).as("ts_lo"), max(tsCol).as("ts_hi"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/cluster")
+    // cluster.idx analog: per shard file its key range, row count and
+    // capture-time window (ts_lo/ts_hi — lexicographic min/max of the
+    // fixed-width ts14 string = chronological; lets the nearest-capture
+    // family skip generations that provably cannot beat an admitted
+    // capture; tables without a ts column record NULL windows = always
+    // admitted). The parquet FOOTERS of the shards just written already
+    // carry exact per-file row counts and unsigned-lexicographic
+    // min/max for every string column, so the cluster derives from
+    // O(files) driver-side footer reads instead of a second distributed
+    // pass over the data — at archive scale the difference between
+    // re-reading the new generation and reading its metadata. A file
+    // whose footer lacks usable key statistics (foreign writer,
+    // truncated stats) falls back to the original column-pruned scan —
+    // stats are an optimization, never an answer.
+    writeClusterFromFooters(spark, staging, key).getOrElse {
+      val shards = spark.read.parquet(s"$staging/cdx")
+      val tsCol =
+        if (shards.columns.contains("ts")) col("ts").cast("string")
+        else lit(null).cast("string")
+      shards
+        .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+        .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
+          count(lit(1)).as("n"),
+          min(tsCol).as("ts_lo"), max(tsCol).as("ts_hi"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/cluster")
+    }
     if (fs.exists(livePath))
       graft.operators.CrawlFrontier.swapDir(spark, staging, dir, s"${dir}__parked")
     else {
@@ -104,6 +113,96 @@ object CdxIndex {
       if (parent != null) fs.mkdirs(parent)
       require(fs.rename(new org.apache.hadoop.fs.Path(staging), livePath),
         s"CdxIndex: could not promote $staging to $dir")
+    }
+  }
+
+  /** Derive the cluster table from the staged shards' parquet FOOTERS:
+    * per file, row count from the block metadata and the key / ts
+    * min-max from the column-chunk statistics. Exactness: parquet-mr
+    * writes UNSIGNED-lexicographic min/max for STRING columns (the
+    * reader drops statistics recorded under the legacy signed order),
+    * which is exactly Spark's UTF8String comparison — and the values
+    * are untruncated actual column values at the default writer
+    * settings, so the derived (lo, hi, ts_lo, ts_hi, n) equal the
+    * former `groupBy(input_file_name)` aggregation bit-for-bit.
+    * Returns None (caller falls back to the distributed pass) when any
+    * nonempty file lacks usable key statistics or carries a non-string
+    * key — stats accelerate the build, they never change it.
+    */
+  private def writeClusterFromFooters(spark: SparkSession, staging: String,
+      key: String): Option[Unit] = {
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sessionState.newHadoopConf()
+    val cdxDir = new org.apache.hadoop.fs.Path(s"$staging/cdx")
+    val fs = cdxDir.getFileSystem(hconf)
+    val parts = fs.listStatus(cdxDir).map(_.getPath).filter { p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet")
+    }.sortBy(_.getName)
+    final case class FileStats(file: String, lo: String, hi: String, n: Long,
+        tsLo: Option[String], tsHi: Option[String])
+    def minMaxUtf8(a: Option[(String, String)], b: (String, String)) = a match {
+      case None => Some(b)
+      case Some((lo, hi)) => Some((
+        if (cmpUtf8(b._1, lo) < 0) b._1 else lo,
+        if (cmpUtf8(b._2, hi) > 0) b._2 else hi))
+    }
+    // per-chunk stats → Some(None)=all-null, Some(Some(min,max))=usable,
+    // None=unusable (missing/legacy stats) → whole-build fallback
+    def chunkRange(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        colName: String): Option[Option[(String, String)]] = {
+      b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
+        val st = c.getStatistics
+        if (st == null) None
+        else if (!st.hasNonNullValue) {
+          if (st.isNumNullsSet && st.getNumNulls == b.getRowCount) Some(None)
+          else None
+        } else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+            Some(Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8)))
+          case _ => None // non-string key: the scan path owns it
+        }
+      }
+    }
+    val stats = parts.toSeq.map { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val footer = try rd.getFooter finally rd.close()
+      val hasTs = footer.getFileMetaData.getSchema.containsField("ts")
+      val blocks = footer.getBlocks.asScala.toSeq
+      val n = blocks.map(_.getRowCount).sum
+      if (n == 0L) Some(None) // empty part: no cluster row (as before)
+      else {
+        var keyRange: Option[(String, String)] = None
+        var tsRange: Option[(String, String)] = None
+        var ok = true
+        blocks.foreach { b =>
+          if (ok && b.getRowCount > 0) {
+            chunkRange(b, key) match {
+              case Some(Some(r)) => keyRange = minMaxUtf8(keyRange, r)
+              case Some(None) => () // all-null key chunk (filtered upstream)
+              case None => ok = false
+            }
+            if (ok && hasTs) chunkRange(b, "ts") match {
+              case Some(Some(r)) => tsRange = minMaxUtf8(tsRange, r)
+              case Some(None) => ()
+              case None => ok = false
+            }
+          }
+        }
+        if (!ok || keyRange.isEmpty) None
+        else Some(Some(FileStats(p.getName, keyRange.get._1, keyRange.get._2, n,
+          tsRange.map(_._1), tsRange.map(_._2))))
+      }
+    }
+    if (stats.exists(_.isEmpty)) None
+    else {
+      import spark.implicits._
+      val rows = stats.flatten.flatten
+        .map(s => (s.file, s.lo, s.hi, s.n, s.tsLo.orNull, s.tsHi.orNull))
+      rows.toDF("file", "lo", "hi", "n", "ts_lo", "ts_hi")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/cluster")
+      Some(())
     }
   }
 

@@ -297,6 +297,36 @@ class CdxSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("footer-derived cluster rows equal the distributed aggregation bit-for-bit") {
+    // buildTable derives (lo, hi, n, ts_lo, ts_hi) per shard file from
+    // the parquet footers instead of a second scan over the data; this
+    // pins the equivalence against the brute groupBy it replaced —
+    // including a non-ASCII key (UTF-8 byte order, where UTF-16
+    // String order diverges) and an all-null-ts shard
+    val dir = TempDirs.scratch("cdx_fstats_")
+    val cdx = corpus(2000)
+      // one supplementary-plane key: footer stats order must match
+      // Spark's UTF8String order for it
+      .unionByName(spark.range(1).selectExpr(
+        "'zz,😀surt)/x' AS surt", "CAST(NULL AS STRING) AS ts",
+        "'https://zz.example/x' AS url", "'text/html' AS mime",
+        "CAST(200 AS INT) AS status", "'dZ' AS digest",
+        "CAST(7 AS BIGINT) AS length", "CAST(0 AS BIGINT) AS offset",
+        "'fz.warc.gz' AS filename"))
+    CdxIndex.buildTable(cdx, dir, nShards = 6)
+    val got = spark.read.parquet(dir + "/cluster")
+      .orderBy("file").collect().map(_.toSeq).toSeq
+    val brute = spark.read.parquet(dir + "/cdx")
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(min(col("surt")).as("lo"), max(col("surt")).as("hi"),
+        count(lit(1)).as("n"),
+        min(col("ts").cast("string")).as("ts_lo"),
+        max(col("ts").cast("string")).as("ts_hi"))
+      .orderBy("file").collect().map(_.toSeq).toSeq
+    assert(got == brute, s"footer cluster drifted from the scan aggregation:\n$got\nvs\n$brute")
+    assert(got.nonEmpty && got.map(_(3).asInstanceOf[Long]).sum == 2001L)
+  }
+
   test("lookupRange half-open; lookupDomain spans hosts but NOT sibling domains") {
     val dir = TempDirs.scratch("cdx_idx2_")
     CdxIndex.buildTable(corpus(2000), dir, nShards = 8)
