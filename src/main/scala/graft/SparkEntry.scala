@@ -2951,7 +2951,7 @@ object SparkEntry {
           crawlHtml(col("doc_id"), col("text"),
             lit("Shared section heading for crawl docs")).as("html"))
       val warcDir = TempDirs.scratch("crawl_warc_")
-      val records = docs.repartition(8).as[(Long, String)]
+      val records = docs.repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.map { case (id, html) =>
           val tld = (id % 4) match {
             case 0 => "com"; case 1 => "co.uk"; case 2 => "github.io"; case _ => "org"
@@ -3360,7 +3360,7 @@ object SparkEntry {
           crawlHtml(col("doc_id"), col("text"),
             lit("WET extraction heading for conversion records")).as("html"))
       val warcDir = TempDirs.scratch("wet_src_")
-      val records = docs.repartition(8).as[(Long, String)]
+      val records = docs.repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.map { case (id, html) =>
           val uri = s"http://w${id % 23}.example.org/d/$id"
           val payload = WarcIo.buildHttpResponse(200, "OK",
@@ -3465,7 +3465,7 @@ object SparkEntry {
           crawlHtml(col("doc_id"), col("text"),
             lit("WAT extraction heading")).as("html"))
       val warcDir = TempDirs.scratch("wat_src_")
-      val records = docs.repartition(8).as[(Long, String)]
+      val records = docs.repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.map { case (id, html) =>
           val uri = s"http://wat${id % 19}.example.org/d/$id"
           val payload = WarcIo.buildHttpResponse(200, "OK",
@@ -3558,7 +3558,7 @@ object SparkEntry {
         .select(col("doc_id"),
           crawlHtml(col("doc_id"), col("text"), lit("CDX indexing heading")).as("html"))
       val warcDir = TempDirs.scratch("cdx_src_")
-      val records = docs.repartition(8).as[(Long, String)]
+      val records = docs.repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.map { case (id, html) =>
           val uri = s"http://c${id % 13}.example.org/d/$id"
           val payload = WarcIo.buildHttpResponse(200, "OK",
@@ -4127,7 +4127,7 @@ object SparkEntry {
         .select(col("doc_id"),
           crawlHtml(col("doc_id"), col("text"), lit("CDX fetch heading")).as("html"))
       val warcDir = TempDirs.scratch("cdxf_src_")
-      val records = docs.repartition(8).as[(Long, String)]
+      val records = docs.repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.map { case (id, html) =>
           val uri = s"http://c${id % 13}.example.org/d/$id"
           val payload = WarcIo.buildHttpResponse(200, "OK",
@@ -4218,7 +4218,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val root = TempDirs.scratch("wayback_")
       def records(html: DataFrame, date: String, idp: String): DataFrame =
-        html.repartition(8).as[(Long, String)].mapPartitions(_.map { case (id, h) =>
+        html.repartition(s.sparkContext.defaultParallelism).as[(Long, String)].mapPartitions(_.map { case (id, h) =>
           val uri = s"http://c${id % 13}.example.org/d/$id"
           val payload = WarcIo.buildHttpResponse(200, "OK",
             Seq("Content-Type" -> "text/html; charset=utf-8"),
@@ -4281,7 +4281,7 @@ object SparkEntry {
       val root = TempDirs.scratch("wayredir_")
       val recs = docs.select(col("doc_id"),
           crawlHtml(col("doc_id"), col("text"), lit("Redirect target")).as("html"))
-        .repartition(8).as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, html) =>
           val host = s"http://c${id % 13}.example.org"
           def resp(path: String, payload: Array[Byte], tag: String) =

@@ -89,10 +89,40 @@ object WarcIo {
   }
 
   /** One gzip member wrapping `raw` (the `.warc.gz` unit: member-per-record). */
+  // one Deflater/CRC32 per writer thread, reset per member: a
+  // GZIPOutputStream per record allocates (and JNI-initializes) a
+  // fresh Deflater's native buffers for every record of an archive
+  // write — pure per-record overhead on the crawl-commit hot path.
+  // reset() restores the initial deflate state, so members are
+  // byte-identical to the per-instance form (same level, same single
+  // setInput + finish flush pattern, same fixed 10-byte header with
+  // MTIME/XFL/OS = 0 and CRC32+ISIZE trailer the JDK writes).
+  private val gzDeflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+  private val gzCrc = ThreadLocal.withInitial[java.util.zip.CRC32](() =>
+    new java.util.zip.CRC32)
+
   def gzipMember(raw: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
-    val gz = new GZIPOutputStream(bos)
-    gz.write(raw); gz.finish(); gz.close()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val defl = gzDeflater.get()
+    defl.reset()
+    defl.setInput(raw)
+    defl.finish()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      if (n > 0) bos.write(buf, 0, n)
+    }
+    val crc = gzCrc.get()
+    crc.reset()
+    crc.update(raw)
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(raw.length.toLong)
     bos.toByteArray
   }
 
