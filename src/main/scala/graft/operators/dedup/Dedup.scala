@@ -13,9 +13,12 @@ object Dedup {
   /** Normalized text used by every textual dedup: lowercase, collapse
     * whitespace, then trim (collapse-first so trailing tabs/newlines
     * reduce to a trimmable space — `trim` alone only strips ' ').
-    * Kept trivially SQL-expressible so DuckDB oracles reproduce it.
+    * Runs as the native one-pass [[graft.plans.NormTextExpr]] —
+    * bit-identical to `lower(trim(regexp_replace(c, "\s+", " ")))`
+    * (DedupSpec pins it), which is what the DuckDB oracles reproduce,
+    * without the regex engine walking every document.
     */
-  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  def normText(c: Column): Column = call_function("graft_norm_text", c)
 
   /** Exact dedup: hash-groupBy on normalized content, keep the smallest
     * id per group. One shuffle on md5(text); map-side partial min keeps

@@ -49,11 +49,15 @@ object MinHashDedup {
   private[dedup] def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
                                         n: Int, k: Int): DataFrame = {
     val p31 = 2147483647L // 2^31 - 1
+    // fused shingle→md5 ([[graft.plans.WordShingleMd5s]]): bit-identical
+    // to exploding graft_shingles and hashing each (DedupSpec pin), but
+    // the explode moves longs instead of materializing every shingle
+    // string through the UnsafeRow writer just to hash it
     val hashed = graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"),
-        pmod(call_function("graft_md5_60", col("shingle")), lit(p31)).as("hs"))
+        explode(call_function("graft_shingle_md5_60", col("text"), lit(n))).as("h60"))
+      .select(col("doc_id"), pmod(col("h60"), lit(p31)).as("hs"))
     // ONE imperative aggregate in portable mode, not k declarative
     // `min(...)` columns: identical values (DedupSpec pins the
     // equivalence), but a single long[k] buffer and a flat generated

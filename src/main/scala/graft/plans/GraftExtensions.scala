@@ -219,6 +219,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_md5_60"),
+      new ExpressionInfo(classOf[WordShingleMd5s].getName, "graft_shingle_md5_60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_md5_60(text, n) takes a string and an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_shingle_md5_60: n must be an int literal, got $other")
+        }
+        WordShingleMd5s(children.head, n)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_text"),
+      new ExpressionInfo(classOf[NormTextExpr].getName, "graft_norm_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_norm_text(text) takes one string column")
+        NormTextExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_span_hashes"),
       new ExpressionInfo(classOf[SpanHashes].getName, "graft_span_hashes"),
       (children: Seq[Expression]) => {

@@ -33,6 +33,70 @@ private[plans] object NormText {
   }
 }
 
+/** One-pass engine twin of the SQL chain
+  * `lower(trim(regexp_replace(text, "\s+", " ")))` — Java-regex
+  * whitespace is the six ASCII chars [ \t\n\x0B\f\r], so the collapse
+  * is a plain char scan; trim is space-only (Spark's `trim`); the
+  * lowercase is the same UTF8String ICU path `lower()` runs. The
+  * regex engine cost on the full document text is what this removes —
+  * every exact-dedup surface normalizes every document through it.
+  * DedupSpec pins bit-equivalence against the SQL chain.
+  */
+object NormTextUtil {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def norm(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) inRun = true
+      else {
+        // a run becomes ONE space, but not at the start (trim-left)
+        if (inRun && sb.length > 0) sb.append(' ')
+        inRun = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    // a trailing run appends nothing (trim-right)
+    UTF8String.fromString(sb.toString).toLowerCase
+  }
+}
+
+/** Catalyst expression for [[NormTextUtil.norm]]. */
+final case class NormTextExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_norm_text needs string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_norm_text"
+
+  override def nullSafeEval(input: Any): Any =
+    NormTextUtil.norm(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NormTextUtil.norm($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NormTextExpr =
+    copy(child = newChild)
+}
+
 /** Thread-local (input, result) memo for pure one-pass text
   * expressions: plans expand a struct-returning expression into one
   * column per field and projection collapse may re-inline it once per

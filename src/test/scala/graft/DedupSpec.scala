@@ -102,6 +102,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fused shingle md5-60s == graft_md5_60 over the string shingles, order included") {
+    val got = docs.select(
+        call_function("graft_shingle_md5_60", col("text"), lit(3)).as("fused"),
+        transform(Dedup.shingles(col("text"), 3),
+          s => call_function("graft_md5_60", s)).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "graft_shingle_md5_60 must be bit-identical to graft_md5_60(graft_shingles)")
+    }
+  }
+
+  test("graft_norm_text == lower(trim(regexp_replace)) on every corpus doc + edge shapes") {
+    val edges = spark.createDataFrame(Seq(
+      (1L, "  \t\nMixed Case\f\r  text  "), (2L, ""), (3L, "  \t "),
+      (4L, "Ä Ö Ü\nSTRASSE"), (5L, "a"), (6L, "İstanbul  CITY"),
+      (7L, "😀  EMOJI run"))).toDF("doc_id", "text")
+    Seq(docs.select(col("text")), edges.select(col("text"))).foreach { d =>
+      val got = d.select(
+          Dedup.normText(col("text")).as("fused"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("composed"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getString(0) == r.getString(1),
+          s"graft_norm_text drifted from the SQL chain on ${r.getString(1).take(40)}")
+      }
+    }
+  }
+
   test("incrementalAgainst drops exact and near copies of the index, keeps fresh docs") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
