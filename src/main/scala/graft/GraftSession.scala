@@ -58,6 +58,16 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (guide: joins): the equi-joins here that
+      // are NOT already hint-pinned join a large fact side to a
+      // moderate per-partition side — hashing the small side skips two
+      // full sorts. Size conditions stay stat-gated, so an unsortable-
+      // build-side OOM shape falls back to sort-merge as before; the
+      // same flag is the 100 TB recommendation (build sides are
+      // per-partition, not per-table). Join STRATEGY never changes
+      // results, only the physical operator.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // C9 charset stage: decode() must accept the full JVM charset set
