@@ -139,7 +139,12 @@ object CrawlFrontier {
         .agg(max(lastCrawlCol).as("last_crawl"))
         .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
           shardCol("url", nShards).as("shard"))
-      urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
+      // cluster by shard before the partitioned write: without it every
+      // upstream task writes one file into every shard dir it touches
+      // (tasks × shards tiny files per build/append — the small-file
+      // failure mode the probe side then pays on every pruned read)
+      urls.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
       writeBloom(spark, s"$dir/bloom", urls.select(col("url")), nShards, expectedItems,
         overwrite = true)
       spark.createDataFrame(Seq((nShards, expectedItems)))
@@ -174,7 +179,10 @@ object CrawlFrontier {
         .agg(max(lastCrawlCol).as("last_crawl"))
         .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
           shardCol("url", nShards).as("shard"))
-      urls.write.mode("append").partitionBy("shard").parquet(urlsDir)
+      // shard-clustered append — one file per touched shard per batch,
+      // not one per (task, shard) pair (see buildIndex)
+      urls.repartition(col("shard"))
+        .write.mode("append").partitionBy("shard").parquet(urlsDir)
       writeBloom(spark, bloomDir, urls.select(col("url")), nShards, expectedItems,
         overwrite = false)
       compactBloom(spark, dir, nShards)
@@ -241,7 +249,8 @@ object CrawlFrontier {
       .groupBy(col("url_md5"), col("url"))
       .agg(max(col("last_crawl")).as("last_crawl"))
       .withColumn("shard", shardCol("url", nShards))
-    urls.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/$newUrls")
+    urls.repartition(col("shard")) // one file per shard (see buildIndex)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/$newUrls")
     // fresh per-shard sketches over the deduped set replace the append trail
     spark.read.parquet(s"$dir/$newUrls")
       .select(col("url"), shardCol("url", nShards).as("shard"))

@@ -113,62 +113,6 @@ object Profile17 {
             resolved.select("filename", "offset", "length"), index, root)
           .select(col("target_uri"), col("rec_type"), col("replayed"), col("payload")))
       }
-      // replicate replay's internals to see where its task time goes
-      locally {
-        import graft.sources.WarcIo
-        import graft.operators.Partitioning
-        val ptrs = resolved.select("filename", "offset", "length")
-        var fetched: DataFrame = null
-        time("wbr_1_fetch_mat") {
-          if (fetched != null) fetched.unpersist(true)
-          fetched = Partitioning.materializeOnce(
-            WarcIo.fetchByCdx(ptrs, root)
-              .withColumn("src_filename", col("filename"))
-              .withColumn("src_offset", col("offset")))
-        }
-        val revisits = fetched.filter(col("rec_type") === "revisit")
-          .withColumn("__k", concat_ws("|",
-            call_function("graft_surt", col("target_uri")), col("payload_digest")))
-          .withColumn("__ts", substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14))
-        val originals = index
-          .filter((col("mime").isNull || col("mime") =!= "warc/revisit") &&
-            col("digest").isNotNull)
-          .select(concat_ws("|", col("surt"), col("digest")).as("__rk"),
-            col("ts").as("__rts"), col("filename"), col("offset"), col("length"),
-            concat(col("filename"), lit(0.toChar.toString),
-              lpad(col("offset").cast("string"), 20, "0")).as("__rtb"))
-        var located: DataFrame = null
-        time("wbr_2_located_mat") {
-          if (located != null) located.unpersist(true)
-          located = Partitioning.materializeOnce(
-            graft.operators.AsOfJoin.asOf(
-              revisits.drop("filename", "offset"), originals,
-              "__k", "__rk", "__ts", "__rts",
-              payload = Seq("filename", "offset", "length"),
-              rightTiebreak = Some("__rtb")))
-        }
-        val origPtrs = located.select(col("filename"), col("offset"), col("length")).distinct()
-        time("wbr_3_origbytes") {
-          noop(WarcIo.fetchByCdx(origPtrs, root))
-        }
-        val origBytes = WarcIo.fetchByCdx(origPtrs, root)
-          .select(col("filename"), col("offset"),
-            col("payload").as("__orig_payload"),
-            col("content_length").as("__orig_len"))
-        val stitched = located
-          .join(origBytes.hint("shuffle_hash"), Seq("filename", "offset"))
-          .withColumn("payload", col("__orig_payload"))
-          .withColumn("content_length", col("__orig_len"))
-          .withColumn("replayed", lit(true))
-        time("wbr_4_stitch_union_ckpt") {
-          val direct = fetched.filter(col("rec_type") =!= "revisit")
-            .withColumn("replayed", lit(false))
-          val outCols = Seq("filename", "offset", "rec_type", "target_uri", "warc_date",
-            "record_id", "content_type", "content_length", "payload", "payload_digest")
-            .map(col) ++ Seq(col("replayed"), col("src_filename"), col("src_offset"))
-          noop(direct.select(outCols: _*).unionByName(stitched.select(outCols: _*)))
-        }
-      }
       val arm = graft.SparkEntry.queries("pipeline_wayback")
       time("wb_arm_end_to_end") { noop(arm(spark, sfDir)) }
     }
