@@ -196,12 +196,45 @@ object CdxIndex {
     }
     if (stats.exists(_.isEmpty)) None
     else {
-      import spark.implicits._
-      val rows = stats.flatten.flatten
-        .map(s => (s.file, s.lo, s.hi, s.n, s.tsLo.orNull, s.tsHi.orNull))
-      rows.toDF("file", "lo", "hi", "n", "ts_lo", "ts_hi")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$staging/cluster")
+      // the cluster is nShards tiny rows: write it DIRECTLY with the
+      // parquet-mr row writer instead of launching a Spark job over a
+      // LocalRelation — the last distributed step of a build was a
+      // job whose every input byte already sits on the driver. Same
+      // column names/types the Spark writer produced; read back by
+      // clusterRowsLocal's Group reader (and plain spark.read, which
+      // the equivalence spec uses).
+      val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+        """message cluster {
+          |  optional binary file (STRING);
+          |  optional binary lo (STRING);
+          |  optional binary hi (STRING);
+          |  optional int64 n;
+          |  optional binary ts_lo (STRING);
+          |  optional binary ts_hi (STRING);
+          |}""".stripMargin)
+      val cdir = new org.apache.hadoop.fs.Path(s"$staging/cluster")
+      fs.delete(cdir, true)
+      fs.mkdirs(cdir)
+      val out = new org.apache.hadoop.fs.Path(cdir,
+        f"part-00000-${java.util.UUID.randomUUID()}.parquet")
+      val wconf = new org.apache.hadoop.conf.Configuration(hconf)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, wconf)
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(out, wconf))
+        .withConf(wconf)
+        .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try {
+        val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+        stats.flatten.flatten.foreach { s =>
+          val g = gf.newGroup()
+          g.add("file", s.file); g.add("lo", s.lo); g.add("hi", s.hi)
+          g.add("n", s.n)
+          s.tsLo.foreach(v => { g.add("ts_lo", v); () })
+          s.tsHi.foreach(v => { g.add("ts_hi", v); () })
+          writer.write(g)
+        }
+      } finally writer.close()
       Some(())
     }
   }
