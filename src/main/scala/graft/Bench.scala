@@ -99,11 +99,20 @@ object Bench {
     val total = results.map(_._2.map(_._1).min).sum
     val medianTotal = results.map { case (_, v) => median(v.map(_._1)) }.sum
     val cpuTotal = results.map { case (_, v) => median(v.map(_._2)) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    // Full dump FIRST (samples/medians — the cross-round evidence line,
+    // unchanged format), then a COMPACT line LAST: the driver keeps only
+    // the tail of stdout, and the ~4 KB full line arrived decapitated in
+    // every round r01–r17 (BENCH_r*.json `parsed: null`), blinding the
+    // per-query regression gate. The last stdout JSON line is now ≤1 KB
+    // — same metric/value/unit/queries/sf contract, same numbers.
+    println(f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""wall_median":$wallMed,"cpu_median":$cpuMed,"samples":$samples,""" +
       f""""median_total":$medianTotal%.3f,"cpu_total":$cpuTotal%.3f,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
       f""""steal_pct":$stealPct%.2f,"passes":5,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""median_total":$medianTotal%.3f,"cpu_total":$cpuTotal%.3f,""" +
+      f""""steal_pct":$stealPct%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
