@@ -48,23 +48,21 @@ object MinHashDedup {
     */
   private[dedup] def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
                                         n: Int, k: Int): DataFrame = {
-    val p31 = 2147483647L // 2^31 - 1
-    // fused shingle→md5 ([[graft.plans.WordShingleMd5s]]): bit-identical
-    // to exploding graft_shingles and hashing each (DedupSpec pin), but
-    // the explode moves longs instead of materializing every shingle
-    // string through the UnsafeRow writer just to hash it
-    val hashed = graft.operators.Partitioning
+    // the WHOLE signature in-row ([[graft.plans.WordMinHashMd5]]):
+    // distinct shingles → md5-60 → mod 2^31-1 → k portable permutation
+    // minima, fused into one scan-stage kernel. Bit-identical to the
+    // previous explode(graft_shingle_md5_60) → pmod →
+    // MinHashSigAgg(portable) shape (DedupSpec pins it), but the
+    // explode (~#shingles UnsafeRows per doc), the per-doc aggregation
+    // buffer, and the groupBy exchange — whose groups were exactly the
+    // input rows — are gone (guide §1.2/§2.4). A doc with no shingles
+    // returns an empty array and is filtered, mirroring its absence
+    // from the old groupBy output.
+    graft.operators.Partitioning
       .ensureMinParallelism(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id"),
-        explode(call_function("graft_shingle_md5_60", col("text"), lit(n))).as("h60"))
-      .select(col("doc_id"), pmod(col("h60"), lit(p31)).as("hs"))
-    // ONE imperative aggregate in portable mode, not k declarative
-    // `min(...)` columns: identical values (DedupSpec pins the
-    // equivalence), but a single long[k] buffer and a flat generated
-    // aggregate — the k-wide formulation costs k buffers and a
-    // multi-second Janino compile at k=64.
-    hashed.groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashSigAgg.column(col("hs"), k, portable = true).as("sig"))
+        call_function("graft_minhash_md5", col("text"), lit(n), lit(k)).as("sig"))
+      .filter(size(col("sig")) > 0)
   }
 
   /** (doc_id, sig) → exploded (doc_id, band, bkey) band keys, the

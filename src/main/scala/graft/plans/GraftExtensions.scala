@@ -231,6 +231,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_md5"),
+      new ExpressionInfo(classOf[WordMinHashMd5].getName, "graft_minhash_md5"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_minhash_md5(text, n, k) takes a string and two int literals")
+        val Seq(n, k) = children.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_minhash_md5: n/k must be int literals, got $other")
+        }
+        WordMinHashMd5(children.head, n, k)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_term_freqs"),
+      new ExpressionInfo(classOf[TermFreqs].getName, "graft_term_freqs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_term_freqs(text) takes one string column")
+        TermFreqs(children.head)
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_norm_text"),
       new ExpressionInfo(classOf[NormTextExpr].getName, "graft_norm_text"),
       (children: Seq[Expression]) => {

@@ -43,7 +43,10 @@ private[plans] object NormText {
   * DedupSpec pins bit-equivalence against the SQL chain.
   */
 object NormTextUtil {
-  private def isWs(c: Char): Boolean =
+  /** Java-regex `\\s`: exactly the six ASCII whitespace chars — shared
+    * with [[ShingleUtil.normWords]]'s manual tokenizer scan.
+    */
+  private[plans] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def norm(t: UTF8String): UTF8String = {

@@ -20,24 +20,39 @@ object ShingleUtil {
     * drift apart.
     */
   def normWords(text: UTF8String): Array[String] = {
-    val words = text.toLowerCase.toString.split("\\s+")
-    if (words.length > 0 && words(0).isEmpty) // leading whitespace
-      java.util.Arrays.copyOfRange(words, 1, words.length)
-    else words
+    // manual maximal-non-\s-run scan == lower(text).split("\\s+") with
+    // the leading empty token stripped: Java-regex \s is the six ASCII
+    // chars NormTextUtil.isWs tests, split never yields interior or
+    // trailing empties, and the leading one only under leading
+    // whitespace — the regex engine cost per document is what this
+    // removes (same §1.2 rationale as graft_norm_text)
+    val s = text.toLowerCase.toString
+    val len = s.length
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < len) {
+      while (i < len && NormTextUtil.isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !NormTextUtil.isWs(s.charAt(i))) i += 1
+        out.add(s.substring(start, i))
+      }
+    }
+    out.toArray(new Array[String](out.size))
   }
 
-  /** Distinct space-joined n-grams of the lowercased, whitespace-
-    * normalized words of `text` — the semantics of
-    * `array_distinct(transform(sequence(...), concat_ws over
-    * split(lower(trim(regexp_replace(text, "\s+", " "))), " ")))`, in
-    * one linear pass instead of an interpreted lambda tree that
-    * re-evaluates the split per element.
+  /** Distinct space-joined word n-grams in first-occurrence order — THE
+    * one shingle loop every shingle-derived expression builds on
+    * ([[shingles]], [[ShingleMd5Util]], [[ShingleHashUtil]],
+    * [[MinHashMd5Util]]): normalization and n-gram assembly live here
+    * and only here, so the pinned bit-equivalences between the fused
+    * forms can never drift apart.
     */
-  def shingles(text: UTF8String, n: Int): ArrayData = {
+  def distinctShingles(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
     val words = normWords(text)
     val m = words.length
-    if (m < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val seen = new java.util.LinkedHashSet[String](math.max(16, m * 2))
+    if (m < n) return seen
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= m - n) {
@@ -51,6 +66,18 @@ object ShingleUtil {
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+
+  /** Distinct space-joined n-grams of the lowercased, whitespace-
+    * normalized words of `text` — the semantics of
+    * `array_distinct(transform(sequence(...), concat_ws over
+    * split(lower(trim(regexp_replace(text, "\s+", " "))), " ")))`, in
+    * one linear pass instead of an interpreted lambda tree that
+    * re-evaluates the split per element.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val seen = distinctShingles(text, n)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

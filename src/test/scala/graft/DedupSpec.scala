@@ -114,6 +114,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("in-row graft_minhash_md5 == MinHashSigAgg(portable) fold, both k configs") {
+    // the r18 fused signature kernel must be indistinguishable from the
+    // explode(graft_shingle_md5_60) → pmod → imperative-agg shape it
+    // replaced — including WHICH docs appear (no-shingle docs absent)
+    val edges = Seq((100001L, ""), (100002L, "a b"), (100003L, "  \t "),
+      (100004L, "x y z x y z x y z"), (100005L, "😀 中文 mixed CASE test"),
+      (100006L, "vertical\ttab separated words here"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(edges)
+    for (k <- Seq(16, 64)) {
+      val agg = corpus
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_md5_60", col("text"), lit(3))).as("h60"))
+        .select(col("doc_id"), pmod(col("h60"), lit(2147483647L)).as("hs"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSigAgg.column(col("hs"), k, portable = true).as("sig"))
+      val inRow = corpus
+        .select(col("doc_id"),
+          call_function("graft_minhash_md5", col("text"), lit(3), lit(k)).as("sig"))
+        .filter(size(col("sig")) > 0)
+      val aggMap = agg.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val inRowMap = inRow.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(inRowMap.keySet == aggMap.keySet,
+        s"k=$k: doc sets diverged (no-shingle filtering must mirror groupBy absence)")
+      aggMap.foreach { case (id, sig) =>
+        assert(inRowMap(id) == sig, s"k=$k doc $id: in-row signature diverged from the agg fold")
+      }
+    }
+  }
+
   test("graft_norm_text == lower(trim(regexp_replace)) on every corpus doc + edge shapes") {
     val edges = spark.createDataFrame(Seq(
       (1L, "  \t\nMixed Case\f\r  text  "), (2L, ""), (3L, "  \t "),
