@@ -60,12 +60,18 @@ object Bm25 {
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nonNull = graft.operators.Partitioning.ensureMinParallelism(
       docs.filter(col(textCol).isNotNull))
+    // (dl, term, tf) fused in-row ([[graft.plans.TermFreqs]]): the old
+    // size(tokens) + explode(tokens) → groupBy(doc_id, dl, term) chain
+    // tokenized every document twice and shuffled per-OCCURRENCE rows
+    // into an aggregation whose groups were per-document anyway —
+    // guide §1.2/§2.4; Bm25Spec pins the row-set equivalence. The df
+    // window below is now the postings build's only exchange.
+    val p = call_function("graft_term_freqs", col(textCol))
     val tf = nonNull
-      .select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).as("dl"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("doc_id"), p.getField("dl").as("dl"),
+        explode(p.getField("entries")).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
   }
 
@@ -350,12 +356,14 @@ object Bm25 {
                 qidCol: String, qtextCol: String,
                 batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val qt = queryTerms(queries, qidCol, qtextCol)
+    // same in-row (dl, term, tf) fusion as [[postings]] — a micro-batch
+    // pays only the single tokenize pass, no per-batch aggregation
+    val p = call_function("graft_term_freqs", col(textCol))
     val btf = batch.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).as("dl"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("doc_id"), p.getField("dl").as("dl"),
+        explode(p.getField("entries")).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
     withScoreCols(btf
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(tdf), Seq("term"), "left")

@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextAnalysis {
 
-  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  /** Engine-native one-pass twin of
+    * `lower(trim(regexp_replace(c, "\s+", " ")))` — DedupSpec pins the
+    * bit-equivalence ([[graft.plans.NormTextExpr]]); removes the regex
+    * engine from every tokenizing consumer (BM25 postings, TF-IDF,
+    * Zipf, vocab coverage, the bigram LM).
+    */
+  def normText(c: Column): Column = call_function("graft_norm_text", c)
 
   def tokens(c: Column): Column = split(normText(c), " ")
 
@@ -188,9 +194,12 @@ object TextAnalysis {
     val nonNull = graft.operators.Partitioning.ensureMinParallelism(
       docs.filter(col(textCol).isNotNull))
     val nDocs = nonNull.agg(count(lit(1)).as("n_docs"))
+    // per-doc (term, tf) fused in-row (graft_term_freqs — the Bm25
+    // postings rationale): the groupBy's groups were per-document
     val tf = nonNull
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col(idCol),
+        explode(call_function("graft_term_freqs", col(textCol)).getField("entries")).as("e"))
+      .select(col(idCol), col("e.term").as("term"), col("e.tf").as("tf"))
     tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(nDocs))

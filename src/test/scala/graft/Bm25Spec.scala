@@ -41,6 +41,31 @@ class Bm25Spec extends SparkSpec {
     assert(got.head._1 == 1L) // both-term doc ranks first
   }
 
+  test("fused graft_term_freqs postings == explode+groupBy formulation, row for row") {
+    // the r18 in-row (dl, term, tf) kernel must reproduce the old
+    // size(tokens)+explode(tokens)→groupBy chain exactly — docs corpus
+    // plus the edge shapes (empty → the ''-token with dl=1, repeated
+    // terms, unicode, whitespace-only)
+    val docs = Tables.load(spark, sf, "documents")
+    val edges = Seq((900001L, ""), (900002L, "  \t "), (900003L, "a a A  a"),
+      (900004L, "中文 中文 😀"), (900005L, "x"))
+      .toDF("doc_id", "text")
+    def toks(c: org.apache.spark.sql.Column) =
+      split(lower(trim(regexp_replace(c, "\\s+", " "))), " ")
+    Seq(corpus, docs.select(col("doc_id"), col("text")), edges).foreach { d =>
+      val nonNull = d.filter(col("text").isNotNull)
+      val old = nonNull
+        .select(col("doc_id"), size(toks(col("text"))).as("dl"),
+          explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val fused = Bm25.postings(nonNull, "doc_id", "text")
+        .select("doc_id", "dl", "term", "tf")
+      assert(fused.exceptAll(old).isEmpty && old.exceptAll(fused).isEmpty,
+        "fused postings diverged from the explode+groupBy formulation")
+    }
+  }
+
   test("rarer terms outweigh common ones at equal tf") {
     val c = Seq(
       (0L, "rare common"), (1L, "common filler"), (2L, "common stuff"),

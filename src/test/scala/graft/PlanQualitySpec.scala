@@ -532,11 +532,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx == 2, s"expected exactly the gh and doc-id shuffles, got $hashEx:\n$p")
   }
 
-  test("tfidf: df via window count (no countDistinct Expand), three hash exchanges") {
+  test("tfidf: df via window count (no countDistinct Expand), two hash exchanges") {
     val p = plan("text_tfidf")
     assert(!p.contains("Expand"), s"df must be a window count, not countDistinct:\n$p")
+    // r18: per-doc (term, tf) is fused in-row (graft_term_freqs), so
+    // the former (doc,term) aggregation exchange is gone — term (df
+    // window) + doc (top-k window) remain
+    assert(p.contains("graft_term_freqs"),
+      s"per-doc tf must come from the fused in-row kernel:\n$p")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx == 3, s"expected (doc,term) + term + doc exchanges, got $hashEx:\n$p")
+    assert(hashEx == 2, s"expected term + doc exchanges only, got $hashEx:\n$p")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"N must join as a broadcast single row:\n$p")
   }
