@@ -73,18 +73,24 @@ object LinkGraph {
       .distinct()
       .localCheckpoint()
     var ranks = nodes.withColumn("rank_micros", lit(1000000L))
+    // the left-join-back that re-attached no-inlink nodes (an extra
+    // exchange + join per iteration) folds into the dst-keyed
+    // aggregation itself (guide §2.4): every node contributes one zero
+    // row, so the aggregate's output IS the full node set —
+    // sum(contribs ∪ {0}) == coalesce(inflow, 0), integer sums are
+    // order-free, values bit-identical
+    val zeroRows = nodes.select(col("node").as("dst"), lit(0L).as("c"))
     var i = 0
     while (i < iterations) {
-      val contribs = withDeg
+      val prev = ranks
+      ranks = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"),
           expr(s"(rank_micros * $dNum div $dDen) div outdeg").as("c"))
+        .unionByName(zeroRows)
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      val prev = ranks
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank_micros"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + col("inflow")).as("rank_micros"))
         .localCheckpoint() // eager: materialized before prev releases
       prev.unpersist() // superseded checkpoint blocks must not pile up
       i += 1
