@@ -63,39 +63,66 @@ object ProductQuantizer {
     * centroid. Only m·ks·subDim cells reach the driver per round.
     */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, m: Int, ks: Int, iters: Int): Codebooks = {
-    require(dim % m == 0, s"trainCodebooks: dim=$dim not divisible by m=$m")
-    val sd = dim / m
+                     dim: Int, m: Int, ks: Int, iters: Int): Codebooks =
+    trainCodebooksMany(corpus, idCol, vecCol, dim, Seq((m, ks)), iters).head
+
+  /** Train SEVERAL codebook configurations over one corpus in ONE pass
+    * per Lloyd round (guide §5 driver round-trips / §1.2): the IVF-PQ
+    * composite trains a coarse (m=1) and a fine (m=8) quantizer back to
+    * back over the SAME vectors — sequentially that is two seed
+    * collects plus two full assignment passes per round. Here the seed
+    * rows are collected once (each config reads its first `ks`) and
+    * each round launches one combined job whose exploded rows carry a
+    * `which` tag per config; `(which, sub, cid, pos)` cell sums are
+    * exact integer arithmetic, order-free, so every config's cells —
+    * and therefore its codebooks — are bit-identical to the sequential
+    * [[trainCodebooks]] result (PqSpec pins it).
+    */
+  def trainCodebooksMany(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, specs: Seq[(Int, Int)], iters: Int): Seq[Codebooks] = {
+    specs.foreach { case (m, _) =>
+      require(dim % m == 0, s"trainCodebooks: dim=$dim not divisible by m=$m") }
+    val maxKs = specs.map(_._2).max
     val c0 = corpus.select(col(idCol).as("cid_"), col(vecCol).as("v"),
       microVec(col(vecCol)).as("mv"))
-    val seedRows = c0.orderBy(col("cid_")).limit(ks).select(col("mv")).collect()
+    val seedRows = c0.orderBy(col("cid_")).limit(maxKs).select(col("mv")).collect()
       .map(_.getSeq[Long](0).toArray)
-    require(seedRows.length == ks, s"trainCodebooks: corpus smaller than ks=$ks")
-    var cbs: Codebooks = Array.tabulate(m, ks) { (s, c) =>
-      seedRows(c).slice(s * sd, s * sd + sd)
+    require(seedRows.length == maxKs, s"trainCodebooks: corpus smaller than ks=$maxKs")
+    val cbss: Array[Codebooks] = specs.toArray.map { case (m, ks) =>
+      val sd = dim / m
+      Array.tabulate(m, ks) { (s, c) => seedRows(c).slice(s * sd, s * sd + sd) }
     }
     for (_ <- 1 to iters) {
-      val assigned = c0
-        .select(codesCol(col("v"), cbs).as("codes"), posexplode(col("mv")).as(Seq("pos", "x")))
-        .select((col("pos") / sd).cast("int").as("sub"), col("pos"), col("x"),
-          element_at(col("codes"), (col("pos") / sd).cast("int") + 1).as("cid"))
+      val assigned = c0.select(
+        specs.indices.map(w => codesCol(col("v"), cbss(w)).as(s"codes$w")) :+
+          posexplode(col("mv")).as(Seq("pos", "x")): _*)
+      val tagged = assigned.select(explode(array(specs.zipWithIndex.map { case ((m, _), w) =>
+        val sd = dim / m
+        struct(lit(w).as("which"),
+          (col("pos") / sd).cast("int").as("sub"),
+          element_at(col(s"codes$w"), (col("pos") / sd).cast("int") + 1).as("cid"),
+          col("pos").as("pos"), col("x").as("x"))
+      }: _*)).as("r")).select(col("r.*"))
       // integer-micro mean per codebook cell: floor(Σ/n + 0.5) — one
       // IEEE division + floor, the portable rounding every oracle can
-      // replay. m·ks·subDim cells reach the driver, never the corpus.
-      val cells = assigned.groupBy(col("sub"), col("cid"), col("pos"))
+      // replay. Σ(m·ks·subDim) cells reach the driver, never the corpus.
+      val cells = tagged.groupBy(col("which"), col("sub"), col("cid"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
-        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-          math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong))
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
+          math.floor(r.getLong(4).toDouble / r.getLong(5) + 0.5).toLong))
         .toMap
-      cbs = Array.tabulate(m, ks) { (s, c) =>
-        // a cell present at one position is present at all sd of them
-        if (cells.contains((s, c, s * sd)))
-          Array.tabulate(sd)(p => cells((s, c, s * sd + p)))
-        else cbs(s)(c) // emptied codeword keeps its previous centroid
+      specs.zipWithIndex.foreach { case ((m, ks), w) =>
+        val sd = dim / m
+        cbss(w) = Array.tabulate(m, ks) { (s, c) =>
+          // a cell present at one position is present at all sd of them
+          if (cells.contains((w, s, c, s * sd)))
+            Array.tabulate(sd)(p => cells((w, s, c, s * sd + p)))
+          else cbss(w)(s)(c) // emptied codeword keeps its previous centroid
+        }
       }
     }
-    cbs
+    cbss.toSeq
   }
 
   /** Encode: (corpus_id, codes array<int>). Shuffle-free projection. */
@@ -200,8 +227,10 @@ object ProductQuantizer {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, dim: Int, nLists: Int = 16, nProbe: Int = 4,
                 m: Int = 8, ks: Int = 16, iters: Int = 1): DataFrame = {
-    val coarse = trainCodebooks(corpus, idCol, vecCol, dim, 1, nLists, iters)
-    val fine = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    // coarse + fine trained in ONE pass per round (trainCodebooksMany):
+    // one seed collect and one Lloyd job per round instead of two each
+    val Seq(coarse, fine) = trainCodebooksMany(corpus, idCol, vecCol, dim,
+      Seq((1, nLists), (m, ks)), iters)
     ivfPqSearch(ivfPqAssign(corpus, idCol, vecCol, coarse, fine),
       coarse, fine, queries, idCol, vecCol, k, nProbe)
   }
@@ -273,8 +302,8 @@ object ProductQuantizer {
                       dim: Int, nLists: Int = 16, m: Int = 8, ks: Int = 16,
                       iters: Int = 1): Unit = {
     val spark = corpus.sparkSession
-    val coarse = trainCodebooks(corpus, idCol, vecCol, dim, 1, nLists, iters)
-    val fine = trainCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    val Seq(coarse, fine) = trainCodebooksMany(corpus, idCol, vecCol, dim,
+      Seq((1, nLists), (m, ks)), iters)
     ivfPqAssign(corpus, idCol, vecCol, coarse, fine)
       .write.mode("overwrite").partitionBy("lid").parquet(s"$dir/codes")
     writeCodebooks(spark, coarse, s"$dir/coarse")

@@ -21,6 +21,22 @@ class PqSpec extends SparkSpec {
     assert(distinctPerSub.forall(_ > 1))
   }
 
+  test("combined-pass trainCodebooksMany == sequential trainCodebooks, cell for cell") {
+    // the r18 one-job-per-round combined training (coarse m=1 + fine
+    // m=8 tagged through one aggregation) must reproduce each
+    // sequentially-trained codebook bit-for-bit — integer cell sums are
+    // order-free, so any divergence is a bug, not rounding
+    for (iters <- Seq(1, 2)) {
+      val seqCoarse = PQ.trainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 1, ks = 16, iters = iters)
+      val seqFine = PQ.trainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = iters)
+      val Seq(coarse, fine) = PQ.trainCodebooksMany(emb, "vec_id", "embedding",
+        dim = 64, Seq((1, 16), (8, 16)), iters = iters)
+      def flat(c: PQ.Codebooks) = c.flatten.flatten.toSeq
+      assert(flat(coarse) == flat(seqCoarse), s"iters=$iters: coarse codebooks diverged")
+      assert(flat(fine) == flat(seqFine), s"iters=$iters: fine codebooks diverged")
+    }
+  }
+
   test("train/encode/search is deterministic run to run (exact integers)") {
     def run() = PQ.adcTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
