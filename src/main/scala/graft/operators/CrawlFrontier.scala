@@ -553,19 +553,31 @@ object CrawlFrontier {
     val hconf = spark.sessionState.newHadoopConf()
     val mdir = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = mdir.getFileSystem(hconf)
-    val part = fs.listStatus(mdir).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .sortBy(_.getName).headOption
-      .getOrElse(throw new IllegalStateException(
-        s"CrawlFrontier: $dir/meta holds no parquet part — not a frontier index"))
-    val rd = org.apache.parquet.hadoop.ParquetReader.builder(
-      new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
-      .withConf(hconf).build()
-    try {
-      val g = rd.read()
-      require(g != null, s"CrawlFrontier: $dir/meta is empty — not a frontier index")
-      (g.getInteger("n_shards", 0), g.getLong("expected_items", 0))
-    } finally rd.close()
+    val parts = fs.listStatus(mdir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.getName).toSeq
+    if (parts.isEmpty) throw new IllegalStateException(
+      s"CrawlFrontier: $dir/meta holds no parquet part — not a frontier index")
+    // meta is pinned per index — memoize per (dir, listing signature),
+    // so repeated probes pay one listing RPC, not a footer read each
+    graft.sources.FooterCache.cached[(Int, Long)](
+        s"frontiermeta|$mdir|${graft.sources.FooterCache.signature(parts)}") {
+      // iterate parts until a row is found: a multi-partition (or
+      // foreign) writer may leave the name-sorted FIRST part empty —
+      // review catch; fail only when every part is empty
+      parts.iterator.map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+          new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+          .withConf(hconf).build()
+        try rd.read() finally rd.close()
+      }.collectFirst { case g if g != null =>
+        (g.getInteger("n_shards", 0), g.getLong("expected_items", 0))
+      }.getOrElse(throw new IllegalArgumentException(
+        s"CrawlFrontier: $dir/meta is empty — not a frontier index"))
+    }
   }
 
   /** Total row count of a parquet dir from the part FOOTERS — O(files)
@@ -577,14 +589,24 @@ object CrawlFrontier {
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) return 0L
     import scala.jdk.CollectionConverters._
-    fs.listStatus(p).map(_.getPath)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map { f =>
+    val parts = fs.listStatus(p)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.getName).toSeq
+    // published url/bloom dirs are immutable versions — memoize per
+    // (dir, listing signature); an appended/rewritten dir changes the
+    // signature and recounts
+    graft.sources.FooterCache.cached[java.lang.Long](
+        s"rowcount|$p|${graft.sources.FooterCache.signature(parts)}") {
+      parts.map { st =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
         try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         finally rd.close()
       }.sum
+    }.longValue()
   }
 
   private def parquetDirEmpty(spark: SparkSession, dir: String): Boolean =

@@ -133,6 +133,14 @@ object CdxIndex {
       key: String): Option[Unit] = {
     import scala.jdk.CollectionConverters._
     val hconf = spark.sessionState.newHadoopConf()
+    // the footer path requires UNTRUNCATED binary min/max (the cluster
+    // bounds are pinned bit-equal to the scan aggregation — CdxSpec);
+    // a deployment that sets parquet.statistics.truncate.length writes
+    // widened surrogate bounds — superset-safe for pruning but no
+    // longer bit-equal — so such a conf falls back to the scan pass
+    // (review catch)
+    if (hconf.getInt("parquet.statistics.truncate.length", Int.MaxValue) != Int.MaxValue)
+      return None
     val cdxDir = new org.apache.hadoop.fs.Path(s"$staging/cdx")
     val fs = cdxDir.getFileSystem(hconf)
     val parts = fs.listStatus(cdxDir).map(_.getPath).filter { p =>
@@ -959,13 +967,21 @@ object CdxIndex {
     gens.flatMap { g =>
       val cdir = new org.apache.hadoop.fs.Path(s"$g/cluster")
       val fs = cdir.getFileSystem(hconf)
-      fs.listStatus(cdir).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
+      // generations are immutable — memoize the parsed rows per
+      // (cluster dir, listing signature): a thousand-lookup session on
+      // a years-deep master pays one listing RPC per generation per
+      // lookup instead of serially re-reading every cluster part on
+      // the driver (guide §5); a rewritten dir changes the signature
+      // and re-reads
+      val parts = fs.listStatus(cdir)
+        .filter { st =>
+          val n = st.getPath.getName
           n.startsWith("part-") && n.endsWith(".parquet")
         }
-        .sortBy(_.getName)
-        .flatMap { p =>
+        .sortBy(_.getPath.getName).toSeq
+      FooterCache.cached[Seq[ClusterEntry]](
+          s"cdxcluster|$cdir|${FooterCache.signature(parts)}") {
+        parts.map(_.getPath).flatMap { p =>
           val rd = org.apache.parquet.hadoop.ParquetReader.builder(
             new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
             .withConf(hconf).build()
@@ -988,6 +1004,7 @@ object CdxIndex {
             buf.result()
           } finally rd.close()
         }
+      }
     }
   }
 
