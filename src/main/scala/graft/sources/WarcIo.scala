@@ -93,10 +93,16 @@ object WarcIo {
   // GZIPOutputStream per record allocates (and JNI-initializes) a
   // fresh Deflater's native buffers for every record of an archive
   // write — pure per-record overhead on the crawl-commit hot path.
-  // reset() restores the initial deflate state, so members are
-  // byte-identical to the per-instance form (same level, same single
-  // setInput + finish flush pattern, same fixed 10-byte header with
-  // MTIME/XFL/OS = 0 and CRC32+ISIZE trailer the JDK writes).
+  // reset() restores the initial deflate state, so the deflate bytes
+  // and CRC32+ISIZE trailer are byte-identical to the per-instance
+  // form (same level, same single setInput + finish flush). The fixed
+  // 10-byte header pins OS = 0 — NB the JDK itself writes OS = 255
+  // since JDK 16 (JDK-8244706); pinning keeps archives byte-stable
+  // across JDK upgrades, and the OS byte is ignored by every reader
+  // (WarcIoSpec pins equality-modulo-OS-byte against the JDK). The
+  // pooled Deflater's native zlib buffers live for the thread's
+  // lifetime — bounded (one per pool thread), invisible to heap
+  // accounting by design.
   private val gzDeflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
     new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
   private val gzCrc = ThreadLocal.withInitial[java.util.zip.CRC32](() =>

@@ -712,6 +712,42 @@ class WarcIoSpec extends SparkSpec {
       .map(_.name).contains("windows-1252"))
   }
 
+  test("gzipMember == GZIPOutputStream modulo the OS header byte; pinned OS=0") {
+    // pin the thread-local-Deflater writer against the real
+    // GZIPOutputStream across shapes (review catch). The deflate
+    // payload, CRC32 and ISIZE must be byte-identical; the one LEGAL
+    // divergence is header byte 9 (OS): JDK-8244706 moved the JDK from
+    // OS=0 to OS=255 ("unknown") in JDK 16, while gzipMember pins the
+    // deterministic OS=0 — stable across JDK upgrades, ignored by
+    // every decompressor. NB the pooled Deflater retains native zlib
+    // buffers for the thread's lifetime by design — bounded (one per
+    // pool thread), documented at the declaration.
+    val rnd = new scala.util.Random(4242)
+    val shapes = Seq(
+      Array.emptyByteArray,
+      "x".getBytes(UTF_8),
+      ("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody " * 40).getBytes(UTF_8),
+      Array.fill(1 << 16)(rnd.nextInt().toByte),
+      new Array[Byte](1 << 16)) // all zeros: max-compression shape
+    shapes.foreach { raw =>
+      val viaJdk = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(raw); g.finish(); g.close()
+        bos.toByteArray
+      }
+      val mine = WarcIo.gzipMember(raw)
+      assert(mine.length == viaJdk.length,
+        s"gzipMember length diverged from GZIPOutputStream on ${raw.length}-byte input")
+      assert(mine(9) == 0, "gzipMember must pin OS=0 (JDK-independent header)")
+      val normalized = viaJdk.clone(); normalized(9) = 0
+      assert(java.util.Arrays.equals(mine, normalized),
+        s"gzipMember diverged from GZIPOutputStream beyond the OS byte on ${raw.length}-byte input")
+      // and twice through the same thread's reset Deflater stays identical
+      assert(java.util.Arrays.equals(WarcIo.gzipMember(raw), mine))
+    }
+  }
+
   test("Content-Encoding gzip/deflate bodies decompress; zip bombs hit the guard") {
     val text = "compressed body with café and 🚀 content " * 4
     val plain = text.getBytes(UTF_8)
