@@ -133,12 +133,15 @@ object CrawlFrontier {
             p.getName.matches("current-\\d{8}(\\.tmp)?"))
           .foreach(fs.delete(_, true))
       }
-      // one row per url: a url re-crawled in history keeps its LATEST clock
-      val urls = crawled
+      // one row per url: a url re-crawled in history keeps its LATEST
+      // clock. Materialized once — the urls write AND the bloom build
+      // both consume it, and Catalyst shares no subtrees, so the
+      // history aggregation ran twice per build (guide §5)
+      val urls = graft.operators.Partitioning.materializeOnce(crawled
         .groupBy(col(urlCol).as("url"))
         .agg(max(lastCrawlCol).as("last_crawl"))
         .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
-          shardCol("url", nShards).as("shard"))
+          shardCol("url", nShards).as("shard")))
       // cluster by shard before the partitioned write: without it every
       // upstream task writes one file into every shard dir it touches
       // (tasks × shards tiny files per build/append — the small-file
@@ -147,6 +150,7 @@ object CrawlFrontier {
         .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/urls")
       writeBloom(spark, s"$dir/bloom", urls.select(col("url")), nShards, expectedItems,
         overwrite = true)
+      urls.unpersist()
       spark.createDataFrame(Seq((nShards, expectedItems)))
         .toDF("n_shards", "expected_items")
         .write.mode("overwrite").parquet(s"$dir/meta")
@@ -174,17 +178,20 @@ object CrawlFrontier {
     withWriterLock(spark, dir) {
       val (nShards, expectedItems) = readMeta(spark, dir)
       val (urlsDir, bloomDir) = resolveDirs(spark, dir)
-      val urls = newlyCrawled
+      // materialized once: the shard write and the bloom build both
+      // consume the batch aggregation (see buildIndex)
+      val urls = graft.operators.Partitioning.materializeOnce(newlyCrawled
         .groupBy(col(urlCol).as("url"))
         .agg(max(lastCrawlCol).as("last_crawl"))
         .select(md5(col("url")).as("url_md5"), col("url"), col("last_crawl"),
-          shardCol("url", nShards).as("shard"))
+          shardCol("url", nShards).as("shard")))
       // shard-clustered append — one file per touched shard per batch,
       // not one per (task, shard) pair (see buildIndex)
       urls.repartition(col("shard"))
         .write.mode("append").partitionBy("shard").parquet(urlsDir)
       writeBloom(spark, bloomDir, urls.select(col("url")), nShards, expectedItems,
         overwrite = false)
+      urls.unpersist()
       compactBloom(spark, dir, nShards)
     }
   }
@@ -282,8 +289,13 @@ object CrawlFrontier {
     // and md5 verify read the SAME pinned (urls, bloom) pair, so a
     // compaction publishing mid-probe cannot mix generations
     val (urlsDir, bloomDir) = resolveDirs(spark, dir)
+    // eager checkpoint: `probed` feeds THREE consumers (the clear
+    // branch, the shards collect, the verify anti-join), and Catalyst
+    // shares no subtrees — the batch-sized bloom probe ran three times
+    // per call (guide §5; the WarcIo.replay precedent — checkpoint
+    // blocks are ContextCleaner-reaped with the output)
     val probed = bloomProbed(spark, bloomDir, batch, urlCol, nShards) match {
-      case Some(p) => p
+      case Some(p) => p.localCheckpoint(true)
       case None => return batch // empty index: everything is new
     }
     val clear = probed.filter(!col("__hit")).drop("__shard")
@@ -322,8 +334,9 @@ object CrawlFrontier {
     val (nShards, _) = readMeta(spark, dir)
     val (urlsDir, bloomDir) = resolveDirs(spark, dir)
     val renamed = updates.select(col(urlCol).as("url"), signalCol.as("signal"))
+    // eager checkpoint — same multi-consumer shape as probeNew
     val probed = bloomProbed(spark, bloomDir, renamed, "url", nShards) match {
-      case Some(p) => p
+      case Some(p) => p.localCheckpoint(true)
       case None => // empty index: nothing was ever crawled, nothing is due
         return renamed.select(col("url"), col("signal").as("last_crawl"),
           col("signal")).limit(0)
@@ -637,7 +650,7 @@ object CrawlFrontier {
     * match the index, so `__hit` coalesces to false and the row rides
     * the clear path.
     */
-  private def bloomProbed(spark: SparkSession, bloomDir: String, df: DataFrame,
+  private[graft] def bloomProbed(spark: SparkSession, bloomDir: String, df: DataFrame,
       urlCol: String, nShards: Int): Option[DataFrame] = {
     if (parquetDirEmpty(spark, bloomDir)) return None // footer check, no job
     val sketchRows = spark.read.parquet(bloomDir)

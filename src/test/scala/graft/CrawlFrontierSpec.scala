@@ -195,11 +195,16 @@ class CrawlFrontierSpec extends SparkSpec {
     assert(sk.forall(_._2.length < 20000),
       s"per-shard sketch unexpectedly large: ${sk.map(_._2.length).max} bytes")
     // and the probe literal ceiling is gone: the physical plan carries no
-    // binary literal at all (the sketches ride a join, not lit())
-    val probed = CrawlFrontier.probeNew(spark, dir,
-      (0 until 50).map(i => (s"http://sb${i % 13}.com/$i", i)).toDF("url", "k"), "url")
-    probed.collect() // finalize AQE so codegen stages are visible
-    val probePlan = probed.queryExecution.executedPlan.toString
+    // binary literal at all (the sketches ride a join, not lit()).
+    // probeNew now eagerly checkpoints the probed batch (it feeds three
+    // consumers), which truncates ITS visible plan to an RDD scan — so
+    // the plan properties are asserted on the inner bloomProbed plan,
+    // which is what the checkpoint job executes.
+    val batch = (0 until 50).map(i => (s"http://sb${i % 13}.com/$i", i)).toDF("url", "k")
+    val (_, bloomDir) = CrawlFrontier.resolveDirs(spark, dir)
+    val inner = CrawlFrontier.bloomProbed(spark, bloomDir, batch, "url", 8).get
+    inner.collect() // finalize AQE so codegen stages are visible
+    val probePlan = inner.queryExecution.executedPlan.toString
     assert(probePlan.contains("graft_bloom_probe"), probePlan)
     assert(!probePlan.contains("might_contain"), "the literal-based probe must be gone")
     // the probe expression generates code (lazy sketch eval inside the
@@ -212,6 +217,9 @@ class CrawlFrontierSpec extends SparkSpec {
     // prefixes like `:  +-` precede it, so match anywhere in the line)
     assert(probeLines.nonEmpty && probeLines.forall(_.contains("*(")),
       s"probe fell out of whole-stage codegen:\n$probePlan")
+    // the public probe keeps its result contract over the checkpoint
+    val probed = CrawlFrontier.probeNew(spark, dir, batch, "url")
+    assert(probed.count() == 0, "all 50 batch urls are already indexed")
   }
 
   test("resolveRedirects: chains of length exactly maxHops resolve; maxHops=1 works") {
