@@ -247,8 +247,13 @@ object TextAnalysis {
     */
   def lmCrossEntropy(docs: DataFrame, ref: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
-    val refToks = graft.operators.Partitioning.ensureMinParallelism(
-      ref.filter(col(textCol).isNotNull)).select(tokens(col(textCol)).as("toks"))
+    // materialized once: the vocab, bigram, and history aggregates all
+    // consume the reference tokenization, and Catalyst shares no
+    // subtrees — the ref slice tokenized three times per call (§5);
+    // released via releasePinsAfter below
+    val refToks = graft.operators.Partitioning.materializeOnce(
+      graft.operators.Partitioning.ensureMinParallelism(
+        ref.filter(col(textCol).isNotNull)).select(tokens(col(textCol)).as("toks")))
     val vocab = refToks.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v_size"))
     val big = refToks.select(explode(bigrams(col("toks"))).as("bg"))
@@ -256,7 +261,7 @@ object TextAnalysis {
     val hist = refToks
       .select(explode(slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0)))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    graft.operators.Partitioning.ensureMinParallelism(
+    val out = graft.operators.Partitioning.ensureMinParallelism(
         docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(bigrams(tokens(col(textCol)))).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
@@ -271,6 +276,8 @@ object TextAnalysis {
       .agg(sum(col("cnt")).as("n_bigrams"),
            sum(col("cnt") * col("nll_micros")).as("nll_sum_micros"))
       .withColumn("avg_nll_micros", expr("nll_sum_micros div n_bigrams"))
+    // per-doc-sized output: eager checkpoint, then drop the ref pin
+    graft.operators.Partitioning.releasePinsAfter(out, refToks)
   }
 
   /** The remaining Gopher repetition signals (Rae et al. 2021 A1.1,
@@ -379,9 +386,19 @@ object TextAnalysis {
         (col("pred") === col("label")).cast("int").as("correct"))
   }
 
-  private def explodedWords(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+  /** Per-row (w, cnt) word counts via the fused in-row kernel — the
+    * explode(tokens)+groupBy shape's pre-aggregated twin: one row per
+    * DISTINCT word with its in-document count instead of one row per
+    * occurrence (guide §1.2/§2.3 — aggregate before you shuffle; the
+    * ''-token only exists for whole-empty docs, so the filter drops at
+    * most one entry per doc, exactly like the per-occurrence filter it
+    * replaces).
+    */
+  private def wordCounts(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
     graft.operators.Partitioning.ensureMinParallelism(df.filter(col(textCol).isNotNull))
-      .select(keep :+ explode(tokens(col(textCol))).as("w"): _*)
+      .select(keep :+ explode(
+        call_function("graft_term_freqs", col(textCol)).getField("entries")).as("e"): _*)
+      .withColumn("w", col("e.term")).withColumn("cnt", col("e.tf")).drop("e")
       .filter(col("w") =!= "")
 
   /** Train-once half of [[nbClassify]]: `(model, consts)` — the
@@ -393,8 +410,10 @@ object TextAnalysis {
     */
   def trainNb(train: DataFrame, textCol: String,
               labelCol: String): (DataFrame, DataFrame) = {
-    val wc = explodedWords(train, textCol, Seq(col(labelCol).as("cls")))
-      .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cwc"))
+    // per-doc counts summed == per-occurrence rows counted; the fused
+    // kernel shrinks the exploded volume to distinct words per doc
+    val wc = wordCounts(train, textCol, Seq(col(labelCol).as("cls")))
+      .groupBy(col("cls"), col("w")).agg(sum(col("cnt")).as("cwc"))
     val classTotals = wc.groupBy(col("cls")).agg(sum(col("cwc")).as("n_c"))
     val vocab = wc.agg(countDistinct(col("w")).as("v_size"))
     val priors = train.filter(col(textCol).isNotNull)
@@ -418,8 +437,9 @@ object TextAnalysis {
     */
   def nbScoreAgainstModel(model: DataFrame, consts: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String): DataFrame = {
-    val dw = explodedWords(batch, textCol, Seq(col(idCol)))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    // per-doc (w, cnt) directly from the fused kernel: the groupBy's
+    // groups were per-document, so the aggregation exchange is gone
+    val dw = wordCounts(batch, textCol, Seq(col(idCol)))
     val docT = dw.groupBy(col(idCol)).agg(sum(col("cnt")).as("t_tokens"))
     val contrib = dw.join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy(col(idCol), col("cls"))
@@ -473,10 +493,12 @@ object TextAnalysis {
     */
   def trainDsir(docs: DataFrame, target: DataFrame,
                 textCol: String): (DataFrame, DataFrame) = {
-    val tc = explodedWords(target, textCol, Seq.empty)
-      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-    val rc = explodedWords(docs, textCol, Seq.empty)
-      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    // vocab counts from per-doc (w, cnt) rows — same §2.3 map-side
+    // reduction as trainNb's wc
+    val tc = wordCounts(target, textCol, Seq.empty)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("ct"))
+    val rc = wordCounts(docs, textCol, Seq.empty)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cr"))
     val model = rc.join(tc.hint("shuffle_hash"), Seq("w"), "left")
       .select(col("w"),
         (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")) * 1e6).cast("long") -
@@ -495,8 +517,7 @@ object TextAnalysis {
     */
   def dsirScoreAgainstModel(model: DataFrame, base: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String): DataFrame =
-    explodedWords(batch, textCol, Seq(col(idCol)))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    wordCounts(batch, textCol, Seq(col(idCol)))
       .join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("t_tokens"),
@@ -518,11 +539,11 @@ object TextAnalysis {
     * sites), and the corpus-frequency-weighted occurrence count.
     */
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
-    val words = graft.operators.Partitioning.ensureMinParallelism(
-        docs.filter(col(textCol).isNotNull))
-      .select(explode(tokens(col(textCol))).as("w"))
+    // corpus word frequencies from per-doc (w, cnt) rows (§2.3; the
+    // length filter subsumes the ''-token drop)
+    val words = wordCounts(docs, textCol, Seq.empty)
       .filter(length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("w")).agg(sum(col("cnt")).as("freq"))
     words
       .select(col("freq"), explode(transform(
         sequence(lit(1), length(col("w")) - 1),
@@ -556,8 +577,13 @@ object TextAnalysis {
                       minCount: Int = 5): DataFrame = {
     val nonNull = graft.operators.Partitioning.ensureMinParallelism(
       docs.filter(col(textCol).isNotNull))
-    val uni = nonNull.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // per-doc (term, tf) pre-aggregation — NO ''-filter here: the old
+    // occurrence count included the ''-token of empty docs in t_uni,
+    // and that total must not change
+    val uni = nonNull.select(
+        explode(call_function("graft_term_freqs", col(textCol)).getField("entries")).as("e"))
+      .select(col("e.term").as("w"), col("e.tf").as("tf"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("c"))
     val t1 = uni.agg(sum(col("c")).as("t_uni"))
     val bi = nonNull.select(explode(bigrams(tokens(col(textCol)))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
@@ -722,11 +748,12 @@ object TextAnalysis {
                 topK: Int = 100): DataFrame = {
     require(topK >= 2, s"need at least 2 ranks to fit a slope, got $topK")
     import org.apache.spark.sql.expressions.Window
-    val toks = graft.operators.Partitioning
-      .ensureMinParallelism(docs.filter(col(textCol).isNotNull))
-      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-    val ranked = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    // per-doc (w, cnt) rows pre-aggregate the explode (§2.3); the ''
+    // drop matches the old per-occurrence filter
+    val toks = wordCounts(docs, textCol, Seq(col(groupCol)))
+    val ranked = toks.groupBy(col(groupCol), col("w"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumnRenamed("w", "tok")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("tok"))))
       .filter(col("rank") <= topK)
@@ -761,17 +788,19 @@ object TextAnalysis {
   def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
                     vocabSize: Int = 200): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
-    val toks = graft.operators.Partitioning
-      .ensureMinParallelism(docs.filter(col(textCol).isNotNull))
-      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // per-doc (w, cnt) rows (§2.3): occurrence counts become weighted
+    // sums — n_tokens = Σcnt, covered mass = Σ(cnt · in_vocab) — and
+    // both the vocab derivation and the coverage join move distinct-
+    // per-doc rows instead of every occurrence
+    val toks = wordCounts(docs, textCol, Seq(col(groupCol)))
+      .withColumnRenamed("w", "tok")
+    val vocab = toks.groupBy(col("tok")).agg(sum(col("cnt")).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1L).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
       .withColumn("n_oov", col("n_tokens") - col("n_covered"))
       .withColumn("oov_micros",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double") * 1e6).cast("long"))
