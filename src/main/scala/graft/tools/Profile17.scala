@@ -178,6 +178,25 @@ object Profile17 {
       }
     }
 
+    if (sections("lazyplans")) {
+      // the eager-checkpointing arms collapse their VISIBLE plan to an
+      // RDD scan — dump the lazy inner plans (what the checkpoint jobs
+      // execute) so the r18 kernel claims are checkable from files
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("P17_PLANS_DIR", "plans/r18"))
+      java.nio.file.Files.createDirectories(outDir)
+      val tag = sys.env.getOrElse("P17_PLAN_TAG", "after")
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+      val (mh, mhPin) = graft.operators.dedup.MinHashDedup.portablePairsLazy(
+        docs, "doc_id", "text", n = 3, k = 64, numBands = 16,
+        threshold = 0.5, maxBucket = 500)
+      java.nio.file.Files.writeString(
+        outDir.resolve(s"dedup_minhash_lazy_$tag.txt"),
+        mh.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      mhPin.unpersist()
+      println(s"PLAN17 wrote dedup_minhash_lazy_$tag.txt")
+    }
     if (sections("plans")) {
       val headline = Seq(
         "q1_agg", "q2_join_enrich", "q3_window_topn", "k2_cdc_apply",
