@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -20,8 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextProfileUtil {
 
-  private val subwordRe = Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
   private val punctSet = ".,;:!?'\"()[]{}-".toSet
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
   private val profiles: Array[(String, Set[String])] = Array(
     "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
@@ -49,10 +48,34 @@ object TextProfileUtil {
     // n_tokens: 0 for space-trim-empty raw text (TextAnalysis.tokenCount)
     val nTokens = if (NormText.spaceTrimEmpty(raw)) 0 else words.length
 
+    // manual code-point scan == subwordRe ("[a-z]+|[0-9]+|[^a-z0-9\s]")
+    // over the lowercased text: alternation order means a letter run
+    // counts once, a digit run counts once, and any OTHER non-\s CODE
+    // POINT counts once (Java regex character classes match code
+    // points — an astral emoji is ONE subword, so the scan advances by
+    // Character.charCount). The regex engine per document is what this
+    // removes; the pinned composable subwordCount keeps the regex form.
     val lowerRaw = text.toLowerCase.toString
-    val m = subwordRe.matcher(lowerRaw)
     var nSubwords = 0
-    while (m.find()) nSubwords += 1
+    locally {
+      val len = lowerRaw.length
+      var i = 0
+      while (i < len) {
+        val cp = lowerRaw.codePointAt(i)
+        if (cp >= 'a' && cp <= 'z') {
+          nSubwords += 1
+          while (i < len && { val c = lowerRaw.charAt(i); c >= 'a' && c <= 'z' }) i += 1
+        } else if (cp >= '0' && cp <= '9') {
+          nSubwords += 1
+          while (i < len && { val c = lowerRaw.charAt(i); c >= '0' && c <= '9' }) i += 1
+        } else {
+          // \s in the negated class is Java-regex whitespace: the six
+          // ASCII chars (NormTextUtil.isWs)
+          if (!(cp < 128 && NormTextUtil.isWs(cp.toChar))) nSubwords += 1
+          i += Character.charCount(cp)
+        }
+      }
+    }
 
     val nChars = text.numChars()
     var punct = 0
@@ -76,7 +99,10 @@ object TextProfileUtil {
       if (score > best) { best = score; lang = l } // first profile wins ties
     }
 
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // thread-local digest (the Md5Util pattern): getInstance("MD5")
+    // allocated a provider lookup + digest object per ROW
+    val md = md5Local.get()
+    md.reset()
     val digest = md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = new StringBuilder(32)
     digest.foreach(b => hex.append(f"${b & 0xff}%02x"))

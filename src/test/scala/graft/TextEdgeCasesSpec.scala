@@ -54,6 +54,26 @@ class TextEdgeCasesSpec extends SparkSpec {
     assert(red(6L).contains("héllo wörld héllo wörld héllo wörld")) // untouched
   }
 
+  test("profile n_subwords: manual scan == the regex pre-tokenizer, emoji included") {
+    // the r18 code-point scan must reproduce
+    // size(regexp_extract_all(lower(c), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+    // exactly — letter runs, digit runs, one count per OTHER code
+    // point (an astral emoji is ONE subword under Java regex classes),
+    // \s = the six ASCII whitespace chars only
+    import spark.implicits._
+    val docs = Seq("", "abc", "ABC42def!", "a1b2", "😀😀", "中文test",
+      "a😀b", "xy", "tab\tdig9", "NBSP here", "é-è",
+      "multi  space", "1,234.56").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val cmp = docs.select(
+      call_function("graft_text_profile", col("t")).getField("n_subwords").as("fused"),
+      TextAnalysis.subwordCount(col("t")).as("regex"), col("t"))
+    cmp.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"n_subwords diverged on '${r.getString(2)}': fused=${r.getInt(0)} regex=${r.getInt(1)}")
+    }
+  }
+
   test("text profile handles null/empty/whitespace without failing") {
     val out = TextAnalysis.profile(edgeDocs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
