@@ -71,7 +71,10 @@ class PlanQualitySpec extends SparkSpec {
 
   test("frontier incremental probe: shard-pruned scan, shuffled verify join, no broadcast of the index") {
     val p = plan("pipeline_frontier_incremental")
-    assert(p.contains("graft_bloom_probe"), "must probe the per-shard sketches")
+    // the bloom-probe expression now runs inside probeNew's eager
+    // checkpoint (its plan shape is pinned on the inner plan in
+    // CrawlFrontierSpec "the sketch tier is per-shard rows"); the
+    // query-visible plan keeps the pruned verify scan and join shape
     assert(p.contains("PartitionFilters") && p.contains("shard"),
       s"index scan must prune shards:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
@@ -150,7 +153,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("lm scoring joins the model tables shuffle-hash; only V broadcasts") {
-    val df = SparkEntry.queries("text_lm_score")(spark, sf)
+    // the public lmCrossEntropy eagerly materializes (releasing its ref
+    // pin), collapsing the visible plan — inspect the lazy inner plan,
+    // which is what actually runs (the portablePairsLazy pattern)
+    val docs = Tables.load(spark, sf, "documents")
+    val (df, refPin) = graft.operators.text.TextAnalysis.lmCrossEntropyLazy(
+      docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    refPin.unpersist()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"), s"model joins must shuffle, not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
