@@ -46,7 +46,7 @@ object MinHashDedup {
   /** Portable signatures: 60-bit md5 shingle hashes mod 2^31-1 folded
     * through the imperative agg in portable mode → (doc_id, sig).
     */
-  private[dedup] def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
                                         n: Int, k: Int): DataFrame = {
     // the WHOLE signature in-row ([[graft.plans.WordMinHashMd5]]):
     // distinct shingles → md5-60 → mod 2^31-1 → k portable permutation
@@ -68,7 +68,7 @@ object MinHashDedup {
   /** (doc_id, sig) → exploded (doc_id, band, bkey) band keys, the
     * ':'-joined text form every ANSI engine reproduces.
     */
-  private[dedup] def portableBands(sig: DataFrame, k: Int, numBands: Int): DataFrame = {
+  private[graft] def portableBands(sig: DataFrame, k: Int, numBands: Int): DataFrame = {
     require(k % numBands == 0, "numBands must divide k")
     val rpb = k / numBands
     sig.select(col("doc_id"),
@@ -163,7 +163,7 @@ object MinHashDedup {
     * `id_a < id_b` filter. Emits m² rows per bucket before the filter;
     * buckets are capped upstream so the quadratic stays bounded.
     */
-  private[dedup] def explodePairs(buckets: DataFrame, memberCol: String): DataFrame =
+  private[graft] def explodePairs(buckets: DataFrame, memberCol: String): DataFrame =
     buckets
       .select(explode(col(memberCol)).as("a"), col(memberCol))
       .select(col("a"), explode(col(memberCol)).as("b"))

@@ -178,6 +178,59 @@ object Profile17 {
       }
     }
 
+    if (sections("minhash")) {
+      // phase split of the heaviest CPU arm: signature kernel vs the
+      // banding/bucket/join tail (decides whether banding is worth a
+      // future round's attention)
+      val docs = docsRaw
+      time("mh_signatures_only") {
+        noop(graft.operators.dedup.MinHashDedup.portableSignatures(
+          docs, "doc_id", "text", n = 3, k = 64))
+      }
+      time("mh_full_arm") {
+        noop(graft.SparkEntry.queries("dedup_minhash")(spark, sfDir))
+      }
+      // tail decomposition over a pre-materialized signature table
+      val sig = graft.operators.Partitioning.materializeOnce(
+        graft.operators.dedup.MinHashDedup.portableSignatures(
+          docs, "doc_id", "text", n = 3, k = 64))
+      time("mh_banding_only") {
+        noop(graft.operators.dedup.MinHashDedup.portableBands(sig, 64, 16))
+      }
+      time("mh_buckets") {
+        noop(graft.operators.dedup.MinHashDedup.portableBands(sig, 64, 16)
+          .groupBy(org.apache.spark.sql.functions.col("band"),
+            org.apache.spark.sql.functions.col("bkey"))
+          .agg(graft.functions.BoundedCollectList.column(
+            org.apache.spark.sql.functions.col("doc_id"), 500).as("members")))
+      }
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      time("mh_buckets_hashagg") {
+        noop(graft.operators.dedup.MinHashDedup.portableBands(sig, 64, 16)
+          .groupBy(org.apache.spark.sql.functions.col("band"),
+            org.apache.spark.sql.functions.col("bkey"))
+          .agg(graft.functions.BoundedCollectList.column(
+            org.apache.spark.sql.functions.col("doc_id"), 500).as("members")))
+      }
+      spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      locally {
+        import org.apache.spark.sql.functions.{col, size => fsize}
+        val buckets = graft.operators.Partitioning.materializeOnce(
+          graft.operators.dedup.MinHashDedup.portableBands(sig, 64, 16)
+            .groupBy(col("band"), col("bkey"))
+            .agg(graft.functions.BoundedCollectList.column(col("doc_id"), 500).as("members"))
+            .filter(fsize(col("members")).between(2, 500)))
+        println(s"PROBE17 mh buckets rows=${buckets.count()} " +
+          s"maxMembers=${buckets.select(org.apache.spark.sql.functions.max(fsize(col("members")))).head().getInt(0)}")
+        time("mh_pairs_dedup") {
+          noop(graft.operators.dedup.MinHashDedup.explodePairs(buckets, "members")
+            .select(col("a").as("id_a"), col("b").as("id_b"))
+            .dropDuplicates("id_a", "id_b"))
+        }
+        buckets.unpersist()
+      }
+      sig.unpersist()
+    }
     if (sections("lazyplans")) {
       // the eager-checkpointing arms collapse their VISIBLE plan to an
       // RDD scan — dump the lazy inner plans (what the checkpoint jobs
