@@ -141,6 +141,15 @@ object Profile17 {
           .select(col("surt"), col("ts"), col("url"), col("offset"), col("length"))
           .orderBy(col("surt")))
       }
+      // the FooterCache done-criterion: 100 repeated lookups — the
+      // per-lookup metadata cost must amortize to ~the pruned scan job
+      // alone (generations are hit in the memo after lookup 1)
+      time("cdx_lookupPrefix_x100", 1) {
+        (1 to 100).foreach { i =>
+          noop(graft.sources.CdxIndex.lookupPrefix(spark, idxDir, s"org,site${i % 7},h${i % 40})")
+            .select(col("surt"), col("offset")))
+        }
+      }
     }
 
     if (sections("crawl")) {
